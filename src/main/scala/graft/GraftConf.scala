@@ -1,0 +1,25 @@
+package graft
+
+/** Engine-wide defaults, mirroring the reference's constants
+  * (/root/reference/timeseries.py:30–36) mapped onto the driver
+  * testdata's year range (lineitem ships 1995–2001).
+  */
+object GraftConf {
+  /** First year of the temporal scaffold. */
+  val FirstYear = 1995
+  /** Last year of the temporal scaffold. */
+  val LastYear = 2001
+  /** Surrogate year for undated evidence (reset to NULL on output). */
+  def SurrogateYear: Int = LastYear + 1
+  /** Top-K scores kept in the harmonic sum. */
+  val TopK = 50
+  /** Harmonic-sum normalizer: Σ 1/i² as i→∞ (π²/6). */
+  val MaxScore = 1.6449340668482264
+  /** Logistic novelty parameters (timeseries.py:32–34). */
+  val NoveltyScale = 2.0
+  val NoveltyShift = 2.0
+  val NoveltyWindow = 10
+  /** Datasource weights for the overall score (timeseries.py:38–…). */
+  val Weights: Seq[(String, Double)] =
+    Seq("A" -> 1.0, "N" -> 0.5, "R" -> 0.2)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks. All are composed from Spark's built-in
+  * (whole-stage-codegen'd) functions — no UDFs in the hot path.
+  */
+package object functions {
+
+  /** Harmonic-sum association score: Σ_{i=1..K} top_i / i², normalized.
+    *
+    * Semantics follow the reference's harmonic scoring
+    * (/root/reference/timeseries.py:480–510): nulls/NaNs are dropped,
+    * scores sorted descending, top-K kept, each divided by its 1-based
+    * rank squared, summed, divided by `maxScore`. An empty score set
+    * yields NULL (no evidence accumulated ⇒ score undefined).
+    */
+  def harmonicScore(
+      scores: Column,
+      topK: Int = 50,
+      maxScore: Double = GraftConf.MaxScore): Column = {
+    val clean = filter(scores, s => s.isNotNull && !isnan(s))
+    val top = slice(reverse(array_sort(clean)), 1, topK)
+    val weighted = zip_with(
+      top,
+      sequence(lit(1), size(top)),
+      (s, i) => s / (i * i))
+    val hs = aggregate(weighted, lit(0.0), (acc, x) => acc + x) / maxScore
+    when(size(clean) === 0, lit(null).cast("double")).otherwise(hs)
+  }
+
+  /** Logistic decay used for novelty: peak / (1 + e^{scale·(Δ − shift)}).
+    * Reference: /root/reference/timeseries.py:608–617.
+    */
+  def logisticNovelty(
+      peak: Column,
+      yearDelta: Column,
+      scale: Double = GraftConf.NoveltyScale,
+      shift: Double = GraftConf.NoveltyShift): Column =
+    peak / (lit(1.0) + exp(lit(scale) * (yearDelta - lit(shift))))
+
+  /** Exact, engine-portable dot product of ×1000-quantized embeddings.
+    * Quantizing to Long makes the sum order-independent (integer math),
+    * so Spark and any oracle engine agree bit-for-bit.
+    */
+  def quantize(vec: Column, q: Int = 1000): Column =
+    transform(vec, x => round(x * q).cast("long"))
+
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity over quantized vectors (deterministic double). */
+  def quantizedCosine(a: Column, b: Column): Column =
+    quantizedDot(a, b).cast("double") /
+      (sqrt(quantizedDot(a, a).cast("double")) *
+        sqrt(quantizedDot(b, b).cast("double")))
+}

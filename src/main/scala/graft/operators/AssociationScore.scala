@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.GraftConf
+import graft.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cumulative harmonic-sum association scoring over time.
+  *
+  * Capability parity with the reference's
+  * `get_association_score_by_datasource_dated` /
+  * `get_association_score_by_overall_dated`
+  * (/root/reference/timeseries.py:371–527, 637–731), re-architected
+  * Spark-first (see SURVEY.md §4):
+  *
+  *  - The reference cross-joins (datasource × all years) against all
+  *    pairs at *evidence grain* and recomputes the harmonic sum for
+  *    every calendar year, then `repartition(400, "year")` — a skewed
+  *    shuffle at 100 TB. graft instead:
+  *      1. aggregates evidence to (pair, source, year) grain first
+  *         (map-side combine, high-cardinality shuffle keys),
+  *      2. computes the cumulative harmonic score only for *active*
+  *         years (years with new evidence) via an ordered window,
+  *      3. densifies to the full calendar with
+  *         `explode(sequence(...))` + last-value carry-forward —
+  *         O(active-years) harmonic computations, and the scaffold
+  *         never touches evidence-grain rows.
+  *  - Unlike the reference's scaffold left-join (which silently drops
+  *    evidence dated outside the scaffold range), accumulation here
+  *    covers all evidence ≤ year; only the *output* rows are limited
+  *    to the calendar range.
+  *
+  * Undated evidence (null year) is carried through a surrogate year
+  * (lastYear+1) and reset to NULL on output, like the reference.
+  * Score is NULL until the first evidence accumulates.
+  */
+object AssociationScore {
+
+  private val PairKeys = Seq("diseaseId", "targetId")
+  private def keyCols(ks: Seq[String]): Seq[Column] = ks.map(col)
+
+  /** Per-datasource cumulative score. Input: evidence
+    * (diseaseId, targetId, datasourceId, score, year?). Output one row
+    * per (pair, datasource, calendar year ∪ surrogate): diseaseId,
+    * targetId, datasourceId, year (null ⇒ undated bucket), score.
+    */
+  def byDatasource(
+      evidence: DataFrame,
+      firstYear: Int = GraftConf.FirstYear,
+      lastYear: Int = GraftConf.LastYear,
+      topK: Int = GraftConf.TopK,
+      maxScore: Double = GraftConf.MaxScore): DataFrame =
+    cumulative(evidence, PairKeys :+ "datasourceId", firstYear, lastYear, topK, maxScore)
+
+  /** Overall score: weight the per-datasource dense scores, then one
+    * harmonic sum across sources per (pair, year). The input is already
+    * dense per source, so no re-accumulation is needed — matches the
+    * reference (timeseries.py:688–731).
+    */
+  def overall(
+      byDatasourceScores: DataFrame,
+      weights: DataFrame,
+      lastYear: Int = GraftConf.LastYear,
+      topK: Int = GraftConf.TopK,
+      maxScore: Double = GraftConf.MaxScore): DataFrame = {
+    val surrogate = lastYear + 1
+    byDatasourceScores
+      .withColumn("year", coalesce(col("year"), lit(surrogate)))
+      .join(broadcast(weights), Seq("datasourceId"), "left")
+      .withColumn("wscore", col("score") * col("weight"))
+      .groupBy((keyCols(PairKeys) :+ col("year")): _*)
+      .agg(collect_list("wscore").as("scores"))
+      .withColumn("score", harmonicScore(col("scores"), topK, maxScore))
+      .withColumn("year", when(col("year") === surrogate, lit(null)).otherwise(col("year")))
+      .select("diseaseId", "targetId", "year", "score")
+  }
+
+  private def cumulative(
+      evidence: DataFrame,
+      keys: Seq[String],
+      firstYear: Int,
+      lastYear: Int,
+      topK: Int,
+      maxScore: Double): DataFrame = {
+    val surrogate = lastYear + 1
+    val dated = evidence
+      .withColumn("year", coalesce(col("year").cast("int"), lit(surrogate)))
+
+    // (pair, source, active year) grain — map-side combined.
+    val perYear = dated
+      .groupBy((keyCols(keys) :+ col("year")): _*)
+      .agg(collect_list("score").as("yrScores"))
+
+    // Cumulative score multiset per active year. Years are unique per
+    // key after the groupBy, so a rows window is exact.
+    val cumWin = Window
+      .partitionBy(keyCols(keys): _*)
+      .orderBy("year")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val active = perYear
+      .withColumn("cumScores", flatten(collect_list("yrScores").over(cumWin)))
+      .withColumn("score", harmonicScore(col("cumScores"), topK, maxScore))
+      .select(keys.map(col) :+ col("year") :+ col("score"): _*)
+
+    // Dense calendar scaffold at key grain (not evidence grain).
+    val scaffold = dated
+      .select(keyCols(keys): _*)
+      .distinct()
+      .withColumn("year", explode(sequence(lit(firstYear), lit(surrogate))))
+
+    // Full outer keeps active years outside the calendar range so their
+    // cumulative score still carries forward into it.
+    val fillWin = Window
+      .partitionBy(keyCols(keys): _*)
+      .orderBy("year")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold
+      .join(active, keys :+ "year", "full")
+      .withColumn("score", last("score", ignoreNulls = true).over(fillWin))
+      .filter(col("year").between(firstYear, surrogate))
+      .withColumn("year", when(col("year") === surrogate, lit(null)).otherwise(col("year")))
+      .select((keyCols(keys) :+ col("year") :+ col("score")): _*)
+  }
+}
