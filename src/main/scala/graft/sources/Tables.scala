@@ -19,7 +19,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = table("part")
   def nation: DataFrame = table("nation")
   def region: DataFrame = table("region")
-  def events: DataFrame = table("events")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; read nanos as long and convert to a microsecond
+    * timestamp (integer division — ns since epoch exceeds 2^53, so
+    * double math would lose precision).
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 

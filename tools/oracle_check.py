@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/oracle_check.py [sf_dir] [verify_out]
+"""
+import duckdb, json, sys
+import pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
+out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
+
+con = duckdb.connect()
+for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
+          'lineitem', 'events', 'documents', 'embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        spark_df = pd.read_parquet(f'{out}/{name}')
+        duck_df = con.sql(sql).df()
+    except Exception as e:
+        print(f'{name}: ERROR {e}')
+        fails += 1
+        continue
+
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(by=list(df.columns), na_position='first').reset_index(drop=True)
+    s, k = norm(spark_df), norm(duck_df)
+    if list(s.columns) != list(k.columns) or s.shape != k.shape:
+        print(f'{name}: SHAPE/COLS MISMATCH spark={s.shape}{list(s.columns)} duck={k.shape}{list(k.columns)}')
+        fails += 1
+        continue
+    bad_cols = []
+    for c in s.columns:
+        a, b = s[c], k[c]
+        if str(a.dtype) != str(b.dtype):
+            bad_cols.append(f'{c}:dtype {a.dtype}!={b.dtype}')
+            continue
+        if a.dtype.kind == 'f':
+            eq = (a.fillna(-9e9) - b.fillna(-9e9)).abs() < 1e-12
+        else:
+            eq = a.astype('object').where(a.notna(), None) == b.astype('object').where(b.notna(), None)
+            eq = eq | (a.isna() & b.isna())
+        if (~eq).any():
+            i = (~eq).idxmax()
+            bad_cols.append(f'{c}: {int((~eq).sum())} bad, e.g. row {i}: {s.iloc[i].to_dict()} vs {k.iloc[i].to_dict()}')
+    if bad_cols:
+        print(f'{name}: VALUE MISMATCH ' + ' | '.join(bad_cols[:3]))
+        fails += 1
+    else:
+        print(f'{name}: MATCH rows={s.shape[0]}')
+sys.exit(1 if fails else 0)
