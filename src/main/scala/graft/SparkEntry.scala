@@ -26,6 +26,31 @@ object SparkEntry {
       |  FROM lineitem
       |)""".stripMargin
 
+  /** Word-3-gram shingles per doc (ordered, with duplicates), docs with
+    * ≥3 words only — mirrors graft.operators.Dedup.shingles.
+    */
+  private val ShinglesSql =
+    """shingled AS (
+      |  SELECT doc_id AS id,
+      |         list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3
+      |)""".stripMargin
+
+  /** ×1000-quantized embeddings + L2 norm — mirrors
+    * graft.functions.quantize/quantizedDot (integer math, exact).
+    */
+  private val EmbSql =
+    """nrm AS (
+      |  SELECT vec_id, q,
+      |         sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS n
+      |  FROM (
+      |    SELECT vec_id,
+      |           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |    FROM embeddings
+      |  )
+      |)""".stripMargin
+
   /** Per-(pair, datasource, year) cumulative harmonic score, years
     * 1995..2002 (2002 = undated surrogate), NULL score before first
     * evidence. Mirrors graft.operators.AssociationScore.byDatasource.
@@ -147,6 +172,43 @@ object SparkEntry {
         .withColumn("peak", round(col("peak"), 4))
         .filter(col("peak") > 0)
         .select("diseaseId", "targetId", "peakYear", "peak")
+    }),
+    "q30_dedup_exact" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.exactRank(t.documents)
+        .select("doc_id", "fp", "n_copies", "dup_rank")
+    }),
+    "q31_dedup_minhash" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.minhashLshPairs(t.documents)
+    }),
+    "q32_dedup_simhash" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.simhash(t.documents)
+    }),
+    "q33_ngram_jaccard" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.ngramJaccard(t.documents, blockCol = "source")
+    }),
+    "q34_ann_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      SimilaritySearch.bruteForceTopK(
+        t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
+    }),
+    "q35_ann_lsh" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      SimilaritySearch.lshTopK(
+        t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
+    }),
+    "q36_langid" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextAnalysis.langId(t.documents)
+        .select("doc_id", "lang", "score_de", "score_en", "score_es", "score_fr", "lang_pred")
+    }),
+    "q37_quality" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextAnalysis.quality(TextAnalysis.tokens(t.documents))
+        .select("doc_id", "n_tokens", "n_distinct", "avg_token_len", "quality")
     }),
   )
 
@@ -278,5 +340,155 @@ object SparkEntry {
          |)
          |SELECT diseaseId, targetId, peakYear, round(peak, 4) AS peak
          |FROM peaks WHERE round(peak, 4) > 0""".stripMargin,
+    "q30_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |       CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
+        |       CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS INT) AS dup_rank
+        |FROM documents""".stripMargin,
+    "q31_dedup_minhash" ->
+      s"""WITH $ShinglesSql,
+         |sig AS (
+         |  SELECT id, j, min(md5(CAST(j AS VARCHAR) || ':' || s)) AS m
+         |  FROM (SELECT id, unnest(sh) AS s FROM shingled)
+         |  CROSS JOIN (SELECT unnest(range(1, 13)) AS j) seeds
+         |  GROUP BY id, j
+         |),
+         |banded AS (
+         |  SELECT id, (j - 1) // 4 AS band, md5(string_agg(m, '|' ORDER BY j)) AS bucket
+         |  FROM sig GROUP BY id, (j - 1) // 4
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS idA, b.id AS idB
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+         |),
+         |verified AS (
+         |  SELECT c.idA, c.idB,
+         |         round(CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
+         |               / len(list_distinct(list_concat(sa.sh, sb.sh))), 3) AS jaccard
+         |  FROM cand c
+         |  JOIN shingled sa ON sa.id = c.idA
+         |  JOIN shingled sb ON sb.id = c.idB
+         |)
+         |SELECT idA, idB, jaccard FROM verified WHERE jaccard >= 0.8""".stripMargin,
+    "q32_dedup_simhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents
+        |),
+        |toks AS (SELECT doc_id, md5(t) AS h FROM (SELECT doc_id, unnest(w) AS t FROM docs)),
+        |votes AS (
+        |  SELECT doc_id, i,
+        |         sum(CASE WHEN substring(h, i, 1) IN ('8','9','a','b','c','d','e','f')
+        |                  THEN 1 ELSE -1 END) AS v
+        |  FROM toks CROSS JOIN (SELECT CAST(unnest(range(1, 33)) AS INT) AS i) pos
+        |  GROUP BY 1, 2
+        |),
+        |hashes AS (
+        |  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+        |  FROM votes GROUP BY 1
+        |),
+        |buckets AS (SELECT doc_id, simhash, substring(simhash, 1, 16) AS bucket FROM hashes)
+        |SELECT doc_id, simhash, bucket,
+        |       CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
+        |FROM buckets""".stripMargin,
+    "q33_ngram_jaccard" ->
+      s"""WITH $ShinglesSql,
+         |blocked AS (
+         |  SELECT d.source AS block, s.id, list_distinct(s.sh) AS sh
+         |  FROM shingled s JOIN documents d ON d.doc_id = s.id
+         |)
+         |SELECT a.block AS block, a.id AS idA, b.id AS idB,
+         |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(a.sh, b.sh))), 3) AS jaccard
+         |FROM blocked a JOIN blocked b ON a.block = b.block AND a.id < b.id
+         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |            / len(list_distinct(list_concat(a.sh, b.sh))), 3) >= 0.5""".stripMargin,
+    "q34_ann_topk" ->
+      s"""WITH $EmbSql,
+         |qs AS (SELECT vec_id AS query_id, q AS qq, n AS qn FROM nrm WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT c.vec_id AS id, q.query_id,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+         |           / (c.n * q.qn) AS cos
+         |  FROM nrm c CROSS JOIN qs q WHERE c.vec_id != q.query_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS INT) AS rank,
+         |         cos
+         |  FROM scored
+         |)
+         |SELECT query_id, id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin,
+    "q35_ann_lsh" ->
+      s"""WITH $EmbSql,
+         |planes AS (
+         |  SELECT p, list_transform(range(1, 65), i ->
+         |           CASE WHEN substring(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)
+         |                     IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS sgn
+         |  FROM (SELECT unnest(range(1, 9)) AS p)
+         |),
+         |proj AS (
+         |  SELECT e.vec_id, pl.p,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * pl.sgn[i])) AS BIGINT) AS pr
+         |  FROM nrm e CROSS JOIN planes pl
+         |),
+         |bkt AS (
+         |  SELECT vec_id, string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         |  FROM proj GROUP BY 1
+         |),
+         |withb AS (SELECT n.vec_id, n.q, n.n, b.bucket FROM nrm n JOIN bkt b USING (vec_id)),
+         |qs AS (SELECT vec_id AS query_id, q AS qq, n AS qn, bucket FROM withb WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT c.vec_id AS id, q.query_id,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+         |           / (c.n * q.qn) AS cos
+         |  FROM withb c JOIN qs q USING (bucket) WHERE c.vec_id != q.query_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS INT) AS rank,
+         |         cos
+         |  FROM scored
+         |)
+         |SELECT query_id, id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin,
+    "q36_langid" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS n
+         |  FROM documents
+         |),
+         |scores AS (
+         |  SELECT doc_id, lang,
+         |    round((len(list_filter(w, x -> x = 'der')) + len(list_filter(w, x -> x = 'und'))
+         |         + len(list_filter(w, x -> x = 'die'))) / n, 4) AS score_de,
+         |    round((len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'a'))
+         |         + len(list_filter(w, x -> x = 'of'))) / n, 4) AS score_en,
+         |    round((len(list_filter(w, x -> x = 'el')) + len(list_filter(w, x -> x = 'la'))
+         |         + len(list_filter(w, x -> x = 'y'))) / n, 4) AS score_es,
+         |    round((len(list_filter(w, x -> x = 'le')) + len(list_filter(w, x -> x = 'la'))
+         |         + len(list_filter(w, x -> x = 'et'))) / n, 4) AS score_fr
+         |  FROM toks
+         |)
+         |SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
+         |       CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
+         |            WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+         |            WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+         |            WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+         |            ELSE 'fr' END AS lang_pred
+         |FROM scores""".stripMargin,
+    "q37_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w,
+        |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens,
+        |       CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+        |       round(CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+        |       round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+        |           + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / n_tokens)
+        |           + 0.3 * (1.0 - CAST(len(list_filter(w, x -> x = 'the'))
+        |                             + len(list_filter(w, x -> x = 'a')) AS DOUBLE) / n_tokens), 4) AS quality
+        |FROM base""".stripMargin,
   )
 }

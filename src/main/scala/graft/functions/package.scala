@@ -45,7 +45,7 @@ package object functions {
     * so Spark and any oracle engine agree bit-for-bit.
     */
   def quantize(vec: Column, q: Int = 1000): Column =
-    transform(vec, x => round(x * q).cast("long"))
+    transform(vec, x => round(x.cast("double") * q).cast("long"))
 
   def quantizedDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
