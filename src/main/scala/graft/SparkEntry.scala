@@ -173,6 +173,111 @@ object SparkEntry {
         .filter(col("peak") > 0)
         .select("diseaseId", "targetId", "peakYear", "peak")
     }),
+    "q11_top_rank" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Rollups.topRank(t.orders, Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), n = 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    }),
+    "q12_first_year" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Rollups.attachWindowAgg(
+          Rollups.attachWindowAgg(t.evidence, Seq("targetId"), min("year"), "first_year"),
+          Seq("targetId", "datasourceId"), max("score"), "max_score")
+        .select(col("targetId"), col("datasourceId"), col("first_year"),
+          round(col("max_score"), 4).as("max_score"))
+        .distinct()
+    }),
+    "q13_distinct_rollup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.evidence
+        .groupBy("year", "datasourceId")
+        .agg(
+          countDistinct(col("targetId")).as("n_targets"),
+          countDistinct(concat_ws("|", col("diseaseId"), col("targetId"))).as("n_pairs"))
+    }),
+    "q14_crosstab" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Rollups.crosstab(t.evidence, Seq("year"), "datasourceId", Seq("A", "N", "R"))
+    }),
+    "q20_tpch_q1" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t.lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(disc), 2).as("sum_disc_price"),
+          round(sum(disc * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q21_join_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING"))
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
+    }),
+    "q22_asof" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("click_event_id"))
+        .withColumn("click_ts", col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_event_id", "click_ts"))
+        .select(col("event_id"), col("user_id"), col("value"), col("click_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    }),
+    "q38_multimodal" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Multimodal.documentFeatures(t.documents)
+    }),
+    "q40_window_tumbling" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      EventWindows.tumbling(t.events, "1 hour", Seq("event_type"),
+          Seq(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value")))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+    "q41_window_sliding" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      EventWindows.sliding(t.events, "2 hours", "1 hour", Seq("event_type"),
+          Seq(count(lit(1)).as("n")))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"))
+    }),
+    "q42_sessionize" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Sessionize.sessions(t.events, gapMinutes = 30)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          unix_micros(col("start_ts")).as("start_us"),
+          unix_micros(col("end_ts")).as("end_us"), col("duration_us"))
+    }),
+    "q43_json_extract" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+          count(col("k")).as("n_k"),
+          round(avg("k"), 4).as("avg_k"),
+          max("k").as("max_k"),
+          count(when(col("k") > 50, 1)).as("n_high"))
+    }),
     "q30_dedup_exact" -> ((s, dir) => {
       val t = Tables(s, dir)
       Dedup.exactRank(t.documents)
@@ -340,6 +445,108 @@ object SparkEntry {
          |)
          |SELECT diseaseId, targetId, peakYear, round(peak, 4) AS peak
          |FROM peaks WHERE round(peak, 4) > 0""".stripMargin,
+    "q11_top_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+        |  FROM orders
+        |) WHERE rank <= 1""".stripMargin,
+    "q12_first_year" ->
+      s"""WITH $EvSql
+         |SELECT DISTINCT targetId, datasourceId,
+         |       min(year) OVER (PARTITION BY targetId) AS first_year,
+         |       round(max(score) OVER (PARTITION BY targetId, datasourceId), 4) AS max_score
+         |FROM ev""".stripMargin,
+    "q13_distinct_rollup" ->
+      s"""WITH $EvSql
+         |SELECT year, datasourceId,
+         |       CAST(count(DISTINCT targetId) AS BIGINT) AS n_targets,
+         |       CAST(count(DISTINCT CAST(diseaseId AS VARCHAR) || '|' || CAST(targetId AS VARCHAR)) AS BIGINT) AS n_pairs
+         |FROM ev GROUP BY 1, 2""".stripMargin,
+    "q14_crosstab" ->
+      s"""WITH $EvSql
+         |SELECT year,
+         |       CAST(count(CASE WHEN datasourceId = 'A' THEN 1 END) AS BIGINT) AS n_A,
+         |       CAST(count(CASE WHEN datasourceId = 'N' THEN 1 END) AS BIGINT) AS n_N,
+         |       CAST(count(CASE WHEN datasourceId = 'R' THEN 1 END) AS BIGINT) AS n_R
+         |FROM ev GROUP BY 1""".stripMargin,
+    "q20_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q21_join_topk" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, revenue FROM (
+        |  SELECT o_orderkey, o_orderdate,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  GROUP BY 1, 2
+        |) ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q22_asof" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type FROM events
+        |),
+        |clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_event_id
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+        |),
+        |purchases AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.value, c.click_event_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM purchases p
+        |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "q40_window_tumbling" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q41_window_sliding" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)) - (h.h * INTERVAL 1 HOUR),
+        |                '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events CROSS JOIN (VALUES (0), (1)) h(h)
+        |GROUP BY 1, 2""".stripMargin,
+    "q42_sessionize" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |gapped AS (
+        |  SELECT *, epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM ev
+        |),
+        |flagged AS (
+        |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM gapped
+        |),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+        |       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+    "q43_json_extract" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+        |)
+        |SELECT event_type,
+        |       CAST(count(k) AS BIGINT) AS n_k,
+        |       round(avg(k), 4) AS avg_k,
+        |       max(k) AS max_k,
+        |       CAST(count(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_high
+        |FROM ev GROUP BY 1""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
         |       CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the batch event operators: the same
+  * windowed aggregations over `readStream`, with watermarks bounding
+  * state, plus stateful sessionization via flatMapGroupsWithState.
+  *
+  * The transforms are source-agnostic (they take the streaming
+  * DataFrame), so tests drive them with MemoryStream and production
+  * points them at Kafka/files without change.
+  */
+object EventStream {
+
+  /** Tumbling-window counts/sums with a watermark bounding state. */
+  def tumblingCounts(
+      events: DataFrame,
+      duration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based session aggregation using the built-in session_window —
+    * the streaming twin of graft.operators.Sessionize.
+    */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"), col("user_id"), col("n_events"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom state: running per-user totals via mapGroupsWithState.
+    *
+    * `evictAfter` ("1 hour") enables processing-time state eviction for
+    * unbounded production streams; the default NoTimeout keeps micro-batch
+    * scheduling data-driven (a registered timeout makes Spark fire empty
+    * batches forever, so processAllAvailable would never converge in tests).
+    */
+  def runningTotals(
+      events: org.apache.spark.sql.Dataset[Event],
+      evictAfter: Option[String] = None): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](timeoutConf) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunning(uid, n, v)
+          state.update(next)
+          evictAfter.foreach(state.setTimeoutDuration)
+          next
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = GraftConf.MaxScore
+
+  test("harmonicScore matches hand-computed top-K harmonic sum") {
+    val df = Seq(Seq(0.8, 0.4, 0.2), Seq.empty[Double], Seq(0.5))
+      .toDF("scores")
+      .select(harmonicScore(col("scores")).as("h"))
+    val got = df.collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    val expected = (0.8 / 1 + 0.4 / 4 + 0.2 / 9) / M
+    assert(math.abs(got(0).get - expected) < 1e-12)
+    assert(got(1).isEmpty, "empty score set must yield NULL")
+    assert(math.abs(got(2).get - 0.5 / M) < 1e-12)
+  }
+
+  test("harmonicScore keeps only top K") {
+    val many = Seq((1 to 60).map(_ => 1.0))
+    val got = many.toDF("scores")
+      .select(harmonicScore(col("scores"), topK = 50).as("h"))
+      .head().getDouble(0)
+    val expected = (1 to 50).map(i => 1.0 / (i.toLong * i)).sum / M
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("harmonicScore drops NaNs and nulls") {
+    val got = Seq(Seq(Double.NaN, 0.6))
+      .toDF("scores")
+      .select(harmonicScore(col("scores")).as("h"))
+      .head().getDouble(0)
+    assert(math.abs(got - 0.6 / M) < 1e-12)
+  }
+
+  test("logisticNovelty is peak/(1+exp(scale*(d-shift)))") {
+    val got = Seq((0.3, 0)).toDF("p", "d")
+      .select(logisticNovelty(col("p"), col("d")).as("n"))
+      .head().getDouble(0)
+    assert(math.abs(got - 0.3 / (1 + math.exp(2.0 * (0 - 2)))) < 1e-12)
+  }
+
+  test("quantized dot/cosine are exact integer math") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.5f, 0.5f))).toDF("a", "b")
+      .select(
+        quantizedDot(quantize(col("a")), quantize(col("b"))).as("dot"),
+        quantizedCosine(quantize(col("a")), quantize(col("b"))).as("cos"))
+    val r = df.head()
+    assert(r.getLong(0) == 1000L * 500L)
+    assert(math.abs(r.getDouble(1) - 500000.0 / (1000.0 * math.sqrt(500000.0))) < 1e-12)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("OntologyPropagate copies evidence to self and ancestors") {
+    val ev = Seq((1L, 10L, 0.5)).toDF("diseaseId", "targetId", "score")
+    val ont = Seq((1L, Seq(100L, 200L))).toDF("id", "ancestors")
+    val out = OntologyPropagate.indirect(ev, ont)
+      .select("diseaseId").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 100L, 200L))
+  }
+
+  test("Dating.bestDate honors priority; recoverUndated keeps all rows") {
+    val df = Seq(
+      (1L, Some(2001), Some(1999)),
+      (2L, None, Some(1998)),
+      (3L, None, None))
+      .toDF("id", "studyYear", "pubYear")
+    val dated = Dating.bestDate(df, Seq("studyYear", "pubYear"))
+    val got = dated.select("id", "year").as[(Long, Option[Int])].collect().toMap
+    assert(got(1L).contains(2001) && got(2L).contains(1998) && got(3L).isEmpty)
+
+    val subset = dated.filter(col("id") =!= 3L)
+    val rec = Dating.recoverUndated(subset, df, "id")
+    assert(rec.count() == 3)
+    assert(rec.filter(col("id") === 3L).select("year").head().isNullAt(0))
+  }
+
+  test("AsOfJoin picks latest right row at or before left time") {
+    val purchases = Seq((100L, 1L, 10L, 9.99), (101L, 1L, 5L, 1.0), (102L, 2L, 3L, 2.0))
+      .toDF("event_id", "user_id", "t", "value")
+    val clicks = Seq((1L, 4L, 900L), (1L, 7L, 901L), (1L, 10L, 902L))
+      .toDF("user_id", "t", "click_id")
+    val out = AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "t", "t", Seq("click_id"))
+      .select("event_id", "click_id").as[(Long, Option[Long])].collect().toMap
+    assert(out(100L).contains(902L), "inclusive at equal time")
+    assert(out(101L).contains(900L))
+    assert(out(102L).isEmpty, "no prior right row → null")
+  }
+
+  test("Sessionize splits on gaps > threshold") {
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val ev = Seq((1L, ts(0), 1L), (2L, ts(10), 1L), (3L, ts(50), 1L), (4L, ts(0), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val out = Sessionize.sessions(ev, gapMinutes = 30)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("Dedup.exactRank ranks copies deterministically") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactRank(docs)
+      .select("doc_id", "n_copies", "dup_rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 1), (2L, 2L, 2), (3L, 1L, 1)))
+  }
+
+  test("Dedup.minhashLshPairs finds planted near-duplicates") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "zz" else s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, minJaccard = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("SimilaritySearch brute-force top-k ranks by cosine with id tie-break") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 2)
+      .select("id", "rank").as[(Long, Int)].collect().toMap
+    assert(out(3L) == 1, "identical vector ranks first")
+    assert(out(1L) == 2)
+  }
+
+  test("Multimodal feature extraction is deterministic and schema-stable") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.documentFeatures(docs).collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4))).toMap
+    assert(byId(1L) == byId(2L), "same payload → same features")
+    assert(byId(1L) != byId(3L))
+  }
+}
