@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
   *         (map-side combine, high-cardinality shuffle keys),
   *      2. computes the cumulative harmonic score only for *active*
   *         years (years with new evidence) via an ordered window,
-  *      3. densifies to the full calendar with
-  *         `explode(sequence(...))` + last-value carry-forward —
-  *         O(active-years) harmonic computations, and the scaffold
-  *         never touches evidence-grain rows.
+  *      3. densifies by segment fill: lead/lag over the same window
+  *         partitioning gives each active year its carry-forward range,
+  *         one `explode(sequence(...))` emits the calendar rows —
+  *         O(active-years) harmonic computations, a single evidence
+  *         scan, and no scaffold join at all.
   *  - Unlike the reference's scaffold left-join (which silently drops
   *    evidence dated outside the scaffold range), accumulation here
   *    covers all evidence ≤ year; only the *output* rows are limited
@@ -103,21 +104,32 @@ object AssociationScore {
       .withColumn("score", harmonicScore(col("cumScores"), topK, maxScore))
       .select(keys.map(col) :+ col("year") :+ col("score"): _*)
 
-    // Dense calendar scaffold at key grain (not evidence grain).
-    val scaffold = dated
-      .select(keyCols(keys): _*)
-      .distinct()
-      .withColumn("year", explode(sequence(lit(firstYear), lit(surrogate))))
-
-    // Full outer keeps active years outside the calendar range so their
-    // cumulative score still carries forward into it.
-    val fillWin = Window
-      .partitionBy(keyCols(keys): _*)
-      .orderBy("year")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scaffold
-      .join(active, keys :+ "year", "full")
-      .withColumn("score", last("score", ignoreNulls = true).over(fillWin))
+    // Densify via segment fill, not a scaffold join: each active year
+    // carries its score forward to the year before the key's next
+    // active year (lead), and the key's first active row also emits the
+    // leading null-score calendar years (lag = null). The lead/lag
+    // window has the same partitioning+ordering as the cumulative
+    // window above, so this adds NO exchange — and there is no second
+    // evidence scan, no distinct-pairs aggregate, and no full-outer
+    // join, which the scaffold formulation all required.
+    val orderWin = Window.partitionBy(keyCols(keys): _*).orderBy("activeYear")
+    active
+      .withColumnRenamed("year", "activeYear")
+      .withColumn("fillEnd",
+        coalesce(lead("activeYear", 1).over(orderWin) - 1, lit(surrogate)))
+      .withColumn("fillStart",
+        when(lag("activeYear", 1).over(orderWin).isNull,
+          least(col("activeYear"), lit(firstYear)))
+          .otherwise(col("activeYear")))
+      // guard: sequence(a, b) with a > b counts DOWN in Spark; an empty
+      // array (dropped by explode) is what "nothing to fill" means here
+      .withColumn("year",
+        explode(when(col("fillStart") <= col("fillEnd"),
+          sequence(col("fillStart"), col("fillEnd")))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("score",
+        when(col("year") < col("activeYear"), lit(null).cast("double"))
+          .otherwise(col("score")))
       .filter(col("year").between(firstYear, surrogate))
       .withColumn("year", when(col("year") === surrogate, lit(null)).otherwise(col("year")))
       .select((keyCols(keys) :+ col("year") :+ col("score")): _*)

@@ -61,33 +61,41 @@ object Dedup {
       shingleSize: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
     val rows = k / bands
-    val withSig = df
+    val withSig = spread(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("set", array_distinct(col("sh")))
+      .drop("sh")
+      .withColumn("sig", minhashSignature(col("set"), k))
 
-    // One row per (doc, band); bucket key is the md5 of the band slice.
+    // One row per (doc, band) — bucket key is the md5 of the band slice.
+    // Only (id, band, bucket) is shuffled; shingle sets stay behind and
+    // are re-joined for the (few) surviving candidate pairs.
     val banded = withSig.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(
         transform(
           sequence(lit(0), lit(bands - 1)),
           b => md5(concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows))))))
         .as(Seq("band", "bucket")))
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(
-        col("a.id").as("idA"), col("b.id").as("idB"),
-        col("a.sh").as("shA"), col("b.sh").as("shB"))
-      .dropDuplicates("idA", "idB")
+    // Candidate pairs from shared buckets via groupBy + in-row pair
+    // expansion — the signature chain is computed ONCE (a banded
+    // self-join would re-evaluate it per join side). Bucket sizes are
+    // bounded by band tuning, so the per-bucket cross product is small.
+    val candidates = banded
+      .groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("idA"), col("ids"))
+      .select(col("idA"), explode(col("ids")).as("idB"))
+      .filter(col("idA") < col("idB"))
+      .distinct()
 
+    val sets = withSig.select(col("id"), col("set"))
     candidates
-      .withColumn("setA", array_distinct(col("shA")))
-      .withColumn("setB", array_distinct(col("shB")))
+      .join(sets.select(col("id").as("idA"), col("set").as("setA")), Seq("idA"))
+      .join(sets.select(col("id").as("idB"), col("set").as("setB")), Seq("idB"))
       .withColumn("jaccard",
         round(
           size(array_intersect(col("setA"), col("setB"))).cast("double") /
@@ -96,9 +104,15 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
-  /** Exact pairwise n-gram Jaccard similarity above a threshold, within
-    * a blocking key (never cross-block, so the join fans out only
-    * inside blocks).
+  /** Exact n-gram Jaccard similarity above a threshold, within a
+    * blocking key, via an inverted shingle index: explode distinct
+    * shingles, equi-join on (block, shingle), count common shingles per
+    * pair, then |A∩B| / (|A| + |B| − |A∩B|).
+    *
+    * Identical output to the naive all-pairs form (a pair with zero
+    * common shingles has Jaccard 0 < threshold), but the join is an
+    * equi-join on shingle values — work scales with the number of
+    * *sharing* pairs, never O(n²) per block.
     */
   def ngramJaccard(
       df: DataFrame,
@@ -107,19 +121,33 @@ object Dedup {
       idCol: String = "doc_id",
       shingleSize: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
-    val docs = df.select(
+    val docs = spread(df).select(
       col(blockCol).as("block"), col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
       .filter(size(col("sh")) > 0)
-    docs.as("a").join(docs.as("b"),
-        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .select(
-        col("a.block").as("block"),
+      .withColumn("sz", size(col("sh")))
+    val inv = docs.select(
+      col("block"), col("id"), col("sz"), explode(col("sh")).as("s"))
+    // Group the posting list per (block, shingle) and expand pairs
+    // in-row: the shingle index is computed once and shuffled once (a
+    // self-join would re-evaluate the whole shingle chain per side).
+    inv
+      .groupBy("block", "s")
+      .agg(collect_list(struct(col("id"), col("sz"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("block"), explode(col("ds")).as("a"), col("ds"))
+      .select(col("block"), col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(
+        col("block"),
         col("a.id").as("idA"), col("b.id").as("idB"),
-        round(
-          size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-            size(array_union(col("a.sh"), col("b.sh"))), 3).as("jaccard"))
+        col("a.sz").as("szA"), col("b.sz").as("szB"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("szA") + col("szB") - col("common")), 3))
       .filter(col("jaccard") >= minJaccard)
+      .select(col("block"), col("idA"), col("idB"), col("jaccard"))
   }
 
   /** SimHash in a 32-bit space derived from md5 nibbles: for each of 32
@@ -130,29 +158,30 @@ object Dedup {
   def simhashBits(text: Column): Column = {
     val w = array_distinct(TextAnalysis.words(text))
     val hashes = transform(w, t => md5(t))
+    // Single pass over the tokens: fold each token's 32-nibble vote
+    // vector into a running array<int> accumulator, then read the signs.
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 32),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(1), lit(32)), (a, i) =>
+          a + when(h.substr(i, lit(1))
+            .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)))
     concat_ws("",
-      transform(
-        sequence(lit(1), lit(32)),
-        i => {
-          val votes = aggregate(
-            hashes, lit(0),
-            (acc, h) => acc +
-              when(substring(h, 1, 32).substr(i, lit(1))
-                .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
-          when(votes > 0, lit("1")).otherwise(lit("0"))
-        }))
+      transform(votes, v => when(v > 0, lit("1")).otherwise(lit("0"))))
   }
 
   /** Per-doc simhash + near-dup flag: docs sharing their simhash prefix
     * bucket (first `prefixBits` bits) with ≥1 other doc.
     */
   def simhash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      prefixBits: Int = 16): DataFrame = {
-    val withHash = df.select(col(idCol), col(textCol))
+      prefixBits: Int = 16): DataFrame =
+    spread(df).select(col(idCol), col(textCol))
       .withColumn("simhash", simhashBits(col(textCol)))
       .withColumn("bucket", substring(col("simhash"), 1, prefixBits))
-    val counts = withHash.groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
-    withHash.join(counts, Seq("bucket"))
+      // window, not a groupBy+join-back: the simhash column is computed
+      // once and shuffled once on the bucket key
+      .withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy("bucket")))
       .select(col(idCol), col("simhash"), col("bucket"), col("bucket_size"))
-  }
 }

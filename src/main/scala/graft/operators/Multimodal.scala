@@ -46,7 +46,7 @@ object Multimodal {
   def extractFeatures(df: DataFrame, idCol: String = "doc_id", binCol: String = "payload"): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
+    spread(df.select(col(idCol).cast("long"), col(binCol)))
       .as[Media]
       .mapPartitions { it =>
         // real pipelines initialize the codec here, once per partition

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object SimilaritySearch {
 
   private def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame =
-    df.select(
+    spread(df).select(
         col(idCol).as("id"),
         quantize(col(embCol)).as("qv"))
       .withColumn("nrm", sqrt(quantizedDot(col("qv"), col("qv")).cast("double")))
