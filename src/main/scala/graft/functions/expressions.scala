@@ -1,0 +1,234 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.{columnOf, expressionOf}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-dedup hot paths.
+  *
+  * The higher-order-function formulations (transform/aggregate lambdas)
+  * are interpreted element-by-element — fine at dimension-table sizes,
+  * but word-shingling and MinHash signatures sit on the corpus-scale
+  * path where per-element interpretation overhead dominates. These
+  * expressions do the same work in one JVM pass per row and reproduce
+  * the HOF/oracle semantics bit-for-bit:
+  *
+  *  - split on single spaces keeping empty tokens (like
+  *    `split(text, " ")` / DuckDB `string_split`),
+  *  - shingle = tokens joined by one space (like `concat_ws`),
+  *  - minhash element j = min over shingles of md5 hex of "j:shingle"
+  *    (UTF-8), minimum by unsigned-byte order — identical to
+  *    lexicographic order on the lowercase hex strings.
+  */
+private[graft] object NativeText {
+
+  /** Distinct word n-gram shingles, first-occurrence order (matches
+    * `array_distinct` over the ordered shingle list). NULL text → NULL;
+    * fewer than n words → empty array.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    columnOf(WordShinglesDistinct(expressionOf(text), n))
+
+  /** MinHash signature over a shingle array: k md5-derived minima.
+    * NULL or empty input → NULL (row drops out of LSH banding).
+    */
+  def minhashSig(shingles: Column, k: Int): Column =
+    columnOf(MinHashSignature(expressionOf(shingles), k))
+
+  /** Native harmonic-sum score; see [[HarmonicScore]]. */
+  def harmonic(scores: Column, k: Int, maxScore: Double): Column =
+    columnOf(HarmonicScore(expressionOf(scores), k, maxScore))
+
+  private[functions] def splitWords(text: UTF8String): Array[UTF8String] = {
+    // 0x20 is never part of a multi-byte UTF-8 sequence, so a byte scan
+    // is a correct split; empties are kept like split(text, " ").
+    val bytes = text.getBytes
+    var parts = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') parts += 1; i += 1 }
+    val out = new Array[UTF8String](parts)
+    var start = 0
+    var p = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') {
+        out(p) = UTF8String.fromBytes(bytes, start, i - start)
+        p += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    out(p) = UTF8String.fromBytes(bytes, start, bytes.length - start)
+    out
+  }
+}
+
+/** `harmonic_score(scores, k, maxScore)`: drop nulls/NaNs, sort
+  * descending, Σ top-K sᵢ/i² (1-based), divide by maxScore; empty →
+  * NULL. Summation runs in descending-score order exactly like the
+  * `aggregate(slice(reverse(array_sort(...))))` HOF chain it replaces,
+  * so results are bit-identical.
+  */
+case class HarmonicScore(child: Expression, k: Int, maxScore: Double)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"topK must be >= 1, got $k")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "harmonic_score"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val clean = new Array[Double](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.getDouble(i)
+        if (!java.lang.Double.isNaN(v)) { clean(m) = v; m += 1 }
+      }
+      i += 1
+    }
+    if (m == 0) return null
+    java.util.Arrays.sort(clean, 0, m)
+    val top = math.min(k, m)
+    var sum = 0.0
+    i = 0
+    while (i < top) {
+      val rank = i + 1
+      sum += clean(m - 1 - i) / (rank.toDouble * rank)
+      i += 1
+    }
+    sum / maxScore
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HarmonicScore =
+    copy(child = newChild)
+}
+
+/** `wordShinglesDistinct(text, n)`: split text on single spaces, build
+  * the n-gram shingles (tokens joined by " "), dedupe preserving first
+  * occurrence. One pass, no per-element lambda interpretation.
+  */
+case class WordShinglesDistinct(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles_distinct"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = NativeText.splitWords(input.asInstanceOf[UTF8String])
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]((words.length - n + 1) * 2)
+    var i = 0
+    while (i <= words.length - n) {
+      var shingle = words(i)
+      var j = 1
+      while (j < n) {
+        shingle = UTF8String.concat(shingle, WordShinglesDistinct.Space, words(i + j))
+        j += 1
+      }
+      seen.add(shingle)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesDistinct =
+    copy(child = newChild)
+}
+
+object WordShinglesDistinct {
+  private val Space = UTF8String.fromString(" ")
+}
+
+/** `minhash_signature(shingles, k)`: element j (1-based) is the
+  * minimum over the shingle set of md5("j:" + shingle) as lowercase
+  * hex. Minima are selected on the raw digest bytes (unsigned order ==
+  * hex lexicographic order); only the k winners are hex-encoded.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"signature length must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val numShingles = arr.numElements()
+    if (numShingles == 0) return null
+    val md = MessageDigest.getInstance("MD5")
+    val prefixes = MinHashSignature.prefixes(k)
+    val mins = new Array[Array[Byte]](k)
+    var i = 0
+    while (i < numShingles) {
+      val shingleBytes = arr.getUTF8String(i).getBytes
+      var j = 0
+      while (j < k) {
+        md.reset()
+        md.update(prefixes(j))
+        md.update(shingleBytes)
+        val digest = md.digest()
+        if (mins(j) == null || MinHashSignature.unsignedLt(digest, mins(j))) mins(j) = digest
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    i = 0
+    while (i < k) { out(i) = MinHashSignature.hex(mins(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  private val HexChars = "0123456789abcdef".getBytes
+
+  private val prefixCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+
+  /** ASCII bytes of "1:", "2:", … "k:". */
+  private def prefixes(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k, kk => Array.tabulate(kk)(j => s"${j + 1}:".getBytes))
+
+  private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  private def hex(digest: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](digest.length * 2)
+    var i = 0
+    while (i < digest.length) {
+      out(i * 2) = HexChars((digest(i) & 0xf0) >> 4)
+      out(i * 2 + 1) = HexChars(digest(i) & 0x0f)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}

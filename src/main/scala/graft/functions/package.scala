@@ -19,6 +19,15 @@ package object functions {
   def harmonicScore(
       scores: Column,
       topK: Int = 50,
+      maxScore: Double = GraftConf.MaxScore): Column =
+    NativeText.harmonic(scores, topK, maxScore)
+
+  /** Higher-order-function formulation of [[harmonicScore]] — kept as
+    * the executable spec the native expression is tested against.
+    */
+  def harmonicScoreHof(
+      scores: Column,
+      topK: Int = 50,
       maxScore: Double = GraftConf.MaxScore): Column = {
     val clean = filter(scores, s => s.isNotNull && !isnan(s))
     val top = slice(reverse(array_sort(clean)), 1, topK)

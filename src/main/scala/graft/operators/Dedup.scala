@@ -62,11 +62,10 @@ object Dedup {
       minJaccard: Double = 0.8): DataFrame = {
     val rows = k / bands
     val withSig = spread(df)
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("set", array_distinct(col("sh")))
-      .drop("sh")
-      .withColumn("sig", minhashSignature(col("set"), k))
+      .select(col(idCol).as("id"),
+        graft.functions.NativeText.wordShingles(col(textCol), shingleSize).as("set"))
+      .filter(size(col("set")) > 0)
+      .withColumn("sig", graft.functions.NativeText.minhashSig(col("set"), k))
 
     // One row per (doc, band) — bucket key is the md5 of the band slice.
     // Only (id, band, bucket) is shuffled; shingle sets stay behind and
@@ -121,11 +120,14 @@ object Dedup {
       idCol: String = "doc_id",
       shingleSize: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
-    val docs = spread(df).select(
-      col(blockCol).as("block"), col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sz", size(col("sh")))
+    val docs = spread(df)
+      .select(
+        col(blockCol).as("block"), col(idCol).as("id"),
+        graft.functions.NativeText.wordShingles(col(textCol), shingleSize).as("sh"))
+      .select(col("block"), col("id"), col("sh"), size(col("sh")).as("sz"))
+    // explode drops empty shingle arrays, so no pre-filter is needed
+    // (a filter would be pushed below the projection and re-evaluate
+    // the shingling)
     val inv = docs.select(
       col("block"), col("id"), col("sz"), explode(col("sh")).as("s"))
     // Group the posting list per (block, shingle) and expand pairs

@@ -43,6 +43,40 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(got - 0.3 / (1 + math.exp(2.0 * (0 - 2)))) < 1e-12)
   }
 
+  test("native wordShingles/minhashSig match the HOF formulations on real docs") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((-1L, "a b"), (-2L, ""), (-3L, "x y z x y z x y z")).toDF("doc_id", "text"))
+    val hof = docs.select(
+      col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"), 3)).as("set"))
+      .withColumn("sig",
+        when(size(col("set")) > 0, Dedup.minhashSignature(col("set"), 12)))
+    val native = docs.select(
+      col("doc_id"),
+      NativeText.wordShingles(col("text"), 3).as("set"))
+      .withColumn("sig", NativeText.minhashSig(col("set"), 12))
+    val mismatches = hof.as("h").join(native.as("n"), "doc_id")
+      .filter(col("h.set") =!= col("n.set") ||
+        coalesce(col("h.sig"), array()) =!= coalesce(col("n.sig"), array()))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("native harmonicScore is bit-identical to the HOF formulation") {
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 200).map { _ =>
+      Seq.fill(rnd.nextInt(80))(rnd.nextDouble())
+    } ++ Seq(Seq.empty[Double], Seq(Double.NaN), Seq(Double.NaN, 0.25))
+    val df = cases.toDF("scores").select(
+      harmonicScore(col("scores")).as("nat"),
+      harmonicScoreHof(col("scores")).as("hof"))
+    // bitwise compare (NULL-safe): summation order must be identical
+    val diff = df.filter(!(col("nat") <=> col("hof"))).count()
+    assert(diff == 0)
+  }
+
   test("quantized dot/cosine are exact integer math") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(0.5f, 0.5f))).toDF("a", "b")
       .select(
