@@ -93,15 +93,20 @@ object AssociationScore {
       .groupBy((keyCols(keys) :+ col("year")): _*)
       .agg(collect_list("score").as("yrScores"))
 
-    // Cumulative score multiset per active year. Years are unique per
-    // key after the groupBy, so a rows window is exact.
+    // Cumulative harmonic score per active year via the O(K)-state
+    // top-K window aggregate: the growing frame feeds each year's
+    // scores into a bounded heap exactly once — the cumulative score
+    // multiset is never materialized (that would be O(evidence-per-
+    // pair) per row and quadratic across years). Years are unique per
+    // key after the groupBy, so a rows frame is exact.
     val cumWin = Window
       .partitionBy(keyCols(keys): _*)
       .orderBy("year")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val active = perYear
-      .withColumn("cumScores", flatten(collect_list("yrScores").over(cumWin)))
-      .withColumn("score", harmonicScore(col("cumScores"), topK, maxScore))
+      .withColumn("score",
+        graft.functions.TopKHarmonic.topKHarmonic(col("yrScores"), topK, maxScore)
+          .over(cumWin))
       .select(keys.map(col) :+ col("year") :+ col("score"): _*)
 
     // Densify via segment fill, not a scaffold join: each active year

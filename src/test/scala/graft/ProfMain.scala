@@ -25,6 +25,20 @@ object ProfMain {
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
+    if (which == "plans") {
+      val q09 = SparkEntry.queries("q09_peaks")(spark, dir)
+      q09.count()
+      println("=== Q09 FINAL ===")
+      println(q09.queryExecution.executedPlan.toString.split("\n").map(_.take(120)).mkString("\n"))
+      val q03 = SparkEntry.queries("q03_novelty")(spark, dir)
+      q03.count()
+      println("=== Q03 FINAL ===")
+      println(q03.queryExecution.executedPlan.toString.split("\n").map(_.take(120)).mkString("\n"))
+    }
+    if (which == "assoc") {
+      for (i <- 1 to 3; q <- Seq("q09_peaks", "q03_novelty", "q02_assoc_overall"))
+        time(s"${q}_$i")(SparkEntry.queries(q)(spark, dir).count())
+    }
     if (which == "words") {
       val mat = spread(docs)
         .withColumn("w", split(col("text"), " "))
