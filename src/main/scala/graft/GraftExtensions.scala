@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{HarmonicScore, MinHashSignature, TopKHarmonic, WordShinglesDistinct}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for graft's native expressions.
+  *
+  * Standard packaging: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * registers the functions at session build; [[GraftExtensions.register]]
+  * attaches them to an already-running session (tests, notebooks).
+  *
+  * {{{
+  *   SELECT harmonic_score(collect_list(score), 50, 1.6449340668482264)
+  *   SELECT word_shingles(text, 3), minhash_signature(word_shingles(text, 3), 12)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val functions: Seq[(String, ExpressionInfo, FunctionBuilder)] = Seq(
+    ("harmonic_score",
+      info("harmonic_score",
+        "harmonic_score(scores[, k, max_score]) - top-K harmonic sum of a score array"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => HarmonicScore(c, GraftConf.TopK, GraftConf.MaxScore)
+        case Seq(c, k) => HarmonicScore(c, intArg(k, "k"), GraftConf.MaxScore)
+        case Seq(c, k, m) => HarmonicScore(c, intArg(k, "k"), doubleArg(m, "max_score"))
+        case _ => throw new IllegalArgumentException("harmonic_score takes 1-3 arguments")
+      }),
+    ("word_shingles",
+      info("word_shingles",
+        "word_shingles(text, n) - distinct word n-gram shingles, first-occurrence order"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, n) => WordShinglesDistinct(c, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException("word_shingles takes 2 arguments")
+      }),
+    ("minhash_signature",
+      info("minhash_signature",
+        "minhash_signature(shingles, k) - k md5-derived minima over a shingle set"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, k) => MinHashSignature(c, intArg(k, "k"))
+        case _ => throw new IllegalArgumentException("minhash_signature takes 2 arguments")
+      }),
+    ("topk_harmonic",
+      info("topk_harmonic",
+        "topk_harmonic(score_array[, k, max_score]) - cumulative harmonic aggregate (use OVER a growing frame)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => TopKHarmonic(c)
+        case Seq(c, k) => TopKHarmonic(c, intArg(k, "k"))
+        case Seq(c, k, m) => TopKHarmonic(c, intArg(k, "k"), doubleArg(m, "max_score"))
+        case _ => throw new IllegalArgumentException("topk_harmonic takes 1-3 arguments")
+      }))
+
+  /** Register on a live session (tests/notebooks). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+}

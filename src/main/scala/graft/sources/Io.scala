@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Format adapters beyond parquet: CSV (the reference's dimension-table
+  * format, cf. the csv lookups under /root/reference/data) and JSON-lines.
+  * Schemas are always supplied explicitly — schema inference is a full
+  * extra pass over the data and is never acceptable at scale.
+  */
+object Io {
+
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      header: Boolean = true,
+      delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Partitioned parquet writer — the layout that makes downstream
+    * partition pruning (`WHERE year = …`) a directory skip.
+    */
+  def writeParquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted table write: co-locates join keys so equi-joins
+    * between tables bucketed the same way need no shuffle at all.
+    * (saveAsTable because bucketing metadata lives in the catalog.)
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+}

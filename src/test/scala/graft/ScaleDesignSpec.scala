@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.Skew
+import graft.sources.{Io, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scale-design invariants: pushdown/pruning reach the scans, bucketed
+  * joins need no shuffle, salted operators are result-equivalent, and
+  * the SQL function surface is registered.
+  */
+class ScaleDesignSpec extends SparkSpec {
+
+  private def tables = Tables(spark, sfDir)
+
+  test("q20 scan pushes the shipdate filter and prunes columns") {
+    val plan = SparkEntry.queries("q20_tpch_q1")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter must reach the parquet scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"unprojected columns must be pruned from the scan: $readSchema")
+  }
+
+  test("association-score plan stays single-scan with broadcast weights") {
+    val plan = SparkEntry.queries("q02_assoc_overall")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"q02 must scan lineitem exactly once:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "weights dim must broadcast")
+  }
+
+  test("bucketed tables join without any exchange") {
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    // a table dir orphaned by a previous crashed run blocks saveAsTable
+    for (d <- Seq("li_b", "ord_b")) {
+      val p = new java.io.File(s"spark-warehouse/$d")
+      if (p.exists()) {
+        java.nio.file.Files.walk(p.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.delete(q))
+      }
+    }
+    val t = tables
+    Io.writeBucketed(t.lineitem.select("l_orderkey", "l_extendedprice"), "li_b", "l_orderkey", 4)
+    Io.writeBucketed(t.orders.select("o_orderkey", "o_custkey"), "ord_b", "o_orderkey", 4)
+    // force the sort-merge path: broadcast would bypass bucketing here,
+    // and at scale neither side of a fact-fact join is broadcastable
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must be shuffle-free:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must use buckets:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("saltedAgg equals direct aggregation") {
+    val t = tables
+    val direct = t.evidence.groupBy("datasourceId")
+      .agg(sum("score").as("sum_score"), count(lit(1)).as("n"))
+    val salted = Skew.saltedAgg(t.evidence, Seq("datasourceId"), 8)(
+      partial = Seq(sum("score").as("s"), count(lit(1)).as("c")),
+      combine = Seq(sum("s").as("sum_score"), sum("c").as("n")))
+    // compare rounded sums (salting changes double summation order)
+    val d = direct.withColumn("sum_score", round(col("sum_score"), 6))
+    val s = salted.withColumn("sum_score", round(col("sum_score"), 6))
+    assert(d.exceptAll(s).isEmpty && s.exceptAll(d).isEmpty)
+  }
+
+  test("saltedJoin equals plain join") {
+    val t = tables
+    val dim = t.nation.select(col("n_nationkey"), col("n_name"))
+    val plain = t.supplier.join(dim, col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val salted = Skew.saltedJoin(
+        t.supplier.withColumnRenamed("s_nationkey", "n_nationkey"), dim,
+        Seq("n_nationkey"), 8)
+      .select("s_suppkey", "n_name")
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("csv and jsonl round-trip the events table") {
+    val t = tables
+    val ev = t.events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    Io.writeCsv(ev, "/tmp/graft-io/events_csv")
+    Io.writeJsonLines(ev, "/tmp/graft-io/events_jsonl")
+    val csv = Io.readCsv(spark, "/tmp/graft-io/events_csv", schema)
+    val jsonl = Io.readJsonLines(spark, "/tmp/graft-io/events_jsonl", schema)
+    assert(csv.count() == ev.count() && jsonl.count() == ev.count())
+    assert(csv.exceptAll(ev).isEmpty && jsonl.exceptAll(ev).isEmpty)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val t = tables
+    Io.writeParquetPartitioned(
+      t.evidence.withColumn("year", coalesce(col("year"), lit(0))),
+      "/tmp/graft-io/ev_part", Seq("year"))
+    val pruned = spark.read.parquet("/tmp/graft-io/ev_part").filter(col("year") === 1997)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(year"),
+      s"partition filter must prune directories:\n$plan")
+  }
+
+  test("SQL surface: registered functions compute the same scores") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT harmonic_score(array(0.8D, 0.4D, 0.2D)) AS h,
+        |       word_shingles('a b c d', 3) AS sh,
+        |       minhash_signature(word_shingles('a b c d', 3), 4) AS sig
+        |""".stripMargin).head()
+    val expected = (0.8 / 1 + 0.4 / 4 + 0.2 / 9) / GraftConf.MaxScore
+    assert(math.abs(r.getDouble(0) - expected) < 1e-12)
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(r.getSeq[String](2).length == 4)
+  }
+
+  test("extensions class wires the same function set") {
+    assert(new GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+    assert(GraftExtensions.functions.map(_._1).toSet ==
+      Set("harmonic_score", "word_shingles", "minhash_signature", "topk_harmonic"))
+  }
+}
