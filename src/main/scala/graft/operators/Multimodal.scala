@@ -57,6 +57,43 @@ object Multimodal {
       }
   }
 
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB resize: stands in for an image resize codec. Deterministic:
+    * truncate/cycle the payload to `targetBytes` (a real implementation
+    * decodes, rescales, re-encodes — the Spark contract is identical:
+    * binary in, binary out, same row count).
+    */
+  def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (bytes.isEmpty) bytes
+    else Array.tabulate(targetBytes)(i => bytes(i % bytes.length))
+
+  /** Frame sampling for "video" payloads: emit every `stride`-th
+    * fixed-size window of the payload as a frame row — the one-to-many
+    * expansion shape (explode at the typed level) a real video pipeline
+    * needs. Runs per-partition like [[extractFeatures]].
+    */
+  def sampleFrames(
+      df: DataFrame,
+      frameBytes: Int = 64,
+      stride: Int = 4,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    spread(df.select(col(idCol).cast("long"), col(binCol)))
+      .as[Media]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val nFrames = m.payload.length / frameBytes
+          (0 until nFrames by stride).iterator.map { f =>
+            Frame(m.doc_id, f,
+              java.util.Arrays.copyOfRange(m.payload, f * frameBytes, (f + 1) * frameBytes))
+          }
+        }
+      }
+  }
+
   /** Demo pipeline on the documents table: texts become the opaque
     * payloads (standing in for image bytes).
     */

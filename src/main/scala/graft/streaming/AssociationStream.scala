@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.GraftConf
+import graft.functions.TopKBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming twin of [[graft.operators.AssociationScore.byDatasource]]:
+  * maintain, per (disease, target, datasource), the cumulative top-K
+  * harmonic association score as evidence arrives.
+  *
+  * State per key is the same bounded [[TopKBuffer]] the batch window
+  * aggregate uses — 50 doubles regardless of how much evidence a pair
+  * has seen, so state size is O(keys), never O(evidence). Each
+  * micro-batch emits the key's refreshed score (Update-mode semantics);
+  * the batch engine's calendar densification has no streaming analogue
+  * (there is no "year scaffold" in an unbounded stream — downstream
+  * consumers snapshot scores at whatever cadence they need).
+  */
+object AssociationStream {
+
+  final case class EvidenceEvent(
+      diseaseId: Long, targetId: Long, datasourceId: String, score: Double)
+
+  /** Carried state: the heap's backing values (≤ K doubles) plus the
+    * total evidence count seen for the key.
+    */
+  final case class ScoreState(scores: Array[Double], n: Long)
+
+  final case class ScoreUpdate(
+      diseaseId: Long, targetId: Long, datasourceId: String,
+      n_evidence: Long, score: Double)
+
+  def cumulativeScores(
+      evidence: Dataset[EvidenceEvent],
+      k: Int = GraftConf.TopK,
+      maxScore: Double = GraftConf.MaxScore): DataFrame = {
+    val spark = evidence.sparkSession
+    import spark.implicits._
+    evidence
+      .groupByKey(e => (e.diseaseId, e.targetId, e.datasourceId))
+      .mapGroupsWithState[ScoreState, ScoreUpdate](GroupStateTimeout.NoTimeout) {
+        case ((d, t, src), batch, state: GroupState[ScoreState]) =>
+          val buf = new TopKBuffer(k)
+          val prevN = state.getOption.map(_.n).getOrElse(0L)
+          state.getOption.foreach(_.scores.foreach(buf.add))
+          var seen = 0L
+          batch.foreach { e => buf.add(e.score); seen += 1 }
+          state.update(
+            ScoreState(java.util.Arrays.copyOf(buf.heap, buf.size), prevN + seen))
+          val score = buf.harmonic(maxScore) match {
+            case null => 0.0
+            case v => v.asInstanceOf[Double]
+          }
+          ScoreUpdate(d, t, src, prevN + seen, score)
+      }
+      .toDF()
+  }
+}

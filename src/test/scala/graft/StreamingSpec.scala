@@ -45,6 +45,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cumulative association score matches hand-computed harmonic") {
+    import graft.streaming.AssociationStream
+    import graft.streaming.AssociationStream.EvidenceEvent
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EvidenceEvent]
+    val q = AssociationStream.cumulativeScores(input.toDS())
+      .writeStream.format("memory").queryName("assoc_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(EvidenceEvent(1, 2, "A", 0.8))
+      q.processAllAvailable()
+      input.addData(EvidenceEvent(1, 2, "A", 0.4), EvidenceEvent(1, 2, "A", 0.2))
+      q.processAllAvailable()
+      val last = spark.table("assoc_out")
+        .select("n_evidence", "score").as[(Long, Double)].collect().maxBy(_._1)
+      val expected = (0.8 / 1 + 0.4 / 4 + 0.2 / 9) / GraftConf.MaxScore
+      assert(last._1 == 3L)
+      assert(math.abs(last._2 - expected) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("frame sampling emits strided fixed-size frames") {
+    import graft.operators.Multimodal
+    val df = Seq((7L, Array.tabulate(640)(_.toByte))).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(df, frameBytes = 64, stride = 4).collect()
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 4, 8))
+    assert(frames.forall(_.frame.length == 64))
+    assert(frames.find(_.frame_idx == 4).get.frame(0) == (4 * 64).toByte)
+  }
+
   test("mapGroupsWithState keeps running per-user totals") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
