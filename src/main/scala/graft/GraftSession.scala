@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned session factory: one place for the engine's Spark defaults so
+  * Bench, Verify, tests, and applications agree.
+  *
+  * - AQE stays on (Spark 4 default) — runtime shuffle coalescing and
+  *   skew-join splitting are part of the scale design (SURVEY.md §5).
+  * - `spark.sql.shuffle.partitions` is sized to the cores actually
+  *   available rather than the 200 default: on local[N] that is N; on a
+  *   cluster, pass total executor cores.
+  * - Session timezone pinned to UTC — year extraction must not depend
+  *   on the driver's locale.
+  * - graft's SQL functions are registered on the session.
+  */
+object GraftSession {
+
+  def local(cores: Int, appName: String = "graft"): SparkSession =
+    build(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false"))
+
+  /** Apply graft defaults to any builder (cluster deployments supply
+    * master/shuffle sizing themselves).
+    */
+  def build(builder: SparkSession.Builder): SparkSession = {
+    val spark = builder
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    // getOrCreate may return a pre-existing session whose extensions
+    // were fixed at first build — registering directly is idempotent
+    // and covers that path.
+    GraftExtensions.register(spark)
+    spark
+  }
+}

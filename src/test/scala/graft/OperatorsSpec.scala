@@ -42,6 +42,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(102L).isEmpty, "no prior right row → null")
   }
 
+  test("AsOfJoin forward direction and tolerance") {
+    val purchases = Seq((100L, 1L, 10L, 9.99), (101L, 1L, 5L, 1.0), (102L, 1L, 950L, 2.0))
+      .toDF("event_id", "user_id", "t", "value")
+    val clicks = Seq((1L, 4L, 900L), (1L, 7L, 901L), (1L, 10L, 902L))
+      .toDF("user_id", "t", "click_id")
+    val fwd = AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "t", "t",
+        Seq("click_id"), direction = "forward")
+      .select("event_id", "click_id").as[(Long, Option[Long])].collect().toMap
+    assert(fwd(100L).contains(902L), "inclusive at equal time")
+    assert(fwd(101L).contains(901L), "earliest right at-or-after 5 is 7")
+    assert(fwd(102L).isEmpty, "no later right row")
+
+    val tol = AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "t", "t",
+        Seq("click_id"), toleranceUs = Some(3L))
+      .select("event_id", "click_id").as[(Long, Option[Long])].collect().toMap
+    assert(tol(100L).contains(902L), "distance 0 within tolerance")
+    assert(tol(101L).contains(900L), "distance 1 within tolerance")
+    assert(tol(102L).isEmpty, "950-10 exceeds tolerance of 3")
+  }
+
   test("Sessionize splits on gaps > threshold") {
     def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
     val ev = Seq((1L, ts(0), 1L), (2L, ts(10), 1L), (3L, ts(50), 1L), (4L, ts(0), 2L))
