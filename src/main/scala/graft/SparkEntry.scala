@@ -305,6 +305,11 @@ object SparkEntry {
       SimilaritySearch.lshTopK(
         t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
     }),
+    "q39_ann_ivf" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      SimilaritySearch.ivfTopK(
+        t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
+    }),
     "q36_langid" -> ((s, dir) => {
       val t = Tables(s, dir)
       TextAnalysis.langId(t.documents)

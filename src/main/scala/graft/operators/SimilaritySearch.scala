@@ -66,6 +66,66 @@ object SimilaritySearch {
         when(proj >= 0, lit("1")).otherwise(lit("0"))
       }: _*)
 
+  /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells
+    * around `nCentroids` deterministic seed vectors, then search only
+    * the `nProbe` cells nearest to each query — the classic
+    * coarse-quantizer layout (FAISS IVF-Flat) expressed as Spark joins.
+    *
+    * Centroid seeds are corpus vectors picked by an even stride over
+    * vec_id order (deterministic, no training dependency); assignment
+    * is a broadcast nested-loop of `nCentroids` distance evaluations
+    * per vector, reduced with `min_by`. At 100 TB the scored join is an
+    * equi-join on cell id — work scales with corpus/nCentroids×nProbe,
+    * not the full corpus.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val c = prepared(corpus, idCol, embCol)
+    val q = prepared(queries, idCol, embCol)
+
+    // Deterministic pseudo-random seed pick: the nCentroids corpus
+    // vectors with smallest md5(id). orderBy+limit plans as a
+    // distributed TakeOrdered (per-partition top-k then merge) — no
+    // global sort, scalable to any corpus size. Cell ids come from a
+    // row_number over the tiny seed set only.
+    val centroids = c
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy("h")
+      .limit(nCentroids)
+      .withColumn("cell", row_number().over(Window.orderBy("h")) - 1)
+      .select(col("cell"), col("qv").as("cv"), col("nrm").as("cnrm"))
+
+    def assign(df: DataFrame, keep: Int): DataFrame =
+      df.join(broadcast(centroids))
+        .withColumn("sim",
+          quantizedDot(col("qv"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
+        .withColumn("cellRank",
+          row_number().over(Window.partitionBy("id").orderBy(col("sim").desc, col("cell"))))
+        .filter(col("cellRank") <= keep)
+        .drop("cv", "cnrm", "sim", "cellRank")
+
+    val corpusCells = assign(c, 1)
+    val queryCells = assign(q, nProbe)
+      .select(col("id").as("query_id"), col("qv").as("qqv"),
+        col("nrm").as("qnrm"), col("cell"))
+
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos",
+        quantizedDot(col("qv"), col("qqv")).cast("double") / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
   /** LSH-bucketed ANN: score only candidates in the query's bucket.
     * Approximate — recall depends on `planes`; at 100 TB this replaces
     * the brute-force scan with a bucket-equi-join.

@@ -32,6 +32,12 @@ object AssociationStream {
       diseaseId: Long, targetId: Long, datasourceId: String,
       n_evidence: Long, score: Double)
 
+  final case class PeakState(scores: Array[Double], n: Long, lastScore: Double)
+
+  final case class PeakEvent(
+      diseaseId: Long, targetId: Long, datasourceId: String,
+      score: Double, peak: Double)
+
   def cumulativeScores(
       evidence: Dataset[EvidenceEvent],
       k: Int = GraftConf.TopK,
@@ -56,5 +62,41 @@ object AssociationStream {
           ScoreUpdate(d, t, src, prevN + seen, score)
       }
       .toDF()
+  }
+
+  /** Streaming novelty-peak detector — the stream twin of
+    * [[graft.operators.Novelty.peaks]]: emit an event whenever a key's
+    * cumulative score rises above its previous value (the batch
+    * engine's year-over-year `lag` becomes batch-over-batch state).
+    * Emits nothing for batches that leave the score flat.
+    */
+  def noveltyPeaks(
+      evidence: Dataset[EvidenceEvent],
+      k: Int = GraftConf.TopK,
+      maxScore: Double = GraftConf.MaxScore): Dataset[PeakEvent] = {
+    val spark = evidence.sparkSession
+    import spark.implicits._
+    evidence
+      .groupByKey(e => (e.diseaseId, e.targetId, e.datasourceId))
+      .flatMapGroupsWithState[PeakState, PeakEvent](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case ((d, t, src), batch, state: GroupState[PeakState]) =>
+          val buf = new TopKBuffer(k)
+          val prev = state.getOption
+          prev.foreach(_.scores.foreach(buf.add))
+          val last = prev.map(_.lastScore).getOrElse(0.0)
+          var seen = 0L
+          batch.foreach { e => buf.add(e.score); seen += 1 }
+          val score = buf.harmonic(maxScore) match {
+            case null => 0.0
+            case v => v.asInstanceOf[Double]
+          }
+          state.update(PeakState(
+            java.util.Arrays.copyOf(buf.heap, buf.size),
+            prev.map(_.n).getOrElse(0L) + seen, score))
+          if (score > last) Iterator(PeakEvent(d, t, src, score, score - last))
+          else Iterator.empty
+      }
   }
 }

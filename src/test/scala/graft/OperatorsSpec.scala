@@ -104,6 +104,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) == 2)
   }
 
+  test("IVF ANN reaches high recall against brute force on real embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val ivf = SimilaritySearch.ivfTopK(emb, queries, k = 5, nCentroids = 16, nProbe = 8)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
+    assert(ivf.size == exact.size, "IVF must return full top-k per query")
+  }
+
   test("Multimodal feature extraction is deterministic and schema-stable") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "different"))
       .toDF("doc_id", "text")

@@ -66,6 +66,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming novelty peaks fire only on score increases") {
+    import graft.streaming.AssociationStream
+    import graft.streaming.AssociationStream.EvidenceEvent
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EvidenceEvent]
+    val q = AssociationStream.noveltyPeaks(input.toDS())
+      .writeStream.format("memory").queryName("peaks_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(EvidenceEvent(1, 2, "A", 0.5))
+      q.processAllAvailable()
+      // duplicate score: top-K gains a 0.5 at rank 2 → small peak
+      input.addData(EvidenceEvent(1, 2, "A", 0.5))
+      q.processAllAvailable()
+      val peaks = spark.table("peaks_out")
+        .select("score", "peak").as[(Double, Double)].collect().sortBy(_._1)
+      val s1 = 0.5 / GraftConf.MaxScore
+      val s2 = (0.5 + 0.5 / 4) / GraftConf.MaxScore
+      assert(peaks.length == 2)
+      assert(math.abs(peaks(0)._1 - s1) < 1e-12 && math.abs(peaks(0)._2 - s1) < 1e-12)
+      assert(math.abs(peaks(1)._1 - s2) < 1e-12 && math.abs(peaks(1)._2 - (s2 - s1)) < 1e-12)
+    } finally q.stop()
+  }
+
   test("frame sampling emits strided fixed-size frames") {
     import graft.operators.Multimodal
     val df = Seq((7L, Array.tabulate(640)(_.toByte))).toDF("doc_id", "payload")
