@@ -85,7 +85,11 @@ object AssociationScore {
       topK: Int,
       maxScore: Double): DataFrame = {
     val surrogate = lastYear + 1
-    val dated = evidence
+    // spread: a coarse upstream layout (single row group locally; a
+    // skewed producer at scale) would serialize the map-side
+    // collect_list partial aggregation below — no-op when the scan is
+    // already parallel.
+    val dated = spread(evidence)
       .withColumn("year", coalesce(col("year").cast("int"), lit(surrogate)))
 
     // (pair, source, active year) grain — map-side combined.

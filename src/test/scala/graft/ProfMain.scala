@@ -25,6 +25,34 @@ object ProfMain {
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
+    if (which == "q09stages") {
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+          stages.add(f"stage ${si.stageId}%4d ${dur}%6d ms tasks=${si.numTasks}%3d ${si.name.take(60)}")
+        }
+      })
+      SparkEntry.queries("q03_novelty")(spark, dir).count() // warm
+      for (i <- 1 to 3) {
+        stages.clear()
+        time(s"q09_$i")(SparkEntry.queries("q09_peaks")(spark, dir).count())
+        stages.forEach(s => println(s"PROF   $s"))
+      }
+    }
+    if (which == "q09gc") {
+      import scala.jdk.CollectionConverters._
+      def gcMs: Long = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+      SparkEntry.queries("q03_novelty")(spark, dir).count() // warm
+      for (i <- 1 to 5) {
+        val g0 = gcMs
+        time(s"q09_$i")(SparkEntry.queries("q09_peaks")(spark, dir).count())
+        println(s"PROF q09_${i}_gc: ${gcMs - g0} ms")
+      }
+    }
     if (which == "plans") {
       val q09 = SparkEntry.queries("q09_peaks")(spark, dir)
       q09.count()
