@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.{columnOf, expressionOf}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
@@ -45,7 +45,7 @@ private[graft] object NativeText {
   def harmonic(scores: Column, k: Int, maxScore: Double): Column =
     columnOf(HarmonicScore(expressionOf(scores), k, maxScore))
 
-  private[functions] def splitWords(text: UTF8String): Array[UTF8String] = {
+  private[graft] def splitWords(text: UTF8String): Array[UTF8String] = {
     // 0x20 is never part of a multi-byte UTF-8 sequence, so a byte scan
     // is a correct split; empties are kept like split(text, " ").
     val bytes = text.getBytes
@@ -73,10 +73,11 @@ private[graft] object NativeText {
   * descending, Σ top-K sᵢ/i² (1-based), divide by maxScore; empty →
   * NULL. Summation runs in descending-score order exactly like the
   * `aggregate(slice(reverse(array_sort(...))))` HOF chain it replaces,
-  * so results are bit-identical.
+  * so results are bit-identical. Codegen emits a static call, keeping
+  * the surrounding whole-stage pipeline compiled.
   */
 case class HarmonicScore(child: Expression, k: Int, maxScore: Double)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, s"topK must be >= 1, got $k")
 
@@ -84,8 +85,24 @@ case class HarmonicScore(child: Expression, k: Int, maxScore: Double)
   override def nullable: Boolean = true
   override def prettyName: String = "harmonic_score"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    HarmonicScore.evalStatic(input.asInstanceOf[ArrayData], k, maxScore)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("harmonic")
+      s"""
+         |java.lang.Double $r = graft.functions.HarmonicScore.evalStatic($c, $k, $maxScore);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HarmonicScore =
+    copy(child = newChild)
+}
+
+object HarmonicScore {
+  def evalStatic(arr: ArrayData, k: Int, maxScore: Double): java.lang.Double = {
     val n = arr.numElements()
     val clean = new Array[Double](n)
     var m = 0
@@ -107,11 +124,8 @@ case class HarmonicScore(child: Expression, k: Int, maxScore: Double)
       sum += clean(m - 1 - i) / (rank.toDouble * rank)
       i += 1
     }
-    sum / maxScore
+    java.lang.Double.valueOf(sum / maxScore)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): HarmonicScore =
-    copy(child = newChild)
 }
 
 /** `wordShinglesDistinct(text, n)`: split text on single spaces, build
@@ -119,15 +133,29 @@ case class HarmonicScore(child: Expression, k: Int, maxScore: Double)
   * occurrence. One pass, no per-element lambda interpretation.
   */
 case class WordShinglesDistinct(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles_distinct"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = NativeText.splitWords(input.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(input: Any): Any =
+    WordShinglesDistinct.evalStatic(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordShinglesDistinct.evalStatic($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesDistinct =
+    copy(child = newChild)
+}
+
+object WordShinglesDistinct {
+  private val Space = UTF8String.fromString(" ")
+
+  def evalStatic(text: UTF8String, n: Int): ArrayData = {
+    val words = NativeText.splitWords(text)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]((words.length - n + 1) * 2)
     var i = 0
@@ -135,7 +163,7 @@ case class WordShinglesDistinct(child: Expression, n: Int)
       var shingle = words(i)
       var j = 1
       while (j < n) {
-        shingle = UTF8String.concat(shingle, WordShinglesDistinct.Space, words(i + j))
+        shingle = UTF8String.concat(shingle, Space, words(i + j))
         j += 1
       }
       seen.add(shingle)
@@ -147,13 +175,6 @@ case class WordShinglesDistinct(child: Expression, n: Int)
     while (it.hasNext) { out(p) = it.next(); p += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WordShinglesDistinct =
-    copy(child = newChild)
-}
-
-object WordShinglesDistinct {
-  private val Space = UTF8String.fromString(" ")
 }
 
 /** `minhash_signature(shingles, k)`: element j (1-based) is the
@@ -162,7 +183,7 @@ object WordShinglesDistinct {
   * hex lexicographic order); only the k winners are hex-encoded.
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, s"signature length must be >= 1, got $k")
 
@@ -170,32 +191,16 @@ case class MinHashSignature(child: Expression, k: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val numShingles = arr.numElements()
-    if (numShingles == 0) return null
-    val md = MessageDigest.getInstance("MD5")
-    val prefixes = MinHashSignature.prefixes(k)
-    val mins = new Array[Array[Byte]](k)
-    var i = 0
-    while (i < numShingles) {
-      val shingleBytes = arr.getUTF8String(i).getBytes
-      var j = 0
-      while (j < k) {
-        md.reset()
-        md.update(prefixes(j))
-        md.update(shingleBytes)
-        val digest = md.digest()
-        if (mins(j) == null || MinHashSignature.unsignedLt(digest, mins(j))) mins(j) = digest
-        j += 1
-      }
-      i += 1
-    }
-    val out = new Array[Any](k)
-    i = 0
-    while (i < k) { out(i) = MinHashSignature.hex(mins(i)); i += 1 }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSignature.evalStatic(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.MinHashSignature.evalStatic($c, $k);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -203,6 +208,32 @@ case class MinHashSignature(child: Expression, k: Int)
 
 object MinHashSignature {
   private val HexChars = "0123456789abcdef".getBytes
+
+  def evalStatic(arr: ArrayData, k: Int): ArrayData = {
+    val numShingles = arr.numElements()
+    if (numShingles == 0) return null
+    val md = MessageDigest.getInstance("MD5")
+    val pref = prefixes(k)
+    val mins = new Array[Array[Byte]](k)
+    var i = 0
+    while (i < numShingles) {
+      val shingleBytes = arr.getUTF8String(i).getBytes
+      var j = 0
+      while (j < k) {
+        md.reset()
+        md.update(pref(j))
+        md.update(shingleBytes)
+        val digest = md.digest()
+        if (mins(j) == null || unsignedLt(digest, mins(j))) mins(j) = digest
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    i = 0
+    while (i < k) { out(i) = hex(mins(i)); i += 1 }
+    new GenericArrayData(out)
+  }
 
   private val prefixCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
 

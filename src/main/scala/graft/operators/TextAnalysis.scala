@@ -45,16 +45,24 @@ object TextAnalysis {
 
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    // materialize the token array once: twelve marker counters over an
+    // inlined split() would re-split every document twelve times
+    // (CollapseProject keeps a multiply-referenced non-cheap alias in
+    // its own projection, so this stays a single evaluation)
+    val withWords = df.withColumn("__w", words(t))
+    def occ(w: String) = size(filter(col("__w"), x => x === lit(w)))
     val n = tokenCount(t).cast("double")
-    val scored = LangMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+    val scored = LangMarkers.foldLeft(withWords) { case (d, (lang, markers)) =>
       d.withColumn(s"score_$lang",
-        round(markers.map(tokenOccurrences(t, _)).reduce(_ + _) / n, 4))
+        round(markers.map(occ).reduce(_ + _) / n, 4))
     }
     val best = LangMarkers
       .map { case (lang, _) => struct(col(s"score_$lang").as("s"), lit(lang).as("l")) }
       .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
-    scored.withColumn("lang_pred",
-      when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
+    scored
+      .withColumn("lang_pred",
+        when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
+      .drop("__w")
   }
 
   /** Composite quality score in [0,1]:

@@ -77,6 +77,29 @@ class FunctionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native expressions compile under forced codegen (no silent fallback)") {
+    val restoreFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val restoreMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val r = Seq(("a b c d", Seq(0.5, 0.8)), ("x", Seq.empty[Double]))
+        .toDF("text", "scores")
+        .select(
+          NativeText.wordShingles(col("text"), 3).as("sh"),
+          NativeText.minhashSig(NativeText.wordShingles(col("text"), 3), 4).as("sig"),
+          harmonicScore(col("scores")).as("h"))
+        .collect()
+      assert(r(0).getSeq[String](0) == Seq("a b c", "b c d"))
+      assert(r(0).getSeq[String](1).length == 4)
+      assert(math.abs(r(0).getDouble(2) - (0.8 / 1 + 0.5 / 4) / GraftConf.MaxScore) < 1e-12)
+      assert(r(1).getSeq[String](0).isEmpty && r(1).isNullAt(1) && r(1).isNullAt(2))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", restoreFallback)
+      restoreMode.foreach(spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("quantized dot/cosine are exact integer math") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(0.5f, 0.5f))).toDF("a", "b")
       .select(

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{HarmonicScore, TopKBuffer}
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks for the native kernels (no Spark session —
+  * these run on the raw data structures).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private val M = GraftConf.MaxScore
+
+  private def check(prop: Prop): Unit = {
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("TopKBuffer harmonic equals full-sort harmonic for any input") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(0.0, 1.0)), Gen.chooseNum(1, 60)) {
+      (xs: List[Double], k: Int) =>
+        val buf = new TopKBuffer(k)
+        xs.foreach(buf.add)
+        val viaBuffer = Option(buf.harmonic(M)).map(_.asInstanceOf[Double])
+        val viaSort = Option(
+          HarmonicScore.evalStatic(
+            new GenericArrayData(xs.toArray.map(Double.box)), k, M))
+          .map(_.doubleValue())
+        viaBuffer == viaSort
+    })
+  }
+
+  test("TopKBuffer ignores NaN and keeps exactly min(k, n) values") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(-1.0, 1.0)), Gen.chooseNum(1, 10)) {
+      (xs: List[Double], k: Int) =>
+        val buf = new TopKBuffer(k)
+        xs.foreach(buf.add)
+        buf.add(Double.NaN)
+        buf.size == math.min(k, xs.size)
+    })
+  }
+
+  test("splitWords matches String.split semantics including empties") {
+    val texts = Gen.listOf(Gen.oneOf("a", "bc", "", "d e")).map(_.mkString(" "))
+    check(Prop.forAll(texts) { (t: String) =>
+      val got = graft.functions.NativeText.splitWords(UTF8String.fromString(t))
+        .map(_.toString).toSeq
+      got == t.split(" ", -1).toSeq
+    })
+  }
+
+  test("serialized TopKHarmonic buffers merge losslessly") {
+    check(Prop.forAll(
+      Gen.listOf(Gen.chooseNum(0.0, 1.0)), Gen.listOf(Gen.chooseNum(0.0, 1.0))) {
+      (a: List[Double], b: List[Double]) =>
+        val agg = graft.functions.TopKHarmonic(
+          org.apache.spark.sql.catalyst.expressions.Literal(1.0))
+        val b1 = new TopKBuffer(GraftConf.TopK)
+        a.foreach(b1.add)
+        val b2 = new TopKBuffer(GraftConf.TopK)
+        b.foreach(b2.add)
+        val roundTripped = agg.deserialize(agg.serialize(b2))
+        val merged = agg.merge(b1, roundTripped)
+        val direct = new TopKBuffer(GraftConf.TopK)
+        (a ++ b).foreach(direct.add)
+        Option(merged.harmonic(M)) == Option(direct.harmonic(M))
+    })
+  }
+}
