@@ -6,9 +6,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: run two representative queries (association chain
-    // + dedup chain) so JIT/codegen compilation is not billed to
-    // whichever query happens to run first.
+    // Untimed warmup: two representative queries (association chain +
+    // dedup chain) cover the operator code paths, so JIT compilation is
+    // not billed to whichever query runs first. (A full warmup pass
+    // measured WORSE: 60+ executions age the JVM — accumulated shuffle
+    // files and broadcast cleanup debt outweigh the extra warmth.)
     for (w <- Seq("q03_novelty", "q31_dedup_minhash"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }

@@ -51,13 +51,31 @@ object SparkEntry {
       |  )
       |)""".stripMargin
 
-  /** Per-(pair, datasource, year) cumulative harmonic score, years
-    * 1995..2002 (2002 = undated surrogate), NULL score before first
-    * evidence. Mirrors graft.operators.AssociationScore.byDatasource.
+  /** Ontology-propagated ("indirect") evidence CTE: every evidence row
+    * copied to its disease's self+ancestors — mirrors
+    * graft.operators.OntologyPropagate over sources.Tables.ontology.
     */
-  private val BySourceSql =
-    s"""$EvSql,
-       |pairs AS (SELECT DISTINCT diseaseId, targetId, datasourceId FROM ev),
+  private val IndirectEvSql =
+    s"""${EvSql.replace("ev AS", "ev0 AS")},
+       |ont AS (
+       |  SELECT s.s_suppkey AS id,
+       |         [CAST(s.s_suppkey AS BIGINT),
+       |          CAST(s.s_nationkey + 100 AS BIGINT),
+       |          CAST(n.n_regionkey + 200 AS BIGINT)] AS nodes
+       |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |),
+       |ev AS (
+       |  SELECT unnest(o.nodes) AS diseaseId, e.targetId, e.datasourceId, e.score, e.year
+       |  FROM ev0 e JOIN ont o ON e.diseaseId = o.id
+       |)""".stripMargin
+
+  /** Per-(pair, datasource, year) cumulative harmonic score over
+    * whatever `ev` CTE precedes it, years 1995..2002 (2002 = undated
+    * surrogate), NULL score before first evidence. Mirrors
+    * graft.operators.AssociationScore.byDatasource.
+    */
+  private val BySourceTail =
+    s"""pairs AS (SELECT DISTINCT diseaseId, targetId, datasourceId FROM ev),
        |years AS (SELECT CAST(unnest(range(1995, 2003)) AS INT) AS year),
        |ranked AS (
        |  SELECT p.diseaseId, p.targetId, p.datasourceId, y.year, e.score,
@@ -75,22 +93,52 @@ object SparkEntry {
        |  GROUP BY 1, 2, 3, 4
        |)""".stripMargin
 
-  /** Weighted overall harmonic score per (pair, year). */
-  private val OverallSql =
-    s"""$BySourceSql,
-       |weights(datasourceId, weight) AS (VALUES ('A', 1.0), ('N', 0.5), ('R', 0.2)),
-       |overall AS (
-       |  SELECT diseaseId, targetId, year,
-       |         sum(CASE WHEN rn <= 50 THEN wscore/(rn*rn) END) / 1.6449340668482264 AS score
-       |  FROM (
-       |    SELECT b.diseaseId, b.targetId, b.year, b.score * w.weight AS wscore,
-       |           row_number() OVER (
-       |             PARTITION BY b.diseaseId, b.targetId, b.year
-       |             ORDER BY b.score * w.weight DESC NULLS LAST) AS rn
-       |    FROM bysource b LEFT JOIN weights w USING (datasourceId)
-       |  )
-       |  GROUP BY 1, 2, 3
-       |)""".stripMargin
+  private val BySourceSql = s"$EvSql,\n$BySourceTail"
+
+  /** Weighted overall harmonic score per (pair, year), over the
+    * preceding `bysource` CTE.
+    */
+  private val OverallTail =
+    """weights(datasourceId, weight) AS (VALUES ('A', 1.0), ('N', 0.5), ('R', 0.2)),
+      |overall AS (
+      |  SELECT diseaseId, targetId, year,
+      |         sum(CASE WHEN rn <= 50 THEN wscore/(rn*rn) END) / 1.6449340668482264 AS score
+      |  FROM (
+      |    SELECT b.diseaseId, b.targetId, b.year, b.score * w.weight AS wscore,
+      |           row_number() OVER (
+      |             PARTITION BY b.diseaseId, b.targetId, b.year
+      |             ORDER BY b.score * w.weight DESC NULLS LAST) AS rn
+      |    FROM bysource b LEFT JOIN weights w USING (datasourceId)
+      |  )
+      |  GROUP BY 1, 2, 3
+      |)""".stripMargin
+
+  private val OverallSql = s"$BySourceSql,\n$OverallTail"
+
+  /** Novelty attachment over the preceding `overall` CTE + final
+    * projection — mirrors graft.operators.Novelty.attach.
+    */
+  private val NoveltyTailSql =
+    """peaks AS (
+      |  SELECT diseaseId, targetId, year AS peakYear,
+      |         coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
+      |           PARTITION BY diseaseId, targetId ORDER BY year) AS peak
+      |  FROM overall
+      |),
+      |decayed AS (
+      |  SELECT diseaseId, targetId, peakYear + d.delta AS year,
+      |         round(max(peak / (1 + exp(2.0 * (d.delta - 2.0)))), 3) AS novelty
+      |  FROM peaks CROSS JOIN (SELECT unnest(range(0, 11)) AS delta) d
+      |  WHERE peak > 0
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT o.diseaseId, o.targetId,
+      |       CASE WHEN o.year = 2002 THEN NULL ELSE o.year END AS year,
+      |       round(o.score, 4) AS score,
+      |       coalesce(n.novelty, 0.0) AS novelty
+      |FROM overall o
+      |LEFT JOIN decayed n
+      |  ON n.diseaseId = o.diseaseId AND n.targetId = o.targetId AND n.year = o.year""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_assoc_datasource" -> ((s, dir) => {
@@ -114,6 +162,15 @@ object SparkEntry {
       Novelty.attach(
         AssociationScore.byDatasource(t.evidence),
         Seq("diseaseId", "targetId", "datasourceId"))
+    }),
+    "q10_full_pipeline" -> ((s, dir) => {
+      // the reference's end-to-end run: indirect evidence → per-source
+      // cumulative scores → weighted overall → novelty
+      val t = Tables(s, dir)
+      val indirect = OntologyPropagate.indirect(t.evidence, t.ontology)
+      val overall = AssociationScore.overall(
+        AssociationScore.byDatasource(indirect), t.weights)
+      Novelty.attach(overall, Seq("diseaseId", "targetId"))
     }),
     "q05_indirect" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -337,26 +394,12 @@ object SparkEntry {
          |FROM overall""".stripMargin,
     "q03_novelty" ->
       s"""WITH $OverallSql,
-         |peaks AS (
-         |  SELECT diseaseId, targetId, year AS peakYear,
-         |         coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
-         |           PARTITION BY diseaseId, targetId ORDER BY year) AS peak
-         |  FROM overall
-         |),
-         |decayed AS (
-         |  SELECT diseaseId, targetId, peakYear + d.delta AS year,
-         |         round(max(peak / (1 + exp(2.0 * (d.delta - 2.0)))), 3) AS novelty
-         |  FROM peaks CROSS JOIN (SELECT unnest(range(0, 11)) AS delta) d
-         |  WHERE peak > 0
-         |  GROUP BY 1, 2, 3
-         |)
-         |SELECT o.diseaseId, o.targetId,
-         |       CASE WHEN o.year = 2002 THEN NULL ELSE o.year END AS year,
-         |       round(o.score, 4) AS score,
-         |       coalesce(n.novelty, 0.0) AS novelty
-         |FROM overall o
-         |LEFT JOIN decayed n
-         |  ON n.diseaseId = o.diseaseId AND n.targetId = o.targetId AND n.year = o.year""".stripMargin,
+         |$NoveltyTailSql""".stripMargin,
+    "q10_full_pipeline" ->
+      s"""WITH $IndirectEvSql,
+         |$BySourceTail,
+         |$OverallTail,
+         |$NoveltyTailSql""".stripMargin,
     "q04_novelty_datasource" ->
       s"""WITH $BySourceSql,
          |peaks AS (

@@ -57,6 +57,12 @@ package object functions {
     transform(vec, x => round(x.cast("double") * q).cast("long"))
 
   def quantizedDot(a: Column, b: Column): Column =
+    NativeText.longDot(a, b)
+
+  /** HOF formulation of [[quantizedDot]] — the executable spec the
+    * native expression is tested against.
+    */
+  def quantizedDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Cosine similarity over quantized vectors (deterministic double). */

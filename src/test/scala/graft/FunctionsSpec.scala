@@ -100,6 +100,16 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native longDot equals the zip_with/aggregate formulation on real embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(quantize(col("embedding")).as("q"))
+    val joined = emb.as("a").crossJoin(emb.as("b").limit(20))
+      .select(
+        quantizedDot(col("a.q"), col("b.q")).as("nat"),
+        quantizedDotHof(col("a.q"), col("b.q")).as("hof"))
+    assert(joined.filter(!(col("nat") <=> col("hof"))).count() == 0)
+  }
+
   test("quantized dot/cosine are exact integer math") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(0.5f, 0.5f))).toDF("a", "b")
       .select(
