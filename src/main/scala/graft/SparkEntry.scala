@@ -140,7 +140,11 @@ object SparkEntry {
       |LEFT JOIN decayed n
       |  ON n.diseaseId = o.diseaseId AND n.targetId = o.targetId AND n.year = o.year""".stripMargin
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Insertion-ordered so Bench measures queries in a deterministic,
+    * comparable order across runs and rounds.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
     "q01_assoc_datasource" -> ((s, dir) => {
       val t = Tables(s, dir)
       AssociationScore.byDatasource(t.evidence)
