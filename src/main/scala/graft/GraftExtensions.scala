@@ -35,6 +35,9 @@ object GraftExtensions {
   private def doubleArg(e: Expression, what: String): Double = e match {
     case Literal(v: Double, _) => v
     case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    // SQL decimal literals (e.g. 1.6449340668482264) parse as Decimal
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
     case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
   }
 

@@ -59,9 +59,9 @@ object SparkEntry {
     s"""${EvSql.replace("ev AS", "ev0 AS")},
        |ont AS (
        |  SELECT s.s_suppkey AS id,
-       |         [CAST(s.s_suppkey AS BIGINT),
+       |         list_distinct([CAST(s.s_suppkey AS BIGINT),
        |          CAST(s.s_nationkey + 100 AS BIGINT),
-       |          CAST(n.n_regionkey + 200 AS BIGINT)] AS nodes
+       |          CAST(n.n_regionkey + 200 AS BIGINT)]) AS nodes
        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
        |),
        |ev AS (
@@ -431,9 +431,9 @@ object SparkEntry {
       s"""WITH $EvSql,
          |ont AS (
          |  SELECT s.s_suppkey AS id,
-         |         [CAST(s.s_suppkey AS BIGINT),
+         |         list_distinct([CAST(s.s_suppkey AS BIGINT),
          |          CAST(s.s_nationkey + 100 AS BIGINT),
-         |          CAST(n.n_regionkey + 200 AS BIGINT)] AS nodes
+         |          CAST(n.n_regionkey + 200 AS BIGINT)]) AS nodes
          |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
          |),
          |prop AS (
@@ -744,10 +744,11 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |       CAST(len(list_distinct(w)) AS INT) AS n_distinct,
         |       round(CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS avg_token_len,
-        |       round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100, 1.0)
-        |           + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / n_tokens)
-        |           + 0.3 * (1.0 - CAST(len(list_filter(w, x -> x = 'the'))
-        |                             + len(list_filter(w, x -> x = 'a')) AS DOUBLE) / n_tokens), 4) AS quality
+        |       CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+        |                  + 300 * len(list_distinct(w))
+        |                  + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+        |                                    - len(list_filter(w, x -> x = 'a'))) AS BIGINT)
+        |              * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS DOUBLE) / 10000.0 AS quality
         |FROM base""".stripMargin,
   )
 }

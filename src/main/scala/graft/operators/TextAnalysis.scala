@@ -67,17 +67,29 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]:
     * 0.4·min(n_tokens/100, 1) + 0.3·distinct-ratio + 0.3·(1 − stopword-ratio).
+    *
+    * The score is the rational (4·min(n,100)·n + 300·distinct +
+    * 300·(n − stop)) / (1000·n), rounded half-up to 4 dp in INTEGER
+    * arithmetic — floor((num·20000 + den) / (2·den)) / 10000 — because
+    * engines disagree on boundary doubles: Spark's round() goes through
+    * the shortest decimal string (0.59825 → 0.5983) while DuckDB rounds
+    * the binary value (0.598249999… → 0.5982). Integer rounding makes
+    * every engine produce the same 4-dp value by construction. (The
+    * double division below is exact enough: quotients have denominator
+    * ≤ 2·10⁵·n, so non-integers are ≥ 1e-5 away from integers while
+    * division error is ~1e-12 — floor can never land on the wrong side.)
     */
   def quality(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val n = tokenCount(t).cast("double")
-    val stop = tokenOccurrences(t, "the") + tokenOccurrences(t, "a")
-    df.withColumn("quality",
-      round(
-        lit(0.4) * least(n / 100, lit(1.0)) +
-          lit(0.3) * (size(array_distinct(words(t))).cast("double") / n) +
-          lit(0.3) * (lit(1.0) - stop.cast("double") / n),
-        4))
+    val n = tokenCount(t).cast("long")
+    val stop = (tokenOccurrences(t, "the") + tokenOccurrences(t, "a")).cast("long")
+    val distinct = size(array_distinct(words(t))).cast("long")
+    val numerator = lit(4L) * least(n, lit(100L)) * n + lit(300L) * distinct +
+      lit(300L) * (n - stop)
+    val denom = lit(1000L) * n
+    val scaled = floor((numerator * 20000L + denom).cast("double") /
+      (denom * 2L).cast("double"))
+    df.withColumn("quality", scaled / 10000.0)
   }
 
   /** Content fingerprint (md5 hex). */

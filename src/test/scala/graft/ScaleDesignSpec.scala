@@ -115,10 +115,13 @@ class ScaleDesignSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT harmonic_score(array(0.8D, 0.4D, 0.2D)) AS h,
         |       word_shingles('a b c d', 3) AS sh,
-        |       minhash_signature(word_shingles('a b c d', 3), 4) AS sig
+        |       minhash_signature(word_shingles('a b c d', 3), 4) AS sig,
+        |       harmonic_score(array(0.5D), 50, 1.6449340668482264) AS h3
         |""".stripMargin).head()
     val expected = (0.8 / 1 + 0.4 / 4 + 0.2 / 9) / GraftConf.MaxScore
     assert(math.abs(r.getDouble(0) - expected) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 0.5 / GraftConf.MaxScore) < 1e-12,
+      "decimal-literal max_score must parse")
     assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
     assert(r.getSeq[String](2).length == 4)
   }
