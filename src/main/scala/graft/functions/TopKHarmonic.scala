@@ -64,6 +64,10 @@ final class TopKBuffer(val k: Int) extends Serializable {
 
 /** Windowed cumulative harmonic score with O(K) state.
   *
+  * Scoring semantics follow the reference's harmonic association sum
+  * (/root/reference/timeseries.py:480–510): top-K=50 scores, Σ sᵢ/i²,
+  * normalized by max_score.
+  *
   * Used over a growing frame (`rowsBetween(unboundedPreceding,
   * currentRow)` ordered by year): Spark's unbounded-preceding frame
   * feeds each row into the buffer exactly once, so the cumulative

@@ -75,7 +75,8 @@ private[graft] object NativeText {
 
 /** `harmonic_score(scores, k, maxScore)`: drop nulls/NaNs, sort
   * descending, Σ top-K sᵢ/i² (1-based), divide by maxScore; empty →
-  * NULL. Summation runs in descending-score order exactly like the
+  * NULL. Scoring semantics follow the reference's harmonic association
+  * sum (/root/reference/timeseries.py:480–510). Summation runs in descending-score order exactly like the
   * `aggregate(slice(reverse(array_sort(...))))` HOF chain it replaces,
   * so results are bit-identical. Codegen emits a static call, keeping
   * the surrounding whole-stage pipeline compiled.

@@ -60,6 +60,28 @@ class ScaleDesignSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("driver contract: every oracle key has a query; entry returns rows") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
+      s"oracle without query: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q38_multimodal", "q39_ann_ivf"),
+      s"unexpected rows-only queries (add an oracle or update this list): $rowsOnly")
+  }
+
+  test("q10 full pipeline reuses the shared score chain at runtime") {
+    // the novelty join's two branches both derive from `overall`; the
+    // static plan shows the chain (and its scan) twice, but AQE's stage
+    // cache must materialize the shared shuffle only once
+    val df = SparkEntry.queries("q10_full_pipeline")(spark, sfDir)
+    df.collect() // finalize THIS QueryExecution's adaptive plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"))
+    assert(finalPlan.contains("ReusedExchange") ||
+      "FileScan parquet \\[l_".r.findAllIn(finalPlan).size == 1,
+      s"shared association chain must not execute twice:\n${finalPlan.take(3000)}")
+    assert(finalPlan.contains("BroadcastHashJoin"), "ontology/weights dims must broadcast")
+  }
+
   test("saltedAgg equals direct aggregation") {
     val t = tables
     val direct = t.evidence.groupBy("datasourceId")

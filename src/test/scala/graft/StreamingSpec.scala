@@ -99,6 +99,29 @@ class StreamingSpec extends SparkSpec {
     assert(frames.find(_.frame_idx == 4).get.frame(0) == (4 * 64).toByte)
   }
 
+  test("file-source readStream drives the same tumbling aggregation") {
+    import graft.sources.Tables
+    val dir = "/tmp/graft-stream-src"
+    val out = new java.io.File(dir)
+    if (out.exists()) {
+      java.nio.file.Files.walk(out.toPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val ev = Tables(spark, sfDir).events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.write.parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val q = EventStream.tumblingCounts(stream, duration = "1 hour")
+      .writeStream.format("memory").queryName("file_tumbling_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_tumbling_out")
+        .groupBy().sum("n").as[Long].head()
+      assert(streamed == ev.count(), "every event lands in exactly one window")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
