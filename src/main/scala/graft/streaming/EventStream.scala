@@ -40,6 +40,20 @@ object EventStream {
       .select(col("session_window.start").as("start_ts"),
         col("session_window.end").as("end_ts"), col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup: one surviving row per key (arbitrary within
+    * a micro-batch, stable across batches), with state bounded by the
+    * event-time watermark — the streaming analogue of
+    * graft.operators.Dedup.exactRank's keeper selection.
+    */
+  def dedupeExact(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

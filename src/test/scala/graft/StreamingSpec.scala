@@ -99,6 +99,28 @@ class StreamingSpec extends SparkSpec {
     assert(frames.find(_.frame_idx == 4).get.frame(0) == (4 * 64).toByte)
   }
 
+  test("streaming exact dedup keeps first row per key within watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.dedupeExact(input.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        EventStream.Event(1, ts(0), 1, "click", 1.0),
+        EventStream.Event(2, ts(1), 1, "click", 2.0), // dup key, dropped
+        EventStream.Event(3, ts(2), 2, "click", 3.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(4, ts(3), 1, "click", 4.0)) // dup across batches
+      q.processAllAvailable()
+      // within a batch the surviving duplicate is arbitrary (1 or 2);
+      // across batches the key's state must reject event 4
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().toSet
+      assert(ids.size == 2 && ids.contains(3L) && !ids.contains(4L),
+        s"one survivor per key, late duplicates dropped: $ids")
+    } finally q.stop()
+  }
+
   test("file-source readStream drives the same tumbling aggregation") {
     import graft.sources.Tables
     val dir = "/tmp/graft-stream-src"
