@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship: cumulative per-datasource association scores on sf0.001. */
+  /** Flagship: the reference's complete pipeline — indirect evidence →
+    * cumulative per-source scores → weighted overall → novelty — on
+    * sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_assoc_datasource")(spark, "/root/testdata/sf0.001")
+    queries("q10_full_pipeline")(spark, "/root/testdata/sf0.001")
 
   // Shared SQL fragments for the oracles (DuckDB dialect).
   private val EvSql =
