@@ -92,14 +92,14 @@ object SimilaritySearch {
     // Deterministic pseudo-random seed pick: the nCentroids corpus
     // vectors with smallest md5(id). orderBy+limit plans as a
     // distributed TakeOrdered (per-partition top-k then merge) — no
-    // global sort, scalable to any corpus size. Cell ids come from a
-    // row_number over the tiny seed set only.
+    // global sort, scalable to any corpus size. The md5 itself is the
+    // cell id (distinct per seed; contiguity is not needed), so no
+    // global window is ever planned.
     val centroids = c
       .withColumn("h", md5(col("id").cast("string")))
       .orderBy("h")
       .limit(nCentroids)
-      .withColumn("cell", row_number().over(Window.orderBy("h")) - 1)
-      .select(col("cell"), col("qv").as("cv"), col("nrm").as("cnrm"))
+      .select(col("h").as("cell"), col("qv").as("cv"), col("nrm").as("cnrm"))
 
     def assign(df: DataFrame, keep: Int): DataFrame =
       df.join(broadcast(centroids))
