@@ -17,19 +17,39 @@ object Bench {
     // min-of-N runs per query: single-shot timings swing 3-4x under
     // GC/JIT noise (measured q05 2.1s vs 35.4s across identical runs);
     // the min is the reproducible cost of the plan itself.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // REPS is clamped to [1, 10] and non-numeric values fall back to
+    // the default rather than crashing the whole bench.
+    val reps = math.min(10, math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2)))
+    // A failing query must NOT bench as green: record the error message
+    // and report it in the JSON instead of a phantom wall time.
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val runs: Seq[Either[String, Double]] = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+          }
+        }
+        val oks = runs.collect { case Right(s) => s }
+        name -> (if (oks.nonEmpty) Right(oks.min)
+                 else Left(runs.collectFirst { case Left(m) => m }.getOrElse("unknown")))
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(m)) => s"\"" + k + "\":{\"err\":\"" + m + "\"}"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(_)) => k }
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val errField =
+      if (errs.isEmpty) ""
+      else errs.mkString(",\"errors\":[\"", "\",\"", "\"]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}""")
     spark.stop()
   }
 }

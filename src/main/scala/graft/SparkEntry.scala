@@ -189,12 +189,17 @@ object SparkEntry {
     }),
     "q06_evidence_dating" -> ((s, dir) => {
       val t = Tables(s, dir)
+      // The year dim arrives as an ISO date STRING and is parsed with
+      // the reference's split-on-'-' idiom (timestamp_evidence.py:
+      // 218–246) — functions.yearFromDateString — not with year() on a
+      // typed column.
+      val orderDim = t.orders
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderDate"))
+        .select(col("o_orderkey"),
+          graft.functions.yearFromDateString(col("orderDate")).as("orderYear"))
       val candidates = t.lineitem
-        .join(
-          t.orders.select(
-            col("o_orderkey"),
-            year(col("o_orderdate")).cast("int").as("orderYear")),
-          col("l_orderkey") === col("o_orderkey"), "left")
+        .join(orderDim, col("l_orderkey") === col("o_orderkey"), "left")
         .withColumn("studyYear",
           when(col("l_returnflag") === "R", year(col("l_shipdate")).cast("int")))
         .withColumn("curationYear",

@@ -39,6 +39,17 @@ package object functions {
     when(size(clean) === 0, lit(null).cast("double")).otherwise(hs)
   }
 
+  /** Year extraction from an ISO 'YYYY-MM-DD…' date STRING — the
+    * reference's single most common dating idiom
+    * (/root/reference/timestamp_evidence.py:218–246:
+    * `split(col, '-').getItem(0).cast(int)`, used by
+    * gwas_credible_sets and chembl dating). Malformed / empty / null
+    * strings yield NULL via try_cast (ANSI-safe); codegen'd built-ins
+    * only.
+    */
+  def yearFromDateString(date: Column): Column =
+    element_at(split(date, "-"), 1).try_cast("int")
+
   /** Logistic decay used for novelty: peak / (1 + e^{scale·(Δ − shift)}).
     * Reference: /root/reference/timeseries.py:608–617.
     */

@@ -41,6 +41,30 @@ class AssociationScoreSpec extends SparkSpec {
       "pre-range evidence must carry into the calendar (reference drops it; we keep it)")
   }
 
+  test("ReferenceBaseline scaffold formulation is result-identical to graft byDatasource") {
+    // testdata years all fall inside the calendar range, the one regime
+    // where the reference's scaffold left-join and graft's
+    // accumulate-everything semantics agree (see spec above for the
+    // deliberate pre-range divergence).
+    import org.apache.spark.sql.functions._
+    val t = sources.Tables(spark, sfDir)
+    def keyed(df: org.apache.spark.sql.DataFrame, scoreAs: String) = df.select(
+      col("diseaseId"), col("targetId"), col("datasourceId"),
+      coalesce(col("year"), lit(9999)).as("y"), col("score").as(scoreAs))
+    val ref = keyed(ReferenceBaseline.byDatasourceScaffold(t.evidence), "rs")
+    val g = keyed(operators.AssociationScore.byDatasource(t.evidence), "gs")
+    val joined = ref.join(g, Seq("diseaseId", "targetId", "datasourceId", "y"), "full_outer")
+      .select("rs", "gs").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (rs, gs) = (Option(r.get(0)).map(_.asInstanceOf[Double]),
+        Option(r.get(1)).map(_.asInstanceOf[Double]))
+      assert(rs.isDefined == gs.isDefined, s"row present/null mismatch: $rs vs $gs")
+      for (a <- rs; b <- gs)
+        assert(math.abs(a - b) < 1e-9, s"score mismatch: $a vs $b")
+    }
+  }
+
   test("overall: weighted harmonic across sources, no re-accumulation") {
     val dense = Seq(
       (1L, 1L, "A", Some(1995), Some(0.6)),

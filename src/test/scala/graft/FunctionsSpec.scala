@@ -110,6 +110,21 @@ class FunctionsSpec extends SparkSpec {
     assert(joined.filter(!(col("nat") <=> col("hof"))).count() == 0)
   }
 
+  test("yearFromDateString parses ISO date strings, NULLs the malformed") {
+    val df = Seq(
+      Some("1995-03-07"), Some("2021-12-31 08:00:00"), Some("1980"),
+      Some("not-a-date"), Some(""), None)
+      .toDF("d")
+      .select(yearFromDateString(col("d")).as("y"))
+    val got = df.collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
+    assert(got(0).contains(1995))
+    assert(got(1).contains(2021))
+    assert(got(2).contains(1980), "bare year string")
+    assert(got(3).isEmpty, "non-numeric first segment")
+    assert(got(4).isEmpty, "empty string")
+    assert(got(5).isEmpty, "null in, null out")
+  }
+
   test("quantized dot/cosine are exact integer math") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(0.5f, 0.5f))).toDF("a", "b")
       .select(
