@@ -22,4 +22,17 @@ object GraftConf {
   /** Datasource weights for the overall score (timeseries.py:38–…). */
   val Weights: Seq[(String, Double)] =
     Seq("A" -> 1.0, "N" -> 0.5, "R" -> 0.2)
+
+  /** Document-frequency cap for the n-gram Jaccard inverted index: a
+    * shingle shared by more documents than this carries no similarity
+    * signal (it is a stop-shingle) but would emit O(df²) candidate
+    * pairs — the one quadratic blowup the operator can otherwise hit.
+    */
+  val NgramMaxDf = 128
+  /** Candidate-bucket size cap for MinHash-LSH banding: band tuning
+    * bounds bucket sizes probabilistically; this bounds them by
+    * construction (a degenerate bucket of near-identical docs is
+    * dropped and reported, never pair-expanded).
+    */
+  val LshBucketCap = 256
 }

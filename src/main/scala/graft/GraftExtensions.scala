@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HarmonicScore, MinHashSignature, TopKHarmonic, WordShinglesDistinct}
+import graft.functions.{HarmonicScore, MinHashSignature, TopKCollect, TopKHarmonic, WordShinglesDistinct}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -67,6 +67,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(c, k) => MinHashSignature(c, intArg(k, "k"))
         case _ => throw new IllegalArgumentException("minhash_signature takes 2 arguments")
+      }),
+    ("topk_collect",
+      info("topk_collect",
+        "topk_collect(score[, k]) - bounded top-K replacement for collect_list (descending array)"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.DoubleType
+        args match {
+          case Seq(c) => TopKCollect(Cast(c, DoubleType))
+          case Seq(c, k) => TopKCollect(Cast(c, DoubleType), intArg(k, "k"))
+          case _ => throw new IllegalArgumentException("topk_collect takes 1-2 arguments")
+        }
       }),
     ("topk_harmonic",
       info("topk_harmonic",

@@ -624,10 +624,13 @@ object SparkEntry {
          |  SELECT id, (j - 1) // 4 AS band, md5(string_agg(m, '|' ORDER BY j)) AS bucket
          |  FROM sig GROUP BY id, (j - 1) // 4
          |),
+         |bsz AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2),
          |cand AS (
          |  SELECT DISTINCT a.id AS idA, b.id AS idB
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+         |  JOIN bsz ON bsz.band = a.band AND bsz.bucket = a.bucket
+         |   AND bsz.n <= ${graft.GraftConf.LshBucketCap}
          |),
          |verified AS (
          |  SELECT c.idA, c.idB,
@@ -663,13 +666,25 @@ object SparkEntry {
          |blocked AS (
          |  SELECT d.source AS block, s.id, list_distinct(s.sh) AS sh
          |  FROM shingled s JOIN documents d ON d.doc_id = s.id
+         |),
+         |inv AS (SELECT block, id, len(sh) AS sz, unnest(sh) AS s FROM blocked),
+         |dfc AS (SELECT block, s, count(*) AS df FROM inv GROUP BY 1, 2),
+         |kept AS (
+         |  SELECT i.block, i.id, i.sz, i.s
+         |  FROM inv i JOIN dfc ON dfc.block = i.block AND dfc.s = i.s
+         |  WHERE dfc.df BETWEEN 2 AND ${graft.GraftConf.NgramMaxDf}
+         |),
+         |pairs AS (
+         |  SELECT a.block, a.id AS idA, b.id AS idB, a.sz AS szA, b.sz AS szB,
+         |         count(*) AS common
+         |  FROM kept a JOIN kept b
+         |    ON a.block = b.block AND a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2, 3, 4, 5
          |)
-         |SELECT a.block AS block, a.id AS idA, b.id AS idB,
-         |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |             / len(list_distinct(list_concat(a.sh, b.sh))), 3) AS jaccard
-         |FROM blocked a JOIN blocked b ON a.block = b.block AND a.id < b.id
-         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |            / len(list_distinct(list_concat(a.sh, b.sh))), 3) >= 0.5""".stripMargin,
+         |SELECT block, idA, idB,
+         |       round(CAST(common AS DOUBLE) / (szA + szB - common), 3) AS jaccard
+         |FROM pairs
+         |WHERE round(CAST(common AS DOUBLE) / (szA + szB - common), 3) >= 0.5""".stripMargin,
     "q34_ann_topk" ->
       s"""WITH $EmbSql,
          |qs AS (SELECT vec_id AS query_id, q AS qq, n AS qn FROM nrm WHERE vec_id % 50 = 0),

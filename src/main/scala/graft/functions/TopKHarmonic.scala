@@ -153,3 +153,83 @@ object TopKHarmonic {
       maxScore: Double = GraftConf.MaxScore): Column =
     columnOf(TopKHarmonic(expressionOf(scoresArray), k, maxScore).toAggregateExpression())
 }
+
+/** Bounded top-K score collection: the partial-aggregating (map-side
+  * combining) replacement for `collect_list` when only the K largest
+  * values can matter downstream ([[TopKHarmonic]] consumes the
+  * result, and top-K of a union equals top-K of the union of per-group
+  * top-Ks — exact, not approximate). Aggregation state is the same
+  * O(K) [[TopKBuffer]]; `collect_list` state is O(rows-per-group),
+  * unbounded in evidence-per-year at 100 TB. Output is sorted
+  * descending (deterministic). Nulls and NaNs are skipped, like
+  * [[HarmonicScore]].
+  */
+case class TopKCollect(
+    child: Expression,
+    k: Int = GraftConf.TopK,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuffer] with UnaryLike[Expression] {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_collect"
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: TopKBuffer, input: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < input.size) { buffer.add(input.heap(i)); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: TopKBuffer): Any = {
+    val sorted = java.util.Arrays.copyOf(buffer.heap, buffer.size)
+    java.util.Arrays.sort(sorted)
+    val out = new Array[Double](buffer.size)
+    var i = 0
+    while (i < buffer.size) { out(i) = sorted(buffer.size - 1 - i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buffer: TopKBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + buffer.size * 8)
+    bb.putInt(buffer.k).putInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) { bb.putDouble(buffer.heap(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new TopKBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) { buf.heap(i) = bb.getDouble(); i += 1 }
+    buf.size = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKCollect =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKCollect =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKCollect =
+    copy(child = newChild)
+}
+
+object TopKCollect {
+  /** Column form: `groupBy(...).agg(topKCollect(col("score")))` — the
+    * bounded-state stand-in for `collect_list(score)` feeding a top-K
+    * consumer.
+    */
+  def topKCollect(score: Column, k: Int = GraftConf.TopK): Column =
+    columnOf(TopKCollect(expressionOf(score.cast("double")), k).toAggregateExpression())
+}

@@ -92,10 +92,14 @@ object AssociationScore {
     val dated = spread(evidence)
       .withColumn("year", coalesce(col("year").cast("int"), lit(surrogate)))
 
-    // (pair, source, active year) grain — map-side combined.
+    // (pair, source, active year) grain — map-side combined with
+    // BOUNDED O(K) aggregation state: only the year's top-K scores can
+    // contribute to any cumulative top-K downstream (top-K of a union
+    // = top-K of the union of per-year top-Ks), so collect_list's
+    // O(evidence-per-year) buffers are never materialized.
     val perYear = dated
       .groupBy((keyCols(keys) :+ col("year")): _*)
-      .agg(collect_list("score").as("yrScores"))
+      .agg(graft.functions.TopKCollect.topKCollect(col("score"), topK).as("yrScores"))
 
     // Cumulative harmonic score per active year via the O(K)-state
     // top-K window aggregate: the growing frame feeds each year's

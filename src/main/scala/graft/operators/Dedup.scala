@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Unique suffix for observe() metric names (CollectMetrics names
+    * must be unique within one query plan).
+    */
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
   /** Exact duplicate ranking by content hash: every row gets its
     * fingerprint, the number of copies, and a deterministic rank among
     * its copies (rank 1 = the keeper).
@@ -59,7 +64,8 @@ object Dedup {
       k: Int = 12,
       bands: Int = 3,
       shingleSize: Int = 3,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      bucketCap: Int = graft.GraftConf.LshBucketCap): DataFrame = {
     val rows = k / bands
     val withSig = spread(df)
       .select(col(idCol).as("id"),
@@ -80,12 +86,24 @@ object Dedup {
 
     // Candidate pairs from shared buckets via groupBy + in-row pair
     // expansion — the signature chain is computed ONCE (a banded
-    // self-join would re-evaluate it per join side). Bucket sizes are
-    // bounded by band tuning, so the per-bucket cross product is small.
+    // self-join would re-evaluate it per join side). Band tuning bounds
+    // bucket sizes probabilistically; `bucketCap` bounds them by
+    // construction: a degenerate bucket (> cap docs with identical band
+    // hashes) is dropped BEFORE its rows ever enter a collect_list
+    // buffer or a pair expansion — the window count below shares the
+    // (band, bucket) partitioning with the groupBy, so the guard adds
+    // no exchange, and window operators spill where an aggregation
+    // buffer would not. Drops are never silent: observe() metrics
+    // report dropped posting rows and the largest bucket seen.
+    val bucketWin = Window.partitionBy("band", "bucket")
     val candidates = banded
+      .withColumn("bn", count(lit(1)).over(bucketWin))
+      .observe(s"graft_lsh_bucket_cap_${obsId.incrementAndGet()}",
+        sum(when(col("bn") > bucketCap, 1L).otherwise(0L)).as("dropped_postings"),
+        coalesce(max(col("bn")), lit(0L)).as("max_bucket_size"))
+      .filter(col("bn") > 1 && col("bn") <= bucketCap)
       .groupBy("band", "bucket")
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("idA"), col("ids"))
       .select(col("idA"), explode(col("ids")).as("idB"))
       .filter(col("idA") < col("idB"))
@@ -103,15 +121,25 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
-  /** Exact n-gram Jaccard similarity above a threshold, within a
-    * blocking key, via an inverted shingle index: explode distinct
-    * shingles, equi-join on (block, shingle), count common shingles per
-    * pair, then |A∩B| / (|A| + |B| − |A∩B|).
+  /** n-gram Jaccard similarity above a threshold, within a blocking
+    * key, via an inverted shingle index: explode distinct shingles,
+    * equi-join on (block, shingle), count common shingles per pair,
+    * then |A∩B| / (|A| + |B| − |A∩B|).
     *
-    * Identical output to the naive all-pairs form (a pair with zero
-    * common shingles has Jaccard 0 < threshold), but the join is an
-    * equi-join on shingle values — work scales with the number of
-    * *sharing* pairs, never O(n²) per block.
+    * Work scales with the number of *sharing* pairs, never O(n²) per
+    * block — except through hot shingles: a shingle present in d
+    * documents of a block emits d² pair rows before any filter, the
+    * one quadratic scale-killer of the inverted-index form. `maxDf`
+    * caps it: shingles shared by more than `maxDf` documents are
+    * stop-shingles (no similarity signal) and are excluded from the
+    * common-shingle COUNT on both the engine and oracle side (set
+    * sizes |A|, |B| stay exact), making the approximation identical
+    * and deterministic in both engines. Dropped posting rows are
+    * reported via observe() metrics, never silently.
+    *
+    * With no hot shingles (df ≤ maxDf everywhere) the output is
+    * identical to the naive all-pairs form (a pair with zero common
+    * shingles has Jaccard 0 < threshold).
     */
   def ngramJaccard(
       df: DataFrame,
@@ -119,7 +147,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleSize: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxDf: Int = graft.GraftConf.NgramMaxDf): DataFrame = {
     val docs = spread(df)
       .select(
         col(blockCol).as("block"), col(idCol).as("id"),
@@ -133,10 +162,20 @@ object Dedup {
     // Group the posting list per (block, shingle) and expand pairs
     // in-row: the shingle index is computed once and shuffled once (a
     // self-join would re-evaluate the whole shingle chain per side).
+    // The document-frequency guard runs as a window count on the SAME
+    // (block, shingle) keys — no extra exchange — and drops hot
+    // shingles BEFORE their posting rows enter the collect_list buffer
+    // (window operators spill; an aggregation buffer holding a
+    // billion-posting stop-shingle would not).
+    val dfWin = Window.partitionBy("block", "s")
     inv
+      .withColumn("df", count(lit(1)).over(dfWin))
+      .observe(s"graft_ngram_df_cap_${obsId.incrementAndGet()}",
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("dropped_postings"),
+        coalesce(max(col("df")), lit(0L)).as("max_shingle_df"))
+      .filter(col("df") > 1 && col("df") <= maxDf)
       .groupBy("block", "s")
       .agg(collect_list(struct(col("id"), col("sz"))).as("ds"))
-      .filter(size(col("ds")) > 1)
       .select(col("block"), explode(col("ds")).as("a"), col("ds"))
       .select(col("block"), col("a"), explode(col("ds")).as("b"))
       .filter(col("a.id") < col("b.id"))

@@ -110,6 +110,34 @@ class FunctionsSpec extends SparkSpec {
     assert(joined.filter(!(col("nat") <=> col("hof"))).count() == 0)
   }
 
+  test("TopKCollect keeps the K largest descending, under partial aggregation") {
+    val df = Seq((1, 0.1), (1, 0.9), (1, 0.5), (1, 0.7), (2, 0.3))
+      .toDF("g", "s")
+    val out = df.groupBy("g").agg(TopKCollect.topKCollect(col("s"), 2).as("top"))
+    val m = out.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(m(1) == Seq(0.9, 0.7), "only the 2 largest, descending")
+    assert(m(2) == Seq(0.3))
+    // Bounded state must not cost partial (map-side) aggregation: the
+    // physical plan carries a partial and a final aggregate node.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_collect"),
+      s"map-side combine missing from plan:\n$plan")
+  }
+
+  test("TopKCollect + TopKHarmonic equals collect_list + TopKHarmonic") {
+    val ev = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_suppkey % 7 AS g", "l_discount * 10 AS s")
+    def scored(agg: org.apache.spark.sql.Column) = ev.groupBy("g")
+      .agg(agg.as("arr"))
+      .select(col("g"), harmonicScore(col("arr")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bounded = scored(TopKCollect.topKCollect(col("s")))
+    val full = scored(collect_list(col("s")))
+    assert(bounded.keySet == full.keySet)
+    bounded.foreach { case (g, h) =>
+      assert(math.abs(h - full(g)) < 1e-12, s"group $g: $h vs ${full(g)}") }
+  }
+
   test("yearFromDateString parses ISO date strings, NULLs the malformed") {
     val df = Seq(
       Some("1995-03-07"), Some("2021-12-31 08:00:00"), Some("1980"),

@@ -91,6 +91,60 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("Dedup.ngramJaccard df-cap kills planted stop-shingle pair blowup, reports drops") {
+    // 12 docs share one hot shingle ("the quick brown") but are
+    // otherwise disjoint; docs 100/101 are near-identical. With
+    // maxDf=5 the hot posting list (df=12 > 5) is dropped BEFORE pair
+    // expansion: the 66 hot-only pairs never exist, the near-dup pair
+    // survives on its own (df=2) shingles. minJaccard=0 makes every
+    // surviving common>0 pair visible, so the output IS the expanded
+    // pair set.
+    val hot = (1 to 12).map(i =>
+      (i.toLong, s"the quick brown a$i b$i c$i d$i"))
+    val near = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon eta"))
+    val docs = (hot ++ near).toDF("doc_id", "text").withColumn("block", lit("b"))
+    val out = Dedup.ngramJaccard(docs, blockCol = "block", minJaccard = 0.0, maxDf = 5)
+    // collect() the observed frame itself: observe() accumulators live on
+    // THIS QueryExecution, not on a derived plan's copy.
+    val pairs = out.collect().map(r =>
+      (r.getAs[Long]("idA"), r.getAs[Long]("idB"))).toSet
+    assert(pairs == Set((100L, 101L)),
+      s"only the near-dup pair may survive the df cap, got $pairs")
+    val metrics = out.queryExecution.observedMetrics
+      .collectFirst { case (k, v) if k.startsWith("graft_ngram_df_cap") => v }
+    assert(metrics.isDefined, "df-cap observe metrics missing from the plan")
+    assert(metrics.get.getAs[Long]("dropped_postings") == 12L,
+      "all 12 hot postings must be reported dropped")
+    assert(metrics.get.getAs[Long]("max_shingle_df") == 12L)
+
+    // Uncapped, the same data emits all 66 hot pairs + the near-dup —
+    // the quadratic the cap exists to prevent.
+    val uncapped = Dedup.ngramJaccard(docs, blockCol = "block", minJaccard = 0.0, maxDf = 1000)
+      .count()
+    assert(uncapped == 67L, s"uncapped pair expansion should be 66+1, got $uncapped")
+  }
+
+  test("Dedup.minhashLshPairs bucket cap drops degenerate buckets, reports drops") {
+    // 10 identical docs land in one bucket per band (30 postings); cap 5
+    // drops them all, while the near-dup pair (bucket size 2) survives.
+    val degenerate = (1 to 10).map(i => (i.toLong, (1 to 20).map(j => s"w$j").mkString(" ")))
+    val base = (1 to 40).map(i => s"u$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "zz" else s"u$i").mkString(" ")
+    val docs = (degenerate ++ Seq((100L, base), (101L, nearDup))).toDF("doc_id", "text")
+    val out = Dedup.minhashLshPairs(docs, minJaccard = 0.5, bucketCap = 5)
+    val pairs = out.collect().map(r =>
+      (r.getAs[Long]("idA"), r.getAs[Long]("idB"))).toSet
+    assert(pairs == Set((100L, 101L)), s"degenerate bucket must be dropped, got $pairs")
+    val metrics = out.queryExecution.observedMetrics
+      .collectFirst { case (k, v) if k.startsWith("graft_lsh_bucket_cap") => v }
+    assert(metrics.isDefined, "bucket-cap observe metrics missing from the plan")
+    assert(metrics.get.getAs[Long]("dropped_postings") == 30L,
+      "10 docs x 3 bands of degenerate postings must be reported dropped")
+    assert(metrics.get.getAs[Long]("max_bucket_size") == 10L)
+  }
+
   test("SimilaritySearch brute-force top-k ranks by cosine with id tie-break") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)),

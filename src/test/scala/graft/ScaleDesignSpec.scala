@@ -151,6 +151,7 @@ class ScaleDesignSpec extends SparkSpec {
   test("extensions class wires the same function set") {
     assert(new GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
     assert(GraftExtensions.functions.map(_._1).toSet ==
-      Set("harmonic_score", "word_shingles", "minhash_signature", "topk_harmonic"))
+      Set("harmonic_score", "word_shingles", "minhash_signature", "topk_harmonic",
+        "topk_collect"))
   }
 }
