@@ -773,5 +773,66 @@ object SparkEntry {
         |                                    - len(list_filter(w, x -> x = 'a'))) AS BIGINT)
         |              * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS DOUBLE) / 10000.0 AS quality
         |FROM base""".stripMargin,
+    // The stub decoder is deterministic byte arithmetic over the UTF-8
+    // payload (Multimodal.decodeStub); document text is ASCII, so DuckDB
+    // can replay it with ascii(substring(...)) per 8-stride position.
+    // feat0 is (acc % 1000)/1000f — 3 decimals, so the float detour
+    // rounds exactly at 4dp on both sides.
+    "q38_multimodal" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, CAST(length(text) AS INT) AS n FROM documents
+        |),
+        |pos AS (SELECT doc_id, unnest(range(0, n, 8)) AS j FROM b),
+        |acc AS (
+        |  SELECT p.doc_id, CAST(sum(ascii(substring(b.text, p.j + 1, 1))) AS BIGINT) AS s
+        |  FROM pos p JOIN b ON b.doc_id = p.doc_id
+        |  GROUP BY 1
+        |)
+        |SELECT b.doc_id, b.n AS n_bytes,
+        |       CAST(16 + (b.n % 64) AS INT) AS width,
+        |       CAST(16 + ((b.n // 64) % 64) AS INT) AS height,
+        |       round(CAST(coalesce(acc.s, 0) % 1000 AS DOUBLE) / 1000, 4) AS feat0
+        |FROM b LEFT JOIN acc ON acc.doc_id = b.doc_id""".stripMargin,
+    // IVF replay: same md5-ordered seed pick, Voronoi assignment with
+    // (sim DESC, cell) tie-break, nProbe=4 probe cells, exact integer
+    // dots — bit-identical doubles end to end.
+    "q39_ann_ivf" ->
+      s"""WITH $EmbSql,
+         |cent AS (
+         |  SELECT md5(CAST(vec_id AS VARCHAR)) AS cell, q AS cv, n AS cn
+         |  FROM nrm ORDER BY cell LIMIT 16
+         |),
+         |casgn AS (
+         |  SELECT vec_id, q, n, cell FROM (
+         |    SELECT e.vec_id, e.q, e.n, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * c.cv[i])) AS DOUBLE)
+         |               / (e.n * c.cn) DESC, c.cell) AS r
+         |    FROM nrm e CROSS JOIN cent c
+         |  ) WHERE r = 1
+         |),
+         |qasgn AS (
+         |  SELECT vec_id AS query_id, q AS qq, n AS qn, cell FROM (
+         |    SELECT e.vec_id, e.q, e.n, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * c.cv[i])) AS DOUBLE)
+         |               / (e.n * c.cn) DESC, c.cell) AS r
+         |    FROM nrm e CROSS JOIN cent c
+         |    WHERE e.vec_id % 50 = 0
+         |  ) WHERE r <= 4
+         |),
+         |scored AS (
+         |  SELECT c.vec_id AS id, q.query_id,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+         |           / (c.n * q.qn) AS cos
+         |  FROM casgn c JOIN qasgn q USING (cell) WHERE c.vec_id != q.query_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS INT) AS rank,
+         |         cos
+         |  FROM scored
+         |)
+         |SELECT query_id, id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin,
   )
 }
