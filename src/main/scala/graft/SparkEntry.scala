@@ -269,6 +269,27 @@ object SparkEntry {
       val t = Tables(s, dir)
       Rollups.crosstab(t.evidence, Seq("year"), "datasourceId", Seq("A", "N", "R"))
     }),
+    "q15_approval_composite" -> ((s, dir) => {
+      // the reference's "novelty predicts approvals" chain
+      // (novelty_approval.py:340–430)
+      val t = Tables(s, dir)
+      val nv = Novelty.attach(
+        AssociationScore.byDatasource(t.evidence),
+        Seq("diseaseId", "targetId", "datasourceId"))
+      Approvals.approvalComposite(t.drugs, t.drugLinks, nv, t.datatypes,
+        yearLo = 1995, yearHi = 1998)
+    }),
+    "q16_ta_ranked" -> ((s, dir) => {
+      // prioritized therapeutic-area mapping
+      // (novelty_distribution.py:60–110)
+      val t = Tables(s, dir)
+      val expl = t.ontology.select(
+        col("id").as("diseaseId"), explode(col("ancestors")).as("ta"))
+      Rollups.rankedDimPick(expl, "diseaseId", "ta", t.taPriority, "ranking")
+        .join(broadcast(t.taNames), Seq("ta"), "left")
+        .select(col("diseaseId"), col("ta").as("therapeuticArea"),
+          col("taName").as("therapeuticAreaName"))
+    }),
     "q20_tpch_q1" -> ((s, dir) => {
       val t = Tables(s, dir)
       val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -531,6 +552,80 @@ object SparkEntry {
          |       CAST(count(CASE WHEN datasourceId = 'N' THEN 1 END) AS BIGINT) AS n_N,
          |       CAST(count(CASE WHEN datasourceId = 'R' THEN 1 END) AS BIGINT) AS n_R
          |FROM ev GROUP BY 1""".stripMargin,
+    "q15_approval_composite" ->
+      s"""WITH $BySourceSql,
+         |peaks AS (
+         |  SELECT diseaseId, targetId, datasourceId, year AS peakYear,
+         |         coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
+         |           PARTITION BY diseaseId, targetId, datasourceId ORDER BY year) AS peak
+         |  FROM bysource
+         |),
+         |decayed AS (
+         |  SELECT diseaseId, targetId, datasourceId, peakYear + d.delta AS year,
+         |         round(max(peak / (1 + exp(2.0 * (d.delta - 2.0)))), 3) AS novelty
+         |  FROM peaks CROSS JOIN (SELECT unnest(range(0, 11)) AS delta) d
+         |  WHERE peak > 0
+         |  GROUP BY 1, 2, 3, 4
+         |),
+         |nv AS (
+         |  SELECT b.diseaseId, b.targetId, b.datasourceId,
+         |         CASE WHEN b.year = 2002 THEN NULL ELSE b.year END AS year,
+         |         coalesce(n.novelty, 0.0) AS novelty
+         |  FROM bysource b
+         |  LEFT JOIN decayed n
+         |    ON n.diseaseId = b.diseaseId AND n.targetId = b.targetId
+         |   AND n.datasourceId = b.datasourceId AND n.year = b.year
+         |),
+         |drugs AS (
+         |  SELECT o_orderkey AS drugId, CAST(year(o_orderdate) AS INT) AS approvalYear
+         |  FROM orders
+         |),
+         |links AS (
+         |  SELECT DISTINCT l_orderkey AS drugId, l_partkey AS targetId, l_suppkey AS diseaseId
+         |  FROM lineitem WHERE l_linenumber = 4
+         |),
+         |ndt AS (
+         |  SELECT DISTINCT targetId, diseaseId, approvalYear FROM (
+         |    SELECT l.targetId, l.diseaseId, d.approvalYear,
+         |           min(d.approvalYear) OVER (PARTITION BY l.targetId) AS minYear
+         |    FROM drugs d JOIN links l USING (drugId)
+         |  ) WHERE approvalYear = minYear
+         |),
+         |res AS (
+         |  SELECT targetId, datasourceId, novelty, approvalYear,
+         |         max(novelty) OVER (PARTITION BY targetId, datasourceId) AS maxN
+         |  FROM ndt JOIN nv USING (diseaseId, targetId)
+         |  WHERE novelty > 0 AND year IS NOT NULL
+         |),
+         |dtypes(datasourceId, datatypeId) AS
+         |  (VALUES ('A', 'genetic'), ('N', 'literature'), ('R', 'clinical'))
+         |SELECT dt.datatypeId, CAST(count(DISTINCT r.targetId) AS BIGINT) AS targets
+         |FROM res r JOIN dtypes dt USING (datasourceId)
+         |WHERE r.novelty = r.maxN AND r.approvalYear BETWEEN 1995 AND 1998
+         |GROUP BY 1""".stripMargin,
+    "q16_ta_ranked" ->
+      """WITH expl AS (
+        |  SELECT CAST(s.s_suppkey AS BIGINT) AS diseaseId,
+        |         unnest([CAST(s.s_nationkey + 100 AS BIGINT),
+        |                 CAST(n.n_regionkey + 200 AS BIGINT)]) AS ta
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |),
+        |pri(ta, ranking) AS
+        |  (VALUES (CAST(202 AS BIGINT), 0), (CAST(200 AS BIGINT), 1), (CAST(104 AS BIGINT), 2)),
+        |ranked AS (
+        |  SELECT diseaseId, ta,
+        |         row_number() OVER (
+        |           PARTITION BY diseaseId ORDER BY coalesce(p.ranking, 1000), ta) AS r
+        |  FROM expl LEFT JOIN pri p USING (ta)
+        |),
+        |names AS (
+        |  SELECT CAST(n_nationkey + 100 AS BIGINT) AS ta, n_name AS taName FROM nation
+        |  UNION ALL
+        |  SELECT CAST(r_regionkey + 200 AS BIGINT), r_name FROM region
+        |)
+        |SELECT rk.diseaseId, rk.ta AS therapeuticArea, nm.taName AS therapeuticAreaName
+        |FROM ranked rk LEFT JOIN names nm USING (ta)
+        |WHERE rk.r = 1""".stripMargin,
     "q20_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

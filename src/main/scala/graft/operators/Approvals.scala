@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's headline "novelty predicts approvals" composite
+  * (/root/reference/novelty_approval.py:340–430): first-approved drug
+  * targets joined to their per-datasource novelty peaks, rolled up to
+  * distinct-target counts per datatype.
+  *
+  * Scale shape: the drug/link dimensions are small relative to the
+  * association table, so the composite key set is broadcast into the
+  * novelty stream — the big side is never shuffled by this operator
+  * (its own chain already partitioned it by pair keys); the window
+  * maxima run over (targetId[, datasourceId]) partitions of the
+  * already-filtered subset.
+  */
+object Approvals {
+
+  /** (targetId, diseaseId, approvalYear) for drugs that were the FIRST
+    * approval for their target: min-over-window + self-filter
+    * (novelty_approval.py:373–379 `minApprovalYear ==
+    * firstApprovalYear`).
+    */
+  def firstApprovalTargets(drugs: DataFrame, links: DataFrame): DataFrame =
+    drugs.join(links, Seq("drugId"))
+      .filter(col("targetId").isNotNull && col("approvalYear").isNotNull)
+      .transform(Rollups.attachWindowAgg(_, Seq("targetId"), min("approvalYear"), "minApprovalYear"))
+      .filter(col("minApprovalYear") === col("approvalYear"))
+      .select("targetId", "diseaseId", "approvalYear")
+      .distinct()
+
+  /** Distinct first-approval targets per datatype whose novelty peaked:
+    * join novelty-by-datasource to the first-approval targets, keep
+    * each (target, datasource)'s max-novelty rows
+    * (novelty_approval.py:393–407), map datasource→datatype over the
+    * literal dim, and count distinct targets in the approval-year
+    * window (novelty_approval.py:411–422).
+    *
+    * `noveltyBySource` is the (diseaseId, targetId, datasourceId,
+    * year, novelty) frame from [[Novelty.attach]].
+    */
+  def approvalComposite(
+      drugs: DataFrame,
+      links: DataFrame,
+      noveltyBySource: DataFrame,
+      datatypes: DataFrame,
+      yearLo: Int,
+      yearHi: Int): DataFrame = {
+    val first = firstApprovalTargets(drugs, links)
+    noveltyBySource
+      .join(broadcast(first), Seq("diseaseId", "targetId"))
+      .filter(col("novelty") > 0.0 && col("year").isNotNull)
+      .transform(Rollups.attachWindowAgg(
+        _, Seq("targetId", "datasourceId"), max("novelty"), "maxNovelty"))
+      .filter(col("novelty") === col("maxNovelty"))
+      .join(broadcast(datatypes), Seq("datasourceId"), "left")
+      .filter(col("approvalYear").between(yearLo, yearHi))
+      .groupBy("datatypeId")
+      .agg(countDistinct(col("targetId")).as("targets"))
+  }
+}

@@ -22,6 +22,25 @@ object Rollups {
         row_number().over(Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)))
       .filter(col("rank") <= n)
 
+  /** Ranked-dimension pick: left-join a broadcast priority dim on
+    * `itemCol`, fill unranked items with `fill` (they must survive, not
+    * win — novelty_distribution.py:81–98's `fillna(1000)`), and keep
+    * each key's best-ranked item. The reference orders by ranking
+    * alone, which is nondeterministic among unranked items; `itemCol`
+    * is the tie-break here so results are stable across engines.
+    */
+  def rankedDimPick(
+      df: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      dim: DataFrame,
+      rankCol: String,
+      fill: Int = 1000): DataFrame =
+    df.join(broadcast(dim), Seq(itemCol), "left")
+      .na.fill(Map(rankCol -> fill))
+      .transform(topRank(_, Seq(keyCol), Seq(col(rankCol), col(itemCol))))
+      .drop("rank", rankCol)
+
   /** Windowed min/max attachments without collapsing rows. */
   def attachWindowAgg(df: DataFrame, partCols: Seq[String], agg: Column, out: String): DataFrame =
     df.withColumn(out, agg.over(Window.partitionBy(partCols.map(col): _*)))

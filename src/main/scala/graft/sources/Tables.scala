@@ -60,6 +60,51 @@ final case class Tables(spark: SparkSession, dir: String) {
     import spark.implicits._
     GraftConfWeights.df(spark)
   }
+
+  /** Drug dimension — (drugId, approvalYear), the reference's ChEMBL
+    * drugs CSV (novelty_approval.py:358–364) realized on orders.
+    */
+  def drugs: DataFrame = orders.select(
+    col("o_orderkey").as("drugId"),
+    year(col("o_orderdate")).cast("int").as("approvalYear"))
+
+  /** Drug→(target, disease) clinical links — the reference's
+    * clinicalPhase==4 ChEMBL evidence (novelty_approval.py:365–371);
+    * phase realized as the line number.
+    */
+  def drugLinks: DataFrame = lineitem
+    .filter(col("l_linenumber") === 4)
+    .select(
+      col("l_orderkey").as("drugId"),
+      col("l_partkey").as("targetId"),
+      col("l_suppkey").as("diseaseId"))
+    .distinct()
+
+  /** Datasource→datatype literal dimension
+    * (novelty_approval.py:324–341 get_datatype_for_datasource).
+    */
+  def datatypes: DataFrame = {
+    import spark.implicits._
+    Seq(("A", "genetic"), ("N", "literature"), ("R", "clinical"))
+      .toDF("datasourceId", "datatypeId")
+  }
+
+  /** Therapeutic-area priority literal dim — ancestor ids ranked by
+    * enumeration order, unranked TAs fall back to 1000 downstream
+    * (novelty_distribution.py:71–92).
+    */
+  def taPriority: DataFrame = {
+    import spark.implicits._
+    Seq((202L, 0), (200L, 1), (104L, 2)).toDF("ta", "ranking")
+  }
+
+  /** Therapeutic-area display names: nation/region names keyed by the
+    * ontology's ancestor ids (novelty_distribution.py:98–106).
+    */
+  def taNames: DataFrame = nation
+    .select((col("n_nationkey") + 100).cast("long").as("ta"), col("n_name").as("taName"))
+    .unionByName(region
+      .select((col("r_regionkey") + 200).cast("long").as("ta"), col("r_name").as("taName")))
 }
 
 private[sources] object GraftConfWeights {

@@ -145,6 +145,46 @@ class OperatorsSpec extends SparkSpec {
     assert(metrics.get.getAs[Long]("max_bucket_size") == 10L)
   }
 
+  test("Approvals.firstApprovalTargets keeps only the first-approved drug per target") {
+    val drugs = Seq((1L, 1996), (2L, 1995), (3L, 1997), (4L, 2000))
+      .toDF("drugId", "approvalYear")
+    // target 10: drugs 1 (1996) and 2 (1995) → only drug 2's links
+    // survive the min-over-window self-filter; target 20: single drug.
+    val links = Seq((1L, 10L, 100L), (2L, 10L, 101L), (3L, 20L, 102L))
+      .toDF("drugId", "targetId", "diseaseId")
+    val out = Approvals.firstApprovalTargets(drugs, links)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((10L, 101L, 1995), (20L, 102L, 1997)))
+  }
+
+  test("Approvals.approvalComposite counts max-novelty targets per datatype") {
+    val drugs = Seq((1L, 1996)).toDF("drugId", "approvalYear")
+    val links = Seq((1L, 10L, 100L)).toDF("drugId", "targetId", "diseaseId")
+    // max novelty for (10, A) is 0.9 in 1997; the 0.4 row must lose,
+    // the NULL-year and zero-novelty rows must be filtered out.
+    val nv = Seq(
+      (100L, 10L, "A", Some(1996), 0.4),
+      (100L, 10L, "A", Some(1997), 0.9),
+      (100L, 10L, "A", None, 1.0),
+      (100L, 10L, "N", Some(1995), 0.0))
+      .toDF("diseaseId", "targetId", "datasourceId", "year", "novelty")
+    val dt = Seq(("A", "genetic"), ("N", "literature")).toDF("datasourceId", "datatypeId")
+    val out = Approvals.approvalComposite(drugs, links, nv, dt, 1995, 1998)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("genetic" -> 1L))
+  }
+
+  test("Rollups.rankedDimPick fills unranked items and picks the best rank") {
+    val df = Seq((1L, 5L), (1L, 7L), (2L, 8L), (2L, 9L))
+      .toDF("key", "item")
+    val dim = Seq((7L, 0)).toDF("item", "ranking")
+    // key 1: item 7 is ranked (0) and beats unranked 5 (fill 1000);
+    // key 2: both unranked → smallest item wins the tie-break.
+    val out = Rollups.rankedDimPick(df, "key", "item", dim, "ranking")
+      .select("key", "item").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 7L), (2L, 8L)))
+  }
+
   test("SimilaritySearch brute-force top-k ranks by cosine with id tie-break") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)),
