@@ -90,6 +90,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("evicting cumulative score drops a quiet key's state and rebuilds it") {
+    import graft.streaming.AssociationStream
+    import graft.streaming.AssociationStream.TimedEvidenceEvent
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[TimedEvidenceEvent]
+    val q = AssociationStream.cumulativeScoresEvicting(
+        input.toDS(), watermark = "10 minutes", evictAfterMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("assoc_evict")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(TimedEvidenceEvent(1, 2, "A", 0.8, ts(60)))
+      q.processAllAvailable()
+      // a different key pushes the watermark far past (1,2,A)'s
+      // horizon; the next batch fires its event-time timeout
+      input.addData(TimedEvidenceEvent(9, 9, "Z", 0.1, ts(600)))
+      q.processAllAvailable()
+      input.addData(TimedEvidenceEvent(9, 9, "Z", 0.1, ts(601)))
+      q.processAllAvailable()
+      // the quiet key returns: a retained state would make n_evidence 2
+      // and fold 0.8 into the harmonic — a rebuilt key sees n=1, 0.4
+      input.addData(TimedEvidenceEvent(1, 2, "A", 0.4, ts(602)))
+      q.processAllAvailable()
+      val rows = spark.table("assoc_evict")
+        .filter("diseaseId = 1").select("n_evidence", "score")
+        .as[(Long, Double)].collect().sortBy(-_._2)
+      assert(rows.map(_._1).toSeq == Seq(1L, 1L),
+        s"state must drop and rebuild, got $rows")
+      assert(math.abs(rows(0)._2 - 0.8 / GraftConf.MaxScore) < 1e-12)
+      assert(math.abs(rows(1)._2 - 0.4 / GraftConf.MaxScore) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("evicting novelty peaks restart a quiet key's peak history from zero") {
+    import graft.streaming.AssociationStream
+    import graft.streaming.AssociationStream.TimedEvidenceEvent
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[TimedEvidenceEvent]
+    val q = AssociationStream.noveltyPeaksEvicting(
+        input.toDS(), watermark = "10 minutes", evictAfterMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("peaks_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(TimedEvidenceEvent(1, 2, "A", 0.8, ts(60)))
+      q.processAllAvailable()
+      input.addData(TimedEvidenceEvent(9, 9, "Z", 0.1, ts(600)))
+      q.processAllAvailable()
+      input.addData(TimedEvidenceEvent(9, 9, "Z", 0.1, ts(601)))
+      q.processAllAvailable()
+      // retained state would score {0.8, 0.4} → peak 0.1/M; a rebuilt
+      // key fires a fresh peak of exactly 0.4/M from zero
+      input.addData(TimedEvidenceEvent(1, 2, "A", 0.4, ts(602)))
+      q.processAllAvailable()
+      val peaks = spark.table("peaks_evict")
+        .filter("diseaseId = 1").select("score", "peak")
+        .as[(Double, Double)].collect().sortBy(-_._1)
+      assert(peaks.length == 2, s"expected 2 peaks, got ${peaks.toSeq}")
+      assert(math.abs(peaks(0)._1 - 0.8 / GraftConf.MaxScore) < 1e-12)
+      assert(math.abs(peaks(1)._1 - 0.4 / GraftConf.MaxScore) < 1e-12)
+      assert(math.abs(peaks(1)._2 - 0.4 / GraftConf.MaxScore) < 1e-12,
+        "rebuilt key's peak must start from zero")
+    } finally q.stop()
+  }
+
   test("frame sampling emits strided fixed-size frames") {
     import graft.operators.Multimodal
     val df = Seq((7L, Array.tabulate(640)(_.toByte))).toDF("doc_id", "payload")
