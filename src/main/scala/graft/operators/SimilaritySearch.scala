@@ -78,12 +78,38 @@ object SimilaritySearch {
     * equi-join on cell id — work scales with corpus/nCentroids×nProbe,
     * not the full corpus.
     */
+  /** One Lloyd (k-means) refinement step as pure DataFrame ops:
+    * assign every training vector to its nearest centroid, then
+    * re-center each cell on the elementwise mean, re-quantized to the
+    * Long grid so [[quantizedDot]] stays exact integer math. Cells
+    * that capture no points disappear (standard Lloyd behavior). The
+    * mean is a posexplode → (cell, pos) partial-aggregated avg — two
+    * bounded shuffles of nCentroids×dims rows out, never a
+    * per-cell collect of member vectors.
+    */
+  private def lloydStep(train: DataFrame, cents: DataFrame): DataFrame =
+    train.join(broadcast(cents))
+      .withColumn("sim",
+        quantizedDot(col("qv"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
+      .withColumn("r",
+        row_number().over(Window.partitionBy("id").orderBy(col("sim").desc, col("cell"))))
+      .filter(col("r") === 1)
+      .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"),
+        transform(col("pm"), p => round(p.getField("m")).cast("long")).as("cv"))
+      .withColumn("cnrm", sqrt(quantizedDot(col("cv"), col("cv")).cast("double")))
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int = 5,
       nCentroids: Int = 16,
       nProbe: Int = 4,
+      lloydIters: Int = 0,
+      replication: Int = 1,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val c = prepared(corpus, idCol, embCol)
@@ -94,12 +120,27 @@ object SimilaritySearch {
     // distributed TakeOrdered (per-partition top-k then merge) — no
     // global sort, scalable to any corpus size. The md5 itself is the
     // cell id (distinct per seed; contiguity is not needed), so no
-    // global window is ever planned.
-    val centroids = c
+    // global window is ever planned. Duplicate corpus ids would
+    // collapse cells, so seeds are deduped on the hash — locally,
+    // within a 4× TakeOrdered slack, not with a corpus-wide shuffle.
+    val seeds = c
       .withColumn("h", md5(col("id").cast("string")))
+      .orderBy("h")
+      .limit(4 * nCentroids)
+      .dropDuplicates("h")
       .orderBy("h")
       .limit(nCentroids)
       .select(col("h").as("cell"), col("qv").as("cv"), col("nrm").as("cnrm"))
+
+    // Optional coarse-quantizer training. At 100 TB, pass a sampled
+    // corpus via `corpus` itself only to ivfTrain-style pipelines —
+    // here the train set is the full prepared corpus, which is fine
+    // up to the scale where sampling becomes necessary.
+    val centroids = (1 to lloydIters).foldLeft(seeds) { (cs, _) => lloydStep(c, cs) }
+    // the trained table is nCentroids rows but its lineage scans the
+    // corpus lloydIters times — cache it so the corpus and query
+    // assignment joins don't re-train
+    if (lloydIters > 0) centroids.persist()
 
     def assign(df: DataFrame, keep: Int): DataFrame =
       df.join(broadcast(centroids))
@@ -110,7 +151,12 @@ object SimilaritySearch {
         .filter(col("cellRank") <= keep)
         .drop("cv", "cnrm", "sim", "cellRank")
 
-    val corpusCells = assign(c, 1)
+    // `replication` > 1 assigns each corpus vector to its top-r cells
+    // (IVF spill replication): index size grows ×r, boundary recall
+    // rises sharply on weakly-clustered data. A (query, corpus) pair
+    // can then meet in up to min(r, nProbe) cells, so pairs are
+    // reduced to one row (cos is identical per pair) before ranking.
+    val corpusCells = assign(c, replication)
     val queryCells = assign(q, nProbe)
       .select(col("id").as("query_id"), col("qv").as("qqv"),
         col("nrm").as("qnrm"), col("cell"))
@@ -119,6 +165,8 @@ object SimilaritySearch {
       .filter(col("id") =!= col("query_id"))
       .withColumn("cos",
         quantizedDot(col("qv"), col("qqv")).cast("double") / (col("nrm") * col("qnrm")))
+      .groupBy("query_id", "id")
+      .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -198,16 +198,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) == 2)
   }
 
-  test("IVF ANN reaches high recall against brute force on real embeddings") {
+  test("trained IVF ANN reaches recall >= 0.9 at nProbe=4 against brute force") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val exact = SimilaritySearch.bruteForceTopK(emb, queries, k = 5)
       .select("query_id", "id").as[(Long, Long)].collect().toSet
-    val ivf = SimilaritySearch.ivfTopK(emb, queries, k = 5, nCentroids = 16, nProbe = 8)
+    val ivf = SimilaritySearch.ivfTopK(emb, queries, k = 5, nCentroids = 8,
+        nProbe = 4, lloydIters = 2, replication = 4)
       .select("query_id", "id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect ivf).size.toDouble / exact.size
-    assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
+    assert(recall >= 0.9, s"trained IVF recall@5 too low: $recall")
     assert(ivf.size == exact.size, "IVF must return full top-k per query")
+  }
+
+  test("IVF seed pick dedupes duplicate corpus ids into distinct cells") {
+    // 40 rows but only 2 distinct ids → only 2 distinct md5 cells can
+    // exist; with the dedup guard the partition layout stays sane and
+    // every query still gets its full top-k (k=1 here: the other id).
+    val dup = (1 to 40).map(i =>
+      (if (i % 2 == 0) 1L else 2L, Seq.tabulate(8)(d => (i % 2 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val distinctRows = dup.dropDuplicates("vec_id")
+    val out = SimilaritySearch.ivfTopK(distinctRows, distinctRows,
+      k = 1, nCentroids = 4, nProbe = 4)
+    assert(out.count() == 2, "each of the 2 ids must find the other")
   }
 
   test("Multimodal feature extraction is deterministic and schema-stable") {
