@@ -271,12 +271,20 @@ object SparkEntry {
     }),
     "q15_approval_composite" -> ((s, dir) => {
       // the reference's "novelty predicts approvals" chain
-      // (novelty_approval.py:340–430)
+      // (novelty_approval.py:340–430). The per-pair association/
+      // novelty chain is computed only for pairs the drug dim can
+      // emit: the first-approval key set is broadcast-semi-joined
+      // below the whole chain (exact — the chain is per-pair
+      // independent).
       val t = Tables(s, dir)
+      val first = Approvals.firstApprovalTargets(t.drugs, t.drugLinks)
+      val ev = t.evidence.join(
+        broadcast(first.select("diseaseId", "targetId").distinct()),
+        Seq("diseaseId", "targetId"), "left_semi")
       val nv = Novelty.attach(
-        AssociationScore.byDatasource(t.evidence),
+        AssociationScore.byDatasource(ev),
         Seq("diseaseId", "targetId", "datasourceId"))
-      Approvals.approvalComposite(t.drugs, t.drugLinks, nv, t.datatypes,
+      Approvals.approvalComposite(first, nv, t.datatypes,
         yearLo = 1995, yearHi = 1998)
     }),
     "q16_ta_ranked" -> ((s, dir) => {

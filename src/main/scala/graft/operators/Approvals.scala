@@ -46,8 +46,23 @@ object Approvals {
       noveltyBySource: DataFrame,
       datatypes: DataFrame,
       yearLo: Int,
+      yearHi: Int): DataFrame =
+    approvalComposite(firstApprovalTargets(drugs, links),
+      noveltyBySource, datatypes, yearLo, yearHi)
+
+  /** Variant taking the precomputed first-approval set, so callers can
+    * also semi-join it into the EVIDENCE feeding `noveltyBySource`:
+    * the association/novelty chain is per-(pair, source) independent,
+    * so restricting it to the pairs this query can ever emit is exact
+    * — and at 100 TB it is the difference between scoring the whole
+    * corpus and scoring the drug-dim's slice of it.
+    */
+  def approvalComposite(
+      first: DataFrame,
+      noveltyBySource: DataFrame,
+      datatypes: DataFrame,
+      yearLo: Int,
       yearHi: Int): DataFrame = {
-    val first = firstApprovalTargets(drugs, links)
     noveltyBySource
       .join(broadcast(first), Seq("diseaseId", "targetId"))
       .filter(col("novelty") > 0.0 && col("year").isNotNull)
