@@ -344,6 +344,16 @@ object SparkEntry {
       val t = Tables(s, dir)
       Multimodal.documentFeatures(t.documents)
     }),
+    "q44_frame_sample" -> ((s, dir) => {
+      // video-style frame sampling over binary payloads (every 4th
+      // 64-byte window); md5 makes the binary frames hash-comparable
+      val t = Tables(s, dir)
+      val media = t.documents.select(
+        col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.sampleFrames(media).toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"))
+    }),
     "q40_window_tumbling" -> ((s, dir) => {
       val t = Tables(s, dir)
       EventWindows.tumbling(t.events, "1 hour", Seq("event_type"),
@@ -896,6 +906,19 @@ object SparkEntry {
         |       CAST(16 + ((b.n // 64) % 64) AS INT) AS height,
         |       round(CAST(coalesce(acc.s, 0) % 1000 AS DOUBLE) / 1000, 4) AS feat0
         |FROM b LEFT JOIN acc ON acc.doc_id = b.doc_id""".stripMargin,
+    // Frame sampling replay: every 4th full 64-byte window of the
+    // ASCII payload, hashed — byte-identical to the stub pipeline.
+    "q44_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, CAST(length(text) AS INT) AS n FROM documents
+        |),
+        |fr AS (
+        |  SELECT doc_id, unnest(range(0, n // 64, 4)) AS fidx, text
+        |  FROM b WHERE n >= 64
+        |)
+        |SELECT doc_id, CAST(fidx AS INT) AS frame_idx,
+        |       md5(substring(text, CAST(fidx * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM fr""".stripMargin,
     // IVF replay: same md5-ordered seed pick, Voronoi assignment with
     // (sim DESC, cell) tie-break, nProbe=4 probe cells, exact integer
     // dots — bit-identical doubles end to end.

@@ -60,6 +60,27 @@ class ScaleDesignSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dedup cap guards share the index shuffle — no extra exchange") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nj = graft.operators.Dedup.ngramJaccard(docs, blockCol = "source")
+    val njPlan = nj.queryExecution.executedPlan.toString
+    val njEx = "Exchange hashpartitioning".r.findAllIn(njPlan).length
+    // one shuffle builds the (block, shingle) index — the df-cap window
+    // runs on that same partitioning — and one aggregates the pairs
+    assert(njEx == 2, s"ngramJaccard must keep exactly 2 exchanges, got $njEx:\n$njPlan")
+    assert(njPlan.contains("Window"), "df-cap window missing")
+
+    val mh = graft.operators.Dedup.minhashLshPairs(docs)
+    val mhPlan = mh.queryExecution.executedPlan.toString
+    val mhWindowed = "Exchange hashpartitioning".r.findAllIn(mhPlan).length
+    val mhBare = graft.operators.Dedup
+      .minhashLshPairs(docs, bucketCap = Int.MaxValue)
+      .queryExecution.executedPlan.toString
+    val mhNoGuard = "Exchange hashpartitioning".r.findAllIn(mhBare).length
+    assert(mhWindowed == mhNoGuard,
+      s"bucket-cap guard must not add an exchange: $mhWindowed vs $mhNoGuard:\n$mhPlan")
+  }
+
   test("driver contract: every oracle key has a query; entry returns rows") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       s"oracle without query: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
