@@ -54,6 +54,28 @@ object SparkEntry {
       |  )
       |)""".stripMargin
 
+  /** Deterministic 8-plane LSH bucketing of the quantized embeddings —
+    * mirrors graft.operators.SimilaritySearch.lshBucket. Requires the
+    * `nrm` CTE from [[EmbSql]].
+    */
+  private val LshSql =
+    """planes AS (
+      |  SELECT p, list_transform(range(1, 65), i ->
+      |           CASE WHEN substring(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)
+      |                     IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS sgn
+      |  FROM (SELECT unnest(range(1, 9)) AS p)
+      |),
+      |proj AS (
+      |  SELECT e.vec_id, pl.p,
+      |         CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * pl.sgn[i])) AS BIGINT) AS pr
+      |  FROM nrm e CROSS JOIN planes pl
+      |),
+      |bkt AS (
+      |  SELECT vec_id, string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+      |  FROM proj GROUP BY 1
+      |),
+      |withb AS (SELECT n.vec_id, n.q, n.n, b.bucket FROM nrm n JOIN bkt b USING (vec_id))""".stripMargin
+
   /** Ontology-propagated ("indirect") evidence CTE: every evidence row
     * copied to its disease's self+ancestors — mirrors
     * graft.operators.OntologyPropagate over sources.Tables.ontology.
@@ -417,6 +439,10 @@ object SparkEntry {
       val t = Tables(s, dir)
       SimilaritySearch.ivfTopK(
         t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
+    }),
+    "q45_cosine_neardup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      SimilaritySearch.cosineNearDupPairs(t.embeddings)
     }),
     "q36_langid" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -816,22 +842,7 @@ object SparkEntry {
          |SELECT query_id, id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin,
     "q35_ann_lsh" ->
       s"""WITH $EmbSql,
-         |planes AS (
-         |  SELECT p, list_transform(range(1, 65), i ->
-         |           CASE WHEN substring(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)
-         |                     IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS sgn
-         |  FROM (SELECT unnest(range(1, 9)) AS p)
-         |),
-         |proj AS (
-         |  SELECT e.vec_id, pl.p,
-         |         CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * pl.sgn[i])) AS BIGINT) AS pr
-         |  FROM nrm e CROSS JOIN planes pl
-         |),
-         |bkt AS (
-         |  SELECT vec_id, string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-         |  FROM proj GROUP BY 1
-         |),
-         |withb AS (SELECT n.vec_id, n.q, n.n, b.bucket FROM nrm n JOIN bkt b USING (vec_id)),
+         |$LshSql,
          |qs AS (SELECT vec_id AS query_id, q AS qq, n AS qn, bucket FROM withb WHERE vec_id % 50 = 0),
          |scored AS (
          |  SELECT c.vec_id AS id, q.query_id,
@@ -906,6 +917,22 @@ object SparkEntry {
         |       CAST(16 + ((b.n // 64) % 64) AS INT) AS height,
         |       round(CAST(coalesce(acc.s, 0) % 1000 AS DOUBLE) / 1000, 4) AS feat0
         |FROM b LEFT JOIN acc ON acc.doc_id = b.doc_id""".stripMargin,
+    // Cosine near-dup replay: pairs sharing an LSH bucket (bucket-cap
+    // guarded like q31) with unrounded cosine >= 0.35.
+    "q45_cosine_neardup" ->
+      s"""WITH $EmbSql,
+         |$LshSql,
+         |bsz AS (SELECT bucket, count(*) AS bn FROM withb GROUP BY 1),
+         |ok AS (
+         |  SELECT w.* FROM withb w JOIN bsz USING (bucket)
+         |  WHERE bn > 1 AND bn <= ${graft.GraftConf.LshBucketCap}
+         |)
+         |SELECT a.vec_id AS idA, b.vec_id AS idB,
+         |       round(CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+         |             / (a.n * b.n), 4) AS cos
+         |FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+         |      / (a.n * b.n) >= 0.35""".stripMargin,
     // Frame sampling replay: every 4th full 64-byte window of the
     // ASCII payload, hashed — byte-identical to the stub pipeline.
     "q44_frame_sample" ->

@@ -174,6 +174,41 @@ object SimilaritySearch {
       .select(col("query_id"), col("id"), col("rank"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all corpus pairs sharing
+    * an LSH bucket with cosine ≥ `minCos` — the dedup-flavored sibling
+    * of [[lshTopK]] (emit every near-dup pair, not a per-query top-k).
+    * The signature chain is computed once and bucketed by groupBy (a
+    * self-join would recompute it per side); `bucketCap` bounds the
+    * per-bucket pair expansion by construction, like
+    * [[graft.operators.Dedup.minhashLshPairs]]. Work scales with
+    * bucket co-membership, never all-pairs on the corpus.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      minCos: Double = 0.35,
+      planes: Int = 8,
+      dims: Int = 64,
+      bucketCap: Int = graft.GraftConf.LshBucketCap,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val c = prepared(corpus, idCol, embCol)
+      .withColumn("bucket", lshBucket(col("qv"), planes, dims))
+    val bucketWin = Window.partitionBy("bucket")
+    c.withColumn("bn", count(lit(1)).over(bucketWin))
+      .filter(col("bn") > 1 && col("bn") <= bucketCap)
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("qv"), col("nrm"))).as("vs"))
+      .select(explode(col("vs")).as("a"), col("vs"))
+      .select(col("a"), explode(col("vs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("cos",
+        quantizedDot(col("a.qv"), col("b.qv")).cast("double") /
+          (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= minCos)
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** LSH-bucketed ANN: score only candidates in the query's bucket.
     * Approximate — recall depends on `planes`; at 100 TB this replaces
     * the brute-force scan with a bucket-equi-join.

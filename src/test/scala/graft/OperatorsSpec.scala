@@ -224,6 +224,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out.count() == 2, "each of the 2 ids must find the other")
   }
 
+  test("cosineNearDupPairs finds planted near-identical vectors, never cross-bucket") {
+    // 100/101 near-identical (cos ≈ 1 → same bucket, above threshold);
+    // 102 orthogonal-ish. Pads to 8 dims.
+    val mk = (s: Seq[Double]) => s.map(_.toFloat)
+    val emb = Seq(
+      (100L, mk(Seq(1, 0.9, 1, 1, 0, 0, 0, 0))),
+      (101L, mk(Seq(1, 1.0, 1, 1, 0, 0, 0, 0))),
+      (102L, mk(Seq(0, 0, 0, 0, 1, 1, 1, 0.5))))
+      .toDF("vec_id", "embedding")
+    val out = SimilaritySearch.cosineNearDupPairs(emb, minCos = 0.9, dims = 8)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 101L)), s"got $out")
+  }
+
   test("Multimodal feature extraction is deterministic and schema-stable") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "different"))
       .toDF("doc_id", "text")
