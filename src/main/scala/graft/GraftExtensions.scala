@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HarmonicScore, MinHashSignature, TopKCollect, TopKHarmonic, WordShinglesDistinct}
+import graft.functions.{HarmonicScore, MinHashSignature, RollingMinHash, TopKCollect, TopKHarmonic, WordShinglesDistinct}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -67,6 +67,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(c, k) => MinHashSignature(c, intArg(k, "k"))
         case _ => throw new IllegalArgumentException("minhash_signature takes 2 arguments")
+      }),
+    ("rolling_minhash",
+      info("rolling_minhash",
+        "rolling_minhash(text[, w]) - min Rabin-Karp hash over w-byte windows (default 16)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => RollingMinHash(c, 16)
+        case Seq(c, w) => RollingMinHash(c, intArg(w, "w"))
+        case _ => throw new IllegalArgumentException("rolling_minhash takes 1-2 arguments")
       }),
     ("topk_collect",
       info("topk_collect",

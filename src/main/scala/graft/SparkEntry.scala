@@ -54,6 +54,18 @@ object SparkEntry {
       |  )
       |)""".stripMargin
 
+  /** `[257^15 mod 1e9+7, …, 257^0]` — the per-position weights of a
+    * 16-byte Rabin–Karp window, inlined into the q46 oracle so DuckDB
+    * needs no modpow.
+    */
+  private val RollingPowsSql: String = {
+    val arr = new Array[Long](16)
+    var p = 1L
+    var i = 15
+    while (i >= 0) { arr(i) = p; p = p * graft.functions.RollingMinHash.Base % graft.functions.RollingMinHash.Mod; i -= 1 }
+    arr.mkString("[", ", ", "]")
+  }
+
   /** Deterministic 8-plane LSH bucketing of the quantized embeddings —
     * mirrors graft.operators.SimilaritySearch.lshBucket. Requires the
     * `nrm` CTE from [[EmbSql]].
@@ -452,7 +464,15 @@ object SparkEntry {
     "q37_quality" -> ((s, dir) => {
       val t = Tables(s, dir)
       TextAnalysis.quality(TextAnalysis.tokens(t.documents))
-        .select("doc_id", "n_tokens", "n_distinct", "avg_token_len", "quality")
+        .withColumn("n_bpe", TextAnalysis.bpeTokenCount(col("text")))
+        .select("doc_id", "n_tokens", "n_bpe", "n_distinct", "avg_token_len", "quality")
+    }),
+    "q46_rolling_fp" -> ((s, dir) => {
+      // shift-robust rolling-hash fingerprint (vs q30's whole-content
+      // md5): min Rabin-Karp hash over 16-byte windows
+      val t = Tables(s, dir)
+      t.documents.select(col("doc_id"),
+        graft.functions.rollingMinHash(col("text"), 16).as("rfp"))
     }),
   )
 
@@ -889,6 +909,7 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id, n_tokens,
+        |       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INT) AS n_bpe,
         |       CAST(len(list_distinct(w)) AS INT) AS n_distinct,
         |       round(CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS avg_token_len,
         |       CAST((CAST(4 * least(n_tokens, 100) * n_tokens
@@ -897,6 +918,26 @@ object SparkEntry {
         |                                    - len(list_filter(w, x -> x = 'a'))) AS BIGINT)
         |              * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS DOUBLE) / 10000.0 AS quality
         |FROM base""".stripMargin,
+    // Rolling-fingerprint replay: direct per-window polynomial sums
+    // with the Scala-precomputed 257^k mod 1e9+7 powers table — same
+    // residues as the engine's O(n) rolling recurrence.
+    "q46_rolling_fp" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text, CAST(length(text) AS INT) AS n FROM documents
+         |),
+         |wins AS (
+         |  SELECT doc_id, text, unnest(range(0, n - 15)) AS j FROM b WHERE n >= 16
+         |),
+         |hashes AS (
+         |  SELECT doc_id,
+         |         CAST(list_sum(list_transform(range(0, 16),
+         |           k -> CAST(ascii(substring(text, CAST(j + k + 1 AS INT), 1)) AS BIGINT)
+         |                * ($RollingPowsSql)[CAST(k + 1 AS INT)] % 1000000007))
+         |              % 1000000007 AS BIGINT) AS h
+         |  FROM wins
+         |),
+         |m AS (SELECT doc_id, min(h) AS rfp FROM hashes GROUP BY 1)
+         |SELECT b.doc_id, m.rfp FROM b LEFT JOIN m USING (doc_id)""".stripMargin,
     // The stub decoder is deterministic byte arithmetic over the UTF-8
     // payload (Multimodal.decodeStub); document text is ASCII, so DuckDB
     // can replay it with ascii(substring(...)) per 8-stride position.

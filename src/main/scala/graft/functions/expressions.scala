@@ -304,3 +304,60 @@ object MinHashSignature {
     UTF8String.fromBytes(out)
   }
 }
+
+/** `rolling_minhash(text, w)`: minimum over all `w`-byte windows of the
+  * Rabin–Karp polynomial rolling hash (base 257, mod 1e9+7) of the
+  * UTF-8 bytes — a shift-robust content fingerprint (two documents
+  * sharing any w-byte run share candidate hashes, unlike whole-content
+  * md5). One O(n) pass per row; text shorter than `w` → NULL.
+  */
+case class RollingMinHash(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  require(w >= 1, s"window must be >= 1, got $w")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rolling_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingMinHash.evalStatic(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("rmh")
+      s"""
+         |java.lang.Long $r = graft.functions.RollingMinHash.evalStatic($c, $w);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingMinHash =
+    copy(child = newChild)
+}
+
+object RollingMinHash {
+  val Mod = 1000000007L
+  val Base = 257L
+
+  def evalStatic(text: UTF8String, w: Int): java.lang.Long = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < w) return null
+    var bw = 1L
+    var i = 0
+    while (i < w - 1) { bw = bw * Base % Mod; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = (h * Base + (bytes(i) & 0xff)) % Mod; i += 1 }
+    var min = h
+    var j = 1
+    while (j + w <= n) {
+      h = ((h - (bytes(j - 1) & 0xff) * bw % Mod + Mod) % Mod * Base
+        + (bytes(j + w - 1) & 0xff)) % Mod
+      if (h < min) min = h
+      j += 1
+    }
+    java.lang.Long.valueOf(min)
+  }
+}

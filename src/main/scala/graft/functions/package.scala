@@ -50,6 +50,13 @@ package object functions {
   def yearFromDateString(date: Column): Column =
     element_at(split(date, "-"), 1).try_cast("int")
 
+  /** Rolling min-hash content fingerprint (Rabin–Karp over UTF-8
+    * bytes); see [[RollingMinHash]]. NULL for text shorter than `w`.
+    */
+  def rollingMinHash(text: Column, w: Int = 16): Column =
+    org.apache.spark.sql.graftshim.columnOf(
+      RollingMinHash(org.apache.spark.sql.graftshim.expressionOf(text), w))
+
   /** Logistic decay used for novelty: peak / (1 + e^{scale·(Δ − shift)}).
     * Reference: /root/reference/timeseries.py:608–617.
     */

@@ -19,6 +19,15 @@ object TextAnalysis {
 
   def words(text: Column): Column = split(text, " ")
 
+  /** BPE-ish token count: letter runs, digit runs, and punctuation
+    * runs, each optionally space-prefixed — the GPT-2 pretokenizer
+    * shape reduced to ASCII classes. The regex is deliberately RE2-
+    * compatible (no backrefs/lookahead) so any oracle engine counts
+    * identically.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0)))
+
   /** Count of tokens equal to `w`. */
   def tokenOccurrences(text: Column, w: String): Column =
     size(filter(words(text), t => t === lit(w)))

@@ -88,16 +88,62 @@ class FunctionsSpec extends SparkSpec {
         .select(
           NativeText.wordShingles(col("text"), 3).as("sh"),
           NativeText.minhashSig(NativeText.wordShingles(col("text"), 3), 4).as("sig"),
-          harmonicScore(col("scores")).as("h"))
+          harmonicScore(col("scores")).as("h"),
+          rollingMinHash(col("text"), 4).as("rfp"))
         .collect()
       assert(r(0).getSeq[String](0) == Seq("a b c", "b c d"))
       assert(r(0).getSeq[String](1).length == 4)
       assert(math.abs(r(0).getDouble(2) - (0.8 / 1 + 0.5 / 4) / GraftConf.MaxScore) < 1e-12)
+      assert(!r(0).isNullAt(3))
       assert(r(1).getSeq[String](0).isEmpty && r(1).isNullAt(1) && r(1).isNullAt(2))
+      assert(r(1).isNullAt(3), "text shorter than the window must be NULL")
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", restoreFallback)
       restoreMode.foreach(spark.conf.set("spark.sql.codegen.factoryMode", _))
     }
+  }
+
+  test("rollingMinHash is shift-robust and equals the direct polynomial min") {
+    // Direct O(n·w) reference computation of the same fingerprint.
+    def direct(s: String, w: Int): Option[Long] = {
+      val b = s.getBytes("UTF-8").map(_ & 0xff)
+      if (b.length < w) return None
+      val M = 1000000007L
+      Some((0 to b.length - w).map { j =>
+        (0 until w).foldLeft(0L)((h, k) => (h * 257 + b(j + k)) % M)
+      }.min)
+    }
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "abcdefghijklmnop", "short", "")
+    val rows = texts.toDF("text")
+      .select(rollingMinHash(col("text"), 16).as("rfp")).collect()
+    texts.zip(rows).foreach { case (s, r) =>
+      direct(s, 16) match {
+        case Some(h) => assert(r.getLong(0) == h, s"mismatch for '$s'")
+        case None => assert(r.isNullAt(0), s"expected NULL for '$s'")
+      }
+    }
+    // shift robustness: a prefix-shifted copy shares all its windows
+    // with the original's tail, so with the min window preserved the
+    // fingerprints collide — unlike md5, which sees different content
+    val base = "the quick brown fox jumps over the lazy dog"
+    val shifted = "XYZ " + base
+    val both = Seq(base, shifted).toDF("text")
+      .select(rollingMinHash(col("text"), 16).as("rfp"))
+      .collect().map(_.getLong(0))
+    // the shifted text contains every window of the original, so its
+    // min can only stay equal or drop (a property md5 lacks entirely)
+    assert(both(1) <= both(0),
+      s"shifted min ${both(1)} must be <= original min ${both(0)}")
+  }
+
+  test("bpeTokenCount splits letter/digit/punct runs like the oracle regex") {
+    val df = Seq("hello world 123 foo-bar!", "", "a1b2").toDF("text")
+    val out = df.select(graft.operators.TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .as[Int].collect().toSeq
+    // "hello"," world"," 123"," foo","-","bar","!" → 7; "" → 0;
+    // "a1b2" → "a","1","b","2" → 4
+    assert(out == Seq(7, 0, 4), s"got $out")
   }
 
   test("native longDot equals the zip_with/aggregate formulation on real embeddings") {
