@@ -465,7 +465,9 @@ object SparkEntry {
       val t = Tables(s, dir)
       TextAnalysis.quality(TextAnalysis.tokens(t.documents))
         .withColumn("n_bpe", TextAnalysis.bpeTokenCount(col("text")))
-        .select("doc_id", "n_tokens", "n_bpe", "n_distinct", "avg_token_len", "quality")
+        .withColumn("punct_ratio", TextAnalysis.punctRatio(col("text")))
+        .select("doc_id", "n_tokens", "n_bpe", "n_distinct", "avg_token_len",
+          "punct_ratio", "quality")
     }),
     "q46_rolling_fp" -> ((s, dir) => {
       // shift-robust rolling-hash fingerprint (vs q30's whole-content
@@ -910,6 +912,9 @@ object SparkEntry {
         |)
         |SELECT doc_id, n_tokens,
         |       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INT) AS n_bpe,
+        |       CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |                       / length(text), 4) END AS punct_ratio,
         |       CAST(len(list_distinct(w)) AS INT) AS n_distinct,
         |       round(CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS avg_token_len,
         |       CAST((CAST(4 * least(n_tokens, 100) * n_tokens

@@ -101,6 +101,16 @@ object TextAnalysis {
     df.withColumn("quality", scaled / 10000.0)
   }
 
+  /** Punctuation ratio: non-alphanumeric-non-space chars / length
+    * (0.0 for empty text), rounded 4dp. RE2-compatible char class so
+    * oracles count identically.
+    */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(round(
+        (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+          .cast("double") / length(text), 4))
+
   /** Content fingerprint (md5 hex). */
   def fingerprint(df: DataFrame, textCol: String = "text", out: String = "fp"): DataFrame =
     df.withColumn(out, md5(col(textCol)))
