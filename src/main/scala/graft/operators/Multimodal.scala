@@ -68,6 +68,25 @@ object Multimodal {
     if (bytes.isEmpty) bytes
     else Array.tabulate(targetBytes)(i => bytes(i % bytes.length))
 
+  /** Batch resize over a binary column: binary in → binary out, same
+    * row count — the exact contract of a real image-resize pipeline,
+    * with [[resizeStub]] standing in for the codec. Runs per-partition
+    * like [[extractFeatures]] (one codec instance per partition).
+    */
+  def resize(
+      df: DataFrame,
+      targetBytes: Int,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): Dataset[Media] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    spread(df.select(col(idCol).cast("long"), col(binCol)))
+      .as[Media]
+      .mapPartitions { it =>
+        it.map(m => Media(m.doc_id, resizeStub(m.payload, targetBytes)))
+      }
+  }
+
   /** Frame sampling for "video" payloads: emit every `stride`-th
     * fixed-size window of the payload as a frame row — the one-to-many
     * expansion shape (explode at the typed level) a real video pipeline

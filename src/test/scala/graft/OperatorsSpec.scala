@@ -238,6 +238,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set((100L, 101L)), s"got $out")
   }
 
+  test("Multimodal.resize keeps row count and hits the target size, empty passthrough") {
+    val df = Seq(
+      (1L, Array.tabulate(100)(_.toByte)),
+      (2L, Array[Byte](7, 8)),
+      (3L, Array.empty[Byte])).toDF("doc_id", "payload")
+    val out = Multimodal.resize(df, targetBytes = 64).collect()
+    assert(out.length == 3, "binary in, binary out, same row count")
+    val byId = out.map(m => m.doc_id -> m.payload).toMap
+    assert(byId(1L).length == 64 && byId(1L)(0) == 0.toByte)
+    assert(byId(2L).length == 64 && byId(2L).toSeq.take(4) == Seq[Byte](7, 8, 7, 8),
+      "shorter payloads cycle deterministically")
+    assert(byId(3L).isEmpty, "empty payload passes through")
+  }
+
   test("Multimodal feature extraction is deterministic and schema-stable") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "different"))
       .toDF("doc_id", "text")
