@@ -54,6 +54,40 @@ object SparkEntry {
       |  )
       |)""".stripMargin
 
+  /** MinHash-LSH near-dup pair CTE chain (ends in `lshpairs`) —
+    * mirrors graft.operators.Dedup.minhashLshPairs; shared by the q31
+    * and q47 oracles. Requires [[ShinglesSql]]'s `shingled`.
+    */
+  private val MinhashPairsSql =
+    s"""$ShinglesSql,
+       |sig AS (
+       |  SELECT id, j, min(md5(CAST(j AS VARCHAR) || ':' || s)) AS m
+       |  FROM (SELECT id, unnest(sh) AS s FROM shingled)
+       |  CROSS JOIN (SELECT unnest(range(1, 13)) AS j) seeds
+       |  GROUP BY id, j
+       |),
+       |banded AS (
+       |  SELECT id, (j - 1) // 4 AS band, md5(string_agg(m, '|' ORDER BY j)) AS bucket
+       |  FROM sig GROUP BY id, (j - 1) // 4
+       |),
+       |bsz AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS idA, b.id AS idB
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+       |  JOIN bsz ON bsz.band = a.band AND bsz.bucket = a.bucket
+       |   AND bsz.n <= ${graft.GraftConf.LshBucketCap}
+       |),
+       |verified AS (
+       |  SELECT c.idA, c.idB,
+       |         round(CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
+       |               / len(list_distinct(list_concat(sa.sh, sb.sh))), 3) AS jaccard
+       |  FROM cand c
+       |  JOIN shingled sa ON sa.id = c.idA
+       |  JOIN shingled sb ON sb.id = c.idB
+       |),
+       |lshpairs AS (SELECT idA, idB, jaccard FROM verified WHERE jaccard >= 0.8)""".stripMargin
+
   /** `[257^15 mod 1e9+7, …, 257^0]` — the per-position weights of a
     * 16-byte Rabin–Karp window, inlined into the q46 oracle so DuckDB
     * needs no modpow.
@@ -429,6 +463,11 @@ object SparkEntry {
       val t = Tables(s, dir)
       Dedup.minhashLshPairs(t.documents)
     }),
+    "q47_dedup_clusters" -> ((s, dir) => {
+      // near-dup components: keeper = min id per cluster
+      val t = Tables(s, dir)
+      Dedup.clusters(Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
+    }),
     "q32_dedup_simhash" -> ((s, dir) => {
       val t = Tables(s, dir)
       Dedup.simhash(t.documents)
@@ -774,34 +813,23 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS INT) AS dup_rank
         |FROM documents""".stripMargin,
     "q31_dedup_minhash" ->
-      s"""WITH $ShinglesSql,
-         |sig AS (
-         |  SELECT id, j, min(md5(CAST(j AS VARCHAR) || ':' || s)) AS m
-         |  FROM (SELECT id, unnest(sh) AS s FROM shingled)
-         |  CROSS JOIN (SELECT unnest(range(1, 13)) AS j) seeds
-         |  GROUP BY id, j
+      s"""WITH $MinhashPairsSql
+         |SELECT idA, idB, jaccard FROM lshpairs""".stripMargin,
+    // Components replay: undirected reachability via a recursive CTE,
+    // then min-label per node — identical to hash-to-min convergence.
+    "q47_dedup_clusters" ->
+      s"""WITH RECURSIVE $MinhashPairsSql,
+         |edges AS (
+         |  SELECT idA AS src, idB AS dst FROM lshpairs
+         |  UNION ALL
+         |  SELECT idB AS src, idA AS dst FROM lshpairs
          |),
-         |banded AS (
-         |  SELECT id, (j - 1) // 4 AS band, md5(string_agg(m, '|' ORDER BY j)) AS bucket
-         |  FROM sig GROUP BY id, (j - 1) // 4
-         |),
-         |bsz AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS idA, b.id AS idB
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-         |  JOIN bsz ON bsz.band = a.band AND bsz.bucket = a.bucket
-         |   AND bsz.n <= ${graft.GraftConf.LshBucketCap}
-         |),
-         |verified AS (
-         |  SELECT c.idA, c.idB,
-         |         round(CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
-         |               / len(list_distinct(list_concat(sa.sh, sb.sh))), 3) AS jaccard
-         |  FROM cand c
-         |  JOIN shingled sa ON sa.id = c.idA
-         |  JOIN shingled sb ON sb.id = c.idB
+         |walk(id, comp) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id
          |)
-         |SELECT idA, idB, jaccard FROM verified WHERE jaccard >= 0.8""".stripMargin,
+         |SELECT id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin,
     "q32_dedup_simhash" ->
       """WITH docs AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents

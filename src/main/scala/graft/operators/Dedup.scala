@@ -121,6 +121,50 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
+  /** Near-dup CLUSTERS from a pair graph: connected components via
+    * hash-to-min label propagation — each doc converges to its
+    * component's minimum id, which is the canonical keeper (`id ==
+    * comp` rows survive dedup). Output: (id, comp) for every id
+    * appearing in `pairs`.
+    *
+    * Scale shape: the classic iterative min-label algorithm as
+    * DataFrame ops — per round, one equi-join edges⋈labels + a
+    * min-combine groupBy, both partial-aggregated; rounds needed =
+    * graph diameter, and near-dup components are clique-like (LSH
+    * pairs), so convergence is 2–3 rounds in practice. The driver
+    * loop runs one `count()` action per round to test convergence —
+    * the standard Pregel-style control flow, not a data-path collect.
+    */
+  def clusters(
+      pairs: DataFrame,
+      idACol: String = "idA",
+      idBCol: String = "idB",
+      maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("comp"))
+        .union(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist()
+      val changed = prop.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = prop
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** n-gram Jaccard similarity above a threshold, within a blocking
     * key, via an inverted shingle index: explode distinct shingles,
     * equi-join on (block, shingle), count common shingles per pair,

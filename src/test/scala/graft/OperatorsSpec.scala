@@ -145,6 +145,16 @@ class OperatorsSpec extends SparkSpec {
     assert(metrics.get.getAs[Long]("max_bucket_size") == 10L)
   }
 
+  test("Dedup.clusters converges on a chain graph and labels components by min id") {
+    // chain 1-2-3-4-5 needs several hash-to-min rounds (diameter 4);
+    // {10,11} is a separate component; all converge to their min id.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("idA", "idB")
+    val out = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L), s"got $out")
+  }
+
   test("Approvals.firstApprovalTargets keeps only the first-approved drug per target") {
     val drugs = Seq((1L, 1996), (2L, 1995), (3L, 1997), (4L, 2000))
       .toDF("drugId", "approvalYear")
