@@ -154,11 +154,12 @@ object Dedup {
         .union(labels)
         .groupBy("id").agg(min("comp").as("comp"))
         .persist()
-      val changed = prop.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .filter(col("comp") =!= col("old")).count()
+      val anyChanged = !prop
+        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+        .filter(col("comp") =!= col("old")).isEmpty
       labels.unpersist()
       labels = prop
-      converged = changed == 0
+      converged = !anyChanged
       i += 1
     }
     edges.unpersist()
