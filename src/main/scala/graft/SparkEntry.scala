@@ -408,6 +408,21 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("value"), col("click_event_id"),
           (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
     }),
+    "q48_range_join" -> ((s, dir) => {
+      // clicks landing inside a 2-hour window after each purchase of
+      // the same user — the binned interval-join shape
+      val t = Tables(s, dir)
+      val ev = t.events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_start"),
+          timestamp_micros(unix_micros(col("ts")) + 7200L * 1000000L).as("p_end"))
+      RangeJoin.binned(clicks, purchases, Seq("user_id"), "ts", "p_start", "p_end")
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("ts")) - unix_micros(col("p_start"))).as("gap_us"))
+    }),
     "q38_multimodal" -> ((s, dir) => {
       val t = Tables(s, dir)
       Multimodal.documentFeatures(t.documents)
@@ -1007,6 +1022,24 @@ object SparkEntry {
          |FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
          |      / (a.n * b.n) >= 0.35""".stripMargin,
+    // Range-join replay: a plain SQL interval predicate — the binned
+    // reformulation must be exactly equivalent.
+    "q48_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |),
+        |clicks AS (
+        |  SELECT user_id, event_id AS click_id, ts FROM ev WHERE event_type = 'click'
+        |),
+        |purchases AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS p_start,
+        |         ts + INTERVAL 2 HOUR AS p_end
+        |  FROM ev WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, c.click_id, p.purchase_id,
+        |       CAST(epoch_us(c.ts) - epoch_us(p.p_start) AS BIGINT) AS gap_us
+        |FROM clicks c JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.p_start AND c.ts <= p.p_end""".stripMargin,
     // Frame sampling replay: every 4th full 64-byte window of the
     // ASCII payload, hashed — byte-identical to the stub pipeline.
     "q44_frame_sample" ->

@@ -145,6 +145,22 @@ class OperatorsSpec extends SparkSpec {
     assert(metrics.get.getAs[Long]("max_bucket_size") == 10L)
   }
 
+  test("RangeJoin.binned equals the naive range join, including bin-crossing intervals") {
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val left = Seq((1L, 10L, ts(5)), (1L, 11L, ts(65)), (1L, 12L, ts(200)), (2L, 13L, ts(65)))
+      .toDF("k", "lid", "ts")
+    // interval 100 crosses an hour-bin boundary (minute 50 → 130)
+    val right = Seq((1L, 100L, ts(50), ts(130)), (2L, 101L, ts(0), ts(70)))
+      .toDF("k", "rid", "s", "e")
+    val binned = RangeJoin.binned(left, right, Seq("k"), "ts", "s", "e")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = left.join(right, Seq("k"))
+      .filter(col("ts") >= col("s") && col("ts") <= col("e"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(binned == naive, s"binned $binned vs naive $naive")
+    assert(binned == Set((11L, 100L), (13L, 101L)))
+  }
+
   test("Dedup.clusters converges on a chain graph and labels components by min id") {
     // chain 1-2-3-4-5 needs several hash-to-min rounds (diameter 4);
     // {10,11} is a separate component; all converge to their min id.

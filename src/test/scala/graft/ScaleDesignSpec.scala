@@ -81,6 +81,18 @@ class ScaleDesignSpec extends SparkSpec {
       s"bucket-cap guard must not add an exchange: $mhWindowed vs $mhNoGuard:\n$mhPlan")
   }
 
+  test("q15 pushes the first-approval pair filter below the association chain") {
+    val df = SparkEntry.queries("q15_approval_composite")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"pair filter must reach the evidence scan as a semi-join:\n$plan")
+    // the semi-join must sit below the aggregation (scan side), i.e.
+    // appear in the same stage as the lineitem scan, and broadcast
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).isDefined ||
+      plan.contains("LeftSemi, BuildRight"),
+      s"semi-join should broadcast the key set:\n$plan")
+  }
+
   test("driver contract: every oracle key has a query; entry returns rows") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       s"oracle without query: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
