@@ -54,6 +54,37 @@ object SparkEntry {
       |  )
       |)""".stripMargin
 
+  /** Voronoi-assignment CTE for the IVF oracles: rank `cents` cells per
+    * vector by cosine (ties by cell id), keep the best `keep`.
+    */
+  private def IvfAssignSql(cents: String, out: String, keep: Int, where: String = ""): String =
+    s"""$out AS (
+       |  SELECT vec_id, q, n, cell FROM (
+       |    SELECT e.vec_id, e.q, e.n, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * c.cv[i])) AS DOUBLE)
+       |               / (e.n * c.cn) DESC, c.cell) AS r
+       |    FROM nrm e CROSS JOIN $cents c $where
+       |  ) WHERE r <= $keep
+       |)""".stripMargin
+
+  /** One Lloyd step for the IVF oracle: per-cell per-dim mean of the
+    * `keep`=1 assignment `assigned`, re-quantized — mirrors
+    * SimilaritySearch.lloydStep (integer sums are exact in doubles, so
+    * the mean and its round are engine-identical).
+    */
+  private def IvfLloydSql(assigned: String, out: String): String =
+    s"""${out}_m AS (
+       |  SELECT cell, pos, CAST(round(avg(v)) AS BIGINT) AS mv
+       |  FROM (SELECT cell, unnest(q) AS v, unnest(range(1, 65)) AS pos FROM $assigned)
+       |  GROUP BY 1, 2
+       |),
+       |$out AS (
+       |  SELECT cell, cv,
+       |         sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)) AS cn
+       |  FROM (SELECT cell, list(mv ORDER BY pos) AS cv FROM ${out}_m GROUP BY cell)
+       |)""".stripMargin
+
   /** MinHash-LSH near-dup pair CTE chain (ends in `lshpairs`) —
     * mirrors graft.operators.Dedup.minhashLshPairs; shared by the q31
     * and q47 oracles. Requires [[ShinglesSql]]'s `shingled`.
@@ -509,6 +540,14 @@ object SparkEntry {
     "q45_cosine_neardup" -> ((s, dir) => {
       val t = Tables(s, dir)
       SimilaritySearch.cosineNearDupPairs(t.embeddings)
+    }),
+    "q49_ann_ivf_trained" -> ((s, dir) => {
+      // the Lloyd-trained, spill-replicated IVF path (same config the
+      // recall spec pins at >= 0.9)
+      val t = Tables(s, dir)
+      SimilaritySearch.ivfTopK(
+        t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0),
+        nCentroids = 8, nProbe = 4, lloydIters = 2, replication = 4)
     }),
     "q36_langid" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -1006,6 +1045,36 @@ object SparkEntry {
         |       CAST(16 + ((b.n // 64) % 64) AS INT) AS height,
         |       round(CAST(coalesce(acc.s, 0) % 1000 AS DOUBLE) / 1000, 4) AS feat0
         |FROM b LEFT JOIN acc ON acc.doc_id = b.doc_id""".stripMargin,
+    // Trained-IVF replay: seed pick, two unrolled Lloyd steps, then
+    // replication-4 corpus / nProbe-4 query assignment over the
+    // trained centroids; DISTINCT collapses pairs meeting in several
+    // cells (cos is identical per pair).
+    "q49_ann_ivf_trained" ->
+      s"""WITH $EmbSql,
+         |c0 AS (
+         |  SELECT md5(CAST(vec_id AS VARCHAR)) AS cell, q AS cv, n AS cn
+         |  FROM nrm ORDER BY cell LIMIT 8
+         |),
+         |${IvfAssignSql("c0", "a1", 1)},
+         |${IvfLloydSql("a1", "c1")},
+         |${IvfAssignSql("c1", "a2", 1)},
+         |${IvfLloydSql("a2", "c2")},
+         |${IvfAssignSql("c2", "casgn", 4)},
+         |${IvfAssignSql("c2", "qasgn0", 4, "WHERE e.vec_id % 50 = 0")},
+         |qasgn AS (SELECT vec_id AS query_id, q AS qq, n AS qn, cell FROM qasgn0),
+         |scored AS (
+         |  SELECT DISTINCT c.vec_id AS id, qx.query_id,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * qx.qq[i])) AS DOUBLE)
+         |           / (c.n * qx.qn) AS cos
+         |  FROM casgn c JOIN qasgn qx USING (cell) WHERE c.vec_id != qx.query_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS INT) AS rank,
+         |         cos
+         |  FROM scored
+         |)
+         |SELECT query_id, id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin,
     // Cosine near-dup replay: pairs sharing an LSH bucket (bucket-cap
     // guarded like q31) with unrounded cosine >= 0.35.
     "q45_cosine_neardup" ->
