@@ -500,6 +500,24 @@ object SparkEntry {
           max("k").as("max_k"),
           count(when(col("k") > 50, 1)).as("n_high"))
     }),
+    "q50_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles per event type (both engines
+      // use the same linear-interpolation definition)
+      val t = Tables(s, dir)
+      t.events.groupBy("event_type")
+        .agg(percentile(col("value"), typedLit(Seq(0.5, 0.9, 0.99))).as("p"))
+        .select(col("event_type"),
+          round(element_at(col("p"), 1), 4).as("p50"),
+          round(element_at(col("p"), 2), 4).as("p90"),
+          round(element_at(col("p"), 3), 4).as("p99"))
+    }),
+    "q51_rollup" -> ((s, dir) => {
+      // ROLLUP subtotals over (datasourceId, year): per-source-year,
+      // per-source, and grand-total rows in one pass
+      val t = Tables(s, dir)
+      t.evidence.rollup("datasourceId", "year")
+        .agg(count(lit(1)).as("n"), round(sum("score"), 4).as("sum_score"))
+    }),
     "q30_dedup_exact" -> ((s, dir) => {
       val t = Tables(s, dir)
       Dedup.exactRank(t.documents)
@@ -1005,6 +1023,17 @@ object SparkEntry {
         |                                    - len(list_filter(w, x -> x = 'a'))) AS BIGINT)
         |              * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS DOUBLE) / 10000.0 AS quality
         |FROM base""".stripMargin,
+    "q50_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90,
+        |       round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q51_rollup" ->
+      s"""WITH $EvSql
+         |SELECT datasourceId, year, CAST(count(*) AS BIGINT) AS n,
+         |       round(sum(score), 4) AS sum_score
+         |FROM ev GROUP BY ROLLUP (datasourceId, year)""".stripMargin,
     // Rolling-fingerprint replay: direct per-window polynomial sums
     // with the Scala-precomputed 257^k mod 1e9+7 powers table — same
     // residues as the engine's O(n) rolling recurrence.
