@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Library-robustness cases the query registry never hits: empty
+  * inputs and degenerate shapes must flow through, not throw.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyEvidence = Seq.empty[(Long, Long, String, Double, Option[Int])]
+    .toDF("diseaseId", "targetId", "datasourceId", "score", "year")
+    .withColumn("year", col("year").cast("int"))
+
+  test("association chain yields empty output on empty evidence") {
+    val by = AssociationScore.byDatasource(emptyEvidence)
+    assert(by.count() == 0)
+    val overall = AssociationScore.overall(by,
+      Seq(("A", 1.0)).toDF("datasourceId", "weight"))
+    assert(overall.count() == 0)
+    assert(Novelty.attach(overall, Seq("diseaseId", "targetId")).count() == 0)
+  }
+
+  test("dedup operators yield empty output on empty documents") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exactRank(docs).count() == 0)
+    assert(Dedup.minhashLshPairs(docs).count() == 0)
+    assert(Dedup.ngramJaccard(docs.withColumn("block", lit("b")),
+      blockCol = "block").count() == 0)
+    assert(Dedup.clusters(Seq.empty[(Long, Long)].toDF("idA", "idB")).count() == 0)
+  }
+
+  test("similarity search yields empty output on empty corpus or queries") {
+    val emb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val one = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(SimilaritySearch.bruteForceTopK(emb, one).count() == 0)
+    assert(SimilaritySearch.bruteForceTopK(one, emb).count() == 0)
+    assert(SimilaritySearch.cosineNearDupPairs(emb).count() == 0)
+  }
+
+  test("single-evidence pair produces a full dense series with one score step") {
+    val ev = Seq((1L, 2L, "A", 0.6, Some(1997)))
+      .toDF("diseaseId", "targetId", "datasourceId", "score", "year")
+      .withColumn("year", col("year").cast("int"))
+    val out = AssociationScore.byDatasource(ev)
+      .orderBy("year").collect()
+    // full calendar 1995..2001 (NULL score before first evidence, like
+    // the reference) + the undated slot (null year, cumulative score)
+    assert(out.length == 8, s"got ${out.length} rows")
+    val expected = 0.6 / GraftConf.MaxScore
+    out.foreach { r =>
+      val year = if (r.isNullAt(3)) None else Some(r.getInt(3))
+      year match {
+        case Some(y) if y < 1997 => assert(r.isNullAt(4), s"year $y must be unscored")
+        case _ => assert(math.abs(r.getDouble(4) - expected) < 1e-9, s"row $r")
+      }
+    }
+  }
+
+  test("text analysis propagates nulls instead of throwing") {
+    val docs = Seq((1L, Some("the quick fox")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.quality(TextAnalysis.tokens(docs))
+      .select("doc_id", "n_tokens", "quality").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(1) == 3)
+    assert(byId(2L).isNullAt(1) && byId(2L).isNullAt(2),
+      "null text must yield null metrics, not an exception")
+  }
+}
