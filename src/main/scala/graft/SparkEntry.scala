@@ -386,6 +386,42 @@ object SparkEntry {
       Approvals.approvalComposite(first, nv, t.datatypes,
         yearLo = 1995, yearHi = 1998)
     }),
+    "q17_phase_union" -> ((s, dir) => {
+      // the approval composite's second branch
+      // (novelty_approval.py:432–478): clinical-phase milestones
+      // (novelty=1) unioned with the novelty peaks, post-approval
+      // early-phase rows discarded, datatype fallback to the raw id
+      val t = Tables(s, dir)
+      val nd = t.drugs.join(t.drugLinks, Seq("drugId"))
+        .transform(Rollups.attachWindowAgg(_, Seq("targetId"), min("approvalYear"), "minY"))
+        .filter(col("minY") === col("approvalYear"))
+        .select("drugId", "targetId", "diseaseId", "approvalYear")
+        .distinct()
+      val ev = t.evidence.join(
+        broadcast(nd.select("diseaseId", "targetId").distinct()),
+        Seq("diseaseId", "targetId"), "left_semi")
+      val nv = Novelty.attach(AssociationScore.byDatasource(ev),
+        Seq("diseaseId", "targetId", "datasourceId"))
+      val novRows = nv.join(broadcast(nd), Seq("diseaseId", "targetId"))
+        .filter(col("novelty") > 0 && col("year").isNotNull)
+        .transform(Rollups.attachWindowAgg(
+          _, Seq("targetId", "datasourceId"), max("novelty"), "maxN"))
+        .filter(col("novelty") === col("maxN"))
+        .select("targetId", "datasourceId", "approvalYear", "year", "novelty")
+      val phases = t.lineitem.select(
+          col("l_orderkey").as("drugId"), col("l_partkey").as("targetId"),
+          when(col("l_linenumber").isin(1, 2), "1/2")
+            .otherwise(col("l_linenumber").cast("string")).as("datasourceId"),
+          year(col("l_shipdate")).cast("int").as("evYear"))
+        .join(broadcast(nd.select("drugId", "targetId", "approvalYear").distinct()),
+          Seq("drugId", "targetId"))
+        .groupBy("targetId", "datasourceId", "drugId", "approvalYear")
+        .agg(min("evYear").as("year"))
+        .select("targetId", "datasourceId", "approvalYear", "year")
+      Approvals.phaseUnion(novRows, phases, t.datatypes, Seq("1/2", "3"))
+        .groupBy("datatypeId")
+        .agg(countDistinct("targetId").as("targets"))
+    }),
     "q16_ta_ranked" -> ((s, dir) => {
       // prioritized therapeutic-area mapping
       // (novelty_distribution.py:60–110)
@@ -779,6 +815,76 @@ object SparkEntry {
          |SELECT dt.datatypeId, CAST(count(DISTINCT r.targetId) AS BIGINT) AS targets
          |FROM res r JOIN dtypes dt USING (datasourceId)
          |WHERE r.novelty = r.maxN AND r.approvalYear BETWEEN 1995 AND 1998
+         |GROUP BY 1""".stripMargin,
+    "q17_phase_union" ->
+      s"""WITH $BySourceSql,
+         |peaks AS (
+         |  SELECT diseaseId, targetId, datasourceId, year AS peakYear,
+         |         coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
+         |           PARTITION BY diseaseId, targetId, datasourceId ORDER BY year) AS peak
+         |  FROM bysource
+         |),
+         |decayed AS (
+         |  SELECT diseaseId, targetId, datasourceId, peakYear + d.delta AS year,
+         |         round(max(peak / (1 + exp(2.0 * (d.delta - 2.0)))), 3) AS novelty
+         |  FROM peaks CROSS JOIN (SELECT unnest(range(0, 11)) AS delta) d
+         |  WHERE peak > 0
+         |  GROUP BY 1, 2, 3, 4
+         |),
+         |nv AS (
+         |  SELECT b.diseaseId, b.targetId, b.datasourceId,
+         |         CASE WHEN b.year = 2002 THEN NULL ELSE b.year END AS year,
+         |         coalesce(n.novelty, 0.0) AS novelty
+         |  FROM bysource b
+         |  LEFT JOIN decayed n
+         |    ON n.diseaseId = b.diseaseId AND n.targetId = b.targetId
+         |   AND n.datasourceId = b.datasourceId AND n.year = b.year
+         |),
+         |drugs AS (
+         |  SELECT o_orderkey AS drugId, CAST(year(o_orderdate) AS INT) AS approvalYear
+         |  FROM orders
+         |),
+         |links AS (
+         |  SELECT DISTINCT l_orderkey AS drugId, l_partkey AS targetId, l_suppkey AS diseaseId
+         |  FROM lineitem WHERE l_linenumber = 4
+         |),
+         |nd AS (
+         |  SELECT DISTINCT drugId, targetId, diseaseId, approvalYear FROM (
+         |    SELECT d.drugId, l.targetId, l.diseaseId, d.approvalYear,
+         |           min(d.approvalYear) OVER (PARTITION BY l.targetId) AS minY
+         |    FROM drugs d JOIN links l USING (drugId)
+         |  ) WHERE approvalYear = minY
+         |),
+         |novrows AS (
+         |  SELECT targetId, datasourceId, approvalYear, year, novelty FROM (
+         |    SELECT nd.targetId, nv.datasourceId, nd.approvalYear, nv.year, nv.novelty,
+         |           max(nv.novelty) OVER (PARTITION BY nd.targetId, nv.datasourceId) AS maxN
+         |    FROM nd JOIN nv USING (diseaseId, targetId)
+         |    WHERE nv.novelty > 0 AND nv.year IS NOT NULL
+         |  ) WHERE novelty = maxN
+         |),
+         |phs AS (
+         |  SELECT targetId, datasourceId, approvalYear, min(evYear) AS year FROM (
+         |    SELECT l.l_orderkey AS drugId, l.l_partkey AS targetId,
+         |           CASE WHEN l.l_linenumber IN (1, 2) THEN '1/2'
+         |                ELSE CAST(l.l_linenumber AS VARCHAR) END AS datasourceId,
+         |           CAST(year(l.l_shipdate) AS INT) AS evYear, n.approvalYear
+         |    FROM lineitem l
+         |    JOIN (SELECT DISTINCT drugId, targetId, approvalYear FROM nd) n
+         |      ON n.drugId = l.l_orderkey AND n.targetId = l.l_partkey
+         |  ) GROUP BY targetId, datasourceId, drugId, approvalYear
+         |),
+         |union_all AS (
+         |  SELECT targetId, datasourceId, approvalYear, year, novelty FROM novrows
+         |  UNION ALL
+         |  SELECT targetId, datasourceId, approvalYear, year, 1.0 AS novelty FROM phs
+         |),
+         |dtypes(datasourceId, datatypeId) AS
+         |  (VALUES ('A', 'genetic'), ('N', 'literature'), ('R', 'clinical'))
+         |SELECT coalesce(dt.datatypeId, u.datasourceId) AS datatypeId,
+         |       CAST(count(DISTINCT u.targetId) AS BIGINT) AS targets
+         |FROM union_all u LEFT JOIN dtypes dt USING (datasourceId)
+         |WHERE NOT (u.approvalYear < u.year AND u.datasourceId IN ('1/2', '3'))
          |GROUP BY 1""".stripMargin,
     "q16_ta_ranked" ->
       """WITH expl AS (

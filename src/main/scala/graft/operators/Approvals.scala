@@ -50,6 +50,28 @@ object Approvals {
     approvalComposite(firstApprovalTargets(drugs, links),
       noveltyBySource, datatypes, yearLo, yearHi)
 
+  /** The reference's second composite branch
+    * (novelty_approval.py:432–478): clinical-phase milestones per
+    * (target, phase, drug) — earliest year, flat novelty 1 — unioned
+    * with the novelty-peak rows, then the `window` offset, the
+    * conditional discard of post-approval early-phase rows, and the
+    * datatype mapping with fallback to the raw datasource id.
+    * Output: targetId, datasourceId, datatypeId, approvalYear, year,
+    * novelty, window.
+    */
+  def phaseUnion(
+      noveltyRows: DataFrame,   // (targetId, datasourceId, approvalYear, year, novelty)
+      phaseRows: DataFrame,     // (targetId, datasourceId, approvalYear, year) milestones
+      datatypes: DataFrame,
+      earlyPhases: Seq[String]): DataFrame =
+    noveltyRows
+      .unionByName(phaseRows.withColumn("novelty", lit(1.0)))
+      .withColumn("window", col("year") - col("approvalYear"))
+      .filter(!(col("approvalYear") < col("year") &&
+        col("datasourceId").isin(earlyPhases: _*)))
+      .join(broadcast(datatypes), Seq("datasourceId"), "left")
+      .withColumn("datatypeId", coalesce(col("datatypeId"), col("datasourceId")))
+
   /** Variant taking the precomputed first-approval set, so callers can
     * also semi-join it into the EVIDENCE feeding `noveltyBySource`:
     * the association/novelty chain is per-(pair, source) independent,

@@ -200,6 +200,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map("genetic" -> 1L))
   }
 
+  test("Approvals.phaseUnion discards post-approval early phases, falls back datatype") {
+    val nov = Seq((10L, "A", 1996, 1995, 0.9))
+      .toDF("targetId", "datasourceId", "approvalYear", "year", "novelty")
+    val phases = Seq(
+      (10L, "1/2", 1996, 1997),  // early phase AFTER approval → discarded
+      (10L, "3", 1996, 1995),    // phase 3 before approval → kept
+      (10L, "4", 1996, 1999))    // late phase after approval → kept
+      .toDF("targetId", "datasourceId", "approvalYear", "year")
+    val dt = Seq(("A", "genetic")).toDF("datasourceId", "datatypeId")
+    val out = Approvals.phaseUnion(nov, phases, dt, Seq("1/2", "3"))
+      .select("datasourceId", "datatypeId", "novelty", "window")
+      .as[(String, String, Double, Int)].collect().toSet
+    assert(out == Set(
+      ("A", "genetic", 0.9, -1),
+      ("3", "3", 1.0, -1),
+      ("4", "4", 1.0, 3)), s"got $out")
+  }
+
   test("Rollups.rankedDimPick fills unranked items and picks the best rank") {
     val df = Seq((1L, 5L), (1L, 7L), (2L, 8L), (2L, 9L))
       .toDF("key", "item")
