@@ -433,6 +433,26 @@ object SparkEntry {
         .select(col("diseaseId"), col("ta").as("therapeuticArea"),
           col("taName").as("therapeuticAreaName"))
     }),
+    "q18_novel_by_ta" -> ((s, dir) => {
+      // the distribution analysis' headline rollup
+      // (novelty_distribution.py:598–638): novelty snapshot at a year,
+      // TA mapping inner-joined, excluded TAs/diseases filtered out,
+      // distinct associations per (datasource, TA name)
+      val t = Tables(s, dir)
+      val nv = Novelty.attach(AssociationScore.byDatasource(t.evidence),
+        Seq("diseaseId", "targetId", "datasourceId"))
+      val expl = t.ontology.select(
+        col("id").as("diseaseId"), explode(col("ancestors")).as("ta"))
+      val taMap = Rollups.rankedDimPick(expl, "diseaseId", "ta", t.taPriority, "ranking")
+        .join(broadcast(t.taNames), Seq("ta"), "left")
+      val excludedTas = Seq(203L, 204L)
+      nv.filter(col("novelty") >= 0.1 && col("year") === 1999)
+        .join(taMap, Seq("diseaseId"))
+        .filter(!col("ta").isin(excludedTas: _*))
+        .groupBy("datasourceId", "taName")
+        .agg(countDistinct(concat_ws("|", col("targetId"), col("diseaseId")))
+          .as("association"))
+    }),
     "q20_tpch_q1" -> ((s, dir) => {
       val t = Tables(s, dir)
       val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -909,6 +929,59 @@ object SparkEntry {
         |SELECT rk.diseaseId, rk.ta AS therapeuticArea, nm.taName AS therapeuticAreaName
         |FROM ranked rk LEFT JOIN names nm USING (ta)
         |WHERE rk.r = 1""".stripMargin,
+    "q18_novel_by_ta" ->
+      s"""WITH $BySourceSql,
+         |peaks AS (
+         |  SELECT diseaseId, targetId, datasourceId, year AS peakYear,
+         |         coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
+         |           PARTITION BY diseaseId, targetId, datasourceId ORDER BY year) AS peak
+         |  FROM bysource
+         |),
+         |decayed AS (
+         |  SELECT diseaseId, targetId, datasourceId, peakYear + d.delta AS year,
+         |         round(max(peak / (1 + exp(2.0 * (d.delta - 2.0)))), 3) AS novelty
+         |  FROM peaks CROSS JOIN (SELECT unnest(range(0, 11)) AS delta) d
+         |  WHERE peak > 0
+         |  GROUP BY 1, 2, 3, 4
+         |),
+         |nv AS (
+         |  SELECT b.diseaseId, b.targetId, b.datasourceId,
+         |         CASE WHEN b.year = 2002 THEN NULL ELSE b.year END AS year,
+         |         coalesce(n.novelty, 0.0) AS novelty
+         |  FROM bysource b
+         |  LEFT JOIN decayed n
+         |    ON n.diseaseId = b.diseaseId AND n.targetId = b.targetId
+         |   AND n.datasourceId = b.datasourceId AND n.year = b.year
+         |),
+         |expl AS (
+         |  SELECT CAST(s.s_suppkey AS BIGINT) AS diseaseId,
+         |         unnest([CAST(s.s_nationkey + 100 AS BIGINT),
+         |                 CAST(n.n_regionkey + 200 AS BIGINT)]) AS ta
+         |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |),
+         |pri(ta, ranking) AS
+         |  (VALUES (CAST(202 AS BIGINT), 0), (CAST(200 AS BIGINT), 1), (CAST(104 AS BIGINT), 2)),
+         |tarank AS (
+         |  SELECT diseaseId, ta,
+         |         row_number() OVER (
+         |           PARTITION BY diseaseId ORDER BY coalesce(p.ranking, 1000), ta) AS r
+         |  FROM expl LEFT JOIN pri p USING (ta)
+         |),
+         |names AS (
+         |  SELECT CAST(n_nationkey + 100 AS BIGINT) AS ta, n_name AS taName FROM nation
+         |  UNION ALL
+         |  SELECT CAST(r_regionkey + 200 AS BIGINT), r_name FROM region
+         |),
+         |tamap AS (
+         |  SELECT rk.diseaseId, rk.ta, nm.taName
+         |  FROM tarank rk LEFT JOIN names nm USING (ta) WHERE rk.r = 1
+         |)
+         |SELECT v.datasourceId, t.taName,
+         |       CAST(count(DISTINCT (CAST(v.targetId AS VARCHAR) || '|' || CAST(v.diseaseId AS VARCHAR))) AS BIGINT)
+         |         AS association
+         |FROM nv v JOIN tamap t USING (diseaseId)
+         |WHERE v.novelty >= 0.1 AND v.year = 1999 AND t.ta NOT IN (203, 204)
+         |GROUP BY 1, 2""".stripMargin,
     "q20_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
