@@ -69,4 +69,42 @@ class PropertySpec extends AnyFunSuite {
         Option(merged.harmonic(M)) == Option(direct.harmonic(M))
     })
   }
+
+
+  test("RollingMinHash equals the direct polynomial minimum for any ASCII text") {
+    val asciiText = Gen.listOf(Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString)
+    check(Prop.forAll(asciiText, Gen.chooseNum(1, 24)) { (s: String, w: Int) =>
+      val b = s.getBytes("UTF-8").map(_ & 0xff)
+      val direct: Option[Long] =
+        if (b.length < w) None
+        else Some((0 to b.length - w).map { j =>
+          (0 until w).foldLeft(0L)((h, k) =>
+            (h * graft.functions.RollingMinHash.Base + b(j + k)) %
+              graft.functions.RollingMinHash.Mod)
+        }.min)
+      val rolled = Option(
+        graft.functions.RollingMinHash.evalStatic(UTF8String.fromString(s), w))
+        .map(_.longValue())
+      rolled == direct
+    })
+  }
+
+  test("TopKCollect buffer yields the sorted top-K under arbitrary merge splits") {
+    check(Prop.forAll(
+      Gen.listOf(Gen.chooseNum(0.0, 1.0)), Gen.chooseNum(1, 20), Gen.chooseNum(0, 100)) {
+      (xs: List[Double], k: Int, splitSeed: Int) =>
+        // split the input into two partial buffers and merge — the
+        // map-side-combine path must equal the single-buffer path
+        val (l, r) = xs.splitAt(if (xs.isEmpty) 0 else splitSeed % (xs.length + 1))
+        val a = new TopKBuffer(k); l.foreach(a.add)
+        val b = new TopKBuffer(k); r.foreach(b.add)
+        var i = 0
+        while (i < b.size) { a.add(b.heap(i)); i += 1 }
+        val single = new TopKBuffer(k); xs.foreach(single.add)
+        java.util.Arrays.sort(a.heap, 0, a.size)
+        java.util.Arrays.sort(single.heap, 0, single.size)
+        a.size == single.size &&
+          (0 until a.size).forall(j => a.heap(j) == single.heap(j))
+    })
+  }
 }
