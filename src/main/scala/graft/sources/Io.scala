@@ -31,6 +31,16 @@ object Io {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC round-trip — the other columnar format Spark ships natively
+    * (predicate pushdown and column pruning work the same way as
+    * parquet).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Partitioned parquet writer — the layout that makes downstream
     * partition pruning (`WHERE year = …`) a directory skip.
     */

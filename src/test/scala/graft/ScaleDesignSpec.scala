@@ -154,6 +154,20 @@ class ScaleDesignSpec extends SparkSpec {
     assert(csv.exceptAll(ev).isEmpty && jsonl.exceptAll(ev).isEmpty)
   }
 
+  test("orc round-trips with pushdown and pruning like parquet") {
+    val ev = tables.events.select(col("event_id"), col("user_id"), col("event_type"))
+    Io.writeOrc(ev, "/tmp/graft-io/events_orc")
+    val orc = Io.readOrc(spark, "/tmp/graft-io/events_orc")
+    assert(orc.count() == ev.count())
+    assert(orc.exceptAll(ev).isEmpty)
+    val plan = orc.filter(col("user_id") === 7).select("event_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]"),
+      s"orc scan must push the filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"),
+      s"orc scan must prune columns:\n$plan")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val t = tables
     Io.writeParquetPartitioned(
