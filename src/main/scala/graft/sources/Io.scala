@@ -56,10 +56,21 @@ object Io {
       tableName: String,
       bucketCol: String,
       numBuckets: Int): Unit =
+    writeBucketed(df, tableName, Seq(bucketCol), numBuckets)
+
+  /** Multi-column variant: both join sides bucketed AND joined on the
+    * same column list (order matters — bucket hash is positional)
+    * equi-join with no exchange.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      bucketCols: Seq[String],
+      numBuckets: Int): Unit =
     df.write
       .mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(tableName)
 }

@@ -140,6 +140,33 @@ class ScaleDesignSpec extends SparkSpec {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("multi-column bucketed tables join on the composite key without exchange") {
+    for (d <- Seq("ev_b1", "ev_b2")) {
+      spark.sql(s"DROP TABLE IF EXISTS $d")
+      val p = new java.io.File(s"spark-warehouse/$d")
+      if (p.exists()) {
+        java.nio.file.Files.walk(p.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.delete(q))
+      }
+    }
+    val ev = tables.evidence
+    Io.writeBucketed(ev.select("diseaseId", "targetId", "score"),
+      "ev_b1", Seq("diseaseId", "targetId"), 4)
+    Io.writeBucketed(ev.select(col("diseaseId"), col("targetId"), col("year")),
+      "ev_b2", Seq("diseaseId", "targetId"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ev_b1")
+        .join(spark.table("ev_b2"), Seq("diseaseId", "targetId"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"composite-key bucketed join must be shuffle-free:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must use buckets:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("csv and jsonl round-trip the events table") {
     val t = tables
     val ev = t.events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
