@@ -2,6 +2,7 @@ package graft
 
 import graft.operators._
 import graft.sources.Tables
+import graft.streaming.{AssociationStream, EventStream, StreamQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -152,6 +153,17 @@ object SparkEntry {
       |  FROM proj GROUP BY 1
       |),
       |withb AS (SELECT n.vec_id, n.q, n.n, b.bucket FROM nrm n JOIN bkt b USING (vec_id))""".stripMargin
+
+  /** DuckDB replica of [[graft.operators.Sampling.hashBucket]]: decode
+    * the first 6 hex nibbles of `md5Expr` positionally (DuckDB has no
+    * hex→int conv; ascii arithmetic is exact) and take mod 100.
+    */
+  private def HexBucketSql(md5Expr: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 7), i ->
+       |  (CASE WHEN ascii(substring($md5Expr, CAST(i AS INT), 1)) >= 97
+       |        THEN ascii(substring($md5Expr, CAST(i AS INT), 1)) - 87
+       |        ELSE ascii(substring($md5Expr, CAST(i AS INT), 1)) - 48 END)
+       |  * CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) % 100""".stripMargin
 
   /** Ontology-propagated ("indirect") evidence CTE: every evidence row
     * copied to its disease's self+ancestors — mirrors
@@ -642,6 +654,88 @@ object SparkEntry {
       val t = Tables(s, dir)
       t.documents.select(col("doc_id"),
         graft.functions.rollingMinHash(col("text"), 16).as("rfp"))
+    }),
+    "q52_gopher_rules" -> ((s, dir) => {
+      // Gopher-style quality-filter flags, all integer-exact
+      val t = Tables(s, dir)
+      TextAnalysis.gopherRules(t.documents)
+        .select("doc_id", "n_words", "alpha_words", "stop_hits",
+          "ok_words", "ok_mean_len", "ok_alpha", "ok_stop", "ok_symbol",
+          "gopher_pass")
+    }),
+    "q53_repetition" -> ((s, dir) => {
+      // intra-doc repetition signals via the shuffle-free run-length fold
+      val t = Tables(s, dir)
+      TextAnalysis.repetition(t.documents)
+        .select("doc_id", "n_grams", "top_count", "dup_count",
+          "top_frac", "dup_frac")
+    }),
+    "q54_hash_split" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Sampling.hashSplit(t.documents).select("doc_id", "bucket", "split")
+    }),
+    "q55_contamination" -> ((s, dir) => {
+      // train/eval overlap scan: benchmark = every 20th doc, corpus = rest
+      val t = Tables(s, dir)
+      Dedup.crossContamination(
+        t.documents.filter(col("doc_id") % 20 =!= 0),
+        t.documents.filter(col("doc_id") % 20 === 0),
+        minShared = 5)
+    }),
+    "q56_stratified_sample" -> ((s, dir) => {
+      // per-source sampling rates (20..90, derived deterministically
+      // from the source name) applied as a broadcast dim + hash filter
+      val t = Tables(s, dir)
+      val rates = t.documents.select("source").distinct()
+        .withColumn("pct",
+          conv(substring(md5(col("source")), 1, 1), 16, 10).cast("int") % 8 * 10 + 20)
+      Sampling.stratifiedHashSample(t.documents, rates, "source")
+        .select("doc_id", "source", "bucket", "pct")
+    }),
+    "q60_stream_tumbling" -> ((s, dir) => {
+      // the streaming runtime end-to-end: file-source replay, 2h
+      // watermark, append mode — only FINALIZED windows (window end ≤
+      // max event time − 2h) are emitted, which no batch split changes
+      StreamQueries.materialize(
+          EventStream.tumblingCounts(
+            StreamQueries.streamEvents(s, dir), "1 hour", "2 hours"))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 4).as("sum_value"))
+    }),
+    "q61_stream_sessions" -> ((s, dir) => {
+      // streaming gap sessionization (session_window): finalized
+      // sessions only (end = last event + gap ≤ max event time − 2h)
+      StreamQueries.materialize(
+          EventStream.sessionCounts(
+            StreamQueries.streamEvents(s, dir), "30 minutes", "2 hours"))
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("start_ts")).as("start_us"),
+          unix_micros(col("end_ts")).as("end_us"))
+    }),
+    "q62_stream_dedup" -> ((s, dir) => {
+      // streaming exact dedup; the watermark outlives the replay so no
+      // state expires and the surviving KEY SET (projected here) is
+      // exactly the distinct keys, however the input is micro-batched
+      StreamQueries.materialize(
+          EventStream.dedupeExact(StreamQueries.streamEvents(s, dir),
+            Seq("user_id", "event_type"), watermark = "3650 days"))
+        .select("user_id", "event_type")
+    }),
+    "q63_stream_assoc" -> ((s, dir) => {
+      // the flagship chain's streaming twin: cumulative top-K harmonic
+      // scores via mapGroupsWithState, reduced to the final state per
+      // (pair, source) — batch-split-invariant because the top-K
+      // multiset and evidence count are order-independent
+      import s.implicits._
+      val ev = StreamQueries.streamEvidence(s, dir)
+        .as[AssociationStream.EvidenceEvent]
+      val updates = StreamQueries.materialize(
+        AssociationStream.cumulativeScores(ev), mode = "update")
+      StreamQueries.latestByKey(updates,
+          Seq("diseaseId", "targetId", "datasourceId"), "n_evidence")
+        .withColumn("score", round(col("score"), 4))
     }),
   )
 
@@ -1371,5 +1465,147 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT query_id, id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin,
+    // Gopher rules: every flag re-derived in the same INTEGER
+    // arithmetic, so booleans are exact in both engines.
+    "q52_gopher_rules" -> {
+      val stopSum = graft.operators.TextAnalysis.GopherStopwords
+        .map(w => s"(CASE WHEN list_contains(string_split(text, ' '), '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(text) = 0 THEN 0
+         |              ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS n,
+         |         CAST(len(text) AS BIGINT) AS l,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |                x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS aw,
+         |         CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS sym,
+         |         CAST($stopSum AS INT) AS sh
+         |  FROM documents
+         |)
+         |SELECT doc_id, n AS n_words, aw AS alpha_words, sh AS stop_hits,
+         |       (n BETWEEN 30 AND 100000) AS ok_words,
+         |       (n > 0 AND (l - (n - 1)) >= 3 * n AND (l - (n - 1)) <= 10 * n) AS ok_mean_len,
+         |       (aw * 10 >= n * 8) AS ok_alpha,
+         |       (sh >= 2) AS ok_stop,
+         |       (sym * 10 <= l) AS ok_symbol,
+         |       ((n BETWEEN 30 AND 100000)
+         |         AND (n > 0 AND (l - (n - 1)) >= 3 * n AND (l - (n - 1)) <= 10 * n)
+         |         AND (aw * 10 >= n * 8) AND (sh >= 2) AND (sym * 10 <= l)) AS gopher_pass
+         |FROM d""".stripMargin
+    },
+    // Repetition replay via the naive explode→group-by formulation —
+    // the engine's shuffle-free run-length fold must agree exactly.
+    "q53_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2
+        |),
+        |c AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total, max(cnt) AS mx,
+        |         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(a.total, 0) AS n_grams,
+        |       coalesce(a.mx, 0) AS top_count,
+        |       coalesce(a.dup, 0) AS dup_count,
+        |       CASE WHEN coalesce(a.total, 0) = 0 THEN 0.0
+        |            ELSE CAST((a.mx * 20000 + a.total) // (a.total * 2) AS DOUBLE) / 10000 END AS top_frac,
+        |       CASE WHEN coalesce(a.total, 0) = 0 THEN 0.0
+        |            ELSE CAST((a.dup * 20000 + a.total) // (a.total * 2) AS DOUBLE) / 10000 END AS dup_frac
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+    "q54_hash_split" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':split') AS h FROM documents
+         |),
+         |b AS (SELECT doc_id, ${HexBucketSql("h")} AS bucket FROM h)
+         |SELECT doc_id, bucket,
+         |       CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+    "q55_contamination" ->
+      s"""WITH $ShinglesSql,
+         |b AS (SELECT id AS bench_id, unnest(list_distinct(sh)) AS s FROM shingled WHERE id % 20 = 0),
+         |c AS (SELECT id, unnest(list_distinct(sh)) AS s FROM shingled WHERE id % 20 <> 0)
+         |SELECT c.id AS doc_id,
+         |       CAST(count(DISTINCT c.s) AS BIGINT) AS n_shared,
+         |       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+         |FROM c JOIN b USING (s)
+         |GROUP BY 1
+         |HAVING count(DISTINCT c.s) >= 5""".stripMargin,
+    "q56_stratified_sample" ->
+      s"""WITH r AS (
+         |  SELECT source,
+         |         ((CASE WHEN ascii(substring(md5(source), 1, 1)) >= 97
+         |                THEN ascii(substring(md5(source), 1, 1)) - 87
+         |                ELSE ascii(substring(md5(source), 1, 1)) - 48 END) % 8) * 10 + 20 AS pct
+         |  FROM (SELECT DISTINCT source FROM documents)
+         |),
+         |h AS (
+         |  SELECT d.doc_id, d.source, r.pct,
+         |         ${HexBucketSql("md5(CAST(d.doc_id AS VARCHAR) || ':strat')")} AS bucket
+         |  FROM documents d JOIN r USING (source)
+         |)
+         |SELECT doc_id, source, bucket, pct FROM h WHERE bucket < pct""".stripMargin,
+    // Streaming replays: the oracle computes the batch result PLUS the
+    // append-mode finalization cut (window/session end ≤ max event
+    // time − watermark delay) — the emitted set is exactly that,
+    // independent of how the file source micro-batched the input.
+    "q60_stream_tumbling" ->
+      """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |mx AS (SELECT max(ts) AS mt FROM ev),
+        |w AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type,
+        |         CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |  FROM ev GROUP BY 1, 2
+        |)
+        |SELECT strftime(w.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       w.event_type, w.n, w.sum_value
+        |FROM w, mx WHERE w.ws + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""".stripMargin,
+    "q61_stream_sessions" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |mx AS (SELECT max(ts) AS mt FROM ev),
+        |gapped AS (
+        |  SELECT *, epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM ev
+        |),
+        |flagged AS (
+        |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM gapped
+        |),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |),
+        |agg AS (
+        |  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+        |         min(ts) AS start_ts, max(ts) + INTERVAL 30 MINUTE AS end_ts
+        |  FROM sess GROUP BY 1, 2
+        |)
+        |SELECT a.user_id, a.n_events,
+        |       CAST(epoch_us(a.start_ts) AS BIGINT) AS start_us,
+        |       CAST(epoch_us(a.end_ts) AS BIGINT) AS end_us
+        |FROM agg a, mx WHERE a.end_ts <= mx.mt - INTERVAL 2 HOUR""".stripMargin,
+    "q62_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q63_stream_assoc" ->
+      s"""WITH $EvSql,
+         |ranked AS (
+         |  SELECT diseaseId, targetId, datasourceId, score,
+         |         row_number() OVER (
+         |           PARTITION BY diseaseId, targetId, datasourceId
+         |           ORDER BY score DESC) AS rn,
+         |         CAST(count(*) OVER (
+         |           PARTITION BY diseaseId, targetId, datasourceId) AS BIGINT) AS n
+         |  FROM ev
+         |)
+         |SELECT diseaseId, targetId, datasourceId, n AS n_evidence,
+         |       round(sum(CASE WHEN rn <= 50 THEN score / (rn * rn) END)
+         |             / 1.6449340668482264, 4) AS score
+         |FROM ranked GROUP BY 1, 2, 3, n""".stripMargin,
   )
 }

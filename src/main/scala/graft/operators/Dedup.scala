@@ -236,6 +236,40 @@ object Dedup {
       .select(col("block"), col("idA"), col("idB"), col("jaccard"))
   }
 
+  /** Cross-corpus contamination check: which corpus documents share at
+    * least `minShared` distinct word `shingleSize`-grams with any
+    * benchmark document (the train/eval overlap scan every LLM data
+    * pipeline runs before training). Output per contaminated corpus
+    * doc: (doc_id, n_shared distinct shingles, n_bench_docs hit).
+    *
+    * Scale shape: the benchmark (eval sets) is orders of magnitude
+    * smaller than the corpus, so its inverted shingle index is
+    * BROADCAST and the corpus side is a scan-local explode + broadcast
+    * equi-join + partial-aggregated groupBy on the high-cardinality
+    * doc id — the 100 TB corpus is never shuffled at shingle grain.
+    * (If the benchmark outgrows broadcast size, drop the broadcast()
+    * and the same plan becomes a sort-merge join on the shingle key.)
+    */
+  def crossContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      minShared: Int = 2): DataFrame = {
+    def index(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      explode(graft.functions.NativeText.wordShingles(col(textCol), shingleSize)).as("s"))
+    index(spread(corpus), "id")
+      .join(broadcast(index(benchmark, "bench_id")), Seq("s"))
+      .groupBy("id")
+      .agg(
+        countDistinct("s").as("n_shared"),
+        countDistinct("bench_id").as("n_bench_docs"))
+      .filter(col("n_shared") >= minShared)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** SimHash in a 32-bit space derived from md5 nibbles: for each of 32
     * hex positions of each token's md5, vote +1 if the nibble ≥ 8 else
     * −1; the simhash bit is 1 where the vote sum is positive. Encoded

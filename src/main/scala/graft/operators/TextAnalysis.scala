@@ -114,4 +114,115 @@ object TextAnalysis {
   /** Content fingerprint (md5 hex). */
   def fingerprint(df: DataFrame, textCol: String = "text", out: String = "fp"): DataFrame =
     df.withColumn(out, md5(col(textCol)))
+
+  /** Gopher-style stopword list (Rae et al. 2021, "Scaling Language
+    * Models", §A1.1 quality filtering): a document should contain at
+    * least two of these.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality-filter rules (Rae et al. 2021 §A1.1), each as
+    * a per-document flag plus the composite `gopher_pass`:
+    *
+    *  - `ok_words`:    word count within [minWords, maxWords]
+    *  - `ok_mean_len`: mean word length within [3, 10] characters
+    *  - `ok_alpha`:    ≥ 80% of words contain an alphabetic character
+    *  - `ok_stop`:     ≥ 2 stopwords from [[GopherStopwords]] present
+    *  - `ok_symbol`:   symbol (non-alphanumeric-non-space) chars ≤ 10%
+    *
+    * Every rule is evaluated in INTEGER arithmetic (e.g. mean-length ∈
+    * [3,10] becomes `3n ≤ chars ≤ 10n`), so the flags are exact in any
+    * engine — no float thresholds to disagree on. Scale shape: pure
+    * per-row projection, no shuffle, stays inside whole-stage codegen.
+    */
+  def gopherRules(
+      df: DataFrame,
+      textCol: String = "text",
+      minWords: Int = 30,
+      maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val w = words(t)
+    val n = tokenCount(t).cast("long")
+    val len = length(t).cast("long")
+    // chars-in-words = total length minus the (n-1) separator spaces
+    val wordChars = len - (n - lit(1L))
+    val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = GopherStopwords
+      .map(m => when(array_contains(w, m), 1).otherwise(0))
+      .reduce(_ + _)
+      .cast("int")
+    val symbols = (length(t) - length(regexp_replace(t, "[^A-Za-z0-9 ]", ""))).cast("long")
+    val okWords = n.between(minWords.toLong, maxWords.toLong)
+    val okMeanLen = n > 0 && wordChars >= lit(3L) * n && wordChars <= lit(10L) * n
+    val okAlpha = alphaWords * 10 >= n * 8
+    val okStop = stopHits >= 2
+    val okSymbol = symbols * 10 <= len
+    df.withColumn("n_words", n)
+      .withColumn("alpha_words", alphaWords)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("ok_words", okWords)
+      .withColumn("ok_mean_len", okMeanLen)
+      .withColumn("ok_alpha", okAlpha)
+      .withColumn("ok_stop", okStop)
+      .withColumn("ok_symbol", okSymbol)
+      .withColumn("gopher_pass", okWords && okMeanLen && okAlpha && okStop && okSymbol)
+  }
+
+  /** Round the exact rational num/den half-up to 4 dp in integer
+    * arithmetic — engine-portable for the same reason as [[quality]]'s
+    * score (the double division is exact enough that floor cannot land
+    * on the wrong side; see that scaladoc).
+    */
+  private[operators] def ratio4(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(
+      floor((num * 20000L + den).cast("double") / (den * 2L).cast("double")) / 10000.0)
+
+  /** Intra-document repetition signals (Gopher §A1.1 "repetitious"
+    * rules): over the document's word `n`-grams (with duplicates),
+    *
+    *  - `n_grams`:   total n-gram count
+    *  - `top_count`: occurrences of the most frequent n-gram
+    *  - `dup_count`: n-gram instances whose gram occurs more than once
+    *  - `top_frac` / `dup_frac`: the two counts / `n_grams`, 4 dp
+    *
+    * Scale shape: the grams are sorted IN-ROW and the counts come from
+    * a single run-length pass (`aggregate` over the sorted array) — a
+    * pure projection with NO shuffle, unlike the naive
+    * explode→groupBy(doc, gram) formulation (equivalence pinned by
+    * spec). Documents with fewer than n words report all-zero.
+    */
+  def repetition(df: DataFrame, textCol: String = "text", n: Int = 2): DataFrame = {
+    val sorted = array_sort(Dedup.shingles(col(textCol), n))
+    // run-length fold: (prev gram, current run, max run, #singleton grams, total)
+    val init = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx"),
+      lit(0L).as("single"), lit(0L).as("total"))
+    val folded = aggregate(
+      sorted,
+      init,
+      (a, x) => {
+        val same = x === a.getField("prev")
+        val run = when(same, a.getField("run") + 1L).otherwise(lit(1L))
+        struct(
+          x.as("prev"),
+          run.as("run"),
+          greatest(a.getField("mx"), run).as("mx"),
+          (a.getField("single") +
+            when(!same && a.getField("run") === 1L, 1L).otherwise(0L)).as("single"),
+          (a.getField("total") + 1L).as("total"))
+      },
+      a => struct(
+        a.getField("total").as("total"),
+        a.getField("mx").as("mx"),
+        // close the final run, then duplicates = total − singletons
+        (a.getField("total") - a.getField("single") -
+          when(a.getField("run") === 1L, 1L).otherwise(0L)).as("dup")))
+    df.withColumn("__r", folded)
+      .withColumn("n_grams", col("__r.total"))
+      .withColumn("top_count", col("__r.mx"))
+      .withColumn("dup_count", col("__r.dup"))
+      .withColumn("top_frac", ratio4(col("__r.mx"), col("__r.total")))
+      .withColumn("dup_frac", ratio4(col("__r.dup"), col("__r.total")))
+      .drop("__r")
+  }
 }

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Runs the streaming operators as REGISTERED queries: a driver parquet
+  * table is replayed through the file source with Trigger.AvailableNow
+  * into a memory sink, and the materialized result is returned as a
+  * batch DataFrame — so the streaming runtime (watermarks, state
+  * stores, append/update semantics) is exercised end-to-end by the same
+  * DuckDB oracle gate as every batch query.
+  *
+  * Determinism: the file source may split the input into any number of
+  * micro-batches, so only batch-split-invariant results are registered —
+  * append-mode aggregations are compared on their FINALIZED windows
+  * (window end ≤ final watermark = max event time − delay, which no
+  * batch split can change), and update-mode state is reduced to its
+  * final value per key (`latestByKey`).
+  */
+object StreamQueries {
+
+  private val ctr = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A driver parquet table as a file-source stream (schema probed from
+    * the parquet footer).
+    */
+  def streamTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    // The driver tables are single FILES. FileStreamSource force-sets
+    // basePath to the source path whenever it is NOT a glob, and a
+    // file-valued basePath is rejected at partition inference — so feed
+    // it a single-alternative {name} glob (matches only this file) and
+    // pin basePath to the parent directory ourselves.
+    spark.readStream.schema(spark.read.parquet(path).schema)
+      .option("basePath", dir).parquet(s"$dir/{$name}.parquet")
+  }
+
+  /** events.parquet as a stream, with the same TIMESTAMP(NANOS) → micros
+    * conversion as [[graft.sources.Tables.events]].
+    */
+  def streamEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    streamTable(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** The evidence view (SURVEY.md §3) as a stream of
+    * [[AssociationStream.EvidenceEvent]]-shaped rows.
+    */
+  def streamEvidence(spark: SparkSession, dir: String): DataFrame =
+    streamTable(spark, dir, "lineitem").select(
+      col("l_suppkey").cast("long").as("diseaseId"),
+      col("l_partkey").cast("long").as("targetId"),
+      col("l_returnflag").as("datasourceId"),
+      (col("l_discount") * 10).cast("double").as("score"))
+
+  /** Run `stream` to completion (AvailableNow) into a uniquely-named
+    * memory sink and return the materialized table.
+    */
+  def materialize(stream: DataFrame, mode: String = "append"): DataFrame = {
+    val name = s"graft_stream_${ctr.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft-ckpt-$name").toString
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.table(name)
+  }
+
+  /** Reduce an update-mode output history to the final state per key:
+    * the row with the highest `seqCol` (strictly increasing per key,
+    * e.g. a cumulative evidence count) wins.
+    */
+  def latestByKey(updates: DataFrame, keyCols: Seq[String], seqCol: String): DataFrame = {
+    val others = updates.columns.filterNot(c => keyCols.contains(c) || c == seqCol)
+    updates
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        max(col(seqCol)).as(seqCol),
+        others.map(c => max_by(col(c), col(seqCol)).as(c)): _*)
+  }
+}

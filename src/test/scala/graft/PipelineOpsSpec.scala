@@ -1,0 +1,162 @@
+package graft
+
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.streaming.{EventStream, StreamQueries}
+import org.apache.spark.sql.functions._
+
+/** Round-4 pipeline operators: Gopher quality rules, repetition
+  * signals, deterministic sampling/splits, cross-corpus contamination,
+  * and the streaming-query materialization path.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- gopher
+
+  test("gopherRules: a clean document passes every rule") {
+    val text = (Seq("the", "report", "and", "its", "appendix") ++
+      (1 to 30).map(i => s"word$i")).mkString(" ")
+    val r = TextAnalysis.gopherRules(Seq((1L, text)).toDF("doc_id", "text"))
+      .select("n_words", "ok_words", "ok_mean_len", "ok_alpha", "ok_stop",
+        "ok_symbol", "gopher_pass").head()
+    assert(r.getLong(0) == 35)
+    assert((1 to 5).forall(r.getBoolean), r.toString)
+  }
+
+  test("gopherRules: each rule fails on its own violation") {
+    def flags(text: String) = {
+      val r = TextAnalysis.gopherRules(Seq((1L, text)).toDF("doc_id", "text"))
+        .select("ok_words", "ok_mean_len", "ok_alpha", "ok_stop", "ok_symbol",
+          "gopher_pass").head()
+      (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5))
+    }
+    val pad = (1 to 40).map(i => s"word$i")
+    // too short
+    assert(flags("the cat and dog")._1 == false)
+    // mean word length < 3 ("a b c ..." words of length 1)
+    val short = ("the" +: "and" +: (1 to 40).map(_ => "a")).mkString(" ")
+    assert(flags(short)._2 == false)
+    // >20% non-alpha words
+    val numeric = (Seq("the", "and") ++ (1 to 10).map(i => s"word$i") ++
+      (1 to 40).map(_.toString)).mkString(" ")
+    assert(flags(numeric)._3 == false)
+    // fewer than 2 stopwords
+    assert(flags(pad.mkString(" "))._4 == false)
+    // >10% symbol characters
+    val symbolic = (Seq("the", "and") ++ pad.map(_ + "###")).mkString(" ")
+    assert(flags(symbolic)._5 == false)
+    assert(flags(("the" +: "and" +: pad).mkString(" "))._6 == true)
+  }
+
+  // ------------------------------------------------------ repetition
+
+  test("repetition: crafted counts (a b a b a b)") {
+    // 2-grams: [a b, b a, a b, b a, a b] → total 5, top "a b"×3, all dup
+    val r = TextAnalysis.repetition(Seq((1L, "a b a b a b")).toDF("doc_id", "text"))
+      .select("n_grams", "top_count", "dup_count", "top_frac", "dup_frac").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 3L, 5L)))
+    assert(r.getDouble(3) == 0.6 && r.getDouble(4) == 1.0)
+  }
+
+  test("repetition: all-distinct grams and sub-n-word docs") {
+    val out = TextAnalysis.repetition(
+      Seq((1L, "one two three four"), (2L, "solo")).toDF("doc_id", "text"))
+      .select("doc_id", "n_grams", "top_count", "dup_count").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 1L, 0L)))
+    assert(out(2L) == ((0L, 0L, 0L)))
+  }
+
+  test("repetition: run-length fold equals the explode/groupBy formulation") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val folded = TextAnalysis.repetition(docs)
+      .select("doc_id", "n_grams", "top_count", "dup_count")
+    val naive = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_grams"), max("cnt").as("top_count"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_count"))
+    assert(folded.exceptAll(naive).isEmpty && naive.exceptAll(folded).isEmpty)
+    // and the fold is a pure projection: no shuffle anywhere in its plan
+    assert(!folded.queryExecution.executedPlan.toString.contains("Exchange"),
+      "repetition must not shuffle")
+  }
+
+  // -------------------------------------------------------- sampling
+
+  test("hashSplit: deterministic, growth-stable, threshold-consistent") {
+    val a = Sampling.hashSplit(spark.range(100).toDF("doc_id"))
+      .select("doc_id", "bucket", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val b = Sampling.hashSplit(spark.range(1000).toDF("doc_id"))
+      .select("doc_id", "bucket", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // a document's assignment never changes when the corpus grows
+    assert(a.forall { case (id, v) => b(id) == v })
+    assert(b.values.forall { case (bk, sp) =>
+      bk >= 0 && bk < 100 &&
+        sp == (if (bk < 80) "train" else if (bk < 90) "val" else "test")
+    })
+    val bySplit = b.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
+  test("stratifiedHashSample: kept rows obey their stratum's rate; plan broadcasts") {
+    val docs = spark.range(500).toDF("doc_id")
+      .withColumn("source", concat(lit("s"), col("doc_id") % 4))
+    val rates = Seq(("s0", 0), ("s1", 25), ("s2", 50), ("s3", 100)).toDF("source", "pct")
+    val kept = Sampling.stratifiedHashSample(docs, rates, "source")
+    val rows = kept.select("source", "bucket", "pct").collect()
+    assert(rows.forall(r => r.getLong(1) < r.getInt(2)))
+    val bySrc = rows.groupBy(_.getString(0)).view.mapValues(_.size).toMap
+    assert(!bySrc.contains("s0"))
+    assert(bySrc("s3") == 125, "pct=100 keeps the whole stratum")
+    assert(bySrc("s1") < bySrc("s2"))
+    assert(kept.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "rates dim must broadcast")
+  }
+
+  // --------------------------------------------------- contamination
+
+  test("crossContamination: flags only docs sharing >= minShared shingles; bench broadcasts") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the 3 bench 3-grams inside "beta gamma delta epsilon zeta"
+      (1L, "intro beta gamma delta epsilon zeta outro"),
+      (2L, "alpha beta gamma unrelated tail here"),     // only 1 shared
+      (3L, "completely different words entirely now")). // none
+      toDF("doc_id", "text")
+    val out = Dedup.crossContamination(corpus, bench, minShared = 2)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 3L, 1L)))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "benchmark shingle index must broadcast")
+  }
+
+  // -------------------------------------------- streaming registered
+
+  test("materialized streaming tumbling agg = batch agg cut at the final watermark") {
+    val streamed = StreamQueries.materialize(
+      EventStream.tumblingCounts(StreamQueries.streamEvents(spark, sfDir),
+        "1 hour", "2 hours"))
+      .select("window_start", "event_type", "n")
+    val events = graft.sources.Tables(spark, sfDir).events
+    val cutoff = events.agg(max("ts")).head().getTimestamp(0).getTime - 2 * 3600 * 1000
+    val batch = graft.operators.EventWindows.tumbling(
+      events, "1 hour", Seq("event_type"), Seq(count(lit(1)).as("n")))
+      .filter((unix_millis(col("window_start")) + 3600 * 1000) <= cutoff)
+      .select("window_start", "event_type", "n")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("latestByKey reduces an update history to the final state per key") {
+    val updates = Seq(
+      (1L, "A", 1L, 0.2), (1L, "A", 3L, 0.9), (1L, "A", 2L, 0.5),
+      (2L, "B", 1L, 0.7)).toDF("k1", "k2", "n", "score")
+    val out = StreamQueries.latestByKey(updates, Seq("k1", "k2"), "n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSet == Set((1L, "A", 3L, 0.9), (2L, "B", 1L, 0.7)))
+  }
+}
