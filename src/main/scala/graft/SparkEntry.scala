@@ -165,6 +165,36 @@ object SparkEntry {
        |        ELSE ascii(substring($md5Expr, CAST(i AS INT), 1)) - 48 END)
        |  * CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) % 100""".stripMargin
 
+  /** Per-document integer stats CTE `d` for the Gopher-rule oracles —
+    * mirrors graft.operators.TextAnalysis.gopherRules's inputs
+    * (word/alpha-word/symbol/stopword counts, all integer-exact).
+    */
+  private val GopherDocSql: String = {
+    val stopSum = graft.operators.TextAnalysis.GopherStopwords
+      .map(w => s"(CASE WHEN list_contains(string_split(text, ' '), '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""d AS (
+       |  SELECT doc_id, text, lang,
+       |         CASE WHEN len(text) = 0 THEN 0
+       |              ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS n,
+       |         CAST(len(text) AS BIGINT) AS l,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS aw,
+       |         CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS sym,
+       |         CAST($stopSum AS INT) AS sh
+       |  FROM documents
+       |)""".stripMargin
+  }
+
+  /** The composite Gopher pass predicate over [[GopherDocSql]]'s `d`,
+    * parameterized on the stopword threshold (q52 uses the paper's 2;
+    * q58's curation run relaxes to 1 — the synthetic corpus caps at 1).
+    */
+  private def gopherPassPred(minStop: Int): String =
+    s"""(n BETWEEN 30 AND 100000)
+       |         AND (n > 0 AND (l - (n - 1)) >= 3 * n AND (l - (n - 1)) <= 10 * n)
+       |         AND (aw * 10 >= n * 8) AND (sh >= $minStop) AND (sym * 10 <= l)""".stripMargin
+
   /** Ontology-propagated ("indirect") evidence CTE: every evidence row
     * copied to its disease's self+ancestors — mirrors
     * graft.operators.OntologyPropagate over sources.Tables.ontology.
@@ -691,6 +721,28 @@ object SparkEntry {
           conv(substring(md5(col("source")), 1, 1), 16, 10).cast("int") % 8 * 10 + 20)
       Sampling.stratifiedHashSample(t.documents, rates, "source")
         .select("doc_id", "source", "bucket", "pct")
+    }),
+    "q57_token_freq" -> ((s, dir) => {
+      // corpus vocabulary: top-100 words by frequency — partial (map-
+      // side) aggregation on the word key, then a TakeOrdered top-k,
+      // never a global sort
+      val t = Tables(s, dir)
+      t.documents
+        .select(explode(TextAnalysis.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(100)
+    }),
+    "q58_curation" -> ((s, dir) => {
+      // end-to-end corpus curation: Gopher quality gate → exact dedup
+      // (keeper = lowest doc_id per content hash AMONG the survivors) →
+      // deterministic split assignment → per-(split, lang) rollup
+      val t = Tables(s, dir)
+      val quality = TextAnalysis.gopherRules(t.documents, minStopwords = 1)
+        .filter(col("gopher_pass"))
+      val deduped = Dedup.exactRank(quality).filter(col("dup_rank") === 1)
+      Sampling.hashSplit(deduped)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"))
     }),
     "q60_stream_tumbling" -> ((s, dir) => {
       // the streaming runtime end-to-end: file-source replay, 2h
@@ -1467,32 +1519,16 @@ object SparkEntry {
          |SELECT query_id, id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin,
     // Gopher rules: every flag re-derived in the same INTEGER
     // arithmetic, so booleans are exact in both engines.
-    "q52_gopher_rules" -> {
-      val stopSum = graft.operators.TextAnalysis.GopherStopwords
-        .map(w => s"(CASE WHEN list_contains(string_split(text, ' '), '$w') THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |         CASE WHEN len(text) = 0 THEN 0
-         |              ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS n,
-         |         CAST(len(text) AS BIGINT) AS l,
-         |         CAST(len(list_filter(string_split(text, ' '),
-         |                x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS aw,
-         |         CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS sym,
-         |         CAST($stopSum AS INT) AS sh
-         |  FROM documents
-         |)
+    "q52_gopher_rules" ->
+      s"""WITH $GopherDocSql
          |SELECT doc_id, n AS n_words, aw AS alpha_words, sh AS stop_hits,
          |       (n BETWEEN 30 AND 100000) AS ok_words,
          |       (n > 0 AND (l - (n - 1)) >= 3 * n AND (l - (n - 1)) <= 10 * n) AS ok_mean_len,
          |       (aw * 10 >= n * 8) AS ok_alpha,
          |       (sh >= 2) AS ok_stop,
          |       (sym * 10 <= l) AS ok_symbol,
-         |       ((n BETWEEN 30 AND 100000)
-         |         AND (n > 0 AND (l - (n - 1)) >= 3 * n AND (l - (n - 1)) <= 10 * n)
-         |         AND (aw * 10 >= n * 8) AND (sh >= 2) AND (sym * 10 <= l)) AS gopher_pass
-         |FROM d""".stripMargin
-    },
+         |       (${gopherPassPred(2)}) AS gopher_pass
+         |FROM d""".stripMargin,
     // Repetition replay via the naive explode→group-by formulation —
     // the engine's shuffle-free run-length fold must agree exactly.
     "q53_repetition" ->
@@ -1549,6 +1585,30 @@ object SparkEntry {
          |  FROM documents d JOIN r USING (source)
          |)
          |SELECT doc_id, source, bucket, pct FROM h WHERE bucket < pct""".stripMargin,
+    "q57_token_freq" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    "q58_curation" ->
+      s"""WITH $GopherDocSql,
+         |pass AS (
+         |  SELECT doc_id, text, lang, n FROM d
+         |  WHERE ${gopherPassPred(1)}
+         |),
+         |ded AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         |  FROM pass
+         |),
+         |k AS (
+         |  SELECT doc_id, lang, n,
+         |         ${HexBucketSql("md5(CAST(doc_id AS VARCHAR) || ':split')")} AS bucket
+         |  FROM ded WHERE rk = 1
+         |)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |       lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n) AS BIGINT) AS n_words
+         |FROM k GROUP BY 1, 2""".stripMargin,
     // Streaming replays: the oracle computes the batch result PLUS the
     // append-mode finalization cut (window/session end ≤ max event
     // time − watermark delay) — the emitted set is exactly that,

@@ -128,7 +128,8 @@ object TextAnalysis {
     *  - `ok_words`:    word count within [minWords, maxWords]
     *  - `ok_mean_len`: mean word length within [3, 10] characters
     *  - `ok_alpha`:    ≥ 80% of words contain an alphabetic character
-    *  - `ok_stop`:     ≥ 2 stopwords from [[GopherStopwords]] present
+    *  - `ok_stop`:     ≥ `minStopwords` (default 2, the paper's value)
+    *                   stopwords from [[GopherStopwords]] present
     *  - `ok_symbol`:   symbol (non-alphanumeric-non-space) chars ≤ 10%
     *
     * Every rule is evaluated in INTEGER arithmetic (e.g. mean-length ∈
@@ -140,7 +141,8 @@ object TextAnalysis {
       df: DataFrame,
       textCol: String = "text",
       minWords: Int = 30,
-      maxWords: Int = 100000): DataFrame = {
+      maxWords: Int = 100000,
+      minStopwords: Int = 2): DataFrame = {
     val t = col(textCol)
     val w = words(t)
     val n = tokenCount(t).cast("long")
@@ -156,7 +158,7 @@ object TextAnalysis {
     val okWords = n.between(minWords.toLong, maxWords.toLong)
     val okMeanLen = n > 0 && wordChars >= lit(3L) * n && wordChars <= lit(10L) * n
     val okAlpha = alphaWords * 10 >= n * 8
-    val okStop = stopHits >= 2
+    val okStop = stopHits >= minStopwords
     val okSymbol = symbols * 10 <= len
     df.withColumn("n_words", n)
       .withColumn("alpha_words", alphaWords)
