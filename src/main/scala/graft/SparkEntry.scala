@@ -744,6 +744,40 @@ object SparkEntry {
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"))
     }),
+    "q59_unigram_lm" -> ((s, dir) => {
+      // CCNet-style perplexity filter reduced to unigrams: train the
+      // corpus unigram LM and score every document's mean surprisal
+      // in one job (two keyed aggregations, word-keyed vocab join)
+      val t = Tables(s, dir)
+      TextAnalysis.unigramLm(t.documents)
+    }),
+    "q70_snapshot_diff" -> ((s, dir) => {
+      // incremental crawl refresh: diff two deterministic snapshot
+      // views of the corpus (old = buckets 0–89; new = buckets 5–99
+      // with every bucket%7==0 doc revised) and roll up change
+      // classes per source — the join ships only (id, md5, source)
+      val t = Tables(s, dir)
+      val b = t.documents
+        .withColumn("bucket", Sampling.hashBucket(col("doc_id"), "snap"))
+      val oldSnap = b.filter(col("bucket") < 90)
+      val newSnap = b.filter(col("bucket") >= 5)
+        .withColumn("text",
+          when(col("bucket") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      Snapshot.diff(oldSnap, newSnap, passthrough = Seq("source"))
+        .groupBy("change", "source")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+    "q71_centroid_classify" -> ((s, dir) => {
+      // nearest-centroid domain classifier: 80/20 modulo split,
+      // per-label integer-sum centroids, broadcast scoring, true
+      // label rides along for the confusion readout
+      val t = Tables(s, dir)
+      SimilaritySearch.centroidClassify(
+        t.embeddings.filter(col("vec_id") % 5 =!= 0),
+        t.embeddings.filter(col("vec_id") % 5 === 0),
+        keep = Seq("label"))
+    }),
     "q60_stream_tumbling" -> ((s, dir) => {
       // the streaming runtime end-to-end: file-source replay, 2h
       // watermark, append mode — only FINALIZED windows (window end ≤
@@ -1609,6 +1643,75 @@ object SparkEntry {
          |       lang, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n) AS BIGINT) AS n_words
          |FROM k GROUP BY 1, 2""".stripMargin,
+    "q59_unigram_lm" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |cf AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t FROM cf)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+        |       round(-sum(tf * ln(CAST(cf AS DOUBLE) / CAST(t AS DOUBLE)))
+        |             / CAST(sum(tf) AS DOUBLE), 4) AS nll
+        |FROM tf JOIN cf USING (word) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+    "q70_snapshot_diff" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text, source,
+         |         ${HexBucketSql("md5(CAST(doc_id AS VARCHAR) || ':snap')")} AS bucket
+         |  FROM documents
+         |),
+         |o AS (SELECT doc_id, md5(text) AS h, source FROM b WHERE bucket < 90),
+         |nn AS (
+         |  SELECT doc_id,
+         |         md5(CASE WHEN bucket % 7 = 0 THEN text || ' rev2' ELSE text END) AS h,
+         |         source
+         |  FROM b WHERE bucket >= 5
+         |),
+         |d AS (
+         |  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+         |              WHEN nn.doc_id IS NULL THEN 'removed'
+         |              WHEN o.h = nn.h THEN 'unchanged'
+         |              ELSE 'changed' END AS change,
+         |         coalesce(nn.source, o.source) AS source
+         |  FROM o FULL JOIN nn ON o.doc_id = nn.doc_id
+         |)
+         |SELECT change, source, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM d GROUP BY 1, 2""".stripMargin,
+    "q71_centroid_classify" ->
+      s"""WITH $EmbSql,
+         |tr AS (
+         |  SELECT e.label, n.q FROM nrm n JOIN embeddings e ON n.vec_id = e.vec_id
+         |  WHERE n.vec_id % 5 != 0
+         |),
+         |sums AS (
+         |  SELECT label, i AS pos, CAST(sum(q[i]) AS BIGINT) AS s
+         |  FROM tr CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+         |  GROUP BY 1, 2
+         |),
+         |cents AS (
+         |  SELECT pred, cv,
+         |         sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)) AS cn
+         |  FROM (SELECT label AS pred, list(s ORDER BY pos) AS cv FROM sums GROUP BY label)
+         |),
+         |te AS (
+         |  SELECT n.vec_id, e.label, n.q, n.n
+         |  FROM nrm n JOIN embeddings e ON n.vec_id = e.vec_id
+         |  WHERE n.vec_id % 5 = 0
+         |),
+         |scored AS (
+         |  SELECT te.vec_id, te.label, c.pred,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> te.q[i] * c.cv[i])) AS DOUBLE)
+         |           / (te.n * c.cn) AS cos
+         |  FROM te CROSS JOIN cents c
+         |),
+         |best AS (
+         |  SELECT vec_id, label, pred, cos,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, pred) AS r
+         |  FROM scored
+         |)
+         |SELECT vec_id, label, pred, round(cos, 4) AS cos FROM best WHERE r = 1""".stripMargin,
     // Streaming replays: the oracle computes the batch result PLUS the
     // append-mode finalization cut (window/session end ≤ max event
     // time − watermark delay) — the emitted set is exactly that,

@@ -237,4 +237,59 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id"), col("rank"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Nearest-centroid (Rocchio) classification: build one centroid per
+    * label from the train split, assign each test vector the label of
+    * its most-cosine-similar centroid. The domain/topic-classifier
+    * primitive of a curation pipeline.
+    *
+    * Scale design: centroids are per-(label, dim) integer sums of the
+    * quantized vectors — posexplode fans each vector into 64 (label,
+    * dim, value) rows whose sum is exact and order-independent, with
+    * map-side partial aggregation absorbing most of the fan-out before
+    * the shuffle. Cosine against a centroid uses the UN-normalized sum
+    * (the 1/count of the mean cancels inside cosine), so everything
+    * stays integer until the final IEEE-exact sqrt/divide — the tiny
+    * (one row per label) centroid table is broadcast and the test set
+    * is never shuffled. Ties broken by label ascending. Note: per-dim
+    * sums must fit a Long — at >~10⁹ train rows per label feed a
+    * sampled train split (the centroid estimate converges long
+    * before that).
+    *
+    * Output: (idCol, keep*, pred, cos) — `keep` columns (e.g. the true
+    * label for a confusion rollup) ride along from the test side, so
+    * no join-back against the corpus is ever needed.
+    */
+  def centroidClassify(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      labelCol: String = "label",
+      keep: Seq[String] = Nil): DataFrame = {
+    val sums = spread(train)
+      .select(col(labelCol).as("__lbl"), quantize(col(embCol)).as("qv"))
+      .select(col("__lbl"), posexplode(col("qv")))
+      .groupBy(col("__lbl"), col("pos"))
+      .agg(sum("col").as("s"))
+    val cents = sums
+      .groupBy("__lbl")
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(
+        col("__lbl").as("pred"),
+        transform(col("ps"), x => x.getField("s")).as("cv"))
+      .withColumn("cnrm", sqrt(quantizedDot(col("cv"), col("cv")).cast("double")))
+    val te = spread(test)
+      .select(col(idCol).as("id") +: quantize(col(embCol)).as("qv") +:
+        keep.map(col): _*)
+      .withColumn("nrm", sqrt(quantizedDot(col("qv"), col("qv")).cast("double")))
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("pred"))
+    te.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        quantizedDot(col("qv"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("id").as(idCol) +: keep.map(col) :+ col("pred") :+
+        round(col("cos"), 4).as("cos"): _*)
+  }
 }

@@ -227,4 +227,45 @@ object TextAnalysis {
       .withColumn("dup_frac", ratio4(col("__r.dup"), col("__r.total")))
       .drop("__r")
   }
+
+  /** CCNet-style unigram language-model scoring (Wenzek et al. 2020's
+    * perplexity filter reduced to its unigram form): the mean negative
+    * log-probability of each document's words under the corpus's own
+    * unigram distribution, self-trained in the same job. High `nll` =
+    * surprising/noisy document; low = stereotyped.
+    *
+    * Scale design: two keyed aggregations. Per-(doc, word) term
+    * frequencies collapse duplicate words map-side before the shuffle;
+    * the vocabulary (word → corpus frequency) lives on the word key,
+    * joined back to the term rows with a word-keyed shuffle join —
+    * never broadcast, so an arbitrarily large vocabulary still
+    * streams. The corpus total is a one-row aggregate cross-joined as
+    * a broadcast, not a collect. All counts are exact integers; the
+    * only floats are the final ln() terms, summed per document and
+    * rounded at the projection.
+    *
+    * Output: (idCol, n_words, nll).
+    */
+  def unigramLm(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("word").agg(sum("tf").as("cf"))
+    val total = cf.agg(sum("cf").as("t"))
+    tf.join(cf, "word")
+      .join(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        sum("tf").as("n_words"),
+        sum(col("tf").cast("double") *
+          log(col("cf").cast("double") / col("t").cast("double"))).as("__ll"))
+      .select(
+        col(idCol),
+        col("n_words"),
+        round(-col("__ll") / col("n_words").cast("double"), 4).as("nll"))
+  }
 }

@@ -159,4 +159,50 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSet == Set((1L, "A", 3L, 0.9), (2L, "B", 1L, 0.7)))
   }
+
+  // ------------------------------------------------------ unigram LM
+
+  test("unigramLm: crafted corpus, hand-computed mean surprisal") {
+    // cf: a=2, b=2, c=1; T=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLm(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 1: -(3·ln(2/5))/3 = -ln 0.4 ≈ 0.9163
+    assert(out(1L) == ((3L, 0.9163)))
+    // doc 2: -(ln(2/5) + ln(1/5))/2 ≈ 1.2629
+    assert(out(2L) == ((2L, 1.2629)))
+  }
+
+  // --------------------------------------------------- snapshot diff
+
+  test("Snapshot.diff classifies added/removed/changed/unchanged") {
+    val oldSnap = Seq(
+      (1L, "one", "s1"), (2L, "two", "s2"), (3L, "three", "s3"),
+      (4L, "four", "s4")).toDF("doc_id", "text", "source")
+    val newSnap = Seq(
+      (2L, "two", "s2"), (3L, "three EDITED", "s3x"), (4L, "four", "s4"),
+      (5L, "five", "s5")).toDF("doc_id", "text", "source")
+    val out = operators.Snapshot.diff(oldSnap, newSnap, passthrough = Seq("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      (1L, "removed", "s1"), (2L, "unchanged", "s2"),
+      (3L, "changed", "s3x"), (4L, "unchanged", "s4"),
+      (5L, "added", "s5")))
+  }
+
+  // ----------------------------------------------- nearest centroid
+
+  test("centroidClassify: separable labels recover, keep column rides") {
+    val train = Seq(
+      (1L, Array(1.0f, 0.1f), 0), (2L, Array(0.9f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val test = Seq(
+      (10L, Array(0.8f, 0.2f), 0), (11L, Array(0.2f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = operators.SimilaritySearch
+      .centroidClassify(train, test, keep = Seq("label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out == Set((10L, 0, 0), (11L, 1, 1)))
+  }
 }

@@ -93,6 +93,24 @@ class ScaleDesignSpec extends SparkSpec {
       s"semi-join should broadcast the key set:\n$plan")
   }
 
+  test("q70 snapshot diff ships md5 hashes, not text, through the join") {
+    val df = SparkEntry.queries("q70_snapshot_diff")(spark, sfDir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType.sql == "FULL OUTER" => j
+    }
+    assert(joins.nonEmpty, "diff must be a full-outer join")
+    assert(joins.forall(_.children.forall(c => !c.output.exists(_.name == "text"))),
+      "wide content column must be reduced to its md5 below the join")
+  }
+
+  test("q71 centroid table broadcasts against the test side") {
+    val plan = SparkEntry.queries("q71_centroid_classify")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n$plan")
+  }
+
   test("driver contract: every oracle key has a query; entry returns rows") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       s"oracle without query: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
