@@ -778,6 +778,28 @@ object SparkEntry {
         t.embeddings.filter(col("vec_id") % 5 === 0),
         keep = Seq("label"))
     }),
+    "q72_tfidf" -> ((s, dir) => {
+      // per-doc top-3 TF-IDF keywords — word-keyed df join, one-row
+      // broadcast doc count, per-doc window for the top-k
+      val t = Tables(s, dir)
+      TextAnalysis.tfidfTopK(t.documents)
+    }),
+    "q64_stream_enrich" -> ((s, dir) => {
+      // stream-static dimension enrichment: deterministic per-type
+      // weight dim broadcast into every micro-batch, tumbling weighted
+      // sums, append-mode watermark finalization as in q60
+      val t = Tables(s, dir)
+      val dim = t.events.select(col("event_type")).distinct()
+        .withColumn("weight",
+          ((Sampling.hashBucket(col("event_type"), "w") % 9 + 1).cast("double")
+            / lit(10).cast("double")))
+      StreamQueries.materialize(
+          EventStream.enrichedTumbling(
+            StreamQueries.streamEvents(s, dir), dim, "1 hour", "2 hours"))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), round(col("wsum"), 4).as("wsum"))
+    }),
     "q60_stream_tumbling" -> ((s, dir) => {
       // the streaming runtime end-to-end: file-source replay, 2h
       // watermark, append mode — only FINALIZED windows (window end ≤
@@ -1716,6 +1738,43 @@ object SparkEntry {
     // append-mode finalization cut (window/session end ≤ max event
     // time − watermark delay) — the emitted set is exactly that,
     // independent of how the file source micro-batched the input.
+    "q72_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, word,
+        |         tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN nd
+        |),
+        |rk AS (
+        |  SELECT doc_id, word,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INT) AS rank,
+        |         tfidf
+        |  FROM scored
+        |)
+        |SELECT doc_id, word, rank, round(tfidf, 4) AS tfidf FROM rk WHERE rank <= 3""".stripMargin,
+    "q64_stream_enrich" ->
+      s"""WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |dim AS (
+         |  SELECT event_type,
+         |         CAST(${HexBucketSql("md5(event_type || ':w')")} % 9 + 1 AS DOUBLE)
+         |           / CAST(10 AS DOUBLE) AS weight
+         |  FROM (SELECT DISTINCT event_type FROM events)
+         |),
+         |mx AS (SELECT max(ts) AS mt FROM ev),
+         |w AS (
+         |  SELECT date_trunc('hour', ts) AS ws, ev.event_type,
+         |         CAST(count(*) AS BIGINT) AS n, round(sum(value * weight), 4) AS wsum
+         |  FROM ev JOIN dim USING (event_type) GROUP BY 1, 2
+         |)
+         |SELECT strftime(w.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+         |       w.event_type, w.n, w.wsum
+         |FROM w, mx WHERE w.ws + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""".stripMargin,
     "q60_stream_tumbling" ->
       """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |mx AS (SELECT max(ts) AS mt FROM ev),

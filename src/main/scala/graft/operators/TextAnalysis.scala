@@ -268,4 +268,41 @@ object TextAnalysis {
         col("n_words"),
         round(-col("__ll") / col("n_words").cast("double"), 4).as("nll"))
   }
+
+  /** Per-document TF-IDF keyword extraction: the top-k most
+    * distinctive terms of every document (tf × ln(N/df)), the standard
+    * relevance/keyword primitive of search and curation pipelines.
+    *
+    * Scale design: same two keyed aggregations as [[unigramLm]] —
+    * term counts collapse map-side, the document-frequency table stays
+    * on the word key (shuffle join, never broadcast, so any vocabulary
+    * size streams), and the corpus doc count is a one-row broadcast.
+    * The final top-k is a per-document window over at most
+    * distinct-words-per-doc rows. Ties by word ascending.
+    *
+    * Output: (idCol, word, rank, tfidf).
+    */
+  def tfidfTopK(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("word"))
+    tf.join(dfreq, "word")
+      .join(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("word"), col("rank"),
+        round(col("tfidf"), 4).as("tfidf"))
+  }
 }

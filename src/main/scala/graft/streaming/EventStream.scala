@@ -40,6 +40,25 @@ object EventStream {
       .select(col("session_window.start").as("start_ts"),
         col("session_window.end").as("end_ts"), col("user_id"), col("n_events"))
 
+  /** Stream-static enrichment + tumbling weighted sums: broadcast-join
+    * a static dimension (event_type → weight) onto the stream, then
+    * aggregate per window. The canonical dimension-enrichment shape:
+    * the static side is re-planned per micro-batch and broadcast, the
+    * stream is never shuffled before the windowed aggregation.
+    */
+  def enrichedTumbling(
+      events: DataFrame,
+      dim: DataFrame,
+      duration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(window(col("ts"), duration), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value") * col("weight")).as("wsum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("wsum"))
+
   /** Streaming exact dedup: one surviving row per key (arbitrary within
     * a micro-batch, stable across batches), with state bounded by the
     * event-time watermark — the streaming analogue of

@@ -173,6 +173,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1.2629)))
   }
 
+  test("tfidfTopK: crafted corpus, hand-computed scores") {
+    // N=2; df: a=1, b=2, c=1 → idf(a)=idf(c)=ln 2, idf(b)=0
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set(
+      (1L, "a", 1, 1.3863), (1L, "b", 2, 0.0),
+      (2L, "c", 1, 0.6931), (2L, "b", 2, 0.0)))
+  }
+
+  test("enrichedTumbling stream = batch weighted agg cut at final watermark") {
+    val events = graft.sources.Tables(spark, sfDir).events
+    val dim = events.select(col("event_type")).distinct()
+      .withColumn("weight",
+        (Sampling.hashBucket(col("event_type"), "w") % 9 + 1).cast("double")
+          / lit(10).cast("double"))
+    val streamed = StreamQueries.materialize(
+      EventStream.enrichedTumbling(
+        StreamQueries.streamEvents(spark, sfDir), dim, "1 hour", "2 hours"))
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("wsum"), 4).as("wsum"))
+    val cutoff = events.agg(max("ts")).head().getTimestamp(0).getTime - 2 * 3600 * 1000
+    val batch = events.join(dim, Seq("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value") * col("weight")).as("wsum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), round(col("wsum"), 4).as("wsum"))
+      .filter((unix_millis(col("window_start")) + 3600 * 1000) <= cutoff)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   // --------------------------------------------------- snapshot diff
 
   test("Snapshot.diff classifies added/removed/changed/unchanged") {
