@@ -254,10 +254,16 @@ object TextAnalysis {
       .select(col(idCol), explode(words(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("tf"))
-    val cf = tf.groupBy("word").agg(sum("tf").as("cf"))
-    val total = cf.agg(sum("cf").as("t"))
-    tf.join(cf, "word")
-      .join(broadcast(total))
+    // corpus frequency as a word-partitioned window over tf — NOT a
+    // self-join back onto tf, which would recompute the whole
+    // explode/aggregate chain (and re-scan the corpus) a second time
+    val cf = sum("tf").over(org.apache.spark.sql.expressions.Window.partitionBy("word"))
+    // corpus total straight off the text column: one cheap scan, no
+    // second pass over the exploded terms
+    val total = broadcast(
+      df.agg(sum(size(words(col(textCol)))).cast("long").as("t")))
+    tf.withColumn("cf", cf)
+      .join(total)
       .groupBy(col(idCol))
       .agg(
         sum("tf").as("n_words"),
@@ -291,12 +297,16 @@ object TextAnalysis {
       .select(col(idCol), explode(words(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    // document frequency via a word-partitioned window (tf has one row
+    // per (doc, word), so the partition row count IS df) — avoids the
+    // self-join that would recompute tf and re-scan the corpus
+    val dfreq = count(lit(1))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy("word"))
+    val nDocs = broadcast(df.agg(count(lit(1)).as("n_docs")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("tfidf").desc, col("word"))
-    tf.join(dfreq, "word")
-      .join(broadcast(nDocs))
+    tf.withColumn("df", dfreq)
+      .join(nDocs)
       .withColumn("tfidf",
         col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double")))

@@ -93,6 +93,17 @@ class ScaleDesignSpec extends SparkSpec {
       s"semi-join should broadcast the key set:\n$plan")
   }
 
+  test("q59/q72 term statistics compute tf once (window, not self-join)") {
+    for (q <- Seq("q59_unigram_lm", "q72_tfidf")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      // one scan feeds the explode/tf chain, one the corpus-total agg;
+      // a tf self-join would show a third
+      assert("FileScan parquet".r.findAllIn(plan).size == 2,
+        s"$q must scan documents exactly twice:\n$plan")
+    }
+  }
+
   test("q70 snapshot diff ships md5 hashes, not text, through the join") {
     val df = SparkEntry.queries("q70_snapshot_diff")(spark, sfDir)
     val joins = df.queryExecution.optimizedPlan.collect {
