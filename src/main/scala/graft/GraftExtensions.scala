@@ -96,6 +96,19 @@ object GraftExtensions {
         case Seq(c, k) => TopKHarmonic(c, intArg(k, "k"))
         case Seq(c, k, m) => TopKHarmonic(c, intArg(k, "k"), doubleArg(m, "max_score"))
         case _ => throw new IllegalArgumentException("topk_harmonic takes 1-3 arguments")
+      }),
+    ("hll_distinct",
+      info("hll_distinct",
+        "hll_distinct(value[, p]) - HyperLogLog approximate distinct count (md5 hash, 2^p registers)"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Md5}
+        import org.apache.spark.sql.types.{BinaryType, StringType}
+        def h(c: Expression) = Md5(Cast(Cast(c, StringType), BinaryType))
+        args match {
+          case Seq(c) => graft.functions.HllSketch(h(c))
+          case Seq(c, p) => graft.functions.HllSketch(h(c), intArg(p, "p"))
+          case _ => throw new IllegalArgumentException("hll_distinct takes 1-2 arguments")
+        }
       }))
 
   /** Register on a live session (tests/notebooks). */

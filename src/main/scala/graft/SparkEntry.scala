@@ -165,6 +165,66 @@ object SparkEntry {
        |        ELSE ascii(substring($md5Expr, CAST(i AS INT), 1)) - 48 END)
        |  * CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) % 100""".stripMargin
 
+  /** Positional hex decode of nibbles [start, start+len) (1-based) of
+    * `hexExpr` into a BIGINT — [[HexBucketSql]]'s ascii trick,
+    * generalized. Exact for len ≤ 13 (16^12 = 2^48 is an exact double
+    * and the sum stays under 2^53).
+    */
+  private def HexValSql(hexExpr: String, start: Int, len: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, $len), i ->
+       |  (CASE WHEN ascii(substring($hexExpr, CAST($start + i AS INT), 1)) >= 97
+       |        THEN ascii(substring($hexExpr, CAST($start + i AS INT), 1)) - 87
+       |        ELSE ascii(substring($hexExpr, CAST($start + i AS INT), 1)) - 48 END)
+       |  * CAST(pow(16, $len - 1 - i) AS BIGINT))) AS BIGINT)""".stripMargin
+
+  /** α·m² for the p=12 HLL estimator, computed in Scala with the same
+    * association as HllRegisters.estimate and serialized losslessly —
+    * the oracle parses the identical double back.
+    */
+  private val HllAlphaM2: String = {
+    val m = 4096.0
+    java.lang.Double.toString(0.7213 / (1 + 1.079 / m) * m * m)
+  }
+
+  /** Register-replay chain for the HLL oracle: rebuild
+    * [[graft.functions.HllSketch]]'s registers from md5(valueExpr)
+    * (idx = hex nibbles 1–3, 52-bit payload = nibbles 4–16, rank =
+    * 53 − bitlen) and evaluate the identical estimator — the harmonic
+    * denominator is the exact integer Σ2^(53−M) on both engines, so
+    * the doubles agree bit for bit. Ends in `<alias>_est(event_type,
+    * est)`.
+    */
+  private def HllChainSql(alias: String, valueExpr: String): String =
+    s"""${alias}_h AS (
+       |  SELECT event_type, md5(CAST($valueExpr AS VARCHAR)) AS hx FROM events
+       |),
+       |${alias}_reg AS (
+       |  SELECT event_type, idx,
+       |         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mr
+       |  FROM (
+       |    SELECT event_type,
+       |           ${HexValSql("hx", 1, 3)} AS idx,
+       |           ${HexValSql("hx", 4, 13)} AS w
+       |    FROM ${alias}_h
+       |  )
+       |  GROUP BY 1, 2
+       |),
+       |${alias}_est AS (
+       |  SELECT event_type,
+       |         CASE WHEN raw <= CAST(10240 AS DOUBLE) AND zeros > 0
+       |              THEN CAST(4096 AS DOUBLE)
+       |                   * ln(CAST(4096 AS DOUBLE) / CAST(zeros AS DOUBLE))
+       |              ELSE raw END AS est
+       |  FROM (
+       |    SELECT event_type, 4096 - count(*) AS zeros,
+       |           $HllAlphaM2 / (CAST(
+       |             CAST(sum(CAST(pow(2, 53 - mr) AS HUGEINT)) AS HUGEINT)
+       |             + (4096 - count(*)) * CAST(pow(2, 53) AS HUGEINT)
+       |           AS DOUBLE) / CAST(pow(2, 53) AS DOUBLE)) AS raw
+       |    FROM ${alias}_reg GROUP BY 1
+       |  )
+       |)""".stripMargin
+
   /** Per-document integer stats CTE `d` for the Gopher-rule oracles —
     * mirrors graft.operators.TextAnalysis.gopherRules's inputs
     * (word/alpha-word/symbol/stopword counts, all integer-exact).
@@ -777,6 +837,18 @@ object SparkEntry {
         t.embeddings.filter(col("vec_id") % 5 =!= 0),
         t.embeddings.filter(col("vec_id") % 5 === 0),
         keep = Seq("label"))
+    }),
+    "q73_hll_distinct" -> ((s, dir) => {
+      // the native HLL sketch aggregate next to the exact counts it
+      // approximates — two cardinality regimes per group (150 users →
+      // linear-counting branch; thousands of event ids → raw
+      // estimator at larger scale factors)
+      val t = Tables(s, dir)
+      t.events.groupBy("event_type").agg(
+        countDistinct(col("user_id")).as("u_exact"),
+        round(graft.functions.HllSketch.hllDistinct(col("user_id")), 4).as("u_hll"),
+        countDistinct(col("event_id")).as("e_exact"),
+        round(graft.functions.HllSketch.hllDistinct(col("event_id")), 4).as("e_hll"))
     }),
     "q72_tfidf" -> ((s, dir) => {
       // per-doc top-3 TF-IDF keywords — word-keyed df join, one-row
@@ -1738,6 +1810,20 @@ object SparkEntry {
     // append-mode finalization cut (window/session end ≤ max event
     // time − watermark delay) — the emitted set is exactly that,
     // independent of how the file source micro-batched the input.
+    "q73_hll_distinct" ->
+      s"""WITH ${HllChainSql("hu", "user_id")},
+         |${HllChainSql("he", "event_id")},
+         |ex AS (
+         |  SELECT event_type,
+         |         CAST(count(DISTINCT user_id) AS BIGINT) AS u_exact,
+         |         CAST(count(DISTINCT event_id) AS BIGINT) AS e_exact
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT ex.event_type, ex.u_exact, round(hu.est, 4) AS u_hll,
+         |       ex.e_exact, round(he.est, 4) AS e_hll
+         |FROM ex
+         |JOIN hu_est hu USING (event_type)
+         |JOIN he_est he USING (event_type)""".stripMargin,
     "q72_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, word, count(*) AS tf

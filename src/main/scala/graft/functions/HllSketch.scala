@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.graftshim.{columnOf, expressionOf}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HyperLogLog register file: 2^p max-rank registers (Flajolet et al.
+  * 2007). The merge of two register files is the elementwise max —
+  * associative, commutative, idempotent — which is what makes the
+  * sketch a proper partial aggregate: map-side combine, shuffle 4 KB
+  * per group, never the values.
+  */
+final class HllRegisters(val p: Int) extends Serializable {
+  val regs = new Array[Byte](1 << p)
+
+  def add(idx: Int, rho: Int): Unit =
+    if (rho > regs(idx)) regs(idx) = rho.toByte
+
+  /** The standard estimator with the small-range (linear-counting)
+    * correction. The harmonic denominator is accumulated as the exact
+    * integer Σ 2^(53−M[j]) (a BigInt; register values are ≤ 53), so
+    * the estimate is a correctly-rounded function of integers —
+    * bit-identical in any engine that replays the same registers,
+    * independent of summation order.
+    */
+  def estimate(): Double = {
+    val m = 1 << p
+    var zeros = 0
+    var x = BigInt(0)
+    var i = 0
+    while (i < m) {
+      x += BigInt(1) << (53 - regs(i))
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val s = x.toDouble / HllSketch.Pow53
+    val md = m.toDouble
+    val alpha = 0.7213 / (1 + 1.079 / md)
+    val raw = alpha * md * md / s
+    if (raw <= 2.5 * md && zeros > 0) md * math.log(md / zeros.toDouble)
+    else raw
+  }
+}
+
+/** Approximate distinct count as a native `TypedImperativeAggregate` —
+  * the sketch aggregate the brief's custom-operator ladder asks for
+  * when built-ins can't express the semantics (Spark's own
+  * `approx_count_distinct` is not reproducible in an external oracle).
+  *
+  * The 64-bit hash is the first 16 hex nibbles of md5(value): nibbles
+  * 1–3 are the register index (p=12 → 4096 registers), nibbles 4–16
+  * the 52-bit rank payload — both exactly replicable in plain SQL, so
+  * the DuckDB oracle rebuilds the registers and lands on the identical
+  * double. The child expression is the md5 hex string (computed by the
+  * codegen'd builtin before the aggregate sees it).
+  *
+  * Scale: constant 4 KB state per group regardless of input size;
+  * partial aggregation collapses values map-side, the shuffle carries
+  * register files, and merge is elementwise max.
+  */
+case class HllSketch(
+    child: Expression,
+    p: Int = 12,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllRegisters] with UnaryLike[Expression] {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_distinct"
+
+  override def createAggregationBuffer(): HllRegisters = new HllRegisters(p)
+
+  override def update(buffer: HllRegisters, input: InternalRow): HllRegisters = {
+    val v = child.eval(input)
+    if (v != null) {
+      val hex = v.asInstanceOf[UTF8String].toString
+      val idx = Integer.parseInt(hex.substring(0, 3), 16)
+      val w = java.lang.Long.parseLong(hex.substring(3, 16), 16)
+      // rank = leading zeros of the 52-bit payload + 1 = 53 − bitlen(w)
+      val rho = if (w == 0L) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      buffer.add(idx, rho)
+    }
+    buffer
+  }
+
+  override def merge(buffer: HllRegisters, input: HllRegisters): HllRegisters = {
+    var i = 0
+    while (i < buffer.regs.length) {
+      if (input.regs(i) > buffer.regs(i)) buffer.regs(i) = input.regs(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: HllRegisters): Any = buffer.estimate()
+
+  override def serialize(buffer: HllRegisters): Array[Byte] = {
+    val out = new Array[Byte](4 + buffer.regs.length)
+    java.nio.ByteBuffer.wrap(out).putInt(buffer.p)
+    System.arraycopy(buffer.regs, 0, out, 4, buffer.regs.length)
+    out
+  }
+
+  override def deserialize(bytes: Array[Byte]): HllRegisters = {
+    val pp = java.nio.ByteBuffer.wrap(bytes).getInt()
+    val buf = new HllRegisters(pp)
+    System.arraycopy(bytes, 4, buf.regs, 0, buf.regs.length)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllSketch =
+    copy(child = newChild)
+}
+
+object HllSketch {
+  /** 2^53 as an exact double. */
+  val Pow53: Double = 9007199254740992.0
+
+  /** Approximate distinct count of `value` (any type; hashed through
+    * md5 of its string form so external oracles can replay it).
+    */
+  def hllDistinct(value: Column, p: Int = 12): Column = {
+    import org.apache.spark.sql.functions.md5
+    columnOf(HllSketch(expressionOf(md5(value.cast("string"))), p).toAggregateExpression())
+  }
+}

@@ -208,4 +208,31 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(0) == 1000L * 500L)
     assert(math.abs(r.getDouble(1) - 500000.0 / (1000.0 * math.sqrt(500000.0))) < 1e-12)
   }
+
+  test("hllDistinct: within 5% at 10k distinct; exact in the linear-counting range") {
+    val big = spark.range(10000).select(HllSketch.hllDistinct(col("id")).as("e")).head().getDouble(0)
+    assert(math.abs(big - 10000) < 500, s"estimate $big for n=10000")
+    // tiny cardinality → linear counting is near-exact
+    val small = spark.range(100).select(HllSketch.hllDistinct(col("id")).as("e")).head().getDouble(0)
+    assert(math.abs(small - 100) < 3, s"estimate $small for n=100")
+  }
+
+  test("hllDistinct is partitioning- and duplication-invariant (merge = max)") {
+    val base = spark.range(5000).select((col("id") % 1700).as("v"))
+    val one = base.repartition(1).select(HllSketch.hllDistinct(col("v"))).head().getDouble(0)
+    val many = base.repartition(13).select(HllSketch.hllDistinct(col("v"))).head().getDouble(0)
+    // duplicates change nothing: registers are max-rank
+    val duped = base.union(base).repartition(7)
+      .select(HllSketch.hllDistinct(col("v"))).head().getDouble(0)
+    assert(one == many && one == duped,
+      s"register merge must be order/partition invariant: $one $many $duped")
+  }
+
+  test("hll_distinct SQL surface matches the Column API") {
+    GraftExtensions.register(spark)
+    spark.range(3000).select((col("id") % 900).as("v")).createOrReplaceTempView("hll_in")
+    val sql = spark.sql("SELECT hll_distinct(v) AS e FROM hll_in").head().getDouble(0)
+    val api = spark.table("hll_in").select(HllSketch.hllDistinct(col("v"))).head().getDouble(0)
+    assert(sql == api)
+  }
 }

@@ -255,6 +255,6 @@ class ScaleDesignSpec extends SparkSpec {
     assert(new GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
     assert(GraftExtensions.functions.map(_._1).toSet ==
       Set("harmonic_score", "word_shingles", "minhash_signature", "topk_harmonic",
-        "topk_collect", "rolling_minhash"))
+        "topk_collect", "rolling_minhash", "hll_distinct"))
   }
 }
