@@ -47,6 +47,39 @@ object Io {
   def writeParquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Incremental partition refresh: overwrite ONLY the partitions
+    * present in `df`, leaving every other partition untouched — the
+    * write-side twin of [[graft.operators.Snapshot.diff]] for a
+    * recurring pipeline (recompute the changed days/sources, never
+    * rewrite the 100 TB table). Uses dynamic partitionOverwriteMode,
+    * scoped to this write via the DataFrameWriter option so the
+    * session default stays untouched.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a directory into ~`targetFiles`
+    * files. Streaming sinks and per-partition incremental writes leave
+    * thousands of KB-sized files whose per-file open/footer cost
+    * dominates scans at scale; a periodic coalesce-rewrite restores
+    * scan throughput. `coalesce` (not `repartition`) — no shuffle,
+    * just fewer write tasks.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val tmp = path.stripSuffix("/") + ".compact-tmp"
+    spark.read.parquet(path).coalesce(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** Bucketed + sorted table write: co-locates join keys so equi-joins
     * between tables bucketed the same way need no shuffle at all.
     * (saveAsTable because bucketing metadata lives in the catalog.)

@@ -196,6 +196,29 @@ class ScaleDesignSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("overwritePartitions refreshes only the partitions in the frame") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dynpart").toString + "/t"
+    Io.writeParquetPartitioned(
+      Seq((1, 100), (1, 101), (2, 200)).toDF("p", "v"), dir, Seq("p"))
+    Io.overwritePartitions(Seq((2, 999)).toDF("p", "v"), dir, Seq("p"))
+    val out = spark.read.parquet(dir).select("p", "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(out == Set((1, 100), (1, 101), (2, 999)),
+      s"partition 1 must survive, partition 2 must be replaced: $out")
+  }
+
+  test("compact rewrites a many-file directory into few files, same rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    spark.range(1000).repartition(16).write.parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles >= 16)
+    Io.compact(spark, dir, 2)
+    assert(nFiles <= 2, s"expected <=2 files after compaction, got $nFiles")
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
   test("csv and jsonl round-trip the events table") {
     val t = tables
     val ev = t.events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
