@@ -838,6 +838,18 @@ object SparkEntry {
         t.embeddings.filter(col("vec_id") % 5 === 0),
         keep = Seq("label"))
     }),
+    "q74_weighted_sample" -> ((s, dir) => {
+      // data mixing: cut the corpus to a 200-doc budget under
+      // per-source quality weights via deterministic A-ES priorities —
+      // broadcast weight dim + TakeOrdered, zero corpus shuffle
+      val t = Tables(s, dir)
+      val weights = t.documents.select(col("source")).distinct()
+        .withColumn("weight",
+          (Sampling.hashBucket(col("source"), "w") % 9 + 1).cast("double")
+            / lit(10).cast("double"))
+      Sampling.weightedPrioritySample(t.documents, weights, "source")
+        .select(col("doc_id"), col("source"), round(col("priority"), 4).as("priority"))
+    }),
     "q73_hll_distinct" -> ((s, dir) => {
       // the native HLL sketch aggregate next to the exact counts it
       // approximates — two cardinality regimes per group (150 users →
@@ -1810,6 +1822,21 @@ object SparkEntry {
     // append-mode finalization cut (window/session end ≤ max event
     // time − watermark delay) — the emitted set is exactly that,
     // independent of how the file source micro-batched the input.
+    "q74_weighted_sample" ->
+      s"""WITH w AS (
+         |  SELECT source,
+         |         CAST(${HexBucketSql("md5(source || ':w')")} % 9 + 1 AS DOUBLE)
+         |           / CAST(10 AS DOUBLE) AS weight
+         |  FROM (SELECT DISTINCT source FROM documents)
+         |),
+         |pri AS (
+         |  SELECT d.doc_id, d.source,
+         |         ln(CAST(${HexValSql("md5(CAST(d.doc_id AS VARCHAR) || ':ws')", 1, 13)} + 1 AS DOUBLE)
+         |            / CAST(pow(2, 52) AS DOUBLE)) / w.weight AS priority
+         |  FROM documents d JOIN w USING (source)
+         |)
+         |SELECT doc_id, source, round(priority, 4) AS priority
+         |FROM pri ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin,
     "q73_hll_distinct" ->
       s"""WITH ${HllChainSql("hu", "user_id")},
          |${HllChainSql("he", "event_id")},

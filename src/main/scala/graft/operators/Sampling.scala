@@ -56,4 +56,36 @@ object Sampling {
     df.join(broadcast(rates), Seq(stratumCol))
       .withColumn("bucket", hashBucket(col(idCol), salt))
       .filter(col("bucket") < col("pct"))
+
+  /** Deterministic weighted priority sampling — Efraimidis–Spirakis
+    * A-ES with hash-derived uniforms: every row gets priority
+    * ln(u)/w (the order-equivalent of the classical u^(1/w) key,
+    * u ∈ (0,1] seeded from md5(id)), and the global top-k by priority
+    * is a weighted sample without replacement. Higher-weight strata
+    * survive proportionally more often: the data-mixing primitive
+    * (cut a corpus to a budget under per-source quality weights),
+    * reproducible across runs, partitionings, and engines.
+    *
+    * Scale: projection + broadcast weight dim + TakeOrdered(k) — the
+    * corpus is never shuffled and no global sort materializes; only k
+    * rows reach the driver side of the limit.
+    *
+    * `weights` is a small (stratumCol, weight) dimension.
+    */
+  def weightedPrioritySample(
+      df: DataFrame,
+      weights: DataFrame,
+      stratumCol: String,
+      idCol: String = "doc_id",
+      salt: String = "ws",
+      k: Int = 200): DataFrame =
+    df.join(broadcast(weights), Seq(stratumCol))
+      .withColumn("__h",
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 13), 16, 10)
+          .cast("long"))
+      .withColumn("priority",
+        log((col("__h") + 1).cast("double") / lit(4503599627370496.0)) / col("weight"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+      .drop("__h")
 }

@@ -205,6 +205,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("weightedPrioritySample: partition-invariant, weight-monotone inclusion") {
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "hi" else "lo"))
+      .toDF("doc_id", "source")
+    val weights = Seq(("hi", 0.9), ("lo", 0.1)).toDF("source", "weight")
+    val a = Sampling.weightedPrioritySample(docs, weights, "source", k = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedPrioritySample(docs.repartition(7), weights, "source", k = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on partitioning")
+    val hi = a.count(_ % 2 == 0)
+    assert(hi > 70, s"the weight-0.9 source must dominate the sample: $hi/100")
+  }
+
   // --------------------------------------------------- snapshot diff
 
   test("Snapshot.diff classifies added/removed/changed/unchanged") {
