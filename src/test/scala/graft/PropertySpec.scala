@@ -89,6 +89,53 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("HllSketch nibble slicing = 64-bit bit slicing; split-merge = single pass") {
+    val agg = graft.functions.HllSketch(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.StringType, nullable = true))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def row(s: String) =
+      org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(md5hex(s)))
+    check(Prop.forAll(Gen.listOf(Gen.alphaNumStr), Gen.chooseNum(0, 100)) {
+      (xs: List[String], cut: Int) =>
+        val full = xs.foldLeft(agg.createAggregationBuffer())((b, s) => agg.update(b, row(s)))
+        // independent reference: bit arithmetic on the 64-bit hash,
+        // not the production hex-substring parse
+        val ref = agg.createAggregationBuffer()
+        xs.foreach { s =>
+          val h = new java.math.BigInteger(md5hex(s).substring(0, 16), 16)
+          val idx = h.shiftRight(52).intValue()
+          val w = h.and(java.math.BigInteger.ONE.shiftLeft(52).subtract(java.math.BigInteger.ONE))
+          ref.add(idx, 53 - w.bitLength())
+        }
+        val (l, r) = xs.splitAt(if (xs.isEmpty) 0 else cut % (xs.length + 1))
+        val b1 = l.foldLeft(agg.createAggregationBuffer())((b, s) => agg.update(b, row(s)))
+        val b2 = r.foldLeft(agg.createAggregationBuffer())((b, s) => agg.update(b, row(s)))
+        val merged = agg.merge(b1, agg.deserialize(agg.serialize(b2)))
+        full.regs.sameElements(ref.regs) &&
+          merged.regs.sameElements(full.regs) &&
+          merged.estimate() == full.estimate()
+    })
+  }
+
+  test("HllSketch estimate stays within 10% across cardinality regimes") {
+    for (n <- Seq(500, 2000, 8000, 40000)) {
+      val regs = new graft.functions.HllRegisters(12)
+      var i = 0
+      while (i < n) {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"val:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val idx = Integer.parseInt(hex.substring(0, 3), 16)
+        val w = java.lang.Long.parseLong(hex.substring(3, 16), 16)
+        regs.add(idx, if (w == 0L) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w)))
+        i += 1
+      }
+      val est = regs.estimate()
+      assert(math.abs(est - n) / n < 0.1, s"n=$n est=$est")
+    }
+  }
+
   test("TopKCollect buffer yields the sorted top-K under arbitrary merge splits") {
     check(Prop.forAll(
       Gen.listOf(Gen.chooseNum(0.0, 1.0)), Gen.chooseNum(1, 20), Gen.chooseNum(0, 100)) {

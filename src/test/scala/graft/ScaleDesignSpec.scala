@@ -104,6 +104,15 @@ class ScaleDesignSpec extends SparkSpec {
     }
   }
 
+  test("q73 HLL aggregates partially (sketches shuffle, not values)") {
+    val plan = SparkEntry.queries("q73_hll_distinct")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed imperative aggregate should run in the object hash path:\n$plan")
+    assert("partial_hll_distinct|partial(?s).*hll_distinct".r.findFirstIn(plan).isDefined,
+      s"hll must partial-aggregate map-side:\n$plan")
+  }
+
   test("q70 snapshot diff ships md5 hashes, not text, through the join") {
     val df = SparkEntry.queries("q70_snapshot_diff")(spark, sfDir)
     val joins = df.queryExecution.optimizedPlan.collect {
