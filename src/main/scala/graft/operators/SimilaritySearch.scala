@@ -73,13 +73,40 @@ object SimilaritySearch {
     *
     * Centroid seeds are corpus vectors picked by an even stride over
     * vec_id order (deterministic, no training dependency); assignment
-    * is a broadcast nested-loop of `nCentroids` distance evaluations
-    * per vector, reduced with `min_by`. At 100 TB the scored join is an
-    * equi-join on cell id — work scales with corpus/nCentroids×nProbe,
-    * not the full corpus.
+    * scores all `nCentroids` cells IN-ROW against a one-row broadcast
+    * centroid array ([[centArray]]/[[topCells]]) — a pure projection,
+    * zero corpus exchange. At 100 TB the scored join is an equi-join
+    * on cell id — work scales with corpus/nCentroids×nProbe, not the
+    * full corpus.
     */
+  /** The centroid table collapsed to ONE row holding a sorted array of
+    * (cell, cv, cnrm) structs, broadcast. Joining this against the
+    * corpus is a broadcast nested-loop of exactly one row, so cell
+    * assignment becomes a pure projection: per-row `transform` over
+    * the array, `array_sort` + `slice` for the top-r cells — ZERO
+    * corpus exchange before the cell equi-join. (The previous shape —
+    * broadcast-join every vector against all centroids then rank with
+    * a `row_number` window on id — shuffled corpus×nCentroids rows.)
+    */
+  private def centArray(cents: DataFrame): DataFrame =
+    broadcast(cents.agg(array_sort(
+      collect_list(struct(col("cell"), col("cv"), col("cnrm")))).as("cents")))
+
+  /** Per-row top-`keep` cells: score every centroid in-row, sort by
+    * (−sim, cell) — sim descending with ties by cell ascending, the
+    * same total order the old window ranked by — and keep the head.
+    */
+  private def topCells(keep: Int): Column =
+    slice(
+      array_sort(transform(col("cents"), c => struct(
+        (-quantizedDot(col("qv"), c.getField("cv")).cast("double") /
+          (col("nrm") * c.getField("cnrm"))).as("negSim"),
+        c.getField("cell").as("cell")))),
+      1, keep)
+
   /** One Lloyd (k-means) refinement step as pure DataFrame ops:
-    * assign every training vector to its nearest centroid, then
+    * assign every training vector to its nearest centroid (in-row over
+    * the one-row broadcast centroid array — no corpus shuffle), then
     * re-center each cell on the elementwise mean, re-quantized to the
     * Long grid so [[quantizedDot]] stays exact integer math. Cells
     * that capture no points disappear (standard Lloyd behavior). The
@@ -88,12 +115,8 @@ object SimilaritySearch {
     * per-cell collect of member vectors.
     */
   private def lloydStep(train: DataFrame, cents: DataFrame): DataFrame =
-    train.join(broadcast(cents))
-      .withColumn("sim",
-        quantizedDot(col("qv"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
-      .withColumn("r",
-        row_number().over(Window.partitionBy("id").orderBy(col("sim").desc, col("cell"))))
-      .filter(col("r") === 1)
+    train.join(centArray(cents))
+      .withColumn("cell", element_at(topCells(1), 1).getField("cell"))
       .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
       .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
       .groupBy("cell")
@@ -142,14 +165,14 @@ object SimilaritySearch {
     // assignment joins don't re-train
     if (lloydIters > 0) centroids.persist()
 
+    // Scan-local assignment: one-row broadcast centroid array, top-r
+    // cells computed in-row — the corpus reaches the cell equi-join
+    // with no exchange at all (pinned by ScaleDesignSpec).
+    val centTable = centArray(centroids)
     def assign(df: DataFrame, keep: Int): DataFrame =
-      df.join(broadcast(centroids))
-        .withColumn("sim",
-          quantizedDot(col("qv"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
-        .withColumn("cellRank",
-          row_number().over(Window.partitionBy("id").orderBy(col("sim").desc, col("cell"))))
-        .filter(col("cellRank") <= keep)
-        .drop("cv", "cnrm", "sim", "cellRank")
+      df.join(centTable)
+        .select(col("id"), col("qv"), col("nrm"),
+          explode(transform(topCells(keep), t => t.getField("cell"))).as("cell"))
 
     // `replication` > 1 assigns each corpus vector to its top-r cells
     // (IVF spill replication): index size grows ×r, boundary recall

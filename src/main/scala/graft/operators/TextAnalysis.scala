@@ -254,15 +254,21 @@ object TextAnalysis {
       .select(col(idCol), explode(words(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("tf"))
-    // corpus frequency as a word-partitioned window over tf — NOT a
-    // self-join back onto tf, which would recompute the whole
-    // explode/aggregate chain (and re-scan the corpus) a second time
-    val cf = sum("tf").over(org.apache.spark.sql.expressions.Window.partitionBy("word"))
+    // corpus frequency via partial aggregation on the word key — a
+    // word-partitioned window would funnel every occurrence of "the"
+    // (≈ the whole corpus, under Zipf) into ONE task with no map-side
+    // combine and no AQE split. groupBy absorbs the skew map-side and
+    // its output is vocabulary-sized; deriving it from `tf` lets
+    // ReuseExchange share the (doc, word) shuffle, so the corpus is
+    // still scanned and exploded exactly once. The join back runs on
+    // the word key (AQE skew-join applies), never broadcast, so an
+    // arbitrarily large vocabulary still streams.
+    val cf = tf.groupBy("word").agg(sum("tf").as("cf"))
     // corpus total straight off the text column: one cheap scan, no
     // second pass over the exploded terms
     val total = broadcast(
       df.agg(sum(size(words(col(textCol)))).cast("long").as("t")))
-    tf.withColumn("cf", cf)
+    tf.join(cf, "word")
       .join(total)
       .groupBy(col(idCol))
       .agg(
@@ -297,15 +303,22 @@ object TextAnalysis {
       .select(col(idCol), explode(words(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("tf"))
-    // document frequency via a word-partitioned window (tf has one row
-    // per (doc, word), so the partition row count IS df) — avoids the
-    // self-join that would recompute tf and re-scan the corpus
-    val dfreq = count(lit(1))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy("word"))
+    // document frequency via partial aggregation on the word key —
+    // same Zipf argument as [[unigramLm]]: a word-partitioned window
+    // puts ~the whole corpus in the "the" partition, one task, no
+    // map-side combine. tf has one row per (doc, word), so counting
+    // its rows per word IS df; deriving from `tf` shares the
+    // (doc, word) exchange via ReuseExchange (single corpus scan).
+    // The tf > 0 guard is vacuous (a count of ≥1 rows) but unprovable
+    // to the optimizer: a bare count(1) would let it prune the tf
+    // count from this branch's aggregate, making the two exchanges
+    // canonically different and breaking the reuse.
+    val dfreq = tf.groupBy("word")
+      .agg(count(when(col("tf") > 0, lit(1))).as("df"))
     val nDocs = broadcast(df.agg(count(lit(1)).as("n_docs")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("tfidf").desc, col("word"))
-    tf.withColumn("df", dfreq)
+    tf.join(dfreq, "word")
       .join(nDocs)
       .withColumn("tfidf",
         col("tf").cast("double") *

@@ -93,14 +93,58 @@ class ScaleDesignSpec extends SparkSpec {
       s"semi-join should broadcast the key set:\n$plan")
   }
 
-  test("q59/q72 term statistics compute tf once (window, not self-join)") {
+  test("q59/q72 term statistics partial-aggregate on the word key — no Zipf window") {
     for (q <- Seq("q59_unigram_lm", "q72_tfidf")) {
-      val plan = SparkEntry.queries(q)(spark, sfDir)
-        .queryExecution.executedPlan.toString
-      // one scan feeds the explode/tf chain, one the corpus-total agg;
-      // a tf self-join would show a third
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      // a window partitioned by word funnels every occurrence of "the"
+      // (≈ the whole corpus, under Zipf) into ONE task — cf/df must be
+      // a groupBy on word (map-side combine) joined back instead
+      val wordWindows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.exists(_.references.exists(_.name == "word")) => w
+      }
+      assert(wordWindows.isEmpty, s"$q must not window over the word key")
+      df.collect() // finalize THIS QueryExecution's adaptive plan
+      // AdaptiveSparkPlan.toString appends the pre-reuse initial plan;
+      // only the final plan's scan count is the claim
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // cf/df derive from tf, so the (doc, word) exchange is shared:
+      // the corpus is exploded once, scanned twice (tf chain + total)
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        s"$q must reuse the tf exchange for the vocabulary table:\n$plan")
       assert("FileScan parquet".r.findAllIn(plan).size == 2,
         s"$q must scan documents exactly twice:\n$plan")
+    }
+  }
+
+  test("q39/q49 IVF assigns cells in-row — no corpus exchange before the cell join") {
+    for (q <- Seq("q39_ann_ivf", "q49_ann_ivf_trained")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      // the old shape ranked corpus×nCentroids rows with a window on
+      // the vector id; the only window left must be the final top-k
+      // over query_id
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty && windows.forall(
+        _.partitionSpec.forall(_.references.forall(_.name == "query_id"))),
+        s"$q: only the query_id top-k window may remain, got " +
+          windows.map(_.partitionSpec).mkString(", "))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // corpus assignment is a projection over a one-row broadcast
+      // centroid array: between the embeddings scan and the cell
+      // equi-join there must be NO hash exchange on the corpus — every
+      // hash exchange in the final plan sits at or above the
+      // (query_id, id) pair aggregation
+      val badExchange = "Exchange hashpartitioning\\(((?!query_id).)*\\)".r
+        .findAllIn(plan).toList
+        .filterNot(_.contains("pos"))     // lloyd re-center, nCentroids×dims rows
+        .filterNot(_.contains("cell"))    // lloyd per-cell collect, nCentroids rows
+      assert(badExchange.isEmpty,
+        s"$q: corpus must reach the cell join unshuffled, got $badExchange:\n$plan")
     }
   }
 
