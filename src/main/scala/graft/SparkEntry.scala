@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import graft.sources.Tables
+import graft.sources.{Io, Tables}
 import graft.streaming.{AssociationStream, EventStream, StreamQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -928,6 +928,143 @@ object SparkEntry {
       StreamQueries.latestByKey(updates,
           Seq("diseaseId", "targetId", "datasourceId"), "n_evidence")
         .withColumn("score", round(col("score"), 4))
+    }),
+    "q65_stream_evict" -> ((s, dir) => {
+      // H9 event-time state eviction END-TO-END: the EventTimeTimeout
+      // variant of the cumulative chain runs with a real watermark and
+      // per-key timeout registration. The horizon (200y) outlives the
+      // data span, so no key evicts under ANY micro-batch split and
+      // the final state is deterministic — the oracle gates the same
+      // result as the non-evicting twin while the eviction machinery
+      // (watermark clock, setTimeoutTimestamp, hasTimedOut) executes.
+      import s.implicits._
+      val ev = StreamQueries.streamTable(s, dir, "lineitem").select(
+          col("l_suppkey").cast("long").as("diseaseId"),
+          col("l_partkey").cast("long").as("targetId"),
+          col("l_returnflag").as("datasourceId"),
+          (col("l_discount") * 10).cast("double").as("score"),
+          col("l_shipdate").cast("timestamp").as("ts"))
+        .as[AssociationStream.TimedEvidenceEvent]
+      val updates = StreamQueries.materialize(
+        AssociationStream.cumulativeScoresEvicting(ev,
+          // the watermark outlives the replayed span (cf. q62), so no
+          // batch split can mark a row late; the timeout still
+          // registers against the real watermark clock
+          watermark = "3650 days", evictAfterMs = 200L * 365 * 24 * 3600 * 1000),
+        mode = "update")
+      StreamQueries.latestByKey(updates,
+          Seq("diseaseId", "targetId", "datasourceId"), "n_evidence")
+        .withColumn("score", round(col("score"), 4))
+    }),
+    "q66_sql_surface" -> ((s, dir) => {
+      // I5: the injected SQL functions driven through spark.sql — the
+      // flagship harmonic scoring written as plain SQL over the
+      // evidence view. harmonic_score sorts its input internally, so
+      // collect_list's nondeterministic order cannot leak.
+      GraftExtensions.register(s)
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_q66")
+      s.sql(
+        """SELECT CAST(l_suppkey AS BIGINT) AS diseaseId,
+          |       CAST(l_partkey AS BIGINT) AS targetId,
+          |       l_returnflag AS datasourceId,
+          |       round(harmonic_score(
+          |         collect_list(CAST(l_discount * 10 AS DOUBLE)),
+          |         50, 1.6449340668482264), 4) AS score
+          |FROM lineitem_q66
+          |GROUP BY 1, 2, 3""".stripMargin)
+    }),
+    "q75_salted_agg" -> ((s, dir) => {
+      // I1: two-phase salted aggregation — result identical to the
+      // plain groupBy (the oracle), rows per hot key spread over 8
+      // reducers. Floats round only at the combine projection.
+      val t = Tables(s, dir)
+      Skew.saltedAgg(t.events, Seq("event_type"), 8)(
+        partial = Seq(count(lit(1)).as("c"), sum("value").as("sv"),
+          sum("user_id").as("su"), max("value").as("mx")),
+        combine = Seq(sum("c").cast("long").as("n"),
+          round(sum("sv"), 4).as("sum_value"),
+          sum("su").cast("long").as("sum_user"),
+          round(max("mx"), 4).as("max_value")))
+    }),
+    "q76_salted_join" -> ((s, dir) => {
+      // I2: salted equi-join against a replicated non-broadcast dim —
+      // same rows as the plain join, one hot event_type spread over 8
+      // tasks. Aggregated to a deterministic per-type summary.
+      val t = Tables(s, dir)
+      val dim = t.events.select(col("event_type")).distinct()
+        .withColumn("weight",
+          (Sampling.hashBucket(col("event_type"), "w") % 9 + 1).cast("double")
+            / lit(10).cast("double"))
+      Skew.saltedJoin(t.events, dim, Seq("event_type"), 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("value") * col("weight")), 4).as("wsum"))
+    }),
+    "q77_bucketed_join" -> ((s, dir) => {
+      // I3: bucketed co-located fact-fact join — both sides written
+      // bucketBy(8, join key) so the equi-join plans with no exchange
+      // (pinned in ScaleDesignSpec); result equals the plain join.
+      for (tb <- Seq("li_q77", "ord_q77")) {
+        s.sql(s"DROP TABLE IF EXISTS $tb")
+        val p = new java.io.File(s"spark-warehouse/$tb")
+        if (p.exists()) {
+          java.nio.file.Files.walk(p.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.delete(q))
+        }
+      }
+      val t = Tables(s, dir)
+      Io.writeBucketed(t.lineitem.select("l_orderkey", "l_extendedprice"),
+        "li_q77", "l_orderkey", 8)
+      Io.writeBucketed(t.orders.select("o_orderkey", "o_custkey"),
+        "ord_q77", "o_orderkey", 8)
+      s.table("li_q77")
+        .join(s.table("ord_q77"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum("l_extendedprice"), 4).as("rev"))
+    }),
+    "q78_io_roundtrip" -> ((s, dir) => {
+      // I4: CSV / JSON-lines / ORC round-trips — write the events
+      // projection, read it back through each adapter (explicit
+      // schema, no inference pass), and summarize; any fidelity loss
+      // in a format path breaks that format's row against the oracle.
+      val base = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q78").toString
+      Io.writeCsv(base, s"$tmp/csv")
+      Io.writeJsonLines(base, s"$tmp/jsonl")
+      Io.writeOrc(base, s"$tmp/orc")
+      Seq(
+          "csv" -> Io.readCsv(s, s"$tmp/csv", base.schema),
+          "jsonl" -> Io.readJsonLines(s, s"$tmp/jsonl", base.schema),
+          "orc" -> Io.readOrc(s, s"$tmp/orc"))
+        .map { case (fmt, d) =>
+          d.agg(count(lit(1)).cast("long").as("n"),
+              sum("user_id").cast("long").as("sum_user"),
+              round(sum("value"), 4).as("sum_value"))
+            .withColumn("fmt", lit(fmt))
+        }
+        .reduce(_.unionByName(_))
+    }),
+    "q79_partition_refresh" -> ((s, dir) => {
+      // I4: partitioned write → dynamic single-partition overwrite →
+      // small-file compaction of the refreshed partition → read back.
+      // Only src0 is rewritten (n_chars + 1000); every other partition
+      // must come through untouched for the oracle to match.
+      val t = Tables(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q79").toString + "/docs"
+      val base = t.documents.select(col("doc_id"), col("source"), col("n_chars"))
+      Io.writeParquetPartitioned(base, tmp, Seq("source"))
+      Io.overwritePartitions(
+        base.filter(col("source") === "src0")
+          .withColumn("n_chars", col("n_chars") + 1000),
+        tmp, Seq("source"))
+      Io.compact(s, s"$tmp/source=src0", 1)
+      s.read.parquet(tmp)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("n_chars").cast("long").as("sum_chars"))
     }),
   )
 
@@ -1942,5 +2079,73 @@ object SparkEntry {
          |       round(sum(CASE WHEN rn <= 50 THEN score / (rn * rn) END)
          |             / 1.6449340668482264, 4) AS score
          |FROM ranked GROUP BY 1, 2, 3, n""".stripMargin,
+    // eviction horizon outlives the replay, so the final state equals
+    // the non-evicting twin's (q63) — same oracle
+    "q65_stream_evict" ->
+      s"""WITH $EvSql,
+         |ranked AS (
+         |  SELECT diseaseId, targetId, datasourceId, score,
+         |         row_number() OVER (
+         |           PARTITION BY diseaseId, targetId, datasourceId
+         |           ORDER BY score DESC) AS rn,
+         |         CAST(count(*) OVER (
+         |           PARTITION BY diseaseId, targetId, datasourceId) AS BIGINT) AS n
+         |  FROM ev
+         |)
+         |SELECT diseaseId, targetId, datasourceId, n AS n_evidence,
+         |       round(sum(CASE WHEN rn <= 50 THEN score / (rn * rn) END)
+         |             / 1.6449340668482264, 4) AS score
+         |FROM ranked GROUP BY 1, 2, 3, n""".stripMargin,
+    "q66_sql_surface" ->
+      s"""WITH $EvSql,
+         |ranked AS (
+         |  SELECT diseaseId, targetId, datasourceId, score,
+         |         row_number() OVER (
+         |           PARTITION BY diseaseId, targetId, datasourceId
+         |           ORDER BY score DESC) AS rn
+         |  FROM ev
+         |)
+         |SELECT CAST(diseaseId AS BIGINT) AS diseaseId,
+         |       CAST(targetId AS BIGINT) AS targetId, datasourceId,
+         |       round(sum(CASE WHEN rn <= 50 THEN score / (rn * rn) END)
+         |             / 1.6449340668482264, 4) AS score
+         |FROM ranked GROUP BY 1, 2, 3""".stripMargin,
+    "q75_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 4) AS sum_value,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |       round(max(value), 4) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q76_salted_join" ->
+      s"""WITH dim AS (
+         |  SELECT event_type,
+         |         CAST(${HexBucketSql("md5(event_type || ':w')")} % 9 + 1 AS DOUBLE)
+         |           / CAST(10 AS DOUBLE) AS weight
+         |  FROM (SELECT DISTINCT event_type FROM events)
+         |)
+         |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+         |       round(sum(value * weight), 4) AS wsum
+         |FROM events e JOIN dim USING (event_type) GROUP BY 1""".stripMargin,
+    "q77_bucketed_join" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_extendedprice), 4) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q78_io_roundtrip" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |         round(sum(value), 4) AS sum_value
+        |  FROM events
+        |)
+        |SELECT 'csv' AS fmt, n, sum_user, sum_value FROM a
+        |UNION ALL SELECT 'jsonl', n, sum_user, sum_value FROM a
+        |UNION ALL SELECT 'orc', n, sum_user, sum_value FROM a""".stripMargin,
+    "q79_partition_refresh" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN source = 'src0'
+        |                     THEN n_chars + 1000 ELSE n_chars END) AS BIGINT)
+        |         AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
   )
 }
