@@ -613,8 +613,34 @@ object SparkEntry {
           (unix_micros(col("ts")) - unix_micros(col("p_start"))).as("gap_us"))
     }),
     "q38_multimodal" -> ((s, dir) => {
+      // REAL image decode: each text becomes a genuine 24-bit BMP
+      // (headers, stride padding, bottom-up BGR rows), and the feature
+      // extractor parses it back; the oracle recomputes the channel
+      // means from the text bytes, so any decoder offset bug mismatches
       val t = Tables(s, dir)
       Multimodal.documentFeatures(t.documents)
+    }),
+    "q67_wav_decode" -> ((s, dir) => {
+      // REAL audio decode: PCM-16 RIFF/WAVE payloads synthesized from
+      // the text bytes, parsed back by the chunk-walking WAV reader
+      val t = Tables(s, dir)
+      Multimodal.wavFeatures(Multimodal.textToWav(t.documents))
+        .toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          round(col("mean_abs"), 4).as("mean_abs"))
+    }),
+    "q68_bmp_resize" -> ((s, dir) => {
+      // REAL resize: decode BMP → nearest-neighbor 8×8 → re-encode →
+      // decode again for stats; the oracle replays the source-pixel
+      // index arithmetic ((x·w)/8, (y·h)/8) on the raw text bytes
+      val t = Tables(s, dir)
+      Multimodal.extractFeatures(
+          Multimodal.resize(Multimodal.textToBmp(t.documents), 8, 8))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          round(col("r_mean"), 4).as("r_mean"),
+          round(col("g_mean"), 4).as("g_mean"),
+          round(col("b_mean"), 4).as("b_mean"))
     }),
     "q44_frame_sample" -> ((s, dir) => {
       // video-style frame sampling over binary payloads (every 4th
@@ -1661,21 +1687,79 @@ object SparkEntry {
     // can replay it with ascii(substring(...)) per 8-stride position.
     // feat0 is (acc % 1000)/1000f — 3 decimals, so the float detour
     // rounds exactly at 4dp on both sides.
+    // replays the BMP round trip from first principles: pixel k's
+    // channels are text bytes (3k+2, 3k+1, 3k) mod n, dims are
+    // (8 + n%8) × (8 + (n/8)%8), file size 54 + stride·h with 4-byte
+    // row padding — a decoder stride/offset/row-order bug mismatches
     "q38_multimodal" ->
       """WITH b AS (
         |  SELECT doc_id, text, CAST(length(text) AS INT) AS n FROM documents
         |),
-        |pos AS (SELECT doc_id, unnest(range(0, n, 8)) AS j FROM b),
-        |acc AS (
-        |  SELECT p.doc_id, CAST(sum(ascii(substring(b.text, p.j + 1, 1))) AS BIGINT) AS s
-        |  FROM pos p JOIN b ON b.doc_id = p.doc_id
-        |  GROUP BY 1
+        |d AS (
+        |  SELECT doc_id, text, n, 8 + (n % 8) AS w, 8 + ((n // 8) % 8) AS h
+        |  FROM b
+        |),
+        |px AS (SELECT doc_id, text, n, w, h, unnest(range(0, w * h)) AS k FROM d),
+        |s AS (
+        |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |         sum(ascii(substring(text, CAST((3*k + 2) % n AS INT) + 1, 1))) AS rs,
+        |         sum(ascii(substring(text, CAST((3*k + 1) % n AS INT) + 1, 1))) AS gs,
+        |         sum(ascii(substring(text, CAST((3*k) % n AS INT) + 1, 1))) AS bs
+        |  FROM px GROUP BY doc_id
         |)
-        |SELECT b.doc_id, b.n AS n_bytes,
-        |       CAST(16 + (b.n % 64) AS INT) AS width,
-        |       CAST(16 + ((b.n // 64) % 64) AS INT) AS height,
-        |       round(CAST(coalesce(acc.s, 0) % 1000 AS DOUBLE) / 1000, 4) AS feat0
-        |FROM b LEFT JOIN acc ON acc.doc_id = b.doc_id""".stripMargin,
+        |SELECT doc_id,
+        |       CAST(54 + ((3*w + 3) // 4) * 4 * h AS INT) AS n_bytes,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       round(CAST(rs AS DOUBLE) / (w * h) / 255.0, 4) AS r_mean,
+        |       round(CAST(gs AS DOUBLE) / (w * h) / 255.0, 4) AS g_mean,
+        |       round(CAST(bs AS DOUBLE) / (w * h) / 255.0, 4) AS b_mean
+        |FROM s""".stripMargin,
+    "q67_wav_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, CAST(length(text) AS INT) AS n FROM documents
+        |),
+        |sm AS (SELECT doc_id, text, n, unnest(range(0, 200)) AS i FROM b),
+        |v AS (
+        |  SELECT doc_id,
+        |         abs(ascii(substring(text, CAST((2*i) % n AS INT) + 1, 1)) * 256
+        |             + ascii(substring(text, CAST((2*i + 1) % n AS INT) + 1, 1))
+        |             - 32768) AS a
+        |  FROM sm
+        |)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+        |       CAST(200 AS INT) AS n_samples,
+        |       round(CAST(sum(a) AS DOUBLE) / 200, 4) AS mean_abs
+        |FROM v GROUP BY doc_id""".stripMargin,
+    // nearest-neighbor resize replay: output pixel p=(x,y) of the 8×8
+    // target samples source pixel (x·w//8, y·h//8) of the synthesized
+    // image, whose channels are the same (3k+c) mod n byte lookups
+    "q68_bmp_resize" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, CAST(length(text) AS INT) AS n FROM documents
+        |),
+        |d AS (
+        |  SELECT doc_id, text, n, 8 + (n % 8) AS w, 8 + ((n // 8) % 8) AS h
+        |  FROM b
+        |),
+        |o AS (SELECT doc_id, text, n, w, h, unnest(range(0, 64)) AS p FROM d),
+        |m AS (
+        |  SELECT doc_id, text, n,
+        |         ((p // 8) * h // 8) * w + ((p % 8) * w // 8) AS k
+        |  FROM o
+        |),
+        |s AS (
+        |  SELECT doc_id,
+        |         sum(ascii(substring(text, CAST((3*k + 2) % n AS INT) + 1, 1))) AS rs,
+        |         sum(ascii(substring(text, CAST((3*k + 1) % n AS INT) + 1, 1))) AS gs,
+        |         sum(ascii(substring(text, CAST((3*k) % n AS INT) + 1, 1))) AS bs
+        |  FROM m GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(246 AS INT) AS n_bytes,
+        |       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |       round(CAST(rs AS DOUBLE) / 64 / 255.0, 4) AS r_mean,
+        |       round(CAST(gs AS DOUBLE) / 64 / 255.0, 4) AS g_mean,
+        |       round(CAST(bs AS DOUBLE) / 64 / 255.0, 4) AS b_mean
+        |FROM s""".stripMargin,
     // Trained-IVF replay: seed pick, two unrolled Lloyd steps, then
     // replication-4 corpus / nProbe-4 query assignment over the
     // trained centroids; DISTINCT collapses pairs meeting in several

@@ -282,18 +282,51 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set((100L, 101L)), s"got $out")
   }
 
-  test("Multimodal.resize keeps row count and hits the target size, empty passthrough") {
-    val df = Seq(
-      (1L, Array.tabulate(100)(_.toByte)),
-      (2L, Array[Byte](7, 8)),
-      (3L, Array.empty[Byte])).toDF("doc_id", "payload")
-    val out = Multimodal.resize(df, targetBytes = 64).collect()
-    assert(out.length == 3, "binary in, binary out, same row count")
-    val byId = out.map(m => m.doc_id -> m.payload).toMap
-    assert(byId(1L).length == 64 && byId(1L)(0) == 0.toByte)
-    assert(byId(2L).length == 64 && byId(2L).toSeq.take(4) == Seq[Byte](7, 8, 7, 8),
-      "shorter payloads cycle deterministically")
-    assert(byId(3L).isEmpty, "empty payload passes through")
+  test("BMP codec round-trips pixels through headers, stride padding, bottom-up rows") {
+    // width 5 -> stride 16 (one pad byte per row) exercises the padding path
+    val w = 5; val h = 3
+    val px = Array.tabulate(w * h)(k => (k * 7 % 256, k * 11 % 256, k * 13 % 256))
+    val bytes = Multimodal.encodeBmp(w, h, px(_))
+    assert(bytes.length == 54 + Multimodal.bmpStride(w) * h)
+    assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    val img = Multimodal.decodeBmp(bytes)
+    assert(img.width == w && img.height == h)
+    val got = Array.tabulate(w * h)(k =>
+      (img.rgb(3 * k) & 0xff, img.rgb(3 * k + 1) & 0xff, img.rgb(3 * k + 2) & 0xff))
+    assert(got.toSeq == px.toSeq, "logical top-down RGB pixels survive the round trip")
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(Array.fill[Byte](60)(1)))
+  }
+
+  test("WAV codec round-trips samples and survives an extra RIFF chunk") {
+    val samples = Array.tabulate(50)(i => (i * 997 - 25000).toShort)
+    val bytes = Multimodal.encodeWav(8000, 1, samples)
+    val wav = Multimodal.decodeWav(bytes)
+    assert(wav.sampleRate == 8000 && wav.channels == 1)
+    assert(wav.samples.toSeq == samples.toSeq)
+    // splice a LIST chunk between fmt and data: a fixed-offset reader breaks
+    val head = bytes.slice(0, 36)
+    val tail = bytes.slice(36, bytes.length)
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = head ++ list ++ tail
+    // patch the RIFF size field (bytes 4..7, little-endian)
+    val rl = spliced.length - 8
+    for (i <- 0 until 4) spliced(4 + i) = ((rl >> (8 * i)) & 0xff).toByte
+    val wav2 = Multimodal.decodeWav(spliced)
+    assert(wav2.samples.toSeq == samples.toSeq, "chunk walker skips unknown chunks")
+  }
+
+  test("Multimodal.resize nearest-neighbor: constant image stays constant, dims hit target") {
+    val docs = Seq((1L, "x" * 97), (2L, "ab" * 40)).toDF("doc_id", "text")
+    val out = Multimodal.resize(Multimodal.textToBmp(docs), 8, 8).collect()
+    assert(out.length == 2, "binary in, binary out, same row count")
+    for (m <- out) {
+      val img = Multimodal.decodeBmp(m.payload)
+      assert(img.width == 8 && img.height == 8)
+    }
+    // doc 1 is all 'x' (0x78): every channel of every pixel must be 0x78
+    val one = Multimodal.decodeBmp(out.find(_.doc_id == 1L).get.payload)
+    assert(one.rgb.forall(b => (b & 0xff) == 'x'.toInt),
+      "resize of a constant image is constant")
   }
 
   test("Multimodal feature extraction is deterministic and schema-stable") {
@@ -301,7 +334,7 @@ class OperatorsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val out = Multimodal.documentFeatures(docs).collect()
     assert(out.length == 3)
-    val byId = out.map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4))).toMap
+    val byId = out.map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
     assert(byId(1L) == byId(2L), "same payload → same features")
     assert(byId(1L) != byId(3L))
   }
