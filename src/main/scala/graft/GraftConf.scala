@@ -35,4 +35,11 @@ object GraftConf {
     * dropped and reported, never pair-expanded).
     */
   val LshBucketCap = 256
+  /** Per-fingerprint copy cap for exact dedup ranking: a group with
+    * more byte-identical copies than this is dropped (and reported via
+    * observe()) before the per-copy ranking window, so a degenerate
+    * all-identical corpus cannot funnel one task. Real corpora sit far
+    * below it; crank it only with a matching skew budget.
+    */
+  val ExactCopyCap = 100000
 }

@@ -22,12 +22,27 @@ object Dedup {
   /** Exact duplicate ranking by content hash: every row gets its
     * fingerprint, the number of copies, and a deterministic rank among
     * its copies (rank 1 = the keeper).
+    *
+    * Scale shape: copy counts come from a groupBy on the fingerprint —
+    * map-side combine absorbs even a corpus of billions of
+    * byte-identical documents — joined back on fp (AQE skew-split
+    * applies). Groups larger than `copyCap` are dropped BEFORE the
+    * ranking window (reported via observe(), never silently), so the
+    * per-fp window partition is ≤ copyCap rows by construction and no
+    * adversarial corpus can funnel one task. A group that hot is bot
+    * spam, not content — enumerate it from the counts table, not
+    * per-copy.
     */
-  def exactRank(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val byFp = Window.partitionBy("fp")
-    TextAnalysis.fingerprint(df, textCol)
-      .withColumn("n_copies", count(lit(1)).over(byFp))
-      .withColumn("dup_rank", row_number().over(byFp.orderBy(idCol)))
+  def exactRank(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      copyCap: Int = graft.GraftConf.ExactCopyCap): DataFrame = {
+    val fp = TextAnalysis.fingerprint(df, textCol)
+    val counts = fp.groupBy("fp").agg(count(lit(1)).as("n_copies"))
+    fp.join(counts, "fp")
+      .observe(s"graft_exact_copy_cap_${obsId.incrementAndGet()}",
+        sum(when(col("n_copies") > copyCap, 1L).otherwise(0L)).as("dropped_rows"))
+      .filter(col("n_copies") <= copyCap)
+      .withColumn("dup_rank",
+        row_number().over(Window.partitionBy("fp").orderBy(idCol)))
   }
 
   /** Word n-gram shingles (ordered, with duplicates). Empty when the

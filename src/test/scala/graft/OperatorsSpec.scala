@@ -81,6 +81,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 1), (2L, 2L, 2), (3L, 1L, 1)))
   }
 
+  test("Dedup.exactRank drops a degenerate all-identical group at the copy cap") {
+    // 90 byte-identical docs + 3 unique: with copyCap=50 the hot group
+    // must vanish BEFORE the ranking window (bounded partitions by
+    // construction) and be reported via observe(), never silently
+    val docs = ((1 to 90).map(i => (i.toLong, "identical spam")) ++
+      Seq((101L, "unique a"), (102L, "unique b"), (103L, "unique c")))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactRank(docs, copyCap = 50)
+    val rows = out.collect()
+    assert(rows.length == 3 && rows.forall(_.getAs[Long]("n_copies") == 1L),
+      "only the unique docs survive the cap")
+    val metrics = out.queryExecution.observedMetrics
+      .collectFirst { case (k, v) if k.startsWith("graft_exact_copy_cap") => v }
+    assert(metrics.isDefined, "copy-cap observe metrics missing from the plan")
+    assert(metrics.get.getAs[Long]("dropped_rows") == 90L,
+      "all 90 spam copies must be reported dropped")
+    // no window may run over the bare fp key (the unbounded funnel);
+    // the surviving window partitions are (fp already capped) bounded
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "ranking window expected")
+  }
+
   test("Dedup.minhashLshPairs finds planted near-duplicates") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 40) "zz" else s"w$i").mkString(" ")
