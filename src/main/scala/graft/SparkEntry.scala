@@ -999,6 +999,15 @@ object SparkEntry {
           |FROM lineitem_q66
           |GROUP BY 1, 2, 3""".stripMargin)
     }),
+    "q69_pack_sequences" -> ((s, dir) => {
+      // training-sequence packing: greedy contiguous fill to a 512-
+      // token budget, sequential by doc_id within (source, md5-shard)
+      // lanes so every running-sum window partition is bounded
+      val t = Tables(s, dir)
+      Sampling.packSequences(t.documents, budgetTokens = 512)
+        .select(col("doc_id"), col("source"), col("shard"),
+          col("n_tokens"), col("bin"), col("bin_tokens"))
+    }),
     "q75_salted_agg" -> ((s, dir) => {
       // I1: two-phase salted aggregation — result identical to the
       // plain groupBy (the oracle), rows per hot key spread over 8
@@ -2194,6 +2203,29 @@ object SparkEntry {
          |       round(sum(CASE WHEN rn <= 50 THEN score / (rn * rn) END)
          |             / 1.6449340668482264, 4) AS score
          |FROM ranked GROUP BY 1, 2, 3""".stripMargin,
+    "q69_pack_sequences" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source, text,
+         |         md5(CAST(doc_id AS VARCHAR) || ':pack') AS h FROM documents
+         |),
+         |b AS (
+         |  SELECT doc_id, source,
+         |         CAST(${HexBucketSql("h")} % 16 AS BIGINT) AS shard,
+         |         CAST(CASE WHEN length(text) = 0 THEN 0
+         |              ELSE length(text) - length(replace(text, ' ', '')) + 1
+         |              END AS BIGINT) AS n_tokens
+         |  FROM h
+         |),
+         |r AS (
+         |  SELECT *, coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY source, shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |  FROM b
+         |)
+         |SELECT doc_id, source, shard, n_tokens,
+         |       CAST(bef // 512 AS BIGINT) AS bin,
+         |       CAST(bef % 512 AS BIGINT) AS bin_tokens
+         |FROM r""".stripMargin,
     "q75_salted_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(value), 4) AS sum_value,

@@ -257,13 +257,18 @@ object Dedup {
     * pipeline runs before training). Output per contaminated corpus
     * doc: (doc_id, n_shared distinct shingles, n_bench_docs hit).
     *
-    * Scale shape: the benchmark (eval sets) is orders of magnitude
-    * smaller than the corpus, so its inverted shingle index is
-    * BROADCAST and the corpus side is a scan-local explode + broadcast
-    * equi-join + partial-aggregated groupBy on the high-cardinality
-    * doc id — the 100 TB corpus is never shuffled at shingle grain.
-    * (If the benchmark outgrows broadcast size, drop the broadcast()
-    * and the same plan becomes a sort-merge join on the shingle key.)
+    * Scale shape: the benchmark (eval sets) is normally orders of
+    * magnitude smaller than the corpus, so its inverted shingle index
+    * is BROADCAST and the corpus side is a scan-local explode +
+    * broadcast equi-join + partial-aggregated groupBy on the
+    * high-cardinality doc id — the 100 TB corpus is never shuffled at
+    * shingle grain. The hint is guarded, not unconditional: when the
+    * benchmark's estimated index size (logical byte stats × the
+    * shingle blow-up factor) exceeds `autoBroadcastJoinThreshold`, the
+    * hint is dropped and the same plan becomes a sort-merge join on
+    * the shingle key — a forced broadcast of an oversized index is an
+    * executor OOM, the one failure mode worse than a shuffle. Override
+    * the estimate with `broadcastIndex = Some(true/false)`.
     */
   def crossContamination(
       corpus: DataFrame,
@@ -271,12 +276,23 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleSize: Int = 3,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2,
+      broadcastIndex: Option[Boolean] = None): DataFrame = {
     def index(df: DataFrame, as: String) = df.select(
       col(idCol).as(as),
       explode(graft.functions.NativeText.wordShingles(col(textCol), shingleSize)).as("s"))
+    val bench = index(benchmark, "bench_id")
+    val doBroadcast = broadcastIndex.getOrElse {
+      val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        benchmark.sparkSession.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+      // each input word becomes a ~shingleSize-word shingle row + id
+      val estIndexBytes =
+        benchmark.queryExecution.optimizedPlan.stats.sizeInBytes * (shingleSize + 1)
+      threshold > 0 && estIndexBytes <= threshold
+    }
     index(spread(corpus), "id")
-      .join(broadcast(index(benchmark, "bench_id")), Seq("s"))
+      .join(if (doBroadcast) broadcast(bench) else bench, Seq("s"))
       .groupBy("id")
       .agg(
         countDistinct("s").as("n_shared"),

@@ -42,6 +42,19 @@ object Novelty {
 
   /** Attach novelty to a dense score frame. Output: keys, year, score
     * (rounded 4dp), novelty (rounded 3dp, 0.0 where none).
+    *
+    * Plan shape: [[AssociationScore]]'s segment fill emits CONSECUTIVE
+    * years per key (first active segment through the surrogate), so
+    * the peak `δ` years back is exactly `lag(peak, δ)` on the same
+    * (keys, year) window — novelty is `greatest` over the `window+1`
+    * lagged decays, riding the scoring chain's existing exchange. The
+    * reference instead posexplodes every peak into its decay range and
+    * RIGHT-joins back onto the dense table
+    * (/root/reference/timeseries.py:586–630), which recomputes the
+    * whole dense lineage a second time as the join's right side;
+    * this formulation has no join and no second dense compute
+    * (result-identity with the reference shape is pinned by
+    * AssociationScoreSpec).
     */
   def attach(
       dense: DataFrame,
@@ -51,21 +64,20 @@ object Novelty {
       shift: Double = GraftConf.NoveltyShift,
       window: Int = GraftConf.NoveltyWindow): DataFrame = {
     val surrogate = lastYear + 1
-    val withSurrogate = dense.withColumn("year", coalesce(col("year"), lit(surrogate)))
-
-    val decayed = peaks(dense, keys, lastYear)
-      .select(
-        (keys.map(col) :+ col("peak")) :+
-          posexplode(sequence(col("peakYear"), col("peakYear") + window))
-            .as(Seq("delta", "year")): _*)
-      .groupBy(keys.map(col) :+ col("year"): _*)
-      .agg(round(max(logisticNovelty(col("peak"), col("delta"), scale, shift)), 3)
-        .as("novelty"))
-
-    decayed
-      .join(withSurrogate, keys :+ "year", "right")
-      .withColumn("year", when(col("year") === surrogate, lit(null)).otherwise(col("year")))
-      .withColumn("novelty", coalesce(col("novelty"), lit(0.0)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("__y")
+    val peaked = dense
+      .withColumn("__y", coalesce(col("year"), lit(surrogate)))
+      .withColumn("__s0", coalesce(col("score"), lit(0.0)))
+      .withColumn("__peak", {
+        val p = col("__s0") - lag("__s0", 1).over(w)
+        when(p > 0, p) // null at the first row and at non-peaks
+      })
+    // greatest() skips nulls (missing/out-of-range peaks) and is null
+    // only when every candidate is — the 0.0 default of the reference
+    val candidates = (0 to window).map(d =>
+      logisticNovelty(lag(col("__peak"), d).over(w), lit(d), scale, shift))
+    peaked
+      .withColumn("novelty", coalesce(round(greatest(candidates: _*), 3), lit(0.0)))
       .select(keys.map(col) :+ col("year") :+
         round(col("score"), 4).as("score") :+ col("novelty"): _*)
   }

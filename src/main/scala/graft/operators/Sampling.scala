@@ -88,4 +88,42 @@ object Sampling {
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
       .drop("__h")
+
+  /** Deterministic sequence packing: assign documents to fixed-budget
+    * training sequences ("bins") by running token count — the step
+    * that turns a curated corpus into model-ready context windows.
+    *
+    * Packing is sequential by `idCol` within a (stratum, shard) lane:
+    * a document's bin is floor(tokens-before-it / budget), so bins
+    * fill to the token budget and a document straddling a boundary
+    * starts the next bin (greedy contiguous fill, the standard
+    * streaming-packing approximation). The shard is an md5 bucket of
+    * the id — deterministic, engine-portable, and it bounds every
+    * window partition at ~corpus/(strata·shards) rows, so no lane
+    * funnels one task at 100 TB (a per-stratum running sum would).
+    * Lanes are independent by construction: growing one shard never
+    * changes another's bins.
+    *
+    * Output: input columns + (shard, n_tokens, bin, bin_tokens =
+    * tokens before this doc within its bin).
+    */
+  def packSequences(
+      df: DataFrame,
+      budgetTokens: Int,
+      stratumCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shards: Int = 16,
+      salt: String = "pack"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("shard")).orderBy(col(idCol))
+    df.withColumn("shard", hashBucket(col(idCol), salt) % shards)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__before",
+        coalesce(sum("n_tokens").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", (col("__before") / budgetTokens).cast("long"))
+      .withColumn("bin_tokens", col("__before") % budgetTokens)
+      .drop("__before")
+  }
 }

@@ -65,6 +65,37 @@ class AssociationScoreSpec extends SparkSpec {
     }
   }
 
+  test("ReferenceBaseline novelty formulation is result-identical to Novelty.attach") {
+    import org.apache.spark.sql.functions._
+    val t = sources.Tables(spark, sfDir)
+    val keys = Seq("diseaseId", "targetId", "datasourceId")
+    val ref = ReferenceBaseline.noveltyScaffold(
+        ReferenceBaseline.byDatasourceScaffold(t.evidence))
+      .select(col("diseaseId"), col("targetId"), col("datasourceId"),
+        coalesce(col("year"), lit(9999)).as("y"),
+        col("score").as("rs"), col("novelty").as("rn"))
+    val g = operators.Novelty.attach(
+        operators.AssociationScore.byDatasource(t.evidence), keys)
+      .select(col("diseaseId"), col("targetId"), col("datasourceId"),
+        coalesce(col("year"), lit(9999)).as("y"),
+        col("score").as("gs"), col("novelty").as("gn"))
+    val joined = ref.join(g, keys :+ "y", "full_outer")
+      .select("rs", "gs", "rn", "gn").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val rs = Option(r.get(0)).map(_.asInstanceOf[Double])
+      val gs = Option(r.get(1)).map(_.asInstanceOf[Double])
+      assert(rs.isDefined == gs.isDefined, s"row presence mismatch: $rs vs $gs")
+      // graft rounds score at the final projection (4dp); the reference
+      // formulation emits it raw — identity modulo that rounding
+      for (a <- rs; b <- gs)
+        assert(math.abs(a - b) <= 5e-5 + 1e-12, s"score mismatch: $a vs $b")
+      // novelty is rounded to 3dp by BOTH formulations — exact equality
+      assert(r.getDouble(2) == r.getDouble(3),
+        s"novelty mismatch: ${r.getDouble(2)} vs ${r.getDouble(3)}")
+    }
+  }
+
   test("overall: weighted harmonic across sources, no re-accumulation") {
     val dense = Seq(
       (1L, 1L, "A", Some(1995), Some(0.6)),

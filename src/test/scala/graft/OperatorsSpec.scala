@@ -72,6 +72,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("Sampling.packSequences fills lanes greedily and stays bounded") {
+    val docs = (1 to 60).map(i => (i.toLong, "src", ("w " * 10).trim))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.packSequences(docs, budgetTokens = 25, shards = 4)
+      .select("doc_id", "shard", "n_tokens", "bin", "bin_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 60)
+    assert(out.forall(_._3 == 10L), "each doc is 10 tokens")
+    assert(out.forall(r => r._5 >= 0 && r._5 < 25), "offset within budget")
+    // per lane: sequential by doc_id, bin = tokens-before / budget
+    out.groupBy(_._2).values.foreach { lane =>
+      val sorted = lane.sortBy(_._1)
+      sorted.zipWithIndex.foreach { case ((_, _, _, bin, off), i) =>
+        assert(bin == (i * 10) / 25 && off == (i * 10) % 25,
+          s"greedy contiguous fill violated at lane pos $i: bin=$bin off=$off")
+      }
+    }
+  }
+
   test("Dedup.exactRank ranks copies deterministically") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")

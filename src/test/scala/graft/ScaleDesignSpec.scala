@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Skew
+import graft.operators.{Dedup, Skew}
 import graft.sources.{Io, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -79,6 +79,34 @@ class ScaleDesignSpec extends SparkSpec {
     val mhNoGuard = "Exchange hashpartitioning".r.findAllIn(mhBare).length
     assert(mhWindowed == mhNoGuard,
       s"bucket-cap guard must not add an exchange: $mhWindowed vs $mhNoGuard:\n$mhPlan")
+  }
+
+  test("contamination index broadcasts under the threshold, sort-merges beyond it") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // small benchmark → estimated index fits → broadcast hint applied
+    val small = Dedup.crossContamination(docs, docs.limit(50))
+      .queryExecution.executedPlan.toString
+    assert(small.contains("BroadcastHashJoin"),
+      s"small benchmark index must broadcast:\n$small")
+    // oversize benchmark (threshold squeezed to 1KB) → hint dropped,
+    // shingle join degrades to sort-merge instead of a forced OOM
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      val big = Dedup.crossContamination(docs, docs)
+        .queryExecution.executedPlan.toString
+      assert(big.contains("SortMergeJoin"),
+        s"oversize benchmark index must fall back to sort-merge:\n$big")
+      assert(!big.contains("BroadcastHashJoin"),
+        s"no broadcast may survive the fallback:\n$big")
+      // explicit override beats the estimate: the caller who KNOWS the
+      // index fits re-forces the broadcast under the same threshold
+      val forced = Dedup.crossContamination(docs, docs,
+          broadcastIndex = Some(true))
+        .queryExecution.executedPlan.toString
+      assert(forced.contains("BroadcastHashJoin"),
+        s"broadcastIndex=Some(true) must force the hint:\n$forced")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q15 pushes the first-approval pair filter below the association chain") {
@@ -183,17 +211,18 @@ class ScaleDesignSpec extends SparkSpec {
       s"every query must have an oracle; rows-only: $rowsOnly")
   }
 
-  test("q10 full pipeline reuses the shared score chain at runtime") {
-    // the novelty join's two branches both derive from `overall`; the
-    // static plan shows the chain (and its scan) twice, but AQE's stage
-    // cache must materialize the shared shuffle only once
+  test("q10 full pipeline runs the score chain once — lag-decay novelty, no join-back") {
+    // Novelty.attach rides the scoring chain's own window (consecutive
+    // segment-filled years ⇒ lag(peak, δ) decay), so the dense lineage
+    // is never re-joined: the finalized plan holds exactly ONE evidence
+    // scan and needs no exchange reuse at all
     val df = SparkEntry.queries("q10_full_pipeline")(spark, sfDir)
     df.collect() // finalize THIS QueryExecution's adaptive plan
-    val finalPlan = df.queryExecution.executedPlan.toString
-    assert(finalPlan.contains("isFinalPlan=true"))
-    assert(finalPlan.contains("ReusedExchange") ||
-      "FileScan parquet \\[l_".r.findAllIn(finalPlan).size == 1,
-      s"shared association chain must not execute twice:\n${finalPlan.take(3000)}")
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"))
+    val finalPlan = full.split("== Initial Plan ==").head
+    assert("FileScan parquet \\[l_".r.findAllIn(finalPlan).size == 1,
+      s"association chain must scan evidence exactly once:\n${finalPlan.take(3000)}")
     assert(finalPlan.contains("BroadcastHashJoin"), "ontology/weights dims must broadcast")
   }
 
