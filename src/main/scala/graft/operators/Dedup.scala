@@ -324,15 +324,24 @@ object Dedup {
 
   /** Per-doc simhash + near-dup flag: docs sharing their simhash prefix
     * bucket (first `prefixBits` bits) with ≥1 other doc.
+    *
+    * Bucket sizes come from a groupBy on the bucket key joined back as
+    * a BROADCAST (≤ 2^prefixBits rows), not a bucket-partitioned
+    * window: the bucket key space is small by construction, so a
+    * window would push the whole corpus through a ≤2^prefixBits-task
+    * exchange with no map-side combine, while the groupBy's partial
+    * aggregation ships only per-task bucket counts. The simhash chain
+    * is evaluated once per branch (scan-local CPU) — at scale,
+    * recomputing md5s locally is far cheaper than a full-corpus
+    * zero-combine shuffle.
     */
   def simhash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      prefixBits: Int = 16): DataFrame =
-    spread(df).select(col(idCol), col(textCol))
+      prefixBits: Int = 16): DataFrame = {
+    val hashed = spread(df).select(col(idCol), col(textCol))
       .withColumn("simhash", simhashBits(col(textCol)))
       .withColumn("bucket", substring(col("simhash"), 1, prefixBits))
-      // window, not a groupBy+join-back: the simhash column is computed
-      // once and shuffled once on the bucket key
-      .withColumn("bucket_size",
-        count(lit(1)).over(Window.partitionBy("bucket")))
+    val counts = hashed.groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
+    hashed.join(broadcast(counts), "bucket")
       .select(col(idCol), col("simhash"), col("bucket"), col("bucket_size"))
+  }
 }

@@ -216,8 +216,14 @@ object SimilaritySearch {
       embCol: String = "embedding"): DataFrame = {
     val c = prepared(corpus, idCol, embCol)
       .withColumn("bucket", lshBucket(col("qv"), planes, dims))
-    val bucketWin = Window.partitionBy("bucket")
-    c.withColumn("bn", count(lit(1)).over(bucketWin))
+    // bucket sizes via groupBy + broadcast join-back, NOT a window: the
+    // key space is 2^planes (256) buckets, so a bucket-partitioned
+    // window would funnel the whole corpus through ≤256 tasks with no
+    // map-side combine; the groupBy ships per-task partial counts and
+    // the cap filter then runs scan-side, so only the ≤256·bucketCap
+    // surviving rows ever shuffle (for the pair-expansion collect)
+    val counts = c.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    c.join(broadcast(counts), "bucket")
       .filter(col("bn") > 1 && col("bn") <= bucketCap)
       .groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("qv"), col("nrm"))).as("vs"))

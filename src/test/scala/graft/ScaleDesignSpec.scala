@@ -81,6 +81,25 @@ class ScaleDesignSpec extends SparkSpec {
       s"bucket-cap guard must not add an exchange: $mhWindowed vs $mhNoGuard:\n$mhPlan")
   }
 
+  test("small-keyspace bucket counts aggregate+broadcast — never a bucket window") {
+    // simhash prefixes (2^16) and hyperplane signs (2^planes) are tiny
+    // key spaces: a count window over them funnels the corpus through
+    // ≤|keys| tasks with no map-side combine
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    for ((name, df) <- Seq(
+        "simhash" -> graft.operators.Dedup.simhash(docs),
+        "cosineNearDupPairs" ->
+          graft.operators.SimilaritySearch.cosineNearDupPairs(emb))) {
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.isEmpty, s"$name must not window over the bucket key")
+      assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        s"$name bucket counts must broadcast back")
+    }
+  }
+
   test("contamination index broadcasts under the threshold, sort-merges beyond it") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // small benchmark → estimated index fits → broadcast hint applied
