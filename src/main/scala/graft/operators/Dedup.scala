@@ -220,16 +220,19 @@ object Dedup {
     val inv = docs.select(
       col("block"), col("id"), col("sz"), explode(col("sh")).as("s"))
     // Group the posting list per (block, shingle) and expand pairs
-    // in-row: the shingle index is computed once and shuffled once (a
-    // self-join would re-evaluate the whole shingle chain per side).
-    // The document-frequency guard runs as a window count on the SAME
-    // (block, shingle) keys — no extra exchange — and drops hot
-    // shingles BEFORE their posting rows enter the collect_list buffer
-    // (window operators spill; an aggregation buffer holding a
-    // billion-posting stop-shingle would not).
-    val dfWin = Window.partitionBy("block", "s")
+    // in-row. The document-frequency guard is a groupBy on the
+    // (block, shingle) key joined back onto the postings — NOT a
+    // shingle-partitioned window: a stop-shingle's window partition is
+    // one row per document containing it (≈ the corpus, under Zipf) in
+    // ONE task with no map-side combine and no AQE split, while the
+    // groupBy absorbs the skew map-side (vocabulary-sized output) and
+    // the join back on the shingle key is AQE-skew-splittable. Hot
+    // postings are dropped by the filter BEFORE their rows enter the
+    // pair-expansion collect_list buffer, whose partitioning the join
+    // already established (no further exchange).
+    val dfCounts = inv.groupBy("block", "s").agg(count(lit(1)).as("df"))
     inv
-      .withColumn("df", count(lit(1)).over(dfWin))
+      .join(dfCounts, Seq("block", "s"))
       .observe(s"graft_ngram_df_cap_${obsId.incrementAndGet()}",
         sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("dropped_postings"),
         coalesce(max(col("df")), lit(0L)).as("max_shingle_df"))

@@ -60,15 +60,19 @@ class ScaleDesignSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("dedup cap guards share the index shuffle — no extra exchange") {
+  test("dedup cap guards stay aggregate-shaped — bounded exchanges, no shingle window") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nj = graft.operators.Dedup.ngramJaccard(docs, blockCol = "source")
     val njPlan = nj.queryExecution.executedPlan.toString
     val njEx = "Exchange hashpartitioning".r.findAllIn(njPlan).length
-    // one shuffle builds the (block, shingle) index — the df-cap window
-    // runs on that same partitioning — and one aggregates the pairs
-    assert(njEx == 2, s"ngramJaccard must keep exactly 2 exchanges, got $njEx:\n$njPlan")
-    assert(njPlan.contains("Window"), "df-cap window missing")
+    // postings shuffle once for the df join (AQE-skew-splittable), the
+    // vocabulary-sized df counts once (map-side combined), and the
+    // pair aggregation once; the pair-expansion collect reuses the
+    // join's (block, shingle) partitioning
+    assert(njEx == 3, s"ngramJaccard must keep exactly 3 exchanges, got $njEx:\n$njPlan")
+    // a shingle-partitioned window would funnel a stop-shingle's
+    // posting list (≈ the corpus) into one task
+    assert(!njPlan.contains("Window"), s"df-cap must not window over shingles:\n$njPlan")
 
     val mh = graft.operators.Dedup.minhashLshPairs(docs)
     val mhPlan = mh.queryExecution.executedPlan.toString
