@@ -555,6 +555,13 @@ object SparkEntry {
         .agg(countDistinct(concat_ws("|", col("targetId"), col("diseaseId")))
           .as("association"))
     }),
+    "q19_peak_correlation" -> ((s, dir) => {
+      // the notebook's noveltyCorrelation analysis (analysis.ipynb
+      // cell 1) distributively: first peak year per (pair, source),
+      // pair-keyed self-join (exchange reused), corr per source pair
+      val t = Tables(s, dir)
+      Rollups.peakYearCorrelation(AssociationScore.byDatasource(t.evidence))
+    }),
     "q20_tpch_q1" -> ((s, dir) => {
       val t = Tables(s, dir)
       val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -2203,6 +2210,27 @@ object SparkEntry {
          |       round(sum(CASE WHEN rn <= 50 THEN score / (rn * rn) END)
          |             / 1.6449340668482264, 4) AS score
          |FROM ranked GROUP BY 1, 2, 3""".stripMargin,
+    "q19_peak_correlation" ->
+      s"""WITH $BySourceSql,
+         |pk AS (
+         |  SELECT diseaseId, targetId, datasourceId, year AS peakYear,
+         |         coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
+         |           PARTITION BY diseaseId, targetId, datasourceId ORDER BY year) AS peak
+         |  FROM bysource
+         |),
+         |fp AS (
+         |  SELECT diseaseId, targetId, datasourceId,
+         |         CAST(min(peakYear) AS INT) AS peakYear
+         |  FROM pk WHERE peak > 0 GROUP BY 1, 2, 3
+         |),
+         |j AS (
+         |  SELECT a.datasourceId AS datasourceIdA, b.datasourceId AS datasourceIdB,
+         |         a.peakYear AS yearA, b.peakYear AS yearB
+         |  FROM fp a JOIN fp b USING (diseaseId, targetId)
+         |)
+         |SELECT datasourceIdA, datasourceIdB, CAST(count(*) AS BIGINT) AS n,
+         |       round(corr(CAST(yearA AS DOUBLE), CAST(yearB AS DOUBLE)), 2) AS r
+         |FROM j GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "q69_pack_sequences" ->
       s"""WITH h AS (
          |  SELECT doc_id, source, text,

@@ -65,4 +65,45 @@ object Rollups {
   private implicit class Piped[A](private val a: A) extends AnyVal {
     def pipe[B](f: A => B): B = f(a)
   }
+
+  /** Pairwise datasource correlation of first-peak years — the
+    * reference's noveltyCorrelation analysis (analysis.ipynb cell 1),
+    * which collects the pair table to the driver and loops scipy
+    * pearsonr over every (sourceA, sourceB) product. Re-expressed
+    * distributively: first peak year per (pair, source) via the lag
+    * window, self-joined on the high-cardinality (disease, target) key
+    * (both sides derive from the same aggregate, so the exchange is
+    * reused — one chain execution), then `corr` per source pair —
+    * an algebraic aggregate with map-side combine, so the ~|sources|²
+    * groups never funnel raw rows. r is rounded to 2 dp as the
+    * reference does; the scipy p-value (t CDF lookup) is the one
+    * driver-side residue, derivable from (r, n) downstream.
+    *
+    * Output: (datasourceIdA, datasourceIdB, n, r) for pairs with
+    * n ≥ 3 matched (disease, target) keys; r is null when a side has
+    * zero year variance (scipy raises there — the reference records
+    * None the same way).
+    */
+  def peakYearCorrelation(
+      dense: DataFrame,
+      keys: Seq[String] = Seq("diseaseId", "targetId", "datasourceId")): DataFrame = {
+    val firstPeak = Novelty.peaks(dense, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(min("peakYear").as("peakYear"))
+    val pairKeys = keys.dropRight(1)
+    val a = firstPeak.select(
+      (pairKeys.map(col) :+ col(keys.last).as("datasourceIdA")
+        :+ col("peakYear").as("yearA")): _*)
+    val b = firstPeak.select(
+      (pairKeys.map(col) :+ col(keys.last).as("datasourceIdB")
+        :+ col("peakYear").as("yearB")): _*)
+    a.join(b, pairKeys)
+      .groupBy("datasourceIdA", "datasourceIdB")
+      .agg(
+        count(lit(1)).as("n"),
+        corr(col("yearA").cast("double"), col("yearB").cast("double")).as("r"))
+      .filter(col("n") >= 3)
+      .withColumn("r",
+        when(isnan(col("r")), lit(null).cast("double")).otherwise(round(col("r"), 2)))
+  }
 }
