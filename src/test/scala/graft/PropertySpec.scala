@@ -154,4 +154,53 @@ class PropertySpec extends AnyFunSuite {
           (0 until a.size).forall(j => a.heap(j) == single.heap(j))
     })
   }
+
+  test("BMP codec round-trips arbitrary images across all stride paddings") {
+    import graft.operators.Multimodal
+    val gen = for {
+      w <- Gen.chooseNum(1, 37) // covers every 3w % 4 padding class
+      h <- Gen.chooseNum(1, 19)
+      px <- Gen.listOfN(w * h,
+        for { r <- Gen.chooseNum(0, 255); g <- Gen.chooseNum(0, 255);
+              b <- Gen.chooseNum(0, 255) } yield (r, g, b))
+    } yield (w, h, px.toArray)
+    check(Prop.forAll(gen) { case (w, h, px) =>
+      val img = Multimodal.decodeBmp(Multimodal.encodeBmp(w, h, px(_)))
+      img.width == w && img.height == h &&
+        (0 until w * h).forall { k =>
+          (img.rgb(3 * k) & 0xff, img.rgb(3 * k + 1) & 0xff,
+            img.rgb(3 * k + 2) & 0xff) == px(k)
+        }
+    })
+  }
+
+  test("WAV codec round-trips arbitrary PCM-16 sample streams") {
+    import graft.operators.Multimodal
+    val gen = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      ch <- Gen.chooseNum(1, 2)
+      xs <- Gen.listOf(Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (rate, ch, xs.map(_.toShort).toArray)
+    check(Prop.forAll(gen) { case (rate, ch, xs) =>
+      val wav = Multimodal.decodeWav(Multimodal.encodeWav(rate, ch, xs))
+      wav.sampleRate == rate && wav.channels == ch && wav.samples.toSeq == xs.toSeq
+    })
+  }
+
+  test("bmpResize to identical dims is the identity on pixels") {
+    import graft.operators.Multimodal
+    val gen = for {
+      w <- Gen.chooseNum(1, 16)
+      h <- Gen.chooseNum(1, 16)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 255).map(v => (v, 255 - v, v / 2)))
+    } yield (w, h, px.toArray)
+    check(Prop.forAll(gen) { case (w, h, px) =>
+      val out = Multimodal.decodeBmp(
+        Multimodal.bmpResize(Multimodal.encodeBmp(w, h, px(_)), w, h))
+      (0 until w * h).forall { k =>
+        (out.rgb(3 * k) & 0xff, out.rgb(3 * k + 1) & 0xff,
+          out.rgb(3 * k + 2) & 0xff) == px(k)
+      }
+    })
+  }
 }
