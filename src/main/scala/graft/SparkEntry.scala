@@ -962,6 +962,19 @@ object SparkEntry {
           Seq("diseaseId", "targetId", "datasourceId"), "n_evidence")
         .withColumn("score", round(col("score"), 4))
     }),
+    "q85_stream_join" -> ((s, dir) => {
+      // stream–stream correlation: every purchase matched to the same
+      // user's clicks in the preceding hour, both sides live streams
+      // with watermarks + an event-time range bounding the join state.
+      // The watermark outlives the replay (cf. q62), so the match set
+      // equals the batch join however the input is micro-batched.
+      val ev = StreamQueries.streamEvents(s, dir)
+      StreamQueries.materialize(
+        EventStream.streamStreamJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          range = "1 hour", watermark = "3650 days"))
+    }),
     "q65_stream_evict" -> ((s, dir) => {
       // H9 event-time state eviction END-TO-END: the EventTimeTimeout
       // variant of the cumulative chain runs with a real watermark and
@@ -2179,6 +2192,17 @@ object SparkEntry {
          |       round(sum(CASE WHEN rn <= 50 THEN score / (rn * rn) END)
          |             / 1.6449340668482264, 4) AS score
          |FROM ranked GROUP BY 1, 2, 3, n""".stripMargin,
+    "q85_stream_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |)
+        |SELECT l.user_id,
+        |       l.event_id AS left_id, r.event_id AS right_id
+        |FROM ev l JOIN ev r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'purchase' AND r.event_type = 'click'
+        | AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts""".stripMargin,
     // eviction horizon outlives the replay, so the final state equals
     // the non-evicting twin's (q63) — same oracle
     "q65_stream_evict" ->

@@ -73,6 +73,30 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream–stream inner join: correlate two live event streams on a
+    * key within an event-time range (here: a `left` event matched to
+    * every `right` event of the same user in the preceding `range`).
+    * Both sides carry watermarks so the join state is bounded in
+    * production; the time-range predicate is what lets Spark expire
+    * buffered rows. The emitted match set is batch-split-invariant
+    * whenever the watermark outlives the replay (no row is ever late,
+    * no state is evicted mid-replay) — which is how the oracle gates
+    * it as a plain batch self-join.
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      range: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      expr(s"""l.user_id = r.user_id AND
+               r.ts BETWEEN l.ts - INTERVAL $range AND l.ts"""))
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("left_id"), col("r.event_id").as("right_id"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
