@@ -40,6 +40,31 @@ class EdgeCasesSpec extends SparkSpec {
     assert(SimilaritySearch.cosineNearDupPairs(emb).count() == 0)
   }
 
+  test("round-5 operators survive empty and degenerate inputs") {
+    val docs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(Sampling.packSequences(docs, 512).count() == 0)
+    assert(Rollups.peakYearCorrelation(
+      AssociationScore.byDatasource(emptyEvidence)).count() == 0)
+    assert(Multimodal.extractFeatures(Multimodal.textToBmp(docs)).count() == 0)
+    assert(Multimodal.wavFeatures(Multimodal.textToWav(docs)).count() == 0)
+    // empty text falls back to a single zero byte → a valid 9×8
+    // (w = 8 + 1%8) all-black BMP, decoded without error
+    val blank = Seq((1L, "s", "")).toDF("doc_id", "source", "text")
+    val f = Multimodal.extractFeatures(Multimodal.textToBmp(blank)).collect()
+    assert(f.length == 1 && f.head.width == 9 && f.head.height == 8 &&
+      f.head.r_mean == 0.0)
+    // a single-source corpus correlates a source only with itself
+    val ev = Seq(
+      (1L, 2L, "A", 0.3, Some(1996)), (1L, 2L, "A", 0.9, Some(1998)),
+      (3L, 4L, "A", 0.2, Some(1995)), (3L, 4L, "A", 0.8, Some(1999)),
+      (5L, 6L, "A", 0.1, Some(1994)), (5L, 6L, "A", 0.7, Some(1997)))
+      .toDF("diseaseId", "targetId", "datasourceId", "score", "year")
+    val corr = Rollups.peakYearCorrelation(AssociationScore.byDatasource(ev))
+      .collect()
+    assert(corr.length == 1 && corr.head.getAs[Double]("r") == 1.0,
+      s"self-pair must correlate perfectly: ${corr.mkString(",")}")
+  }
+
   test("single-evidence pair produces a full dense series with one score step") {
     val ev = Seq((1L, 2L, "A", 0.6, Some(1997)))
       .toDF("diseaseId", "targetId", "datasourceId", "score", "year")
