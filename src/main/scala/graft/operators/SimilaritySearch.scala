@@ -51,20 +51,31 @@ object SimilaritySearch {
   /** Deterministic pseudo-random hyperplane sign: md5-derived ±1 weights
     * per (plane, dimension); bucket = concatenated signs of the plane
     * projections.
+    *
+    * The sign matrix depends only on (plane, dimension) literals —
+    * md5("p:i"), first hex nibble < 8 ⇒ +1 — so it is computed ONCE on
+    * the driver and embedded as literal arrays. The previous
+    * formulation evaluated the same md5s inside a lambda, which
+    * Catalyst cannot constant-fold: planes×dims (512 at the defaults)
+    * runtime md5 calls PER ROW on the corpus hot path. Buckets are
+    * bit-identical (the DuckDB oracle still derives the signs from the
+    * same md5 scheme independently).
     */
-  def lshBucket(qv: Column, planes: Int, dims: Int): Column =
+  def lshBucket(qv: Column, planes: Int, dims: Int): Column = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, i: Int): Long = {
+      val h = md.digest(s"$p:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+    }
     concat_ws("",
       (1 to planes).map { p =>
+        val signs = typedLit((1 to dims).map(i => sign(p, i)))
         val proj = aggregate(
-          zip_with(
-            qv,
-            transform(sequence(lit(1), lit(dims)),
-              i => when(substring(md5(concat(lit(p + ":"), i.cast("string"))), 1, 1)
-                .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L).otherwise(-1L)),
-            (x, s) => x * s),
+          zip_with(qv, signs, (x, s) => x * s),
           lit(0L), (acc, x) => acc + x)
         when(proj >= 0, lit("1")).otherwise(lit("0"))
       }: _*)
+  }
 
   /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells
     * around `nCentroids` deterministic seed vectors, then search only

@@ -325,6 +325,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set((100L, 101L)), s"got $out")
   }
 
+  test("lshBucket literal sign matrix is bit-identical to the md5 expression form") {
+    // the driver-side precomputation must reproduce the exact signs the
+    // runtime md5 lambda produced (and the DuckDB oracle still derives)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .limit(64)
+      .select(col("vec_id"), graft.functions.quantize(col("embedding")).as("qv"))
+    def md5Form(qv: org.apache.spark.sql.Column, planes: Int, dims: Int): org.apache.spark.sql.Column =
+      concat_ws("",
+        (1 to planes).map { p =>
+          val proj = aggregate(
+            zip_with(
+              qv,
+              transform(sequence(lit(1), lit(dims)),
+                i => when(substring(md5(concat(lit(p + ":"), i.cast("string"))), 1, 1)
+                  .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L).otherwise(-1L)),
+              (x, s) => x * s),
+            lit(0L), (acc, x) => acc + x)
+          when(proj >= 0, lit("1")).otherwise(lit("0"))
+        }: _*)
+    val cmp = emb
+      .withColumn("fast", SimilaritySearch.lshBucket(col("qv"), 8, 64))
+      .withColumn("slow", md5Form(col("qv"), 8, 64))
+      .filter(col("fast") =!= col("slow"))
+    assert(cmp.isEmpty, s"bucket mismatch: ${cmp.collect().mkString(",")}")
+  }
+
   test("BMP codec round-trips pixels through headers, stride padding, bottom-up rows") {
     // width 5 -> stride 16 (one pad byte per row) exercises the padding path
     val w = 5; val h = 3
