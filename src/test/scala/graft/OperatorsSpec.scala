@@ -91,6 +91,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("packSequences matches a naive sequential fold on random token lengths") {
+    // random word counts, one lane at a time — the distributed
+    // running-sum formulation must equal a straight fold
+    val rnd = new scala.util.Random(42)
+    val docs = (1 to 200).map { i =>
+      (i.toLong, "src", Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = Sampling.packSequences(docs, budgetTokens = 64, shards = 4)
+      .select("doc_id", "shard", "n_tokens", "bin", "bin_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    out.groupBy(_._2).values.foreach { lane =>
+      var before = 0L
+      lane.sortBy(_._1).foreach { case (id, _, n, bin, off) =>
+        assert(bin == before / 64 && off == before % 64,
+          s"doc $id: expected bin ${before / 64} off ${before % 64}, got $bin $off")
+        before += n
+      }
+    }
+  }
+
+  test("exactRank equals the naive per-group ranking on random duplicated corpora") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 150).map(i => (i.toLong, s"text ${rnd.nextInt(20)}"))
+    val got = Dedup.exactRank(docs.toDF("doc_id", "text"))
+      .select("doc_id", "n_copies", "dup_rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = docs.groupBy(_._2).values.flatMap { grp =>
+      val sorted = grp.map(_._1).sorted
+      sorted.zipWithIndex.map { case (id, i) => (id, grp.size.toLong, i + 1) }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("Dedup.exactRank ranks copies deterministically") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
