@@ -562,6 +562,14 @@ object SparkEntry {
       val t = Tables(s, dir)
       Rollups.peakYearCorrelation(AssociationScore.byDatasource(t.evidence))
     }),
+    "q86_shuffled_correlation" -> ((s, dir) => {
+      // the correlation's null model: peak years deterministically
+      // permuted within each source (hash-ordered rank-to-rank in
+      // bounded md5-shard lanes), then the same corr aggregate
+      val t = Tables(s, dir)
+      Rollups.peakYearCorrelationShuffled(
+        AssociationScore.byDatasource(t.evidence))
+    }),
     "q20_tpch_q1" -> ((s, dir) => {
       val t = Tables(s, dir)
       val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -2251,6 +2259,50 @@ object SparkEntry {
          |  SELECT a.datasourceId AS datasourceIdA, b.datasourceId AS datasourceIdB,
          |         a.peakYear AS yearA, b.peakYear AS yearB
          |  FROM fp a JOIN fp b USING (diseaseId, targetId)
+         |)
+         |SELECT datasourceIdA, datasourceIdB, CAST(count(*) AS BIGINT) AS n,
+         |       round(corr(CAST(yearA AS DOUBLE), CAST(yearB AS DOUBLE)), 2) AS r
+         |FROM j GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+    // replays the deterministic permutation: lane = (source, md5-shard
+    // of the pair id), key rank by md5, value rank by (year, md5),
+    // rank-to-rank join, then the same corr as q19
+    "q86_shuffled_correlation" ->
+      s"""WITH $BySourceSql,
+         |pk AS (
+         |  SELECT diseaseId, targetId, datasourceId, year AS peakYear,
+         |         coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
+         |           PARTITION BY diseaseId, targetId, datasourceId ORDER BY year) AS peak
+         |  FROM bysource
+         |),
+         |fp AS (
+         |  SELECT diseaseId, targetId, datasourceId,
+         |         CAST(min(peakYear) AS INT) AS peakYear,
+         |         md5(CAST(diseaseId AS VARCHAR) || '|' || CAST(targetId AS VARCHAR)
+         |             || ':perm') AS h
+         |  FROM pk WHERE peak > 0 GROUP BY 1, 2, 3
+         |),
+         |sh AS (
+         |  SELECT *, CAST(${HexBucketSql("h")} % 16 AS BIGINT) AS shard FROM fp
+         |),
+         |kr AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY datasourceId, shard ORDER BY h) AS r
+         |  FROM sh
+         |),
+         |vr AS (
+         |  SELECT datasourceId, shard, peakYear AS permYear,
+         |         row_number() OVER (
+         |           PARTITION BY datasourceId, shard ORDER BY peakYear, h) AS r
+         |  FROM sh
+         |),
+         |perm AS (
+         |  SELECT kr.diseaseId, kr.targetId, kr.datasourceId, vr.permYear
+         |  FROM kr JOIN vr USING (datasourceId, shard, r)
+         |),
+         |j AS (
+         |  SELECT a.datasourceId AS datasourceIdA, b.datasourceId AS datasourceIdB,
+         |         a.permYear AS yearA, b.permYear AS yearB
+         |  FROM perm a JOIN perm b USING (diseaseId, targetId)
          |)
          |SELECT datasourceIdA, datasourceIdB, CAST(count(*) AS BIGINT) AS n,
          |       round(corr(CAST(yearA AS DOUBLE), CAST(yearB AS DOUBLE)), 2) AS r

@@ -86,17 +86,42 @@ object Rollups {
     */
   def peakYearCorrelation(
       dense: DataFrame,
-      keys: Seq[String] = Seq("diseaseId", "targetId", "datasourceId")): DataFrame = {
-    val firstPeak = Novelty.peaks(dense, keys)
+      keys: Seq[String] = Seq("diseaseId", "targetId", "datasourceId")): DataFrame =
+    correlate(firstPeaks(dense, keys), keys.dropRight(1), keys.last, "peakYear")
+
+  /** The notebook's null-model twin: the same correlation after a
+    * deterministic within-source permutation of the peak years
+    * ([[Sampling.deterministicPermute]] — hash-ordered rank-to-rank,
+    * reproducible across engines, no RNG). Sources stop sharing key
+    * structure, so r collapses toward 0 — the baseline the real
+    * correlations are read against (analysis.ipynb cell 1's
+    * `shuffledYear` columns).
+    */
+  def peakYearCorrelationShuffled(
+      dense: DataFrame,
+      keys: Seq[String] = Seq("diseaseId", "targetId", "datasourceId"),
+      shards: Int = 16): DataFrame = {
+    val pairKeys = keys.dropRight(1)
+    val withId = firstPeaks(dense, keys)
+      .withColumn("__pid", concat_ws("|", pairKeys.map(col): _*))
+    val permuted = Sampling.deterministicPermute(
+      withId, Seq(keys.last), "peakYear", "__pid", shards)
+    correlate(permuted, pairKeys, keys.last, "peakYear_permuted")
+  }
+
+  private def firstPeaks(dense: DataFrame, keys: Seq[String]): DataFrame =
+    Novelty.peaks(dense, keys)
       .groupBy(keys.map(col): _*)
       .agg(min("peakYear").as("peakYear"))
-    val pairKeys = keys.dropRight(1)
-    val a = firstPeak.select(
-      (pairKeys.map(col) :+ col(keys.last).as("datasourceIdA")
-        :+ col("peakYear").as("yearA")): _*)
-    val b = firstPeak.select(
-      (pairKeys.map(col) :+ col(keys.last).as("datasourceIdB")
-        :+ col("peakYear").as("yearB")): _*)
+
+  private def correlate(
+      fp: DataFrame, pairKeys: Seq[String], srcCol: String, yearCol: String): DataFrame = {
+    val a = fp.select(
+      (pairKeys.map(col) :+ col(srcCol).as("datasourceIdA")
+        :+ col(yearCol).as("yearA")): _*)
+    val b = fp.select(
+      (pairKeys.map(col) :+ col(srcCol).as("datasourceIdB")
+        :+ col(yearCol).as("yearB")): _*)
     a.join(b, pairKeys)
       .groupBy("datasourceIdA", "datasourceIdB")
       .agg(

@@ -89,6 +89,43 @@ object Sampling {
       .limit(k)
       .drop("__h")
 
+  /** Deterministic within-group permutation: redistribute `valueCol`'s
+    * multiset among the rows of each group by two independent md5
+    * orders — the engine-portable analogue of a random shuffle
+    * (negative sampling, null-model baselines), reproducible across
+    * runs, partitionings, and engines.
+    *
+    * Scale shape: groups are sub-divided into md5 shards of the id, so
+    * every rank window partitions at ~group/shards rows (a whole-group
+    * window would funnel a hot group into one task); the permutation
+    * is rank-to-rank within the (group, shard) lane, so the value
+    * multiset is preserved lane-wise — any deterministic derangement
+    * is an equally valid null model. Adds `<valueCol>_permuted`.
+    */
+  def deterministicPermute(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCol: String = "doc_id",
+      shards: Int = 16,
+      salt: String = "perm"): DataFrame = {
+    val lane = groupCols.map(col) :+ col("__shard")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lane: _*)
+    val sharded = df
+      .withColumn("__shard", hashBucket(col(idCol), salt) % shards)
+      .withColumn("__h", md5(concat(col(idCol).cast("string"), lit(":" + salt))))
+    val keyRanked = sharded
+      .withColumn("__r", row_number().over(w.orderBy(col("__h"))))
+    val valueRanked = sharded
+      .withColumn("__r", row_number().over(
+        w.orderBy(col(valueCol), col("__h"))))
+      .select((lane :+ col("__r") :+
+        col(valueCol).as(s"${valueCol}_permuted")): _*)
+    keyRanked
+      .join(valueRanked, groupCols ++ Seq("__shard", "__r"))
+      .drop("__shard", "__h", "__r")
+  }
+
   /** Deterministic sequence packing: assign documents to fixed-budget
     * training sequences ("bins") by running token count — the step
     * that turns a curated corpus into model-ready context windows.
