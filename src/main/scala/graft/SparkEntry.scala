@@ -21,6 +21,36 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q10_full_pipeline")(spark, "/root/testdata/sf0.001")
 
+  /** Per-JVM scratch root for the IO-exercising queries (q77–q79).
+    * The returned DataFrames read their written files lazily, so the
+    * dirs must outlive the query closure — but they must NOT outlive
+    * the process (repeated bench/verify runs would accumulate
+    * garbage). One temp root per JVM, removed by a shutdown hook;
+    * each invocation writes under a fresh counter-suffixed subdir.
+    */
+  private val scratchCounter = new java.util.concurrent.atomic.AtomicInteger
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.delete(q))
+    }
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+    sys.addShutdownHook {
+      deleteTree(p)
+      // q77's bucketed tables live under spark-warehouse (bucketBy
+      // requires saveAsTable); they are dropped+rewritten on each
+      // invocation, and removed here so nothing persists across runs.
+      for (tb <- Seq("li_q77", "ord_q77"))
+        deleteTree(java.nio.file.Paths.get(s"spark-warehouse/$tb"))
+    }
+    p
+  }
+  private def scratchDir(tag: String): String =
+    java.nio.file.Files.createDirectories(
+      scratchRoot.resolve(s"$tag-${scratchCounter.incrementAndGet()}")).toString
+
   // Shared SQL fragments for the oracles (DuckDB dialect).
   private val EvSql =
     """ev AS (
@@ -1067,14 +1097,10 @@ object SparkEntry {
       // I3: bucketed co-located fact-fact join — both sides written
       // bucketBy(8, join key) so the equi-join plans with no exchange
       // (pinned in ScaleDesignSpec); result equals the plain join.
+      scratchRoot // force the shutdown hook that removes these tables
       for (tb <- Seq("li_q77", "ord_q77")) {
         s.sql(s"DROP TABLE IF EXISTS $tb")
-        val p = new java.io.File(s"spark-warehouse/$tb")
-        if (p.exists()) {
-          java.nio.file.Files.walk(p.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => java.nio.file.Files.delete(q))
-        }
+        deleteTree(java.nio.file.Paths.get(s"spark-warehouse/$tb"))
       }
       val t = Tables(s, dir)
       Io.writeBucketed(t.lineitem.select("l_orderkey", "l_extendedprice"),
@@ -1094,7 +1120,7 @@ object SparkEntry {
       // in a format path breaks that format's row against the oracle.
       val base = Tables(s, dir).events
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q78").toString
+      val tmp = scratchDir("q78")
       Io.writeCsv(base, s"$tmp/csv")
       Io.writeJsonLines(base, s"$tmp/jsonl")
       Io.writeOrc(base, s"$tmp/orc")
@@ -1116,7 +1142,7 @@ object SparkEntry {
       // Only src0 is rewritten (n_chars + 1000); every other partition
       // must come through untouched for the oracle to match.
       val t = Tables(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q79").toString + "/docs"
+      val tmp = scratchDir("q79") + "/docs"
       val base = t.documents.select(col("doc_id"), col("source"), col("n_chars"))
       Io.writeParquetPartitioned(base, tmp, Seq("source"))
       Io.overwritePartitions(
@@ -1730,7 +1756,8 @@ object SparkEntry {
     // row padding — a decoder stride/offset/row-order bug mismatches
     "q38_multimodal" ->
       """WITH b AS (
-        |  SELECT doc_id, text, CAST(length(text) AS INT) AS n FROM documents
+        |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
+        |    ELSE length(text) END AS INT) AS n FROM documents
         |),
         |d AS (
         |  SELECT doc_id, text, n, 8 + (n % 8) AS w, 8 + ((n // 8) % 8) AS h
@@ -1753,7 +1780,8 @@ object SparkEntry {
         |FROM s""".stripMargin,
     "q67_wav_decode" ->
       """WITH b AS (
-        |  SELECT doc_id, text, CAST(length(text) AS INT) AS n FROM documents
+        |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
+        |    ELSE length(text) END AS INT) AS n FROM documents
         |),
         |sm AS (SELECT doc_id, text, n, unnest(range(0, 200)) AS i FROM b),
         |v AS (
@@ -1772,7 +1800,8 @@ object SparkEntry {
     // image, whose channels are the same (3k+c) mod n byte lookups
     "q68_bmp_resize" ->
       """WITH b AS (
-        |  SELECT doc_id, text, CAST(length(text) AS INT) AS n FROM documents
+        |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
+        |    ELSE length(text) END AS INT) AS n FROM documents
         |),
         |d AS (
         |  SELECT doc_id, text, n, 8 + (n % 8) AS w, 8 + ((n // 8) % 8) AS h

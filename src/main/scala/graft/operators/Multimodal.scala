@@ -88,10 +88,20 @@ object Multimodal {
     val width = rdI32(bytes, 18)
     val height = rdI32(bytes, 22)
     require(width > 0 && height > 0, "degenerate/top-down BMP unsupported")
+    // Bound dims by the payload before ANY arithmetic on them —
+    // bmpStride's 3*width would itself overflow Int for width > ~715M.
+    require(width.toLong * 3 <= bytes.length && height <= bytes.length,
+      "declared dimensions exceed payload")
     require(rdU16(bytes, 28) == 24, s"unsupported bpp ${rdU16(bytes, 28)}")
     require(rdI32(bytes, 30) == 0, "compressed BMP unsupported")
     val stride = bmpStride(width)
-    require(bytes.length >= off + stride * height, "truncated pixel array")
+    // Size checks in Long: adversarial width/height headers overflow
+    // Int (off + stride*height can wrap negative and slip past an Int
+    // compare, then crash on the array allocation below).
+    require(off >= 54 &&
+      off.toLong + stride.toLong * height <= bytes.length &&
+      3L * width * height <= Int.MaxValue,
+      "truncated or oversized pixel array")
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -160,6 +170,11 @@ object Multimodal {
     while (pos + 8 <= bytes.length) {
       val id = tag(pos)
       val len = buf.getInt(pos + 4)
+      // A hostile/corrupt length field must fail the codec's own
+      // require, not loop forever (len <= -8 keeps pos fixed) or throw
+      // a raw AIOOBE past the buffer end.
+      require(len >= 0 && pos.toLong + 8 + len <= bytes.length,
+        s"corrupt RIFF chunk '$id' length $len at offset $pos")
       if (id == "fmt ") {
         require(buf.getShort(pos + 8) == 1, "non-PCM WAV unsupported")
         channels = buf.getShort(pos + 10)

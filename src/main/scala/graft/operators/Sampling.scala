@@ -131,10 +131,11 @@ object Sampling {
     * that turns a curated corpus into model-ready context windows.
     *
     * Packing is sequential by `idCol` within a (stratum, shard) lane:
-    * a document's bin is floor(tokens-before-it / budget), so bins
-    * fill to the token budget and a document straddling a boundary
-    * starts the next bin (greedy contiguous fill, the standard
-    * streaming-packing approximation). The shard is an md5 bucket of
+    * a document's bin is floor(tokens-before-it / budget) — modulo-
+    * split fill, so a document straddling a boundary stays in the bin
+    * it started in (bins can overrun the budget by at most one
+    * straddling doc; the oracle and OperatorsSpec pin exactly this
+    * behavior). The shard is an md5 bucket of
     * the id — deterministic, engine-portable, and it bounds every
     * window partition at ~corpus/(strata·shards) rows, so no lane
     * funnels one task at 100 TB (a per-stratum running sum would).

@@ -417,6 +417,33 @@ class OperatorsSpec extends SparkSpec {
     assert(wav2.samples.toSeq == samples.toSeq, "chunk walker skips unknown chunks")
   }
 
+  test("codecs reject corrupt headers with require, never hang or raw AIOOBE") {
+    val wavBytes = Multimodal.encodeWav(8000, 1, Array.tabulate(10)(_.toShort))
+    // negative chunk length at the fmt chunk (offset 12): len = -8 keeps
+    // pos fixed — an unguarded walker loops forever
+    val negLen = wavBytes.clone()
+    java.nio.ByteBuffer.wrap(negLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, -8)
+    intercept[IllegalArgumentException](Multimodal.decodeWav(negLen))
+    // data length past the buffer end
+    val longLen = wavBytes.clone()
+    java.nio.ByteBuffer.wrap(longLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 1 << 20)
+    intercept[IllegalArgumentException](Multimodal.decodeWav(longLen))
+
+    // BMP with adversarial dims: width*3 overflows Int in the stride,
+    // off + stride*height wraps negative in Int arithmetic
+    def hostileBmp(w: Int, h: Int): Array[Byte] = {
+      val b = Multimodal.encodeBmp(2, 2, _ => (0, 0, 0))
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(18, w).putInt(22, h)
+      b
+    }
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(hostileBmp(0x40000000, 2)))
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(hostileBmp(0x2AAAAAAB, 1)))
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(hostileBmp(715827883, 3)))
+  }
+
   test("Multimodal.resize nearest-neighbor: constant image stays constant, dims hit target") {
     val docs = Seq((1L, "x" * 97), (2L, "ab" * 40)).toDF("doc_id", "text")
     val out = Multimodal.resize(Multimodal.textToBmp(docs), 8, 8).collect()
