@@ -600,6 +600,47 @@ object SparkEntry {
       Rollups.peakYearCorrelationShuffled(
         AssociationScore.byDatasource(t.evidence))
     }),
+    "q87_pii_redact" -> ((s, dir) => {
+      // PII detect + redact. The synthetic corpus carries no natural
+      // PII, so the query deterministically salts an email / IPv4 /
+      // phone span (gated on doc_id residues, values derived from
+      // doc_id) into each text — same pattern as q38/q67's payload
+      // synthesis — then the generic regex machinery must find and
+      // strip exactly those spans: the oracle replays the salting and
+      // the redaction, and the md5 of the redacted text mismatches on
+      // any span-boundary bug.
+      val t = Tables(s, dir)
+      val salted = t.documents.select(col("doc_id"), col("source"),
+        concat(
+          substring(col("text"), 1, 40), lit(" "),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("user"), (col("doc_id") % 100).cast("string"),
+              lit("@mail"), (col("doc_id") % 7).cast("string"),
+              lit(".example.com "))).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("10.0."), (col("doc_id") % 256).cast("string"),
+              lit("."), expr("(doc_id div 256) % 256").cast("string"),
+              lit(" "))).otherwise(lit("")),
+          when(col("doc_id") % 5 =!= 0,
+            concat(lit("415-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" "))).otherwise(lit("")),
+          expr("substring(text, 41)")).as("text"))
+      TextAnalysis.piiRedact(salted)
+        .select(col("doc_id"), col("source"),
+          col("n_email"), col("n_ip"), col("n_phone"),
+          md5(col("redacted")).as("redacted_md5"))
+    }),
+    "q88_passage_dedup" -> ((s, dir) => {
+      // Dolma-style paragraph dedup over 3-word passages: an instance
+      // survives iff it is the globally-first (doc, pos) occurrence of
+      // its content; kept_md5 re-hashes the surviving text, so a
+      // wrong keep decision anywhere mismatches
+      val t = Tables(s, dir)
+      Dedup.passageDedup(t.documents, passageLen = 3)
+        .select(col("doc_id"), col("source"),
+          col("n_passages"), col("n_kept"), col("kept_md5"))
+    }),
     "q20_tpch_q1" -> ((s, dir) => {
       val t = Tables(s, dir)
       val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -2336,6 +2377,84 @@ object SparkEntry {
          |SELECT datasourceIdA, datasourceIdB, CAST(count(*) AS BIGINT) AS n,
          |       round(corr(CAST(yearA AS DOUBLE), CAST(yearB AS DOUBLE)), 2) AS r
          |FROM j GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+    // PII replay: identical salting, then the same three RE2 patterns
+    // applied in the same order (counts taken on the progressively-
+    // redacted text); DuckDB regexp_replace needs the explicit 'g'
+    // flag to match Spark's replace-all semantics.
+    "q87_pii_redact" ->
+      """WITH salted AS (
+        |  SELECT doc_id, source,
+        |    substring(text, 1, 40) || ' ' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      'user' || (doc_id % 100) || '@mail' || (doc_id % 7) || '.example.com '
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      '10.0.' || (doc_id % 256) || '.' || ((doc_id // 256) % 256) || ' '
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 <> 0 THEN
+        |      '415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+        |      ELSE '' END ||
+        |    substring(text, 41) AS text
+        |  FROM documents
+        |),
+        |r1 AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |         regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+        |  FROM salted
+        |),
+        |r2 AS (
+        |  SELECT doc_id, source, n_email,
+        |         CAST(len(regexp_extract_all(t,
+        |           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ip,
+        |         regexp_replace(t,
+        |           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t
+        |  FROM r1
+        |),
+        |r3 AS (
+        |  SELECT doc_id, source, n_email, n_ip,
+        |         CAST(len(regexp_extract_all(t,
+        |           '\b[0-9]{3}-([0-9]{3}-)?[0-9]{4}\b')) AS INT) AS n_phone,
+        |         regexp_replace(t,
+        |           '\b[0-9]{3}-([0-9]{3}-)?[0-9]{4}\b', '<PHONE>', 'g') AS t
+        |  FROM r2
+        |)
+        |SELECT doc_id, source, n_email, n_ip, n_phone, md5(t) AS redacted_md5
+        |FROM r3""".stripMargin,
+    // Passage-dedup replay: same 3-word chunking (DuckDB's inclusive
+    // 1-based list slice clamps the remnant chunk exactly like
+    // Spark's slice), first occurrence by (doc_id, pos) via a window
+    // (oracle scale only — the engine uses groupBy+join), surviving
+    // text re-joined in document order.
+    "q88_passage_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |),
+        |ch AS (
+        |  SELECT doc_id, source, ws,
+        |         unnest(range(0, (len(ws) - 1) // 3 + 1)) AS pos
+        |  FROM w
+        |),
+        |ins AS (
+        |  SELECT doc_id, source, pos,
+        |         array_to_string(ws[pos*3 + 1 : pos*3 + 3], ' ') AS passage
+        |  FROM ch
+        |),
+        |rk AS (
+        |  SELECT doc_id, source, pos, passage,
+        |         row_number() OVER (
+        |           PARTITION BY md5(passage) ORDER BY doc_id, pos) AS rn
+        |  FROM ins
+        |)
+        |SELECT doc_id, source,
+        |       CAST(count(*) AS INT) AS n_passages,
+        |       CAST(count(*) FILTER (WHERE rn = 1) AS INT) AS n_kept,
+        |       md5(coalesce(
+        |         string_agg(passage, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+        |         '')) AS kept_md5
+        |FROM rk GROUP BY doc_id, source""".stripMargin,
     "q69_pack_sequences" ->
       s"""WITH h AS (
          |  SELECT doc_id, source, text,

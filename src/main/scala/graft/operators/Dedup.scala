@@ -347,4 +347,55 @@ object Dedup {
     hashed.join(broadcast(counts), "bucket")
       .select(col(idCol), col("simhash"), col("bucket"), col("bucket_size"))
   }
+
+  /** Passage-level exact dedup — the paragraph dedup of the big
+    * web-corpus pipelines, re-expressed over fixed `passageLen`-word
+    * chunks (this corpus has no newline structure; on one that does,
+    * chunking by a delimiter split slots into the same flow). A
+    * passage INSTANCE survives iff it is the globally-first occurrence
+    * of its content: minimal (doc, pos) over every instance sharing
+    * its md5.
+    *
+    * Scale shape: the instance table explodes to corpus ×
+    * words/passageLen rows but carries ONLY (id, pos, hash) — text
+    * never rides the passage-hash exchange. First occurrences come
+    * from a groupBy on the hash (map-side combine absorbs Zipf-hot
+    * boilerplate; a hash-partitioned window would funnel the hottest
+    * passage into one task). Surviving positions collapse to one
+    * bounded int array per doc, and the full text crosses the wire
+    * exactly once, on the id join. Reassembly re-derives chunk text
+    * in-row — at scale, recomputing a split locally is far cheaper
+    * than shipping every passage string through two shuffles.
+    *
+    * Output: input columns + (n_passages, n_kept, kept_md5) where
+    * kept_md5 hashes the space-joined surviving passages in document
+    * order (md5 of '' when every passage first occurred elsewhere).
+    */
+  def passageDedup(df: DataFrame, passageLen: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def chunksOf(t: Column): Column = {
+      val w = TextAnalysis.words(t)
+      transform(
+        sequence(lit(0), floor((size(w) - 1) / lit(passageLen)).cast("int")),
+        i => concat_ws(" ", slice(w, i * passageLen + 1, lit(passageLen))))
+    }
+    val inst = spread(df)
+      .select(col(idCol).cast("long").as("__pd_id"),
+        posexplode(chunksOf(col(textCol))).as(Seq("pos", "passage")))
+      .select(col("__pd_id"), col("pos"), md5(col("passage")).as("ph"))
+    val first = inst.groupBy("ph")
+      .agg(min(struct(col("__pd_id"), col("pos"))).as("f"))
+    val keptPos = inst.join(first, "ph")
+      .filter(col("__pd_id") === col("f.__pd_id") && col("pos") === col("f.pos"))
+      .groupBy("__pd_id")
+      .agg(sort_array(collect_list(col("pos"))).as("__kept_pos"))
+    df.join(keptPos, df(idCol).cast("long") === keptPos("__pd_id"), "left")
+      .withColumn("__chunks", chunksOf(col(textCol)))
+      .withColumn("n_passages", size(col("__chunks")))
+      .withColumn("n_kept", coalesce(size(col("__kept_pos")), lit(0)))
+      .withColumn("kept_md5", md5(concat_ws(" ",
+        transform(coalesce(col("__kept_pos"), array().cast("array<int>")),
+          p => element_at(col("__chunks"), p + 1)))))
+      .drop("__pd_id", "__kept_pos", "__chunks")
+  }
 }

@@ -328,4 +328,31 @@ object TextAnalysis {
       .select(col(idCol), col("word"), col("rank"),
         round(col("tfidf"), 4).as("tfidf"))
   }
+
+  /** PII patterns, applied in order. Deliberately RE2-compatible
+    * (no backrefs/lookahead) so any oracle engine redacts
+    * identically; ASCII classes only. Email first: its local part
+    * can contain digit runs a later phone pattern would misread.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b[0-9]{3}-([0-9]{3}-)?[0-9]{4}\\b", "<PHONE>"))
+
+  /** PII detection + redaction: per-class span counts and the fully
+    * redacted text. Counts are taken on the progressively-redacted
+    * text (in [[PiiPatterns]] order) so a span never counts under two
+    * classes. Pure regexp projections — codegen'd, zero shuffle, the
+    * 100 TB shape is a map-only pass over the corpus.
+    *
+    * Adds: n_email, n_ip, n_phone, redacted.
+    */
+  def piiRedact(df: DataFrame, textCol: String = "text"): DataFrame =
+    PiiPatterns.foldLeft(df.withColumn("redacted", col(textCol))) {
+      case (d, (name, pat, tag)) =>
+        d.withColumn(s"n_$name",
+            size(regexp_extract_all(col("redacted"), lit(pat), lit(0))))
+          .withColumn("redacted",
+            regexp_replace(col("redacted"), lit(pat), lit(tag)))
+    }
 }

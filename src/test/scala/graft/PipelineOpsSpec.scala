@@ -250,4 +250,40 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(out == Set((10L, 0, 0), (11L, 1, 1)))
   }
+
+  // ------------------------------------------------------------ pii
+
+  test("piiRedact: finds and strips each class, never double-counts a span") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "host 192.168.0.1 dial 415-555-0042 or 555-1234"),
+      // the email's digits must NOT also count as a phone/ip
+      (3L, "only 555-0042@mail7.example.com here"),
+      (4L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(docs)
+      .select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getInt(2), x.getInt(3), x.getString(4))).toMap
+    assert(r(1L) == ((1, 0, 0, "mail <EMAIL> now")))
+    assert(r(2L) == ((0, 1, 2, "host <IP> dial <PHONE> or <PHONE>")))
+    assert(r(3L) == ((1, 0, 0, "only <EMAIL> here")))
+    assert(r(4L) == ((0, 0, 0, "clean text with no pii at all")))
+  }
+
+  // -------------------------------------------------- passage dedup
+
+  test("passageDedup: keeps only the globally-first instance of each passage") {
+    val docs = Seq(
+      (1L, "a b c a b c x y"),   // chunks: [a b c][a b c][x y] — 2nd is a dup
+      (2L, "a b c q r s"),       // [a b c] dup of doc1 pos0; [q r s] kept
+      (3L, "q r s")).toDF("doc_id", "text") // dup of doc2's second chunk
+    val out = Dedup.passageDedup(docs, passageLen = 3)
+      .select("doc_id", "n_passages", "n_kept", "kept_md5")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out(1L) == ((3, 2, m("a b c x y"))))
+    assert(out(2L) == ((2, 1, m("q r s"))))
+    assert(out(3L) == ((1, 0, m(""))))
+  }
 }

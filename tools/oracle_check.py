@@ -8,6 +8,7 @@ import pandas as pd
 
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
 out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
+only = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
@@ -17,6 +18,8 @@ for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     try:
         spark_df = pd.read_parquet(f'{out}/{name}')
         duck_df = con.sql(sql).df()
