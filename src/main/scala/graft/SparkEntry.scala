@@ -631,6 +631,15 @@ object SparkEntry {
           col("n_email"), col("n_ip"), col("n_phone"),
           md5(col("redacted")).as("redacted_md5"))
     }),
+    "q89_temperature_mix" -> ((s, dir) => {
+      // temperature-scaled source rebalancing: rate_s = min(1,
+      // budgetFrac·N·n_s^τ / (Σ n_t^τ · n_s)), keep iff the doc's
+      // md5 uniform clears its source's rate
+      val t = Tables(s, dir)
+      Sampling.temperatureSample(t.documents,
+          temperature = 0.7, budgetFrac = 0.4)
+        .select(col("doc_id"), col("source"), col("rate"))
+    }),
     "q88_passage_dedup" -> ((s, dir) => {
       // Dolma-style paragraph dedup over 3-word passages: an instance
       // survives iff it is the globally-first (doc, pos) occurrence of
@@ -813,6 +822,13 @@ object SparkEntry {
     "q34_ann_topk" -> ((s, dir) => {
       val t = Tables(s, dir)
       SimilaritySearch.bruteForceTopK(
+        t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
+    }),
+    "q90_int8_ann" -> ((s, dir) => {
+      // quantized-index ANN: all search math on per-vector-scaled int8
+      // codes (scales cancel in cosine), 4x memory of f32 saved
+      val t = Tables(s, dir)
+      SimilaritySearch.int8TopK(
         t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
     }),
     "q35_ann_lsh" -> ((s, dir) => {
@@ -1694,6 +1710,43 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT query_id, id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin,
+    // Int8-ANN replay: per-vector max|x| scale, round-half-away int8
+    // codes, integer dots — every FP step (widen, ×, ÷, round) is
+    // IEEE-exact so the codes agree bit-for-bit across engines.
+    "q90_int8_ann" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings
+        |),
+        |q8 AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           CASE WHEN mx = 0 THEN 0
+        |                ELSE CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT)
+        |           END) AS q
+        |  FROM b
+        |),
+        |nz AS (
+        |  SELECT vec_id, q,
+        |         sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS n
+        |  FROM q8
+        |  WHERE list_sum(list_transform(q, x -> x * x)) > 0
+        |),
+        |qs AS (SELECT vec_id AS query_id, q AS qq, n AS qn FROM nz WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT c.vec_id AS id, q.query_id,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+        |           / (c.n * q.qn) AS cos8
+        |  FROM nz c CROSS JOIN qs q WHERE c.vec_id != q.query_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, id,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos8 DESC, id) AS INT) AS rank,
+        |         cos8
+        |  FROM scored
+        |)
+        |SELECT query_id, id, rank, round(cos8, 4) AS cos8 FROM ranked WHERE rank <= 5""".stripMargin,
     "q35_ann_lsh" ->
       s"""WITH $EmbSql,
          |$LshSql,
@@ -2428,6 +2481,30 @@ object SparkEntry {
     // Spark's slice), first occurrence by (doc_id, pos) via a window
     // (oracle scale only — the engine uses groupBy+join), surviving
     // text re-joined in document order.
+    // Temperature-mix replay: identical count → rate arithmetic (rate
+    // rounded to 6 dp on both sides before the keep comparison, so a
+    // last-ulp pow() difference can't flip a boundary row) and the
+    // same md5-uniform keep decision.
+    "q89_temperature_mix" ->
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+         |),
+         |t AS (
+         |  SELECT CAST(sum(n_s) AS DOUBLE) AS n_total,
+         |         sum(pow(CAST(n_s AS DOUBLE), 0.7)) AS z
+         |  FROM c
+         |),
+         |r AS (
+         |  SELECT source,
+         |         round(least(1.0,
+         |           pow(CAST(n_s AS DOUBLE), 0.7) * n_total * 0.4
+         |             / (z * CAST(n_s AS DOUBLE))), 6) AS rate
+         |  FROM c, t
+         |)
+         |SELECT d.doc_id, d.source, r.rate
+         |FROM documents d JOIN r USING (source)
+         |WHERE CAST(${HexValSql("md5(CAST(d.doc_id AS VARCHAR) || ':temp')", 1, 13)} AS DOUBLE)
+         |        / CAST(pow(2, 52) AS DOUBLE) < r.rate""".stripMargin,
     "q88_passage_dedup" ->
       """WITH w AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents

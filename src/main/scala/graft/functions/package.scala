@@ -88,4 +88,19 @@ package object functions {
     quantizedDot(a, b).cast("double") /
       (sqrt(quantizedDot(a, a).cast("double")) *
         sqrt(quantizedDot(b, b).cast("double")))
+
+  /** Int8 scalar quantization with a per-vector scale: q_i =
+    * round(x_i · 127 / max|x|) ∈ [−127, 127] — the compressed-index
+    * representation ANN systems store (4× smaller than f32; 8× smaller
+    * than the ×1000 longs). The per-vector scale cancels in cosine, so
+    * search over int8 codes needs no dequantization. Every step
+    * (float→double widen, ×, ÷, round-half-up) is IEEE-exact and
+    * engine-portable; an all-zero vector quantizes to all zeros.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    transform(vec, x =>
+      when(mx === 0d, 0L)
+        .otherwise(round(x.cast("double") * 127.0 / mx).cast("long")))
+  }
 }

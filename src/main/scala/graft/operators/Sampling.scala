@@ -89,6 +89,48 @@ object Sampling {
       .limit(k)
       .drop("__h")
 
+  /** Temperature-scaled mixture sampling — the multilingual/multi-
+    * source rebalancing step of LLM data mixing: stratum `s` with
+    * `n_s` documents gets mixture weight n_s^τ / Σ n_t^τ (τ < 1
+    * flattens the natural distribution toward uniform, up-sampling
+    * small sources), a per-stratum budget of `budgetFrac · N · p_s`
+    * docs, and therefore keep rate r_s = min(1, budget_s / n_s). The
+    * keep decision is the same md5-uniform as [[hashSplit]] — per-row,
+    * deterministic, partition-invariant.
+    *
+    * Scale shape: stratum counts come from a map-side-combined groupBy
+    * whose output is vocabulary-of-strata-sized; rates are computed in
+    * that tiny dim and broadcast back; the keep filter is scan-local.
+    * The corpus is never shuffled. Rates are rounded to 6 dp before
+    * the comparison so the boundary is engine-stable (pow may differ
+    * in the last ulp across libms).
+    *
+    * Adds `rate` (rounded) to the surviving rows.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      stratumCol: String = "source",
+      idCol: String = "doc_id",
+      temperature: Double = 0.7,
+      budgetFrac: Double = 0.4,
+      salt: String = "temp"): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__n_s"))
+    val tot = counts.agg(sum("__n_s").as("__n_total"),
+      sum(pow(col("__n_s"), temperature)).as("__z"))
+    val rates = counts.join(tot) // 1-row × strata-row cross: tiny dim
+      .withColumn("rate", round(
+        least(lit(1.0),
+          pow(col("__n_s"), lit(temperature)) * col("__n_total")
+            * lit(budgetFrac) / (col("__z") * col("__n_s"))), 6))
+      .select(col(stratumCol), col("rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .withColumn("__u",
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 13), 16, 10)
+          .cast("double") / lit(4503599627370496.0))
+      .filter(col("__u") < col("rate"))
+      .drop("__u")
+  }
+
   /** Deterministic within-group permutation: redistribute `valueCol`'s
     * multiset among the rows of each group by two independent md5
     * orders — the engine-portable analogue of a random shuffle

@@ -48,6 +48,41 @@ object SimilaritySearch {
       .select(col("query_id"), col("id"), col("rank"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Brute-force cosine top-k over int8-quantized codes — the
+    * quantized-index variant of [[bruteForceTopK]]: vectors are
+    * compressed to per-vector-scaled int8 (see
+    * [[graft.functions.quantizeInt8]]) and ALL search math runs on the
+    * codes; scales cancel in cosine, so there is no dequantization on
+    * the hot path. At 100 TB this is the memory lever: the broadcast
+    * query table and the scanned corpus codes are 4× smaller than f32,
+    * and the integer dot stays exact and engine-portable. Zero-norm
+    * codes (all-zero vectors) are excluded on both sides — cosine is
+    * undefined for them.
+    *
+    * Output: (query_id, id, rank, cos8), ties by id ascending.
+    */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    def prep(df: DataFrame) = spread(df)
+      .select(col(idCol).as("id"), quantizeInt8(col(embCol)).as("qv"))
+      .withColumn("nrm", sqrt(quantizedDot(col("qv"), col("qv")).cast("double")))
+      .filter(col("nrm") > 0d)
+    val c = prep(corpus)
+    val q = prep(queries)
+      .select(col("id").as("query_id"), col("qv").as("qqv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos8").desc, col("id"))
+    c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cos8",
+        quantizedDot(col("qv"), col("qqv")).cast("double") / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("rank"), round(col("cos8"), 4).as("cos8"))
+  }
+
   /** Deterministic pseudo-random hyperplane sign: md5-derived ±1 weights
     * per (plane, dimension); bucket = concatenated signs of the plane
     * projections.

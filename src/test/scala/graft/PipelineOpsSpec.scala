@@ -286,4 +286,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) == ((2, 1, m("q r s"))))
     assert(out(3L) == ((1, 0, m(""))))
   }
+
+  // -------------------------------------------- temperature mixing
+
+  test("temperatureSample: τ=1 is proportional; τ<1 up-samples small sources") {
+    val docs = (1L to 400L).map(i => (i, if (i <= 320) "big" else "small"))
+      .toDF("doc_id", "source")
+    // τ=1: every source's rate collapses to budgetFrac exactly
+    val flat = Sampling.temperatureSample(docs, temperature = 1.0, budgetFrac = 0.5)
+      .select("source", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(flat == Map("big" -> 0.5, "small" -> 0.5))
+    // τ=0.5: the small source's keep rate must exceed the big one's
+    val r = Sampling.temperatureSample(docs, temperature = 0.5, budgetFrac = 0.5)
+      .select("source", "rate").distinct().collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("small") > r("big"), r.toString)
+    // partition-invariant: same surviving ids after a repartition
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.temperatureSample(d, temperature = 0.5, budgetFrac = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(docs) == ids(docs.repartition(13)))
+  }
+
+  // ------------------------------------------------------ int8 ann
+
+  test("quantizeInt8: scale-invariant codes in [-127,127], zero vector safe") {
+    val vs = Seq(
+      (1L, Array(0.2f, -0.4f, 0.1f)),
+      (2L, Array(0.6f, -1.2f, 0.3f)), // 3x vector 1 -> identical codes
+      (3L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val codes = vs.select($"vec_id", graft.functions.quantizeInt8($"embedding").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(1L) == codes(2L), "per-vector scale cancels")
+    assert(codes.values.flatten.forall(c => c >= -127 && c <= 127))
+    assert(codes(1L).map(math.abs).max == 127, "max component maps to +/-127")
+    assert(codes(3L).forall(_ == 0L))
+  }
 }
