@@ -920,6 +920,35 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word")).limit(100)
     }),
+    "q92_bloom_join" -> ((s, dir) => {
+      // bloom-pruned semi-join: lineitem rows are dropped scan-side by
+      // a broadcast 16 KB bloom over the urgent orders' keys before
+      // the exact semi-join removes false positives — result identical
+      // to the plain semi-join (the oracle), shuffle volume isn't
+      val t = Tables(s, dir)
+      val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      BloomSemiJoin(t.lineitem, urgent, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+    "q91_cms_topk" -> ((s, dir) => {
+      // heavy hitters via a native count-min sketch: one global 4x1024
+      // counter matrix over every corpus word (32 KB state, map-side
+      // combined), then point estimates for the exact top-20 against
+      // the broadcast one-row sketch. CMS never under-counts; the
+      // oracle rebuilds the identical counters from the same md5
+      // bucket arithmetic.
+      val t = Tables(s, dir)
+      val words = t.documents
+        .select(explode(TextAnalysis.words(col("text"))).as("word"))
+      val sk = words.agg(graft.functions.CmsSketch.cmsSketch(col("word")).as("sk"))
+      val top = words.groupBy("word").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("word")).limit(20)
+      top.join(broadcast(sk))
+        .select(col("word"), col("exact_n"),
+          graft.functions.CmsSketch.cmsEstimate(col("sk"), col("word")).as("cms_n"))
+    }),
     "q58_curation" -> ((s, dir) => {
       // end-to-end corpus curation: Gopher quality gate → exact dedup
       // (keeper = lowest doc_id per content hash AMONG the survivors) →
@@ -2110,6 +2139,41 @@ object SparkEntry {
       """SELECT word, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY 1 ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    // Bloom semi-join oracle: the plain semi-join — the bloom is a
+    // pre-filter with no false negatives, and the exact join removes
+    // its false positives, so results must be identical.
+    "q92_bloom_join" ->
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
+    // CMS replay: rebuild the 4x1024 counter matrix from the same
+    // md5-bucket arithmetic (row i's bucket = first 6 hex nibbles of
+    // md5(i ':' word) mod 1024), then min over rows at each top
+    // word's buckets — identical counters, identical estimates.
+    "q91_cms_topk" ->
+      s"""WITH wd AS (
+         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+         |),
+         |ex AS (SELECT word, CAST(count(*) AS BIGINT) AS exact_n FROM wd GROUP BY word),
+         |top AS (SELECT word, exact_n FROM ex ORDER BY exact_n DESC, word LIMIT 20),
+         |rows_i AS (SELECT unnest(range(0, 4)) AS ci),
+         |bk AS (
+         |  SELECT ci, ${HexValSql("md5(ci || ':' || word)", 1, 6)} % 1024 AS b,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM wd CROSS JOIN rows_i GROUP BY 1, 2
+         |),
+         |tb AS (
+         |  SELECT word, ci, ${HexValSql("md5(ci || ':' || word)", 1, 6)} % 1024 AS b
+         |  FROM top CROSS JOIN rows_i
+         |)
+         |SELECT t.word, t.exact_n, min(bk.n) AS cms_n
+         |FROM top t JOIN tb ON t.word = tb.word
+         |           JOIN bk ON tb.ci = bk.ci AND tb.b = bk.b
+         |GROUP BY t.word, t.exact_n""".stripMargin,
     "q58_curation" ->
       s"""WITH $GopherDocSql,
          |pass AS (

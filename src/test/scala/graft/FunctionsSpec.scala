@@ -235,4 +235,38 @@ class FunctionsSpec extends SparkSpec {
     val api = spark.table("hll_in").select(HllSketch.hllDistinct(col("v"))).head().getDouble(0)
     assert(sql == api)
   }
+
+  test("cmsSketch: estimates never under-count and are partition-invariant") {
+    // Zipf-ish: value v appears v times, v in 1..60
+    val vals = (1 to 60).flatMap(v => Seq.fill(v)(v.toLong))
+    val df = vals.toDF("v")
+    def estimates(d: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val sk = d.agg(CmsSketch.cmsSketch(col("v")).as("sk"))
+      d.distinct().join(sk)
+        .select(col("v"), CmsSketch.cmsEstimate(col("sk"), col("v")).as("e"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val est = estimates(df)
+    for (v <- 1 to 60)
+      assert(est(v.toLong) >= v, s"CMS under-counted $v: ${est(v.toLong)}")
+    // w=1024 >> 60 keys: collisions are rare enough that most are exact
+    assert((1 to 60).count(v => est(v.toLong) == v) >= 55, est.toString)
+    assert(estimates(df.repartition(17)) == est, "merge must be elementwise sum")
+  }
+
+  test("bloomAgg/mightContain: no false negatives, low FP rate, OR-merge invariant") {
+    val members = spark.range(0, 2000).select(col("id").as("v"))
+    def probeSet(d: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val bloom = d.agg(BloomSketch.bloomAgg(col("v")).as("b"))
+      spark.range(0, 20000).select(col("id").as("v")).join(bloom)
+        .filter(BloomSketch.mightContain(col("b"), col("v")))
+        .select("v").collect().map(_.getLong(0)).toSet
+    }
+    val hits = probeSet(members)
+    assert((0L until 2000L).forall(hits), "a bloom must never miss a member")
+    val fps = hits.count(_ >= 2000L)
+    // k=5, m=2^17, n=2000 -> theoretical fp ~ 2e-6; allow generous slack
+    assert(fps <= 5, s"$fps false positives out of 18000 non-members")
+    assert(probeSet(members.repartition(11)) == hits, "merge must be bitwise OR")
+  }
 }

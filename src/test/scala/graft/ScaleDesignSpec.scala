@@ -363,6 +363,32 @@ class ScaleDesignSpec extends SparkSpec {
       s"partition filter must prune directories:\n$plan")
   }
 
+  test("q92 bloom probe filters the fact scan below the semi-join") {
+    val df = SparkEntry.queries("q92_bloom_join")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    // the semi-join must exist, and its LEFT subtree must contain the
+    // bloom probe filter (shiftleft/element_at bit test) — i.e. the
+    // bloom prunes fact rows BEFORE they reach the join exchange
+    val semi = plan.collectFirst {
+      case j @ Join(_, _, LeftSemi, _, _) => j
+    }.getOrElse(fail(s"no left-semi join in plan:\n$plan"))
+    val probeBelow = semi.left.collect {
+      case f: Filter if f.condition.toString.contains("shiftleft") => f
+    }
+    assert(probeBelow.nonEmpty,
+      s"bloom probe filter must sit below the semi-join:\n$plan")
+    // and the probe is a scan-side filter: no exchange between the
+    // fact scan and the probe in the physical plan
+    val phys = df.queryExecution.executedPlan.toString
+    val probeIdx = phys.indexOf("shiftleft")
+    val scanIdx = phys.indexOf("FileScan parquet", probeIdx)
+    assert(probeIdx >= 0 && scanIdx > probeIdx &&
+      !phys.substring(probeIdx, scanIdx).contains("Exchange"),
+      s"no exchange may separate the probe from the fact scan:\n$phys")
+  }
+
   test("SQL surface: registered functions compute the same scores") {
     GraftExtensions.register(spark)
     val r = spark.sql(
