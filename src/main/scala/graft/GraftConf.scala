@@ -42,4 +42,12 @@ object GraftConf {
     * below it; crank it only with a matching skew budget.
     */
   val ExactCopyCap = 100000
+  /** Shuffle width for the bounded streaming REPLAYS
+    * (StreamQueries.materialize): each stateful operator opens one
+    * state store per partition per micro-batch, so a finite replay
+    * wants few, large state partitions — the fixed store
+    * startup/commit cost dominates at replay scale. Production
+    * unbounded streams size their own width at start().
+    */
+  val StreamStatePartitions = 8
 }

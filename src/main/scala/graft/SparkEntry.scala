@@ -21,35 +21,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q10_full_pipeline")(spark, "/root/testdata/sf0.001")
 
-  /** Per-JVM scratch root for the IO-exercising queries (q77–q79).
-    * The returned DataFrames read their written files lazily, so the
-    * dirs must outlive the query closure — but they must NOT outlive
-    * the process (repeated bench/verify runs would accumulate
-    * garbage). One temp root per JVM, removed by a shutdown hook;
-    * each invocation writes under a fresh counter-suffixed subdir.
+  /** Scratch space for the IO-exercising queries (q77–q79) — see
+    * [[Scratch]]: per-JVM temp root, shutdown-hook cleanup. q77's
+    * bucketed tables additionally live under spark-warehouse (bucketBy
+    * requires saveAsTable); they are dropped+rewritten per invocation
+    * and removed at exit so nothing persists across runs.
     */
-  private val scratchCounter = new java.util.concurrent.atomic.AtomicInteger
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => java.nio.file.Files.delete(q))
-    }
-  private lazy val scratchRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+  private lazy val q77Cleanup: Unit =
     sys.addShutdownHook {
-      deleteTree(p)
-      // q77's bucketed tables live under spark-warehouse (bucketBy
-      // requires saveAsTable); they are dropped+rewritten on each
-      // invocation, and removed here so nothing persists across runs.
       for (tb <- Seq("li_q77", "ord_q77"))
-        deleteTree(java.nio.file.Paths.get(s"spark-warehouse/$tb"))
+        Scratch.deleteTree(java.nio.file.Paths.get(s"spark-warehouse/$tb"))
     }
-    p
-  }
-  private def scratchDir(tag: String): String =
-    java.nio.file.Files.createDirectories(
-      scratchRoot.resolve(s"$tag-${scratchCounter.incrementAndGet()}")).toString
+  private def scratchDir(tag: String): String = Scratch.dir(tag)
 
   // Shared SQL fragments for the oracles (DuckDB dialect).
   private val EvSql =
@@ -1183,10 +1166,10 @@ object SparkEntry {
       // I3: bucketed co-located fact-fact join — both sides written
       // bucketBy(8, join key) so the equi-join plans with no exchange
       // (pinned in ScaleDesignSpec); result equals the plain join.
-      scratchRoot // force the shutdown hook that removes these tables
+      q77Cleanup // register the exit hook that removes these tables
       for (tb <- Seq("li_q77", "ord_q77")) {
         s.sql(s"DROP TABLE IF EXISTS $tb")
-        deleteTree(java.nio.file.Paths.get(s"spark-warehouse/$tb"))
+        Scratch.deleteTree(java.nio.file.Paths.get(s"spark-warehouse/$tb"))
       }
       val t = Tables(s, dir)
       Io.writeBucketed(t.lineitem.select("l_orderkey", "l_extendedprice"),

@@ -57,20 +57,36 @@ object StreamQueries {
 
   /** Run `stream` to completion (AvailableNow) into a uniquely-named
     * memory sink and return the materialized table.
+    *
+    * Checkpoints live under the per-JVM [[graft.Scratch]] root
+    * (removed at exit — repeated bench/verify runs must not
+    * accumulate state dirs). The replay runs with
+    * [[graft.GraftConf.StreamStatePartitions]] shuffle partitions:
+    * every stateful operator instantiates one state store PER
+    * partition PER micro-batch, so a bounded replay at the session's
+    * batch width (32) pays 4× the store startup/commit overhead for
+    * zero parallelism gain at this state size. The session conf is
+    * restored after planning — an unbounded production stream with a
+    * hot keyspace sizes its own width at start().
     */
   def materialize(stream: DataFrame, mode: String = "append"): DataFrame = {
     val name = s"graft_stream_${ctr.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft-ckpt-$name").toString
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val ckpt = graft.Scratch.dir(s"ckpt-$name")
+    val spark = stream.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      graft.GraftConf.StreamStatePartitions.toString)
+    val q = try {
+      stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
-    stream.sparkSession.table(name)
+    spark.table(name)
   }
 
   /** Reduce an update-mode output history to the final state per key:
