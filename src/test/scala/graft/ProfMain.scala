@@ -53,6 +53,17 @@ object ProfMain {
         println(s"PROF q09_${i}_gc: ${gcMs - g0} ms")
       }
     }
+    if (which == "r6shapes") {
+      for (q <- Seq("q87_pii_redact", "q88_passage_dedup",
+          "q89_temperature_mix", "q90_int8_ann", "q91_cms_topk", "q92_bloom_join")) {
+        val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+        println(s"=== $q exch=${"Exchange".r.findAllIn(p).size}" +
+          s" scan=${"FileScan".r.findAllIn(p).size}" +
+          s" bhj=${"BroadcastHashJoin".r.findAllIn(p).size}" +
+          s" smj=${"SortMergeJoin".r.findAllIn(p).size}" +
+          s" win=${"Window\\b".r.findAllIn(p).size}")
+      }
+    }
     if (which == "plans") {
       val q09 = SparkEntry.queries("q09_peaks")(spark, dir)
       q09.count()

@@ -363,6 +363,54 @@ class ScaleDesignSpec extends SparkSpec {
       s"partition filter must prune directories:\n$plan")
   }
 
+  test("q87 PII redaction is map-only: zero exchanges, single scan") {
+    val plan = SparkEntry.queries("q87_pii_redact")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"piiRedact must stay a pure projection:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1)
+  }
+
+  test("q88 passage dedup: first-occurrence via partial agg, no window") {
+    val df = SparkEntry.queries("q88_passage_dedup")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      "a passage-hash window would funnel Zipf-hot boilerplate into one task")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min(struct("),
+      s"first occurrence must come from a map-side-combined min aggregate:\n$plan")
+  }
+
+  test("q89 temperature sampling never shuffles the kept corpus branch") {
+    val df = SparkEntry.queries("q89_temperature_mix")(spark, sfDir)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val bhj = helper.collectFirst(df.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }.getOrElse(fail("rates must join back as a broadcast"))
+    val streamed = bhj.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bhj.left
+      case _ => bhj.right
+    }
+    val streamedShuffles = streamed.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(streamedShuffles.isEmpty,
+      "the corpus reaches the rate join scan-locally; only the tiny " +
+        "counts dim may shuffle")
+  }
+
+  test("q91 CMS builds with map-side combine (partial sketch aggregate)") {
+    val plan = SparkEntry.queries("q91_cms_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_cms_sketch"),
+      s"the sketch must collapse words map-side, shuffling one 32 KB " +
+        s"counter file per task, never the words:\n$plan")
+  }
+
   test("q92 bloom probe filters the fact scan below the semi-join") {
     val df = SparkEntry.queries("q92_bloom_join")(spark, sfDir)
     val plan = df.queryExecution.optimizedPlan
