@@ -614,6 +614,14 @@ object SparkEntry {
           col("n_email"), col("n_ip"), col("n_phone"),
           md5(col("redacted")).as("redacted_md5"))
     }),
+    "q93_span_coverage" -> ((s, dir) => {
+      // duplicated-span document filter: share of each doc's distinct
+      // 3-shingles that occur in another doc; > 0.8 flags boilerplate
+      val t = Tables(s, dir)
+      Dedup.spanCoverage(t.documents, threshold = 0.8)
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          col("dup_frac"), col("flagged"))
+    }),
     "q89_temperature_mix" -> ((s, dir) => {
       // temperature-scaled source rebalancing: rate_s = min(1,
       // budgetFrac·N·n_s^τ / (Σ n_t^τ · n_s)), keep iff the doc's
@@ -2528,6 +2536,33 @@ object SparkEntry {
     // Spark's slice), first occurrence by (doc_id, pos) via a window
     // (oracle scale only — the engine uses groupBy+join), surviving
     // text re-joined in document order.
+    // Span-coverage replay: distinct shingles per doc, df across the
+    // corpus, shared = df > 1; shingle-less docs keep a row with
+    // n_shingles = 0 and dup_frac 0.
+    "q93_span_coverage" ->
+      s"""WITH $ShinglesSql,
+         |inst AS (
+         |  SELECT id, unnest(list_distinct(sh)) AS s FROM shingled
+         |),
+         |dfreq AS (SELECT s, count(*) AS df FROM inst GROUP BY s),
+         |cov AS (
+         |  SELECT inst.id,
+         |         CAST(count(*) AS BIGINT) AS n_shingles,
+         |         CAST(count(*) FILTER (WHERE df > 1) AS BIGINT) AS n_shared
+         |  FROM inst JOIN dfreq USING (s) GROUP BY inst.id
+         |),
+         |base AS (
+         |  SELECT d.doc_id,
+         |         coalesce(c.n_shingles, 0) AS n_shingles,
+         |         coalesce(c.n_shared, 0) AS n_shared,
+         |         CASE WHEN coalesce(c.n_shingles, 0) = 0 THEN 0.0
+         |              ELSE round(CAST(c.n_shared AS DOUBLE) / c.n_shingles, 4)
+         |         END AS dup_frac
+         |  FROM documents d LEFT JOIN cov c ON d.doc_id = c.id
+         |)
+         |SELECT doc_id, n_shingles, n_shared, dup_frac,
+         |       dup_frac > 0.8 AS flagged
+         |FROM base""".stripMargin,
     // Temperature-mix replay: identical count → rate arithmetic (rate
     // rounded to 6 dp on both sides before the keep comparison, so a
     // last-ulp pow() difference can't flip a boundary row) and the

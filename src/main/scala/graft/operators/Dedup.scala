@@ -348,6 +348,52 @@ object Dedup {
       .select(col(idCol), col("simhash"), col("bucket"), col("bucket_size"))
   }
 
+  /** Corpus self-coverage of duplicated spans — the "fraction of
+    * duplicated n-grams" document filter of the big web-corpus
+    * pipelines: for every document, the share of its distinct
+    * word-shingles that also occur in ANOTHER document; documents
+    * above `threshold` are boilerplate/template mass and flagged.
+    * (Cross-corpus contamination is [[crossContamination]]; pairwise
+    * similarity is [[ngramJaccard]] — this is the per-document,
+    * whole-corpus version those can't express.)
+    *
+    * Scale shape: the exploded table carries ONLY (id, shingle-md5) —
+    * text never leaves the scan. Shingle document frequency comes
+    * from a groupBy on the hash, whose map-side combine absorbs
+    * Zipf-hot shingles (no cap needed — unlike [[ngramJaccard]] there
+    * is no pair expansion, df is just a count); the join back on the
+    * hash gets AQE skew-splitting, and the per-doc rollup is bounded
+    * by document size.
+    *
+    * Output: (idCol, n_shingles, n_shared, dup_frac, flagged).
+    * Documents with fewer than `shingleSize` words have no shingles:
+    * n_shingles = 0, dup_frac = 0.0, never flagged.
+    */
+  def spanCoverage(
+      df: DataFrame,
+      threshold: Double = 0.8,
+      shingleSize: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val inst = spread(df).select(
+        col(idCol),
+        explode_outer(array_distinct(
+          graft.functions.NativeText.wordShingles(col(textCol), shingleSize)))
+          .as("s"))
+      .select(col(idCol), md5(col("s")).as("sh"))
+    val dfreq = inst.filter(col("sh").isNotNull)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    inst.join(dfreq, Seq("sh"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(col("sh")).cast("long").as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_frac",
+        when(col("n_shingles") === 0, 0.0)
+          .otherwise(round(col("n_shared").cast("double") / col("n_shingles"), 4)))
+      .withColumn("flagged", col("dup_frac") > threshold)
+  }
+
   /** Passage-level exact dedup — the paragraph dedup of the big
     * web-corpus pipelines, re-expressed over fixed `passageLen`-word
     * chunks (this corpus has no newline structure; on one that does,

@@ -251,6 +251,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Set((10L, 0, 0), (11L, 1, 1)))
   }
 
+  // -------------------------------------------------- span coverage
+
+  test("spanCoverage: per-doc duplicated-shingle fraction against the corpus") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // shingles: [a b c][b c d][c d e]
+      (2L, "a b c x y"),       // shares [a b c] with doc1 -> 1/3
+      (3L, "a b c d q"),       // shares [a b c][b c d] -> 2/3
+      (4L, "zz yy")).toDF("doc_id", "text") // too short: no shingles
+    val out = Dedup.spanCoverage(docs, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((3L, 2L, 0.6667, true)))
+    assert(out(2L) == ((3L, 1L, 0.3333, false)))
+    assert(out(3L) == ((3L, 2L, 0.6667, true)))
+    assert(out(4L) == ((0L, 0L, 0.0, false)))
+  }
+
   // ------------------------------------------------------------ pii
 
   test("piiRedact: finds and strips each class, never double-counts a span") {
