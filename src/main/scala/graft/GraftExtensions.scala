@@ -28,6 +28,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Catalyst-expression twins of the CmsSketch/BloomSketch Column
+    * helpers, for the SQL builders: a FunctionBuilder must return a
+    * pure Expression tree (Column-DSL nodes wrapped via the shim do
+    * not survive analysis inside a registered function). The
+    * SQL-equals-Column-API spec in ScaleDesignSpec keeps the two
+    * formulations in lockstep.
+    */
+  private object SketchExprs {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
+
+    private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
+    private def str(e: Expression) = Cast(e, StringType)
+
+    /** first `nibbles` hex nibbles of md5(i ":" value), mod `mod`. */
+    private def bucket(i: Expression, value: Expression, nibbles: Int, mod: Int): Expression =
+      Remainder(
+        Cast(Conv(
+          Substring(
+            Md5(Cast(Concat(Seq(str(i), Literal(":"), str(value))), BinaryType)),
+            Literal(1), Literal(nibbles)),
+          Literal(16), Literal(10)), LongType),
+        Literal(mod.toLong))
+
+    def buckets(value: Expression, n: Int, nibbles: Int, mod: Int): Expression = {
+      val v = lv("gi")
+      ArrayTransform(new Sequence(Literal(0), Literal(n - 1)),
+        LambdaFunction(bucket(v, value, nibbles, mod), Seq(v)))
+    }
+
+    def cmsEstimate(sk: Expression, key: Expression, d: Int, w: Int): Expression = {
+      val v = lv("gi")
+      ArrayMin(ArrayTransform(new Sequence(Literal(0), Literal(d - 1)),
+        LambdaFunction(
+          ElementAt(sk,
+            Cast(Add(Add(Multiply(v, Literal(w.toLong)), bucket(v, key, 6, w)),
+              Literal(1L)), IntegerType)),
+          Seq(v))))
+    }
+
+    def mightContain(bloom: Expression, value: Expression, k: Int, m: Int): Expression = {
+      val p = lv("gp")
+      ArrayForAll(buckets(value, k, 8, m),
+        LambdaFunction(
+          Not(EqualTo(
+            BitwiseAnd(
+              ElementAt(bloom,
+                Cast(Add(ShiftRight(p, Literal(6)), Literal(1L)), IntegerType)),
+              ShiftLeft(Literal(1L), Cast(Remainder(p, Literal(64L)), IntegerType))),
+            Literal(0L))),
+          Seq(p)))
+    }
+  }
+
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
@@ -108,6 +162,54 @@ object GraftExtensions {
           case Seq(c) => graft.functions.HllSketch(h(c))
           case Seq(c, p) => graft.functions.HllSketch(h(c), intArg(p, "p"))
           case _ => throw new IllegalArgumentException("hll_distinct takes 1-2 arguments")
+        }
+      }),
+    ("cms_sketch",
+      info("cms_sketch",
+        "cms_sketch(value[, d, w]) - count-min sketch aggregate: d*w counter matrix as a long array"),
+      (args: Seq[Expression]) => {
+        def build(c: Expression, d: Int, w: Int) =
+          graft.functions.CmsSketch(SketchExprs.buckets(c, d, 6, w), d, w)
+        args match {
+          case Seq(c) => build(c, 4, 1024)
+          case Seq(c, d, w) => build(c, intArg(d, "d"), intArg(w, "w"))
+          case _ => throw new IllegalArgumentException("cms_sketch takes 1 or 3 arguments")
+        }
+      }),
+    ("cms_estimate",
+      info("cms_estimate",
+        "cms_estimate(sketch, key[, d, w]) - count-min point frequency estimate (never under-counts)"),
+      (args: Seq[Expression]) => {
+        def build(sk: Expression, key: Expression, d: Int, w: Int) =
+          SketchExprs.cmsEstimate(sk, key, d, w)
+        args match {
+          case Seq(sk, key) => build(sk, key, 4, 1024)
+          case Seq(sk, key, d, w) => build(sk, key, intArg(d, "d"), intArg(w, "w"))
+          case _ => throw new IllegalArgumentException("cms_estimate takes 2 or 4 arguments")
+        }
+      }),
+    ("bloom_sketch",
+      info("bloom_sketch",
+        "bloom_sketch(value[, k, m]) - bloom filter aggregate: m-bit set as an m/64 long array"),
+      (args: Seq[Expression]) => {
+        def build(c: Expression, k: Int, m: Int) =
+          graft.functions.BloomSketch(SketchExprs.buckets(c, k, 8, m), k, m)
+        args match {
+          case Seq(c) => build(c, 5, 1 << 17)
+          case Seq(c, k, m) => build(c, intArg(k, "k"), intArg(m, "m"))
+          case _ => throw new IllegalArgumentException("bloom_sketch takes 1 or 3 arguments")
+        }
+      }),
+    ("bloom_might_contain",
+      info("bloom_might_contain",
+        "bloom_might_contain(bloom, value[, k, m]) - bloom membership probe (no false negatives)"),
+      (args: Seq[Expression]) => {
+        def build(b: Expression, v: Expression, k: Int, m: Int) =
+          SketchExprs.mightContain(b, v, k, m)
+        args match {
+          case Seq(b, v) => build(b, v, 5, 1 << 17)
+          case Seq(b, v, k, m) => build(b, v, intArg(k, "k"), intArg(m, "m"))
+          case _ => throw new IllegalArgumentException("bloom_might_contain takes 2 or 4 arguments")
         }
       }))
 

@@ -457,6 +457,33 @@ class ScaleDesignSpec extends SparkSpec {
     assert(new GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
     assert(GraftExtensions.functions.map(_._1).toSet ==
       Set("harmonic_score", "word_shingles", "minhash_signature", "topk_harmonic",
-        "topk_collect", "rolling_minhash", "hll_distinct"))
+        "topk_collect", "rolling_minhash", "hll_distinct",
+        "cms_sketch", "cms_estimate", "bloom_sketch", "bloom_might_contain"))
+  }
+
+  test("SQL surface: cms/bloom sketches match their Column APIs") {
+    GraftExtensions.register(spark)
+    spark.range(300).select((col("id") % 40).as("v"))
+      .createOrReplaceTempView("sk_in")
+    val sqlCms = spark.sql(
+      """SELECT v, cms_estimate(sk, v) AS e
+        |FROM (SELECT cms_sketch(v) AS sk FROM sk_in), (SELECT DISTINCT v FROM sk_in)
+        |ORDER BY v""".stripMargin).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val apiSk = spark.table("sk_in")
+      .agg(graft.functions.CmsSketch.cmsSketch(col("v")).as("sk"))
+    val apiCms = spark.table("sk_in").distinct().join(apiSk)
+      .select(col("v"), graft.functions.CmsSketch.cmsEstimate(col("sk"), col("v")).as("e"))
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sqlCms.toSeq == apiCms.toSeq)
+
+    val probes = spark.sql(
+      """SELECT p.id, bloom_might_contain(b.bl, p.id) AS hit
+        |FROM (SELECT bloom_sketch(v) AS bl FROM sk_in) b,
+        |     (SELECT id FROM range(0, 80)) p
+        |ORDER BY p.id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    // members 0..39 always hit; 40..79 may only false-positive (rare at n=40)
+    assert(probes.filter(_._1 < 40).forall(_._2), "no false negatives via SQL")
+    assert(probes.count(p => p._1 >= 40 && p._2) <= 1)
   }
 }
