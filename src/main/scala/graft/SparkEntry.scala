@@ -781,6 +781,14 @@ object SparkEntry {
           round(element_at(col("p"), 2), 4).as("p90"),
           round(element_at(col("p"), 3), 4).as("p99"))
     }),
+    "q94_hist_quantiles" -> ((s, dir) => {
+      // constant-state approximate quantiles: 1024-bin histogram per
+      // event type (state independent of row count — q50's exact
+      // percentile sorts every value), linear interpolation in-bin
+      val t = Tables(s, dir)
+      Rollups.histogramQuantiles(t.events, "value", Seq("event_type"),
+        ps = Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 400.0)
+    }),
     "q51_rollup" -> ((s, dir) => {
       // ROLLUP subtotals over (datasourceId, year): per-source-year,
       // per-source, and grand-total rows in one pass
@@ -2130,6 +2138,27 @@ object SparkEntry {
       """SELECT word, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY 1 ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    // Histogram-quantile replay: same fixed-width binning (width
+    // 400/1024 = 0.390625, exactly representable), same cumulative
+    // crossing rule and in-bin interpolation over integer counts.
+    "q94_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         least(greatest(CAST(floor(value / (400.0 / 1024)) AS BIGINT), 0), 1023) AS bin
+        |  FROM events
+        |),
+        |c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT event_type, bin, cnt,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |         sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM c
+        |),
+        |ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+        |j AS (SELECT cc.*, ps.p, ps.p * cc.n AS t FROM cc CROSS JOIN ps)
+        |SELECT event_type, p,
+        |       round((bin + (t - (cum - cnt)) / cnt) * (400.0 / 1024), 4) AS qest
+        |FROM j WHERE cum >= t AND (cum - cnt) < t""".stripMargin,
     // Bloom semi-join oracle: the plain semi-join — the bloom is a
     // pre-filter with no false negatives, and the exact join removes
     // its false positives, so results must be identical.

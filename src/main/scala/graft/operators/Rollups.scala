@@ -109,6 +109,57 @@ object Rollups {
     correlate(permuted, pairKeys, keys.last, "peakYear_permuted")
   }
 
+  /** Approximate quantiles from a fixed-width histogram — the
+    * constant-state alternative to exact percentiles when the value
+    * domain is known: counts per (group, bin) via groupBy (map-side
+    * combine; state is groups × `bins` REGARDLESS of input size,
+    * where the exact formulation sorts every value), then linear
+    * interpolation inside the bin the target rank falls in. Every
+    * step is closed-form arithmetic over integer counts, so any
+    * engine replays it exactly; error is bounded by the bin width.
+    *
+    * The cumulative-count window partitions per group over ≤ `bins`
+    * rows — bounded by construction, never by the data. Values are
+    * clamped into [lo, hi); quantile targets use rank t = p·n with
+    * the estimate lo + (bin + (t − cumBefore)/binCount) · width.
+    *
+    * Output: (groupCols..., p, qest) — one row per requested p.
+    */
+  def histogramQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      ps: Seq[Double],
+      lo: Double,
+      hi: Double,
+      bins: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = (hi - lo) / bins
+    val gcols = groupCols.map(col)
+    val binned = df.withColumn("__bin",
+      least(greatest(
+          floor((col(valueCol).cast("double") - lo) / width), lit(0L)),
+        lit(bins - 1L)))
+    val counts = binned.groupBy(gcols :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("__bin"))
+    val cum = counts
+      .withColumn("__cum", sum("__cnt").over(w))
+      .withColumn("__n", sum("__cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(gcols: _*)))
+    val pDim = broadcast(ps.toDF("p"))
+    cum.join(pDim)
+      .withColumn("__t", col("p") * col("__n"))
+      .filter(col("__cum") >= col("__t") &&
+        (col("__cum") - col("__cnt")) < col("__t"))
+      .withColumn("qest",
+        lit(lo) + (col("__bin") +
+          (col("__t") - (col("__cum") - col("__cnt"))) / col("__cnt")) * width)
+      .select(gcols :+ col("p") :+ round(col("qest"), 4).as("qest"): _*)
+  }
+
   private def firstPeaks(dense: DataFrame, keys: Seq[String]): DataFrame =
     Novelty.peaks(dense, keys)
       .groupBy(keys.map(col): _*)

@@ -251,6 +251,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Set((10L, 0, 0), (11L, 1, 1)))
   }
 
+  // -------------------------------------------- histogram quantiles
+
+  test("histogramQuantiles: within a bin width of the exact percentile") {
+    val vals = (1 to 2000).map(i => (i.toLong, "g", (i * 37 % 1000) / 10.0))
+    val df = vals.toDF("id", "g", "v")
+    val approx = operators.Rollups
+      .histogramQuantiles(df, "v", Seq("g"), Seq(0.5, 0.9, 0.99), 0.0, 100.0, 1024)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val exact = df.groupBy("g")
+      .agg(percentile(col("v"), typedLit(Seq(0.5, 0.9, 0.99))).as("p"))
+      .select(explode(col("p"))).collect().map(_.getDouble(0))
+    val width = 100.0 / 1024
+    for (((p, got), want) <- approx.toSeq.sortBy(_._1).zip(exact.sorted))
+      assert(math.abs(got - want) <= 2 * width + 1e-9,
+        s"p=$p approx $got vs exact $want")
+    // partition invariance: same estimates after a repartition
+    val re = operators.Rollups
+      .histogramQuantiles(df.repartition(13), "v", Seq("g"),
+        Seq(0.5, 0.9, 0.99), 0.0, 100.0, 1024)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(re == approx)
+  }
+
   // -------------------------------------------------- span coverage
 
   test("spanCoverage: per-doc duplicated-shingle fraction against the corpus") {
