@@ -781,6 +781,12 @@ object SparkEntry {
           round(element_at(col("p"), 2), 4).as("p90"),
           round(element_at(col("p"), 3), 4).as("p99"))
     }),
+    "q95_funnel" -> ((s, dir) => {
+      // sequential conversion funnel: earliest view -> first click at
+      // or after it -> first purchase at or after that, per user
+      val t = Tables(s, dir)
+      EventWindows.funnel(t.events, Seq("view", "click", "purchase"))
+    }),
     "q94_hist_quantiles" -> ((s, dir) => {
       // constant-state approximate quantiles: 1024-bin histogram per
       // event type (state independent of row count — q50's exact
@@ -2138,6 +2144,35 @@ object SparkEntry {
       """SELECT word, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY 1 ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    // Funnel replay: the same sequential-min chain as CTEs — step i's
+    // completion is the min event time of its type at-or-after step
+    // i−1's completion; users without a step-1 event score 0.
+    "q95_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |),
+        |s1 AS (
+        |  SELECT user_id, min(us) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1
+        |),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.us) AS t2
+        |  FROM ev e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us >= s1.t1 GROUP BY 1
+        |),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.us) AS t3
+        |  FROM ev e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us >= s2.t2 GROUP BY 1
+        |),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id,
+        |       CAST(CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+        |            + CAST(t3 IS NOT NULL AS INT) AS INT) AS steps_completed,
+        |       t1 AS t_first_us, t3 AS t_conv_us
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)""".stripMargin,
     // Histogram-quantile replay: same fixed-width binning (width
     // 400/1024 = 0.390625, exactly representable), same cumulative
     // crossing rule and in-bin interpolation over integer counts.

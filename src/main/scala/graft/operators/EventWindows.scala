@@ -36,6 +36,54 @@ object EventWindows {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start", col("window.start"))
       .drop("window")
+
+  /** Sequential conversion funnel: step i completes at the EARLIEST
+    * event of its type at-or-after step i−1's completion (the
+    * standard earliest-greedy funnel), per user.
+    *
+    * Formulated as a chain of sequential mins: stage 1 is a
+    * type-filtered map-side-combined groupBy; each later stage
+    * equi-joins that step's (type-filtered) events to the previous
+    * stage's one-row-per-user completion table, keeps events at or
+    * after the previous completion, and re-aggregates to min — the
+    * groupBy rides the join's partitioning, so each stage costs one
+    * shrinking shuffle. No windows, no per-user event collection: a
+    * Zipf-hot user gets AQE skew-splitting on the join plus a
+    * combine, never a single-task window partition.
+    *
+    * Output: (userCol, steps_completed, t_first_us, t_conv_us) —
+    * t_conv_us is null until the funnel completes; users with no
+    * step-1 event appear with steps_completed = 0.
+    */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val us = unix_micros(col(tsCol))
+    val stage1 = events.filter(col(typeCol) === steps.head)
+      .groupBy(userCol).agg(min(us).as("t1"))
+    val stages = steps.zipWithIndex.drop(1).scanLeft(stage1) {
+      case (prev, (step, i)) =>
+        events.filter(col(typeCol) === step)
+          .select(col(userCol), us.as("__ts"))
+          .join(prev.select(col(userCol), col(s"t$i")), Seq(userCol))
+          .filter(col("__ts") >= col(s"t$i"))
+          .groupBy(userCol).agg(min(col("__ts")).as(s"t${i + 1}"))
+    }
+    val all = events.select(col(userCol)).distinct()
+    val joined = stages.foldLeft(all)((acc, st) => acc.join(st, Seq(userCol), "left"))
+    joined
+      .withColumn("steps_completed",
+        steps.indices
+          .map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+      .select(col(userCol), col("steps_completed"),
+        col("t1").as("t_first_us"),
+        col(s"t${steps.length}").as("t_conv_us"))
+  }
 }
 
 /** Gap-based sessionization: a new session starts when a user is idle
@@ -68,4 +116,5 @@ object Sessionize {
         max(tsCol).as("end_ts"),
         (unix_micros(max(tsCol)) - unix_micros(min(tsCol))).as("duration_us"))
   }
+
 }

@@ -251,6 +251,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Set((10L, 0, 0), (11L, 1, 1)))
   }
 
+  // ----------------------------------------------------- funnel
+
+  test("funnel: earliest-greedy sequential steps, out-of-order never counts") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1 converts in order: view@1, click@3, purchase@5
+      (1L, ts(1), "view"), (1L, ts(3), "click"), (1L, ts(5), "purchase"),
+      // user 2: click BEFORE the first view never counts; no click after
+      (2L, ts(2), "click"), (2L, ts(4), "view"), (2L, ts(6), "purchase"),
+      // user 3: view then purchase but no click -> depth 1
+      (3L, ts(1), "view"), (3L, ts(2), "purchase"),
+      // user 4: no view at all -> depth 0
+      (4L, ts(9), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = operators.EventWindows.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(1L) == ((3, Some(1000000L), Some(5000000L))))
+    assert(out(2L) == ((1, Some(4000000L), None)))
+    assert(out(3L) == ((1, Some(1000000L), None)))
+    assert(out(4L) == ((0, None, None)))
+  }
+
   // -------------------------------------------- histogram quantiles
 
   test("histogramQuantiles: within a bin width of the exact percentile") {
