@@ -829,6 +829,14 @@ object SparkEntry {
       SimilaritySearch.bruteForceTopK(
         t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
     }),
+    "q96_pq_ann" -> ((s, dir) => {
+      // product-quantization ANN: 4 subspaces x 8-entry codebooks,
+      // corpus encoded to 4 code ints, ADC search via per-query
+      // lookup tables — integer squared-L2 throughout
+      val t = Tables(s, dir)
+      SimilaritySearch.pqTopK(
+        t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
+    }),
     "q90_int8_ann" -> ((s, dir) => {
       // quantized-index ANN: all search math on per-vector-scaled int8
       // codes (scales cancel in cosine), 4x memory of f32 saved
@@ -1742,6 +1750,63 @@ object SparkEntry {
          |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS INT) AS rank,
          |         cos
          |  FROM scored
+         |)
+         |SELECT query_id, id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin,
+    // PQ replay: md5-ordered codebook seeds, per-(vector, subspace,
+    // entry) integer squared-L2 distances in one table, codes =
+    // argmin with (d, ci) ties, ADC shortlist of 100 = sum of the
+    // query's distances at the corpus codes, then exact integer-
+    // cosine re-rank of the shortlist. 16 subspaces of 4 dims.
+    "q96_pq_ann" ->
+      s"""WITH $EmbSql,
+         |cb AS (
+         |  SELECT row_number() OVER (ORDER BY h) - 1 AS ci, q AS cq
+         |  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, q
+         |        FROM nrm ORDER BY h LIMIT 16)
+         |),
+         |js AS (SELECT unnest(range(0, 16)) AS j),
+         |dist AS (
+         |  SELECT e.vec_id, j.j, c.ci,
+         |         CAST(list_sum(list_transform(range(1, 5), t ->
+         |           (e.q[j.j * 4 + t] - c.cq[j.j * 4 + t])
+         |             * (e.q[j.j * 4 + t] - c.cq[j.j * 4 + t]))) AS BIGINT) AS d
+         |  FROM nrm e CROSS JOIN js j CROSS JOIN cb c
+         |),
+         |codes AS (
+         |  SELECT vec_id, j, ci AS code FROM (
+         |    SELECT vec_id, j, ci,
+         |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS r
+         |    FROM dist
+         |  ) WHERE r = 1
+         |),
+         |scored AS (
+         |  SELECT c.vec_id AS id, qd.vec_id AS query_id,
+         |         CAST(sum(qd.d) AS BIGINT) AS adist
+         |  FROM codes c
+         |  JOIN dist qd ON qd.j = c.j AND qd.ci = c.code
+         |    AND qd.vec_id % 50 = 0 AND qd.vec_id != c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT query_id, id FROM (
+         |    SELECT query_id, id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY adist, id) AS arank
+         |    FROM scored
+         |  ) WHERE arank <= 100
+         |),
+         |rescored AS (
+         |  SELECT cand.query_id, cand.id,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * qv.q[i])) AS DOUBLE)
+         |           / (c.n * qv.n) AS cos
+         |  FROM cand
+         |  JOIN nrm c ON c.vec_id = cand.id
+         |  JOIN nrm qv ON qv.vec_id = cand.query_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS INT) AS rank,
+         |         cos
+         |  FROM rescored
          |)
          |SELECT query_id, id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin,
     // Int8-ANN replay: per-vector max|x| scale, round-half-away int8

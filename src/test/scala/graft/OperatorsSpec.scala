@@ -331,6 +331,27 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.size == exact.size, "IVF must return full top-k per query")
   }
 
+  test("PQ ANN (ADC shortlist + exact re-rank) reaches recall >= 0.8") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val pq = SimilaritySearch.pqTopK(emb, queries, k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall@5 too low: $recall")
+    // the exact re-rank means every hit carries the TRUE cosine: any
+    // (query, id) PQ shares with brute force must agree on cos
+    val exactCos = SimilaritySearch.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "id", "cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val pqCos = SimilaritySearch.pqTopK(emb, queries, k = 5)
+      .select("query_id", "id", "cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    for ((key, c) <- pqCos if exactCos.contains(key))
+      assert(c == exactCos(key), s"re-ranked cosine must be exact at $key")
+  }
+
   test("IVF seed pick dedupes duplicate corpus ids into distinct cells") {
     // 40 rows but only 2 distinct ids → only 2 distinct md5 cells can
     // exist; with the dedup guard the partition layout stays sane and
