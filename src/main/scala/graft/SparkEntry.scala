@@ -781,6 +781,20 @@ object SparkEntry {
           round(element_at(col("p"), 2), 4).as("p90"),
           round(element_at(col("p"), 3), 4).as("p99"))
     }),
+    "q98_bpe_pairs" -> ((s, dir) => {
+      // BPE training inner loop: adjacent char-pair counts weighted by
+      // word frequency, computed over the distinct-word vocabulary
+      val t = Tables(s, dir)
+      TextAnalysis.bpePairCounts(t.documents, k = 20)
+    }),
+    "q97_retention" -> ((s, dir) => {
+      // weekly cohort retention: cohort = first active 7-day epoch
+      // period per user; rate = active users at offset / cohort size
+      val t = Tables(s, dir)
+      EventWindows.retention(t.events, periodDays = 7)
+        .select(col("cohort_period"), col("offset"),
+          col("n_active"), col("n_cohort"), col("rate"))
+    }),
     "q95_funnel" -> ((s, dir) => {
       // sequential conversion funnel: earliest view -> first click at
       // or after it -> first purchase at or after that, per user
@@ -2209,6 +2223,44 @@ object SparkEntry {
       """SELECT word, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY 1 ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    // BPE-pair replay: same vocabulary-weighted adjacent-pair counts
+    // (substring(word, i, 2) for i in 1..len-1), top-20 by (n, pair).
+    "q98_bpe_pairs" ->
+      """WITH wf AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS wf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY 1
+        |),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(word)),
+        |           i -> substring(word, CAST(i AS INT), 2))) AS pair, wf
+        |  FROM wf
+        |)
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS n
+        |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // Retention replay: identical fixed-width epoch periods (7-day
+    // buckets of epoch_us — no calendar weeks), min-period cohorts,
+    // distinct-user rollup per (cohort, offset).
+    "q97_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 604800000000.0) AS BIGINT) AS period
+        |  FROM events
+        |),
+        |coh AS (SELECT user_id, min(period) AS cohort_period FROM act GROUP BY 1),
+        |sz AS (
+        |  SELECT cohort_period, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+        |  FROM coh GROUP BY 1
+        |),
+        |ret AS (
+        |  SELECT c.cohort_period, a.period - c.cohort_period AS offset,
+        |         CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |  FROM act a JOIN coh c USING (user_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT r.cohort_period, r.offset, r.n_active, s.n_cohort,
+        |       round(CAST(r.n_active AS DOUBLE) / s.n_cohort, 4) AS rate
+        |FROM ret r JOIN sz s USING (cohort_period)""".stripMargin,
     // Funnel replay: the same sequential-min chain as CTEs — step i's
     // completion is the min event time of its type at-or-after step
     // i−1's completion; users without a step-1 event score 0.

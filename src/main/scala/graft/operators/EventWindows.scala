@@ -84,6 +84,39 @@ object EventWindows {
         col("t1").as("t_first_us"),
         col(s"t${steps.length}").as("t_conv_us"))
   }
+
+  /** Cohort retention: users are cohorted by their first active
+    * period (fixed-width `periodDays` buckets of the epoch — calendar
+    * weeks would drag in timezone/locale variance an oracle can't
+    * replay); retention at offset d = distinct users of cohort c
+    * active in period c+d, as a fraction of the cohort.
+    *
+    * Shapes: activity collapses to distinct (user, period) and the
+    * cohort to a min-per-user — both map-side-combined groupBys; the
+    * join is user-keyed (AQE-skew-safe) and the final rollup is
+    * (cohort, offset)-grained. No windows, nothing driver-side.
+    *
+    * Output: (cohort_period, offset, n_active, n_cohort, rate).
+    */
+  def retention(
+      events: DataFrame,
+      periodDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val periodUs = periodDays * 86400L * 1000000L
+    val period = floor(unix_micros(col(tsCol)) / periodUs).cast("long")
+    val activity = events.select(col(userCol), period.as("period")).distinct()
+    val cohort = activity.groupBy(userCol).agg(min("period").as("cohort_period"))
+    val sizes = cohort.groupBy("cohort_period")
+      .agg(countDistinct(userCol).cast("long").as("n_cohort"))
+    activity.join(cohort, Seq(userCol))
+      .groupBy(col("cohort_period"),
+        (col("period") - col("cohort_period")).as("offset"))
+      .agg(countDistinct(userCol).cast("long").as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_period"))
+      .withColumn("rate",
+        round(col("n_active").cast("double") / col("n_cohort"), 4))
+  }
 }
 
 /** Gap-based sessionization: a new session starts when a user is idle

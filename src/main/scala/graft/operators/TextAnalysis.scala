@@ -329,6 +329,32 @@ object TextAnalysis {
         round(col("tfidf"), 4).as("tfidf"))
   }
 
+  /** First-iteration BPE pair statistics — the inner loop of BPE
+    * tokenizer training: counts of adjacent character pairs across
+    * the corpus, weighted by word frequency. Computed the way BPE
+    * trainers actually do it: the corpus first collapses to a
+    * (word, frequency) vocabulary (map-side-combined groupBy), and
+    * pair explosion runs over DISTINCT words only — pair work scales
+    * with vocabulary size, not corpus size. Top-k via TakeOrdered
+    * (no global sort), ties by pair ascending.
+    *
+    * Output: (pair, n), the k most frequent adjacent pairs.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String = "text",
+      k: Int = 20): DataFrame = {
+    val wordFreq = df
+      .select(explode(words(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wf"))
+    wordFreq
+      .select(col("wf"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("wf").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   /** PII patterns, applied in order. Deliberately RE2-compatible
     * (no backrefs/lookahead) so any oracle engine redacts
     * identically; ASCII classes only. Email first: its local part

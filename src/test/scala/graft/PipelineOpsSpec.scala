@@ -251,6 +251,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Set((10L, 0, 0), (11L, 1, 1)))
   }
 
+  // -------------------------------------------------- retention
+
+  test("retention: cohort by first period, rates per offset") {
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(7)), (1L, ts(14)),   // cohort 0, active 0/1/2
+      (2L, ts(1)), (2L, ts(8)),                 // cohort 0, active 0/1
+      (3L, ts(2)),                              // cohort 0, active 0
+      (4L, ts(7)), (4L, ts(21)))                // cohort 1, active 1/3->offset 0,2
+      .toDF("user_id", "ts")
+    val out = operators.EventWindows.retention(ev, periodDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out((0L, 0L)) == ((3L, 3L, 1.0)))
+    assert(out((0L, 1L)) == ((2L, 3L, 0.6667)))
+    assert(out((0L, 2L)) == ((1L, 3L, 0.3333)))
+    assert(out((1L, 0L)) == ((1L, 1L, 1.0)))
+    assert(out((1L, 2L)) == ((1L, 1L, 1.0)))
+    assert(!out.contains((1L, 1L)), "no row for inactive offsets")
+  }
+
+  // -------------------------------------------------- bpe pairs
+
+  test("bpePairCounts: vocabulary-weighted adjacent pairs, hand-checked") {
+    val docs = Seq(
+      (1L, "abab cd"), (2L, "abab abab"), (3L, "x")).toDF("doc_id", "text")
+    // vocab: abab (wf 3), cd (wf 1); "x" too short
+    // abab pairs: ab, ba, ab -> per word: ab 2, ba 1; weighted x3
+    val out = TextAnalysis.bpePairCounts(docs, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("ab" -> 6L, "ba" -> 3L, "cd" -> 1L))
+  }
+
   // ----------------------------------------------------- funnel
 
   test("funnel: earliest-greedy sequential steps, out-of-order never counts") {
