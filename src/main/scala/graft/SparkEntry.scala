@@ -781,6 +781,33 @@ object SparkEntry {
           round(element_at(col("p"), 2), 4).as("p90"),
           round(element_at(col("p"), 3), 4).as("p99"))
     }),
+    "q99_semdedup" -> ((s, dir) => {
+      // SemDeDup: embedding-cosine near-dup pairs (LSH-bucketed, q45's
+      // machinery) -> connected components -> keeper = min vec_id;
+      // singletons keep themselves
+      val t = Tables(s, dir)
+      val pairs = SimilaritySearch.cosineNearDupPairs(t.embeddings)
+        .select("idA", "idB")
+      val comp = Dedup.clusters(pairs).withColumnRenamed("id", "vec_id")
+      t.embeddings.select(col("vec_id"))
+        .join(comp, Seq("vec_id"), "left")
+        .withColumn("keeper", coalesce(col("comp"), col("vec_id")))
+        .withColumn("kept", col("keeper") === col("vec_id"))
+        .select("vec_id", "keeper", "kept")
+    }),
+    "q100_epoch_mix" -> ((s, dir) => {
+      // epoch-based upsampling to deterministic per-source targets
+      // (0.5..3.4 epochs derived from the source hash): floor copies
+      // plus a fractional md5-uniform top-up
+      val t = Tables(s, dir)
+      val targets = t.documents.select("source").distinct()
+        .withColumn("epochs",
+          lit(0.5) + (Sampling.hashBucket(col("source"), "ep") % 30)
+            .cast("double") / 10.0)
+      Sampling.epochMix(t.documents, targets)
+        .select(col("doc_id"), col("source"), col("epochs"),
+          col("n_copies"), col("epoch"))
+    }),
     "q98_bpe_pairs" -> ((s, dir) => {
       // BPE training inner loop: adjacent char-pair counts weighted by
       // word frequency, computed over the distinct-word vocabulary
@@ -2223,6 +2250,61 @@ object SparkEntry {
       """SELECT word, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY 1 ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    // SemDeDup replay: q45's LSH-bucketed cosine pairs, recursive
+    // connected components (q47's walk), keeper = min id, singletons
+    // keep themselves.
+    "q99_semdedup" ->
+      s"""WITH RECURSIVE $EmbSql,
+         |$LshSql,
+         |bsz AS (SELECT bucket, count(*) AS bn FROM withb GROUP BY 1),
+         |ok AS (
+         |  SELECT w.* FROM withb w JOIN bsz USING (bucket)
+         |  WHERE bn > 1 AND bn <= ${graft.GraftConf.LshBucketCap}
+         |),
+         |prs AS (
+         |  SELECT a.vec_id AS idA, b.vec_id AS idB
+         |  FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+         |        / (a.n * b.n) >= 0.35
+         |),
+         |edges AS (
+         |  SELECT idA AS src, idB AS dst FROM prs
+         |  UNION ALL
+         |  SELECT idB AS src, idA AS dst FROM prs
+         |),
+         |walk(id, comp) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id
+         |),
+         |comp AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+         |SELECT e.vec_id,
+         |       coalesce(c.comp, e.vec_id) AS keeper,
+         |       coalesce(c.comp, e.vec_id) = e.vec_id AS kept
+         |FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id""".stripMargin,
+    // Epoch-mix replay: identical source-hash targets, identical
+    // md5-uniform fractional top-up, identical copy expansion.
+    "q100_epoch_mix" ->
+      s"""WITH tg AS (
+         |  SELECT source,
+         |         0.5 + CAST(${HexBucketSql("md5(source || ':ep')")} % 30 AS DOUBLE) / 10.0 AS epochs
+         |  FROM (SELECT DISTINCT source FROM documents)
+         |),
+         |d AS (
+         |  SELECT doc_id, source, epochs,
+         |         CAST(${HexValSql("md5(CAST(doc_id AS VARCHAR) || ':epoch')", 1, 13)} AS DOUBLE)
+         |           / CAST(pow(2, 52) AS DOUBLE) AS u
+         |  FROM documents JOIN tg USING (source)
+         |),
+         |n AS (
+         |  SELECT doc_id, source, epochs,
+         |         CAST(floor(epochs) +
+         |           CASE WHEN u < epochs - floor(epochs) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |  FROM d
+         |)
+         |SELECT doc_id, source, epochs, n_copies,
+         |       unnest(range(0, n_copies)) AS epoch
+         |FROM n WHERE n_copies > 0""".stripMargin,
     // BPE-pair replay: same vocabulary-weighted adjacent-pair counts
     // (substring(word, i, 2) for i in 1..len-1), top-20 by (n, pair).
     "q98_bpe_pairs" ->

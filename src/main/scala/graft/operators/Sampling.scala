@@ -131,6 +131,37 @@ object Sampling {
       .drop("__u")
   }
 
+  /** Deterministic epoch-based upsampling — the other half of data
+    * mixing ([[temperatureSample]] cuts oversized sources down; this
+    * repeats undersized sources up): stratum `s` with target
+    * `epochs_s` (fractional) emits each document floor(epochs_s)
+    * times, plus one more iff the document's md5 uniform clears the
+    * fractional part — so expected copies = epochs_s exactly, and the
+    * decision is per-row, deterministic, partition-invariant.
+    *
+    * Scale shape: a broadcast epochs dim and a scan-local
+    * explode(sequence(...)) — the corpus is never shuffled and the
+    * blow-up factor is the mixing target itself. Adds (n_copies,
+    * epoch ∈ [0, n_copies)).
+    */
+  def epochMix(
+      df: DataFrame,
+      epochs: DataFrame,
+      stratumCol: String = "source",
+      idCol: String = "doc_id",
+      salt: String = "epoch"): DataFrame =
+    df.join(broadcast(epochs), Seq(stratumCol))
+      .withColumn("__u",
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 13), 16, 10)
+          .cast("double") / lit(4503599627370496.0))
+      .withColumn("n_copies",
+        (floor(col("epochs")) +
+          when(col("__u") < col("epochs") - floor(col("epochs")), 1L)
+            .otherwise(0L)).cast("long"))
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("__u")
+
   /** Deterministic within-group permutation: redistribute `valueCol`'s
     * multiset among the rows of each group by two independent md5
     * orders — the engine-portable analogue of a random shuffle

@@ -251,6 +251,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Set((10L, 0, 0), (11L, 1, 1)))
   }
 
+  // -------------------------------------------------- epoch mix
+
+  test("epochMix: integer epochs copy exactly; fractional top-up is deterministic") {
+    val docs = (1L to 100L).map(i => (i, if (i <= 50) "a" else "b"))
+      .toDF("doc_id", "source")
+    val targets = Seq(("a", 2.0), ("b", 1.5)).toDF("source", "epochs")
+    val out = Sampling.epochMix(docs, targets)
+    val perDoc = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).cast("long").as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(perDoc.filter(_._1._2 == "a").values.forall(_ == 2L),
+      "epochs=2.0 means exactly two copies, no randomness")
+    assert(perDoc.filter(_._1._2 == "b").values.forall(n => n == 1L || n == 2L))
+    val bCopies = perDoc.filter(_._1._2 == "b").values.sum
+    assert(bCopies > 50 && bCopies < 100, s"b emitted $bCopies of expected ~75")
+    // partition-invariant: identical multiset after a repartition
+    val re = Sampling.epochMix(docs.repartition(7), targets)
+      .groupBy("doc_id", "source").agg(count(lit(1)).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(re == perDoc)
+  }
+
+  // -------------------------------------------------- semdedup
+
+  test("semdedup composition: duplicate embeddings collapse to the min-id keeper") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),   // dup pair
+      (3L, Array(0.0f, 1.0f)))                            // singleton
+      .toDF("vec_id", "embedding")
+    val pairs = operators.SimilaritySearch
+      .cosineNearDupPairs(emb, minCos = 0.9, planes = 4, dims = 2)
+      .select("idA", "idB")
+    val comp = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L), "dups share the min-id component")
+  }
+
   // -------------------------------------------------- retention
 
   test("retention: cohort by first period, rates per offset") {
