@@ -411,6 +411,49 @@ class ScaleDesignSpec extends SparkSpec {
         s"counter file per task, never the words:\n$plan")
   }
 
+  test("round-6 operator plans stay window-free where claimed") {
+    // spanCoverage / funnel / retention / epochMix docstrings all
+    // claim "no windows" — groupBy+join shapes only. A regression to
+    // a window (e.g. df-per-shingle via partitionBy) reintroduces the
+    // Zipf single-task funnel those shapes exist to avoid.
+    for (q <- Seq("q93_span_coverage", "q95_funnel", "q97_retention",
+        "q100_epoch_mix")) {
+      val windows = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+      assert(windows.isEmpty, s"$q must plan without Window nodes")
+    }
+  }
+
+  test("q96 PQ: corpus encode is scan-local (no exchange below the ADC join)") {
+    val df = SparkEntry.queries("q96_pq_ann")(spark, sfDir)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    // the ADC scoring join is the non-equi join of corpus codes vs the
+    // broadcast query tables; its streamed (corpus) side must reach it
+    // with no shuffle — encoding is a pure projection
+    val bnlj = helper.collect(df.queryExecution.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.nonEmpty, "ADC scoring must broadcast the query tables")
+    val adc = bnlj.maxBy(_.toString.length) // outermost = the scoring join
+    val streamed = adc.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => adc.left
+      case _ => adc.right
+    }
+    // spread()'s RoundRobin repartition (local-parallelism helper) is
+    // fine; what must not appear is a KEYED exchange — encoding never
+    // shuffles on any column
+    val keyed = streamed.collect {
+      case e: ShuffleExchangeExec
+          if !e.outputPartitioning.toString.contains("RoundRobin") => e
+    }
+    assert(keyed.isEmpty,
+      s"corpus codes must reach the ADC join with no keyed exchange: $keyed")
+  }
+
   test("q92 bloom probe filters the fact scan below the semi-join") {
     val df = SparkEntry.queries("q92_bloom_join")(spark, sfDir)
     val plan = df.queryExecution.optimizedPlan
