@@ -781,6 +781,38 @@ object SparkEntry {
           round(element_at(col("p"), 2), 4).as("p90"),
           round(element_at(col("p"), 3), 4).as("p99"))
     }),
+    "q101_incremental_agg" -> ((s, dir) => {
+      // incremental refresh: history state (events before the split)
+      // merged with the delta's state must equal aggregating the full
+      // input — the oracle aggregates everything directly
+      val t = Tables(s, dir)
+      val split = lit("1997-07-01").cast("timestamp")
+      val hist = Incremental.aggState(
+        t.events.filter(col("ts") < split), Seq("event_type"), "value")
+      val delta = Incremental.aggState(
+        t.events.filter(col("ts") >= split), Seq("event_type"), "value")
+      Incremental.finish(Incremental.merge(Seq("event_type"), hist, delta))
+    }),
+    "q102_tpch_q3" -> ((s, dir) => {
+      // TPC-H Q3 shape (shipping priority adapted to this schema):
+      // segment-filtered customers, date-bracketed orders/lineitems,
+      // revenue top-10
+      val t = Tables(s, dir)
+      val cutoff = lit("1997-06-01").cast("timestamp")
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("revenue"))
+    }),
     "q99_semdedup" -> ((s, dir) => {
       // SemDeDup: embedding-cosine near-dup pairs (LSH-bucketed, q45's
       // machinery) -> connected components -> keeper = min vec_id;
@@ -2250,6 +2282,30 @@ object SparkEntry {
       """SELECT word, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY 1 ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    // Incremental-agg oracle: aggregate the FULL input directly — the
+    // merged history⊕delta state must land on identical numbers.
+    "q101_incremental_agg" ->
+      """SELECT event_type,
+        |       CAST(count(value) AS BIGINT) AS n,
+        |       round(sum(value), 4) AS sum_v,
+        |       round(min(value), 4) AS min_v,
+        |       round(max(value), 4) AS max_v,
+        |       round(sum(value) / count(value), 4) AS avg_v
+        |FROM events GROUP BY event_type""".stripMargin,
+    // TPC-H Q3 replay (adapted: no shippriority column in this
+    // schema; date bracket around one cutoff).
+    "q102_tpch_q3" ->
+      """SELECT l.l_orderkey,
+        |       strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS o_date,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l.l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
     // SemDeDup replay: q45's LSH-bucketed cosine pairs, recursive
     // connected components (q47's walk), keeper = min id, singletons
     // keep themselves.

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable aggregation state for recurring pipelines: algebraic
+  * aggregates (count / sum / min / max — and anything derivable from
+  * them, like avg) collapse to a per-key partial-state table that can
+  * be persisted and FOLDED with later deltas, so history is aggregated
+  * exactly once and each refresh touches only the new slice.
+  *
+  * This is the same partial/merge algebra Spark runs inside one job
+  * (map-side combine → final merge), lifted across job boundaries:
+  * `state(delta) ⊕ savedState` ≡ `state(full)` — pinned by the q101
+  * oracle, which aggregates the full input directly.
+  *
+  * Scale shape: every step is a map-side-combined groupBy on the key;
+  * the merge unions key-grained STATE tables (each ≪ the data that
+  * produced it), never raw history.
+  */
+object Incremental {
+
+  /** Collapse `df` to per-key mergeable state over `valueCol`. */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(col(valueCol)).as("st_n"),
+        sum(col(valueCol)).as("st_sum"),
+        min(col(valueCol)).as("st_min"),
+        max(col(valueCol)).as("st_max"))
+
+  /** Fold state tables (any number, any order) into one. */
+  def merge(keys: Seq[String], states: DataFrame*): DataFrame =
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum("st_n").cast("long").as("st_n"),
+        sum("st_sum").as("st_sum"),
+        min("st_min").as("st_min"),
+        max("st_max").as("st_max"))
+
+  /** Resolve state to final aggregates (n, sum, min, max, avg). */
+  def finish(state: DataFrame): DataFrame =
+    state
+      .withColumn("n", col("st_n"))
+      .withColumn("sum_v", round(col("st_sum"), 4))
+      .withColumn("min_v", round(col("st_min"), 4))
+      .withColumn("max_v", round(col("st_max"), 4))
+      .withColumn("avg_v", round(col("st_sum") / col("st_n"), 4))
+      .drop("st_n", "st_sum", "st_min", "st_max")
+}

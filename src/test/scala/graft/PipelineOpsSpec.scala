@@ -251,6 +251,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Set((10L, 0, 0), (11L, 1, 1)))
   }
 
+  // -------------------------------------------- incremental state
+
+  test("Incremental: state(delta) merged with state(hist) == state(full)") {
+    val full = (1 to 500).map(i => (s"k${i % 7}", (i * 37 % 1000) / 10.0))
+      .toDF("k", "v")
+    val direct = operators.Incremental.aggState(full, Seq("k"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // three-way split, merged in a different order than the data
+    val parts = Seq(
+      full.filter(col("v") < 30), full.filter(col("v") >= 70),
+      full.filter(col("v") >= 30 && col("v") < 70))
+      .map(p => operators.Incremental.aggState(p, Seq("k"), "v"))
+    val merged = operators.Incremental.merge(Seq("k"), parts: _*)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(merged.keySet == direct.keySet)
+    for ((k, (n, s, mn, mx)) <- direct) {
+      val (n2, s2, mn2, mx2) = merged(k)
+      assert(n2 == n && mn2 == mn && mx2 == mx)
+      assert(math.abs(s2 - s) < 1e-9, s"$k: $s2 vs $s")
+    }
+  }
+
   // -------------------------------------------------- epoch mix
 
   test("epochMix: integer epochs copy exactly; fractional top-up is deterministic") {
