@@ -94,4 +94,36 @@ class EdgeCasesSpec extends SparkSpec {
     assert(byId(2L).isNullAt(1) && byId(2L).isNullAt(2),
       "null text must yield null metrics, not an exception")
   }
+
+  test("round-6 text operators survive null and empty text") {
+    val docs = Seq((1L, Some("a b c d")), (2L, None), (3L, Some("")))
+      .toDF("doc_id", "text")
+    // piiRedact: null propagates, empty stays empty, no exceptions
+    val pii = TextAnalysis.piiRedact(docs)
+      .select("doc_id", "n_email", "redacted").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(pii(1L).getInt(1) == 0)
+    assert(pii(2L).isNullAt(1) && pii(2L).isNullAt(2))
+    assert(pii(3L).getInt(1) == 0 && pii(3L).getString(2) == "")
+    // passageDedup: null-text docs keep a row (no passages)
+    val pd = operators.Dedup.passageDedup(docs, passageLen = 3)
+      .select("doc_id", "n_passages", "n_kept").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(pd.size == 3, "every input row must survive")
+    assert(pd(1L).getInt(1) == 2 && pd(1L).getInt(2) == 2)
+    assert(pd(2L).getInt(2) == 0, "null text keeps nothing")
+    // spanCoverage: null and too-short texts have zero shingles
+    val sc = operators.Dedup.spanCoverage(docs)
+      .select("doc_id", "n_shingles", "flagged").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(sc.size == 3)
+    assert(sc(2L).getLong(1) == 0L && !sc(2L).getBoolean(2))
+    assert(sc(3L).getLong(1) == 0L)
+    // bpePairCounts ignores null/empty texts (single-char words are
+    // filtered too, so feed one multi-char word alongside them)
+    val docs2 = docs.union(Seq((4L, Some("abc"))).toDF("doc_id", "text"))
+    val bp = TextAnalysis.bpePairCounts(docs2, k = 5).collect()
+    assert(bp.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("ab" -> 1L, "bc" -> 1L))
+  }
 }
