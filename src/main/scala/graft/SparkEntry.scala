@@ -813,6 +813,28 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
           col("revenue"))
     }),
+    "q103_session_transitions" -> ((s, dir) => {
+      // session-scoped Markov transition matrix: 30-min-gap sessions,
+      // consecutive event-type pair counts, row-normalized
+      val t = Tables(s, dir)
+      Sessionize.transitions(t.events, gapMinutes = 30)
+        .select("from_type", "to_type", "n", "p")
+    }),
+    "q104_rolling_anomaly" -> ((s, dir) => {
+      // trailing z-score anomaly years over the dense overall
+      // association series (5-year baseline, >= 3 priors, z >= 2)
+      val t = Tables(s, dir)
+      val overall = AssociationScore.overall(
+        AssociationScore.byDatasource(t.evidence), t.weights)
+      Novelty.rollingAnomaly(overall, Seq("diseaseId", "targetId"))
+        .select("diseaseId", "targetId", "year", "score", "z")
+    }),
+    "q105_dsir_select" -> ((s, dir) => {
+      // DSIR data selection: hashed-unigram importance weights toward
+      // the English slice, deterministic top-50
+      val t = Tables(s, dir)
+      Sampling.dsirTopK(t.documents, col("lang") === "en", k = 50)
+    }),
     "q99_semdedup" -> ((s, dir) => {
       // SemDeDup: embedding-cosine near-dup pairs (LSH-bucketed, q45's
       // machinery) -> connected components -> keeper = min vec_id;
@@ -2306,6 +2328,85 @@ object SparkEntry {
         |  AND l.l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY l.l_orderkey, o.o_orderdate
         |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+    "q103_session_transitions" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |),
+        |gapped AS (
+        |  SELECT *, epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM ev
+        |),
+        |flagged AS (
+        |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM gapped
+        |),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged
+        |),
+        |pr AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (
+        |           PARTITION BY user_id, session_id ORDER BY ts, event_id) AS to_type
+        |  FROM sess
+        |),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        |FROM c""".stripMargin,
+    // Rolling-anomaly oracle: the variance is spelled as the identical
+    // sum/sum-of-squares expression the Scala side evaluates, so both
+    // engines hit the same fp formula; 1e-12 floors a constant
+    // baseline on both sides.
+    "q104_rolling_anomaly" ->
+      s"""WITH $OverallSql,
+         |s AS (
+         |  SELECT diseaseId, targetId, year, coalesce(score, 0) AS s0 FROM overall
+         |),
+         |r AS (
+         |  SELECT diseaseId, targetId, year, s0,
+         |         CAST(count(*) OVER w AS DOUBLE) AS n,
+         |         sum(s0) OVER w AS sm,
+         |         sum(s0 * s0) OVER w AS s2
+         |  FROM s
+         |  WINDOW w AS (PARTITION BY diseaseId, targetId ORDER BY year
+         |               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+         |)
+         |SELECT diseaseId, targetId, year, round(s0, 4) AS score,
+         |       round((s0 - sm / n) / sqrt((s2 - sm * sm / n) / (n - 1)), 4) AS z
+         |FROM r
+         |WHERE n >= 3 AND (s2 - sm * sm / n) / (n - 1) > 1e-12
+         |  AND round((s0 - sm / n) / sqrt((s2 - sm * sm / n) / (n - 1)), 4) >= 2.0""".stripMargin,
+    // DSIR oracle: integer bucket counts rebuilt from scratch, the
+    // same Laplace smoothing, ln-ratio, and per-doc sum; rounding at
+    // the projection absorbs ln()/fold-order ulps.
+    "q105_dsir_select" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t
+         |  FROM documents
+         |),
+         |b AS (SELECT doc_id, t, ${HexValSql("md5(w)", 1, 6)} % 64 AS bkt FROM tok),
+         |cnt AS (
+         |  SELECT bkt, CAST(count(*) AS BIGINT) AS cc, CAST(sum(t) AS BIGINT) AS tc
+         |  FROM b GROUP BY 1
+         |),
+         |tot AS (SELECT sum(cc) + 64.0 AS ct, sum(tc) + 64.0 AS tt FROM cnt),
+         |ratio AS (
+         |  SELECT bkt, ln((tc + 1.0) / tt) - ln((cc + 1.0) / ct) AS r FROM cnt, tot
+         |),
+         |docw AS (
+         |  SELECT b.doc_id, sum(r.r) AS logw
+         |  FROM b JOIN ratio r USING (bkt) GROUP BY 1
+         |)
+         |SELECT d.doc_id, d.source, d.lang, round(w.logw, 4) AS logw
+         |FROM docw w JOIN documents d USING (doc_id)
+         |ORDER BY w.logw DESC, d.doc_id LIMIT 50""".stripMargin,
     // SemDeDup replay: q45's LSH-bucketed cosine pairs, recursive
     // connected components (q47's walk), keeper = min id, singletons
     // keep themselves.

@@ -150,4 +150,49 @@ object Sessionize {
         (unix_micros(max(tsCol)) - unix_micros(min(tsCol))).as("duration_us"))
   }
 
+  /** Session-scoped Markov transition statistics: within each
+    * (user, session) — sessions cut by the same idle gap as
+    * [[sessions]] — count consecutive event-type pairs and normalize
+    * each row of the transition matrix to probabilities. The
+    * clickstream "what happens after X" primitive (next-event
+    * prediction, anomaly flows).
+    *
+    * Shapes: the `lead` rides the SAME user-keyed window exchange the
+    * session flags already need (one shuffle, high-cardinality key);
+    * pair counting is a map-side-combined groupBy on the
+    * |types|²-sized key; row normalization joins the |types|-row
+    * totals aggregate back by broadcast — never a window over the
+    * tiny `from_type` keyspace, and the optimizer reuses the pair
+    * aggregate's exchange for both sides.
+    *
+    * Output: (from_type, to_type, n, p) with Σ p = 1 per from_type.
+    */
+  def transitions(
+      events: DataFrame,
+      gapMinutes: Int,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySession = Window.partitionBy(col(userCol), col("session_id"))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("_gap_us",
+        unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(byUser))
+      .withColumn("_new_session",
+        when(col("_gap_us").isNull || col("_gap_us") > gapMinutes * 60L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("_new_session").over(cum))
+      .withColumn("to_type", lead(col(typeCol), 1).over(bySession))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("__tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .withColumn("p", round(col("n").cast("double") / col("__tot"), 4))
+      .drop("__tot")
+  }
+
 }

@@ -81,4 +81,48 @@ object Novelty {
       .select(keys.map(col) :+ col("year") :+
         round(col("score"), 4).as("score") :+ col("novelty"): _*)
   }
+
+  /** Trailing z-score anomaly years: a year is anomalous when its
+    * score sits ≥ `threshold` sample standard deviations above the
+    * mean of the `k` preceding years (needing ≥ `minPrior` priors) —
+    * the classic rolling-baseline outlier detector over the dense
+    * association series, complementing [[peaks]]' simple
+    * year-over-year delta.
+    *
+    * The variance comes from explicit sum/sum-of-squares over a
+    * trailing ROWS frame — written the same way on the oracle side so
+    * both engines evaluate the identical formula, with a 1e-12
+    * variance floor so a constant baseline (fp-zero variance either
+    * side of 0) can never fabricate an infinite z. The window rides
+    * the scoring chain's (keys) exchange like [[attach]] — no extra
+    * shuffle, high-cardinality partitions.
+    *
+    * Output: keys, year, score (4dp), z (4dp), rows filtered to
+    * anomalies.
+    */
+  def rollingAnomaly(
+      dense: DataFrame,
+      keys: Seq[String],
+      k: Int = 5,
+      minPrior: Int = 3,
+      threshold: Double = 2.0,
+      lastYear: Int = GraftConf.LastYear): DataFrame = {
+    val surrogate = lastYear + 1
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("__y")
+      .rowsBetween(-k, -1)
+    val n = col("__n").cast("double")
+    val mu = col("__sum") / n
+    val variance = (col("__sumsq") - col("__sum") * col("__sum") / n) / (n - 1)
+    val z = (col("__s0") - mu) / sqrt(variance)
+    dense
+      .withColumn("__y", coalesce(col("year"), lit(surrogate)))
+      .withColumn("__s0", coalesce(col("score"), lit(0.0)))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sum", sum("__s0").over(w))
+      .withColumn("__sumsq", sum(col("__s0") * col("__s0")).over(w))
+      .filter(col("__n") >= minPrior && variance > 1e-12 &&
+        round(z, 4) >= threshold)
+      .select(keys.map(col) :+ col("__y").as("year") :+
+        round(col("__s0"), 4).as("score") :+ round(z, 4).as("z"): _*)
+  }
 }

@@ -237,4 +237,76 @@ object Sampling {
       .withColumn("bin_tokens", col("__before") % budgetTokens)
       .drop("__before")
   }
+
+  /** Hashed-token bucket in [0, `buckets`) — md5-derived like
+    * [[hashBucket]] but over a token, for DSIR's hashed bag-of-words
+    * features.
+    */
+  private def tokenBucket(token: Column, buckets: Int): Column =
+    conv(substring(md5(token), 1, 6), 16, 10).cast("int") % buckets
+
+  /** DSIR importance log-ratios — fit the hashed-n-gram importance
+    * estimator of "Data Selection for Language Models via Importance
+    * Resampling" (Xie et al., NeurIPS 2023): tokens hash into
+    * `buckets` bins, a Laplace-smoothed bag-of-buckets LM is fit to
+    * the target slice (rows matching `targetPred`) and to the full
+    * corpus in ONE scan (conditional partial aggregation on the
+    * bucket key), and the result is the per-bucket
+    * ln p̂_target − ln p̂_corpus table.
+    *
+    * The table is a constant-size aggregate (`buckets` doubles), so it
+    * is materialized driver-side and embedded as a literal — the same
+    * sanctioned shape as BloomSemiJoin's bitset, never data.
+    */
+  def dsirLogRatios(
+      docs: DataFrame,
+      targetPred: Column,
+      buckets: Int = 64,
+      textCol: String = "text"): Array[Double] = {
+    val rows = docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("__w"),
+        targetPred.cast("long").as("__t"))
+      .groupBy(tokenBucket(col("__w"), buckets).as("__b"))
+      .agg(count(lit(1)).as("cc"), sum("__t").as("tc"))
+      .agg(collect_list(struct(col("__b"), col("cc"), col("tc"))).as("a"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    val cc = new Array[Long](buckets)
+    val tc = new Array[Long](buckets)
+    rows.foreach { r => cc(r.getInt(0)) = r.getLong(1); tc(r.getInt(0)) = r.getLong(2) }
+    val ct = cc.sum.toDouble + buckets
+    val tt = tc.sum.toDouble + buckets
+    Array.tabulate(buckets)(b =>
+      math.log((tc(b) + 1.0) / tt) - math.log((cc(b) + 1.0) / ct))
+  }
+
+  /** DSIR selection: per-document log importance weight = fold of the
+    * ratio table over the document's OWN tokens — a scan-local
+    * higher-order `aggregate` against the broadcast-literal table
+    * (zero corpus shuffle, zero explode at scoring time) — then the
+    * global top-k by weight via TakeOrdered (no global sort; only k
+    * rows survive). Resampling-without-replacement on these weights
+    * is [[weightedPrioritySample]] — this returns the weights and the
+    * deterministic top slice.
+    *
+    * Output: idCol, stratum columns passed through, logw (4dp).
+    */
+  def dsirTopK(
+      docs: DataFrame,
+      targetPred: Column,
+      k: Int,
+      buckets: Int = 64,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      passThrough: Seq[String] = Seq("source", "lang")): DataFrame = {
+    val ratios = dsirLogRatios(docs, targetPred, buckets, textCol)
+    val ratioLit = typedLit(ratios.toSeq)
+    docs
+      .withColumn("logw",
+        aggregate(TextAnalysis.words(col(textCol)), lit(0.0),
+          (acc, t) => acc + element_at(ratioLit, tokenBucket(t, buckets) + 1)))
+      .orderBy(col("logw").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol) +: passThrough.map(col) :+
+        round(col("logw"), 4).as("logw"): _*)
+  }
 }

@@ -481,4 +481,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(codes(1L).map(math.abs).max == 127, "max component maps to +/-127")
     assert(codes(3L).forall(_ == 0L))
   }
+
+  // ---------------------------------------------------- transitions
+
+  test("transitions: pairs respect session cuts; rows normalize to 1") {
+    val ev = Seq(
+      (1L, 1L, "A", "2020-01-01 00:00:00"),
+      (2L, 1L, "B", "2020-01-01 00:01:00"),
+      (3L, 1L, "C", "2020-01-01 05:00:00"), // 5h idle: new session, no B→C
+      (4L, 2L, "A", "2020-01-01 00:00:00"),
+      (5L, 2L, "C", "2020-01-01 00:05:00"))
+      .toDF("event_id", "user_id", "event_type", "ts0")
+      .withColumn("ts", col("ts0").cast("timestamp"))
+    val out = graft.operators.Sessionize.transitions(ev, gapMinutes = 30)
+      .select("from_type", "to_type", "n", "p")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set(("A", "B", 1L, 0.5), ("A", "C", 1L, 0.5)))
+  }
+
+  // ------------------------------------------------ rolling anomaly
+
+  test("rollingAnomaly: flags a spike, needs priors, floors flat baselines") {
+    def dense(scores: Seq[Double]) =
+      scores.zipWithIndex.map { case (s, i) => ("k", 1990 + i, s) }
+        .toDF("k", "year", "score")
+    // varied baseline then a spike: z = (3 - 1) / sd >> 2
+    val varied = Seq(1.0, 1.2, 0.8, 1.1, 0.9, 3.0)
+    val hit = graft.operators.Novelty.rollingAnomaly(dense(varied), Seq("k"))
+      .collect()
+    assert(hit.map(_.getInt(1)).toSeq == Seq(1995), hit.mkString(","))
+    assert(hit.head.getDouble(3) > 2.0)
+    // a spike right after the series starts has < minPrior priors
+    val early = Seq(1.0, 1.4, 9.0)
+    assert(graft.operators.Novelty.rollingAnomaly(dense(early), Seq("k")).isEmpty)
+    // constant baseline: fp-zero variance must not fabricate infinite z
+    val flat = Seq(1.0, 1.0, 1.0, 1.0, 1.0, 9.0)
+    assert(graft.operators.Novelty.rollingAnomaly(dense(flat), Seq("k")).isEmpty)
+  }
+
+  // ----------------------------------------------------------- dsir
+
+  test("dsirTopK: target-like documents outrank the rest") {
+    val docs = ((1 to 10).map(i => (i.toLong, "alpha alpha beta", "en")) ++
+      (11 to 20).map(i => (i.toLong, "gamma gamma delta", "de")))
+      .toDF("doc_id", "text", "lang")
+    val ratios = Sampling.dsirLogRatios(docs, col("lang") === "en", buckets = 64)
+    assert(ratios.length == 64)
+    val top = Sampling.dsirTopK(docs, col("lang") === "en", k = 10,
+        passThrough = Seq("lang"))
+      .collect()
+    assert(top.forall(_.getString(1) == "en"),
+      "every top-10 doc must come from the target-looking slice: " +
+        top.mkString(","))
+    assert(top.forall(_.getDouble(2) > 0), "target-slice weights are positive")
+  }
 }

@@ -529,4 +529,46 @@ class ScaleDesignSpec extends SparkSpec {
     assert(probes.filter(_._1 < 40).forall(_._2), "no false negatives via SQL")
     assert(probes.count(p => p._1 >= 40 && p._2) <= 1)
   }
+
+  test("q103 transitions: windows ride the user key; totals broadcast") {
+    val df = SparkEntry.queries("q103_session_transitions")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.exists(_.toString.contains("user_id")),
+        "every window must partition on the high-cardinality user key, " +
+          s"never the tiny event-type keyspace: ${w.partitionSpec}")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"row normalization must join the |types|-row totals by broadcast:\n$plan")
+  }
+
+  test("q104 rolling anomaly adds no exchange beyond the peaks chain") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def shuffles(q: String) = helper.collect(
+      SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e
+      }.size
+    // q09 (peaks) is the same chain + a (keys)-partitioned window +
+    // filter; the trailing z-score must plan with the identical
+    // exchange count — its window rides the chain's (keys) exchange
+    assert(shuffles("q104_rolling_anomaly") == shuffles("q09_peaks"),
+      "the trailing-window z-score must ride the chain's (keys) exchange")
+  }
+
+  test("q105 DSIR scoring is scan-local: one scan, no shuffle, TakeOrdered") {
+    val df = SparkEntry.queries("q105_dsir_select")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k selection must never global-sort:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"scoring folds each doc's tokens against the literal ratio " +
+        s"table — a pure projection, zero corpus shuffle:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"scoring must scan the corpus exactly once:\n$plan")
+  }
 }
