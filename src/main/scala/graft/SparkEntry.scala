@@ -207,15 +207,19 @@ object SparkEntry {
     * the doubles agree bit for bit. Ends in `<alias>_est(event_type,
     * est)`.
     */
-  private def HllChainSql(alias: String, valueExpr: String): String =
+  private def HllChainSql(
+      alias: String,
+      valueExpr: String,
+      groupExpr: String = "event_type",
+      groupName: String = "event_type"): String =
     s"""${alias}_h AS (
-       |  SELECT event_type, md5(CAST($valueExpr AS VARCHAR)) AS hx FROM events
+       |  SELECT $groupExpr AS $groupName, md5(CAST($valueExpr AS VARCHAR)) AS hx FROM events
        |),
        |${alias}_reg AS (
-       |  SELECT event_type, idx,
+       |  SELECT $groupName, idx,
        |         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mr
        |  FROM (
-       |    SELECT event_type,
+       |    SELECT $groupName,
        |           ${HexValSql("hx", 1, 3)} AS idx,
        |           ${HexValSql("hx", 4, 13)} AS w
        |    FROM ${alias}_h
@@ -223,13 +227,13 @@ object SparkEntry {
        |  GROUP BY 1, 2
        |),
        |${alias}_est AS (
-       |  SELECT event_type,
+       |  SELECT $groupName,
        |         CASE WHEN raw <= CAST(10240 AS DOUBLE) AND zeros > 0
        |              THEN CAST(4096 AS DOUBLE)
        |                   * ln(CAST(4096 AS DOUBLE) / CAST(zeros AS DOUBLE))
        |              ELSE raw END AS est
        |  FROM (
-       |    SELECT event_type, 4096 - count(*) AS zeros,
+       |    SELECT $groupName, 4096 - count(*) AS zeros,
        |           $HllAlphaM2 / (CAST(
        |             CAST(sum(CAST(pow(2, 53 - mr) AS HUGEINT)) AS HUGEINT)
        |             + (4096 - count(*)) * CAST(pow(2, 53) AS HUGEINT)
@@ -834,6 +838,24 @@ object SparkEntry {
       // the English slice, deterministic top-50
       val t = Tables(s, dir)
       Sampling.dsirTopK(t.documents, col("lang") === "en", k = 50)
+    }),
+    "q106_stratum_cap" -> ((s, dir) => {
+      // per-source document cap: exact-10 uniform sample per stratum
+      // via the bounded-state (priority, id) aggregate — no windows
+      val t = Tables(s, dir)
+      Sampling.capPerStratum(t.documents, k = 10)
+    }),
+    "q107_windowed_hll" -> ((s, dir) => {
+      // approx-distinct users per tumbling hour: the HLL sketch under
+      // a fixed-width epoch window (engine-portable tumbling), exact
+      // count alongside
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("hour", floor(unix_micros(col("ts")) / 3600000000L).cast("long"))
+        .groupBy("hour")
+        .agg(
+          countDistinct(col("user_id")).as("u_exact"),
+          round(graft.functions.HllSketch.hllDistinct(col("user_id")), 4).as("u_hll"))
     }),
     "q99_semdedup" -> ((s, dir) => {
       // SemDeDup: embedding-cosine near-dup pairs (LSH-bucketed, q45's
@@ -2407,6 +2429,28 @@ object SparkEntry {
          |SELECT d.doc_id, d.source, d.lang, round(w.logw, 4) AS logw
          |FROM docw w JOIN documents d USING (doc_id)
          |ORDER BY w.logw DESC, d.doc_id LIMIT 50""".stripMargin,
+    // Stratum-cap oracle: the window spelling of the same sample —
+    // rank by the identical md5-uniform, keep rk <= 10. The Scala
+    // side's bounded aggregate must land on the same kept set.
+    "q106_stratum_cap" ->
+      s"""WITH r AS (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source ORDER BY
+         |           ${HexValSql("md5(CAST(doc_id AS VARCHAR) || ':cap')", 1, 13)},
+         |           doc_id) AS rk
+         |  FROM documents
+         |)
+         |SELECT source, doc_id FROM r WHERE rk <= 10""".stripMargin,
+    "q107_windowed_hll" ->
+      s"""WITH ${HllChainSql("hw", "user_id",
+            "CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000) AS BIGINT)", "hour")},
+         |ex AS (
+         |  SELECT CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000) AS BIGINT) AS hour,
+         |         CAST(count(DISTINCT user_id) AS BIGINT) AS u_exact
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT ex.hour, ex.u_exact, round(hw.est, 4) AS u_hll
+         |FROM ex JOIN hw_est hw USING (hour)""".stripMargin,
     // SemDeDup replay: q45's LSH-bucketed cosine pairs, recursive
     // connected components (q47's walk), keeper = min id, singletons
     // keep themselves.

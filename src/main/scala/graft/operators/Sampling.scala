@@ -238,6 +238,34 @@ object Sampling {
       .drop("__before")
   }
 
+  /** Per-stratum document cap: an EXACT-k uniform sample of every
+    * stratum (min(k, n) docs survive) — the domain-cap step of
+    * web-corpus curation, where no source may dominate the mix.
+    * Deterministic: a document's md5 uniform decides its rank within
+    * its stratum, so the kept set is stable across runs, partition
+    * layouts, and engines.
+    *
+    * Scale shape: a bounded-state (priority, id) top-k aggregate
+    * ([[graft.functions.PriorityTopKIds]]) with map-side combine —
+    * O(k) partial state per stratum per task — where the
+    * `row_number() OVER (PARTITION BY stratum ORDER BY u)` spelling
+    * would funnel a Zipf-hot stratum's every row into one window
+    * task. Output: (stratumCol, idCol), the kept ids.
+    */
+  def capPerStratum(
+      df: DataFrame,
+      k: Int,
+      stratumCol: String = "source",
+      idCol: String = "doc_id",
+      salt: String = "cap"): DataFrame = {
+    val u = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 13),
+      16, 10).cast("long").cast("double")
+    df.groupBy(stratumCol)
+      .agg(graft.functions.PriorityTopKIds.sampleIds(u, col(idCol), k).as("__ids"))
+      .select(col(stratumCol), explode(col("__ids")).as(idCol))
+  }
+
   /** Hashed-token bucket in [0, `buckets`) — md5-derived like
     * [[hashBucket]] but over a token, for DSIR's hashed bag-of-words
     * features.

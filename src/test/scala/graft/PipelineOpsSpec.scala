@@ -520,6 +520,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(graft.operators.Novelty.rollingAnomaly(dense(flat), Seq("k")).isEmpty)
   }
 
+  // ---------------------------------------------------- stratum cap
+
+  test("capPerStratum: exact min(k, n) per stratum, window-equivalent, " +
+      "partition-invariant") {
+    val docs = (1L to 57L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val kept = Sampling.capPerStratum(docs, k = 5)
+    val bySrc = kept.collect().groupBy(_.getString(0))
+    assert(bySrc.keySet == Set("src0", "src1", "src2"))
+    assert(bySrc.values.forall(_.length == 5), "every stratum caps at exactly k")
+    // a stratum smaller than k keeps everything
+    val tiny = Sampling.capPerStratum(docs.filter($"doc_id" <= 3), k = 5)
+    assert(tiny.count() == 3)
+    // the bounded aggregate lands on the same set as the window spelling
+    val u = conv(substring(md5(concat($"doc_id".cast("string"), lit(":cap"))), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    val viaWindow = docs
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(u, $"doc_id")))
+      .filter($"rk" <= 5).select("source", "doc_id")
+    assert(kept.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(kept).isEmpty)
+    // partition layout cannot change a hash-decided sample
+    val repart = Sampling.capPerStratum(docs.repartition(13), k = 5)
+    assert(kept.exceptAll(repart).isEmpty && repart.exceptAll(kept).isEmpty)
+  }
+
   // ----------------------------------------------------------- dsir
 
   test("dsirTopK: target-like documents outrank the rest") {

@@ -560,6 +560,20 @@ class ScaleDesignSpec extends SparkSpec {
       "the trailing-window z-score must ride the chain's (keys) exchange")
   }
 
+  test("q106 stratum cap: bounded aggregate with map-side combine, no window") {
+    val df = SparkEntry.queries("q106_stratum_cap")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      "a per-stratum row_number window would funnel a Zipf-hot stratum " +
+        "into one task; the cap must stay an aggregate")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_priority_topk_ids"),
+      s"the (priority, id) buffer must combine map-side — O(k) state " +
+        s"per stratum per task, never the stratum's rows:\n$plan")
+  }
+
   test("q105 DSIR scoring is scan-local: one scan, no shuffle, TakeOrdered") {
     val df = SparkEntry.queries("q105_dsir_select")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
