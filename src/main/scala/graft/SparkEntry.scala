@@ -242,6 +242,22 @@ object SparkEntry {
        |  )
        |)""".stripMargin
 
+  /** 8 chained synchronous PageRank rounds over preceding `edges` /
+    * `deg` / `nodes` / `nn` / `r0` CTEs — the oracle-side unroll of
+    * graft.operators.Graph.pageRank's driver loop.
+    */
+  private val PageRankItersSql: String = (1 to 8).map { i =>
+    s"""c$i AS (
+       |  SELECT e.dst AS id, sum(r.rank / d.deg) AS csum
+       |  FROM edges e JOIN r${i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+       |  GROUP BY 1
+       |),
+       |r$i AS (
+       |  SELECT n.id, (1 - 0.85) / nn.n + 0.85 * coalesce(c.csum, 0) AS rank
+       |  FROM nodes n CROSS JOIN nn LEFT JOIN c$i c USING (id)
+       |)""".stripMargin
+  }.mkString(",\n")
+
   /** Per-document integer stats CTE `d` for the Gopher-rule oracles —
     * mirrors graft.operators.TextAnalysis.gopherRules's inputs
     * (word/alpha-word/symbol/stopword counts, all integer-exact).
@@ -844,6 +860,17 @@ object SparkEntry {
       // via the bounded-state (priority, id) aggregate — no windows
       val t = Tables(s, dir)
       Sampling.capPerStratum(t.documents, k = 10)
+    }),
+    "q108_pagerank" -> ((s, dir) => {
+      // PageRank over the symmetrized embedding near-dup graph:
+      // duplicate-cluster centrality, 8 synchronous rounds, d=0.85
+      val t = Tables(s, dir)
+      val pairs = SimilaritySearch.cosineNearDupPairs(t.embeddings)
+        .select("idA", "idB")
+      val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+        .unionAll(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+      Graph.pageRank(edges)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
     "q107_windowed_hll" -> ((s, dir) => {
       // approx-distinct users per tumbling hour: the HLL sketch under
@@ -2432,6 +2459,35 @@ object SparkEntry {
     // Stratum-cap oracle: the window spelling of the same sample —
     // rank by the identical md5-uniform, keep rk <= 10. The Scala
     // side's bounded aggregate must land on the same kept set.
+    // PageRank oracle: the driver-side loop unrolled as chained CTEs —
+    // identical start vector, per-round formula, and damping
+    // arithmetic ((1 - 0.85), not a pre-folded 0.15, so both engines
+    // hit the same doubles).
+    "q108_pagerank" ->
+      s"""WITH $EmbSql,
+         |$LshSql,
+         |bsz AS (SELECT bucket, count(*) AS bn FROM withb GROUP BY 1),
+         |ok AS (
+         |  SELECT w.* FROM withb w JOIN bsz USING (bucket)
+         |  WHERE bn > 1 AND bn <= ${graft.GraftConf.LshBucketCap}
+         |),
+         |prs AS (
+         |  SELECT a.vec_id AS idA, b.vec_id AS idB
+         |  FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+         |        / (a.n * b.n) >= 0.35
+         |),
+         |edges AS (
+         |  SELECT idA AS src, idB AS dst FROM prs
+         |  UNION ALL
+         |  SELECT idB AS src, idA AS dst FROM prs
+         |),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+         |$PageRankItersSql
+         |SELECT id, round(rank, 6) AS rank FROM r8""".stripMargin,
     "q106_stratum_cap" ->
       s"""WITH r AS (
          |  SELECT source, doc_id,

@@ -546,6 +546,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.exceptAll(repart).isEmpty && repart.exceptAll(kept).isEmpty)
   }
 
+  // ------------------------------------------------------- pagerank
+
+  test("pageRank: matches the scalar unroll on a path graph; mass ~1") {
+    // path 1-2-3, symmetrized: degree 1,2,1
+    val pairs = Seq((1L, 2L), (2L, 3L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got = graft.operators.Graph.pageRank(edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // same 8 synchronous rounds computed scalar-side
+    val deg = Map(1L -> 1.0, 2L -> 2.0, 3L -> 1.0)
+    val out = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    var rank = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+    for (_ <- 1 to 8) {
+      val contrib = out.toSeq
+        .flatMap { case (u, vs) => vs.map(v => v -> rank(u) / deg(u)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      rank = rank.keys.map(v =>
+        v -> ((1 - 0.85) / 3 + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    rank.foreach { case (v, r) => assert(math.abs(got(v) - r) < 1e-12, s"node $v") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "rank mass is conserved")
+    assert(got(2L) > got(1L), "the center outranks the leaves")
+  }
+
   // ----------------------------------------------------------- dsir
 
   test("dsirTopK: target-like documents outrank the rest") {
