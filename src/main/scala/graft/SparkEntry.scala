@@ -1210,6 +1210,16 @@ object SparkEntry {
           col("event_type"), col("n"),
           round(col("sum_value"), 4).as("sum_value"))
     }),
+    "q109_stream_hll" -> ((s, dir) => {
+      // the HLL sketch as streaming state: approx-distinct users per
+      // finalized tumbling hour (2h watermark, append mode)
+      StreamQueries.materialize(
+          EventStream.tumblingDistinctSketch(
+            StreamQueries.streamEvents(s, dir), "1 hour", "2 hours"))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n"), round(col("u_hll"), 4).as("u_hll"))
+    }),
     "q61_stream_sessions" -> ((s, dir) => {
       // streaming gap sessionization (session_window): finalized
       // sessions only (end = last event + gap ≤ max event time − 2h)
@@ -2855,6 +2865,21 @@ object SparkEntry {
         |SELECT strftime(w.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
         |       w.event_type, w.n, w.sum_value
         |FROM w, mx WHERE w.ws + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""".stripMargin,
+    // Streaming-HLL oracle: the same per-window register replay as
+    // q107, finalized-window filter as q60.
+    "q109_stream_hll" ->
+      s"""WITH ${HllChainSql("hw", "user_id",
+            "date_trunc('hour', CAST(ts AS TIMESTAMP))", "ws")},
+         |mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mt FROM events),
+         |b AS (
+         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT strftime(b.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+         |       b.n, round(h.est, 4) AS u_hll
+         |FROM b JOIN hw_est h USING (ws), mx
+         |WHERE b.ws + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""".stripMargin,
     "q61_stream_sessions" ->
       """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |mx AS (SELECT max(ts) AS mt FROM ev),

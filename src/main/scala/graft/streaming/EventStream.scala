@@ -26,6 +26,28 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Approx-distinct users per tumbling window with the HLL sketch AS
+    * STREAMING STATE: the TypedImperativeAggregate's serialize/merge
+    * path runs inside the state store, so each window carries a 4 KB
+    * register file across micro-batches instead of a distinct-user
+    * set (exact streaming `countDistinct` is unsupported precisely
+    * because its state is unbounded). Append mode — only finalized
+    * windows emit, which no batch split can change; merge-exactness
+    * of the sketch (elementwise register max) makes the result
+    * batch-split-invariant too.
+    */
+  def tumblingDistinctSketch(
+      events: DataFrame,
+      duration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.HllSketch.hllDistinct(col("user_id")).as("u_hll"))
+      .select(col("window.start").as("window_start"), col("n"), col("u_hll"))
+
   /** Gap-based session aggregation using the built-in session_window —
     * the streaming twin of graft.operators.Sessionize.
     */

@@ -224,4 +224,31 @@ class StreamingSpec extends SparkSpec {
       assert(last == ((1L, 2L, 4.0)))
     } finally q.stop()
   }
+
+  test("streaming HLL sketch merges across micro-batches like one batch") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.tumblingDistinctSketch(input.toDF(), duration = "1 hour")
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // same window, two micro-batches, overlapping users: the state-
+      // store register merge must count 3 distinct users, not 4 rows
+      input.addData(
+        EventStream.Event(1, ts(5), 1, "click", 1.0),
+        EventStream.Event(2, ts(10), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        EventStream.Event(3, ts(15), 2, "view", 1.0),
+        EventStream.Event(4, ts(20), 3, "view", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("hll_out")
+        .select("n", "u_hll").as[(Long, Double)].collect().maxBy(_._1)
+      val batch = Seq(1L, 2L, 2L, 3L).toDF("user_id")
+        .agg(graft.functions.HllSketch.hllDistinct($"user_id")).head().getDouble(0)
+      assert(last._1 == 4L)
+      assert(last._2 == batch, "streamed registers must equal the one-batch sketch")
+      assert(math.round(last._2) == 3L, "3 distinct users at this cardinality")
+    } finally q.stop()
+  }
 }
