@@ -40,16 +40,27 @@ object Bench {
         name -> (if (oks.nonEmpty) Right(oks.min)
                  else Left(runs.collectFirst { case Left(m) => m }.getOrElse("unknown")))
       }
+    // The driver tails only ~2000 chars of output and json-parses the
+    // line, so the line must (a) carry no sbt "[info] " prefix (see
+    // outputStrategy in build.sbt) and (b) stay well under 2000 chars:
+    // keys are shortened to their unique qNN prefix and seconds are
+    // rounded to 3 decimals (full names remain in SURVEY.md §2).
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
     val qs = results.map {
-      case (k, Right(v)) => s"\"" + k + "\":" + v
-      case (k, Left(m)) => s"\"" + k + "\":{\"err\":\"" + m + "\"}"
+      case (k, Right(v)) => "\"" + k.split("_")(0) + "\":" + fmt(v)
+      case (k, Left(m)) => "\"" + k.split("_")(0) + "\":{\"err\":\"" + m.take(40) + "\"}"
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, Left(_)) => k }
+    val errs = results.collect { case (k, Left(_)) => k.split("_")(0) }
     val total = results.collect { case (_, Right(v)) => v }.sum
     val errField =
       if (errs.isEmpty) ""
       else errs.mkString(",\"errors\":[\"", "\",\"", "\"]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}"""
     spark.stop()
+    // printed after stop() so no Spark shutdown chatter lands between
+    // the JSON and the end of output
+    println(line)
   }
 }
