@@ -872,6 +872,32 @@ object SparkEntry {
       Graph.pageRank(edges)
         .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
+    "q111_triangles" -> ((s, dir) => {
+      // per-node triangle participation over the MinHash near-dup
+      // graph — duplicate families are mutually similar, so their
+      // clusters are triangle-dense (degree-oriented wedge
+      // enumeration; the oracle replays the naive id-ordered
+      // formulation — same triangle set)
+      val t = Tables(s, dir)
+      Graph.triangleCount(
+        Dedup.minhashLshPairs(t.documents).select("idA", "idB"),
+        "idA", "idB")
+    }),
+    "q110_zorder" -> ((s, dir) => {
+      // write-time Z-order layout: Morton cell per row (a z-prefix IS
+      // a quadtree cell — pure projection, no global sort), per-cell
+      // footer min/max stats, and pruning verdict for a query box.
+      // Dimensions (quantity 1..50, day-of-year 1..366) have
+      // SF-invariant ranges, so the cell grid is meaningful at every
+      // scale without a normalization pre-pass.
+      val t = Tables(s, dir)
+      Layout.zorderStats(
+        t.lineitem.select(
+          col("l_quantity").cast("long").as("qty"),
+          dayofyear(col("l_shipdate")).as("doy")),
+        "qty", "doy", bits = 9, cellBits = 4,
+        x0 = 10, x1 = 30, y0 = 90, y1 = 180)
+    }),
     "q107_windowed_hll" -> ((s, dir) => {
       // approx-distinct users per tumbling hour: the HLL sketch under
       // a fixed-width epoch window (engine-portable tumbling), exact
@@ -2498,6 +2524,44 @@ object SparkEntry {
          |r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
          |$PageRankItersSql
          |SELECT id, round(rank, 6) AS rank FROM r8""".stripMargin,
+    // Triangle oracle: the naive id-ordered closure (a<b<c via
+    // e(a,b)⋈e(b,c)⋈e(a,c)) over the q31 pair set —
+    // orientation-invariant, so it must land on the Scala side's
+    // degree-oriented counts exactly.
+    "q111_triangles" ->
+      s"""WITH $MinhashPairsSql,
+         |prs AS (SELECT idA, idB FROM lshpairs),
+         |tw AS (
+         |  SELECT e1.idA AS x, e1.idB AS y, e2.idB AS z
+         |  FROM prs e1
+         |  JOIN prs e2 ON e1.idB = e2.idA
+         |  JOIN prs e3 ON e3.idA = e1.idA AND e3.idB = e2.idB
+         |),
+         |m AS (
+         |  SELECT x AS id FROM tw
+         |  UNION ALL SELECT y FROM tw
+         |  UNION ALL SELECT z FROM tw
+         |)
+         |SELECT id, CAST(count(*) AS BIGINT) AS tri FROM m GROUP BY id""".stripMargin,
+    // Z-order oracle: the interleave arithmetic is GENERATED from the
+    // same Scala loop as the Column path (Layout.zValueSql), so the
+    // two engines cannot drift; cell = top cellBits of the z-value.
+    "q110_zorder" ->
+      s"""WITH z AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS x,
+         |         CAST(dayofyear(l_shipdate) AS BIGINT) AS y
+         |  FROM lineitem
+         |),
+         |c AS (SELECT x, y, (${Layout.zValueSql("x", "y", 9)}) >> 14 AS cell FROM z),
+         |s AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |         min(x) AS min_x, max(x) AS max_x,
+         |         min(y) AS min_y, max(y) AS max_y
+         |  FROM c GROUP BY 1
+         |)
+         |SELECT cell, n, min_x, max_x, min_y, max_y,
+         |       NOT (max_x < 10 OR min_x > 30 OR max_y < 90 OR min_y > 180) AS hit
+         |FROM s""".stripMargin,
     "q106_stratum_cap" ->
       s"""WITH r AS (
          |  SELECT source, doc_id,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for write-time clustering — the 100 TB lever
+  * that no query-side trick replaces: parquet readers skip files by
+  * footer min/max, and skipping only works if the writer co-located
+  * rows that are close in the query dimensions. Z-ordering (Morton
+  * interleave) gives multi-dimensional locality with a plain 1-D sort
+  * key, so the standard `repartitionByRange(zval)` + per-file stats
+  * machinery needs nothing custom at write time.
+  *
+  * Scale extension (no reference counterpart): the reference engine
+  * materializes its outputs as plain parquet; this is the layout step
+  * a 100 TB corpus needs before those outputs are queried by range.
+  */
+object Layout {
+
+  /** Morton/Z-value of two non-negative integer columns, `bits` bits
+    * each (so the result occupies `2*bits` bits): bit i of x lands at
+    * position 2i, bit i of y at 2i+1. Built-ins only — each term is
+    * `(x & 2^i)·2^i + (y & 2^i)·2^(i+1)`, and the terms occupy
+    * disjoint bit positions so `+` IS the interleave; the whole thing
+    * is one codegen'd projection, no shuffle, no UDF.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).map { i =>
+      xl.bitwiseAND(lit(1L << i)) * lit(1L << i) +
+        yl.bitwiseAND(lit(1L << i)) * lit(1L << (i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** The identical interleave as DuckDB-dialect SQL over columns named
+    * `xSql`/`ySql` — generated from the same loop so the oracle cannot
+    * drift from the Column path.
+    */
+  def zValueSql(xSql: String, ySql: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(($xSql & ${1L << i}) * ${1L << i} + ($ySql & ${1L << i}) * ${1L << (i + 1)})"
+    }.mkString(" + ")
+
+  /** Per-cell layout statistics for a Z-ordered write: rows land in
+    * cell `z >> (2·bits − log2(cells))` — a PREFIX of the z-curve is a
+    * quadtree cell, so cell assignment is a pure projection (no global
+    * sort, no window, no shuffle beyond the final small aggregate; at
+    * write time the same expression feeds `repartitionByRange`). Emits
+    * each cell's row count and x/y min/max — exactly the footer stats
+    * a reader would skip on — plus whether the cell survives pruning
+    * for the query box [x0,x1]×[y0,y1].
+    */
+  def zorderStats(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bits: Int,
+      cellBits: Int,
+      x0: Long, x1: Long, y0: Long, y1: Long): DataFrame = {
+    require(cellBits >= 1 && cellBits <= 2 * bits, "cellBits out of range")
+    df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("cell",
+        shiftright(zValue(col("x"), col("y"), bits), 2 * bits - cellBits))
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .withColumn("hit",
+        !(col("max_x") < x0 || col("min_x") > x1 ||
+          col("max_y") < y0 || col("min_y") > y1))
+  }
+}

@@ -570,6 +570,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2L) > got(1L), "the center outranks the leaves")
   }
 
+  test("triangleCount: degree-oriented counts equal brute force on a hub graph") {
+    // hub 1 connected to 2..6; extra edges close triangles (1,2,3),
+    // (1,2,4), (1,3,4), (1,5,6), (2,3,4); duplicate + reversed inputs
+    // must collapse
+    val raw = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
+      (2L, 3L), (3L, 4L), (5L, 6L), (2L, 4L), (2L, 3L))
+    val got = graft.operators.Graph.triangleCount(raw.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over the canonical edge set
+    val e = raw.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct.toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && e((a, b))
+      c <- nodes if b < c && e((b, c)) && e((a, c))
+    } yield (a, b, c)
+    val want = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(tris.size == 5, s"5 triangles expected, got $tris")
+    assert(got == want, s"got $got want $want")
+  }
+
+  // --------------------------------------------------------- layout
+
+  test("zValue: matches a scalar bit interleave; prefix cells nest") {
+    val bits = 8
+    def scalarZ(x: Long, y: Long): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).sum
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L), (3L, 12L))
+    val got = pts.toDF("x", "y")
+      .select(graft.operators.Layout.zValue(col("x"), col("y"), bits).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == pts.map(p => scalarZ(p._1, p._2)))
+  }
+
+  test("zorderStats: cells partition the rows and pruning flags the box") {
+    val df = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toDF("x", "y")
+    val stats = graft.operators.Layout
+      .zorderStats(df, "x", "y", bits = 5, cellBits = 2,
+        x0 = 0, x1 = 7, y0 = 0, y1 = 7)
+      .collect()
+    assert(stats.map(_.getLong(1)).sum == 32 * 32, "cells partition the rows")
+    assert(stats.length == 4, "cellBits=2 → 4 quadtree cells")
+    // with bits=5/cellBits=2 the cells ARE the 16×16 quadrants; only
+    // quadrant (0,0) can contain the 8×8 query box
+    val hits = stats.filter(_.getBoolean(6))
+    assert(hits.length == 1 && hits.head.getLong(2) == 0 && hits.head.getLong(4) == 0,
+      "exactly the origin quadrant survives pruning")
+  }
+
   // ----------------------------------------------------------- dsir
 
   test("dsirTopK: target-like documents outrank the rest") {

@@ -585,4 +585,29 @@ class ScaleDesignSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(plan).size == 1,
       s"scoring must scan the corpus exactly once:\n$plan")
   }
+
+  test("q110 z-order cell assignment is a projection: no window, no sort, one shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q110_zorder")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "cell = z-prefix must not plan a Window")
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val exec = df.queryExecution.executedPlan
+    assert(helper.collect(exec) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, "write-layout stats must not global-sort")
+    assert(helper.collect(exec) {
+      case e: ShuffleExchangeExec => e
+    }.size == 1, "exactly the per-cell aggregate's exchange")
+  }
+
+  test("q111 triangles: every join stays an equi hash/merge join") {
+    val plan = SparkEntry.queries("q111_triangles")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge closure must plan as pure equi-joins:\n$plan")
+  }
 }
