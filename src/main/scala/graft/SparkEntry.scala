@@ -883,6 +883,32 @@ object SparkEntry {
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"),
         "idA", "idB")
     }),
+    "q112_interval_merge" -> ((s, dir) => {
+      // gaps-and-islands coverage: each event opens a presence
+      // interval of `value` minutes; overlapping/touching intervals
+      // merge into maximal islands per user (one user-keyed exchange,
+      // O(1) window state)
+      val t = Tables(s, dir)
+      val iv = t.events.select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) +
+          floor(col("value") * 60000000L).cast("long")).as("end_us"))
+      EventWindows.mergeIntervals(iv, "user_id", "start_us", "end_us", "event_id")
+        .select("user_id", "island", "start_us", "end_us", "n_intervals")
+    }),
+    "q118_scd2" -> ((s, dir) => {
+      // SCD-2 dimension history: collapse each user's consecutive
+      // runs of equal event_type into versioned validity ranges
+      // (run-length encoding of a keyed state stream; every step
+      // rides one user-keyed exchange)
+      val t = Tables(s, dir)
+      EventWindows.scd2(
+        t.events.withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "event_type", "ts_us", "event_id")
+        .select("user_id", "version", "value",
+          "valid_from_us", "valid_to_us", "is_current")
+    }),
     "q110_zorder" -> ((s, dir) => {
       // write-time Z-order layout: Morton cell per row (a z-prefix IS
       // a quadtree cell — pure projection, no global sort), per-cell
@@ -2543,6 +2569,59 @@ object SparkEntry {
          |  UNION ALL SELECT z FROM tw
          |)
          |SELECT id, CAST(count(*) AS BIGINT) AS tri FROM m GROUP BY id""".stripMargin,
+    "q112_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS start_us,
+        |         epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS end_us
+        |  FROM events
+        |),
+        |w AS (
+        |  SELECT user_id, event_id, start_us, end_us,
+        |         max(end_us) OVER (PARTITION BY user_id
+        |           ORDER BY start_us, end_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv
+        |),
+        |f AS (
+        |  SELECT user_id, start_us, end_us,
+        |         CAST(sum(CASE WHEN pm IS NULL OR start_us > pm THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id
+        |             ORDER BY start_us, end_us, event_id
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM w
+        |)
+        |SELECT user_id, island, min(start_us) AS start_us,
+        |       max(end_us) AS end_us, CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM f GROUP BY 1, 2""".stripMargin,
+    "q118_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+        |),
+        |c AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id) AS prev
+        |  FROM e
+        |),
+        |r AS (
+        |  SELECT user_id, event_type, us,
+        |         CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+        |             THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM c
+        |),
+        |g AS (
+        |  SELECT user_id, version, min(event_type) AS value,
+        |         min(us) AS valid_from_us
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT user_id, version, value, valid_from_us,
+        |       lead(valid_from_us) OVER (PARTITION BY user_id
+        |         ORDER BY version) AS valid_to_us,
+        |       lead(valid_from_us) OVER (PARTITION BY user_id
+        |         ORDER BY version) IS NULL AS is_current
+        |FROM g""".stripMargin,
     // Z-order oracle: the interleave arithmetic is GENERATED from the
     // same Scala loop as the Column path (Layout.zValueSql), so the
     // two engines cannot drift; cell = top cellBits of the z-value.

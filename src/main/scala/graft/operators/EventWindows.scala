@@ -117,6 +117,89 @@ object EventWindows {
       .withColumn("rate",
         round(col("n_active").cast("double") / col("n_cohort"), 4))
   }
+
+  /** Gaps-and-islands interval coalescing: merge overlapping (or
+    * touching) [start, end] intervals per key into maximal covered
+    * islands — the availability/coverage primitive (machine uptime,
+    * user presence, sensor coverage).
+    *
+    * Formulation: one window over the (high-cardinality) key ordered
+    * by (start, end, id) — a running `max(end)` over STRICTLY
+    * preceding rows marks an island break wherever the next start
+    * clears everything seen so far; a cumulative sum of break flags
+    * numbers the islands. The island rollup `groupBy(key, island)`
+    * rides the window's key-hash exchange (hash(key) co-locates every
+    * (key, island) group), so the whole operator costs exactly one
+    * shuffle. Skew note: window state is O(1) (running max / running
+    * sum), so a hot key costs sort time only, never memory.
+    *
+    * Output: (key, island, start_us, end_us, n_intervals) — one row
+    * per maximal covered span, `island` numbered 1.. per key in time
+    * order.
+    */
+  def mergeIntervals(
+      df: DataFrame,
+      keyCol: String,
+      startUsCol: String,
+      endUsCol: String,
+      idCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol)
+      .orderBy(col(startUsCol), col(endUsCol), col(idCol))
+    val prevMax = max(col(endUsCol)).over(
+      byKey.rowsBetween(Window.unboundedPreceding, -1))
+    val cum = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("_break",
+        when(prevMax.isNull || col(startUsCol) > prevMax, 1).otherwise(0))
+      .withColumn("island", sum("_break").over(cum))
+      .groupBy(col(keyCol), col("island"))
+      .agg(
+        min(startUsCol).as("start_us"),
+        max(endUsCol).as("end_us"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** Type-2 slowly-changing-dimension history from a change stream:
+    * consecutive runs of the same attribute value per key collapse to
+    * one versioned validity row [valid_from, valid_to), with the
+    * latest run open-ended (`is_current`). The warehouse
+    * dimension-history primitive, and equally the run-length encoder
+    * for any keyed state stream.
+    *
+    * Shapes: the lag that flags value changes, the cumulative run
+    * numbering, the run rollup, and the lead that closes each
+    * validity range all ride ONE hash(key) exchange (the run rollup's
+    * `groupBy(key, run)` and the second window's partition-by-key are
+    * both satisfied by it); per-row window state is O(1), so hot keys
+    * sort but never spill state.
+    *
+    * Output: (key, version, value, valid_from_us, valid_to_us,
+    * is_current) with versions numbered 1.. per key in time order and
+    * exactly one `is_current` per key.
+    */
+  def scd2(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      tsUsCol: String,
+      idCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsUsCol), col(idCol))
+    val cum = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byRun = Window.partitionBy(keyCol).orderBy(col("version"))
+    df
+      .withColumn("_chg",
+        when(lag(col(valueCol), 1).over(byKey).isNull ||
+          lag(col(valueCol), 1).over(byKey) =!= col(valueCol), 1).otherwise(0))
+      .withColumn("version", sum("_chg").over(cum))
+      .groupBy(col(keyCol), col("version"))
+      .agg(
+        // all values in a run are equal by construction; min is the
+        // engine-portable way to say "the" value
+        min(col(valueCol)).as("value"),
+        min(col(tsUsCol)).as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byRun))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
 }
 
 /** Gap-based sessionization: a new session starts when a user is idle

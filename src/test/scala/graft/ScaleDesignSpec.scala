@@ -610,4 +610,23 @@ class ScaleDesignSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"wedge closure must plan as pure equi-joins:\n$plan")
   }
+
+  test("q112/q118: islands and SCD2 ride exactly one user-keyed exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    for (q <- Seq("q112_interval_merge", "q118_scd2")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.foreach { w =>
+        assert(w.partitionSpec.exists(_.toString.contains("user_id")),
+          s"$q: every window must partition on the user key: ${w.partitionSpec}")
+      }
+      // the run/island rollup and the closing lead-window must all
+      // reuse the first window's hash(user) exchange
+      assert(helper.collect(df.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e
+      }.size == 1, s"$q: windows + rollup must share one user exchange")
+    }
+  }
 }
