@@ -909,6 +909,15 @@ object SparkEntry {
         .select("user_id", "version", "value",
           "valid_from_us", "valid_to_us", "is_current")
     }),
+    "q113_kmv_overlap" -> ((s, dir) => {
+      // KMV theta sketches with SET OPERATIONS: per-segment k-minimum
+      // 60-bit md5 hashes (bounded-state aggregate, map-side
+      // combined), then audience-overlap estimates — union, Jaccard,
+      // intersection — from in-row array arithmetic on the tiny
+      // sketch table; exact distincts alongside for calibration
+      val t = Tables(s, dir)
+      Kmv.overlap(t.events, "event_type", col("user_id"), k = 64)
+    }),
     "q110_zorder" -> ((s, dir) => {
       // write-time Z-order layout: Morton cell per row (a z-prefix IS
       // a quadtree cell — pure projection, no global sort), per-cell
@@ -2569,6 +2578,62 @@ object SparkEntry {
          |  UNION ALL SELECT z FROM tw
          |)
          |SELECT id, CAST(count(*) AS BIGINT) AS tri FROM m GROUP BY id""".stripMargin,
+    // KMV replay: the sketch IS the k smallest hashes, so row_number
+    // over the same 60-bit md5 values rebuilds it exactly; union /
+    // membership flags replay the array set ops
+    "q113_kmv_overlap" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type AS seg,
+         |    ${HexValSql("md5(CAST(user_id AS VARCHAR) || ':kmv')", 1, 15)} AS h
+         |  FROM events
+         |),
+         |r AS (
+         |  SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS rn,
+         |         count(*) OVER (PARTITION BY seg) AS n_exact
+         |  FROM h
+         |),
+         |sk AS (SELECT seg, h, n_exact FROM r WHERE rn <= 64),
+         |est AS (
+         |  SELECT seg, max(n_exact) AS n_exact, count(*) AS ksize,
+         |         CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |              ELSE 63.0 / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0)
+         |         END AS d_est
+         |  FROM sk GROUP BY 1
+         |),
+         |pairs AS (
+         |  SELECT a.seg AS seg_a, b.seg AS seg_b
+         |  FROM est a JOIN est b ON a.seg < b.seg
+         |),
+         |uh AS (
+         |  SELECT p.seg_a, p.seg_b, s.h,
+         |         max(CASE WHEN s.seg = p.seg_a THEN 1 ELSE 0 END) AS in_a,
+         |         max(CASE WHEN s.seg = p.seg_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM pairs p JOIN sk s ON s.seg IN (p.seg_a, p.seg_b)
+         |  GROUP BY 1, 2, 3
+         |),
+         |ur AS (
+         |  SELECT seg_a, seg_b, h, in_a, in_b,
+         |         row_number() OVER (PARTITION BY seg_a, seg_b ORDER BY h) AS rn
+         |  FROM uh
+         |),
+         |ue AS (
+         |  SELECT seg_a, seg_b, count(*) AS ku,
+         |         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS inter,
+         |         CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |              ELSE 63.0 / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0)
+         |         END AS du
+         |  FROM ur WHERE rn <= 64 GROUP BY 1, 2
+         |)
+         |SELECT u.seg_a, u.seg_b,
+         |       CAST(ea.n_exact AS BIGINT) AS n_a,
+         |       CAST(eb.n_exact AS BIGINT) AS n_b,
+         |       round(ea.d_est, 4) AS est_a, round(eb.d_est, 4) AS est_b,
+         |       round(u.du, 4) AS est_union,
+         |       round(CAST(u.inter AS DOUBLE) / u.ku, 4) AS est_jaccard,
+         |       round(CAST(u.inter AS DOUBLE) / u.ku * u.du, 4) AS est_intersect
+         |FROM ue u
+         |JOIN est ea ON ea.seg = u.seg_a
+         |JOIN est eb ON eb.seg = u.seg_b""".stripMargin,
     "q112_interval_merge" ->
       """WITH iv AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS start_us,

@@ -488,4 +488,27 @@ class OperatorsSpec extends SparkSpec {
     assert(byId(1L) == byId(2L), "same payload → same features")
     assert(byId(1L) != byId(3L))
   }
+
+  test("Kmv.overlap: estimates track planted overlap; exact path below k") {
+    // segments A = [0, 2000), B = [1500, 3500): |A| = |B| = 2000,
+    // |A ∩ B| = 500, |A ∪ B| = 3500
+    val ids = spark.range(0, 3500).toDF("id")
+    val df = ids.filter(col("id") < 2000).withColumn("seg", lit("a"))
+      .unionByName(ids.filter(col("id") >= 1500).withColumn("seg", lit("b")))
+    val r = Kmv.overlap(df, "seg", col("id"), k = 256).collect().head
+    def f(n: String) = r.getDouble(r.fieldIndex(n))
+    assert(r.getLong(r.fieldIndex("n_a")) == 2000 &&
+      r.getLong(r.fieldIndex("n_b")) == 2000)
+    assert(math.abs(f("est_a") - 2000) / 2000.0 < 0.25, s"est_a=${f("est_a")}")
+    assert(math.abs(f("est_union") - 3500) / 3500.0 < 0.25,
+      s"est_union=${f("est_union")}")
+    assert(math.abs(f("est_intersect") - 500) / 500.0 < 0.6,
+      s"est_intersect=${f("est_intersect")}")
+    // below k the sketch carries every hash: estimates are exact
+    val small = Kmv.overlap(df.filter(col("id") % 100 === 0), "seg",
+      col("id"), k = 256).collect().head
+    assert(small.getDouble(small.fieldIndex("est_a")) ==
+      small.getLong(small.fieldIndex("n_a")).toDouble)
+    assert(small.getDouble(small.fieldIndex("est_intersect")) == 5.0)
+  }
 }

@@ -611,6 +611,16 @@ class ScaleDesignSpec extends SparkSpec {
       s"wedge closure must plan as pure equi-joins:\n$plan")
   }
 
+  test("q113 KMV: bounded sketch aggregate, no window, no value-grain reshuffle") {
+    val df = SparkEntry.queries("q113_kmv_overlap")(spark, sfDir)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "k-smallest must be the bounded aggregate, never a ranked window")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("priority_topk_ids"),
+      s"sketch must build via the O(k)-state aggregate:\n$plan")
+  }
+
   test("q112/q118: islands and SCD2 ride exactly one user-keyed exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
