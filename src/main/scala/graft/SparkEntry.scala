@@ -918,6 +918,33 @@ object SparkEntry {
       val t = Tables(s, dir)
       Kmv.overlap(t.events, "event_type", col("user_id"), k = 64)
     }),
+    "q114_delta_join" -> ((s, dir) => {
+      // incremental JOIN maintenance: 5% md5-split deltas of orders
+      // and lineitem; the engine computes only history⋈history state
+      // plus the delta rule dA⋈B' ∪ A⋈dB (broadcast deltas, history
+      // never reshuffled) — the oracle recomputes the full join, so
+      // the gate pins delta-path ≡ full recompute. Revenue in exact
+      // 1e-4-dollar integers so the sums are associative.
+      val t = Tables(s, dir)
+      val revI = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 10000).cast("long").as("rev_i")
+      val o = t.orders.select("o_orderkey", "o_custkey")
+      val l = t.lineitem.select(col("l_orderkey").as("o_orderkey"), revI)
+      val dAc = Sampling.hashBucket(col("o_orderkey"), "dja") % 20 === 0
+      val dBc = Sampling.hashBucket(col("o_orderkey"), "djb") % 20 === 0
+      val (oldA, dA) = (o.filter(!dAc), o.filter(dAc))
+      val (oldB, dB) = (l.filter(!dBc), l.filter(dBc))
+      val histState = Incremental.aggState(
+        oldA.join(oldB, "o_orderkey"), Seq("o_custkey"), "rev_i")
+      val deltaState = Incremental.aggState(
+        Incremental.joinDelta(oldA, dA, oldB, dB, Seq("o_orderkey")),
+        Seq("o_custkey"), "rev_i")
+      Incremental.merge(Seq("o_custkey"), histState, deltaState)
+        .select(col("o_custkey"), col("st_n").as("n"),
+          round(col("st_sum").cast("double") / 10000.0, 4).as("revenue"),
+          round(col("st_min").cast("double") / 10000.0, 4).as("min_rev"),
+          round(col("st_max").cast("double") / 10000.0, 4).as("max_rev"))
+    }),
     "q110_zorder" -> ((s, dir) => {
       // write-time Z-order layout: Morton cell per row (a z-prefix IS
       // a quadtree cell — pure projection, no global sort), per-cell
@@ -2634,6 +2661,20 @@ object SparkEntry {
          |FROM ue u
          |JOIN est ea ON ea.seg = u.seg_a
          |JOIN est eb ON eb.seg = u.seg_b""".stripMargin,
+    // the delta path must equal this full recompute — that identity
+    // IS the operator contract
+    "q114_delta_join" ->
+      """WITH l AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev_i
+        |  FROM lineitem
+        |)
+        |SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(l.rev_i) AS DOUBLE) / 10000.0, 4) AS revenue,
+        |       round(CAST(min(l.rev_i) AS DOUBLE) / 10000.0, 4) AS min_rev,
+        |       round(CAST(max(l.rev_i) AS DOUBLE) / 10000.0, 4) AS max_rev
+        |FROM orders o JOIN l USING (o_orderkey)
+        |GROUP BY 1""".stripMargin,
     "q112_interval_merge" ->
       """WITH iv AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS start_us,

@@ -39,6 +39,30 @@ object Incremental {
         min("st_min").as("st_min"),
         max("st_max").as("st_max"))
 
+  /** Delta of an equi-join under snapshot growth: with A' = A ∪ dA
+    * and B' = B ∪ dB, the NEW join rows are exactly
+    * `dA ⋈ B'  ∪  A ⋈ dB` — every new pair has its A-side in dA
+    * (first term) or its A-side old and B-side new (second term), and
+    * the two terms are disjoint, so the union is exact (the classic
+    * incremental-view-maintenance delta rule).
+    *
+    * Scale shape: both joins carry a BROADCAST delta against a
+    * history that is scanned once and never shuffled — a recurring
+    * refresh touches delta × history map-side instead of re-joining
+    * two 100-TB snapshots. Feed the result through [[aggState]] /
+    * [[merge]] and the refreshed rollup is `state(history join) ⊕
+    * state(joinDelta)`, pinned ≡ the full recompute by the q114
+    * oracle.
+    */
+  def joinDelta(
+      oldA: DataFrame, deltaA: DataFrame,
+      oldB: DataFrame, deltaB: DataFrame,
+      joinKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    broadcast(deltaA).join(oldB.unionByName(deltaB), joinKeys)
+      .unionByName(oldA.join(broadcast(deltaB), joinKeys))
+  }
+
   /** Resolve state to final aggregates (n, sum, min, max, avg). */
   def finish(state: DataFrame): DataFrame =
     state

@@ -489,6 +489,24 @@ class OperatorsSpec extends SparkSpec {
     assert(byId(1L) != byId(3L))
   }
 
+  test("Incremental.joinDelta ≡ new-join rows, including the dA⋈dB corner") {
+    val a = spark.range(0, 300).select((col("id") % 40).as("k"), col("id").as("av"))
+    val b = spark.range(0, 500).select((col("id") % 40).as("k"), col("id").as("bv"))
+    val (oldA, dA) = (a.filter(col("av") % 7 =!= 0), a.filter(col("av") % 7 === 0))
+    val (oldB, dB) = (b.filter(col("bv") % 5 =!= 0), b.filter(col("bv") % 5 === 0))
+    val delta = Incremental.joinDelta(oldA, dA, oldB, dB, Seq("k"))
+    val full = a.join(b, Seq("k"))
+    val old = oldA.join(oldB, Seq("k"))
+    assert(delta.count() == full.count() - old.count())
+    // multiset equality: old ∪ delta ≡ full, row for row
+    val lhs = old.unionByName(delta).groupBy("k", "av", "bv").count()
+    val rhs = full.groupBy("k", "av", "bv").count()
+    assert(lhs.join(rhs, Seq("k", "av", "bv"), "full")
+      .filter(lhs("count") =!= rhs("count") ||
+        lhs("count").isNull || rhs("count").isNull)
+      .isEmpty, "history ∪ joinDelta must be exactly the new join")
+  }
+
   test("Kmv.overlap: estimates track planted overlap; exact path below k") {
     // segments A = [0, 2000), B = [1500, 3500): |A| = |B| = 2000,
     // |A ∩ B| = 500, |A ∪ B| = 3500

@@ -611,6 +611,17 @@ class ScaleDesignSpec extends SparkSpec {
       s"wedge closure must plan as pure equi-joins:\n$plan")
   }
 
+  test("q114 delta join: both delta terms broadcast against unshuffled history") {
+    val df = SparkEntry.queries("q114_delta_join")(spark, sfDir)
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val bhj = helper.collect(df.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 2,
+      "dA⋈B' and A⋈dB must both plan as broadcast joins of the delta " +
+        s"(got ${bhj.size} broadcast joins)")
+  }
+
   test("q113 KMV: bounded sketch aggregate, no window, no value-grain reshuffle") {
     val df = SparkEntry.queries("q113_kmv_overlap")(spark, sfDir)
     assert(df.queryExecution.optimizedPlan.collect {
