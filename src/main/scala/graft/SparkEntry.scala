@@ -945,6 +945,23 @@ object SparkEntry {
           round(col("st_min").cast("double") / 10000.0, 4).as("min_rev"),
           round(col("st_max").cast("double") / 10000.0, 4).as("max_rev"))
     }),
+    "q115_image_dhash" -> ((s, dir) => {
+      // perceptual image dedup: REAL BMP decode → 9×8 grayscale dHash
+      // → hash-family rollup (the image-level exact-dedup key; hamming
+      // distance on the halves is the near-dup relaxation)
+      val t = Tables(s, dir)
+      Multimodal.dhash(Multimodal.textToBmp(t.documents)).toDF()
+        .groupBy("dhash_hi", "dhash_lo")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+    }),
+    "q116_audio_energy" -> ((s, dir) => {
+      // voice-activity shape: REAL WAV decode → tumbling 50-sample
+      // windows → exact integer energy + RMS per window
+      val t = Tables(s, dir)
+      Multimodal.wavWindows(Multimodal.textToWav(t.documents), win = 50).toDF()
+        .select(col("doc_id"), col("win_idx"), col("energy"),
+          round(col("rms"), 4).as("rms"))
+    }),
     "q110_zorder" -> ((s, dir) => {
       // write-time Z-order layout: Morton cell per row (a z-prefix IS
       // a quadtree cell — pure projection, no global sort), per-cell
@@ -2661,6 +2678,70 @@ object SparkEntry {
          |FROM ue u
          |JOIN est ea ON ea.seg = u.seg_a
          |JOIN est eb ON eb.seg = u.seg_b""".stripMargin,
+    // dHash replay: same (3k+c) mod n channel synthesis as q68, 9×8
+    // nearest-neighbor grid, integer grayscale, bit = right-neighbor
+    // brighter; halves as exact power-of-two sums
+    "q115_image_dhash" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
+        |    ELSE length(text) END AS INT) AS n FROM documents
+        |),
+        |d AS (
+        |  SELECT doc_id, text, n, 8 + (n % 8) AS w, 8 + ((n // 8) % 8) AS h
+        |  FROM b
+        |),
+        |o AS (SELECT doc_id, text, n, w, h, unnest(range(0, 72)) AS p FROM d),
+        |m AS (
+        |  SELECT doc_id, text, n, CAST(p % 9 AS INT) AS x, CAST(p // 9 AS INT) AS y,
+        |         ((p // 9) * h // 8) * w + ((p % 9) * w // 9) AS k
+        |  FROM o
+        |),
+        |g AS (
+        |  SELECT doc_id, x, y,
+        |         (ascii(substring(text, CAST((3*k + 2) % n AS INT) + 1, 1))
+        |        + ascii(substring(text, CAST((3*k + 1) % n AS INT) + 1, 1))
+        |        + ascii(substring(text, CAST((3*k) % n AS INT) + 1, 1))) // 3 AS gray
+        |  FROM m
+        |),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |         CAST(sum(CASE WHEN nb.gray > a.gray AND a.y*8 + a.x >= 32
+        |             THEN CAST(pow(2, a.y*8 + a.x - 32) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS dhash_hi,
+        |         CAST(sum(CASE WHEN nb.gray > a.gray AND a.y*8 + a.x < 32
+        |             THEN CAST(pow(2, a.y*8 + a.x) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS dhash_lo
+        |  FROM g a JOIN g nb ON nb.doc_id = a.doc_id AND nb.y = a.y
+        |    AND nb.x = a.x + 1
+        |  WHERE a.x < 8
+        |  GROUP BY 1
+        |)
+        |SELECT dhash_hi, dhash_lo, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS min_doc
+        |FROM bits GROUP BY 1, 2""".stripMargin,
+    // windowed energy replay: q67's sample synthesis, 50-sample
+    // tumbling windows, exact integer Σs² then one sqrt
+    "q116_audio_energy" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
+        |    ELSE length(text) END AS INT) AS n FROM documents
+        |),
+        |sm AS (SELECT doc_id, text, n, unnest(range(0, 200)) AS i FROM b),
+        |v AS (
+        |  SELECT doc_id, i,
+        |         ascii(substring(text, CAST((2*i) % n AS INT) + 1, 1)) * 256
+        |         + ascii(substring(text, CAST((2*i + 1) % n AS INT) + 1, 1))
+        |         - 32768 AS s
+        |  FROM sm
+        |),
+        |w AS (
+        |  SELECT doc_id, CAST(i // 50 AS INT) AS win_idx,
+        |         CAST(sum(s * s) AS BIGINT) AS energy
+        |  FROM v GROUP BY 1, 2
+        |)
+        |SELECT doc_id, win_idx, energy,
+        |       round(sqrt(CAST(energy AS DOUBLE) / 50), 4) AS rms
+        |FROM w""".stripMargin,
     // the delta path must equal this full recompute — that identity
     // IS the operator contract
     "q114_delta_join" ->

@@ -310,6 +310,79 @@ object Multimodal {
     }
   }
 
+  final case class ImageHash(doc_id: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** Perceptual difference hash (dHash, 64 bit): nearest-neighbor
+    * downsample to a 9×8 integer-grayscale grid, bit (y·8+x) set iff
+    * gray(x+1, y) > gray(x, y). Identical frames collide exactly;
+    * re-encodes/crops of the same frame differ in a few bits, so the
+    * hash is both the image-level exact-dedup key and (via hamming
+    * distance) the near-dup relaxation. Returned as two unsigned
+    * 32-bit halves carried in longs, so a signed-64 SQL replay needs
+    * no unsigned arithmetic.
+    */
+  def dhash(df: Dataset[Media]): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.mapPartitions { it =>
+      it.map { m =>
+        val img = decodeBmp(m.payload)
+        def gray(x: Int, y: Int): Int = {
+          val sx = x * img.width / 9
+          val sy = y * img.height / 8
+          val p = (sy * img.width + sx) * 3
+          ((img.rgb(p) & 0xff) + (img.rgb(p + 1) & 0xff) +
+            (img.rgb(p + 2) & 0xff)) / 3
+        }
+        var hi = 0L
+        var lo = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gray(x + 1, y) > gray(x, y)) {
+              val j = y * 8 + x
+              if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        ImageHash(m.doc_id, hi, lo)
+      }
+    }
+  }
+
+  final case class AudioWindow(doc_id: Long, win_idx: Int, energy: Long, rms: Double)
+
+  /** Tumbling-window audio energy: split the decoded PCM stream into
+    * fixed `win`-sample windows, per window the exact integer energy
+    * Σ s² and the RMS — the voice-activity / silence-detection
+    * primitive. Energy stays in exact longs so any engine sums it
+    * identically; only the final RMS touches floating point (IEEE
+    * sqrt is correctly rounded everywhere).
+    */
+  def wavWindows(df: Dataset[Media], win: Int): Dataset[AudioWindow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.mapPartitions { it =>
+      it.flatMap { m =>
+        val wav = decodeWav(m.payload)
+        val nWin = wav.samples.length / win
+        (0 until nWin).iterator.map { w =>
+          var e = 0L
+          var i = w * win
+          while (i < (w + 1) * win) {
+            val s = wav.samples(i).toLong
+            e += s * s
+            i += 1
+          }
+          AudioWindow(m.doc_id, w, e, math.sqrt(e.toDouble / win))
+        }
+      }
+    }
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Frame sampling for "video" payloads: emit every `stride`-th

@@ -489,6 +489,34 @@ class OperatorsSpec extends SparkSpec {
     assert(byId(1L) != byId(3L))
   }
 
+  test("Multimodal.dhash: constant image hashes to zero; gradient sets row bits") {
+    import spark.implicits._
+    // constant image → no right-neighbor is brighter → all-zero hash;
+    // 'az'* alternates grays 105/113 ('ab' would collapse to one gray
+    // under the integer /3) → nonzero hash
+    val docs = Seq((1L, "x" * 97), (2L, "az" * 60)).toDF("doc_id", "text")
+    val out = Multimodal.dhash(Multimodal.textToBmp(docs)).collect()
+      .map(h => h.doc_id -> (h.dhash_hi, h.dhash_lo)).toMap
+    assert(out(1L) == (0L, 0L), "constant image must hash to zero")
+    assert(out(2L) != (0L, 0L), "varying image must set bits")
+    // halves are unsigned 32-bit
+    out.values.foreach { case (hi, lo) =>
+      assert(hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32))
+    }
+  }
+
+  test("Multimodal.wavWindows: exact integer energy, window count, rms") {
+    import spark.implicits._
+    val docs = Seq((7L, "abcd" * 30)).toDF("doc_id", "text")
+    val rows = Multimodal.wavWindows(Multimodal.textToWav(docs), win = 50)
+      .collect().sortBy(_.win_idx)
+    assert(rows.length == 4, "200 samples / 50 = 4 windows")
+    rows.foreach { r =>
+      assert(r.energy > 0)
+      assert(math.abs(r.rms - math.sqrt(r.energy.toDouble / 50)) < 1e-12)
+    }
+  }
+
   test("Incremental.joinDelta ≡ new-join rows, including the dA⋈dB corner") {
     val a = spark.range(0, 300).select((col("id") % 40).as("k"), col("id").as("av"))
     val b = spark.range(0, 500).select((col("id") % 40).as("k"), col("id").as("bv"))
