@@ -1371,6 +1371,28 @@ object SparkEntry {
           ev.filter(col("event_type") === "click"),
           range = "1 hour", watermark = "3650 days"))
     }),
+    "q117_stream_outer" -> ((s, dir) => {
+      // stream-stream LEFT OUTER join end-to-end: purchases with and
+      // WITHOUT a same-user click in the preceding hour, null rows
+      // emitted by real watermark-driven state expiry. Registered
+      // slice = left events ≥ watermark+range behind both sides' max
+      // event time, whose outer verdict no micro-batch split can
+      // change — so the batch left-join oracle gates it exactly.
+      val ev = StreamQueries.streamEvents(s, dir)
+      val out = StreamQueries.materialize(
+        EventStream.streamStreamLeftJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          range = "1 hour", watermark = "1 hour"))
+      val t = Tables(s, dir)
+      val cut = t.events
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+        .agg((min("m") - 7200000000L).as("cut_us"))
+      out.crossJoin(broadcast(cut))
+        .filter(col("l_ts_us") <= col("cut_us"))
+        .select("user_id", "left_id", "right_id")
+    }),
     "q65_stream_evict" -> ((s, dir) => {
       // H9 event-time state eviction END-TO-END: the EventTimeTimeout
       // variant of the cumulative chain runs with a real watermark and
@@ -3253,6 +3275,22 @@ object SparkEntry {
          |       round(sum(CASE WHEN rn <= 50 THEN score / (rn * rn) END)
          |             / 1.6449340668482264, 4) AS score
          |FROM ranked GROUP BY 1, 2, 3, n""".stripMargin,
+    "q117_stream_outer" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |),
+        |cut AS (
+        |  SELECT min(m) - 7200000000 AS c FROM (
+        |    SELECT event_type, max(epoch_us(ts)) AS m FROM ev
+        |    WHERE event_type IN ('purchase', 'click') GROUP BY 1)
+        |),
+        |l AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |r AS (SELECT * FROM ev WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id
+        |FROM l LEFT JOIN r ON l.user_id = r.user_id
+        |  AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
+        |WHERE epoch_us(l.ts) <= (SELECT c FROM cut)""".stripMargin,
     "q85_stream_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts

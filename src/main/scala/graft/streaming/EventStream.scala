@@ -119,6 +119,34 @@ object EventStream {
         col("l.event_id").as("left_id"), col("r.event_id").as("right_id"))
   }
 
+  /** Stream–stream LEFT OUTER join: like [[streamStreamJoin]], but a
+    * `left` event with no same-user `right` event in the preceding
+    * `range` still emits (null-extended) — the "purchases with no
+    * prior click" shape. Outer emission is watermark-driven: Spark
+    * holds an unmatched left row until the watermark proves no future
+    * right row can satisfy the range predicate, then emits the null
+    * row in a (possibly no-data) later micro-batch. The left event
+    * time rides along so callers can slice to rows whose outer
+    * verdict is FINAL under any micro-batch split (l.ts at least
+    * `watermark + range` behind both sides' max event time — the
+    * global watermark is the min over sources).
+    */
+  def streamStreamLeftJoin(
+      left: DataFrame,
+      right: DataFrame,
+      range: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      expr(s"""l.user_id = r.user_id AND
+               r.ts BETWEEN l.ts - INTERVAL $range AND l.ts"""),
+      "left_outer")
+      .select(col("l.user_id").as("user_id"),
+        unix_micros(col("l.ts")).as("l_ts_us"),
+        col("l.event_id").as("left_id"), col("r.event_id").as("right_id"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
