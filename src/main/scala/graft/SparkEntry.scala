@@ -962,6 +962,17 @@ object SparkEntry {
         .select(col("doc_id"), col("win_idx"), col("energy"),
           round(col("rms"), 4).as("rms"))
     }),
+    "q119_interpolate" -> ((s, dir) => {
+      // linear gap-fill of sparse (part, supplier) yearly quantity
+      // series: segment explode + endpoint blend, no calendar
+      // scaffold join, one (keys) exchange
+      val t = Tables(s, dir)
+      val series = t.lineitem
+        .groupBy(col("l_partkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("year"))
+        .agg(sum(col("l_quantity").cast("long")).as("v"))
+      Rollups.interpolate(series, Seq("l_partkey", "l_suppkey"))
+    }),
     "q110_zorder" -> ((s, dir) => {
       // write-time Z-order layout: Morton cell per row (a z-prefix IS
       // a quadtree cell — pure projection, no global sort), per-cell
@@ -2700,6 +2711,30 @@ object SparkEntry {
          |FROM ue u
          |JOIN est ea ON ea.seg = u.seg_a
          |JOIN est eb ON eb.seg = u.seg_b""".stripMargin,
+    "q119_interpolate" ->
+      """WITH s AS (
+        |  SELECT l_partkey, l_suppkey, CAST(year(l_shipdate) AS BIGINT) AS y,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem GROUP BY 1, 2, 3
+        |),
+        |n AS (
+        |  SELECT *,
+        |    lead(y) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY y) AS ny,
+        |    lead(v) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY y) AS nv
+        |  FROM s
+        |),
+        |x AS (
+        |  SELECT l_partkey, l_suppkey, y, v, ny, nv,
+        |         unnest(range(y, CASE WHEN ny IS NULL THEN y + 1 ELSE ny END)) AS yo
+        |  FROM n
+        |)
+        |SELECT l_partkey, l_suppkey, CAST(yo AS BIGINT) AS year,
+        |       round(CASE WHEN yo = y THEN CAST(v AS DOUBLE)
+        |             ELSE CAST(v AS DOUBLE) + CAST(nv - v AS DOUBLE)
+        |               * (CAST(yo - y AS DOUBLE) / CAST(ny - y AS DOUBLE))
+        |             END, 4) AS v,
+        |       yo <> y AS interpolated
+        |FROM x""".stripMargin,
     // dHash replay: same (3k+c) mod n channel synthesis as q68, 9×8
     // nearest-neighbor grid, integer grayscale, bit = right-neighbor
     // brighter; halves as exact power-of-two sums

@@ -160,6 +160,42 @@ object Rollups {
       .select(gcols :+ col("p") :+ round(col("qest"), 4).as("qest"): _*)
   }
 
+  /** Segment-fill LINEAR INTERPOLATION of a sparse keyed series: each
+    * observed (year, v) row explodes to the half-open span up to the
+    * next observation, with the filled years taking the linear blend
+    * of the two endpoints — gap-filling for irregular time series
+    * without a calendar scaffold join (the scaffold multiplies
+    * key-grain data by the year-range width BEFORE filtering; the
+    * segment explode emits exactly the output rows and rides the one
+    * (keys) window exchange — same design as the scoring chain's
+    * densification, AssociationScore.scala).
+    *
+    * Output: keys ++ (year, v, interpolated) — `v` rounded to 4dp,
+    * observed rows carried exactly, trailing key years not
+    * extrapolated.
+    */
+  def interpolate(
+      df: DataFrame,
+      keys: Seq[String],
+      yearCol: String = "year",
+      valCol: String = "v"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(yearCol))
+    val frac = (col("__yo") - col(yearCol)).cast("double") /
+      (col("__ny") - col(yearCol)).cast("double")
+    df
+      .withColumn("__ny", lead(col(yearCol), 1).over(w))
+      .withColumn("__nv", lead(col(valCol), 1).over(w))
+      .withColumn("__yo", explode(sequence(col(yearCol),
+        coalesce(col("__ny") - 1, col(yearCol)))))
+      .withColumn("interpolated", col("__yo") =!= col(yearCol))
+      .withColumn("__v",
+        when(!col("interpolated"), col(valCol).cast("double"))
+          .otherwise(col(valCol).cast("double") +
+            (col("__nv") - col(valCol)).cast("double") * frac))
+      .select(keys.map(col) ++ Seq(col("__yo").as(yearCol),
+        round(col("__v"), 4).as(valCol), col("interpolated")): _*)
+  }
+
   private def firstPeaks(dense: DataFrame, keys: Seq[String]): DataFrame =
     Novelty.peaks(dense, keys)
       .groupBy(keys.map(col): _*)

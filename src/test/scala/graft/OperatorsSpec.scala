@@ -489,6 +489,20 @@ class OperatorsSpec extends SparkSpec {
     assert(byId(1L) != byId(3L))
   }
 
+  test("Rollups.interpolate: endpoint-exact linear blend, no extrapolation") {
+    import spark.implicits._
+    val s = Seq(("a", 2000L, 10L), ("a", 2004L, 30L), ("b", 1999L, 7L))
+      .toDF("k", "year", "v")
+    val out = Rollups.interpolate(s, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out(("a", 2000L)) == (10.0, false) && out(("a", 2004L)) == (30.0, false))
+    assert(out(("a", 2001L)) == (15.0, true) && out(("a", 2002L)) == (20.0, true) &&
+      out(("a", 2003L)) == (25.0, true))
+    assert(out(("b", 1999L)) == (7.0, false))
+    assert(out.size == 6, "no rows beyond each key's last observation")
+  }
+
   test("Multimodal.dhash: constant image hashes to zero; gradient sets row bits") {
     import spark.implicits._
     // constant image → no right-neighbor is brighter → all-zero hash;
