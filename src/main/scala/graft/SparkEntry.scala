@@ -962,6 +962,23 @@ object SparkEntry {
         .select(col("doc_id"), col("win_idx"), col("energy"),
           round(col("rms"), 4).as("rms"))
     }),
+    "q120_ewma" -> ((s, dir) => {
+      // EWMA-smoothed overall association score (α = 1/2): the
+      // closed-form running-sum formulation rides the scoring chain's
+      // (pair) exchange; power-of-two scaling keeps every step an
+      // exact exponent shift, so the smoother is bit-identical across
+      // engines
+      val t = Tables(s, dir)
+      val overall = AssociationScore.overall(
+        AssociationScore.byDatasource(t.evidence), t.weights)
+        .filter(col("year").isNotNull) // dated series only: engines
+        // disagree on NULL sort position, and smoothing the undated
+        // surrogate row is meaningless anyway
+        .withColumn("s0", coalesce(col("score"), lit(0.0)))
+      Rollups.ewmaHalf(overall, Seq("diseaseId", "targetId"), "year", "s0")
+        .select(col("diseaseId"), col("targetId"), col("year"),
+          round(col("s0"), 4).as("score"), round(col("ewma"), 4).as("ewma"))
+    }),
     "q119_interpolate" -> ((s, dir) => {
       // linear gap-fill of sparse (part, supplier) yearly quantity
       // series: segment explode + endpoint blend, no calendar
@@ -2711,6 +2728,29 @@ object SparkEntry {
          |FROM ue u
          |JOIN est ea ON ea.seg = u.seg_a
          |JOIN est eb ON eb.seg = u.seg_b""".stripMargin,
+    "q120_ewma" ->
+      s"""WITH $OverallSql,
+         |s AS (
+         |  SELECT diseaseId, targetId, year, coalesce(score, 0) AS s0 FROM overall
+         |  WHERE year <> 2002 -- the undated surrogate (NULL on the engine side)
+         |),
+         |r AS (
+         |  SELECT diseaseId, targetId, year, s0,
+         |         row_number() OVER (PARTITION BY diseaseId, targetId
+         |           ORDER BY year) AS rn
+         |  FROM s
+         |),
+         |g AS (
+         |  SELECT diseaseId, targetId, year, s0, rn,
+         |         CASE WHEN rn = 1 THEN s0 * 2.0
+         |              ELSE s0 * pow(2.0, rn - 1) END AS gg
+         |  FROM r
+         |)
+         |SELECT diseaseId, targetId, year, round(s0, 4) AS score,
+         |       round(sum(gg) OVER (PARTITION BY diseaseId, targetId
+         |           ORDER BY year ROWS UNBOUNDED PRECEDING)
+         |         / pow(2.0, rn), 4) AS ewma
+         |FROM g""".stripMargin,
     "q119_interpolate" ->
       """WITH s AS (
         |  SELECT l_partkey, l_suppkey, CAST(year(l_shipdate) AS BIGINT) AS y,

@@ -196,6 +196,35 @@ object Rollups {
         round(col("__v"), 4).as(valCol), col("interpolated")): _*)
   }
 
+  /** Exponentially-weighted moving average with α = 1/2, computed
+    * CLOSED-FORM over the running window: with f_t = 2^t·e_t the
+    * recurrence e_t = (x_t + e_{t−1})/2 becomes the plain running sum
+    * f_t = f_{t−1} + x_t·2^(t−1) (f_1 = 2x_1) — so the stateful
+    * smoother costs one O(1)-state window pass on the (keys)
+    * exchange, no recursion, no UDF. α = 1/2 makes every scale factor
+    * a power of two, i.e. an exact exponent shift: the only rounding
+    * anywhere is the running sum itself, which every engine
+    * accumulates in the same frame order — the result is
+    * bit-identical across engines (and pinned so by the oracle).
+    * Valid for series up to ~1000 points (2^t must stay finite);
+    * year-grain series are bounded far below that.
+    */
+  def ewmaHalf(
+      df: DataFrame,
+      keys: Seq[String],
+      yearCol: String,
+      valCol: String,
+      out: String = "ewma"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(yearCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__g",
+        when(col("__rn") === 1, col(valCol) * 2.0)
+          .otherwise(col(valCol) * pow(lit(2.0), col("__rn") - 1)))
+      .withColumn(out, sum("__g").over(cum) / pow(lit(2.0), col("__rn")))
+      .drop("__rn", "__g")
+  }
+
   private def firstPeaks(dense: DataFrame, keys: Seq[String]): DataFrame =
     Novelty.peaks(dense, keys)
       .groupBy(keys.map(col): _*)

@@ -503,6 +503,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 6, "no rows beyond each key's last observation")
   }
 
+  test("Rollups.ewmaHalf matches the recurrence e_t = (x_t + e_{t-1})/2 exactly") {
+    import spark.implicits._
+    val xs = Seq(4.0, 8.0, 1.0, 5.0, 2.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", 2000L + i, x) }
+      .toDF("k", "year", "x")
+    val got = Rollups.ewmaHalf(df, Seq("k"), "year", "x").orderBy("year")
+      .select("ewma").as[Double].collect()
+    val want = xs.tail.scanLeft(xs.head)((e, x) => (x + e) / 2)
+    assert(got.toSeq == want, s"$got vs $want")
+  }
+
   test("Multimodal.dhash: constant image hashes to zero; gradient sets row bits") {
     import spark.implicits._
     // constant image → no right-neighbor is brighter → all-zero hash;
