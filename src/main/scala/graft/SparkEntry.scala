@@ -962,6 +962,14 @@ object SparkEntry {
         .select(col("doc_id"), col("win_idx"), col("energy"),
           round(col("rms"), 4).as("rms"))
     }),
+    "q121_ppjoin" -> ((s, dir) => {
+      // EXACT similarity self-join (prefix filtering): every document
+      // pair with shingle-Jaccard >= 1/2, guaranteed — the
+      // deterministic complement to MinHash LSH's probabilistic
+      // recall; integer threshold arithmetic end to end
+      val t = Tables(s, dir)
+      Dedup.prefixJaccardJoin(t.documents)
+    }),
     "q120_ewma" -> ((s, dir) => {
       // EWMA-smoothed overall association score (α = 1/2): the
       // closed-form running-sum formulation rides the scoring chain's
@@ -2728,6 +2736,42 @@ object SparkEntry {
          |FROM ue u
          |JOIN est ea ON ea.seg = u.seg_a
          |JOIN est eb ON eb.seg = u.seg_b""".stripMargin,
+    // prefix-filter replay: same rarity key (lpad(df)||':'||shingle),
+    // same integer prefix length and threshold arithmetic
+    "q121_ppjoin" ->
+      s"""WITH $ShinglesSql,
+         |dsh AS (SELECT id, unnest(list_distinct(sh)) AS s FROM shingled),
+         |zs AS (SELECT id, count(*) AS sz FROM dsh GROUP BY 1),
+         |dfx AS (SELECT s, count(*) AS df FROM dsh GROUP BY 1),
+         |ky AS (
+         |  SELECT d.id, z.sz,
+         |         lpad(CAST(x.df AS VARCHAR), 10, '0') || ':' || d.s AS k
+         |  FROM dsh d JOIN dfx x USING (s) JOIN zs z USING (id)
+         |),
+         |r AS (
+         |  SELECT id, sz, k,
+         |         row_number() OVER (PARTITION BY id ORDER BY k) AS rn
+         |  FROM ky
+         |),
+         |pre AS (SELECT id, k FROM r WHERE rn <= sz - ((sz * 1 + 2) // 3) + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS idA, b.id AS idB
+         |  FROM pre a JOIN pre b ON a.k = b.k AND a.id < b.id
+         |),
+         |inter AS (
+         |  SELECT c.idA, c.idB, count(*) AS common
+         |  FROM cand c
+         |  JOIN dsh x ON x.id = c.idA
+         |  JOIN dsh y ON y.id = c.idB AND y.s = x.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.idA, i.idB,
+         |       round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4)
+         |         AS jaccard
+         |FROM inter i
+         |JOIN zs za ON za.id = i.idA
+         |JOIN zs zb ON zb.id = i.idB
+         |WHERE common * 2 >= (za.sz + zb.sz - common) * 1""".stripMargin,
     "q120_ewma" ->
       s"""WITH $OverallSql,
          |s AS (

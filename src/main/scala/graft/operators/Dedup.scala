@@ -254,6 +254,77 @@ object Dedup {
       .select(col("block"), col("idA"), col("idB"), col("jaccard"))
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (AllPairs /
+    * PPJoin family, Bayardo et al. WWW'07): every pair with Jaccard ≥
+    * tNum/tDen over distinct word shingles is found — no probabilistic
+    * misses, the guarantee MinHash LSH (q31) trades away.
+    *
+    * Prefix principle: order each doc's shingles by global rarity
+    * (ascending document frequency, shingle string as tie-break — a
+    * total order any engine reproduces). With c = tNum/(tNum+tDen)
+    * and prefix length p(x) = |x| − ⌈c·|x|⌉ + 1, two sets with
+    * J ≥ t MUST share a prefix token: if the prefixes were disjoint,
+    * the common tokens split into ≤ |a|−p(a) carried by a's suffix
+    * and ≤ |b|−p(b) by b's, totalling ⌈c|a|⌉+⌈c|b|⌉−2 < ⌈c(|a|+|b|)⌉
+    * ≤ |a∩b| — contradiction. So candidate pairs = prefix-posting
+    * bucket join, exact Jaccard verified per candidate.
+    *
+    * Everything threshold-shaped is INTEGER arithmetic — ⌈c·|x|⌉ as
+    * (|x|·tNum + tNum+tDen − 1) div (tNum+tDen), the final filter as
+    * common·tDen ≥ (|a|+|b|−common)·tNum — so no float boundary can
+    * disagree between engines (the rounded jaccard column is display
+    * only).
+    *
+    * Scale shape: df comes from a map-side-combined groupBy on the
+    * shingle key (Zipf absorbed, as ngramJaccard); the per-doc sort
+    * is an in-row array_sort bounded by doc length; only PREFIX
+    * postings (the rarest ~1−c of each doc) enter the bucket join, so
+    * stop-shingles never form posting lists; verification is an
+    * in-row array_intersect on the two candidate docs' shingle sets.
+    */
+  def prefixJaccardJoin(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      tNum: Int = 1,
+      tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, "threshold must be in (0, 1]")
+    val cd = tNum + tDen
+    val docs = spread(df)
+      .select(col(idCol).as("id"),
+        graft.functions.NativeText.wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).as("sz"))
+    val inv = docs.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val dfc = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val sorted = inv.join(dfc, Seq("s"))
+      .select(col("id"), col("sz"),
+        concat(lpad(col("df").cast("string"), 10, "0"), lit(":"), col("s")).as("k"))
+      .groupBy("id", "sz")
+      .agg(array_sort(collect_list(col("k"))).as("ks"))
+      .withColumn("p",
+        col("sz") - ((col("sz") * tNum + (cd - 1)) / cd).cast("int") + 1)
+    val cand = sorted
+      .select(col("id"), explode(slice(col("ks"), lit(1), col("p"))).as("k"))
+      .groupBy("k").agg(collect_list(col("id")).as("ids"))
+      .select(explode(col("ids")).as("idA"), col("ids"))
+      .select(col("idA"), explode(col("ids")).as("idB"))
+      .filter(col("idA") < col("idB"))
+      .distinct()
+    val sets = docs.select(col("id"), col("sh"), col("sz"))
+    cand
+      .join(sets.select(col("id").as("idA"), col("sh").as("shA"),
+        col("sz").as("szA")), Seq("idA"))
+      .join(sets.select(col("id").as("idB"), col("sh").as("shB"),
+        col("sz").as("szB")), Seq("idB"))
+      .withColumn("common", size(array_intersect(col("shA"), col("shB"))))
+      .filter(col("common") * tDen >= (col("szA") + col("szB") - col("common")) * tNum)
+      .select(col("idA"), col("idB"),
+        round(col("common").cast("double") /
+          (col("szA") + col("szB") - col("common")), 4).as("jaccard"))
+  }
+
   /** Cross-corpus contamination check: which corpus documents share at
     * least `minShared` distinct word `shingleSize`-grams with any
     * benchmark document (the train/eval overlap scan every LLM data

@@ -503,6 +503,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 6, "no rows beyond each key's last observation")
   }
 
+  test("Dedup.prefixJaccardJoin finds exactly the brute-force pair set") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      1L -> base,
+      2L -> base, // exact dup
+      3L -> (base + " tonight"), // near dup
+      4L -> "a completely different sentence about spark query planning today",
+      5L -> "a completely different sentence about spark query planning tonight",
+      6L -> "nothing in common with anything else here at all whatsoever now"
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardJoin(docs)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    // brute force over distinct shingle sets
+    val sh = docs.select(col("doc_id").as("id"),
+      graft.functions.NativeText.wordShingles(col("text"), 3).as("sh"))
+    val want = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("c", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .filter(col("c") * 2 >=
+        (size(col("a.sh")) + size(col("b.sh")) - col("c")) * 1)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.contains((1L, 2L)) && want.contains((1L, 3L)) &&
+      want.contains((4L, 5L)), "planted dups must be present")
+  }
+
   test("Rollups.ewmaHalf matches the recurrence e_t = (x_t + e_{t-1})/2 exactly") {
     import spark.implicits._
     val xs = Seq(4.0, 8.0, 1.0, 5.0, 2.0)
