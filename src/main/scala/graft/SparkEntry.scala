@@ -962,6 +962,14 @@ object SparkEntry {
         .select(col("doc_id"), col("win_idx"), col("energy"),
           round(col("rms"), 4).as("rms"))
     }),
+    "q122_jl_project" -> ((s, dir) => {
+      // Johnson-Lindenstrauss reduction 64 -> 8 dims: ±1 sign
+      // projection over the quantized integer embeddings — a pure
+      // per-row projection, zero shuffle; norm_ratio concentrates
+      // near 1 (the JL guarantee, pinned in spec)
+      val t = Tables(s, dir)
+      SimilaritySearch.jlProject(t.embeddings, outDims = 8)
+    }),
     "q121_ppjoin" -> ((s, dir) => {
       // EXACT similarity self-join (prefix filtering): every document
       // pair with shingle-Jaccard >= 1/2, guaranteed — the
@@ -2736,6 +2744,23 @@ object SparkEntry {
          |FROM ue u
          |JOIN est ea ON ea.seg = u.seg_a
          |JOIN est eb ON eb.seg = u.seg_b""".stripMargin,
+    // JL replay: the projection terms are GENERATED from the same
+    // Scala sign matrix as the Column path — one source of truth
+    "q122_jl_project" -> {
+      val ts = SimilaritySearch.jlProjectSqlTerms(8)
+      val pcols = (0 until 8).map(j => s"CAST(${ts(j)} AS BIGINT) AS p$j")
+        .mkString(",\n|         ")
+      val sp = (0 until 8).map(j => s"p$j*p$j").mkString(" + ")
+      s"""WITH $EmbSql,
+         |pj AS (
+         |  SELECT vec_id, n,
+         |         $pcols
+         |  FROM nrm
+         |)
+         |SELECT vec_id, p0, p1, p2, p3, p4, p5, p6, p7,
+         |       round(sqrt(CAST($sp AS DOUBLE) / 8) / n, 4) AS norm_ratio
+         |FROM pj""".stripMargin
+    },
     // prefix-filter replay: same rarity key (lpad(df)||':'||shingle),
     // same integer prefix length and threshold arithmetic
     "q121_ppjoin" ->

@@ -464,4 +464,63 @@ object SimilaritySearch {
       .select(col("id").as(idCol) +: keep.map(col) :+ col("pred") :+
         round(col("cos"), 4).as("cos"): _*)
   }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (inDims ×
+    * outDims), derived from md5 parity so any engine can rebuild it —
+    * but the oracle doesn't have to: [[jlProjectSqlTerms]] generates
+    * the replay SQL from THESE values, so the two paths share one
+    * source of truth (the q110 zValueSql pattern).
+    */
+  def jlSigns(inDims: Int, outDims: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(inDims, outDims) { (i, j) =>
+      val h = md.digest(s"$i:$j:jl".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss
+    * with the ±1 Achlioptas construction): project the ×1000-quantized
+    * integer embedding through the deterministic sign matrix — a pure
+    * per-row projection (zero shuffle, codegen-friendly 64-term integer
+    * sums), preserving pairwise geometry to O(1/√k). Output: the k
+    * projected integer coordinates p0..p{k−1} plus the norm ratio
+    * ‖p‖/√k / ‖q‖, which JL concentrates near 1.
+    */
+  def jlProject(
+      df: DataFrame,
+      outDims: Int = 8,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val signs = jlSigns(64, outDims)
+    val base = spread(df)
+      .select(col(idCol).as("id"), quantize(col(embCol)).as("qv"))
+    val projCols = (0 until outDims).map { j =>
+      (0 until 64).map { i =>
+        val t = element_at(col("qv"), i + 1)
+        if (signs(i)(j) == 1) t else -t
+      }.reduce(_ + _).as(s"p$j")
+    }
+    val projected = base.select(col("id") +: col("qv") +: projCols: _*)
+    val sp = (0 until outDims).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _)
+    projected
+      .withColumn("norm_ratio",
+        round(sqrt(sp.cast("double") / outDims) /
+          sqrt(quantizedDot(col("qv"), col("qv")).cast("double")), 4))
+      .select(col("id").as(idCol) +:
+        (0 until outDims).map(j => col(s"p$j")) :+ col("norm_ratio"): _*)
+  }
+
+  /** The q122 oracle's projection terms, generated from [[jlSigns]]:
+    * `q[1]*s + q[2]*s + …` per output dim.
+    */
+  def jlProjectSqlTerms(outDims: Int = 8): Seq[String] = {
+    val signs = jlSigns(64, outDims)
+    (0 until outDims).map { j =>
+      (0 until 64).map { i =>
+        val s = if (signs(i)(j) == 1) "+" else "-"
+        s"$s q[${i + 1}]"
+      }.mkString(" ")
+    }
+  }
 }

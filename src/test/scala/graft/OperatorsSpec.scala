@@ -503,6 +503,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 6, "no rows beyond each key's last observation")
   }
 
+  test("SimilaritySearch.jlProject preserves norms and plans as a pure projection") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = SimilaritySearch.jlProject(emb, outDims = 8)
+    val ratios = df.select("norm_ratio").as[Double].collect()
+    assert(ratios.nonEmpty)
+    val within = ratios.count(r => r > 0.5 && r < 1.5).toDouble / ratios.length
+    assert(within > 0.9, s"JL concentration: only $within within [0.5, 1.5]")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean")
+    // a projection must not shuffle on any key (spread()'s round-robin
+    // scan widening is the only exchange allowed)
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "JL projection must not hash-shuffle")
+  }
+
   test("Dedup.prefixJaccardJoin finds exactly the brute-force pair set") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
