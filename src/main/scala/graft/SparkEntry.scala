@@ -1415,6 +1415,21 @@ object SparkEntry {
           ev.filter(col("event_type") === "click"),
           range = "1 hour", watermark = "3650 days"))
     }),
+    "q123_stream_ivm" -> ((s, dir) => {
+      // streaming IVM: every micro-batch folds its mergeable state
+      // into a persisted parquet rollup (foreachBatch, alternating
+      // state dirs); exact integer cents make the fold
+      // split-invariant, so the batch aggregate oracle gates the
+      // whole refresh loop
+      val ev = StreamQueries.streamEvents(s, dir)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("v_i"))
+      StreamQueries.incrementalStateReplay(ev, Seq("user_id"), "v_i")
+        .select(col("user_id"), col("st_n").as("n"),
+          round(col("st_sum").cast("double") / 100, 4).as("sum_v"),
+          round(col("st_min").cast("double") / 100, 4).as("min_v"),
+          round(col("st_max").cast("double") / 100, 4).as("max_v"))
+    }),
     "q117_stream_outer" -> ((s, dir) => {
       // stream-stream LEFT OUTER join end-to-end: purchases with and
       // WITHOUT a same-user click in the preceding hour, null rows
@@ -3419,6 +3434,15 @@ object SparkEntry {
          |       round(sum(CASE WHEN rn <= 50 THEN score / (rn * rn) END)
          |             / 1.6449340668482264, 4) AS score
          |FROM ranked GROUP BY 1, 2, 3, n""".stripMargin,
+    "q123_stream_ivm" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(v) AS DOUBLE) / 100, 4) AS sum_v,
+        |       round(CAST(min(v) AS DOUBLE) / 100, 4) AS min_v,
+        |       round(CAST(max(v) AS DOUBLE) / 100, 4) AS max_v
+        |FROM e GROUP BY 1""".stripMargin,
     "q117_stream_outer" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts

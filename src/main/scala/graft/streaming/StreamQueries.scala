@@ -89,6 +89,48 @@ object StreamQueries {
     spark.table(name)
   }
 
+  /** Streaming INCREMENTAL-VIEW-MAINTENANCE sink: each micro-batch
+    * collapses to its per-key mergeable state
+    * ([[graft.operators.Incremental.aggState]]) and is FOLDED into a
+    * persisted parquet state table via foreachBatch — the recurring-
+    * refresh pattern where a stream maintains a warehouse rollup
+    * without ever re-aggregating history. State dirs alternate by
+    * batch parity (parquet can't overwrite a table it is reading), and
+    * the fold algebra is exact integer arithmetic, so the final state
+    * is identical under ANY micro-batch split — which is how the
+    * DuckDB oracle (a plain batch aggregate of all the data) gates
+    * the whole streaming path.
+    *
+    * Returns the final state table as a batch DataFrame.
+    */
+  def incrementalStateReplay(
+      events: DataFrame,
+      keys: Seq[String],
+      valueCol: String): DataFrame = {
+    val name = s"graft_ivm_${ctr.incrementAndGet()}"
+    val ckpt = graft.Scratch.dir(s"ckpt-$name")
+    val dirs = Array(graft.Scratch.dir(s"$name-a"), graft.Scratch.dir(s"$name-b"))
+    val spark = events.sparkSession
+    @volatile var last = -1L
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = graft.operators.Incremental.aggState(batch, keys, valueCol)
+        val prev = if (last >= 0) {
+          spark.read.parquet(dirs((last % 2).toInt))
+        } else delta.limit(0)
+        graft.operators.Incremental.merge(keys, prev, delta)
+          .write.mode("overwrite").parquet(dirs((batchId % 2).toInt))
+        last = batchId
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(last >= 0, "stream produced no batches")
+    spark.read.parquet(dirs((last % 2).toInt))
+  }
+
   /** Reduce an update-mode output history to the final state per key:
     * the row with the highest `seqCol` (strictly increasing per key,
     * e.g. a cumulative evidence count) wins.

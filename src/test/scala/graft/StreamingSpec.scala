@@ -251,4 +251,25 @@ class StreamingSpec extends SparkSpec {
       assert(math.round(last._2) == 3L, "3 distinct users at this cardinality")
     } finally q.stop()
   }
+
+  test("incremental state replay over 3 forced micro-batches ≡ one batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.Scratch.dir("ivm-in")
+    val data = spark.range(0, 300)
+      .select((col("id") % 7).as("user_id"), (col("id") % 13).as("v_i"))
+    data.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = graft.streaming.StreamQueries
+      .incrementalStateReplay(stream, Seq("user_id"), "v_i")
+      .orderBy("user_id")
+      .select("user_id", "st_n", "st_sum", "st_min", "st_max")
+      .collect().toSeq
+    val want = graft.operators.Incremental
+      .aggState(data, Seq("user_id"), "v_i")
+      .orderBy("user_id")
+      .select("user_id", "st_n", "st_sum", "st_min", "st_max")
+      .collect().toSeq
+    assert(got == want, "per-batch folds must equal the one-shot state")
+  }
 }
