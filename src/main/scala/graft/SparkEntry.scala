@@ -962,6 +962,31 @@ object SparkEntry {
         .select(col("doc_id"), col("win_idx"), col("energy"),
           round(col("rms"), 4).as("rms"))
     }),
+    "q124_fuzzy_match" -> ((s, dir) => {
+      // blocked fuzzy record linkage: nation-blocked customer pairs
+      // within Levenshtein distance 1 (native edit distance on both
+      // engines — integer-exact gate)
+      val t = Tables(s, dir)
+      Dedup.fuzzyPairs(t.customer, "c_nationkey", "c_name", "c_custkey")
+    }),
+    "q125_k_anonymity" -> ((s, dir) => {
+      // privacy audit: k-anonymity (group size >= 5) and l-diversity
+      // (>= 3 distinct balances) over (nation, segment, balance-kilo)
+      // quasi-identifiers
+      val t = Tables(s, dir)
+      Privacy.kAnonymity(
+        t.customer,
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).as("bal_k")),
+        col("c_acctbal"), k = 5, l = 3)
+    }),
+    "q127_profile" -> ((s, dir) => {
+      // one-scan data profile of four lineitem columns: null counts,
+      // exact distincts, numeric ranges — N columns, one pass
+      val t = Tables(s, dir)
+      Profile.numericProfile(t.lineitem,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_suppkey"))
+    }),
     "q122_jl_project" -> ((s, dir) => {
       // Johnson-Lindenstrauss reduction 64 -> 8 dims: ±1 sign
       // projection over the quantized integer embeddings — a pure
@@ -2759,6 +2784,48 @@ object SparkEntry {
          |FROM ue u
          |JOIN est ea ON ea.seg = u.seg_a
          |JOIN est eb ON eb.seg = u.seg_b""".stripMargin,
+    "q124_fuzzy_match" ->
+      """SELECT a.c_custkey AS idA, b.c_custkey AS idB,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "q125_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_div,
+        |       count(*) >= 5 AS k_anonymous,
+        |       count(DISTINCT c_acctbal) >= 3 AS l_diverse
+        |FROM customer GROUP BY 1, 2, 3""".stripMargin,
+    "q127_profile" ->
+      """SELECT 'l_quantity' AS col,
+        |       CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+        |       CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+        |       round(CAST(min(l_quantity) AS DOUBLE), 4) AS min_v,
+        |       round(CAST(max(l_quantity) AS DOUBLE), 4) AS max_v
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice',
+        |       CAST(count(*) - count(l_extendedprice) AS BIGINT),
+        |       CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+        |       round(CAST(min(l_extendedprice) AS DOUBLE), 4),
+        |       round(CAST(max(l_extendedprice) AS DOUBLE), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount',
+        |       CAST(count(*) - count(l_discount) AS BIGINT),
+        |       CAST(count(DISTINCT l_discount) AS BIGINT),
+        |       round(CAST(min(l_discount) AS DOUBLE), 4),
+        |       round(CAST(max(l_discount) AS DOUBLE), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_suppkey',
+        |       CAST(count(*) - count(l_suppkey) AS BIGINT),
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT),
+        |       round(CAST(min(l_suppkey) AS DOUBLE), 4),
+        |       round(CAST(max(l_suppkey) AS DOUBLE), 4)
+        |FROM lineitem""".stripMargin,
     // JL replay: the projection terms are GENERATED from the same
     // Scala sign matrix as the Column path — one source of truth
     "q122_jl_project" -> {

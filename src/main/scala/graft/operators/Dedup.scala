@@ -325,6 +325,32 @@ object Dedup {
           (col("szA") + col("szB") - col("common")), 4).as("jaccard"))
   }
 
+  /** Blocked fuzzy record linkage: candidate pairs come from an
+    * equality block (the classic blocking step — at 100 TB the
+    * all-pairs edit-distance matrix is unthinkable, a block key
+    * bounds the quadratic term to block size), then survive an edit
+    * distance threshold on the name field. Both engines compute
+    * Levenshtein natively and integer-exactly, so the match set is
+    * oracle-gated without tolerance.
+    *
+    * Scale shape: one exchange per side on the block key, per-block
+    * work quadratic only in block size, AQE splits a skewed block.
+    */
+  def fuzzyPairs(
+      df: DataFrame,
+      blockCol: String,
+      nameCol: String,
+      idCol: String,
+      maxDist: Int = 1): DataFrame = {
+    val c = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(nameCol).as("nm"))
+    c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.nm"), col("b.nm")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.id").as("idA"), col("b.id").as("idB"), col("dist"))
+  }
+
   /** Cross-corpus contamination check: which corpus documents share at
     * least `minShared` distinct word `shingleSize`-grams with any
     * benchmark document (the train/eval overlap scan every LLM data

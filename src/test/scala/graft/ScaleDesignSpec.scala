@@ -622,6 +622,13 @@ class ScaleDesignSpec extends SparkSpec {
         s"(got ${bhj.size} broadcast joins)")
   }
 
+  test("q127 profile: N columns of metrics from exactly one table scan") {
+    val plan = SparkEntry.queries("q127_profile")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"the multi-distinct profile must cost one pass:\n$plan")
+  }
+
   test("q113 KMV: bounded sketch aggregate, no window, no value-grain reshuffle") {
     val df = SparkEntry.queries("q113_kmv_overlap")(spark, sfDir)
     assert(df.queryExecution.optimizedPlan.collect {
