@@ -20,10 +20,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // windowed-top-k de-skew rewrite (spark.graft.rewriteWindowTopK)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+  }
 }
 
 object GraftExtensions {

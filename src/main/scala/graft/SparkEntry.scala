@@ -962,6 +962,21 @@ object SparkEntry {
         .select(col("doc_id"), col("win_idx"), col("energy"),
           round(col("rms"), 4).as("rms"))
     }),
+    "q126_window_topk_rewrite" -> ((s, dir) => {
+      // written as the classic windowed top-k — per-source top-3 docs
+      // by a hash priority — and REWRITTEN by the RewriteWindowTopK
+      // optimizer rule into the bounded-state aggregate + posexplode
+      // (plan pinned: no Window survives); the oracle replays the
+      // window formulation, pinning the rewrite's semantics
+      val t = Tables(s, dir)
+      import org.apache.spark.sql.expressions.{Window => W}
+      val prio = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":wtk"))), 1, 13), 16, 10).cast("long")
+      val w = W.partitionBy("source").orderBy(prio)
+      t.documents.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+    }),
     "q124_fuzzy_match" -> ((s, dir) => {
       // blocked fuzzy record linkage: nation-blocked customer pairs
       // within Levenshtein distance 1 (native edit distance on both
@@ -2784,6 +2799,16 @@ object SparkEntry {
          |FROM ue u
          |JOIN est ea ON ea.seg = u.seg_a
          |JOIN est eb ON eb.seg = u.seg_b""".stripMargin,
+    "q126_window_topk_rewrite" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |         row_number() OVER (PARTITION BY source ORDER BY
+         |           ${HexValSql("md5(CAST(doc_id AS VARCHAR) || ':wtk')", 1, 13)},
+         |           doc_id) AS rank
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, lang, n_chars, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 3""".stripMargin,
     "q124_fuzzy_match" ->
       """SELECT a.c_custkey AS idA, b.c_custkey AS idB,
         |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist

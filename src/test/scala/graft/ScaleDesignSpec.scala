@@ -622,6 +622,46 @@ class ScaleDesignSpec extends SparkSpec {
         s"(got ${bhj.size} broadcast joins)")
   }
 
+  test("RewriteWindowTopK: q126 drops the Window for the bounded aggregate, same rows") {
+    val df = SparkEntry.queries("q126_window_topk_rewrite")(spark, sfDir)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "the rule must eliminate the Window")
+    assert(df.queryExecution.executedPlan.toString.contains("graft_topk_rows"),
+      "the bounded aggregate must carry the top-k")
+    val on = df.orderBy("source", "rank").collect().toSeq
+    spark.conf.set("spark.graft.rewriteWindowTopK", "false")
+    try {
+      val off = SparkEntry.queries("q126_window_topk_rewrite")(spark, sfDir)
+      assert(off.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.nonEmpty, "with the rule off, the window formulation must survive")
+      assert(off.orderBy("source", "rank").collect().toSeq == on,
+        "rewritten and window plans must agree row for row")
+    } finally spark.conf.set("spark.graft.rewriteWindowTopK", "true")
+  }
+
+  test("RewriteWindowTopK: desc/nulls order and extra conjuncts survive the rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = Seq((1L, "a", 5.0), (2L, "a", 9.0), (3L, "a", 7.0), (4L, "a", 8.0),
+      (5L, "b", 1.0), (6L, "b", 2.0))
+      .toDF("id", "g", "v")
+      .withColumn("v2", when(col("id") === 3L, lit(null
+        ).cast("double")).otherwise(col("v")))
+    val w = W.partitionBy("g").orderBy(col("v2").desc_nulls_first)
+    val q = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2 && col("id") =!= 5L)
+    assert(q.queryExecution.optimizedPlan.collect {
+      case x: org.apache.spark.sql.catalyst.plans.logical.Window => x
+    }.isEmpty)
+    val got = q.select("id", "g", "rn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // group a: desc nulls first → null(id 3) rn 1, then 9.0 (id 2) rn 2;
+    // group b: 2.0 (id 6) rn 1, 1.0 (id 5) rn 2 but id 5 filtered out
+    assert(got == Set((3L, "a", 1), (2L, "a", 2), (6L, "b", 1)), got.toString)
+  }
+
   test("q127 profile: N columns of metrics from exactly one table scan") {
     val plan = SparkEntry.queries("q127_profile")(spark, sfDir)
       .queryExecution.executedPlan.toString
