@@ -1419,6 +1419,17 @@ object SparkEntry {
           unix_micros(col("start_ts")).as("start_us"),
           unix_micros(col("end_ts")).as("end_us"))
     }),
+    "q128_stream_dynamic_sessions" -> ((s, dir) => {
+      // dynamic-gap streaming sessionization: the idle timeout is an
+      // expression of the event (purchase 60 min, else 20); finalized
+      // sessions only, gated by the interval-merge batch replay
+      StreamQueries.materialize(
+          EventStream.sessionCountsDynamicGap(
+            StreamQueries.streamEvents(s, dir), "2 hours"))
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("start_ts")).as("start_us"),
+          unix_micros(col("end_ts")).as("end_us"))
+    }),
     "q62_stream_dedup" -> ((s, dir) => {
       // streaming exact dedup; the watermark outlives the replay so no
       // state expires and the surviving KEY SET (projected here) is
@@ -3483,6 +3494,38 @@ object SparkEntry {
          |       b.n, round(h.est, 4) AS u_hll
          |FROM b JOIN hw_est h USING (ws), mx
          |WHERE b.ws + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""".stripMargin,
+    // dynamic-gap replay: interval merge with running max end (an
+    // early long-gap event can outlast the last event's window)
+    "q128_stream_dynamic_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) +
+        |           CASE WHEN event_type = 'purchase' THEN 3600000000
+        |                ELSE 1200000000 END AS e_us
+        |  FROM events
+        |),
+        |mx AS (SELECT max(ts) AS mt FROM ev),
+        |w AS (
+        |  SELECT *, max(e_us) OVER (PARTITION BY user_id
+        |    ORDER BY s_us, e_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM ev
+        |),
+        |f AS (
+        |  SELECT *, CAST(sum(CASE WHEN pm IS NULL OR s_us >= pm THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM w
+        |),
+        |agg AS (
+        |  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+        |         min(s_us) AS start_us, max(e_us) AS end_us
+        |  FROM f GROUP BY 1, 2
+        |)
+        |SELECT a.user_id, a.n_events, a.start_us, a.end_us
+        |FROM agg a, mx
+        |WHERE a.end_us <= epoch_us(mt - INTERVAL 2 HOUR)""".stripMargin,
     "q61_stream_sessions" ->
       """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |mx AS (SELECT max(ts) AS mt FROM ev),

@@ -62,6 +62,28 @@ object EventStream {
       .select(col("session_window.start").as("start_ts"),
         col("session_window.end").as("end_ts"), col("user_id"), col("n_events"))
 
+  /** DYNAMIC-gap session aggregation: the idle timeout is an
+    * expression of the event itself (a purchase keeps the session
+    * alive 60 minutes, anything else 20) — the engagement-weighted
+    * sessionization real clickstream models use. Under the hood each
+    * event opens the window [ts, ts+gap(event)) and overlapping
+    * windows merge, so the batch replay is exactly the
+    * gaps-and-islands interval merge (q112's machinery) with the
+    * session end = the running MAX of window ends, not last-event+gap.
+    */
+  def sessionCountsDynamicGap(
+      events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"),
+          when(col("event_type") === "purchase", lit("60 minutes"))
+            .otherwise(lit("20 minutes"))),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"), col("user_id"), col("n_events"))
+
   /** Stream-static enrichment + tumbling weighted sums: broadcast-join
     * a static dimension (event_type → weight) onto the stream, then
     * aggregate per window. The canonical dimension-enrichment shape:
