@@ -1246,6 +1246,15 @@ object SparkEntry {
         t.documents.filter(col("doc_id") % 20 === 0),
         minShared = 5)
     }),
+    "q129_decontaminate" -> ((s, dir) => {
+      // surgical decontamination: excise every corpus word covered by
+      // a benchmark-shared 3-gram (q55's scan, now applied); output
+      // the cleaned-text hash so the gate pins the repaired bytes
+      val t = Tables(s, dir)
+      Dedup.decontaminate(
+        t.documents.filter(col("doc_id") % 20 =!= 0),
+        t.documents.filter(col("doc_id") % 20 === 0))
+    }),
     "q56_stratified_sample" -> ((s, dir) => {
       // per-source sampling rates (20..90, derived deterministically
       // from the source name) applied as a broadcast dim + hash filter
@@ -2582,6 +2591,46 @@ object SparkEntry {
          |FROM c JOIN b USING (s)
          |GROUP BY 1
          |HAVING count(DISTINCT c.s) >= 5""".stripMargin,
+    // excision replay: 1-based positional shingles, covered word
+    // positions via the 0..2 offset cross join, string_agg rebuild
+    "q129_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 20 <> 0
+        |),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id % 20 = 0)
+        |  WHERE len(w) >= 3
+        |),
+        |cpos AS (
+        |  SELECT id, w, unnest(range(1, len(w) - 1)) AS i
+        |  FROM w WHERE len(w) >= 3
+        |),
+        |csh AS (SELECT id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM cpos),
+        |hits AS (SELECT DISTINCT c.id, c.i FROM csh c JOIN bsh b USING (s)),
+        |cov AS (
+        |  SELECT DISTINCT id, i + x AS p
+        |  FROM hits CROSS JOIN (SELECT unnest(range(0, 3)) AS x)
+        |),
+        |wpos AS (
+        |  SELECT id, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS p FROM w
+        |),
+        |k AS (
+        |  SELECT wp.id,
+        |         string_agg(CASE WHEN c.p IS NULL THEN wp.word END, ' '
+        |           ORDER BY wp.p) AS cleaned,
+        |         CAST(sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+        |           AS n_removed
+        |  FROM wpos wp LEFT JOIN cov c ON c.id = wp.id AND c.p = wp.p
+        |  GROUP BY 1
+        |)
+        |SELECT w.id AS doc_id, CAST(len(w.w) AS INT) AS n_words,
+        |       k.n_removed, md5(coalesce(k.cleaned, '')) AS clean_hash,
+        |       k.n_removed > 0 AS contaminated
+        |FROM w JOIN k ON k.id = w.id""".stripMargin,
     "q56_stratified_sample" ->
       s"""WITH r AS (
          |  SELECT source,

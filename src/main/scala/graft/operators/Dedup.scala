@@ -351,6 +351,62 @@ object Dedup {
       .select(col("a.id").as("idA"), col("b.id").as("idB"), col("dist"))
   }
 
+  /** SURGICAL decontamination — the "apply" step [[crossContamination]]
+    * only scans for: every corpus word covered by a shingle that also
+    * occurs in the benchmark set is EXCISED, and the cleaned text
+    * re-emitted (as its hash here — the gate needs equality, not the
+    * bytes). This is how eval-set leakage is actually repaired in
+    * training corpora: drop the overlapping spans, keep the document.
+    *
+    * Positional shingles are rebuilt inline (the distinct-shingle
+    * helper would lose repeated occurrences and under-excise).
+    *
+    * Scale shape: mirrors crossContamination — the benchmark index is
+    * broadcast, the corpus sees one scan-local posexplode + broadcast
+    * semi-join, the covered-position rollup is a map-side-combined
+    * groupBy on the doc id, and the excision itself is an in-row
+    * higher-order filter over the word array. Text crosses the wire
+    * once (the id-keyed join back).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3): DataFrame = {
+    require(shingleSize == 3, "positional synthesis below is written for 3-grams")
+    val bench = spread(benchmark)
+      .select(explode(graft.functions.NativeText.wordShingles(col(textCol), shingleSize)).as("s"))
+      .distinct()
+    val corp = spread(corpus).select(col(idCol).as("id"), col(textCol).as("text"))
+    val words = split(col("text"), " ")
+    val nshin = size(words) - (shingleSize - 1)
+    val posShingles = when(nshin > 0,
+      transform(sequence(lit(0), nshin - 1), i =>
+        concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2),
+          element_at(words, i + 3))))
+      .otherwise(expr("CAST(array() AS array<string>)"))
+    val hits = corp
+      .select(col("id"), posexplode(posShingles).as(Seq("pos", "s")))
+      .join(broadcast(bench), Seq("s"))
+    val covered = hits.groupBy("id")
+      .agg(collect_list(col("pos")).as("poss"))
+      .select(col("id"),
+        array_distinct(flatten(transform(col("poss"),
+          p => sequence(p, p + 2)))).as("cov"))
+    corp.join(covered, Seq("id"), "left")
+      .withColumn("__cov",
+        coalesce(col("cov"), expr("CAST(array() AS array<int>)")))
+      .withColumn("__words", words)
+      .withColumn("__kept",
+        filter(col("__words"), (w, i) => !array_contains(col("__cov"), i)))
+      .select(col("id").as(idCol),
+        size(col("__words")).as("n_words"),
+        (size(col("__words")) - size(col("__kept"))).as("n_removed"),
+        md5(concat_ws(" ", col("__kept"))).as("clean_hash"),
+        (size(col("__cov")) > 0).as("contaminated"))
+  }
+
   /** Cross-corpus contamination check: which corpus documents share at
     * least `minShared` distinct word `shingleSize`-grams with any
     * benchmark document (the train/eval overlap scan every LLM data

@@ -520,6 +520,22 @@ class OperatorsSpec extends SparkSpec {
       "JL projection must not hash-shuffle")
   }
 
+  test("Dedup.decontaminate excises exactly the benchmark-covered spans") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f"), (2L, "p q r s t u")).toDF("doc_id", "text")
+    val bench = Seq((9L, "c d e x y z")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3),
+        r.getBoolean(4))).toMap
+    // shared 3-gram "c d e" covers words 2..4 → "a b f" survives
+    val cleanHash = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b f".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((6, 3, cleanHash, true)), out(1L).toString)
+    val untouched = java.security.MessageDigest.getInstance("MD5")
+      .digest("p q r s t u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(2L) == ((6, 0, untouched, false)))
+  }
+
   test("Dedup.prefixJaccardJoin finds exactly the brute-force pair set") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
