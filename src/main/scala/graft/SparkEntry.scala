@@ -962,6 +962,13 @@ object SparkEntry {
         .select(col("doc_id"), col("win_idx"), col("energy"),
           round(col("rms"), 4).as("rms"))
     }),
+    "q130_skyline" -> ((s, dir) => {
+      // Pareto frontier of parts (minimize retail price AND size):
+      // lossless bucket-local pruning, then one tiny global pass —
+      // the raw table is never globally sorted
+      val t = Tables(s, dir)
+      Rollups.skyline2d(t.part, "p_retailprice", "p_size")
+    }),
     "q126_window_topk_rewrite" -> ((s, dir) => {
       // written as the classic windowed top-k — per-source top-3 docs
       // by a hash priority — and REWRITTEN by the RewriteWindowTopK
@@ -2859,6 +2866,16 @@ object SparkEntry {
          |FROM ue u
          |JOIN est ea ON ea.seg = u.seg_a
          |JOIN est eb ON eb.seg = u.seg_b""".stripMargin,
+    "q130_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_retailprice AS x, p_size AS y, CAST(count(*) AS BIGINT) AS n
+        |  FROM part GROUP BY 1, 2
+        |)
+        |SELECT x, y, n FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y)
+        |)""".stripMargin,
     "q126_window_topk_rewrite" ->
       s"""WITH r AS (
          |  SELECT doc_id, source, lang, n_chars,

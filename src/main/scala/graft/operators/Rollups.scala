@@ -225,6 +225,47 @@ object Rollups {
       .drop("__rn", "__g")
   }
 
+  /** 2-D skyline (Pareto frontier, minimize both): the distinct points
+    * no other point beats on both dimensions (ties on one dimension
+    * only don't dominate). The classic OLAP "best tradeoffs" operator
+    * (Börzsönyi et al., ICDE'01).
+    *
+    * Formulation: on DISTINCT points sorted by (x asc, y asc), a point
+    * is dominated iff the running min of y over STRICTLY preceding
+    * rows is ≤ its y — every preceding row has (x' < x) or
+    * (x' = x ∧ y' < y), so that single running min IS the dominance
+    * test.
+    *
+    * Scale shape: phase 1 computes local frontiers per md5 bucket of
+    * the distinct-point table (any globally non-dominated point is
+    * locally non-dominated, so pruning is lossless); phase 2 runs the
+    * same rule once over the surviving points — a tiny set, the only
+    * single-partition window in the plan. The raw table is never
+    * globally sorted.
+    */
+  def skyline2d(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      buckets: Int = 32): DataFrame = {
+    val pts = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n"))
+    def frontier(in: DataFrame, part: Seq[Column]): DataFrame = {
+      val w = (if (part.isEmpty) Window.partitionBy(lit(1))
+        else Window.partitionBy(part: _*))
+        .orderBy(col("x"), col("y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      in.withColumn("__pm", min(col("y")).over(w))
+        .filter(col("__pm").isNull || col("__pm") > col("y"))
+        .drop("__pm")
+    }
+    val local = frontier(pts.withColumn("__b",
+      Sampling.hashBucket(concat(col("x").cast("string"), lit("|"),
+        col("y").cast("string")), "sky") % buckets), Seq(col("__b")))
+      .drop("__b")
+    frontier(local, Seq.empty)
+  }
+
   private def firstPeaks(dense: DataFrame, keys: Seq[String]): DataFrame =
     Novelty.peaks(dense, keys)
       .groupBy(keys.map(col): _*)

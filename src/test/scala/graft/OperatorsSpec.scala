@@ -520,6 +520,26 @@ class OperatorsSpec extends SparkSpec {
       "JL projection must not hash-shuffle")
   }
 
+  test("Rollups.skyline2d ≡ brute-force dominance, ties and duplicates included") {
+    import spark.implicits._
+    // (1,9) (3,3) frontier; (2,3) dominates... wait (2,3) vs (3,3):
+    // x smaller, y equal → (3,3) dominated. duplicates of (1,9) both
+    // counted; (1,9) kept despite y=9 because nothing beats x=1
+    val pts = Seq((1.0, 9), (1.0, 9), (2.0, 3), (3.0, 3), (5.0, 1),
+      (5.0, 2), (0.5, 12), (6.0, 1)).toDF("px", "py")
+    val got = Rollups.skyline2d(pts, "px", "py").collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2))).toSet
+    val p = pts.groupBy(col("px").as("x"), col("py").as("y"))
+      .agg(count(lit(1)).as("n"))
+    val want = p.as("p").join(p.as("q"),
+        col("q.x") <= col("p.x") && col("q.y") <= col("p.y") &&
+          (col("q.x") < col("p.x") || col("q.y") < col("p.y")), "left_anti")
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want, s"got $got want $want")
+    assert(got.contains((0.5, 12, 1L)) && got.contains((5.0, 1, 1L)) &&
+      got.contains((1.0, 9, 2L)) && !got.contains((3.0, 3, 1L)))
+  }
+
   test("Dedup.decontaminate excises exactly the benchmark-covered spans") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c d e f"), (2L, "p q r s t u")).toDF("doc_id", "text")
