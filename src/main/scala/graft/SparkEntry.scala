@@ -962,6 +962,24 @@ object SparkEntry {
         .select(col("doc_id"), col("win_idx"), col("energy"),
           round(col("rms"), 4).as("rms"))
     }),
+    "q131_mode" -> ((s, dir) => {
+      // most frequent language per source: O(1)-state max(struct)
+      // mode, deterministic greatest-value tie-break, no window
+      val t = Tables(s, dir)
+      Rollups.modePerKey(t.documents, Seq("source"), "lang")
+    }),
+    "q132_dim_stats" -> ((s, dir) => {
+      // feature standardization fit: per-dimension mean/std of the
+      // quantized embeddings from exact integer sums
+      val t = Tables(s, dir)
+      SimilaritySearch.dimStats(t.embeddings)
+    }),
+    "q133_time_weighted" -> ((s, dir) => {
+      // duration-weighted average event value per user (step-function
+      // holding semantics); exact cents x whole-seconds integers
+      val t = Tables(s, dir)
+      EventWindows.timeWeightedAvg(t.events)
+    }),
     "q130_skyline" -> ((s, dir) => {
       // Pareto frontier of parts (minimize retail price AND size):
       // lossless bucket-local pruning, then one tiny global pass —
@@ -2866,6 +2884,53 @@ object SparkEntry {
          |FROM ue u
          |JOIN est ea ON ea.seg = u.seg_a
          |JOIN est eb ON eb.seg = u.seg_b""".stripMargin,
+    "q131_mode" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY n DESC, lang DESC) AS rk
+        |  FROM c
+        |)
+        |SELECT source, lang AS mode_lang, n FROM r WHERE rk = 1""".stripMargin,
+    "q132_dim_stats" ->
+      s"""WITH $EmbSql,
+         |e AS (SELECT unnest(q) AS v, unnest(range(0, 64)) AS pos FROM nrm),
+         |a AS (
+         |  SELECT CAST(pos AS INT) AS pos, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(v) AS BIGINT) AS s, CAST(sum(v*v) AS BIGINT) AS s2
+         |  FROM e GROUP BY 1
+         |)
+         |SELECT pos, n, round(CAST(s AS DOUBLE) / n, 4) AS mean,
+         |       round(sqrt((CAST(s2 AS DOUBLE)
+         |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 4)
+         |         AS std
+         |FROM a""".stripMargin,
+    "q133_time_weighted" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS v_i
+        |  FROM events
+        |),
+        |n AS (
+        |  SELECT *, lead(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS next_us
+        |  FROM e
+        |),
+        |d AS (
+        |  SELECT user_id, v_i, (next_us - us) // 1000000 AS dur_s
+        |  FROM n WHERE next_us IS NOT NULL
+        |),
+        |a AS (
+        |  SELECT user_id, CAST(sum(dur_s) AS BIGINT) AS total_s,
+        |         CAST(sum(v_i * dur_s) AS BIGINT) AS ws
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT user_id, total_s,
+        |       round(CAST(ws AS DOUBLE) / total_s / 100, 4) AS twa
+        |FROM a WHERE total_s > 0""".stripMargin,
     "q130_skyline" ->
       """WITH pts AS (
         |  SELECT p_retailprice AS x, p_size AS y, CAST(count(*) AS BIGINT) AS n

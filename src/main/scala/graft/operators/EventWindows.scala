@@ -118,6 +118,39 @@ object EventWindows {
         round(col("n_active").cast("double") / col("n_cohort"), 4))
   }
 
+  /** Duration-weighted average value per key: each event's value holds
+    * until the next event (step-function semantics — sensor readings,
+    * position sizes, price quotes), so the mean weighs each value by
+    * its holding time, not its row count. Arithmetic stays in exact
+    * integers (cents × whole seconds) so the sums are associative
+    * across any partitioning; only the final division is floating
+    * point. One (key) window exchange; the rollup rides it.
+    */
+  def timeWeightedAvg(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      valCol: String = "value",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val us = unix_micros(col(tsCol))
+    events
+      .withColumn("__us", us)
+      .withColumn("__next", lead(col("__us"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      // integer DIV — `/` on longs is double division, whose rounding
+      // near integer boundaries need not match another engine's `//`
+      .withColumn("__dur_s", expr("(__next - __us) DIV 1000000"))
+      .withColumn("__v_i", round(col(valCol) * 100).cast("long"))
+      .groupBy(keyCol)
+      .agg(
+        sum(col("__dur_s")).as("total_s"),
+        sum(col("__v_i") * col("__dur_s")).as("__ws"))
+      .filter(col("total_s") > 0)
+      .select(col(keyCol), col("total_s"),
+        round(col("__ws").cast("double") / col("total_s") / 100, 4).as("twa"))
+  }
+
   /** Gaps-and-islands interval coalescing: merge overlapping (or
     * touching) [start, end] intervals per key into maximal covered
     * islands — the availability/coverage primitive (machine uptime,

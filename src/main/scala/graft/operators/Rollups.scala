@@ -266,6 +266,24 @@ object Rollups {
     frontier(local, Seq.empty)
   }
 
+  /** Grouped mode (most frequent value per key), deterministic ties:
+    * two map-side-combined groupBys and a `max(struct(n, value))` —
+    * the struct's lexicographic order picks the highest count, then
+    * the greatest value — with O(1) aggregate state, never a
+    * count-ranked window (whose hottest key is one task under Zipf).
+    */
+  def modePerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(col("n"), col(valueCol))).as("__m"))
+      .select(keys.map(col) :+
+        col(s"__m.$valueCol").as(s"mode_$valueCol") :+
+        col("__m.n").as("n"): _*)
+
   private def firstPeaks(dense: DataFrame, keys: Seq[String]): DataFrame =
     Novelty.peaks(dense, keys)
       .groupBy(keys.map(col): _*)

@@ -511,6 +511,26 @@ object SimilaritySearch {
         (0 until outDims).map(j => col(s"p$j")) :+ col("norm_ratio"): _*)
   }
 
+  /** Per-dimension corpus statistics over the quantized embeddings
+    * (the fit step of feature standardization — z-scoring before
+    * clustering/IVF training): one posexplode fans each vector into
+    * (pos, v) rows, and a 64-group aggregate carries exact integer
+    * Σv / Σv² (associative under any partitioning), so mean and the
+    * sample std are engine-identical up to one division and sqrt.
+    */
+  def dimStats(df: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val e = spread(df).select(posexplode(quantize(col(embCol))).as(Seq("pos", "v")))
+    e.groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("__s"),
+        sum(col("v") * col("v")).as("__s2"))
+      .select(col("pos"), col("n"),
+        round(col("__s").cast("double") / col("n"), 4).as("mean"),
+        round(sqrt((col("__s2").cast("double") -
+          col("__s").cast("double") * col("__s").cast("double") / col("n")) /
+          (col("n") - 1)), 4).as("std"))
+  }
+
   /** The q122 oracle's projection terms, generated from [[jlSigns]]:
     * `q[1]*s + q[2]*s + …` per output dim.
     */
