@@ -962,6 +962,19 @@ object SparkEntry {
         .select(col("doc_id"), col("win_idx"), col("energy"),
           round(col("rms"), 4).as("rms"))
     }),
+    "q134_grouping_sets" -> ((s, dir) => {
+      // disjoint grouping sets (l_returnflag), (l_linestatus) in one
+      // pass: cube + grouping_id pruning — the Expand emits each row
+      // once per surviving set, never one shuffle per dimension
+      val t = Tables(s, dir)
+      t.lineitem.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .filter(col("gid").isin(1, 2))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("n"), col("gid").cast("int").as("gid"))
+    }),
     "q131_mode" -> ((s, dir) => {
       // most frequent language per source: O(1)-state max(struct)
       // mode, deterministic greatest-value tie-break, no window
@@ -2884,6 +2897,13 @@ object SparkEntry {
          |FROM ue u
          |JOIN est ea ON ea.seg = u.seg_a
          |JOIN est eb ON eb.seg = u.seg_b""".stripMargin,
+    "q134_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "q131_mode" ->
       """WITH c AS (
         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
