@@ -211,9 +211,10 @@ object SparkEntry {
       alias: String,
       valueExpr: String,
       groupExpr: String = "event_type",
-      groupName: String = "event_type"): String =
+      groupName: String = "event_type",
+      table: String = "events"): String =
     s"""${alias}_h AS (
-       |  SELECT $groupExpr AS $groupName, md5(CAST($valueExpr AS VARCHAR)) AS hx FROM events
+       |  SELECT $groupExpr AS $groupName, md5(CAST($valueExpr AS VARCHAR)) AS hx FROM $table
        |),
        |${alias}_reg AS (
        |  SELECT $groupName, idx,
@@ -961,6 +962,19 @@ object SparkEntry {
       Multimodal.wavWindows(Multimodal.textToWav(t.documents), win = 50).toDF()
         .select(col("doc_id"), col("win_idx"), col("energy"),
           round(col("rms"), 4).as("rms"))
+    }),
+    "q135_hll_rollup" -> ((s, dir) => {
+      // sketch re-aggregation: per-(source, lang) HLL register files
+      // STORED as bytes, rolled up per source by register merge —
+      // associativity means any rollup path equals the direct
+      // per-source sketch, which is what the oracle computes
+      val t = Tables(s, dir)
+      t.documents.groupBy("source", "lang")
+        .agg(graft.functions.HllSketch.hllState(col("doc_id")).as("sk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_groups"),
+          round(graft.functions.HllSketch.hllMergeEstimate(col("sk")), 4)
+            .as("u_hll"))
     }),
     "q134_grouping_sets" -> ((s, dir) => {
       // disjoint grouping sets (l_returnflag), (l_linestatus) in one
@@ -2897,6 +2911,14 @@ object SparkEntry {
          |FROM ue u
          |JOIN est ea ON ea.seg = u.seg_a
          |JOIN est eb ON eb.seg = u.seg_b""".stripMargin,
+    "q135_hll_rollup" ->
+      s"""WITH ${HllChainSql("hs", "doc_id", "source", "source", "documents")},
+         |g AS (
+         |  SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_groups
+         |  FROM documents GROUP BY 1
+         |)
+         |SELECT g.source, g.n_groups, round(hs.est, 4) AS u_hll
+         |FROM g JOIN hs_est hs USING (source)""".stripMargin,
     "q134_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -122,6 +122,64 @@ case class HllSketch(
     copy(child = newChild)
 }
 
+/** [[HllSketch]] that evals to the REGISTER FILE (length-prefixed
+  * bytes) instead of the estimate — the persistable half of sketch
+  * re-aggregation: store per-fine-grain sketches once, roll them up
+  * to any coarser grain later with [[HllMerge]], never re-touching
+  * the raw values (register max is associative/commutative/
+  * idempotent, so any rollup path lands on the same registers).
+  */
+case class HllState(
+    child: Expression,
+    p: Int = 12,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllRegisters] with UnaryLike[Expression] {
+
+  private val inner = HllSketch(child, p)
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_state"
+  override def createAggregationBuffer(): HllRegisters = new HllRegisters(p)
+  override def update(b: HllRegisters, in: InternalRow): HllRegisters = inner.update(b, in)
+  override def merge(b: HllRegisters, o: HllRegisters): HllRegisters = inner.merge(b, o)
+  override def eval(b: HllRegisters): Any = serialize(b)
+  override def serialize(b: HllRegisters): Array[Byte] = inner.serialize(b)
+  override def deserialize(bytes: Array[Byte]): HllRegisters = inner.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): HllState = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllState = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllState = copy(child = c)
+}
+
+/** Folds STORED register files (from [[HllState]]) and evals the
+  * estimate — the rollup half of sketch re-aggregation.
+  */
+case class HllMerge(
+    child: Expression,
+    p: Int = 12,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllRegisters] with UnaryLike[Expression] {
+
+  private val inner = HllSketch(child, p)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_merge"
+  override def createAggregationBuffer(): HllRegisters = new HllRegisters(p)
+  override def update(b: HllRegisters, in: InternalRow): HllRegisters = {
+    val v = child.eval(in)
+    if (v != null) inner.merge(b, inner.deserialize(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+  override def merge(b: HllRegisters, o: HllRegisters): HllRegisters = inner.merge(b, o)
+  override def eval(b: HllRegisters): Any = b.estimate()
+  override def serialize(b: HllRegisters): Array[Byte] = inner.serialize(b)
+  override def deserialize(bytes: Array[Byte]): HllRegisters = inner.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): HllMerge = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMerge = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllMerge = copy(child = c)
+}
+
 object HllSketch {
   /** 2^53 as an exact double. */
   val Pow53: Double = 9007199254740992.0
@@ -133,4 +191,16 @@ object HllSketch {
     import org.apache.spark.sql.functions.md5
     columnOf(HllSketch(expressionOf(md5(value.cast("string"))), p).toAggregateExpression())
   }
+
+  /** The register file of `value`'s sketch, as bytes (store at fine
+    * grain, roll up later with [[hllMergeEstimate]]).
+    */
+  def hllState(value: Column, p: Int = 12): Column = {
+    import org.apache.spark.sql.functions.md5
+    columnOf(HllState(expressionOf(md5(value.cast("string"))), p).toAggregateExpression())
+  }
+
+  /** Fold stored register files to the merged estimate. */
+  def hllMergeEstimate(states: Column, p: Int = 12): Column =
+    columnOf(HllMerge(expressionOf(states), p).toAggregateExpression())
 }

@@ -325,16 +325,26 @@ object Dedup {
           (col("szA") + col("szB") - col("common")), 4).as("jaccard"))
   }
 
-  /** Blocked fuzzy record linkage: candidate pairs come from an
-    * equality block (the classic blocking step — at 100 TB the
-    * all-pairs edit-distance matrix is unthinkable, a block key
-    * bounds the quadratic term to block size), then survive an edit
-    * distance threshold on the name field. Both engines compute
-    * Levenshtein natively and integer-exactly, so the match set is
-    * oracle-gated without tolerance.
+  /** Fuzzy record linkage at edit distance ≤ 1, EXACT and
+    * near-linear: the FastSS / symmetric-delete neighborhood (Bocek
+    * et al. 2007) — two strings are within one edit iff their
+    * deletion neighborhoods (every single-character deletion, plus
+    * the string itself) intersect: a substitution deletes the
+    * differing position from both; an insertion's deletion IS the
+    * shorter string. So candidates come from an equi-join on
+    * (block, deletion-variant) — |s|+1 variants per row, tiny
+    * buckets — never the block-quadratic pair matrix a blocked
+    * self-join with a per-pair edit-distance predicate degenerates
+    * to (prefix-half pigeonhole blocking is useless on common-prefix
+    * name data: every "Customer#…" shares the prefix half).
+    * Survivors verify with the banded THRESHOLD levenshtein (−1 past
+    * the threshold), so the full DP never runs.
     *
-    * Scale shape: one exchange per side on the block key, per-block
-    * work quadratic only in block size, AQE splits a skewed block.
+    * Scale shape: explode ≈ |s| variants per row, map-side-combined
+    * groupBy on the (block, variant) key, in-row pair expansion over
+    * the tiny buckets, id-keyed joins back for verification. A
+    * degenerate bucket (mass-identical names) is the exact-dedup
+    * case — run [[exact]] first.
     */
   def fuzzyPairs(
       df: DataFrame,
@@ -342,13 +352,27 @@ object Dedup {
       nameCol: String,
       idCol: String,
       maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1, "deletion-neighborhood blocking is exact for maxDist = 1")
     val c = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(nameCol).as("nm"))
-    c.as("a").join(c.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("dist", levenshtein(col("a.nm"), col("b.nm")))
-      .filter(col("dist") <= maxDist)
-      .select(col("a.id").as("idA"), col("b.id").as("idB"), col("dist"))
+    // i = 0..len−1 delete position i+1; i = len yields the string itself
+    val variants = expr(
+      """transform(sequence(0, length(nm)),
+        |  i -> concat(substr(nm, 1, i), substr(nm, i + 2, length(nm))))""".stripMargin)
+    val cand = c
+      .select(col("blk"), col("id"), explode(array_distinct(variants)).as("v"))
+      .groupBy("blk", "v").agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("idA"), col("ids"))
+      .select(col("idA"), explode(col("ids")).as("idB"))
+      .filter(col("idA") < col("idB"))
+      .distinct()
+    cand
+      .join(c.select(col("id").as("idA"), col("nm").as("nmA")), Seq("idA"))
+      .join(c.select(col("id").as("idB"), col("nm").as("nmB")), Seq("idB"))
+      .withColumn("dist", levenshtein(col("nmA"), col("nmB"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("idA"), col("idB"), col("dist"))
   }
 
   /** SURGICAL decontamination — the "apply" step [[crossContamination]]

@@ -520,6 +520,27 @@ class OperatorsSpec extends SparkSpec {
       "JL projection must not hash-shuffle")
   }
 
+  test("Dedup.fuzzyPairs (FastSS) ≡ brute-force edit-distance-1 pairs") {
+    import spark.implicits._
+    val names = Seq(
+      1L -> "martha", 2L -> "marta", // deletion
+      3L -> "martna", // substitution of 1
+      4L -> "xmartha", // insertion at front of 1
+      5L -> "zzzzzz", // unrelated
+      6L -> "marthaa", // insertion at back of 1
+      7L -> "martha" // exact dup of 1
+    ).toDF("id", "nm").withColumn("blk", lit(0))
+    val got = Dedup.fuzzyPairs(names, "blk", "nm", "id").select("idA", "idB")
+      .as[(Long, Long)].collect().toSet
+    val want = names.as("a").join(names.as("b"), col("a.id") < col("b.id"))
+      .filter(levenshtein(col("a.nm"), col("b.nm")) <= 1)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.contains((1L, 2L)) && want.contains((1L, 3L)) &&
+      want.contains((1L, 4L)) && want.contains((1L, 6L)) &&
+      want.contains((1L, 7L)) && !want.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("Rollups.skyline2d ≡ brute-force dominance, ties and duplicates included") {
     import spark.implicits._
     // (1,9) (3,3) frontier; (2,3) dominates... wait (2,3) vs (3,3):
