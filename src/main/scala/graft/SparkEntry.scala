@@ -963,6 +963,26 @@ object SparkEntry {
         .select(col("doc_id"), col("win_idx"), col("energy"),
           round(col("rms"), 4).as("rms"))
     }),
+    "q136_cdc_apply" -> ((s, dir) => {
+      // CDC changelog apply: events as an ordered upsert/delete log
+      // per user ('error' = tombstone); final state = last op per key
+      // via one bounded max_by aggregate (O(1) state, map-side
+      // combined — never a ranked window over the log), tombstoned
+      // keys dropped
+      val t = Tables(s, dir)
+      val log = t.events.select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        round(col("value") * 100).cast("long").as("v_i"))
+      log.groupBy("user_id")
+        .agg(max_by(struct(col("op"), col("v_i")), struct(col("us"), col("event_id")))
+          .as("__last"))
+        .filter(col("__last.op") =!= "D")
+        .select(col("user_id"),
+          round(col("__last.v_i").cast("double") / 100, 4).as("last_v"))
+    }),
     "q135_hll_rollup" -> ((s, dir) => {
       // sketch re-aggregation: per-(source, lang) HLL register files
       // STORED as bytes, rolled up per source by register merge —
@@ -2911,6 +2931,20 @@ object SparkEntry {
          |FROM ue u
          |JOIN est ea ON ea.seg = u.seg_a
          |JOIN est eb ON eb.seg = u.seg_b""".stripMargin,
+    "q136_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         CAST(round(value * 100) AS BIGINT) AS v_i
+        |  FROM events
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us DESC, event_id DESC) AS rk
+        |  FROM log
+        |)
+        |SELECT user_id, round(CAST(v_i AS DOUBLE) / 100, 4) AS last_v
+        |FROM r WHERE rk = 1 AND op <> 'D'""".stripMargin,
     "q135_hll_rollup" ->
       s"""WITH ${HllChainSql("hs", "doc_id", "source", "source", "documents")},
          |g AS (
