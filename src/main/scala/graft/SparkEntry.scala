@@ -983,6 +983,30 @@ object SparkEntry {
         .select(col("user_id"),
           round(col("__last.v_i").cast("double") / 100, 4).as("last_v"))
     }),
+    "q137_cms_rollup" -> ((s, dir) => {
+      // sketch-grain frequency OLAP: per-(source, lang) count-min
+      // counter matrices STORED as long vectors, rolled up per source
+      // by ONE elementwise vector_sum — counter addition is
+      // associative, so any rollup path equals the direct source-grain
+      // sketch, which is what the oracle rebuilds. Estimates for the
+      // global exact top-5 words are then pure projections over the
+      // broadcast merged sketches.
+      val t = Tables(s, dir)
+      val words = t.documents.select(col("source"), col("lang"),
+        explode(TextAnalysis.words(col("text"))).as("word"))
+      val fine = words.groupBy("source", "lang")
+        .agg(graft.functions.CmsSketch.cmsSketch(col("word")).as("sk"))
+      val rolled = fine.groupBy("source")
+        .agg(count(lit(1)).as("n_groups"),
+          graft.functions.VectorSum.vectorSum(col("sk")).as("sk"))
+      val top = words.groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(5)
+        .select("word")
+      rolled.join(broadcast(top))
+        .select(col("source"), col("n_groups"), col("word"),
+          graft.functions.CmsSketch.cmsEstimate(col("sk"), col("word"))
+            .as("cms_n"))
+    }),
     "q135_hll_rollup" -> ((s, dir) => {
       // sketch re-aggregation: per-(source, lang) HLL register files
       // STORED as bytes, rolled up per source by register merge —
@@ -2945,6 +2969,34 @@ object SparkEntry {
         |)
         |SELECT user_id, round(CAST(v_i AS DOUBLE) / 100, 4) AS last_v
         |FROM r WHERE rk = 1 AND op <> 'D'""".stripMargin,
+    "q137_cms_rollup" ->
+      s"""WITH wd AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+         |),
+         |top AS (
+         |  SELECT word FROM (
+         |    SELECT word, count(*) AS n FROM wd GROUP BY word
+         |    ORDER BY n DESC, word LIMIT 5)
+         |),
+         |ng AS (
+         |  SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_groups
+         |  FROM documents GROUP BY 1
+         |),
+         |rows_i AS (SELECT unnest(range(0, 4)) AS ci),
+         |bk AS (
+         |  SELECT source, ci, ${HexValSql("md5(ci || ':' || word)", 1, 6)} % 1024 AS b,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM wd CROSS JOIN rows_i GROUP BY 1, 2, 3
+         |),
+         |tb AS (
+         |  SELECT word, ci, ${HexValSql("md5(ci || ':' || word)", 1, 6)} % 1024 AS b
+         |  FROM top CROSS JOIN rows_i
+         |)
+         |SELECT ng.source, ng.n_groups, tb.word,
+         |       min(coalesce(bk.n, CAST(0 AS BIGINT))) AS cms_n
+         |FROM ng CROSS JOIN tb
+         |LEFT JOIN bk ON bk.source = ng.source AND bk.ci = tb.ci AND bk.b = tb.b
+         |GROUP BY 1, 2, 3""".stripMargin,
     "q135_hll_rollup" ->
       s"""WITH ${HllChainSql("hs", "doc_id", "source", "source", "documents")},
          |g AS (

@@ -254,6 +254,43 @@ class FunctionsSpec extends SparkSpec {
     assert(estimates(df.repartition(17)) == est, "merge must be elementwise sum")
   }
 
+  test("vectorSum: rollup path equals direct build; nulls skipped; all-null is null") {
+    val rows = Seq(
+      ("a", "x", Seq(1L, 2L, 3L)), ("a", "x", Seq(10L, 0L, 0L)),
+      ("a", "y", Seq(0L, 5L, 0L)), ("b", "x", Seq(7L, 7L, 7L)))
+      .toDF("g", "sub", "vec")
+    // fine grain (g, sub) -> coarse g must equal aggregating g directly
+    val direct = rows.groupBy("g").agg(VectorSum.vectorSum(col("vec")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val rolled = rows.groupBy("g", "sub")
+      .agg(VectorSum.vectorSum(col("vec")).as("v"))
+      .groupBy("g").agg(VectorSum.vectorSum(col("v")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(direct == rolled)
+    assert(direct("a") == Seq(11L, 7L, 3L) && direct("b") == Seq(7L, 7L, 7L))
+    val withNull = rows.select(col("g"),
+      when(col("sub") === "y", lit(null)).otherwise(col("vec")).as("vec"))
+    val skipped = withNull.groupBy("g").agg(VectorSum.vectorSum(col("vec")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(skipped("a") == Seq(11L, 2L, 3L), "null rows must be skipped")
+    val allNull = rows.select(lit("z").as("g"), lit(null).cast("array<long>").as("vec"))
+      .groupBy("g").agg(VectorSum.vectorSum(col("vec")).as("v")).head()
+    assert(allNull.isNullAt(1), "all-null group must yield NULL")
+    // partitioning invariance (merge = elementwise sum)
+    val re = rows.repartition(13).groupBy("g")
+      .agg(VectorSum.vectorSum(col("vec")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(re == direct)
+  }
+
+  test("vectorSum rejects mismatched lengths instead of zip-truncating") {
+    val bad = Seq(Seq(1L, 2L), Seq(1L, 2L, 3L)).toDF("vec")
+      .coalesce(1)
+      .agg(VectorSum.vectorSum(col("vec")))
+    val e = intercept[Exception](bad.head())
+    assert(e.getMessage != null)
+  }
+
   test("bloomAgg/mightContain: no false negatives, low FP rate, OR-merge invariant") {
     val members = spark.range(0, 2000).select(col("id").as("v"))
     def probeSet(d: org.apache.spark.sql.DataFrame): Set[Long] = {
