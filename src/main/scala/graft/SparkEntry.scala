@@ -983,6 +983,26 @@ object SparkEntry {
         .select(col("user_id"),
           round(col("__last.v_i").cast("double") / 100, 4).as("last_v"))
     }),
+    "q138_bitmap_rollup" -> ((s, dir) => {
+      // exact-distinct re-aggregation: distinct counts don't add
+      // across grains, but bitmaps OR — per-(event_type, day) bitset
+      // files over the dense user-id domain, ORed up to event_type
+      // grain for the EXACT distinct-user count (the counterpart HLL
+      // rollup q135 can only approximate). OR is idempotent, so any
+      // rollup path equals count(DISTINCT) — which is the oracle.
+      val t = Tables(s, dir)
+      t.events
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy("event_type", "day")
+        .agg(graft.functions.BitmapSketch.bitmapState(col("user_id"), 1 << 16)
+            .as("bm"),
+          count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          sum("n").cast("long").as("n_events"),
+          graft.functions.BitmapSketch.bitmapMergeCount(col("bm"), 1 << 16)
+            .as("u_exact"))
+    }),
     "q137_cms_rollup" -> ((s, dir) => {
       // sketch-grain frequency OLAP: per-(source, lang) count-min
       // counter matrices STORED as long vectors, rolled up per source
@@ -2969,6 +2989,12 @@ object SparkEntry {
         |)
         |SELECT user_id, round(CAST(v_i AS DOUBLE) / 100, 4) AS last_v
         |FROM r WHERE rk = 1 AND op <> 'D'""".stripMargin,
+    "q138_bitmap_rollup" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS u_exact
+        |FROM events GROUP BY 1""".stripMargin,
     "q137_cms_rollup" ->
       s"""WITH wd AS (
          |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents

@@ -291,6 +291,36 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("bitmapDistinct: exact, duplication/partitioning-invariant; state rollup = direct") {
+    val rows = spark.range(0, 5000)
+      .select((col("id") % 700).as("v"), (col("id") % 3).as("g"))
+    val exact = rows.agg(BitmapSketch.bitmapDistinct(col("v"), 1 << 12))
+      .head().getLong(0)
+    assert(exact == 700L)
+    val re = rows.repartition(11).agg(BitmapSketch.bitmapDistinct(col("v"), 1 << 12))
+      .head().getLong(0)
+    assert(re == 700L, "merge must be bitwise OR")
+    // fine grain (g) states ORed back together == global distinct
+    val rolled = rows.groupBy("g")
+      .agg(BitmapSketch.bitmapState(col("v"), 1 << 12).as("bm"))
+      .agg(BitmapSketch.bitmapMergeCount(col("bm"), 1 << 12))
+      .head().getLong(0)
+    assert(rolled == 700L, "bitmap rollup must equal the direct distinct")
+    // per-group counts match exact count(DISTINCT)
+    val per = rows.groupBy("g")
+      .agg(BitmapSketch.bitmapDistinct(col("v"), 1 << 12).as("u"),
+        countDistinct(col("v")).as("cd"))
+      .collect()
+    per.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+  }
+
+  test("bitmapDistinct fails loudly outside the domain instead of aliasing") {
+    val bad = spark.range(0, 10).select((col("id") + 4090).as("v"))
+      .agg(BitmapSketch.bitmapDistinct(col("v"), 1 << 12))
+    val e = intercept[Exception](bad.head())
+    assert(e.getMessage != null)
+  }
+
   test("bloomAgg/mightContain: no false negatives, low FP rate, OR-merge invariant") {
     val members = spark.range(0, 2000).select(col("id").as("v"))
     def probeSet(d: org.apache.spark.sql.DataFrame): Set[Long] = {
