@@ -983,6 +983,21 @@ object SparkEntry {
         .select(col("user_id"),
           round(col("__last.v_i").cast("double") / 100, 4).as("last_v"))
     }),
+    "q139_cusum" -> ((s, dir) => {
+      // drift changepoints in daily event volume per type: one-sided
+      // CUSUM in running-sum form (running sum minus its running min,
+      // exact integers scaled by the series length) on one
+      // (event_type) exchange; flag = cumulative excess > 10% of the
+      // series' total volume
+      val t = Tables(s, dir)
+      val series = t.events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      Rollups.cusumDrift(series, Seq("event_type"), "day", "n")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("drift"), col("flag"))
+    }),
     "q138_bitmap_rollup" -> ((s, dir) => {
       // exact-distinct re-aggregation: distinct counts don't add
       // across grains, but bitmaps OR — per-(event_type, day) bitset
@@ -2989,6 +3004,33 @@ object SparkEntry {
         |)
         |SELECT user_id, round(CAST(v_i AS DOUBLE) / 100, 4) AS last_v
         |FROM r WHERE rk = 1 AND op <> 'D'""".stripMargin,
+    "q139_cusum" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |t AS (
+        |  SELECT *, CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tt,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS d
+        |  FROM s
+        |),
+        |r AS (
+        |  SELECT *, CAST(sum(n * d - tt) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS ss
+        |  FROM t
+        |),
+        |m AS (
+        |  SELECT *, ss - least(CAST(0 AS BIGINT), CAST(min(ss) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+        |    AS drift
+        |  FROM r
+        |)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, drift,
+        |       drift * 10 > tt * d AS flag
+        |FROM m""".stripMargin,
     "q138_bitmap_rollup" ->
       """SELECT event_type,
         |       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,

@@ -225,6 +225,45 @@ object Rollups {
       .drop("__rn", "__g")
   }
 
+  /** One-sided CUSUM drift statistic (Page 1954) over a keyed integer
+    * series, in running-sum form: the textbook recursion
+    * C_t = max(0, C_{t−1} + (x_t − μ)) collapses to
+    * C_t = S_t − min(0, min_{i≤t} S_i) with S_t = Σ_{i≤t}(x_i − μ) —
+    * a running sum minus its running minimum, so the stateful detector
+    * costs two O(1)-state window passes riding ONE (keys) exchange:
+    * no recursion, no self-join, no scaffold. Scaling every term by
+    * the series length D keeps the arithmetic in exact integers
+    * (μ = T/D is rational): S′_t = Σ(D·x_i − T) = D·S_t, and the
+    * emitted drift is D·C_t. A point is flagged when that scaled
+    * drift exceeds T·D/fracDen — cumulative positive deviation worth
+    * more than 1/fracDen of the series' total volume, a scale-free
+    * threshold that needs no variance estimate and stays
+    * integer-exact (engine-portable with zero float compares).
+    *
+    * The per-key totals come from an unordered full-frame window on
+    * the SAME partition keys as the running windows, so Catalyst
+    * plans one exchange + one sort for the whole operator.
+    *
+    * Adds (drift, flag) to the series rows.
+    */
+  def cusumDrift(
+      df: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      valCol: String,
+      fracDen: Int = 10): DataFrame = {
+    val part = Window.partitionBy(keys.map(col): _*)
+    val run = part.orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__T", sum(col(valCol).cast("long")).over(part))
+      .withColumn("__D", count(lit(1)).over(part))
+      .withColumn("__S",
+        sum(col(valCol).cast("long") * col("__D") - col("__T")).over(run))
+      .withColumn("drift", col("__S") - least(lit(0L), min("__S").over(run)))
+      .withColumn("flag", col("drift") * fracDen > col("__T") * col("__D"))
+      .drop("__T", "__D", "__S")
+  }
+
   /** 2-D skyline (Pareto frontier, minimize both): the distinct points
     * no other point beats on both dimensions (ties on one dimension
     * only don't dominate). The classic OLAP "best tradeoffs" operator

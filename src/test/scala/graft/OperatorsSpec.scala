@@ -683,4 +683,26 @@ class OperatorsSpec extends SparkSpec {
       small.getLong(small.fieldIndex("n_a")).toDouble)
     assert(small.getDouble(small.fieldIndex("est_intersect")) == 5.0)
   }
+
+  test("cusumDrift equals the textbook max(0, C+x-mu) recursion, scaled by D") {
+    val xs = Seq(4L, 4L, 4L, 12L, 13L, 4L, 4L, 20L, 4L, 4L)
+    val df = xs.zipWithIndex
+      .map { case (x, t) => ("k", t, x) }.toDF("g", "t", "x")
+    val got = Rollups.cusumDrift(df, Seq("g"), "t", "x", fracDen = 10)
+      .orderBy("t").select("drift", "flag").collect()
+    val total = xs.sum
+    val d = xs.length
+    // reference recursion in exact integer units (everything × D)
+    var c = 0L
+    val expect = xs.map { x =>
+      c = math.max(0L, c + x * d - total)
+      c
+    }
+    assert(got.map(_.getLong(0)).toSeq == expect)
+    assert(got.map(_.getBoolean(1)).toSeq == expect.map(_ * 10 > total * d))
+    // partitioning invariance
+    val re = Rollups.cusumDrift(df.repartition(7), Seq("g"), "t", "x")
+      .orderBy("t").select("drift").as[Long].collect().toSeq
+    assert(re == expect)
+  }
 }
