@@ -983,6 +983,16 @@ object SparkEntry {
         .select(col("user_id"),
           round(col("__last.v_i").cast("double") / 100, 4).as("last_v"))
     }),
+    "q140_autocorr" -> ((s, dir) => {
+      // ACF(1..3) of the yearly evidence volume per datasource —
+      // year-arithmetic pairing (gaps never misalign), decimal-exact
+      // moment sums on one (datasourceId) exchange, floats only in
+      // the final ratio
+      val t = Tables(s, dir)
+      val series = t.evidence.groupBy("datasourceId", "year")
+        .agg(count(lit(1)).as("n"))
+      Rollups.autocorrelation(series, Seq("datasourceId"), "year", "n")
+    }),
     "q139_cusum" -> ((s, dir) => {
       // drift changepoints in daily event volume per type: one-sided
       // CUSUM in running-sum form (running sum minus its running min,
@@ -3004,6 +3014,31 @@ object SparkEntry {
         |)
         |SELECT user_id, round(CAST(v_i AS DOUBLE) / 100, 4) AS last_v
         |FROM r WHERE rk = 1 AND op <> 'D'""".stripMargin,
+    "q140_autocorr" ->
+      s"""WITH $EvSql,
+         |s AS (
+         |  SELECT datasourceId, year, CAST(count(*) AS BIGINT) AS n
+         |  FROM ev GROUP BY 1, 2
+         |),
+         |p AS (
+         |  SELECT a.datasourceId, k.k AS lag, a.n AS x, b.n AS y
+         |  FROM s a
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, 4)) AS INT) AS k) k
+         |  JOIN s b ON b.datasourceId = a.datasourceId
+         |          AND b.year = a.year - k.k
+         |),
+         |m AS (
+         |  SELECT datasourceId, lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+         |  FROM p GROUP BY 1, 2
+         |)
+         |SELECT datasourceId, lag, CAST(n AS BIGINT) AS n_pairs,
+         |       CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+         |            THEN round(CAST(n*sxy - sx*sy AS DOUBLE) /
+         |              sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+         |                 * CAST(n*syy - sy*sy AS DOUBLE)), 4)
+         |       END AS acf
+         |FROM m""".stripMargin,
     "q139_cusum" ->
       """WITH s AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

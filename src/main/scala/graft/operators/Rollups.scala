@@ -264,6 +264,57 @@ object Rollups {
       .drop("__T", "__D", "__S")
   }
 
+  /** Autocorrelation function (lags 1..maxLag) of a keyed integer
+    * series: Pearson r between x(year) and x(year−k), pairing by YEAR
+    * ARITHMETIC (a pair exists only when the series has both year and
+    * year−k — gaps in an irregular series don't silently misalign, as
+    * pairing by row position would). One lag window per k plus one
+    * in-row explode, all riding a single (keys) exchange; the moment
+    * sums (Σx, Σy, Σxy, Σx², Σy²) accumulate in decimal(38,0) — exact
+    * integers, so the only floats are the final ratio and sqrt, and
+    * the result is engine-portable. Zero-variance lags yield NULL.
+    *
+    * Output: keys :+ (lag, n_pairs, acf).
+    */
+  def autocorrelation(
+      df: DataFrame,
+      keys: Seq[String],
+      yearCol: String,
+      valCol: String,
+      maxLag: Int = 3): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(yearCol))
+    val lagged = (1 to maxLag).foldLeft(df) { (d, k) =>
+      d.withColumn(s"__x$k", lag(col(valCol), k).over(w))
+        .withColumn(s"__t$k", lag(col(yearCol), k).over(w))
+    }
+    val dec = "decimal(38,0)"
+    val stacked = lagged
+      .select(keys.map(col) ++ Seq(col(yearCol).as("__t"),
+        col(valCol).cast(dec).as("__x"),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k).as("k"), col(s"__x$k").cast(dec).as("xp"),
+            col(s"__t$k").as("tp"))): _*)).as("__l")): _*)
+      .filter(col("__l.tp").isNotNull &&
+        col("__t") - col("__l.tp") === col("__l.k"))
+    val n = col("__n").cast(dec)
+    val varx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vary = n * col("__syy") - col("__sy") * col("__sy")
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    stacked
+      .groupBy(keys.map(col) :+ col("__l.k").as("lag"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__l.xp")).as("__sy"),
+        sum(col("__x") * col("__l.xp")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__l.xp") * col("__l.xp")).as("__syy"))
+      .select(keys.map(col) ++ Seq(col("lag"),
+        col("__n").cast("long").as("n_pairs"),
+        when(varx > 0 && vary > 0,
+          round(num.cast("double") /
+            sqrt(varx.cast("double") * vary.cast("double")), 4))
+          .as("acf")): _*)
+  }
+
   /** 2-D skyline (Pareto frontier, minimize both): the distinct points
     * no other point beats on both dimensions (ties on one dimension
     * only don't dominate). The classic OLAP "best tradeoffs" operator

@@ -705,4 +705,26 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("t").select("drift").as[Long].collect().toSeq
     assert(re == expect)
   }
+
+  test("autocorrelation: +1 on a linear ramp, -1 on an alternating series, gap-aware pairing") {
+    val ramp = (2000 to 2010).map(y => ("ramp", y, (y - 1990).toLong))
+    val alt = (2000 to 2010).map(y => ("alt", y, if (y % 2 == 0) 10L else 2L))
+    val df = (ramp ++ alt).toDF("g", "year", "n")
+    val acf = Rollups.autocorrelation(df, Seq("g"), "year", "n", maxLag = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(acf(("ramp", 1)) == (10L, 1.0))
+    assert(acf(("ramp", 2)) == (9L, 1.0))
+    assert(acf(("alt", 1)) == (10L, -1.0))
+    assert(acf(("alt", 2)) == (9L, 1.0))
+    // a year gap must drop the crossing pair, not misalign onto the
+    // previous row: 2000,2001,2003,2004 has lag-1 pairs (01,00) and
+    // (04,03) only
+    val gap = Seq(2000, 2001, 2003, 2004).map(y => ("gap", y, (y % 7).toLong))
+      .toDF("g", "year", "n")
+    val gp = Rollups.autocorrelation(gap, Seq("g"), "year", "n", maxLag = 1)
+      .head()
+    assert(gp.getLong(gp.fieldIndex("n_pairs")) == 2L)
+  }
 }
