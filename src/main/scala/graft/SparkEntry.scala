@@ -983,6 +983,13 @@ object SparkEntry {
         .select(col("user_id"),
           round(col("__last.v_i").cast("double") / 100, 4).as("last_v"))
     }),
+    "q141_bigram_lm" -> ((s, dir) => {
+      // conditional fluency scoring: self-trained Laplace bigram LM,
+      // mean surprisal per document — in-row pair construction, one
+      // corpus exchange shared by the model tables, pair-keyed joins
+      val t = Tables(s, dir)
+      TextAnalysis.bigramLm(t.documents)
+    }),
     "q140_autocorr" -> ((s, dir) => {
       // ACF(1..3) of the yearly evidence volume per datasource —
       // year-arithmetic pairing (gaps never misalign), decimal-exact
@@ -3014,6 +3021,28 @@ object SparkEntry {
         |)
         |SELECT user_id, round(CAST(v_i AS DOUBLE) / 100, 4) AS last_v
         |FROM r WHERE rk = 1 AND op <> 'D'""".stripMargin,
+    "q141_bigram_lm" ->
+      """WITH wd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id, w[i-1] AS p, w[i] AS c
+        |  FROM (SELECT doc_id, w, unnest(range(2, len(w) + 1)) AS i FROM wd)
+        |),
+        |tf AS (SELECT doc_id, p, c, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+        |pc AS (SELECT p, c, sum(tf) AS pc FROM tf GROUP BY 1, 2),
+        |ctx AS (SELECT p, sum(pc) AS ctx FROM pc GROUP BY 1),
+        |v AS (
+        |  SELECT count(DISTINCT word) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |)
+        |SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_pairs,
+        |       round(-sum(t.tf * ln(CAST(pc.pc + 1 AS DOUBLE)
+        |                / CAST(ctx.ctx + v.v AS DOUBLE))) / sum(t.tf), 4)
+        |         AS nll
+        |FROM tf t
+        |JOIN pc USING (p, c) JOIN ctx USING (p) CROSS JOIN v
+        |GROUP BY 1""".stripMargin,
     "q140_autocorr" ->
       s"""WITH $EvSql,
          |s AS (

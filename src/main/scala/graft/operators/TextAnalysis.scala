@@ -281,6 +281,57 @@ object TextAnalysis {
         round(-col("__ll") / col("n_words").cast("double"), 4).as("nll"))
   }
 
+  /** Bigram-LM document scoring with Laplace smoothing — the
+    * conditional upgrade of [[unigramLm]]: mean surprisal of
+    * P(wᵢ | wᵢ₋₁) = (c(wᵢ₋₁,wᵢ)+1) / (c(wᵢ₋₁·)+V), the model BPE-era
+    * quality filters actually train (fluency is conditional; a bag of
+    * frequent words scores well on unigrams but poorly here).
+    *
+    * Scale design mirrors [[unigramLm]] with the word key widened to
+    * the pair key: adjacent pairs are built IN-ROW (zip of two array
+    * slices — the corpus is never window-sorted), collapse map-side to
+    * (doc, pair) grain, and the pair-count / context-count tables
+    * derive from that same grain so ReuseExchange shares the one
+    * corpus-wide exchange. Both model joins run on the pair/context
+    * key (AQE skew-join splits "of the" — never broadcast, any
+    * vocabulary streams); V is a one-row broadcast. All counts exact
+    * integers; floats only in the final ln()/division. Docs need ≥ 2
+    * words to emit (a bigram model has nothing to say about fewer).
+    *
+    * Output: (idCol, n_pairs, nll).
+    */
+  def bigramLm(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = words(col(textCol))
+    val tf = df
+      .filter(size(w) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("p"), b.as("c")))).as("bg"))
+      .groupBy(col(idCol), col("bg.p").as("p"), col("bg.c").as("c"))
+      .agg(count(lit(1)).as("tf"))
+    val pc = tf.groupBy("p", "c").agg(sum("tf").as("pc"))
+    val ctx = pc.groupBy("p").agg(sum("pc").as("ctx"))
+    val vocab = broadcast(
+      df.select(explode(words(col(textCol))).as("word"))
+        .agg(count_distinct(col("word")).as("v")))
+    tf.join(pc, Seq("p", "c"))
+      .join(ctx, Seq("p"))
+      .join(vocab)
+      .groupBy(col(idCol))
+      .agg(
+        sum("tf").as("n_pairs"),
+        sum(col("tf").cast("double") *
+          log((col("pc") + 1).cast("double") /
+            (col("ctx") + col("v")).cast("double"))).as("__ll"))
+      .select(
+        col(idCol),
+        col("n_pairs"),
+        round(-col("__ll") / col("n_pairs").cast("double"), 4).as("nll"))
+  }
+
   /** Per-document TF-IDF keyword extraction: the top-k most
     * distinctive terms of every document (tf × ln(N/df)), the standard
     * relevance/keyword primitive of search and curation pipelines.

@@ -173,6 +173,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1.2629)))
   }
 
+  test("bigramLm: crafted corpus, hand-computed conditional surprisal") {
+    // bigrams: doc1 = (a,a),(a,b); doc2 = (a,b)
+    // pc: (a,a)=1, (a,b)=2; ctx(a)=3; V = |{a,b,c}| = 3 (c appears in doc3)
+    // doc3 has one word -> no bigrams -> excluded
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLm(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // P(a|a) = (1+1)/(3+3) = 1/3; P(b|a) = (2+1)/(3+3) = 1/2
+    val d1 = -(math.log(1.0 / 3) + math.log(0.5)) / 2
+    val d2 = -math.log(0.5)
+    assert(out(1L) == ((2L, math.rint(d1 * 1e4) / 1e4)))
+    assert(out(2L) == ((1L, math.rint(d2 * 1e4) / 1e4)))
+    assert(!out.contains(3L))
+  }
+
   test("tfidfTopK: crafted corpus, hand-computed scores") {
     // N=2; df: a=1, b=2, c=1 → idf(a)=idf(c)=ln 2, idf(b)=0
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
