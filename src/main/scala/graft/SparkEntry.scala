@@ -983,6 +983,13 @@ object SparkEntry {
         .select(col("user_id"),
           round(col("__last.v_i").cast("double") / 100, 4).as("last_v"))
     }),
+    "q142_lexical_cosine" -> ((s, dir) => {
+      // embedding-free near-dup discovery: TF-vector cosine ≥ 0.8 via
+      // a df-capped inverted index — integer dots from bounded posting
+      // lists, exact full-vector norms, rounded-boundary threshold
+      val t = Tables(s, dir)
+      TextAnalysis.lexicalCosinePairs(t.documents)
+    }),
     "q141_bigram_lm" -> ((s, dir) => {
       // conditional fluency scoring: self-trained Laplace bigram LM,
       // mean surprisal per document — in-row pair construction, one
@@ -3021,6 +3028,28 @@ object SparkEntry {
         |)
         |SELECT user_id, round(CAST(v_i AS DOUBLE) / 100, 4) AS last_v
         |FROM r WHERE rk = 1 AND op <> 'D'""".stripMargin,
+    "q142_lexical_cosine" ->
+      s"""WITH $ShinglesSql,
+         |wd AS (SELECT id, unnest(sh) AS word FROM shingled),
+         |tf AS (SELECT id, word, CAST(count(*) AS BIGINT) AS tf FROM wd GROUP BY 1, 2),
+         |nrm AS (SELECT id, sum(tf*tf) AS n2 FROM tf GROUP BY 1),
+         |dfc AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |inv AS (
+         |  SELECT tf.id, tf.word, tf.tf FROM tf JOIN dfc USING (word)
+         |  WHERE df > 1 AND df <= 100
+         |),
+         |p AS (
+         |  SELECT a.id AS idA, b.id AS idB, sum(a.tf * b.tf) AS dot
+         |  FROM inv a JOIN inv b ON a.word = b.word AND a.id < b.id
+         |  GROUP BY 1, 2
+         |),
+        |c AS (
+        |  SELECT idA, idB, CAST(dot AS BIGINT) AS dot,
+        |         round(CAST(dot AS DOUBLE) /
+        |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) AS cos
+        |  FROM p JOIN nrm na ON na.id = p.idA JOIN nrm nb ON nb.id = p.idB
+        |)
+        |SELECT idA, idB, dot, cos FROM c WHERE cos >= 0.8""".stripMargin,
     "q141_bigram_lm" ->
       """WITH wd AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

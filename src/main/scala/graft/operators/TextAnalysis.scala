@@ -281,6 +281,73 @@ object TextAnalysis {
         round(-col("__ll") / col("n_words").cast("double"), 4).as("nll"))
   }
 
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Sparse lexical cosine similarity join — TF-vector cosine over an
+    * inverted index of word 3-gram SHINGLES, the embedding-free
+    * complement of `SimilaritySearch.cosineNearDupPairs` (and the
+    * frequency-weighted upgrade of `Dedup.ngramJaccard`'s set
+    * overlap): every document pair with cos(tfA, tfB) ≥ `minCos`,
+    * dot products accumulated term-by-term from posting lists.
+    * Shingles, not words, are the term space — a natural-language
+    * function-word vocabulary is corpus-wide (every df ≈ N, the index
+    * degenerates to all-pairs), while shingle frequencies decay fast
+    * enough that posting lists are short for everything but boilerplate.
+    *
+    * Scale shape: the corpus collapses map-side to (doc, shingle, tf)
+    * grain; pair work scales with Σ df² over SHARING pairs only, never
+    * O(n²) — except through boilerplate shingles, the quadratic
+    * scale-killer of every inverted-index join. `maxDf` excludes them
+    * from the DOT (posting lists stay ≤ maxDf rows, the in-row pair
+    * expansion is bounded by construction) while norms stay exact over
+    * the FULL vector, so the capped cosine only under-estimates —
+    * conservative, identical in both engines, drops reported via
+    * observe(), never silently. All sums are exact integers; floats
+    * only in the final sqrt/division, and the threshold compares the
+    * ROUNDED cosine so the boundary is engine-portable.
+    *
+    * Output: (idA, idB, dot, cos).
+    */
+  def lexicalCosinePairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minCos: Double = 0.8,
+      maxDf: Int = 100): DataFrame = {
+    // shingles WITH duplicates (unlike NativeText.wordShingles, which
+    // dedupes for set-overlap operators) — tf weights are the point
+    val w = words(col(textCol))
+    val tf = df
+      .filter(size(w) >= 3)
+      .select(col(idCol).as("id"),
+        explode(transform(sequence(lit(1), size(w) - 2), i =>
+          concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2)))).as("word"))
+      .groupBy("id", "word").agg(count(lit(1)).as("tf"))
+    val nrm = tf.groupBy("id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val pairs = tf
+      .join(dfc, Seq("word"))
+      .observe(s"graft_lexcos_df_cap_${obsId.incrementAndGet()}",
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("dropped_postings"),
+        coalesce(max(col("df")), lit(0L)).as("max_word_df"))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+      .groupBy("word")
+      .agg(collect_list(struct(col("id"), col("tf"))).as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("idA"), col("b.id").as("idB"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    pairs
+      .join(nrm.select(col("id").as("idA"), col("n2").as("__na")), Seq("idA"))
+      .join(nrm.select(col("id").as("idB"), col("n2").as("__nb")), Seq("idB"))
+      .withColumn("cos", round(col("dot").cast("double") /
+        sqrt(col("__na").cast("double") * col("__nb").cast("double")), 4))
+      .filter(col("cos") >= minCos)
+      .select(col("idA"), col("idB"), col("dot"), col("cos"))
+  }
+
   /** Bigram-LM document scoring with Laplace smoothing — the
     * conditional upgrade of [[unigramLm]]: mean surprisal of
     * P(wᵢ | wᵢ₋₁) = (c(wᵢ₋₁,wᵢ)+1) / (c(wᵢ₋₁·)+V), the model BPE-era

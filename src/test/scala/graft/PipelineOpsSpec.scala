@@ -189,6 +189,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("lexicalCosinePairs: hand-computed shingle cosine; boilerplate capped out of the dot") {
+    // docs 1/2 identical (3 shingles each, all tf=1) -> cos 1.0;
+    // doc 3 disjoint
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalCosinePairs(docs, minCos = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 3L, 1.0)))
+    // with maxDf = 1 every shared shingle is "boilerplate": no pairs
+    val capped = TextAnalysis.lexicalCosinePairs(docs, minCos = 0.1, maxDf = 1)
+    assert(capped.count() == 0)
+    // repeated shingles weigh: "a b a b a" has shingles (a b a),(b a b),(a b a)
+    val rep = Seq((1L, "a b a b a"), (2L, "a b a b a")).toDF("doc_id", "text")
+    val r = TextAnalysis.lexicalCosinePairs(rep, minCos = 0.5).head()
+    // tf = {aba:2, bab:1} both docs -> dot 5, norms sqrt(5) -> cos 1.0
+    assert(r.getLong(r.fieldIndex("dot")) == 5L)
+    assert(r.getDouble(r.fieldIndex("cos")) == 1.0)
+  }
+
   test("tfidfTopK: crafted corpus, hand-computed scores") {
     // N=2; df: a=1, b=2, c=1 → idf(a)=idf(c)=ln 2, idf(b)=0
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
