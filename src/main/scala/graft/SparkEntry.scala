@@ -983,6 +983,46 @@ object SparkEntry {
         .select(col("user_id"),
           round(col("__last.v_i").cast("double") / 100, 4).as("last_v"))
     }),
+    "q143_hist_rollup" -> ((s, dir) => {
+      // mergeable-histogram re-aggregation: a histogram IS the vector
+      // sum of one-hot bin vectors, so fine-grain (source, lang)
+      // count vectors roll up to source grain with the same
+      // elementwise vector_sum that built them — any rollup path
+      // equals the direct histogram, which is what the oracle bins.
+      // p50/p90 then interpolate at bin grain: 32 rows per source,
+      // bounded by construction, never by the data.
+      val t = Tables(s, dir)
+      val bins = 32
+      val width = 32.0
+      val bin = least(greatest(
+        floor(col("n_chars").cast("double") / width), lit(0L)), lit(bins - 1L))
+      val oneHot = transform(sequence(lit(0), lit(bins - 1)),
+        i => when(i.cast("long") === bin, 1L).otherwise(0L))
+      val rolled = t.documents
+        .groupBy("source", "lang")
+        .agg(graft.functions.VectorSum.vectorSum(oneHot).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_groups"),
+          graft.functions.VectorSum.vectorSum(col("h")).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("bin")
+      val cum = rolled
+        .select(col("source"), col("n_groups"),
+          posexplode(col("h")).as(Seq("bin", "cnt")))
+        .filter(col("cnt") > 0)
+        .withColumn("__cum", sum("cnt").over(w))
+        .withColumn("__n", sum("cnt").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      import s.implicits._
+      cum.join(broadcast(Seq(0.5, 0.9).toDF("p")))
+        .withColumn("__t", col("p") * col("__n"))
+        .filter(col("__cum") >= col("__t") &&
+          (col("__cum") - col("cnt")) < col("__t"))
+        .select(col("source"), col("n_groups"), col("p"),
+          round((col("bin") +
+            (col("__t") - (col("__cum") - col("cnt"))) / col("cnt")) * width, 4)
+            .as("qest"))
+    }),
     "q142_lexical_cosine" -> ((s, dir) => {
       // embedding-free near-dup discovery: TF-vector cosine ≥ 0.8 via
       // a df-capped inverted index — integer dots from bounded posting
@@ -3028,6 +3068,27 @@ object SparkEntry {
         |)
         |SELECT user_id, round(CAST(v_i AS DOUBLE) / 100, 4) AS last_v
         |FROM r WHERE rk = 1 AND op <> 'D'""".stripMargin,
+    "q143_hist_rollup" ->
+      """WITH b AS (
+        |  SELECT source,
+        |         least(greatest(CAST(floor(CAST(n_chars AS DOUBLE) / 32) AS BIGINT), 0), 31) AS bin
+        |  FROM documents
+        |),
+        |ng AS (
+        |  SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_groups
+        |  FROM documents GROUP BY 1
+        |),
+        |c AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM c
+        |),
+        |p AS (SELECT unnest([0.5, 0.9]) AS p)
+        |SELECT w.source, ng.n_groups, p.p,
+        |       round((w.bin + (p.p * w.n - (w.cum - w.cnt)) / w.cnt) * 32.0, 4) AS qest
+        |FROM w CROSS JOIN p JOIN ng ON ng.source = w.source
+        |WHERE w.cum >= p.p * w.n AND (w.cum - w.cnt) < p.p * w.n""".stripMargin,
     "q142_lexical_cosine" ->
       s"""WITH $ShinglesSql,
          |wd AS (SELECT id, unnest(sh) AS word FROM shingled),
