@@ -214,6 +214,67 @@ object GraftExtensions {
           case Seq(b, v, k, m) => build(b, v, intArg(k, "k"), intArg(m, "m"))
           case _ => throw new IllegalArgumentException("bloom_might_contain takes 2 or 4 arguments")
         }
+      }),
+    ("hll_state",
+      info("hll_state",
+        "hll_state(value[, p]) - HLL register file as bytes (store fine, roll up with hll_merge)"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Md5}
+        import org.apache.spark.sql.types.{BinaryType, StringType}
+        def h(c: Expression) = Md5(Cast(Cast(c, StringType), BinaryType))
+        args match {
+          case Seq(c) => graft.functions.HllState(h(c))
+          case Seq(c, p) => graft.functions.HllState(h(c), intArg(p, "p"))
+          case _ => throw new IllegalArgumentException("hll_state takes 1-2 arguments")
+        }
+      }),
+    ("hll_merge",
+      info("hll_merge",
+        "hll_merge(state[, p]) - fold stored HLL register files to the merged estimate"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.HllMerge(c)
+        case Seq(c, p) => graft.functions.HllMerge(c, intArg(p, "p"))
+        case _ => throw new IllegalArgumentException("hll_merge takes 1-2 arguments")
+      }),
+    ("vector_sum",
+      info("vector_sum",
+        "vector_sum(array<long>) - elementwise sum aggregate (CMS/histogram/centroid rollups)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.VectorSum(c)
+        case _ => throw new IllegalArgumentException("vector_sum takes 1 argument")
+      }),
+    ("bitmap_distinct",
+      info("bitmap_distinct",
+        "bitmap_distinct(value[, n_bits]) - EXACT distinct count over a bounded integer domain"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.LongType
+        args match {
+          case Seq(c) => graft.functions.BitmapAgg(Cast(c, LongType))
+          case Seq(c, n) => graft.functions.BitmapAgg(Cast(c, LongType), intArg(n, "n_bits"))
+          case _ => throw new IllegalArgumentException("bitmap_distinct takes 1-2 arguments")
+        }
+      }),
+    ("bitmap_state",
+      info("bitmap_state",
+        "bitmap_state(value[, n_bits]) - bitset file as bytes (store fine, roll up with bitmap_merge)"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.LongType
+        args match {
+          case Seq(c) => graft.functions.BitmapAgg(Cast(c, LongType), evalState = true)
+          case Seq(c, n) =>
+            graft.functions.BitmapAgg(Cast(c, LongType), intArg(n, "n_bits"), evalState = true)
+          case _ => throw new IllegalArgumentException("bitmap_state takes 1-2 arguments")
+        }
+      }),
+    ("bitmap_merge",
+      info("bitmap_merge",
+        "bitmap_merge(state[, n_bits]) - OR stored bitset files to the exact merged distinct count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.BitmapMerge(c)
+        case Seq(c, n) => graft.functions.BitmapMerge(c, intArg(n, "n_bits"))
+        case _ => throw new IllegalArgumentException("bitmap_merge takes 1-2 arguments")
       }))
 
   /** Register on a live session (tests/notebooks). */

@@ -983,6 +983,33 @@ object SparkEntry {
         .select(col("user_id"),
           round(col("__last.v_i").cast("double") / 100, 4).as("last_v"))
     }),
+    "q145_pmi_collocations" -> ((s, dir) => {
+      // multi-word expressions: top-20 adjacent pairs by PMI with
+      // support ≥ 5 — pair/unigram tables map-side combined, support
+      // filter before the probability joins, TakeOrdered final
+      val t = Tables(s, dir)
+      TextAnalysis.pmiCollocations(t.documents)
+    }),
+    "q144_kaplan_meier" -> ((s, dir) => {
+      // time-to-conversion survival: subjects = users, clock starts at
+      // their first event, event = first purchase, censoring at the
+      // corpus horizon; cohorted by the user's (deterministic
+      // min_by-tie-broken) first action. Subjects collapse to
+      // (cohort, day) grain before the bounded KM windows.
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("user_id"), col("event_type"),
+        col("event_id"), unix_micros(col("ts")).as("us"))
+      val horizon = broadcast(ev.agg(max("us").as("hz")))
+      val users = ev.groupBy("user_id")
+        .agg(min("us").as("t0"),
+          min_by(col("event_type"), struct(col("us"), col("event_id")))
+            .as("cohort"),
+          min(when(col("event_type") === "purchase", col("us"))).as("tp"))
+      val subjects = users.join(horizon)
+        .withColumn("event", when(col("tp").isNotNull, 1L).otherwise(0L))
+        .withColumn("duration", expr("(coalesce(tp, hz) - t0) DIV 86400000000"))
+      EventWindows.kaplanMeier(subjects, Seq("cohort"))
+    }),
     "q143_hist_rollup" -> ((s, dir) => {
       // mergeable-histogram re-aggregation: a histogram IS the vector
       // sum of one-hot bin vectors, so fine-grain (source, lang)
@@ -3068,6 +3095,86 @@ object SparkEntry {
         |)
         |SELECT user_id, round(CAST(v_i AS DOUBLE) / 100, 4) AS last_v
         |FROM r WHERE rk = 1 AND op <> 'D'""".stripMargin,
+    "q145_pmi_collocations" ->
+      """WITH wd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |),
+        |bg AS (
+        |  SELECT w[i-1] AS p, w[i] AS c
+        |  FROM (SELECT w, unnest(range(2, len(w) + 1)) AS i FROM wd)
+        |),
+        |pr AS (
+        |  SELECT p, c, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |uni AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n_w
+        |  FROM (SELECT unnest(w) AS word FROM wd) GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT CAST(sum(len(w)) AS BIGINT) AS tw,
+        |         CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS tp
+        |  FROM wd
+        |)
+        |SELECT pr.p, pr.c, pr.n_ab,
+        |       round(ln(CAST(pr.n_ab AS DOUBLE) * tot.tw * tot.tw
+        |         / (CAST(tot.tp AS DOUBLE) * ua.n_w * ub.n_w)), 4) AS pmi
+        |FROM pr
+        |JOIN uni ua ON ua.word = pr.p
+        |JOIN uni ub ON ub.word = pr.c
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, pr.p, pr.c
+        |LIMIT 20""".stripMargin,
+    "q144_kaplan_meier" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+        |),
+        |hz AS (SELECT max(us) AS hz FROM e),
+        |u AS (
+        |  SELECT user_id, min(us) AS t0,
+        |         min(CASE WHEN event_type = 'purchase' THEN us END) AS tp
+        |  FROM e GROUP BY 1
+        |),
+        |f AS (
+        |  SELECT user_id, event_type AS cohort FROM (
+        |    SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY us, event_id) AS rk
+        |    FROM e)
+        |  WHERE rk = 1
+        |),
+        |s AS (
+        |  SELECT f.cohort,
+        |         CASE WHEN u.tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+        |         (coalesce(u.tp, hz.hz) - u.t0) // 86400000000 AS duration
+        |  FROM u JOIN f USING (user_id) CROSS JOIN hz
+        |),
+        |g AS (
+        |  SELECT cohort, duration, CAST(sum(ev) AS BIGINT) AS d,
+        |         CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM s GROUP BY 1, 2
+        |),
+        |w AS (
+        |  SELECT *,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort)
+        |      - (sum(d + c) OVER (PARTITION BY cohort ORDER BY duration
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (d + c))
+        |      AS BIGINT) AS n_risk
+        |  FROM g
+        |),
+        |z AS (
+        |  SELECT *,
+        |    min(n_risk - d) OVER (PARTITION BY cohort ORDER BY duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mz,
+        |    sum(CASE WHEN d > 0 AND d < n_risk
+        |          THEN ln(1 - CAST(d AS DOUBLE) / n_risk) ELSE 0 END)
+        |      OVER (PARTITION BY cohort ORDER BY duration
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl
+        |  FROM w
+        |)
+        |SELECT cohort, duration, n_risk, d, c,
+        |       round(CASE WHEN mz = 0 THEN 0.0 ELSE exp(sl) END, 4) AS surv
+        |FROM z""".stripMargin,
     "q143_hist_rollup" ->
       """WITH b AS (
         |  SELECT source,

@@ -85,6 +85,58 @@ object EventWindows {
         col(s"t${steps.length}").as("t_conv_us"))
   }
 
+  /** Kaplan–Meier survival estimator over per-subject
+    * (duration, event) rows — the time-to-event curve of product
+    * analytics and reliability (Kaplan & Meier 1958): at each distinct
+    * duration t with n_t subjects still at risk and d_t events,
+    * S(t) = Π_{u ≤ t} (1 − d_u/n_u); censored subjects leave the risk
+    * set without an event.
+    *
+    * Scale shape: subjects collapse map-side to (keys, duration)
+    * grain — (d_t, c_t) counts — so the ordered windows run over
+    * distinct-duration rows (day-grain: bounded by the observation
+    * range, never by subject count) on ONE (keys) exchange; the risk
+    * set is the full-frame total minus the exclusive running count,
+    * and the product is exp(Σ ln) over the same ordered frame. Counts
+    * are exact integers; floats enter only in the factor/ln/exp,
+    * replayed identically by the oracle. A step that empties the risk
+    * set (factor 0) pins S = 0 via an integer flag rather than
+    * ln(0) — Spark yields NULL there, DuckDB −inf, so the guard keeps
+    * both engines on the same arithmetic.
+    *
+    * Output: keys ++ (duration, n_risk, d, c, surv).
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      keys: Seq[String],
+      durationCol: String = "duration",
+      eventCol: String = "event"): DataFrame = {
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val wOrd = wAll.orderBy(col(durationCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grain = df
+      .groupBy((keys :+ durationCol).map(col): _*)
+      .agg(sum(col(eventCol).cast("long")).as("d"),
+        sum(lit(1L) - col(eventCol).cast("long")).as("c"))
+    grain
+      .withColumn("__leave", col("d") + col("c"))
+      .withColumn("n_risk",
+        sum("__leave").over(wAll) - (sum("__leave").over(wOrd) - col("__leave")))
+      .withColumn("__f",
+        lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+      .withColumn("surv",
+        when(min(col("n_risk") - col("d")).over(wOrd) === 0, lit(0.0))
+          .otherwise(exp(sum(
+            // d == n_risk is the factor-0 wipe the flag above pins to
+            // S=0; keep ln() off that row — DuckDB's ln(0) ERRORS
+            // (Spark's yields NULL), so both engines must skip it to
+            // stay on the same arithmetic
+            when(col("d") > 0 && col("d") < col("n_risk"), log(col("__f")))
+              .otherwise(lit(0.0))).over(wOrd))))
+      .select((keys :+ durationCol).map(col) ++ Seq(col("n_risk"),
+        col("d"), col("c"), round(col("surv"), 4).as("surv")): _*)
+  }
+
   /** Cohort retention: users are cohorted by their first active
     * period (fixed-width `periodDays` buckets of the epoch — calendar
     * weeks would drag in timezone/locale variance an oracle can't

@@ -447,6 +447,56 @@ object TextAnalysis {
         round(col("tfidf"), 4).as("tfidf"))
   }
 
+  /** PMI collocation extraction: the top-k adjacent word pairs by
+    * pointwise mutual information, ln(P(ab) / (P(a)·P(b))) — the
+    * classic multi-word-expression detector (Church & Hanks 1990);
+    * high-PMI pairs ("los angeles") co-occur far above chance while
+    * frequent-but-independent pairs ("of the") score ≈ 0.
+    *
+    * Scale shape: bigram and unigram tables collapse map-side on
+    * their keys (same in-row pair construction as [[bigramLm]], the
+    * corpus is never window-sorted); the `minCount` support filter
+    * prunes the pair table BEFORE the two word-keyed probability
+    * joins (rare-pair noise is also where PMI is statistically
+    * meaningless, so the filter is both the classic practice and the
+    * scale guard); totals are one-row broadcasts and the final top-k
+    * is a TakeOrdered, never a global sort. Counts exact integers;
+    * the single ln() runs once per surviving pair.
+    *
+    * Output: (p, c, n_ab, pmi) — ties broken by pair ascending.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String = "text",
+      k: Int = 20,
+      minCount: Int = 5): DataFrame = {
+    val w = words(col(textCol))
+    val pairs = df
+      .filter(size(w) >= 2)
+      .select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("p"), b.as("c")))).as("bg"))
+      .groupBy(col("bg.p").as("p"), col("bg.c").as("c"))
+      .agg(count(lit(1)).as("n_ab"))
+    val uni = df.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_w"))
+    val totals = broadcast(df.agg(
+      sum(size(w)).cast("long").as("tw"),
+      sum(greatest(size(w) - 1, lit(0))).cast("long").as("tp")))
+    pairs
+      .filter(col("n_ab") >= minCount)
+      .join(uni.select(col("word").as("p"), col("n_w").as("__na")), Seq("p"))
+      .join(uni.select(col("word").as("c"), col("n_w").as("__nb")), Seq("c"))
+      .join(totals)
+      .select(col("p"), col("c"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("tw").cast("double")
+            * col("tw").cast("double") /
+          (col("tp").cast("double") * col("__na").cast("double")
+            * col("__nb").cast("double"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("p"), col("c"))
+      .limit(k)
+  }
+
   /** First-iteration BPE pair statistics — the inner loop of BPE
     * tokenizer training: counts of adjacent character pairs across
     * the corpus, weighted by word frequency. Computed the way BPE

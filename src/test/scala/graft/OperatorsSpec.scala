@@ -727,4 +727,37 @@ class OperatorsSpec extends SparkSpec {
       .head()
     assert(gp.getLong(gp.fieldIndex("n_pairs")) == 2L)
   }
+
+  test("kaplanMeier matches the textbook estimator on the classic worked example") {
+    // durations (event=1 death, 0 censored):
+    // 1+, 2, 3+, 4, 4, 5+  (n=6)
+    val subj = Seq((1, 0), (2, 1), (3, 0), (4, 1), (4, 1), (5, 0))
+      .map { case (d, e) => ("g", d, e) }.toDF("g", "duration", "event")
+    val out = EventWindows.kaplanMeier(subj, Seq("g"))
+      .orderBy("duration")
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    // t=1: censor only, S=1; t=2: n=5,d=1 -> 4/5
+    // t=3: censor, S=0.8; t=4: n=3,d=2 -> 0.8*(1/3)
+    // t=5: censor, S unchanged
+    val s4 = math.rint(0.8 * (1.0 / 3) * 1e4) / 1e4
+    assert(out.toSeq == Seq(
+      (1, 6L, 0L, 1L, 1.0), (2, 5L, 1L, 0L, 0.8), (3, 4L, 0L, 1L, 0.8),
+      (4, 3L, 2L, 0L, s4), (5, 1L, 0L, 1L, s4)))
+    // a step that kills the whole risk set pins S=0 (not NULL)
+    val wipe = Seq(("g", 1, 1), ("g", 1, 1)).toDF("g", "duration", "event")
+    val z = EventWindows.kaplanMeier(wipe, Seq("g")).head()
+    assert(z.getDouble(z.fieldIndex("surv")) == 0.0)
+  }
+
+  test("pmiCollocations: planted collocation outranks frequent-but-independent pairs") {
+    // "x y" always co-occurs (PMI high); "a b" frequent but a/b also
+    // appear apart (PMI ~ 0)
+    val docs = (1 to 10).map(i => (i.toLong, "a b x y a c b d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, k = 3, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.head == ("x", "y"))
+  }
 }

@@ -501,7 +501,39 @@ class ScaleDesignSpec extends SparkSpec {
     assert(GraftExtensions.functions.map(_._1).toSet ==
       Set("harmonic_score", "word_shingles", "minhash_signature", "topk_harmonic",
         "topk_collect", "rolling_minhash", "hll_distinct",
-        "cms_sketch", "cms_estimate", "bloom_sketch", "bloom_might_contain"))
+        "cms_sketch", "cms_estimate", "bloom_sketch", "bloom_might_contain",
+        "hll_state", "hll_merge", "vector_sum",
+        "bitmap_distinct", "bitmap_state", "bitmap_merge"))
+  }
+
+  test("SQL surface: state/merge rollups match their Column APIs") {
+    GraftExtensions.register(spark)
+    spark.range(3000)
+      .select((col("id") % 900).as("v"), (col("id") % 4).as("g"))
+      .createOrReplaceTempView("roll_in")
+    // hll_state fine -> hll_merge coarse == hll_distinct direct
+    val hllSql = spark.sql(
+      """SELECT hll_merge(sk) AS e
+        |FROM (SELECT g, hll_state(v) AS sk FROM roll_in GROUP BY g)""".stripMargin)
+      .head().getDouble(0)
+    val hllDirect = spark.sql("SELECT hll_distinct(v) AS e FROM roll_in")
+      .head().getDouble(0)
+    assert(hllSql == hllDirect)
+    // bitmap_state fine -> bitmap_merge coarse == exact distinct
+    val bmSql = spark.sql(
+      """SELECT bitmap_merge(bm) AS u
+        |FROM (SELECT g, bitmap_state(v) AS bm FROM roll_in GROUP BY g)""".stripMargin)
+      .head().getLong(0)
+    assert(bmSql == 900L)
+    assert(spark.sql("SELECT bitmap_distinct(v) FROM roll_in").head().getLong(0) == 900L)
+    // vector_sum of per-group CMS sketches == direct global sketch
+    val vsSql = spark.sql(
+      """SELECT vector_sum(sk) AS sk
+        |FROM (SELECT g, cms_sketch(v) AS sk FROM roll_in GROUP BY g)""".stripMargin)
+      .head().getSeq[Long](0)
+    val direct = spark.sql("SELECT cms_sketch(v) AS sk FROM roll_in")
+      .head().getSeq[Long](0)
+    assert(vsSql == direct)
   }
 
   test("SQL surface: cms/bloom sketches match their Column APIs") {
