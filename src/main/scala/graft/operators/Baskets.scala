@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence analysis: which items appear together
+  * in the same basket more often than chance predicts (Agrawal &
+  * Srikant 1994's support framing with the lift measure).
+  */
+object Baskets {
+
+  /** Pairwise co-occurrence lift: top-k unordered item pairs by
+    * lift = P(a,b) / (P(a)·P(b)) with basket-level support ≥
+    * `minSupport`, where every probability is a basket fraction.
+    *
+    * Scale shape: baskets collapse on ONE basket-keyed exchange to a
+    * sorted distinct-item array; pairs are built in-row from that
+    * array (index-aware transform over the tail — the blow-up is
+    * |basket|², bounded by the basket width, never by the corpus),
+    * then shrink map-side onto the item-pair key whose cardinality is
+    * ≤ |items|². Item marginals ride the same collapsed table, the
+    * basket total is a one-row broadcast, and the final top-k is a
+    * TakeOrdered, never a global sort. Counts are exact integers;
+    * doubles enter only in the final lift ratio, and the ordering key
+    * is the ROUNDED lift so both engines rank the same set.
+    *
+    * Input: one row per (basket, item) observation (duplicates fine —
+    * the collapse dedups). Output: (a, b, n_ab, lift), a < b, ties
+    * broken by pair ascending.
+    */
+  def pairLift(
+      df: DataFrame,
+      basketCol: String = "basket",
+      itemCol: String = "item",
+      k: Int = 20,
+      minSupport: Int = 5): DataFrame = {
+    val baskets = df
+      .groupBy(col(basketCol).as("__bk"))
+      .agg(sort_array(collect_set(col(itemCol))).as("__items"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("__items"), (x, i) =>
+        transform(slice(col("__items"), i + lit(2), size(col("__items"))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val items = baskets
+      .select(explode(col("__items")).as("__it"))
+      .groupBy("__it").agg(count(lit(1)).as("__n"))
+    val total = broadcast(baskets.agg(count(lit(1)).as("__nb")))
+    pairs
+      .filter(col("n_ab") >= minSupport)
+      .join(items.select(col("__it").as("a"), col("__n").as("__na")), Seq("a"))
+      .join(items.select(col("__it").as("b"), col("__n").as("__nb2")), Seq("b"))
+      .join(total)
+      .select(col("a"), col("b"), col("n_ab"),
+        round(col("n_ab").cast("double") * col("__nb").cast("double") /
+          (col("__na").cast("double") * col("__nb2").cast("double")), 4)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
+}
