@@ -983,6 +983,22 @@ object SparkEntry {
         .select(col("user_id"),
           round(col("__last.v_i").cast("double") / 100, 4).as("last_v"))
     }),
+    "q146_bm25" -> ((s, dir) => {
+      // BM25 probe-query ranking: top-15 documents for a fixed 3-term
+      // query — in-row tf/dl, one-row broadcast corpus stats, zero
+      // wide shuffles, TakeOrdered final
+      val t = Tables(s, dir)
+      TextAnalysis.bm25(t.documents, Seq("spark", "stream", "vector"))
+    }),
+    "q147_linear_trend" -> ((s, dir) => {
+      // per-datasource OLS trend of yearly evidence volume:
+      // slope/intercept/R² from exact decimal moment sums, O(1)
+      // aggregate state per key — never a window or self-join
+      val t = Tables(s, dir)
+      val series = t.evidence.groupBy("datasourceId", "year")
+        .agg(count(lit(1)).as("n"))
+      Rollups.linearTrend(series, Seq("datasourceId"), "year", "n")
+    }),
     "q145_pmi_collocations" -> ((s, dir) => {
       // multi-word expressions: top-20 adjacent pairs by PMI with
       // support ≥ 5 — pair/unigram tables map-side combined, support
@@ -3095,6 +3111,93 @@ object SparkEntry {
         |)
         |SELECT user_id, round(CAST(v_i AS DOUBLE) / 100, 4) AS last_v
         |FROM r WHERE rk = 1 AND op <> 'D'""".stripMargin,
+    "q146_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |),
+        |t AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(w, x -> x = 'stream')) AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(w, x -> x = 'vector')) AS BIGINT) AS tf2
+        |  FROM d
+        |),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nd,
+        |         CAST(sum(dl) AS BIGINT) AS tdl,
+        |         CAST(count(CASE WHEN tf0 > 0 THEN 1 END) AS BIGINT) AS df0,
+        |         CAST(count(CASE WHEN tf1 > 0 THEN 1 END) AS BIGINT) AS df1,
+        |         CAST(count(CASE WHEN tf2 > 0 THEN 1 END) AS BIGINT) AS df2
+        |  FROM t
+        |),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(
+        |      (CASE WHEN tf0 > 0 THEN
+        |         ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+        |              / (CAST(df0 AS DOUBLE) + 0.5))
+        |         * CAST(tf0 AS DOUBLE) * 2.2
+        |         / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |             + 0.75 * CAST(dl AS DOUBLE)
+        |               / (CAST(tdl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        |       ELSE 0.0 END)
+        |      + (CASE WHEN tf1 > 0 THEN
+        |         ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+        |              / (CAST(df1 AS DOUBLE) + 0.5))
+        |         * CAST(tf1 AS DOUBLE) * 2.2
+        |         / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |             + 0.75 * CAST(dl AS DOUBLE)
+        |               / (CAST(tdl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        |       ELSE 0.0 END)
+        |      + (CASE WHEN tf2 > 0 THEN
+        |         ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+        |              / (CAST(df2 AS DOUBLE) + 0.5))
+        |         * CAST(tf2 AS DOUBLE) * 2.2
+        |         / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |             + 0.75 * CAST(dl AS DOUBLE)
+        |               / (CAST(tdl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        |       ELSE 0.0 END), 4) AS bm25
+        |  FROM t CROSS JOIN s
+        |)
+        |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+    "q147_linear_trend" ->
+      """WITH series AS (
+        |  SELECT l_returnflag AS datasourceId,
+        |         CAST(year(l_shipdate) AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT datasourceId,
+        |         CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(x) AS HUGEINT) AS sx,
+        |         CAST(sum(y) AS HUGEINT) AS sy,
+        |         CAST(sum(x*y) AS HUGEINT) AS sxy,
+        |         CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |         CAST(sum(y*y) AS HUGEINT) AS syy
+        |  FROM series GROUP BY 1
+        |),
+        |f AS (
+        |  SELECT datasourceId, n,
+        |         n*sxy - sx*sy AS num,
+        |         n*sxx - sx*sx AS varx,
+        |         n*syy - sy*sy AS vary,
+        |         sx, sy
+        |  FROM m
+        |  WHERE n >= 2 AND n*sxx - sx*sx > 0
+        |)
+        |SELECT datasourceId,
+        |       CAST(n AS BIGINT) AS n_points,
+        |       round(CAST(num AS DOUBLE) / CAST(varx AS DOUBLE), 4) AS slope,
+        |       round((CAST(sy AS DOUBLE)
+        |           - (CAST(num AS DOUBLE) / CAST(varx AS DOUBLE))
+        |             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept,
+        |       CASE WHEN vary > 0
+        |         THEN round(CAST(num*num AS DOUBLE)
+        |                / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 4)
+        |       END AS r2
+        |FROM f""".stripMargin,
     "q145_pmi_collocations" ->
       """WITH wd AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

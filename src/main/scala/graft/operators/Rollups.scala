@@ -356,6 +356,53 @@ object Rollups {
     frontier(local, Seq.empty)
   }
 
+  /** Per-key ordinary-least-squares trend of `yCol` against `xCol`:
+    * slope, intercept and R² per key, from the five moment sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) accumulated in decimal(38,0) — exact
+    * integers on a single (keys) exchange with full map-side combine,
+    * so any engine computing the same closed form from the same sums
+    * agrees bit-for-bit; floats appear only in the final ratios.
+    *
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²); intercept from the
+    * normal equations; R² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² −
+    * (Σy)²)). Keys with fewer than 2 points or zero x-variance are
+    * dropped; zero y-variance yields NULL R² (vertical fit is exact
+    * but undefined correlation).
+    *
+    * Scale shape: O(1) aggregate state per key — never a window or a
+    * self-join — so a billion keys cost one shuffle of six numbers
+    * each.
+    */
+  def linearTrend(
+      df: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast(dec)
+    val y = col(yCol).cast(dec)
+    val n = col("__n").cast(dec)
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val varx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vary = n * col("__syy") - col("__sy") * col("__sy")
+    val slope = num.cast("double") / varx.cast("double")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"),
+        sum(x * x).as("__sxx"),
+        sum(y * y).as("__syy"))
+      .filter(col("__n") >= 2 && varx > 0)
+      .select(keys.map(col) ++ Seq(
+        col("__n").cast("long").as("n_points"),
+        round(slope, 4).as("slope"),
+        round((col("__sy").cast("double") - slope * col("__sx").cast("double"))
+          / col("__n").cast("double"), 4).as("intercept"),
+        when(vary > 0,
+          round((num * num).cast("double") / (varx.cast("double") * vary.cast("double")), 4))
+          .as("r2")): _*)
+  }
+
   /** Grouped mode (most frequent value per key), deterministic ties:
     * two map-side-combined groupBys and a `max(struct(n, value))` —
     * the struct's lexicographic order picks the highest count, then

@@ -447,6 +447,59 @@ object TextAnalysis {
         round(col("tfidf"), 4).as("tfidf"))
   }
 
+  /** BM25 retrieval ranking (Robertson–Spärck Jones; the Lucene
+    * `1 + (N − df + 0.5)/(df + 0.5)` idf variant, always positive)
+    * of every document against a fixed query-term set: the standard
+    * "find the best training examples for a probe query" ranker.
+    *
+    * Scale shape: per-doc term frequencies and length are computed
+    * IN-ROW (`size(filter(words))` per query term — query sets are
+    * small, so q columns beat an explode of the whole corpus); corpus
+    * statistics (N, Σdl, per-term df) collapse to ONE row in a single
+    * map-side-combined aggregate that is broadcast back, so the plan
+    * is two narrow scans + a TakeOrdered — zero wide shuffles, no
+    * inverted index to build or skew to manage. Doubles appear only
+    * per-row (never aggregated), so results are engine-portable.
+    *
+    * Output: (idCol, bm25) — top-k by rounded score desc, id asc.
+    */
+  def bm25(
+      df: DataFrame,
+      queryTerms: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 15): DataFrame = {
+    val w = words(col(textCol))
+    val withTf = df.select(
+      col(idCol) +: size(w).cast("long").as("__dl") +:
+        queryTerms.indices.map { i =>
+          size(filter(w, x => x === lit(queryTerms(i)))).cast("long").as(s"__tf$i")
+        }: _*)
+    val aggs = Seq(sum(col("__dl")).cast("long").as("__tdl")) ++
+      queryTerms.indices.map(i =>
+        count(when(col(s"__tf$i") > 0, lit(1))).as(s"__df$i"))
+    val stats = broadcast(
+      withTf.agg(count(lit(1)).as("__nd"), aggs: _*))
+    val nd = col("__nd").cast("double")
+    val avgdl = col("__tdl").cast("double") / nd
+    val score = queryTerms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val dfT = col(s"__df$i").cast("double")
+      val idf = log(lit(1.0) + (nd - dfT + 0.5) / (dfT + 0.5))
+      when(col(s"__tf$i") > 0,
+        idf * tf * (k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / avgdl)))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    withTf.join(stats)
+      .select(col(idCol), round(score, 4).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** PMI collocation extraction: the top-k adjacent word pairs by
     * pointwise mutual information, ln(P(ab) / (P(a)·P(b))) — the
     * classic multi-word-expression detector (Church & Hanks 1990);
