@@ -19,14 +19,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = table("part")
   def nation: DataFrame = table("nation")
   def region: DataFrame = table("region")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long and convert to a microsecond
-    * timestamp (integer division — ns since epoch exceeds 2^53, so
-    * double math would lose precision).
+  /** events.parquet has shipped in two encodings across driver testdata
+    * generations — normalize either (see [[Tables.normalizeEventTs]]).
     */
   def events: DataFrame = {
+    // Inert for the timestamp[us] encoding; required to read the
+    // TIMESTAMP(NANOS) one at all (Spark rejects nanos otherwise).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    Tables.normalizeEventTs(table("events"))
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
@@ -105,6 +105,37 @@ final case class Tables(spark: SparkSession, dir: String) {
     .select((col("n_nationkey") + 100).cast("long").as("ta"), col("n_name").as("taName"))
     .unionByName(region
       .select((col("r_regionkey") + 200).cast("long").as("ta"), col("r_name").as("taName")))
+}
+
+object Tables {
+  import org.apache.spark.sql.types._
+
+  /** Normalize `events.ts` to a session-tz `TimestampType` regardless of
+    * how the driver's generator encoded it:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark only reads it as int64 under
+    *    `spark.sql.legacy.parquet.nanosAsLong` → `LongType` nanos;
+    *    convert with integer division (ns since epoch exceeds 2^53, so
+    *    double math would lose precision).
+    *  - parquet timestamp[us] with isAdjustedToUTC=false → Spark reads
+    *    `TIMESTAMP_NTZ`; cast to `TimestampType` (session tz is pinned
+    *    to UTC, so the micros-since-epoch equal DuckDB's `epoch_us` view
+    *    of the same file).
+    *  - already `TimestampType` → pass through.
+    *
+    * Any other type fails LOUDLY — a third encoding drift must break one
+    * named place, not every downstream query (see TablesDriftSpec).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; extend Tables.normalizeEventTs")
+    }
 }
 
 private[sources] object GraftConfWeights {

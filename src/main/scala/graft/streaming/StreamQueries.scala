@@ -36,13 +36,12 @@ object StreamQueries {
       .option("basePath", dir).parquet(s"$dir/{$name}.parquet")
   }
 
-  /** events.parquet as a stream, with the same TIMESTAMP(NANOS) → micros
-    * conversion as [[graft.sources.Tables.events]].
+  /** events.parquet as a stream, with the same ts-encoding normalization
+    * as [[graft.sources.Tables.events]] (nanos-as-long vs TIMESTAMP_NTZ).
     */
   def streamEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    streamTable(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.sources.Tables.normalizeEventTs(streamTable(spark, dir, "events"))
   }
 
   /** The evidence view (SURVEY.md §3) as a stream of

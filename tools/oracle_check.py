@@ -17,7 +17,16 @@ for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
 
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 fails = 0
+try:
+    verify_errors = json.load(open(f'{out}/_errors.json'))
+except Exception:
+    verify_errors = {}
+for name, err in sorted(verify_errors.items()):
+    print(f'{name}: VERIFY-ERR {err[:200]}')
+    fails += 1
 for name, sql in sorted(oracle.items()):
+    if name in verify_errors:
+        continue
     if only is not None and name not in only:
         continue
     try:
