@@ -142,33 +142,61 @@ object Dedup {
     * comp` rows survive dedup). Output: (id, comp) for every id
     * appearing in `pairs`.
     *
-    * Scale shape: the classic iterative min-label algorithm as
-    * DataFrame ops — per round, one equi-join edges⋈labels + a
-    * min-combine groupBy, both partial-aggregated; rounds needed =
-    * graph diameter, and near-dup components are clique-like (LSH
-    * pairs), so convergence is 2–3 rounds in practice. The driver
-    * loop runs one `count()` action per round to test convergence —
-    * the standard Pregel-style control flow, not a data-path collect.
+    * Scale shape: min-label propagation with POINTER JUMPING — per
+    * round, (a) one equi-join edges⋈labels + a min-combine groupBy
+    * (neighbor min, both partial-aggregated), then (b) one label
+    * self-join following each label to ITS label (path halving). Step
+    * (b) makes the round count logarithmic in the component diameter
+    * instead of linear — a 2^20-hop chain converges in ~20 rounds —
+    * while near-dup components (clique-like LSH pairs) still finish in
+    * 2–3. The driver loop runs one isEmpty action per round to test
+    * convergence — Pregel-style control flow, not a data-path collect.
+    *
+    * Convergence is REQUIRED: if the label fixpoint is not reached
+    * within `maxIters` rounds the call throws rather than returning
+    * silently mis-clustered labels (VERDICT r6 §4 — downstream keeper
+    * choice, PageRank, and triangle counts would all inherit the
+    * corruption without any signal).
     */
   def clusters(
       pairs: DataFrame,
       idACol: String = "idA",
       idBCol: String = "idB",
-      maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      maxIters: Int = 25): DataFrame = {
+    val und = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+    // Self-loops fold each node's OWN label into the neighbor-min
+    // below — no per-round union(labels) needed (which also tripped
+    // Union constraint rewriting against checkpointed relations).
+    val edges = und
+      .union(und.select(col("src"), col("src").as("dst")).distinct())
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val prop = edges.join(labels, edges("dst") === labels("id"))
+      // localCheckpoint truncates the lineage each round: the
+      // neighbor-min result feeds BOTH sides of the path-halving join
+      // below, and without truncation the logical plan doubles per
+      // round (exponential analysis time by round ~8). Eager + small
+      // (one row per distinct id) — the standard driver-loop pattern
+      // for iterative graph algorithms.
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("comp"))
-        .union(labels)
         .groupBy("id").agg(min("comp").as("comp"))
-        .persist()
+        .localCheckpoint()
+      // Path halving: follow comp → label(comp) once per round. Safe —
+      // any label reachable via labels stays inside the component, and
+      // labels only decrease toward the component minimum.
+      val prop = neighborMin.as("l")
+        .join(
+          neighborMin.select(col("id").as("pid"), col("comp").as("pcomp")),
+        col("l.comp") === col("pid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("pcomp"), col("l.comp"))).as("comp"))
+        .localCheckpoint()
       val anyChanged = !prop
         .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
         .filter(col("comp") =!= col("old")).isEmpty
@@ -178,6 +206,10 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    require(converged,
+      s"Dedup.clusters did not converge in $maxIters rounds — component " +
+        "diameter exceeds 2^maxIters hops or the pair graph is pathological; " +
+        "raise maxIters rather than trusting unconverged labels")
     labels
   }
 

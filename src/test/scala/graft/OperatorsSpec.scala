@@ -247,6 +247,26 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L), s"got $out")
   }
 
+  test("Dedup.clusters handles a 40-hop chain (pointer jumping, VERDICT r6)") {
+    // 41 nodes in one path — diameter 40, far beyond what one-hop
+    // min-propagation covers in 25 rounds; pointer jumping converges
+    // in O(log d). Shuffled edge order so labels don't pre-sort.
+    val edges = scala.util.Random.shuffle(
+      (0L until 40L).map(i => (i + 1000L, i + 1001L)).toList)
+    val pairs = edges.toDF("idA", "idB")
+    val out = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out.size == 41)
+    assert(out.values.forall(_ == 1000L), s"got ${out.filterNot(_._2 == 1000L)}")
+  }
+
+  test("Dedup.clusters fails loudly instead of returning unconverged labels") {
+    val pairs = (0L until 40L).map(i => (i, i + 1L)).toDF("idA", "idB")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clusters(pairs, maxIters = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("Approvals.firstApprovalTargets keeps only the first-approved drug per target") {
     val drugs = Seq((1L, 1996), (2L, 1995), (3L, 1997), (4L, 2000))
       .toDF("drugId", "approvalYear")
