@@ -3194,7 +3194,7 @@ object SparkEntry {
         |           - (CAST(num AS DOUBLE) / CAST(varx AS DOUBLE))
         |             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept,
         |       CASE WHEN vary > 0
-        |         THEN round(CAST(num*num AS DOUBLE)
+        |         THEN round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
         |                / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 4)
         |       END AS r2
         |FROM f""".stripMargin,

@@ -398,8 +398,12 @@ object Rollups {
         round(slope, 4).as("slope"),
         round((col("__sy").cast("double") - slope * col("__sx").cast("double"))
           / col("__n").cast("double"), 4).as("intercept"),
+        // r2 in doubles: num*num in decimal(38,0) can overflow the
+        // 38-digit cap for extreme sums where the closed form is still
+        // finite in doubles (oracle SQL mirrors the same float math).
         when(vary > 0,
-          round((num * num).cast("double") / (varx.cast("double") * vary.cast("double")), 4))
+          round(num.cast("double") * num.cast("double")
+            / (varx.cast("double") * vary.cast("double")), 4))
           .as("r2")): _*)
   }
 

@@ -471,6 +471,7 @@ object TextAnalysis {
       k1: Double = 1.2,
       b: Double = 0.75,
       k: Int = 15): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 requires at least one query term")
     val w = words(col(textCol))
     val withTf = df.select(
       col(idCol) +: size(w).cast("long").as("__dl") +:

@@ -126,4 +126,49 @@ class EdgeCasesSpec extends SparkSpec {
     assert(bp.map(r => r.getString(0) -> r.getLong(1)).toMap ==
       Map("ab" -> 1L, "bc" -> 1L))
   }
+
+  test("codecs reject hostile headers with their own require, never a raw crash") {
+    // WAV: negative chunk length must not loop forever or AIOOBE
+    val wav = Multimodal.encodeWav(8000, 1, Array.tabulate(10)(_.toShort))
+    val negLen = wav.clone()
+    // first chunk is "fmt " at offset 12; poison its length field
+    java.nio.ByteBuffer.wrap(negLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, -9)
+    val e1 = intercept[IllegalArgumentException](Multimodal.decodeWav(negLen))
+    assert(e1.getMessage.contains("corrupt RIFF chunk"))
+    val overLen = wav.clone()
+    java.nio.ByteBuffer.wrap(overLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue)
+    val e2 = intercept[IllegalArgumentException](Multimodal.decodeWav(overLen))
+    assert(e2.getMessage.contains("corrupt RIFF chunk"))
+
+    // BMP: width chosen so 3*width overflows Int — the Long-math guard
+    // must reject before any stride arithmetic wraps
+    val bmp = Multimodal.encodeBmp(8, 8, _ => (0, 0, 0))
+    val hugeW = bmp.clone()
+    java.nio.ByteBuffer.wrap(hugeW).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 800000000)
+    val e3 = intercept[IllegalArgumentException](Multimodal.decodeBmp(hugeW))
+    assert(e3.getMessage.contains("exceed"))
+    // truncated pixel array: declared dims fit Int but not the payload
+    val trunc = bmp.clone().take(60)
+    val fixed = java.util.Arrays.copyOf(trunc, 60)
+    val e4 = intercept[IllegalArgumentException](Multimodal.decodeBmp(fixed))
+    assert(e4.getMessage.contains("truncated") || e4.getMessage.contains("exceed"))
+  }
+
+  test("multimodal synthesis handles empty text identically to the oracle fallback") {
+    // empty text → 1-byte [0] payload on the Spark side; the oracles'
+    // CASE WHEN length(text)=0 THEN 1 mirrors it. ascii('') = 0 in
+    // DuckDB, so channel sums are 0 on both sides.
+    val docs = Seq((1L, ""), (2L, "xyz")).toDF("doc_id", "text")
+    val img = Multimodal.documentFeatures(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(img(1L).getInt(2) == 8 + 1 % 8 && img(1L).getInt(3) == 8) // w=9, h=8
+    assert(img(1L).getDouble(4) == 0.0) // all-zero bytes → zero means
+    val wav = Multimodal.wavFeatures(Multimodal.textToWav(docs)).toDF()
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // all-zero bytes → every sample = -32768 → mean_abs = 32768
+    assert(wav(1L).getAs[Double]("mean_abs") == 32768.0)
+  }
 }

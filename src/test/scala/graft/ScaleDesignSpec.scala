@@ -13,6 +13,31 @@ class ScaleDesignSpec extends SparkSpec {
 
   private def tables = Tables(spark, sfDir)
 
+  test("q146 bm25 plan: zero wide exchanges, broadcast stats, TakeOrdered top-k") {
+    val plan = SparkEntry.queries("q146_bm25")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bm25 must not shuffle the corpus wide:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"corpus stats must come back as a broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("linearTrend plan: one keys exchange with map-side partial aggregation") {
+    // The operator itself (q147 adds one more exchange building its
+    // year-count series input — that one belongs to the input, not the
+    // trend): moment sums must collapse to ONE shuffle of six numbers
+    // per key, partial-aggregated map-side.
+    val plan = graft.operators.Rollups
+      .linearTrend(tables.lineitem, Seq("l_returnflag"), "l_partkey", "l_extendedprice")
+      .queryExecution.executedPlan.toString
+    val wide = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(wide == 1, s"linearTrend must shuffle exactly once on the keys, got $wide:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"moment sums must partial-aggregate map-side before the exchange:\n$plan")
+  }
+
   test("q20 scan pushes the shipdate filter and prunes columns") {
     val plan = SparkEntry.queries("q20_tpch_q1")(spark, sfDir)
       .queryExecution.executedPlan.toString
