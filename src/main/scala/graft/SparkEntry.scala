@@ -999,6 +999,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
       Rollups.linearTrend(series, Seq("datasourceId"), "year", "n")
     }),
+    "q148_chunk" -> ((s, dir) => {
+      // overlapping training/RAG chunks (50-word windows, 10-word
+      // overlap) — entirely in-row: split + sequence + slice, a
+      // map-only pass with zero exchanges
+      val t = Tables(s, dir)
+      TextAnalysis.chunkDocuments(t.documents, chunkSize = 50, overlap = 10)
+    }),
+    "q149_ohlc" -> ((s, dir) => {
+      // hourly OHLC bars of event value per event_type — one map-side
+      // combined aggregate, min_by/max_by against (ts, event_id) for
+      // deterministic open/close under timestamp ties
+      val t = Tables(s, dir)
+      EventWindows.ohlcBars(t.events, Seq("event_type"), "ts", "value",
+          "event_id", 3600000000L)
+        .select(col("event_type"), col("bar"),
+          round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
+          col("n_events"))
+    }),
+    "q150_compaction" -> ((s, dir) => {
+      // compaction planning over a synthesized file listing: customers'
+      // order totals as "files" within each o_orderpriority partition,
+      // quotient-binned into ≈2M-cent jobs — one window exchange
+      val t = Tables(s, dir)
+      val files = t.orders.groupBy(col("o_orderpriority").as("part"),
+          col("o_custkey").as("file"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("bytes"))
+      Layout.compactionPlan(files, Seq("part"), "file", "bytes", 2000000L)
+    }),
+    "q151_token_budget" -> ((s, dir) => {
+      // greedy token-budget curation: longest documents first until
+      // 50k words — bucketed two-phase prefix sum, never a single-task
+      // global window
+      val t = Tables(s, dir)
+      val scored = t.documents.select(col("doc_id"),
+        col("n_chars").cast("long").as("quality"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+      Sampling.tokenBudgetSelect(scored, "quality", "n_tokens", 50000L)
+    }),
+    "q152_locf" -> ((s, dir) => {
+      // step-function gap fill of each datasource's yearly evidence
+      // count — carried values are exact copies, no scaffold join
+      val t = Tables(s, dir)
+      val series = t.evidence.groupBy("datasourceId", "year")
+        .agg(count(lit(1)).as("n"))
+      Rollups.locf(series, Seq("datasourceId"), "year", "n")
+    }),
     "q145_pmi_collocations" -> ((s, dir) => {
       // multi-word expressions: top-20 adjacent pairs by PMI with
       // support ≥ 5 — pair/unigram tables map-side combined, support
@@ -3198,6 +3245,88 @@ object SparkEntry {
         |                / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 4)
         |       END AS r2
         |FROM f""".stripMargin,
+    "q148_chunk" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |),
+        |s AS (
+        |  SELECT doc_id, w, n, unnest(range(0, n, 40)) AS start FROM w
+        |)
+        |SELECT doc_id,
+        |       CAST(start // 40 AS INT) AS chunk_idx,
+        |       array_to_string(list_slice(w, start + 1, least(start + 50, n)), ' ')
+        |         AS chunk_text,
+        |       CAST(least(50, n - start) AS INT) AS n_tokens
+        |FROM s""".stripMargin,
+    "q149_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bar, value,
+        |         epoch_us(ts) AS us, event_id
+        |  FROM events
+        |),
+        |r AS (
+        |  SELECT event_type, bar, value,
+        |         row_number() OVER (PARTITION BY event_type, bar
+        |           ORDER BY us, event_id) AS ra,
+        |         row_number() OVER (PARTITION BY event_type, bar
+        |           ORDER BY us DESC, event_id DESC) AS rd
+        |  FROM e
+        |)
+        |SELECT event_type, CAST(bar AS BIGINT) AS bar,
+        |       round(max(CASE WHEN ra = 1 THEN value END), 4) AS open,
+        |       round(max(value), 4) AS high,
+        |       round(min(value), 4) AS low,
+        |       round(max(CASE WHEN rd = 1 THEN value END), 4) AS close,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "q150_compaction" ->
+      """WITH f AS (
+        |  SELECT o_orderpriority AS part, o_custkey AS file,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS bytes
+        |  FROM orders GROUP BY 1, 2
+        |),
+        |c AS (
+        |  SELECT part, file, bytes,
+        |         sum(bytes) OVER (PARTITION BY part ORDER BY bytes DESC, file
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM f
+        |)
+        |SELECT part, file, bytes, CAST((cum - bytes) // 2000000 AS BIGINT) AS grp
+        |FROM c""".stripMargin,
+    "q151_token_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS quality,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, quality, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM s
+        |)
+        |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 50000""".stripMargin,
+    "q152_locf" ->
+      """WITH series AS (
+        |  SELECT l_returnflag AS datasourceId,
+        |         CAST(year(l_shipdate) AS INT) AS year,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |l AS (
+        |  SELECT *, lead(year) OVER (PARTITION BY datasourceId ORDER BY year) AS ny
+        |  FROM series
+        |),
+        |d AS (
+        |  SELECT datasourceId, year, n,
+        |         unnest(range(year, coalesce(ny - 1, year) + 1)) AS yo
+        |  FROM l
+        |)
+        |SELECT datasourceId, CAST(yo AS INT) AS year, n, (yo <> year) AS filled
+        |FROM d""".stripMargin,
     "q145_pmi_collocations" ->
       """WITH wd AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

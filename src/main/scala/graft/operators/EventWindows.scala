@@ -203,6 +203,41 @@ object EventWindows {
         round(col("__ws").cast("double") / col("total_s") / 100, 4).as("twa"))
   }
 
+  /** OHLC time bars — the canonical financial/telemetry downsample:
+    * per key and fixed time bucket, the first (open), maximum (high),
+    * minimum (low), and last (close) observation plus the event count.
+    *
+    * Scale shape: ONE map-side-combined aggregate on (keys, bar) —
+    * open/close are `min_by`/`max_by` against the (event-time, seq)
+    * struct, so the aggregation state is O(1) per group and partials
+    * merge associatively; there is no window, no sort, and no per-bar
+    * event collection. `seqCol` (unique per event) makes the pick
+    * deterministic under timestamp ties — the same total order any
+    * oracle's window replay uses. Bars index as floor(us / barMicros)
+    * (exact: both operands are sub-2^53 longs).
+    *
+    * Output: (keys..., bar, open, high, low, close, n_events).
+    */
+  def ohlcBars(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      seqCol: String,
+      barMicros: Long): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val ord = struct(us, col(seqCol))
+    events
+      .groupBy(keys.map(col) :+
+        floor(us / lit(barMicros)).cast("long").as("bar"): _*)
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Gaps-and-islands interval coalescing: merge overlapping (or
     * touching) [start, end] intervals per key into maximal covered
     * islands — the availability/coverage primitive (machine uptime,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators for write-time clustering — the 100 TB lever
@@ -71,5 +72,39 @@ object Layout {
       .withColumn("hit",
         !(col("max_x") < x0 || col("min_x") > x1 ||
           col("max_y") < y0 || col("min_y") > y1))
+  }
+
+  /** Small-file compaction planning — the lakehouse maintenance
+    * primitive: group each table partition's files into compaction
+    * jobs of ≈`targetBytes` input each. Deterministic quotient
+    * binning over the size-desc cumulative prefix: a file joins group
+    * floor(prefix-before-it / target), so groups are contiguous runs
+    * of the size-desc order, every group except the last holds ≥
+    * target/2 ... ≈ target+maxFile bytes, and the assignment is a
+    * pure function of the file list (idempotent replans).
+    *
+    * Scale shape: one window over (partition cols) ordered by (size
+    * desc, file) — file counts per table partition are bounded by the
+    * writer (thousands, not billions), so the per-partition sort is
+    * small even when the table has millions of partitions; O(1)
+    * running-sum state, one exchange total.
+    *
+    * Output: (partCols..., fileCol, sizeCol, grp).
+    */
+  def compactionPlan(
+      files: DataFrame,
+      partCols: Seq[String],
+      fileCol: String,
+      sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(sizeCol).desc, col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("grp",
+        expr(s"(__cum - $sizeCol) DIV $targetBytes"))
+      .drop("__cum")
   }
 }

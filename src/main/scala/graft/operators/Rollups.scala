@@ -196,6 +196,35 @@ object Rollups {
         round(col("__v"), 4).as(valCol), col("interpolated")): _*)
   }
 
+  /** Last-observation-carried-forward gap fill — the step-function
+    * cousin of [[interpolate]]: every missing year between consecutive
+    * observations repeats the PRIOR observation's value (sensor
+    * readings, prices, config states — anything valid-until-replaced).
+    *
+    * Same scale shape as interpolate: one (keys) exchange for the
+    * lead() window, then the dense years explode IN-ROW from each
+    * observation's gap — no scaffold join, no second shuffle, and the
+    * carried value is the row's own (`lead` is only needed for the gap
+    * length). Values are copied, never recomputed — exact in any
+    * engine.
+    *
+    * Output: (keys..., yearCol, valCol, filled).
+    */
+  def locf(
+      df: DataFrame,
+      keys: Seq[String],
+      yearCol: String = "year",
+      valCol: String = "v"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(yearCol))
+    df
+      .withColumn("__ny", lead(col(yearCol), 1).over(w))
+      .withColumn("__yo", explode(sequence(col(yearCol),
+        coalesce(col("__ny") - 1, col(yearCol)))))
+      .withColumn("filled", col("__yo") =!= col(yearCol))
+      .select(keys.map(col) ++ Seq(col("__yo").as(yearCol),
+        col(valCol), col("filled")): _*)
+  }
+
   /** Exponentially-weighted moving average with α = 1/2, computed
     * CLOSED-FORM over the running window: with f_t = 2^t·e_t the
     * recurrence e_t = (x_t + e_{t−1})/2 becomes the plain running sum

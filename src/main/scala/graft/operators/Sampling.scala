@@ -337,4 +337,61 @@ object Sampling {
       .select(col(idCol) +: passThrough.map(col) :+
         round(col("logw"), 4).as("logw"): _*)
   }
+
+  /** Token-budget greedy corpus selection: rank every document by
+    * (quality desc, id asc) and keep the longest prefix whose
+    * cumulative token count fits `budget` — "fill the training-token
+    * budget with the best documents first", the curation step after
+    * scoring (G8/G20) and before packing (G25).
+    *
+    * Scale shape: the global ordered prefix sum NEVER runs as one
+    * single-task window. Documents are binned by quality-range
+    * boundaries (approx quantiles — a constant-size driver array);
+    * each bucket computes its in-bucket prefix sum on its own window
+    * partition, and the cross-bucket offsets are a `buckets`-row
+    * aggregate embedded as a literal map (the BloomSemiJoin /
+    * dsirLogRatios sanctioned constant-size shape). offset +
+    * in-bucket prefix ≡ the exact global prefix REGARDLESS of where
+    * the boundaries fall (binning is order-respecting and equal
+    * qualities always share a bucket), so sketch imprecision cannot
+    * leak into results — the oracle's one-window replay matches
+    * bit-for-bit.
+    *
+    * Output: (idCol, qualityCol, tokensCol, cum_tokens), the selected
+    * prefix.
+    */
+  def tokenBudgetSelect(
+      docs: DataFrame,
+      qualityCol: String,
+      tokensCol: String,
+      budget: Long,
+      idCol: String = "doc_id",
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, "budget must be non-negative")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = docs.stat.approxQuantile(qualityCol, probs, 0.001).distinct.sorted
+    val boundsLit = typedLit(bounds.toSeq)
+    // bucket = #boundaries strictly below q — a pure function of the
+    // quality VALUE, so ties can never straddle buckets
+    val bucket = size(filter(boundsLit, b => b < col(qualityCol)))
+    val bucketed = docs.select(col(idCol), col(qualityCol), col(tokensCol),
+      bucket.as("__b"))
+    val totals = bucketed.groupBy("__b")
+      .agg(sum(col(tokensCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // offset of bucket b = tokens in every HIGHER-quality bucket
+    val offsets = totals.keys.map { b =>
+      b -> totals.filter(_._1 > b).values.sum
+    }.toMap
+    val offsetLit = typedLit(offsets)
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("cum_tokens",
+        element_at(offsetLit, col("__b")) + sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__b")
+  }
 }

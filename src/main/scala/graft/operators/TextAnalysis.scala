@@ -603,4 +603,42 @@ object TextAnalysis {
           .withColumn("redacted",
             regexp_replace(col("redacted"), lit(pat), lit(tag)))
     }
+
+  /** Overlapping document chunking — the training/RAG preprocessor
+    * that turns each document into fixed-size token windows with
+    * `overlap` tokens of context carried between consecutive chunks:
+    * chunk i covers words [i·stride, i·stride + chunkSize) with
+    * stride = chunkSize − overlap, starts strictly inside the
+    * document (last partial chunk kept, n_tokens = what remains).
+    *
+    * Scale shape: ZERO shuffles — word split, start generation
+    * (`sequence`), and the per-chunk `slice` are all in-row codegen'd
+    * expressions, so the 100 TB pass is map-only and the output
+    * streams straight to the sink partitioned exactly like the input.
+    * Expansion factor is bounded by construction at
+    * ~n_words/stride per doc.
+    *
+    * Output: (idCol, chunk_idx, chunk_text, n_tokens).
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      chunkSize: Int = 50,
+      overlap: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val w = words(col(textCol))
+    df.select(col(idCol), w.as("__w"), size(w).as("__n"))
+      .select(col(idCol), col("__w"), col("__n"),
+        explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride)))
+          .as("__start"))
+      .select(col(idCol),
+        (col("__start") / stride).cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("__w"), col("__start") + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize), col("__n") - col("__start")).cast("int")
+          .as("n_tokens"))
+  }
 }

@@ -247,6 +247,76 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L), s"got $out")
   }
 
+  test("TextAnalysis.chunkDocuments windows words with overlap") {
+    val docs = Seq((1L, (1 to 12).map(i => s"w$i").mkString(" ")), (2L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, chunkSize = 5, overlap = 2)
+      .as[(Long, Int, String, Int)].collect().toSet
+    // doc 1: starts 0,3,6,9 → [w1..w5], [w4..w8], [w7..w11], [w10..w12]
+    assert(out == Set(
+      (1L, 0, "w1 w2 w3 w4 w5", 5),
+      (1L, 1, "w4 w5 w6 w7 w8", 5),
+      (1L, 2, "w7 w8 w9 w10 w11", 5),
+      (1L, 3, "w10 w11 w12", 3),
+      (2L, 0, "a", 1)), s"got $out")
+  }
+
+  test("EventWindows.ohlcBars picks deterministic open/close per bucket") {
+    val ev = Seq(
+      // (event_id, us, key, value) — bucket size 100 us
+      (1L, 10L, "k", 5.0), (2L, 20L, "k", 9.0), (3L, 30L, "k", 1.0),
+      (4L, 150L, "k", 7.0),
+      (5L, 40L, "k2", 2.0), (6L, 40L, "k2", 3.0)) // ts tie → event_id breaks
+      .toDF("event_id", "us", "key", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = EventWindows.ohlcBars(ev, Seq("key"), "ts", "value", "event_id", 100L)
+      .select("key", "bar", "open", "high", "low", "close", "n_events")
+      .as[(String, Long, Double, Double, Double, Double, Long)].collect().toSet
+    assert(out == Set(
+      ("k", 0L, 5.0, 9.0, 1.0, 1.0, 3L),
+      ("k", 1L, 7.0, 7.0, 7.0, 7.0, 1L),
+      ("k2", 0L, 2.0, 3.0, 2.0, 3.0, 2L)), s"got $out")
+  }
+
+  test("Layout.compactionPlan bins size-desc prefixes by the target") {
+    val files = Seq(("p", "a", 70L), ("p", "b", 50L), ("p", "c", 40L),
+      ("p", "d", 10L), ("q", "e", 5L))
+      .toDF("part", "file", "bytes")
+    val out = Layout.compactionPlan(files, Seq("part"), "file", "bytes", 100L)
+      .as[(String, String, Long, Long)].collect().toSet
+    // p order: a(70) cum70 grp0, b(50) cum120 grp0, c(40) cum160 grp1,
+    // d(10) cum170 grp1; q: e grp0
+    assert(out == Set(("p", "a", 70L, 0L), ("p", "b", 50L, 0L),
+      ("p", "c", 40L, 1L), ("p", "d", 10L, 1L), ("q", "e", 5L, 0L)), s"got $out")
+  }
+
+  test("Sampling.tokenBudgetSelect keeps the exact quality-ranked prefix") {
+    val docs = (1L to 100L).map(i => (i, (i % 10).toDouble, 10L))
+      .toDF("doc_id", "quality", "n_tokens")
+    val out = Sampling.tokenBudgetSelect(docs, "quality", "n_tokens", 250L, buckets = 4)
+      .orderBy(col("cum_tokens"))
+      .as[(Long, Double, Long, Long)].collect()
+    assert(out.length == 25, s"250 budget / 10 tokens = 25 docs, got ${out.length}")
+    // the 25 best: all quality-9 docs (10), then quality-8 (10), then
+    // the first 5 quality-7 docs by id
+    assert(out.take(10).forall(_._2 == 9.0))
+    assert(out.slice(10, 20).forall(_._2 == 8.0))
+    assert(out.drop(20).forall(_._2 == 7.0))
+    assert(out.drop(20).map(_._1).toSeq == Seq(7L, 17L, 27L, 37L, 47L))
+    assert(out.last._4 == 250L)
+  }
+
+  test("Rollups.locf carries values across gaps") {
+    val series = Seq(("k", 2000, 5L), ("k", 2003, 8L), ("k", 2005, 2L))
+      .toDF("key", "year", "n")
+    val out = Rollups.locf(series, Seq("key"), "year", "n")
+      .as[(String, Int, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      ("k", 2000, 5L, false), ("k", 2001, 5L, true), ("k", 2002, 5L, true),
+      ("k", 2003, 8L, false), ("k", 2004, 8L, true),
+      ("k", 2005, 2L, false)), s"got $out")
+  }
+
   test("Dedup.clusters handles a 40-hop chain (pointer jumping, VERDICT r6)") {
     // 41 nodes in one path — diameter 40, far beyond what one-hop
     // min-propagation covers in 25 rounds; pointer jumping converges
