@@ -1046,6 +1046,55 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
       Rollups.locf(series, Seq("datasourceId"), "year", "n")
     }),
+    "q153_stream_ohlc" -> ((s, dir) => {
+      // OHLC as streaming state: five scalars per (window, key) in the
+      // state store, append-mode finalized windows, min_by/max_by
+      // total order makes any micro-batch split merge identically
+      StreamQueries.materialize(
+          EventStream.tumblingOhlc(StreamQueries.streamEvents(s, dir)))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"),
+          round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
+          col("n"))
+    }),
+    "q154_rrf" -> ((s, dir) => {
+      // reciprocal-rank fusion of a lexical ranking (tf of "spark")
+      // and a length ranking — both bounded top-50 TakeOrdered lists
+      // before the fuse, so the rank windows never see the corpus
+      val t = Tables(s, dir)
+      val byTf = t.documents.select(col("doc_id"),
+          size(filter(TextAnalysis.words(col("text")), x => x === lit("spark")))
+            .cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+      val byLen = t.documents.select(col("doc_id"),
+          col("n_chars").cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+      TextAnalysis.rrfFuse(Seq(byTf, byLen))
+    }),
+    "q155_mixture_entropy" -> ((s, dir) => {
+      // corpus-mixture diversity: source-distribution entropy and
+      // effective source count per language — two stacked map-side
+      // combined aggregates, floats only in the final ln/exp
+      val t = Tables(s, dir)
+      Rollups.mixtureEntropy(t.documents, Seq("lang"), "source")
+    }),
+    "q156_ab_ztest" -> ((s, dir) => {
+      // two-proportion A/B z statistic per event_type: variant B =
+      // odd user_id, success = value > 0.5 — one conditional
+      // map-side-combined aggregate, exact integer counts
+      val t = Tables(s, dir)
+      Rollups.twoProportionZ(t.events, Seq("event_type"),
+        col("user_id") % 2 === 1, col("value") > 0.5)
+    }),
+    "q157_winsorize" -> ((s, dir) => {
+      // heavy-tail clamping report: exact interpolated [p10, p90] per
+      // event_type (thresholds rounded 4dp on BOTH engines before
+      // clamping), then the clipped-count and mean shift
+      val t = Tables(s, dir)
+      Rollups.winsorize(t.events, Seq("event_type"), "value")
+    }),
     "q145_pmi_collocations" -> ((s, dir) => {
       // multi-word expressions: top-20 adjacent pairs by PMI with
       // support ≥ 5 — pair/unigram tables map-side combined, support
@@ -3245,6 +3294,101 @@ object SparkEntry {
         |                / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 4)
         |       END AS r2
         |FROM f""".stripMargin,
+    "q153_stream_ohlc" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |),
+        |mx AS (SELECT max(ts) AS mt FROM ev),
+        |r AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, value,
+        |         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |           ORDER BY us, event_id) AS ra,
+        |         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |           ORDER BY us DESC, event_id DESC) AS rd
+        |  FROM ev
+        |),
+        |w AS (
+        |  SELECT ws, event_type,
+        |         round(max(CASE WHEN ra = 1 THEN value END), 4) AS open,
+        |         round(max(value), 4) AS high,
+        |         round(min(value), 4) AS low,
+        |         round(max(CASE WHEN rd = 1 THEN value END), 4) AS close,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT strftime(w.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       w.event_type, w.open, w.high, w.low, w.close, w.n
+        |FROM w, mx WHERE w.ws + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""".stripMargin,
+    "q154_rrf" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+        |           AS DOUBLE) AS s
+        |  FROM documents
+        |),
+        |ar AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        |  FROM a QUALIFY r <= 50
+        |),
+        |b AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS s FROM documents),
+        |br AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        |  FROM b QUALIFY r <= 50
+        |),
+        |u AS (SELECT * FROM ar UNION ALL SELECT * FROM br)
+        |SELECT doc_id, round(sum(1.0 / (r + 60)), 6) AS rrf,
+        |       CAST(count(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY 1
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "q155_mixture_entropy" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_cats,
+        |         CAST(sum(c) AS BIGINT) AS n_rows,
+        |         sum(CAST(c AS DOUBLE) * ln(c)) AS cl
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT lang, n_cats, n_rows,
+        |       round(ln(n_rows) - cl / n_rows, 4) AS entropy,
+        |       round(exp(ln(n_rows) - cl / n_rows), 4) AS eff_cats
+        |FROM m""".stripMargin,
+    "q156_ab_ztest" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
+        |         CAST(count(CASE WHEN user_id % 2 = 0 AND value > 0.5 THEN 1 END) AS BIGINT) AS x_a,
+        |         CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b,
+        |         CAST(count(CASE WHEN user_id % 2 = 1 AND value > 0.5 THEN 1 END) AS BIGINT) AS x_b
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_type, n_a, x_a, n_b, x_b,
+        |       CASE WHEN n_a > 0 AND n_b > 0
+        |                 AND (x_a + x_b) > 0 AND (x_a + x_b) < (n_a + n_b)
+        |         THEN round(
+        |           (CAST(x_b AS DOUBLE)/n_b - CAST(x_a AS DOUBLE)/n_a)
+        |           / sqrt((CAST(x_a + x_b AS DOUBLE)/(n_a + n_b))
+        |                  * (1 - CAST(x_a + x_b AS DOUBLE)/(n_a + n_b))
+        |                  * (1.0/n_a + 1.0/n_b)), 4)
+        |       END AS z
+        |FROM g""".stripMargin,
+    "q157_winsorize" ->
+      """WITH th AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.1), 4) AS lo_th,
+        |         round(quantile_cont(value, 0.9), 4) AS hi_th
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_type, any_value(lo_th) AS lo_th, any_value(hi_th) AS hi_th,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(CASE WHEN value < lo_th OR value > hi_th THEN 1 END) AS BIGINT) AS n_clipped,
+        |       round(avg(value), 4) AS mean_raw,
+        |       round(avg(least(greatest(value, lo_th), hi_th)), 4) AS mean_wins
+        |FROM events e JOIN th USING (event_type)
+        |GROUP BY 1""".stripMargin,
     "q148_chunk" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w,

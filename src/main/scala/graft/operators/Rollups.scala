@@ -196,6 +196,106 @@ object Rollups {
         round(col("__v"), 4).as(valCol), col("interpolated")): _*)
   }
 
+  /** Shannon-entropy mixture report per key: how diverse is the
+    * category distribution (sources per language, languages per
+    * source, datasources per disease) — H = ln T − (Σ c·ln c)/T from
+    * the exact integer counts, plus the effective category count
+    * exp(H) (the "perplexity of the mixture", the number every
+    * data-mixing paper reports).
+    *
+    * Scale shape: two stacked map-side-combined aggregates — (keys,
+    * cat) counts, then O(1)-state moments per key. Floats enter only
+    * in the final ln/exp of one row per key.
+    *
+    * Output: (keys..., n_cats, n_rows, entropy 4dp, eff_cats 4dp).
+    */
+  def mixtureEntropy(
+      df: DataFrame,
+      keys: Seq[String],
+      catCol: String): DataFrame = {
+    val h = log(col("n_rows")) - col("__cl") / col("n_rows")
+    df.groupBy((keys :+ catCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_cats"),
+        sum(col("__c")).as("n_rows"),
+        sum(col("__c").cast("double") * log(col("__c"))).as("__cl"))
+      .select(keys.map(col) ++ Seq(col("n_cats"), col("n_rows"),
+        round(h, 4).as("entropy"),
+        round(exp(h), 4).as("eff_cats")): _*)
+  }
+
+  /** Two-proportion z statistic per experiment key — the A/B-test
+    * primitive: z = (p̂_b − p̂_a) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with the
+    * pooled p̂. Counts are exact integers from ONE conditional
+    * map-side-combined aggregate (never two passes); the six floats
+    * of the closed form run once per experiment row. Keys where
+    * either arm is empty or the pooled rate is degenerate (0 or 1)
+    * yield NULL z rather than ±∞.
+    *
+    * Output: (keys..., n_a, x_a, n_b, x_b, z 4dp).
+    */
+  def twoProportionZ(
+      df: DataFrame,
+      keys: Seq[String],
+      variantB: Column,
+      success: Column): DataFrame = {
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val p = (col("x_a") + col("x_b")).cast("double") / (na + nb)
+    val z = (col("x_b") / nb - col("x_a") / na) /
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb))
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(when(!variantB, lit(1))).as("n_a"),
+        count(when(!variantB && success, lit(1))).as("x_a"),
+        count(when(variantB, lit(1))).as("n_b"),
+        count(when(variantB && success, lit(1))).as("x_b"))
+      .withColumn("z",
+        when(col("n_a") > 0 && col("n_b") > 0 && p > 0 && p < 1,
+          round(z, 4)))
+  }
+
+  /** Group-wise winsorization summary: clamp values into the group's
+    * exact interpolated [pLo, pHi] percentile band and report the
+    * effect — the robust-statistics preprocessor for training-signal
+    * columns with heavy tails.
+    *
+    * Thresholds are rounded to 4dp BEFORE clamping (identically on
+    * the oracle side) so last-ulp percentile noise can never flip a
+    * clip decision across engines. Two aggregates over the input (the
+    * percentile pass and the summary pass joined on the keys) — the
+    * same two-scan shape as any sort-based exact-percentile plan; at
+    * 100 TB the threshold table is keys-sized and the join broadcasts.
+    *
+    * Output: (keys..., lo_th, hi_th, n, n_clipped, mean_raw 4dp,
+    * mean_wins 4dp).
+    */
+  def winsorize(
+      df: DataFrame,
+      keys: Seq[String],
+      valCol: String,
+      lo: Double = 0.1,
+      hi: Double = 0.9): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0<=lo<hi<=1, got $lo,$hi")
+    val th = df.groupBy(keys.map(col): _*)
+      .agg(percentile(col(valCol), typedLit(Seq(lo, hi))).as("__p"))
+      .select(keys.map(col) ++ Seq(
+        round(element_at(col("__p"), 1), 4).as("lo_th"),
+        round(element_at(col("__p"), 2), 4).as("hi_th")): _*)
+    val clamped = least(greatest(col(valCol), col("lo_th")), col("hi_th"))
+    df.join(broadcast(th), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        first(col("lo_th")).as("lo_th"),
+        first(col("hi_th")).as("hi_th"),
+        count(lit(1)).as("n"),
+        count(when(col(valCol) < col("lo_th") || col(valCol) > col("hi_th"),
+          lit(1))).as("n_clipped"),
+        round(avg(col(valCol)), 4).as("mean_raw"),
+        round(avg(clamped), 4).as("mean_wins"))
+  }
+
   /** Last-observation-carried-forward gap fill — the step-function
     * cousin of [[interpolate]]: every missing year between consecutive
     * observations repeats the PRIOR observation's value (sensor

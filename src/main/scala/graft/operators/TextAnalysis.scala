@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-corpus analysis for training-data pipelines: token metrics,
@@ -603,6 +604,44 @@ object TextAnalysis {
           .withColumn("redacted",
             regexp_replace(col("redacted"), lit(pat), lit(tag)))
     }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): merge
+    * several top-k rankings of the same id space into one consensus
+    * ranking by Σ 1/(kConst + rank_i) — the standard way to combine a
+    * lexical ranking (BM25) with a vector ranking (ANN cosine)
+    * without score calibration.
+    *
+    * Scale contract: inputs must already be BOUNDED top-k lists (the
+    * output of a TakeOrdered stage, ≤ thousands of rows) — the
+    * per-list rank window then runs over k rows per list, never the
+    * corpus, and the whole fuse is dim-table-sized. Ranks are
+    * recomputed from (score desc, id asc) so the fusion is
+    * deterministic regardless of input row order.
+    *
+    * Output: (idCol, rrf 6dp, n_lists) — top `topK` by fused score.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String = "doc_id",
+      scoreCol: String = "score",
+      kConst: Int = 60,
+      topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col(scoreCol).cast("double").as("__s"),
+        lit(i).as("__src"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("__src"))
+      .orderBy(col("__s").desc, col(idCol))
+    tagged
+      .withColumn("__rank", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(lit(1.0) / (col("__rank") + kConst)), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
 
   /** Overlapping document chunking — the training/RAG preprocessor
     * that turns each document into fixed-size token windows with

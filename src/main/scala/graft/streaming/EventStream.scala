@@ -26,6 +26,33 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** OHLC bars as STREAMING state: open/close are `min_by`/`max_by`
+    * against the (event-time, event_id) struct — O(1) mergeable
+    * aggregation state per window, so the state store carries five
+    * scalars per (window, key) instead of the events. Append mode:
+    * only finalized windows (end ≤ watermark) emit. Batch-split
+    * invariant: the pick order is a TOTAL order over events, so any
+    * micro-batch partition of the input merges to the same open/close
+    * — which is what lets a plain batch query oracle the stream.
+    */
+  def tumblingOhlc(
+      events: DataFrame,
+      duration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val ord = struct(unix_micros(col("ts")), col("event_id"))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration), col("event_type"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+  }
+
   /** Approx-distinct users per tumbling window with the HLL sketch AS
     * STREAMING STATE: the TypedImperativeAggregate's serialize/merge
     * path runs inside the state store, so each window carries a 4 KB

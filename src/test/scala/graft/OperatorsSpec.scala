@@ -306,6 +306,63 @@ class OperatorsSpec extends SparkSpec {
     assert(out.last._4 == 250L)
   }
 
+  test("TextAnalysis.rrfFuse merges rankings by reciprocal rank") {
+    val a = Seq((1L, 10.0), (2L, 8.0), (3L, 5.0)).toDF("doc_id", "score")
+    val b = Seq((2L, 99.0), (4L, 50.0)).toDF("doc_id", "score")
+    val out = TextAnalysis.rrfFuse(Seq(a, b), kConst = 60, topK = 10)
+      .as[(Long, Double, Long)].collect()
+    val exp = Map(
+      1L -> 1.0 / 61, 2L -> (1.0 / 62 + 1.0 / 61),
+      3L -> 1.0 / 63, 4L -> 1.0 / 62)
+    assert(out.map(_._1).toSeq == Seq(2L, 1L, 4L, 3L), s"got ${out.toSeq}")
+    out.foreach { case (id, rrf, _) =>
+      assert(math.abs(rrf - exp(id)) < 1e-6) }
+    assert(out.find(_._1 == 2L).get._3 == 2L)
+  }
+
+  test("Rollups.mixtureEntropy computes H and effective categories") {
+    val docs = Seq(("en", "a"), ("en", "a"), ("en", "b"), ("en", "b"),
+      ("fr", "a")).toDF("lang", "source")
+    val out = Rollups.mixtureEntropy(docs, Seq("lang"), "source")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // en: uniform over 2 sources → H = ln 2, eff = 2
+    assert(out("en")._2 == 2L && out("en")._3 == 4L)
+    assert(math.abs(out("en")._4 - math.log(2)) < 1e-3)
+    assert(math.abs(out("en")._5 - 2.0) < 1e-3)
+    // fr: single source → H = 0, eff = 1
+    assert(out("fr")._4 == 0.0 && out("fr")._5 == 1.0)
+  }
+
+  test("Rollups.twoProportionZ matches the closed form and nulls degenerate arms") {
+    val df = Seq(
+      // exp1: A 2/4, B 3/4 — a real z; exp2: all successes → NULL z
+      ("e1", 0L, 0.9), ("e1", 2L, 0.9), ("e1", 4L, 0.1), ("e1", 6L, 0.1),
+      ("e1", 1L, 0.9), ("e1", 3L, 0.9), ("e1", 5L, 0.9), ("e1", 7L, 0.1),
+      ("e2", 0L, 0.9), ("e2", 1L, 0.9))
+      .toDF("event_type", "user_id", "value")
+    val out = Rollups.twoProportionZ(df, Seq("event_type"),
+        col("user_id") % 2 === 1, col("value") > 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r1 = out("e1")
+    assert(r1.getLong(1) == 4 && r1.getLong(2) == 2 && r1.getLong(3) == 4 && r1.getLong(4) == 3)
+    val p = 5.0 / 8
+    val z = (0.75 - 0.5) / math.sqrt(p * (1 - p) * 0.5)
+    assert(math.abs(r1.getDouble(5) - (math.rint(z * 10000) / 10000)) < 1e-9)
+    assert(out("e2").isNullAt(5), "pooled p = 1 must yield NULL z")
+  }
+
+  test("Rollups.winsorize clamps to the rounded percentile band") {
+    val df = (1 to 10).map(i => ("k", i.toDouble)).toDF("g", "v")
+    val out = Rollups.winsorize(df, Seq("g"), "v", lo = 0.1, hi = 0.9).collect()(0)
+    // interpolated p10 of 1..10 = 1.9, p90 = 9.1
+    assert(out.getDouble(1) == 1.9 && out.getDouble(2) == 9.1)
+    assert(out.getLong(3) == 10 && out.getLong(4) == 2)
+    assert(out.getDouble(5) == 5.5)
+    // clamped: 1.9,2..9,9.1 → mean 5.5
+    assert(out.getDouble(6) == 5.5)
+  }
+
   test("Rollups.locf carries values across gaps") {
     val series = Seq(("k", 2000, 5L), ("k", 2003, 8L), ("k", 2005, 2L))
       .toDF("key", "year", "n")
