@@ -38,6 +38,69 @@ class ScaleDesignSpec extends SparkSpec {
       s"moment sums must partial-aggregate map-side before the exchange:\n$plan")
   }
 
+  test("chunkDocuments plan is map-only: zero exchanges of any kind") {
+    val plan = SparkEntry.queries("q148_chunk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must be a pure projection pass:\n$plan")
+  }
+
+  test("ohlcBars plan: one keys exchange with map-side partial aggregation") {
+    val plan = graft.operators.EventWindows
+      .ohlcBars(tables.events, Seq("event_type"), "ts", "value", "event_id", 3600000000L)
+      .queryExecution.executedPlan.toString
+    val wide = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(wide == 1, s"OHLC must shuffle exactly once on (keys, bar), got $wide:\n$plan")
+    // min_by forces a SortAggregate; what matters is the partial phase
+    // running before the exchange (map-side combine)
+    assert(plan.contains("partial_min_by"),
+      s"min_by/max_by state must partial-aggregate map-side:\n$plan")
+  }
+
+  test("compactionPlan itself costs one window exchange") {
+    import spark.implicits._
+    val files = Seq(("p", "a", 70L)).toDF("part", "file", "bytes")
+    val plan = graft.operators.Layout
+      .compactionPlan(files, Seq("part"), "file", "bytes", 100L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"one exchange on the partition cols:\n$plan")
+  }
+
+  test("tokenBudgetSelect never plans a single-task global window") {
+    val t = tables
+    val scored = t.documents.select(col("doc_id"),
+      col("n_chars").cast("long").as("quality"),
+      size(graft.operators.TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+    val plan = graft.operators.Sampling
+      .tokenBudgetSelect(scored, "quality", "n_tokens", 50000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"the prefix sum must run bucketed, not on one task:\n$plan")
+    assert(plan.contains("Window"), s"expected the in-bucket window:\n$plan")
+  }
+
+  test("mixtureEntropy plan: two stacked aggregates, two exchanges") {
+    val plan = SparkEntry.queries("q155_mixture_entropy")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2,
+      s"(keys, cat) then (keys) — exactly two exchanges:\n$plan")
+  }
+
+  test("twoProportionZ plan: one conditional aggregate, one exchange") {
+    val plan = SparkEntry.queries("q156_ab_ztest")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"all four arm counts must ride one aggregate:\n$plan")
+  }
+
+  test("winsorize broadcasts the threshold table back to the scan") {
+    val plan = SparkEntry.queries("q157_winsorize")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"keys-sized thresholds must broadcast:\n$plan")
+  }
+
   test("q20 scan pushes the shipdate filter and prunes columns") {
     val plan = SparkEntry.queries("q20_tpch_q1")(spark, sfDir)
       .queryExecution.executedPlan.toString
