@@ -1095,6 +1095,29 @@ object SparkEntry {
       val t = Tables(s, dir)
       Rollups.winsorize(t.events, Seq("event_type"), "value")
     }),
+    "q158_cube" -> ((s, dir) => {
+      // full CUBE lattice over (returnflag, linestatus) with an
+      // explicit grouping id — completes the subtotal family next to
+      // ROLLUP (q51) and disjoint GROUPING SETS (q134); one pass
+      val t = Tables(s, dir)
+      t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("int").as("gid"))
+    }),
+    "q159_seasonal" -> ((s, dir) => {
+      // monthly seasonality of each event type: 12·share vs a flat
+      // year — (keys, month) aggregate then a 12-row-per-key window
+      val t = Tables(s, dir)
+      Rollups.seasonalIndex(t.events, Seq("event_type"), "ts")
+    }),
+    "q160_vocab_overlap" -> ((s, dir) => {
+      // pairwise source vocabulary Jaccard — distinct (cat, token)
+      // exchange, token-keyed self-join bounded by nSources² per
+      // token, broadcast sizes, inclusion-exclusion in exact ints
+      val t = Tables(s, dir)
+      TextAnalysis.vocabularyOverlap(t.documents)
+    }),
     "q145_pmi_collocations" -> ((s, dir) => {
       // multi-word expressions: top-20 adjacent pairs by PMI with
       // support ≥ 5 — pair/unigram tables map-side combined, support
@@ -3294,6 +3317,35 @@ object SparkEntry {
         |                / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 4)
         |       END AS r2
         |FROM f""".stripMargin,
+    "q158_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q159_seasonal" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS month,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, month, n,
+        |       round(12.0 * n / sum(n) OVER (PARTITION BY event_type), 4) AS idx
+        |FROM m""".stripMargin,
+    "q160_vocab_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT cat, tok FROM (
+        |    SELECT source AS cat, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |),
+        |sz AS (SELECT cat, CAST(count(*) AS BIGINT) AS sz FROM v GROUP BY 1),
+        |i AS (
+        |  SELECT a.cat AS cat_a, b.cat AS cat_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM v a JOIN v b USING (tok) WHERE a.cat < b.cat
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cat_a, cat_b, n_common,
+        |       round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) AS jaccard
+        |FROM i JOIN sz sa ON sa.cat = i.cat_a JOIN sz sb ON sb.cat = i.cat_b""".stripMargin,
     "q153_stream_ohlc" ->
       """WITH ev AS (
         |  SELECT event_type, value, event_id, CAST(ts AS TIMESTAMP) AS ts,

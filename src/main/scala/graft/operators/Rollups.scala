@@ -296,6 +296,30 @@ object Rollups {
         round(avg(clamped), 4).as("mean_wins"))
   }
 
+  /** Seasonal index per key and calendar month: 12·(month share) — 1.0
+    * means a flat month, 2.0 means the month carries twice its uniform
+    * share. The classic retail/telemetry seasonality diagnostic.
+    *
+    * Scale shape: one map-side-combined aggregate to (keys, month)
+    * grain — at most 12 rows per key — then a keys-partitioned window
+    * over those 12-row groups for the total (a second, dim-sized
+    * exchange). Counts exact; one division per output row.
+    *
+    * Output: (keys..., month, n, idx 4dp).
+    */
+  def seasonalIndex(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    events
+      .groupBy(keys.map(col) :+ month(col(tsCol)).as("month"): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__t", sum(col("n")).over(w))
+      .select(keys.map(col) ++ Seq(col("month"), col("n"),
+        round(lit(12.0) * col("n") / col("__t"), 4).as("idx")): _*)
+  }
+
   /** Last-observation-carried-forward gap fill — the step-function
     * cousin of [[interpolate]]: every missing year between consecutive
     * observations repeats the PRIOR observation's value (sensor

@@ -643,6 +643,39 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Pairwise vocabulary overlap between corpus slices: Jaccard of the
+    * DISTINCT token sets of every category pair — "how lexically
+    * similar are my sources/languages/snapshots", the corpus-
+    * comparison diagnostic behind mixture design.
+    *
+    * Scale shape: the (cat, token) vocabulary collapses via one
+    * distinct exchange; the intersection sizes come from a token-keyed
+    * self-join whose per-token pair expansion is bounded by
+    * nCategories² (categories are a dimension, never the corpus), and
+    * the category sizes broadcast back. Inclusion–exclusion turns
+    * intersections into unions — all exact integers.
+    *
+    * Output: (cat_a, cat_b, n_common, jaccard 4dp), cat_a < cat_b.
+    */
+  def vocabularyOverlap(
+      docs: DataFrame,
+      catCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val vocab = docs.select(col(catCol).as("cat"),
+        explode(array_distinct(words(col(textCol)))).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy("cat").agg(count(lit(1)).as("sz"))
+    vocab.select(col("cat").as("cat_a"), col("tok"))
+      .join(vocab.select(col("cat").as("cat_b"), col("tok")), "tok")
+      .filter(col("cat_a") < col("cat_b"))
+      .groupBy("cat_a", "cat_b").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("cat").as("cat_a"), col("sz").as("__sa"))), "cat_a")
+      .join(broadcast(sizes.select(col("cat").as("cat_b"), col("sz").as("__sb"))), "cat_b")
+      .select(col("cat_a"), col("cat_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("__sa") + col("__sb") - col("n_common")), 4).as("jaccard"))
+  }
+
   /** Overlapping document chunking — the training/RAG preprocessor
     * that turns each document into fixed-size token windows with
     * `overlap` tokens of context carried between consecutive chunks:

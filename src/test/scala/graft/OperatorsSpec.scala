@@ -363,6 +363,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out.getDouble(6) == 5.5)
   }
 
+  test("Rollups.seasonalIndex measures month share against uniform") {
+    val ev = (Seq.fill(6)(1) ++ Seq.fill(2)(2)).zipWithIndex.map { case (m, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-$m%02d-15 00:00:00"))
+    }.toDF("event_id", "ts").withColumn("k", lit("a"))
+    val out = Rollups.seasonalIndex(ev, Seq("k"), "ts")
+      .as[(String, Int, Long, Double)].collect().toSet
+    // 8 events: 6 in Jan (share .75 → idx 9), 2 in Feb (idx 3)
+    assert(out == Set(("a", 1, 6L, 9.0), ("a", 2, 2L, 3.0)), s"got $out")
+  }
+
+  test("TextAnalysis.vocabularyOverlap computes pairwise Jaccard of token sets") {
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "c d"),        // s1 vocab {a,b,c,d}
+      ("s2", "c d e"),                       // s2 vocab {c,d,e}
+      ("s3", "x y")).toDF("source", "text")  // s3 disjoint
+    val out = TextAnalysis.vocabularyOverlap(docs)
+      .as[(String, String, Long, Double)].collect().toSet
+    // s1∩s2 = {c,d} → 2/(4+3-2) = 0.4; disjoint pairs emit no row
+    assert(out == Set(("s1", "s2", 2L, 0.4)), s"got $out")
+  }
+
   test("Rollups.locf carries values across gaps") {
     val series = Seq(("k", 2000, 5L), ("k", 2003, 8L), ("k", 2005, 2L))
       .toDF("key", "year", "n")
