@@ -1118,6 +1118,13 @@ object SparkEntry {
       val t = Tables(s, dir)
       TextAnalysis.vocabularyOverlap(t.documents)
     }),
+    "q161_silhouette" -> ((s, dir) => {
+      // clustering-quality diagnostic over the IVF seed partition:
+      // per-cell simplified silhouette from the same in-row broadcast
+      // top-2 centroid scoring as cell assignment — no corpus exchange
+      val t = Tables(s, dir)
+      SimilaritySearch.silhouette(t.embeddings)
+    }),
     "q145_pmi_collocations" -> ((s, dir) => {
       // multi-word expressions: top-20 adjacent pairs by PMI with
       // support ≥ 5 — pair/unigram tables map-side combined, support
@@ -3317,6 +3324,34 @@ object SparkEntry {
         |                / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 4)
         |       END AS r2
         |FROM f""".stripMargin,
+    // Silhouette replay: q39's seed pick, full 16-way in-row scoring,
+    // top-2 by (sim desc, cell) → a/b distances → per-cell mean.
+    "q161_silhouette" ->
+      s"""WITH $EmbSql,
+         |cent AS (
+         |  SELECT md5(CAST(vec_id AS VARCHAR)) AS cell, q AS cv, n AS cn
+         |  FROM nrm ORDER BY cell LIMIT 16
+         |),
+         |sims AS (
+         |  SELECT e.vec_id, c.cell,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * c.cv[i])) AS DOUBLE)
+         |           / (e.n * c.cn) AS sim
+         |  FROM nrm e CROSS JOIN cent c
+         |),
+         |rk AS (
+         |  SELECT vec_id, cell, 1 - sim AS d,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS r
+         |  FROM sims
+         |),
+         |sil AS (
+         |  SELECT a.vec_id, a.cell,
+         |         CASE WHEN greatest(a.d, b.d) > 0
+         |           THEN (b.d - a.d) / greatest(a.d, b.d) ELSE 0 END AS s
+         |  FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.r = 1 AND b.r = 2
+         |)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |       round(avg(s), 4) AS avg_silhouette
+         |FROM sil GROUP BY 1""".stripMargin,
     "q158_cube" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(l_quantity), 4) AS sum_qty,

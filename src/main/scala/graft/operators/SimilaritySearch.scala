@@ -268,6 +268,61 @@ object SimilaritySearch {
         transform(col("pm"), p => round(p.getField("m")).cast("long")).as("cv"))
       .withColumn("cnrm", sqrt(quantizedDot(col("cv"), col("cv")).cast("double")))
 
+  /** Deterministic pseudo-random seed pick: the nCentroids corpus
+    * vectors with smallest md5(id). orderBy+limit plans as a
+    * distributed TakeOrdered (per-partition top-k then merge) — no
+    * global sort, scalable to any corpus size. The md5 itself is the
+    * cell id (distinct per seed; contiguity is not needed), so no
+    * global window is ever planned. Duplicate corpus ids would
+    * collapse cells, so seeds are deduped on the hash — locally,
+    * within a 4× TakeOrdered slack, not with a corpus-wide shuffle.
+    */
+  private def seedCentroids(c: DataFrame, nCentroids: Int): DataFrame = c
+    .withColumn("h", md5(col("id").cast("string")))
+    .orderBy("h")
+    .limit(4 * nCentroids)
+    .dropDuplicates("h")
+    .orderBy("h")
+    .limit(nCentroids)
+    .select(col("h").as("cell"), col("qv").as("cv"), col("nrm").as("cnrm"))
+
+  /** Simplified (centroid-based) silhouette score per cluster — the
+    * standard clustering-quality diagnostic: for each vector,
+    * a = cosine distance to its OWN (nearest) centroid, b = distance
+    * to the nearest OTHER centroid, s = (b − a)/max(a, b); report the
+    * per-cell mean and population. Near 1 ⇒ tight well-separated
+    * cells; near 0 ⇒ boundary points; negative ⇒ mis-assigned.
+    *
+    * Scale shape: identical to IVF assignment — the one-row broadcast
+    * centroid array joins corpus-side with NO exchange, both
+    * distances come from the same in-row top-2 scoring that cell
+    * assignment already does, and the only shuffle is the final
+    * nCentroids-row aggregate. Full-pairwise silhouette would be
+    * O(n²); the centroid form is the one that exists at 100 TB.
+    *
+    * Output: (cell, n, avg_silhouette 4dp).
+    */
+  def silhouette(
+      corpus: DataFrame,
+      nCentroids: Int = 16,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val c = prepared(corpus, idCol, embCol)
+    val top2 = element_at(col("__t2"), 1)
+    val second = element_at(col("__t2"), 2)
+    c.join(centArray(seedCentroids(c, nCentroids)))
+      .withColumn("__t2", topCells(2))
+      .withColumn("cell", top2.getField("cell"))
+      .withColumn("__da", lit(1.0) + top2.getField("negSim"))
+      .withColumn("__db", lit(1.0) + second.getField("negSim"))
+      .withColumn("__s",
+        when(greatest(col("__da"), col("__db")) > 0,
+          (col("__db") - col("__da")) / greatest(col("__da"), col("__db")))
+          .otherwise(lit(0.0)))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), round(avg(col("__s")), 4).as("avg_silhouette"))
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -281,22 +336,7 @@ object SimilaritySearch {
     val c = prepared(corpus, idCol, embCol)
     val q = prepared(queries, idCol, embCol)
 
-    // Deterministic pseudo-random seed pick: the nCentroids corpus
-    // vectors with smallest md5(id). orderBy+limit plans as a
-    // distributed TakeOrdered (per-partition top-k then merge) — no
-    // global sort, scalable to any corpus size. The md5 itself is the
-    // cell id (distinct per seed; contiguity is not needed), so no
-    // global window is ever planned. Duplicate corpus ids would
-    // collapse cells, so seeds are deduped on the hash — locally,
-    // within a 4× TakeOrdered slack, not with a corpus-wide shuffle.
-    val seeds = c
-      .withColumn("h", md5(col("id").cast("string")))
-      .orderBy("h")
-      .limit(4 * nCentroids)
-      .dropDuplicates("h")
-      .orderBy("h")
-      .limit(nCentroids)
-      .select(col("h").as("cell"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    val seeds = seedCentroids(c, nCentroids)
 
     // Optional coarse-quantizer training. At 100 TB, pass a sampled
     // corpus via `corpus` itself only to ivfTrain-style pipelines —

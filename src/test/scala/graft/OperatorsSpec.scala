@@ -384,6 +384,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set(("s1", "s2", 2L, 0.4)), s"got $out")
   }
 
+  test("SimilaritySearch.silhouette scores tight separated clusters near 1") {
+    // two far-apart tight blobs in 64-d: silhouette ≈ 1 for every cell
+    // that wins a blob (seeds land inside blobs; k=2)
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1000f else -1000f
+      (i.toLong, Array.tabulate(64)(d => base + (i % 3) - 1 + d * 0f))
+    }.toDF("vec_id", "embedding")
+    val out = SimilaritySearch.silhouette(vecs, nCentroids = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).sum == 20L)
+    assert(out.forall(_._2 > 0.9), s"tight blobs must score near 1: ${out.toSeq}")
+  }
+
   test("Rollups.locf carries values across gaps") {
     val series = Seq(("k", 2000, 5L), ("k", 2003, 8L), ("k", 2005, 2L))
       .toDF("key", "year", "n")

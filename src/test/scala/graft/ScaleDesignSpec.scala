@@ -101,6 +101,17 @@ class ScaleDesignSpec extends SparkSpec {
       s"keys-sized thresholds must broadcast:\n$plan")
   }
 
+  test("silhouette scores the corpus with no exchange before the final aggregate") {
+    val plan = SparkEntry.queries("q161_silhouette")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // corpus side must reach the in-row top-2 scoring via the one-row
+    // broadcast only; the sole wide exchange is the nCentroids-row agg
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"only the final per-cell aggregate may shuffle:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroid array must broadcast:\n$plan")
+  }
+
   test("q20 scan pushes the shipdate filter and prunes columns") {
     val plan = SparkEntry.queries("q20_tpch_q1")(spark, sfDir)
       .queryExecution.executedPlan.toString
