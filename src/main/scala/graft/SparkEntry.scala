@@ -1125,6 +1125,25 @@ object SparkEntry {
       val t = Tables(s, dir)
       SimilaritySearch.silhouette(t.embeddings)
     }),
+    "q162_js_divergence" -> ((s, dir) => {
+      // pairwise source language divergence: JS over unigram
+      // distributions — inner join on shared tokens + one-row totals,
+      // single-only mass folded in closed form
+      val t = Tables(s, dir)
+      TextAnalysis.jsDivergence(t.documents)
+    }),
+    "q163_rfm" -> ((s, dir) => {
+      // RFM segmentation with exact interpolated population quintiles
+      // broadcast back — scoring is a pure projection per user
+      val t = Tables(s, dir)
+      EventWindows.rfm(t.events)
+    }),
+    "q164_user_paths" -> ((s, dir) => {
+      // entry-funnel sunburst: first-3 event-type paths across users,
+      // rank-filtered BEFORE any collection (hot users cost k rows)
+      val t = Tables(s, dir)
+      EventWindows.pathPrefixes(t.events)
+    }),
     "q145_pmi_collocations" -> ((s, dir) => {
       // multi-word expressions: top-20 adjacent pairs by PMI with
       // support ≥ 5 — pair/unigram tables map-side combined, support
@@ -3352,6 +3371,69 @@ object SparkEntry {
          |SELECT cell, CAST(count(*) AS BIGINT) AS n,
          |       round(avg(s), 4) AS avg_silhouette
          |FROM sil GROUP BY 1""".stripMargin,
+    "q162_js_divergence" ->
+      """WITH c AS (
+        |  SELECT cat, tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source AS cat, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |tt AS (SELECT cat, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY 1),
+        |p AS (SELECT c.cat, c.tok, CAST(c.c AS DOUBLE) / tt.t AS p
+        |      FROM c JOIN tt USING (cat)),
+        |j AS (
+        |  SELECT a.cat AS cat_a, b.cat AS cat_b, CAST(count(*) AS BIGINT) AS n_common,
+        |         sum(a.p * ln(2 * a.p / (a.p + b.p))) AS s1,
+        |         sum(b.p * ln(2 * b.p / (a.p + b.p))) AS s2,
+        |         sum(a.p) AS pm, sum(b.p) AS qm
+        |  FROM p a JOIN p b ON a.tok = b.tok AND a.cat < b.cat
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cat_a, cat_b, n_common,
+        |       round((s1 + ln(2) * (1 - pm)) / 2
+        |           + (s2 + ln(2) * (1 - qm)) / 2, 4) AS js
+        |FROM j""".stripMargin,
+    "q163_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |         CAST(count(*) AS BIGINT) AS frequency,
+        |         round(sum(value), 4) AS monetary
+        |  FROM events GROUP BY 1
+        |),
+        |h AS (SELECT max(last_us) AS h FROM u),
+        |s AS (
+        |  SELECT user_id,
+        |         CAST((h.h - last_us) // 86400000000 AS BIGINT) AS recency_days,
+        |         frequency, monetary
+        |  FROM u, h
+        |),
+        |t AS (
+        |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rt,
+        |         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS ft,
+        |         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mt
+        |  FROM s
+        |)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |       CAST(5 - len(list_filter(rt, x -> recency_days > x)) AS INT) AS r_score,
+        |       CAST(1 + len(list_filter(ft, x -> frequency > x)) AS INT) AS f_score,
+        |       CAST(1 + len(list_filter(mt, x -> monetary > x)) AS INT) AS m_score,
+        |       CAST((5 - len(list_filter(rt, x -> recency_days > x))) * 100
+        |          + (1 + len(list_filter(ft, x -> frequency > x))) * 10
+        |          + (1 + len(list_filter(mt, x -> monetary > x))) AS INT) AS rfm
+        |FROM s, t""".stripMargin,
+    "q164_user_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events
+        |),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id
+        |)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1""".stripMargin,
     "q158_cube" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(l_quantity), 4) AS sum_qty,

@@ -238,6 +238,87 @@ object EventWindows {
         count(lit(1)).as("n_events"))
   }
 
+  /** RFM (recency / frequency / monetary) customer scoring — the
+    * classic segmentation: per user, days since last event (against
+    * the corpus horizon), event count, and value sum, each bucketed
+    * 1–5 by the EXACT interpolated population quintiles.
+    *
+    * Scale shape: one map-side-combined aggregate to user grain; the
+    * quintile thresholds are a ONE-ROW aggregate over that user table
+    * (three percentile arrays) broadcast back — so scoring is a pure
+    * projection, and nothing ever windows over the user population.
+    * Monetary is rounded to 4dp BEFORE thresholding on both engines so
+    * threshold comparisons can never straddle an ulp.
+    *
+    * Output: (userCol, recency_days, frequency, monetary,
+    * r_score, f_score, m_score, rfm).
+    */
+  def rfm(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    val probs = typedLit(Seq(0.2, 0.4, 0.6, 0.8))
+    val users = events
+      .select(col(userCol), unix_micros(col(tsCol)).as("__us"), col(valCol))
+      .groupBy(col(userCol))
+      .agg(max(col("__us")).as("__last"),
+        count(lit(1)).as("frequency"),
+        round(sum(col(valCol)), 4).as("monetary"))
+    val horizon = users.agg(max(col("__last")).as("__h"))
+    val scored = users.join(broadcast(horizon))
+      .withColumn("recency_days",
+        expr("(__h - __last) DIV 86400000000").cast("long"))
+      .drop("__last", "__h")
+    val th = broadcast(scored.agg(
+      percentile(col("recency_days"), probs).as("__rt"),
+      percentile(col("frequency"), probs).as("__ft"),
+      percentile(col("monetary"), probs).as("__mt")))
+    def upCount(v: Column, ts: Column): Column =
+      aggregate(ts, lit(0), (acc, t) => acc + when(v > t, 1).otherwise(0))
+    scored.join(th)
+      .withColumn("r_score", lit(5) - upCount(col("recency_days"), col("__rt")))
+      .withColumn("f_score", lit(1) + upCount(col("frequency"), col("__ft")))
+      .withColumn("m_score", lit(1) + upCount(col("monetary"), col("__mt")))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .drop("__rt", "__ft", "__mt")
+  }
+
+  /** First-k event-type path per user ("entry funnels"): the ordered
+    * prefix of each user's journey, counted across the population —
+    * the product-analytics sunburst. Deterministic under timestamp
+    * ties via the (event-time, seq) total order.
+    *
+    * Scale shape: a rank window on the (user) exchange keeps only the
+    * first k events per user BEFORE any collection (a hot user
+    * contributes k rows, never their history); the ≤k-element ordered
+    * join happens in-row after a groupBy that rides the same user
+    * partitioning, and the final path rollup shuffles path-count
+    * pairs only.
+    *
+    * Output: (path, n_users).
+    */
+  def pathPrefixes(
+      events: DataFrame,
+      k: Int = 3,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      seqCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(seqCol))
+    events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col(userCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__rn"), col(typeCol).as("t")))),
+          s => s.getField("t")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+  }
+
   /** Gaps-and-islands interval coalescing: merge overlapping (or
     * touching) [start, end] intervals per key into maximal covered
     * islands — the availability/coverage primitive (machine uptime,

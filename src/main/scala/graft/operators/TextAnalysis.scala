@@ -676,6 +676,49 @@ object TextAnalysis {
           (col("__sa") + col("__sb") - col("n_common")), 4).as("jaccard"))
   }
 
+  /** Jensen–Shannon divergence between the unigram distributions of
+    * every pair of corpus slices — the probabilistic counterpart of
+    * [[vocabularyOverlap]] (0 = identical language, ln 2 = disjoint):
+    * the domain-shift number behind mixture reweighting decisions.
+    *
+    * Decomposition that avoids any full-outer join: with p, q the
+    * per-slice token probabilities, tokens present in only one slice
+    * contribute exactly ½·ln2·(their probability mass), so
+    * JS = ½[Σ_common p·ln(2p/(p+q)) + ln2·(1−Σ_common p)]
+    *    + ½[Σ_common q·ln(2q/(p+q)) + ln2·(1−Σ_common q)]
+    * needs only the INNER join on shared tokens plus the per-slice
+    * totals (one-row broadcast). Same bounded self-join shape as G55:
+    * per-token pair expansion ≤ nCategories², never the corpus.
+    *
+    * Output: (cat_a, cat_b, n_common, js 4dp), cat_a < cat_b.
+    */
+  def jsDivergence(
+      docs: DataFrame,
+      catCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(catCol).as("cat"), explode(words(col(textCol))).as("tok"))
+      .groupBy("cat", "tok").agg(count(lit(1)).as("c"))
+    val totals = broadcast(counts.groupBy("cat").agg(sum(col("c")).as("t")))
+    val withP = counts.join(totals, "cat")
+      .select(col("cat"), col("tok"), (col("c").cast("double") / col("t")).as("p"))
+    val ln2 = math.log(2.0)
+    withP.select(col("cat").as("cat_a"), col("tok"), col("p"))
+      .join(withP.select(col("cat").as("cat_b"), col("tok"), col("p").as("q")), "tok")
+      .filter(col("cat_a") < col("cat_b"))
+      .groupBy("cat_a", "cat_b")
+      .agg(
+        count(lit(1)).as("n_common"),
+        sum(col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))).as("__s1"),
+        sum(col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))).as("__s2"),
+        sum(col("p")).as("__pm"),
+        sum(col("q")).as("__qm"))
+      .select(col("cat_a"), col("cat_b"), col("n_common"),
+        round(
+          (col("__s1") + lit(ln2) * (lit(1.0) - col("__pm"))) / 2 +
+          (col("__s2") + lit(ln2) * (lit(1.0) - col("__qm"))) / 2, 4).as("js"))
+  }
+
   /** Overlapping document chunking — the training/RAG preprocessor
     * that turns each document into fixed-size token windows with
     * `overlap` tokens of context carried between consecutive chunks:

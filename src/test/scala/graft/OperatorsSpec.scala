@@ -397,6 +397,53 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_._2 > 0.9), s"tight blobs must score near 1: ${out.toSeq}")
   }
 
+  test("TextAnalysis.jsDivergence is 0 for identical and ln2 for disjoint slices") {
+    val docs = Seq(
+      ("a", "x y z"), ("b", "x y z"),   // identical distributions
+      ("c", "p q r")).toDF("source", "text") // disjoint from both
+    val out = TextAnalysis.jsDivergence(docs)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(out(("a", "b")) == 0.0, s"identical slices: ${out(("a", "b"))}")
+    // disjoint pairs share no token → no inner-join row → no output
+    // row; ln2 is the implied value, absence is the contract
+    assert(!out.contains(("a", "c")) && !out.contains(("b", "c")))
+  }
+
+  test("EventWindows.rfm scores quintiles with exact thresholds") {
+    // 10 users: user i has recency i days, frequency i+1, monetary 10i
+    val ev = (0 until 10).flatMap { i =>
+      (0 to i).map { j =>
+        (i.toLong * 100 + j, i.toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-${20 - i}%02d 00:00:00"), 10.0 * i / (i + 1))
+      }
+    }.toDF("event_id", "user_id", "ts", "value")
+    val out = EventWindows.rfm(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // user 9: most events (10), most monetary (90... wait 10*9/(10)*10 = 90), oldest
+    val u9 = out(9L)
+    assert(u9.getAs[Long]("recency_days") == 9L)
+    assert(u9.getAs[Long]("frequency") == 10L)
+    assert(u9.getAs[Int]("r_score") == 1 && u9.getAs[Int]("f_score") == 5)
+    val u0 = out(0L)
+    assert(u0.getAs[Long]("recency_days") == 0L)
+    assert(u0.getAs[Int]("r_score") == 5 && u0.getAs[Int]("f_score") == 1)
+    assert(u0.getAs[Int]("rfm") ==
+      u0.getAs[Int]("r_score") * 100 + u0.getAs[Int]("f_score") * 10 + u0.getAs[Int]("m_score"))
+  }
+
+  test("EventWindows.pathPrefixes counts ordered first-k journeys") {
+    val ev = Seq(
+      (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"), (3L, 1L, 30L, "buy"),
+      (4L, 1L, 40L, "view"), // 4th event must not appear in the path
+      (5L, 2L, 10L, "view"), (6L, 2L, 20L, "click"), (7L, 2L, 30L, "buy"),
+      (8L, 3L, 10L, "view"))
+      .toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = EventWindows.pathPrefixes(ev).as[(String, Long)].collect().toMap
+    assert(out == Map("view>click>buy" -> 2L, "view" -> 1L), s"got $out")
+  }
+
   test("Rollups.locf carries values across gaps") {
     val series = Seq(("k", 2000, 5L), ("k", 2003, 8L), ("k", 2005, 2L))
       .toDF("key", "year", "n")
