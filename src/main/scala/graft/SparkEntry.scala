@@ -43,6 +43,37 @@ object SparkEntry {
       |  FROM lineitem
       |)""".stripMargin
 
+  /** Language-ID replay CTE (`langpred(doc_id, lang, score_*, lang_pred)`)
+    * — mirrors graft.operators.TextAnalysis.langId; shared by q36/q166.
+    */
+  private val LangPredSql =
+    """toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS w,
+      |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS n
+      |  FROM documents
+      |),
+      |langscores AS (
+      |  SELECT doc_id, lang,
+      |    round((len(list_filter(w, x -> x = 'der')) + len(list_filter(w, x -> x = 'und'))
+      |         + len(list_filter(w, x -> x = 'die'))) / n, 4) AS score_de,
+      |    round((len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'a'))
+      |         + len(list_filter(w, x -> x = 'of'))) / n, 4) AS score_en,
+      |    round((len(list_filter(w, x -> x = 'el')) + len(list_filter(w, x -> x = 'la'))
+      |         + len(list_filter(w, x -> x = 'y'))) / n, 4) AS score_es,
+      |    round((len(list_filter(w, x -> x = 'le')) + len(list_filter(w, x -> x = 'la'))
+      |         + len(list_filter(w, x -> x = 'et'))) / n, 4) AS score_fr
+      |  FROM toks
+      |),
+      |langpred AS (
+      |  SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
+      |       CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
+      |            WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+      |            WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+      |            WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+      |            ELSE 'fr' END AS lang_pred
+      |  FROM langscores
+      |)""".stripMargin
+
   /** Word-3-gram shingles per doc (ordered, with duplicates), docs with
     * ≥3 words only — mirrors graft.operators.Dedup.shingles.
     */
@@ -1143,6 +1174,33 @@ object SparkEntry {
       // rank-filtered BEFORE any collection (hot users cost k rows)
       val t = Tables(s, dir)
       EventWindows.pathPrefixes(t.events)
+    }),
+    "q165_growth" -> ((s, dir) => {
+      // yearly growth diagnostics per datasource: YoY deltas + CAGR
+      // from one (keys) exchange carrying both window frames
+      val t = Tables(s, dir)
+      val series = t.evidence.groupBy("datasourceId", "year")
+        .agg(count(lit(1)).as("n"))
+      Rollups.growthRates(series, Seq("datasourceId"), "year", "n")
+    }),
+    "q166_langid_confusion" -> ((s, dir) => {
+      // classifier evaluation: labeled-vs-predicted language confusion
+      // matrix with per-label shares — the eval loop for G7
+      val t = Tables(s, dir)
+      TextAnalysis.langId(t.documents)
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n").cast("double") /
+          sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lang")), 4))
+    }),
+    "q167_percent_rank" -> ((s, dir) => {
+      // cross-source score calibration: percent_rank of document
+      // length within each source — rank-exact rationals, one exchange
+      val t = Tables(s, dir)
+      t.documents.select(col("doc_id"), col("source"), col("n_chars"),
+        round(percent_rank().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy("n_chars")), 4).as("pr"))
     }),
     "q145_pmi_collocations" -> ((s, dir) => {
       // multi-word expressions: top-20 adjacent pairs by PMI with
@@ -2647,30 +2705,9 @@ object SparkEntry {
          |)
          |SELECT query_id, id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin,
     "q36_langid" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, string_split(text, ' ') AS w,
-         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS n
-         |  FROM documents
-         |),
-         |scores AS (
-         |  SELECT doc_id, lang,
-         |    round((len(list_filter(w, x -> x = 'der')) + len(list_filter(w, x -> x = 'und'))
-         |         + len(list_filter(w, x -> x = 'die'))) / n, 4) AS score_de,
-         |    round((len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'a'))
-         |         + len(list_filter(w, x -> x = 'of'))) / n, 4) AS score_en,
-         |    round((len(list_filter(w, x -> x = 'el')) + len(list_filter(w, x -> x = 'la'))
-         |         + len(list_filter(w, x -> x = 'y'))) / n, 4) AS score_es,
-         |    round((len(list_filter(w, x -> x = 'le')) + len(list_filter(w, x -> x = 'la'))
-         |         + len(list_filter(w, x -> x = 'et'))) / n, 4) AS score_fr
-         |  FROM toks
-         |)
-         |SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
-         |       CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
-         |            WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
-         |            WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
-         |            WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
-         |            ELSE 'fr' END AS lang_pred
-         |FROM scores""".stripMargin,
+      s"""WITH $LangPredSql
+         |SELECT doc_id, lang, score_de, score_en, score_es, score_fr, lang_pred
+         |FROM langpred""".stripMargin,
     "q37_quality" ->
       """WITH base AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS w,
@@ -3434,6 +3471,42 @@ object SparkEntry {
         |)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_users
         |FROM p GROUP BY 1""".stripMargin,
+    "q165_growth" ->
+      s"""WITH $EvSql,
+         |series AS (
+         |  SELECT datasourceId, year, CAST(count(*) AS BIGINT) AS n
+         |  FROM ev GROUP BY 1, 2
+         |),
+         |g AS (
+         |  SELECT datasourceId, year, n,
+         |         lag(n) OVER (PARTITION BY datasourceId ORDER BY year) AS prev,
+         |         arg_min(n, year) OVER (PARTITION BY datasourceId) AS fv,
+         |         arg_max(n, year) OVER (PARTITION BY datasourceId) AS lv,
+         |         max(year) OVER (PARTITION BY datasourceId)
+         |           - min(year) OVER (PARTITION BY datasourceId) AS span
+         |  FROM series
+         |)
+         |SELECT datasourceId, year, n,
+         |       round(CAST(n AS DOUBLE) / prev - 1, 4) AS yoy,
+         |       CASE WHEN span > 0 AND fv > 0
+         |         THEN round(pow(CAST(lv AS DOUBLE) / fv, 1.0 / span) - 1, 4)
+         |       END AS cagr
+         |FROM g""".stripMargin,
+    "q166_langid_confusion" ->
+      s"""WITH $LangPredSql,
+         |m AS (
+         |  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM langpred GROUP BY 1, 2
+         |)
+         |SELECT lang, lang_pred, n,
+         |       round(CAST(n AS DOUBLE)
+         |         / sum(n) OVER (PARTITION BY lang), 4) AS share
+         |FROM m""".stripMargin,
+    "q167_percent_rank" ->
+      """SELECT doc_id, source, n_chars,
+        |       round(percent_rank() OVER (
+        |         PARTITION BY source ORDER BY n_chars), 4) AS pr
+        |FROM documents""".stripMargin,
     "q158_cube" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(l_quantity), 4) AS sum_qty,

@@ -320,6 +320,39 @@ object Rollups {
         round(lit(12.0) * col("n") / col("__t"), 4).as("idx")): _*)
   }
 
+  /** Year-over-year growth and CAGR per keyed series: yoy_t =
+    * v_t/v_{t−1} − 1 (NULL at the series head), and the compound
+    * annual growth rate (v_last/v_first)^(1/span) − 1 repeated on
+    * every row of the key.
+    *
+    * Scale shape: ONE (keys) exchange carries both the ordered lag
+    * window and the unordered min/max//min_by/max_by frame (same
+    * partitioning, two window nodes, zero extra shuffles). O(1)
+    * window state.
+    *
+    * Output: (keys..., yearCol, valCol, yoy 4dp, cagr 4dp).
+    */
+  def growthRates(
+      df: DataFrame,
+      keys: Seq[String],
+      yearCol: String = "year",
+      valCol: String = "v"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(yearCol))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val firstV = min_by(col(valCol), col(yearCol)).over(wAll).cast("double")
+    val lastV = max_by(col(valCol), col(yearCol)).over(wAll).cast("double")
+    val span = (max(col(yearCol)).over(wAll) - min(col(yearCol)).over(wAll))
+      .cast("double")
+    df
+      .withColumn("__prev", lag(col(valCol), 1).over(w))
+      .withColumn("yoy",
+        round(col(valCol).cast("double") / col("__prev") - 1, 4))
+      .withColumn("cagr",
+        when(span > 0 && firstV > 0,
+          round(pow(lastV / firstV, lit(1.0) / span) - 1, 4)))
+      .drop("__prev")
+  }
+
   /** Last-observation-carried-forward gap fill — the step-function
     * cousin of [[interpolate]]: every missing year between consecutive
     * observations repeats the PRIOR observation's value (sensor

@@ -444,6 +444,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map("view>click>buy" -> 2L, "view" -> 1L), s"got $out")
   }
 
+  test("Rollups.growthRates computes YoY and CAGR on one series") {
+    val series = Seq(("k", 2000, 100L), ("k", 2001, 110L), ("k", 2002, 121L))
+      .toDF("key", "year", "n")
+    val out = Rollups.growthRates(series, Seq("key"), "year", "n")
+      .orderBy("year")
+      .select("year", "yoy", "cagr").collect()
+    assert(out(0).isNullAt(1), "series head has no YoY")
+    assert(out(1).getDouble(1) == 0.1 && out(2).getDouble(1) == 0.1)
+    // CAGR = (121/100)^(1/2) − 1 = 0.1 on every row
+    assert(out.forall(_.getDouble(2) == 0.1), s"got ${out.toSeq}")
+  }
+
   test("Rollups.locf carries values across gaps") {
     val series = Seq(("k", 2000, 5L), ("k", 2003, 8L), ("k", 2005, 2L))
       .toDF("key", "year", "n")
