@@ -1202,6 +1202,13 @@ object SparkEntry {
           org.apache.spark.sql.expressions.Window
             .partitionBy("source").orderBy("n_chars")), 4).as("pr"))
     }),
+    "q168_containment" -> ((s, dir) => {
+      // asymmetric shingle containment — the quotation/boilerplate
+      // detector Jaccard misses; same df-capped inverted-index shape
+      val t = Tables(s, dir)
+      Dedup.shingleContainment(t.documents, blockCol = "source",
+        minContainment = 0.6)
+    }),
     "q145_pmi_collocations" -> ((s, dir) => {
       // multi-word expressions: top-20 adjacent pairs by PMI with
       // support ≥ 5 — pair/unigram tables map-side combined, support
@@ -2577,6 +2584,32 @@ object SparkEntry {
          |       round(CAST(common AS DOUBLE) / (szA + szB - common), 3) AS jaccard
          |FROM pairs
          |WHERE round(CAST(common AS DOUBLE) / (szA + szB - common), 3) >= 0.5""".stripMargin,
+    "q168_containment" ->
+      s"""WITH $ShinglesSql,
+         |blocked AS (
+         |  SELECT d.source AS block, s.id, list_distinct(s.sh) AS sh
+         |  FROM shingled s JOIN documents d ON d.doc_id = s.id
+         |),
+         |inv AS (SELECT block, id, len(sh) AS sz, unnest(sh) AS s FROM blocked),
+         |dfc AS (SELECT block, s, count(*) AS df FROM inv GROUP BY 1, 2),
+         |kept AS (
+         |  SELECT i.block, i.id, i.sz, i.s
+         |  FROM inv i JOIN dfc ON dfc.block = i.block AND dfc.s = i.s
+         |  WHERE dfc.df BETWEEN 2 AND ${graft.GraftConf.NgramMaxDf}
+         |),
+         |pairs AS (
+         |  SELECT a.block, a.id AS idA, b.id AS idB, a.sz AS szA, b.sz AS szB,
+         |         count(*) AS common
+         |  FROM kept a JOIN kept b
+         |    ON a.block = b.block AND a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2, 3, 4, 5
+         |)
+         |SELECT block, idA, idB,
+         |       round(CAST(common AS DOUBLE) / szA, 3) AS c_ab,
+         |       round(CAST(common AS DOUBLE) / szB, 3) AS c_ba
+         |FROM pairs
+         |WHERE greatest(round(CAST(common AS DOUBLE) / szA, 3),
+         |               round(CAST(common AS DOUBLE) / szB, 3)) >= 0.6""".stripMargin,
     "q34_ann_topk" ->
       s"""WITH $EmbSql,
          |qs AS (SELECT vec_id AS query_id, q AS qq, n AS qn FROM nrm WHERE vec_id % 50 = 0),

@@ -213,6 +213,60 @@ object Dedup {
     labels
   }
 
+  /** Asymmetric shingle CONTAINMENT (Broder 1997), within a blocking
+    * key: C(A→B) = |A∩B|/|A| and the reverse — the subset/quotation
+    * detector Jaccard misses (a short doc quoted verbatim inside a
+    * long one has tiny Jaccard but containment ≈ 1; this is the
+    * dedup primitive for boilerplate and wholesale inclusion).
+    *
+    * Same inverted-index scale shape as [[ngramJaccard]]: distinct
+    * shingle sets, df-capped posting lists (hot shingles dropped with
+    * observe() metrics BEFORE pair expansion), pair counts from the
+    * (block, shingle) groupBy — work scales with sharing pairs, never
+    * O(n²) per block.
+    *
+    * Output: (block, idA, idB, c_ab, c_ba) where either direction
+    * clears `minContainment`; c_ab = |A∩B|/|A| (3dp), idA < idB.
+    */
+  def shingleContainment(
+      df: DataFrame,
+      blockCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      minContainment: Double = 0.8,
+      maxDf: Int = graft.GraftConf.NgramMaxDf): DataFrame = {
+    val docs = spread(df)
+      .select(
+        col(blockCol).as("block"), col(idCol).as("id"),
+        array_distinct(
+          graft.functions.NativeText.wordShingles(col(textCol), shingleSize)).as("sh"))
+      .select(col("block"), col("id"), col("sh"), size(col("sh")).as("sz"))
+    val inv = docs.select(
+      col("block"), col("id"), col("sz"), explode(col("sh")).as("s"))
+    val dfCounts = inv.groupBy("block", "s").agg(count(lit(1)).as("df"))
+    inv
+      .join(dfCounts, Seq("block", "s"))
+      .observe(s"graft_containment_df_cap_${obsId.incrementAndGet()}",
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("dropped_postings"),
+        coalesce(max(col("df")), lit(0L)).as("max_shingle_df"))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+      .groupBy("block", "s")
+      .agg(collect_list(struct(col("id"), col("sz"))).as("ds"))
+      .select(col("block"), explode(col("ds")).as("a"), col("ds"))
+      .select(col("block"), col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(
+        col("block"),
+        col("a.id").as("idA"), col("b.id").as("idB"),
+        col("a.sz").as("szA"), col("b.sz").as("szB"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("c_ab", round(col("common").cast("double") / col("szA"), 3))
+      .withColumn("c_ba", round(col("common").cast("double") / col("szB"), 3))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= minContainment)
+      .select(col("block"), col("idA"), col("idB"), col("c_ab"), col("c_ba"))
+  }
+
   /** n-gram Jaccard similarity above a threshold, within a blocking
     * key, via an inverted shingle index: explode distinct shingles,
     * equi-join on (block, shingle), count common shingles per pair,

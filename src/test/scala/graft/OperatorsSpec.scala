@@ -456,6 +456,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) == 0.1), s"got ${out.toSeq}")
   }
 
+  test("Dedup.shingleContainment detects subset inclusion Jaccard misses") {
+    // doc 2 is fully contained in doc 1 (every 3-shingle of 2 appears
+    // in 1) but Jaccard is low (1 is much longer)
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val short = (5 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, "b", long), (2L, "b", short), (3L, "b", "x y z q"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.shingleContainment(docs, blockCol = "source",
+        minContainment = 0.9)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq(("b", 1L, 2L, 0.143, 1.0)), s"got ${out.toSeq}")
+  }
+
   test("Rollups.locf carries values across gaps") {
     val series = Seq(("k", 2000, 5L), ("k", 2003, 8L), ("k", 2005, 2L))
       .toDF("key", "year", "n")
