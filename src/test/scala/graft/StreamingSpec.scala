@@ -252,6 +252,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC state merges across micro-batches like one batch") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.tumblingOhlc(input.toDF(), duration = "1 hour")
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // one window split mid-stream: open must survive from batch 1
+      // (min_by state, out-of-order within the batch), close must move
+      // to batch 2's last event — exactly what any batch split merges to
+      input.addData(
+        EventStream.Event(2, ts(10), 1, "click", 5.0),
+        EventStream.Event(1, ts(5), 1, "click", 9.0))
+      q.processAllAvailable()
+      input.addData(
+        EventStream.Event(3, ts(20), 1, "click", 1.0),
+        EventStream.Event(4, ts(25), 1, "click", 7.0))
+      q.processAllAvailable()
+      val last = spark.table("ohlc_out")
+        .select("n", "open", "high", "low", "close")
+        .as[(Long, Double, Double, Double, Double)].collect().maxBy(_._1)
+      assert(last == ((4L, 9.0, 9.0, 1.0, 7.0)), s"got $last")
+    } finally q.stop()
+  }
+
   test("incremental state replay over 3 forced micro-batches ≡ one batch aggregate") {
     import org.apache.spark.sql.functions._
     val dir = graft.Scratch.dir("ivm-in")
