@@ -1209,6 +1209,12 @@ object SparkEntry {
       Dedup.shingleContainment(t.documents, blockCol = "source",
         minContainment = 0.6)
     }),
+    "q169_mad" -> ((s, dir) => {
+      // robust outlier report per event type: exact median/MAD (4dp
+      // before any arithmetic) + 3σ-equivalent robust-z count
+      val t = Tables(s, dir)
+      Rollups.madSummary(t.events, Seq("event_type"), "value")
+    }),
     "q145_pmi_collocations" -> ((s, dir) => {
       // multi-word expressions: top-20 adjacent pairs by PMI with
       // support ≥ 5 — pair/unigram tables map-side combined, support
@@ -3540,6 +3546,27 @@ object SparkEntry {
         |       round(percent_rank() OVER (
         |         PARTITION BY source ORDER BY n_chars), 4) AS pr
         |FROM documents""".stripMargin,
+    "q169_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median
+        |  FROM events GROUP BY 1
+        |),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.median,
+        |         abs(e.value - m.median) AS ad
+        |  FROM events e JOIN med m USING (event_type)
+        |),
+        |md AS (
+        |  SELECT event_type, round(quantile_cont(ad, 0.5), 4) AS mad
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT d.event_type, any_value(d.median) AS median,
+        |       any_value(m.mad) AS mad,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(CASE WHEN d.ad > 3.0 * 1.4826 * m.mad THEN 1 END)
+        |         AS BIGINT) AS n_outliers
+        |FROM dev d JOIN md m USING (event_type)
+        |GROUP BY 1""".stripMargin,
     "q158_cube" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(l_quantity), 4) AS sum_qty,

@@ -353,6 +353,43 @@ object Rollups {
       .drop("__prev")
   }
 
+  /** Median-absolute-deviation robust dispersion summary per group:
+    * median, MAD, and the count of |x − median| > k·1.4826·MAD
+    * outliers (1.4826 scales MAD to σ under normality — the robust
+    * z-score convention). Immune to the outliers it hunts, unlike
+    * mean/stddev rules.
+    *
+    * Determinism contract: median and MAD are the exact interpolated
+    * percentiles, ROUNDED to 4dp before any downstream arithmetic on
+    * both engines, so the outlier threshold compare can never straddle
+    * an ulp. Three passes over the input (median → deviations/MAD →
+    * outlier count), each a keys-broadcast join + one aggregate — the
+    * unavoidable shape of exact nested percentiles; the intermediate
+    * tables are keys-sized.
+    *
+    * Output: (keys..., median, mad, n, n_outliers).
+    */
+  def madSummary(
+      df: DataFrame,
+      keys: Seq[String],
+      valCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(round(percentile(col(valCol), lit(0.5)), 4).as("median"))
+    val dev = df.join(broadcast(med), keys)
+      .withColumn("__ad", abs(col(valCol) - col("median")))
+    val mad = dev.groupBy(keys.map(col): _*)
+      .agg(round(percentile(col("__ad"), lit(0.5)), 4).as("mad"))
+    dev.join(broadcast(mad), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        first(col("median")).as("median"),
+        first(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        count(when(col("__ad") > lit(k) * lit(1.4826) * col("mad"), lit(1)))
+          .as("n_outliers"))
+  }
+
   /** Last-observation-carried-forward gap fill — the step-function
     * cousin of [[interpolate]]: every missing year between consecutive
     * observations repeats the PRIOR observation's value (sensor

@@ -469,6 +469,15 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("b", 1L, 2L, 0.143, 1.0)), s"got ${out.toSeq}")
   }
 
+  test("Rollups.madSummary flags robust outliers the mean rule would absorb") {
+    // 1..9 plus one wild outlier: median 5.5, MAD 2.5; 1000 is way
+    // past 3·1.4826·2.5 ≈ 11.1 from the median
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("k", _)).toDF("g", "v")
+    val out = Rollups.madSummary(df, Seq("g"), "v").collect()(0)
+    assert(out.getDouble(1) == 5.5 && out.getDouble(2) == 2.5, s"got $out")
+    assert(out.getLong(3) == 10 && out.getLong(4) == 1)
+  }
+
   test("Rollups.locf carries values across gaps") {
     val series = Seq(("k", 2000, 5L), ("k", 2003, 8L), ("k", 2005, 2L))
       .toDF("key", "year", "n")
