@@ -1117,7 +1117,8 @@ object SparkEntry {
       // map-side-combined aggregate, exact integer counts
       val t = Tables(s, dir)
       Rollups.twoProportionZ(t.events, Seq("event_type"),
-        col("user_id") % 2 === 1, col("value") > 0.5)
+        col("user_id") % 2 === 1, col("value") > 0.5,
+        variantA = Some(col("user_id") % 2 === 0))
     }),
     "q157_winsorize" -> ((s, dir) => {
       // heavy-tail clamping report: exact interpolated [p10, p90] per
@@ -3484,9 +3485,12 @@ object SparkEntry {
         |  FROM u, h
         |),
         |t AS (
-        |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rt,
-        |         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS ft,
-        |         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mt
+        |  SELECT list_transform(quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]),
+        |                        x -> round(x, 4)) AS rt,
+        |         list_transform(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]),
+        |                        x -> round(x, 4)) AS ft,
+        |         list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]),
+        |                        x -> round(x, 4)) AS mt
         |  FROM s
         |)
         |SELECT user_id, recency_days, frequency, monetary,

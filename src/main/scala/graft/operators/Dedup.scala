@@ -197,6 +197,10 @@ object Dedup {
         .select(col("l.id").as("id"),
           least(col("l.comp"), coalesce(col("pcomp"), col("l.comp"))).as("comp"))
         .localCheckpoint()
+      // localCheckpoint is eager, so `prop` is already materialized —
+      // release the round's neighbor-min copy now instead of leaking
+      // one cached label table per iteration (up to maxIters copies).
+      neighborMin.unpersist()
       val anyChanged = !prop
         .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
         .filter(col("comp") =!= col("old")).isEmpty

@@ -214,7 +214,11 @@ object EventWindows {
     * event collection. `seqCol` (unique per event) makes the pick
     * deterministic under timestamp ties — the same total order any
     * oracle's window replay uses. Bars index as floor(us / barMicros)
-    * (exact: both operands are sub-2^53 longs).
+    * computed entirely in LONG arithmetic: `div` (truncating) minus a
+    * sign correction when the remainder is nonzero — `/` on longs is
+    * double division, whose 53-bit mantissa goes inexact for micros
+    * past ~2255 and risks off-by-one bars at bucket boundaries vs an
+    * oracle's integer `//`.
     *
     * Output: (keys..., bar, open, high, low, close, n_events).
     */
@@ -225,11 +229,13 @@ object EventWindows {
       valueCol: String,
       seqCol: String,
       barMicros: Long): DataFrame = {
+    require(barMicros > 0, s"barMicros must be positive, got $barMicros")
     val us = unix_micros(col(tsCol))
     val ord = struct(us, col(seqCol))
+    val bar = expr(s"unix_micros($tsCol) div ${barMicros}L") -
+      when(us < 0 && pmod(us, lit(barMicros)) =!= 0, lit(1L)).otherwise(lit(0L))
     events
-      .groupBy(keys.map(col) :+
-        floor(us / lit(barMicros)).cast("long").as("bar"): _*)
+      .groupBy(keys.map(col) :+ bar.cast("long").as("bar"): _*)
       .agg(
         min_by(col(valueCol), ord).as("open"),
         max(col(valueCol)).as("high"),
@@ -247,8 +253,11 @@ object EventWindows {
     * quintile thresholds are a ONE-ROW aggregate over that user table
     * (three percentile arrays) broadcast back — so scoring is a pure
     * projection, and nothing ever windows over the user population.
-    * Monetary is rounded to 4dp BEFORE thresholding on both engines so
-    * threshold comparisons can never straddle an ulp.
+    * Monetary AND the interpolated thresholds themselves are rounded
+    * to 4dp BEFORE thresholding on both engines (the winsorize /
+    * madSummary determinism contract) so a threshold landing within an
+    * ulp of a data value can never flip a score between Spark
+    * `percentile` and DuckDB `quantile_cont`.
     *
     * Output: (userCol, recency_days, frequency, monetary,
     * r_score, f_score, m_score, rfm).
@@ -270,10 +279,11 @@ object EventWindows {
       .withColumn("recency_days",
         expr("(__h - __last) DIV 86400000000").cast("long"))
       .drop("__last", "__h")
+    def r4(c: Column): Column = transform(c, t => round(t, 4))
     val th = broadcast(scored.agg(
-      percentile(col("recency_days"), probs).as("__rt"),
-      percentile(col("frequency"), probs).as("__ft"),
-      percentile(col("monetary"), probs).as("__mt")))
+      r4(percentile(col("recency_days"), probs)).as("__rt"),
+      r4(percentile(col("frequency"), probs)).as("__ft"),
+      r4(percentile(col("monetary"), probs)).as("__mt")))
     def upCount(v: Column, ts: Column): Column =
       aggregate(ts, lit(0), (acc, t) => acc + when(v > t, 1).otherwise(0))
     scored.join(th)

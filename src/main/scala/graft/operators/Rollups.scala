@@ -233,22 +233,30 @@ object Rollups {
     * either arm is empty or the pooled rate is degenerate (0 or 1)
     * yield NULL z rather than ±∞.
     *
+    * Arm A defaults to ¬B, but callers whose arms are sign-sensitive
+    * (e.g. `user_id % 2` — Spark and DuckDB both return −1 for
+    * negative ids, so `¬(x%2=1)` ≠ `x%2=0` there) should pass an
+    * explicit `variantA` so both engines partition identically and
+    * out-of-universe rows land in NEITHER arm.
+    *
     * Output: (keys..., n_a, x_a, n_b, x_b, z 4dp).
     */
   def twoProportionZ(
       df: DataFrame,
       keys: Seq[String],
       variantB: Column,
-      success: Column): DataFrame = {
+      success: Column,
+      variantA: Option[Column] = None): DataFrame = {
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
     val p = (col("x_a") + col("x_b")).cast("double") / (na + nb)
     val z = (col("x_b") / nb - col("x_a") / na) /
       sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb))
+    val armA = variantA.getOrElse(!variantB)
     df.groupBy(keys.map(col): _*)
       .agg(
-        count(when(!variantB, lit(1))).as("n_a"),
-        count(when(!variantB && success, lit(1))).as("x_a"),
+        count(when(armA, lit(1))).as("n_a"),
+        count(when(armA && success, lit(1))).as("x_a"),
         count(when(variantB, lit(1))).as("n_b"),
         count(when(variantB && success, lit(1))).as("x_b"))
       .withColumn("z",
