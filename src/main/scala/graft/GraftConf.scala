@@ -35,6 +35,16 @@ object GraftConf {
     * dropped and reported, never pair-expanded).
     */
   val LshBucketCap = 256
+  /** Posting-bucket cap for prefix-filtered exact similarity join
+    * (PPJoin): prefix tokens are each doc's globally RAREST shingles,
+    * so posting lists are tiny on natural corpora — but a templated
+    * corpus (the same rare boilerplate shingle in every doc) would
+    * pair-expand O(bucket²). Buckets above the cap are dropped and
+    * reported via observe(); below it the join stays EXACT. This is
+    * the one knob that trades the exactness guarantee for a
+    * by-construction bound — drops are never silent.
+    */
+  val PrefixPostingCap = 1024
   /** Per-fingerprint copy cap for exact dedup ranking: a group with
     * more byte-identical copies than this is dropped (and reported via
     * observe()) before the per-copy ranking window, so a degenerate

@@ -371,6 +371,14 @@ object Dedup {
     * postings (the rarest ~1−c of each doc) enter the bucket join, so
     * stop-shingles never form posting lists; verification is an
     * in-row array_intersect on the two candidate docs' shingle sets.
+    * Rarity ordering keeps posting buckets tiny on natural corpora,
+    * but a TEMPLATED corpus (the same rare boilerplate shingle across
+    * thousands of docs) would still pair-expand O(bucket²) — so
+    * buckets above `postingCap` are dropped BEFORE any collect_list
+    * buffer or pair expansion (the guard window shares the bucket-key
+    * partitioning with the groupBy, adding no exchange) and reported
+    * via observe() metrics, never silently. Below the cap the join
+    * remains EXACT.
     */
   def prefixJaccardJoin(
       df: DataFrame,
@@ -378,7 +386,8 @@ object Dedup {
       idCol: String = "doc_id",
       shingleSize: Int = 3,
       tNum: Int = 1,
-      tDen: Int = 2): DataFrame = {
+      tDen: Int = 2,
+      postingCap: Int = graft.GraftConf.PrefixPostingCap): DataFrame = {
     require(tNum > 0 && tDen >= tNum, "threshold must be in (0, 1]")
     val cd = tNum + tDen
     val docs = spread(df)
@@ -395,8 +404,14 @@ object Dedup {
       .agg(array_sort(collect_list(col("k"))).as("ks"))
       .withColumn("p",
         col("sz") - ((col("sz") * tNum + (cd - 1)) / cd).cast("int") + 1)
+    val bucketWin = Window.partitionBy("k")
     val cand = sorted
       .select(col("id"), explode(slice(col("ks"), lit(1), col("p"))).as("k"))
+      .withColumn("bn", count(lit(1)).over(bucketWin))
+      .observe(s"graft_prefix_posting_cap_${obsId.incrementAndGet()}",
+        sum(when(col("bn") > postingCap, 1L).otherwise(0L)).as("dropped_postings"),
+        coalesce(max(col("bn")), lit(0L)).as("max_bucket_size"))
+      .filter(col("bn") > 1 && col("bn") <= postingCap)
       .groupBy("k").agg(collect_list(col("id")).as("ids"))
       .select(explode(col("ids")).as("idA"), col("ids"))
       .select(col("idA"), explode(col("ids")).as("idB"))

@@ -221,6 +221,37 @@ class OperatorsSpec extends SparkSpec {
     assert(metrics.get.getAs[Long]("max_bucket_size") == 10L)
   }
 
+  test("Dedup.prefixJaccardJoin posting cap drops templated buckets, reports drops") {
+    // 50 docs share the templated shingle "tpl tpl2 tpl3" (rare per
+    // doc — it lands in every prefix — but corpus-hot, so its posting
+    // bucket would pair-expand 50·49/2 candidates, none reaching the
+    // 1/2 threshold). Docs 100/101 are true near-dups (J = 7/9).
+    // postingCap=10 must drop the templated bucket BEFORE expansion
+    // and report it; the near-dup pair (bucket size 2) survives.
+    val templated = (1 to 50).map(i => (i.toLong, s"tpl tpl2 tpl3 u$i"))
+    val near = Seq(
+      (100L, (1 to 10).map(i => s"n$i").mkString(" ")),
+      (101L, ((1 to 9).map(i => s"n$i") :+ "zz").mkString(" ")))
+    val docs = (templated ++ near).toDF("doc_id", "text")
+    val out = Dedup.prefixJaccardJoin(docs, postingCap = 10)
+    val pairs = out.collect().map(r =>
+      (r.getAs[Long]("idA"), r.getAs[Long]("idB"))).toSet
+    assert(pairs == Set((100L, 101L)),
+      s"only the near-dup pair may survive the posting cap, got $pairs")
+    val metrics = out.queryExecution.observedMetrics
+      .collectFirst { case (k, v) if k.startsWith("graft_prefix_posting_cap") => v }
+    assert(metrics.isDefined, "posting-cap observe metrics missing from the plan")
+    assert(metrics.get.getAs[Long]("dropped_postings") == 50L,
+      "all 50 templated prefix postings must be reported dropped")
+    assert(metrics.get.getAs[Long]("max_bucket_size") == 50L)
+    // Uncapped, the same data yields the same PAIRS (the templated
+    // candidates all fail the exact-threshold verify) — the cap trades
+    // only the wasted quadratic expansion, observed, never silent.
+    val uncapped = Dedup.prefixJaccardJoin(docs).collect().map(r =>
+      (r.getAs[Long]("idA"), r.getAs[Long]("idB"))).toSet
+    assert(uncapped == Set((100L, 101L)))
+  }
+
   test("RangeJoin.binned equals the naive range join, including bin-crossing intervals") {
     def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
     val left = Seq((1L, 10L, ts(5)), (1L, 11L, ts(65)), (1L, 12L, ts(200)), (2L, 13L, ts(65)))

@@ -182,6 +182,27 @@ class ScaleDesignSpec extends SparkSpec {
     val mhNoGuard = "Exchange hashpartitioning".r.findAllIn(mhBare).length
     assert(mhWindowed == mhNoGuard,
       s"bucket-cap guard must not add an exchange: $mhWindowed vs $mhNoGuard:\n$mhPlan")
+
+    // PPJoin's posting-cap guard window partitions by the SAME bucket
+    // key as the candidate groupBy, so capped and effectively-uncapped
+    // plans must carry identical exchange counts — the guard rides the
+    // existing (k) partitioning, never adds a shuffle.
+    val pj = graft.operators.Dedup.prefixJaccardJoin(docs)
+    val pjPlan = pj.queryExecution.executedPlan.toString
+    val pjEx = "Exchange hashpartitioning".r.findAllIn(pjPlan).length
+    val pjBare = graft.operators.Dedup
+      .prefixJaccardJoin(docs, postingCap = Int.MaxValue)
+      .queryExecution.executedPlan.toString
+    val pjNoGuard = "Exchange hashpartitioning".r.findAllIn(pjBare).length
+    assert(pjEx == pjNoGuard,
+      s"posting-cap guard must not add an exchange: $pjEx vs $pjNoGuard:\n$pjPlan")
+    // and the guard must BE there: exactly one Window, keyed on k
+    val pjWins = pj.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(pjWins.length == 1 &&
+      pjWins.head.partitionSpec.map(_.sql) == Seq("k"),
+      s"posting-cap guard must window exactly once over k:\n$pjPlan")
   }
 
   test("small-keyspace bucket counts aggregate+broadcast — never a bucket window") {
