@@ -364,6 +364,60 @@ object SparkEntry {
 
   private val BySourceSql = s"$EvSql,\n$BySourceTail"
 
+  /** Correlation summary + two-sided p over whatever `j` CTE of
+    * (yearA, yearB) matched pairs precedes it. Mirrors
+    * graft.operators.Rollups.correlate + functions.PearsonTwoSidedP:
+    * p derives from the PUBLISHED 2dp r via the A&S 26.7.3/26.7.4
+    * integer-df t-CDF recurrences, replayed here as recursive CTEs
+    * with the SAME left-associated double op order as the native
+    * expression's loops — change both together or the 4dp hashes
+    * drift. The enclosing query must open with WITH RECURSIVE.
+    */
+  private val CorrPTailSql =
+    """c0 AS (
+      |  SELECT datasourceIdA, datasourceIdB, CAST(count(*) AS BIGINT) AS n,
+      |         round(corr(CAST(yearA AS DOUBLE), CAST(yearB AS DOUBLE)), 2) AS r
+      |  FROM j GROUP BY 1, 2 HAVING count(*) >= 3
+      |),
+      |cb AS (
+      |  SELECT *, abs(r) AS rho, 1.0 - abs(r)*abs(r) AS c2, n - 2 AS df
+      |  FROM c0
+      |),
+      |pev AS (
+      |  SELECT datasourceIdA AS ia, datasourceIdB AS ib, CAST(1 AS BIGINT) AS k,
+      |         CAST(1.0 AS DOUBLE) AS term, CAST(1.0 AS DOUBLE) AS s,
+      |         df // 2 AS m, c2, rho
+      |  FROM cb WHERE r IS NOT NULL AND rho < 1.0 AND df % 2 = 0
+      |  UNION ALL
+      |  SELECT ia, ib, k + 1,
+      |         term * c2 * (2*k - 1) / (2*k),
+      |         s + term * c2 * (2*k - 1) / (2*k), m, c2, rho
+      |  FROM pev WHERE k <= m - 1
+      |),
+      |pod AS (
+      |  SELECT datasourceIdA AS ia, datasourceIdB AS ib, CAST(1 AS BIGINT) AS k,
+      |         sqrt(c2) AS u,
+      |         CASE WHEN df >= 3 THEN sqrt(c2) ELSE CAST(0.0 AS DOUBLE) END AS s,
+      |         (df - 3) // 2 AS mm, c2, rho
+      |  FROM cb WHERE r IS NOT NULL AND rho < 1.0 AND df % 2 = 1
+      |  UNION ALL
+      |  SELECT ia, ib, k + 1,
+      |         u * c2 * (2*k) / (2*k + 1),
+      |         s + u * c2 * (2*k) / (2*k + 1), mm, c2, rho
+      |  FROM pod WHERE k <= mm
+      |),
+      |pa AS (
+      |  SELECT ia, ib, rho * s AS av FROM pev WHERE k = m
+      |  UNION ALL
+      |  SELECT ia, ib, (2.0 / pi()) * (asin(rho) + rho * s) AS av
+      |  FROM pod WHERE k = greatest(mm + 1, CAST(1 AS BIGINT))
+      |)
+      |SELECT b.datasourceIdA, b.datasourceIdB, b.n, b.r,
+      |       CASE WHEN b.r IS NULL THEN NULL
+      |            WHEN b.rho >= 1.0 THEN 0.0
+      |            ELSE round(greatest(0.0, 1.0 - pa.av), 4) END AS p_value
+      |FROM cb b LEFT JOIN pa ON pa.ia = b.datasourceIdA AND pa.ib = b.datasourceIdB""".stripMargin
+
   /** Weighted overall harmonic score per (pair, year), over the
     * preceding `bysource` CTE.
     */
@@ -4907,7 +4961,7 @@ object SparkEntry {
          |             / 1.6449340668482264, 4) AS score
          |FROM ranked GROUP BY 1, 2, 3""".stripMargin,
     "q19_peak_correlation" ->
-      s"""WITH $BySourceSql,
+      s"""WITH RECURSIVE $BySourceSql,
          |pk AS (
          |  SELECT diseaseId, targetId, datasourceId, year AS peakYear,
          |         coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
@@ -4923,15 +4977,13 @@ object SparkEntry {
          |  SELECT a.datasourceId AS datasourceIdA, b.datasourceId AS datasourceIdB,
          |         a.peakYear AS yearA, b.peakYear AS yearB
          |  FROM fp a JOIN fp b USING (diseaseId, targetId)
-         |)
-         |SELECT datasourceIdA, datasourceIdB, CAST(count(*) AS BIGINT) AS n,
-         |       round(corr(CAST(yearA AS DOUBLE), CAST(yearB AS DOUBLE)), 2) AS r
-         |FROM j GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+         |),
+         |$CorrPTailSql""".stripMargin,
     // replays the deterministic permutation: lane = (source, md5-shard
     // of the pair id), key rank by md5, value rank by (year, md5),
     // rank-to-rank join, then the same corr as q19
     "q86_shuffled_correlation" ->
-      s"""WITH $BySourceSql,
+      s"""WITH RECURSIVE $BySourceSql,
          |pk AS (
          |  SELECT diseaseId, targetId, datasourceId, year AS peakYear,
          |         coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
@@ -4967,10 +5019,8 @@ object SparkEntry {
          |  SELECT a.datasourceId AS datasourceIdA, b.datasourceId AS datasourceIdB,
          |         a.permYear AS yearA, b.permYear AS yearB
          |  FROM perm a JOIN perm b USING (diseaseId, targetId)
-         |)
-         |SELECT datasourceIdA, datasourceIdB, CAST(count(*) AS BIGINT) AS n,
-         |       round(corr(CAST(yearA AS DOUBLE), CAST(yearB AS DOUBLE)), 2) AS r
-         |FROM j GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+         |),
+         |$CorrPTailSql""".stripMargin,
     // PII replay: identical salting, then the same three RE2 patterns
     // applied in the same order (counts taken on the progressively-
     // redacted text); DuckDB regexp_replace needs the explicit 'g'

@@ -361,3 +361,83 @@ object RollingMinHash {
     java.lang.Long.valueOf(min)
   }
 }
+
+/** `pearson_p(r, n)`: two-sided p-value of a Pearson correlation `r`
+  * over `n` samples — the Student-t tail with df = n−2 that
+  * scipy.stats.pearsonr reports (the reference's analysis.ipynb cell 1
+  * pairs every correlation with it).
+  *
+  * No special-function library: for INTEGER df the t-CDF has the
+  * elementary closed forms of Abramowitz & Stegun 26.7.3/26.7.4, and
+  * substituting t = r·√(df/(1−r²)) collapses the angle to
+  * sinθ = |r|, cosθ = √(1−r²) — so the whole computation is a finite
+  * O(df) recurrence in plain IEEE double arithmetic that an oracle
+  * engine replays exactly (the q19/q86 DuckDB oracles mirror it as a
+  * recursive CTE with the SAME left-associated op order per step).
+  * Per-row cost is O(n), but the expression runs on correlation
+  * SUMMARY rows (one per source pair), never on the evidence table.
+  *
+  * NULL r or n < 3 → NULL; |r| ≥ 1 → 0.
+  */
+case class PearsonTwoSidedP(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pearson_p"
+
+  override protected def nullSafeEval(r: Any, n: Any): Any =
+    PearsonTwoSidedP.evalStatic(r.asInstanceOf[Double], n.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, n) => {
+      val p = ctx.freshName("pearsonP")
+      s"""
+         |java.lang.Double $p = graft.functions.PearsonTwoSidedP.evalStatic($r, $n);
+         |if ($p == null) { ${ev.isNull} = true; } else { ${ev.value} = $p.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PearsonTwoSidedP =
+    copy(left = newLeft, right = newRight)
+}
+
+object PearsonTwoSidedP {
+  /** Mirrored step-for-step by the q19/q86 oracle CTEs — change BOTH
+    * or the 4dp hashes drift.
+    */
+  def evalStatic(r: Double, n: Long): java.lang.Double = {
+    val df = n - 2
+    if (df < 1 || java.lang.Double.isNaN(r)) return null
+    val rho = math.abs(r)
+    if (rho >= 1.0) return java.lang.Double.valueOf(0.0)
+    val c2 = 1.0 - rho * rho
+    var a = 0.0
+    if (df % 2 == 0) {
+      // A&S 26.7.4: A = sinθ·Σ_{k<df/2} Π(2i−1)/(2i)·cos^{2k}θ
+      val m = df / 2
+      var t = 1.0
+      var s = 1.0
+      var k = 1L
+      while (k <= m - 1) {
+        t = t * c2 * (2 * k - 1) / (2 * k)
+        s += t
+        k += 1
+      }
+      a = rho * s
+    } else {
+      // A&S 26.7.3: A = (2/π)(θ + sinθ·Σ Π(2i)/(2i+1)·cos^{2k+1}θ)
+      var u = math.sqrt(c2)
+      var s = if (df >= 3) u else 0.0
+      var k = 1L
+      while (k <= (df - 3) / 2) {
+        u = u * c2 * (2 * k) / (2 * k + 1)
+        s += u
+        k += 1
+      }
+      a = (2.0 / math.Pi) * (math.asin(rho) + rho * s)
+    }
+    java.lang.Double.valueOf(math.max(0.0, 1.0 - a))
+  }
+}

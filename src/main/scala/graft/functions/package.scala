@@ -83,6 +83,17 @@ package object functions {
   def quantizedDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Two-sided Pearson-correlation p-value (Student-t tail, df = n−2)
+    * from the closed-form integer-df t-CDF; see [[PearsonTwoSidedP]].
+    * Feed it the PUBLISHED (rounded) r so every engine derives the
+    * identical p from the identical inputs.
+    */
+  def pearsonP(r: Column, n: Column): Column =
+    org.apache.spark.sql.graftshim.columnOf(
+      PearsonTwoSidedP(
+        org.apache.spark.sql.graftshim.expressionOf(r.cast("double")),
+        org.apache.spark.sql.graftshim.expressionOf(n.cast("long"))))
+
   /** Cosine similarity over quantized vectors (deterministic double). */
   def quantizedCosine(a: Column, b: Column): Column =
     quantizedDot(a, b).cast("double") /

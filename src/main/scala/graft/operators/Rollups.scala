@@ -79,10 +79,12 @@ object Rollups {
     * reference does; the scipy p-value (t CDF lookup) is the one
     * driver-side residue, derivable from (r, n) downstream.
     *
-    * Output: (datasourceIdA, datasourceIdB, n, r) for pairs with
-    * n ≥ 3 matched (disease, target) keys; r is null when a side has
-    * zero year variance (scipy raises there — the reference records
-    * None the same way).
+    * Output: (datasourceIdA, datasourceIdB, n, r, p_value) for pairs
+    * with n ≥ 3 matched (disease, target) keys; r is null when a side
+    * has zero year variance (scipy raises there — the reference
+    * records None the same way), and p_value is the two-sided
+    * Student-t tail scipy.stats.pearsonr reports, computed natively
+    * ([[graft.functions.PearsonTwoSidedP]]) from the published r.
     */
   def peakYearCorrelation(
       dense: DataFrame,
@@ -677,5 +679,10 @@ object Rollups {
       .filter(col("n") >= 3)
       .withColumn("r",
         when(isnan(col("r")), lit(null).cast("double")).otherwise(round(col("r"), 2)))
+      // p from the PUBLISHED 2dp r, so any engine derives the same
+      // value from the same inputs (analysis.ipynb cell 1 reports
+      // scipy pearsonr's p next to each r)
+      .withColumn("p_value",
+        round(graft.functions.pearsonP(col("r"), col("n")), 4))
   }
 }

@@ -336,4 +336,47 @@ class FunctionsSpec extends SparkSpec {
     assert(fps <= 5, s"$fps false positives out of 18000 non-members")
     assert(probeSet(members.repartition(11)) == hits, "merge must be bitwise OR")
   }
+
+  test("pearsonP matches numerically-integrated t tails for even and odd df") {
+    // Library-free reference: two-sided p = 1 − 2∫₀ᵗ f(x|ν)dx by
+    // Simpson, with the Γ((ν+1)/2)/Γ(ν/2) ratio from its recurrence
+    // R(ν) = (ν−1)/(2·R(ν−1)), R(1) = 1/√π. Pins the A&S closed-form
+    // recurrences of PearsonTwoSidedP across parities, magnitudes, and
+    // a four-digit df.
+    def numericP(r: Double, n: Long): Double = {
+      val v = (n - 2).toInt
+      val rho = math.abs(r)
+      val t = rho * math.sqrt(v / (1.0 - rho * rho))
+      var ratio = 1.0 / math.sqrt(math.Pi)
+      for (i <- 2 to v) ratio = (i - 1) / (2.0 * ratio)
+      def pdf(x: Double): Double =
+        ratio / math.sqrt(v * math.Pi) * math.pow(1.0 + x * x / v, -(v + 1) / 2.0)
+      val steps = 20000
+      val h = t / steps
+      var s = pdf(0.0) + pdf(t)
+      for (i <- 1 until steps)
+        s += pdf(i * h) * (if (i % 2 == 1) 4.0 else 2.0)
+      1.0 - 2.0 * s * h / 3.0
+    }
+    val cases = Seq((0.5, 10L), (0.5, 11L), (0.3, 5L), (0.9, 4L),
+      (0.17, 103L), (-0.42, 38L), (0.05, 1000L), (0.99, 3L), (0.01, 3L))
+    for ((r, n) <- cases) {
+      val got = PearsonTwoSidedP.evalStatic(r, n).doubleValue()
+      val exp = numericP(r, n)
+      assert(math.abs(got - exp) < 1e-9, s"p($r, $n): got $got, numeric $exp")
+    }
+    // scipy.stats.pearsonr(r=0.5, n=10) reports p = 0.14111328125
+    assert(PearsonTwoSidedP.evalStatic(0.5, 10L).doubleValue() == 0.14111328125)
+    // edges: |r| ≥ 1 → 0, r = 0 → 1, n < 3 → NULL, and the column
+    // accessor is codegen-friendly end to end
+    assert(PearsonTwoSidedP.evalStatic(1.0, 5L).doubleValue() == 0.0)
+    assert(PearsonTwoSidedP.evalStatic(0.0, 5L).doubleValue() == 1.0)
+    assert(PearsonTwoSidedP.evalStatic(0.4, 2L) == null)
+    val viaCol = Seq((0.5, 10L), (-0.5, 10L))
+      .toDF("r", "n")
+      .select(pearsonP(col("r"), col("n")).as("p"))
+      .collect().map(_.getDouble(0))
+    assert(viaCol(0) == 0.14111328125 && viaCol(1) == 0.14111328125,
+      "column path must match evalStatic and be sign-symmetric")
+  }
 }
