@@ -1971,6 +1971,24 @@ object SparkEntry {
           Seq("diseaseId", "targetId", "datasourceId"), "n_evidence")
         .withColumn("score", round(col("score"), 4))
     }),
+    "q170_stream_peaks" -> ((s, dir) => {
+      // H7 streaming novelty-peak detection END-TO-END: Append-mode
+      // flatMapGroupsWithState fires whenever a key's cumulative top-K
+      // harmonic rises above its previous batch value. WHICH batches
+      // fire depends on the micro-batch split by design, but the
+      // harmonic is monotone nondecreasing in the evidence multiset,
+      // so the MAX emitted score per key equals the final cumulative
+      // score and the emitting keys are exactly {harmonic > 0} — both
+      // split-invariant (the q65 slice pattern), gated by the batch
+      // harmonic oracle.
+      import s.implicits._
+      val ev = StreamQueries.streamEvidence(s, dir)
+        .as[AssociationStream.EvidenceEvent]
+      val peaks = StreamQueries.materialize(
+        AssociationStream.noveltyPeaks(ev).toDF(), mode = "append")
+      peaks.groupBy("diseaseId", "targetId", "datasourceId")
+        .agg(round(max(col("score")), 4).as("peak_score"))
+    }),
     "q85_stream_join" -> ((s, dir) => {
       // stream–stream correlation: every purchase matched to the same
       // user's clicks in the preceding hour, both sides live streams
@@ -4878,6 +4896,26 @@ object SparkEntry {
         |FROM agg a, mx WHERE a.end_ts <= mx.mt - INTERVAL 2 HOUR""".stripMargin,
     "q62_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // the split-invariant H7 slice: max emitted peak = final cumulative
+    // harmonic; emitting keys = {harmonic > 0} (filter on the UNROUNDED
+    // harmonic, exactly the score > 0 emission condition)
+    "q170_stream_peaks" ->
+      s"""WITH $EvSql,
+         |ranked AS (
+         |  SELECT diseaseId, targetId, datasourceId, score,
+         |         row_number() OVER (
+         |           PARTITION BY diseaseId, targetId, datasourceId
+         |           ORDER BY score DESC) AS rn
+         |  FROM ev
+         |),
+         |h AS (
+         |  SELECT diseaseId, targetId, datasourceId,
+         |         sum(CASE WHEN rn <= 50 THEN score / (rn * rn) END)
+         |           / 1.6449340668482264 AS hs
+         |  FROM ranked GROUP BY 1, 2, 3
+         |)
+         |SELECT diseaseId, targetId, datasourceId, round(hs, 4) AS peak_score
+         |FROM h WHERE hs > 0""".stripMargin,
     "q63_stream_assoc" ->
       s"""WITH $EvSql,
          |ranked AS (
