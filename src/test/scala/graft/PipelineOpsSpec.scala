@@ -606,6 +606,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2L) > got(1L), "the center outranks the leaves")
   }
 
+  test("pageRank: lineage truncation bounds plan depth; tol variant converges to the fixed-point ranks") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    // Without truncation the logical plan nests one full round per
+    // iteration — 24 rounds would be ~8x deeper than 3. With the
+    // every-3-rounds localCheckpoint the final plan is at most 3
+    // rounds over a materialized relation, so depth is flat in iters.
+    def depth(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.collect { case p => p }.length
+    val d3 = depth(graft.operators.Graph.pageRank(edges, iters = 3))
+    val d24 = depth(graft.operators.Graph.pageRank(edges, iters = 24))
+    assert(d24 <= d3,
+      s"plan depth must not grow with iters: $d24 (24 iters) vs $d3 (3)")
+    // checkpoint cadence must not change values: 8 rounds checkpointed
+    // every round vs every 8 match the default bit-for-bit
+    val base = graft.operators.Graph.pageRank(edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (ck <- Seq(1, 8)) {
+      val got = graft.operators.Graph.pageRank(edges, checkpointEvery = ck)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == base, s"checkpointEvery=$ck changed the result")
+    }
+    // the symmetric cycle's fixed point is uniform 1/4; the tol
+    // variant must stop early (well under 50 rounds) AT the fixed
+    // point — convergence probed only at checkpoint boundaries
+    val conv = graft.operators.Graph.pageRank(edges, iters = 50, tol = 1e-12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    conv.values.foreach(v => assert(math.abs(v - 0.25) < 1e-10))
+  }
+
   test("triangleCount: degree-oriented counts equal brute force on a hub graph") {
     // hub 1 connected to 2..6; extra edges close triangles (1,2,3),
     // (1,2,4), (1,3,4), (1,5,6), (2,3,4); duplicate + reversed inputs
