@@ -441,7 +441,11 @@ object SparkEntry {
   /** Novelty attachment over the preceding `overall` CTE + final
     * projection — mirrors graft.operators.Novelty.attach.
     */
-  private val NoveltyTailSql =
+  /** Novelty-attached series as a reusable CTE chain ending in `att`
+    * (diseaseId, targetId, year, score 4dp, novelty 3dp) — shared by
+    * the q03/q10 tails and the q171 timeline pivot.
+    */
+  private val NoveltyCtesSql =
     """peaks AS (
       |  SELECT diseaseId, targetId, year AS peakYear,
       |         coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
@@ -454,14 +458,20 @@ object SparkEntry {
       |  FROM peaks CROSS JOIN (SELECT unnest(range(0, 11)) AS delta) d
       |  WHERE peak > 0
       |  GROUP BY 1, 2, 3
-      |)
-      |SELECT o.diseaseId, o.targetId,
-      |       CASE WHEN o.year = 2002 THEN NULL ELSE o.year END AS year,
-      |       round(o.score, 4) AS score,
-      |       coalesce(n.novelty, 0.0) AS novelty
-      |FROM overall o
-      |LEFT JOIN decayed n
-      |  ON n.diseaseId = o.diseaseId AND n.targetId = o.targetId AND n.year = o.year""".stripMargin
+      |),
+      |att AS (
+      |  SELECT o.diseaseId, o.targetId,
+      |         CASE WHEN o.year = 2002 THEN NULL ELSE o.year END AS year,
+      |         round(o.score, 4) AS score,
+      |         coalesce(n.novelty, 0.0) AS novelty
+      |  FROM overall o
+      |  LEFT JOIN decayed n
+      |    ON n.diseaseId = o.diseaseId AND n.targetId = o.targetId AND n.year = o.year
+      |)""".stripMargin
+
+  private val NoveltyTailSql =
+    s"""$NoveltyCtesSql
+       |SELECT * FROM att""".stripMargin
 
   /** Insertion-ordered so Bench measures queries in a deterministic,
     * comparable order across runs and rounds.
@@ -489,6 +499,28 @@ object SparkEntry {
       Novelty.attach(
         AssociationScore.byDatasource(t.evidence),
         Seq("diseaseId", "targetId", "datasourceId"))
+    }),
+    "q171_timeline" -> ((s, dir) => {
+      // plot_timeseries.py:667–805's data prep: the dense
+      // score+novelty series pivoted to ordered aligned arrays per
+      // pair. Registered projection serializes each array to CSV of
+      // exact integers (scores ×10000, novelty ×1000 — both already
+      // rounded to that grain) because the driver compare sorts and
+      // hashes scalar columns; Novelty.timeline itself returns real
+      // arrays.
+      val t = Tables(s, dir)
+      val overall = AssociationScore.overall(
+        AssociationScore.byDatasource(t.evidence), t.weights)
+      val tl = Novelty.timeline(
+        Novelty.attach(overall, Seq("diseaseId", "targetId")),
+        Seq("diseaseId", "targetId"))
+      def csv(arr: org.apache.spark.sql.Column,
+          scale: Int): org.apache.spark.sql.Column = array_join(
+        transform(arr, v => round(v * scale).cast("long").cast("string")), ",")
+      tl.select(col("diseaseId"), col("targetId"),
+        array_join(transform(col("years"), _.cast("string")), ",").as("years_csv"),
+        csv(col("scores"), 10000).as("scores_csv"),
+        csv(col("novelty"), 1000).as("novelty_csv"))
     }),
     "q10_full_pipeline" -> ((s, dir) => {
       // the reference's end-to-end run: indirect evidence → per-source
@@ -2199,6 +2231,23 @@ object SparkEntry {
     "q03_novelty" ->
       s"""WITH $OverallSql,
          |$NoveltyTailSql""".stripMargin,
+    // the q171 pivot: list(x ORDER BY year) per pair, serialized to the
+    // same exact-integer CSV grain as the Spark projection
+    "q171_timeline" ->
+      s"""WITH $OverallSql,
+         |$NoveltyCtesSql,
+         |f AS (
+         |  SELECT diseaseId, targetId,
+         |         coalesce(year, 2002) AS y,
+         |         CAST(round(coalesce(score, 0) * 10000) AS BIGINT) AS sc,
+         |         CAST(round(novelty * 1000) AS BIGINT) AS nv
+         |  FROM att
+         |)
+         |SELECT diseaseId, targetId,
+         |       array_to_string(list(CAST(y AS VARCHAR) ORDER BY y), ',') AS years_csv,
+         |       array_to_string(list(CAST(sc AS VARCHAR) ORDER BY y), ',') AS scores_csv,
+         |       array_to_string(list(CAST(nv AS VARCHAR) ORDER BY y), ',') AS novelty_csv
+         |FROM f GROUP BY 1, 2""".stripMargin,
     "q10_full_pipeline" ->
       s"""WITH $IndirectEvSql,
          |$BySourceTail,

@@ -82,6 +82,45 @@ object Novelty {
         round(col("score"), 4).as("score") :+ col("novelty"): _*)
   }
 
+  /** Plot-ready timeline extraction — the data-prep step of the
+    * reference's `plotTargetDisease`
+    * (/root/reference/plot_timeseries.py:667–805): the dense
+    * score+novelty series pivoted to one row per association pair
+    * with ordered, index-aligned year/score/novelty arrays (what the
+    * year-ordered pandas frames feed to the line/scatter plots).
+    * Undated rows keep the surrogate year label
+    * (`includeNonDated=True` ⇒ `year.fillna(lastYear + 1)`,
+    * plot_timeseries.py:800–804); missing scores become 0 like the
+    * lineplot's `fillna(0)`.
+    *
+    * Scale shape: one collect_list over the ≤ `nYears` dense rows per
+    * pair riding the scoring chain's (keys) exchange, sorted and
+    * field-extracted in-row — the series length is calendar-bounded
+    * by construction, so per-group state is O(nYears) regardless of
+    * corpus size and the result is one bounded row per pair.
+    *
+    * Output: keys..., years (int asc), scores (4dp, aligned),
+    * novelty (3dp, aligned).
+    */
+  def timeline(
+      attached: DataFrame,
+      keys: Seq[String],
+      lastYear: Int = GraftConf.LastYear): DataFrame = {
+    val pt = struct(
+      coalesce(col("year"), lit(lastYear + 1)).as("year"),
+      coalesce(col("score"), lit(0.0)).as("score"),
+      col("novelty").as("novelty"))
+    attached
+      .groupBy(keys.map(col): _*)
+      // array_sort orders by the struct's leading field — the year,
+      // unique per pair in the dense scaffold, so the order is total
+      .agg(array_sort(collect_list(pt)).as("__ser"))
+      .select(keys.map(col) ++ Seq(
+        transform(col("__ser"), p => p.getField("year")).as("years"),
+        transform(col("__ser"), p => p.getField("score")).as("scores"),
+        transform(col("__ser"), p => p.getField("novelty")).as("novelty")): _*)
+  }
+
   /** Trailing z-score anomaly years: a year is anomalous when its
     * score sits ≥ `threshold` sample standard deviations above the
     * mean of the `k` preceding years (needing ≥ `minPrior` priors) —
