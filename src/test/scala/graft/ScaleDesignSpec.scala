@@ -13,6 +13,56 @@ class ScaleDesignSpec extends SparkSpec {
 
   private def tables = Tables(spark, sfDir)
 
+  test("native expressions stay inside whole-stage codegen") {
+    import graft.functions._
+    import org.apache.spark.sql.graftshim.expressionOf
+    // Guard 1, type-level: none of the native expressions may regress
+    // to CodegenFallback (one boxed virtual call per row) — doGenCode
+    // must be a real override, which Catalyst encodes as NOT mixing in
+    // the fallback trait.
+    val c = col("x")
+    val natives = Seq[(String, org.apache.spark.sql.Column)](
+      "harmonic_score" -> harmonicScore(c),
+      "word_shingles_distinct" -> NativeText.wordShingles(c, 3),
+      "minhash_signature" -> NativeText.minhashSig(c, 16),
+      "long_dot" -> quantizedDot(c, c),
+      "rolling_minhash" -> rollingMinHash(c),
+      "pearson_p" -> pearsonP(c, c))
+    for ((name, column) <- natives)
+      assert(!expressionOf(column)
+          .isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback],
+        s"$name regressed to CodegenFallback")
+    // Guard 2, plan-level: where the expressions run as per-row
+    // projections in real registered plans, the evaluating operator
+    // line must carry the WholeStageCodegen marker `*(n)`. (The scalar
+    // harmonic is absent here by design: the optimizer folds it into
+    // the overall aggregate's RESULT projection — once per group, not
+    // per row — so it never appears as a standalone projection line.)
+    def codegenLines(q: String, marker: String): Unit = {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      // AQE collapses codegen stages only as query stages materialize,
+      // so the `*(n)` markers exist only on the FINAL executed plan —
+      // and only for THIS QueryExecution (count() would plan its own).
+      // The adaptive toString appends the marker-free "Initial Plan"
+      // section; assert on the final section alone.
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // FileScan lines repeat the expression as pushed DataFilters
+      // metadata — the actual evaluation is the Filter/Project above
+      val lines = plan.linesIterator
+        .filter(l => l.contains(marker) && !l.contains("FileScan")).toList
+      assert(lines.nonEmpty, s"$q must evaluate $marker:\n$plan")
+      assert(lines.forall(_.matches(""".*\*\(\d+\).*""")),
+        s"$marker fell out of WholeStageCodegen in $q " +
+          s"(CodegenFallback regression?):\n${lines.mkString("\n")}")
+    }
+    codegenLines("q31_dedup_minhash", "word_shingles_distinct")
+    codegenLines("q31_dedup_minhash", "minhash_signature")
+    codegenLines("q46_rolling_fp", "rolling_minhash")
+    codegenLines("q19_peak_correlation", "pearson_p")
+  }
+
   test("q146 bm25 plan: zero wide exchanges, broadcast stats, TakeOrdered top-k") {
     val plan = SparkEntry.queries("q146_bm25")(spark, sfDir)
       .queryExecution.executedPlan.toString
