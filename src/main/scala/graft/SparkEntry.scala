@@ -2213,6 +2213,51 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n"),
           sum("n_chars").cast("long").as("sum_chars"))
     }),
+    "q172_attribution" -> ((s, dir) => {
+      // H28 last-touch attribution: purchases credited to the latest
+      // same-user click/view within 7 days via ONE as-of sort-merge
+      // pass — never a windowed self-join of the event table
+      val t = Tables(s, dir)
+      EventWindows.attribution(t.events)
+    }),
+    "q173_bootstrap_ci" -> ((s, dir) => {
+      // F18 Poisson-bootstrap CI of the mean value per event type:
+      // all 64 resample means from one pass (map-side rep explosion
+      // absorbed by the (key, rep) combine), exact integer cents
+      val t = Tables(s, dir)
+      Rollups.bootstrapMeanCI(t.events, Seq("event_type"), "value", "event_id")
+    }),
+    "q174_weighted_median" -> ((s, dir) => {
+      // F19 exact weighted median: value at which cumulative props.k
+      // weight crosses half the total — all-integer crossing test on
+      // one (event_type) exchange, zero interpolation
+      val t = Tables(s, dir)
+      val ev = t.events.withColumn("k",
+        get_json_object(col("props"), "$.k").cast("long"))
+      Rollups.weightedQuantile(ev, Seq("event_type"), "value", "k", "event_id")
+        .withColumn("wq_value", round(col("wq_value"), 4))
+    }),
+    "q175_mutual_info" -> ((s, dir) => {
+      // F20 categorical mutual information lang ⇄ source: exact-count
+      // cell table with PMI + MI contributions; corpus touched once
+      val t = Tables(s, dir)
+      Rollups.mutualInfo(t.documents, "lang", "source")
+    }),
+    "q176_zipf" -> ((s, dir) => {
+      // G60 Zipf power-law fit of each source's vocabulary head:
+      // micro-nat integer logs into linearTrend's exact-sum machinery
+      val t = Tables(s, dir)
+      TextAnalysis.zipfFit(t.documents, maxRank = 200, minFreq = 2)
+    }),
+    "q177_zone_map" -> ((s, dir) => {
+      // I22 zone-map skip report: arrival vs range-clustered layouts
+      // of events under value∈[150,200] — the quantified case for
+      // write-time clustering; corpus scanned once, (layout, file)
+      // grain shuffle only
+      val t = Tables(s, dir)
+      Layout.zoneMapReport(t.events, "event_id", "value",
+        arrivalRowsPerFile = 500, clusterBuckets = 16, lo = 150.0, hi = 200.0)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5297,5 +5342,219 @@ object SparkEntry {
         |                     THEN n_chars + 1000 ELSE n_chars END) AS BIGINT)
         |         AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // Last-touch attribution: DuckDB's native ASOF LEFT JOIN picks the
+    // same latest-touch-≤-conversion row the sort-merge as-of does;
+    // the lookback is a post-filter on the matched gap (backward as-of
+    // means the latest match is also the closest, so "latest within
+    // horizon" ≡ "latest, nulled when beyond horizon").
+    "q172_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type
+        |  FROM events
+        |),
+        |conv AS (
+        |  SELECT event_id, user_id, ts, value FROM ev
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |),
+        |touch AS (
+        |  SELECT user_id, ts, arg_max(event_type, event_id) AS channel
+        |  FROM ev WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT p.value,
+        |         CASE WHEN t.ts IS NULL
+        |                OR epoch_us(p.ts) - epoch_us(t.ts) > 604800000000
+        |              THEN 'direct' ELSE t.channel END AS channel
+        |  FROM conv p
+        |  ASOF LEFT JOIN touch t ON p.user_id = t.user_id AND p.ts >= t.ts
+        |)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+        |       round(sum(value), 4) AS attributed_value
+        |FROM m GROUP BY 1""".stripMargin,
+    // Poisson-bootstrap replay: same 24-bit md5 bucket, same integer
+    // inverse-CDF thresholds, exact long cents — every resample mean
+    // is a ratio of identical longs, so quantile_cont and Spark's
+    // percentile interpolate the same doubles (4dp-rounded outputs).
+    "q173_bootstrap_ci" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(event_id AS VARCHAR) AS id,
+         |         CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+         |),
+         |r AS (
+         |  SELECT event_type, cents,
+         |         ${HexValSql("md5(id || ':boot:' || CAST(rep AS VARCHAR))", 1, 6)} AS b,
+         |         rep
+         |  FROM ev CROSS JOIN (SELECT unnest(range(0, 64)) AS rep)
+         |),
+         |w AS (
+         |  SELECT event_type, rep, cents,
+         |         CASE WHEN b < 6171992 THEN 0 WHEN b < 12343985 THEN 1
+         |              WHEN b < 15429982 THEN 2 WHEN b < 16458647 THEN 3
+         |              WHEN b < 16715813 THEN 4 WHEN b < 16767247 THEN 5
+         |              WHEN b < 16775819 THEN 6 WHEN b < 16777044 THEN 7
+         |              ELSE 8 END AS w
+         |  FROM r
+         |),
+         |pr AS (
+         |  SELECT event_type, rep, sum(w * cents) AS ws, sum(w) AS wn
+         |  FROM w GROUP BY 1, 2 HAVING sum(w) > 0
+         |),
+         |m AS (
+         |  SELECT event_type,
+         |         CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) / 100.0 AS mean
+         |  FROM pr
+         |),
+         |ci AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_reps,
+         |         round(quantile_cont(mean, 0.025), 4) AS ci_lo,
+         |         round(quantile_cont(mean, 0.975), 4) AS ci_hi
+         |  FROM m GROUP BY 1
+         |),
+         |base AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |         round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |               / 100.0, 4) AS mean
+         |  FROM ev GROUP BY 1
+         |)
+         |SELECT event_type, n, mean, n_reps, ci_lo, ci_hi
+         |FROM base JOIN ci USING (event_type)""".stripMargin,
+    // Weighted-median replay: identical (value, event_id) cumulative
+    // ordering, all-long crossing test — no floats until the final 4dp.
+    "q174_weighted_median" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |c AS (
+        |  SELECT event_type, value, event_id, k,
+        |         CAST(sum(k) OVER (PARTITION BY event_type
+        |           ORDER BY value, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS cw,
+        |         CAST(sum(k) OVER (PARTITION BY event_type) AS BIGINT) AS tw
+        |  FROM ev WHERE k > 0
+        |)
+        |SELECT event_type, CAST(min(tw) AS BIGINT) AS total_w,
+        |       CAST(count(*) AS BIGINT) AS n_at_or_above,
+        |       round(arg_min(value, cw), 4) AS wq_value
+        |FROM c WHERE cw * 2 >= tw * 1 GROUP BY 1""".stripMargin,
+    // MI replay: same cast-then-multiply ratio order per cell; the
+    // total sums 6dp-rounded contributions, so window order is moot.
+    "q175_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2
+        |),
+        |e AS (
+        |  SELECT lang, source, n_ab,
+        |         CAST(sum(n_ab) OVER (PARTITION BY lang) AS BIGINT) AS na,
+        |         CAST(sum(n_ab) OVER (PARTITION BY source) AS BIGINT) AS nb,
+        |         CAST(sum(n_ab) OVER () AS BIGINT) AS n
+        |  FROM cells
+        |),
+        |c AS (
+        |  SELECT lang, source, n_ab,
+        |         round(ln(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+        |           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 4) AS pmi,
+        |         round(CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE)
+        |           * ln(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+        |             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6) AS contrib
+        |  FROM e
+        |)
+        |SELECT lang, source, n_ab, pmi, contrib,
+        |       round(sum(contrib) OVER (), 4) AS mi
+        |FROM c""".stripMargin,
+    // Zipf replay: same (freq DESC, word) total rank order, the same
+    // round(ln·10⁶) integerization, then q147's exact-sum closed form.
+    "q176_zipf" ->
+      """WITH vocab AS (
+        |  SELECT source, word, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |ranked AS (
+        |  SELECT source, n,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n DESC, word) AS rank
+        |  FROM vocab
+        |),
+        |pts AS (
+        |  SELECT source,
+        |         CAST(round(ln(rank) * 1000000) AS BIGINT) AS x,
+        |         CAST(round(ln(n) * 1000000) AS BIGINT) AS y
+        |  FROM ranked WHERE rank <= 200 AND n >= 2
+        |),
+        |m AS (
+        |  SELECT source,
+        |         CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(x) AS HUGEINT) AS sx,
+        |         CAST(sum(y) AS HUGEINT) AS sy,
+        |         CAST(sum(x*y) AS HUGEINT) AS sxy,
+        |         CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |         CAST(sum(y*y) AS HUGEINT) AS syy
+        |  FROM pts GROUP BY 1
+        |),
+        |f AS (
+        |  SELECT source, n,
+        |         n*sxy - sx*sy AS num,
+        |         n*sxx - sx*sx AS varx,
+        |         n*syy - sy*sy AS vary
+        |  FROM m WHERE n >= 2 AND n*sxx - sx*sx > 0
+        |)
+        |SELECT source, CAST(n AS BIGINT) AS n_points,
+        |       round(CAST(num AS DOUBLE) / CAST(varx AS DOUBLE), 4)
+        |         AS zipf_slope,
+        |       CASE WHEN vary > 0
+        |         THEN round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |                / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 4)
+        |       END AS r2
+        |FROM f""".stripMargin,
+    // Zone-map replay: same 4dp quantile boundaries, strict b < v
+    // bucket test, integral arrival division, exact min/max verdicts.
+    "q177_zone_map" ->
+      """WITH ev AS (
+        |  SELECT event_id, value FROM events WHERE value IS NOT NULL
+        |),
+        |b AS (
+        |  SELECT list_transform(
+        |           quantile_cont(value, [0.0625, 0.125, 0.1875, 0.25,
+        |             0.3125, 0.375, 0.4375, 0.5, 0.5625, 0.625, 0.6875,
+        |             0.75, 0.8125, 0.875, 0.9375]),
+        |           x -> round(x, 4)) AS bt
+        |  FROM ev
+        |),
+        |tagged AS (
+        |  SELECT layout, file, value FROM (
+        |    SELECT 'arrival' AS layout, event_id // 500 AS file, value
+        |    FROM ev
+        |    UNION ALL
+        |    SELECT 'clustered' AS layout,
+        |           CAST(len(list_filter(bt, x -> x < value)) AS BIGINT) AS file,
+        |           value
+        |    FROM ev, b
+        |  )
+        |),
+        |files AS (
+        |  SELECT layout, file, CAST(count(*) AS BIGINT) AS n,
+        |         min(value) AS mn, max(value) AS mx,
+        |         CAST(count(CASE WHEN value >= 150.0 AND value <= 200.0
+        |                         THEN 1 END) AS BIGINT) AS m
+        |  FROM tagged GROUP BY 1, 2
+        |)
+        |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(count(CASE WHEN NOT (mx < 150.0 OR mn > 200.0)
+        |                       THEN 1 END) AS BIGINT) AS files_scanned,
+        |       CAST(coalesce(sum(CASE WHEN NOT (mx < 150.0 OR mn > 200.0)
+        |                              THEN n ELSE 0 END), 0) AS BIGINT)
+        |         AS rows_scanned,
+        |       CAST(sum(m) AS BIGINT) AS rows_matching,
+        |       round(1.0 - CAST(count(CASE WHEN NOT (mx < 150.0 OR mn > 200.0)
+        |                                   THEN 1 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 4) AS skip_frac
+        |FROM files GROUP BY 1""".stripMargin,
   )
 }

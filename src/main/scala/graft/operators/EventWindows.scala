@@ -411,6 +411,43 @@ object EventWindows {
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byRun))
       .withColumn("is_current", col("valid_to_us").isNull)
   }
+
+  /** Last-touch marketing attribution: credit every conversion event
+    * to the most recent preceding touch (click/view/…) by the same
+    * user within a lookback horizon; conversions with no qualifying
+    * touch fall to the "direct" channel.
+    *
+    * Scale shape: a composition of [[AsOfJoin.asOf]] — one
+    * sort-merge pass over a hash(user) exchange, never a windowed or
+    * range self-join of the event table — followed by a channel-dim
+    * rollup with full map-side combine. Touches are pre-collapsed to
+    * (user, ts) grain with a deterministic max-event_id winner (the
+    * q22 tie-break), so equal-timestamp touches cannot make the
+    * credit assignment partition-order dependent. The lookback is
+    * enforced by the as-of tolerance: backward as-of already selects
+    * the LATEST touch ≤ the conversion, so "latest within horizon"
+    * and "latest, nulled when beyond horizon" are the same rule.
+    */
+  def attribution(
+      events: DataFrame,
+      conversionType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view"),
+      lookbackUs: Long = 7L * 24 * 3600 * 1000000L): DataFrame = {
+    val conversions = events
+      .filter(col("event_type") === conversionType && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val touches = events
+      .filter(col("event_type").isin(touchTypes: _*))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("event_type"), col("event_id")).as("channel"))
+    AsOfJoin.asOf(conversions, touches, Seq("user_id"), "ts", "ts",
+        Seq("channel"), direction = "backward", toleranceUs = Some(lookbackUs))
+      .withColumn("channel", coalesce(col("channel"), lit("direct")))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        round(sum(col("value")), 4).as("attributed_value"))
+  }
 }
 
 /** Gap-based sessionization: a new session starts when a user is idle

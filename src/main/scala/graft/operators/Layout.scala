@@ -107,4 +107,73 @@ object Layout {
         expr(s"(__cum - $sizeCol) DIV $targetBytes"))
       .drop("__cum")
   }
+
+  /** Zone-map skip report: simulate parquet footer pruning of a range
+    * predicate `[lo, hi]` under two candidate layouts of the SAME
+    * rows — `arrival` (files are contiguous runs of the arrival id:
+    * what an append-only ingest produces) versus `clustered` (files
+    * are range buckets of the predicate column, which is what
+    * `repartitionByRange(valCol)` produces at write time). The output
+    * is the one-line-per-layout business case for clustering: how
+    * many files and rows a reader must still scan.
+    *
+    * Scale shape: both file assignments are pure projections — the
+    * arrival file is integral division of the id, the clustered file
+    * counts broadcast quantile boundaries below the value (the sample
+    * → boundaries mechanism range partitioning itself uses; computed
+    * here as ONE exact-percentile row joined by literal-true, the
+    * keys-broadcast house pattern). The corpus is scanned once,
+    * duplicated map-side into the two layout tags, and shuffled only
+    * at (layout, file) grain with O(1) min/max/count state; the
+    * verdict rollup runs on the file table.
+    *
+    * Determinism: boundaries are rounded 4dp on both engines before
+    * the strict `b < v` bucket test (rfm's threshold contract); file
+    * min/max are exact parquet doubles, so the skip decision
+    * `max < lo ∨ min > hi` is exact.
+    *
+    * Output: (layout, n_files, files_scanned, rows_scanned,
+    * rows_matching, skip_frac).
+    */
+  def zoneMapReport(
+      df: DataFrame,
+      idCol: String,
+      valCol: String,
+      arrivalRowsPerFile: Int,
+      clusterBuckets: Int,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(arrivalRowsPerFile > 0 && clusterBuckets > 1)
+    val probs = (1 until clusterBuckets)
+      .map(i => i.toDouble / clusterBuckets).mkString(", ")
+    val bounds = df.agg(
+      expr(s"transform(percentile($valCol, array($probs)), b -> round(b, 4))")
+        .as("__bounds"))
+    val tagged = df
+      .filter(col(valCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(col(valCol).as("v"),
+        expr(s"$idCol DIV $arrivalRowsPerFile").as("__fa"),
+        expr(s"size(filter(__bounds, b -> b < $valCol))").cast("long").as("__fc"))
+      .select(col("v"), explode(array(
+        struct(lit("arrival").as("layout"), col("__fa").as("file")),
+        struct(lit("clustered").as("layout"), col("__fc").as("file"))))
+        .as("lf"))
+      .select(col("lf.layout").as("layout"), col("lf.file").as("file"), col("v"))
+    tagged
+      .groupBy("layout", "file")
+      .agg(count(lit(1)).as("n"),
+        min("v").as("mn"), max("v").as("mx"),
+        sum(when(col("v") >= lo && col("v") <= hi, 1L).otherwise(0L)).as("m"))
+      .withColumn("hit", !(col("mx") < lo || col("mn") > hi))
+      .groupBy("layout")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(col("hit"), col("n")).otherwise(0L)).as("rows_scanned"),
+        sum(col("m")).as("rows_matching"))
+      .withColumn("skip_frac",
+        round(lit(1.0) - col("files_scanned").cast("double")
+          / col("n_files").cast("double"), 4))
+  }
 }

@@ -685,4 +685,161 @@ object Rollups {
       .withColumn("p_value",
         round(graft.functions.pearsonP(col("r"), col("n")), 4))
   }
+
+  /** ⌊cdf·16^6⌋ of Poisson(1) at k = 0..7 — the integer inverse-CDF
+    * thresholds for [[bootstrapMeanCI]]'s replication draw. A 24-bit
+    * md5 bucket below `t(k)` means weight k; ≥ all of them means the
+    * capped tail weight 8 (P ≈ 1e-5, bias far below the 4dp grain).
+    */
+  private val PoissonThresholds: Seq[Long] =
+    Seq(6171992L, 12343985L, 15429982L, 16458647L,
+      16715813L, 16767247L, 16775819L, 16777044L)
+
+  /** Poisson-bootstrap confidence interval for the per-key mean — the
+    * resampling scheme that works on distributed data: the classical
+    * multinomial bootstrap needs a global coordinated draw of n rows
+    * per resample, but Poissonizing it (w ~ Poisson(1) per
+    * (row, rep), independent across rows) lets ONE pass over the data
+    * compute all `reps` resample means simultaneously.
+    *
+    * Determinism/portability: the Poisson draw inverts the CDF on a
+    * 24-bit md5-derived integer against precomputed
+    * [[PoissonThresholds]] — exact integer comparisons any engine
+    * replays bit-for-bit. Values are quantized to integer cents, so
+    * every resample mean is a ratio of exact longs; floats appear
+    * only in that final division and the 4dp round (house
+    * determinism contract; q173's oracle replays the same chain).
+    *
+    * Scale shape: the rep explosion happens map-side and is absorbed
+    * by the (keys, rep) map-side combine, so the shuffle carries
+    * |keys|·reps rows of O(1) state — never reps copies of the data —
+    * and the quantile over rep-means runs on a |keys|-sized frame.
+    * reps multiplies scan-side compute linearly; nothing else grows.
+    */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      idCol: String,
+      reps: Int = 64,
+      salt: String = "boot",
+      alphaPct: Int = 5): DataFrame = {
+    require(reps > 0 && alphaPct > 0 && alphaPct < 100)
+    val cents = round(col(valueCol) * 100).cast("long")
+    val rows = df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select((keys.map(col) :+ cents.as("_cents")
+        :+ col(idCol).cast("string").as("_id")): _*)
+
+    val bucket = conv(substring(
+        md5(concat(col("_id"), lit(":" + salt + ":"), col("rep").cast("string"))),
+        1, 6), 16, 10).cast("long")
+    val weight = PoissonThresholds.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, (t, k)) =>
+        Some(acc.fold(when(bucket < t, k))(_.when(bucket < t, k)))
+      }.get.otherwise(8).cast("long")
+
+    val repMeans = rows
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("_w", weight)
+      .groupBy((keys.map(col) :+ col("rep")): _*)
+      .agg(sum(col("_w") * col("_cents")).as("_ws"), sum(col("_w")).as("_wn"))
+      .filter(col("_wn") > 0)
+      .withColumn("_mean",
+        col("_ws").cast("double") / col("_wn").cast("double") / 100.0)
+
+    val lo = alphaPct / 200.0
+    val hi = 1.0 - lo
+    val ci = repMeans.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_reps"),
+        round(expr(s"percentile(_mean, $lo)"), 4).as("ci_lo"),
+        round(expr(s"percentile(_mean, $hi)"), 4).as("ci_hi"))
+    rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("_cents")).as("_sc"))
+      .join(ci, keys)
+      .select((keys.map(col) :+ col("n")
+        :+ round(col("_sc").cast("double") / col("n").cast("double") / 100.0, 4)
+          .as("mean")
+        :+ col("n_reps") :+ col("ci_lo") :+ col("ci_hi")): _*)
+  }
+
+  /** Exact weighted quantile per key: the smallest value whose
+    * cumulative weight reaches qNum/qDen of the key's total weight —
+    * the weighted median (1/2) generalized to any rational q. The
+    * "median document by token mass" / "value below which half the
+    * spend sits" primitive that unweighted percentiles can't answer.
+    *
+    * Exactness: weights are integral and q is a rational, so the
+    * crossing test `2·cumw ≥ total` (for q = 1/2) compares exact
+    * longs — no interpolation, no floats anywhere, any engine agrees
+    * bit-for-bit. The (value, id) ordering makes the cumulative sum
+    * deterministic under ties.
+    *
+    * Scale shape: one hash(keys) exchange carries both the ordered
+    * cumulative-sum window (O(1) state per row) and the unbounded
+    * total; the crossing row is then picked with a min_by aggregate
+    * riding the same exchange. Hot keys sort within their partition
+    * but never materialize per-key state.
+    */
+  def weightedQuantile(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      idCol: String,
+      qNum: Int = 1,
+      qDen: Int = 2): DataFrame = {
+    require(qNum > 0 && qDen > qNum)
+    val ordered = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(keys.map(col): _*)
+    df.filter(col(weightCol) > 0 && col(valueCol).isNotNull)
+      .withColumn("_w", col(weightCol).cast("long"))
+      .withColumn("_cw", sum(col("_w")).over(ordered))
+      .withColumn("_tw", sum(col("_w")).over(whole))
+      .filter(col("_cw") * qDen >= col("_tw") * qNum)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        min(col("_tw")).as("total_w"),
+        count(lit(1)).as("n_at_or_above"),
+        min_by(col(valueCol), col("_cw")).as("wq_value"))
+  }
+
+  /** Mutual information between two categorical columns — the
+    * dependence profile a feature-selection / leakage audit needs
+    * (how much does `source` predict `lang`?). Emits the cell grain:
+    * joint count, PMI, and each cell's MI contribution, plus the
+    * total MI repeated per row (the table IS the report).
+    *
+    * Determinism: every probability is a ratio of exact long counts;
+    * ln runs on one double ratio per cell with an explicit
+    * cast-then-multiply order mirrored by the oracle, and
+    * contributions are rounded 6dp before the total sums them (a
+    * dim²-sized sum of 6dp-grain values — ulp noise cannot reach the
+    * 4dp total).
+    *
+    * Scale shape: one (a, b) map-side-combined aggregate over the
+    * data; marginals and the total are windows over the CELL table
+    * (dim², not data) — the corpus is touched exactly once.
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n_ab"))
+    val byA = Window.partitionBy(aCol)
+    val byB = Window.partitionBy(bCol)
+    val all = Window.partitionBy()
+    val d = (c: Column) => c.cast("double")
+    val ratio = d(col("n_ab")) * d(col("_n")) / (d(col("_na")) * d(col("_nb")))
+    cells
+      .withColumn("_na", sum(col("n_ab")).over(byA))
+      .withColumn("_nb", sum(col("n_ab")).over(byB))
+      .withColumn("_n", sum(col("n_ab")).over(all))
+      .withColumn("pmi", round(log(ratio), 4))
+      .withColumn("contrib", round(d(col("n_ab")) / d(col("_n")) * log(ratio), 6))
+      .withColumn("mi", round(sum(col("contrib")).over(all), 4))
+      .select(col(aCol), col(bCol), col("n_ab"), col("pmi"), col("contrib"), col("mi"))
+  }
 }

@@ -756,4 +756,42 @@ object TextAnalysis {
         least(lit(chunkSize), col("__n") - col("__start")).cast("int")
           .as("n_tokens"))
   }
+
+  /** Zipf power-law fit of the per-group token frequency head — the
+    * vocabulary-distribution diagnostic of corpus curation (natural
+    * corpora track slope ≈ −1; templated or synthetic text bends the
+    * head, mixture shifts move it). Fits ln(freq) ~ ln(rank) over the
+    * top `maxRank` tokens with frequency ≥ `minFreq` via
+    * [[Rollups.linearTrend]]'s exact-integer-sum machinery.
+    *
+    * Determinism: ranks come from a (freq DESC, token) ordering —
+    * total, so engine-independent — and both logs are scaled to
+    * integral micro-nats (round(ln·10⁶)) before the trend's
+    * decimal-exact sums, the established intermediate-rounding
+    * contract (cf. rfm/winsorize thresholds).
+    *
+    * Scale shape: token counts are one map-side-combined (group,
+    * word) aggregate; the rank window runs per group over the
+    * VOCABULARY (bounded — millions, not corpus-sized), and the trend
+    * consumes ≤ maxRank rows per group with O(1) aggregate state.
+    */
+  def zipfFit(
+      df: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text",
+      maxRank: Int = 500,
+      minFreq: Int = 2): DataFrame = {
+    val vocab = df
+      .select(col(groupCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col(groupCol), col("word")).agg(count(lit(1)).as("n"))
+    val ranked = vocab
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("n").desc, col("word"))))
+      .filter(col("rank") <= maxRank && col("n") >= minFreq)
+      .withColumn("x", round(log(col("rank")) * 1e6).cast("long"))
+      .withColumn("y", round(log(col("n")) * 1e6).cast("long"))
+    Rollups.linearTrend(ranked, Seq(groupCol), "x", "y")
+      .withColumnRenamed("slope", "zipf_slope")
+      .select(col(groupCol), col("n_points"), col("zipf_slope"), col("r2"))
+  }
 }

@@ -1053,4 +1053,105 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(out.head == ("x", "y"))
   }
+
+  test("EventWindows.attribution credits last touch within lookback, else direct") {
+    val h = 3600L * 1000000L
+    val ev = Seq(
+      // user 1: click @1h, view @2h, purchase @3h → view credited
+      (1L, 1L, 1 * h, "click", 0.0), (2L, 1L, 2 * h, "view", 0.0),
+      (3L, 1L, 3 * h, "purchase", 10.0),
+      // user 2: touch 8 days before purchase → beyond lookback → direct
+      (4L, 2L, 1 * h, "click", 0.0),
+      (5L, 2L, 1 * h + 8L * 24 * h, "purchase", 20.0),
+      // user 3: no touches at all → direct
+      (6L, 3L, 1 * h, "purchase", 30.0),
+      // user 4: two touches at the SAME ts — max event_id (view) wins
+      (7L, 4L, 1 * h, "click", 0.0), (8L, 4L, 1 * h, "view", 0.0),
+      (9L, 4L, 2 * h, "purchase", 40.0))
+      .toDF("event_id", "user_id", "us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val rows = EventWindows.attribution(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows("view") == ((2L, 50.0)), s"got $rows")
+    assert(rows("direct") == ((2L, 50.0)), s"got $rows")
+    assert(!rows.contains("click"))
+  }
+
+  test("Rollups.bootstrapMeanCI brackets the mean, deterministic across runs") {
+    val df = (1 to 200).map(i => (i.toLong, "g", (i % 50) + 0.25))
+      .toDF("id", "g", "v")
+    def run() = Rollups.bootstrapMeanCI(df, Seq("g"), "v", "id", reps = 32)
+      .collect().head
+    val r = run()
+    val mean = r.getDouble(r.fieldIndex("mean"))
+    val lo = r.getDouble(r.fieldIndex("ci_lo"))
+    val hi = r.getDouble(r.fieldIndex("ci_hi"))
+    assert(r.getLong(r.fieldIndex("n")) == 200L)
+    assert(r.getLong(r.fieldIndex("n_reps")) == 32L)
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] should bracket $mean")
+    // a 95% CI of the mean of 200 draws from sd≈14.4 is a few units wide
+    assert(hi - lo < 10.0, s"CI [$lo, $hi] implausibly wide")
+    assert(run().toSeq == r.toSeq, "bootstrap must be deterministic")
+  }
+
+  test("Rollups.weightedQuantile: exact crossing, ties broken by id") {
+    // g: values 1..4 with weights 1,1,6,2 (W=10) → cumw 1,2,8,10;
+    // median crossing 2·cumw ≥ 10 first at value 3
+    val df = Seq((1L, "g", 1.0, 1L), (2L, "g", 2.0, 1L),
+      (3L, "g", 3.0, 6L), (4L, "g", 4.0, 2L),
+      // zero-weight row must be ignored
+      (5L, "g", 0.5, 0L)).toDF("id", "g", "v", "w")
+    val r = Rollups.weightedQuantile(df, Seq("g"), "v", "w", "id").collect().head
+    assert(r.getLong(r.fieldIndex("total_w")) == 10L)
+    assert(r.getDouble(r.fieldIndex("wq_value")) == 3.0)
+    // p90: crossing 10·cumw ≥ 9·10 first at value 4
+    val p90 = Rollups.weightedQuantile(df, Seq("g"), "v", "w", "id", 9, 10)
+      .collect().head
+    assert(p90.getDouble(p90.fieldIndex("wq_value")) == 4.0)
+  }
+
+  test("Rollups.mutualInfo: zero for independent, H for determined columns") {
+    // independent 2×2 with equal mass → every cell PMI = 0, MI = 0
+    val ind = Seq.tabulate(40)(i => (if (i % 2 == 0) "a" else "b",
+      if ((i / 2) % 2 == 0) "x" else "y")).toDF("u", "v")
+    val mi0 = Rollups.mutualInfo(ind, "u", "v").collect()
+    assert(mi0.forall(r => r.getDouble(r.fieldIndex("mi")) == 0.0), mi0.toSeq)
+    // v fully determined by u (uniform binary) → MI = ln 2
+    val det = Seq.tabulate(40)(i => (if (i % 2 == 0) "a" else "b",
+      if (i % 2 == 0) "x" else "y")).toDF("u", "v")
+    val mi1 = Rollups.mutualInfo(det, "u", "v").collect().head
+    assert(math.abs(mi1.getDouble(mi1.fieldIndex("mi")) - math.log(2.0)) < 1e-3)
+  }
+
+  test("TextAnalysis.zipfFit recovers slope -1 on an exact Zipf corpus") {
+    // token t_r appears round(1200 / r) times → ln f = ln 1200 − ln r
+    val words = (1 to 30).flatMap(r =>
+      Seq.fill(math.round(1200.0 / r).toInt)(f"t$r%03d"))
+    val docs = words.grouped(97).zipWithIndex
+      .map { case (ws, i) => (i.toLong, "s", ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.zipfFit(docs, maxRank = 30, minFreq = 2).collect().head
+    val slope = r.getDouble(r.fieldIndex("zipf_slope"))
+    assert(math.abs(slope - (-1.0)) < 0.01, s"slope $slope")
+    assert(r.getDouble(r.fieldIndex("r2")) > 0.999)
+  }
+
+  test("Layout.zoneMapReport: clustered layout skips, arrival layout cannot") {
+    // ids in arrival order carry values that cycle 0..99 → every
+    // arrival file spans the whole range; clustering by value isolates
+    // the [90, 99] band into ~1–2 of 10 buckets
+    val df = (0 until 1000).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("id", "v")
+    val out = Layout.zoneMapReport(df, "id", "v",
+        arrivalRowsPerFile = 100, clusterBuckets = 10, lo = 90.0, hi = 99.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val arr = out("arrival")
+    assert(arr.getLong(arr.fieldIndex("files_scanned")) ==
+      arr.getLong(arr.fieldIndex("n_files")), "arrival layout must scan all")
+    val cl = out("clustered")
+    assert(cl.getDouble(cl.fieldIndex("skip_frac")) >= 0.8,
+      s"clustered skip_frac ${cl.getDouble(cl.fieldIndex("skip_frac"))}")
+    assert(arr.getLong(arr.fieldIndex("rows_matching")) ==
+      cl.getLong(cl.fieldIndex("rows_matching")), "selectivity is layout-invariant")
+  }
 }
