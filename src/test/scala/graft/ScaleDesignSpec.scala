@@ -899,4 +899,79 @@ class ScaleDesignSpec extends SparkSpec {
       }.size == 1, s"$q: windows + rollup must share one user exchange")
     }
   }
+
+  test("round-8 operator plans honor their scale claims") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def exec(q: String) =
+      SparkEntry.queries(q)(spark, sfDir).queryExecution
+    def shuffles(qe: org.apache.spark.sql.execution.QueryExecution) =
+      helper.collect(qe.executedPlan) { case e: ShuffleExchangeExec => e }
+    def windows(qe: org.apache.spark.sql.execution.QueryExecution) =
+      qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    def noLoopJoins(q: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        allowOneRowBroadcastLoop: Boolean = false): Unit = {
+      assert(helper.collect(qe.executedPlan) {
+        case j: CartesianProductExec => j
+      }.isEmpty, s"$q must not build a cartesian product")
+      val loops = helper.collect(qe.executedPlan) {
+        case j: BroadcastNestedLoopJoinExec => j
+      }
+      if (!allowOneRowBroadcastLoop)
+        assert(loops.isEmpty, s"$q must not nested-loop join")
+      else assert(loops.size <= 1, s"$q: only the 1-row bounds attach may loop")
+    }
+
+    // q172: ONE as-of sort-merge pass — every window partitions on the
+    // user key and no self-join of the event table appears
+    val q172 = exec("q172_attribution")
+    noLoopJoins("q172_attribution", q172)
+    assert(windows(q172).nonEmpty &&
+      windows(q172).forall(_.partitionSpec.exists(_.toString.contains("user_id"))),
+      "q172: the as-of merge window must ride the user key")
+
+    // q173: aggregate-only — the rep fan-out is absorbed map-side, so
+    // the plan has zero windows and only keys-grain exchanges
+    val q173 = exec("q173_bootstrap_ci")
+    noLoopJoins("q173_bootstrap_ci", q173)
+    assert(windows(q173).isEmpty, "q173 must stay window-free")
+    assert(shuffles(q173).size <= 4,
+      s"q173: keys-grain exchanges only, got ${shuffles(q173).size}")
+
+    // q174: ordered cumsum + total + the min_by pick all ride ONE
+    // (event_type) exchange
+    val q174 = exec("q174_weighted_median")
+    assert(windows(q174).forall(
+        _.partitionSpec.exists(_.toString.contains("event_type"))),
+      "q174: both windows must partition on event_type")
+    assert(shuffles(q174).size == 1,
+      s"q174: windows + crossing pick must share one exchange, got ${shuffles(q174).size}")
+
+    // q175: the corpus is touched by exactly one scan feeding the cell
+    // aggregate; every window runs over the dim² cell table
+    val q175 = exec("q175_mutual_info")
+    val scans175 = helper.collect(q175.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans175.size == 1, s"q175: one corpus scan, got ${scans175.size}")
+    assert(windows(q175).size == 4, "q175: marginals/total/mi are cell-table windows")
+
+    // q176: the rank window partitions on the slice key (vocabulary-
+    // sized frames), and the trend is aggregate-only above it
+    val q176 = exec("q176_zipf")
+    noLoopJoins("q176_zipf", q176)
+    assert(windows(q176).size == 1 &&
+      windows(q176).head.partitionSpec.exists(_.toString.contains("source")),
+      "q176: exactly the per-source rank window")
+
+    // q177: no windows anywhere — file tags are projections, the only
+    // loop join is the broadcast of the ONE-ROW boundary frame
+    val q177 = exec("q177_zone_map")
+    assert(windows(q177).isEmpty, "q177 must stay window-free")
+    noLoopJoins("q177_zone_map", q177, allowOneRowBroadcastLoop = true)
+  }
 }
