@@ -373,7 +373,10 @@ object SparkEntry {
     * expression's loops — change both together or the 4dp hashes
     * drift. The enclosing query must open with WITH RECURSIVE.
     */
-  private val CorrPTailSql =
+  /** CTE block of the correlation+p tail (everything before the final
+    * projection) — factored so q178 can reuse the chain as a CTE.
+    */
+  private val CorrPCtesSql =
     """c0 AS (
       |  SELECT datasourceIdA, datasourceIdB, CAST(count(*) AS BIGINT) AS n,
       |         round(corr(CAST(yearA AS DOUBLE), CAST(yearB AS DOUBLE)), 2) AS r
@@ -411,12 +414,17 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT ia, ib, (2.0 / pi()) * (asin(rho) + rho * s) AS av
       |  FROM pod WHERE k = greatest(mm + 1, CAST(1 AS BIGINT))
-      |)
-      |SELECT b.datasourceIdA, b.datasourceIdB, b.n, b.r,
+      |)""".stripMargin
+
+  /** Final projection over [[CorrPCtesSql]]. */
+  private val CorrPSelectSql =
+    """SELECT b.datasourceIdA, b.datasourceIdB, b.n, b.r,
       |       CASE WHEN b.r IS NULL THEN NULL
       |            WHEN b.rho >= 1.0 THEN 0.0
       |            ELSE round(greatest(0.0, 1.0 - pa.av), 4) END AS p_value
       |FROM cb b LEFT JOIN pa ON pa.ia = b.datasourceIdA AND pa.ib = b.datasourceIdB""".stripMargin
+
+  private val CorrPTailSql = s"$CorrPCtesSql\n$CorrPSelectSql"
 
   /** Weighted overall harmonic score per (pair, year), over the
     * preceding `bysource` CTE.
@@ -2257,6 +2265,15 @@ object SparkEntry {
       val t = Tables(s, dir)
       Layout.zoneMapReport(t.events, "event_id", "value",
         arrivalRowsPerFile = 500, clusterBuckets = 16, lo = 150.0, hi = 200.0)
+    }),
+    "q178_fdr" -> ((s, dir) => {
+      // F21 Benjamini–Hochberg FDR over q19's correlation p-values —
+      // the multiple-testing correction analysis.ipynb stops short
+      // of; global windows run over the HYPOTHESIS table, never data
+      val t = Tables(s, dir)
+      Rollups.bhAdjust(
+        Rollups.peakYearCorrelation(AssociationScore.byDatasource(t.evidence)),
+        "p_value", Seq("datasourceIdA", "datasourceIdB"))
     }),
   )
 
@@ -5556,5 +5573,46 @@ object SparkEntry {
         |                                   THEN 1 END) AS DOUBLE)
         |             / CAST(count(*) AS DOUBLE), 4) AS skip_frac
         |FROM files GROUP BY 1""".stripMargin,
+    // BH replay over the q19 chain: total (p, pair) rank order, the
+    // same (p·m)/rank suffix-min, 4dp cap-at-1 adjustment.
+    "q178_fdr" ->
+      s"""WITH RECURSIVE $BySourceSql,
+         |pk AS (
+         |  SELECT diseaseId, targetId, datasourceId, year AS peakYear,
+         |         coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
+         |           PARTITION BY diseaseId, targetId, datasourceId ORDER BY year) AS peak
+         |  FROM bysource
+         |),
+         |fp AS (
+         |  SELECT diseaseId, targetId, datasourceId,
+         |         CAST(min(peakYear) AS INT) AS peakYear
+         |  FROM pk WHERE peak > 0 GROUP BY 1, 2, 3
+         |),
+         |j AS (
+         |  SELECT a.datasourceId AS datasourceIdA, b.datasourceId AS datasourceIdB,
+         |         a.peakYear AS yearA, b.peakYear AS yearB
+         |  FROM fp a JOIN fp b USING (diseaseId, targetId)
+         |),
+         |$CorrPCtesSql,
+         |corr_out AS (
+         |$CorrPSelectSql
+         |),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |           ORDER BY p_value, datasourceIdA, datasourceIdB) AS BIGINT)
+         |           AS p_rank,
+         |         CAST(count(*) OVER () AS BIGINT) AS m
+         |  FROM corr_out WHERE p_value IS NOT NULL
+         |),
+         |adj AS (
+         |  SELECT *, round(least(1.0, min(p_value * m / p_rank) OVER (
+         |           ORDER BY p_rank
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 4)
+         |           AS p_adj
+         |  FROM rk
+         |)
+         |SELECT datasourceIdA, datasourceIdB, n, r, p_value, p_rank, p_adj,
+         |       p_adj <= 0.05 AS significant
+         |FROM adj""".stripMargin,
   )
 }

@@ -807,6 +807,43 @@ object Rollups {
         min_by(col(valueCol), col("_cw")).as("wq_value"))
   }
 
+  /** Benjamini–Hochberg FDR adjustment over a table of p-values — the
+    * multiple-testing correction the reference's correlation analysis
+    * (analysis.ipynb cell 1: one scipy pearsonr p per source pair)
+    * stops short of: adj_p(i) = min_{j ≥ i} (m·p(j)/j) over the
+    * ascending p ranking, capped at 1.
+    *
+    * Determinism: ranks come from (p, tieCols) — a total order — and
+    * the adjustment is arithmetic on the published 4dp p's; the
+    * suffix-min window runs over exact identical doubles on any
+    * engine.
+    *
+    * Scale shape: global windows, deliberately — the input is a
+    * HYPOTHESIS table (one row per tested pair, dim²-sized), never
+    * row-grain data; m hypotheses cost m O(1)-state window rows.
+    *
+    * Adds (p_rank, p_adj, significant at `alpha`); NULL p rows are
+    * dropped (untested ≠ tested-insignificant).
+    */
+  def bhAdjust(
+      df: DataFrame,
+      pCol: String,
+      tieCols: Seq[String],
+      alpha: Double = 0.05): DataFrame = {
+    val ord = Window.orderBy((col(pCol) +: tieCols.map(col)): _*)
+    val all = Window.partitionBy()
+    val suffix = Window.orderBy(col("p_rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.filter(col(pCol).isNotNull)
+      .withColumn("p_rank", row_number().over(ord).cast("long"))
+      .withColumn("_m", count(lit(1)).over(all))
+      .withColumn("p_adj",
+        round(least(lit(1.0),
+          min(col(pCol) * col("_m") / col("p_rank")).over(suffix)), 4))
+      .withColumn("significant", col("p_adj") <= alpha)
+      .drop("_m")
+  }
+
   /** Mutual information between two categorical columns — the
     * dependence profile a feature-selection / leakage audit needs
     * (how much does `source` predict `lang`?). Emits the cell grain:

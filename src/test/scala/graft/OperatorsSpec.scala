@@ -1136,6 +1136,29 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("r2")) > 0.999)
   }
 
+  test("Rollups.bhAdjust matches the hand BH on a known p table") {
+    // p = .01, .02, .03, .04, .50 with m=5:
+    // raw m·p/rank = .05, .05, .05, .05, .50 → suffix-min = same
+    val df = Seq(("a", Some(0.01)), ("b", Some(0.02)), ("c", Some(0.03)),
+      ("d", Some(0.04)), ("e", Some(0.50)), ("f", Option.empty[Double]))
+      .toDF("id", "p")
+    val out = Rollups.bhAdjust(df, "p", Seq("id")).collect()
+      .map(r => r.getString(0) -> (r.getLong(r.fieldIndex("p_rank")),
+        r.getDouble(r.fieldIndex("p_adj")),
+        r.getBoolean(r.fieldIndex("significant")))).toMap
+    assert(out.size == 5, "NULL p row must be dropped")
+    assert(out("a") == ((1L, 0.05, true)))
+    assert(out("d") == ((4L, 0.05, true)))
+    assert(out("e") == ((5L, 0.5, false)))
+    // non-monotone raw adjustments take the suffix min: p=.04 at rank 4
+    // of 4 (adj .04) pulls rank-3's raw .0467 down to .04
+    val df2 = Seq(("a", 0.001), ("b", 0.002), ("c", 0.035), ("d", 0.04))
+      .toDF("id", "p")
+    val o2 = Rollups.bhAdjust(df2, "p", Seq("id")).collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("p_adj"))).toMap
+    assert(o2("c") == 0.04 && o2("d") == 0.04, s"got $o2")
+  }
+
   test("Layout.zoneMapReport: clustered layout skips, arrival layout cannot") {
     // ids in arrival order carry values that cycle 0..99 → every
     // arrival file spans the whole range; clustering by value isolates
