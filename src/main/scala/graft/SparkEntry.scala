@@ -2275,7 +2275,95 @@ object SparkEntry {
         Rollups.peakYearCorrelation(AssociationScore.byDatasource(t.evidence)),
         "p_value", Seq("datasourceIdA", "datasourceIdB"))
     }),
+    "q179_dhash_pairs" -> ((s, dir) => {
+      // G61 near-dup image pairs: 16-bit band buckets over the dHash
+      // (pigeonhole-exact recall at hamming ≤ 3), capped buckets,
+      // codegen'd xor/bit_count verify — LSH for pixels
+      val t = Tables(s, dir)
+      // threshold 12: the synthetic corpus has no true near-dup
+      // renders (min candidate hamming 7-9), so the demo threshold
+      // sits above it; band recall is exact only <= 3 (see operator)
+      Multimodal.dhashPairs(
+        Multimodal.dhash(Multimodal.textToBmp(t.documents)).toDF(),
+        maxHamming = 12)
+    }),
+    "q180_funnel_timing" -> ((s, dir) => {
+      // H29 time-to-convert distribution over q95's funnel: exact
+      // interpolated percentiles of (t_conv − t_first) for converted
+      // users — the "how fast" report the step counts can't answer
+      val t = Tables(s, dir)
+      EventWindows.funnel(t.events, Seq("view", "click", "purchase"))
+        .filter(col("t_conv_us").isNotNull)
+        .withColumn("d", col("t_conv_us") - col("t_first_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          // report in DAYS: percentile interpolation noise is ~1e-4 us
+          // absolute, far beyond 4dp at 1e11-us magnitudes; /8.64e10
+          // pushes it to 1e-15 of the 4dp day grain on both engines
+          round(expr("percentile(d, 0.5)") / 86400e6, 4).as("p50_days"),
+          round(expr("percentile(d, 0.9)") / 86400e6, 4).as("p90_days"),
+          round(avg(col("d")) / 86400e6, 4).as("avg_days"))
+    }),
+    "q181_constraint_audit" -> ((s, dir) => {
+      // I23 declarative data-contract audit of lineitem: PK
+      // uniqueness, NOT NULLs, FK orphans against three dims, ranges —
+      // nulls/ranges/count in ONE scan, FKs as anti-joins
+      val t = Tables(s, dir)
+      Profile.constraintAudit(
+        t.lineitem,
+        pkCols = Seq("l_orderkey", "l_linenumber"),
+        notNullCols = Seq("l_shipdate", "l_quantity"),
+        fks = Seq(
+          ("l_orderkey", t.orders, "o_orderkey"),
+          ("l_partkey", t.part, "p_partkey"),
+          ("l_suppkey", t.supplier, "s_suppkey")),
+        ranges = Seq(("l_quantity", 1.0, 45.0), ("l_discount", 0.0, 0.1)))
+    }),
+    "q182_chi_square" -> ((s, dir) => {
+      // F22 Pearson χ² + Cramér's V for lang ⇄ source — q175's
+      // hypothesis-test companion; empty cells folded in closed form
+      val t = Tables(s, dir)
+      Rollups.chiSquare(t.documents, "lang", "source")
+    }),
   )
+
+  /** DuckDB replay of textToBmp + dhash ending in CTE
+    * `bits(doc_id, dhash_hi, dhash_lo)` - shared by q115/q179.
+    */
+  private val DhashBitsSql =
+    """b AS (
+        |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
+        |    ELSE length(text) END AS INT) AS n FROM documents
+        |),
+        |d AS (
+        |  SELECT doc_id, text, n, 8 + (n % 8) AS w, 8 + ((n // 8) % 8) AS h
+        |  FROM b
+        |),
+        |o AS (SELECT doc_id, text, n, w, h, unnest(range(0, 72)) AS p FROM d),
+        |m AS (
+        |  SELECT doc_id, text, n, CAST(p % 9 AS INT) AS x, CAST(p // 9 AS INT) AS y,
+        |         ((p // 9) * h // 8) * w + ((p % 9) * w // 9) AS k
+        |  FROM o
+        |),
+        |g AS (
+        |  SELECT doc_id, x, y,
+        |         (ascii(substring(text, CAST((3*k + 2) % n AS INT) + 1, 1))
+        |        + ascii(substring(text, CAST((3*k + 1) % n AS INT) + 1, 1))
+        |        + ascii(substring(text, CAST((3*k) % n AS INT) + 1, 1))) // 3 AS gray
+        |  FROM m
+        |),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |         CAST(sum(CASE WHEN nb.gray > a.gray AND a.y*8 + a.x >= 32
+        |             THEN CAST(pow(2, a.y*8 + a.x - 32) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS dhash_hi,
+        |         CAST(sum(CASE WHEN nb.gray > a.gray AND a.y*8 + a.x < 32
+        |             THEN CAST(pow(2, a.y*8 + a.x) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS dhash_lo
+        |  FROM g a JOIN g nb ON nb.doc_id = a.doc_id AND nb.y = a.y
+        |    AND nb.x = a.x + 1
+        |  WHERE a.x < 8
+        |  GROUP BY 1
+        |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_assoc_datasource" ->
@@ -4419,41 +4507,8 @@ object SparkEntry {
     // nearest-neighbor grid, integer grayscale, bit = right-neighbor
     // brighter; halves as exact power-of-two sums
     "q115_image_dhash" ->
-      """WITH b AS (
-        |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
-        |    ELSE length(text) END AS INT) AS n FROM documents
-        |),
-        |d AS (
-        |  SELECT doc_id, text, n, 8 + (n % 8) AS w, 8 + ((n // 8) % 8) AS h
-        |  FROM b
-        |),
-        |o AS (SELECT doc_id, text, n, w, h, unnest(range(0, 72)) AS p FROM d),
-        |m AS (
-        |  SELECT doc_id, text, n, CAST(p % 9 AS INT) AS x, CAST(p // 9 AS INT) AS y,
-        |         ((p // 9) * h // 8) * w + ((p % 9) * w // 9) AS k
-        |  FROM o
-        |),
-        |g AS (
-        |  SELECT doc_id, x, y,
-        |         (ascii(substring(text, CAST((3*k + 2) % n AS INT) + 1, 1))
-        |        + ascii(substring(text, CAST((3*k + 1) % n AS INT) + 1, 1))
-        |        + ascii(substring(text, CAST((3*k) % n AS INT) + 1, 1))) // 3 AS gray
-        |  FROM m
-        |),
-        |bits AS (
-        |  SELECT a.doc_id,
-        |         CAST(sum(CASE WHEN nb.gray > a.gray AND a.y*8 + a.x >= 32
-        |             THEN CAST(pow(2, a.y*8 + a.x - 32) AS BIGINT) ELSE 0 END)
-        |           AS BIGINT) AS dhash_hi,
-        |         CAST(sum(CASE WHEN nb.gray > a.gray AND a.y*8 + a.x < 32
-        |             THEN CAST(pow(2, a.y*8 + a.x) AS BIGINT) ELSE 0 END)
-        |           AS BIGINT) AS dhash_lo
-        |  FROM g a JOIN g nb ON nb.doc_id = a.doc_id AND nb.y = a.y
-        |    AND nb.x = a.x + 1
-        |  WHERE a.x < 8
-        |  GROUP BY 1
-        |)
-        |SELECT dhash_hi, dhash_lo, CAST(count(*) AS BIGINT) AS n_docs,
+      s"""WITH $DhashBitsSql
+         |SELECT dhash_hi, dhash_lo, CAST(count(*) AS BIGINT) AS n_docs,
         |       min(doc_id) AS min_doc
         |FROM bits GROUP BY 1, 2""".stripMargin,
     // windowed energy replay: q67's sample synthesis, 50-sample
@@ -5614,5 +5669,142 @@ object SparkEntry {
          |SELECT datasourceIdA, datasourceIdB, n, r, p_value, p_rank, p_adj,
          |       p_adj <= 0.05 AS significant
          |FROM adj""".stripMargin,
+    // dHash LSH replay: the q115 bits chain, 16-bit band buckets with
+    // the same >1/≤cap bounds, distinct pairs, exact xor/bit_count.
+    "q179_dhash_pairs" ->
+      s"""WITH $DhashBitsSql,
+         |bands AS (
+         |  SELECT doc_id, dhash_hi, dhash_lo, bb.b,
+         |         CASE bb.b WHEN 0 THEN dhash_hi // 65536
+         |                   WHEN 1 THEN dhash_hi % 65536
+         |                   WHEN 2 THEN dhash_lo // 65536
+         |                   ELSE dhash_lo % 65536 END AS bv
+         |  FROM bits, (SELECT unnest(range(0, 4)) AS b) bb
+         |),
+         |ok AS (
+         |  SELECT b, bv FROM bands GROUP BY 1, 2
+         |  HAVING count(*) > 1 AND count(*) <= ${graft.GraftConf.LshBucketCap}
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS idA, y.doc_id AS idB
+         |  FROM bands x
+         |  JOIN ok USING (b, bv)
+         |  JOIN bands y ON y.b = x.b AND y.bv = x.bv AND x.doc_id < y.doc_id
+         |)
+         |SELECT idA, idB,
+         |       CAST(bit_count(xor(a.dhash_hi, c.dhash_hi))
+         |          + bit_count(xor(a.dhash_lo, c.dhash_lo)) AS INT) AS hamming
+         |FROM cand
+         |JOIN bits a ON a.doc_id = idA
+         |JOIN bits c ON c.doc_id = idB
+         |WHERE bit_count(xor(a.dhash_hi, c.dhash_hi))
+         |    + bit_count(xor(a.dhash_lo, c.dhash_lo)) <= 12""".stripMargin,
+    // Funnel-timing replay: the q95 staged-min chain, then exact
+    // interpolated percentiles of the conversion gap.
+    "q180_funnel_timing" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |),
+        |s1 AS (
+        |  SELECT user_id, min(us) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1
+        |),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.us) AS t2
+        |  FROM ev e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us >= s1.t1 GROUP BY 1
+        |),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.us) AS t3
+        |  FROM ev e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us >= s2.t2 GROUP BY 1
+        |),
+        |d AS (SELECT s3.user_id, t3 - t1 AS d
+        |      FROM s3 JOIN s1 USING (user_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |       round(quantile_cont(d, 0.5) / 86400000000.0, 4) AS p50_days,
+        |       round(quantile_cont(d, 0.9) / 86400000000.0, 4) AS p90_days,
+        |       round(avg(d) / 86400000000.0, 4) AS avg_days
+        |FROM d""".stripMargin,
+    // Constraint-audit replay: plain counting SQL per constraint; the
+    // constraint labels must match the operator's formatting exactly.
+    "q181_constraint_audit" ->
+      """SELECT 'row_count' AS "constraint",
+        |       CAST(count(*) AS BIGINT) AS n_violations FROM lineitem
+        |UNION ALL
+        |SELECT 'not_null(l_shipdate)',
+        |       CAST(count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'not_null(l_quantity)',
+        |       CAST(count(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'range(l_quantity in [1.0,45.0])',
+        |       CAST(count(CASE WHEN l_quantity < 1.0 OR l_quantity > 45.0
+        |                       THEN 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'range(l_discount in [0.0,0.1])',
+        |       CAST(count(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+        |                       THEN 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'pk_unique(l_orderkey,l_linenumber)',
+        |       CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL
+        |SELECT 'fk(l_orderkey -> o_orderkey)', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'fk(l_partkey -> p_partkey)', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |UNION ALL
+        |SELECT 'fk(l_suppkey -> s_suppkey)', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)""".stripMargin,
+    // χ² replay: identical cast-then-multiply E per cell, the same
+    // empty-cell fold (Σ(O−E)²/E−E + n), 6dp contributions.
+    "q182_chi_square" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2
+        |),
+        |e AS (
+        |  SELECT lang, source, n_ab,
+        |         CAST(sum(n_ab) OVER (PARTITION BY lang) AS BIGINT) AS na,
+        |         CAST(sum(n_ab) OVER (PARTITION BY source) AS BIGINT) AS nb,
+        |         CAST(sum(n_ab) OVER () AS BIGINT) AS n
+        |  FROM cells
+        |),
+        |c AS (
+        |  SELECT lang, source, n_ab, n,
+        |         round((CAST(n_ab AS DOUBLE)
+        |                - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * (CAST(n_ab AS DOUBLE)
+        |                - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+        |             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+        |             - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |           AS contrib
+        |  FROM e
+        |),
+        |agg AS (
+        |  SELECT CAST(min(n) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS r_levels,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS c_levels,
+        |         sum(contrib) AS sc
+        |  FROM c
+        |)
+        |SELECT n, r_levels, c_levels,
+        |       (r_levels - 1) * (c_levels - 1) AS dof,
+        |       round(sc + n, 4) AS chi2,
+        |       CASE WHEN (r_levels - 1) * (c_levels - 1) > 0
+        |            THEN round(sqrt(round(sc + n, 4)
+        |                 / (CAST(n AS DOUBLE)
+        |                    * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))), 4)
+        |       END AS cramers_v
+        |FROM agg""".stripMargin,
   )
 }

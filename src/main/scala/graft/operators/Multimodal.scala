@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing over REAL public byte formats: media
@@ -351,6 +352,61 @@ object Multimodal {
         ImageHash(m.doc_id, hi, lo)
       }
     }
+  }
+
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Near-duplicate image pairs by dHash hamming distance — the image
+    * counterpart of MinHash-LSH text dedup: split the 64-bit hash
+    * into four 16-bit bands, bucket-join on any shared band, then
+    * keep candidates with exact hamming ≤ `maxHamming`. By
+    * pigeonhole, any pair within hamming 3 shares at least one of the
+    * 4 bands intact, so recall is EXACT for maxHamming ≤ 3 (and the
+    * band join is only a pruner, never the verdict).
+    *
+    * Scale shape: the shuffle carries (id, band, value) triples —
+    * four rows per image, never pixels; candidate expansion follows
+    * [[Dedup.minhashLshPairs]]' capped-bucket contract (a degenerate
+    * bucket — flat images hashing identically — is dropped before any
+    * pair expansion, with observe()d drop metrics); the hamming
+    * verify is one codegen'd xor/bit_count per candidate pair.
+    *
+    * Output: (idA, idB, hamming), idA < idB.
+    */
+  def dhashPairs(
+      hashes: DataFrame,
+      maxHamming: Int = 3,
+      bucketCap: Int = graft.GraftConf.LshBucketCap): DataFrame = {
+    val bands = hashes.select(
+      col("doc_id").as("id"),
+      posexplode(array(
+        shiftright(col("dhash_hi"), 16),
+        col("dhash_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("dhash_lo"), 16),
+        col("dhash_lo").bitwiseAND(lit(65535L)))).as(Seq("band", "bv")))
+    val bucketWin = Window.partitionBy("band", "bv")
+    val candidates = bands
+      .withColumn("bn", count(lit(1)).over(bucketWin))
+      .observe(s"graft_dhash_bucket_cap_${obsId.incrementAndGet()}",
+        sum(when(col("bn") > bucketCap, 1L).otherwise(0L)).as("dropped_postings"),
+        coalesce(max(col("bn")), lit(0L)).as("max_bucket_size"))
+      .filter(col("bn") > 1 && col("bn") <= bucketCap)
+      .groupBy("band", "bv")
+      .agg(collect_list(col("id")).as("ids"))
+      .select(explode(col("ids")).as("idA"), col("ids"))
+      .select(col("idA"), explode(col("ids")).as("idB"))
+      .filter(col("idA") < col("idB"))
+      .distinct()
+    val h = hashes.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"))
+    candidates
+      .join(h.select(col("doc_id").as("idA"),
+        col("dhash_hi").as("hiA"), col("dhash_lo").as("loA")), Seq("idA"))
+      .join(h.select(col("doc_id").as("idB"),
+        col("dhash_hi").as("hiB"), col("dhash_lo").as("loB")), Seq("idB"))
+      .withColumn("hamming",
+        (expr("bit_count(hiA ^ hiB)") + expr("bit_count(loA ^ loB)")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("idA"), col("idB"), col("hamming"))
   }
 
   final case class AudioWindow(doc_id: Long, win_idx: Int, energy: Long, rms: Double)

@@ -34,4 +34,54 @@ object Profile {
     one.select(expr(
       s"stack(${cols.length}, $stackArgs) as (col, n_null, n_distinct, min_v, max_v)"))
   }
+
+  /** Declarative constraint audit — the data-contract gate of a
+    * recurring ingest: one row per constraint with its violation
+    * count. Constraints: primary-key uniqueness (surplus copies
+    * beyond the first), NOT NULL per column, referential integrity
+    * per (fkCol → dim.key), and numeric [lo, hi] ranges.
+    *
+    * Scale shape: all null/range checks AND the row count fold into
+    * ONE aggregate scan (the [[numericProfile]] pattern); PK
+    * duplication is one map-side-combined groupBy; each FK check is
+    * one anti-join against the DISTINCT dim keys (broadcast when the
+    * dim is small, shuffled hash otherwise — AQE's call). Nothing is
+    * collected; the result is a constraint-count dim table.
+    */
+  def constraintAudit(
+      df: DataFrame,
+      pkCols: Seq[String],
+      notNullCols: Seq[String] = Nil,
+      fks: Seq[(String, DataFrame, String)] = Nil,
+      ranges: Seq[(String, Double, Double)] = Nil): DataFrame = {
+    require(pkCols.nonEmpty, "audit needs a primary key")
+    val nullAggs = notNullCols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"))
+    val rangeAggs = ranges.map { case (c, lo, hi) =>
+      sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L))
+        .as(s"__rg_$c")
+    }
+    val aggs = count(lit(1)).as("__n") +: (nullAggs ++ rangeAggs)
+    val scanStack =
+      (Seq(s"'row_count', __n") ++
+        notNullCols.map(c => s"'not_null($c)', __nn_$c") ++
+        ranges.map { case (c, lo, hi) => s"'range($c in [$lo,$hi])', __rg_$c" })
+        .mkString(", ")
+    val scanChecks = df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${1 + notNullCols.size + ranges.size}, $scanStack)" +
+        " as (constraint, n_violations)"))
+    val pkCheck = df.groupBy(pkCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as("n_violations"))
+      .select(lit(s"pk_unique(${pkCols.mkString(",")})").as("constraint"),
+        col("n_violations"))
+    val fkChecks = fks.map { case (fkCol, dim, dimKey) =>
+      df.select(col(fkCol))
+        .join(dim.select(col(dimKey).as(fkCol)).distinct(), Seq(fkCol), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(s"fk($fkCol -> $dimKey)").as("constraint"),
+          col("n_violations"))
+    }
+    (scanChecks +: pkCheck +: fkChecks).reduce(_.unionByName(_))
+  }
 }

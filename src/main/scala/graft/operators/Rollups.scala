@@ -807,6 +807,51 @@ object Rollups {
         min_by(col(valueCol), col("_cw")).as("wq_value"))
   }
 
+  /** Pearson χ² independence test between two categorical columns —
+    * [[mutualInfo]]'s hypothesis-test companion (MI measures the
+    * dependence, χ²/Cramér's V judge it against sampling noise).
+    *
+    * Empty-cell fold: the textbook statistic sums (O−E)²/E over ALL
+    * r·c cells, but ΣE over all cells equals n, so the empty cells'
+    * mass is n − Σ_observed E and χ² = Σ_observed((O−E)²/E − E) + n —
+    * the statistic never needs the empty-cell enumeration a sparse
+    * high-cardinality pair would make quadratic.
+    *
+    * Determinism: E is a pinned cast-then-multiply ratio of exact
+    * longs; per-cell contributions are rounded 6dp before the final
+    * sum (cell-table-sized), χ² and V rounded 4dp.
+    *
+    * Output (one row): n, r_levels, c_levels, dof, chi2, cramers_v.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n_ab"))
+    val d = (c: Column) => c.cast("double")
+    val e = d(col("_na")) * d(col("_nb")) / d(col("_n"))
+    cells
+      .withColumn("_na", sum(col("n_ab")).over(Window.partitionBy(aCol)))
+      .withColumn("_nb", sum(col("n_ab")).over(Window.partitionBy(bCol)))
+      .withColumn("_n", sum(col("n_ab")).over(Window.partitionBy()))
+      .withColumn("contrib",
+        round((d(col("n_ab")) - e) * (d(col("n_ab")) - e) / e - e, 6))
+      .groupBy()
+      .agg(
+        min(col("_n")).as("n"),
+        countDistinct(col(aCol)).as("r_levels"),
+        countDistinct(col(bCol)).as("c_levels"),
+        sum(col("contrib")).as("_sc"))
+      .withColumn("dof", (col("r_levels") - 1) * (col("c_levels") - 1))
+      .withColumn("chi2", round(col("_sc") + col("n"), 4))
+      .withColumn("cramers_v",
+        // a 1×c (or r×1) table has no association to normalize
+        when(col("dof") > 0,
+          round(sqrt(col("chi2") / (d(col("n")) *
+            least(col("r_levels") - 1, col("c_levels") - 1).cast("double"))), 4)))
+      .select(col("n"), col("r_levels"), col("c_levels"), col("dof"),
+        col("chi2"), col("cramers_v"))
+  }
+
   /** Benjamini–Hochberg FDR adjustment over a table of p-values — the
     * multiple-testing correction the reference's correlation analysis
     * (analysis.ipynb cell 1: one scipy pearsonr p per source pair)

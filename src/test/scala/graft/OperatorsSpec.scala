@@ -1159,6 +1159,53 @@ class OperatorsSpec extends SparkSpec {
     assert(o2("c") == 0.04 && o2("d") == 0.04, s"got $o2")
   }
 
+  test("Multimodal.dhashPairs: banded recall finds close pairs, drops band-spread ones") {
+    val hashes = Seq(
+      (1L, 0L, 0L),                      // a
+      (2L, 0L, 1L),                      // hamming 1 from a, 3 shared bands
+      (3L, (1L << 16) | 1L, (1L << 16) | 1L)) // hamming 4 spread 1 bit/band
+      .toDF("doc_id", "dhash_hi", "dhash_lo")
+    val out = Multimodal.dhashPairs(hashes, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (1,2) shares three bands; (2,3) shares the low band (both lo
+    // low-halves are 1) at hamming 3; (1,3) is within maxHamming but
+    // shares NO 16-bit band — banding semantics drop it by design
+    assert(out == Set((1L, 2L, 1), (2L, 3L, 3)), s"got $out")
+  }
+
+  test("Profile.constraintAudit counts planted violations exactly") {
+    val facts = Seq(
+      (1L, 1, Some(10.0), 5L),  // clean
+      (1L, 1, Some(10.0), 5L),  // duplicate PK copy
+      (2L, 1, None, 5L),        // null value
+      (3L, 1, Some(99.0), 7L))  // out of range + orphan fk
+      .toDF("k1", "k2", "v", "fk")
+    val dim = Seq(5L, 6L).toDF("id")
+    val out = Profile.constraintAudit(facts,
+        pkCols = Seq("k1", "k2"), notNullCols = Seq("v"),
+        fks = Seq(("fk", dim, "id")), ranges = Seq(("v", 0.0, 50.0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("row_count") == 4L)
+    assert(out("pk_unique(k1,k2)") == 1L)
+    assert(out("not_null(v)") == 1L)
+    assert(out("fk(fk -> id)") == 1L)
+    assert(out("range(v in [0.0,50.0])") == 1L, s"got $out")
+  }
+
+  test("Rollups.chiSquare: perfect association gives chi2=n, V=1; independence ~0") {
+    val perfect = Seq.tabulate(20)(i =>
+      (if (i % 2 == 0) "a" else "b", if (i % 2 == 0) "x" else "y")).toDF("u", "v")
+    val p = Rollups.chiSquare(perfect, "u", "v").collect().head
+    assert(p.getLong(p.fieldIndex("n")) == 20L)
+    assert(p.getLong(p.fieldIndex("dof")) == 1L)
+    assert(math.abs(p.getDouble(p.fieldIndex("chi2")) - 20.0) < 1e-3)
+    assert(math.abs(p.getDouble(p.fieldIndex("cramers_v")) - 1.0) < 1e-3)
+    val ind = Seq.tabulate(40)(i => (if (i % 2 == 0) "a" else "b",
+      if ((i / 2) % 2 == 0) "x" else "y")).toDF("u", "v")
+    val q = Rollups.chiSquare(ind, "u", "v").collect().head
+    assert(math.abs(q.getDouble(q.fieldIndex("chi2"))) < 1e-3)
+  }
+
   test("Layout.zoneMapReport: clustered layout skips, arrival layout cannot") {
     // ids in arrival order carry values that cycle 0..99 → every
     // arrival file spans the whole range; clustering by value isolates
