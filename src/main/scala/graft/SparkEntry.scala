@@ -2324,6 +2324,47 @@ object SparkEntry {
       val t = Tables(s, dir)
       Rollups.chiSquare(t.documents, "lang", "source")
     }),
+    "q183_calibration" -> ((s, dir) => {
+      // G62 filter-calibration curve: quality-score deciles × Gopher
+      // pass rate — the threshold-tuning reliability diagram for the
+      // quality filter; one map-side-combined aggregate over the
+      // per-doc scores, exact-integer mean quality per bin
+      val t = Tables(s, dir)
+      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
+      scored
+        .withColumn("bin", least(floor(col("quality") * 10).cast("int"), lit(9)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("quality") * 10000).cast("long")).as("_sq"),
+          sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_pass"))
+        .withColumn("mean_quality",
+          round(col("_sq").cast("double") / col("n").cast("double") / 10000.0, 4))
+        .withColumn("pass_rate",
+          round(col("n_pass").cast("double") / col("n").cast("double"), 4))
+        .drop("_sq")
+    }),
+    "q184_new_returning" -> ((s, dir) => {
+      // H30 daily new-vs-returning actives: first-seen day per user
+      // and the (user, day) activity grain share one hash(user)
+      // exchange; the day rollup runs on the user-day frame
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val firstDay = ev.groupBy("user_id").agg(min("day").as("first_day"))
+      ev.distinct().join(firstDay, Seq("user_id"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("active_users"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("new_users"))
+        .withColumn("returning_users", col("active_users") - col("new_users"))
+    }),
+    "q185_join_blowup" -> ((s, dir) => {
+      // I24 pre-flight skew forecast for a user-keyed self-join of
+      // events: per-key |A|·|B| output cardinality, top-20 — the
+      // diagnosis that sizes saltBuckets before the 100 TB join
+      val t = Tables(s, dir)
+      Skew.joinBlowupForecast(t.events, t.events, "user_id", "user_id")
+    }),
   )
 
   /** DuckDB replay of textToBmp + dhash ending in CTE
@@ -5806,5 +5847,65 @@ object SparkEntry {
         |                    * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))), 4)
         |       END AS cramers_v
         |FROM agg""".stripMargin,
+    // Calibration replay: q37's exact-rational quality, q52's gopher
+    // predicate, decile binning, exact-integer mean per bin.
+    "q183_calibration" ->
+      s"""WITH $GopherDocSql,
+         |base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a')))
+         |               AS BIGINT)
+         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS DOUBLE)
+         |           / 10000.0 AS quality
+         |  FROM base
+         |),
+         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
+         |s AS (
+         |  SELECT CAST(least(CAST(floor(quality * 10) AS INT), 9) AS INT) AS bin,
+         |         quality, gopher_pass
+         |  FROM q JOIN g USING (doc_id)
+         |)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(count(CASE WHEN gopher_pass THEN 1 END) AS BIGINT) AS n_pass,
+         |       round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE) / 10000.0, 4) AS mean_quality,
+         |       round(CAST(count(CASE WHEN gopher_pass THEN 1 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 4) AS pass_rate
+         |FROM s GROUP BY 1""".stripMargin,
+    // New-vs-returning replay: distinct (user, day) grain, first day
+    // per user, day rollup.
+    "q184_new_returning" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |  FROM events
+        |),
+        |fd AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY 1)
+        |SELECT day, CAST(count(*) AS BIGINT) AS active_users,
+        |       CAST(count(CASE WHEN day = first_day THEN 1 END) AS BIGINT)
+        |         AS new_users,
+        |       CAST(count(*) - count(CASE WHEN day = first_day THEN 1 END)
+        |            AS BIGINT) AS returning_users
+        |FROM ev JOIN fd USING (user_id) GROUP BY 1""".stripMargin,
+    // Blow-up forecast replay: key-count tables joined, |A|·|B|
+    // product, deterministic (out_rows DESC, key) top-20.
+    "q185_join_blowup" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT a.key, a.n AS n_left, b.n AS n_right,
+        |       CAST(a.n * b.n AS BIGINT) AS out_rows
+        |FROM c a JOIN c b USING (key)
+        |ORDER BY out_rows DESC, key LIMIT 20""".stripMargin,
   )
 }

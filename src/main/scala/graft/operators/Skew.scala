@@ -44,6 +44,30 @@ object Skew {
     * times; the join key becomes (keys..., salt), so one hot key
     * spreads over `saltBuckets` tasks.
     */
+  /** Pre-flight join blow-up forecast — the skew diagnosis you run
+    * BEFORE a 100 TB join: per join key, |A_k|·|B_k| is exactly the
+    * key's output cardinality, so the top-k keys by that product are
+    * the keys that will dominate (or OOM) the join. Feeds the
+    * saltBuckets choice for [[saltedJoin]].
+    *
+    * Scale shape: two map-side-combined key-count aggregates (never
+    * the join itself), an equi-join of the two COUNT tables, and a
+    * TakeOrdered top-k — no global sort, no window.
+    */
+  def joinBlowupForecast(
+      a: DataFrame,
+      b: DataFrame,
+      aKey: String,
+      bKey: String,
+      k: Int = 20): DataFrame = {
+    val ca = a.groupBy(col(aKey).as("key")).agg(count(lit(1)).as("n_left"))
+    val cb = b.groupBy(col(bKey).as("key")).agg(count(lit(1)).as("n_right"))
+    ca.join(cb, "key")
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(k)
+  }
+
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,

@@ -1206,6 +1206,16 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(q.getDouble(q.fieldIndex("chi2"))) < 1e-3)
   }
 
+  test("Skew.joinBlowupForecast ranks keys by exact output cardinality") {
+    val a = Seq.fill(10)(1L).map(("x", _)) ++ Seq.fill(2)(2L).map(("x", _))
+    val b = Seq.fill(3)(1L).map(("y", _)) ++ Seq.fill(50)(2L).map(("y", _))
+    val out = Skew.joinBlowupForecast(
+        a.toDF("tag", "k"), b.toDF("tag", "k"), "k", "k", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // key 2: 2·50 = 100 beats key 1: 10·3 = 30
+    assert(out.toSeq == Seq((2L, 100L), (1L, 30L)), s"got ${out.toSeq}")
+  }
+
   test("Layout.zoneMapReport: clustered layout skips, arrival layout cannot") {
     // ids in arrival order carry values that cycle 0..99 → every
     // arrival file spans the whole range; clustering by value isolates
