@@ -2365,6 +2365,26 @@ object SparkEntry {
       val t = Tables(s, dir)
       Skew.joinBlowupForecast(t.events, t.events, "user_id", "user_id")
     }),
+    "q186_interarrival" -> ((s, dir) => {
+      // H31 event-cadence report: per event type, the distribution of
+      // consecutive-event gaps within each (user, type) series —
+      // exact long micros, lag window on the series exchange
+      val t = Tables(s, dir)
+      EventWindows.interArrival(t.events)
+    }),
+    "q187_ucb1" -> ((s, dir) => {
+      // F23 UCB1 bandit index per event_type arm over `value` rewards
+      // — one arm-grain combine; ln/sqrt only in the 6dp projection
+      val t = Tables(s, dir)
+      Rollups.ucbArms(t.events, "event_type", "value")
+    }),
+    "q188_vocab_build" -> ((s, dir) => {
+      // G63 tokenizer vocab: top-500 tokens get dense ids in (freq
+      // desc, token) order + cumulative corpus coverage — TakeOrdered
+      // heap, windows only over the kept slice
+      val t = Tables(s, dir)
+      TextAnalysis.vocabBuild(t.documents)
+    }),
   )
 
   /** DuckDB replay of textToBmp + dhash ending in CTE
@@ -5907,5 +5927,57 @@ object SparkEntry {
         |       CAST(a.n * b.n AS BIGINT) AS out_rows
         |FROM c a JOIN c b USING (key)
         |ORDER BY out_rows DESC, key LIMIT 20""".stripMargin,
+    // Inter-arrival replay: identical (ts, event_id) series order;
+    // gaps exact long micros, seconds only at the 4dp projection.
+    "q186_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |           OVER (PARTITION BY user_id, event_type
+        |                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+        |  FROM events
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       round(CAST(sum(gap) AS DOUBLE) / count(*) / 1e6, 4) AS mean_gap_s,
+        |       round(quantile_cont(gap, 0.5) / 1e6, 4) AS p50_gap_s,
+        |       round(quantile_cont(gap, 0.9) / 1e6, 4) AS p90_gap_s,
+        |       round(CAST(max(gap) AS DOUBLE) / 1e6, 4) AS max_gap_s
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
+    // UCB1 replay: exact integer-cent means; ln/sqrt rounded 6dp
+    // before the display rank so ranks can never flip on an ulp.
+    "q187_ucb1" ->
+      """WITH a AS (
+        |  SELECT event_type AS arm, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(round(value * 100) AS BIGINT)) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |),
+        |t AS (SELECT a.*, sum(n) OVER () AS total_n FROM a),
+        |s AS (
+        |  SELECT arm, n, CAST(total_n AS BIGINT) AS total_n,
+        |         round(CAST(c AS DOUBLE) / n / 100.0, 4) AS mean_reward,
+        |         round(sqrt(2.0 * ln(CAST(total_n AS DOUBLE)) / n), 6) AS bonus
+        |  FROM t
+        |)
+        |SELECT arm, n, total_n, mean_reward, bonus,
+        |       round(mean_reward + bonus, 6) AS ucb,
+        |       CAST(rank() OVER (ORDER BY round(mean_reward + bonus, 6) DESC, arm)
+        |            AS BIGINT) AS rank
+        |FROM s""".stripMargin,
+    // Vocab-build replay: q57's tokenization; ids from the same
+    // (n desc, token) total order; coverage vs the FULL corpus total.
+    "q188_vocab_build" ->
+      """WITH f AS (
+        |  SELECT word AS token, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1
+        |),
+        |tot AS (SELECT sum(n) AS total FROM f),
+        |top AS (SELECT token, n FROM f ORDER BY n DESC, token LIMIT 500)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS token_id,
+        |       token, n,
+        |       round(CAST(sum(n) OVER (ORDER BY n DESC, token
+        |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |             / (SELECT total FROM tot), 6) AS coverage
+        |FROM top""".stripMargin,
   )
 }

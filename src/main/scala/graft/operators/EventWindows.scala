@@ -448,6 +448,55 @@ object EventWindows {
         count(lit(1)).as("n_conversions"),
         round(sum(col("value")), 4).as("attributed_value"))
   }
+
+  /** Inter-arrival gap distribution — per report key, the spacing
+    * statistics of consecutive events within each series (user ×
+    * event type): how often does a user fire this event, and with
+    * what tail? The cadence diagnostic behind rate limiting, bot
+    * detection, and session-gap threshold tuning (H3's `gapMinutes`
+    * is exactly a cut on this distribution).
+    *
+    * Scale shape: gaps come from an O(1)-state `lag` window on the
+    * (seriesKeys) exchange — a hot user costs a sort of their own
+    * rows, never cross-user state; the report rollup re-shuffles only
+    * the per-GAP rows to report-key grain (dim-sized groups). Gaps
+    * are exact long micros end-to-end; seconds appear only in the
+    * final 4dp projection, and the mean divides two exact longs.
+    * Ties order by (ts, idCol) — the same total order every other
+    * event operator here replays.
+    *
+    * Output: (reportKeys..., n_gaps, mean_gap_s, p50_gap_s,
+    * p90_gap_s, max_gap_s).
+    */
+  def interArrival(
+      events: DataFrame,
+      seriesKeys: Seq[String] = Seq("user_id", "event_type"),
+      reportKeys: Seq[String] = Seq("event_type"),
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(seriesKeys.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    val us = unix_micros(col(tsCol))
+    events
+      .withColumn("__us", us)
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(reportKeys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("__gap")).as("__sum"),
+        expr("percentile(__gap, 0.5)").as("__p50"),
+        expr("percentile(__gap, 0.9)").as("__p90"),
+        max(col("__gap")).as("__max"))
+      .select(reportKeys.map(col) ++ Seq(
+        col("n_gaps"),
+        round(col("__sum").cast("double") / col("n_gaps") / 1e6, 4)
+          .as("mean_gap_s"),
+        round(col("__p50") / 1e6, 4).as("p50_gap_s"),
+        round(col("__p90") / 1e6, 4).as("p90_gap_s"),
+        round(col("__max").cast("double") / 1e6, 4).as("max_gap_s")): _*)
+  }
+
 }
 
 /** Gap-based sessionization: a new session starts when a user is idle

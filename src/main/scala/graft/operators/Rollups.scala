@@ -924,4 +924,44 @@ object Rollups {
       .withColumn("mi", round(sum(col("contrib")).over(all), 4))
       .select(col(aCol), col(bCol), col("n_ab"), col("pmi"), col("contrib"), col("mi"))
   }
+
+  /** UCB1 arm ranking — the deterministic half of a multi-armed
+    * bandit: per arm, pull count, exact mean reward, and the UCB1
+    * index mean + √(2·ln N / n) (Auer et al. 2002). The offline
+    * report that says which arm an explore/exploit policy would pull
+    * next and how separated the arms are.
+    *
+    * Scale shape: ONE map-side-combined aggregate to arm grain
+    * (O(1) state: count + integer-cent sum); N is a window over the
+    * ARM table only (dim-sized), never a second corpus pass. Means
+    * are exact long cents until the final division; `ln`/`sqrt`
+    * appear only in the last projection, rounded 6dp on both engines
+    * before the display rank (rank ties broken by arm id, and equal
+    * 6dp-rounded doubles rank identically everywhere).
+    *
+    * Output: (arm, n, total_n, mean_reward, bonus, ucb, rank).
+    */
+  def ucbArms(
+      df: DataFrame,
+      armCol: String,
+      valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val all = Window.partitionBy()
+    val arms = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("__c"))
+      .withColumn("total_n", sum(col("n")).over(all))
+      .withColumn("mean_reward",
+        round(col("__c").cast("double") / col("n") / 100.0, 4))
+      .withColumn("bonus",
+        round(sqrt(lit(2.0) * log(col("total_n").cast("double"))
+          / col("n").cast("double")), 6))
+      .withColumn("ucb", round(col("mean_reward") + col("bonus"), 6))
+    arms
+      .withColumn("rank", rank().over(
+        Window.orderBy(col("ucb").desc, col("arm"))).cast("long"))
+      .select(col("arm"), col("n"), col("total_n"), col("mean_reward"),
+        col("bonus"), col("ucb"), col("rank"))
+  }
 }

@@ -794,4 +794,44 @@ object TextAnalysis {
       .withColumnRenamed("slope", "zipf_slope")
       .select(col(groupCol), col("n_points"), col("zipf_slope"), col("r2"))
   }
+
+  /** Deterministic vocabulary build — the id-assignment step of a
+    * tokenizer/embedding-table pipeline: rank the corpus vocabulary
+    * by (frequency desc, token asc), assign contiguous integer ids in
+    * that order, and report each kept token's cumulative corpus
+    * coverage (what fraction of all token occurrences the vocabulary
+    * up to this id explains — the curve that sizes a vocab).
+    *
+    * Scale shape: the corpus is touched ONCE (map-side-combined token
+    * counts — G18's shape); the top-`vocabSize` slice comes from a
+    * TakeOrdered heap, never a global vocabulary sort; the id and
+    * cumulative-coverage windows then run over the KEPT slice only
+    * (vocabSize rows, one partition). The corpus token total is a
+    * one-row aggregate broadcast into the final projection. Counts
+    * stay exact longs; coverage is the only division, rounded 6dp.
+    * (freq desc, token asc) is a total order, so ids are stable
+    * across partitionings and engines.
+    *
+    * Output: (token_id, token, n, coverage) — token_id from 0.
+    */
+  def vocabBuild(
+      df: DataFrame,
+      textCol: String = "text",
+      vocabSize: Int = 500): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val freq = df
+      .select(explode(words(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum(col("n")).as("__total"))
+    val ord = Window.orderBy(col("n").desc, col("token"))
+    freq
+      .orderBy(col("n").desc, col("token")).limit(vocabSize)
+      .withColumn("token_id", (row_number().over(ord) - 1).cast("long"))
+      .withColumn("__cum",
+        sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage",
+        round(col("__cum").cast("double") / col("__total"), 6))
+      .select(col("token_id"), col("token"), col("n"), col("coverage"))
+  }
 }

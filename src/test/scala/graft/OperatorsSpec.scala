@@ -1234,4 +1234,44 @@ class OperatorsSpec extends SparkSpec {
     assert(arr.getLong(arr.fieldIndex("rows_matching")) ==
       cl.getLong(cl.fieldIndex("rows_matching")), "selectivity is layout-invariant")
   }
+
+  test("EventWindows.interArrival: exact gaps within (user, type) series") {
+    // user 1 / 'a': ts 0, 10s, 40s → gaps 10s, 30s; user 2 / 'a': one
+    // event → no gap; 'b' events interleave and must not split 'a' gaps
+    val ev = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "b", 5000000L), (3L, 1L, "a", 10000000L),
+      (4L, 1L, "a", 40000000L), (5L, 2L, "a", 99000000L))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = EventWindows.interArrival(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(a.fieldIndex("n_gaps")) == 2L)
+    assert(a.getDouble(a.fieldIndex("mean_gap_s")) == 20.0)
+    assert(a.getDouble(a.fieldIndex("max_gap_s")) == 30.0)
+    assert(!out.contains("b"), "single-event series has no gap")
+  }
+
+  test("Rollups.ucbArms: exact means, UCB1 bonus shrinks with pulls") {
+    val df = (Seq.fill(100)(("often", 0.5)) ++ Seq.fill(4)(("rare", 0.5)))
+      .toDF("arm", "value")
+    val out = Rollups.ucbArms(df, "arm", "value").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val often = out("often"); val rare = out("rare")
+    assert(often.getDouble(often.fieldIndex("mean_reward")) == 0.5)
+    assert(rare.getLong(rare.fieldIndex("total_n")) == 104L)
+    // equal means → the 4-pull arm's exploration bonus must dominate
+    assert(rare.getDouble(rare.fieldIndex("bonus")) >
+      often.getDouble(often.fieldIndex("bonus")))
+    assert(rare.getLong(rare.fieldIndex("rank")) == 1L)
+  }
+
+  test("TextAnalysis.vocabBuild: dense ids in (freq desc, token) order") {
+    val docs = Seq("x x x y y z", "x y w").toDF("text")
+    val out = TextAnalysis.vocabBuild(docs, vocabSize = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((0L, "x", 4L), (1L, "y", 3L), (2L, "w", 1L)))
+    // coverage is vs the FULL corpus total (9 tokens), not the slice
+    assert(out.last.getDouble(3) == math.rint((4.0 + 3 + 1) / 9 * 1e6) / 1e6)
+  }
 }
