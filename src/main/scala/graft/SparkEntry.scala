@@ -2385,6 +2385,28 @@ object SparkEntry {
       val t = Tables(s, dir)
       TextAnalysis.vocabBuild(t.documents)
     }),
+    "q189_basket_lift" -> ((s, dir) => {
+      // F24 market-basket pair lift over order baskets: in-row pair
+      // expansion bounded by basket width, TakeOrdered top-20
+      val t = Tables(s, dir)
+      Baskets.pairLift(t.lineitem, "l_orderkey", "l_partkey",
+        k = 20, minSupport = 3)
+    }),
+    "q190_xcorr" -> ((s, dir) => {
+      // D14 does 'view' lead 'purchase'? Pearson r per lag −3..3 over
+      // the dense daily calendar — exact centered long sums
+      val t = Tables(s, dir)
+      Rollups.laggedCrossCorr(t.events, "view", "purchase")
+    }),
+    "q191_ann_recall" -> ((s, dir) => {
+      // G65 recall@5 of the LSH index vs brute-force ground truth —
+      // the eval that prices the bucketed ANN path's miss rate
+      val t = Tables(s, dir)
+      val qs = t.embeddings.filter(col("vec_id") % 50 === 0)
+      SimilaritySearch.recallAtK(
+        SimilaritySearch.bruteForceTopK(t.embeddings, qs),
+        SimilaritySearch.lshTopK(t.embeddings, qs))
+    }),
   )
 
   /** DuckDB replay of textToBmp + dhash ending in CTE
@@ -5979,5 +6001,95 @@ object SparkEntry {
         |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |             / (SELECT total FROM tot), 6) AS coverage
         |FROM top""".stripMargin,
+    // Basket-lift replay: pairs via a basket-keyed self-join instead
+    // of Spark's in-row expansion — same exact counts either way; the
+    // top-20 cut orders by the ROUNDED lift with (a, b) tie-break.
+    "q189_basket_lift" ->
+      """WITH b AS (
+        |  SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2
+        |),
+        |p AS (
+        |  SELECT x.it AS a, y.it AS b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it GROUP BY 1, 2
+        |),
+        |m AS (SELECT it, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |t AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM b)
+        |SELECT p.a, p.b, p.n_ab,
+        |       round(CAST(p.n_ab AS DOUBLE) * t.nb / (ma.n * mb.n), 4) AS lift
+        |FROM p JOIN m ma ON ma.it = p.a JOIN m mb ON mb.it = p.b CROSS JOIN t
+        |WHERE p.n_ab >= 3
+        |ORDER BY lift DESC, p.a, p.b LIMIT 20""".stripMargin,
+    // Cross-correlation replay: identical dense calendar, identical
+    // integer min-centering, the same five exact sums per lag.
+    "q190_xcorr" ->
+      """WITH d AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS na,
+        |         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS nb
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+        |),
+        |cal AS (
+        |  SELECT unnest(range((SELECT min(day) FROM d),
+        |                      (SELECT max(day) FROM d) + 1)) AS day
+        |),
+        |dense AS (
+        |  SELECT c.day, coalesce(d.na, 0) AS na, coalesce(d.nb, 0) AS nb
+        |  FROM cal c LEFT JOIN d USING (day)
+        |),
+        |ctr AS (
+        |  SELECT day, na - (SELECT min(na) FROM dense) AS a,
+        |         nb - (SELECT min(nb) FROM dense) AS b
+        |  FROM dense
+        |),
+        |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+        |s AS (
+        |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_days,
+        |         sum(x.a) AS sa, sum(y.b) AS sb, sum(x.a * x.a) AS saa,
+        |         sum(y.b * y.b) AS sbb, sum(x.a * y.b) AS sab
+        |  FROM ctr x CROSS JOIN lags l JOIN ctr y ON y.day = x.day + l.lag
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_days,
+        |       round(CAST(n_days * sab - sa * sb AS DOUBLE)
+        |             / NULLIF(sqrt(CAST(n_days * saa - sa * sa AS DOUBLE)
+        |                           * CAST(n_days * sbb - sb * sb AS DOUBLE)), 0), 4) AS r
+        |FROM s""".stripMargin,
+    // Recall replay: both rankings re-derived with the same (cos desc,
+    // id) tie-break; micro recall is a ratio of exact long totals.
+    "q191_ann_recall" ->
+      s"""WITH $EmbSql,
+         |$LshSql,
+         |qs AS (SELECT vec_id AS query_id, q AS qq, n AS qn FROM nrm WHERE vec_id % 50 = 0),
+         |ex AS (
+         |  SELECT query_id, id FROM (
+         |    SELECT q.query_id, c.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+         |               / (c.n * q.qn) DESC, c.vec_id) AS rank
+         |    FROM nrm c CROSS JOIN qs q WHERE c.vec_id != q.query_id
+         |  ) WHERE rank <= 5
+         |),
+         |qb AS (SELECT w.vec_id AS query_id, w.q AS qq, w.n AS qn, w.bucket
+         |       FROM withb w WHERE w.vec_id % 50 = 0),
+         |ap AS (
+         |  SELECT query_id, id FROM (
+         |    SELECT q.query_id, c.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+         |               / (c.n * q.qn) DESC, c.vec_id) AS rank
+         |    FROM withb c JOIN qb q USING (bucket) WHERE c.vec_id != q.query_id
+         |  ) WHERE rank <= 5
+         |),
+         |per AS (
+         |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |         CAST(count(a.id) AS BIGINT) AS n_hits
+         |  FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.id = e.id
+         |  GROUP BY 1
+         |),
+         |tot AS (SELECT sum(n_hits) AS th, sum(n_exact) AS te FROM per)
+         |SELECT query_id, n_exact, n_hits,
+         |       round(CAST(n_hits AS DOUBLE) / n_exact, 4) AS recall,
+         |       round(CAST(tot.th AS DOUBLE) / tot.te, 4) AS micro_recall
+         |FROM per CROSS JOIN tot""".stripMargin,
   )
 }

@@ -964,4 +964,75 @@ object Rollups {
       .select(col("arm"), col("n"), col("total_n"), col("mean_reward"),
         col("bonus"), col("ucb"), col("rank"))
   }
+
+  /** Lagged cross-correlation between two event-type daily series —
+    * "does A lead B?": Pearson r between count_A(t) and count_B(t+ℓ)
+    * for every lag ℓ ∈ [−maxLag, maxLag] over the DENSE calendar
+    * (absent days count 0 — skipping them would silently re-time the
+    * series). The lead/lag diagnostic behind alerting ("errors spike
+    * one day after deploys") and feature pre-screening.
+    *
+    * Scale shape: the corpus collapses ONCE to day grain (map-side
+    * combine; day cardinality is calendar-bounded, thousands of rows
+    * at any corpus size); the calendar spine comes from a one-row
+    * min/max aggregate exploded to a `sequence`, and the per-lag
+    * alignment is a broadcast self-join on day+ℓ — no windows, no
+    * corpus re-scan, 2·maxLag+1 × days intermediate rows. All five
+    * correlation sums are exact longs; each series is first centered
+    * by its integer MIN (Pearson r is shift-invariant) so Σx² stays
+    * in long range even at ~10⁹ events/day. One double division at
+    * the end, 4dp; a zero-variance side yields null on both engines.
+    *
+    * Output: (lag, n_days, r), one row per lag.
+    */
+  def laggedCrossCorr(
+      events: DataFrame,
+      typeA: String,
+      typeB: String,
+      maxLag: Int = 3,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be non-negative, got $maxLag")
+    val day = expr(s"unix_micros($tsCol) div 86400000000")
+    val counts = events
+      .filter(col(typeCol).isin(typeA, typeB))
+      .groupBy(day.as("day"))
+      .agg(
+        sum(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("na"),
+        sum(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("nb"))
+    val span = counts.agg(min("day").as("__lo"), max("day").as("__hi"))
+    val dense = span
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val mins = dense.agg(min("na").as("__ma"), min("nb").as("__mb"))
+    val centered = dense.crossJoin(broadcast(mins))
+      .select(col("day"),
+        (col("na") - col("__ma")).as("a"),
+        (col("nb") - col("__mb")).as("b"))
+    val lags = events.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val d = (c: Column) => c.cast("double")
+    centered.select(col("day"), col("a"))
+      .crossJoin(broadcast(lags))
+      .join(broadcast(centered.select(col("day").as("__yd"), col("b"))),
+        col("__yd") === col("day") + col("lag"))
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("a")).as("__sa"), sum(col("b")).as("__sb"),
+        sum(col("a") * col("a")).as("__saa"),
+        sum(col("b") * col("b")).as("__sbb"),
+        sum(col("a") * col("b")).as("__sab"))
+      .withColumn("__num",
+        col("n_days") * col("__sab") - col("__sa") * col("__sb"))
+      .withColumn("__den",
+        sqrt(d(col("n_days") * col("__saa") - col("__sa") * col("__sa")) *
+          d(col("n_days") * col("__sbb") - col("__sb") * col("__sb"))))
+      .select(col("lag"), col("n_days"),
+        round(d(col("__num")) / when(col("__den") === 0, lit(null)).otherwise(col("__den")), 4)
+          .as("r"))
+  }
 }

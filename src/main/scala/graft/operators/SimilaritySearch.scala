@@ -583,4 +583,40 @@ object SimilaritySearch {
       }.mkString(" ")
     }
   }
+
+  /** Recall@k of an approximate index against the exact answer — the
+    * eval loop that justifies (or rejects) the bucketed 100 TB paths:
+    * feed it [[bruteForceTopK]] as ground truth and any of
+    * [[lshTopK]]/[[ivfTopK]]/[[pqTopK]] as the candidate, get per-
+    * query hit counts plus the micro-averaged corpus recall (exact
+    * ratio of long totals — never a mean of rounded per-query floats).
+    *
+    * Both inputs are (query_id, id, rank, …) tables with the SAME
+    * deterministic (cos desc, id) tie-break, so the overlap is
+    * engine-portable. A query the approximate index misses entirely
+    * (empty bucket) still reports, with n_hits = 0 — silently
+    * dropping it would inflate recall exactly where the index is
+    * worst.
+    *
+    * Scale shape: both sides are ≤ k rows per query; one (query_id,
+    * id) hash join + one query-grain combine; the corpus total is a
+    * one-row broadcast. Nothing here touches the corpus itself.
+    *
+    * Output: (query_id, n_exact, n_hits, recall, micro_recall).
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("id"))
+    val a = approx.select(col("query_id"), col("id"), lit(1L).as("__hit"))
+    val per = e.join(a, Seq("query_id", "id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+    val totals = per.agg(
+      sum(col("n_hits")).as("__th"), sum(col("n_exact")).as("__te"))
+    per.crossJoin(broadcast(totals))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact"), 4).as("recall"),
+        round(col("__th").cast("double") / col("__te"), 4).as("micro_recall"))
+  }
 }

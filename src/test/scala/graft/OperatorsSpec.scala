@@ -1266,6 +1266,47 @@ class OperatorsSpec extends SparkSpec {
     assert(rare.getLong(rare.fieldIndex("rank")) == 1L)
   }
 
+  test("Baskets.pairLift: exact co-occurrence counts and lift ratio") {
+    val obs = Seq((1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+      (3, "b"), (3, "a"), (4, "c"), (1, "a")) // dup (1, a) must collapse
+      .toDF("basket", "item")
+    val out = Baskets.pairLift(obs, "basket", "item", k = 5, minSupport = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == ("a", "b", 3L))
+    // lift = n_ab·N_baskets / (n_a·n_b) = 3·4 / (3·3)
+    assert(r.getDouble(3) == 1.3333)
+  }
+
+  test("Rollups.laggedCrossCorr: perfect lead shows up at its lag") {
+    // series B is exactly series A shifted one day later
+    val dayUs = 86400000000L
+    val ev = (Seq.tabulate(3)(d => Seq.fill(d + 1)((d.toLong, "A"))).flatten ++
+      Seq.tabulate(3)(d => Seq.fill(d + 1)((d + 1L, "B"))).flatten)
+      .zipWithIndex
+      .map { case ((d, ty), i) => (i.toLong, d * dayUs, ty) }
+      .toDF("event_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Rollups.laggedCrossCorr(ev, "A", "B", maxLag = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(out(1L).fieldIndex("r")) == 1.0)
+    assert(out(1L).getLong(out(1L).fieldIndex("n_days")) == 3L)
+    assert(out(-1L).getDouble(out(-1L).fieldIndex("r")) < 1.0)
+  }
+
+  test("SimilaritySearch.recallAtK: hits, misses, and micro average") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 12L), (2L, 13L))
+      .toDF("query_id", "id")
+    // query 2 absent entirely (empty bucket) — must still report 0
+    val approx = Seq((1L, 10L), (1L, 99L)).toDF("query_id", "id")
+    val out = SimilaritySearch.recallAtK(exact, approx).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 1L && out(1L).getDouble(3) == 0.5)
+    assert(out(2L).getLong(2) == 0L && out(2L).getDouble(3) == 0.0)
+    assert(out(1L).getDouble(4) == 0.25, "micro recall = 1/4")
+  }
+
   test("TextAnalysis.vocabBuild: dense ids in (freq desc, token) order") {
     val docs = Seq("x x x y y z", "x y w").toDF("text")
     val out = TextAnalysis.vocabBuild(docs, vocabSize = 3).collect()
