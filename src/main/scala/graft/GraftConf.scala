@@ -45,6 +45,12 @@ object GraftConf {
     * by-construction bound — drops are never silent.
     */
   val PrefixPostingCap = 1024
+  /** Block-size cap for blocked-Levenshtein entity resolution: the
+    * within-block pair expansion is O(block²), so a degenerate block
+    * key (e.g. every record sharing one token) is dropped and
+    * reported via observe() rather than silently quadratic.
+    */
+  val ErBlockCap = 512
   /** Per-fingerprint copy cap for exact dedup ranking: a group with
     * more byte-identical copies than this is dropped (and reported via
     * observe()) before the per-copy ranking window, so a degenerate

@@ -2407,6 +2407,35 @@ object SparkEntry {
         SimilaritySearch.bruteForceTopK(t.embeddings, qs),
         SimilaritySearch.lshTopK(t.embeddings, qs))
     }),
+    "q192_ks_test" -> ((s, dir) => {
+      // F25 two-sample KS: did click and view draw their values from
+      // the same distribution? Exact long CDF gaps, one report row
+      val t = Tables(s, dir)
+      Rollups.ksTest(t.events, "event_type", "value", "click", "view")
+    }),
+    "q193_dp_counts" -> ((s, dir) => {
+      // G66 ε-DP daily event counts via the geometric mechanism —
+      // seeded integer-threshold noise both engines replay exactly
+      val t = Tables(s, dir)
+      val ev = t.events.withColumn("day",
+        expr("unix_micros(ts) div 86400000000"))
+      Privacy.dpCounts(ev, Seq("event_type", "day"))
+    }),
+    "q194_er_blocked" -> ((s, dir) => {
+      // G67 blocked-Levenshtein linkage over part names (block = the
+      // noun token); pair volume carried via broadcast name counts
+      val t = Tables(s, dir)
+      val names = t.part.groupBy("p_name")
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("block", element_at(split(col("p_name"), " "), 2))
+      Dedup.blockedLevenshtein(names, "p_name", "block", maxDist = 3)
+        .withColumn("lev", col("lev").cast("long"))
+        .join(broadcast(names.select(col("p_name").as("name_a"),
+          col("n_parts").as("n_a"))), Seq("name_a"))
+        .join(broadcast(names.select(col("p_name").as("name_b"),
+          col("n_parts").as("n_b"))), Seq("name_b"))
+        .select(col("name_a"), col("name_b"), col("lev"), col("n_a"), col("n_b"))
+    }),
   )
 
   /** DuckDB replay of textToBmp + dhash ending in CTE
@@ -6091,5 +6120,72 @@ object SparkEntry {
          |       round(CAST(n_hits AS DOUBLE) / n_exact, 4) AS recall,
          |       round(CAST(tot.th AS DOUBLE) / tot.te, 4) AS micro_recall
          |FROM per CROSS JOIN tot""".stripMargin,
+    // KS replay: same cents grain, all-long CDF gap |F1·n2 − F2·n1|,
+    // identical double-op order for d/λ/p before the 4dp rounds.
+    "q192_ks_test" ->
+      """WITH p AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+        |         sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
+        |  FROM p
+        |),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM p),
+        |m AS (
+        |  SELECT t.n1, t.n2, CAST(max(abs(f1 * t.n2 - f2 * t.n1)) AS BIGINT) AS dn
+        |  FROM c CROSS JOIN t GROUP BY t.n1, t.n2
+        |),
+        |s AS (
+        |  SELECT n1, n2,
+        |         CAST(dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d0
+        |  FROM m
+        |),
+        |l AS (
+        |  SELECT n1, n2, d0,
+        |         d0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |                   / CAST(n1 + n2 AS DOUBLE)) AS lam
+        |  FROM s
+        |)
+        |SELECT n1, n2, round(d0, 4) AS d, round(lam, 4) AS lambda,
+        |       round(least(1.0, 2.0 * exp(-2.0 * lam * lam)), 4) AS p_value
+        |FROM l""".stripMargin,
+    // DP replay: the noise CASE below is RENDERED from the same
+    // dpThresholds() the Spark side folds over — identical constants
+    // by construction, pure integer comparisons.
+    "q193_dp_counts" ->
+      s"""WITH g AS (
+         |  SELECT event_type,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2
+         |),
+         |b AS (
+         |  SELECT event_type, day, n,
+         |         ${HexValSql("md5(event_type || '|' || CAST(day AS VARCHAR) || ':dp')", 1, 6)} AS bkt
+         |  FROM g
+         |)
+         |SELECT event_type, day,
+         |       CAST(greatest(n + ${Privacy.dpNoiseSql("bkt", 0.5, 8)}, 0) AS BIGINT) AS noisy_n,
+         |       0.5 AS epsilon
+         |FROM b""".stripMargin,
+    // ER replay: same noun-token blocking, same exact edit distance,
+    // (a < b) pair order, part counts carried per side.
+    "q194_er_blocked" ->
+      """WITH names AS (
+        |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+        |         string_split(p_name, ' ')[2] AS block
+        |  FROM part GROUP BY 1
+        |)
+        |SELECT x.p_name AS name_a, y.p_name AS name_b,
+        |       CAST(levenshtein(x.p_name, y.p_name) AS BIGINT) AS lev,
+        |       x.n_parts AS n_a, y.n_parts AS n_b
+        |FROM names x JOIN names y ON x.block = y.block AND x.p_name < y.p_name
+        |WHERE levenshtein(x.p_name, y.p_name) <= 3""".stripMargin,
   )
 }

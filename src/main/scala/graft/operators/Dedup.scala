@@ -726,4 +726,46 @@ object Dedup {
           p => element_at(col("__chunks"), p + 1)))))
       .drop("__pd_id", "__kept_pos", "__chunks")
   }
+
+  /** Blocked-Levenshtein entity resolution — the classic record-
+    * linkage shape (Fellegi & Sunter framing): a cheap blocking key
+    * (caller-chosen — a token, a phonetic code, a length band)
+    * restricts candidates, then exact edit distance verifies each
+    * within-block pair. Complements G43's FastSS (which guarantees
+    * distance ≤ 1 corpus-wide): blocking reaches any `maxDist` but
+    * only finds pairs the block key co-locates — the standard ER
+    * recall/cost trade, made explicit here.
+    *
+    * Scale shape: the pair expansion is a self-join on the block key
+    * — O(block²) per block, so blocks above `blockCap` are dropped
+    * BEFORE the join and reported via observe() (the G2/G41 cap
+    * contract), never silently quadratic. Spark's codegen'd
+    * `levenshtein` runs only on co-blocked pairs. Input should be at
+    * entity grain (one row per distinct name); output pairs order
+    * (a < b) so both engines emit the same rows.
+    *
+    * Output: (name_a, name_b, lev).
+    */
+  def blockedLevenshtein(
+      df: DataFrame,
+      textCol: String,
+      blockCol: String,
+      maxDist: Int = 3,
+      blockCap: Int = graft.GraftConf.ErBlockCap): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val capped = spread(df)
+      .select(col(textCol).as("__t"), col(blockCol).as("__b"))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("__b")))
+      .observe(s"graft_er_block_cap_${obsId.incrementAndGet()}",
+        sum(when(col("__bn") > blockCap, 1L).otherwise(0L)).as("dropped_rows"),
+        coalesce(max(col("__bn")), lit(0L)).as("max_block_size"))
+      .filter(col("__bn") <= blockCap)
+      .select(col("__t"), col("__b"))
+    capped.as("x")
+      .join(capped.as("y"),
+        col("x.__b") === col("y.__b") && col("x.__t") < col("y.__t"))
+      .withColumn("lev", levenshtein(col("x.__t"), col("y.__t")))
+      .filter(col("lev") <= maxDist)
+      .select(col("x.__t").as("name_a"), col("y.__t").as("name_b"), col("lev"))
+  }
 }

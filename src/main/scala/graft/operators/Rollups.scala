@@ -1035,4 +1035,58 @@ object Rollups {
         round(d(col("__num")) / when(col("__den") === 0, lit(null)).otherwise(col("__den")), 4)
           .as("r"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov test — the distribution-shape
+    * companion to F13's mean z-test: D = max_v |F₁(v) − F₂(v)| over
+    * the pooled empirical CDFs, with the first-term asymptotic
+    * p ≈ 2·exp(−2λ²), λ = D·√(n₁n₂/(n₁+n₂)). Detects ANY
+    * distributional drift (shape, tails, multimodality), not just a
+    * location shift — the standard gate for "did this cohort's metric
+    * distribution change".
+    *
+    * Exactness: values quantize to integer cents and collapse to
+    * value grain (c₁, c₂ counts — map-side combined), so the CDF gap
+    * is the all-long |cum₁·n₂ − cum₂·n₁| and D is ONE double
+    * division of exact longs; λ/exp enter only in the final 4dp
+    * projection. Longs hold to ~3·10⁹ rows per side (cum·n ≤ n₁·n₂).
+    *
+    * Scale shape: the cumulative window is partitionless but runs
+    * over DISTINCT quantized values — bounded by the metric's range
+    * (thousands of rows for bounded metrics), never by corpus rows.
+    * An unbounded-range metric should be bucketed upstream.
+    *
+    * Output: one row (n1, n2, d, lambda, p_value).
+    */
+  def ksTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(cents.as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = pts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val d = (c: Column) => c.cast("double")
+    pts
+      .withColumn("__f1", sum("c1").over(w))
+      .withColumn("__f2", sum("c2").over(w))
+      .crossJoin(broadcast(totals))
+      .groupBy("n1", "n2")
+      .agg(max(abs(col("__f1") * col("n2") - col("__f2") * col("n1"))).as("__dn"))
+      .withColumn("__d", d(col("__dn")) / (d(col("n1")) * d(col("n2"))))
+      .withColumn("__lam",
+        col("__d") * sqrt(d(col("n1")) * d(col("n2")) / d(col("n1") + col("n2"))))
+      .select(col("n1"), col("n2"),
+        round(col("__d"), 4).as("d"),
+        round(col("__lam"), 4).as("lambda"),
+        round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("__lam") * col("__lam"))), 4)
+          .as("p_value"))
+  }
 }

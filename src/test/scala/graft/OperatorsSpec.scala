@@ -1307,6 +1307,45 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L).getDouble(4) == 0.25, "micro recall = 1/4")
   }
 
+  test("Rollups.ksTest: identical samples give D=0, disjoint give D=1") {
+    val same = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0))
+      .toDF("g", "v")
+    val s = Rollups.ksTest(same, "g", "v", "A", "B").collect().head
+    assert(s.getDouble(s.fieldIndex("d")) == 0.0)
+    assert(s.getDouble(s.fieldIndex("p_value")) == 1.0)
+    val apart = Seq(("A", 1.0), ("A", 1.5), ("B", 9.0), ("B", 9.5))
+      .toDF("g", "v")
+    val a = Rollups.ksTest(apart, "g", "v", "A", "B").collect().head
+    assert(a.getDouble(a.fieldIndex("d")) == 1.0)
+    assert(a.getLong(a.fieldIndex("n1")) == 2L)
+  }
+
+  test("Privacy.dpThresholds: monotone CDF ending at 2^24; noise bounded") {
+    val thr = Privacy.dpThresholds(0.5, 8)
+    assert(thr.length == 17 && thr.head._1 == -8 && thr.last._1 == 8)
+    assert(thr.map(_._2) == thr.map(_._2).sorted, "CDF must be monotone")
+    assert(thr.last._2 == (1L << 24), "total mass must cover every draw")
+    val out = Privacy.dpCounts(
+        Seq.fill(10)("a").toDF("k"), Seq("k"))
+      .collect().head
+    val noisy = out.getLong(out.fieldIndex("noisy_n"))
+    assert(noisy >= 2L && noisy <= 18L, s"|noise| ≤ cap, got $noisy")
+  }
+
+  test("Dedup.blockedLevenshtein: verifies within blocks, caps big ones") {
+    val names = Seq(("cold anvil", "anvil"), ("old anvil", "anvil"),
+      ("hot anvil", "anvil"), ("cold gear", "gear"))
+      .toDF("name", "block")
+    val out = Dedup.blockedLevenshtein(names, "name", "block", maxDist = 2)
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq(("cold anvil", "old anvil", 1)))
+    // a block over the cap contributes no pairs at all
+    val capped = Dedup.blockedLevenshtein(names, "name", "block",
+      maxDist = 2, blockCap = 2).collect()
+    assert(capped.isEmpty, "3-name block must be dropped at cap 2")
+  }
+
   test("TextAnalysis.vocabBuild: dense ids in (freq desc, token) order") {
     val docs = Seq("x x x y y z", "x y w").toDF("text")
     val out = TextAnalysis.vocabBuild(docs, vocabSize = 3).collect()
