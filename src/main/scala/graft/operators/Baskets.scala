@@ -34,9 +34,16 @@ object Baskets {
       itemCol: String = "item",
       k: Int = 20,
       minSupport: Int = 5): DataFrame = {
+    // The basket collapse feeds pairs, item marginals, AND the basket
+    // total; without an eager cut each branch re-derives from the
+    // corpus scan (4 scans observed). The checkpointed table is the
+    // COLLAPSED corpus (distinct items per basket — far smaller than
+    // the raw observations and spill-safe), so one scan + one
+    // materialization beats three corpus passes at any scale.
     val baskets = df
       .groupBy(col(basketCol).as("__bk"))
       .agg(sort_array(collect_set(col(itemCol))).as("__items"))
+      .localCheckpoint()
     val pairs = baskets
       .select(explode(flatten(transform(col("__items"), (x, i) =>
         transform(slice(col("__items"), i + lit(2), size(col("__items"))),

@@ -761,6 +761,9 @@ object Dedup {
         coalesce(max(col("__bn")), lit(0L)).as("max_block_size"))
       .filter(col("__bn") <= blockCap)
       .select(col("__t"), col("__b"))
+      // the capped entity table joins itself — the eager cut stops the
+      // scan + cap window from computing once per join side
+      .localCheckpoint()
     capped.as("x")
       .join(capped.as("y"),
         col("x.__b") === col("y.__b") && col("x.__t") < col("y.__t"))

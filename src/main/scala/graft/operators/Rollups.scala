@@ -994,12 +994,18 @@ object Rollups {
       tsCol: String = "ts"): DataFrame = {
     require(maxLag >= 0, s"maxLag must be non-negative, got $maxLag")
     val day = expr(s"unix_micros($tsCol) div 86400000000")
+    // The day-grain collapse feeds FIVE consumers (span, the dense
+    // join, min-centering, and both alignment sides); without an
+    // eager cut Catalyst re-derives each branch from the CORPUS scan
+    // (8 scans observed). localCheckpoint materializes the calendar-
+    // bounded table once — the corpus is touched exactly once.
     val counts = events
       .filter(col(typeCol).isin(typeA, typeB))
       .groupBy(day.as("day"))
       .agg(
         sum(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("na"),
         sum(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("nb"))
+      .localCheckpoint()
     val span = counts.agg(min("day").as("__lo"), max("day").as("__hi"))
     val dense = span
       .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
@@ -1007,6 +1013,7 @@ object Rollups {
       .select(col("day"),
         coalesce(col("na"), lit(0L)).as("na"),
         coalesce(col("nb"), lit(0L)).as("nb"))
+      .localCheckpoint()
     val mins = dense.agg(min("na").as("__ma"), min("nb").as("__mb"))
     val centered = dense.crossJoin(broadcast(mins))
       .select(col("day"),
@@ -1064,12 +1071,15 @@ object Rollups {
       groupA: String,
       groupB: String): DataFrame = {
     val cents = round(col(valueCol) * 100).cast("long")
+    // value-grain collapse feeds both the CDF window and the totals;
+    // the eager cut keeps the corpus at ONE scan (see laggedCrossCorr)
     val pts = df
       .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
       .groupBy(cents.as("v"))
       .agg(
         sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = pts.agg(sum("c1").as("n1"), sum("c2").as("n2"))

@@ -607,11 +607,14 @@ object SimilaritySearch {
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val e = exact.select(col("query_id"), col("id"))
     val a = approx.select(col("query_id"), col("id"), lit(1L).as("__hit"))
+    // the per-query table feeds both the output and the micro total;
+    // without an eager cut BOTH upstream ANN pipelines would run twice
     val per = e.join(a, Seq("query_id", "id"), "left")
       .groupBy("query_id")
       .agg(
         count(lit(1)).as("n_exact"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .localCheckpoint()
     val totals = per.agg(
       sum(col("n_hits")).as("__th"), sum(col("n_exact")).as("__te"))
     per.crossJoin(broadcast(totals))

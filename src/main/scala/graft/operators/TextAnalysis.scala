@@ -819,9 +819,12 @@ object TextAnalysis {
       textCol: String = "text",
       vocabSize: Int = 500): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    // vocab-grain counts feed both the slice and the one-row total;
+    // the eager cut keeps the corpus at ONE scan
     val freq = df
       .select(explode(words(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val total = freq.agg(sum(col("n")).as("__total"))
     val ord = Window.orderBy(col("n").desc, col("token"))
     freq

@@ -974,4 +974,90 @@ class ScaleDesignSpec extends SparkSpec {
     assert(windows(q177).isEmpty, "q177 must stay window-free")
     noLoopJoins("q177_zone_map", q177, allowOneRowBroadcastLoop = true)
   }
+
+  test("round-8 batch-2 operator plans honor their scale claims") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def exec(q: String) =
+      SparkEntry.queries(q)(spark, sfDir).queryExecution
+    def shuffles(qe: org.apache.spark.sql.execution.QueryExecution) =
+      helper.collect(qe.executedPlan) { case e: ShuffleExchangeExec => e }
+    def scans(qe: org.apache.spark.sql.execution.QueryExecution) =
+      helper.collect(qe.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    def windows(qe: org.apache.spark.sql.execution.QueryExecution) =
+      qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+
+    // q186: the gap window rides the series keys; the report rollup is
+    // the only other exchange
+    val q186 = exec("q186_interarrival")
+    assert(windows(q186).size == 1 &&
+      windows(q186).head.partitionSpec.exists(_.toString.contains("user_id")),
+      "q186: exactly the series-key lag window")
+    assert(shuffles(q186).size <= 2,
+      s"q186: series exchange + report rollup only, got ${shuffles(q186).size}")
+
+    // q187: one corpus scan; every window frame is the ARM table
+    val q187 = exec("q187_ucb1")
+    assert(scans(q187).size == 1, s"q187: one corpus scan, got ${scans(q187).size}")
+    assert(windows(q187).size == 2, "q187: total_n + rank, both arm-table windows")
+
+    // q188: the kept slice comes from a TakeOrdered heap, never a
+    // global vocabulary sort; the corpus is counted once per branch
+    // (freq feeds both the slice and the one-row total)
+    val q188 = exec("q188_vocab_build")
+    assert(q188.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "q188: top slice must be TakeOrdered")
+
+    // q189: pair expansion is IN-ROW (no self-join of baskets); the
+    // only loop join attaches the one-row basket total
+    val q189 = exec("q189_basket_lift")
+    assert(helper.collect(q189.executedPlan) {
+      case j: CartesianProductExec => j
+    }.isEmpty, "q189 must not build a cartesian product")
+    assert(helper.collect(q189.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.size <= 1, "q189: only the 1-row total may loop-join")
+    assert(q189.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "q189: top-k must be TakeOrdered")
+    assert(windows(q189).isEmpty, "q189 must stay window-free")
+
+    // q190: the corpus collapsed to day grain ONCE at the eager cut —
+    // the final plan never touches the parquet again
+    val q190 = exec("q190_xcorr")
+    assert(windows(q190).isEmpty, "q190 must stay window-free")
+    assert(scans(q190).isEmpty,
+      s"q190: corpus must be cut at the day-grain checkpoint, got ${scans(q190).size} scans")
+
+    // q192: both CDF cumsums share ONE window over the VALUE-grain
+    // table, and the corpus was cut at the value-grain checkpoint
+    val q192 = exec("q192_ks_test")
+    assert(windows(q192).size == 1, "q192: one shared cumulative-CDF window")
+    assert(scans(q192).isEmpty,
+      s"q192: corpus must be cut at the value-grain checkpoint, got ${scans(q192).size} scans")
+
+    // q193: aggregate + projection — no windows, one scan, one exchange
+    val q193 = exec("q193_dp_counts")
+    assert(windows(q193).isEmpty, "q193 must stay window-free")
+    assert(scans(q193).size == 1, s"q193: one scan, got ${scans(q193).size}")
+    assert(shuffles(q193).size == 1,
+      s"q193: one keys-grain exchange, got ${shuffles(q193).size}")
+
+    // q194: the pair join is an equi join on the block key (never a
+    // product or a loop); the cap window ran INSIDE the entity-grain
+    // checkpoint cut, so the final plan carries no window at all
+    val q194 = exec("q194_er_blocked")
+    assert(helper.collect(q194.executedPlan) {
+      case j: CartesianProductExec => j
+    }.isEmpty, "q194 must not build a cartesian product")
+    assert(helper.collect(q194.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "q194 must not nested-loop join")
+    assert(windows(q194).isEmpty,
+      "q194: the cap window must stay behind the checkpoint cut")
+  }
 }
