@@ -2421,6 +2421,34 @@ object SparkEntry {
         expr("unix_micros(ts) div 86400000000"))
       Privacy.dpCounts(ev, Seq("event_type", "day"))
     }),
+    "q195_theil_sen" -> ((s, dir) => {
+      // D15 robust yearly trend per datasource: median of all pairwise
+      // slopes, in-row over the calendar-bounded year series
+      val t = Tables(s, dir)
+      val series = t.evidence.groupBy("datasourceId", "year")
+        .agg(count(lit(1)).as("n"))
+      Rollups.theilSen(series, Seq("datasourceId"), "year", "n")
+    }),
+    "q196_spearman" -> ((s, dir) => {
+      // F26 monotone value-vs-time drift per event type: Spearman rho
+      // on integer double-average-ranks, one (type) exchange
+      val t = Tables(s, dir)
+      val e = t.events.filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("v"),
+          expr("unix_micros(ts)").as("tus"))
+      Rollups.spearman(e, Seq("event_type"), "v", "tus")
+    }),
+    "q197_changepoint" -> ((s, dir) => {
+      // D16 level-shift locator: the split day maximizing between-
+      // segment SSE gain over each event type's daily count series
+      val t = Tables(s, dir)
+      val series = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      Rollups.changepoint(series, Seq("event_type"), "day", "y")
+    }),
     "q194_er_blocked" -> ((s, dir) => {
       // G67 blocked-Levenshtein linkage over part names (block = the
       // noun token); pair volume carried via broadcast name counts
@@ -6187,5 +6215,92 @@ object SparkEntry {
         |       x.n_parts AS n_a, y.n_parts AS n_b
         |FROM names x JOIN names y ON x.block = y.block AND x.p_name < y.p_name
         |WHERE levenshtein(x.p_name, y.p_name) <= 3""".stripMargin,
+    // Theil–Sen replay: same (x, y) long series, same in-list pair
+    // slopes, both engines sort the SAME doubles before the median.
+    "q195_theil_sen" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS datasourceId,
+        |         CAST(year(l_shipdate) AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |arr AS (
+        |  SELECT datasourceId,
+        |         list(struct_pack(x := x, y := y) ORDER BY x) AS a,
+        |         CAST(count(*) AS BIGINT) AS n_points
+        |  FROM s GROUP BY 1
+        |),
+        |sl AS (
+        |  SELECT datasourceId, n_points,
+        |         list_sort(flatten(list_transform(range(1, CAST(n_points AS INT) + 1), i ->
+        |           list_transform(range(i + 1, CAST(n_points AS INT) + 1), j ->
+        |             CAST(a[j].y - a[i].y AS DOUBLE) / (a[j].x - a[i].x))))) AS sls
+        |  FROM arr
+        |)
+        |SELECT datasourceId, n_points, CAST(len(sls) AS BIGINT) AS n_slopes,
+        |       round(CASE WHEN len(sls) % 2 = 1 THEN sls[(len(sls) + 1) // 2]
+        |                  ELSE (sls[len(sls) // 2] + sls[len(sls) // 2 + 1]) / 2
+        |             END, 4) AS slope
+        |FROM sl WHERE len(sls) > 0""".stripMargin,
+    // Spearman replay: identical integer 2·avg-rank encoding, exact
+    // long moment sums, one double division.
+    "q196_spearman" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |r AS (
+        |  SELECT event_type,
+        |         2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+        |           + count(*) OVER (PARTITION BY event_type, v) - 1 AS ra,
+        |         2 * rank() OVER (PARTITION BY event_type ORDER BY tus)
+        |           + count(*) OVER (PARTITION BY event_type, tus) - 1 AS rb
+        |  FROM e
+        |),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         sum(ra) AS sa, sum(rb) AS sb, sum(ra * ra) AS saa,
+        |         sum(rb * rb) AS sbb, sum(ra * rb) AS sab
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT event_type, n,
+        |       round(CAST(n * sab - sa * sb AS DOUBLE)
+        |             / NULLIF(sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+        |                           * CAST(n * sbb - sb * sb AS DOUBLE)), 0), 4) AS rho
+        |FROM s""".stripMargin,
+    // Changepoint replay: same cumulative/total long sums, gain
+    // rounded 6dp BEFORE the (gain desc, day) argmax rank.
+    "q197_changepoint" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |),
+        |c AS (
+        |  SELECT event_type, day, y,
+        |         sum(y) OVER (PARTITION BY event_type ORDER BY day
+        |                      ROWS UNBOUNDED PRECEDING) AS cy,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |         count(*) OVER (PARTITION BY event_type) AS n,
+        |         sum(y) OVER (PARTITION BY event_type) AS s
+        |  FROM d
+        |),
+        |gg AS (
+        |  SELECT event_type, day, i, n,
+        |         round(CAST(cy * cy AS DOUBLE) / i
+        |               + CAST((s - cy) * (s - cy) AS DOUBLE) / (n - i)
+        |               - CAST(s * s AS DOUBLE) / n, 6) AS gain
+        |  FROM c WHERE i < n
+        |),
+        |rk AS (
+        |  SELECT event_type, day, n, gain,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY gain DESC, day) AS rnk
+        |  FROM gg
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_points, day AS split_x,
+        |       round(gain, 4) AS gain
+        |FROM rk WHERE rnk = 1""".stripMargin,
   )
 }

@@ -1099,4 +1099,133 @@ object Rollups {
         round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("__lam") * col("__lam"))), 4)
           .as("p_value"))
   }
+
+  /** Theil–Sen robust slope per keyed series — the median of all
+    * pairwise slopes (y_j−y_i)/(x_j−x_i), the 29%-breakdown trend
+    * estimator that one outlier year cannot move (Theil 1950; Sen
+    * 1968). The robust companion to D9's least-squares linearTrend.
+    *
+    * Scale shape: the series collapses to one in-row array per key
+    * (x-grain must be CALENDAR-BOUNDED — years, days — so the O(m²)
+    * slope expansion is bounded by the calendar, never the corpus);
+    * slopes, sort, and the median pick are all in-row expressions on
+    * that array. One (keys) exchange total. Each pair's slope is ONE
+    * double division of exact longs, and both engines sort the SAME
+    * doubles — order and median are engine-portable. x must be
+    * distinct within a key (a grain, not raw observations).
+    *
+    * Output: keys ++ (n_points, n_slopes, slope).
+    */
+  def theilSen(
+      series: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val arr = series
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y")))).as("__a"),
+        count(lit(1)).as("n_points"))
+    arr
+      .withColumn("__s", sort_array(flatten(transform(col("__a"), (p, i) =>
+        transform(slice(col("__a"), i + lit(2), size(col("__a"))), q =>
+          (q.getField("y") - p.getField("y")).cast("double") /
+            (q.getField("x") - p.getField("x")))))))
+      .withColumn("n_slopes", size(col("__s")).cast("long"))
+      .filter(col("n_slopes") > 0)
+      .withColumn("slope", round(
+        when(col("n_slopes") % 2 === 1,
+          element_at(col("__s"), ((col("n_slopes") + 1) / 2).cast("int")))
+          .otherwise((element_at(col("__s"), (col("n_slopes") / 2).cast("int")) +
+            element_at(col("__s"), (col("n_slopes") / 2 + 1).cast("int"))) / 2), 4))
+      .select(keys.map(col) ++ Seq(col("n_points"), col("n_slopes"), col("slope")): _*)
+  }
+
+  /** Spearman rank correlation per key — Pearson r on the AVERAGE
+    * ranks of two integral columns: monotone association robust to
+    * any monotone transform and to outliers, where D9/E9's Pearson
+    * sees only linearity. Average ranks are carried as the INTEGER
+    * 2·rank_min + ties − 1 (twice the average rank — scale/shift
+    * cancel in r), so every correlation sum is an exact long and the
+    * single double division lands identically on any engine.
+    *
+    * Scale shape: both rank windows and the tie-count windows ride
+    * ONE (keys) exchange (same partitioning, per-order sorts); the
+    * moment rollup rides it too. O(1) window state throughout —
+    * a hot key costs its own sort, never cross-key state. Rank sums
+    * stay in long range to ~2·10⁹ rows per key.
+    *
+    * Output: keys ++ (n, rho).
+    */
+  def spearman(
+      df: DataFrame,
+      keys: Seq[String],
+      aCol: String,
+      bCol: String): DataFrame = {
+    val ranked = df
+      .withColumn("__ra",
+        lit(2L) * rank().over(Window.partitionBy(keys.map(col): _*).orderBy(aCol)) +
+          count(lit(1)).over(Window.partitionBy((keys :+ aCol).map(col): _*)) - 1L)
+      .withColumn("__rb",
+        lit(2L) * rank().over(Window.partitionBy(keys.map(col): _*).orderBy(bCol)) +
+          count(lit(1)).over(Window.partitionBy((keys :+ bCol).map(col): _*)) - 1L)
+    val d = (c: Column) => c.cast("double")
+    ranked
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__ra")).as("__sa"), sum(col("__rb")).as("__sb"),
+        sum(col("__ra") * col("__ra")).as("__saa"),
+        sum(col("__rb") * col("__rb")).as("__sbb"),
+        sum(col("__ra") * col("__rb")).as("__sab"))
+      .withColumn("__den",
+        sqrt(d(col("n") * col("__saa") - col("__sa") * col("__sa")) *
+          d(col("n") * col("__sbb") - col("__sb") * col("__sb"))))
+      .select(keys.map(col) ++ Seq(col("n"),
+        round(d(col("n") * col("__sab") - col("__sa") * col("__sb")) /
+          when(col("__den") === 0, lit(null)).otherwise(col("__den")), 4).as("rho")): _*)
+  }
+
+  /** Single changepoint per keyed series — the split x* maximizing the
+    * between-segment SSE reduction gain(t) = S_l²/n_l + S_r²/n_r −
+    * S²/n (binary segmentation's first step, Scott & Knott 1974): the
+    * level-shift locator that complements D7's CUSUM (which detects
+    * THAT a shift happened; this says WHERE it most likely sits).
+    *
+    * Scale shape: the series collapses to x grain (calendar-bounded),
+    * then ordered cumulative sums + full-frame totals + the argmax
+    * rank all ride ONE (keys) exchange. Segment sums are exact longs;
+    * gain is three double divisions of exact longs, rounded 6dp
+    * BEFORE the (gain desc, x asc) argmax rank so both engines pick
+    * the same split even at a float tie.
+    *
+    * Output: keys ++ (n_points, split_x, gain).
+    */
+  def changepoint(
+      series: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val ord = byKey.orderBy(xCol)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: Column) => c.cast("double")
+    series
+      .withColumn("__y", col(yCol).cast("long"))
+      .withColumn("__cy", sum(col("__y")).over(cum))
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .withColumn("__s", sum(col("__y")).over(byKey))
+      .filter(col("__i") < col("__n"))
+      .withColumn("gain", round(
+        d(col("__cy") * col("__cy")) / col("__i") +
+          d((col("__s") - col("__cy")) * (col("__s") - col("__cy"))) /
+            (col("__n") - col("__i")) -
+          d(col("__s") * col("__s")) / col("__n"), 6))
+      .withColumn("__rnk", row_number().over(
+        byKey.orderBy(col("gain").desc, col(xCol))))
+      .filter(col("__rnk") === 1)
+      .select(keys.map(col) ++ Seq(col("__n").as("n_points"),
+        col(xCol).as("split_x"), round(col("gain"), 4).as("gain")): _*)
+  }
 }

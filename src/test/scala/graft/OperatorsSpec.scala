@@ -1346,6 +1346,35 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.isEmpty, "3-name block must be dropped at cap 2")
   }
 
+  test("Rollups.theilSen: one outlier point cannot move the slope") {
+    val series = Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 100L))
+      .map { case (x, y) => ("k", x, y) }.toDF("g", "x", "y")
+    val r = Rollups.theilSen(series, Seq("g"), "x", "y").collect().head
+    assert(r.getLong(r.fieldIndex("n_slopes")) == 10L)
+    // 6 of 10 pairwise slopes are exactly 1 → the median ignores the spike
+    assert(r.getDouble(r.fieldIndex("slope")) == 1.0)
+  }
+
+  test("Rollups.spearman: monotone nonlinear is rho=1, reversed is -1") {
+    val up = (1L to 20L).map(a => ("u", a, a * a * a)).toDF("g", "a", "b")
+    val u = Rollups.spearman(up, Seq("g"), "a", "b").collect().head
+    assert(u.getDouble(u.fieldIndex("rho")) == 1.0)
+    val down = (1L to 20L).map(a => ("d", a, -a)).toDF("g", "a", "b")
+    val d = Rollups.spearman(down, Seq("g"), "a", "b").collect().head
+    assert(d.getDouble(d.fieldIndex("rho")) == -1.0)
+  }
+
+  test("Rollups.changepoint: locates a clean level shift") {
+    val series = (Seq.tabulate(5)(i => (i + 1L, 10L)) ++
+      Seq.tabulate(5)(i => (i + 6L, 50L)))
+      .map { case (x, y) => ("k", x, y) }.toDF("g", "x", "y")
+    val r = Rollups.changepoint(series, Seq("g"), "x", "y").collect().head
+    assert(r.getLong(r.fieldIndex("split_x")) == 5L,
+      s"split must sit at the shift boundary, got ${r.getLong(r.fieldIndex("split_x"))}")
+    assert(r.getLong(r.fieldIndex("n_points")) == 10L)
+    assert(r.getDouble(r.fieldIndex("gain")) > 0.0)
+  }
+
   test("TextAnalysis.vocabBuild: dense ids in (freq desc, token) order") {
     val docs = Seq("x x x y y z", "x y w").toDF("text")
     val out = TextAnalysis.vocabBuild(docs, vocabSize = 3).collect()
