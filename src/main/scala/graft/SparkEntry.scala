@@ -2449,6 +2449,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("y"))
       Rollups.changepoint(series, Seq("event_type"), "day", "y")
     }),
+    "q198_dedup_curve" -> ((s, dir) => {
+      // G68 dedup threshold-tuning curve: pair and affected-doc counts
+      // per verification threshold over the banded candidate set —
+      // the report that picks minJaccard before a 100 TB dedup run
+      val t = Tables(s, dir)
+      val pairs = Dedup.minhashLshPairs(t.documents, minJaccard = 0.5)
+      val th = s.range(10, 20).select((col("id") * lit(0.05)).as("t"))
+      pairs.crossJoin(broadcast(th))
+        .filter(col("jaccard") >= col("t"))
+        .select(col("t"), explode(array(col("idA"), col("idB"))).as("id"))
+        .groupBy("t")
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("id")).as("n_docs"))
+        .select(round(col("t"), 2).as("t"), col("n_pairs"), col("n_docs"))
+    }),
+    "q199_mann_whitney" -> ((s, dir) => {
+      // F27 rank-sum location test click vs view — the tie-corrected
+      // U/z from exact integer double-ranks
+      val t = Tables(s, dir)
+      Rollups.mannWhitney(t.events, "event_type", "value", "click", "view")
+    }),
+    "q200_concurrency" -> ((s, dir) => {
+      // H32 peak simultaneous open shipments per supplier: sweep-line
+      // over [ship_day, ship_day + quantity days) intervals
+      val t = Tables(s, dir)
+      val day = expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+      val iv = t.lineitem.select(col("l_suppkey"), day.as("s"),
+        (day + col("l_quantity").cast("long")).as("e"))
+      EventWindows.maxConcurrency(iv, Seq("l_suppkey"), "s", "e")
+    }),
     "q194_er_blocked" -> ((s, dir) => {
       // G67 blocked-Levenshtein linkage over part names (block = the
       // noun token); pair volume carried via broadcast name counts
@@ -6301,6 +6331,85 @@ object SparkEntry {
         |)
         |SELECT event_type, CAST(n AS BIGINT) AS n_points, day AS split_x,
         |       round(gain, 4) AS gain
+        |FROM rk WHERE rnk = 1""".stripMargin,
+    // Curve replay: the UNFILTERED verified-pair CTE from the q31
+    // machinery, swept over the same k·0.05 threshold doubles.
+    "q198_dedup_curve" ->
+      s"""WITH $MinhashPairsSql,
+         |th AS (SELECT unnest(range(10, 20)) * 0.05 AS t),
+         |f AS (
+         |  SELECT t, idA, idB FROM verified CROSS JOIN th WHERE jaccard >= t
+         |),
+         |e AS (SELECT t, unnest([idA, idB]) AS id FROM f)
+         |SELECT round(t, 2) AS t, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         |       CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+         |FROM e GROUP BY t""".stripMargin,
+    // Rank-sum replay: identical 2·avg-rank integers at value grain,
+    // exact 2U₁ and tie sums, same double-op order for z.
+    "q199_mann_whitney" ->
+      """WITH p AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |),
+        |r AS (
+        |  SELECT c1, c2, c1 + c2 AS t,
+        |         2 * (sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |              - (c1 + c2)) + (c1 + c2) + 1 AS r2
+        |  FROM p
+        |),
+        |s AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |         CAST(sum(c1 * r2) AS BIGINT) AS r2sum1,
+        |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        |  FROM r
+        |),
+        |m AS (
+        |  SELECT n1, n2, r2sum1 - n1 * (n1 + 1) AS twoU1, n1 + n2 AS n, ties
+        |  FROM s
+        |),
+        |vv AS (
+        |  SELECT n1, n2, twoU1,
+        |         CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |           * (CAST(n + 1 AS DOUBLE)
+        |              - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS var
+        |  FROM m
+        |)
+        |SELECT n1, n2, round(CAST(twoU1 AS DOUBLE) / 2.0, 4) AS u,
+        |       round(CAST(twoU1 - n1 * n2 AS DOUBLE)
+        |             / CASE WHEN var <= 0 THEN NULL ELSE 2.0 * sqrt(var) END, 4) AS z
+        |FROM vv""".stripMargin,
+    // Sweep-line replay: same half-open boundary order (t, d), same
+    // ROWS cumsum, same (conc desc, t, d) argmax total order.
+    "q200_concurrency" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey, epoch_us(l_shipdate) // 86400000000 AS s,
+        |         epoch_us(l_shipdate) // 86400000000
+        |           + CAST(l_quantity AS BIGINT) AS e
+        |  FROM lineitem
+        |),
+        |b AS (
+        |  SELECT l_suppkey, u.t, u.d
+        |  FROM iv, unnest([struct_pack(t := s, d := CAST(1 AS BIGINT)),
+        |                   struct_pack(t := e, d := CAST(-1 AS BIGINT))]) AS r(u)
+        |),
+        |c AS (
+        |  SELECT l_suppkey, t, d,
+        |         sum(d) OVER (PARTITION BY l_suppkey ORDER BY t, d
+        |                      ROWS UNBOUNDED PRECEDING) AS conc,
+        |         CAST(count(*) OVER (PARTITION BY l_suppkey) // 2 AS BIGINT) AS n_intervals
+        |  FROM b
+        |),
+        |rk AS (
+        |  SELECT l_suppkey, n_intervals, conc, t,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |                            ORDER BY conc DESC, t, d) AS rnk
+        |  FROM c
+        |)
+        |SELECT l_suppkey, n_intervals, CAST(conc AS BIGINT) AS peak, t AS peak_t
         |FROM rk WHERE rnk = 1""".stripMargin,
   )
 }

@@ -497,6 +497,47 @@ object EventWindows {
         round(col("__max").cast("double") / 1e6, 4).as("max_gap_s")): _*)
   }
 
+  /** Peak concurrency per key — the classic sweep line: intervals
+    * become +1/−1 boundary events, the running sum is the number of
+    * intervals open at each instant, and the report is its maximum
+    * with the first time it is reached. Capacity sizing in one pass
+    * ("max simultaneous open shipments / sessions / connections"),
+    * where H18's mergeIntervals only says how much time was covered.
+    *
+    * Half-open [start, end) semantics: at equal t the −1 sorts before
+    * the +1 (an interval ending exactly when another starts never
+    * overlaps it). The cumulative window is O(1)-state on ONE (keys)
+    * exchange; the argmax is a rank over the same exchange with a
+    * (conc desc, t, d) total order, so both engines report the same
+    * instant. Within a tie-run of identical boundaries the prefix
+    * maximum always lands on a run end, which every ordering agrees
+    * on — intra-tie row order cannot change the output.
+    *
+    * Output: keys ++ (n_intervals, peak, peak_t).
+    */
+  def maxConcurrency(
+      intervals: DataFrame,
+      keys: Seq[String],
+      startCol: String,
+      endCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val cum = byKey.orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    intervals
+      .select((keys.map(col) :+ explode(array(
+        struct(col(startCol).cast("long").as("t"), lit(1L).as("d")),
+        struct(col(endCol).cast("long").as("t"), lit(-1L).as("d")))).as("__e")): _*)
+      .select(keys.map(col) :+ col("__e.t").as("t") :+ col("__e.d").as("d"): _*)
+      .withColumn("__c", sum(col("d")).over(cum))
+      .withColumn("n_intervals",
+        (count(lit(1)).over(byKey) / 2).cast("long"))
+      .withColumn("__rnk", row_number().over(
+        byKey.orderBy(col("__c").desc, col("t"), col("d"))))
+      .filter(col("__rnk") === 1)
+      .select(keys.map(col) ++ Seq(col("n_intervals"),
+        col("__c").as("peak"), col("t").as("peak_t")): _*)
+  }
+
 }
 
 /** Gap-based sessionization: a new session starts when a user is idle

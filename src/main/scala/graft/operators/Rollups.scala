@@ -1100,6 +1100,65 @@ object Rollups {
           .as("p_value"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) test — the location-shift
+    * companion to F25's KS (which sees any shape change; this asks
+    * specifically "does one group's distribution sit higher?") with
+    * no normality assumption, unlike F13's z-test on means. Computes
+    * U, and the tie-corrected normal approximation z.
+    *
+    * Exactness: values collapse to integer-cent grain with per-group
+    * counts, average ranks are carried as the INTEGER 2·rank (r2 =
+    * 2·cum_before + ties + 1), so 2U₁ = Σc₁·r2 − n₁(n₁+1) is an
+    * exact long; the tie-correction Σ(t³−t) is an exact long too
+    * (t = per-value tie count; longs hold to ~2M ties per value).
+    * Doubles enter only in σ and the final z, same op order both
+    * engines, 4dp.
+    *
+    * Scale shape: value-grain collapse (eager-cut, one corpus scan),
+    * cumulative window over DISTINCT quantized values (range-bounded,
+    * as ksTest), one-row output.
+    *
+    * Output: (n1, n2, u, z) — z null when every value ties.
+    */
+  def mannWhitney(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(cents.as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: Column) => c.cast("double")
+    pts
+      .withColumn("__t", col("c1") + col("c2"))
+      .withColumn("__r2",
+        lit(2L) * (sum(col("__t")).over(w) - col("__t")) + col("__t") + 1L)
+      .agg(
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * col("__r2")).as("__r2sum1"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+      .withColumn("__twoU1",
+        col("__r2sum1") - col("n1") * (col("n1") + 1L))
+      .withColumn("__n", col("n1") + col("n2"))
+      .withColumn("__var",
+        d(col("n1")) * d(col("n2")) / 12.0 *
+          (d(col("__n") + 1L) -
+            d(col("__ties")) / (d(col("__n")) * d(col("__n") - 1L))))
+      .select(col("n1"), col("n2"),
+        round(d(col("__twoU1")) / 2.0, 4).as("u"),
+        round(d(col("__twoU1") - col("n1") * col("n2")) /
+          when(col("__var") <= 0, lit(null)).otherwise(lit(2.0) * sqrt(col("__var"))), 4)
+          .as("z"))
+  }
+
   /** Theil–Sen robust slope per keyed series — the median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i), the 29%-breakdown trend
     * estimator that one outlier year cannot move (Theil 1950; Sen

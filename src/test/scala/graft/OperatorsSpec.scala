@@ -1375,6 +1375,29 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("gain")) > 0.0)
   }
 
+  test("Rollups.mannWhitney: shifted group gives extreme U, ties give z=null") {
+    // A = {1,2,3}, B = {10,20,30}: every B beats every A → U1 = 0
+    val shifted = (Seq(1.0, 2.0, 3.0).map(("A", _)) ++
+      Seq(10.0, 20.0, 30.0).map(("B", _))).toDF("g", "v")
+    val r = Rollups.mannWhitney(shifted, "g", "v", "A", "B").collect().head
+    assert(r.getDouble(r.fieldIndex("u")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("z")) < 0.0)
+    val allTied = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0)).toDF("g", "v")
+    val t = Rollups.mannWhitney(allTied, "g", "v", "A", "B").collect().head
+    assert(t.isNullAt(t.fieldIndex("z")), "all-tied variance must yield null z")
+  }
+
+  test("EventWindows.maxConcurrency: half-open overlap count and instant") {
+    // [0,10) [5,15) [8,12) overlap 3 at t=8; [15,20) never overlaps
+    // ([5,15) ends exactly when [15,20) starts — half-open: no overlap)
+    val iv = Seq((0L, 10L), (5L, 15L), (8L, 12L), (15L, 20L))
+      .map { case (s, e) => ("k", s, e) }.toDF("g", "s", "e")
+    val r = EventWindows.maxConcurrency(iv, Seq("g"), "s", "e").collect().head
+    assert(r.getLong(r.fieldIndex("peak")) == 3L)
+    assert(r.getLong(r.fieldIndex("peak_t")) == 8L)
+    assert(r.getLong(r.fieldIndex("n_intervals")) == 4L)
+  }
+
   test("TextAnalysis.vocabBuild: dense ids in (freq desc, token) order") {
     val docs = Seq("x x x y y z", "x y w").toDF("text")
     val out = TextAnalysis.vocabBuild(docs, vocabSize = 3).collect()
