@@ -2449,6 +2449,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("y"))
       Rollups.changepoint(series, Seq("event_type"), "day", "y")
     }),
+    "q201_benford" -> ((s, dir) => {
+      // F28 Benford first-digit audit of extended prices — the
+      // synthetic-data/fraud detector; digit from the integer-cent
+      // decimal string, nine-row digit table
+      val t = Tables(s, dir)
+      Profile.benfordAudit(t.lineitem, "l_extendedprice")
+    }),
+    "q202_stickiness" -> ((s, dir) => {
+      // H33 DAU/WAU/MAU + stickiness ratios from one user-day grain
+      // with bounded offset fans — never a distinct-over-window
+      val t = Tables(s, dir)
+      EventWindows.stickiness(t.events)
+    }),
+    "q203_funnel_steps" -> ((s, dir) => {
+      // H34 step-level funnel report over H14's per-user frame:
+      // reach counts + step-to-step conversion on a 4-row spine
+      val t = Tables(s, dir)
+      val f = EventWindows.funnel(t.events, Seq("view", "click", "purchase"))
+      val counts = f.groupBy("steps_completed").agg(count(lit(1)).as("__n"))
+      val spine = s.range(0, 4).select(col("id").cast("int").as("step"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("step")
+      spine.join(counts, col("steps_completed") >= col("step"), "left")
+        .groupBy("step")
+        .agg(coalesce(sum(col("__n")), lit(0L)).as("n_reached"))
+        .withColumn("conv",
+          round(col("n_reached").cast("double") / lag(col("n_reached"), 1).over(w), 4))
+    }),
     "q198_dedup_curve" -> ((s, dir) => {
       // G68 dedup threshold-tuning curve: pair and affected-doc counts
       // per verification threshold over the banded candidate set —
@@ -6411,5 +6438,91 @@ object SparkEntry {
         |)
         |SELECT l_suppkey, n_intervals, CAST(conc AS BIGINT) AS peak, t AS peak_t
         |FROM rk WHERE rnk = 1""".stripMargin,
+    // Benford replay: digit from the integer-cent decimal string,
+    // contributions 6dp before the 4dp χ² window.
+    "q201_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND CAST(round(l_extendedprice * 100) AS BIGINT) > 0
+        |),
+        |g AS (
+        |  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM c GROUP BY 1
+        |),
+        |w AS (
+        |  SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM g
+        |),
+        |e AS (
+        |  SELECT digit, n, total,
+        |         round(CAST(n AS DOUBLE) / total, 4) AS p_obs,
+        |         round(log10(1.0 + 1.0 / digit), 4) AS p_exp,
+        |         round((CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * log10(1.0 + 1.0 / digit))
+        |               * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * log10(1.0 + 1.0 / digit))
+        |               / (CAST(total AS DOUBLE) * log10(1.0 + 1.0 / digit)), 6) AS contrib
+        |  FROM w
+        |)
+        |SELECT digit, n, p_obs, p_exp, contrib,
+        |       round(sum(contrib) OVER (), 4) AS chi2
+        |FROM e""".stripMargin,
+    // Stickiness replay: same user-day grain, same bounded offset
+    // fans re-aggregated with exact distincts.
+    "q202_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+        |  FROM events
+        |),
+        |dau AS (SELECT d AS day, CAST(count(DISTINCT u) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT d + o AS day, CAST(count(DISTINCT u) AS BIGINT) AS wau
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) GROUP BY 1
+        |),
+        |mau AS (
+        |  SELECT d + o AS day, CAST(count(DISTINCT u) AS BIGINT) AS mau
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 30)) AS o) GROUP BY 1
+        |)
+        |SELECT day, dau, wau, mau,
+        |       round(CAST(dau AS DOUBLE) / wau, 4) AS dau_wau,
+        |       round(CAST(dau AS DOUBLE) / mau, 4) AS dau_mau
+        |FROM dau JOIN wau USING (day) JOIN mau USING (day)""".stripMargin,
+    // Step-report replay: the q95 funnel CTEs re-aggregated on a
+    // 0..3 spine with a lag-window conversion.
+    "q203_funnel_steps" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |),
+        |s1 AS (
+        |  SELECT user_id, min(us) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1
+        |),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.us) AS t2
+        |  FROM ev e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us >= s1.t1 GROUP BY 1
+        |),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.us) AS t3
+        |  FROM ev e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us >= s2.t2 GROUP BY 1
+        |),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |f AS (
+        |  SELECT CAST(CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+        |              + CAST(t3 IS NOT NULL AS INT) AS INT) AS sc
+        |  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |         LEFT JOIN s3 USING (user_id)
+        |),
+        |spine AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS step),
+        |r AS (
+        |  SELECT step, CAST(count(f.sc) AS BIGINT) AS n_reached
+        |  FROM spine LEFT JOIN f ON f.sc >= spine.step GROUP BY 1
+        |)
+        |SELECT step, n_reached,
+        |       round(CAST(n_reached AS DOUBLE)
+        |             / lag(n_reached) OVER (ORDER BY step), 4) AS conv
+        |FROM r""".stripMargin,
   )
 }

@@ -497,6 +497,45 @@ object EventWindows {
         round(col("__max").cast("double") / 1e6, 4).as("max_gap_s")): _*)
   }
 
+  /** DAU / WAU / MAU stickiness — the product-analytics engagement
+    * staple: per day, the distinct actives that day, over the
+    * trailing week, and over the trailing month, plus the stickiness
+    * ratios (DAU/WAU, DAU/MAU — "what share of the monthly audience
+    * shows up daily").
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct
+    * (user, day) grain (map-side combined, eager-cut — it feeds all
+    * three horizons); each trailing window is a bounded OFFSET FAN
+    * (×7 / ×30 rows, map-side) re-aggregated with an exact distinct
+    * count — never a distinct-over-sliding-window, which no engine
+    * shuffles well. Reported days are the OBSERVED days (join with
+    * the DAU table), so a fan landing past the horizon never invents
+    * a day. Ratios are the only doubles, 4dp.
+    *
+    * Output: (day, dau, wau, mau, dau_wau, dau_mau).
+    */
+  def stickiness(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      weekDays: Int = 7,
+      monthDays: Int = 30): DataFrame = {
+    val day = expr(s"unix_micros($tsCol) div 86400000000")
+    val ud = events.select(col(userCol).as("u"), day.as("d"))
+      .distinct()
+      .localCheckpoint()
+    val dau = ud.groupBy(col("d").as("day"))
+      .agg(countDistinct(col("u")).as("dau"))
+    def trailing(days: Int, out: String) = ud
+      .select(col("u"), explode(sequence(col("d"), col("d") + (days - 1))).as("day"))
+      .groupBy("day").agg(countDistinct(col("u")).as(out))
+    dau
+      .join(trailing(weekDays, "wau"), Seq("day"))
+      .join(trailing(monthDays, "mau"), Seq("day"))
+      .withColumn("dau_wau", round(col("dau").cast("double") / col("wau"), 4))
+      .withColumn("dau_mau", round(col("dau").cast("double") / col("mau"), 4))
+  }
+
   /** Peak concurrency per key — the classic sweep line: intervals
     * become +1/−1 boundary events, the running sum is the number of
     * intervals open at each instant, and the report is its maximum

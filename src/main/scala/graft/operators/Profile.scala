@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data profiling (the ANALYZE/quality-report primitive of ingestion
@@ -83,5 +83,39 @@ object Profile {
           col("n_violations"))
     }
     (scanChecks +: pkCheck +: fkChecks).reduce(_.unionByName(_))
+  }
+
+  /** Benford first-digit audit — the fraud/synthetic-data detector
+    * (Benford 1938; Nigrini's forensic-accounting staple): naturally
+    * occurring multiplicative quantities put digit d first with
+    * probability log₁₀(1+1/d); fabricated or uniformly-generated
+    * numbers don't. Reports per-digit observed vs expected shares and
+    * the χ² distance.
+    *
+    * Determinism: the first digit is read from the DECIMAL STRING of
+    * the positive integer-cent value (leading digit of an integer is
+    * engine-exact; float log10-based extraction is not). One map-side
+    * combine to the NINE-row digit table; everything after is
+    * windows over those nine rows. χ² contributions rounded 6dp
+    * before the 4dp total (the F20/F22 contract).
+    *
+    * Output: (digit, n, p_obs, p_exp, contrib, chi2).
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val d = (c: Column) => c.cast("double")
+    df.filter(col(valueCol).isNotNull && cents > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("__total", sum(col("n")).over(all))
+      .withColumn("p_obs", round(d(col("n")) / col("__total"), 4))
+      .withColumn("p_exp", round(log10(lit(1.0) + lit(1.0) / col("digit")), 4))
+      .withColumn("__e", d(col("__total")) * log10(lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("contrib",
+        round((d(col("n")) - col("__e")) * (d(col("n")) - col("__e")) / col("__e"), 6))
+      .withColumn("chi2", round(sum(col("contrib")).over(all), 4))
+      .select(col("digit"), col("n"), col("p_obs"), col("p_exp"),
+        col("contrib"), col("chi2"))
   }
 }

@@ -1398,6 +1398,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("n_intervals")) == 4L)
   }
 
+  test("Profile.benfordAudit: exact digit shares, Benford data fits") {
+    // values 1.0, 10.0, 100.0 all lead with 1; 2.0 leads with 2
+    val df = Seq(1.0, 10.0, 100.0, 2.0).toDF("v")
+    val out = Profile.benfordAudit(df, "v").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3L && out(2L).getLong(1) == 1L)
+    assert(out(1L).getDouble(out(1L).fieldIndex("p_obs")) == 0.75)
+    assert(out(1L).getDouble(out(1L).fieldIndex("p_exp")) == 0.301)
+    // zero and null values are excluded from the digit population
+    val empty = Profile.benfordAudit(Seq(0.0, 0.001).toDF("v"), "v").collect()
+    assert(empty.isEmpty)
+  }
+
+  test("EventWindows.stickiness: trailing actives and honest horizon") {
+    // user 1 active day 0; user 2 active days 0 and 8
+    val ev = Seq((1L, 0L), (2L, 0L), (2L, 8L * 86400000000L))
+      .zipWithIndex.map { case ((u, us), i) => (i.toLong, u, us) }
+      .toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = EventWindows.stickiness(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 8L), "only observed days report")
+    val d8 = out(8L)
+    assert(d8.getLong(d8.fieldIndex("dau")) == 1L)
+    assert(d8.getLong(d8.fieldIndex("wau")) == 1L, "day 0 is outside the 7-day window")
+    assert(d8.getLong(d8.fieldIndex("mau")) == 2L, "day 0 is inside the 30-day window")
+    assert(d8.getDouble(d8.fieldIndex("dau_mau")) == 0.5)
+  }
+
   test("TextAnalysis.vocabBuild: dense ids in (freq desc, token) order") {
     val docs = Seq("x x x y y z", "x y w").toDF("text")
     val out = TextAnalysis.vocabBuild(docs, vocabSize = 3).collect()
