@@ -2449,6 +2449,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("y"))
       Rollups.changepoint(series, Seq("event_type"), "day", "y")
     }),
+    "q204_corr_matrix" -> ((s, dir) => {
+      // F29 pairwise correlation matrix over four lineitem measures
+      // in ONE scan — a single O(k²)-state combine, then a stack
+      val t = Tables(s, dir)
+      Rollups.corrMatrix(t.lineitem,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+    "q205_durbin_watson" -> ((s, dir) => {
+      // D17 residual autocorrelation of D9's yearly fit — did the
+      // straight line leave structure behind?
+      val t = Tables(s, dir)
+      val series = t.evidence.groupBy("datasourceId", "year")
+        .agg(count(lit(1)).as("n"))
+      Rollups.durbinWatson(series, Seq("datasourceId"), "year", "n")
+    }),
+    "q206_embedding_drift" -> ((s, dir) => {
+      // G69 per-dimension drift between the two vec_id parities (the
+      // train/serve split surrogate), ranked by standardized gap
+      val t = Tables(s, dir)
+      SimilaritySearch.embeddingDrift(
+        t.embeddings.withColumn("split", pmod(col("vec_id"), lit(2))), "split")
+    }),
     "q201_benford" -> ((s, dir) => {
       // F28 Benford first-digit audit of extended prices — the
       // synthetic-data/fraud detector; digit from the integer-cent
@@ -6524,5 +6546,119 @@ object SparkEntry {
         |       round(CAST(n_reached AS DOUBLE)
         |             / lag(n_reached) OVER (ORDER BY step), 4) AS conv
         |FROM r""".stripMargin,
+    // Matrix replay: HUGEINT moment sums (≡ Spark's decimal(38,0)),
+    // listwise deletion, one r expression per pair.
+    "q204_corr_matrix" ->
+      """WITH k AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS c1,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS c2,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS c3,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS c4
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+        |),
+        |s AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(c1) AS HUGEINT) AS s1, CAST(sum(c2) AS HUGEINT) AS s2,
+        |         CAST(sum(c3) AS HUGEINT) AS s3, CAST(sum(c4) AS HUGEINT) AS s4,
+        |         CAST(sum(c1*c1) AS HUGEINT) AS p11, CAST(sum(c1*c2) AS HUGEINT) AS p12,
+        |         CAST(sum(c1*c3) AS HUGEINT) AS p13, CAST(sum(c1*c4) AS HUGEINT) AS p14,
+        |         CAST(sum(c2*c2) AS HUGEINT) AS p22, CAST(sum(c2*c3) AS HUGEINT) AS p23,
+        |         CAST(sum(c2*c4) AS HUGEINT) AS p24, CAST(sum(c3*c3) AS HUGEINT) AS p33,
+        |         CAST(sum(c3*c4) AS HUGEINT) AS p34, CAST(sum(c4*c4) AS HUGEINT) AS p44
+        |  FROM k
+        |),
+        |pairs AS (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n, n*p12 - s1*s2 AS num, n*p11 - s1*s1 AS da, n*p22 - s2*s2 AS db FROM s
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', n, n*p13 - s1*s3, n*p11 - s1*s1, n*p33 - s3*s3 FROM s
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', n, n*p14 - s1*s4, n*p11 - s1*s1, n*p44 - s4*s4 FROM s
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', n, n*p23 - s2*s3, n*p22 - s2*s2, n*p33 - s3*s3 FROM s
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', n, n*p24 - s2*s4, n*p22 - s2*s2, n*p44 - s4*s4 FROM s
+        |  UNION ALL SELECT 'l_discount', 'l_tax', n, n*p34 - s3*s4, n*p33 - s3*s3, n*p44 - s4*s4 FROM s
+        |)
+        |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+        |       round(CAST(num AS DOUBLE)
+        |             / NULLIF(sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)), 0), 4) AS r
+        |FROM pairs""".stripMargin,
+    // DW replay: the q147 fit formulas verbatim (4dp slope/intercept),
+    // residuals in integer micro-units, exact long DW sums.
+    "q205_durbin_watson" ->
+      """WITH series AS (
+        |  SELECT l_returnflag AS datasourceId,
+        |         CAST(year(l_shipdate) AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT datasourceId, CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |         CAST(sum(x*y) AS HUGEINT) AS sxy, CAST(sum(x*x) AS HUGEINT) AS sxx
+        |  FROM series GROUP BY 1
+        |),
+        |f AS (
+        |  SELECT datasourceId,
+        |         round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 4) AS slope,
+        |         round((CAST(sy AS DOUBLE)
+        |             - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+        |               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept
+        |  FROM m WHERE n >= 2 AND n*sxx - sx*sx > 0
+        |),
+        |e AS (
+        |  SELECT s.datasourceId, s.x,
+        |         CAST(round((CAST(s.y AS DOUBLE)
+        |               - (f.intercept + f.slope * CAST(s.x AS DOUBLE))) * 1e6) AS BIGINT) AS ei
+        |  FROM series s JOIN f USING (datasourceId)
+        |),
+        |w AS (
+        |  SELECT datasourceId, ei,
+        |         ei - lag(ei) OVER (PARTITION BY datasourceId ORDER BY x) AS de
+        |  FROM e
+        |)
+        |SELECT datasourceId, CAST(count(*) AS BIGINT) AS n_points,
+        |       round(CAST(sum(de * de) AS DOUBLE)
+        |             / NULLIF(CAST(sum(ei * ei) AS DOUBLE), 0), 4) AS dw
+        |FROM w GROUP BY 1""".stripMargin,
+    // Drift replay: same quantized per-(dim, parity) exact sums, same
+    // pooled-σ drift, rank over the rounded drift.
+    "q206_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id % 2 AS g, u.pos, u.v
+        |  FROM (
+        |    SELECT vec_id,
+        |           unnest(list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
+        |             z -> struct_pack(pos := z[2] - 1,
+        |                              v := CAST(round(CAST(z[1] AS DOUBLE) * 1000) AS BIGINT)))) AS u
+        |    FROM embeddings
+        |  )
+        |),
+        |s AS (
+        |  SELECT pos,
+        |         CAST(count(*) FILTER (g = 0) AS BIGINT) AS n_a,
+        |         CAST(sum(v) FILTER (g = 0) AS BIGINT) AS sa,
+        |         CAST(sum(v * v) FILTER (g = 0) AS BIGINT) AS qa,
+        |         CAST(count(*) FILTER (g <> 0) AS BIGINT) AS n_b,
+        |         CAST(sum(v) FILTER (g <> 0) AS BIGINT) AS sb,
+        |         CAST(sum(v * v) FILTER (g <> 0) AS BIGINT) AS qb
+        |  FROM e GROUP BY 1 HAVING count(*) FILTER (g = 0) > 1 AND count(*) FILTER (g <> 0) > 1
+        |),
+        |v AS (
+        |  SELECT pos, n_a, n_b,
+        |         round(CAST(sa AS DOUBLE) / n_a, 4) AS mean_a,
+        |         round(CAST(sb AS DOUBLE) / n_b, 4) AS mean_b,
+        |         (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / n_a) / (n_a - 1) AS va,
+        |         (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / n_b) / (n_b - 1) AS vb,
+        |         CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b AS gap
+        |  FROM s
+        |),
+        |dr AS (
+        |  SELECT pos, n_a, n_b, mean_a, mean_b,
+        |         round(abs(gap) / NULLIF(sqrt(((n_a - 1) * va + (n_b - 1) * vb)
+        |                                      / (n_a + n_b - 2)), 0), 4) AS drift
+        |  FROM v
+        |)
+        |SELECT pos, n_a, n_b, mean_a, mean_b, drift,
+        |       CAST(rank() OVER (ORDER BY drift DESC NULLS LAST, pos) AS BIGINT) AS rank
+        |FROM dr""".stripMargin,
   )
 }

@@ -1100,6 +1100,93 @@ object Rollups {
           .as("p_value"))
   }
 
+  /** Pairwise Pearson correlation matrix over k numeric columns in
+    * ONE scan — the multi-metric dependence screen (which measures
+    * move together?) that k² separate corr queries would re-scan the
+    * corpus for. Listwise deletion: a row enters the matrix only if
+    * EVERY column is non-null, so all pairs share one n and the
+    * matrix is positive semi-definite.
+    *
+    * Exactness: values quantize to integer cents; all k + k(k+1)/2
+    * moment sums accumulate in decimal(38,0) (the D9 contract —
+    * exact, associative, overflow-safe past long range); each r is
+    * one double expression at the end, 4dp. Scale shape: a single
+    * aggregate node (map-side combined, O(k²) state), then a stack
+    * over the ONE-row result — the corpus is touched once, there is
+    * no join and no window.
+    *
+    * Output: (col_a, col_b, n, r), one row per unordered pair.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val dec = "decimal(38,0)"
+    val kept = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    def v(c: String) = round(col(c) * 100).cast("long").cast(dec)
+    val aggs = count(lit(1)).as("__n") +:
+      (cols.map(c => sum(v(c)).as(s"__s_$c")) ++
+        (for (i <- cols.indices; j <- i until cols.size)
+          yield sum(v(cols(i)) * v(cols(j))).as(s"__p_${cols(i)}_${cols(j)}")))
+    val one = kept.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast(dec)
+    def d(c: Column) = c.cast("double")
+    val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      val (a, b) = (cols(i), cols(j))
+      val num = n * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
+      val da = n * col(s"__p_${a}_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val db = n * col(s"__p_${b}_$b") - col(s"__s_$b") * col(s"__s_$b")
+      val den = sqrt(d(da) * d(db))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").cast("long").as("n"),
+        round(d(num) / when(den === 0, lit(null)).otherwise(den), 4).as("r"))
+    }
+    one.select(explode(array(pairs: _*)).as("__e")).select(col("__e.*"))
+  }
+
+  /** Durbin–Watson residual-autocorrelation diagnostic per keyed
+    * series — DW = Σ(e_t − e_{t−1})² / Σe_t² over the residuals of
+    * D9's least-squares fit (≈2 independent, →0 positively
+    * autocorrelated, →4 negatively): the test that says whether
+    * linearTrend's straight line actually explains the series or
+    * left structure behind (Durbin & Watson 1950).
+    *
+    * Determinism: residuals use the 4dp-ROUNDED slope/intercept that
+    * linearTrend already publishes (both engines fit the same
+    * rounded line), then quantize to integer micro-units, so both DW
+    * sums are exact longs and the single division is engine-exact.
+    *
+    * Scale shape: the series is eager-cut (it feeds the fit AND the
+    * residual pass); the trend table is keys-grain (broadcast); the
+    * lag window rides ONE (keys) exchange. Calendar-bounded series
+    * keep micro-unit squares far inside long range.
+    *
+    * Output: keys ++ (n_points, dw).
+    */
+  def durbinWatson(
+      series: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val s = series.localCheckpoint()
+    val trend = linearTrend(s, keys, xCol, yCol)
+      .select((keys.map(col) :+ col("slope") :+ col("intercept")): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(xCol)
+    val d = (c: Column) => c.cast("double")
+    s.join(broadcast(trend), keys)
+      .withColumn("__e",
+        round((d(col(yCol)) - (col("intercept") + col("slope") * d(col(xCol)))) * 1e6)
+          .cast("long"))
+      .withColumn("__de", col("__e") - lag(col("__e"), 1).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("__de") * col("__de")).as("__num"),
+        sum(col("__e") * col("__e")).as("__den"))
+      .select(keys.map(col) ++ Seq(col("n_points"),
+        round(d(col("__num")) /
+          when(col("__den") === 0, lit(null)).otherwise(d(col("__den"))), 4)
+          .as("dw")): _*)
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) test — the location-shift
     * companion to F25's KS (which sees any shape change; this asks
     * specifically "does one group's distribution sit higher?") with

@@ -584,6 +584,60 @@ object SimilaritySearch {
     }
   }
 
+  /** Per-dimension embedding drift between two populations — the
+    * training/serving-skew report of ML ops: for each vector
+    * dimension, both group means, their gap, the pooled standard
+    * deviation, and the standardized drift |Δmean|/σ_pooled, ranked
+    * so the most-shifted dimensions lead. A model whose serving
+    * embeddings drift from its training distribution degrades
+    * silently; this is the one-pass detector.
+    *
+    * Exactness: quantized integer components give exact per-(group,
+    * dim) count/sum/sum-of-squares; doubles enter only in the final
+    * mean/σ/drift projection (4dp), and the rank orders by the
+    * ROUNDED drift with the dim as tie-break. Scale shape: one
+    * posexplode fan absorbed by the (dim, group) map-side combine;
+    * every window runs over the DIM table (embedding width, not
+    * corpus rows).
+    *
+    * Output: (pos, n_a, n_b, mean_a, mean_b, drift, rank).
+    */
+  def embeddingDrift(
+      df: DataFrame,
+      groupCol: String,
+      embCol: String = "embedding"): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val stats = spread(df)
+      .select(col(groupCol).cast("long").as("__g"),
+        posexplode(quantize(col(embCol))).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(
+        sum(when(col("__g") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__g") === 0, col("v")).otherwise(0L)).as("__sa"),
+        sum(when(col("__g") === 0, col("v") * col("v")).otherwise(0L)).as("__qa"),
+        sum(when(col("__g") =!= 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__g") =!= 0, col("v")).otherwise(0L)).as("__sb"),
+        sum(when(col("__g") =!= 0, col("v") * col("v")).otherwise(0L)).as("__qb"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .withColumn("mean_a", round(d(col("__sa")) / col("n_a"), 4))
+      .withColumn("mean_b", round(d(col("__sb")) / col("n_b"), 4))
+      .withColumn("__va",
+        (d(col("__qa")) - d(col("__sa")) * d(col("__sa")) / col("n_a")) / (col("n_a") - 1))
+      .withColumn("__vb",
+        (d(col("__qb")) - d(col("__sb")) * d(col("__sb")) / col("n_b")) / (col("n_b") - 1))
+      .withColumn("__sp", sqrt(
+        ((col("n_a") - 1) * col("__va") + (col("n_b") - 1) * col("__vb")) /
+          (col("n_a") + col("n_b") - 2)))
+      .withColumn("drift", round(
+        abs(d(col("__sa")) / col("n_a") - d(col("__sb")) / col("n_b")) /
+          when(col("__sp") === 0, lit(null)).otherwise(col("__sp")), 4))
+    stats
+      .withColumn("rank", rank().over(
+        Window.orderBy(col("drift").desc_nulls_last, col("pos"))).cast("long"))
+      .select(col("pos").cast("long").as("pos"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("drift"), col("rank"))
+  }
+
   /** Recall@k of an approximate index against the exact answer — the
     * eval loop that justifies (or rejects) the bucketed 100 TB paths:
     * feed it [[bruteForceTopK]] as ground truth and any of

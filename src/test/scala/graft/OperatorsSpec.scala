@@ -1427,6 +1427,45 @@ class OperatorsSpec extends SparkSpec {
     assert(d8.getDouble(d8.fieldIndex("dau_mau")) == 0.5)
   }
 
+  test("Rollups.corrMatrix: perfect pair, anti pair, shared n") {
+    val df = (1 to 10).map(i => (i.toDouble, 2.0 * i, -1.0 * i))
+      .toDF("a", "b", "c")
+    val out = Rollups.corrMatrix(df, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 3)
+    assert(out(("a", "b")).getDouble(3) == 1.0)
+    assert(out(("a", "c")).getDouble(3) == -1.0)
+    assert(out.values.forall(_.getLong(2) == 10L), "listwise n is shared")
+  }
+
+  test("Rollups.durbinWatson: alternating residuals push DW toward 4") {
+    // y alternates around a flat line → e_t ≈ −e_{t−1} → DW ≈ 4
+    val series = (1L to 20L).map(x => ("k", x, if (x % 2 == 0) 10L else -10L))
+      .toDF("g", "x", "y")
+    val r = Rollups.durbinWatson(series, Seq("g"), "x", "y").collect().head
+    assert(r.getDouble(r.fieldIndex("dw")) > 3.5,
+      s"alternating series must give DW near 4, got ${r.getDouble(r.fieldIndex("dw"))}")
+    // smooth ramp fits exactly → zero residuals → null DW (0/0)
+    val ramp = (1L to 10L).map(x => ("k", x, 3 * x + 7)).toDF("g", "x", "y")
+    val rr = Rollups.durbinWatson(ramp, Seq("g"), "x", "y").collect().head
+    assert(rr.isNullAt(rr.fieldIndex("dw")))
+  }
+
+  test("SimilaritySearch.embeddingDrift: the shifted dim ranks first") {
+    // dim 0 differs by 10 between groups; dim 1 is identical
+    val rows = (0 until 8).map { i =>
+      val g = i % 2
+      (i.toLong, g, Array(10.0f * g + (i / 2) * 0.001f, 5.0f + (i / 2) * 0.001f))
+    }
+    val df = rows.toDF("vec_id", "split", "embedding")
+    val out = SimilaritySearch.embeddingDrift(df, "split").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(out(0L).fieldIndex("rank")) == 1L,
+      "the shifted dimension must rank first")
+    assert(out(0L).getDouble(out(0L).fieldIndex("drift")) >
+      out(1L).getDouble(out(1L).fieldIndex("drift")))
+  }
+
   test("TextAnalysis.vocabBuild: dense ids in (freq desc, token) order") {
     val docs = Seq("x x x y y z", "x y w").toDF("text")
     val out = TextAnalysis.vocabBuild(docs, vocabSize = 3).collect()

@@ -1060,4 +1060,70 @@ class ScaleDesignSpec extends SparkSpec {
     assert(windows(q194).isEmpty,
       "q194: the cap window must stay behind the checkpoint cut")
   }
+
+  test("round-8 batch-3 operator plans honor their scale claims") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def exec(q: String) =
+      SparkEntry.queries(q)(spark, sfDir).queryExecution
+    def shuffles(qe: org.apache.spark.sql.execution.QueryExecution) =
+      helper.collect(qe.executedPlan) { case e: ShuffleExchangeExec => e }
+    def scans(qe: org.apache.spark.sql.execution.QueryExecution) =
+      helper.collect(qe.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    def windows(qe: org.apache.spark.sql.execution.QueryExecution) =
+      qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    def noCartesian(q: String, qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+      assert(helper.collect(qe.executedPlan) {
+        case j: CartesianProductExec => j
+      }.isEmpty, s"$q must not build a cartesian product")
+
+    // q195: the O(m²) slope expansion is IN-ROW — no window, no join,
+    // the series collapse and the in-row median share one agg chain
+    val q195 = exec("q195_theil_sen")
+    assert(windows(q195).isEmpty, "q195 must stay window-free")
+    noCartesian("q195_theil_sen", q195)
+    assert(shuffles(q195).size <= 2,
+      s"q195: series + keys-grain exchanges only, got ${shuffles(q195).size}")
+
+    // q196: rank/tie windows and the moment rollup all partition on
+    // the key — no partitionless window anywhere
+    val q196 = exec("q196_spearman")
+    assert(windows(q196).nonEmpty &&
+      windows(q196).forall(_.partitionSpec.exists(_.toString.contains("event_type"))),
+      "q196: every window must ride the event_type key")
+
+    // q197: cumulative, totals, and the argmax rank all ride the keys
+    val q197 = exec("q197_changepoint")
+    assert(windows(q197).nonEmpty &&
+      windows(q197).forall(_.partitionSpec.exists(_.toString.contains("event_type"))),
+      "q197: every window must ride the event_type key")
+
+    // q199: value-grain checkpoint cut — the final plan reads no file
+    val q199 = exec("q199_mann_whitney")
+    assert(scans(q199).isEmpty,
+      s"q199: corpus must be cut at the value-grain checkpoint, got ${scans(q199).size}")
+
+    // q200: boundary cumsum + argmax ride the supplier key
+    val q200 = exec("q200_concurrency")
+    assert(windows(q200).nonEmpty &&
+      windows(q200).forall(_.partitionSpec.exists(_.toString.contains("l_suppkey"))),
+      "q200: every window must ride the supplier key")
+    noCartesian("q200_concurrency", q200)
+
+    // q201: one scan to the nine-row digit table
+    val q201 = exec("q201_benford")
+    assert(scans(q201).size == 1, s"q201: one scan, got ${scans(q201).size}")
+
+    // q202: user-day checkpoint cut feeds all three horizons — no
+    // file re-scan, no window (distincts are aggregates)
+    val q202 = exec("q202_stickiness")
+    assert(scans(q202).isEmpty,
+      s"q202: corpus must be cut at the user-day checkpoint, got ${scans(q202).size}")
+    assert(windows(q202).isEmpty, "q202 must stay window-free")
+  }
 }
