@@ -2449,6 +2449,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("y"))
       Rollups.changepoint(series, Seq("event_type"), "day", "y")
     }),
+    "q207_anova" -> ((s, dir) => {
+      // F30 one-way ANOVA: does ANY event type's mean value differ?
+      // one dim-sized combine + a one-row reduce, exact cent sums
+      val t = Tables(s, dir)
+      Rollups.anovaF(t.events, "event_type", "value")
+    }),
+    "q208_welch" -> ((s, dir) => {
+      // F31 Welch unequal-variance t-test, click vs view values
+      val t = Tables(s, dir)
+      Rollups.welchT(t.events, "event_type", "value", "click", "view")
+    }),
+    "q209_trending" -> ((s, dir) => {
+      // H35 daily top-3 trending event types with rank movement since
+      // each item's previous appearance
+      val t = Tables(s, dir)
+      EventWindows.trending(t.events)
+    }),
     "q204_corr_matrix" -> ((s, dir) => {
       // F29 pairwise correlation matrix over four lineitem measures
       // in ONE scan — a single O(k²)-state combine, then a stack
@@ -6660,5 +6677,85 @@ object SparkEntry {
         |SELECT pos, n_a, n_b, mean_a, mean_b, drift,
         |       CAST(rank() OVER (ORDER BY drift DESC NULLS LAST, pos) AS BIGINT) AS rank
         |FROM dr""".stripMargin,
+    // ANOVA replay: same per-group exact sums, same algebraic
+    // SSB/SSW identities in the same double op order.
+    "q207_anova" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |         sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb,
+        |         CAST(sum(s) AS BIGINT) AS S, CAST(sum(q) AS BIGINT) AS Q
+        |  FROM g
+        |),
+        |m AS (
+        |  SELECT k, n,
+        |         sb - CAST(S AS DOUBLE) * CAST(S AS DOUBLE) / n AS ssb,
+        |         CAST(Q AS DOUBLE) - sb AS ssw,
+        |         CAST(Q AS DOUBLE) - CAST(S AS DOUBLE) * CAST(S AS DOUBLE) / n AS sst
+        |  FROM t
+        |)
+        |SELECT k, n,
+        |       round((ssb / (k - 1))
+        |             / CASE WHEN ssw <= 0 OR n <= k THEN NULL
+        |                    ELSE ssw / (n - k) END, 4) AS f_stat,
+        |       round(ssb / CASE WHEN sst <= 0 THEN NULL ELSE sst END, 4) AS eta_sq
+        |FROM m""".stripMargin,
+    // Welch replay: same exact sums, same mean/variance/t/df ops.
+    "q208_welch" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n1,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'click') AS BIGINT) AS s1,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
+        |         FILTER (event_type = 'click') AS BIGINT) AS q1,
+        |    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n2,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'view') AS BIGINT) AS s2,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
+        |         FILTER (event_type = 'view') AS BIGINT) AS q2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |),
+        |v AS (
+        |  SELECT n1, n2, s1, s2,
+        |         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) AS v1,
+        |         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1) AS v2
+        |  FROM s WHERE n1 > 1 AND n2 > 1
+        |),
+        |e AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM v)
+        |SELECT n1, n2,
+        |       round(CAST(s1 AS DOUBLE) / n1 / 100.0, 4) AS mean1,
+        |       round(CAST(s2 AS DOUBLE) / n2 / 100.0, 4) AS mean2,
+        |       round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        |             / CASE WHEN se2 <= 0 THEN NULL ELSE sqrt(se2) END, 4) AS t,
+        |       round(se2 * se2 / CASE WHEN se2 <= 0 THEN NULL
+        |             ELSE (v1 / n1) * (v1 / n1) / (n1 - 1)
+        |                + (v2 / n2) * (v2 / n2) / (n2 - 1) END, 4) AS df
+        |FROM e""".stripMargin,
+    // Trending replay: same (day, item) grain, same tie-broken ranks,
+    // previous-appearance lag per item.
+    "q209_trending" ->
+      """WITH c AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         event_type AS item, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT day, item, n,
+        |         CAST(row_number() OVER (PARTITION BY day ORDER BY n DESC, item) AS BIGINT) AS rnk
+        |  FROM c
+        |),
+        |l AS (
+        |  SELECT day, item, n, rnk,
+        |         lag(rnk) OVER (PARTITION BY item ORDER BY day) AS prev_rnk
+        |  FROM r
+        |)
+        |SELECT day, item, n, rnk, prev_rnk, prev_rnk - rnk AS delta
+        |FROM l WHERE rnk <= 3""".stripMargin,
   )
 }

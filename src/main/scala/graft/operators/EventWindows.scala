@@ -497,6 +497,41 @@ object EventWindows {
         round(col("__max").cast("double") / 1e6, 4).as("max_gap_s")): _*)
   }
 
+  /** Daily trending ranks — per day, the top-k items by event count
+    * with each item's rank movement since its previous appearance
+    * (positive delta = rising): the "trending now" table of every
+    * analytics dashboard, with the movement column that raw counts
+    * don't give.
+    *
+    * Scale shape: the corpus collapses ONCE to (day, item) grain
+    * (map-side combine); the within-day rank partitions on the day
+    * (item-cardinality frames) and the movement lag partitions on the
+    * item (calendar-length frames) — both dim-shaped, exact integer
+    * ranks with (n desc, item) tie-break. `prev_rnk` is the rank at
+    * the item's previous OBSERVED day (an item absent yesterday
+    * compares to its last appearance, never to a phantom zero).
+    *
+    * Output: (day, item, n, rnk, prev_rnk, delta) for rnk ≤ k.
+    */
+  def trending(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      k: Int = 3): DataFrame = {
+    val day = expr(s"unix_micros($tsCol) div 86400000000")
+    val counts = events
+      .groupBy(day.as("day"), col(typeCol).as("item"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("rnk",
+      row_number().over(
+        Window.partitionBy("day").orderBy(col("n").desc, col("item"))).cast("long"))
+    ranked
+      .withColumn("prev_rnk",
+        lag(col("rnk"), 1).over(Window.partitionBy("item").orderBy("day")))
+      .filter(col("rnk") <= k)
+      .withColumn("delta", col("prev_rnk") - col("rnk"))
+  }
+
   /** DAU / WAU / MAU stickiness — the product-analytics engagement
     * staple: per day, the distinct actives that day, over the
     * trailing week, and over the trailing month, plus the stickiness

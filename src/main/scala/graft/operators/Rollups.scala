@@ -1100,6 +1100,85 @@ object Rollups {
           .as("p_value"))
   }
 
+  /** One-way ANOVA F statistic — does ANY of k groups' mean differ?
+    * The k-group generalization of F13's two-sample z-test: F =
+    * (SSB/(k−1)) / (SSW/(N−k)) with effect size η² = SSB/SST.
+    *
+    * Exactness: per-group integer-cent (n, Σx, Σx²) via ONE map-side
+    * combine; SSB/SSW use the algebraic identities ΣS_g²/n_g − S²/N
+    * and Q − ΣS_g²/n_g, all doubles derived from exact longs in the
+    * same op order both engines. Scale shape: group table is
+    * dim-sized; the final reduce is a one-row aggregate.
+    *
+    * Output: one row (k, n, f_stat, eta_sq) — null F when SSW = 0.
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(cents).as("__s"),
+        sum(cents * cents).as("__q"))
+    g.agg(
+        count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum(d(col("__s")) * d(col("__s")) / col("__n")).as("__sb"),
+        sum(col("__s")).as("__S"), sum(col("__q")).as("__Q"))
+      .withColumn("__ssb", col("__sb") - d(col("__S")) * d(col("__S")) / col("n"))
+      .withColumn("__ssw", d(col("__Q")) - col("__sb"))
+      .withColumn("__sst", d(col("__Q")) - d(col("__S")) * d(col("__S")) / col("n"))
+      .select(col("k"), col("n"),
+        round((col("__ssb") / (col("k") - 1)) /
+          when(col("__ssw") <= 0 || col("n") <= col("k"), lit(null))
+            .otherwise(col("__ssw") / (col("n") - col("k"))), 4).as("f_stat"),
+        round(col("__ssb") / when(col("__sst") <= 0, lit(null)).otherwise(col("__sst")), 4)
+          .as("eta_sq"))
+  }
+
+  /** Welch's unequal-variance t-test — the two-sample mean test that
+    * drops BOTH of the z-test's assumptions (known/equal variances):
+    * t = (m̄₁−m̄₂)/√(v₁/n₁+v₂/n₂) with the Welch–Satterthwaite
+    * effective df. The default A/B mean test when group sizes or
+    * spreads differ.
+    *
+    * Exactness: per-group integer-cent (n, Σx, Σx²) from ONE
+    * map-side combine; means/variances/t/df are doubles from exact
+    * longs in identical op order. Output: one row (n1, n2, mean1,
+    * mean2, t, df) — null t when both variances vanish.
+    */
+  def welchT(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val d = (c: Column) => c.cast("double")
+    df.filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(groupCol) === groupA, cents).otherwise(0L)).as("__s1"),
+        sum(when(col(groupCol) === groupA, cents * cents).otherwise(0L)).as("__q1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("n2"),
+        sum(when(col(groupCol) === groupB, cents).otherwise(0L)).as("__s2"),
+        sum(when(col(groupCol) === groupB, cents * cents).otherwise(0L)).as("__q2"))
+      .filter(col("n1") > 1 && col("n2") > 1)
+      .withColumn("__v1",
+        (d(col("__q1")) - d(col("__s1")) * d(col("__s1")) / col("n1")) / (col("n1") - 1))
+      .withColumn("__v2",
+        (d(col("__q2")) - d(col("__s2")) * d(col("__s2")) / col("n2")) / (col("n2") - 1))
+      .withColumn("__se2", col("__v1") / col("n1") + col("__v2") / col("n2"))
+      .select(col("n1"), col("n2"),
+        round(d(col("__s1")) / col("n1") / 100.0, 4).as("mean1"),
+        round(d(col("__s2")) / col("n2") / 100.0, 4).as("mean2"),
+        round((d(col("__s1")) / col("n1") - d(col("__s2")) / col("n2")) /
+          when(col("__se2") <= 0, lit(null)).otherwise(sqrt(col("__se2"))), 4).as("t"),
+        round(col("__se2") * col("__se2") /
+          when(col("__se2") <= 0, lit(null)).otherwise(
+            (col("__v1") / col("n1")) * (col("__v1") / col("n1")) / (col("n1") - 1) +
+              (col("__v2") / col("n2")) * (col("__v2") / col("n2")) / (col("n2") - 1)), 4)
+          .as("df"))
+  }
+
   /** Pairwise Pearson correlation matrix over k numeric columns in
     * ONE scan — the multi-metric dependence screen (which measures
     * move together?) that k² separate corr queries would re-scan the

@@ -1466,6 +1466,46 @@ class OperatorsSpec extends SparkSpec {
       out(1L).getDouble(out(1L).fieldIndex("drift")))
   }
 
+  test("Rollups.anovaF: separated groups large F, identical groups null F") {
+    val apart = (Seq.fill(10)(("a", 1.0)) ++ Seq.fill(10)(("b", 100.0)) ++
+      (1 to 10).map(i => ("c", 50.0 + (i % 2)))).toDF("g", "v")
+    val r = Rollups.anovaF(apart, "g", "v").collect().head
+    assert(r.getLong(r.fieldIndex("k")) == 3L)
+    assert(r.getDouble(r.fieldIndex("f_stat")) > 100.0)
+    assert(r.getDouble(r.fieldIndex("eta_sq")) > 0.9)
+    // zero within-group variance → F undefined (null), not infinity
+    val exact = (Seq.fill(5)(("a", 1.0)) ++ Seq.fill(5)(("b", 2.0))).toDF("g", "v")
+    val e = Rollups.anovaF(exact, "g", "v").collect().head
+    assert(e.isNullAt(e.fieldIndex("f_stat")))
+  }
+
+  test("Rollups.welchT: sign of t follows the mean gap; exact means") {
+    val df = (Seq.fill(20)(("A", 10.0)) ++ Seq.fill(20)(("A", 20.0)) ++
+      Seq.fill(20)(("B", 50.0)) ++ Seq.fill(20)(("B", 70.0))).toDF("g", "v")
+    val r = Rollups.welchT(df, "g", "v", "A", "B").collect().head
+    assert(r.getDouble(r.fieldIndex("mean1")) == 15.0)
+    assert(r.getDouble(r.fieldIndex("mean2")) == 60.0)
+    assert(r.getDouble(r.fieldIndex("t")) < -10.0)
+    assert(r.getDouble(r.fieldIndex("df")) > 20.0)
+  }
+
+  test("EventWindows.trending: rank movement vs previous appearance") {
+    val dayUs = 86400000000L
+    // day 0: x(3) > y(2); day 1: y(3) > x(1) → y rose by 1, x fell
+    val ev = (Seq.fill(3)((0L, "x")) ++ Seq.fill(2)((0L, "y")) ++
+      Seq.fill(1)((1L, "x")) ++ Seq.fill(3)((1L, "y")))
+      .zipWithIndex.map { case ((d, ty), i) => (i.toLong, d * dayUs, ty) }
+      .toDF("event_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = EventWindows.trending(ev, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val y1 = out((1L, "y"))
+    assert(y1.getLong(y1.fieldIndex("rnk")) == 1L)
+    assert(y1.getLong(y1.fieldIndex("delta")) == 1L, "y rose from rank 2 to 1")
+    val x0 = out((0L, "x"))
+    assert(x0.isNullAt(x0.fieldIndex("prev_rnk")), "first appearance has no prev")
+  }
+
   test("TextAnalysis.vocabBuild: dense ids in (freq desc, token) order") {
     val docs = Seq("x x x y y z", "x y w").toDF("text")
     val out = TextAnalysis.vocabBuild(docs, vocabSize = 3).collect()
