@@ -2449,6 +2449,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("y"))
       Rollups.changepoint(series, Seq("event_type"), "day", "y")
     }),
+    "q210_mde" -> ((s, dir) => {
+      // F32 experiment sizing: smallest mean gap the click-vs-view
+      // sample could detect at α=0.05 / 80% power
+      val t = Tables(s, dir)
+      Rollups.minDetectableEffect(t.events, "event_type", "value",
+        "click", "view")
+    }),
+    "q211_ewma_backtest" -> ((s, dir) => {
+      // D18 one-step-ahead forecast skill of D6's smoother on the
+      // yearly datasource series
+      val t = Tables(s, dir)
+      val series = t.evidence.groupBy("datasourceId", "year")
+        .agg(count(lit(1)).as("n"))
+      Rollups.ewmaBacktest(series, Seq("datasourceId"), "year", "n")
+    }),
+    "q212_label_confusion" -> ((s, dir) => {
+      // G70 hard-negative mining summary: which labels sit nearest
+      // a sampled query's label in embedding space?
+      val t = Tables(s, dir)
+      SimilaritySearch.labelConfusion(t.embeddings,
+        t.embeddings.filter(col("vec_id") % 10 === 0))
+    }),
     "q207_anova" -> ((s, dir) => {
       // F30 one-way ANOVA: does ANY event type's mean value differ?
       // one dim-sized combine + a one-row reduce, exact cent sums
@@ -6757,5 +6779,103 @@ object SparkEntry {
         |)
         |SELECT day, item, n, rnk, prev_rnk, prev_rnk - rnk AS delta
         |FROM l WHERE rnk <= 3""".stripMargin,
+    // MDE replay: welch-shape exact sums, the same fixed z literals.
+    "q210_mde" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n1,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'click') AS BIGINT) AS s1,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
+        |         FILTER (event_type = 'click') AS BIGINT) AS q1,
+        |    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n2,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'view') AS BIGINT) AS s2,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
+        |         FILTER (event_type = 'view') AS BIGINT) AS q2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |),
+        |v AS (
+        |  SELECT n1, n2, s1,
+        |         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) AS v1,
+        |         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1) AS v2
+        |  FROM s WHERE n1 > 1 AND n2 > 1
+        |),
+        |e AS (
+        |  SELECT n1, n2, CAST(s1 AS DOUBLE) / n1 AS m1,
+        |         sqrt(v1 / n1 + v2 / n2) AS se
+        |  FROM v
+        |)
+        |SELECT n1, n2, round(m1 / 100.0, 4) AS mean1, round(se / 100.0, 4) AS se,
+        |       round((1.959964 + 0.841621) * se / 100.0, 4) AS mde_abs,
+        |       round((1.959964 + 0.841621) * se
+        |             / CASE WHEN m1 = 0 THEN NULL ELSE m1 END, 4) AS mde_rel
+        |FROM e""".stripMargin,
+    // Backtest replay: the q120 EWMA closed form, lagged one step,
+    // errors in integer micro-units before the sums.
+    "q211_ewma_backtest" ->
+      """WITH series AS (
+        |  SELECT l_returnflag AS datasourceId,
+        |         CAST(year(l_shipdate) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT datasourceId, x, y,
+        |         row_number() OVER (PARTITION BY datasourceId ORDER BY x) AS rn
+        |  FROM series
+        |),
+        |g AS (
+        |  SELECT *, CASE WHEN rn = 1 THEN y * 2.0 ELSE y * pow(2.0, rn - 1) END AS gg
+        |  FROM r
+        |),
+        |sm AS (
+        |  SELECT datasourceId, x, y,
+        |         sum(gg) OVER (PARTITION BY datasourceId ORDER BY x
+        |                       ROWS UNBOUNDED PRECEDING) / pow(2.0, rn) AS s
+        |  FROM g
+        |),
+        |f AS (
+        |  SELECT datasourceId, x, y,
+        |         lag(s) OVER (PARTITION BY datasourceId ORDER BY x) AS fc
+        |  FROM sm
+        |),
+        |e AS (
+        |  SELECT datasourceId,
+        |         CAST(abs(round((CAST(y AS DOUBLE) - fc) * 1e6)) AS BIGINT) AS errU,
+        |         CASE WHEN CAST(y AS DOUBLE) > 0
+        |           THEN CAST(abs(round((CAST(y AS DOUBLE) - fc) / CAST(y AS DOUBLE) * 1e6)) AS BIGINT)
+        |         END AS apeU
+        |  FROM f WHERE fc IS NOT NULL
+        |)
+        |SELECT datasourceId, CAST(count(*) AS BIGINT) AS n_forecasts,
+        |       CAST(count(*) FILTER (apeU IS NULL) AS BIGINT) AS n_skipped,
+        |       round(CAST(sum(errU) AS DOUBLE) / count(*) / 1e6, 4) AS mae,
+        |       round(CAST(sum(apeU) AS DOUBLE)
+        |             / NULLIF(CAST(count(apeU) AS DOUBLE), 0) / 1e6, 4) AS mape
+        |FROM e GROUP BY 1""".stripMargin,
+    // Confusion replay: the q34 brute-force ranking on the %10 query
+    // sample, labels attached per side, label-partitioned share.
+    "q212_label_confusion" ->
+      s"""WITH $EmbSql,
+         |qs AS (SELECT vec_id AS query_id, q AS qq, n AS qn FROM nrm WHERE vec_id % 10 = 0),
+         |nn AS (
+         |  SELECT query_id, id FROM (
+         |    SELECT q.query_id, c.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+         |               / (c.n * q.qn) DESC, c.vec_id) AS rank
+         |    FROM nrm c CROSS JOIN qs q WHERE c.vec_id != q.query_id
+         |  ) WHERE rank <= 5
+         |),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS l FROM embeddings),
+         |m AS (
+         |  SELECT lq.l AS label_q, ln.l AS label_n, CAST(count(*) AS BIGINT) AS n
+         |  FROM nn JOIN lab lq ON lq.vec_id = nn.query_id
+         |          JOIN lab ln ON ln.vec_id = nn.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT label_q, label_n, n,
+         |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY label_q), 4) AS share,
+         |       label_q <> label_n AS hard_negative
+         |FROM m""".stripMargin,
   )
 }

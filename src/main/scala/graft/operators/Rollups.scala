@@ -1179,6 +1179,94 @@ object Rollups {
           .as("df"))
   }
 
+  /** Minimum detectable effect for a two-group mean test — the
+    * experiment-sizing report: at α=0.05 (two-sided) and 80% power,
+    * the smallest true mean gap this sample could reliably detect is
+    * (z₀.₉₇₅+z₀.₈)·√(v₁/n₁+v₂/n₂) ≈ 2.801585·SE. Run BEFORE an A/B
+    * readout: an observed "no difference" is only meaningful down to
+    * the MDE.
+    *
+    * Exactness: ONE corpus aggregate of exact integer-cent sums (the
+    * welchT shape); the z-quantiles are fixed literals (1.959964,
+    * 0.841621); doubles only in the final projection, 4dp.
+    *
+    * Output: one row (n1, n2, mean1, se, mde_abs, mde_rel).
+    */
+  def minDetectableEffect(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val zSum = 1.959964 + 0.841621
+    df.filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(groupCol) === groupA, cents).otherwise(0L)).as("__s1"),
+        sum(when(col(groupCol) === groupA, cents * cents).otherwise(0L)).as("__q1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("n2"),
+        sum(when(col(groupCol) === groupB, cents).otherwise(0L)).as("__s2"),
+        sum(when(col(groupCol) === groupB, cents * cents).otherwise(0L)).as("__q2"))
+      .filter(col("n1") > 1 && col("n2") > 1)
+      .withColumn("__v1",
+        (d(col("__q1")) - d(col("__s1")) * d(col("__s1")) / col("n1")) / (col("n1") - 1))
+      .withColumn("__v2",
+        (d(col("__q2")) - d(col("__s2")) * d(col("__s2")) / col("n2")) / (col("n2") - 1))
+      .withColumn("__m1", d(col("__s1")) / col("n1"))
+      .withColumn("__se", sqrt(col("__v1") / col("n1") + col("__v2") / col("n2")))
+      .select(col("n1"), col("n2"),
+        round(col("__m1") / 100.0, 4).as("mean1"),
+        round(col("__se") / 100.0, 4).as("se"),
+        round(lit(zSum) * col("__se") / 100.0, 4).as("mde_abs"),
+        round(lit(zSum) * col("__se") /
+          when(col("__m1") === 0, lit(null)).otherwise(col("__m1")), 4).as("mde_rel"))
+  }
+
+  /** One-step-ahead EWMA forecast backtest per keyed series — the
+    * forecast-skill report for D6's half-life smoother: predict each
+    * point from the EWMA of everything BEFORE it, then score MAE and
+    * MAPE. A model that can't beat its own smoothed history on the
+    * past shouldn't forecast the future.
+    *
+    * Determinism: the EWMA is the ordered cumulative closed form
+    * (engine-identical doubles); per-point errors are then quantized
+    * to integer micro-units so the MAE/MAPE sums are exact longs and
+    * no float fold-order can differ. One (keys) exchange carries the
+    * smoother, the lag, and the rollup. MAPE skips y ≤ 0 points
+    * (reported as n_skipped).
+    *
+    * Output: keys ++ (n_forecasts, n_skipped, mae, mape).
+    */
+  def ewmaBacktest(
+      series: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(xCol))
+    val d = (c: Column) => c.cast("double")
+    ewmaHalf(series, keys, xCol, yCol, out = "__s")
+      .withColumn("__f", lag(col("__s"), 1).over(w))
+      .filter(col("__f").isNotNull)
+      .withColumn("__errU", abs(round((d(col(yCol)) - col("__f")) * 1e6)).cast("long"))
+      .withColumn("__apeU",
+        when(d(col(yCol)) > 0,
+          abs(round((d(col(yCol)) - col("__f")) / d(col(yCol)) * 1e6))).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_forecasts"),
+        sum(when(col("__apeU").isNull, 1L).otherwise(0L)).as("n_skipped"),
+        sum(col("__errU")).as("__se"),
+        sum(col("__apeU")).as("__sa"),
+        count(col("__apeU")).as("__na"))
+      .select(keys.map(col) ++ Seq(col("n_forecasts"), col("n_skipped"),
+        round(d(col("__se")) / col("n_forecasts") / 1e6, 4).as("mae"),
+        round(d(col("__sa")) /
+          when(col("__na") === 0, lit(null)).otherwise(d(col("__na"))) / 1e6, 4)
+          .as("mape")): _*)
+  }
+
   /** Pairwise Pearson correlation matrix over k numeric columns in
     * ONE scan — the multi-metric dependence screen (which measures
     * move together?) that k² separate corr queries would re-scan the

@@ -638,6 +638,45 @@ object SimilaritySearch {
         col("mean_a"), col("mean_b"), col("drift"), col("rank"))
   }
 
+  /** Neighbor label-confusion matrix — hard-negative mining's summary
+    * report: for a sample of query vectors, which labels do their
+    * nearest neighbors carry? Off-diagonal mass = hard negatives
+    * (near in embedding space, different class) — the pairs a
+    * contrastive trainer should mine, and the classes a centroid
+    * classifier (G22) will confuse.
+    *
+    * Scale shape: rides [[bruteForceTopK]] on a QUERY SAMPLE (the
+    * standard mining practice — swap in the bucketed ANN for the
+    * 100 TB corpus path); label attachment is two broadcast-able
+    * joins on the id; the matrix is a (label², dim-sized) combine
+    * with a label-partitioned share window. Exact counts; the share
+    * is the only division.
+    *
+    * Output: (label_q, label_n, n, share, hard_negative).
+    */
+  def labelConfusion(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      labelCol: String = "label",
+      embCol: String = "embedding"): DataFrame = {
+    val nn = bruteForceTopK(emb, queries, k, idCol, embCol)
+    val labels = emb.select(col(idCol).cast("long").as("__id"),
+      col(labelCol).cast("long").as("__l"))
+    val byQ = Window.partitionBy("label_q")
+    nn
+      .join(labels.select(col("__id").as("query_id"), col("__l").as("label_q")),
+        Seq("query_id"))
+      .join(labels.select(col("__id").as("id"), col("__l").as("label_n")),
+        Seq("id"))
+      .groupBy("label_q", "label_n")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(byQ), 4))
+      .withColumn("hard_negative", col("label_q") =!= col("label_n"))
+  }
+
   /** Recall@k of an approximate index against the exact answer — the
     * eval loop that justifies (or rejects) the bucketed 100 TB paths:
     * feed it [[bruteForceTopK]] as ground truth and any of

@@ -1506,6 +1506,47 @@ class OperatorsSpec extends SparkSpec {
     assert(x0.isNullAt(x0.fieldIndex("prev_rnk")), "first appearance has no prev")
   }
 
+  test("Rollups.minDetectableEffect: MDE shrinks as n grows") {
+    def sample(n: Int) = ((1 to n).map(i => ("A", 10.0 + (i % 5))) ++
+      (1 to n).map(i => ("B", 10.0 + ((i + 2) % 5)))).toDF("g", "v")
+    def mde(n: Int) = Rollups.minDetectableEffect(sample(n), "g", "v", "A", "B")
+      .collect().head.getDouble(4)
+    assert(mde(400) < mde(25), "4x the data must shrink the detectable effect")
+    val r = Rollups.minDetectableEffect(sample(100), "g", "v", "A", "B")
+      .collect().head
+    assert(r.getDouble(r.fieldIndex("mde_abs")) > 0.0)
+    assert(r.getDouble(r.fieldIndex("mean1")) == 12.0)
+  }
+
+  test("Rollups.ewmaBacktest: constant series forecasts itself exactly") {
+    val flat = (1L to 10L).map(x => ("k", x, 7L)).toDF("g", "x", "y")
+    val r = Rollups.ewmaBacktest(flat, Seq("g"), "x", "y").collect().head
+    assert(r.getLong(r.fieldIndex("n_forecasts")) == 9L)
+    assert(r.getDouble(r.fieldIndex("mae")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("mape")) == 0.0)
+    // a jumpy series must show positive error
+    val jump = (1L to 10L).map(x => ("k", x, if (x > 5) 100L else 10L)).toDF("g", "x", "y")
+    val j = Rollups.ewmaBacktest(jump, Seq("g"), "x", "y").collect().head
+    assert(j.getDouble(j.fieldIndex("mae")) > 0.0)
+  }
+
+  test("SimilaritySearch.labelConfusion: clustered labels stay diagonal") {
+    // two well-separated clusters with distinct labels: every
+    // neighbor shares the query's label → zero hard-negative mass
+    val rows = (0 until 12).map { i =>
+      val cluster = i % 2
+      val base = if (cluster == 0) 1.0f else -1.0f
+      val emb = Array.tabulate(4)(d => base * (1.0f + 0.001f * i + d * 0.01f))
+      (i.toLong, emb, cluster)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.labelConfusion(df, df, k = 3)
+    val offDiag = out.filter(col("hard_negative")).collect()
+    assert(offDiag.isEmpty, s"separated clusters must not cross: ${offDiag.toSeq}")
+    val diag = out.filter(!col("hard_negative")).collect()
+    assert(diag.forall(_.getDouble(3) == 1.0), "diagonal share must be 1.0")
+  }
+
   test("TextAnalysis.vocabBuild: dense ids in (freq desc, token) order") {
     val docs = Seq("x x x y y z", "x y w").toDF("text")
     val out = TextAnalysis.vocabBuild(docs, vocabSize = 3).collect()
