@@ -2449,6 +2449,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("y"))
       Rollups.changepoint(series, Seq("event_type"), "day", "y")
     }),
+    "q213_centroid_outliers" -> ((s, dir) => {
+      // G71 label-noise candidates: per label, the 5 vectors least
+      // like their own centroid
+      val t = Tables(s, dir)
+      SimilaritySearch.centroidOutliers(t.embeddings)
+    }),
+    "q214_bootstrap_diff" -> ((s, dir) => {
+      // F33 resampling CI around the click-vs-view mean gap — the
+      // q173 Poisson machinery pointed at the A/B effect
+      val t = Tables(s, dir)
+      Rollups.bootstrapDiffCI(t.events, "event_type", "value",
+        "click", "view", "event_id")
+    }),
     "q210_mde" -> ((s, dir) => {
       // F32 experiment sizing: smallest mean gap the click-vs-view
       // sample could detect at α=0.05 / 80% power
@@ -6877,5 +6890,93 @@ object SparkEntry {
          |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY label_q), 4) AS share,
          |       label_q <> label_n AS hard_negative
          |FROM m""".stripMargin,
+    // Outlier replay: the q71 centroid CTEs over the FULL set, cosine
+    // to the OWN label's centroid, (cos asc, id) rank per label.
+    "q213_centroid_outliers" ->
+      s"""WITH $EmbSql,
+         |tr AS (
+         |  SELECT CAST(e.label AS BIGINT) AS lbl, n.vec_id, n.q, n.n
+         |  FROM nrm n JOIN embeddings e ON n.vec_id = e.vec_id
+         |  WHERE n.n > 0
+         |),
+         |sums AS (
+         |  SELECT lbl, i AS pos, CAST(sum(q[i]) AS BIGINT) AS s
+         |  FROM tr CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+         |  GROUP BY 1, 2
+         |),
+         |cents AS (
+         |  SELECT lbl, cv,
+         |         sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)) AS cn
+         |  FROM (SELECT lbl, list(s ORDER BY pos) AS cv FROM sums GROUP BY lbl)
+         |  WHERE sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)) > 0
+         |),
+         |scored AS (
+         |  SELECT tr.lbl AS label, tr.vec_id,
+         |         round(CAST(list_sum(list_transform(range(1, 65), i -> tr.q[i] * c.cv[i])) AS DOUBLE)
+         |               / (tr.n * c.cn), 4) AS cos
+         |  FROM tr JOIN cents c ON c.lbl = tr.lbl
+         |),
+         |rk AS (
+         |  SELECT label, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY label ORDER BY cos ASC, vec_id) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT label, vec_id, cos, rank FROM rk WHERE rank <= 5""".stripMargin,
+    // Diff-CI replay: the q173 Poisson draw verbatim, four exact-long
+    // states per rep, percentile band over replicate diffs.
+    "q214_bootstrap_diff" ->
+      s"""WITH ev AS (
+         |  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+         |         CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE value IS NOT NULL AND event_id IS NOT NULL
+         |    AND event_type IN ('click', 'view')
+         |),
+         |r AS (
+         |  SELECT g, cents,
+         |         ${HexValSql("md5(id || ':boot:' || CAST(rep AS VARCHAR))", 1, 6)} AS b,
+         |         rep
+         |  FROM ev CROSS JOIN (SELECT unnest(range(0, 64)) AS rep)
+         |),
+         |w AS (
+         |  SELECT g, rep, cents,
+         |         CASE WHEN b < 6171992 THEN 0 WHEN b < 12343985 THEN 1
+         |              WHEN b < 15429982 THEN 2 WHEN b < 16458647 THEN 3
+         |              WHEN b < 16715813 THEN 4 WHEN b < 16767247 THEN 5
+         |              WHEN b < 16775819 THEN 6 WHEN b < 16777044 THEN 7
+         |              ELSE 8 END AS w
+         |  FROM r
+         |),
+         |pr AS (
+         |  SELECT rep,
+         |         sum(CASE WHEN g = 'click' THEN w * cents ELSE 0 END) AS wsA,
+         |         sum(CASE WHEN g = 'click' THEN w ELSE 0 END) AS wnA,
+         |         sum(CASE WHEN g <> 'click' THEN w * cents ELSE 0 END) AS wsB,
+         |         sum(CASE WHEN g <> 'click' THEN w ELSE 0 END) AS wnB
+         |  FROM w GROUP BY 1 HAVING sum(CASE WHEN g = 'click' THEN w ELSE 0 END) > 0
+         |     AND sum(CASE WHEN g <> 'click' THEN w ELSE 0 END) > 0
+         |),
+         |m AS (
+         |  SELECT CAST(wsB AS DOUBLE) / CAST(wnB AS DOUBLE) / 100.0
+         |         - CAST(wsA AS DOUBLE) / CAST(wnA AS DOUBLE) / 100.0 AS diff
+         |  FROM pr
+         |),
+         |ci AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_reps,
+         |         round(quantile_cont(diff, 0.025), 4) AS ci_lo,
+         |         round(quantile_cont(diff, 0.975), 4) AS ci_hi
+         |  FROM m
+         |),
+         |base AS (
+         |  SELECT CAST(count(*) FILTER (g = 'click') AS BIGINT) AS n1,
+         |         CAST(count(*) FILTER (g <> 'click') AS BIGINT) AS n2,
+         |         round(CAST(sum(cents) FILTER (g <> 'click') AS DOUBLE)
+         |               / count(*) FILTER (g <> 'click') / 100.0
+         |             - CAST(sum(cents) FILTER (g = 'click') AS DOUBLE)
+         |               / count(*) FILTER (g = 'click') / 100.0, 4) AS diff
+         |  FROM ev
+         |)
+         |SELECT n1, n2, diff, n_reps, ci_lo, ci_hi
+         |FROM base CROSS JOIN ci""".stripMargin,
   )
 }

@@ -1179,6 +1179,78 @@ object Rollups {
           .as("df"))
   }
 
+  /** Poisson-bootstrap CI for a DIFFERENCE in means — the
+    * uncertainty band around an A/B effect estimate (F18's machinery
+    * pointed at the quantity experimenters actually report): each
+    * replicate re-weights every row with the same seeded Poisson(1)
+    * draw as q173, computes meanB − meanA, and the band is the
+    * percentile interval over replicates. A CI excluding 0 ⇒ the
+    * effect survives resampling noise.
+    *
+    * Scale shape: the rep fan-out is absorbed by the (rep) map-side
+    * combine carrying FOUR exact-long states (both groups' weighted
+    * sums/counts) — reps × O(1) rows shuffle, never data copies; the
+    * base estimate is one more aggregate of the same exact cents.
+    *
+    * Output: one row (n1, n2, diff, n_reps, ci_lo, ci_hi).
+    */
+  def bootstrapDiffCI(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String,
+      idCol: String,
+      reps: Int = 64,
+      salt: String = "boot",
+      alphaPct: Int = 5): DataFrame = {
+    require(reps > 0 && alphaPct > 0 && alphaPct < 100)
+    val cents = round(col(valueCol) * 100).cast("long")
+    val rows = df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull &&
+        col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__g"), cents.as("__c"),
+        col(idCol).cast("string").as("__id"))
+      .localCheckpoint()
+    val bucket = conv(substring(
+        md5(concat(col("__id"), lit(":" + salt + ":"), col("rep").cast("string"))),
+        1, 6), 16, 10).cast("long")
+    val weight = PoissonThresholds.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, (t, k)) =>
+        Some(acc.fold(when(bucket < t, k))(_.when(bucket < t, k)))
+      }.get.otherwise(8).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val isA = col("__g") === groupA
+    val repDiffs = rows
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__w", weight)
+      .groupBy("rep")
+      .agg(
+        sum(when(isA, col("__w") * col("__c")).otherwise(0L)).as("__wsA"),
+        sum(when(isA, col("__w")).otherwise(0L)).as("__wnA"),
+        sum(when(!isA, col("__w") * col("__c")).otherwise(0L)).as("__wsB"),
+        sum(when(!isA, col("__w")).otherwise(0L)).as("__wnB"))
+      .filter(col("__wnA") > 0 && col("__wnB") > 0)
+      .withColumn("__diff",
+        d(col("__wsB")) / d(col("__wnB")) / 100.0 -
+          d(col("__wsA")) / d(col("__wnA")) / 100.0)
+    val lo = alphaPct / 200.0
+    val hi = 1.0 - lo
+    val ci = repDiffs.agg(
+      count(lit(1)).as("n_reps"),
+      round(expr(s"percentile(__diff, $lo)"), 4).as("ci_lo"),
+      round(expr(s"percentile(__diff, $hi)"), 4).as("ci_hi"))
+    val base = rows.agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n1"),
+      sum(when(isA, col("__c")).otherwise(0L)).as("__sA"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n2"),
+      sum(when(!isA, col("__c")).otherwise(0L)).as("__sB"))
+      .select(col("n1"), col("n2"),
+        round(d(col("__sB")) / col("n2") / 100.0 -
+          d(col("__sA")) / col("n1") / 100.0, 4).as("diff"))
+    base.crossJoin(broadcast(ci))
+  }
+
   /** Minimum detectable effect for a two-group mean test — the
     * experiment-sizing report: at α=0.05 (two-sided) and 80% power,
     * the smallest true mean gap this sample could reliably detect is

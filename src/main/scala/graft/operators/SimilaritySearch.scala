@@ -638,6 +638,54 @@ object SimilaritySearch {
         col("mean_a"), col("mean_b"), col("drift"), col("rank"))
   }
 
+  /** Centroid-distance label-noise candidates — the mislabeled-data
+    * detector of a curation pipeline: each vector's cosine to its OWN
+    * label's centroid, with the k least-similar per label surfaced
+    * as probable annotation errors (Northcutt's confident-learning
+    * intuition reduced to the centroid geometry G22 already uses).
+    *
+    * Scale shape: centroids are the same exact per-(label, dim)
+    * integer sums as [[centroidClassify]] (map-side combined
+    * posexplode fan, label-count-sized result broadcast back); the
+    * own-label attach is a broadcast join, cosine a projection, and
+    * the outlier pick a label-partitioned rank ordered (cos asc, id)
+    * — O(k) survivors per label. Self-inclusion in the centroid is
+    * deliberate (it biases AGAINST flagging, never toward).
+    *
+    * Output: (label, vec_id, cos, rank) for rank ≤ k.
+    */
+  def centroidOutliers(
+      df: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val vecs = spread(df)
+      .select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("long").as("lbl"),
+        quantize(col(embCol)).as("qv"))
+      .withColumn("nrm", sqrt(quantizedDot(col("qv"), col("qv")).cast("double")))
+      .filter(col("nrm") > 0)
+    val cents = vecs
+      .select(col("lbl"), posexplode(col("qv")))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(sum("col").as("s"))
+      .groupBy("lbl")
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("lbl"),
+        transform(col("ps"), x => x.getField("s")).as("cv"))
+      .withColumn("cnrm", sqrt(quantizedDot(col("cv"), col("cv")).cast("double")))
+      .filter(col("cnrm") > 0)
+    val w = Window.partitionBy("lbl").orderBy(col("cos").asc, col("id"))
+    vecs.join(broadcast(cents), Seq("lbl"))
+      .withColumn("cos", round(
+        quantizedDot(col("qv"), col("cv")).cast("double") /
+          (col("nrm") * col("cnrm")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("lbl").as("label"), col("id").as(idCol), col("cos"), col("rank"))
+  }
+
   /** Neighbor label-confusion matrix — hard-negative mining's summary
     * report: for a sample of query vectors, which labels do their
     * nearest neighbors carry? Off-diagonal mass = hard negatives

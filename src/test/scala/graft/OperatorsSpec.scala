@@ -1547,6 +1547,31 @@ class OperatorsSpec extends SparkSpec {
     assert(diag.forall(_.getDouble(3) == 1.0), "diagonal share must be 1.0")
   }
 
+  test("SimilaritySearch.centroidOutliers: the planted outlier ranks 1") {
+    // label 0: nine tight vectors + one flipped outlier
+    val rows = (0 until 9).map(i =>
+      (i.toLong, Array(1.0f, 1.0f + 0.001f * i, 0.5f, 0.0f), 0)) :+
+      (99L, Array(-1.0f, -1.0f, -0.5f, 0.0f), 0)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.centroidOutliers(df, k = 2).collect()
+    assert(out.head.getLong(1) == 99L && out.head.getLong(3) == 1L,
+      s"the flipped vector must rank as the top outlier: ${out.toSeq}")
+    assert(out.head.getDouble(2) < 0.0, "opposed vector has negative cosine")
+  }
+
+  test("Rollups.bootstrapDiffCI: clear gap keeps the CI off zero") {
+    val df = ((1 to 200).map(i => ("A", 10.0, i.toLong)) ++
+      (1 to 200).map(i => ("B", 30.0, 1000L + i)))
+      .toDF("g", "v", "id")
+    val r = Rollups.bootstrapDiffCI(df, "g", "v", "A", "B", "id").collect().head
+    assert(r.getDouble(r.fieldIndex("diff")) == 20.0)
+    assert(r.getDouble(r.fieldIndex("ci_lo")) > 0.0, "CI must exclude zero")
+    assert(r.getLong(r.fieldIndex("n_reps")) == 64L)
+    // degenerate constant values → every replicate diff is exactly 20
+    assert(r.getDouble(r.fieldIndex("ci_lo")) == 20.0 &&
+      r.getDouble(r.fieldIndex("ci_hi")) == 20.0)
+  }
+
   test("TextAnalysis.vocabBuild: dense ids in (freq desc, token) order") {
     val docs = Seq("x x x y y z", "x y w").toDF("text")
     val out = TextAnalysis.vocabBuild(docs, vocabSize = 3).collect()
