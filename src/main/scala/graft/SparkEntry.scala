@@ -2462,6 +2462,24 @@ object SparkEntry {
       Rollups.bootstrapDiffCI(t.events, "event_type", "value",
         "click", "view", "event_id")
     }),
+    "q215_psi" -> ((s, dir) => {
+      // I25 population-stability drift gate: click values binned by
+      // the view distribution's published deciles
+      val t = Tables(s, dir)
+      Profile.psi(t.events, "event_type", "value", "view", "click")
+    }),
+    "q216_auc" -> ((s, dir) => {
+      // F34 threshold-free classifier quality: does value separate
+      // clicks from views? AUC via the F27 rank statistic
+      val t = Tables(s, dir)
+      Rollups.rocAuc(t.events, "event_type", "value", "click", "view")
+    }),
+    "q217_gini" -> ((s, dir) => {
+      // F35 corpus mass concentration: how unequally is character
+      // mass spread across documents?
+      val t = Tables(s, dir)
+      Rollups.giniConcentration(t.documents, "n_chars")
+    }),
     "q210_mde" -> ((s, dir) => {
       // F32 experiment sizing: smallest mean gap the click-vs-view
       // sample could detect at α=0.05 / 80% power
@@ -6978,5 +6996,101 @@ object SparkEntry {
          |)
          |SELECT n1, n2, diff, n_reps, ci_lo, ci_hi
          |FROM base CROSS JOIN ci""".stripMargin,
+    // PSI replay: same 4dp-rounded reference deciles, same v > b bin
+    // rule, same exact shares and 6dp contributions.
+    "q215_psi" ->
+      """WITH c AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         event_type = 'view' AS is_ref
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('view', 'click')
+        |),
+        |b AS (
+        |  SELECT list_transform(
+        |           quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |           x -> round(x, 4)) AS bs
+        |  FROM c WHERE is_ref
+        |),
+        |binned AS (
+        |  SELECT CAST(list_sum(list_transform(bs,
+        |           x -> CASE WHEN v > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin,
+        |         is_ref
+        |  FROM c CROSS JOIN b
+        |),
+        |t AS (
+        |  SELECT bin,
+        |         CAST(count(*) FILTER (is_ref) AS BIGINT) AS n_ref,
+        |         CAST(count(*) FILTER (NOT is_ref) AS BIGINT) AS n_cur
+        |  FROM binned GROUP BY 1
+        |),
+        |w AS (
+        |  SELECT bin, n_ref, n_cur,
+        |         CAST(n_ref AS DOUBLE) / sum(n_ref) OVER () AS pr,
+        |         CAST(n_cur AS DOUBLE) / sum(n_cur) OVER () AS pc
+        |  FROM t
+        |),
+        |x AS (
+        |  SELECT bin, n_ref, n_cur, pr, pc,
+        |         CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+        |              ELSE round((pr - pc) * ln(pr / pc), 6) END AS contrib
+        |  FROM w
+        |)
+        |SELECT bin, n_ref, n_cur, round(pr, 4) AS p_ref, round(pc, 4) AS p_cur,
+        |       contrib, round(sum(contrib) OVER (), 4) AS psi
+        |FROM x""".stripMargin,
+    // AUC replay: the F27 integer 2·average-rank machinery, AUC =
+    // 2U1 / (2·n_pos·n_neg).
+    "q216_auc" ->
+      """WITH p AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |),
+        |r AS (
+        |  SELECT c1, c2,
+        |         2 * (sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |              - (c1 + c2)) + (c1 + c2) + 1 AS r2
+        |  FROM p
+        |),
+        |s AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
+        |         CAST(sum(c2) AS BIGINT) AS n_neg,
+        |         CAST(sum(c1 * r2) AS BIGINT) AS r2sum1
+        |  FROM r
+        |)
+        |SELECT n_pos, n_neg,
+        |       round(CAST(r2sum1 - n_pos * (n_pos + 1) AS DOUBLE)
+        |             / CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |                    ELSE CAST(2 * n_pos * n_neg AS DOUBLE) END, 4) AS auc
+        |FROM s""".stripMargin,
+    // Gini replay: same value-grain tie-run closed form, HUGEINT
+    // totals mirroring the decimal(38,0) sums.
+    "q217_gini" ->
+      """WITH p AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars >= 0
+        |  GROUP BY 1
+        |),
+        |r AS (
+        |  SELECT v, c,
+        |         sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS cb
+        |  FROM p
+        |),
+        |s AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         sum(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)) AS t,
+        |         sum(CAST(v AS HUGEINT) * (CAST(c AS HUGEINT) * CAST(cb AS HUGEINT)
+        |             + CAST((c * (c + 1)) // 2 AS HUGEINT))) AS s2
+        |  FROM r
+        |)
+        |SELECT n, CAST(t AS BIGINT) AS total,
+        |       round((2.0 * CAST(s2 AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(t AS DOUBLE))
+        |             / CASE WHEN n = 0 OR t = 0 THEN NULL
+        |                    ELSE CAST(n AS DOUBLE) * CAST(t AS DOUBLE) END, 4) AS gini
+        |FROM s""".stripMargin,
   )
 }

@@ -118,4 +118,66 @@ object Profile {
       .select(col("digit"), col("n"), col("p_obs"), col("p_exp"),
         col("contrib"), col("chi2"))
   }
+
+  /** Population Stability Index — the model-monitoring drift staple:
+    * bin the CURRENT distribution by the REFERENCE distribution's
+    * deciles and score Σ(p_ref−p_cur)·ln(p_ref/p_cur). Rule of thumb
+    * PSI < 0.1 stable, > 0.25 shifted — the scalar that gates "did
+    * the serving distribution leave the training distribution?"
+    * before F25's KS even asks about shape.
+    *
+    * Determinism: values quantize to integer cents; the nine decile
+    * boundaries come from ONE reference-side interpolated-percentile
+    * aggregate ROUNDED 4dp (the F14 winsorize contract — both
+    * engines bin against the same published thresholds); bin index =
+    * Σ(v > bᵢ) over the broadcast one-row boundary array, an exact
+    * integer-vs-4dp compare. Shares are exact count ratios over the
+    * ≤10-row bin table; each contribution is one double expression
+    * rounded 6dp, the PSI their 4dp window total (the F20 contract).
+    * A bin empty on either side contributes NULL (reported, excluded
+    * from the total) rather than an invented ε.
+    *
+    * Scale shape: one corpus scan for the boundaries (reference rows
+    * only), one for the binning — each a map-side-combined aggregate;
+    * the boundary frame is a one-row broadcast; every window rides
+    * the bin table. Output: (bin, n_ref, n_cur, p_ref, p_cur,
+    * contrib, psi), one row per occupied bin.
+    */
+  def psi(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      refGroup: String,
+      curGroup: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val rows = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(refGroup, curGroup))
+      .select(cents.as("__v"), (col(groupCol) === refGroup).as("__ref"))
+    val bounds = rows.filter(col("__ref"))
+      .agg(percentile(col("__v"),
+        typedLit((1 to 9).map(_ / 10.0))).as("__p"))
+      .select(transform(col("__p"), b => round(b, 4)).as("__bs"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val d = (c: Column) => c.cast("double")
+    rows.crossJoin(broadcast(bounds))
+      .withColumn("__bin",
+        aggregate(col("__bs"), lit(0),
+          (acc, b) => acc + when(col("__v") > b, 1).otherwise(0)))
+      .groupBy(col("__bin").cast("long").as("bin"))
+      .agg(
+        sum(when(col("__ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("__ref"), 1L).otherwise(0L)).as("n_cur"))
+      .withColumn("__tr", sum(col("n_ref")).over(all))
+      .withColumn("__tc", sum(col("n_cur")).over(all))
+      .withColumn("__pr", d(col("n_ref")) / col("__tr"))
+      .withColumn("__pc", d(col("n_cur")) / col("__tc"))
+      .withColumn("contrib",
+        when(col("n_ref") === 0 || col("n_cur") === 0, lit(null))
+          .otherwise(round((col("__pr") - col("__pc")) *
+            log(col("__pr") / col("__pc")), 6)))
+      .withColumn("psi", round(sum(col("contrib")).over(all), 4))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("__pr"), 4).as("p_ref"), round(col("__pc"), 4).as("p_cur"),
+        col("contrib"), col("psi"))
+  }
 }

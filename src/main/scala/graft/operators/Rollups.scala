@@ -1613,4 +1613,94 @@ object Rollups {
       .select(keys.map(col) ++ Seq(col("__n").as("n_points"),
         col(xCol).as("split_x"), round(col("gain"), 4).as("gain")): _*)
   }
+
+  /** ROC AUC from the rank statistic — AUC = P(score⁺ > score⁻) +
+    * ½P(=), which is exactly U₁/(n₁n₂) of F27's Mann–Whitney U
+    * (Hanley & McNeil 1982): the threshold-free quality number for
+    * any scored binary classifier (quality filters, dedup verifiers,
+    * toxicity scorers) without materializing a ROC curve.
+    *
+    * Exactness: the F27 machinery verbatim — integer-cent value
+    * grain, INTEGER 2·average-ranks from a cumulative window over
+    * DISTINCT values, exact-long 2U₁ = Σc⁺·r2 − n⁺(n⁺+1); AUC is the
+    * single double division 2U₁/(2n⁺n⁻), 4dp. Scale shape: one
+    * corpus scan collapsing to value grain (eager-cut), the
+    * range-bounded cumulative window, a one-row output.
+    *
+    * Output: (n_pos, n_neg, auc).
+    */
+  def rocAuc(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      posGroup: String,
+      negGroup: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(posGroup, negGroup))
+      .groupBy(cents.as("v"))
+      .agg(
+        sum(when(col(groupCol) === posGroup, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === negGroup, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: Column) => c.cast("double")
+    pts
+      .withColumn("__t", col("c1") + col("c2"))
+      .withColumn("__r2",
+        lit(2L) * (sum(col("__t")).over(w) - col("__t")) + col("__t") + 1L)
+      .agg(
+        sum(col("c1")).as("n_pos"), sum(col("c2")).as("n_neg"),
+        sum(col("c1") * col("__r2")).as("__r2sum1"))
+      .withColumn("__twoU1",
+        col("__r2sum1") - col("n_pos") * (col("n_pos") + 1L))
+      .select(col("n_pos"), col("n_neg"),
+        round(d(col("__twoU1")) /
+          when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+            .otherwise(d(lit(2L) * col("n_pos") * col("n_neg"))), 4).as("auc"))
+  }
+
+  /** Gini concentration of an additive mass column — how unequally a
+    * corpus's character/token/byte mass is spread across its rows
+    * (Gini 1912 via the grouped-data rank form): G = (2·Σᵢ i·x₍ᵢ₎ −
+    * (n+1)·Σx)/(n·Σx). G→0 means uniform docs, G→1 means a few
+    * giants carry the corpus — the sizing diagnostic for packing
+    * (G25) and per-doc token budgets (G52).
+    *
+    * Exactness at scale: the corpus collapses to VALUE grain with
+    * counts; within a tie-run of c equal values starting after
+    * cum_before rows, Σᵢ i·x = v·(c·cum_before + c(c+1)/2) in closed
+    * form — so the rank weighting needs no corpus-grain window, only
+    * the F25/F27 cumulative window over DISTINCT values. All three
+    * totals accumulate in decimal(38,0) (the D9 overflow contract);
+    * G is one double expression at the end, 4dp.
+    *
+    * Output: one row (n, total, gini).
+    */
+  def giniConcentration(df: DataFrame, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: Column) => c.cast("double")
+    pts
+      .withColumn("__cb", sum(col("c")).over(w) - col("c"))
+      .withColumn("__s",
+        col("v").cast(dec) * (col("c").cast(dec) * col("__cb").cast(dec) +
+          expr("(c * (c + 1)) div 2").cast(dec)))
+      .agg(
+        sum(col("c")).as("n"),
+        sum(col("v").cast(dec) * col("c").cast(dec)).as("__T"),
+        sum(col("__s")).as("__S"))
+      .select(col("n"),
+        col("__T").cast("long").as("total"),
+        round((lit(2.0) * d(col("__S")) - d(col("n") + 1L) * d(col("__T"))) /
+          when(col("n") === 0 || col("__T") === 0, lit(null))
+            .otherwise(d(col("n")) * d(col("__T"))), 4).as("gini"))
+  }
 }

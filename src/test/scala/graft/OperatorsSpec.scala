@@ -1580,4 +1580,50 @@ class OperatorsSpec extends SparkSpec {
     // coverage is vs the FULL corpus total (9 tokens), not the slice
     assert(out.last.getDouble(3) == math.rint((4.0 + 3 + 1) / 9 * 1e6) / 1e6)
   }
+
+  test("Rollups.rocAuc: perfect separation 1.0, identical values 0.5") {
+    val sep = ((1 to 10).map(i => ("p", 10.0 + i)) ++
+      (1 to 10).map(i => ("n", i.toDouble))).toDF("g", "v")
+    val r = Rollups.rocAuc(sep, "g", "v", "p", "n").collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+    assert(r.getDouble(r.fieldIndex("auc")) == 1.0)
+    // every value tied → AUC is exactly the coin flip
+    val tied = (Seq.fill(7)(("p", 5.0)) ++ Seq.fill(3)(("n", 5.0))).toDF("g", "v")
+    val t = Rollups.rocAuc(tied, "g", "v", "p", "n").collect().head
+    assert(t.getDouble(t.fieldIndex("auc")) == 0.5)
+    // reversed scores → 0.0
+    val rev = Rollups.rocAuc(sep, "g", "v", "n", "p").collect().head
+    assert(rev.getDouble(rev.fieldIndex("auc")) == 0.0)
+  }
+
+  test("Rollups.giniConcentration: uniform 0, one giant near 1, known case") {
+    val uni = Seq.fill(10)(5L).toDF("m")
+    val u = Rollups.giniConcentration(uni, "m").collect().head
+    assert(u.getDouble(u.fieldIndex("gini")) == 0.0)
+    assert(u.getLong(u.fieldIndex("total")) == 50L)
+    // one row carries everything: G = (n-1)/n = 0.9
+    val giant = (Seq.fill(9)(0L) :+ 1000L).toDF("m")
+    val g = Rollups.giniConcentration(giant, "m").collect().head
+    assert(g.getDouble(g.fieldIndex("gini")) == 0.9)
+    // hand case [1,2,3]: S=1*1+2*2+3*3=14, T=6, n=3 → (28-24)/18=0.2222
+    val h = Rollups.giniConcentration(Seq(3L, 1L, 2L).toDF("m"), "m").collect().head
+    assert(h.getDouble(h.fieldIndex("gini")) == 0.2222)
+  }
+
+  test("Profile.psi: identical distributions score 0, a shift scores > 0") {
+    val base = (1 to 100).map(i => ("ref", i.toDouble)) ++
+      (1 to 100).map(i => ("cur", i.toDouble))
+    val same = Profile.psi(base.toDF("g", "v"), "g", "v", "ref", "cur")
+      .collect()
+    assert(same.forall(_.getDouble(same.head.fieldIndex("psi")) == 0.0))
+    assert(same.map(_.getLong(0)).sorted.toSeq == (0L to 9L))
+    // shift the current distribution up by half its range
+    val shifted = (1 to 100).map(i => ("ref", i.toDouble)) ++
+      (1 to 100).map(i => ("cur", i + 50.0))
+    val s = Profile.psi(shifted.toDF("g", "v"), "g", "v", "ref", "cur").collect()
+    assert(s.head.getDouble(s.head.fieldIndex("psi")) > 0.25,
+      "a half-range shift must cross the 0.25 alarm threshold")
+    // empty-on-one-side bins report NULL contributions, never ε
+    assert(s.exists(r => r.isNullAt(r.fieldIndex("contrib"))))
+  }
 }

@@ -1126,4 +1126,144 @@ class ScaleDesignSpec extends SparkSpec {
       s"q202: corpus must be cut at the user-day checkpoint, got ${scans(q202).size}")
     assert(windows(q202).isEmpty, "q202 must stay window-free")
   }
+
+  test("round-8 batch-4 operator plans honor their scale claims") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def exec(q: String) =
+      SparkEntry.queries(q)(spark, sfDir).queryExecution
+    def shuffles(qe: org.apache.spark.sql.execution.QueryExecution) =
+      helper.collect(qe.executedPlan) { case e: ShuffleExchangeExec => e }
+    def scans(qe: org.apache.spark.sql.execution.QueryExecution) =
+      helper.collect(qe.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    def windows(qe: org.apache.spark.sql.execution.QueryExecution) =
+      qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    def noCartesian(q: String, qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+      assert(helper.collect(qe.executedPlan) {
+        case j: CartesianProductExec => j
+      }.isEmpty, s"$q must not build a cartesian product")
+
+    // q203: each funnel stage's plan re-expands its ancestors, so the
+    // event scans are triangular in the STEP LIST (steps(steps+1)/2 +
+    // the distinct-user spine = 7 for 3 steps) — bounded by the fixed
+    // step count, never by data; the only window is the lag over the
+    // 4-row step spine
+    val q203 = exec("q203_funnel_steps")
+    assert(scans(q203).size <= 7,
+      s"q203: step-bounded event scans only, got ${scans(q203).size}")
+    assert(windows(q203).size == 1, "q203: exactly the 4-row spine lag window")
+
+    // q204: the whole k-column matrix is ONE scan + ONE map-side
+    // combined aggregate — no window, no join, corpus touched once
+    val q204 = exec("q204_corr_matrix")
+    assert(scans(q204).size == 1, s"q204: one scan, got ${scans(q204).size}")
+    assert(windows(q204).isEmpty, "q204 must stay window-free")
+    assert(shuffles(q204).size <= 1,
+      s"q204: one global-aggregate exchange, got ${shuffles(q204).size}")
+    noCartesian("q204_corr_matrix", q204)
+
+    // q205: series eager-cut (feeds fit AND residual pass — zero file
+    // re-scan); trend attach is keys-grain broadcast; the lag window
+    // rides the series keys
+    val q205 = exec("q205_durbin_watson")
+    assert(scans(q205).isEmpty,
+      s"q205: series must be cut at the checkpoint, got ${scans(q205).size} scans")
+    assert(helper.collect(q205.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }.nonEmpty, "q205: the keys-grain trend attach must broadcast")
+    assert(windows(q205).nonEmpty &&
+      windows(q205).forall(_.partitionSpec.exists(_.toString.contains("datasourceId"))),
+      "q205: every window must ride the series keys")
+
+    // q206: the posexplode fan is absorbed by the (dim) combine — one
+    // scan, and the only window is the rank over the WIDTH-sized table
+    val q206 = exec("q206_embedding_drift")
+    assert(scans(q206).size == 1, s"q206: one scan, got ${scans(q206).size}")
+    assert(windows(q206).size == 1, "q206: exactly the dim-table rank window")
+    noCartesian("q206_embedding_drift", q206)
+
+    // q207/q208/q210: pure aggregate chains — window-free, one scan
+    for (q <- Seq("q207_anova", "q208_welch", "q210_mde")) {
+      val qe = exec(q)
+      assert(scans(qe).size == 1, s"$q: one scan, got ${scans(qe).size}")
+      assert(windows(qe).isEmpty, s"$q must stay window-free")
+      noCartesian(q, qe)
+    }
+    // q208/q210 are single global aggregates: exactly one exchange
+    for (q <- Seq("q208_welch", "q210_mde"))
+      assert(shuffles(exec(q)).size == 1,
+        s"$q: one global-aggregate exchange")
+
+    // q209: both windows are dim-shaped — rank partitions on the day,
+    // the movement lag on the item; the corpus collapses once
+    val q209 = exec("q209_trending")
+    assert(scans(q209).size == 1, s"q209: one scan, got ${scans(q209).size}")
+    assert(windows(q209).size == 2 &&
+      windows(q209).forall(w => w.partitionSpec.exists(p =>
+        p.toString.contains("day") || p.toString.contains("item"))),
+      "q209: exactly the day-rank and item-lag windows")
+
+    // q211: smoother, lag, and rollup all ride the series keys
+    val q211 = exec("q211_ewma_backtest")
+    assert(scans(q211).size == 1, s"q211: one scan, got ${scans(q211).size}")
+    assert(windows(q211).nonEmpty &&
+      windows(q211).forall(_.partitionSpec.exists(_.toString.contains("datasourceId"))),
+      "q211: every window must ride the series keys")
+
+    // q212: the share window partitions on the query label (label² at
+    // most); the ride on the sampled brute-force is the only loop join
+    val q212 = exec("q212_label_confusion")
+    noCartesian("q212_label_confusion", q212)
+    assert(windows(q212).exists(_.partitionSpec.exists(_.toString.contains("label_q"))),
+      "q212: the share window must partition on label_q")
+
+    // q213: centroid attach broadcasts the label-count-sized table;
+    // the outlier pick is the only window and rides the label
+    val q213 = exec("q213_centroid_outliers")
+    assert(helper.collect(q213.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }.nonEmpty, "q213: the centroid attach must broadcast")
+    assert(windows(q213).size == 1 &&
+      windows(q213).head.partitionSpec.exists(_.toString.contains("lbl")),
+      "q213: exactly the label-partitioned rank window")
+    noCartesian("q213_centroid_outliers", q213)
+
+    // q214: rows eager-cut (feed reps AND base — zero file re-scan);
+    // window-free (reps are a combine, the CI a percentile aggregate);
+    // the only loop join is the one-row CI attach
+    val q214 = exec("q214_bootstrap_diff")
+    assert(scans(q214).isEmpty,
+      s"q214: rows must be cut at the checkpoint, got ${scans(q214).size} scans")
+    assert(windows(q214).isEmpty, "q214 must stay window-free")
+    assert(helper.collect(q214.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.size <= 1, "q214: only the 1-row CI attach may loop")
+
+    // q215: two corpus passes (boundary aggregate + binning combine);
+    // the only loop join is the one-row boundary broadcast; all
+    // windows ride the ≤10-row bin table
+    val q215 = exec("q215_psi")
+    assert(scans(q215).size == 2,
+      s"q215: boundary + binning scans only, got ${scans(q215).size}")
+    noCartesian("q215_psi", q215)
+    assert(helper.collect(q215.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.size <= 1, "q215: only the 1-row boundary attach may loop")
+    assert(windows(q215).size <= 2, "q215: bin-table windows only")
+
+    // q216/q217: value-grain collapse behind an eager cut, then the
+    // ONE range-bounded cumulative window and a one-row output
+    for (q <- Seq("q216_auc", "q217_gini")) {
+      val qe = exec(q)
+      assert(scans(qe).isEmpty,
+        s"$q: corpus must be cut at the value-grain checkpoint, got ${scans(qe).size}")
+      assert(windows(qe).size == 1, s"$q: exactly the cumulative window")
+      noCartesian(q, qe)
+    }
+  }
 }
