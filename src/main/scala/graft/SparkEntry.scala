@@ -2480,6 +2480,25 @@ object SparkEntry {
       val t = Tables(s, dir)
       Rollups.giniConcentration(t.documents, "n_chars")
     }),
+    "q218_ols2" -> ((s, dir) => {
+      // F36 two-regressor OLS in closed form: price on quantity
+      // controlling for discount, one scan, Cramer on exact moments
+      val t = Tables(s, dir)
+      Rollups.ols2(t.lineitem, "l_extendedprice", "l_quantity", "l_discount")
+    }),
+    "q219_partial_corr" -> ((s, dir) => {
+      // F37 confounder screen: quantity-price dependence with the
+      // discount channel partialled out
+      val t = Tables(s, dir)
+      Rollups.partialCorr(t.lineitem, "l_quantity", "l_extendedprice",
+        "l_discount")
+    }),
+    "q220_cohort_ltv" -> ((s, dir) => {
+      // H36 cohort lifetime-value matrix: first-seen-week cohorts,
+      // cumulative revenue per user as each cohort ages
+      val t = Tables(s, dir)
+      EventWindows.cohortLtv(t.events)
+    }),
     "q210_mde" -> ((s, dir) => {
       // F32 experiment sizing: smallest mean gap the click-vs-view
       // sample could detect at α=0.05 / 80% power
@@ -7092,5 +7111,138 @@ object SparkEntry {
         |             / CASE WHEN n = 0 OR t = 0 THEN NULL
         |                    ELSE CAST(n AS DOUBLE) * CAST(t AS DOUBLE) END, 4) AS gini
         |FROM s""".stripMargin,
+    // OLS replay: same exact HUGEINT cent moments, same Cramer
+    // determinant expressions in identical double op order.
+    "q218_ols2" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS s1,
+        |         sum(CAST(round(l_discount * 100) AS BIGINT)) AS s2,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+        |         sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS s11,
+        |         sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS s12,
+        |         sum(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS s22,
+        |         sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS s1y,
+        |         sum(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS s2y,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |),
+        |d AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nn,
+        |         CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+        |         CAST(sy AS DOUBLE) AS dy,
+        |         CAST(s11 AS DOUBLE) AS d11, CAST(s12 AS DOUBLE) AS d12,
+        |         CAST(s22 AS DOUBLE) AS d22,
+        |         CAST(s1y AS DOUBLE) AS d1y, CAST(s2y AS DOUBLE) AS d2y,
+        |         CAST(syy AS DOUBLE) AS dyy
+        |  FROM m
+        |),
+        |c AS (
+        |  SELECT n, nn, dy, d1y, d2y, dyy,
+        |         nn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+        |           + d2 * (d1 * d12 - d11 * d2) AS det,
+        |         dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y)
+        |           + d2 * (d1y * d12 - d11 * d2y) AS det0,
+        |         nn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2)
+        |           + d2 * (d1 * d2y - d1y * d2) AS det1,
+        |         nn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2)
+        |           + dy * (d1 * d12 - d11 * d2) AS det2,
+        |         dyy - dy * dy / nn AS sst
+        |  FROM d
+        |),
+        |b AS (
+        |  SELECT n, dy, d1y, d2y, dyy, sst,
+        |         CASE WHEN abs(det) < 1e-9 * nn THEN NULL ELSE det0 / det END AS b0,
+        |         CASE WHEN abs(det) < 1e-9 * nn THEN NULL ELSE det1 / det END AS b1,
+        |         CASE WHEN abs(det) < 1e-9 * nn THEN NULL ELSE det2 / det END AS b2
+        |  FROM c
+        |)
+        |SELECT n, round(b0 / 100.0, 6) AS b0, round(b1, 6) AS b1,
+        |       round(b2, 6) AS b2,
+        |       round(1.0 - (dyy - b0 * dy - b1 * d1y - b2 * d2y)
+        |             / CASE WHEN sst <= 0 THEN NULL ELSE sst END, 4) AS r2
+        |FROM b""".stripMargin,
+    // Partial-correlation replay: F29's exact HUGEINT moments, the
+    // same unrounded r's feeding the partial formula.
+    "q219_partial_corr" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+        |         sum(CAST(round(l_discount * 100) AS BIGINT)) AS sz,
+        |         sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+        |         sum(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS szz,
+        |         sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+        |         sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS sxz,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS syz
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |),
+        |r AS (
+        |  SELECT n,
+        |         CAST(n * sxy - sx * sy AS DOUBLE)
+        |           / CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) = 0
+        |                  THEN NULL
+        |                  ELSE sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) END AS rxy,
+        |         CAST(n * sxz - sx * sz AS DOUBLE)
+        |           / CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE)) = 0
+        |                  THEN NULL
+        |                  ELSE sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE)) END AS rxz,
+        |         CAST(n * syz - sy * sz AS DOUBLE)
+        |           / CASE WHEN sqrt(CAST(n * syy - sy * sy AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE)) = 0
+        |                  THEN NULL
+        |                  ELSE sqrt(CAST(n * syy - sy * sy AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE)) END AS ryz
+        |  FROM m
+        |),
+        |p AS (
+        |  SELECT n, rxy, rxz, ryz,
+        |         sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) AS den
+        |  FROM r
+        |)
+        |SELECT n, round(rxy, 4) AS r_xy, round(rxz, 4) AS r_xz,
+        |       round(ryz, 4) AS r_yz,
+        |       round((rxy - rxz * ryz)
+        |             / CASE WHEN den = 0 THEN NULL ELSE den END, 4) AS r_partial
+        |FROM p""".stripMargin,
+    // Cohort-LTV replay: same first-seen min window, same integer-cent
+    // revenue, same cohort-partitioned cumulative.
+    "q220_cohort_ltv" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |         COALESCE(CAST(round(value * 100) AS BIGINT), 0) AS c
+        |  FROM events
+        |),
+        |w AS (
+        |  SELECT user_id, d, c, min(d) OVER (PARTITION BY user_id) AS fd
+        |  FROM f
+        |),
+        |g AS (
+        |  SELECT fd // 7 AS cohort_week, d // 7 - fd // 7 AS age_weeks,
+        |         user_id, c
+        |  FROM w
+        |),
+        |sizes AS (
+        |  SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM g GROUP BY 1
+        |),
+        |rev AS (
+        |  SELECT cohort_week, age_weeks, CAST(sum(c) AS BIGINT) AS cents
+        |  FROM g GROUP BY 1, 2
+        |),
+        |cum AS (
+        |  SELECT r.cohort_week, r.age_weeks, s.n_users, r.cents,
+        |         sum(r.cents) OVER (PARTITION BY r.cohort_week ORDER BY r.age_weeks
+        |                            ROWS UNBOUNDED PRECEDING) AS cumc
+        |  FROM rev r JOIN sizes s USING (cohort_week)
+        |)
+        |SELECT cohort_week, age_weeks, n_users,
+        |       round(CAST(cents AS DOUBLE) / 100.0, 4) AS revenue,
+        |       round(CAST(cumc AS DOUBLE) / 100.0 / n_users, 4) AS cum_ltv
+        |FROM cum""".stripMargin,
   )
 }

@@ -571,6 +571,50 @@ object EventWindows {
       .withColumn("dau_mau", round(col("dau").cast("double") / col("mau"), 4))
   }
 
+  /** Cohort LTV matrix — the revenue companion to H15's retention
+    * counts: users grouped by FIRST-SEEN week, their value summed per
+    * week-of-age, and the running cumulative divided by cohort size =
+    * lifetime value per user as each cohort ages. The table under
+    * every "payback period" and cohort-quality decision.
+    *
+    * Scale shape: ONE corpus scan; the first-seen week is an O(1)-
+    * state min window on the (user) exchange (no self-join, no second
+    * scan); the frame is eager-cut because it feeds BOTH the
+    * (cohort, age) revenue combine and the cohort-size distinct;
+    * cohort sizes attach back at cohort grain (broadcast); the
+    * cumulative rides the cohort-partitioned age order over the
+    * dim-sized matrix. Revenue is exact integer cents end to end;
+    * the LTV division is the only double, 4dp.
+    *
+    * Output: (cohort_week, age_weeks, n_users, revenue, cum_ltv).
+    */
+  def cohortLtv(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val wUser = Window.partitionBy(userCol)
+    val frame = events
+      .select(col(userCol), expr(s"unix_micros($tsCol) div 86400000000").as("__d"),
+        coalesce(round(col(valueCol) * 100).cast("long"), lit(0L)).as("__c"))
+      .withColumn("__fd", min(col("__d")).over(wUser))
+      .withColumn("cohort_week", expr("__fd div 7"))
+      .withColumn("age_weeks", expr("__d div 7") - col("cohort_week"))
+      .localCheckpoint()
+    val sizes = frame.groupBy("cohort_week")
+      .agg(countDistinct(col(userCol)).as("n_users"))
+    val cum = Window.partitionBy("cohort_week").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame
+      .groupBy("cohort_week", "age_weeks")
+      .agg(sum(col("__c")).as("__cents"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("__cum", sum(col("__cents")).over(cum))
+      .select(col("cohort_week"), col("age_weeks"), col("n_users"),
+        round(col("__cents").cast("double") / 100.0, 4).as("revenue"),
+        round(col("__cum").cast("double") / 100.0 / col("n_users"), 4).as("cum_ltv"))
+  }
+
   /** Peak concurrency per key — the classic sweep line: intervals
     * become +1/−1 boundary events, the running sum is the number of
     * intervals open at each instant, and the report is its maximum

@@ -1661,6 +1661,130 @@ object Rollups {
             .otherwise(d(lit(2L) * col("n_pos") * col("n_neg"))), 4).as("auc"))
   }
 
+  /** Two-feature ordinary least squares via the normal equations —
+    * ŷ = b0 + b1·x1 + b2·x2 solved in closed form by Cramer's rule
+    * on the 3×3 moment matrix: D9's linearTrend generalized to two
+    * regressors (the "controlling for" fit a single slope can't
+    * give), without any iterative solver.
+    *
+    * Exactness: all nine moment sums accumulate in decimal(38,0)
+    * integer cents (the F29 contract — exact, associative,
+    * overflow-safe); the Cramer determinants and coefficients are
+    * double expressions over those exact sums in IDENTICAL written
+    * order on both engines (IEEE doubles make that deterministic),
+    * coefficients 6dp, R² 4dp. R² comes from the normal-equation
+    * identity SSE = Syy − b0·Sy − b1·Sx1y − b2·Sx2y — no residual
+    * pass. Scale shape: ONE scan, ONE map-side-combined aggregate,
+    * a one-row output. Singular designs (det ≈ 0) report null.
+    *
+    * Output: (n, b0, b1, b2, r2).
+    */
+  def ols2(
+      df: DataFrame,
+      yCol: String,
+      x1Col: String,
+      x2Col: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def v(c: String) = round(col(c) * 100).cast("long").cast(dec)
+    val d = (c: Column) => c.cast("double")
+    df.filter(col(yCol).isNotNull && col(x1Col).isNotNull && col(x2Col).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(v(x1Col)).as("__s1"), sum(v(x2Col)).as("__s2"), sum(v(yCol)).as("__sy"),
+        sum(v(x1Col) * v(x1Col)).as("__s11"), sum(v(x1Col) * v(x2Col)).as("__s12"),
+        sum(v(x2Col) * v(x2Col)).as("__s22"),
+        sum(v(x1Col) * v(yCol)).as("__s1y"), sum(v(x2Col) * v(yCol)).as("__s2y"),
+        sum(v(yCol) * v(yCol)).as("__syy"))
+      .withColumn("__N", d(col("n")))
+      // Cramer 3×3 on M = [[n,S1,S2],[S1,S11,S12],[S2,S12,S22]],
+      // rhs = [Sy,S1y,S2y]; cents cancel in the coefficients' units
+      .withColumn("__det",
+        col("__N") * (d(col("__s11")) * d(col("__s22")) - d(col("__s12")) * d(col("__s12"))) -
+          d(col("__s1")) * (d(col("__s1")) * d(col("__s22")) - d(col("__s12")) * d(col("__s2"))) +
+          d(col("__s2")) * (d(col("__s1")) * d(col("__s12")) - d(col("__s11")) * d(col("__s2"))))
+      .withColumn("__d0",
+        d(col("__sy")) * (d(col("__s11")) * d(col("__s22")) - d(col("__s12")) * d(col("__s12"))) -
+          d(col("__s1")) * (d(col("__s1y")) * d(col("__s22")) - d(col("__s12")) * d(col("__s2y"))) +
+          d(col("__s2")) * (d(col("__s1y")) * d(col("__s12")) - d(col("__s11")) * d(col("__s2y"))))
+      .withColumn("__d1",
+        col("__N") * (d(col("__s1y")) * d(col("__s22")) - d(col("__s12")) * d(col("__s2y"))) -
+          d(col("__sy")) * (d(col("__s1")) * d(col("__s22")) - d(col("__s12")) * d(col("__s2"))) +
+          d(col("__s2")) * (d(col("__s1")) * d(col("__s2y")) - d(col("__s1y")) * d(col("__s2"))))
+      .withColumn("__d2",
+        col("__N") * (d(col("__s11")) * d(col("__s2y")) - d(col("__s1y")) * d(col("__s12"))) -
+          d(col("__s1")) * (d(col("__s1")) * d(col("__s2y")) - d(col("__s1y")) * d(col("__s2"))) +
+          d(col("__sy")) * (d(col("__s1")) * d(col("__s12")) - d(col("__s11")) * d(col("__s2"))))
+      .withColumn("__bad", abs(col("__det")) < lit(1e-9) * col("__N"))
+      .withColumn("__b0", when(col("__bad"), lit(null)).otherwise(col("__d0") / col("__det")))
+      .withColumn("__b1", when(col("__bad"), lit(null)).otherwise(col("__d1") / col("__det")))
+      .withColumn("__b2", when(col("__bad"), lit(null)).otherwise(col("__d2") / col("__det")))
+      .withColumn("__sst",
+        d(col("__syy")) - d(col("__sy")) * d(col("__sy")) / col("__N"))
+      .withColumn("__sse",
+        d(col("__syy")) - col("__b0") * d(col("__sy")) -
+          col("__b1") * d(col("__s1y")) - col("__b2") * d(col("__s2y")))
+      .select(col("n"),
+        // b0 carries the cent scale once (intercept is in y units)
+        round(col("__b0") / 100.0, 6).as("b0"),
+        round(col("__b1"), 6).as("b1"), round(col("__b2"), 6).as("b2"),
+        round(lit(1.0) - col("__sse") /
+          when(col("__sst") <= 0, lit(null)).otherwise(col("__sst")), 4).as("r2"))
+  }
+
+  /** Partial correlation r_xy·z — the dependence between x and y
+    * AFTER removing what z explains in both: (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)). The confounder screen F29's raw matrix
+    * can't answer ("do these move together, or does a third thing
+    * move both?").
+    *
+    * Exactness: the F29 moment machinery verbatim (ONE scan, exact
+    * decimal(38,0) cent sums, listwise deletion); the three UNROUNDED
+    * r's feed the partial formula as double expressions in identical
+    * written order; displayed r's are 4dp.
+    *
+    * Output: (n, r_xy, r_xz, r_yz, r_partial).
+    */
+  def partialCorr(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      zCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def v(c: String) = round(col(c) * 100).cast("long").cast(dec)
+    val d = (c: Column) => c.cast("double")
+    val one = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull && col(zCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(v(xCol)).as("__sx"), sum(v(yCol)).as("__sy"), sum(v(zCol)).as("__sz"),
+        sum(v(xCol) * v(xCol)).as("__sxx"), sum(v(yCol) * v(yCol)).as("__syy"),
+        sum(v(zCol) * v(zCol)).as("__szz"),
+        sum(v(xCol) * v(yCol)).as("__sxy"), sum(v(xCol) * v(zCol)).as("__sxz"),
+        sum(v(yCol) * v(zCol)).as("__syz"))
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String) = {
+      val n = col("n").cast(dec)
+      val num = n * col(sab) - col(sa) * col(sb)
+      val da = n * col(saa) - col(sa) * col(sa)
+      val db = n * col(sbb) - col(sb) * col(sb)
+      val den = sqrt(d(da) * d(db))
+      d(num) / when(den === 0, lit(null)).otherwise(den)
+    }
+    one
+      .withColumn("__rxy", r("__sxy", "__sx", "__sy", "__sxx", "__syy"))
+      .withColumn("__rxz", r("__sxz", "__sx", "__sz", "__sxx", "__szz"))
+      .withColumn("__ryz", r("__syz", "__sy", "__sz", "__syy", "__szz"))
+      .withColumn("__den",
+        sqrt((lit(1.0) - col("__rxz") * col("__rxz")) *
+          (lit(1.0) - col("__ryz") * col("__ryz"))))
+      .select(col("n"),
+        round(col("__rxy"), 4).as("r_xy"),
+        round(col("__rxz"), 4).as("r_xz"),
+        round(col("__ryz"), 4).as("r_yz"),
+        round((col("__rxy") - col("__rxz") * col("__ryz")) /
+          when(col("__den") === 0, lit(null)).otherwise(col("__den")), 4)
+          .as("r_partial"))
+  }
+
   /** Gini concentration of an additive mass column — how unequally a
     * corpus's character/token/byte mass is spread across its rows
     * (Gini 1912 via the grouped-data rank form): G = (2·Σᵢ i·x₍ᵢ₎ −

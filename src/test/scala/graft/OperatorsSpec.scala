@@ -1610,6 +1610,63 @@ class OperatorsSpec extends SparkSpec {
     assert(h.getDouble(h.fieldIndex("gini")) == 0.2222)
   }
 
+  test("Rollups.ols2: exact linear data recovers the plane, r2 = 1") {
+    // y = 2 + 3·x1 + 0.5·x2 exactly (all cent-exact values)
+    val rows = for (i <- 1 to 10; j <- 1 to 10)
+      yield (2.0 + 3.0 * i + 0.5 * j, i.toDouble, j.toDouble)
+    val r = Rollups.ols2(rows.toDF("y", "x1", "x2"), "y", "x1", "x2")
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n")) == 100L)
+    assert(math.abs(r.getDouble(r.fieldIndex("b0")) - 2.0) < 1e-4)
+    assert(math.abs(r.getDouble(r.fieldIndex("b1")) - 3.0) < 1e-4)
+    assert(math.abs(r.getDouble(r.fieldIndex("b2")) - 0.5) < 1e-4)
+    assert(r.getDouble(r.fieldIndex("r2")) == 1.0)
+    // collinear design (x2 = x1) must report null, not garbage
+    val bad = (1 to 20).map(i => (i.toDouble, i.toDouble, i.toDouble))
+      .toDF("y", "x1", "x2")
+    val b = Rollups.ols2(bad, "y", "x1", "x2").collect().head
+    assert(b.isNullAt(b.fieldIndex("b1")))
+  }
+
+  test("Rollups.partialCorr: shared driver explains the raw correlation") {
+    // x and y both ride z plus independent alternating noise: raw
+    // r_xy is strong, partialling z out collapses it
+    val rows = (1 to 40).map { i =>
+      val z = i.toDouble
+      (z + (if (i % 2 == 0) 1.0 else -1.0),
+        z + (if ((i / 2) % 2 == 0) 1.0 else -1.0), z)
+    }
+    val r = Rollups.partialCorr(rows.toDF("x", "y", "z"), "x", "y", "z")
+      .collect().head
+    assert(r.getDouble(r.fieldIndex("r_xy")) > 0.9)
+    assert(math.abs(r.getDouble(r.fieldIndex("r_partial"))) < 0.4)
+    // perfectly collinear control → denominator 0 → null
+    val collinear = (1 to 10).map(i => (i.toDouble, 21.0 - i, i.toDouble))
+      .toDF("x", "y", "z")
+    val c = Rollups.partialCorr(collinear, "x", "y", "z").collect().head
+    assert(c.isNullAt(c.fieldIndex("r_partial")))
+  }
+
+  test("EventWindows.cohortLtv: hand case cumulates per cohort") {
+    val dayUs = 86400000000L
+    val ev = Seq(
+      (1L, 0L * dayUs, 1.0), (1L, 8L * dayUs, 2.0),
+      (2L, 1L * dayUs, 3.0))
+      .toDF("user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = EventWindows.cohortLtv(ev).orderBy("age_weeks").collect()
+    assert(out.length == 2)
+    val a0 = out(0)
+    assert(a0.getLong(a0.fieldIndex("cohort_week")) == 0L &&
+      a0.getLong(a0.fieldIndex("n_users")) == 2L &&
+      a0.getDouble(a0.fieldIndex("revenue")) == 4.0 &&
+      a0.getDouble(a0.fieldIndex("cum_ltv")) == 2.0)
+    val a1 = out(1)
+    assert(a1.getLong(a1.fieldIndex("age_weeks")) == 1L &&
+      a1.getDouble(a1.fieldIndex("revenue")) == 2.0 &&
+      a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
+  }
+
   test("Profile.psi: identical distributions score 0, a shift scores > 0") {
     val base = (1 to 100).map(i => ("ref", i.toDouble)) ++
       (1 to 100).map(i => ("cur", i.toDouble))

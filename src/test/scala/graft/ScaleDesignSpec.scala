@@ -1265,5 +1265,29 @@ class ScaleDesignSpec extends SparkSpec {
       assert(windows(qe).size == 1, s"$q: exactly the cumulative window")
       noCartesian(q, qe)
     }
+
+    // q218/q219: the whole moment matrix is ONE scan + ONE global
+    // aggregate — window-free, join-free
+    for (q <- Seq("q218_ols2", "q219_partial_corr")) {
+      val qe = exec(q)
+      assert(scans(qe).size == 1, s"$q: one scan, got ${scans(qe).size}")
+      assert(windows(qe).isEmpty, s"$q must stay window-free")
+      assert(shuffles(qe).size <= 1,
+        s"$q: one global-aggregate exchange, got ${shuffles(qe).size}")
+      noCartesian(q, qe)
+    }
+
+    // q220: frame eager-cut (feeds revenue combine AND cohort sizes);
+    // the size attach broadcasts; the only window left above the cut
+    // rides the cohort key over the dim-sized matrix
+    val q220 = exec("q220_cohort_ltv")
+    assert(scans(q220).isEmpty,
+      s"q220: corpus must be cut at the frame checkpoint, got ${scans(q220).size}")
+    assert(helper.collect(q220.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }.nonEmpty, "q220: the cohort-size attach must broadcast")
+    assert(windows(q220).size == 1 &&
+      windows(q220).head.partitionSpec.exists(_.toString.contains("cohort_week")),
+      "q220: exactly the cohort-partitioned cumulative window")
   }
 }
