@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HarmonicScore, MinHashSignature, RollingMinHash, TopKCollect, TopKHarmonic, WordShinglesDistinct}
+import graft.functions.{HarmonicScore, JaroWinkler, MinHashSignature, RollingMinHash, TopKCollect, TopKHarmonic, WordShinglesDistinct}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -117,6 +117,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(c, n) => WordShinglesDistinct(c, intArg(n, "n"))
         case _ => throw new IllegalArgumentException("word_shingles takes 2 arguments")
+      }),
+    ("jaro_winkler",
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler string similarity (DuckDB-identical semantics)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => JaroWinkler(a, b)
+        case _ => throw new IllegalArgumentException("jaro_winkler takes 2 arguments")
       }),
     ("minhash_signature",
       info("minhash_signature",

@@ -2499,6 +2499,14 @@ object SparkEntry {
       val t = Tables(s, dir)
       EventWindows.cohortLtv(t.events)
     }),
+    "q221_jw_blocked" -> ((s, dir) => {
+      // G72 Jaro-Winkler blocked linkage over part names — the
+      // native codegen'd scorer on G67's blocking frame
+      val t = Tables(s, dir)
+      val names = t.part.groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+        .withColumn("block", element_at(split(col("p_name"), " "), 2))
+      Dedup.blockedJaroWinkler(names, "p_name", "block", minSim = 0.8)
+    }),
     "q210_mde" -> ((s, dir) => {
       // F32 experiment sizing: smallest mean gap the click-vs-view
       // sample could detect at α=0.05 / 80% power
@@ -7244,5 +7252,18 @@ object SparkEntry {
         |       round(CAST(cents AS DOUBLE) / 100.0, 4) AS revenue,
         |       round(CAST(cumc AS DOUBLE) / 100.0 / n_users, 4) AS cum_ltv
         |FROM cum""".stripMargin,
+    // Jaro-Winkler linkage replay: DuckDB's native scorer IS the
+    // contract the graft expression is fuzz-pinned to; same block key,
+    // same (a < b) order, same 4dp-rounded keep test. (The 512 block
+    // cap cannot fire at oracle scale — blocks are ≤ 8 names.)
+    "q221_jw_blocked" ->
+      """WITH names AS (
+        |  SELECT p_name, string_split(p_name, ' ')[2] AS block
+        |  FROM part GROUP BY 1, 2
+        |)
+        |SELECT x.p_name AS name_a, y.p_name AS name_b,
+        |       round(jaro_winkler_similarity(x.p_name, y.p_name), 4) AS jw
+        |FROM names x JOIN names y ON x.block = y.block AND x.p_name < y.p_name
+        |WHERE round(jaro_winkler_similarity(x.p_name, y.p_name), 4) >= 0.8""".stripMargin,
   )
 }

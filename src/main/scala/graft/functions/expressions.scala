@@ -441,3 +441,86 @@ object PearsonTwoSidedP {
     java.lang.Double.valueOf(math.max(0.0, 1.0 - a))
   }
 }
+
+/** `jaro_winkler(a, b)`: Jaro–Winkler string similarity with the
+  * standard constants — match window ⌊max(|a|,|b|)/2⌋−1 (floor 0),
+  * transpositions = ⌊out-of-order matches / 2⌋, Winkler prefix boost
+  * p=0.1 over the common prefix capped at 4, applied only when the
+  * plain Jaro exceeds 0.7, and 0.0 when either side is empty or no
+  * characters match. These are exactly DuckDB's
+  * `jaro_winkler_similarity` semantics (fuzz-pinned in spec), so the
+  * oracle can replay it verbatim. Entity-resolution scoring for G67's
+  * blocked pairs where edit distance is too coarse.
+  *
+  * Chars compare as UTF-16 code units (identical to codepoints on
+  * the ASCII/BMP names this engine scores).
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.evalStatic(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaroWinkler.evalStatic($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  def evalStatic(au: UTF8String, bu: UTF8String): Double = {
+    val s = au.toString
+    val t = bu.toString
+    val la = s.length
+    val lb = t.length
+    if (la == 0 || lb == 0) return 0.0
+    if (s == t) return 1.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aMatch = new Array[Boolean](la)
+    val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatch(j) && s.charAt(i) == t.charAt(j)) {
+          aMatch(i) = true
+          bMatch(j) = true
+          m += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var k = 0
+    var trans = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) trans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mt = m.toDouble
+    // transpositions = FLOOR(out-of-order matches / 2) — DuckDB floors
+    // the half-count (fuzz-pinned: 30k random pairs, exact doubles)
+    val jaro = (mt / la + mt / lb + (mt - trans / 2) / mt) / 3.0
+    if (jaro > 0.7) {
+      val maxL = math.min(4, math.min(la, lb))
+      var l = 0
+      while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+}

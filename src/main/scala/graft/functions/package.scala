@@ -94,6 +94,15 @@ package object functions {
         org.apache.spark.sql.graftshim.expressionOf(r.cast("double")),
         org.apache.spark.sql.graftshim.expressionOf(n.cast("long"))))
 
+  /** Jaro–Winkler string similarity (DuckDB-identical semantics);
+    * see [[JaroWinkler]].
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.columnOf(
+      JaroWinkler(
+        org.apache.spark.sql.graftshim.expressionOf(a),
+        org.apache.spark.sql.graftshim.expressionOf(b)))
+
   /** Cosine similarity over quantized vectors (deterministic double). */
   def quantizedCosine(a: Column, b: Column): Column =
     quantizedDot(a, b).cast("double") /

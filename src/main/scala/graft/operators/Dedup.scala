@@ -746,6 +746,47 @@ object Dedup {
     *
     * Output: (name_a, name_b, lev).
     */
+  /** Blocked Jaro–Winkler entity resolution — G67's linkage frame
+    * with a SIMILARITY verifier instead of an edit-distance one:
+    * Jaro–Winkler forgives transpositions and rewards shared
+    * prefixes (the name-matching bias edit distance lacks), so it is
+    * the standard scorer for person/product-name linkage. The
+    * verifier is graft's native codegen'd [[graft.functions.JaroWinkler]]
+    * expression, fuzz-pinned to DuckDB's `jaro_winkler_similarity`
+    * doubles exactly, and the keep test runs on the 4dp-ROUNDED
+    * score so the threshold boundary is engine-portable.
+    *
+    * Scale shape: identical to [[blockedLevenshtein]] — blocks above
+    * `blockCap` dropped via observe() BEFORE the O(block²) self-join,
+    * (a < b) pair order, scoring only on co-blocked survivors.
+    *
+    * Output: (name_a, name_b, jw).
+    */
+  def blockedJaroWinkler(
+      df: DataFrame,
+      textCol: String,
+      blockCol: String,
+      minSim: Double = 0.9,
+      blockCap: Int = graft.GraftConf.ErBlockCap): DataFrame = {
+    require(minSim > 0 && minSim <= 1, s"minSim must be in (0,1], got $minSim")
+    val capped = spread(df)
+      .select(col(textCol).as("__t"), col(blockCol).as("__b"))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("__b")))
+      .observe(s"graft_jw_block_cap_${obsId.incrementAndGet()}",
+        sum(when(col("__bn") > blockCap, 1L).otherwise(0L)).as("dropped_rows"),
+        coalesce(max(col("__bn")), lit(0L)).as("max_block_size"))
+      .filter(col("__bn") <= blockCap)
+      .select(col("__t"), col("__b"))
+      .localCheckpoint()
+    capped.as("x")
+      .join(capped.as("y"),
+        col("x.__b") === col("y.__b") && col("x.__t") < col("y.__t"))
+      .withColumn("jw",
+        round(graft.functions.jaroWinkler(col("x.__t"), col("y.__t")), 4))
+      .filter(col("jw") >= minSim)
+      .select(col("x.__t").as("name_a"), col("y.__t").as("name_b"), col("jw"))
+  }
+
   def blockedLevenshtein(
       df: DataFrame,
       textCol: String,

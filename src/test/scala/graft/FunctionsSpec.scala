@@ -379,4 +379,49 @@ class FunctionsSpec extends SparkSpec {
     assert(viaCol(0) == 0.14111328125 && viaCol(1) == 0.14111328125,
       "column path must match evalStatic and be sign-symmetric")
   }
+
+  test("jaroWinkler matches DuckDB's jaro_winkler_similarity doubles exactly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinkler.evalStatic(UTF8String.fromString(a), UTF8String.fromString(b))
+    // golden doubles probed from DuckDB (the oracle engine) — every
+    // case must match at FULL double precision, not 4dp
+    val golden = Seq(
+      ("martha", "marhta") -> 0.9611111111111111, // 2 half-transpositions
+      ("dixon", "dicksonx") -> 0.8133333333333332, // prefix boost l=2
+      ("jellyfish", "smellyfish") -> 0.8962962962962964, // no common prefix
+      ("dwayne", "duane") -> 0.8400000000000001,
+      ("prefix", "pretext") -> 0.8222222222222222, // boost over 0.7 jaro
+      ("abcdefgh", "abcdxxxx") -> 0.6666666666666666, // boost WITHHELD ≤ 0.7
+      ("dadce", "bbeaacabde") -> 0.5222222222222221, // FLOORED trans halves
+      ("abc", "abc") -> 1.0,
+      ("", "abc") -> 0.0, ("", "") -> 0.0, // empty → 0, even both-empty
+      ("a", "b") -> 0.0, ("ab", "ba") -> 0.0) // window 0 → no matches
+    for (((a, b), want) <- golden)
+      assert(jw(a, b) == want, s"jw($a, $b) = ${jw(a, b)}, want $want")
+    // symmetric by construction
+    assert(jw("dixon", "dicksonx") == jw("dicksonx", "dixon"))
+    // column path (and the SQL registration) agree with evalStatic
+    GraftExtensions.register(spark)
+    val viaCol = Seq(("martha", "marhta")).toDF("a", "b")
+      .select(jaroWinkler(col("a"), col("b")).as("c"),
+        expr("jaro_winkler(a, b)").as("s"))
+      .collect().head
+    assert(viaCol.getDouble(0) == 0.9611111111111111 &&
+      viaCol.getDouble(1) == 0.9611111111111111)
+  }
+
+  test("Dedup.blockedJaroWinkler keeps only co-blocked pairs over threshold") {
+    val names = Seq(
+      ("martha lane", "m"), ("marhta lane", "m"),
+      ("dixon st", "d"), ("totally different", "m"))
+      .toDF("name", "block")
+    val out = graft.operators.Dedup
+      .blockedJaroWinkler(names, "name", "block", minSim = 0.9)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "marhta lane" &&
+      out.head.getString(1) == "martha lane")
+    assert(out.head.getDouble(2) > 0.9)
+  }
 }

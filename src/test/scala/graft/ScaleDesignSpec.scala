@@ -27,7 +27,8 @@ class ScaleDesignSpec extends SparkSpec {
       "minhash_signature" -> NativeText.minhashSig(c, 16),
       "long_dot" -> quantizedDot(c, c),
       "rolling_minhash" -> rollingMinHash(c),
-      "pearson_p" -> pearsonP(c, c))
+      "pearson_p" -> pearsonP(c, c),
+      "jaro_winkler" -> jaroWinkler(c, c))
     for ((name, column) <- natives)
       assert(!expressionOf(column)
           .isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback],
@@ -1280,6 +1281,17 @@ class ScaleDesignSpec extends SparkSpec {
     // q220: frame eager-cut (feeds revenue combine AND cohort sizes);
     // the size attach broadcasts; the only window left above the cut
     // rides the cohort key over the dim-sized matrix
+    // q221: capped blocked self-join — equi on the block key (never
+    // a loop join), entity table eager-cut, the cap window behind it
+    val q221 = exec("q221_jw_blocked")
+    assert(scans(q221).isEmpty,
+      s"q221: entity table must be cut at the checkpoint, got ${scans(q221).size}")
+    assert(windows(q221).isEmpty, "q221: the cap window stays behind the cut")
+    noCartesian("q221_jw_blocked", q221)
+    assert(helper.collect(q221.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "q221: the pair join must stay an equi join on the block key")
+
     val q220 = exec("q220_cohort_ltv")
     assert(scans(q220).isEmpty,
       s"q220: corpus must be cut at the frame checkpoint, got ${scans(q220).size}")
