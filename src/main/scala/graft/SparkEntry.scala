@@ -2507,6 +2507,21 @@ object SparkEntry {
         .withColumn("block", element_at(split(col("p_name"), " "), 2))
       Dedup.blockedJaroWinkler(names, "p_name", "block", minSim = 0.8)
     }),
+    "q222_degree_powerlaw" -> ((s, dir) => {
+      // G73 graph-shape diagnostic: degree-histogram ln-ln slope of
+      // the MinHash near-dup graph
+      val t = Tables(s, dir)
+      Graph.degreePowerLaw(
+        Dedup.minhashLshPairs(t.documents).select("idA", "idB"),
+        "idA", "idB")
+    }),
+    "q223_canonical_pick" -> ((s, dir) => {
+      // G74 keep-best curation: quality-ranked keeper per near-dup
+      // cluster (G2b components x G8 quality)
+      val t = Tables(s, dir)
+      Dedup.canonicalPick(t.documents,
+        Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
+    }),
     "q210_mde" -> ((s, dir) => {
       // F32 experiment sizing: smallest mean gap the click-vs-view
       // sample could detect at α=0.05 / 80% power
@@ -7265,5 +7280,84 @@ object SparkEntry {
         |       round(jaro_winkler_similarity(x.p_name, y.p_name), 4) AS jw
         |FROM names x JOIN names y ON x.block = y.block AND x.p_name < y.p_name
         |WHERE round(jaro_winkler_similarity(x.p_name, y.p_name), 4) >= 0.8""".stripMargin,
+    // Degree power-law replay: same doubled edge list, same micro-nat
+    // integer logs into the exact-sum trend (the q147/q176 contract).
+    "q222_degree_powerlaw" ->
+      s"""WITH $MinhashPairsSql,
+         |e AS (
+         |  SELECT idA AS id FROM lshpairs
+         |  UNION ALL SELECT idB FROM lshpairs
+         |),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |hist AS (SELECT deg, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY 1),
+         |xy AS (
+         |  SELECT CAST(round(ln(deg) * 1e6) AS BIGINT) AS x,
+         |         CAST(round(ln(cnt) * 1e6) AS BIGINT) AS y
+         |  FROM hist
+         |),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         |         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         |         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+         |  FROM xy
+         |),
+         |f AS (
+         |  SELECT round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |               / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS alpha,
+         |         CASE WHEN n * syy - sy * sy > 0 THEN
+         |           round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+         |                 / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+         |         END AS r2
+         |  FROM m WHERE n >= 2 AND n * sxx - sx * sx > 0
+         |),
+         |s AS (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS n_nodes,
+         |         CAST(sum(deg * cnt) // 2 AS BIGINT) AS n_edges,
+         |         CAST(max(deg) AS BIGINT) AS max_degree,
+         |         CAST(count(*) AS BIGINT) AS n_degrees
+         |  FROM hist
+         |)
+         |SELECT n_nodes, n_edges, max_degree, n_degrees, alpha, r2
+         |FROM s LEFT JOIN f ON TRUE""".stripMargin,
+    // Canonical-pick replay: the q47 component walk joined to the q37
+    // quality integer, keeper by (quality desc, id) rank.
+    "q223_canonical_pick" ->
+      s"""WITH RECURSIVE $MinhashPairsSql,
+         |edges AS (
+         |  SELECT idA AS src, idB AS dst FROM lshpairs
+         |  UNION ALL
+         |  SELECT idB AS src, idA AS dst FROM lshpairs
+         |),
+         |walk(id, comp) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id
+         |),
+         |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a'))) AS BIGINT)
+         |                * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
+         |  FROM base
+         |),
+         |r AS (
+         |  SELECT c.comp, c.id, q.qi,
+         |         row_number() OVER (PARTITION BY c.comp ORDER BY q.qi DESC, c.id) AS rn,
+         |         count(*) OVER (PARTITION BY c.comp) AS nm
+         |  FROM comps c JOIN q ON q.doc_id = c.id
+         |)
+         |SELECT comp, CAST(nm AS BIGINT) AS n_members, id AS keeper_id,
+         |       CAST(qi AS DOUBLE) / 10000.0 AS keeper_quality
+         |FROM r WHERE rn = 1""".stripMargin,
   )
 }

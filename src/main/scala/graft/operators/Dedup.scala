@@ -746,6 +746,42 @@ object Dedup {
     *
     * Output: (name_a, name_b, lev).
     */
+  /** Canonical-document selection — the KEEP side of a near-dup
+    * pipeline: given the near-dup pair set, cluster it (G2b's
+    * pointer-jumping components) and pick each cluster's keeper by
+    * QUALITY (G8's score, ties to the lowest id) instead of the
+    * naive min-id — the curation step that keeps the best-written
+    * copy of every duplicated document family.
+    *
+    * Determinism: quality is G8's exact integer-scaled score; the
+    * keeper is one O(1)-state `max(struct(quality, −id))` aggregate
+    * per cluster (the F10 modePerKey pattern) — never a count-ranked
+    * window over members. Scale shape: clustering is G2b (log-
+    * diameter rounds, checkpointed); the quality attach is one
+    * (id) hash join; the pick is one (comp) combine.
+    *
+    * Output: (comp, n_members, keeper_id, keeper_quality).
+    */
+  def canonicalPick(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val comps = clusters(pairs)
+    val quality = graft.operators.TextAnalysis.quality(
+      docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol).cast("long").as("id"),
+        round(col("quality") * 10000).cast("long").as("__q"))
+    comps.join(quality, Seq("id"))
+      .groupBy("comp")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("__q").as("q"), (-col("id")).as("nid"))).as("__best"))
+      .select(col("comp"), col("n_members"),
+        (-col("__best.nid")).as("keeper_id"),
+        (col("__best.q").cast("double") / 10000.0).as("keeper_quality"))
+  }
+
   /** Blocked Jaro–Winkler entity resolution — G67's linkage frame
     * with a SIMILARITY verifier instead of an edit-distance one:
     * Jaro–Winkler forgives transpositions and rewards shared

@@ -130,4 +130,49 @@ object Graph {
     }
     ranks
   }
+  /** Degree distribution power-law fit — the graph-shape diagnostic
+    * that prices every downstream graph operator: a heavy-tailed
+    * (scale-free-ish) degree histogram predicts hot keys in G38's
+    * wedge enumeration and G37's message volume, a bounded one says
+    * the defaults are safe. Fits ln(count) ~ ln(degree) over the
+    * degree HISTOGRAM (D9's exact-sum trend on micro-nat integer
+    * logs, the G60 Zipf pattern) — natural similarity graphs bend
+    * near −2..−3; a flat slope flags a templated/adversarial corpus.
+    *
+    * Scale shape: degrees are one (node) combine over the doubled
+    * edge list; the histogram is one (degree) combine, eager-cut
+    * because it feeds BOTH the fit and the summary; the fit is a
+    * one-row aggregate over the ≤max_degree-row histogram; the
+    * summary attach is a one-row broadcast (left, so a degenerate
+    * single-degree graph still reports with null fit).
+    *
+    * Output: one row (n_nodes, n_edges, max_degree, n_degrees,
+    * alpha, r2) — `alpha` is the ln-ln slope.
+    */
+  def degreePowerLaw(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val hist = edges.select(col(srcCol).cast("long").as("id"))
+      .unionAll(edges.select(col(dstCol).cast("long").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val fit = graft.operators.Rollups.linearTrend(
+      hist
+        .withColumn("x", round(log(col("deg")) * 1e6).cast("long"))
+        .withColumn("y", round(log(col("cnt")) * 1e6).cast("long")),
+      Seq.empty, "x", "y")
+      .select(col("slope").as("alpha"), col("r2"))
+    hist
+      .agg(
+        sum(col("cnt")).as("n_nodes"),
+        sum(col("deg") * col("cnt")).as("__dm"),
+        max(col("deg")).as("max_degree"),
+        count(lit(1)).as("n_degrees"))
+      .withColumn("n_edges", expr("__dm div 2"))
+      .join(broadcast(fit), lit(true), "left")
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("n_degrees"), col("alpha"), col("r2"))
+  }
 }

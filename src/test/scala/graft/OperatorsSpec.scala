@@ -1667,6 +1667,38 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("Graph.degreePowerLaw: star graph summary and two-point fit") {
+    // star: hub 0 with 4 leaves → degrees 4,1,1,1,1 → hist {4:1, 1:4}
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val r = Graph.degreePowerLaw(edges).collect().head
+    assert(r.getLong(r.fieldIndex("n_nodes")) == 5L)
+    assert(r.getLong(r.fieldIndex("n_edges")) == 4L)
+    assert(r.getLong(r.fieldIndex("max_degree")) == 4L)
+    assert(r.getLong(r.fieldIndex("n_degrees")) == 2L)
+    // two points (ln1, ln4) → (ln4, ln1): slope = −1 exactly
+    assert(r.getDouble(r.fieldIndex("alpha")) == -1.0)
+    // single-degree graph (one edge) still reports, fit null
+    val one = Graph.degreePowerLaw(Seq((1L, 2L)).toDF("src", "dst"))
+      .collect().head
+    assert(one.getLong(one.fieldIndex("n_nodes")) == 2L)
+    assert(one.isNullAt(one.fieldIndex("alpha")))
+  }
+
+  test("Dedup.canonicalPick: quality keeper per cluster, ties to min id") {
+    val docs = Seq(
+      (1L, "the the the"), // low quality (stopword-heavy)
+      (2L, "alpha beta gamma delta"), // high quality
+      (3L, "alpha beta gamma delta"), // same text as 2 → tie → min id
+      (10L, "solo unpaired document")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("idA", "idB")
+    val out = Dedup.canonicalPick(docs, pairs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("n_members")) == 3L)
+    assert(r.getLong(r.fieldIndex("keeper_id")) == 2L,
+      "highest quality wins, tie broken to the lower id")
+  }
+
   test("Profile.psi: identical distributions score 0, a shift scores > 0") {
     val base = (1 to 100).map(i => ("ref", i.toDouble)) ++
       (1 to 100).map(i => ("cur", i.toDouble))

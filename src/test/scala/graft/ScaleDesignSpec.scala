@@ -1292,6 +1292,22 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q222: everything above the eager-cut degree histogram is
+    // aggregate-only; the single loop join is the 1-row fit attach
+    val q222 = exec("q222_degree_powerlaw")
+    assert(windows(q222).isEmpty, "q222 must stay window-free")
+    noCartesian("q222_degree_powerlaw", q222)
+    assert(helper.collect(q222.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.size <= 1, "q222: only the 1-row fit attach may loop")
+
+    // q223: the keeper pick is an O(1)-state combine on the comp key,
+    // never a member-ranked window; no loop joins anywhere
+    val q223 = exec("q223_canonical_pick")
+    assert(windows(q223).isEmpty,
+      "q223: keeper pick must stay an aggregate, not a window")
+    noCartesian("q223_canonical_pick", q223)
+
     val q220 = exec("q220_cohort_ltv")
     assert(scans(q220).isEmpty,
       s"q220: corpus must be cut at the frame checkpoint, got ${scans(q220).size}")
