@@ -2522,6 +2522,22 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q224_stream_cms" -> ((s, dir) => {
+      // H37 streaming heavy hitters: the CMS counter matrix as
+      // per-window streaming state, point-estimated per event type
+      // against the finalized windows (counter addition = exact
+      // merge, so any micro-batch split emits the same sketch)
+      val t = Tables(s, dir)
+      val wins = StreamQueries.materialize(
+        EventStream.tumblingCms(StreamQueries.streamEvents(s, dir)))
+      val types = t.events.select(col("event_type")).distinct()
+      wins.crossJoin(broadcast(types))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n"), col("event_type"),
+          graft.functions.CmsSketch.cmsEstimate(col("sk"), col("event_type"))
+            .as("cms_n"))
+    }),
     "q210_mde" -> ((s, dir) => {
       // F32 experiment sizing: smallest mean gap the click-vs-view
       // sample could detect at α=0.05 / 80% power
@@ -7359,5 +7375,34 @@ object SparkEntry {
          |SELECT comp, CAST(nm AS BIGINT) AS n_members, id AS keeper_id,
          |       CAST(qi AS DOUBLE) / 10000.0 AS keeper_quality
          |FROM r WHERE rn = 1""".stripMargin,
+    // Streaming-CMS replay: rebuild the identical per-window counters
+    // (q91's md5 bucket arithmetic) over the FINALIZED windows (q60's
+    // watermark rule), estimate = min over the d rows.
+    "q224_stream_cms" ->
+      s"""WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |mx AS (SELECT max(ts) AS mt FROM ev),
+         |fin AS (
+         |  SELECT date_trunc('hour', ts) AS ws, event_type FROM ev, mx
+         |  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mt - INTERVAL 2 HOUR
+         |),
+         |wn AS (SELECT ws, CAST(count(*) AS BIGINT) AS n FROM fin GROUP BY 1),
+         |rows_i AS (SELECT unnest(range(0, 4)) AS ci),
+         |bk AS (
+         |  SELECT ws, ci, ${HexValSql("md5(ci || ':' || event_type)", 1, 6)} % 1024 AS b,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM fin CROSS JOIN rows_i GROUP BY 1, 2, 3
+         |),
+         |types AS (SELECT DISTINCT event_type FROM ev),
+         |tb AS (
+         |  SELECT wn.ws, wn.n, t.event_type, ci,
+         |         ${HexValSql("md5(ci || ':' || t.event_type)", 1, 6)} % 1024 AS b
+         |  FROM wn CROSS JOIN types t CROSS JOIN rows_i
+         |)
+         |SELECT strftime(tb.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+         |       tb.n, tb.event_type,
+         |       CAST(min(coalesce(bk.cnt, 0)) AS BIGINT) AS cms_n
+         |FROM tb
+         |LEFT JOIN bk ON bk.ws = tb.ws AND bk.ci = tb.ci AND bk.b = tb.b
+         |GROUP BY 1, 2, 3""".stripMargin,
   )
 }

@@ -75,6 +75,30 @@ object EventStream {
         graft.functions.HllSketch.hllDistinct(col("user_id")).as("u_hll"))
       .select(col("window.start").as("window_start"), col("n"), col("u_hll"))
 
+  /** Count-min sketch AS STREAMING STATE per tumbling window — the
+    * streaming heavy-hitter primitive: each (window) state row
+    * carries the d×w counter matrix (32 KB) instead of per-key
+    * counts, so the keyspace can be unbounded while state stays
+    * fixed-size. Counter ADDITION is the merge, which is exact and
+    * commutative — the emitted sketch is identical under ANY
+    * micro-batch split, so a batch rebuild of the same counters
+    * oracles the whole path. Append mode: finalized windows only.
+    * Point-estimate downstream against a candidate dim (I7's
+    * cmsEstimate projection).
+    */
+  def tumblingCms(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      duration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.CmsSketch.cmsSketch(col(keyCol)).as("sk"))
+      .select(col("window.start").as("window_start"), col("n"), col("sk"))
+
   /** Gap-based session aggregation using the built-in session_window —
     * the streaming twin of graft.operators.Sessionize.
     */

@@ -252,6 +252,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS counters merge across micro-batches like one batch") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.tumblingCms(input.toDF(), duration = "1 hour")
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // one window split mid-stream: counter ADDITION is the merge,
+      // so the final sketch must equal the one-batch sketch exactly
+      input.addData(
+        EventStream.Event(1, ts(5), 1, "click", 1.0),
+        EventStream.Event(2, ts(10), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        EventStream.Event(3, ts(15), 2, "view", 1.0),
+        EventStream.Event(4, ts(20), 3, "click", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("cms_out")
+        .select("n", "sk").as[(Long, Seq[Long])].collect().maxBy(_._1)
+      val batch = Seq("click", "click", "view", "click").toDF("event_type")
+        .agg(graft.functions.CmsSketch.cmsSketch($"event_type").as("sk"))
+        .as[Seq[Long]].head()
+      assert(last._1 == 4L)
+      assert(last._2 == batch, "streamed counters must equal the one-batch sketch")
+      // and the point estimates read back the exact counts (no
+      // collisions at 2 keys x 4096 counters)
+      val est = Seq(Tuple1(last._2)).toDF("sk").select(
+        graft.functions.CmsSketch.cmsEstimate($"sk", org.apache.spark.sql.functions.lit("click")).as("c"),
+        graft.functions.CmsSketch.cmsEstimate($"sk", org.apache.spark.sql.functions.lit("view")).as("v"))
+        .as[(Long, Long)].head()
+      assert(est == ((3L, 1L)), s"got $est")
+    } finally q.stop()
+  }
+
   test("streaming OHLC state merges across micro-batches like one batch") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
