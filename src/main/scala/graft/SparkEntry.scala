@@ -2522,6 +2522,28 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q225_ndcg" -> ((s, dir) => {
+      // G75 position-aware index eval: NDCG@5 of the LSH index vs
+      // brute-force ground truth (q191's inputs, rank-discounted)
+      val t = Tables(s, dir)
+      val qs = t.embeddings.filter(col("vec_id") % 50 === 0)
+      SimilaritySearch.ndcgAtK(
+        SimilaritySearch.bruteForceTopK(t.embeddings, qs),
+        SimilaritySearch.lshTopK(t.embeddings, qs))
+    }),
+    "q226_paired_uplift" -> ((s, dir) => {
+      // F38 within-user matched-pair effect: click value vs the same
+      // user's nearest preceding view, paired t
+      val t = Tables(s, dir)
+      EventWindows.pairedUplift(t.events, "click", "view")
+    }),
+    "q227_ece" -> ((s, dir) => {
+      // F39 expected calibration error of the quality score against
+      // the Gopher pass outcome — G62's diagram as one number
+      val t = Tables(s, dir)
+      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
+      Rollups.calibrationError(scored, "quality", "gopher_pass")
+    }),
     "q224_stream_cms" -> ((s, dir) => {
       // H37 streaming heavy hitters: the CMS counter matrix as
       // per-window streaming state, point-estimated per event type
@@ -7404,5 +7426,137 @@ object SparkEntry {
          |FROM tb
          |LEFT JOIN bk ON bk.ws = tb.ws AND bk.ci = tb.ci AND bk.b = tb.b
          |GROUP BY 1, 2, 3""".stripMargin,
+    // NDCG replay: q191's exact/approx rank tables, per-rank discount
+    // gains quantized once to integer micro-units, exact long sums.
+    "q225_ndcg" ->
+      s"""WITH $EmbSql,
+         |$LshSql,
+         |qs AS (SELECT vec_id AS query_id, q AS qq, n AS qn FROM nrm WHERE vec_id % 50 = 0),
+         |ex AS (
+         |  SELECT query_id, id FROM (
+         |    SELECT q.query_id, c.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+         |               / (c.n * q.qn) DESC, c.vec_id) AS rank
+         |    FROM nrm c CROSS JOIN qs q WHERE c.vec_id != q.query_id
+         |  ) WHERE rank <= 5
+         |),
+         |qb AS (SELECT w.vec_id AS query_id, w.q AS qq, w.n AS qn, w.bucket
+         |       FROM withb w WHERE w.vec_id % 50 = 0),
+         |ap AS (
+         |  SELECT query_id, id, rank FROM (
+         |    SELECT q.query_id, c.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+         |               / (c.n * q.qn) DESC, c.vec_id) AS rank
+         |    FROM withb c JOIN qb q USING (bucket) WHERE c.vec_id != q.query_id
+         |  ) WHERE rank <= 5
+         |),
+         |dcg AS (
+         |  SELECT a.query_id,
+         |         CAST(sum(CASE WHEN e.id IS NOT NULL
+         |              THEN CAST(round(1e6 / (ln(a.rank + 1.0) / ln(2.0))) AS BIGINT)
+         |              ELSE 0 END) AS BIGINT) AS dcg_u
+         |  FROM ap a LEFT JOIN ex e ON e.query_id = a.query_id AND e.id = a.id
+         |  GROUP BY 1
+         |),
+         |per AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
+         |ideal AS (
+         |  SELECT query_id, n_exact,
+         |         CAST(list_sum(list_transform(range(1, CAST(n_exact AS INT) + 1),
+         |              r -> CAST(round(1e6 / (ln(r + 1.0) / ln(2.0))) AS BIGINT))) AS BIGINT) AS idcg_u
+         |  FROM per
+         |),
+         |j AS (
+         |  SELECT i.query_id, i.n_exact, i.idcg_u, coalesce(d.dcg_u, 0) AS d_u
+         |  FROM ideal i LEFT JOIN dcg d USING (query_id)
+         |),
+         |tot AS (SELECT sum(d_u) AS td, sum(idcg_u) AS ti FROM j)
+         |SELECT query_id, n_exact,
+         |       round(CAST(d_u AS DOUBLE) / idcg_u, 4) AS ndcg,
+         |       round(CAST(tot.td AS DOUBLE) / tot.ti, 4) AS micro_ndcg
+         |FROM j CROSS JOIN tot""".stripMargin,
+    // Paired-uplift replay: controls collapsed to (user, ts) grain,
+    // DuckDB's native ASOF backward pick, same exact cent sums.
+    "q226_paired_uplift" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |),
+        |treat AS (
+        |  SELECT user_id, ts, cents AS tc FROM ev
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |),
+        |ctrl AS (
+        |  SELECT user_id, ts, max(cents) AS cc FROM ev
+        |  WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT t.tc, c.cc
+        |  FROM treat t ASOF LEFT JOIN ctrl c
+        |    ON t.user_id = c.user_id AND t.ts >= c.ts
+        |),
+        |s AS (
+        |  SELECT CAST(count(cc) AS BIGINT) AS n_pairs,
+        |         CAST(count(*) FILTER (cc IS NULL) AS BIGINT) AS n_unmatched,
+        |         CAST(sum(tc - cc) AS BIGINT) AS s,
+        |         CAST(sum((tc - cc) * (tc - cc)) AS BIGINT) AS q
+        |  FROM m
+        |),
+        |v AS (
+        |  SELECT n_pairs, n_unmatched, s,
+        |         (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_pairs)
+        |           / (n_pairs - 1) AS var
+        |  FROM s WHERE n_pairs > 1
+        |)
+        |SELECT n_pairs, n_unmatched,
+        |       round(CAST(s AS DOUBLE) / n_pairs / 100.0, 4) AS mean_diff,
+        |       round((CAST(s AS DOUBLE) / n_pairs)
+        |             / CASE WHEN var <= 0 THEN NULL
+        |                    ELSE sqrt(var / n_pairs) END, 4) AS t
+        |FROM v""".stripMargin,
+    // ECE replay: q183's quality + Gopher pass, exact 1e-4 confidence
+    // units, 6dp contributions, 4dp bin-table total.
+    "q227_ece" ->
+      s"""WITH $GopherDocSql,
+         |base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a')))
+         |               AS BIGINT)
+         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
+         |  FROM base
+         |),
+         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
+         |b AS (
+         |  SELECT CAST(least(CAST(floor(CAST(qi AS DOUBLE) / 10000.0 * 10) AS BIGINT), 9) AS BIGINT) AS bin,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(qi) AS BIGINT) AS sc,
+         |         CAST(count(CASE WHEN gopher_pass THEN 1 END) AS BIGINT) AS hits
+         |  FROM q JOIN g USING (doc_id) GROUP BY 1
+         |),
+         |w2 AS (
+         |  SELECT bin, n, sc, hits, sum(n) OVER () AS nn,
+         |         CAST(sc AS DOUBLE) / n / 10000.0 AS conf,
+         |         CAST(hits AS DOUBLE) / n AS acc
+         |  FROM b
+         |),
+         |c AS (
+         |  SELECT bin, n, conf, acc,
+         |         round(CAST(n AS DOUBLE) / nn * abs(acc - conf), 6) AS contrib
+         |  FROM w2
+         |)
+         |SELECT bin, n, round(conf, 4) AS conf_avg, round(acc, 4) AS acc,
+         |       contrib, round(sum(contrib) OVER (), 4) AS ece
+         |FROM c""".stripMargin,
   )
 }

@@ -571,6 +571,59 @@ object EventWindows {
       .withColumn("dau_mau", round(col("dau").cast("double") / col("mau"), 4))
   }
 
+  /** Matched-pair uplift with a paired t — the within-subject effect
+    * estimator: each treatment event is matched to the SAME user's
+    * nearest preceding control event (F3's as-of machinery — one
+    * sort-merge pass on the user exchange, never a windowed
+    * self-join), and the report is the mean treated−control gap with
+    * Student's paired t = d̄/(s_d/√n). Matching on the subject
+    * removes between-user variance — the blocked design F31's
+    * independent-groups t can't exploit.
+    *
+    * Determinism: controls collapse to (user, ts) grain first (max
+    * cents — one value per instant, so the as-of pick is unique);
+    * diffs are exact integer cents; mean/sd/t are doubles from ONE
+    * aggregate of exact long sums, 4dp. Unmatched treatments are
+    * counted (n_unmatched) and excluded.
+    *
+    * Output: one row (n_pairs, n_unmatched, mean_diff, t).
+    */
+  def pairedUplift(
+      events: DataFrame,
+      treatType: String,
+      controlType: String,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val treat = events
+      .filter(col(typeCol) === treatType && col(valueCol).isNotNull)
+      .select(col(userCol), col(tsCol), cents.as("__tc"))
+    val ctrl = events
+      .filter(col(typeCol) === controlType && col(valueCol).isNotNull)
+      .groupBy(col(userCol), col(tsCol).as("__cts"))
+      .agg(max(cents).as("__cc"))
+    val d = (c: Column) => c.cast("double")
+    AsOfJoin.asOf(treat, ctrl, Seq(userCol), tsCol, "__cts",
+        payloadCols = Seq("__cc"), direction = "backward")
+      .withColumn("__diff", col("__tc") - col("__cc"))
+      .agg(
+        count(col("__diff")).as("n_pairs"),
+        sum(when(col("__diff").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        sum(col("__diff")).as("__s"),
+        sum(col("__diff") * col("__diff")).as("__q"))
+      .filter(col("n_pairs") > 1)
+      .withColumn("__v",
+        (d(col("__q")) - d(col("__s")) * d(col("__s")) / col("n_pairs")) /
+          (col("n_pairs") - 1))
+      .select(col("n_pairs"), col("n_unmatched"),
+        round(d(col("__s")) / col("n_pairs") / 100.0, 4).as("mean_diff"),
+        round((d(col("__s")) / col("n_pairs")) /
+          when(col("__v") <= 0, lit(null))
+            .otherwise(sqrt(col("__v") / col("n_pairs"))), 4).as("t"))
+  }
+
   /** Cohort LTV matrix — the revenue companion to H15's retention
     * counts: users grouped by FIRST-SEEN week, their value summed per
     * week-of-age, and the running cumulative divided by cohort size =

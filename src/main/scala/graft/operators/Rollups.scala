@@ -1785,6 +1785,49 @@ object Rollups {
           .as("r_partial"))
   }
 
+  /** Expected calibration error — the scalar that scores a
+    * [0,1]-confidence column against binary outcomes (Guo et al.
+    * 2017's ECE): bin by confidence decile, and sum each bin's
+    * population-weighted |accuracy − mean confidence|. The G62
+    * reliability diagram reduced to the number a filter-threshold
+    * review gates on.
+    *
+    * Determinism: confidences quantize to integer 1e-4 units (exact
+    * for G8's quality, which IS integer/10⁴); per-bin accuracy and
+    * mean confidence are exact ratios of longs; each contribution is
+    * one double expression rounded 6dp, the ECE their 4dp total over
+    * the ≤10-row bin table (the F20/I25 contract). Scale shape: one
+    * corpus scan, one map-side-combined bin aggregate, bin-table
+    * windows only.
+    *
+    * Output: (bin, n, conf_avg, acc, contrib, ece).
+    */
+  def calibrationError(
+      df: DataFrame,
+      confCol: String,
+      labelCol: String): DataFrame = {
+    val all = Window.partitionBy()
+    val d = (c: Column) => c.cast("double")
+    df.filter(col(confCol).isNotNull)
+      .select(
+        least(floor(col(confCol) * 10).cast("long"), lit(9L)).as("bin"),
+        round(col(confCol) * 10000).cast("long").as("__cu"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__cu")).as("__sc"),
+        sum(col("__y")).as("__hits"))
+      .withColumn("__N", sum(col("n")).over(all))
+      .withColumn("__conf", d(col("__sc")) / col("n") / 10000.0)
+      .withColumn("__acc", d(col("__hits")) / col("n"))
+      .withColumn("contrib",
+        round(d(col("n")) / col("__N") * abs(col("__acc") - col("__conf")), 6))
+      .withColumn("ece", round(sum(col("contrib")).over(all), 4))
+      .select(col("bin"), col("n"),
+        round(col("__conf"), 4).as("conf_avg"),
+        round(col("__acc"), 4).as("acc"),
+        col("contrib"), col("ece"))
+  }
+
   /** Gini concentration of an additive mass column — how unequally a
     * corpus's character/token/byte mass is spread across its rows
     * (Gini 1912 via the grouped-data rank form): G = (2·Σᵢ i·x₍ᵢ₎ −

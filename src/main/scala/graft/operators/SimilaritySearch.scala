@@ -763,4 +763,53 @@ object SimilaritySearch {
         round(col("n_hits").cast("double") / col("n_exact"), 4).as("recall"),
         round(col("__th").cast("double") / col("__te"), 4).as("micro_recall"))
   }
+
+  /** NDCG@k of an approximate index against the exact top-k — the
+    * POSITION-aware companion to [[recallAtK]]: a hit at rank 1 is
+    * worth 1/log₂(2), at rank 5 only 1/log₂(6), so an index that
+    * finds the right neighbors but scrambles their order scores
+    * below one that keeps them ranked (Järvelin & Kekäläinen 2002,
+    * binary relevance = membership in the exact top-k).
+    *
+    * Determinism: each rank's discount gain is quantized ONCE to
+    * integer micro-units (⌊1e6/log₂(r+1)⌉ — the D18 error-unit
+    * contract), so DCG and ideal-DCG are exact long sums no float
+    * fold-order can change; per-query NDCG and the micro average
+    * (Σdcg/Σidcg of exact longs) are single divisions, 4dp. A query
+    * the index misses entirely still reports ndcg = 0 — dropping it
+    * would inflate the average exactly where the index is worst.
+    *
+    * Scale shape: both inputs are ≤ k rows per query; one hash join +
+    * one query-grain combine; the ideal table derives from counts
+    * alone (a bounded in-row sequence fold); totals are a one-row
+    * broadcast. The corpus is never touched.
+    *
+    * Output: (query_id, n_exact, ndcg, micro_ndcg).
+    */
+  def ndcgAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    def gainU(r: Column): Column =
+      round(lit(1e6) / (log(r.cast("double") + lit(1.0)) / log(lit(2.0))))
+        .cast("long")
+    val e = exact.select(col("query_id"), col("id"), lit(1L).as("__rel"))
+    val a = approx.select(col("query_id"), col("id"), col("rank"))
+    val dcg = a.join(e, Seq("query_id", "id"), "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("__rel").isNotNull, gainU(col("rank")))
+        .otherwise(0L)).as("__dcg_u"))
+    // the joined frame feeds the per-query output AND the micro total
+    val per = exact.groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("__idcg_u",
+        aggregate(sequence(lit(1), col("n_exact").cast("int")),
+          lit(0L), (acc, r) => acc + gainU(r)))
+      .join(dcg, Seq("query_id"), "left")
+      .withColumn("__d", coalesce(col("__dcg_u"), lit(0L)))
+      .localCheckpoint()
+    val totals = per.agg(
+      sum(col("__d")).as("__td"), sum(col("__idcg_u")).as("__ti"))
+    per.crossJoin(broadcast(totals))
+      .select(col("query_id"), col("n_exact"),
+        round(col("__d").cast("double") / col("__idcg_u"), 4).as("ndcg"),
+        round(col("__td").cast("double") / col("__ti"), 4).as("micro_ndcg"))
+  }
 }

@@ -1667,6 +1667,63 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("SimilaritySearch.ndcgAtK: perfect order 1.0, scrambled order less") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L), (2L, 21L, 2L))
+      .toDF("query_id", "id", "rank")
+    // query 1: perfect; query 2: right set, reversed order (NDCG@2 of
+    // a 2-element permutation is still 1.0 with binary relevance, so
+    // give query 2 one miss at rank 1 instead)
+    val approx = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 99L, 1L), (2L, 20L, 2L))
+      .toDF("query_id", "id", "rank")
+    val out = SimilaritySearch.ndcgAtK(exact, approx)
+      .orderBy("query_id").collect()
+    assert(out(0).getDouble(out(0).fieldIndex("ndcg")) == 1.0)
+    // query 2: dcg = 1/log2(3) = 0.6309…e6; idcg = 1 + 1/log2(3)
+    val g2 = math.rint(1e6 / (math.log(3.0) / math.log(2.0)))
+    val want = math.rint(g2 / (1e6 + g2) * 1e4) / 1e4
+    assert(out(1).getDouble(out(1).fieldIndex("ndcg")) == want)
+    // a query with NO approx rows reports 0, not a dropped row
+    val missing = SimilaritySearch.ndcgAtK(exact,
+      approx.filter(col("query_id") === 1L)).orderBy("query_id").collect()
+    assert(missing.length == 2 &&
+      missing(1).getDouble(missing(1).fieldIndex("ndcg")) == 0.0)
+  }
+
+  test("EventWindows.pairedUplift: nearest preceding control per user") {
+    val ev = Seq(
+      // user 1: view 2.0 @t1, view 4.0 @t3, click 9.0 @t5 → pair (9,4)
+      (1L, 1L, "view", 2.0), (1L, 3L, "view", 4.0), (1L, 5L, "click", 9.0),
+      // user 2: click with NO prior view → unmatched
+      (2L, 2L, "click", 7.0),
+      // user 3: click 1.0 @t4 after view 6.0 @t2 → pair (1,6)
+      (3L, 2L, "view", 6.0), (3L, 4L, "click", 1.0))
+      .toDF("user_id", "mins", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("mins") * 60000000L))
+    val r = EventWindows.pairedUplift(ev, "click", "view").collect().head
+    assert(r.getLong(r.fieldIndex("n_pairs")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_unmatched")) == 1L)
+    // diffs: +5.0 and −5.0 → mean 0
+    assert(r.getDouble(r.fieldIndex("mean_diff")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("t")) == 0.0)
+  }
+
+  test("Rollups.calibrationError: perfect calibration scores 0") {
+    // bin 2 (conf 0.25): 1 of 4 positive → acc 0.25 = conf → contrib
+    // 0; bin 7 (conf 0.75): 3 of 4 positive → contrib 0
+    val perfect = Seq.fill(3)((0.25, false)) ++ Seq(( 0.25, true)) ++
+      Seq.fill(3)((0.75, true)) ++ Seq((0.75, false))
+    val p = Rollups.calibrationError(perfect.toDF("conf", "y"), "conf", "y")
+      .orderBy("bin").collect()
+    assert(p.length == 2)
+    assert(p.forall(r => r.getDouble(r.fieldIndex("contrib")) == 0.0))
+    assert(p.head.getDouble(p.head.fieldIndex("ece")) == 0.0)
+    // systematic overconfidence: conf 0.9, all negative → ece 0.9
+    val over = Seq.fill(10)((0.9, false)).toDF("conf", "y")
+    val o = Rollups.calibrationError(over, "conf", "y").collect().head
+    assert(o.getDouble(o.fieldIndex("ece")) == 0.9)
+    assert(o.getLong(o.fieldIndex("bin")) == 9L)
+  }
+
   test("Graph.degreePowerLaw: star graph summary and two-point fit") {
     // star: hub 0 with 4 leaves → degrees 4,1,1,1,1 → hist {4:1, 1:4}
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")

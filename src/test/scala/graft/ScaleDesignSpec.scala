@@ -1292,6 +1292,21 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q226: ONE as-of sort-merge pass on the user exchange — never a
+    // windowed/range self-join of the event table
+    val q226 = exec("q226_paired_uplift")
+    noCartesian("q226_paired_uplift", q226)
+    assert(helper.collect(q226.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "q226: the as-of match must stay an equi-keyed pass")
+
+    // q227: one corpus scan to the ≤10-row bin table; windows ride
+    // the bin table only
+    val q227 = exec("q227_ece")
+    assert(scans(q227).size == 1, s"q227: one scan, got ${scans(q227).size}")
+    assert(windows(q227).size <= 2, "q227: bin-table windows only")
+    noCartesian("q227_ece", q227)
+
     // q222: everything above the eager-cut degree histogram is
     // aggregate-only; the single loop join is the 1-row fit attach
     val q222 = exec("q222_degree_powerlaw")
