@@ -2522,6 +2522,28 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q228_decay_score" -> ((s, dir) => {
+      // H38 recency-weighted engagement score: value·2^(−age_days)
+      // per user, exact shift-based decay, corpus-anchored
+      val t = Tables(s, dir)
+      EventWindows.decayScore(t.events)
+    }),
+    "q229_burst_audit" -> ((s, dir) => {
+      // H39 rate-limit audit: each user's peak trailing-60s arrival
+      // count with its first instant, users peaking >= 2
+      val t = Tables(s, dir)
+      EventWindows.burstAudit(t.events)
+    }),
+    "q230_seasonal_decompose" -> ((s, dir) => {
+      // D19 STL-lite: centered-MA trend, weekly phase effects, and
+      // residual spread over each event type's daily count series
+      val t = Tables(s, dir)
+      val series = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      Rollups.seasonalDecompose(series, Seq("event_type"), "day", "y")
+    }),
     "q225_ndcg" -> ((s, dir) => {
       // G75 position-aware index eval: NDCG@5 of the LSH index vs
       // brute-force ground truth (q191's inputs, rank-discounted)
@@ -7558,5 +7580,84 @@ object SparkEntry {
          |SELECT bin, n, round(conf, 4) AS conf_avg, round(acc, 4) AS acc,
          |       contrib, round(sum(contrib) OVER (), 4) AS ece
          |FROM c""".stripMargin,
+    // Decay-score replay: same integer day ages, same exact
+    // shift-based 2^-age micro weights, HUGEINT contribution sums.
+    "q228_decay_score" ->
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |a AS (SELECT max(d) AS t FROM f),
+        |w AS (
+        |  SELECT user_id, c,
+        |         CASE WHEN t - d <= 62
+        |              THEN CAST(round(1e6 / CAST(CAST(1 AS BIGINT) << CAST(t - d AS INT) AS DOUBLE)) AS BIGINT)
+        |              ELSE 0 END AS wu
+        |  FROM f CROSS JOIN a
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       round(CAST(sum(CAST(c AS HUGEINT) * CAST(wu AS HUGEINT)) AS DOUBLE)
+        |             / 1e6 / 100.0, 4) AS score
+        |FROM w GROUP BY 1""".stripMargin,
+    // Burst-audit replay: same half-open trailing RANGE frame, same
+    // (count desc, t) argmax total order.
+    "q229_burst_audit" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |),
+        |c AS (
+        |  SELECT user_id, us,
+        |         count(*) OVER (PARTITION BY user_id ORDER BY us
+        |                        RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW) AS cnt,
+        |         count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM e
+        |),
+        |r AS (
+        |  SELECT user_id, n_events, cnt, us,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, us) AS rnk
+        |  FROM c
+        |)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(cnt AS BIGINT) AS peak, us AS peak_t_us
+        |FROM r WHERE rnk = 1 AND cnt >= 2""".stripMargin,
+    // STL-lite replay: same partial centered frames, same micro-unit
+    // quantizations, HUGEINT residual moments.
+    "q230_seasonal_decompose" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |),
+        |t AS (
+        |  SELECT event_type, day, y,
+        |         CAST(round(CAST(sum(y) OVER fr AS DOUBLE) / count(*) OVER fr * 1e6) AS BIGINT) AS tu
+        |  FROM s WINDOW fr AS (PARTITION BY event_type ORDER BY day
+        |                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |),
+        |b AS (SELECT event_type, day % 7 AS phase, y * 1000000 - tu AS du FROM t),
+        |se AS (
+        |  SELECT event_type, phase, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(round(CAST(sum(CAST(du AS HUGEINT)) AS DOUBLE) / count(*)) AS BIGINT) AS su
+        |  FROM b GROUP BY 1, 2
+        |),
+        |rs AS (
+        |  SELECT b.event_type,
+        |         CAST(count(*) AS BIGINT) AS rn,
+        |         sum(CAST(b.du - se.su AS HUGEINT)) AS rsum,
+        |         sum(CAST(b.du - se.su AS HUGEINT) * CAST(b.du - se.su AS HUGEINT)) AS rq
+        |  FROM b JOIN se ON se.event_type = b.event_type AND se.phase = b.phase
+        |  GROUP BY 1
+        |),
+        |rr AS (
+        |  SELECT event_type,
+        |         CASE WHEN rn > 1 THEN
+        |           round(sqrt((CAST(rq AS DOUBLE) - CAST(rsum AS DOUBLE) * CAST(rsum AS DOUBLE) / rn)
+        |                      / (rn - 1)) / 1e6, 4) END AS resid_sd
+        |  FROM rs
+        |)
+        |SELECT se.event_type, se.phase, se.n,
+        |       round(CAST(se.su AS DOUBLE) / 1e6, 4) AS seasonal, rr.resid_sd
+        |FROM se JOIN rr USING (event_type)""".stripMargin,
   )
 }

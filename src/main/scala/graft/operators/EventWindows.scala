@@ -571,6 +571,79 @@ object EventWindows {
       .withColumn("dau_mau", round(col("dau").cast("double") / col("mau"), 4))
   }
 
+  /** Recency-weighted (half-life-decayed) engagement score per user —
+    * the lead-scoring / feature-store staple: each event contributes
+    * value·2^(−age_days), so yesterday's click is worth half of
+    * today's. Anchored at the CORPUS max event time so the score is
+    * a pure function of the data (re-runnable, engine-portable).
+    *
+    * Determinism without `pow`: the age is an integer day count, so
+    * the decay is an exact binary shift — weight_µ = ⌊1e6 / 2^age⌉
+    * computed as integer-shift-then-divide (both engines do exact
+    * integer shifts; no libm pow whose last ulp could differ), 0
+    * past 62 days. Contributions cents·weight_µ accumulate in
+    * decimal(38,0). One broadcast anchor row + one (user) combine.
+    *
+    * Output: (user_id, n_events, score) — score in value units.
+    */
+  def decayScore(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val day = expr(s"unix_micros($tsCol) div 86400000000")
+    val anchor = events.agg(max(day).as("__T"))
+    val wu = when(col("__T") - col("__d") <= 62,
+      round(lit(1e6) /
+        expr("shiftleft(1L, cast(__T - __d as int))").cast("double")).cast("long"))
+      .otherwise(0L)
+    events
+      .filter(col(valueCol).isNotNull)
+      .select(col(userCol), day.as("__d"),
+        round(col(valueCol) * 100).cast("long").as("__c"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("__wc", col("__c").cast(dec) * wu.cast(dec))
+      .groupBy(userCol)
+      .agg(count(lit(1)).as("n_events"), sum(col("__wc")).as("__s"))
+      .select(col(userCol), col("n_events"),
+        round(col("__s").cast("double") / 1e6 / 100.0, 4).as("score"))
+  }
+
+  /** Sliding-window burst audit — the rate-limit / abuse-detection
+    * primitive: each user's PEAK event count within any trailing
+    * `windowSecs` interval, with the first instant it is reached,
+    * keeping only users at or above `minPeak`. H32's sweep line asks
+    * "how many open at once"; this asks "how many ARRIVED within any
+    * trailing window" — the query a throttle actually enforces.
+    *
+    * Scale shape: ONE (user) exchange carries both the RANGE-framed
+    * trailing count (O(1) running state — Spark maintains range
+    * frames incrementally, never re-scanning the frame) and the
+    * (count desc, t) argmax rank. Exact integer micros and counts.
+    *
+    * Output: (user_id, n_events, peak, peak_t_us).
+    */
+  def burstAudit(
+      events: DataFrame,
+      windowSecs: Int = 60,
+      minPeak: Int = 2,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val byUser = Window.partitionBy(userCol)
+    val trailing = byUser.orderBy(col("__us"))
+      .rangeBetween(-(windowSecs * 1000000L - 1), Window.currentRow)
+    events
+      .select(col(userCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__cnt", count(lit(1)).over(trailing))
+      .withColumn("n_events", count(lit(1)).over(byUser))
+      .withColumn("__rnk", row_number().over(
+        byUser.orderBy(col("__cnt").desc, col("__us"))))
+      .filter(col("__rnk") === 1 && col("__cnt") >= minPeak)
+      .select(col(userCol), col("n_events"),
+        col("__cnt").as("peak"), col("__us").as("peak_t_us"))
+  }
+
   /** Matched-pair uplift with a paired t — the within-subject effect
     * estimator: each treatment event is matched to the SAME user's
     * nearest preceding control event (F3's as-of machinery — one

@@ -1785,6 +1785,69 @@ object Rollups {
           .as("r_partial"))
   }
 
+  /** STL-lite additive seasonal decomposition per keyed series —
+    * trend via a centered ±halfWindow moving average, seasonal
+    * effect per calendar phase (x mod period) from the detrended
+    * series, residual spread per key: the "is the weekly pattern
+    * real and how much is left over" report between D11's seasonal
+    * index (share-based) and a full STL (loess, iterative).
+    *
+    * Determinism: the trend is ONE double division of exact long
+    * window sums, quantized to integer micro-units (the D18
+    * contract); detrended values, seasonal means, and residuals stay
+    * in exact micro-int arithmetic (sums in decimal(38,0) — squares
+    * of micro-units overflow longs); each output is one 4dp
+    * division. Edge rows average their PARTIAL window (rows-framed,
+    * both engines identically).
+    *
+    * Scale shape: trend + detrend ride ONE (keys) exchange; the
+    * frame is eager-cut (feeds the seasonal combine AND the residual
+    * pass); seasonal effects attach back as a broadcast (keys ×
+    * period dim); residual spread is a keys-grain combine.
+    *
+    * Output: (keys..., phase, n, seasonal, resid_sd).
+    */
+  def seasonalDecompose(
+      series: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String,
+      period: Int = 7,
+      halfWindow: Int = 3): DataFrame = {
+    require(period >= 2 && halfWindow >= 1)
+    val dec = "decimal(38,0)"
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val fr = byKey.orderBy(col(xCol)).rowsBetween(-halfWindow, halfWindow)
+    val d = (c: Column) => c.cast("double")
+    val base = series
+      .withColumn("__tu",
+        round(d(sum(col(yCol).cast("long")).over(fr)) /
+          count(lit(1)).over(fr) * 1e6).cast("long"))
+      .withColumn("__du", col(yCol).cast("long") * 1000000L - col("__tu"))
+      .withColumn("phase", pmod(col(xCol).cast("long"), lit(period.toLong)))
+      .localCheckpoint()
+    val seas = base
+      .groupBy((keys.map(col) :+ col("phase")): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__du").cast(dec)).as("__sd"))
+      .withColumn("__su", round(d(col("__sd")) / col("n")).cast("long"))
+    val resid = base
+      .join(broadcast(seas.select(
+        (keys.map(col) :+ col("phase") :+ col("__su")): _*)),
+        keys :+ "phase")
+      .withColumn("__r", (col("__du") - col("__su")).cast(dec))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__rn"), sum(col("__r")).as("__rs"),
+        sum(col("__r") * col("__r")).as("__rq"))
+      .withColumn("resid_sd",
+        when(col("__rn") > 1, round(sqrt(
+          (d(col("__rq")) - d(col("__rs")) * d(col("__rs")) / col("__rn")) /
+            (col("__rn") - 1)) / 1e6, 4)))
+      .select((keys.map(col) :+ col("resid_sd")): _*)
+    seas.join(broadcast(resid), keys)
+      .select(keys.map(col) ++ Seq(col("phase"), col("n"),
+        round(d(col("__su")) / 1e6, 4).as("seasonal"), col("resid_sd")): _*)
+  }
+
   /** Expected calibration error — the scalar that scores a
     * [0,1]-confidence column against binary outcomes (Guo et al.
     * 2017's ECE): bin by confidence decile, and sum each bin's

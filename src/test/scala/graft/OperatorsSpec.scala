@@ -1667,6 +1667,55 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("EventWindows.decayScore: exact halving per day of age") {
+    val dayUs = 86400000000L
+    val ev = Seq(
+      (1L, 2L * dayUs, 8.0), // age 0 → weight 1
+      (1L, 1L * dayUs, 8.0), // age 1 → 1/2
+      (1L, 0L * dayUs, 8.0), // age 2 → 1/4
+      (2L, 2L * dayUs, 1.0))
+      .toDF("user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = EventWindows.decayScore(ev).orderBy("user_id").collect()
+    assert(out(0).getDouble(out(0).fieldIndex("score")) == 8.0 + 4.0 + 2.0)
+    assert(out(1).getDouble(out(1).fieldIndex("score")) == 1.0)
+  }
+
+  test("EventWindows.burstAudit: trailing window peak and first instant") {
+    val ev = Seq(
+      // user 1: 3 events inside one minute, then a quiet one
+      (1L, 0L), (1L, 30000000L), (1L, 59000000L), (1L, 400000000L),
+      // user 2: two events 61 s apart → never 2 in a window
+      (2L, 0L), (2L, 61000000L))
+      .toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("event_type", lit("e")).withColumn("value", lit(1.0))
+    val out = EventWindows.burstAudit(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("user_id")) == 1L &&
+      r.getLong(r.fieldIndex("peak")) == 3L &&
+      r.getLong(r.fieldIndex("peak_t_us")) == 59000000L &&
+      r.getLong(r.fieldIndex("n_events")) == 4L)
+  }
+
+  test("Rollups.seasonalDecompose: flat series has zero seasonal and sd") {
+    val series = (0L until 28L).map(d => ("a", d, 10L)).toDF("k", "day", "y")
+    val out = Rollups.seasonalDecompose(series, Seq("k"), "day", "y")
+    val rows = out.collect()
+    assert(rows.length == 7)
+    assert(rows.forall(r => r.getDouble(r.fieldIndex("seasonal")) == 0.0))
+    assert(rows.forall(r => r.getDouble(r.fieldIndex("resid_sd")) == 0.0))
+    // an alternating series: period-2 phases split high/low
+    val alt = (0L until 20L).map(d => ("a", d, if (d % 2 == 0) 20L else 10L))
+      .toDF("k", "day", "y")
+    val a = Rollups.seasonalDecompose(alt, Seq("k"), "day", "y", period = 2)
+      .orderBy("phase").collect()
+    assert(a(0).getDouble(a(0).fieldIndex("seasonal")) >
+      a(1).getDouble(a(1).fieldIndex("seasonal")),
+      "even phase carries the high values")
+  }
+
   test("SimilaritySearch.ndcgAtK: perfect order 1.0, scrambled order less") {
     val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L), (2L, 21L, 2L))
       .toDF("query_id", "id", "rank")

@@ -1292,6 +1292,36 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q228: one broadcast anchor row + one (user) combine — the only
+    // loop join is the 1-row anchor attach, no windows anywhere
+    val q228 = exec("q228_decay_score")
+    assert(windows(q228).isEmpty, "q228 must stay window-free")
+    noCartesian("q228_decay_score", q228)
+    assert(helper.collect(q228.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.size <= 1, "q228: only the 1-row anchor attach may loop")
+
+    // q229: trailing count, per-user total, and the argmax all ride
+    // the ONE (user) exchange
+    val q229 = exec("q229_burst_audit")
+    assert(scans(q229).size == 1, s"q229: one scan, got ${scans(q229).size}")
+    assert(windows(q229).nonEmpty &&
+      windows(q229).forall(_.partitionSpec.exists(_.toString.contains("user_id"))),
+      "q229: every window must ride the user key")
+    assert(shuffles(q229).size == 1,
+      s"q229: one user exchange, got ${shuffles(q229).size}")
+
+    // q230: trend/detrend ride the series keys behind the eager cut;
+    // phase effects and residuals attach back as broadcasts
+    val q230 = exec("q230_seasonal_decompose")
+    assert(scans(q230).isEmpty,
+      s"q230: frame must be cut at the checkpoint, got ${scans(q230).size}")
+    assert(windows(q230).isEmpty,
+      "q230: the trend window stays behind the cut")
+    assert(helper.collect(q230.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }.size >= 2, "q230: phase and residual attaches must broadcast")
+
     // q226: ONE as-of sort-merge pass on the user exchange — never a
     // windowed/range self-join of the event table
     val q226 = exec("q226_paired_uplift")
