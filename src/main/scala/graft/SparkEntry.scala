@@ -2522,6 +2522,19 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q231_item_cosine" -> ((s, dir) => {
+      // F40 item-based CF similarity: cosine of part audiences from
+      // order-basket co-occurrence, threshold on the rounded score
+      val t = Tables(s, dir)
+      Baskets.itemCosine(t.lineitem, "l_orderkey", "l_partkey",
+        minCos = 0.1)
+    }),
+    "q232_banding_eval" -> ((s, dir) => {
+      // G76 measured banding recall: exact all-pairs truth on a 5%
+      // sample vs the bucketed MinHash candidates
+      val t = Tables(s, dir)
+      Dedup.bandingEval(t.documents)
+    }),
     "q228_decay_score" -> ((s, dir) => {
       // H38 recency-weighted engagement score: value·2^(−age_days)
       // per user, exact shift-based decay, corpus-anchored
@@ -7659,5 +7672,61 @@ object SparkEntry {
         |SELECT se.event_type, se.phase, se.n,
         |       round(CAST(se.su AS DOUBLE) / 1e6, 4) AS seasonal, rr.resid_sd
         |FROM se JOIN rr USING (event_type)""".stripMargin,
+    // Item-cosine replay: same basket collapse, same in-row pair
+    // expansion, same 4dp-rounded keep test.
+    "q231_item_cosine" ->
+      """WITH baskets AS (
+        |  SELECT l_orderkey AS bk, list_sort(list_distinct(list(l_partkey))) AS items
+        |  FROM lineitem GROUP BY 1
+        |),
+        |pairs AS (
+        |  SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM (
+        |    SELECT unnest(flatten(list_transform(items, (x, i) ->
+        |             list_transform(items[i+1:], y -> struct_pack(a := x, b := y))))) AS p
+        |    FROM baskets
+        |  )
+        |  GROUP BY 1, 2
+        |),
+        |items_n AS (
+        |  SELECT it, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(items) AS it FROM baskets) GROUP BY 1
+        |)
+        |SELECT p.a, p.b, p.n_ab,
+        |       round(CAST(p.n_ab AS DOUBLE) / sqrt(CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)), 4) AS cos
+        |FROM pairs p
+        |JOIN items_n ia ON ia.it = p.a
+        |JOIN items_n ib ON ib.it = p.b
+        |WHERE p.n_ab >= 3
+        |  AND round(CAST(p.n_ab AS DOUBLE) / sqrt(CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)), 4) >= 0.1""".stripMargin,
+    // Banding-eval replay: exact all-pairs truth on the same 5%
+    // md5 sample, candidates = the q31 lshpairs restricted to it.
+    "q232_banding_eval" ->
+      s"""WITH $MinhashPairsSql,
+         |samp AS (
+         |  SELECT id, list_distinct(sh) AS dsh FROM shingled
+         |  WHERE ${HexBucketSql("md5(CAST(id AS VARCHAR) || ':bandeval')")} % 20 = 0
+         |),
+         |truth AS (
+         |  SELECT x.id AS idA, y.id AS idB
+         |  FROM samp x JOIN samp y ON x.id < y.id
+         |  WHERE round(CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(x.dsh, y.dsh))), 3) >= 0.8
+         |),
+         |scand AS (
+         |  SELECT p.idA, p.idB FROM lshpairs p
+         |  JOIN samp a ON a.id = p.idA JOIN samp b ON b.id = p.idB
+         |),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled FROM samp),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM scand),
+         |nh AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM truth t JOIN scand c ON c.idA = t.idA AND c.idB = t.idB
+         |)
+         |SELECT n_sampled, n_truth, n_candidates, n_hit,
+         |       round(CAST(n_hit AS DOUBLE)
+         |             / CASE WHEN n_truth = 0 THEN NULL ELSE n_truth END, 4) AS recall
+         |FROM ns CROSS JOIN nt CROSS JOIN nc CROSS JOIN nh""".stripMargin,
   )
 }

@@ -66,4 +66,48 @@ object Baskets {
       .orderBy(col("lift").desc, col("a"), col("b"))
       .limit(k)
   }
+
+  /** Item–item cosine similarity from basket co-occurrence —
+    * cos(a,b) = n_ab/√(n_a·n_b), the classic item-based
+    * collaborative-filtering similarity (Sarwar et al. 2001):
+    * [[pairLift]]'s probability-ratio asks "together more than
+    * chance?", cosine asks "how aligned are their audiences?" and is
+    * what a co-purchase recommender actually ranks by.
+    *
+    * Scale shape: identical to [[pairLift]] — ONE eager-cut basket
+    * collapse feeds the in-row (basket-width-bounded) pair
+    * expansion, the item marginals, and nothing else; counts exact,
+    * the cosine one double expression; the keep test runs on the
+    * 4dp-ROUNDED score so the threshold boundary is engine-portable.
+    *
+    * Output: (a, b, n_ab, cos), a < b, cos ≥ minCos.
+    */
+  def itemCosine(
+      df: DataFrame,
+      basketCol: String = "basket",
+      itemCol: String = "item",
+      minCos: Double = 0.2,
+      minSupport: Int = 3): DataFrame = {
+    val baskets = df
+      .groupBy(col(basketCol).as("__bk"))
+      .agg(sort_array(collect_set(col(itemCol))).as("__items"))
+      .localCheckpoint()
+    val pairs = baskets
+      .select(explode(flatten(transform(col("__items"), (x, i) =>
+        transform(slice(col("__items"), i + lit(2), size(col("__items"))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val items = baskets
+      .select(explode(col("__items")).as("__it"))
+      .groupBy("__it").agg(count(lit(1)).as("__n"))
+    pairs
+      .filter(col("n_ab") >= minSupport)
+      .join(items.select(col("__it").as("a"), col("__n").as("__na")), Seq("a"))
+      .join(items.select(col("__it").as("b"), col("__n").as("__nb")), Seq("b"))
+      .withColumn("cos", round(col("n_ab").cast("double") /
+        sqrt(col("__na").cast("double") * col("__nb").cast("double")), 4))
+      .filter(col("cos") >= minCos)
+      .select(col("a"), col("b"), col("n_ab"), col("cos"))
+  }
 }

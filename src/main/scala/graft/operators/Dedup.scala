@@ -746,6 +746,64 @@ object Dedup {
     *
     * Output: (name_a, name_b, lev).
     */
+  /** Measured banding recall — the eval that replaces G2's
+    * THEORETICAL band-collision curve with a number from this
+    * corpus: on a deterministic ~(100/sampleMod)% document sample,
+    * compute the EXACT all-pairs shingle-Jaccard ground truth and
+    * report what fraction of true near-dup pairs the banded MinHash
+    * path surfaces. Candidates are exact-verified, so precision is 1
+    * by construction and recall is the whole story — run this before
+    * trusting a band/row setting on a new 100 TB corpus.
+    *
+    * Scale shape: the all-pairs step is the ONE deliberately-bounded
+    * quadratic in the eval family — sample² pairs via a broadcast
+    * loop join of the eager-cut sample against itself (the q92-style
+    * capped-verifier exception, sized by `sampleMod`), never the
+    * corpus; the candidate side is G2's bucketed path restricted to
+    * the sample by two id joins; the report is four one-row
+    * aggregates attached by 1-row broadcasts.
+    *
+    * Output: one row (n_sampled, n_truth, n_candidates, n_hit,
+    * recall).
+    */
+  def bandingEval(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sampleMod: Int = 20,
+      minJaccard: Double = 0.8): DataFrame = {
+    require(sampleMod >= 2, s"sampleMod must be >= 2, got $sampleMod")
+    val sample = spread(df)
+      .filter(Sampling.hashBucket(col(idCol), "bandeval") % sampleMod === 0)
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.NativeText.wordShingles(col(textCol), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val truth = sample
+      .join(broadcast(sample.select(col("id").as("idB"), col("sh").as("shB"))),
+        col("id") < col("idB"))
+      .withColumn("__j", round(
+        size(array_intersect(col("sh"), col("shB"))).cast("double") /
+          size(array_union(col("sh"), col("shB"))), 3))
+      .filter(col("__j") >= minJaccard)
+      .select(col("id").as("idA"), col("idB"))
+      .localCheckpoint()
+    val cand = minhashLshPairs(df, textCol, idCol, minJaccard = minJaccard)
+      .join(sample.select(col("id").as("idA")), Seq("idA"))
+      .join(sample.select(col("id").as("idB")), Seq("idB"))
+      .select(col("idA"), col("idB"))
+      .localCheckpoint()
+    sample.agg(count(lit(1)).as("n_sampled"))
+      .join(broadcast(truth.agg(count(lit(1)).as("n_truth"))), lit(true), "left")
+      .join(broadcast(cand.agg(count(lit(1)).as("n_candidates"))), lit(true), "left")
+      .join(broadcast(truth.join(cand, Seq("idA", "idB"))
+        .agg(count(lit(1)).as("n_hit"))), lit(true), "left")
+      .select(col("n_sampled"), col("n_truth"), col("n_candidates"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          when(col("n_truth") === 0, lit(null)).otherwise(col("n_truth")), 4)
+          .as("recall"))
+  }
+
   /** Canonical-document selection — the KEEP side of a near-dup
     * pipeline: given the near-dup pair set, cluster it (G2b's
     * pointer-jumping components) and pick each cluster's keeper by

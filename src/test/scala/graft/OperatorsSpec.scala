@@ -1667,6 +1667,40 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("Baskets.itemCosine: audience-overlap cosine with support floor") {
+    // items x,y co-occur in 3 of x's 3 and y's 4 baskets →
+    // cos = 3/sqrt(12) = 0.8660; z co-occurs once → below support
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"), (3L, "y"),
+      (4L, "y"), (4L, "z"))
+      .toDF("bk", "item")
+    val out = Baskets.itemCosine(rows, "bk", "item", minCos = 0.5,
+      minSupport = 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "x" && r.getString(1) == "y" &&
+      r.getLong(2) == 3L && r.getDouble(3) == 0.866)
+  }
+
+  test("Dedup.bandingEval: identical docs in-sample are found, recall 1") {
+    // doc ids chosen so hashBucket(id, "bandeval") % 20 == 0 puts them
+    // in the sample; identical long texts → jaccard 1 → truth pair,
+    // and MinHash banding must surface it → recall 1.0
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val inSample = (0L until 400L).filter { id =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:bandeval".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16) % 100 % 20 == 0
+    }.take(2)
+    val docs = inSample.map(id => (id, text)).toDF("doc_id", "text")
+    val r = Dedup.bandingEval(docs).collect().head
+    assert(r.getLong(r.fieldIndex("n_sampled")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_truth")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_hit")) == 1L)
+    assert(r.getDouble(r.fieldIndex("recall")) == 1.0)
+  }
+
   test("EventWindows.decayScore: exact halving per day of age") {
     val dayUs = 86400000000L
     val ev = Seq(

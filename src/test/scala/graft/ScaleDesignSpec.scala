@@ -1292,6 +1292,24 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q231: pair expansion stays IN-ROW on the eager-cut basket frame
+    // — no cartesian, no windows
+    val q231 = exec("q231_item_cosine")
+    assert(windows(q231).isEmpty, "q231 must stay window-free")
+    noCartesian("q231_item_cosine", q231)
+    assert(helper.collect(q231.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "q231: marginal attaches are equi joins")
+
+    // q232: the ONE deliberately-bounded quadratic — the sample²
+    // loop join plus the three 1-row report attaches; the corpus
+    // side stays bucketed (no cartesian anywhere)
+    val q232 = exec("q232_banding_eval")
+    noCartesian("q232_banding_eval", q232)
+    assert(helper.collect(q232.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.size <= 4, "q232: only the sample loop + 1-row report attaches")
+
     // q228: one broadcast anchor row + one (user) combine — the only
     // loop join is the 1-row anchor attach, no windows anywhere
     val q228 = exec("q228_decay_score")
