@@ -2522,6 +2522,27 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q233_srm" -> ((s, dir) => {
+      // F41 sample-ratio-mismatch gate on the q156 A/B arms: does
+      // the observed split match the intended 50/50?
+      val t = Tables(s, dir)
+      Rollups.srmCheck(
+        t.events.withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
+        "arm", "A", "B")
+    }),
+    "q234_int8_fidelity" -> ((s, dir) => {
+      // G77 quantization-fidelity report: cosine between each exact
+      // vector and its int8 code — the pre-flight for the code path
+      val t = Tables(s, dir)
+      SimilaritySearch.int8Fidelity(t.embeddings)
+    }),
+    "q235_transition_acc" -> ((s, dir) => {
+      // H40 majority-transition baseline accuracy over user event
+      // sequences — the floor any sequence model must beat
+      val t = Tables(s, dir)
+      EventWindows.transitionAccuracy(t.events)
+    }),
     "q231_item_cosine" -> ((s, dir) => {
       // F40 item-based CF similarity: cosine of part audiences from
       // order-basket co-occurrence, threshold on the rounded score
@@ -7728,5 +7749,91 @@ object SparkEntry {
          |       round(CAST(n_hit AS DOUBLE)
          |             / CASE WHEN n_truth = 0 THEN NULL ELSE n_truth END, 4) AS recall
          |FROM ns CROSS JOIN nt CROSS JOIN nc CROSS JOIN nh""".stripMargin,
+    // SRM replay: pmod parity arms, identical chi-square op order,
+    // flag on the 4dp-rounded statistic.
+    "q233_srm" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+        |         CAST(count(*) FILTER (user_id % 2 <> 0) AS BIGINT) AS n_b
+        |  FROM events
+        |),
+        |e AS (
+        |  SELECT n_a, n_b,
+        |         CAST(n_a + n_b AS DOUBLE) * 0.5 AS ea,
+        |         CAST(n_a + n_b AS DOUBLE) * 0.5 AS eb
+        |  FROM a WHERE n_a + n_b > 0
+        |),
+        |c AS (
+        |  SELECT n_a, n_b,
+        |         round((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
+        |               + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb, 4) AS chi2
+        |  FROM e
+        |)
+        |SELECT n_a, n_b,
+        |       round(CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE), 4) AS ratio,
+        |       chi2, chi2 > 3.8415 AS srm
+        |FROM c""".stripMargin,
+    // Int8-fidelity replay: q90's code CTE against EmbSql's exact
+    // ints, same 4dp fidelity, exact 1e-4 mean units.
+    "q234_int8_fidelity" ->
+      s"""WITH $EmbSql,
+         |b8 AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x ->
+         |           CASE WHEN mx = 0 THEN 0
+         |                ELSE CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT)
+         |           END) AS q8
+         |  FROM (SELECT vec_id, embedding,
+         |               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |        FROM embeddings)
+         |),
+         |n8 AS (
+         |  SELECT vec_id, q8,
+         |         sqrt(CAST(list_sum(list_transform(q8, x -> x * x)) AS DOUBLE)) AS n8
+         |  FROM b8 WHERE list_sum(list_transform(q8, x -> x * x)) > 0
+         |),
+         |f AS (
+         |  SELECT n.vec_id,
+         |         round(CAST(list_sum(list_transform(range(1, 65), i -> n.q[i] * c.q8[i])) AS DOUBLE)
+         |               / (n.n * c.n8), 6) AS fid
+         |  FROM nrm n JOIN n8 c USING (vec_id)
+         |  WHERE n.n > 0
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vectors, min(fid) AS min_fid,
+         |       round(CAST(sum(CAST(round(fid * 1000000) AS BIGINT)) AS DOUBLE)
+         |             / count(*) / 1e6, 6) AS mean_fid,
+         |       CAST(count(*) FILTER (fid < 0.999) AS BIGINT) AS n_below
+         |FROM f""".stripMargin,
+    // Transition-accuracy replay: same lead pairs, same (n desc,
+    // follower desc) argmax, exact counts.
+    "q235_transition_acc" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events
+        |),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM e
+        |),
+        |pp AS (SELECT from_type, nxt FROM p WHERE nxt IS NOT NULL),
+        |m AS (SELECT from_type, nxt, CAST(count(*) AS BIGINT) AS n FROM pp GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT from_type, nxt AS pred_type FROM (
+        |    SELECT from_type, nxt,
+        |           row_number() OVER (PARTITION BY from_type ORDER BY n DESC, nxt DESC) AS rn
+        |    FROM m
+        |  ) WHERE rn = 1
+        |),
+        |per AS (
+        |  SELECT pp.from_type, pred.pred_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(*) FILTER (pp.nxt = pred.pred_type) AS BIGINT) AS n_correct
+        |  FROM pp JOIN pred USING (from_type) GROUP BY 1, 2
+        |),
+        |tot AS (SELECT sum(n) AS tn, sum(n_correct) AS tc FROM per)
+        |SELECT from_type, pred_type, n, n_correct,
+        |       round(CAST(n_correct AS DOUBLE) / n, 4) AS acc,
+        |       round(CAST(tot.tc AS DOUBLE) / tot.tn, 4) AS micro_acc
+        |FROM per CROSS JOIN tot""".stripMargin,
   )
 }

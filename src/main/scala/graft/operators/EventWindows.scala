@@ -571,6 +571,54 @@ object EventWindows {
       .withColumn("dau_mau", round(col("dau").cast("double") / col("mau"), 4))
   }
 
+  /** Majority-transition predictor accuracy — the baseline every
+    * sequence model must beat: predict each next event as the most
+    * frequent follower of the current type (H17's transition matrix
+    * reduced to its argmax row), and score in-sample accuracy. A
+    * fancy model that can't beat this table isn't learning sequence
+    * structure; a HIGH baseline says the sequences are near-
+    * deterministic and a model is overkill.
+    *
+    * Determinism: consecutive pairs from an O(1)-state lead window
+    * on the (user, ts, event_id) total order; the per-state argmax
+    * is an O(1)-state max(struct(n, to)) combine (ties → the
+    * lexicographically greatest follower — stated, not accidental);
+    * accuracy is exact counts. The pair frame is eager-cut (it
+    * trains the model AND scores it); the model attaches back as a
+    * states-sized broadcast.
+    *
+    * Output: (from_type, pred_type, n, n_correct, acc, micro_acc).
+    */
+  def transitionAccuracy(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val all = Window.partitionBy()
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__next", lead(col(typeCol), 1).over(byUser))
+      .filter(col("__next").isNotNull)
+      .select(col(typeCol).as("from_type"), col("__next"))
+      .localCheckpoint()
+    val model = pairs
+      .groupBy("from_type", "__next").agg(count(lit(1)).as("__n"))
+      .groupBy("from_type")
+      .agg(max(struct(col("__n"), col("__next").as("to"))).as("__b"))
+      .select(col("from_type"), col("__b.to").as("pred_type"))
+    pairs.join(broadcast(model), Seq("from_type"))
+      .groupBy("from_type", "pred_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__next") === col("pred_type"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc", round(col("n_correct").cast("double") / col("n"), 4))
+      .withColumn("micro_acc", round(
+        sum(col("n_correct")).over(all).cast("double") /
+          sum(col("n")).over(all), 4))
+  }
+
   /** Recency-weighted (half-life-decayed) engagement score per user —
     * the lead-scoring / feature-store staple: each event contributes
     * value·2^(−age_days), so yesterday's click is worth half of

@@ -1785,6 +1785,42 @@ object Rollups {
           .as("r_partial"))
   }
 
+  /** Sample-ratio-mismatch check — the first gate of every A/B
+    * readout (Fabijan et al. 2019): does the observed arm split
+    * match the intended allocation? A significant χ² here means the
+    * assignment or logging pipeline is broken and every downstream
+    * metric comparison is invalid. One-df χ² against the expected
+    * shares, flagged at the 0.05 critical value 3.8415.
+    *
+    * Exactness: arm counts from ONE aggregate; expected counts and
+    * χ² are doubles over exact longs in identical op order; the flag
+    * tests the 4dp-ROUNDED χ² so the boundary is engine-portable.
+    *
+    * Output: one row (n_a, n_b, ratio, chi2, srm).
+    */
+  def srmCheck(
+      df: DataFrame,
+      groupCol: String,
+      armA: String,
+      armB: String,
+      expectedShareA: Double = 0.5): DataFrame = {
+    require(expectedShareA > 0 && expectedShareA < 1)
+    val d = (c: Column) => c.cast("double")
+    df.filter(col(groupCol).isin(armA, armB))
+      .agg(
+        sum(when(col(groupCol) === armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(groupCol) === armB, 1L).otherwise(0L)).as("n_b"))
+      .filter(col("n_a") + col("n_b") > 0)
+      .withColumn("__ea", d(col("n_a") + col("n_b")) * expectedShareA)
+      .withColumn("__eb", d(col("n_a") + col("n_b")) * (1.0 - expectedShareA))
+      .withColumn("chi2", round(
+        (d(col("n_a")) - col("__ea")) * (d(col("n_a")) - col("__ea")) / col("__ea") +
+          (d(col("n_b")) - col("__eb")) * (d(col("n_b")) - col("__eb")) / col("__eb"), 4))
+      .select(col("n_a"), col("n_b"),
+        round(d(col("n_a")) / d(col("n_a") + col("n_b")), 4).as("ratio"),
+        col("chi2"), (col("chi2") > 3.8415).as("srm"))
+  }
+
   /** STL-lite additive seasonal decomposition per keyed series —
     * trend via a centered ±halfWindow moving average, seasonal
     * effect per calendar phase (x mod period) from the detrended

@@ -764,6 +764,48 @@ object SimilaritySearch {
         round(col("__th").cast("double") / col("__te"), 4).as("micro_recall"))
   }
 
+  /** Int8 quantization fidelity report — how much cosine geometry
+    * does G29's 4× compression actually lose on THIS corpus? Per
+    * vector, the cosine between the exact ×1000-quantized vector and
+    * its per-vector-scaled int8 code; reported as the distribution's
+    * floor, mean, and the count of vectors below a fidelity bar.
+    * Run before switching the 100 TB search path to codes — a corpus
+    * with heavy per-dimension outliers (one huge component crushes
+    * the other 63 into ±1) shows up here, not in averaged recall.
+    *
+    * Exactness: both representations are integer arrays, the dot is
+    * the exact native long dot, the fidelity ONE double expression
+    * rounded 4dp; the mean re-quantizes the rounded fidelities to
+    * 1e-4 units so the sum is exact. Map-only over the corpus + one
+    * one-row combine.
+    *
+    * Output: one row (n_vectors, min_fid, mean_fid, n_below).
+    */
+  def int8Fidelity(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      bar: Double = 0.999): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    spread(df)
+      .select(col(idCol).cast("long").as("id"),
+        quantize(col(embCol)).as("qv"),
+        graft.functions.quantizeInt8(col(embCol)).as("q8"))
+      .withColumn("__nq", sqrt(d(quantizedDot(col("qv"), col("qv")))))
+      .withColumn("__n8", sqrt(d(quantizedDot(col("q8"), col("q8")))))
+      .filter(col("__nq") > 0 && col("__n8") > 0)
+      .withColumn("fid", round(
+        d(quantizedDot(col("qv"), col("q8"))) / (col("__nq") * col("__n8")), 6))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min(col("fid")).as("min_fid"),
+        sum(round(col("fid") * 1000000).cast("long")).as("__sf"),
+        sum(when(col("fid") < bar, 1L).otherwise(0L)).as("n_below"))
+      .select(col("n_vectors"), col("min_fid"),
+        round(d(col("__sf")) / col("n_vectors") / 1e6, 6).as("mean_fid"),
+        col("n_below"))
+  }
+
   /** NDCG@k of an approximate index against the exact top-k — the
     * POSITION-aware companion to [[recallAtK]]: a hit at rank 1 is
     * worth 1/log₂(2), at rank 5 only 1/log₂(6), so an index that

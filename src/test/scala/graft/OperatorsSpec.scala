@@ -1667,6 +1667,57 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("Rollups.srmCheck: balanced split passes, skewed split flags") {
+    val ok = (Seq.fill(500)("A") ++ Seq.fill(510)("B")).toDF("arm")
+    val r = Rollups.srmCheck(ok, "arm", "A", "B").collect().head
+    assert(!r.getBoolean(r.fieldIndex("srm")), "1% imbalance at n=1010 is noise")
+    val bad = (Seq.fill(600)("A") ++ Seq.fill(400)("B")).toDF("arm")
+    val b = Rollups.srmCheck(bad, "arm", "A", "B").collect().head
+    assert(b.getBoolean(b.fieldIndex("srm")), "60/40 at n=1000 must flag")
+    assert(b.getDouble(b.fieldIndex("chi2")) == 40.0) // (100²/500)·2
+    assert(b.getDouble(b.fieldIndex("ratio")) == 0.6)
+  }
+
+  test("SimilaritySearch.int8Fidelity: scaled vectors keep cosine 1") {
+    // vectors proportional to int8-exact codes → fidelity exactly 1
+    val vs = Seq(
+      (1L, Array(127.0f, 0.0f, 0.0f)),
+      (2L, Array(0.5f, 0.5f, 0.0f))) // codes (127,127,0): same direction
+      .toDF("vec_id", "embedding")
+    val r = SimilaritySearch.int8Fidelity(vs).collect().head
+    assert(r.getLong(r.fieldIndex("n_vectors")) == 2L)
+    assert(r.getDouble(r.fieldIndex("min_fid")) == 1.0)
+    assert(r.getDouble(r.fieldIndex("mean_fid")) == 1.0)
+    assert(r.getLong(r.fieldIndex("n_below")) == 0L)
+    // an outlier-crushed vector loses fidelity at the 6dp grain: the
+    // huge dim rounds the small ones to coarse code values
+    val skew = Seq((1L, Array(1270.0f, 4.0f, 6.0f))).toDF("vec_id", "embedding")
+    val s = SimilaritySearch.int8Fidelity(skew).collect().head
+    assert(s.getDouble(s.fieldIndex("min_fid")) < 1.0)
+  }
+
+  test("EventWindows.transitionAccuracy: argmax follower, exact accuracy") {
+    val dayUs = 86400000000L
+    // user 1: a→b, b→a, a→b; user 2: a→b  ⇒ from a: b,b,b (pred b,
+    // 4 correct of 4? a appears 3 times as from); from b: a once
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"))
+      .zipWithIndex.map { case ((u, t, ty), i) => (i.toLong, u, t * dayUs, ty) }
+      .toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = EventWindows.transitionAccuracy(ev).orderBy("from_type").collect()
+    val a = out(0)
+    assert(a.getString(a.fieldIndex("from_type")) == "a" &&
+      a.getString(a.fieldIndex("pred_type")) == "b" &&
+      a.getLong(a.fieldIndex("n")) == 3L &&
+      a.getDouble(a.fieldIndex("acc")) == 1.0)
+    val b = out(1)
+    assert(b.getString(b.fieldIndex("pred_type")) == "a" &&
+      b.getLong(b.fieldIndex("n")) == 1L)
+    assert(a.getDouble(a.fieldIndex("micro_acc")) == 1.0)
+  }
+
   test("Baskets.itemCosine: audience-overlap cosine with support floor") {
     // items x,y co-occur in 3 of x's 3 and y's 4 baskets →
     // cos = 3/sqrt(12) = 0.8660; z co-occurs once → below support

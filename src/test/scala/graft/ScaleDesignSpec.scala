@@ -1292,6 +1292,29 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q233: one scan, one global aggregate, window-free
+    val q233 = exec("q233_srm")
+    assert(scans(q233).size == 1, s"q233: one scan, got ${scans(q233).size}")
+    assert(windows(q233).isEmpty, "q233 must stay window-free")
+    assert(shuffles(q233).size == 1,
+      s"q233: one global-aggregate exchange, got ${shuffles(q233).size}")
+
+    // q234: map-only fidelity + a one-row combine — no joins at all
+    val q234 = exec("q234_int8_fidelity")
+    assert(scans(q234).size == 1, s"q234: one scan, got ${scans(q234).size}")
+    assert(windows(q234).isEmpty, "q234 must stay window-free")
+    noCartesian("q234_int8_fidelity", q234)
+
+    // q235: pair frame eager-cut (trains AND scores); the model
+    // attaches back as a states-sized broadcast; the only window
+    // (the lead) stays behind the cut
+    val q235 = exec("q235_transition_acc")
+    assert(scans(q235).isEmpty,
+      s"q235: pairs must be cut at the checkpoint, got ${scans(q235).size}")
+    assert(helper.collect(q235.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }.nonEmpty, "q235: the model attach must broadcast")
+
     // q231: pair expansion stays IN-ROW on the eager-cut basket frame
     // — no cartesian, no windows
     val q231 = exec("q231_item_cosine")
