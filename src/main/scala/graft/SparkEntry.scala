@@ -2522,6 +2522,48 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q236_schema_evolution" -> ((s, dir) => {
+      // I26 mergeSchema across parquet epochs: v1 lacks n_chars, v2
+      // adds it; the union reads v1's missing column as null
+      val t = Tables(s, dir)
+      val tmp = scratchDir("q236")
+      t.documents.select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      t.documents.select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      Io.readParquetMerged(s, Seq(s"$tmp/v1", s"$tmp/v2"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_missing"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+    }),
+    "q237_csv_quarantine" -> ((s, dir) => {
+      // I27 permissive ingest gate: deterministically corrupt every
+      // 100th row's value, quarantine instead of dropping, report
+      val t = Tables(s, dir)
+      val tmp = scratchDir("q237")
+      t.events
+        .filter(col("value").isNotNull)
+        .select(concat_ws(",", col("event_id"), col("user_id"),
+          when(pmod(col("event_id"), lit(100)) === 0,
+            concat(lit("x"), col("value").cast("string")))
+            .otherwise(col("value").cast("string"))).as("value"))
+        .write.mode("overwrite").text(s"$tmp/csv")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("event_id", "long").add("user_id", "long").add("value", "double")
+      // the parsed `value` must appear in the output: CSV column
+      // pruning would otherwise skip parsing it and never trip the
+      // quarantine (malformed detection only covers parsed columns)
+      Io.readCsvQuarantine(s, s"$tmp/csv", schema)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_quarantined"),
+          sum(when(col("_corrupt_record").isNull, col("user_id"))
+            .otherwise(0L)).as("sum_user_good"),
+          round(sum(when(col("_corrupt_record").isNull, col("value"))
+            .otherwise(0d)), 4).as("sum_value_good"))
+    }),
     "q233_srm" -> ((s, dir) => {
       // F41 sample-ratio-mismatch gate on the q156 A/B arms: does
       // the observed split match the intended 50/50?
@@ -7835,5 +7877,23 @@ object SparkEntry {
         |       round(CAST(n_correct AS DOUBLE) / n, 4) AS acc,
         |       round(CAST(tot.tc AS DOUBLE) / tot.tn, 4) AS micro_acc
         |FROM per CROSS JOIN tot""".stripMargin,
+    // Schema-evolution replay: v1 ∪ v2 from the raw table — every v1
+    // row contributes a missing n_chars, every v2 row its value.
+    "q236_schema_evolution" ->
+      """SELECT lang, CAST(2 * count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_missing,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // Quarantine replay: the corruption rule is the spec — every
+    // 100th non-null-value event's value is unparseable.
+    "q237_csv_quarantine" ->
+      """WITH e AS (SELECT event_id, user_id, value FROM events WHERE value IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) FILTER (event_id % 100 = 0) AS BIGINT) AS n_quarantined,
+        |       CAST(sum(CASE WHEN event_id % 100 = 0 THEN 0 ELSE user_id END) AS BIGINT)
+        |         AS sum_user_good,
+        |       round(sum(CASE WHEN event_id % 100 = 0 THEN 0 ELSE value END), 4)
+        |         AS sum_value_good
+        |FROM e""".stripMargin,
   )
 }

@@ -41,6 +41,35 @@ object Io {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Schema-evolution read: union parquet epochs whose schemas GREW
+    * over time (columns added) into one frame — `mergeSchema` pays a
+    * footer pass per file to reconcile, so it is an explicit opt-in
+    * here, not a default. Columns missing in an older epoch read as
+    * null — the recurring-pipeline contract that lets a 100 TB table
+    * add a column without rewriting history.
+    */
+  def readParquetMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /** PERMISSIVE CSV read with an explicit quarantine column: rows
+    * that fail the schema land intact in `_corrupt_record` instead of
+    * killing the job (FAILFAST) or vanishing (DROPMALFORMED) — the
+    * ingest-gate pattern where bad rows are counted and routed, never
+    * silently lost. The passed schema must NOT contain the corrupt
+    * column; it is appended here.
+    */
+  def readCsvQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      header: Boolean = false): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
   /** Partitioned parquet writer — the layout that makes downstream
     * partition pruning (`WHERE year = …`) a directory skip.
     */

@@ -509,6 +509,40 @@ class ScaleDesignSpec extends SparkSpec {
     assert(csv.exceptAll(ev).isEmpty && jsonl.exceptAll(ev).isEmpty)
   }
 
+  test("mergeSchema union reads missing epoch columns as null") {
+    import spark.implicits._
+    Seq((1L, "en")).toDF("doc_id", "lang")
+      .write.mode("overwrite").parquet("/tmp/graft-io/se_v1")
+    Seq((2L, "en", 10L)).toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft-io/se_v2")
+    val merged = Io.readParquetMerged(spark,
+      Seq("/tmp/graft-io/se_v1", "/tmp/graft-io/se_v2"))
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars"))
+    val rows = merged.orderBy("doc_id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("n_chars")),
+      "the v1 epoch must read the added column as null")
+    assert(rows(1).getLong(rows(1).fieldIndex("n_chars")) == 10L)
+  }
+
+  test("csv quarantine routes malformed rows without dropping them") {
+    import spark.implicits._
+    Seq("1,10,0.5", "2,20,xbad", "3,30,1.5")
+      .toDF("value").write.mode("overwrite").text("/tmp/graft-io/quar")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val q = Io.readCsvQuarantine(spark, "/tmp/graft-io/quar", schema)
+    // the parsed value column must be referenced or column pruning
+    // skips its parse and the quarantine never trips (pinned here)
+    val r = q.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("bad"),
+        sum(col("value")).as("sv"))
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 2.0, "good rows keep their parsed values")
+  }
+
   test("orc round-trips with pushdown and pruning like parquet") {
     val ev = tables.events.select(col("event_id"), col("user_id"), col("event_type"))
     Io.writeOrc(ev, "/tmp/graft-io/events_orc")
