@@ -2522,6 +2522,39 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q238_lift_curve" -> ((s, dir) => {
+      // F42 cumulative gains/lift: does the quality ORDERING find
+      // the Gopher-passing docs? (F39 asks if the probabilities are
+      // honest; this asks if the ranking targets well)
+      val t = Tables(s, dir)
+      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
+      Rollups.liftCurve(scored, "quality", "gopher_pass")
+    }),
+    "q239_cum_hazard" -> ((s, dir) => {
+      // H41 Nelson-Aalen cumulative conversion hazard on the q144
+      // survival frame — the additive risk view per first-action
+      // cohort
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("user_id"), col("event_type"),
+        col("event_id"), unix_micros(col("ts")).as("us"))
+      val horizon = broadcast(ev.agg(max("us").as("hz")))
+      val users = ev.groupBy("user_id")
+        .agg(min("us").as("t0"),
+          min_by(col("event_type"), struct(col("us"), col("event_id")))
+            .as("cohort"),
+          min(when(col("event_type") === "purchase", col("us"))).as("tp"))
+      val subjects = users.join(horizon)
+        .withColumn("event", when(col("tp").isNotNull, 1L).otherwise(0L))
+        .withColumn("duration", expr("(coalesce(tp, hz) - t0) DIV 86400000000"))
+      EventWindows.cumulativeHazard(subjects, Seq("cohort"))
+    }),
+    "q240_churn_labels" -> ((s, dir) => {
+      // H42 supervised churn labels: pre-cutoff actives labeled by
+      // whether they return in the trailing 7-day window (the
+      // testdata spans ~30 days; a 30-day window would empty W1)
+      val t = Tables(s, dir)
+      EventWindows.churnLabels(t.events, observationDays = 7)
+    }),
     "q236_schema_evolution" -> ((s, dir) => {
       // I26 mergeSchema across parquet epochs: v1 lacks n_chars, v2
       // adds it; the union reads v1's missing column as null
@@ -7895,5 +7928,124 @@ object SparkEntry {
         |       round(sum(CASE WHEN event_id % 100 = 0 THEN 0 ELSE value END), 4)
         |         AS sum_value_good
         |FROM e""".stripMargin,
+    // Lift-curve replay: q227's quality/pass inputs, I25's 4dp decile
+    // boundaries, cumulative windows from the TOP bin down.
+    "q238_lift_curve" ->
+      s"""WITH $GopherDocSql,
+         |base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a')))
+         |               AS BIGINT)
+         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
+         |  FROM base
+         |),
+         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
+         |rows_q AS (
+         |  SELECT q.qi AS u, CASE WHEN g.gopher_pass THEN 1 ELSE 0 END AS y
+         |  FROM q JOIN g USING (doc_id)
+         |),
+         |b AS (
+         |  SELECT list_transform(quantile_cont(u, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+         |           x -> round(x, 4)) AS bs
+         |  FROM rows_q
+         |),
+         |binned AS (
+         |  SELECT CAST(list_sum(list_transform(bs,
+         |           x -> CASE WHEN u > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin, y
+         |  FROM rows_q CROSS JOIN b
+         |),
+         |t AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM binned GROUP BY 1
+         |),
+         |c AS (
+         |  SELECT bin, n, n_pos,
+         |         CAST(sum(n) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         |         CAST(sum(n_pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+         |         CAST(sum(n) OVER () AS BIGINT) AS tn,
+         |         CAST(sum(n_pos) OVER () AS BIGINT) AS tp
+         |  FROM t
+         |)
+         |SELECT bin, n, n_pos, cum_n, cum_pos,
+         |       round(CAST(cum_pos AS DOUBLE)
+         |             / CASE WHEN tp = 0 THEN NULL ELSE CAST(tp AS DOUBLE) END, 4) AS gain,
+         |       round((CAST(cum_pos AS DOUBLE) / cum_n)
+         |             / CASE WHEN tp = 0 THEN NULL
+         |                    ELSE CAST(tp AS DOUBLE) / tn END, 4) AS lift
+         |FROM c""".stripMargin,
+    // Cumulative-hazard replay: the q144 survival CTEs with the
+    // micro-quantized d/n increments cumulated as exact longs.
+    "q239_cum_hazard" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+        |),
+        |hz AS (SELECT max(us) AS hz FROM e),
+        |u AS (
+        |  SELECT user_id, min(us) AS t0,
+        |         min(CASE WHEN event_type = 'purchase' THEN us END) AS tp
+        |  FROM e GROUP BY 1
+        |),
+        |f AS (
+        |  SELECT user_id, event_type AS cohort FROM (
+        |    SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY us, event_id) AS rk
+        |    FROM e)
+        |  WHERE rk = 1
+        |),
+        |s AS (
+        |  SELECT f.cohort,
+        |         CASE WHEN u.tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+        |         (coalesce(u.tp, hz.hz) - u.t0) // 86400000000 AS duration
+        |  FROM u JOIN f USING (user_id) CROSS JOIN hz
+        |),
+        |g AS (
+        |  SELECT cohort, duration, CAST(sum(ev) AS BIGINT) AS d,
+        |         CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM s GROUP BY 1, 2
+        |),
+        |w AS (
+        |  SELECT *,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort)
+        |      - (sum(d + c) OVER (PARTITION BY cohort ORDER BY duration
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (d + c))
+        |      AS BIGINT) AS n_risk
+        |  FROM g
+        |),
+        |h AS (
+        |  SELECT *,
+        |    CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e6) AS BIGINT) AS hu
+        |  FROM w
+        |)
+        |SELECT cohort, duration, n_risk, d, c,
+        |       round(CAST(sum(hu) OVER (PARTITION BY cohort ORDER BY duration
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |             / 1e6, 4) AS cum_hazard
+        |FROM h""".stripMargin,
+    // Churn-label replay: same max-anchored cutoff, same side counts.
+    "q240_churn_labels" ->
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+        |  FROM events
+        |),
+        |a AS (SELECT max(d) - 7 + 1 AS cut FROM f),
+        |g AS (
+        |  SELECT user_id,
+        |         CAST(count(*) FILTER (d < cut) AS BIGINT) AS n_before,
+        |         CAST(count(*) FILTER (d >= cut) AS BIGINT) AS n_after
+        |  FROM f CROSS JOIN a GROUP BY 1
+        |)
+        |SELECT user_id, n_before, n_after, n_after = 0 AS churned
+        |FROM g WHERE n_before > 0""".stripMargin,
   )
 }

@@ -137,6 +137,78 @@ object EventWindows {
         col("d"), col("c"), round(col("surv"), 4).as("surv")): _*)
   }
 
+  /** Nelson–Aalen cumulative hazard per keyed cohort — H(t) =
+    * Σ_{tᵢ≤t} dᵢ/nᵢ over the same (duration, at-risk) grain as H22's
+    * Kaplan–Meier: the ADDITIVE view of the same data, preferred
+    * when comparing cohorts' instantaneous risk (hazard differences
+    * add; survival products don't) and the estimator behind "is the
+    * failure rate itself rising?".
+    *
+    * Determinism: each step's hazard increment dᵢ/nᵢ is ONE double
+    * division of exact longs quantized to integer micro-units, so
+    * the cumulative is an exact long sum (the D18 contract) — no
+    * float cumsum order can differ. Same one-(keys)-exchange shape
+    * as H22.
+    *
+    * Output: keys ++ (duration, n_risk, d, c, cum_hazard).
+    */
+  def cumulativeHazard(
+      df: DataFrame,
+      keys: Seq[String],
+      durationCol: String = "duration",
+      eventCol: String = "event"): DataFrame = {
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val wOrd = wAll.orderBy(col(durationCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .groupBy((keys :+ durationCol).map(col): _*)
+      .agg(sum(col(eventCol).cast("long")).as("d"),
+        sum(lit(1L) - col(eventCol).cast("long")).as("c"))
+      .withColumn("__leave", col("d") + col("c"))
+      .withColumn("n_risk",
+        sum("__leave").over(wAll) - (sum("__leave").over(wOrd) - col("__leave")))
+      .withColumn("__hu",
+        round(col("d").cast("double") / col("n_risk").cast("double") * 1e6)
+          .cast("long"))
+      .withColumn("cum_hazard",
+        round(sum(col("__hu")).over(wOrd).cast("double") / 1e6, 4))
+      .select((keys :+ durationCol).map(col) ++ Seq(col("n_risk"),
+        col("d"), col("c"), col("cum_hazard")): _*)
+  }
+
+  /** Churn label builder — the supervised-dataset primitive: users
+    * active BEFORE the cutoff get a label from whether they return
+    * in the trailing observation window [cutoff, max]. The cutoff is
+    * anchored at max(day) − observationDays, so the label is a pure
+    * function of the data. Feed the labeled frame to any downstream
+    * model; the base rate printed by the companion rollup is the
+    * trivial-classifier floor.
+    *
+    * Scale shape: one corpus scan to the (user, side) count grain
+    * (map-side combined), the anchor a one-row broadcast; output is
+    * user-grain. Exact counts only.
+    *
+    * Output: (user_id, n_before, n_after, churned) for users with
+    * pre-cutoff activity.
+    */
+  def churnLabels(
+      events: DataFrame,
+      observationDays: Int = 30,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val day = expr(s"unix_micros($tsCol) div 86400000000")
+    val anchor = events.agg((max(day) - observationDays + 1).as("__cut"))
+    events
+      .select(col(userCol), day.as("__d"))
+      .crossJoin(broadcast(anchor))
+      .groupBy(userCol)
+      .agg(
+        sum(when(col("__d") < col("__cut"), 1L).otherwise(0L)).as("n_before"),
+        sum(when(col("__d") >= col("__cut"), 1L).otherwise(0L)).as("n_after"))
+      .filter(col("n_before") > 0)
+      .withColumn("churned", col("n_after") === 0)
+  }
+
   /** Cohort retention: users are cohorted by their first active
     * period (fixed-width `periodDays` buckets of the epoch — calendar
     * weeks would drag in timezone/locale variance an oracle can't

@@ -1785,6 +1785,59 @@ object Rollups {
           .as("r_partial"))
   }
 
+  /** Cumulative gains / lift curve — the targeting report: rank the
+    * population by model score, walk down from the TOP decile, and
+    * report what share of all positives each cumulative slice
+    * captures (gain) and how much better than random that is (lift).
+    * The companion to F39's calibration: ECE says "are the
+    * probabilities honest", lift says "does the ORDERING find the
+    * positives".
+    *
+    * Determinism and scale: scores quantize to exact 1e-4 units; the
+    * nine decile boundaries come from one interpolated-percentile
+    * aggregate rounded 4dp and broadcast (the I25 binning — value
+    * deciles, stated, never a corpus-grain ntile sort); per-bin
+    * counts are one map-side combine; cumulative/total windows ride
+    * the ≤10-row bin table; gain and lift are single divisions of
+    * exact longs, 4dp.
+    *
+    * Output: (bin, n, n_pos, cum_n, cum_pos, gain, lift), bin 9 =
+    * top scores.
+    */
+  def liftCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val units = round(col(scoreCol) * 10000).cast("long")
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .select(units.as("__u"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val bounds = rows
+      .agg(percentile(col("__u"), typedLit((1 to 9).map(_ / 10.0))).as("__p"))
+      .select(transform(col("__p"), b => round(b, 4)).as("__bs"))
+    val all = Window.partitionBy()
+    val desc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: Column) => c.cast("double")
+    rows.crossJoin(broadcast(bounds))
+      .withColumn("__bin",
+        aggregate(col("__bs"), lit(0),
+          (acc, b) => acc + when(col("__u") > b, 1).otherwise(0)))
+      .groupBy(col("__bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      .withColumn("cum_n", sum(col("n")).over(desc))
+      .withColumn("cum_pos", sum(col("n_pos")).over(desc))
+      .withColumn("__tn", sum(col("n")).over(all))
+      .withColumn("__tp", sum(col("n_pos")).over(all))
+      .select(col("bin"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        round(d(col("cum_pos")) /
+          when(col("__tp") === 0, lit(null)).otherwise(d(col("__tp"))), 4)
+          .as("gain"),
+        round((d(col("cum_pos")) / col("cum_n")) /
+          when(col("__tp") === 0, lit(null))
+            .otherwise(d(col("__tp")) / col("__tn")), 4).as("lift"))
+  }
+
   /** Sample-ratio-mismatch check — the first gate of every A/B
     * readout (Fabijan et al. 2019): does the observed arm split
     * match the intended allocation? A significant χ² here means the

@@ -1667,6 +1667,52 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("Rollups.liftCurve: perfect ranking gains everything at the top") {
+    // scores 0.91..1.00 are all positive, 0.01..0.90 all negative —
+    // the top decile captures every positive at 10x lift
+    val rows = (1 to 100).map(i => (i / 100.0, i > 90))
+    val out = Rollups.liftCurve(rows.toDF("score", "y"), "score", "y")
+      .orderBy(col("bin").desc).collect()
+    val top = out.head
+    assert(top.getLong(top.fieldIndex("bin")) == 9L)
+    assert(top.getLong(top.fieldIndex("n_pos")) == 10L)
+    assert(top.getDouble(top.fieldIndex("gain")) == 1.0)
+    assert(top.getDouble(top.fieldIndex("lift")) == 10.0)
+    // the bottom cumulative slice is the whole population: lift 1
+    val bottom = out.last
+    assert(bottom.getDouble(bottom.fieldIndex("gain")) == 1.0)
+    assert(bottom.getDouble(bottom.fieldIndex("lift")) == 1.0)
+  }
+
+  test("EventWindows.cumulativeHazard: hand case accumulates d/n") {
+    // cohort a: durations 1 (1 death of 3 at risk), 2 (1 death of 2)
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 0L))
+      .toDF("cohort", "duration", "event")
+    val out = EventWindows.cumulativeHazard(df, Seq("cohort"))
+      .orderBy("duration").collect()
+    assert(out(0).getLong(out(0).fieldIndex("n_risk")) == 3L)
+    assert(out(0).getDouble(out(0).fieldIndex("cum_hazard")) == 0.3333)
+    assert(out(1).getDouble(out(1).fieldIndex("cum_hazard")) == 0.8333)
+    // censored row adds nothing
+    assert(out(2).getDouble(out(2).fieldIndex("cum_hazard")) == 0.8333)
+  }
+
+  test("EventWindows.churnLabels: return in the window flips the label") {
+    val dayUs = 86400000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 9L), // active before AND after the day-6 cutoff
+      (2L, 1L), (2L, 2L), // active only before → churned
+      (3L, 9L)) // only after → excluded (no pre-cutoff history)
+      .toDF("user_id", "d")
+      .withColumn("ts", timestamp_micros(col("d") * dayUs))
+    val out = EventWindows.churnLabels(ev, observationDays = 4)
+      .orderBy("user_id").collect()
+    assert(out.length == 2)
+    assert(!out(0).getBoolean(out(0).fieldIndex("churned")))
+    assert(out(1).getBoolean(out(1).fieldIndex("churned")) &&
+      out(1).getLong(out(1).fieldIndex("n_before")) == 2L)
+  }
+
   test("Rollups.srmCheck: balanced split passes, skewed split flags") {
     val ok = (Seq.fill(500)("A") ++ Seq.fill(510)("B")).toDF("arm")
     val r = Rollups.srmCheck(ok, "arm", "A", "B").collect().head

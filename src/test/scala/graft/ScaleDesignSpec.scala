@@ -1326,6 +1326,33 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q238: I25's broadcast-boundary binning — never a corpus ntile;
+    // windows ride the ≤10-row bin table
+    val q238 = exec("q238_lift_curve")
+    assert(scans(q238).size == 2,
+      s"q238: boundary + binning scans only, got ${scans(q238).size}")
+    noCartesian("q238_lift_curve", q238)
+    assert(helper.collect(q238.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.size <= 1, "q238: only the 1-row boundary attach may loop")
+
+    // q239: every window rides the cohort key (the KM shape)
+    val q239 = exec("q239_cum_hazard")
+    assert(windows(q239).nonEmpty &&
+      windows(q239).forall(_.partitionSpec.exists(_.toString.contains("cohort"))),
+      "q239: every window must ride the cohort key")
+    noCartesian("q239_cum_hazard", q239)
+
+    // q240: the labeling scan + the ts-only anchor scan, then one
+    // (user) combine
+    val q240 = exec("q240_churn_labels")
+    assert(scans(q240).size == 2,
+      s"q240: label + anchor scans only, got ${scans(q240).size}")
+    assert(windows(q240).isEmpty, "q240 must stay window-free")
+    assert(helper.collect(q240.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.size <= 1, "q240: only the 1-row anchor attach may loop")
+
     // q233: one scan, one global aggregate, window-free
     val q233 = exec("q233_srm")
     assert(scans(q233).size == 1, s"q233: one scan, got ${scans(q233).size}")
