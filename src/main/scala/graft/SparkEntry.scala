@@ -2522,6 +2522,34 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q241_qini" -> ((s, dir) => {
+      // F43 uplift targeting eval: does spend rank find the users
+      // the (parity-arm) treatment moves to purchase?
+      val t = Tables(s, dir)
+      val users = t.events.groupBy("user_id").agg(
+        coalesce(sum(round(col("value") * 100).cast("long")), lit(0L))
+          .as("__sc"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("__conv"))
+        .select(col("user_id"),
+          (col("__sc") / lit(100.0)).as("score"),
+          (pmod(col("user_id"), lit(2)) === 1).as("treat"),
+          (col("__conv") === 1L).as("converted"))
+      Rollups.qiniCurve(users, "score", "treat", "converted")
+    }),
+    "q242_triples" -> ((s, dir) => {
+      // F44 bundle mining: top item triples by support, in-row
+      // C(w,3) expansion on the collapsed baskets
+      val t = Tables(s, dir)
+      Baskets.tripleSupport(t.lineitem, "l_orderkey", "l_partkey")
+    }),
+    "q243_outliers" -> ((s, dir) => {
+      // F45 robust outlier listing: the |modified z| > 3.5 rows per
+      // event type — F17's dispersion summary turned into the triage
+      // list
+      val t = Tables(s, dir)
+      Rollups.madOutliers(t.events, Seq("event_type"), "value", "event_id")
+    }),
     "q238_lift_curve" -> ((s, dir) => {
       // F42 cumulative gains/lift: does the quality ORDERING find
       // the Gopher-passing docs? (F39 asks if the probabilities are
@@ -8047,5 +8075,91 @@ object SparkEntry {
         |)
         |SELECT user_id, n_before, n_after, n_after = 0 AS churned
         |FROM g WHERE n_before > 0""".stripMargin,
+    // Qini replay: same user frame, same parity arms, I25 boundary
+    // binning, desc cumulative incremental conversions.
+    "q241_qini" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         COALESCE(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT), 0) AS sc,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1
+        |),
+        |r AS (
+        |  SELECT CAST(round(CAST(sc AS DOUBLE) / 100.0 * 10000) AS BIGINT) AS u,
+        |         user_id % 2 <> 0 AS t, conv AS y
+        |  FROM u
+        |),
+        |b AS (
+        |  SELECT list_transform(
+        |           quantile_cont(u, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |           x -> round(x, 4)) AS bs
+        |  FROM r
+        |),
+        |binned AS (
+        |  SELECT CAST(list_sum(list_transform(bs,
+        |           x -> CASE WHEN u > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin, t, y
+        |  FROM r CROSS JOIN b
+        |),
+        |g AS (
+        |  SELECT bin,
+        |         CAST(count(*) FILTER (t) AS BIGINT) AS n_treat,
+        |         CAST(count(*) FILTER (NOT t) AS BIGINT) AS n_ctrl,
+        |         CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS conv_treat,
+        |         CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS conv_ctrl
+        |  FROM binned GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT *,
+        |         CAST(sum(n_treat) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnt,
+        |         CAST(sum(n_ctrl) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnc,
+        |         CAST(sum(conv_treat) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpt,
+        |         CAST(sum(conv_ctrl) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpc
+        |  FROM g
+        |)
+        |SELECT bin, n_treat, n_ctrl, conv_treat, conv_ctrl,
+        |       round(CAST(cpt AS DOUBLE) - CAST(cpc AS DOUBLE)
+        |             * CASE WHEN cnc = 0 THEN NULL
+        |                    ELSE CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE) END, 4) AS qini,
+        |       round(CAST(cpt AS DOUBLE)
+        |             / CASE WHEN cnt = 0 THEN NULL ELSE CAST(cnt AS DOUBLE) END
+        |             - CAST(cpc AS DOUBLE)
+        |             / CASE WHEN cnc = 0 THEN NULL ELSE CAST(cnc AS DOUBLE) END, 4) AS uplift
+        |FROM c""".stripMargin,
+    // Triple-support replay: same sorted distinct baskets, same
+    // canonical (a < b < c) in-row expansion, same top-k order.
+    "q242_triples" ->
+      """WITH baskets AS (
+        |  SELECT l_orderkey AS bk, list_sort(list_distinct(list(l_partkey))) AS items
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT t.a AS a, t.b AS b, t.c AS c, CAST(count(*) AS BIGINT) AS n_abc
+        |FROM (
+        |  SELECT unnest(flatten(list_transform(items, (x, i) ->
+        |           flatten(list_transform(items[i+1:], (y, j) ->
+        |             list_transform(items[i+j+1:],
+        |               z -> struct_pack(a := x, b := y, c := z))))))) AS t
+        |  FROM baskets
+        |)
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY n_abc DESC, a, b, c LIMIT 20""".stripMargin,
+    // Outlier replay: 4dp-published median/MAD thresholds, modified z
+    // against integer cents, keep test on the rounded value.
+    "q243_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |m AS (SELECT event_type, round(quantile_cont(c, 0.5), 4) AS med FROM b GROUP BY 1),
+        |md AS (
+        |  SELECT b.event_type,
+        |         round(quantile_cont(abs(CAST(c AS DOUBLE) - med), 0.5), 4) AS mad
+        |  FROM b JOIN m USING (event_type) GROUP BY 1
+        |)
+        |SELECT b.event_type, b.event_id,
+        |       round(CAST(c AS DOUBLE) / 100.0, 4) AS value,
+        |       round(0.6745 * (CAST(c AS DOUBLE) - med) / mad, 4) AS mz
+        |FROM b JOIN m USING (event_type) JOIN md USING (event_type)
+        |WHERE mad > 0
+        |  AND abs(round(0.6745 * (CAST(c AS DOUBLE) - med) / mad, 4)) > 3.5""".stripMargin,
   )
 }

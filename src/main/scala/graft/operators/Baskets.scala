@@ -110,4 +110,38 @@ object Baskets {
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"), col("n_ab"), col("cos"))
   }
+
+  /** Top-k item TRIPLES by support — the Apriori step beyond
+    * [[pairLift]]'s pairs, without the candidate-generation scan
+    * loop: every C(w,3) combination expands IN-ROW on the collapsed
+    * basket (bounded by basket width cubed — a width-7 basket yields
+    * 35 triples), so the whole mining pass is one combine over the
+    * expansion. For the bundle/combo question pairs can't answer.
+    *
+    * Determinism: baskets are sorted distinct item lists, so triples
+    * emit in (a < b < c) canonical order; the top-k is a TakeOrdered
+    * heap on (support desc, a, b, c). Exact counts.
+    *
+    * Output: (a, b, c, n_abc), top k by support.
+    */
+  def tripleSupport(
+      df: DataFrame,
+      basketCol: String = "basket",
+      itemCol: String = "item",
+      k: Int = 20,
+      minSupport: Int = 2): DataFrame = {
+    val baskets = df
+      .groupBy(col(basketCol).as("__bk"))
+      .agg(sort_array(collect_set(col(itemCol))).as("__items"))
+    baskets
+      .select(explode(flatten(flatten(transform(col("__items"), (x, i) =>
+        transform(slice(col("__items"), i + lit(2), size(col("__items"))), (y, j) =>
+          transform(slice(col("__items"), i + j + lit(3), size(col("__items"))),
+            z => struct(x.as("a"), y.as("b"), z.as("c")))))))).as("__t"))
+      .groupBy(col("__t.a").as("a"), col("__t.b").as("b"), col("__t.c").as("c"))
+      .agg(count(lit(1)).as("n_abc"))
+      .filter(col("n_abc") >= minSupport)
+      .orderBy(col("n_abc").desc, col("a"), col("b"), col("c"))
+      .limit(k)
+  }
 }

@@ -1785,6 +1785,103 @@ object Rollups {
           .as("r_partial"))
   }
 
+  /** Qini / uplift curve — the targeting eval for EXPERIMENTS
+    * (Radcliffe 2007): rank subjects by a model score, walk down
+    * from the top decile, and report the INCREMENTAL conversions —
+    * cum(treated converts) − cum(control converts)·Nt/Nc — the curve
+    * that says "does the score find the people the TREATMENT
+    * actually moves", which F42's single-arm lift cannot ask.
+    *
+    * Determinism and scale: the F42 machinery on a (subject, score,
+    * arm, outcome) frame — broadcast 4dp decile boundaries, one bin
+    * combine carrying four exact-long states, cumulative windows
+    * over the ≤10-row bin table; qini and the uplift-rate gap are
+    * single expressions of exact longs, 4dp.
+    *
+    * Output: (bin, n_treat, n_ctrl, conv_treat, conv_ctrl, qini,
+    * uplift), bin 9 = top scores.
+    */
+  def qiniCurve(
+      df: DataFrame,
+      scoreCol: String,
+      treatCol: String,
+      outcomeCol: String): DataFrame = {
+    val units = round(col(scoreCol) * 10000).cast("long")
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .select(units.as("__u"),
+        col(treatCol).cast("boolean").as("__t"),
+        when(col(outcomeCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val bounds = rows
+      .agg(percentile(col("__u"), typedLit((1 to 9).map(_ / 10.0))).as("__p"))
+      .select(transform(col("__p"), b => round(b, 4)).as("__bs"))
+    val desc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: Column) => c.cast("double")
+    rows.crossJoin(broadcast(bounds))
+      .withColumn("__bin",
+        aggregate(col("__bs"), lit(0),
+          (acc, b) => acc + when(col("__u") > b, 1).otherwise(0)))
+      .groupBy(col("__bin").cast("long").as("bin"))
+      .agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("__t"), col("__y")).otherwise(0L)).as("conv_treat"),
+        sum(when(!col("__t"), col("__y")).otherwise(0L)).as("conv_ctrl"))
+      .withColumn("__cnt", sum(col("n_treat")).over(desc))
+      .withColumn("__cnc", sum(col("n_ctrl")).over(desc))
+      .withColumn("__cpt", sum(col("conv_treat")).over(desc))
+      .withColumn("__cpc", sum(col("conv_ctrl")).over(desc))
+      .select(col("bin"), col("n_treat"), col("n_ctrl"),
+        col("conv_treat"), col("conv_ctrl"),
+        round(d(col("__cpt")) - d(col("__cpc")) *
+          when(col("__cnc") === 0, lit(null))
+            .otherwise(d(col("__cnt")) / d(col("__cnc"))), 4).as("qini"),
+        round(d(col("__cpt")) /
+          when(col("__cnt") === 0, lit(null)).otherwise(d(col("__cnt"))) -
+          d(col("__cpc")) /
+            when(col("__cnc") === 0, lit(null)).otherwise(d(col("__cnc"))), 4)
+          .as("uplift"))
+  }
+
+  /** Robust outlier listing per group — the rows themselves, not
+    * just F17's dispersion summary: modified z = 0.6745·(x−med)/MAD
+    * (Iglewicz & Hoaglin 1993), flagged past 3.5. The triage list a
+    * data-quality review actually opens.
+    *
+    * Determinism: group medians and MADs are interpolated
+    * percentiles ROUNDED 4dp (the F14 threshold contract) and
+    * broadcast back; the modified z is one double expression of the
+    * integer cents against those published thresholds, rounded 4dp,
+    * and the keep test runs on the rounded value. Scale shape: two
+    * group-grain percentile aggregates (map-side combined) + one
+    * filter pass — three scans, no window, no self-join.
+    *
+    * Output: (keys..., id, value, mz) for |mz| > 3.5.
+    */
+  def madOutliers(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      idCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select((keys.map(col) :+ col(idCol) :+ cents.as("__c")): _*)
+    val med = base.groupBy(keys.map(col): _*)
+      .agg(round(percentile(col("__c"), lit(0.5)), 4).as("__med"))
+    val mad = base.join(broadcast(med), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(round(percentile(abs(d(col("__c")) - col("__med")), lit(0.5)), 4)
+        .as("__mad"))
+    base.join(broadcast(med), keys).join(broadcast(mad), keys)
+      .filter(col("__mad") > 0)
+      .withColumn("mz", round(
+        lit(0.6745) * (d(col("__c")) - col("__med")) / col("__mad"), 4))
+      .filter(abs(col("mz")) > 3.5)
+      .select(keys.map(col) ++ Seq(col(idCol),
+        round(d(col("__c")) / 100.0, 4).as("value"), col("mz")): _*)
+  }
+
   /** Cumulative gains / lift curve — the targeting report: rank the
     * population by model score, walk down from the TOP decile, and
     * report what share of all positives each cumulative slice

@@ -1667,6 +1667,50 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("Rollups.qiniCurve: responsive top segment yields positive qini") {
+    // 100 treat + 100 ctrl; high scores convert under treatment only
+    val rows = (1 to 100).flatMap { i =>
+      Seq((i / 100.0, true, i > 80), (i / 100.0, false, false))
+    }
+    val out = Rollups.qiniCurve(rows.toDF("score", "treat", "y"),
+      "score", "treat", "y").orderBy(col("bin").desc).collect()
+    val top = out.head
+    assert(top.getLong(top.fieldIndex("conv_treat")) == 10L &&
+      top.getLong(top.fieldIndex("conv_ctrl")) == 0L)
+    assert(top.getDouble(top.fieldIndex("qini")) == 10.0)
+    assert(top.getDouble(top.fieldIndex("uplift")) == 1.0)
+    // the full population: 20 incremental conversions
+    assert(out.last.getDouble(out.last.fieldIndex("qini")) == 20.0)
+  }
+
+  test("Baskets.tripleSupport: canonical order and support floor") {
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "c"), (2L, "a"), (2L, "b"), // same triple, different order
+      (3L, "a"), (3L, "b"), (3L, "d"))
+      .toDF("bk", "item")
+    val out = Baskets.tripleSupport(rows, "bk", "item").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b" &&
+      r.getString(2) == "c" && r.getLong(3) == 2L)
+  }
+
+  test("Rollups.madOutliers: only the far point is flagged") {
+    val vals = (1 to 99).map(i => ("g", 10.0 + (i % 3) * 0.01, i.toLong)) :+
+      (("g", 1000.0, 999L))
+    val out = Rollups.madOutliers(vals.toDF("k", "v", "id"), Seq("k"), "v", "id")
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(out.head.fieldIndex("id")) == 999L)
+    assert(out.head.getDouble(out.head.fieldIndex("mz")) > 3.5)
+    // zero-MAD groups (constant values) are skipped, not divided by 0
+    val const = Seq.fill(10)(("g", 5.0)).zipWithIndex
+      .map { case ((k, v), i) => (k, v, i.toLong) }
+    assert(Rollups.madOutliers(const.toDF("k", "v", "id"),
+      Seq("k"), "v", "id").collect().isEmpty)
+  }
+
   test("Rollups.liftCurve: perfect ranking gains everything at the top") {
     // scores 0.91..1.00 are all positive, 0.01..0.90 all negative —
     // the top decile captures every positive at 10x lift

@@ -1326,6 +1326,31 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q241: the F42 shape — broadcast boundaries, bin-table windows
+    val q241 = exec("q241_qini")
+    noCartesian("q241_qini", q241)
+    assert(helper.collect(q241.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.size <= 1, "q241: only the 1-row boundary attach may loop")
+
+    // q242: the C(w,3) expansion is IN-ROW on the basket collapse —
+    // no cartesian, no windows, TakeOrdered top-k (no global sort)
+    val q242 = exec("q242_triples")
+    assert(windows(q242).isEmpty, "q242 must stay window-free")
+    noCartesian("q242_triples", q242)
+    assert(helper.collect(q242.executedPlan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, "q242: top-k must be a TakeOrdered heap, not a sort")
+
+    // q243: two percentile combines + one filter pass — no window,
+    // broadcast threshold attaches
+    val q243 = exec("q243_outliers")
+    assert(windows(q243).isEmpty, "q243 must stay window-free")
+    assert(helper.collect(q243.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }.size >= 2, "q243: median and MAD must attach as broadcasts")
+    noCartesian("q243_outliers", q243)
+
     // q238: I25's broadcast-boundary binning — never a corpus ntile;
     // windows ride the ≤10-row bin table
     val q238 = exec("q238_lift_curve")
