@@ -2522,6 +2522,37 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q244_cuped" -> ((s, dir) => {
+      // F46 CUPED variance reduction: post-cutoff spend tested with
+      // the pre-cutoff spend covariate removed (parity arms)
+      val t = Tables(s, dir)
+      val day = expr("unix_micros(ts) div 86400000000")
+      val anchor = broadcast(t.events.agg((max(day) - 6).as("__cut")))
+      val users = t.events
+        .select(col("user_id"), day.as("__d"),
+          coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("__c"))
+        .crossJoin(anchor)
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("__d") < col("__cut"), col("__c")).otherwise(0L)).as("__pre"),
+          sum(when(col("__d") >= col("__cut"), col("__c")).otherwise(0L)).as("__post"))
+        .select(col("user_id"),
+          (col("__pre") / lit(100.0)).as("pre"),
+          (col("__post") / lit(100.0)).as("post"),
+          when(pmod(col("user_id"), lit(2)) === 1, "B").otherwise("A").as("arm"))
+      Rollups.cuped(users, "arm", "post", "pre", "A", "B")
+    }),
+    "q245_ratio_delta" -> ((s, dir) => {
+      // F47 delta-method ratio metric: clicks-per-view tested at the
+      // USER grain — the correct SE for a ratio of sums
+      val t = Tables(s, dir)
+      val users = t.events.groupBy("user_id").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 1, "B").otherwise("A"))
+      Rollups.ratioMetricDelta(users, "arm", "x", "y", "A", "B")
+    }),
     "q241_qini" -> ((s, dir) => {
       // F43 uplift targeting eval: does spend rank find the users
       // the (parity-arm) treatment moves to purchase?
@@ -8161,5 +8192,145 @@ object SparkEntry {
         |FROM b JOIN m USING (event_type) JOIN md USING (event_type)
         |WHERE mad > 0
         |  AND abs(round(0.6745 * (CAST(c AS DOUBLE) - med) / mad, 4)) > 3.5""".stripMargin,
+    // CUPED replay: same cutoff frame, HUGEINT moments, identical
+    // theta/adjustment/variance expressions in the same op order.
+    "q244_cuped" ->
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |         COALESCE(CAST(round(value * 100) AS BIGINT), 0) AS c
+        |  FROM events
+        |),
+        |a0 AS (SELECT max(d) - 6 AS cut FROM f),
+        |u AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN d < cut THEN c ELSE 0 END) AS BIGINT) AS xx,
+        |         CAST(sum(CASE WHEN d >= cut THEN c ELSE 0 END) AS BIGINT) AS yy
+        |  FROM f CROSS JOIN a0 GROUP BY 1
+        |),
+        |r AS (
+        |  SELECT CASE WHEN user_id % 2 <> 0 THEN 'B' ELSE 'A' END AS arm, xx, yy
+        |  FROM u
+        |),
+        |m AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS n_b,
+        |    sum(yy) FILTER (arm = 'A') AS sy_a, sum(xx) FILTER (arm = 'A') AS sx_a,
+        |    sum(CAST(yy AS HUGEINT) * yy) FILTER (arm = 'A') AS syy_a,
+        |    sum(CAST(xx AS HUGEINT) * xx) FILTER (arm = 'A') AS sxx_a,
+        |    sum(CAST(xx AS HUGEINT) * yy) FILTER (arm = 'A') AS sxy_a,
+        |    sum(yy) FILTER (arm = 'B') AS sy_b, sum(xx) FILTER (arm = 'B') AS sx_b,
+        |    sum(CAST(yy AS HUGEINT) * yy) FILTER (arm = 'B') AS syy_b,
+        |    sum(CAST(xx AS HUGEINT) * xx) FILTER (arm = 'B') AS sxx_b,
+        |    sum(CAST(xx AS HUGEINT) * yy) FILTER (arm = 'B') AS sxy_b
+        |  FROM r
+        |),
+        |c1 AS (
+        |  SELECT *, n_a + n_b AS nn,
+        |         CAST(sx_a AS DOUBLE) + CAST(sx_b AS DOUBLE) AS sx,
+        |         CAST(sy_a AS DOUBLE) + CAST(sy_b AS DOUBLE) AS sy,
+        |         CAST(sxx_a AS DOUBLE) + CAST(sxx_b AS DOUBLE) AS sxx,
+        |         CAST(sxy_a AS DOUBLE) + CAST(sxy_b AS DOUBLE) AS sxy,
+        |         CAST(syy_a AS DOUBLE) + CAST(syy_b AS DOUBLE) AS syy
+        |  FROM m WHERE n_a > 1 AND n_b > 1
+        |),
+        |c2 AS (SELECT *, sxx - sx * sx / nn AS varx, sxy - sx * sy / nn AS covxy FROM c1),
+        |c3 AS (
+        |  SELECT *, CASE WHEN varx = 0 THEN 0.0 ELSE covxy / varx END AS theta,
+        |         sx / nn AS xbar
+        |  FROM c2
+        |),
+        |c4 AS (
+        |  SELECT *,
+        |         CAST(sy_a AS DOUBLE) / n_a AS mya, CAST(sx_a AS DOUBLE) / n_a AS mxa,
+        |         CAST(sy_b AS DOUBLE) / n_b AS myb, CAST(sx_b AS DOUBLE) / n_b AS mxb
+        |  FROM c3
+        |),
+        |c5 AS (
+        |  SELECT *,
+        |         mya - theta * (mxa - xbar) AS adja, myb - theta * (mxb - xbar) AS adjb,
+        |         (CAST(syy_a AS DOUBLE) - n_a * mya * mya) / (n_a - 1) AS vrawa,
+        |         (CAST(syy_b AS DOUBLE) - n_b * myb * myb) / (n_b - 1) AS vrawb,
+        |         (CAST(syy_a AS DOUBLE) - 2.0 * theta * CAST(sxy_a AS DOUBLE)
+        |          + theta * theta * CAST(sxx_a AS DOUBLE)
+        |          - n_a * (mya - theta * mxa) * (mya - theta * mxa)) / (n_a - 1) AS vadja,
+        |         (CAST(syy_b AS DOUBLE) - 2.0 * theta * CAST(sxy_b AS DOUBLE)
+        |          + theta * theta * CAST(sxx_b AS DOUBLE)
+        |          - n_b * (myb - theta * mxb) * (myb - theta * mxb)) / (n_b - 1) AS vadjb
+        |  FROM c4
+        |),
+        |c6 AS (
+        |  SELECT *, sqrt(vrawa / n_a + vrawb / n_b) AS seraw,
+        |         sqrt(vadja / n_a + vadjb / n_b) AS seadj,
+        |         (syy - sy * sy / nn) / (nn - 1) AS vpoolraw,
+        |         (syy - 2.0 * theta * sxy + theta * theta * sxx
+        |          - (sy - theta * sx) * (sy - theta * sx) / nn) / (nn - 1) AS vpooladj
+        |  FROM c5
+        |)
+        |SELECT n_a, n_b, round(theta, 6) AS theta,
+        |       round((myb - mya) / 100.0, 4) AS diff_raw,
+        |       round((adjb - adja) / 100.0, 4) AS diff_adj,
+        |       round((myb - mya)
+        |             / CASE WHEN seraw <= 0 THEN NULL ELSE seraw END, 4) AS t_raw,
+        |       round((adjb - adja)
+        |             / CASE WHEN seadj <= 0 THEN NULL ELSE seadj END, 4) AS t_adj,
+        |       round(1.0 - vpooladj
+        |             / CASE WHEN vpoolraw <= 0 THEN NULL ELSE vpoolraw END, 4)
+        |         AS var_reduction
+        |FROM c6""".stripMargin,
+    // Ratio-delta replay: same user-grain counts, same delta-method
+    // variance expansion.
+    "q245_ratio_delta" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS x,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS y
+        |  FROM events GROUP BY 1
+        |),
+        |r AS (
+        |  SELECT CASE WHEN user_id % 2 <> 0 THEN 'B' ELSE 'A' END AS arm, x, y
+        |  FROM u
+        |),
+        |m AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS n_b,
+        |    sum(x) FILTER (arm = 'A') AS sx_a, sum(y) FILTER (arm = 'A') AS sy_a,
+        |    sum(CAST(x AS HUGEINT) * x) FILTER (arm = 'A') AS sxx_a,
+        |    sum(CAST(y AS HUGEINT) * y) FILTER (arm = 'A') AS syy_a,
+        |    sum(CAST(x AS HUGEINT) * y) FILTER (arm = 'A') AS sxy_a,
+        |    sum(x) FILTER (arm = 'B') AS sx_b, sum(y) FILTER (arm = 'B') AS sy_b,
+        |    sum(CAST(x AS HUGEINT) * x) FILTER (arm = 'B') AS sxx_b,
+        |    sum(CAST(y AS HUGEINT) * y) FILTER (arm = 'B') AS syy_b,
+        |    sum(CAST(x AS HUGEINT) * y) FILTER (arm = 'B') AS sxy_b
+        |  FROM r
+        |),
+        |k AS (SELECT * FROM m WHERE n_a > 1 AND n_b > 1 AND sy_a > 0 AND sy_b > 0),
+        |c AS (
+        |  SELECT n_a, n_b,
+        |    CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE) AS ra,
+        |    CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE) AS rb,
+        |    (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / n_a) / (n_a - 1) AS vxa,
+        |    (CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / n_a) / (n_a - 1) AS vya,
+        |    (CAST(sxy_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / n_a) / (n_a - 1) AS ca,
+        |    CAST(sy_a AS DOUBLE) / n_a AS yba,
+        |    (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b) / (n_b - 1) AS vxb,
+        |    (CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / n_b) / (n_b - 1) AS vyb,
+        |    (CAST(sxy_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / n_b) / (n_b - 1) AS cb,
+        |    CAST(sy_b AS DOUBLE) / n_b AS ybb
+        |  FROM k
+        |),
+        |e AS (
+        |  SELECT *,
+        |    (vxa + ra * ra * vya - 2.0 * ra * ca) / (n_a * yba * yba) AS sea2,
+        |    (vxb + rb * rb * vyb - 2.0 * rb * cb) / (n_b * ybb * ybb) AS seb2
+        |  FROM c
+        |)
+        |SELECT n_a, n_b, round(ra, 4) AS ratio_a, round(rb, 4) AS ratio_b,
+        |       round(rb - ra, 4) AS diff,
+        |       round((rb - ra)
+        |             / CASE WHEN sea2 + seb2 <= 0 THEN NULL
+        |                    ELSE sqrt(sea2 + seb2) END, 4) AS z
+        |FROM e""".stripMargin,
   )
 }

@@ -1785,6 +1785,167 @@ object Rollups {
           .as("r_partial"))
   }
 
+  /** CUPED-adjusted A/B mean test (Deng et al. 2013) — variance
+    * reduction from a PRE-EXPERIMENT covariate: Y' = Y − θ(X − X̄)
+    * with θ = cov(X,Y)/var(X) pooled across arms; the adjusted
+    * Welch t tests the same effect with the pre-period variance
+    * removed. The single highest-leverage trick an experimentation
+    * platform ships — same data, tighter CI.
+    *
+    * Exactness: ONE aggregate carries all pooled and per-arm moments
+    * as exact decimal(38,0) cent sums; θ, the adjusted means and
+    * variances, and the Welch t are double expressions over those
+    * exact sums in identical written order (adjusted second moments
+    * via the algebraic expansion — no second data pass). Reported
+    * var_reduction = 1 − var(Y')/var(Y) pooled.
+    *
+    * Output: one row (n_a, n_b, theta, diff_raw, diff_adj, t_raw,
+    * t_adj, var_reduction).
+    */
+  def cuped(
+      df: DataFrame,
+      groupCol: String,
+      metricCol: String,
+      covariateCol: String,
+      armA: String,
+      armB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val y = round(col(metricCol) * 100).cast("long").cast(dec)
+    val x = round(col(covariateCol) * 100).cast("long").cast(dec)
+    val d = (c: Column) => c.cast("double")
+    def arm(a: String, pfx: String) = Seq(
+      sum(when(col(groupCol) === a, lit(1L)).otherwise(0L)).as(s"n_$pfx"),
+      sum(when(col(groupCol) === a, y).otherwise(lit(0L).cast(dec))).as(s"__sy_$pfx"),
+      sum(when(col(groupCol) === a, x).otherwise(lit(0L).cast(dec))).as(s"__sx_$pfx"),
+      sum(when(col(groupCol) === a, y * y).otherwise(lit(0L).cast(dec))).as(s"__syy_$pfx"),
+      sum(when(col(groupCol) === a, x * x).otherwise(lit(0L).cast(dec))).as(s"__sxx_$pfx"),
+      sum(when(col(groupCol) === a, x * y).otherwise(lit(0L).cast(dec))).as(s"__sxy_$pfx"))
+    val aggs = arm(armA, "a") ++ arm(armB, "b")
+    val one = df
+      .filter(col(metricCol).isNotNull && col(covariateCol).isNotNull &&
+        col(groupCol).isin(armA, armB))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+    // pooled moments for θ and X̄
+    val N = col("n_a") + col("n_b")
+    val sx = d(col("__sx_a")) + d(col("__sx_b"))
+    val sy = d(col("__sy_a")) + d(col("__sy_b"))
+    val sxx = d(col("__sxx_a")) + d(col("__sxx_b"))
+    val sxy = d(col("__sxy_a")) + d(col("__sxy_b"))
+    val syy = d(col("__syy_a")) + d(col("__syy_b"))
+    val varX = sxx - sx * sx / d(N)
+    val covXY = sxy - sx * sy / d(N)
+    val theta = covXY / varX
+    // per-arm Var(Y − θX) = (Syy − 2θSxy + θ²Sxx − n(my−θmx)²)/(n−1)
+    // — the algebraic expansion; no second data pass
+    one
+      .withColumn("__theta",
+        when(varX === 0, lit(0.0)).otherwise(theta))
+      .withColumn("__mya", d(col("__sy_a")) / d(col("n_a")))
+      .withColumn("__mxa", d(col("__sx_a")) / d(col("n_a")))
+      .withColumn("__myb", d(col("__sy_b")) / d(col("n_b")))
+      .withColumn("__mxb", d(col("__sx_b")) / d(col("n_b")))
+      .withColumn("__xbar", sx / d(N))
+      .withColumn("__adja", col("__mya") - col("__theta") * (col("__mxa") - col("__xbar")))
+      .withColumn("__adjb", col("__myb") - col("__theta") * (col("__mxb") - col("__xbar")))
+      .withColumn("__vrawa",
+        (d(col("__syy_a")) - d(col("n_a")) * col("__mya") * col("__mya")) / (col("n_a") - 1))
+      .withColumn("__vrawb",
+        (d(col("__syy_b")) - d(col("n_b")) * col("__myb") * col("__myb")) / (col("n_b") - 1))
+      .withColumn("__vadja",
+        (d(col("__syy_a")) - lit(2.0) * col("__theta") * d(col("__sxy_a")) +
+          col("__theta") * col("__theta") * d(col("__sxx_a")) -
+          d(col("n_a")) * (col("__mya") - col("__theta") * col("__mxa")) *
+            (col("__mya") - col("__theta") * col("__mxa"))) / (col("n_a") - 1))
+      .withColumn("__vadjb",
+        (d(col("__syy_b")) - lit(2.0) * col("__theta") * d(col("__sxy_b")) +
+          col("__theta") * col("__theta") * d(col("__sxx_b")) -
+          d(col("n_b")) * (col("__myb") - col("__theta") * col("__mxb")) *
+            (col("__myb") - col("__theta") * col("__mxb"))) / (col("n_b") - 1))
+      .withColumn("__seraw",
+        sqrt(col("__vrawa") / col("n_a") + col("__vrawb") / col("n_b")))
+      .withColumn("__seadj",
+        sqrt(col("__vadja") / col("n_a") + col("__vadjb") / col("n_b")))
+      .withColumn("__vpoolraw", (syy - sy * sy / d(N)) / (d(N) - 1))
+      .withColumn("__vpooladj",
+        (syy - lit(2.0) * col("__theta") * sxy + col("__theta") * col("__theta") * sxx -
+          (sy - col("__theta") * sx) * (sy - col("__theta") * sx) / d(N)) / (d(N) - 1))
+      .select(col("n_a"), col("n_b"),
+        round(col("__theta"), 6).as("theta"),
+        round((col("__myb") - col("__mya")) / 100.0, 4).as("diff_raw"),
+        round((col("__adjb") - col("__adja")) / 100.0, 4).as("diff_adj"),
+        round((col("__myb") - col("__mya")) /
+          when(col("__seraw") <= 0, lit(null)).otherwise(col("__seraw")), 4)
+          .as("t_raw"),
+        round((col("__adjb") - col("__adja")) /
+          when(col("__seadj") <= 0, lit(null)).otherwise(col("__seadj")), 4)
+          .as("t_adj"),
+        round(lit(1.0) - col("__vpooladj") /
+          when(col("__vpoolraw") <= 0, lit(null)).otherwise(col("__vpoolraw")), 4)
+          .as("var_reduction"))
+  }
+
+  /** Ratio-metric A/B test via the delta method (Deng et al. 2018) —
+    * the correct test for per-unit ratio metrics (clicks/views,
+    * revenue/session): the ratio of SUMS R = Σx/Σy is not a mean of
+    * per-user ratios, so its variance needs the delta expansion
+    * Var(R) ≈ (varₓ + R²var_y − 2R·cov)/(n·ȳ²). Treating a ratio
+    * metric as a plain mean is the classic false-positive factory
+    * this closes.
+    *
+    * Exactness: per-arm user-grain moments (n, Σx, Σy, Σx², Σy²,
+    * Σxy) in ONE decimal(38,0) aggregate; ratios, variances, and the
+    * z are doubles over exact sums in identical written order, 4dp.
+    *
+    * Output: one row (n_a, n_b, ratio_a, ratio_b, diff, z).
+    */
+  def ratioMetricDelta(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      armA: String,
+      armB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = (c: Column) => c.cast("double")
+    def arm(a: String, p: String) = {
+      val in = col(groupCol) === a
+      val x = col(xCol).cast("long").cast(dec)
+      val y = col(yCol).cast("long").cast(dec)
+      Seq(
+        sum(when(in, 1L).otherwise(0L)).as(s"n_$p"),
+        sum(when(in, x).otherwise(lit(0L).cast(dec))).as(s"__sx_$p"),
+        sum(when(in, y).otherwise(lit(0L).cast(dec))).as(s"__sy_$p"),
+        sum(when(in, x * x).otherwise(lit(0L).cast(dec))).as(s"__sxx_$p"),
+        sum(when(in, y * y).otherwise(lit(0L).cast(dec))).as(s"__syy_$p"),
+        sum(when(in, x * y).otherwise(lit(0L).cast(dec))).as(s"__sxy_$p"))
+    }
+    val aggs = arm(armA, "a") ++ arm(armB, "b")
+    def stats(p: String): (Column, Column) = {
+      val n = d(col(s"n_$p"))
+      val r = d(col(s"__sx_$p")) / d(col(s"__sy_$p"))
+      val vx = (d(col(s"__sxx_$p")) - d(col(s"__sx_$p")) * d(col(s"__sx_$p")) / n) / (n - 1)
+      val vy = (d(col(s"__syy_$p")) - d(col(s"__sy_$p")) * d(col(s"__sy_$p")) / n) / (n - 1)
+      val cxy = (d(col(s"__sxy_$p")) - d(col(s"__sx_$p")) * d(col(s"__sy_$p")) / n) / (n - 1)
+      val ybar = d(col(s"__sy_$p")) / n
+      val se2 = (vx + r * r * vy - lit(2.0) * r * cxy) / (n * ybar * ybar)
+      (r, se2)
+    }
+    val one = df
+      .filter(col(groupCol).isin(armA, armB))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_a") > 1 && col("n_b") > 1 &&
+        col("__sy_a") > 0 && col("__sy_b") > 0)
+    val (ra, sea2) = stats("a")
+    val (rb, seb2) = stats("b")
+    one.select(col("n_a"), col("n_b"),
+      round(ra, 4).as("ratio_a"), round(rb, 4).as("ratio_b"),
+      round(rb - ra, 4).as("diff"),
+      round((rb - ra) /
+        when(sea2 + seb2 <= 0, lit(null)).otherwise(sqrt(sea2 + seb2)), 4)
+        .as("z"))
+  }
+
   /** Qini / uplift curve — the targeting eval for EXPERIMENTS
     * (Radcliffe 2007): rank subjects by a model score, walk down
     * from the top decile, and report the INCREMENTAL conversions —

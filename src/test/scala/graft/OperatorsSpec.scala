@@ -1667,6 +1667,48 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("Rollups.cuped: a predictive covariate shrinks the variance") {
+    // y = x + arm effect + alternating noise: the covariate explains
+    // most of y's spread, so CUPED must cut variance and keep the
+    // effect estimate
+    val rows = (1 to 200).map { i =>
+      val x = (i % 50).toDouble
+      val arm = if (i % 2 == 0) "A" else "B"
+      val eff = if (arm == "B") 5.0 else 0.0
+      val noise = if ((i / 2) % 2 == 0) 0.5 else -0.5
+      (arm, x + eff + noise, x)
+    }
+    val r = Rollups.cuped(rows.toDF("arm", "post", "pre"),
+      "arm", "post", "pre", "A", "B").collect().head
+    assert(r.getDouble(r.fieldIndex("var_reduction")) > 0.9,
+      "the covariate explains >90% of pooled variance")
+    assert(math.abs(r.getDouble(r.fieldIndex("diff_adj")) - 5.0) < 0.5)
+    assert(math.abs(r.getDouble(r.fieldIndex("t_adj"))) >
+      math.abs(r.getDouble(r.fieldIndex("t_raw"))),
+      "same effect, tighter SE, larger t")
+  }
+
+  test("Rollups.ratioMetricDelta: ratio of sums with delta-method SE") {
+    // arm A: every user 1/10; arm B: every user 2/10 → ratios exactly
+    // 0.1 and 0.2 with zero within-arm variance → z null (se 0)
+    val rows = (1 to 40).map { i =>
+      (if (i % 2 == 0) "A" else "B", if (i % 2 == 0) 1L else 2L, 10L)
+    }
+    val r = Rollups.ratioMetricDelta(rows.toDF("arm", "x", "y"),
+      "arm", "x", "y", "A", "B").collect().head
+    assert(r.getDouble(r.fieldIndex("ratio_a")) == 0.1)
+    assert(r.getDouble(r.fieldIndex("ratio_b")) == 0.2)
+    assert(r.getDouble(r.fieldIndex("diff")) == 0.1)
+    assert(r.isNullAt(r.fieldIndex("z")), "zero variance → z undefined")
+    // add spread: half of B's users get 4/20 (same ratio, nonzero
+    // count variance) → z defined and positive
+    val spread = rows ++ (1 to 10).map(_ => ("B", 4L, 20L))
+    val s = Rollups.ratioMetricDelta(spread.toDF("arm", "x", "y"),
+      "arm", "x", "y", "A", "B").collect().head
+    assert(!s.isNullAt(s.fieldIndex("z")) &&
+      s.getDouble(s.fieldIndex("z")) > 0)
+  }
+
   test("Rollups.qiniCurve: responsive top segment yields positive qini") {
     // 100 treat + 100 ctrl; high scores convert under treatment only
     val rows = (1 to 100).flatMap { i =>

@@ -1326,6 +1326,17 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q244/q245: the user frame collapses once, then ONE moment
+    // aggregate — window-free, loop joins only for 1-row anchors
+    for (q <- Seq("q244_cuped", "q245_ratio_delta")) {
+      val qe = exec(q)
+      assert(windows(qe).isEmpty, s"$q must stay window-free")
+      noCartesian(q, qe)
+      assert(helper.collect(qe.executedPlan) {
+        case j: BroadcastNestedLoopJoinExec => j
+      }.size <= 1, s"$q: only a 1-row anchor attach may loop")
+    }
+
     // q241: the F42 shape — broadcast boundaries, bin-table windows
     val q241 = exec("q241_qini")
     noCartesian("q241_qini", q241)
