@@ -2522,6 +2522,29 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q246_stream_srm" -> ((s, dir) => {
+      // H43 streaming experiment integrity: per finalized hour, the
+      // arm split's one-df chi-square against 50/50 (F41's gate run
+      // continuously — a mid-experiment assignment break shows up in
+      // THAT hour, not at readout)
+      val wins = StreamQueries.materialize(
+        EventStream.tumblingGroupCounts(
+          StreamQueries.streamEvents(s, dir),
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      wins.groupBy("window_start")
+        .agg(
+          coalesce(sum(when(col("grp") === "A", col("n"))), lit(0L)).as("n_a"),
+          coalesce(sum(when(col("grp") === "B", col("n"))), lit(0L)).as("n_b"))
+        .withColumn("__e", d(col("n_a") + col("n_b")) * 0.5)
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n_a"), col("n_b"),
+          round((d(col("n_a")) - col("__e")) * (d(col("n_a")) - col("__e")) / col("__e") +
+            (d(col("n_b")) - col("__e")) * (d(col("n_b")) - col("__e")) / col("__e"), 4)
+            .as("chi2"))
+        .withColumn("srm", col("chi2") > 3.8415)
+    }),
     "q244_cuped" -> ((s, dir) => {
       // F46 CUPED variance reduction: post-cutoff spend tested with
       // the pre-cutoff spend covariate removed (parity arms)
@@ -8332,5 +8355,32 @@ object SparkEntry {
         |             / CASE WHEN sea2 + seb2 <= 0 THEN NULL
         |                    ELSE sqrt(sea2 + seb2) END, 4) AS z
         |FROM e""".stripMargin,
+    // Streaming-SRM replay: q60's finalized-window rule, parity arms,
+    // the q233 chi-square per window.
+    "q246_stream_srm" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |),
+        |mx AS (SELECT max(ts) AS mt FROM ev),
+        |fin AS (
+        |  SELECT date_trunc('hour', ts) AS ws, user_id FROM ev, mx
+        |  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mt - INTERVAL 2 HOUR
+        |),
+        |g AS (
+        |  SELECT ws,
+        |         CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+        |         CAST(count(*) FILTER (user_id % 2 <> 0) AS BIGINT) AS n_b
+        |  FROM fin GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT ws, n_a, n_b, CAST(n_a + n_b AS DOUBLE) * 0.5 AS e
+        |  FROM g
+        |)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, n_a, n_b,
+        |       round((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+        |             + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e, 4) AS chi2,
+        |       round((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+        |             + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e, 4) > 3.8415 AS srm
+        |FROM c""".stripMargin,
   )
 }

@@ -75,6 +75,23 @@ object EventStream {
         graft.functions.HllSketch.hllDistinct(col("user_id")).as("u_hll"))
       .select(col("window.start").as("window_start"), col("n"), col("u_hll"))
 
+  /** Tumbling counts by an arbitrary grouping EXPRESSION — the
+    * generic monitoring primitive behind per-window integrity checks
+    * (arm balance, source mix): same watermark/append contract as
+    * [[tumblingCounts]], grouping by whatever the caller derives
+    * from the event.
+    */
+  def tumblingGroupCounts(
+      events: DataFrame,
+      groupExpr: org.apache.spark.sql.Column,
+      duration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration), groupExpr.as("grp"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("grp"), col("n"))
+
   /** Count-min sketch AS STREAMING STATE per tumbling window — the
     * streaming heavy-hitter primitive: each (window) state row
     * carries the d×w counter matrix (32 KB) instead of per-key
