@@ -2522,6 +2522,24 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q247_daily_bands" -> ((s, dir) => {
+      // H44 daily p10/p50/p90 envelope of event values — the spread
+      // view a daily mean hides
+      val t = Tables(s, dir)
+      EventWindows.dailyQuantileBands(t.events)
+    }),
+    "q248_mix_shift" -> ((s, dir) => {
+      // H45 daily JS divergence of the event-type mix vs the corpus
+      // baseline — the one-number-per-day composition drift monitor
+      val t = Tables(s, dir)
+      EventWindows.mixShift(t.events)
+    }),
+    "q249_audience_overlap" -> ((s, dir) => {
+      // H46 audience Jaccard per event-type pair — do these features
+      // share users?
+      val t = Tables(s, dir)
+      EventWindows.audienceOverlap(t.events)
+    }),
     "q246_stream_srm" -> ((s, dir) => {
       // H43 streaming experiment integrity: per finalized hour, the
       // arm split's one-df chi-square against 50/50 (F41's gate run
@@ -8382,5 +8400,71 @@ object SparkEntry {
         |       round((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
         |             + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e, 4) > 3.8415 AS srm
         |FROM c""".stripMargin,
+    // Daily-band replay: interpolated percentiles on integer cents at
+    // day grain (the q50/q157 contract).
+    "q247_daily_bands" ->
+      """WITH f AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n,
+        |       round(quantile_cont(c, 0.1) / 100.0, 4) AS p10,
+        |       round(quantile_cont(c, 0.5) / 100.0, 4) AS p50,
+        |       round(quantile_cont(c, 0.9) / 100.0, 4) AS p90
+        |FROM f GROUP BY 1""".stripMargin,
+    // Mix-shift replay: same (day, cat) grain, same 6dp per-category
+    // JS contributions, same closed-form absent-mass remainder.
+    "q248_mix_shift" ->
+      """WITH g AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         event_type AS cat, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |b AS (
+        |  SELECT cat, CAST(sum(n) AS DOUBLE)
+        |           / (SELECT CAST(sum(n) AS DOUBLE) FROM g) AS q
+        |  FROM g GROUP BY 1
+        |),
+        |dt AS (SELECT day, CAST(sum(n) AS BIGINT) AS t FROM g GROUP BY 1),
+        |c AS (
+        |  SELECT g.day, dt.t,
+        |         CAST(g.n AS DOUBLE) / dt.t AS p, b.q,
+        |         (CAST(g.n AS DOUBLE) / dt.t + b.q) / 2.0 AS m
+        |  FROM g JOIN b USING (cat) JOIN dt ON dt.day = g.day
+        |),
+        |s AS (
+        |  SELECT day, any_value(t) AS n,
+        |         sum(round((p * ln(p / m) + q * ln(q / m)) / 2.0, 6)) AS js_present,
+        |         sum(q) AS q_present
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT day, n,
+        |       round(js_present + round((1.0 - q_present) / 2.0 * ln(2.0), 6), 4) AS js
+        |FROM s""".stripMargin,
+    // Audience-overlap replay: same distinct (user, cat) collapse,
+    // same in-row canonical pairs, exact Jaccard.
+    "q249_audience_overlap" ->
+      """WITH pu AS (
+        |  SELECT user_id, list_sort(list_distinct(list(event_type))) AS cats
+        |  FROM events GROUP BY 1
+        |),
+        |pairs AS (
+        |  SELECT p.a AS cat_a, p.b AS cat_b, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM (
+        |    SELECT unnest(flatten(list_transform(cats, (x, i) ->
+        |             list_transform(cats[i+1:], y -> struct_pack(a := x, b := y))))) AS p
+        |    FROM pu
+        |  ) GROUP BY 1, 2
+        |),
+        |marg AS (
+        |  SELECT c AS cat, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(cats) AS c FROM pu) GROUP BY 1
+        |)
+        |SELECT p.cat_a, p.cat_b, ma.n AS n_a, mb.n AS n_b, p.n_both,
+        |       round(CAST(p.n_both AS DOUBLE) / (ma.n + mb.n - p.n_both), 4) AS jaccard
+        |FROM pairs p
+        |JOIN marg ma ON ma.cat = p.cat_a
+        |JOIN marg mb ON mb.cat = p.cat_b""".stripMargin,
   )
 }

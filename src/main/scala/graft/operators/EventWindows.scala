@@ -137,6 +137,122 @@ object EventWindows {
         col("d"), col("c"), round(col("surv"), 4).as("surv")): _*)
   }
 
+  /** Daily percentile bands — the dashboard envelope (p10/p50/p90 of
+    * a metric per day): the spread view a daily mean hides. Exact
+    * interpolated percentiles over integer cents at day grain
+    * (the F5 contract), one map-side-combined percentile aggregate.
+    *
+    * Output: (day, n, p10, p50, p90), 4dp.
+    */
+  def dailyQuantileBands(
+      events: DataFrame,
+      valueCol: String = "value",
+      tsCol: String = "ts"): DataFrame = {
+    val day = expr(s"unix_micros($tsCol) div 86400000000")
+    events
+      .filter(col(valueCol).isNotNull)
+      .groupBy(day.as("day"))
+      .agg(count(lit(1)).as("n"),
+        percentile(round(col(valueCol) * 100).cast("long"),
+          typedLit(Seq(0.1, 0.5, 0.9))).as("__p"))
+      .select(col("day"), col("n"),
+        round(element_at(col("__p"), 1) / 100.0, 4).as("p10"),
+        round(element_at(col("__p"), 2) / 100.0, 4).as("p50"),
+        round(element_at(col("__p"), 3) / 100.0, 4).as("p90"))
+  }
+
+  /** Daily mix-shift divergence — per day, the Jensen–Shannon
+    * divergence between that day's categorical mix (event types,
+    * sources) and the corpus baseline: the one-number-per-day drift
+    * monitor that pages before a composition change corrupts every
+    * downstream daily metric. G57's divergence machinery at the
+    * (day, category) grain.
+    *
+    * Determinism: shares are exact count ratios; each category's JS
+    * contribution is one double expression rounded 6dp, the per-day
+    * JS their sum over the ≤|categories| rows (the F20 contract).
+    * Scale shape: ONE (day, cat) combine (eager-cut — it feeds the
+    * day totals, the baseline, and the contributions), dim-sized
+    * windows, a broadcast baseline attach.
+    *
+    * Output: (day, n, js), js in nats.
+    */
+  def mixShift(
+      events: DataFrame,
+      catCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val day = expr(s"unix_micros($tsCol) div 86400000000")
+    val d = (c: Column) => c.cast("double")
+    val grain = events
+      .groupBy(day.as("day"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val base = grain.groupBy("cat").agg(sum(col("n")).as("__bn"))
+      .withColumn("__bt", sum(col("__bn")).over(Window.partitionBy()))
+      .select(col("cat"), (d(col("__bn")) / col("__bt")).as("__q"))
+    val byDay = Window.partitionBy("day")
+    grain
+      .withColumn("__dt", sum(col("n")).over(byDay))
+      .join(broadcast(base), Seq("cat"))
+      .withColumn("__p", d(col("n")) / col("__dt"))
+      .withColumn("__m", (col("__p") + col("__q")) / 2.0)
+      // a category absent on a day contributes only through q's side
+      // of the baseline — handled below by the q-only remainder
+      .withColumn("__c", round(
+        (col("__p") * log(col("__p") / col("__m")) +
+          col("__q") * log(col("__q") / col("__m"))) / 2.0, 6))
+      .groupBy("day")
+      .agg(first(col("__dt")).as("n"), sum(col("__c")).as("__js_present"),
+        sum(col("__q")).as("__q_present"))
+      // absent categories: p=0 → contribution q/2·ln(2) each; fold the
+      // missing q mass in closed form so sparse days stay exact
+      .withColumn("js", round(
+        col("__js_present") +
+          round((lit(1.0) - col("__q_present")) / 2.0 * log(lit(2.0)), 6), 4))
+      .select(col("day"), col("n"), col("js"))
+  }
+
+  /** Audience-overlap matrix — for every pair of event types, the
+    * Jaccard overlap of their USER audiences: the "do these features
+    * share users" planning table behind cross-sell and cannibalization
+    * questions. F40 scores items by co-occurrence count; this scores
+    * CATEGORIES by audience sets.
+    *
+    * Scale shape: the corpus collapses to the distinct (user, cat)
+    * grain ONCE (eager-cut); per-user pair expansion is in-row and
+    * bounded by the CATEGORY count (C(|cats|,2) per user, not data);
+    * marginals ride the collapsed table; everything after is
+    * dim²-sized. Exact counts, one division.
+    *
+    * Output: (cat_a, cat_b, n_a, n_b, n_both, jaccard), a < b.
+    */
+  def audienceOverlap(
+      events: DataFrame,
+      catCol: String = "event_type",
+      userCol: String = "user_id"): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_set(col(catCol))).as("__cats"))
+      .localCheckpoint()
+    val pairs = perUser
+      .select(explode(flatten(transform(col("__cats"), (x, i) =>
+        transform(slice(col("__cats"), i + lit(2), size(col("__cats"))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .groupBy(col("__p.a").as("cat_a"), col("__p.b").as("cat_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val marg = perUser
+      .select(explode(col("__cats")).as("__c"))
+      .groupBy("__c").agg(count(lit(1)).as("__n"))
+    pairs
+      .join(broadcast(marg.select(col("__c").as("cat_a"), col("__n").as("n_a"))),
+        Seq("cat_a"))
+      .join(broadcast(marg.select(col("__c").as("cat_b"), col("__n").as("n_b"))),
+        Seq("cat_b"))
+      .select(col("cat_a"), col("cat_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")), 4).as("jaccard"))
+  }
+
   /** Nelson–Aalen cumulative hazard per keyed cohort — H(t) =
     * Σ_{tᵢ≤t} dᵢ/nᵢ over the same (duration, at-risk) grain as H22's
     * Kaplan–Meier: the ADDITIVE view of the same data, preferred

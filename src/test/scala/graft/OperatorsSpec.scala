@@ -1667,6 +1667,47 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("EventWindows.mixShift: baseline day scores 0, skewed day > 0") {
+    val dayUs = 86400000000L
+    // day 0 and day 1 have the same 50/50 mix → both are the
+    // baseline → js 0; day 2 is all-x → positive divergence
+    val ev = (Seq.fill(5)((0L, "x")) ++ Seq.fill(5)((0L, "y")) ++
+      Seq.fill(5)((1L, "x")) ++ Seq.fill(5)((1L, "y")) ++
+      Seq.fill(10)((2L, "x")))
+      .zipWithIndex.map { case ((d, ty), i) => (i.toLong, d * dayUs, ty) }
+      .toDF("event_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = EventWindows.mixShift(ev).orderBy("day").collect()
+    // baseline is 2/3 x, 1/3 y; days 0/1 diverge a little, day 2 more
+    assert(out(2).getDouble(out(2).fieldIndex("js")) >
+      out(0).getDouble(out(0).fieldIndex("js")))
+    assert(out(0).getDouble(out(0).fieldIndex("js")) ==
+      out(1).getDouble(out(1).fieldIndex("js")),
+      "identical mixes must score identically")
+    // uniform corpus: every day IS the baseline → all zeros
+    val flat = (Seq.fill(4)((0L, "x")) ++ Seq.fill(4)((1L, "x")))
+      .zipWithIndex.map { case ((d, ty), i) => (i.toLong, d * dayUs, ty) }
+      .toDF("event_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    assert(EventWindows.mixShift(flat).collect()
+      .forall(r => r.getDouble(r.fieldIndex("js")) == 0.0))
+  }
+
+  test("EventWindows.audienceOverlap: exact Jaccard of user sets") {
+    val ev = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"))
+      .zipWithIndex.map { case ((u, ty), i) => (i.toLong, u, ty) }
+      .toDF("event_id", "user_id", "event_type")
+    val out = EventWindows.audienceOverlap(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // a: {1,2,3}, b: {1,2} → both 2, union 3 → 0.6667
+    assert(r.getLong(r.fieldIndex("n_a")) == 3L &&
+      r.getLong(r.fieldIndex("n_b")) == 2L &&
+      r.getLong(r.fieldIndex("n_both")) == 2L &&
+      r.getDouble(r.fieldIndex("jaccard")) == 0.6667)
+  }
+
   test("Rollups.cuped: a predictive covariate shrinks the variance") {
     // y = x + arm effect + alternating noise: the covariate explains
     // most of y's spread, so CUPED must cut variance and keep the

@@ -1326,6 +1326,28 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q247: one percentile combine at day grain — window-free
+    val q247 = exec("q247_daily_bands")
+    assert(scans(q247).size == 1, s"q247: one scan, got ${scans(q247).size}")
+    assert(windows(q247).isEmpty, "q247 must stay window-free")
+
+    // q248: eager-cut (day, cat) grain feeds baseline AND the daily
+    // contributions; the baseline attaches as a broadcast
+    val q248 = exec("q248_mix_shift")
+    assert(scans(q248).isEmpty,
+      s"q248: grain must be cut at the checkpoint, got ${scans(q248).size}")
+    assert(helper.collect(q248.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }.nonEmpty, "q248: the baseline attach must broadcast")
+
+    // q249: pair expansion IN-ROW on the eager-cut (user, cats)
+    // collapse; marginal attaches broadcast; dim²-sized output
+    val q249 = exec("q249_audience_overlap")
+    assert(scans(q249).isEmpty,
+      s"q249: collapse must be cut at the checkpoint, got ${scans(q249).size}")
+    assert(windows(q249).isEmpty, "q249 must stay window-free")
+    noCartesian("q249_audience_overlap", q249)
+
     // q244/q245: the user frame collapses once, then ONE moment
     // aggregate — window-free, loop joins only for 1-row anchors
     for (q <- Seq("q244_cuped", "q245_ratio_delta")) {
