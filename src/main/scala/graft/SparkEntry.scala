@@ -2522,6 +2522,18 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q250_entropy_rate" -> ((s, dir) => {
+      // H47 sequence predictability: entropy rate + perplexity of
+      // the empirical transition matrix (the bits behind H40's floor)
+      val t = Tables(s, dir)
+      EventWindows.entropyRate(t.events)
+    }),
+    "q251_bot_flags" -> ((s, dir) => {
+      // H48 cadence-regularity flags: busy users whose inter-arrival
+      // CV is low for this corpus (timers, not people)
+      val t = Tables(s, dir)
+      EventWindows.botFlags(t.events, minEvents = 20, maxCv = 0.9)
+    }),
     "q247_daily_bands" -> ((s, dir) => {
       // H44 daily p10/p50/p90 envelope of event values — the spread
       // view a daily mean hides
@@ -8466,5 +8478,68 @@ object SparkEntry {
         |FROM pairs p
         |JOIN marg ma ON ma.cat = p.cat_a
         |JOIN marg mb ON mb.cat = p.cat_b""".stripMargin,
+    // Entropy-rate replay: same lead pairs, same 6dp cell
+    // contributions over the states-squared table.
+    "q250_entropy_rate" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events
+        |),
+        |p AS (
+        |  SELECT event_type AS s,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |  FROM e
+        |),
+        |m AS (SELECT s, t, CAST(count(*) AS BIGINT) AS n FROM p WHERE t IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        |  SELECT s, t, n,
+        |         sum(n) OVER (PARTITION BY s) AS ns,
+        |         sum(n) OVER () AS nn
+        |  FROM m
+        |),
+        |c AS (
+        |  SELECT nn, s,
+        |         round(-(CAST(n AS DOUBLE) / nn) * ln(CAST(n AS DOUBLE) / ns), 6) AS c
+        |  FROM w
+        |),
+        |r AS (
+        |  SELECT CAST(max(nn) AS BIGINT) AS n_transitions,
+        |         CAST(count(DISTINCT s) AS BIGINT) AS n_states,
+        |         round(sum(c), 4) AS entropy_rate
+        |  FROM c
+        |)
+        |SELECT n_transitions, n_states, entropy_rate,
+        |       round(exp(entropy_rate), 4) AS perplexity
+        |FROM r""".stripMargin,
+    // Bot-flag replay: same lag gaps, same exact moment CV, keep test
+    // on the rounded value.
+    "q251_bot_flags" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events
+        |),
+        |g AS (
+        |  SELECT user_id,
+        |         us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+        |  FROM e
+        |),
+        |s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(count(gap) AS BIGINT) AS ng,
+        |         CAST(sum(gap) AS BIGINT) AS sg,
+        |         sum(CAST(gap AS HUGEINT) * gap) AS qg
+        |  FROM g GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT user_id, n_events,
+        |         CAST(sg AS DOUBLE) / ng AS mean,
+        |         round(sqrt(greatest(
+        |                 (CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)
+        |                   / (ng - 1), 0.0))
+        |               / (CAST(sg AS DOUBLE) / ng), 4) AS cv
+        |  FROM s WHERE n_events >= 20 AND ng > 1 AND sg > 0
+        |)
+        |SELECT user_id, n_events, round(mean / 1e6, 4) AS mean_gap_s, cv
+        |FROM c WHERE cv <= 0.9""".stripMargin,
   )
 }

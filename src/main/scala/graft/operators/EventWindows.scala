@@ -759,6 +759,97 @@ object EventWindows {
       .withColumn("dau_mau", round(col("dau").cast("double") / col("mau"), 4))
   }
 
+  /** Sequence entropy rate — how predictable are the event streams,
+    * in nats per step: H = −Σ_s w_s Σ_t p(t|s)·ln p(t|s) over the
+    * empirical first-order transition matrix (w = from-state share).
+    * The information-theoretic companion to H40's accuracy floor:
+    * perplexity exp(H) is the effective branching factor a sequence
+    * model must beat per step.
+    *
+    * Determinism: transition counts are exact; each (s,t) cell's
+    * contribution −(n_st/N)·ln(n_st/n_s) is one double expression
+    * rounded 6dp, summed over the states²-sized cell table (the F20
+    * contract); perplexity is exp of the 4dp total. One (user)
+    * exchange for the lead pairs, one (s,t) combine, dim windows.
+    *
+    * Output: one row (n_transitions, n_states, entropy_rate,
+    * perplexity).
+    */
+  def entropyRate(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val all = Window.partitionBy()
+    val byFrom = Window.partitionBy("__s")
+    val d = (c: Column) => c.cast("double")
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__next", lead(col(typeCol), 1).over(byUser))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("__s"), col("__next").as("__t"))
+      .agg(count(lit(1)).as("__n"))
+      // "__tot", not "__N": Spark's default case-insensitive resolver
+      // would treat "__N" and the cell count "__n" as the SAME column
+      .withColumn("__ns", sum(col("__n")).over(byFrom))
+      .withColumn("__tot", sum(col("__n")).over(all))
+      .withColumn("__c", round(
+        -(d(col("__n")) / col("__tot")) * log(d(col("__n")) / col("__ns")), 6))
+      .agg(
+        max(col("__tot")).as("n_transitions"),
+        countDistinct(col("__s")).as("n_states"),
+        round(sum(col("__c")), 4).as("entropy_rate"))
+      .withColumn("perplexity", round(exp(col("entropy_rate")), 4))
+  }
+
+  /** Bot-likeness flags — users whose event cadence is too regular
+    * to be human: high event count with a LOW coefficient of
+    * variation of inter-arrival gaps (scripts fire on timers; people
+    * don't). The triage list feeding rate-limit (H39) and integrity
+    * reviews.
+    *
+    * Determinism: gaps are exact long micros from one lag window on
+    * the (user) exchange; per-user mean/sd come from exact gap sums;
+    * the CV and the keep test run on the 4dp-ROUNDED value. Output
+    * is the flagged user list with its evidence.
+    *
+    * Output: (user_id, n_events, mean_gap_s, cv) for users with
+    * ≥ minEvents and cv ≤ maxCv.
+    */
+  def botFlags(
+      events: DataFrame,
+      minEvents: Int = 20,
+      maxCv: Double = 0.3,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col("__us"), col(idCol))
+    val d = (c: Column) => c.cast("double")
+    events
+      .select(col(userCol), unix_micros(col(tsCol)).as("__us"), col(idCol))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(byUser))
+      .groupBy(userCol)
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("__gap")).as("__ng"),
+        sum(col("__gap")).as("__sg"),
+        // micro-gap squares overflow longs (30-day gap² ≈ 7e24)
+        sum(col("__gap").cast("decimal(38,0)") *
+          col("__gap").cast("decimal(38,0)")).as("__qg"))
+      .filter(col("n_events") >= minEvents && col("__ng") > 1 && col("__sg") > 0)
+      .withColumn("__mean", d(col("__sg")) / col("__ng"))
+      .withColumn("__var",
+        (d(col("__qg")) - d(col("__sg")) * d(col("__sg")) / col("__ng")) /
+          (col("__ng") - 1))
+      .withColumn("cv", round(
+        sqrt(greatest(col("__var"), lit(0.0))) / col("__mean"), 4))
+      .filter(col("cv") <= maxCv)
+      .select(col(userCol), col("n_events"),
+        round(col("__mean") / 1e6, 4).as("mean_gap_s"), col("cv"))
+  }
+
   /** Majority-transition predictor accuracy — the baseline every
     * sequence model must beat: predict each next event as the most
     * frequent follower of the current type (H17's transition matrix

@@ -1667,6 +1667,42 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("EventWindows.entropyRate: deterministic chain 0, fair coin ln 2") {
+    val dayUs = 86400000000L
+    def ev(rows: Seq[(Long, String)]) = rows.zipWithIndex
+      .map { case ((u, ty), i) => (i.toLong, u, i.toLong * dayUs, ty) }
+      .toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    // strict alternation a→b→a→b…: every transition is certain → H=0
+    val chain = ev((1 to 20).map(i => (1L, if (i % 2 == 0) "a" else "b")))
+    val c = EventWindows.entropyRate(chain).collect().head
+    assert(c.getDouble(c.fieldIndex("entropy_rate")) == 0.0)
+    assert(c.getDouble(c.fieldIndex("perplexity")) == 1.0)
+    // from 'a', the follower is a fair coin → H = ln 2, perplexity 2
+    val coin = ev(Seq((1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "b")))
+    val k = EventWindows.entropyRate(coin).collect().head
+    assert(math.abs(k.getDouble(k.fieldIndex("entropy_rate")) -
+      math.log(2.0)) < 0.001)
+  }
+
+  test("EventWindows.botFlags: metronome flagged, bursty human not") {
+    val ev = (
+      // user 1: perfectly regular 60s cadence → cv 0
+      (1 to 30).map(i => (1L, i * 60000000L)) ++
+      // user 2: wildly alternating gaps → cv >> 0.3
+      (1 to 30).map(i => (2L, (1 to i).map(j =>
+        if (j % 2 == 0) 1000000L else 600000000L).sum)))
+      .zipWithIndex.map { case ((u, us), i) => (i.toLong, u, us) }
+      .toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = EventWindows.botFlags(ev, minEvents = 20, maxCv = 0.3).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(out.head.fieldIndex("user_id")) == 1L)
+    assert(out.head.getDouble(out.head.fieldIndex("cv")) == 0.0)
+    assert(out.head.getDouble(out.head.fieldIndex("mean_gap_s")) == 60.0)
+  }
+
   test("EventWindows.mixShift: baseline day scores 0, skewed day > 0") {
     val dayUs = 86400000000L
     // day 0 and day 1 have the same 50/50 mix → both are the

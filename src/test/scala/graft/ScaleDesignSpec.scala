@@ -1326,6 +1326,21 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q250: the lead window rides the user key; cell windows are
+    // states²-sized
+    val q250 = exec("q250_entropy_rate")
+    assert(scans(q250).size == 1, s"q250: one scan, got ${scans(q250).size}")
+    noCartesian("q250_entropy_rate", q250)
+
+    // q251: gap lag + user combine on ONE (user) exchange
+    val q251 = exec("q251_bot_flags")
+    assert(scans(q251).size == 1, s"q251: one scan, got ${scans(q251).size}")
+    assert(windows(q251).size == 1 &&
+      windows(q251).head.partitionSpec.exists(_.toString.contains("user_id")),
+      "q251: exactly the user-key lag window")
+    assert(shuffles(q251).size == 1,
+      s"q251: one user exchange, got ${shuffles(q251).size}")
+
     // q247: one percentile combine at day grain — window-free
     val q247 = exec("q247_daily_bands")
     assert(scans(q247).size == 1, s"q247: one scan, got ${scans(q247).size}")
