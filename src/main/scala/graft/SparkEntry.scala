@@ -2522,6 +2522,23 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q252_rake" -> ((s, dir) => {
+      // G78 RAKE keyword extraction: top stopword-delimited phrases
+      // by degree/frequency word scores
+      val t = Tables(s, dir)
+      TextAnalysis.rakeKeywords(t.documents)
+    }),
+    "q253_stl_anomalies" -> ((s, dir) => {
+      // D20 seasonal-aware anomaly days per event type: residual
+      // beyond 3 sigma after trend AND weekly effect removal
+      val t = Tables(s, dir)
+      val series = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      Rollups.seasonalAnomalies(series, Seq("event_type"), "day", "y",
+        nSigma = 2.0)
+    }),
     "q250_entropy_rate" -> ((s, dir) => {
       // H47 sequence predictability: entropy rate + perplexity of
       // the empirical transition matrix (the bits behind H40's floor)
@@ -8541,5 +8558,83 @@ object SparkEntry {
         |)
         |SELECT user_id, n_events, round(mean / 1e6, 4) AS mean_gap_s, cv
         |FROM c WHERE cv <= 0.9""".stripMargin,
+    // RAKE replay: same boundary-regex phrase split, same micro-unit
+    // word scores, same (score desc, phrase) top-k.
+    "q252_rake" ->
+      """WITH ph AS (
+        |  SELECT trim(p) AS phrase FROM (
+        |    SELECT unnest(string_split(
+        |             regexp_replace(text,
+        |               '\b(the|be|to|of|and|that|have|with)\b', '|', 'g'),
+        |             '|')) AS p
+        |    FROM documents
+        |  ) WHERE trim(p) <> '' AND len(string_split(trim(p), ' ')) <= 4
+        |),
+        |w AS (
+        |  SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+        |         unnest(string_split(phrase, ' ')) AS word
+        |  FROM ph
+        |),
+        |st AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(sum(plen) AS BIGINT) AS deg
+        |  FROM w GROUP BY 1
+        |),
+        |wu AS (
+        |  SELECT word,
+        |         CAST(round(CAST(deg AS DOUBLE) / freq * 1e6) AS BIGINT) AS wu
+        |  FROM st
+        |),
+        |dp AS (
+        |  SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+        |  FROM (SELECT DISTINCT phrase FROM ph)
+        |),
+        |sc AS (
+        |  SELECT dp.phrase, CAST(sum(wu.wu) AS BIGINT) AS su,
+        |         CAST(count(*) AS BIGINT) AS n_words
+        |  FROM dp JOIN wu USING (word) GROUP BY 1
+        |),
+        |occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences FROM ph GROUP BY 1)
+        |SELECT occ.phrase, sc.n_words, occ.n_occurrences,
+        |       round(CAST(sc.su AS DOUBLE) / 1e6, 4) AS score
+        |FROM occ JOIN sc USING (phrase)
+        |ORDER BY score DESC, phrase LIMIT 30""".stripMargin,
+    // STL-anomaly replay: the q230 pipeline + the 4dp-threshold keep
+    // test against 2 sigma.
+    "q253_stl_anomalies" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |),
+        |t AS (
+        |  SELECT event_type, day, y,
+        |         CAST(round(CAST(sum(y) OVER fr AS DOUBLE) / count(*) OVER fr * 1e6) AS BIGINT) AS tu
+        |  FROM s WINDOW fr AS (PARTITION BY event_type ORDER BY day
+        |                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |),
+        |b AS (SELECT event_type, day, y, tu, day % 7 AS phase, y * 1000000 - tu AS du FROM t),
+        |se AS (
+        |  SELECT event_type, phase,
+        |         CAST(round(CAST(sum(CAST(du AS HUGEINT)) AS DOUBLE) / count(*)) AS BIGINT) AS su
+        |  FROM b GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT b.event_type, b.day, b.y, b.tu, se.su, b.du - se.su AS rr
+        |  FROM b JOIN se ON se.event_type = b.event_type AND se.phase = b.phase
+        |),
+        |sd AS (
+        |  SELECT event_type,
+        |         round(sqrt((CAST(sum(CAST(rr AS HUGEINT) * rr) AS DOUBLE)
+        |                     - CAST(sum(CAST(rr AS HUGEINT)) AS DOUBLE)
+        |                       * CAST(sum(CAST(rr AS HUGEINT)) AS DOUBLE) / count(*))
+        |                    / (count(*) - 1)) / 1e6, 4) AS sd4
+        |  FROM r GROUP BY 1 HAVING count(*) > 1
+        |)
+        |SELECT r.event_type, r.day, r.y,
+        |       round((CAST(r.tu AS DOUBLE) + CAST(r.su AS DOUBLE)) / 1e6, 4) AS expected,
+        |       round(CAST(r.rr AS DOUBLE) / 1e6, 4) AS resid
+        |FROM r JOIN sd USING (event_type)
+        |WHERE sd.sd4 > 0 AND abs(round(CAST(r.rr AS DOUBLE) / 1e6, 4)) > 2.0 * sd.sd4""".stripMargin,
   )
 }

@@ -2195,6 +2195,64 @@ object Rollups {
         round(d(col("__su")) / 1e6, 4).as("seasonal"), col("resid_sd")): _*)
   }
 
+  /** STL-based anomaly days — the detector D19's decomposition
+    * exists to feed: a point is anomalous when its residual (after
+    * removing trend AND seasonal effect) exceeds nSigma residual
+    * standard deviations. Level shifts and spikes surface; ordinary
+    * weekly rhythm does not — the upgrade over D4's plain rolling
+    * z-score for seasonal series.
+    *
+    * Determinism: D19's exact micro-int pipeline end to end; the
+    * keep test compares the 4dp-ROUNDED residual against nSigma ×
+    * the 4dp-published resid_sd (the F14 contract). Same eager-cut +
+    * broadcast shape as D19, plus one filter pass.
+    *
+    * Output: (keys..., x, y, expected, resid) for flagged points.
+    */
+  def seasonalAnomalies(
+      series: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String,
+      period: Int = 7,
+      halfWindow: Int = 3,
+      nSigma: Double = 3.0): DataFrame = {
+    require(period >= 2 && halfWindow >= 1 && nSigma > 0)
+    val dec = "decimal(38,0)"
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val fr = byKey.orderBy(col(xCol)).rowsBetween(-halfWindow, halfWindow)
+    val d = (c: Column) => c.cast("double")
+    val base = series
+      .withColumn("__tu",
+        round(d(sum(col(yCol).cast("long")).over(fr)) /
+          count(lit(1)).over(fr) * 1e6).cast("long"))
+      .withColumn("__du", col(yCol).cast("long") * 1000000L - col("__tu"))
+      .withColumn("phase", pmod(col(xCol).cast("long"), lit(period.toLong)))
+      .localCheckpoint()
+    val seas = base
+      .groupBy((keys.map(col) :+ col("phase")): _*)
+      .agg(sum(col("__du").cast(dec)).as("__sd"), count(lit(1)).as("__pn"))
+      .select((keys.map(col) :+ col("phase") :+
+        round(d(col("__sd")) / col("__pn")).cast("long").as("__su")): _*)
+    val withSeas = base.join(broadcast(seas), keys :+ "phase")
+      .withColumn("__r", (col("__du") - col("__su")).cast(dec))
+      .localCheckpoint()
+    val sd = withSeas
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__rn"), sum(col("__r")).as("__rs"),
+        sum(col("__r") * col("__r")).as("__rq"))
+      .filter(col("__rn") > 1)
+      .select(keys.map(col) :+ round(sqrt(
+        (d(col("__rq")) - d(col("__rs")) * d(col("__rs")) / col("__rn")) /
+          (col("__rn") - 1)) / 1e6, 4).as("__sd4"): _*)
+    withSeas.join(broadcast(sd), keys)
+      .withColumn("resid", round(d(col("__r")) / 1e6, 4))
+      .filter(col("__sd4") > 0 && abs(col("resid")) > lit(nSigma) * col("__sd4"))
+      .select(keys.map(col) ++ Seq(col(xCol), col(yCol),
+        round((d(col("__tu")) + d(col("__su"))) / 1e6, 4).as("expected"),
+        col("resid")): _*)
+  }
+
   /** Expected calibration error — the scalar that scores a
     * [0,1]-confidence column against binary outcomes (Guo et al.
     * 2017's ECE): bin by confidence decile, and sum each bin's

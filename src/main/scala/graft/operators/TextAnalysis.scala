@@ -123,6 +123,60 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** RAKE-style keyword extraction (Rose et al. 2010) — candidate
+    * phrases are the maximal stopword-free token runs; each word
+    * scores degree/frequency (degree = Σ phrase length over phrases
+    * containing it — long-phrase membership is evidence of
+    * content-bearing words), and a phrase scores the sum of its
+    * words' scores. The zero-model keyword extractor for corpus
+    * exploration and doc tagging.
+    *
+    * Determinism: phrase splitting is ONE word-boundary regex
+    * replace + split (RE2-compatible, identical in the oracle); word
+    * scores quantize to integer micro-units before the ≤maxWords-
+    * term phrase sum, so no float fold order can differ; top-k is a
+    * TakeOrdered heap on (score desc, phrase). Scale shape: phrase
+    * explode → one (word) combine for the stats → word-keyed join
+    * back (AQE-skew-safe) → one (phrase) combine.
+    *
+    * Output: (phrase, n_words, n_occurrences, score), top k.
+    */
+  def rakeKeywords(
+      df: DataFrame,
+      textCol: String = "text",
+      k: Int = 30,
+      maxWords: Int = 4,
+      stopwords: Seq[String] = GopherStopwords): DataFrame = {
+    val pat = "\\b(" + stopwords.mkString("|") + ")\\b"
+    val phrases = spread(df)
+      .select(explode(split(regexp_replace(col(textCol), pat, "|"), "\\|"))
+        .as("__raw"))
+      .select(trim(col("__raw")).as("phrase"))
+      .filter(col("phrase") =!= "" &&
+        size(split(col("phrase"), " ")) <= maxWords)
+      .localCheckpoint()
+    val words = phrases
+      .select(col("phrase"), size(split(col("phrase"), " ")).as("__len"),
+        explode(split(col("phrase"), " ")).as("__w"))
+    val stats = words.groupBy("__w")
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .withColumn("__wu",
+        round(col("__deg").cast("double") / col("__freq") * 1e6).cast("long"))
+    // score each DISTINCT phrase once from its words; occurrences
+    // counted separately so repeated phrases don't inflate the score
+    val scored = phrases.select(col("phrase")).distinct()
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("__w"))
+      .join(stats.select(col("__w"), col("__wu")), Seq("__w"))
+      .groupBy("phrase")
+      .agg(sum(col("__wu")).as("__su"), count(lit(1)).cast("long").as("n_words"))
+    phrases.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
+      .join(scored, Seq("phrase"))
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        round(col("__su").cast("double") / 1e6, 4).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
+
   /** Gopher-style quality-filter rules (Rae et al. 2021 §A1.1), each as
     * a per-document flag plus the composite `gopher_pass`:
     *

@@ -1667,6 +1667,35 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("TextAnalysis.rakeKeywords: multiword content phrases outrank singles") {
+    val docs = Seq(
+      "deep learning models trained with deep learning pipelines",
+      "the deep learning stack and the serving stack").toDF("text")
+    val out = TextAnalysis.rakeKeywords(docs, k = 10).collect()
+    val top = out.head
+    // "deep learning ..." phrases aggregate high-degree words
+    assert(top.getString(top.fieldIndex("phrase")).contains("deep learning"))
+    assert(top.getDouble(top.fieldIndex("score")) >
+      out.last.getDouble(out.last.fieldIndex("score")))
+    // stopwords never appear inside candidates
+    assert(out.forall(r => !r.getString(r.fieldIndex("phrase"))
+      .split(" ").contains("the")))
+  }
+
+  test("Rollups.seasonalAnomalies: a spike on a flat weekly series flags") {
+    // flat 10s with a period-7 rhythm (+2 on phase 0) and ONE spike
+    val series = (0L until 56L).map { d =>
+      val base = if (d % 7 == 0) 12L else 10L
+      ("a", d, if (d == 30L) base + 50L else base)
+    }.toDF("k", "day", "y")
+    val out = Rollups.seasonalAnomalies(series, Seq("k"), "day", "y")
+      .collect()
+    assert(out.exists(r => r.getLong(r.fieldIndex("day")) == 30L),
+      "the spike day must flag")
+    assert(out.forall(r => math.abs(r.getLong(r.fieldIndex("day")) - 30L) <= 3),
+      s"only the spike neighborhood may flag, got ${out.map(_.getLong(1)).toSeq}")
+  }
+
   test("EventWindows.entropyRate: deterministic chain 0, fair coin ln 2") {
     val dayUs = 86400000000L
     def ev(rows: Seq[(Long, String)]) = rows.zipWithIndex

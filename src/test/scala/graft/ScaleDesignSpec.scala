@@ -1326,6 +1326,27 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q252: phrase frame eager-cut (feeds stats, scores, occurrence
+    // counts); word stats join on the word key; TakeOrdered top-k
+    val q252 = exec("q252_rake")
+    assert(scans(q252).isEmpty,
+      s"q252: phrases must be cut at the checkpoint, got ${scans(q252).size}")
+    assert(windows(q252).isEmpty, "q252 must stay window-free")
+    noCartesian("q252_rake", q252)
+    assert(helper.collect(q252.executedPlan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, "q252: top-k must be a TakeOrdered heap, not a sort")
+
+    // q253: the D19 shape + one filter pass — no windows above the
+    // cut, broadcast seasonal/sd attaches
+    val q253 = exec("q253_stl_anomalies")
+    assert(scans(q253).isEmpty,
+      s"q253: frame must be cut at the checkpoint, got ${scans(q253).size}")
+    assert(windows(q253).isEmpty, "q253: the trend window stays behind the cut")
+    assert(helper.collect(q253.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }.nonEmpty, "q253: threshold attaches must broadcast")
+
     // q250: the lead window rides the user key; cell windows are
     // states²-sized
     val q250 = exec("q250_entropy_rate")
