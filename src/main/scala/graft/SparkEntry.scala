@@ -2522,6 +2522,22 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q254_component_sizes" -> ((s, dir) => {
+      // G79 giant-component alarm: size histogram of the MinHash
+      // near-dup clustering with node shares
+      val t = Tables(s, dir)
+      Graph.componentSizes(
+        Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
+    }),
+    "q255_heterogeneity" -> ((s, dir) => {
+      // F48 Cochran's Q across event-type segments: is the parity-arm
+      // value gap ONE effect or segment-specific?
+      val t = Tables(s, dir)
+      Rollups.effectHeterogeneity(
+        t.events.withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
+        "event_type", "arm", "value", "A", "B")
+    }),
     "q252_rake" -> ((s, dir) => {
       // G78 RAKE keyword extraction: top stopword-delimited phrases
       // by degree/frequency word scores
@@ -8636,5 +8652,80 @@ object SparkEntry {
         |       round(CAST(r.rr AS DOUBLE) / 1e6, 4) AS resid
         |FROM r JOIN sd USING (event_type)
         |WHERE sd.sd4 > 0 AND abs(round(CAST(r.rr AS DOUBLE) / 1e6, 4)) > 2.0 * sd.sd4""".stripMargin,
+    // Component-size replay: the q47 walk, size histogram, exact
+    // shares over the histogram.
+    "q254_component_sizes" ->
+      s"""WITH RECURSIVE $MinhashPairsSql,
+         |edges AS (
+         |  SELECT idA AS src, idB AS dst FROM lshpairs
+         |  UNION ALL
+         |  SELECT idB AS src, idA AS dst FROM lshpairs
+         |),
+         |walk(id, comp) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id
+         |),
+         |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS size FROM comps GROUP BY 1),
+         |hist AS (
+         |  SELECT size, CAST(count(*) AS BIGINT) AS n_components,
+         |         CAST(size * count(*) AS BIGINT) AS n_nodes
+         |  FROM sz GROUP BY 1
+         |),
+         |sh AS (
+         |  SELECT size, n_components, n_nodes,
+         |         round(CAST(n_nodes AS DOUBLE) / sum(n_nodes) OVER (), 4) AS node_share
+         |  FROM hist
+         |)
+         |SELECT size, n_components, n_nodes, node_share,
+         |       max(node_share) OVER () AS max_share
+         |FROM sh""".stripMargin,
+    // Heterogeneity replay: per-segment F31 moments, 6dp Q
+    // contributions, segment-table windows.
+    "q255_heterogeneity" ->
+      """WITH seg AS (
+        |  SELECT event_type AS segment,
+        |         CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (user_id % 2 = 0) AS BIGINT) AS sa,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
+        |              FILTER (user_id % 2 = 0) AS BIGINT) AS qa,
+        |         CAST(count(*) FILTER (user_id % 2 <> 0) AS BIGINT) AS n_b,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (user_id % 2 <> 0) AS BIGINT) AS sb,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
+        |              FILTER (user_id % 2 <> 0) AS BIGINT) AS qb
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1
+        |),
+        |v AS (
+        |  SELECT segment, n_a, n_b,
+        |         (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / n_a) / (n_a - 1) AS va,
+        |         (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / n_b) / (n_b - 1) AS vb,
+        |         CAST(sb AS DOUBLE) / n_b - CAST(sa AS DOUBLE) / n_a AS dd
+        |  FROM seg WHERE n_a > 1 AND n_b > 1
+        |),
+        |e AS (
+        |  SELECT *, va / n_a + vb / n_b AS se2 FROM v
+        |),
+        |w AS (
+        |  SELECT *, 1.0 / se2 AS w FROM e WHERE se2 > 0
+        |),
+        |dw AS (
+        |  SELECT *, sum(w * dd) OVER () / sum(w) OVER () AS dwbar FROM w
+        |),
+        |qq AS (
+        |  SELECT *, round(w * (dd - dwbar) * (dd - dwbar), 6) AS q_contrib FROM dw
+        |),
+        |t AS (
+        |  SELECT *, round(sum(q_contrib) OVER (), 4) AS q_stat,
+        |         count(*) OVER () AS k
+        |  FROM qq
+        |)
+        |SELECT segment, n_a, n_b,
+        |       round(dd / 100.0, 4) AS diff, round(sqrt(se2) / 100.0, 4) AS se,
+        |       q_contrib, q_stat,
+        |       round(greatest(0.0, (q_stat - (k - 1))
+        |             / CASE WHEN q_stat <= 0 THEN NULL ELSE q_stat END), 4) AS i2
+        |FROM t""".stripMargin,
   )
 }

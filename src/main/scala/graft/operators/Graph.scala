@@ -130,6 +130,36 @@ object Graph {
     }
     ranks
   }
+  /** Component size distribution — the shape report over G2b's
+    * clustering: how many components of each size, plus each size
+    * class's share of all clustered nodes. The giant-component
+    * alarm for dedup graphs: healthy near-dup corpora shatter into
+    * small families; one huge component means a boilerplate shingle
+    * or a too-loose threshold just connected everything (and the
+    * keeper policy would delete most of the corpus).
+    *
+    * Scale shape: clustering is G2b (log-diameter, checkpointed);
+    * sizes are one (comp) combine; the histogram one (size) combine;
+    * shares ride the histogram-sized window. Exact counts.
+    *
+    * Output: (size, n_components, n_nodes, node_share) + the
+    * max_share column (the giant-component alarm, same every row).
+    */
+  def componentSizes(pairs: DataFrame): DataFrame = {
+    val hist = graft.operators.Dedup.clusters(pairs)
+      .groupBy("comp").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_components"))
+      .withColumn("n_nodes", col("size") * col("n_components"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    hist
+      .withColumn("__t", sum(col("n_nodes")).over(w))
+      .withColumn("node_share",
+        round(col("n_nodes").cast("double") / col("__t"), 4))
+      .withColumn("max_share", max(col("node_share")).over(w))
+      .select(col("size"), col("n_components"), col("n_nodes"),
+        col("node_share"), col("max_share"))
+  }
+
   /** Degree distribution power-law fit — the graph-shape diagnostic
     * that prices every downstream graph operator: a heavy-tailed
     * (scale-free-ish) degree histogram predicts hot keys in G38's

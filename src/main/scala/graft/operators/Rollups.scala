@@ -1785,6 +1785,66 @@ object Rollups {
           .as("r_partial"))
   }
 
+  /** Effect heterogeneity across segments — Cochran's Q with I²
+    * (Higgins & Thompson 2002): per segment, the A/B mean gap and
+    * its Welch SE; then Q = Σ wᵢ(dᵢ − d̄_w)² with w = 1/se² asks
+    * "is there ONE effect or many?". I² = max(0, (Q−k+1)/Q) is the
+    * share of between-segment variance that is real heterogeneity.
+    * The gate between "ship to everyone" and "segment the rollout".
+    *
+    * Exactness: per-segment moments are exact integer-cent sums in
+    * one (segment, arm→columns) combine; gaps/SEs are the F31
+    * doubles; per-segment Q contributions quantize to 6dp before
+    * the segment-table sum (the F20 contract). Segment-table
+    * windows only.
+    *
+    * Output: (segment, n_a, n_b, diff, se, q_contrib, q_stat, i2).
+    */
+  def effectHeterogeneity(
+      df: DataFrame,
+      segmentCol: String,
+      groupCol: String,
+      valueCol: String,
+      armA: String,
+      armB: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val all = Window.partitionBy()
+    val seg = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(armA, armB))
+      .groupBy(col(segmentCol).as("segment"))
+      .agg(
+        sum(when(col(groupCol) === armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(groupCol) === armA, cents).otherwise(0L)).as("__sa"),
+        sum(when(col(groupCol) === armA, cents * cents).otherwise(0L)).as("__qa"),
+        sum(when(col(groupCol) === armB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(groupCol) === armB, cents).otherwise(0L)).as("__sb"),
+        sum(when(col(groupCol) === armB, cents * cents).otherwise(0L)).as("__qb"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .withColumn("__va",
+        (d(col("__qa")) - d(col("__sa")) * d(col("__sa")) / col("n_a")) / (col("n_a") - 1))
+      .withColumn("__vb",
+        (d(col("__qb")) - d(col("__sb")) * d(col("__sb")) / col("n_b")) / (col("n_b") - 1))
+      .withColumn("__d", d(col("__sb")) / col("n_b") - d(col("__sa")) / col("n_a"))
+      .withColumn("__se2", col("__va") / col("n_a") + col("__vb") / col("n_b"))
+      .filter(col("__se2") > 0)
+      .withColumn("__w", lit(1.0) / col("__se2"))
+    seg
+      .withColumn("__dw",
+        sum(col("__w") * col("__d")).over(all) / sum(col("__w")).over(all))
+      .withColumn("q_contrib", round(
+        col("__w") * (col("__d") - col("__dw")) * (col("__d") - col("__dw")), 6))
+      .withColumn("q_stat", round(sum(col("q_contrib")).over(all), 4))
+      .withColumn("__k", count(lit(1)).over(all))
+      .withColumn("i2", round(greatest(lit(0.0),
+        (col("q_stat") - (col("__k") - 1)) /
+          when(col("q_stat") <= 0, lit(null)).otherwise(col("q_stat"))), 4))
+      .select(col("segment"), col("n_a"), col("n_b"),
+        round(col("__d") / 100.0, 4).as("diff"),
+        round(sqrt(col("__se2")) / 100.0, 4).as("se"),
+        col("q_contrib"), col("q_stat"), col("i2"))
+  }
+
   /** CUPED-adjusted A/B mean test (Deng et al. 2013) — variance
     * reduction from a PRE-EXPERIMENT covariate: Y' = Y − θ(X − X̄)
     * with θ = cov(X,Y)/var(X) pooled across arms; the adjusted

@@ -1667,6 +1667,43 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("Graph.componentSizes: histogram with giant-component share") {
+    // one triangle {1,2,3} and one pair {10,11}: sizes 3 and 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+      .toDF("idA", "idB")
+    val out = Graph.componentSizes(pairs).orderBy("size").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 2L && out(0).getLong(1) == 1L)
+    assert(out(1).getLong(0) == 3L && out(1).getLong(1) == 1L)
+    assert(out(1).getDouble(out(1).fieldIndex("node_share")) == 0.6)
+    assert(out.forall(r => r.getDouble(r.fieldIndex("max_share")) == 0.6))
+  }
+
+  test("Rollups.effectHeterogeneity: homogeneous effects score low Q") {
+    // both segments carry the SAME +10 arm gap with identical spread
+    val rows = (1 to 2).flatMap { s =>
+      (1 to 40).map { i =>
+        val arm = if (i % 2 == 0) "A" else "B"
+        val base = if (i % 4 < 2) 10.0 else 20.0
+        (s"seg$s", arm, base + (if (arm == "B") 10.0 else 0.0))
+      }
+    }
+    val out = Rollups.effectHeterogeneity(rows.toDF("seg", "arm", "v"),
+      "seg", "arm", "v", "A", "B").collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getDouble(r.fieldIndex("diff")) == 10.0))
+    assert(out.head.getDouble(out.head.fieldIndex("q_stat")) == 0.0)
+    assert(out.head.getDouble(out.head.fieldIndex("i2")) == 0.0)
+    // opposite effects across segments: Q large, i2 near 1
+    val het = rows.map { case (s, a, v) =>
+      (s, a, if (s == "seg2" && a == "B") v - 20.0 else v)
+    }
+    val h = Rollups.effectHeterogeneity(het.toDF("seg", "arm", "v"),
+      "seg", "arm", "v", "A", "B").collect().head
+    assert(h.getDouble(h.fieldIndex("q_stat")) > 10.0)
+    assert(h.getDouble(h.fieldIndex("i2")) > 0.8)
+  }
+
   test("TextAnalysis.rakeKeywords: multiword content phrases outrank singles") {
     val docs = Seq(
       "deep learning models trained with deep learning pipelines",

@@ -1326,6 +1326,13 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q255: one (segment) combine, segment-table windows only
+    val q255 = exec("q255_heterogeneity")
+    assert(scans(q255).size == 1, s"q255: one scan, got ${scans(q255).size}")
+    noCartesian("q255_heterogeneity", q255)
+    assert(shuffles(q255).size <= 2,
+      s"q255: segment combine + window exchange only, got ${shuffles(q255).size}")
+
     // q252: phrase frame eager-cut (feeds stats, scores, occurrence
     // counts); word stats join on the word key; TakeOrdered top-k
     val q252 = exec("q252_rake")
