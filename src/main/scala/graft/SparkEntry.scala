@@ -2522,6 +2522,18 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q256_permutation" -> ((s, dir) => {
+      // F49 randomization test: assumption-free p for the click-vs-
+      // view value gap via 64 seeded md5 relabels
+      val t = Tables(s, dir)
+      Rollups.permutationDiffTest(t.events, "event_type", "value",
+        "click", "view", "event_id")
+    }),
+    "q257_yuen" -> ((s, dir) => {
+      // F50 Yuen 20%-trimmed robust mean test, click vs view values
+      val t = Tables(s, dir)
+      Rollups.yuenTrimmed(t.events, "event_type", "value", "click", "view")
+    }),
     "q254_component_sizes" -> ((s, dir) => {
       // G79 giant-component alarm: size histogram of the MinHash
       // near-dup clustering with node shares
@@ -8727,5 +8739,91 @@ object SparkEntry {
         |       round(greatest(0.0, (q_stat - (k - 1))
         |             / CASE WHEN q_stat <= 0 THEN NULL ELSE q_stat END), 4) AS i2
         |FROM t""".stripMargin,
+    // Permutation replay: the same md5 24-bit coin per (row, rep),
+    // exact per-rep sums, 6dp diff compare, add-one p.
+    "q256_permutation" ->
+      s"""WITH rows_p AS (
+         |  SELECT event_type = 'view' AS b, CAST(round(value * 100) AS BIGINT) AS c,
+         |         CAST(event_id AS VARCHAR) AS id
+         |  FROM events
+         |  WHERE value IS NOT NULL AND event_id IS NOT NULL
+         |    AND event_type IN ('click', 'view')
+         |),
+         |obs AS (
+         |  SELECT CAST(count(*) FILTER (NOT b) AS BIGINT) AS n_a,
+         |         CAST(count(*) FILTER (b) AS BIGINT) AS n_b,
+         |         round(CAST(sum(c) FILTER (b) AS DOUBLE) / count(*) FILTER (b)
+         |               - CAST(sum(c) FILTER (NOT b) AS DOUBLE) / count(*) FILTER (NOT b), 6) AS obs
+         |  FROM rows_p HAVING n_a > 0 AND n_b > 0
+         |),
+         |r AS (
+         |  SELECT c, rep,
+         |         ${HexValSql("md5(id || ':perm:' || CAST(rep AS VARCHAR))", 1, 6)} < 8388608 AS pa
+         |  FROM rows_p CROSS JOIN (SELECT unnest(range(0, 64)) AS rep)
+         |),
+         |pd AS (
+         |  SELECT round(CAST(sum(c) FILTER (NOT pa) AS DOUBLE) / count(*) FILTER (NOT pa)
+         |               - CAST(sum(c) FILTER (pa) AS DOUBLE) / count(*) FILTER (pa), 6) AS d
+         |  FROM r GROUP BY rep
+         |  HAVING count(*) FILTER (pa) > 0 AND count(*) FILTER (NOT pa) > 0
+         |),
+         |t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_reps,
+         |         CAST(count(*) FILTER (abs(pd.d) >= abs(obs.obs)) AS BIGINT) AS ge
+         |  FROM pd CROSS JOIN obs
+         |)
+         |SELECT obs.n_a, obs.n_b, round(obs.obs / 100.0, 4) AS diff, t.n_reps,
+         |       round(CAST(1 + t.ge AS DOUBLE) / (t.n_reps + 1), 4) AS p_value
+         |FROM obs CROSS JOIN t""".stripMargin,
+    // Yuen replay: per-arm 4dp-published trim thresholds, the pinned
+    // lo < c < hi trim rule and clamp moments.
+    "q257_yuen" ->
+      """WITH rows_y AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |),
+        |th AS (
+        |  SELECT g, round(quantile_cont(c, 0.2), 4) AS lo,
+        |         round(quantile_cont(c, 0.8), 4) AS hi
+        |  FROM rows_y GROUP BY 1
+        |),
+        |j AS (
+        |  SELECT r.g, CAST(r.c AS DOUBLE) AS cd, th.lo, th.hi,
+        |         least(greatest(CAST(r.c AS DOUBLE), th.lo), th.hi) AS w
+        |  FROM rows_y r JOIN th USING (g)
+        |),
+        |m AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (g = 'click') AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (g = 'click' AND cd > lo AND cd < hi) AS BIGINT) AS h_a,
+        |    CAST(sum(CAST(cd AS BIGINT)) FILTER (g = 'click' AND cd > lo AND cd < hi) AS BIGINT) AS ts_a,
+        |    sum(w) FILTER (g = 'click') AS ws_a,
+        |    sum(w * w) FILTER (g = 'click') AS wq_a,
+        |    CAST(count(*) FILTER (g = 'view') AS BIGINT) AS n_b,
+        |    CAST(count(*) FILTER (g = 'view' AND cd > lo AND cd < hi) AS BIGINT) AS h_b,
+        |    CAST(sum(CAST(cd AS BIGINT)) FILTER (g = 'view' AND cd > lo AND cd < hi) AS BIGINT) AS ts_b,
+        |    sum(w) FILTER (g = 'view') AS ws_b,
+        |    sum(w * w) FILTER (g = 'view') AS wq_b
+        |  FROM j
+        |),
+        |k AS (SELECT * FROM m WHERE h_a > 1 AND h_b > 1),
+        |e AS (
+        |  SELECT *,
+        |    (CAST(n_a AS DOUBLE) - 1) * ((wq_a - ws_a * ws_a / CAST(n_a AS DOUBLE)) / (n_a - 1))
+        |      / (CAST(h_a AS DOUBLE) * (CAST(h_a AS DOUBLE) - 1)) AS sea2,
+        |    (CAST(n_b AS DOUBLE) - 1) * ((wq_b - ws_b * ws_b / CAST(n_b AS DOUBLE)) / (n_b - 1))
+        |      / (CAST(h_b AS DOUBLE) * (CAST(h_b AS DOUBLE) - 1)) AS seb2,
+        |    CAST(ts_a AS DOUBLE) / h_a AS tma, CAST(ts_b AS DOUBLE) / h_b AS tmb
+        |  FROM k
+        |)
+        |SELECT h_a, h_b,
+        |       round(tma / 100.0, 4) AS tmean_a, round(tmb / 100.0, 4) AS tmean_b,
+        |       round((tmb - tma)
+        |             / CASE WHEN sea2 + seb2 <= 0 THEN NULL ELSE sqrt(sea2 + seb2) END, 4) AS t,
+        |       round((sea2 + seb2) * (sea2 + seb2)
+        |             / CASE WHEN sea2 + seb2 <= 0 THEN NULL
+        |                    ELSE sea2 * sea2 / (h_a - 1) + seb2 * seb2 / (h_b - 1) END, 4) AS df
+        |FROM e""".stripMargin,
   )
 }

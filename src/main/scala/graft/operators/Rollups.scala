@@ -1785,6 +1785,149 @@ object Rollups {
           .as("r_partial"))
   }
 
+  /** Randomization (permutation) test for an A/B mean difference —
+    * the assumption-free p-value: relabel every row's arm by a
+    * seeded md5 coin `reps` times, and p = (1 + #{|d_perm| ≥
+    * |d_obs|})/(reps+1) (the add-one estimator; Fisher's exact
+    * randomization logic with Monte-Carlo relabels). The
+    * distribution-free cross-check when F31's normality or F27's
+    * ordinal framing is in doubt.
+    *
+    * Determinism: the relabel coin is the F18 md5-threshold draw —
+    * both engines replay the identical 24-bit integer comparison per
+    * (row, rep); per-rep diffs are single divisions of exact cent
+    * sums, compared to the observed diff at 6dp. The rep fan-out is
+    * absorbed by the (rep) combine — reps × O(1) states shuffle,
+    * never data copies.
+    *
+    * Output: one row (n_a, n_b, diff, n_reps, p_value).
+    */
+  def permutationDiffTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      armA: String,
+      armB: String,
+      idCol: String,
+      reps: Int = 64,
+      salt: String = "perm"): DataFrame = {
+    require(reps > 0)
+    val cents = round(col(valueCol) * 100).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val rows = df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull &&
+        col(groupCol).isin(armA, armB))
+      .select((col(groupCol) === armB).as("__b"), cents.as("__c"),
+        col(idCol).cast("string").as("__id"))
+      .localCheckpoint()
+    val obs = rows.agg(
+      sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__b"), col("__c")).otherwise(0L)).as("__sa"),
+      sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__b"), col("__c")).otherwise(0L)).as("__sb"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("__obs", round(
+        d(col("__sb")) / col("n_b") - d(col("__sa")) / col("n_a"), 6))
+    val coin = conv(substring(
+        md5(concat(col("__id"), lit(":" + salt + ":"), col("rep").cast("string"))),
+        1, 6), 16, 10).cast("long") < lit(8388608L)
+    val perms = rows
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__pa", coin)
+      .groupBy("rep")
+      .agg(
+        sum(when(col("__pa"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__pa"), col("__c")).otherwise(0L)).as("__psa"),
+        sum(when(!col("__pa"), 1L).otherwise(0L)).as("__nb"),
+        sum(when(!col("__pa"), col("__c")).otherwise(0L)).as("__psb"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .select(round(
+        d(col("__psb")) / col("__nb") - d(col("__psa")) / col("__na"), 6)
+        .as("__pd"))
+    val tail = perms.crossJoin(broadcast(obs.select(col("__obs"))))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(when(abs(col("__pd")) >= abs(col("__obs")), 1L).otherwise(0L))
+          .as("__ge"))
+    obs.crossJoin(broadcast(tail))
+      .select(col("n_a"), col("n_b"),
+        round(col("__obs") / 100.0, 4).as("diff"), col("n_reps"),
+        round((lit(1L) + col("__ge")).cast("double") /
+          (col("n_reps") + 1L), 4).as("p_value"))
+  }
+
+  /** Yuen's trimmed-mean A/B test (Yuen 1974) — the robust mean
+    * comparison: trim each arm's tails past its own 4dp-published
+    * quantile thresholds, compare TRIMMED means with WINSORIZED
+    * variances and a Welch–Satterthwaite df. Outliers that wreck
+    * F31's plain t leave this test alone; unlike F27 it still talks
+    * in the metric's units.
+    *
+    * Determinism: trim thresholds are interpolated percentiles
+    * rounded 4dp (the F14 contract, broadcast back); the trim rule
+    * is the explicit lo < c < hi on integer cents and clamp for the
+    * winsorized moments — tie handling is pinned by the rule, not by
+    * row order. One threshold aggregate + one moment pass.
+    *
+    * Output: one row (h_a, h_b, tmean_a, tmean_b, t, df).
+    */
+  def yuenTrimmed(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      armA: String,
+      armB: String,
+      trim: Double = 0.2): DataFrame = {
+    require(trim > 0 && trim < 0.5)
+    val cents = round(col(valueCol) * 100).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val rows = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(armA, armB))
+      .select(col(groupCol).as("__g"), cents.as("__c"))
+      .localCheckpoint()
+    val th = rows.groupBy("__g")
+      .agg(percentile(col("__c"), typedLit(Seq(trim, 1 - trim))).as("__p"))
+      .select(col("__g"),
+        round(element_at(col("__p"), 1), 4).as("__lo"),
+        round(element_at(col("__p"), 2), 4).as("__hi"))
+    def side(p: String, g: String) = Seq(
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"n_$p"),
+      sum(when(col("__g") === g && d(col("__c")) > col("__lo") &&
+        d(col("__c")) < col("__hi"), 1L).otherwise(0L)).as(s"h_$p"),
+      sum(when(col("__g") === g && d(col("__c")) > col("__lo") &&
+        d(col("__c")) < col("__hi"), col("__c")).otherwise(0L)).as(s"__ts_$p"),
+      sum(when(col("__g") === g,
+        least(greatest(d(col("__c")), col("__lo")), col("__hi")))
+        .otherwise(0.0)).as(s"__ws_$p"),
+      sum(when(col("__g") === g,
+        least(greatest(d(col("__c")), col("__lo")), col("__hi")) *
+          least(greatest(d(col("__c")), col("__lo")), col("__hi")))
+        .otherwise(0.0)).as(s"__wq_$p"))
+    val aggs = side("a", armA) ++ side("b", armB)
+    def se2(p: String) = {
+      val n = d(col(s"n_$p"))
+      val h = d(col(s"h_$p"))
+      val sw2 = (col(s"__wq_$p") - col(s"__ws_$p") * col(s"__ws_$p") / n) / (n - 1)
+      (n - 1) * sw2 / (h * (h - 1))
+    }
+    rows.join(broadcast(th), Seq("__g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("h_a") > 1 && col("h_b") > 1)
+      .withColumn("__sea2", se2("a"))
+      .withColumn("__seb2", se2("b"))
+      .withColumn("__tma", d(col("__ts_a")) / col("h_a"))
+      .withColumn("__tmb", d(col("__ts_b")) / col("h_b"))
+      .select(col("h_a"), col("h_b"),
+        round(col("__tma") / 100.0, 4).as("tmean_a"),
+        round(col("__tmb") / 100.0, 4).as("tmean_b"),
+        round((col("__tmb") - col("__tma")) /
+          when(col("__sea2") + col("__seb2") <= 0, lit(null))
+            .otherwise(sqrt(col("__sea2") + col("__seb2"))), 4).as("t"),
+        round((col("__sea2") + col("__seb2")) * (col("__sea2") + col("__seb2")) /
+          when(col("__sea2") + col("__seb2") <= 0, lit(null)).otherwise(
+            col("__sea2") * col("__sea2") / (col("h_a") - 1) +
+              col("__seb2") * col("__seb2") / (col("h_b") - 1)), 4).as("df"))
+  }
+
   /** Effect heterogeneity across segments — Cochran's Q with I²
     * (Higgins & Thompson 2002): per segment, the A/B mean gap and
     * its Welch SE; then Q = Σ wᵢ(dᵢ − d̄_w)² with w = 1/se² asks

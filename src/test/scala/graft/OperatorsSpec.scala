@@ -1667,6 +1667,36 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("Rollups.permutationDiffTest: huge gap small p, no gap large p") {
+    val gap = ((1 to 100).map(i => ("A", 10.0, i.toLong)) ++
+      (1 to 100).map(i => ("B", 50.0, 1000L + i))).toDF("g", "v", "id")
+    val r = Rollups.permutationDiffTest(gap, "g", "v", "A", "B", "id")
+      .collect().head
+    assert(r.getDouble(r.fieldIndex("diff")) == 40.0)
+    assert(r.getDouble(r.fieldIndex("p_value")) == 0.0154, // 1/65, 4dp
+      "no relabel can reach a clean 40-unit separation")
+    // identical distributions: the observed diff is tiny → most
+    // relabels beat it → p near 1
+    val none = ((1 to 100).map(i => ("A", (i % 7).toDouble, i.toLong)) ++
+      (1 to 100).map(i => ("B", (i % 7).toDouble, 1000L + i))).toDF("g", "v", "id")
+    val n = Rollups.permutationDiffTest(none, "g", "v", "A", "B", "id")
+      .collect().head
+    assert(n.getDouble(n.fieldIndex("p_value")) > 0.2)
+  }
+
+  test("Rollups.yuenTrimmed: outliers cannot move the trimmed verdict") {
+    // identical cores, but B carries absurd outliers that would wreck
+    // a plain t; the 20%-trimmed means still sit 10 apart
+    val core = (1 to 50).map(i => ("A", 10.0 + (i % 5))) ++
+      (1 to 50).map(i => ("B", 20.0 + (i % 5)))
+    val polluted = core ++ Seq.fill(5)(("B", 100000.0))
+    val r = Rollups.yuenTrimmed(polluted.toDF("g", "v"), "g", "v", "A", "B")
+      .collect().head
+    assert(math.abs(r.getDouble(r.fieldIndex("tmean_b")) -
+      r.getDouble(r.fieldIndex("tmean_a")) - 10.0) < 1.0)
+    assert(r.getDouble(r.fieldIndex("t")) > 5.0)
+  }
+
   test("Graph.componentSizes: histogram with giant-component share") {
     // one triangle {1,2,3} and one pair {10,11}: sizes 3 and 2
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))

@@ -1326,6 +1326,25 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q256: rows eager-cut (observed AND rep fans); the rep fan is
+    // absorbed by the (rep) combine; 1-row report attaches only
+    val q256 = exec("q256_permutation")
+    assert(scans(q256).isEmpty,
+      s"q256: rows must be cut at the checkpoint, got ${scans(q256).size}")
+    assert(windows(q256).isEmpty, "q256 must stay window-free")
+    assert(helper.collect(q256.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.size <= 2, "q256: only the 1-row report attaches may loop")
+
+    // q257: one threshold aggregate + one broadcast-joined moment pass
+    val q257 = exec("q257_yuen")
+    assert(scans(q257).isEmpty,
+      s"q257: rows must be cut at the checkpoint, got ${scans(q257).size}")
+    assert(windows(q257).isEmpty, "q257 must stay window-free")
+    assert(helper.collect(q257.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }.nonEmpty, "q257: the threshold attach must broadcast")
+
     // q255: one (segment) combine, segment-table windows only
     val q255 = exec("q255_heterogeneity")
     assert(scans(q255).size == 1, s"q255: one scan, got ${scans(q255).size}")
