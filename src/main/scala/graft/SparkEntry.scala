@@ -2522,6 +2522,20 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q258_readability" -> ((s, dir) => {
+      // G80 Flesch-style readability per doc (vowel-group syllable
+      // proxy) — the prose-complexity curation feature
+      val t = Tables(s, dir)
+      TextAnalysis.readability(t.documents)
+        .select(col("doc_id"), col("n_sentences"), col("n_words"),
+          col("n_syllables"), col("flesch"))
+    }),
+    "q259_label_balance" -> ((s, dir) => {
+      // G81 supervised-label balance: shares, entropy vs uniform,
+      // imbalance ratio over the embedding labels
+      val t = Tables(s, dir)
+      SimilaritySearch.labelBalance(t.embeddings)
+    }),
     "q256_permutation" -> ((s, dir) => {
       // F49 randomization test: assumption-free p for the click-vs-
       // view value gap via 64 seeded md5 relabels
@@ -8825,5 +8839,44 @@ object SparkEntry {
         |             / CASE WHEN sea2 + seb2 <= 0 THEN NULL
         |                    ELSE sea2 * sea2 / (h_a - 1) + seb2 * seb2 / (h_b - 1) END, 4) AS df
         |FROM e""".stripMargin,
+    // Readability replay: the same regex match counts (RE2-safe
+    // classes), identical score expression.
+    "q258_readability" ->
+      """SELECT doc_id,
+        |       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |         AS n_sentences,
+        |       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |         AS n_words,
+        |       CAST(greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1) AS BIGINT)
+        |         AS n_syllables,
+        |       CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 = 0 THEN NULL
+        |            ELSE round(206.835
+        |                 - 1.015 * (CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+        |                            / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+        |                 - 84.6 * (CAST(greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1) AS DOUBLE)
+        |                           / (length(text) - length(replace(text, ' ', '')) + 1)), 4)
+        |       END AS flesch
+        |FROM documents""".stripMargin,
+    // Label-balance replay: exact shares, 6dp entropy contributions.
+    "q259_label_balance" ->
+      """WITH g AS (
+        |  SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings WHERE label IS NOT NULL GROUP BY 1
+        |),
+        |w AS (
+        |  SELECT label, n, sum(n) OVER () AS t,
+        |         count(*) OVER () AS k,
+        |         max(n) OVER () AS mx, min(n) OVER () AS mn
+        |  FROM g
+        |),
+        |c AS (
+        |  SELECT *, round(-(CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t), 6) AS ec
+        |  FROM w
+        |)
+        |SELECT label, n, round(CAST(n AS DOUBLE) / t, 4) AS share,
+        |       round(sum(ec) OVER (), 4) AS entropy,
+        |       round(ln(CAST(k AS DOUBLE)), 4) AS uniform_entropy,
+        |       round(CAST(mx AS DOUBLE) / CAST(mn AS DOUBLE), 4) AS imbalance
+        |FROM c""".stripMargin,
   )
 }

@@ -764,6 +764,39 @@ object SimilaritySearch {
         round(col("__th").cast("double") / col("__te"), 4).as("micro_recall"))
   }
 
+  /** Label balance report — the first table of any supervised-data
+    * review: per-label counts and shares, plus the distribution's
+    * entropy (in nats, vs the uniform ln k ceiling) and the
+    * max/min imbalance ratio. A skewed table here predicts G22's
+    * majority-class bias and sizes G16's stratified resampling.
+    *
+    * Determinism: exact counts and ratios; entropy from 6dp
+    * per-label contributions over the labels-sized table (the F20
+    * contract). One combine + dim windows.
+    *
+    * Output: (label, n, share, entropy, uniform_entropy, imbalance).
+    */
+  def labelBalance(
+      df: DataFrame,
+      labelCol: String = "label"): DataFrame = {
+    val all = Window.partitionBy()
+    val d = (c: Column) => c.cast("double")
+    df.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__t", sum(col("n")).over(all))
+      .withColumn("share", round(d(col("n")) / col("__t"), 4))
+      .withColumn("__c",
+        round(-(d(col("n")) / col("__t")) * log(d(col("n")) / col("__t")), 6))
+      .withColumn("entropy", round(sum(col("__c")).over(all), 4))
+      .withColumn("uniform_entropy",
+        round(log(d(count(lit(1)).over(all))), 4))
+      .withColumn("imbalance",
+        round(d(max(col("n")).over(all)) / d(min(col("n")).over(all)), 4))
+      .select(col("label"), col("n"), col("share"), col("entropy"),
+        col("uniform_entropy"), col("imbalance"))
+  }
+
   /** Int8 quantization fidelity report — how much cosine geometry
     * does G29's 4× compression actually lose on THIS corpus? Per
     * vector, the cosine between the exact ×1000-quantized vector and

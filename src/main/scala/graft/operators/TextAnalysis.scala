@@ -123,6 +123,40 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Flesch-style readability scoring — 206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/words), with syllables
+    * approximated as VOWEL GROUPS (the standard cheap proxy; stated,
+    * deterministic, language-naive). The classic prose-complexity
+    * feature for curation filters: very low scores flag run-on
+    * machine text, very high ones flag fragment spam.
+    *
+    * Determinism: sentences, words, and vowel groups are REGEX
+    * COUNTS (RE2-compatible patterns, identical in the oracle);
+    * the score is one double expression of exact integer counts,
+    * 4dp. Map-only.
+    *
+    * Output: df + (n_sentences, n_words, n_syllables, flesch).
+    */
+  def readability(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    // regexp_extract_all, not split: Spark's split drops trailing
+    // empty segments while DuckDB keeps them — match counts are the
+    // boundary-safe formulation both engines agree on
+    def matches(c: Column, pat: String): Column =
+      size(expr(s"regexp_extract_all($textCol, '$pat', 0)"))
+    val sentences = greatest(matches(t, "[.!?]+"), lit(1)).cast("long")
+    val nWords = tokenCount(t).cast("long")
+    val syllables = greatest(matches(t, "[aeiouyAEIOUY]+"), lit(1)).cast("long")
+    val d = (c: Column) => c.cast("double")
+    df.withColumn("n_sentences", sentences)
+      .withColumn("n_words", nWords)
+      .withColumn("n_syllables", syllables)
+      .withColumn("flesch",
+        when(col("n_words") === 0, lit(null)).otherwise(round(
+          lit(206.835) - lit(1.015) * (d(col("n_words")) / col("n_sentences")) -
+            lit(84.6) * (d(col("n_syllables")) / col("n_words")), 4)))
+  }
+
   /** RAKE-style keyword extraction (Rose et al. 2010) — candidate
     * phrases are the maximal stopword-free token runs; each word
     * scores degree/frequency (degree = Σ phrase length over phrases

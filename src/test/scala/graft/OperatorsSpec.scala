@@ -1667,6 +1667,41 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("TextAnalysis.readability: simple prose outscores run-on text") {
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran. it was fun."),
+      (2L, "considerable organizational responsibilities necessitate " +
+        "comprehensive prioritization methodologies")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).orderBy("doc_id").collect()
+    val simple = out(0)
+    assert(simple.getLong(simple.fieldIndex("n_sentences")) == 3L)
+    assert(simple.getDouble(simple.fieldIndex("flesch")) >
+      out(1).getDouble(out(1).fieldIndex("flesch")),
+      "short sentences and few syllables must score higher")
+    // empty text → null score, floors keep counts at 1
+    val empty = TextAnalysis.readability(Seq((3L, "")).toDF("doc_id", "text"))
+      .collect().head
+    assert(empty.getLong(empty.fieldIndex("n_words")) == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("flesch")))
+  }
+
+  test("SimilaritySearch.labelBalance: uniform labels hit the ceiling") {
+    val uni = (1 to 30).map(i => (i.toLong, i % 3)).toDF("vec_id", "label")
+    val u = SimilaritySearch.labelBalance(uni).collect()
+    assert(u.length == 3)
+    assert(u.forall(r => r.getDouble(r.fieldIndex("share")) == 0.3333))
+    assert(u.head.getDouble(u.head.fieldIndex("entropy")) ==
+      u.head.getDouble(u.head.fieldIndex("uniform_entropy")))
+    assert(u.head.getDouble(u.head.fieldIndex("imbalance")) == 1.0)
+    // 9:1 skew: entropy below ceiling, imbalance 9
+    val skew = ((1 to 9).map(i => (i.toLong, 0)) :+ ((10L, 1)))
+      .toDF("vec_id", "label")
+    val s = SimilaritySearch.labelBalance(skew).collect().head
+    assert(s.getDouble(s.fieldIndex("entropy")) <
+      s.getDouble(s.fieldIndex("uniform_entropy")))
+    assert(s.getDouble(s.fieldIndex("imbalance")) == 9.0)
+  }
+
   test("Rollups.permutationDiffTest: huge gap small p, no gap large p") {
     val gap = ((1 to 100).map(i => ("A", 10.0, i.toLong)) ++
       (1 to 100).map(i => ("B", 50.0, 1000L + i))).toDF("g", "v", "id")

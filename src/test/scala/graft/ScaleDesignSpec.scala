@@ -1326,6 +1326,17 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q258: pure projection — one scan, nothing else
+    val q258 = exec("q258_readability")
+    assert(scans(q258).size == 1, s"q258: one scan, got ${scans(q258).size}")
+    assert(windows(q258).isEmpty && shuffles(q258).isEmpty,
+      "q258 must stay a map-only projection")
+
+    // q259: one label combine + dim windows
+    val q259 = exec("q259_label_balance")
+    assert(scans(q259).size == 1, s"q259: one scan, got ${scans(q259).size}")
+    noCartesian("q259_label_balance", q259)
+
     // q256: rows eager-cut (observed AND rep fans); the rep fan is
     // absorbed by the (rep) combine; 1-row report attaches only
     val q256 = exec("q256_permutation")
