@@ -2522,6 +2522,12 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q260_dataset_card" -> ((s, dir) => {
+      // G82 the release datasheet: size, languages, token mass,
+      // quality, Gopher pass rate, near-dup share — one row
+      val t = Tables(s, dir)
+      TextAnalysis.datasetCard(t.documents)
+    }),
     "q258_readability" -> ((s, dir) => {
       // G80 Flesch-style readability per doc (vowel-group syllable
       // proxy) — the prose-complexity curation feature
@@ -8878,5 +8884,43 @@ object SparkEntry {
         |       round(ln(CAST(k AS DOUBLE)), 4) AS uniform_entropy,
         |       round(CAST(mx AS DOUBLE) / CAST(mn AS DOUBLE), 4) AS imbalance
         |FROM c""".stripMargin,
+    // Dataset-card replay: the q37/q52 per-doc stats folded in one
+    // pass + the q31 pair pipeline's distinct ids.
+    "q260_dataset_card" ->
+      s"""WITH $MinhashPairsSql,
+         |$GopherDocSql,
+         |base AS (
+         |  SELECT doc_id, text, lang, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a')))
+         |               AS BIGINT)
+         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
+         |  FROM base
+         |),
+         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(DISTINCT b.lang) AS BIGINT) AS n_langs,
+         |         CAST(sum(length(b.text)) AS BIGINT) AS total_chars,
+         |         CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens,
+         |         CAST(sum(q.qi) AS BIGINT) AS sq,
+         |         CAST(count(CASE WHEN g.gopher_pass THEN 1 END) AS BIGINT) AS np
+         |  FROM base b JOIN q USING (doc_id) JOIN g USING (doc_id)
+         |),
+         |dup0 AS (SELECT idA AS id FROM lshpairs UNION SELECT idB FROM lshpairs),
+         |dup AS (SELECT CAST(count(*) AS BIGINT) AS ndup FROM dup0)
+         |SELECT n_docs, n_langs, total_chars, total_tokens,
+         |       round(CAST(sq AS DOUBLE) / n_docs / 10000.0, 4) AS mean_quality,
+         |       round(CAST(np AS DOUBLE) / n_docs, 4) AS gopher_pass_rate,
+         |       round(CAST(dup.ndup AS DOUBLE) / n_docs, 4) AS neardup_share
+         |FROM agg CROSS JOIN dup""".stripMargin,
   )
 }

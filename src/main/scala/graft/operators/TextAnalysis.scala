@@ -123,6 +123,41 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Dataset card — the one-row datasheet a corpus release ships
+    * (Gebru et al. 2021's "datasheets for datasets", reduced to the
+    * numbers): corpus size, language spread, token mass, mean
+    * quality, Gopher pass rate, and the near-duplicate share from
+    * the G2 banded pipeline. The summary every downstream consumer
+    * reads before anything else.
+    *
+    * Scale shape: ONE corpus scan folds every per-doc statistic
+    * (exact integer quality units, token counts, the G13 pass flag);
+    * the near-dup share adds the G2 pair pipeline and a distinct
+    * count over its ≤pairs ids; the two one-row frames meet in a
+    * broadcast. Output: one row (n_docs, n_langs, total_chars,
+    * total_tokens, mean_quality, gopher_pass_rate, neardup_share).
+    */
+  def datasetCard(df: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val scored = gopherRules(quality(df))
+    val base = scored.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(length(col("text")).cast("long")).as("total_chars"),
+      sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+      sum(round(col("quality") * 10000).cast("long")).as("__sq"),
+      sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("__np"))
+    val dup = graft.operators.Dedup.minhashLshPairs(df)
+      .select(explode(array(col("idA"), col("idB"))).as("__id"))
+      .agg(countDistinct(col("__id")).as("__ndup"))
+    base.crossJoin(broadcast(dup))
+      .select(col("n_docs"), col("n_langs"), col("total_chars"),
+        col("total_tokens"),
+        round(d(col("__sq")) / col("n_docs") / 10000.0, 4).as("mean_quality"),
+        round(d(col("__np")) / col("n_docs"), 4).as("gopher_pass_rate"),
+        round(d(col("__ndup")) / col("n_docs"), 4).as("neardup_share"))
+  }
+
   /** Flesch-style readability scoring — 206.835 − 1.015·(words/
     * sentences) − 84.6·(syllables/words), with syllables
     * approximated as VOWEL GROUPS (the standard cheap proxy; stated,

@@ -1667,6 +1667,22 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("TextAnalysis.datasetCard: exact corpus roll-up with dup share") {
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, text, "en", text.length.toLong),
+      (2L, text, "en", text.length.toLong), // near-dup of 1
+      (3L, "small distinct doc here now", "de", 26L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .withColumn("source", lit("s"))
+    val r = TextAnalysis.datasetCard(docs).collect().head
+    assert(r.getLong(r.fieldIndex("n_docs")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_langs")) == 2L)
+    assert(r.getLong(r.fieldIndex("total_tokens")) == 40L + 40L + 5L)
+    assert(r.getDouble(r.fieldIndex("neardup_share")) == 0.6667,
+      "the identical pair's two docs are the dup mass")
+  }
+
   test("TextAnalysis.readability: simple prose outscores run-on text") {
     val docs = Seq(
       (1L, "the cat sat. the dog ran. it was fun."),
