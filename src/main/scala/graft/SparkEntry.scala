@@ -2522,6 +2522,12 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q261_boilerplate" -> ((s, dir) => {
+      // G83 templated-mass report: shingles in >= 1% of docs — the
+      // list that poisons pair expansions and inflates jaccard
+      val t = Tables(s, dir)
+      Dedup.boilerplateShingles(t.documents)
+    }),
     "q260_dataset_card" -> ((s, dir) => {
       // G82 the release datasheet: size, languages, token mass,
       // quality, Gopher pass rate, near-dup share — one row
@@ -8922,5 +8928,18 @@ object SparkEntry {
          |       round(CAST(np AS DOUBLE) / n_docs, 4) AS gopher_pass_rate,
          |       round(CAST(dup.ndup AS DOUBLE) / n_docs, 4) AS neardup_share
          |FROM agg CROSS JOIN dup""".stripMargin,
+    // Boilerplate replay: distinct per-doc shingles, doc-share slice.
+    "q261_boilerplate" ->
+      s"""WITH $ShinglesSql,
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |dfc AS (
+         |  SELECT s AS shingle, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT id, unnest(list_distinct(sh)) AS s FROM shingled)
+         |  GROUP BY 1
+         |)
+         |SELECT shingle, df, round(CAST(df AS DOUBLE) / n.n, 4) AS share
+         |FROM dfc CROSS JOIN n
+         |WHERE round(CAST(df AS DOUBLE) / n.n, 4) >= 0.01
+         |ORDER BY share DESC, shingle LIMIT 50""".stripMargin,
   )
 }

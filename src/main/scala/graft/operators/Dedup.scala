@@ -746,6 +746,42 @@ object Dedup {
     *
     * Output: (name_a, name_b, lev).
     */
+  /** Boilerplate shingle report — the shingles present in more than
+    * `minShare` of documents: exactly the templated mass that turns
+    * every pair-expansion quadratic (the G41 posting caps, the G2
+    * bucket caps, G73's degree hubs all exist because of it) and
+    * that near-dup verification wrongly counts as similarity. Run
+    * this BEFORE tuning dedup thresholds on a new corpus; feeding
+    * the list back as a shingle stoplist is the standard mitigation.
+    *
+    * Scale shape: one shingle explode absorbed by the (shingle)
+    * map-side combine (distinct per doc first, so df counts docs);
+    * the doc total is a one-row broadcast; output is the ≥minShare
+    * slice ordered by share. Exact counts.
+    *
+    * Output: (shingle, df, share), share ≥ minShare, top k.
+    */
+  def boilerplateShingles(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      minShare: Double = 0.01,
+      k: Int = 50): DataFrame = {
+    val n = broadcast(df.agg(count(lit(1)).as("__n")))
+    spread(df)
+      .select(explode(
+        graft.functions.NativeText.wordShingles(col(textCol), shingleSize))
+        .as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .join(n)
+      .withColumn("share", round(col("df").cast("double") / col("__n"), 4))
+      .filter(col("share") >= minShare)
+      .select(col("shingle"), col("df"), col("share"))
+      .orderBy(col("share").desc, col("shingle"))
+      .limit(k)
+  }
+
   /** Measured banding recall — the eval that replaces G2's
     * THEORETICAL band-collision curve with a number from this
     * corpus: on a deterministic ~(100/sampleMod)% document sample,
