@@ -2522,6 +2522,13 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q262_roc_curve" -> ((s, dir) => {
+      // F51 ROC operating points: TPR/FPR per quality decile against
+      // the Gopher pass label — the table behind q216's AUC
+      val t = Tables(s, dir)
+      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
+      Rollups.rocCurve(scored, "quality", "gopher_pass")
+    }),
     "q261_boilerplate" -> ((s, dir) => {
       // G83 templated-mass report: shingles in >= 1% of docs — the
       // list that poisons pair expansions and inflates jaccard
@@ -8941,5 +8948,57 @@ object SparkEntry {
          |FROM dfc CROSS JOIN n
          |WHERE round(CAST(df AS DOUBLE) / n.n, 4) >= 0.01
          |ORDER BY share DESC, shingle LIMIT 50""".stripMargin,
+    // ROC replay: q238's binning, cumulative TPR/FPR from the top bin.
+    "q262_roc_curve" ->
+      s"""WITH $GopherDocSql,
+         |base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a')))
+         |               AS BIGINT)
+         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
+         |  FROM base
+         |),
+         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
+         |rows_r AS (
+         |  SELECT q.qi AS u, CASE WHEN g.gopher_pass THEN 1 ELSE 0 END AS y
+         |  FROM q JOIN g USING (doc_id)
+         |),
+         |b AS (
+         |  SELECT list_transform(quantile_cont(u, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+         |           x -> round(x, 4)) AS bs
+         |  FROM rows_r
+         |),
+         |binned AS (
+         |  SELECT CAST(list_sum(list_transform(bs,
+         |           x -> CASE WHEN u > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin, y
+         |  FROM rows_r CROSS JOIN b
+         |),
+         |t AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM binned GROUP BY 1
+         |),
+         |c AS (
+         |  SELECT bin, n, n_pos,
+         |         CAST(sum(n_pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+         |         CAST(sum(n - n_pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+         |         CAST(sum(n_pos) OVER () AS BIGINT) AS tp,
+         |         CAST(sum(n - n_pos) OVER () AS BIGINT) AS tn
+         |  FROM t
+         |)
+         |SELECT bin, n, n_pos,
+         |       round(CAST(cp AS DOUBLE)
+         |             / CASE WHEN tp = 0 THEN NULL ELSE CAST(tp AS DOUBLE) END, 4) AS tpr,
+         |       round(CAST(cn AS DOUBLE)
+         |             / CASE WHEN tn = 0 THEN NULL ELSE CAST(tn AS DOUBLE) END, 4) AS fpr
+         |FROM c""".stripMargin,
   )
 }

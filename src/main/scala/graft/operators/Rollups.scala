@@ -2149,6 +2149,54 @@ object Rollups {
         .as("z"))
   }
 
+  /** ROC curve points at score-decile thresholds — the operating-
+    * characteristic table behind F34's single AUC number: walking
+    * down from the top decile, the true-positive rate and false-
+    * positive rate of "flag everything above this bin". Where F42's
+    * lift speaks in capture share, this speaks in the TPR/FPR terms
+    * a threshold review negotiates.
+    *
+    * Determinism and scale: the F42 machinery — broadcast 4dp decile
+    * boundaries, ONE bin combine carrying (n, pos) exact longs,
+    * cumulative windows over the ≤10-row bin table; TPR/FPR are
+    * single divisions, 4dp.
+    *
+    * Output: (bin, n, n_pos, tpr, fpr), bin 9 = top scores.
+    */
+  def rocCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val units = round(col(scoreCol) * 10000).cast("long")
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .select(units.as("__u"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val bounds = rows
+      .agg(percentile(col("__u"), typedLit((1 to 9).map(_ / 10.0))).as("__p"))
+      .select(transform(col("__p"), b => round(b, 4)).as("__bs"))
+    val all = Window.partitionBy()
+    val desc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: Column) => c.cast("double")
+    rows.crossJoin(broadcast(bounds))
+      .withColumn("__bin",
+        aggregate(col("__bs"), lit(0),
+          (acc, b) => acc + when(col("__u") > b, 1).otherwise(0)))
+      .groupBy(col("__bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      .withColumn("__cp", sum(col("n_pos")).over(desc))
+      .withColumn("__cn", sum(col("n") - col("n_pos")).over(desc))
+      .withColumn("__tp", sum(col("n_pos")).over(all))
+      .withColumn("__tn", sum(col("n") - col("n_pos")).over(all))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(d(col("__cp")) /
+          when(col("__tp") === 0, lit(null)).otherwise(d(col("__tp"))), 4)
+          .as("tpr"),
+        round(d(col("__cn")) /
+          when(col("__tn") === 0, lit(null)).otherwise(d(col("__tn"))), 4)
+          .as("fpr"))
+  }
+
   /** Qini / uplift curve — the targeting eval for EXPERIMENTS
     * (Radcliffe 2007): rank subjects by a model score, walk down
     * from the top decile, and report the INCREMENTAL conversions —

@@ -1667,6 +1667,20 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("Rollups.rocCurve: perfect separation pins the corner point") {
+    // positives are exactly the top decile: flagging bin 9 alone
+    // gives TPR 1 at FPR 0; the full sweep ends at (1, 1)
+    val rows = (1 to 100).map(i => (i / 100.0, i > 90))
+    val out = Rollups.rocCurve(rows.toDF("score", "y"), "score", "y")
+      .orderBy(col("bin").desc).collect()
+    val top = out.head
+    assert(top.getDouble(top.fieldIndex("tpr")) == 1.0 &&
+      top.getDouble(top.fieldIndex("fpr")) == 0.0)
+    val bottom = out.last
+    assert(bottom.getDouble(bottom.fieldIndex("tpr")) == 1.0 &&
+      bottom.getDouble(bottom.fieldIndex("fpr")) == 1.0)
+  }
+
   test("TextAnalysis.datasetCard: exact corpus roll-up with dup share") {
     val text = (1 to 40).map(i => s"tok$i").mkString(" ")
     val docs = Seq(

@@ -1326,6 +1326,13 @@ class ScaleDesignSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "q221: the pair join must stay an equi join on the block key")
 
+    // q262: the F42 shape — broadcast boundaries, bin-table windows
+    val q262 = exec("q262_roc_curve")
+    noCartesian("q262_roc_curve", q262)
+    assert(helper.collect(q262.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.size <= 1, "q262: only the 1-row boundary attach may loop")
+
     // q258: pure projection — one scan, nothing else
     val q258 = exec("q258_readability")
     assert(scans(q258).size == 1, s"q258: one scan, got ${scans(q258).size}")
