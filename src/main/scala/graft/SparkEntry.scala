@@ -2522,6 +2522,19 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q263_pr_curve" -> ((s, dir) => {
+      // F52 precision-recall sweep + average precision — the
+      // imbalance-honest companion to q262
+      val t = Tables(s, dir)
+      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
+      Rollups.prCurve(scored, "quality", "gopher_pass")
+    }),
+    "q264_best_f1" -> ((s, dir) => {
+      // F53 deployable threshold: the decile cut maximizing F1
+      val t = Tables(s, dir)
+      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
+      Rollups.bestF1Threshold(scored, "quality", "gopher_pass")
+    }),
     "q262_roc_curve" -> ((s, dir) => {
       // F51 ROC operating points: TPR/FPR per quality decile against
       // the Gopher pass label — the table behind q216's AUC
@@ -9000,5 +9013,121 @@ object SparkEntry {
          |       round(CAST(cn AS DOUBLE)
          |             / CASE WHEN tn = 0 THEN NULL ELSE CAST(tn AS DOUBLE) END, 4) AS fpr
          |FROM c""".stripMargin,
+    // PR replay: q262's bins, step-wise AP from 6dp contributions.
+    "q263_pr_curve" ->
+      s"""WITH $GopherDocSql,
+         |base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a')))
+         |               AS BIGINT)
+         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
+         |  FROM base
+         |),
+         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
+         |rows_r AS (
+         |  SELECT q.qi AS u, CASE WHEN g.gopher_pass THEN 1 ELSE 0 END AS y
+         |  FROM q JOIN g USING (doc_id)
+         |),
+         |b AS (
+         |  SELECT list_transform(quantile_cont(u, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+         |           x -> round(x, 4)) AS bs
+         |  FROM rows_r
+         |),
+         |binned AS (
+         |  SELECT CAST(list_sum(list_transform(bs,
+         |           x -> CASE WHEN u > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin, y
+         |  FROM rows_r CROSS JOIN b
+         |),
+         |t AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM binned GROUP BY 1
+         |),
+         |c AS (
+         |  SELECT bin, n, n_pos,
+         |         round(CAST(sum(n_pos) OVER dw AS DOUBLE)
+         |               / sum(n) OVER dw, 4) AS precision,
+         |         round(CAST(sum(n_pos) OVER dw AS DOUBLE)
+         |               / CASE WHEN sum(n_pos) OVER () = 0 THEN NULL
+         |                      ELSE CAST(sum(n_pos) OVER () AS DOUBLE) END, 4) AS recall
+         |  FROM t
+         |  WINDOW dw AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+         |),
+         |a AS (
+         |  SELECT *, round((recall - coalesce(lag(recall) OVER (ORDER BY bin DESC), 0.0))
+         |                  * precision, 6) AS apc
+         |  FROM c
+         |)
+         |SELECT bin, n, n_pos, precision, recall,
+         |       round(sum(apc) OVER (), 4) AS ap
+         |FROM a""".stripMargin,
+    // Best-F1 replay: the PR bins, 4dp F1, (f1 desc, bin desc) argmax.
+    "q264_best_f1" ->
+      s"""WITH $GopherDocSql,
+         |base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a')))
+         |               AS BIGINT)
+         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
+         |  FROM base
+         |),
+         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
+         |rows_r AS (
+         |  SELECT q.qi AS u, CASE WHEN g.gopher_pass THEN 1 ELSE 0 END AS y
+         |  FROM q JOIN g USING (doc_id)
+         |),
+         |b AS (
+         |  SELECT list_transform(quantile_cont(u, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+         |           x -> round(x, 4)) AS bs
+         |  FROM rows_r
+         |),
+         |binned AS (
+         |  SELECT CAST(list_sum(list_transform(bs,
+         |           x -> CASE WHEN u > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin, y
+         |  FROM rows_r CROSS JOIN b
+         |),
+         |t AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM binned GROUP BY 1
+         |),
+         |c AS (
+         |  SELECT bin,
+         |         round(CAST(sum(n_pos) OVER dw AS DOUBLE) / sum(n) OVER dw, 4) AS precision,
+         |         round(CAST(sum(n_pos) OVER dw AS DOUBLE)
+         |               / CASE WHEN sum(n_pos) OVER () = 0 THEN NULL
+         |                      ELSE CAST(sum(n_pos) OVER () AS DOUBLE) END, 4) AS recall
+         |  FROM t
+         |  WINDOW dw AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+         |),
+         |f AS (
+         |  SELECT bin, precision, recall,
+         |         round(2.0 * precision * recall
+         |               / CASE WHEN precision + recall = 0 THEN NULL
+         |                      ELSE precision + recall END, 4) AS f1
+         |  FROM c
+         |),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY f1 DESC NULLS LAST, bin DESC) AS rnk
+         |  FROM f
+         |)
+         |SELECT bin AS best_bin, precision, recall, f1
+         |FROM r WHERE rnk = 1""".stripMargin,
   )
 }

@@ -2197,6 +2197,81 @@ object Rollups {
           .as("fpr"))
   }
 
+  /** Precision–recall curve with average precision — the eval that
+    * stays honest under class imbalance, where F51's ROC flatters
+    * (FPR hides a rare positive class): per score decile walking
+    * down, the precision and recall of "flag above this bin", plus
+    * AP = Σ ΔRecall·Precision over the sweep (the step-wise
+    * integral, stated).
+    *
+    * Determinism and scale: the F42 machinery — broadcast 4dp decile
+    * boundaries, one bin combine, ≤10-row bin-table windows;
+    * precision/recall are single divisions of exact longs; AP sums
+    * 6dp per-bin contributions (the F20 contract).
+    *
+    * Output: (bin, n, n_pos, precision, recall, ap), bin 9 = top.
+    */
+  def prCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val units = round(col(scoreCol) * 10000).cast("long")
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .select(units.as("__u"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val bounds = rows
+      .agg(percentile(col("__u"), typedLit((1 to 9).map(_ / 10.0))).as("__p"))
+      .select(transform(col("__p"), b => round(b, 4)).as("__bs"))
+    val all = Window.partitionBy()
+    val desc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: Column) => c.cast("double")
+    rows.crossJoin(broadcast(bounds))
+      .withColumn("__bin",
+        aggregate(col("__bs"), lit(0),
+          (acc, b) => acc + when(col("__u") > b, 1).otherwise(0)))
+      .groupBy(col("__bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      .withColumn("__cn", sum(col("n")).over(desc))
+      .withColumn("__cp", sum(col("n_pos")).over(desc))
+      .withColumn("__tp", sum(col("n_pos")).over(all))
+      .withColumn("precision", round(d(col("__cp")) / col("__cn"), 4))
+      .withColumn("recall", round(d(col("__cp")) /
+        when(col("__tp") === 0, lit(null)).otherwise(d(col("__tp"))), 4))
+      .withColumn("__dr",
+        col("recall") - coalesce(lag(col("recall"), 1)
+          .over(Window.orderBy(col("bin").desc)), lit(0.0)))
+      .withColumn("__apc", round(col("__dr") * col("precision"), 6))
+      .withColumn("ap", round(sum(col("__apc")).over(all), 4))
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("precision"), col("recall"), col("ap"))
+  }
+
+  /** Best-F1 threshold sweep — the one-number threshold pick a
+    * binary filter deploys with: F1 = 2PR/(P+R) per decile cut, and
+    * the argmax bin with its precision/recall. The decision step
+    * after F39 (calibration), F51 (ROC), and the PR curve have
+    * described the trade.
+    *
+    * Determinism: the F42 bin machinery; F1 from 4dp-rounded P and R
+    * in identical op order; argmax by (f1 desc, bin) over the ≤10
+    * bins. Output: ONE row (best_bin, precision, recall, f1).
+    */
+  def bestF1Threshold(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame =
+    prCurve(df, scoreCol, labelCol)
+      .withColumn("__f1", round(
+        lit(2.0) * col("precision") * col("recall") /
+          when(col("precision") + col("recall") === 0, lit(null))
+            .otherwise(col("precision") + col("recall")), 4))
+      .withColumn("__rnk", row_number().over(
+        Window.orderBy(col("__f1").desc_nulls_last, col("bin").desc)))
+      .filter(col("__rnk") === 1)
+      .select(col("bin").as("best_bin"),
+        col("precision"), col("recall"), col("__f1").as("f1"))
+
   /** Qini / uplift curve — the targeting eval for EXPERIMENTS
     * (Radcliffe 2007): rank subjects by a model score, walk down
     * from the top decile, and report the INCREMENTAL conversions —

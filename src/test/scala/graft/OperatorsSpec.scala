@@ -1667,6 +1667,21 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("Rollups.prCurve and bestF1Threshold: perfect top decile") {
+    val rows = (1 to 100).map(i => (i / 100.0, i > 90))
+    val pr = Rollups.prCurve(rows.toDF("score", "y"), "score", "y")
+      .orderBy(col("bin").desc).collect()
+    val top = pr.head
+    assert(top.getDouble(top.fieldIndex("precision")) == 1.0 &&
+      top.getDouble(top.fieldIndex("recall")) == 1.0)
+    // AP: full recall at precision 1 on the first step → 1.0
+    assert(top.getDouble(top.fieldIndex("ap")) == 1.0)
+    val f1 = Rollups.bestF1Threshold(rows.toDF("score", "y"), "score", "y")
+      .collect().head
+    assert(f1.getLong(f1.fieldIndex("best_bin")) == 9L &&
+      f1.getDouble(f1.fieldIndex("f1")) == 1.0)
+  }
+
   test("Rollups.rocCurve: perfect separation pins the corner point") {
     // positives are exactly the top decile: flagging bin 9 alone
     // gives TPR 1 at FPR 0; the full sweep ends at (1, 1)
