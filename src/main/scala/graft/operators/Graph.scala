@@ -11,35 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Bounded-iteration synchronous PageRank: `iters` rounds of
-    * rank(v) = (1−d)/N + d · Σ_{u→v} rank(u)/outdeg(u), from a
-    * uniform 1/N start.
-    *
-    * Shapes: each round is two equi-joins on the (high-cardinality)
-    * node key plus one map-side-combined sum — the standard
-    * distributed formulation; nothing is ever collected and no window
-    * appears. The node count is the only driver-side value (a
-    * constant-size aggregate scalar, the same sanctioned shape as
-    * `Dedup.clusters`' convergence probe). Lineage is TRUNCATED with
-    * an eager `localCheckpoint()` every `checkpointEvery` rounds (and
-    * on the final round), the `Dedup.clusters` pattern: without it
-    * the returned plan nests one full round per iteration and
-    * analysis/optimization cost grows with `iters`; with it the final
-    * plan is at most `checkpointEvery` rounds over a materialized
-    * relation. Checkpointing changes nothing about the values; the
-    * previous round's copy is unpersisted once the next one is
-    * materialized, so at most two rank tables are ever cached.
-    *
-    * The fixed iteration count keeps the result deterministic and
-    * engine-replayable (the q108 oracle unrolls exactly `iters`
-    * rounds). `tol > 0` opts into early convergence exit — stop when
-    * max|Δrank| over a checkpoint interval falls below `tol`, probed
-    * only at checkpoint boundaries on already-materialized frames —
-    * for exploratory use where the iteration count is not part of the
-    * contract. Dangling nodes: with a symmetrized edge list every
-    * node has out-degree ≥ 1, so no rank mass is lost (callers with
-    * directed graphs should symmetrize or accept the drop).
-    */
   /** Per-node triangle participation counts over an undirected edge
     * list, via DEGREE ORIENTATION: canonicalize edges (a<b, distinct),
     * then orient every edge from its lower-degree endpoint to its
@@ -86,6 +57,35 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("tri"))
   }
 
+  /** Bounded-iteration synchronous PageRank: `iters` rounds of
+    * rank(v) = (1−d)/N + d · Σ_{u→v} rank(u)/outdeg(u), from a
+    * uniform 1/N start.
+    *
+    * Shapes: each round is two equi-joins on the (high-cardinality)
+    * node key plus one map-side-combined sum — the standard
+    * distributed formulation; nothing is ever collected and no window
+    * appears. The node count is the only driver-side value (a
+    * constant-size aggregate scalar, the same sanctioned shape as
+    * `Dedup.clusters`' convergence probe). Lineage is TRUNCATED with
+    * an eager `localCheckpoint()` every `checkpointEvery` rounds (and
+    * on the final round), the `Dedup.clusters` pattern: without it
+    * the returned plan nests one full round per iteration and
+    * analysis/optimization cost grows with `iters`; with it the final
+    * plan is at most `checkpointEvery` rounds over a materialized
+    * relation. Checkpointing changes nothing about the values; the
+    * previous round's copy is unpersisted once the next one is
+    * materialized, so at most two rank tables are ever cached.
+    *
+    * The fixed iteration count keeps the result deterministic and
+    * engine-replayable (the q108 oracle unrolls exactly `iters`
+    * rounds). `tol > 0` opts into early convergence exit — stop when
+    * max|Δrank| over a checkpoint interval falls below `tol`, probed
+    * only at checkpoint boundaries on already-materialized frames —
+    * for exploratory use where the iteration count is not part of the
+    * contract. Dangling nodes: with a symmetrized edge list every
+    * node has out-degree ≥ 1, so no rank mass is lost (callers with
+    * directed graphs should symmetrize or accept the drop).
+    */
   def pageRank(
       edges: DataFrame,
       iters: Int = 8,
