@@ -2522,6 +2522,20 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q265_kappa" -> ((s, dir) => {
+      // F54 chance-corrected filter agreement: does quality >= 0.5
+      // agree with the Gopher gate beyond base rates?
+      val t = Tables(s, dir)
+      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
+        .withColumn("q_pass", col("quality") >= 0.5)
+      Rollups.cohenKappa(scored, "q_pass", "gopher_pass")
+    }),
+    "q266_dup_by_source" -> ((s, dir) => {
+      // G84 which feeds contribute the duplication: per-source
+      // near-dup shares from one G2 pair pass
+      val t = Tables(s, dir)
+      Dedup.dupShareBySlice(t.documents)
+    }),
     "q263_pr_curve" -> ((s, dir) => {
       // F52 precision-recall sweep + average precision — the
       // imbalance-honest companion to q262
@@ -9129,5 +9143,59 @@ object SparkEntry {
          |)
          |SELECT bin AS best_bin, precision, recall, f1
          |FROM r WHERE rnk = 1""".stripMargin,
+    // Kappa replay: the same 2x2 exact table and closed form.
+    "q265_kappa" ->
+      s"""WITH $GopherDocSql,
+         |base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a')))
+         |               AS BIGINT)
+         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
+         |  FROM base
+         |),
+         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
+         |j AS (
+         |  SELECT CAST(q.qi AS DOUBLE) / 10000.0 >= 0.5 AS a, g.gopher_pass AS b
+         |  FROM q JOIN g USING (doc_id)
+         |),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(count(*) FILTER (a AND b) AS BIGINT) AS tt,
+         |         CAST(count(*) FILTER (a AND NOT b) AS BIGINT) AS tf,
+         |         CAST(count(*) FILTER (NOT a AND b) AS BIGINT) AS ft,
+         |         CAST(count(*) FILTER (NOT a AND NOT b) AS BIGINT) AS ff
+         |  FROM j HAVING count(*) > 0
+         |),
+         |c AS (
+         |  SELECT n, tt + ff AS n_agree,
+         |         CAST(tt + ff AS DOUBLE) / n AS po,
+         |         (CAST(tt + tf AS DOUBLE) * CAST(tt + ft AS DOUBLE)
+         |          + CAST(ft + ff AS DOUBLE) * CAST(tf + ff AS DOUBLE))
+         |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+         |  FROM m
+         |)
+         |SELECT n, CAST(n_agree AS BIGINT) AS n_agree,
+         |       round(po, 4) AS p_o, round(pe, 4) AS p_e,
+         |       round((po - pe) / CASE WHEN pe = 1.0 THEN NULL ELSE 1.0 - pe END, 4)
+         |         AS kappa
+         |FROM c""".stripMargin,
+    // Dup-by-source replay: the q31 pair ids joined back to the slice.
+    "q266_dup_by_source" ->
+      s"""WITH $MinhashPairsSql,
+         |ids AS (SELECT idA AS id FROM lshpairs UNION SELECT idB FROM lshpairs)
+         |SELECT d.source AS slice, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(ids.id) AS BIGINT) AS n_dup,
+         |       round(CAST(count(ids.id) AS DOUBLE) / count(*), 4) AS dup_share
+         |FROM documents d LEFT JOIN ids ON ids.id = d.doc_id
+         |GROUP BY 1""".stripMargin,
   )
 }

@@ -746,6 +746,37 @@ object Dedup {
     *
     * Output: (name_a, name_b, lev).
     */
+  /** Per-slice near-duplicate shares — G82's corpus-wide dup number
+    * broken down by a slice column (source, language): which feeds
+    * contribute the duplication? The table that redirects a crawl
+    * budget before the next snapshot.
+    *
+    * Scale shape: the G2 pair pipeline runs ONCE; its distinct ids
+    * join back to the slice column (id-keyed), then one (slice)
+    * combine against the per-slice doc totals. Exact counts, one
+    * division.
+    *
+    * Output: (slice, n_docs, n_dup, dup_share).
+    */
+  def dupShareBySlice(
+      df: DataFrame,
+      sliceCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ids = minhashLshPairs(df, textCol, idCol)
+      .select(explode(array(col("idA"), col("idB"))).as("__id"))
+      .distinct()
+    val docs = df.select(col(idCol).cast("long").as("__id"),
+      col(sliceCol).as("slice"))
+    docs
+      .join(ids.withColumn("__dup", lit(1L)), Seq("__id"), "left")
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__dup")), lit(0L)).as("n_dup"))
+      .withColumn("dup_share",
+        round(col("n_dup").cast("double") / col("n_docs"), 4))
+  }
+
   /** Boilerplate shingle report — the shingles present in more than
     * `minShare` of documents: exactly the templated mass that turns
     * every pair-expansion quadratic (the G41 posting caps, the G2

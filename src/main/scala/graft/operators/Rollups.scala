@@ -2149,6 +2149,45 @@ object Rollups {
         .as("z"))
   }
 
+  /** Cohen's kappa between two binary judges — chance-corrected
+    * agreement (Cohen 1960): κ = (p_o − p_e)/(1 − p_e). The question
+    * two quality filters, two annotators, or a filter-vs-gold pair
+    * must answer before one replaces the other — raw agreement
+    * flatters whenever both mostly say "pass".
+    *
+    * Exactness: the 2×2 table is ONE aggregate of exact longs;
+    * p_o/p_e/κ are single double expressions, 4dp.
+    *
+    * Output: one row (n, n_agree, p_o, p_e, kappa).
+    */
+  def cohenKappa(
+      df: DataFrame,
+      judgeACol: String,
+      judgeBCol: String): DataFrame = {
+    val a = col(judgeACol).cast("boolean")
+    val b = col(judgeBCol).cast("boolean")
+    val d = (c: Column) => c.cast("double")
+    df.filter(a.isNotNull && b.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(a && b, 1L).otherwise(0L)).as("__tt"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("__tf"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("__ft"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("__ff"))
+      .filter(col("n") > 0)
+      .withColumn("n_agree", col("__tt") + col("__ff"))
+      .withColumn("__po", d(col("n_agree")) / col("n"))
+      .withColumn("__pe",
+        (d(col("__tt") + col("__tf")) * d(col("__tt") + col("__ft")) +
+          d(col("__ft") + col("__ff")) * d(col("__tf") + col("__ff"))) /
+          (d(col("n")) * d(col("n"))))
+      .select(col("n"), col("n_agree"),
+        round(col("__po"), 4).as("p_o"), round(col("__pe"), 4).as("p_e"),
+        round((col("__po") - col("__pe")) /
+          when(col("__pe") === 1.0, lit(null)).otherwise(lit(1.0) - col("__pe")), 4)
+          .as("kappa"))
+  }
+
   /** ROC curve points at score-decile thresholds — the operating-
     * characteristic table behind F34's single AUC number: walking
     * down from the top decile, the true-positive rate and false-

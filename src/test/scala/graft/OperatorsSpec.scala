@@ -1667,6 +1667,30 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("Rollups.cohenKappa: perfect agreement 1, independence 0") {
+    val perfect = (1 to 20).map(i => (i % 2 == 0, i % 2 == 0)).toDF("a", "b")
+    val p = Rollups.cohenKappa(perfect, "a", "b").collect().head
+    assert(p.getDouble(p.fieldIndex("kappa")) == 1.0)
+    // independent judges at 50/50 base rates: po = pe → kappa 0
+    val indep = (0 until 20).map(i => ((i / 2) % 2 == 0, i % 2 == 0))
+      .toDF("a", "b")
+    val q = Rollups.cohenKappa(indep, "a", "b").collect().head
+    assert(q.getDouble(q.fieldIndex("kappa")) == 0.0)
+  }
+
+  test("Dedup.dupShareBySlice: dup mass lands on the duplicated slice") {
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, text, "sA"), (2L, text, "sA"), // near-dup pair in sA
+      (3L, "unique words here only once", "sB"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dupShareBySlice(docs).orderBy("slice").collect()
+    assert(out(0).getString(0) == "sA" &&
+      out(0).getDouble(out(0).fieldIndex("dup_share")) == 1.0)
+    assert(out(1).getString(0) == "sB" &&
+      out(1).getDouble(out(1).fieldIndex("dup_share")) == 0.0)
+  }
+
   test("Rollups.prCurve and bestF1Threshold: perfect top decile") {
     val rows = (1 to 100).map(i => (i / 100.0, i > 90))
     val pr = Rollups.prCurve(rows.toDF("score", "y"), "score", "y")
