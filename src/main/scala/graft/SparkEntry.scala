@@ -2522,6 +2522,14 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q267_mcc" -> ((s, dir) => {
+      // F55 Matthews correlation of the quality filter vs the Gopher
+      // gate — the imbalance-honest single number
+      val t = Tables(s, dir)
+      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
+        .withColumn("q_pass", col("quality") >= 0.5)
+      Rollups.matthewsCorr(scored, "q_pass", "gopher_pass")
+    }),
     "q265_kappa" -> ((s, dir) => {
       // F54 chance-corrected filter agreement: does quality >= 0.5
       // agree with the Gopher gate beyond base rates?
@@ -9197,5 +9205,48 @@ object SparkEntry {
          |       round(CAST(count(ids.id) AS DOUBLE) / count(*), 4) AS dup_share
          |FROM documents d LEFT JOIN ids ON ids.id = d.doc_id
          |GROUP BY 1""".stripMargin,
+    // MCC replay: the q265 2x2, exact HUGEINT products.
+    "q267_mcc" ->
+      s"""WITH $GopherDocSql,
+         |base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a')))
+         |               AS BIGINT)
+         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
+         |  FROM base
+         |),
+         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
+         |j AS (
+         |  SELECT CAST(q.qi AS DOUBLE) / 10000.0 >= 0.5 AS p, g.gopher_pass AS y
+         |  FROM q JOIN g USING (doc_id)
+         |),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(count(*) FILTER (p AND y) AS BIGINT) AS tp,
+         |         CAST(count(*) FILTER (p AND NOT y) AS BIGINT) AS fp,
+         |         CAST(count(*) FILTER (NOT p AND y) AS BIGINT) AS fn,
+         |         CAST(count(*) FILTER (NOT p AND NOT y) AS BIGINT) AS tn
+         |  FROM j HAVING count(*) > 0
+         |),
+         |c AS (
+         |  SELECT *,
+         |         CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS num,
+         |         sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+         |                   * (tn + fp) * (tn + fn) AS DOUBLE)) AS den
+         |  FROM m
+         |)
+         |SELECT n, tp, fp, fn, tn,
+         |       round(CAST(num AS DOUBLE)
+         |             / CASE WHEN den = 0 THEN NULL ELSE den END, 4) AS mcc
+         |FROM c""".stripMargin,
   )
 }

@@ -2188,6 +2188,47 @@ object Rollups {
           .as("kappa"))
   }
 
+  /** Matthews correlation coefficient — the single-number binary-
+    * classifier score that stays honest under imbalance (Matthews
+    * 1975; Chicco & Jurman 2020's recommended default): the Pearson
+    * correlation of the 2×2 table, MCC = (TP·TN − FP·FN)/√(…). High
+    * accuracy with a skewed base rate scores near 0 here.
+    *
+    * Exactness: ONE aggregate of exact longs; the numerator is an
+    * exact long product difference (cells ≤ 2³¹ keep it in range —
+    * cast decimal(38,0) for the 100 TB case), the denominator one
+    * double sqrt, 4dp.
+    *
+    * Output: one row (n, tp, fp, fn, tn, mcc).
+    */
+  def matthewsCorr(
+      df: DataFrame,
+      predCol: String,
+      labelCol: String): DataFrame = {
+    val p = col(predCol).cast("boolean")
+    val y = col(labelCol).cast("boolean")
+    val dec = "decimal(38,0)"
+    val d = (c: Column) => c.cast("double")
+    df.filter(p.isNotNull && y.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(p && y, 1L).otherwise(0L)).as("tp"),
+        sum(when(p && !y, 1L).otherwise(0L)).as("fp"),
+        sum(when(!p && y, 1L).otherwise(0L)).as("fn"),
+        sum(when(!p && !y, 1L).otherwise(0L)).as("tn"))
+      .filter(col("n") > 0)
+      .withColumn("__num",
+        col("tp").cast(dec) * col("tn").cast(dec) -
+          col("fp").cast(dec) * col("fn").cast(dec))
+      .withColumn("__den", sqrt(
+        d((col("tp") + col("fp")).cast(dec) * (col("tp") + col("fn")).cast(dec) *
+          (col("tn") + col("fp")).cast(dec) * (col("tn") + col("fn")).cast(dec))))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round(d(col("__num")) /
+          when(col("__den") === 0, lit(null)).otherwise(col("__den")), 4)
+          .as("mcc"))
+  }
+
   /** ROC curve points at score-decile thresholds — the operating-
     * characteristic table behind F34's single AUC number: walking
     * down from the top decile, the true-positive rate and false-

@@ -1667,6 +1667,18 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("Rollups.matthewsCorr: perfect 1, skewed majority-guesser ~0") {
+    val perfect = (1 to 20).map(i => (i % 2 == 0, i % 2 == 0)).toDF("p", "y")
+    val p = Rollups.matthewsCorr(perfect, "p", "y").collect().head
+    assert(p.getDouble(p.fieldIndex("mcc")) == 1.0)
+    // always-true predictor on a 90/10 base rate: 90% accurate, MCC
+    // undefined (a zero row margin) → null, never a flattering number
+    val guess = ((1 to 18).map(_ => (true, true)) ++
+      Seq((true, false), (true, false))).toDF("p", "y")
+    val g = Rollups.matthewsCorr(guess, "p", "y").collect().head
+    assert(g.isNullAt(g.fieldIndex("mcc")))
+  }
+
   test("Rollups.cohenKappa: perfect agreement 1, independence 0") {
     val perfect = (1 to 20).map(i => (i % 2 == 0, i % 2 == 0)).toDF("a", "b")
     val p = Rollups.cohenKappa(perfect, "a", "b").collect().head
