@@ -2522,6 +2522,13 @@ object SparkEntry {
       Dedup.canonicalPick(t.documents,
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q268_brier" -> ((s, dir) => {
+      // F56 proper-score check: does the quality score, read as a
+      // pass probability, beat the base-rate forecast?
+      val t = Tables(s, dir)
+      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
+      Rollups.brierScore(scored, "quality", "gopher_pass")
+    }),
     "q267_mcc" -> ((s, dir) => {
       // F55 Matthews correlation of the quality filter vs the Gopher
       // gate — the imbalance-honest single number
@@ -9248,5 +9255,48 @@ object SparkEntry {
          |       round(CAST(num AS DOUBLE)
          |             / CASE WHEN den = 0 THEN NULL ELSE den END, 4) AS mcc
          |FROM c""".stripMargin,
+    // Brier replay: exact 1e-4-unit squared errors, closed-form
+    // reference score.
+    "q268_brier" ->
+      s"""WITH $GopherDocSql,
+         |base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a')))
+         |               AS BIGINT)
+         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
+         |  FROM base
+         |),
+         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
+         |j AS (
+         |  SELECT q.qi AS u, CASE WHEN g.gopher_pass THEN 1 ELSE 0 END AS y
+         |  FROM q JOIN g USING (doc_id)
+         |),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(y) AS BIGINT) AS p,
+         |         CAST(sum((u - 10000 * y) * (u - 10000 * y)) AS BIGINT) AS se
+         |  FROM j HAVING count(*) > 0
+         |),
+         |c AS (
+         |  SELECT n, CAST(p AS DOUBLE) / n AS rate,
+         |         round(CAST(se AS DOUBLE) / n / 1e8, 6) AS brier
+         |  FROM m
+         |),
+         |r AS (
+         |  SELECT *, round(rate * (1.0 - rate), 6) AS brier_ref FROM c
+         |)
+         |SELECT n, round(rate, 4) AS base_rate, brier, brier_ref,
+         |       round(1.0 - brier
+         |             / CASE WHEN brier_ref = 0 THEN NULL ELSE brier_ref END, 4) AS skill
+         |FROM r""".stripMargin,
   )
 }

@@ -2188,6 +2188,50 @@ object Rollups {
           .as("kappa"))
   }
 
+  /** Brier score — the PROPER scoring rule for probability
+    * forecasts: mean (confidence − outcome)², plus the reference
+    * score of always forecasting the base rate and the resulting
+    * skill = 1 − BS/BS_ref (Brier 1950; Murphy 1973). F39's ECE says
+    * whether probabilities are honest per bin; the Brier skill says
+    * whether the forecasts beat knowing nothing, in one number a
+    * forecaster cannot game.
+    *
+    * Exactness: confidences quantize to integer 1e-4 units, so each
+    * squared error is an exact long (u − 10⁴·y)² summed exactly;
+    * the base rate and reference score are closed forms of the same
+    * exact sums; three double divisions at the end, 6dp. One
+    * aggregate.
+    *
+    * Output: one row (n, base_rate, brier, brier_ref, skill).
+    */
+  def brierScore(
+      df: DataFrame,
+      confCol: String,
+      labelCol: String): DataFrame = {
+    val u = round(col(confCol) * 10000).cast("long")
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val d = (c: Column) => c.cast("double")
+    df.filter(col(confCol).isNotNull)
+      .select(u.as("__u"), y.as("__y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__y")).as("__p"),
+        sum((col("__u") - lit(10000L) * col("__y")) *
+          (col("__u") - lit(10000L) * col("__y"))).as("__se"))
+      .filter(col("n") > 0)
+      .withColumn("__rate", d(col("__p")) / col("n"))
+      .withColumn("brier", round(d(col("__se")) / col("n") / 1e8, 6))
+      // reference: forecast the base rate everywhere → BS_ref =
+      // rate(1 − rate)
+      .withColumn("brier_ref",
+        round(col("__rate") * (lit(1.0) - col("__rate")), 6))
+      .select(col("n"), round(col("__rate"), 4).as("base_rate"),
+        col("brier"), col("brier_ref"),
+        round(lit(1.0) - col("brier") /
+          when(col("brier_ref") === 0, lit(null)).otherwise(col("brier_ref")), 4)
+          .as("skill"))
+  }
+
   /** Matthews correlation coefficient — the single-number binary-
     * classifier score that stays honest under imbalance (Matthews
     * 1975; Chicco & Jurman 2020's recommended default): the Pearson

@@ -1667,6 +1667,21 @@ class OperatorsSpec extends SparkSpec {
       a1.getDouble(a1.fieldIndex("cum_ltv")) == 3.0)
   }
 
+  test("Rollups.brierScore: perfect forecasts 0, base-rate skill 0") {
+    val perfect = (1 to 20).map(i => (if (i % 2 == 0) 1.0 else 0.0, i % 2 == 0))
+    val pf = Rollups.brierScore(perfect.toDF("conf", "y"), "conf", "y")
+      .collect().head
+    assert(pf.getDouble(pf.fieldIndex("brier")) == 0.0)
+    assert(pf.getDouble(pf.fieldIndex("skill")) == 1.0)
+    // forecasting the base rate everywhere scores exactly brier_ref
+    val base = (1 to 20).map(i => (0.5, i % 2 == 0))
+    val b = Rollups.brierScore(base.toDF("conf", "y"), "conf", "y")
+      .collect().head
+    assert(b.getDouble(b.fieldIndex("brier")) ==
+      b.getDouble(b.fieldIndex("brier_ref")))
+    assert(b.getDouble(b.fieldIndex("skill")) == 0.0)
+  }
+
   test("Rollups.matthewsCorr: perfect 1, skewed majority-guesser ~0") {
     val perfect = (1 to 20).map(i => (i % 2 == 0, i % 2 == 0)).toDF("p", "y")
     val p = Rollups.matthewsCorr(perfect, "p", "y").collect().head
