@@ -7863,8 +7863,8 @@ object SparkEntry {
         |s AS (
         |  SELECT CAST(count(cc) AS BIGINT) AS n_pairs,
         |         CAST(count(*) FILTER (cc IS NULL) AS BIGINT) AS n_unmatched,
-        |         CAST(sum(tc - cc) AS BIGINT) AS s,
-        |         CAST(sum((tc - cc) * (tc - cc)) AS BIGINT) AS q
+        |         CAST(sum(CAST(tc - cc AS HUGEINT)) AS HUGEINT) AS s,
+        |         CAST(sum(CAST(tc - cc AS HUGEINT) * CAST(tc - cc AS HUGEINT)) AS HUGEINT) AS q
         |  FROM m
         |),
         |v AS (
@@ -8667,9 +8667,9 @@ object SparkEntry {
       """WITH ph AS (
         |  SELECT trim(p) AS phrase FROM (
         |    SELECT unnest(string_split(
-        |             regexp_replace(text,
-        |               '\b(the|be|to|of|and|that|have|with)\b', '|', 'g'),
-        |             '|')) AS p
+        |             regexp_replace(lower(text),
+        |               '\b(the|be|to|of|and|that|have|with)\b', chr(1), 'g'),
+        |             chr(1))) AS p
         |    FROM documents
         |  ) WHERE trim(p) <> '' AND len(string_split(trim(p), ' ')) <= 4
         |),
@@ -8774,13 +8774,13 @@ object SparkEntry {
       """WITH seg AS (
         |  SELECT event_type AS segment,
         |         CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
-        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (user_id % 2 = 0) AS BIGINT) AS sa,
-        |         CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
-        |              FILTER (user_id % 2 = 0) AS BIGINT) AS qa,
+        |         CAST(sum(CAST(round(value * 100) AS HUGEINT)) FILTER (user_id % 2 = 0) AS HUGEINT) AS sa,
+        |         CAST(sum(CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS HUGEINT))
+        |              FILTER (user_id % 2 = 0) AS HUGEINT) AS qa,
         |         CAST(count(*) FILTER (user_id % 2 <> 0) AS BIGINT) AS n_b,
-        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (user_id % 2 <> 0) AS BIGINT) AS sb,
-        |         CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
-        |              FILTER (user_id % 2 <> 0) AS BIGINT) AS qb
+        |         CAST(sum(CAST(round(value * 100) AS HUGEINT)) FILTER (user_id % 2 <> 0) AS HUGEINT) AS sb,
+        |         CAST(sum(CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS HUGEINT))
+        |              FILTER (user_id % 2 <> 0) AS HUGEINT) AS qb
         |  FROM events WHERE value IS NOT NULL
         |  GROUP BY 1
         |),

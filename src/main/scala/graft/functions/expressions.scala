@@ -452,8 +452,8 @@ object PearsonTwoSidedP {
   * oracle can replay it verbatim. Entity-resolution scoring for G67's
   * blocked pairs where edit distance is too coarse.
   *
-  * Chars compare as UTF-16 code units (identical to codepoints on
-  * the ASCII/BMP names this engine scores).
+  * Chars compare as Unicode CODE POINTS (surrogate pairs count as
+  * one character), matching DuckDB on astral text as well as BMP.
   */
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -474,12 +474,14 @@ case class JaroWinkler(left: Expression, right: Expression)
 
 object JaroWinkler {
   def evalStatic(au: UTF8String, bu: UTF8String): Double = {
-    val s = au.toString
-    val t = bu.toString
+    // code-point arrays, not UTF-16 code units: DuckDB compares by
+    // code point, and astral chars must count as ONE character
+    val s = au.toString.codePoints().toArray
+    val t = bu.toString.codePoints().toArray
     val la = s.length
     val lb = t.length
     if (la == 0 || lb == 0) return 0.0
-    if (s == t) return 1.0
+    if (java.util.Arrays.equals(s, t)) return 1.0
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val aMatch = new Array[Boolean](la)
     val bMatch = new Array[Boolean](lb)
@@ -490,7 +492,7 @@ object JaroWinkler {
       var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!bMatch(j) && s.charAt(i) == t.charAt(j)) {
+        if (!bMatch(j) && s(i) == t(j)) {
           aMatch(i) = true
           bMatch(j) = true
           m += 1
@@ -507,7 +509,7 @@ object JaroWinkler {
     while (i < la) {
       if (aMatch(i)) {
         while (!bMatch(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) trans += 1
+        if (s(i) != t(k)) trans += 1
         k += 1
       }
       i += 1
@@ -519,7 +521,7 @@ object JaroWinkler {
     if (jaro > 0.7) {
       val maxL = math.min(4, math.min(la, lb))
       var l = 0
-      while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+      while (l < maxL && s(l) == t(l)) l += 1
       jaro + l * 0.1 * (1.0 - jaro)
     } else jaro
   }

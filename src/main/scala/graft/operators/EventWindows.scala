@@ -1007,7 +1007,7 @@ object EventWindows {
     val d = (c: Column) => c.cast("double")
     AsOfJoin.asOf(treat, ctrl, Seq(userCol), tsCol, "__cts",
         payloadCols = Seq("__cc"), direction = "backward")
-      .withColumn("__diff", col("__tc") - col("__cc"))
+      .withColumn("__diff", (col("__tc") - col("__cc")).cast("decimal(38,0)"))
       .agg(
         count(col("__diff")).as("n_pairs"),
         sum(when(col("__diff").isNull, 1L).otherwise(0L)).as("n_unmatched"),

@@ -1950,7 +1950,9 @@ object Rollups {
       valueCol: String,
       armA: String,
       armB: String): DataFrame = {
-    val cents = round(col(valueCol) * 100).cast("long")
+    val dec = "decimal(38,0)"
+    val cents = round(col(valueCol) * 100).cast("long").cast(dec)
+    val zero = lit(0L).cast(dec)
     val d = (c: Column) => c.cast("double")
     val all = Window.partitionBy()
     val seg = df
@@ -1958,11 +1960,11 @@ object Rollups {
       .groupBy(col(segmentCol).as("segment"))
       .agg(
         sum(when(col(groupCol) === armA, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col(groupCol) === armA, cents).otherwise(0L)).as("__sa"),
-        sum(when(col(groupCol) === armA, cents * cents).otherwise(0L)).as("__qa"),
+        sum(when(col(groupCol) === armA, cents).otherwise(zero)).as("__sa"),
+        sum(when(col(groupCol) === armA, cents * cents).otherwise(zero)).as("__qa"),
         sum(when(col(groupCol) === armB, 1L).otherwise(0L)).as("n_b"),
-        sum(when(col(groupCol) === armB, cents).otherwise(0L)).as("__sb"),
-        sum(when(col(groupCol) === armB, cents * cents).otherwise(0L)).as("__qb"))
+        sum(when(col(groupCol) === armB, cents).otherwise(zero)).as("__sb"),
+        sum(when(col(groupCol) === armB, cents * cents).otherwise(zero)).as("__qb"))
       .filter(col("n_a") > 1 && col("n_b") > 1)
       .withColumn("__va",
         (d(col("__qa")) - d(col("__sa")) * d(col("__sa")) / col("n_a")) / (col("n_a") - 1))
@@ -2595,7 +2597,10 @@ object Rollups {
     * in exact micro-int arithmetic (sums in decimal(38,0) — squares
     * of micro-units overflow longs); each output is one 4dp
     * division. Edge rows average their PARTIAL window (rows-framed,
-    * both engines identically).
+    * both engines identically). yCol is quantized to the nearest
+    * integer unit up front (round, not truncate) — the contract is
+    * integer-valued series (counts); fractional series round loudly
+    * rather than silently truncating.
     *
     * Scale shape: trend + detrend ride ONE (keys) exchange; the
     * frame is eager-cut (feeds the seasonal combine AND the residual
@@ -2618,9 +2623,9 @@ object Rollups {
     val d = (c: Column) => c.cast("double")
     val base = series
       .withColumn("__tu",
-        round(d(sum(col(yCol).cast("long")).over(fr)) /
+        round(d(sum(round(col(yCol)).cast("long")).over(fr)) /
           count(lit(1)).over(fr) * 1e6).cast("long"))
-      .withColumn("__du", col(yCol).cast("long") * 1000000L - col("__tu"))
+      .withColumn("__du", round(col(yCol)).cast("long") * 1000000L - col("__tu"))
       .withColumn("phase", pmod(col(xCol).cast("long"), lit(period.toLong)))
       .localCheckpoint()
     val seas = base
@@ -2674,9 +2679,9 @@ object Rollups {
     val d = (c: Column) => c.cast("double")
     val base = series
       .withColumn("__tu",
-        round(d(sum(col(yCol).cast("long")).over(fr)) /
+        round(d(sum(round(col(yCol)).cast("long")).over(fr)) /
           count(lit(1)).over(fr) * 1e6).cast("long"))
-      .withColumn("__du", col(yCol).cast("long") * 1000000L - col("__tu"))
+      .withColumn("__du", round(col(yCol)).cast("long") * 1000000L - col("__tu"))
       .withColumn("phase", pmod(col(xCol).cast("long"), lit(period.toLong)))
       .localCheckpoint()
     val seas = base

@@ -216,9 +216,13 @@ object TextAnalysis {
       k: Int = 30,
       maxWords: Int = 4,
       stopwords: Seq[String] = GopherStopwords): DataFrame = {
+    // lowercase first so capitalized stopwords ("The") split too; the
+    // phrase delimiter is an out-of-band control char — a literal '|'
+    // in document text must NOT create a phrase boundary
     val pat = "\\b(" + stopwords.mkString("|") + ")\\b"
     val phrases = spread(df)
-      .select(explode(split(regexp_replace(col(textCol), pat, "|"), "\\|"))
+      .select(explode(split(regexp_replace(lower(col(textCol)), pat, "\u0001"),
+          "\u0001"))
         .as("__raw"))
       .select(trim(col("__raw")).as("phrase"))
       .filter(col("phrase") =!= "" &&

@@ -1,0 +1,80 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Canary for the PINNED bench JSON contract (VERDICT r8 item 2): the
+  * r8 driver tail drifted to un-prefixed numeric keys, which broke
+  * cross-round machine comparison. BENCH_FULL.json is OUR artifact —
+  * schema "graft-bench-1", stable full "qNN_name" keys, reps field —
+  * and this spec fails loudly if a refactor changes any of that.
+  */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private val results: Seq[(String, Either[String, Double])] = Seq(
+    "q01_assoc_datasource" -> Right(1.2345),
+    "q02_assoc_overall" -> Right(0.5),
+    "q31_dedup_minhash" -> Right(2.0),
+    "q99_semdedup" -> Left("boom \"quoted\" message"))
+  private val headline = Set("q01_assoc_datasource", "q02_assoc_overall")
+
+  test("full form: parseable, schema-tagged, full qNN_name keys, reps") {
+    val s = BenchRender.full(results, headline, "/tmp/sf", reps = 6)
+    val j = JsonMethods.parse(s)
+    assert((j \ "schema") === JString("graft-bench-1"))
+    assert((j \ "unit") === JString("sec"))
+    assert((j \ "reps") === JInt(6))
+    assert((j \ "sf") === JString("/tmp/sf"))
+    val qs = (j \ "queries").asInstanceOf[JObject].obj.map(_._1)
+    // keys are the FULL registered names, in input order
+    assert(qs === results.map(_._1))
+    assert(qs.forall(_.matches("q\\d+_[a-z0-9_]+")))
+    // total = sum of successful walls at 3dp
+    val total = (j \ "value").asInstanceOf[JDouble].num
+    assert(math.abs(total - 3.7345) < 2e-3)
+    // failures carry an err object and the errors index
+    assert((j \ "queries" \ "q99_semdedup" \ "err") !== JNothing)
+    assert((j \ "errors") === JArray(List(JString("q99_semdedup"))))
+    // headline minima are surfaced under hl_min6 with qNN keys
+    assert((j \ "hl_min6" \ "q01") === JDouble(1.234) ||
+      (j \ "hl_min6" \ "q01") === JDouble(1.235))
+  }
+
+  test("compaction ladder: fits the window, keeps schema + metric head") {
+    // 256 queries can NOT fit per-query in 1900 chars (the r8 driver
+    // truncation); the ladder must fall back to the summary form with
+    // top offenders + errors, never emit an over-long line
+    val many = (1 to 256).map(i => f"q$i%02d_some_longer_query_name" ->
+      (Right(1.23456): Either[String, Double])) :+
+      ("q300_broken" -> (Left("x \"y\"") : Either[String, Double]))
+    val s = BenchRender.compact(many, headline, "/root/testdata/sf0.1",
+      reps = 2, maxLen = 1900)
+    assert(s.length <= 1900)
+    assert(s.startsWith("{\"schema\":\"graft-bench-1\",\"metric\":\"total\""))
+    val j = JsonMethods.parse(s)
+    // summary form: n_queries + top (full keys) + ALL errors survive
+    assert((j \ "n_queries") === JInt(257))
+    val top = (j \ "top").asInstanceOf[JObject].obj.map(_._1)
+    assert(top.nonEmpty && top.forall(_.matches("q\\d+_[a-z0-9_]+")))
+    assert((j \ "errors" \ "q300_broken") !== JNothing)
+    // a small registry still gets the full per-query form inline
+    val small = BenchRender.compact(many.take(20), headline, "/tmp/sf",
+      reps = 2, maxLen = 1900)
+    val js = JsonMethods.parse(small)
+    assert((js \ "queries").asInstanceOf[JObject].obj.size === 20)
+  }
+
+  test("the committed BENCH_FULL.json conforms once regenerated") {
+    // pin the FORM of the artifact this repo publishes: if BENCH_FULL
+    // exists and is schema-tagged, its keys must be full query names
+    val p = java.nio.file.Paths.get("BENCH_FULL.json")
+    if (java.nio.file.Files.exists(p)) {
+      val j = JsonMethods.parse(java.nio.file.Files.readString(p))
+      if ((j \ "schema") != JNothing) {
+        val qs = (j \ "queries").asInstanceOf[JObject].obj.map(_._1)
+        assert(qs.nonEmpty && qs.forall(_.matches("q\\d+[a-z0-9_]*")))
+      }
+    }
+  }
+}
