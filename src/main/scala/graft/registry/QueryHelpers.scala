@@ -1,0 +1,512 @@
+package graft
+
+import graft.operators._
+import graft.sources.{Io, Tables}
+import org.apache.spark.sql.functions._
+
+/** Shared plumbing for the per-family query registries: the scratch-dir
+  * helpers and every composable DuckDB-oracle SQL fragment (CTE chains
+  * reused across queries). Split out of SparkEntry so each registry file
+  * stays reviewable; see SparkEntry for the assembled driver contract.
+  */
+private[graft] object QueryHelpers {
+  /** Scratch space for the IO-exercising queries (q77–q79) — see
+    * [[Scratch]]: per-JVM temp root, shutdown-hook cleanup. q77's
+    * bucketed tables additionally live under spark-warehouse (bucketBy
+    * requires saveAsTable); they are dropped+rewritten per invocation
+    * and removed at exit so nothing persists across runs.
+    */
+  private[graft] lazy val q77Cleanup: Unit =
+    sys.addShutdownHook {
+      for (tb <- Seq("li_q77", "ord_q77"))
+        Scratch.deleteTree(java.nio.file.Paths.get(s"spark-warehouse/$tb"))
+    }
+  private[graft] def scratchDir(tag: String): String = Scratch.dir(tag)
+
+  // Shared SQL fragments for the oracles (DuckDB dialect).
+  private[graft] val EvSql =
+    """ev AS (
+      |  SELECT l_suppkey AS diseaseId, l_partkey AS targetId,
+      |         l_returnflag AS datasourceId, l_discount*10 AS score,
+      |         CAST(year(l_shipdate) AS INT) AS year
+      |  FROM lineitem
+      |)""".stripMargin
+
+  /** Language-ID replay CTE (`langpred(doc_id, lang, score_*, lang_pred)`)
+    * — mirrors graft.operators.TextAnalysis.langId; shared by q36/q166.
+    */
+  private[graft] val LangPredSql =
+    """toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS w,
+      |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS n
+      |  FROM documents
+      |),
+      |langscores AS (
+      |  SELECT doc_id, lang,
+      |    round((len(list_filter(w, x -> x = 'der')) + len(list_filter(w, x -> x = 'und'))
+      |         + len(list_filter(w, x -> x = 'die'))) / n, 4) AS score_de,
+      |    round((len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'a'))
+      |         + len(list_filter(w, x -> x = 'of'))) / n, 4) AS score_en,
+      |    round((len(list_filter(w, x -> x = 'el')) + len(list_filter(w, x -> x = 'la'))
+      |         + len(list_filter(w, x -> x = 'y'))) / n, 4) AS score_es,
+      |    round((len(list_filter(w, x -> x = 'le')) + len(list_filter(w, x -> x = 'la'))
+      |         + len(list_filter(w, x -> x = 'et'))) / n, 4) AS score_fr
+      |  FROM toks
+      |),
+      |langpred AS (
+      |  SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
+      |       CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
+      |            WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+      |            WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+      |            WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+      |            ELSE 'fr' END AS lang_pred
+      |  FROM langscores
+      |)""".stripMargin
+
+  /** Word-3-gram shingles per doc (ordered, with duplicates), docs with
+    * ≥3 words only — mirrors graft.operators.Dedup.shingles.
+    */
+  private[graft] val ShinglesSql =
+    """shingled AS (
+      |  SELECT doc_id AS id,
+      |         list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3
+      |)""".stripMargin
+
+  /** ×1000-quantized embeddings + L2 norm — mirrors
+    * graft.functions.quantize/quantizedDot (integer math, exact).
+    */
+  private[graft] val EmbSql =
+    """nrm AS (
+      |  SELECT vec_id, q,
+      |         sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS n
+      |  FROM (
+      |    SELECT vec_id,
+      |           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |    FROM embeddings
+      |  )
+      |)""".stripMargin
+
+  /** Voronoi-assignment CTE for the IVF oracles: rank `cents` cells per
+    * vector by cosine (ties by cell id), keep the best `keep`.
+    */
+  private[graft] def IvfAssignSql(cents: String, out: String, keep: Int, where: String = ""): String =
+    s"""$out AS (
+       |  SELECT vec_id, q, n, cell FROM (
+       |    SELECT e.vec_id, e.q, e.n, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * c.cv[i])) AS DOUBLE)
+       |               / (e.n * c.cn) DESC, c.cell) AS r
+       |    FROM nrm e CROSS JOIN $cents c $where
+       |  ) WHERE r <= $keep
+       |)""".stripMargin
+
+  /** One Lloyd step for the IVF oracle: per-cell per-dim mean of the
+    * `keep`=1 assignment `assigned`, re-quantized — mirrors
+    * SimilaritySearch.lloydStep (integer sums are exact in doubles, so
+    * the mean and its round are engine-identical).
+    */
+  private[graft] def IvfLloydSql(assigned: String, out: String): String =
+    s"""${out}_m AS (
+       |  SELECT cell, pos, CAST(round(avg(v)) AS BIGINT) AS mv
+       |  FROM (SELECT cell, unnest(q) AS v, unnest(range(1, 65)) AS pos FROM $assigned)
+       |  GROUP BY 1, 2
+       |),
+       |$out AS (
+       |  SELECT cell, cv,
+       |         sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)) AS cn
+       |  FROM (SELECT cell, list(mv ORDER BY pos) AS cv FROM ${out}_m GROUP BY cell)
+       |)""".stripMargin
+
+  /** MinHash-LSH near-dup pair CTE chain (ends in `lshpairs`) —
+    * mirrors graft.operators.Dedup.minhashLshPairs; shared by the q31
+    * and q47 oracles. Requires [[ShinglesSql]]'s `shingled`.
+    */
+  private[graft] val MinhashPairsSql =
+    s"""$ShinglesSql,
+       |sig AS (
+       |  SELECT id, j, min(md5(CAST(j AS VARCHAR) || ':' || s)) AS m
+       |  FROM (SELECT id, unnest(sh) AS s FROM shingled)
+       |  CROSS JOIN (SELECT unnest(range(1, 13)) AS j) seeds
+       |  GROUP BY id, j
+       |),
+       |banded AS (
+       |  SELECT id, (j - 1) // 4 AS band, md5(string_agg(m, '|' ORDER BY j)) AS bucket
+       |  FROM sig GROUP BY id, (j - 1) // 4
+       |),
+       |bsz AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS idA, b.id AS idB
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+       |  JOIN bsz ON bsz.band = a.band AND bsz.bucket = a.bucket
+       |   AND bsz.n <= ${graft.GraftConf.LshBucketCap}
+       |),
+       |verified AS (
+       |  SELECT c.idA, c.idB,
+       |         round(CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
+       |               / len(list_distinct(list_concat(sa.sh, sb.sh))), 3) AS jaccard
+       |  FROM cand c
+       |  JOIN shingled sa ON sa.id = c.idA
+       |  JOIN shingled sb ON sb.id = c.idB
+       |),
+       |lshpairs AS (SELECT idA, idB, jaccard FROM verified WHERE jaccard >= 0.8)""".stripMargin
+
+  /** `[257^15 mod 1e9+7, …, 257^0]` — the per-position weights of a
+    * 16-byte Rabin–Karp window, inlined into the q46 oracle so DuckDB
+    * needs no modpow.
+    */
+  private[graft] val RollingPowsSql: String = {
+    val arr = new Array[Long](16)
+    var p = 1L
+    var i = 15
+    while (i >= 0) { arr(i) = p; p = p * graft.functions.RollingMinHash.Base % graft.functions.RollingMinHash.Mod; i -= 1 }
+    arr.mkString("[", ", ", "]")
+  }
+
+  /** Deterministic 8-plane LSH bucketing of the quantized embeddings —
+    * mirrors graft.operators.SimilaritySearch.lshBucket. Requires the
+    * `nrm` CTE from [[EmbSql]].
+    */
+  private[graft] val LshSql =
+    """planes AS (
+      |  SELECT p, list_transform(range(1, 65), i ->
+      |           CASE WHEN substring(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)
+      |                     IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS sgn
+      |  FROM (SELECT unnest(range(1, 9)) AS p)
+      |),
+      |proj AS (
+      |  SELECT e.vec_id, pl.p,
+      |         CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * pl.sgn[i])) AS BIGINT) AS pr
+      |  FROM nrm e CROSS JOIN planes pl
+      |),
+      |bkt AS (
+      |  SELECT vec_id, string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+      |  FROM proj GROUP BY 1
+      |),
+      |withb AS (SELECT n.vec_id, n.q, n.n, b.bucket FROM nrm n JOIN bkt b USING (vec_id))""".stripMargin
+
+  /** DuckDB replica of [[graft.operators.Sampling.hashBucket]]: decode
+    * the first 6 hex nibbles of `md5Expr` positionally (DuckDB has no
+    * hex→int conv; ascii arithmetic is exact) and take mod 100.
+    */
+  private[graft] def HexBucketSql(md5Expr: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 7), i ->
+       |  (CASE WHEN ascii(substring($md5Expr, CAST(i AS INT), 1)) >= 97
+       |        THEN ascii(substring($md5Expr, CAST(i AS INT), 1)) - 87
+       |        ELSE ascii(substring($md5Expr, CAST(i AS INT), 1)) - 48 END)
+       |  * CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) % 100""".stripMargin
+
+  /** Positional hex decode of nibbles [start, start+len) (1-based) of
+    * `hexExpr` into a BIGINT — [[HexBucketSql]]'s ascii trick,
+    * generalized. Exact for len ≤ 13 (16^12 = 2^48 is an exact double
+    * and the sum stays under 2^53).
+    */
+  private[graft] def HexValSql(hexExpr: String, start: Int, len: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, $len), i ->
+       |  (CASE WHEN ascii(substring($hexExpr, CAST($start + i AS INT), 1)) >= 97
+       |        THEN ascii(substring($hexExpr, CAST($start + i AS INT), 1)) - 87
+       |        ELSE ascii(substring($hexExpr, CAST($start + i AS INT), 1)) - 48 END)
+       |  * CAST(pow(16, $len - 1 - i) AS BIGINT))) AS BIGINT)""".stripMargin
+
+  /** α·m² for the p=12 HLL estimator, computed in Scala with the same
+    * association as HllRegisters.estimate and serialized losslessly —
+    * the oracle parses the identical double back.
+    */
+  private[graft] val HllAlphaM2: String = {
+    val m = 4096.0
+    java.lang.Double.toString(0.7213 / (1 + 1.079 / m) * m * m)
+  }
+
+  /** Register-replay chain for the HLL oracle: rebuild
+    * [[graft.functions.HllSketch]]'s registers from md5(valueExpr)
+    * (idx = hex nibbles 1–3, 52-bit payload = nibbles 4–16, rank =
+    * 53 − bitlen) and evaluate the identical estimator — the harmonic
+    * denominator is the exact integer Σ2^(53−M) on both engines, so
+    * the doubles agree bit for bit. Ends in `<alias>_est(event_type,
+    * est)`.
+    */
+  private[graft] def HllChainSql(
+      alias: String,
+      valueExpr: String,
+      groupExpr: String = "event_type",
+      groupName: String = "event_type",
+      table: String = "events"): String =
+    s"""${alias}_h AS (
+       |  SELECT $groupExpr AS $groupName, md5(CAST($valueExpr AS VARCHAR)) AS hx FROM $table
+       |),
+       |${alias}_reg AS (
+       |  SELECT $groupName, idx,
+       |         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mr
+       |  FROM (
+       |    SELECT $groupName,
+       |           ${HexValSql("hx", 1, 3)} AS idx,
+       |           ${HexValSql("hx", 4, 13)} AS w
+       |    FROM ${alias}_h
+       |  )
+       |  GROUP BY 1, 2
+       |),
+       |${alias}_est AS (
+       |  SELECT $groupName,
+       |         CASE WHEN raw <= CAST(10240 AS DOUBLE) AND zeros > 0
+       |              THEN CAST(4096 AS DOUBLE)
+       |                   * ln(CAST(4096 AS DOUBLE) / CAST(zeros AS DOUBLE))
+       |              ELSE raw END AS est
+       |  FROM (
+       |    SELECT $groupName, 4096 - count(*) AS zeros,
+       |           $HllAlphaM2 / (CAST(
+       |             CAST(sum(CAST(pow(2, 53 - mr) AS HUGEINT)) AS HUGEINT)
+       |             + (4096 - count(*)) * CAST(pow(2, 53) AS HUGEINT)
+       |           AS DOUBLE) / CAST(pow(2, 53) AS DOUBLE)) AS raw
+       |    FROM ${alias}_reg GROUP BY 1
+       |  )
+       |)""".stripMargin
+
+  /** 8 chained synchronous PageRank rounds over preceding `edges` /
+    * `deg` / `nodes` / `nn` / `r0` CTEs — the oracle-side unroll of
+    * graft.operators.Graph.pageRank's driver loop.
+    */
+  private[graft] val PageRankItersSql: String = (1 to 8).map { i =>
+    s"""c$i AS (
+       |  SELECT e.dst AS id, sum(r.rank / d.deg) AS csum
+       |  FROM edges e JOIN r${i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+       |  GROUP BY 1
+       |),
+       |r$i AS (
+       |  SELECT n.id, (1 - 0.85) / nn.n + 0.85 * coalesce(c.csum, 0) AS rank
+       |  FROM nodes n CROSS JOIN nn LEFT JOIN c$i c USING (id)
+       |)""".stripMargin
+  }.mkString(",\n")
+
+  /** Per-document integer stats CTE `d` for the Gopher-rule oracles —
+    * mirrors graft.operators.TextAnalysis.gopherRules's inputs
+    * (word/alpha-word/symbol/stopword counts, all integer-exact).
+    */
+  private[graft] val GopherDocSql: String = {
+    val stopSum = graft.operators.TextAnalysis.GopherStopwords
+      .map(w => s"(CASE WHEN list_contains(string_split(text, ' '), '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""d AS (
+       |  SELECT doc_id, text, lang,
+       |         CASE WHEN len(text) = 0 THEN 0
+       |              ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS n,
+       |         CAST(len(text) AS BIGINT) AS l,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS aw,
+       |         CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS sym,
+       |         CAST($stopSum AS INT) AS sh
+       |  FROM documents
+       |)""".stripMargin
+  }
+
+  /** The composite Gopher pass predicate over [[GopherDocSql]]'s `d`,
+    * parameterized on the stopword threshold (q52 uses the paper's 2;
+    * q58's curation run relaxes to 1 — the synthetic corpus caps at 1).
+    */
+  private[graft] def gopherPassPred(minStop: Int): String =
+    s"""(n BETWEEN 30 AND 100000)
+       |         AND (n > 0 AND (l - (n - 1)) >= 3 * n AND (l - (n - 1)) <= 10 * n)
+       |         AND (aw * 10 >= n * 8) AND (sh >= $minStop) AND (sym * 10 <= l)""".stripMargin
+
+  /** Ontology-propagated ("indirect") evidence CTE: every evidence row
+    * copied to its disease's self+ancestors — mirrors
+    * graft.operators.OntologyPropagate over sources.Tables.ontology.
+    */
+  private[graft] val IndirectEvSql =
+    s"""${EvSql.replace("ev AS", "ev0 AS")},
+       |ont AS (
+       |  SELECT s.s_suppkey AS id,
+       |         list_distinct([CAST(s.s_suppkey AS BIGINT),
+       |          CAST(s.s_nationkey + 100 AS BIGINT),
+       |          CAST(n.n_regionkey + 200 AS BIGINT)]) AS nodes
+       |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |),
+       |ev AS (
+       |  SELECT unnest(o.nodes) AS diseaseId, e.targetId, e.datasourceId, e.score, e.year
+       |  FROM ev0 e JOIN ont o ON e.diseaseId = o.id
+       |)""".stripMargin
+
+  /** Per-(pair, datasource, year) cumulative harmonic score over
+    * whatever `ev` CTE precedes it, years 1995..2002 (2002 = undated
+    * surrogate), NULL score before first evidence. Mirrors
+    * graft.operators.AssociationScore.byDatasource.
+    */
+  private[graft] val BySourceTail =
+    s"""pairs AS (SELECT DISTINCT diseaseId, targetId, datasourceId FROM ev),
+       |years AS (SELECT CAST(unnest(range(1995, 2003)) AS INT) AS year),
+       |ranked AS (
+       |  SELECT p.diseaseId, p.targetId, p.datasourceId, y.year, e.score,
+       |         row_number() OVER (
+       |           PARTITION BY p.diseaseId, p.targetId, p.datasourceId, y.year
+       |           ORDER BY e.score DESC) AS rn
+       |  FROM pairs p CROSS JOIN years y
+       |  LEFT JOIN ev e ON e.diseaseId = p.diseaseId AND e.targetId = p.targetId
+       |    AND e.datasourceId = p.datasourceId AND e.year <= y.year
+       |),
+       |bysource AS (
+       |  SELECT diseaseId, targetId, datasourceId, year,
+       |         sum(score/(rn*rn)) / 1.6449340668482264 AS score
+       |  FROM ranked WHERE rn <= 50
+       |  GROUP BY 1, 2, 3, 4
+       |)""".stripMargin
+
+  private[graft] val BySourceSql = s"$EvSql,\n$BySourceTail"
+
+  /** Correlation summary + two-sided p over whatever `j` CTE of
+    * (yearA, yearB) matched pairs precedes it. Mirrors
+    * graft.operators.Rollups.correlate + functions.PearsonTwoSidedP:
+    * p derives from the PUBLISHED 2dp r via the A&S 26.7.3/26.7.4
+    * integer-df t-CDF recurrences, replayed here as recursive CTEs
+    * with the SAME left-associated double op order as the native
+    * expression's loops — change both together or the 4dp hashes
+    * drift. The enclosing query must open with WITH RECURSIVE.
+    */
+  /** CTE block of the correlation+p tail (everything before the final
+    * projection) — factored so q178 can reuse the chain as a CTE.
+    */
+  private[graft] val CorrPCtesSql =
+    """c0 AS (
+      |  SELECT datasourceIdA, datasourceIdB, CAST(count(*) AS BIGINT) AS n,
+      |         round(corr(CAST(yearA AS DOUBLE), CAST(yearB AS DOUBLE)), 2) AS r
+      |  FROM j GROUP BY 1, 2 HAVING count(*) >= 3
+      |),
+      |cb AS (
+      |  SELECT *, abs(r) AS rho, 1.0 - abs(r)*abs(r) AS c2, n - 2 AS df
+      |  FROM c0
+      |),
+      |pev AS (
+      |  SELECT datasourceIdA AS ia, datasourceIdB AS ib, CAST(1 AS BIGINT) AS k,
+      |         CAST(1.0 AS DOUBLE) AS term, CAST(1.0 AS DOUBLE) AS s,
+      |         df // 2 AS m, c2, rho
+      |  FROM cb WHERE r IS NOT NULL AND rho < 1.0 AND df % 2 = 0
+      |  UNION ALL
+      |  SELECT ia, ib, k + 1,
+      |         term * c2 * (2*k - 1) / (2*k),
+      |         s + term * c2 * (2*k - 1) / (2*k), m, c2, rho
+      |  FROM pev WHERE k <= m - 1
+      |),
+      |pod AS (
+      |  SELECT datasourceIdA AS ia, datasourceIdB AS ib, CAST(1 AS BIGINT) AS k,
+      |         sqrt(c2) AS u,
+      |         CASE WHEN df >= 3 THEN sqrt(c2) ELSE CAST(0.0 AS DOUBLE) END AS s,
+      |         (df - 3) // 2 AS mm, c2, rho
+      |  FROM cb WHERE r IS NOT NULL AND rho < 1.0 AND df % 2 = 1
+      |  UNION ALL
+      |  SELECT ia, ib, k + 1,
+      |         u * c2 * (2*k) / (2*k + 1),
+      |         s + u * c2 * (2*k) / (2*k + 1), mm, c2, rho
+      |  FROM pod WHERE k <= mm
+      |),
+      |pa AS (
+      |  SELECT ia, ib, rho * s AS av FROM pev WHERE k = m
+      |  UNION ALL
+      |  SELECT ia, ib, (2.0 / pi()) * (asin(rho) + rho * s) AS av
+      |  FROM pod WHERE k = greatest(mm + 1, CAST(1 AS BIGINT))
+      |)""".stripMargin
+
+  /** Final projection over [[CorrPCtesSql]]. */
+  private[graft] val CorrPSelectSql =
+    """SELECT b.datasourceIdA, b.datasourceIdB, b.n, b.r,
+      |       CASE WHEN b.r IS NULL THEN NULL
+      |            WHEN b.rho >= 1.0 THEN 0.0
+      |            ELSE round(greatest(0.0, 1.0 - pa.av), 4) END AS p_value
+      |FROM cb b LEFT JOIN pa ON pa.ia = b.datasourceIdA AND pa.ib = b.datasourceIdB""".stripMargin
+
+  private[graft] val CorrPTailSql = s"$CorrPCtesSql\n$CorrPSelectSql"
+
+  /** Weighted overall harmonic score per (pair, year), over the
+    * preceding `bysource` CTE.
+    */
+  private[graft] val OverallTail =
+    """weights(datasourceId, weight) AS (VALUES ('A', 1.0), ('N', 0.5), ('R', 0.2)),
+      |overall AS (
+      |  SELECT diseaseId, targetId, year,
+      |         sum(CASE WHEN rn <= 50 THEN wscore/(rn*rn) END) / 1.6449340668482264 AS score
+      |  FROM (
+      |    SELECT b.diseaseId, b.targetId, b.year, b.score * w.weight AS wscore,
+      |           row_number() OVER (
+      |             PARTITION BY b.diseaseId, b.targetId, b.year
+      |             ORDER BY b.score * w.weight DESC NULLS LAST) AS rn
+      |    FROM bysource b LEFT JOIN weights w USING (datasourceId)
+      |  )
+      |  GROUP BY 1, 2, 3
+      |)""".stripMargin
+
+  private[graft] val OverallSql = s"$BySourceSql,\n$OverallTail"
+
+  /** Novelty attachment over the preceding `overall` CTE + final
+    * projection — mirrors graft.operators.Novelty.attach.
+    */
+  /** Novelty-attached series as a reusable CTE chain ending in `att`
+    * (diseaseId, targetId, year, score 4dp, novelty 3dp) — shared by
+    * the q03/q10 tails and the q171 timeline pivot.
+    */
+  private[graft] val NoveltyCtesSql =
+    """peaks AS (
+      |  SELECT diseaseId, targetId, year AS peakYear,
+      |         coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
+      |           PARTITION BY diseaseId, targetId ORDER BY year) AS peak
+      |  FROM overall
+      |),
+      |decayed AS (
+      |  SELECT diseaseId, targetId, peakYear + d.delta AS year,
+      |         round(max(peak / (1 + exp(2.0 * (d.delta - 2.0)))), 3) AS novelty
+      |  FROM peaks CROSS JOIN (SELECT unnest(range(0, 11)) AS delta) d
+      |  WHERE peak > 0
+      |  GROUP BY 1, 2, 3
+      |),
+      |att AS (
+      |  SELECT o.diseaseId, o.targetId,
+      |         CASE WHEN o.year = 2002 THEN NULL ELSE o.year END AS year,
+      |         round(o.score, 4) AS score,
+      |         coalesce(n.novelty, 0.0) AS novelty
+      |  FROM overall o
+      |  LEFT JOIN decayed n
+      |    ON n.diseaseId = o.diseaseId AND n.targetId = o.targetId AND n.year = o.year
+      |)""".stripMargin
+
+  private[graft] val NoveltyTailSql =
+    s"""$NoveltyCtesSql
+       |SELECT * FROM att""".stripMargin
+
+
+  /** DuckDB replay of textToBmp + dhash ending in CTE
+    * `bits(doc_id, dhash_hi, dhash_lo)` - shared by q115/q179.
+    */
+  private[graft] val DhashBitsSql =
+    """b AS (
+        |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
+        |    ELSE length(text) END AS INT) AS n FROM documents
+        |),
+        |d AS (
+        |  SELECT doc_id, text, n, 8 + (n % 8) AS w, 8 + ((n // 8) % 8) AS h
+        |  FROM b
+        |),
+        |o AS (SELECT doc_id, text, n, w, h, unnest(range(0, 72)) AS p FROM d),
+        |m AS (
+        |  SELECT doc_id, text, n, CAST(p % 9 AS INT) AS x, CAST(p // 9 AS INT) AS y,
+        |         ((p // 9) * h // 8) * w + ((p % 9) * w // 9) AS k
+        |  FROM o
+        |),
+        |g AS (
+        |  SELECT doc_id, x, y,
+        |         (ascii(substring(text, CAST((3*k + 2) % n AS INT) + 1, 1))
+        |        + ascii(substring(text, CAST((3*k + 1) % n AS INT) + 1, 1))
+        |        + ascii(substring(text, CAST((3*k) % n AS INT) + 1, 1))) // 3 AS gray
+        |  FROM m
+        |),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |         CAST(sum(CASE WHEN nb.gray > a.gray AND a.y*8 + a.x >= 32
+        |             THEN CAST(pow(2, a.y*8 + a.x - 32) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS dhash_hi,
+        |         CAST(sum(CASE WHEN nb.gray > a.gray AND a.y*8 + a.x < 32
+        |             THEN CAST(pow(2, a.y*8 + a.x) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS dhash_lo
+        |  FROM g a JOIN g nb ON nb.doc_id = a.doc_id AND nb.y = a.y
+        |    AND nb.x = a.x + 1
+        |  WHERE a.x < 8
+        |  GROUP BY 1
+        |)""".stripMargin
+}

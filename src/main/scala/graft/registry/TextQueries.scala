@@ -1,0 +1,842 @@
+package graft
+
+import graft.operators._
+import graft.sources.{Io, Tables}
+import graft.streaming.{AssociationStream, EventStream, StreamQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryHelpers._
+
+/** Registry shard — text-corpus analysis: language-ID, quality, LM stats,
+  * keyword/IR scores (SURVEY.md family G, text side).
+  *
+  * Every query here has its DuckDB oracle co-located below with
+  * IDENTICAL column names (the driver contract; see SparkEntry).
+  */
+private[graft] object TextQueries {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q87_pii_redact" -> ((s, dir) => {
+      // PII detect + redact. The synthetic corpus carries no natural
+      // PII, so the query deterministically salts an email / IPv4 /
+      // phone span (gated on doc_id residues, values derived from
+      // doc_id) into each text — same pattern as q38/q67's payload
+      // synthesis — then the generic regex machinery must find and
+      // strip exactly those spans: the oracle replays the salting and
+      // the redaction, and the md5 of the redacted text mismatches on
+      // any span-boundary bug.
+      val t = Tables(s, dir)
+      val salted = t.documents.select(col("doc_id"), col("source"),
+        concat(
+          substring(col("text"), 1, 40), lit(" "),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("user"), (col("doc_id") % 100).cast("string"),
+              lit("@mail"), (col("doc_id") % 7).cast("string"),
+              lit(".example.com "))).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("10.0."), (col("doc_id") % 256).cast("string"),
+              lit("."), expr("(doc_id div 256) % 256").cast("string"),
+              lit(" "))).otherwise(lit("")),
+          when(col("doc_id") % 5 =!= 0,
+            concat(lit("415-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" "))).otherwise(lit("")),
+          expr("substring(text, 41)")).as("text"))
+      TextAnalysis.piiRedact(salted)
+        .select(col("doc_id"), col("source"),
+          col("n_email"), col("n_ip"), col("n_phone"),
+          md5(col("redacted")).as("redacted_md5"))
+    }),
+    "q146_bm25" -> ((s, dir) => {
+      // BM25 probe-query ranking: top-15 documents for a fixed 3-term
+      // query — in-row tf/dl, one-row broadcast corpus stats, zero
+      // wide shuffles, TakeOrdered final
+      val t = Tables(s, dir)
+      TextAnalysis.bm25(t.documents, Seq("spark", "stream", "vector"))
+    }),
+    "q148_chunk" -> ((s, dir) => {
+      // overlapping training/RAG chunks (50-word windows, 10-word
+      // overlap) — entirely in-row: split + sequence + slice, a
+      // map-only pass with zero exchanges
+      val t = Tables(s, dir)
+      TextAnalysis.chunkDocuments(t.documents, chunkSize = 50, overlap = 10)
+    }),
+    "q154_rrf" -> ((s, dir) => {
+      // reciprocal-rank fusion of a lexical ranking (tf of "spark")
+      // and a length ranking — both bounded top-50 TakeOrdered lists
+      // before the fuse, so the rank windows never see the corpus
+      val t = Tables(s, dir)
+      val byTf = t.documents.select(col("doc_id"),
+          size(filter(TextAnalysis.words(col("text")), x => x === lit("spark")))
+            .cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+      val byLen = t.documents.select(col("doc_id"),
+          col("n_chars").cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+      TextAnalysis.rrfFuse(Seq(byTf, byLen))
+    }),
+    "q155_mixture_entropy" -> ((s, dir) => {
+      // corpus-mixture diversity: source-distribution entropy and
+      // effective source count per language — two stacked map-side
+      // combined aggregates, floats only in the final ln/exp
+      val t = Tables(s, dir)
+      Rollups.mixtureEntropy(t.documents, Seq("lang"), "source")
+    }),
+    "q160_vocab_overlap" -> ((s, dir) => {
+      // pairwise source vocabulary Jaccard — distinct (cat, token)
+      // exchange, token-keyed self-join bounded by nSources² per
+      // token, broadcast sizes, inclusion-exclusion in exact ints
+      val t = Tables(s, dir)
+      TextAnalysis.vocabularyOverlap(t.documents)
+    }),
+    "q162_js_divergence" -> ((s, dir) => {
+      // pairwise source language divergence: JS over unigram
+      // distributions — inner join on shared tokens + one-row totals,
+      // single-only mass folded in closed form
+      val t = Tables(s, dir)
+      TextAnalysis.jsDivergence(t.documents)
+    }),
+    "q166_langid_confusion" -> ((s, dir) => {
+      // classifier evaluation: labeled-vs-predicted language confusion
+      // matrix with per-label shares — the eval loop for G7
+      val t = Tables(s, dir)
+      TextAnalysis.langId(t.documents)
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n").cast("double") /
+          sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lang")), 4))
+    }),
+    "q145_pmi_collocations" -> ((s, dir) => {
+      // multi-word expressions: top-20 adjacent pairs by PMI with
+      // support ≥ 5 — pair/unigram tables map-side combined, support
+      // filter before the probability joins, TakeOrdered final
+      val t = Tables(s, dir)
+      TextAnalysis.pmiCollocations(t.documents)
+    }),
+    "q142_lexical_cosine" -> ((s, dir) => {
+      // embedding-free near-dup discovery: TF-vector cosine ≥ 0.8 via
+      // a df-capped inverted index — integer dots from bounded posting
+      // lists, exact full-vector norms, rounded-boundary threshold
+      val t = Tables(s, dir)
+      TextAnalysis.lexicalCosinePairs(t.documents)
+    }),
+    "q141_bigram_lm" -> ((s, dir) => {
+      // conditional fluency scoring: self-trained Laplace bigram LM,
+      // mean surprisal per document — in-row pair construction, one
+      // corpus exchange shared by the model tables, pair-keyed joins
+      val t = Tables(s, dir)
+      TextAnalysis.bigramLm(t.documents)
+    }),
+    "q98_bpe_pairs" -> ((s, dir) => {
+      // BPE training inner loop: adjacent char-pair counts weighted by
+      // word frequency, computed over the distinct-word vocabulary
+      val t = Tables(s, dir)
+      TextAnalysis.bpePairCounts(t.documents, k = 20)
+    }),
+    "q36_langid" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextAnalysis.langId(t.documents)
+        .select("doc_id", "lang", "score_de", "score_en", "score_es", "score_fr", "lang_pred")
+    }),
+    "q37_quality" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextAnalysis.quality(TextAnalysis.tokens(t.documents))
+        .withColumn("n_bpe", TextAnalysis.bpeTokenCount(col("text")))
+        .withColumn("punct_ratio", TextAnalysis.punctRatio(col("text")))
+        .select("doc_id", "n_tokens", "n_bpe", "n_distinct", "avg_token_len",
+          "punct_ratio", "quality")
+    }),
+    "q46_rolling_fp" -> ((s, dir) => {
+      // shift-robust rolling-hash fingerprint (vs q30's whole-content
+      // md5): min Rabin-Karp hash over 16-byte windows
+      val t = Tables(s, dir)
+      t.documents.select(col("doc_id"),
+        graft.functions.rollingMinHash(col("text"), 16).as("rfp"))
+    }),
+    "q52_gopher_rules" -> ((s, dir) => {
+      // Gopher-style quality-filter flags, all integer-exact
+      val t = Tables(s, dir)
+      TextAnalysis.gopherRules(t.documents)
+        .select("doc_id", "n_words", "alpha_words", "stop_hits",
+          "ok_words", "ok_mean_len", "ok_alpha", "ok_stop", "ok_symbol",
+          "gopher_pass")
+    }),
+    "q53_repetition" -> ((s, dir) => {
+      // intra-doc repetition signals via the shuffle-free run-length fold
+      val t = Tables(s, dir)
+      TextAnalysis.repetition(t.documents)
+        .select("doc_id", "n_grams", "top_count", "dup_count",
+          "top_frac", "dup_frac")
+    }),
+    "q57_token_freq" -> ((s, dir) => {
+      // corpus vocabulary: top-100 words by frequency — partial (map-
+      // side) aggregation on the word key, then a TakeOrdered top-k,
+      // never a global sort
+      val t = Tables(s, dir)
+      t.documents
+        .select(explode(TextAnalysis.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(100)
+    }),
+    "q59_unigram_lm" -> ((s, dir) => {
+      // CCNet-style perplexity filter reduced to unigrams: train the
+      // corpus unigram LM and score every document's mean surprisal
+      // in one job (two keyed aggregations, word-keyed vocab join)
+      val t = Tables(s, dir)
+      TextAnalysis.unigramLm(t.documents)
+    }),
+    "q72_tfidf" -> ((s, dir) => {
+      // per-doc top-3 TF-IDF keywords — word-keyed df join, one-row
+      // broadcast doc count, per-doc window for the top-k
+      val t = Tables(s, dir)
+      TextAnalysis.tfidfTopK(t.documents)
+    }),
+    "q176_zipf" -> ((s, dir) => {
+      // G60 Zipf power-law fit of each source's vocabulary head:
+      // micro-nat integer logs into linearTrend's exact-sum machinery
+      val t = Tables(s, dir)
+      TextAnalysis.zipfFit(t.documents, maxRank = 200, minFreq = 2)
+    }),
+    "q183_calibration" -> ((s, dir) => {
+      // G62 filter-calibration curve: quality-score deciles × Gopher
+      // pass rate — the threshold-tuning reliability diagram for the
+      // quality filter; one map-side-combined aggregate over the
+      // per-doc scores, exact-integer mean quality per bin
+      val t = Tables(s, dir)
+      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
+      scored
+        .withColumn("bin", least(floor(col("quality") * 10).cast("int"), lit(9)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("quality") * 10000).cast("long")).as("_sq"),
+          sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_pass"))
+        .withColumn("mean_quality",
+          round(col("_sq").cast("double") / col("n").cast("double") / 10000.0, 4))
+        .withColumn("pass_rate",
+          round(col("n_pass").cast("double") / col("n").cast("double"), 4))
+        .drop("_sq")
+    }),
+    "q188_vocab_build" -> ((s, dir) => {
+      // G63 tokenizer vocab: top-500 tokens get dense ids in (freq
+      // desc, token) order + cumulative corpus coverage — TakeOrdered
+      // heap, windows only over the kept slice
+      val t = Tables(s, dir)
+      TextAnalysis.vocabBuild(t.documents)
+    }),
+    "q260_dataset_card" -> ((s, dir) => {
+      // G82 the release datasheet: size, languages, token mass,
+      // quality, Gopher pass rate, near-dup share — one row
+      val t = Tables(s, dir)
+      TextAnalysis.datasetCard(t.documents)
+    }),
+    "q258_readability" -> ((s, dir) => {
+      // G80 Flesch-style readability per doc (vowel-group syllable
+      // proxy) — the prose-complexity curation feature
+      val t = Tables(s, dir)
+      TextAnalysis.readability(t.documents)
+        .select(col("doc_id"), col("n_sentences"), col("n_words"),
+          col("n_syllables"), col("flesch"))
+    }),
+    "q252_rake" -> ((s, dir) => {
+      // G78 RAKE keyword extraction: top stopword-delimited phrases
+      // by degree/frequency word scores
+      val t = Tables(s, dir)
+      TextAnalysis.rakeKeywords(t.documents)
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q36_langid" ->
+      s"""WITH $LangPredSql
+         |SELECT doc_id, lang, score_de, score_en, score_es, score_fr, lang_pred
+         |FROM langpred""".stripMargin,
+    "q37_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w,
+        |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens,
+        |       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INT) AS n_bpe,
+        |       CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |                       / length(text), 4) END AS punct_ratio,
+        |       CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+        |       round(CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+        |       CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+        |                  + 300 * len(list_distinct(w))
+        |                  + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+        |                                    - len(list_filter(w, x -> x = 'a'))) AS BIGINT)
+        |              * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS DOUBLE) / 10000.0 AS quality
+        |FROM base""".stripMargin,
+    // Rolling-fingerprint replay: direct per-window polynomial sums
+    // with the Scala-precomputed 257^k mod 1e9+7 powers table — same
+    // residues as the engine's O(n) rolling recurrence.
+    "q46_rolling_fp" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text, CAST(length(text) AS INT) AS n FROM documents
+         |),
+         |wins AS (
+         |  SELECT doc_id, text, unnest(range(0, n - 15)) AS j FROM b WHERE n >= 16
+         |),
+         |hashes AS (
+         |  SELECT doc_id,
+         |         CAST(list_sum(list_transform(range(0, 16),
+         |           k -> CAST(ascii(substring(text, CAST(j + k + 1 AS INT), 1)) AS BIGINT)
+         |                * ($RollingPowsSql)[CAST(k + 1 AS INT)] % 1000000007))
+         |              % 1000000007 AS BIGINT) AS h
+         |  FROM wins
+         |),
+         |m AS (SELECT doc_id, min(h) AS rfp FROM hashes GROUP BY 1)
+         |SELECT b.doc_id, m.rfp FROM b LEFT JOIN m USING (doc_id)""".stripMargin,
+    // Gopher rules: every flag re-derived in the same INTEGER
+    // arithmetic, so booleans are exact in both engines.
+    "q52_gopher_rules" ->
+      s"""WITH $GopherDocSql
+         |SELECT doc_id, n AS n_words, aw AS alpha_words, sh AS stop_hits,
+         |       (n BETWEEN 30 AND 100000) AS ok_words,
+         |       (n > 0 AND (l - (n - 1)) >= 3 * n AND (l - (n - 1)) <= 10 * n) AS ok_mean_len,
+         |       (aw * 10 >= n * 8) AS ok_alpha,
+         |       (sh >= 2) AS ok_stop,
+         |       (sym * 10 <= l) AS ok_symbol,
+         |       (${gopherPassPred(2)}) AS gopher_pass
+         |FROM d""".stripMargin,
+    // Repetition replay via the naive explode→group-by formulation —
+    // the engine's shuffle-free run-length fold must agree exactly.
+    "q53_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2
+        |),
+        |c AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total, max(cnt) AS mx,
+        |         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(a.total, 0) AS n_grams,
+        |       coalesce(a.mx, 0) AS top_count,
+        |       coalesce(a.dup, 0) AS dup_count,
+        |       CASE WHEN coalesce(a.total, 0) = 0 THEN 0.0
+        |            ELSE CAST((a.mx * 20000 + a.total) // (a.total * 2) AS DOUBLE) / 10000 END AS top_frac,
+        |       CASE WHEN coalesce(a.total, 0) = 0 THEN 0.0
+        |            ELSE CAST((a.dup * 20000 + a.total) // (a.total * 2) AS DOUBLE) / 10000 END AS dup_frac
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+    "q57_token_freq" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    "q146_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |),
+        |t AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(w, x -> x = 'stream')) AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(w, x -> x = 'vector')) AS BIGINT) AS tf2
+        |  FROM d
+        |),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nd,
+        |         CAST(sum(dl) AS BIGINT) AS tdl,
+        |         CAST(count(CASE WHEN tf0 > 0 THEN 1 END) AS BIGINT) AS df0,
+        |         CAST(count(CASE WHEN tf1 > 0 THEN 1 END) AS BIGINT) AS df1,
+        |         CAST(count(CASE WHEN tf2 > 0 THEN 1 END) AS BIGINT) AS df2
+        |  FROM t
+        |),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(
+        |      (CASE WHEN tf0 > 0 THEN
+        |         ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+        |              / (CAST(df0 AS DOUBLE) + 0.5))
+        |         * CAST(tf0 AS DOUBLE) * 2.2
+        |         / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |             + 0.75 * CAST(dl AS DOUBLE)
+        |               / (CAST(tdl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        |       ELSE 0.0 END)
+        |      + (CASE WHEN tf1 > 0 THEN
+        |         ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+        |              / (CAST(df1 AS DOUBLE) + 0.5))
+        |         * CAST(tf1 AS DOUBLE) * 2.2
+        |         / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |             + 0.75 * CAST(dl AS DOUBLE)
+        |               / (CAST(tdl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        |       ELSE 0.0 END)
+        |      + (CASE WHEN tf2 > 0 THEN
+        |         ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+        |              / (CAST(df2 AS DOUBLE) + 0.5))
+        |         * CAST(tf2 AS DOUBLE) * 2.2
+        |         / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |             + 0.75 * CAST(dl AS DOUBLE)
+        |               / (CAST(tdl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        |       ELSE 0.0 END), 4) AS bm25
+        |  FROM t CROSS JOIN s
+        |)
+        |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+    "q162_js_divergence" ->
+      """WITH c AS (
+        |  SELECT cat, tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source AS cat, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |tt AS (SELECT cat, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY 1),
+        |p AS (SELECT c.cat, c.tok, CAST(c.c AS DOUBLE) / tt.t AS p
+        |      FROM c JOIN tt USING (cat)),
+        |j AS (
+        |  SELECT a.cat AS cat_a, b.cat AS cat_b, CAST(count(*) AS BIGINT) AS n_common,
+        |         sum(a.p * ln(2 * a.p / (a.p + b.p))) AS s1,
+        |         sum(b.p * ln(2 * b.p / (a.p + b.p))) AS s2,
+        |         sum(a.p) AS pm, sum(b.p) AS qm
+        |  FROM p a JOIN p b ON a.tok = b.tok AND a.cat < b.cat
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cat_a, cat_b, n_common,
+        |       round((s1 + ln(2) * (1 - pm)) / 2
+        |           + (s2 + ln(2) * (1 - qm)) / 2, 4) AS js
+        |FROM j""".stripMargin,
+    "q166_langid_confusion" ->
+      s"""WITH $LangPredSql,
+         |m AS (
+         |  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM langpred GROUP BY 1, 2
+         |)
+         |SELECT lang, lang_pred, n,
+         |       round(CAST(n AS DOUBLE)
+         |         / sum(n) OVER (PARTITION BY lang), 4) AS share
+         |FROM m""".stripMargin,
+    "q160_vocab_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT cat, tok FROM (
+        |    SELECT source AS cat, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |),
+        |sz AS (SELECT cat, CAST(count(*) AS BIGINT) AS sz FROM v GROUP BY 1),
+        |i AS (
+        |  SELECT a.cat AS cat_a, b.cat AS cat_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM v a JOIN v b USING (tok) WHERE a.cat < b.cat
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cat_a, cat_b, n_common,
+        |       round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) AS jaccard
+        |FROM i JOIN sz sa ON sa.cat = i.cat_a JOIN sz sb ON sb.cat = i.cat_b""".stripMargin,
+    "q154_rrf" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+        |           AS DOUBLE) AS s
+        |  FROM documents
+        |),
+        |ar AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        |  FROM a QUALIFY r <= 50
+        |),
+        |b AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS s FROM documents),
+        |br AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        |  FROM b QUALIFY r <= 50
+        |),
+        |u AS (SELECT * FROM ar UNION ALL SELECT * FROM br)
+        |SELECT doc_id, round(sum(1.0 / (r + 60)), 6) AS rrf,
+        |       CAST(count(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY 1
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "q155_mixture_entropy" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_cats,
+        |         CAST(sum(c) AS BIGINT) AS n_rows,
+        |         sum(CAST(c AS DOUBLE) * ln(c)) AS cl
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT lang, n_cats, n_rows,
+        |       round(ln(n_rows) - cl / n_rows, 4) AS entropy,
+        |       round(exp(ln(n_rows) - cl / n_rows), 4) AS eff_cats
+        |FROM m""".stripMargin,
+    "q148_chunk" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |),
+        |s AS (
+        |  SELECT doc_id, w, n, unnest(range(0, n, 40)) AS start FROM w
+        |)
+        |SELECT doc_id,
+        |       CAST(start // 40 AS INT) AS chunk_idx,
+        |       array_to_string(list_slice(w, start + 1, least(start + 50, n)), ' ')
+        |         AS chunk_text,
+        |       CAST(least(50, n - start) AS INT) AS n_tokens
+        |FROM s""".stripMargin,
+    "q145_pmi_collocations" ->
+      """WITH wd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |),
+        |bg AS (
+        |  SELECT w[i-1] AS p, w[i] AS c
+        |  FROM (SELECT w, unnest(range(2, len(w) + 1)) AS i FROM wd)
+        |),
+        |pr AS (
+        |  SELECT p, c, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |uni AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n_w
+        |  FROM (SELECT unnest(w) AS word FROM wd) GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT CAST(sum(len(w)) AS BIGINT) AS tw,
+        |         CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS tp
+        |  FROM wd
+        |)
+        |SELECT pr.p, pr.c, pr.n_ab,
+        |       round(ln(CAST(pr.n_ab AS DOUBLE) * tot.tw * tot.tw
+        |         / (CAST(tot.tp AS DOUBLE) * ua.n_w * ub.n_w)), 4) AS pmi
+        |FROM pr
+        |JOIN uni ua ON ua.word = pr.p
+        |JOIN uni ub ON ub.word = pr.c
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, pr.p, pr.c
+        |LIMIT 20""".stripMargin,
+    "q142_lexical_cosine" ->
+      s"""WITH $ShinglesSql,
+         |wd AS (SELECT id, unnest(sh) AS word FROM shingled),
+         |tf AS (SELECT id, word, CAST(count(*) AS BIGINT) AS tf FROM wd GROUP BY 1, 2),
+         |nrm AS (SELECT id, sum(tf*tf) AS n2 FROM tf GROUP BY 1),
+         |dfc AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |inv AS (
+         |  SELECT tf.id, tf.word, tf.tf FROM tf JOIN dfc USING (word)
+         |  WHERE df > 1 AND df <= 100
+         |),
+         |p AS (
+         |  SELECT a.id AS idA, b.id AS idB, sum(a.tf * b.tf) AS dot
+         |  FROM inv a JOIN inv b ON a.word = b.word AND a.id < b.id
+         |  GROUP BY 1, 2
+         |),
+        |c AS (
+        |  SELECT idA, idB, CAST(dot AS BIGINT) AS dot,
+        |         round(CAST(dot AS DOUBLE) /
+        |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) AS cos
+        |  FROM p JOIN nrm na ON na.id = p.idA JOIN nrm nb ON nb.id = p.idB
+        |)
+        |SELECT idA, idB, dot, cos FROM c WHERE cos >= 0.8""".stripMargin,
+    "q141_bigram_lm" ->
+      """WITH wd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id, w[i-1] AS p, w[i] AS c
+        |  FROM (SELECT doc_id, w, unnest(range(2, len(w) + 1)) AS i FROM wd)
+        |),
+        |tf AS (SELECT doc_id, p, c, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+        |pc AS (SELECT p, c, sum(tf) AS pc FROM tf GROUP BY 1, 2),
+        |ctx AS (SELECT p, sum(pc) AS ctx FROM pc GROUP BY 1),
+        |v AS (
+        |  SELECT count(DISTINCT word) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |)
+        |SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_pairs,
+        |       round(-sum(t.tf * ln(CAST(pc.pc + 1 AS DOUBLE)
+        |                / CAST(ctx.ctx + v.v AS DOUBLE))) / sum(t.tf), 4)
+        |         AS nll
+        |FROM tf t
+        |JOIN pc USING (p, c) JOIN ctx USING (p) CROSS JOIN v
+        |GROUP BY 1""".stripMargin,
+    // BPE-pair replay: same vocabulary-weighted adjacent-pair counts
+    // (substring(word, i, 2) for i in 1..len-1), top-20 by (n, pair).
+    "q98_bpe_pairs" ->
+      """WITH wf AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS wf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY 1
+        |),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(word)),
+        |           i -> substring(word, CAST(i AS INT), 2))) AS pair, wf
+        |  FROM wf
+        |)
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS n
+        |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "q59_unigram_lm" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |cf AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t FROM cf)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+        |       round(-sum(tf * ln(CAST(cf AS DOUBLE) / CAST(t AS DOUBLE)))
+        |             / CAST(sum(tf) AS DOUBLE), 4) AS nll
+        |FROM tf JOIN cf USING (word) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+    "q72_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, word,
+        |         tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN nd
+        |),
+        |rk AS (
+        |  SELECT doc_id, word,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INT) AS rank,
+        |         tfidf
+        |  FROM scored
+        |)
+        |SELECT doc_id, word, rank, round(tfidf, 4) AS tfidf FROM rk WHERE rank <= 3""".stripMargin,
+    // PII replay: identical salting, then the same three RE2 patterns
+    // applied in the same order (counts taken on the progressively-
+    // redacted text); DuckDB regexp_replace needs the explicit 'g'
+    // flag to match Spark's replace-all semantics.
+    "q87_pii_redact" ->
+      """WITH salted AS (
+        |  SELECT doc_id, source,
+        |    substring(text, 1, 40) || ' ' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      'user' || (doc_id % 100) || '@mail' || (doc_id % 7) || '.example.com '
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      '10.0.' || (doc_id % 256) || '.' || ((doc_id // 256) % 256) || ' '
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 <> 0 THEN
+        |      '415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+        |      ELSE '' END ||
+        |    substring(text, 41) AS text
+        |  FROM documents
+        |),
+        |r1 AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |         regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+        |  FROM salted
+        |),
+        |r2 AS (
+        |  SELECT doc_id, source, n_email,
+        |         CAST(len(regexp_extract_all(t,
+        |           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ip,
+        |         regexp_replace(t,
+        |           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t
+        |  FROM r1
+        |),
+        |r3 AS (
+        |  SELECT doc_id, source, n_email, n_ip,
+        |         CAST(len(regexp_extract_all(t,
+        |           '\b[0-9]{3}-([0-9]{3}-)?[0-9]{4}\b')) AS INT) AS n_phone,
+        |         regexp_replace(t,
+        |           '\b[0-9]{3}-([0-9]{3}-)?[0-9]{4}\b', '<PHONE>', 'g') AS t
+        |  FROM r2
+        |)
+        |SELECT doc_id, source, n_email, n_ip, n_phone, md5(t) AS redacted_md5
+        |FROM r3""".stripMargin,
+    // Zipf replay: same (freq DESC, word) total rank order, the same
+    // round(ln·10⁶) integerization, then q147's exact-sum closed form.
+    "q176_zipf" ->
+      """WITH vocab AS (
+        |  SELECT source, word, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |ranked AS (
+        |  SELECT source, n,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n DESC, word) AS rank
+        |  FROM vocab
+        |),
+        |pts AS (
+        |  SELECT source,
+        |         CAST(round(ln(rank) * 1000000) AS BIGINT) AS x,
+        |         CAST(round(ln(n) * 1000000) AS BIGINT) AS y
+        |  FROM ranked WHERE rank <= 200 AND n >= 2
+        |),
+        |m AS (
+        |  SELECT source,
+        |         CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(x) AS HUGEINT) AS sx,
+        |         CAST(sum(y) AS HUGEINT) AS sy,
+        |         CAST(sum(x*y) AS HUGEINT) AS sxy,
+        |         CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |         CAST(sum(y*y) AS HUGEINT) AS syy
+        |  FROM pts GROUP BY 1
+        |),
+        |f AS (
+        |  SELECT source, n,
+        |         n*sxy - sx*sy AS num,
+        |         n*sxx - sx*sx AS varx,
+        |         n*syy - sy*sy AS vary
+        |  FROM m WHERE n >= 2 AND n*sxx - sx*sx > 0
+        |)
+        |SELECT source, CAST(n AS BIGINT) AS n_points,
+        |       round(CAST(num AS DOUBLE) / CAST(varx AS DOUBLE), 4)
+        |         AS zipf_slope,
+        |       CASE WHEN vary > 0
+        |         THEN round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |                / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 4)
+        |       END AS r2
+        |FROM f""".stripMargin,
+    // Calibration replay: q37's exact-rational quality, q52's gopher
+    // predicate, decile binning, exact-integer mean per bin.
+    "q183_calibration" ->
+      s"""WITH $GopherDocSql,
+         |base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a')))
+         |               AS BIGINT)
+         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS DOUBLE)
+         |           / 10000.0 AS quality
+         |  FROM base
+         |),
+         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
+         |s AS (
+         |  SELECT CAST(least(CAST(floor(quality * 10) AS INT), 9) AS INT) AS bin,
+         |         quality, gopher_pass
+         |  FROM q JOIN g USING (doc_id)
+         |)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(count(CASE WHEN gopher_pass THEN 1 END) AS BIGINT) AS n_pass,
+         |       round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE) / 10000.0, 4) AS mean_quality,
+         |       round(CAST(count(CASE WHEN gopher_pass THEN 1 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 4) AS pass_rate
+         |FROM s GROUP BY 1""".stripMargin,
+    // Vocab-build replay: q57's tokenization; ids from the same
+    // (n desc, token) total order; coverage vs the FULL corpus total.
+    "q188_vocab_build" ->
+      """WITH f AS (
+        |  SELECT word AS token, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1
+        |),
+        |tot AS (SELECT sum(n) AS total FROM f),
+        |top AS (SELECT token, n FROM f ORDER BY n DESC, token LIMIT 500)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS token_id,
+        |       token, n,
+        |       round(CAST(sum(n) OVER (ORDER BY n DESC, token
+        |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |             / (SELECT total FROM tot), 6) AS coverage
+        |FROM top""".stripMargin,
+    // RAKE replay: same boundary-regex phrase split, same micro-unit
+    // word scores, same (score desc, phrase) top-k.
+    "q252_rake" ->
+      """WITH ph AS (
+        |  SELECT trim(p) AS phrase FROM (
+        |    SELECT unnest(string_split(
+        |             regexp_replace(lower(text),
+        |               '\b(the|be|to|of|and|that|have|with)\b', chr(1), 'g'),
+        |             chr(1))) AS p
+        |    FROM documents
+        |  ) WHERE trim(p) <> '' AND len(string_split(trim(p), ' ')) <= 4
+        |),
+        |w AS (
+        |  SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+        |         unnest(string_split(phrase, ' ')) AS word
+        |  FROM ph
+        |),
+        |st AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(sum(plen) AS BIGINT) AS deg
+        |  FROM w GROUP BY 1
+        |),
+        |wu AS (
+        |  SELECT word,
+        |         CAST(round(CAST(deg AS DOUBLE) / freq * 1e6) AS BIGINT) AS wu
+        |  FROM st
+        |),
+        |dp AS (
+        |  SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+        |  FROM (SELECT DISTINCT phrase FROM ph)
+        |),
+        |sc AS (
+        |  SELECT dp.phrase, CAST(sum(wu.wu) AS BIGINT) AS su,
+        |         CAST(count(*) AS BIGINT) AS n_words
+        |  FROM dp JOIN wu USING (word) GROUP BY 1
+        |),
+        |occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences FROM ph GROUP BY 1)
+        |SELECT occ.phrase, sc.n_words, occ.n_occurrences,
+        |       round(CAST(sc.su AS DOUBLE) / 1e6, 4) AS score
+        |FROM occ JOIN sc USING (phrase)
+        |ORDER BY score DESC, phrase LIMIT 30""".stripMargin,
+    // Readability replay: the same regex match counts (RE2-safe
+    // classes), identical score expression.
+    "q258_readability" ->
+      """SELECT doc_id,
+        |       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |         AS n_sentences,
+        |       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |         AS n_words,
+        |       CAST(greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1) AS BIGINT)
+        |         AS n_syllables,
+        |       CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 = 0 THEN NULL
+        |            ELSE round(206.835
+        |                 - 1.015 * (CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+        |                            / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+        |                 - 84.6 * (CAST(greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1) AS DOUBLE)
+        |                           / (length(text) - length(replace(text, ' ', '')) + 1)), 4)
+        |       END AS flesch
+        |FROM documents""".stripMargin,
+    // Dataset-card replay: the q37/q52 per-doc stats folded in one
+    // pass + the q31 pair pipeline's distinct ids.
+    "q260_dataset_card" ->
+      s"""WITH $MinhashPairsSql,
+         |$GopherDocSql,
+         |base AS (
+         |  SELECT doc_id, text, lang, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a')))
+         |               AS BIGINT)
+         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
+         |  FROM base
+         |),
+         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(DISTINCT b.lang) AS BIGINT) AS n_langs,
+         |         CAST(sum(length(b.text)) AS BIGINT) AS total_chars,
+         |         CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens,
+         |         CAST(sum(q.qi) AS BIGINT) AS sq,
+         |         CAST(count(CASE WHEN g.gopher_pass THEN 1 END) AS BIGINT) AS np
+         |  FROM base b JOIN q USING (doc_id) JOIN g USING (doc_id)
+         |),
+         |dup0 AS (SELECT idA AS id FROM lshpairs UNION SELECT idB FROM lshpairs),
+         |dup AS (SELECT CAST(count(*) AS BIGINT) AS ndup FROM dup0)
+         |SELECT n_docs, n_langs, total_chars, total_tokens,
+         |       round(CAST(sq AS DOUBLE) / n_docs / 10000.0, 4) AS mean_quality,
+         |       round(CAST(np AS DOUBLE) / n_docs, 4) AS gopher_pass_rate,
+         |       round(CAST(dup.ndup AS DOUBLE) / n_docs, 4) AS neardup_share
+         |FROM agg CROSS JOIN dup""".stripMargin,
+  )
+}
