@@ -19,6 +19,63 @@ object Dedup {
     */
   private val obsId = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Exact duplicated-substring spans (Lee et al. 2022's ExactSubstr
+    * pass, re-expressed for a shuffle engine): a token window of
+    * `minLen` words is DUPLICATED when its exact text occurs >= 2
+    * times in the corpus (any doc, including same-doc repeats);
+    * overlapping/adjacent duplicated windows merge into MAXIMAL
+    * per-document spans. This is the precision upgrade over
+    * [[spanCoverage]]'s shingle fraction: exact token offsets of
+    * every duplicated region >= minLen tokens, the spans the
+    * RefinedWeb/MassiveText exact-substring pass cuts out of
+    * training text. (A suffix array finds repeats of EVERY length;
+    * windowing at minLen finds exactly the regions covered by a
+    * duplicated minLen-gram — the same regions a >= minLen suffix-
+    * array cut removes, located distributedly.)
+    *
+    * Scale shape: windows are hashed doc-locally — text never leaves
+    * the scan; the (hash) exchange carries (id, pos, md5) only.
+    * Duplicate hashes come from a groupBy on the hash (map-side
+    * combine absorbs Zipf-hot boilerplate windows); the join back
+    * rides the same hash partitioning with AQE skew-split. Span
+    * merging is a per-doc gaps-and-islands window: an O(1)-state
+    * running max of window ends, then one (doc, island) combine.
+    *
+    * Output: (idCol, span_start, span_end, span_tokens) — token
+    * offsets, end EXCLUSIVE — one row per maximal duplicated span.
+    */
+  def exactDupSpans(
+      df: DataFrame,
+      minLen: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val wins = spread(df)
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= minLen)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__w")) - minLen),
+        i => md5(concat_ws(" ", slice(col("__w"), i + 1, lit(minLen)))))))
+      .select(col(idCol), col("pos").cast("long").as("__i"), col("col").as("__h"))
+    val dup = wins.groupBy("__h")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select("__h")
+    val byDoc = Window.partitionBy(idCol).orderBy(col("__i"))
+    val runMax = max(col("__i") + minLen)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    wins.join(dup, Seq("__h"))
+      .withColumn("__new",
+        when(runMax.isNull || col("__i") > runMax, 1L).otherwise(0L))
+      .withColumn("__isl",
+        sum(col("__new")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__i")).as("span_start"),
+        (max(col("__i")) + minLen).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
   /** Exact duplicate ranking by content hash: every row gets its
     * fingerprint, the number of copies, and a deterministic rank among
     * its copies (rank 1 = the keeper).

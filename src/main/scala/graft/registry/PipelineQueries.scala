@@ -529,6 +529,12 @@ private[graft] object PipelineQueries {
           col("n_parts").as("n_b"))), Seq("name_b"))
         .select(col("name_a"), col("name_b"), col("lev"), col("n_a"), col("n_b"))
     }),
+    "q269_exact_spans" -> ((s, dir) => {
+      // G85 exact duplicated-substring spans (Lee et al. 2022): maximal
+      // per-doc token regions covered by a corpus-duplicated 8-gram
+      val t = Tables(s, dir)
+      Dedup.exactDupSpans(t.documents)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1983,5 +1989,34 @@ private[graft] object PipelineQueries {
          |       round(CAST(count(ids.id) AS DOUBLE) / count(*), 4) AS dup_share
          |FROM documents d LEFT JOIN ids ON ids.id = d.doc_id
          |GROUP BY 1""".stripMargin,
+    // Exact-substring replay: same md5 8-gram windows, same >=2
+    // corpus-occurrence test, same gaps-and-islands span merge.
+    "q269_exact_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |         md5(array_to_string(toks[i+1:i+8], ' ')) AS h
+        |  FROM t, unnest(range(0, greatest(0, len(toks) - 8 + 1))) u(i)
+        |  WHERE len(toks) >= 8
+        |),
+        |d AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+        |hits AS (SELECT doc_id, i FROM w JOIN d USING (h)),
+        |m AS (
+        |  SELECT doc_id, i,
+        |         max(i + 8) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |  FROM hits
+        |),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |         sum(CASE WHEN runmax IS NULL OR i > runmax THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM m
+        |)
+        |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+        |       CAST(max(i) + 8 AS BIGINT) AS span_end,
+        |       CAST(max(i) + 8 - min(i) AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, isl""".stripMargin,
   )
 }

@@ -509,4 +509,58 @@ private[graft] object QueryHelpers {
         |  WHERE a.x < 8
         |  GROUP BY 1
         |)""".stripMargin
+
+  /** DuckDB replay of Bpe.train + Bpe.encode: unrolled greedy merge
+    * chain — v0 = char-wrapped word-frequency vocab; per iteration i:
+    * p{i} adjacent-pair counts, m{i} the argmax merge (count desc,
+    * left, right — binary order, matching Spark), v{i} the replaced
+    * vocab; enc0..enc{n} apply the same merges to whole documents
+    * (words joined by chr(4) so merges never span word boundaries).
+    * Ends in CTE `enc{n}(doc_id, text, e)`.
+    */
+  private[graft] def BpeChainSql(n: Int): String = {
+    val v0 =
+      """v0 AS MATERIALIZED (
+        |  SELECT array_to_string(list_transform(string_split_regex(word, ''),
+        |           c -> chr(2)||c||chr(3)), ' ') AS enc, cnt
+        |  FROM (
+        |    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |    WHERE word <> '' GROUP BY 1
+        |  )
+        |)""".stripMargin
+    val iters = (1 to n).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT string_split(enc, ' ') AS l, cnt FROM v${i - 1}),
+         |       unnest(range(1, len(l))) u(i)
+         |  GROUP BY 1, 2
+         |),
+         |m$i AS MATERIALIZED (
+         |  SELECT a || ' ' || b AS pat,
+         |         chr(2) || replace(replace(a || b, chr(2), ''), chr(3), '') || chr(3) AS rep
+         |  FROM p$i ORDER BY c DESC, a, b LIMIT 1
+         |),
+         |v$i AS MATERIALIZED (
+         |  SELECT replace(enc, (SELECT pat FROM m$i), (SELECT rep FROM m$i)) AS enc, cnt
+         |  FROM v${i - 1}
+         |)""".stripMargin
+    }
+    val enc0 =
+      """enc0 AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |         array_to_string(list_transform(string_split(text, ' '),
+        |           w -> array_to_string(list_transform(string_split_regex(w, ''),
+        |                  c -> chr(2)||c||chr(3)), ' ')), chr(4)) AS e
+        |  FROM documents
+        |)""".stripMargin
+    val encs = (1 to n).map { i =>
+      s"""enc$i AS MATERIALIZED (
+         |  SELECT doc_id, text,
+         |         replace(e, (SELECT pat FROM m$i), (SELECT rep FROM m$i)) AS e
+         |  FROM enc${i - 1}
+         |)""".stripMargin
+    }
+    (Seq(v0) ++ iters ++ Seq(enc0) ++ encs).mkString(",\n")
+  }
 }

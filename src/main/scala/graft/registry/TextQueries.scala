@@ -244,6 +244,14 @@ private[graft] object TextQueries {
       val t = Tables(s, dir)
       TextAnalysis.rakeKeywords(t.documents)
     }),
+    "q270_bpe_encode" -> ((s, dir) => {
+      // G86 BPE train + apply: 8 greedy merges learned on word
+      // frequencies, then EXACT per-doc token counts from the
+      // sequential-replay encoder (completes G32/G9 into a tokenizer)
+      val t = Tables(s, dir)
+      val merges = Bpe.train(t.documents, nMerges = 8)
+      Bpe.encode(t.documents, merges).select(col("doc_id"), col("n_bpe_tokens"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -838,5 +846,16 @@ private[graft] object TextQueries {
          |       round(CAST(np AS DOUBLE) / n_docs, 4) AS gopher_pass_rate,
          |       round(CAST(dup.ndup AS DOUBLE) / n_docs, 4) AS neardup_share
          |FROM agg CROSS JOIN dup""".stripMargin,
+    // BPE replay: the oracle re-TRAINS the same 8 merges (unrolled
+    // argmax CTEs, same count-desc/left/right tie-break) and re-applies
+    // them with the same wrapped-token replace semantics.
+    "q270_bpe_encode" ->
+      s"""WITH ${BpeChainSql(8)}
+         |SELECT doc_id,
+         |       CAST(CASE WHEN length(text) = 0 THEN 0
+         |            ELSE (length(e) - length(replace(e, ' ', '')))
+         |               + (length(e) - length(replace(e, chr(4), ''))) + 1 END
+         |         AS BIGINT) AS n_bpe_tokens
+         |FROM enc8""".stripMargin,
   )
 }

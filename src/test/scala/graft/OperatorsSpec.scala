@@ -2342,4 +2342,46 @@ class OperatorsSpec extends SparkSpec {
     // empty-on-one-side bins report NULL contributions, never ε
     assert(s.exists(r => r.isNullAt(r.fieldIndex("contrib"))))
   }
+
+  test("Dedup.exactDupSpans: duplicated windows merge to maximal spans") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, "aa bb " + shared + " cc dd"),
+      (2L, shared + " zz yy xx ww vv uu tt"),
+      (3L, "unique words only here nothing repeats at all beyond limits"),
+      // same-doc repeat: two identical 8-token runs, non-adjacent
+      (4L, (1 to 8).map(i => s"r$i").mkString(" ") + " gap " +
+        (1 to 8).map(i => s"r$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDupSpans(docs, minLen = 8).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    // doc1: the shared run sits at tokens [2, 14) — ONE maximal span
+    assert(byDoc(1L).toSeq == Seq((2L, 14L, 12L)))
+    // doc2: same run at [0, 12)
+    assert(byDoc(2L).toSeq == Seq((0L, 12L, 12L)))
+    // doc3: nothing duplicated
+    assert(!byDoc.contains(3L))
+    // doc4: the SAME-DOC repeat counts (corpus occurrences >= 2):
+    // spans [0, 8) and [9, 17), not merged across the gap token
+    assert(byDoc(4L).toSeq == Seq((0L, 8L, 8L), (9L, 17L, 8L)))
+  }
+
+  test("Bpe: greedy merge order, early stop, exact token counts") {
+    val docs = Seq((1L, "aa ab"), (2L, "aa aa ab"), (3L, "")).toDF("doc_id", "text")
+    // vocab: aa x3, ab x2 -> pairs (a,a):3 (a,b):2 -> merge 1 = (a,a)
+    // then ab still splits as [a, b] -> merge 2 = (a,b); no pairs left
+    val merges = Bpe.train(docs, nMerges = 4)
+    assert(merges == Seq(
+      ("\u0002a\u0003", "\u0002a\u0003"),
+      ("\u0002a\u0003", "\u0002b\u0003")))
+    val got = Bpe.encode(docs, merges).select("doc_id", "n_bpe_tokens")
+      .as[(Long, Long)].collect().toMap
+    // every word is one merged token; empty text is 0
+    assert(got == Map(1L -> 2L, 2L -> 3L, 3L -> 0L))
+    // with only the first merge applied, "ab" stays 2 tokens
+    val one = Bpe.encode(docs, merges.take(1)).select("doc_id", "n_bpe_tokens")
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 3L, 2L -> 4L, 3L -> 0L))
+  }
 }

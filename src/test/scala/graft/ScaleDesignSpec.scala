@@ -1603,4 +1603,45 @@ class ScaleDesignSpec extends SparkSpec {
       windows(q220).head.partitionSpec.exists(_.toString.contains("cohort_week")),
       "q220: exactly the cohort-partitioned cumulative window")
   }
+
+  test("round-9 operator plans honor their scale claims") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def exec(q: String) =
+      SparkEntry.queries(q)(spark, sfDir).queryExecution
+    def shuffles(qe: org.apache.spark.sql.execution.QueryExecution) =
+      helper.collect(qe.executedPlan) { case e: ShuffleExchangeExec => e }
+    def noCartesian(q: String, qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+      assert(helper.collect(qe.executedPlan) {
+        case j: CartesianProductExec => j
+      }.isEmpty, s"$q must not build a cartesian product")
+
+    // q269: hash-only exchanges (the window md5 is computed doc-locally
+    // before any shuffle), every window partitions on doc_id, and the
+    // whole chain is scan-spread + hash-agg + join-back + doc windows —
+    // never more than 5 exchanges, no pair blowup
+    val q269 = exec("q269_exact_spans")
+    noCartesian("q269_exact_spans", q269)
+    assert(shuffles(q269).size <= 5,
+      s"q269: expected <=5 exchanges, got ${shuffles(q269).size}")
+    val partitionless = q269.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(partitionless.isEmpty, "q269 windows must partition on doc_id")
+
+    // q270: training runs as its own vocabulary-sized jobs inside the
+    // query builder; the RETURNED encode plan is a pure per-row
+    // projection — zero shuffles, no window, no join
+    val q270 = exec("q270_bpe_encode")
+    noCartesian("q270_bpe_encode", q270)
+    q270.executedPlan // force planning
+    assert(shuffles(q270).isEmpty,
+      "q270 encode must be a shuffle-free projection")
+    assert(q270.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "q270 encode must not join or window")
+  }
 }
