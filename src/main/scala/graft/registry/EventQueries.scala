@@ -528,6 +528,30 @@ private[graft] object EventQueries {
         (day + col("l_quantity").cast("long")).as("e"))
       EventWindows.maxConcurrency(iv, Seq("l_suppkey"), "s", "e")
     }),
+    "q271_stream_full_outer" -> ((s, dir) => {
+      // H49 stream-stream FULL OUTER join end-to-end: purchase/click
+      // pairs PLUS unmatched rows from BOTH sides, null-extended by
+      // real watermark-driven state expiry. Registered slice = rows
+      // whose driving event time (l.ts, else r.ts — the range
+      // predicate forces r.ts <= l.ts on matches) is >= watermark +
+      // range behind both sides' max event time, so no micro-batch
+      // split can change any verdict and the batch full-join oracle
+      // gates it exactly.
+      val ev = StreamQueries.streamEvents(s, dir)
+      val out = StreamQueries.materialize(
+        EventStream.streamStreamFullJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          range = "1 hour", watermark = "1 hour"))
+      val t = Tables(s, dir)
+      val cut = t.events
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+        .agg((min("m") - 7200000000L).as("cut_us"))
+      out.crossJoin(broadcast(cut))
+        .filter(coalesce(col("l_ts_us"), col("r_ts_us")) <= col("cut_us"))
+        .select("user_id", "left_id", "right_id")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1592,5 +1616,24 @@ private[graft] object EventQueries {
         |)
         |SELECT user_id, n_events, round(mean / 1e6, 4) AS mean_gap_s, cv
         |FROM c WHERE cv <= 0.9""".stripMargin,
+    // FULL-outer replay of the q117 shape: both-side null emission,
+    // same watermark+range cut on the driving (left, else right) time.
+    "q271_stream_full_outer" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |),
+        |cut AS (
+        |  SELECT min(m) - 7200000000 AS c FROM (
+        |    SELECT event_type, max(epoch_us(ts)) AS m FROM ev
+        |    WHERE event_type IN ('purchase', 'click') GROUP BY 1)
+        |),
+        |l AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |r AS (SELECT * FROM ev WHERE event_type = 'click')
+        |SELECT coalesce(l.user_id, r.user_id) AS user_id,
+        |       l.event_id AS left_id, r.event_id AS right_id
+        |FROM l FULL JOIN r ON l.user_id = r.user_id
+        |  AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
+        |WHERE coalesce(epoch_us(l.ts), epoch_us(r.ts)) <= (SELECT c FROM cut)""".stripMargin,
   )
 }

@@ -237,6 +237,35 @@ object EventStream {
         col("l.event_id").as("left_id"), col("r.event_id").as("right_id"))
   }
 
+  /** Stream–stream FULL OUTER join — completes the H13/H19 join
+    * family: matched pairs emit eagerly; an unmatched row on EITHER
+    * side emits null-extended once the watermark proves no partner
+    * can still arrive (left holds `range + watermark` for a future
+    * right; right holds `range + watermark` for a future left —
+    * Spark derives both bounds from the range predicate and expires
+    * state accordingly). Both event times ride along so callers can
+    * slice to rows whose outer verdict is FINAL under any micro-batch
+    * split: since the range predicate forces r.ts <= l.ts, the row's
+    * driving time coalesce(l_ts, r_ts) at least `watermark + range`
+    * behind both sides' max event time settles every case.
+    */
+  def streamStreamFullJoin(
+      left: DataFrame,
+      right: DataFrame,
+      range: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      expr(s"""l.user_id = r.user_id AND
+               r.ts BETWEEN l.ts - INTERVAL $range AND l.ts"""),
+      "full_outer")
+      .select(coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
+        unix_micros(col("l.ts")).as("l_ts_us"),
+        unix_micros(col("r.ts")).as("r_ts_us"),
+        col("l.event_id").as("left_id"), col("r.event_id").as("right_id"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

@@ -331,4 +331,37 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq
     assert(got == want, "per-batch folds must equal the one-shot state")
   }
+
+  test("stream-stream FULL outer join emits null rows from BOTH sides on expiry") {
+    implicit val ctx = spark.sqlContext
+    val li = MemoryStream[EventStream.Event]
+    val ri = MemoryStream[EventStream.Event]
+    val out = EventStream.streamStreamFullJoin(li.toDF(), ri.toDF(),
+      range = "10 minutes", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("fullouter_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: matched pair; user 2: left only; user 3: right only
+      li.addData(
+        EventStream.Event(1, ts(10), 1, "purchase", 1.0),
+        EventStream.Event(2, ts(12), 2, "purchase", 1.0))
+      ri.addData(
+        EventStream.Event(10, ts(8), 1, "click", 1.0),
+        EventStream.Event(11, ts(9), 3, "click", 1.0))
+      q.processAllAvailable()
+      // push BOTH watermarks far past every hold (range + watermark)
+      li.addData(EventStream.Event(99, ts(600), 999, "purchase", 0.0))
+      ri.addData(EventStream.Event(98, ts(600), 998, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("fullouter_out")
+        .filter(org.apache.spark.sql.functions.col("user_id") < 100)
+        .select("user_id", "left_id", "right_id")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(got == Set((1L, 1L, 10L), (2L, 2L, -1L), (3L, -1L, 11L)),
+        s"matched + left-null + right-null expected, got $got")
+    } finally q.stop()
+  }
 }
