@@ -119,23 +119,41 @@ object Bench {
       "q03_novelty", "q04_novelty_datasource")
     // A failing query must NOT bench as green: record the error message
     // and report it in the JSON instead of a phantom wall time.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+      }
+    }
+    def minOf(runs: Seq[Either[String, Double]]): Either[String, Double] = {
+      val oks = runs.collect { case Right(s) => s }
+      if (oks.nonEmpty) Right(oks.min)
+      else Left(runs.collectFirst { case Left(m) => m }.getOrElse("unknown"))
+    }
+    // SPARK_GRAFT_BENCH_ONLY=q65_...,q66_... focuses the bench on a
+    // subset AND switches to INTERLEAVED rounds — each rep times every
+    // query once, so a contention window hits all of them equally
+    // (BASELINE.md's min-of-6 interleaved comparison rule).
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
-        val n = if (headline(name)) math.max(reps, 6) else reps
-        val runs: Seq[Either[String, Double]] = (1 to n).map { _ =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).count()
-            Right((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              Left(Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
-          }
+      if (only.nonEmpty) {
+        val sel = SparkEntry.queries.toSeq.filter { case (n, _) => only(n) }
+        val rounds = (1 to math.max(reps, 6)).map { _ =>
+          sel.map { case (name, fn) => name -> timeOnce(fn) }
         }
-        val oks = runs.collect { case Right(s) => s }
-        name -> (if (oks.nonEmpty) Right(oks.min)
-                 else Left(runs.collectFirst { case Left(m) => m }.getOrElse("unknown")))
+        sel.map { case (name, _) =>
+          name -> minOf(rounds.map(_.toMap.apply(name)))
+        }
+      } else SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val n = if (headline(name)) math.max(reps, 6) else reps
+        name -> minOf((1 to n).map(_ => timeOnce(fn)))
       }
     // The driver keeps only the LAST 2000 chars of output, and sbt's
     // trailing "[success] Total time ..." line lands after ours inside

@@ -1644,4 +1644,63 @@ class ScaleDesignSpec extends SparkSpec {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }.isEmpty, "q270 encode must not join or window")
   }
+
+  test("z-order write path: real parquet files prune on a 2-D range read (sf0.1)") {
+    import graft.operators.Layout
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    // real data, real files: events sf0.1 written twice — arrival order
+    // (append-only ingest) vs z-ordered on (user_id, day) — then read
+    // back through the normal parquet scan with a 2-D box predicate.
+    // The claim I22/I11 simulate must hold on disk: footer min/max
+    // stats let the z-ordered layout skip most row groups.
+    val ev = Tables(spark, "/root/testdata/sf0.1").events
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val base = graft.Scratch.dir("zorder-it")
+    ev.repartitionByRange(32, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(s"$base/arrival")
+    val bits = 16 // user_id < 2^16 and epoch-day < 2^16 both hold
+    ev.withColumn("__z", Layout.zValue(col("user_id"), col("day"), bits))
+      .repartitionByRange(32, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(s"$base/zorder")
+    def scan(path: String, pred: org.apache.spark.sql.Column): (Long, Long, String) = {
+      val df = spark.read.parquet(path).filter(pred)
+      val matched = df.collect().length.toLong
+      val s = helper.collect(df.queryExecution.executedPlan) {
+        case f: FileSourceScanExec => f
+      }.head
+      (matched, s.metrics("numOutputRows").value, s.metadata("PushedFilters"))
+    }
+    // THE query arrival order cannot prune: a user range with no time
+    // bound (arrival files are time runs, every one holds all users)
+    val userBox = col("user_id") >= 100 && col("user_id") <= 299
+    val (na, rowsArrival, pushedA) = scan(s"$base/arrival", userBox)
+    val (nz, rowsZ, pushedZ) = scan(s"$base/zorder", userBox)
+    // identical result set size either way
+    assert(na == nz && na > 0, s"layouts must agree: $na vs $nz")
+    // the predicate must actually reach the parquet reader
+    assert(pushedA.contains("GreaterThanOrEqual(user_id") &&
+      pushedZ.contains("GreaterThanOrEqual(user_id"), s"pushdown lost: $pushedZ")
+    // arrival reads essentially the whole corpus; z-order's footer
+    // stats must skip at least half of it on the user dimension alone
+    assert(rowsArrival > 90000L,
+      s"arrival layout should be unprunable on user_id: $rowsArrival")
+    assert(rowsZ * 2 < rowsArrival,
+      s"z-order must halve the scanned rows: z=$rowsZ arrival=$rowsArrival")
+    // and a 2-D box must never scan MORE than the best 1-D layout:
+    // arrival prunes it on day (time-run files), z-order on both dims
+    val r = ev.agg(min("day"), max("day")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val box2d = userBox &&
+      col("day") >= lo + (hi - lo) / 3 && col("day") <= lo + (hi - lo) / 2
+    val (na2, rows2dArrival, _) = scan(s"$base/arrival", box2d)
+    val (nz2, rows2dZ, _) = scan(s"$base/zorder", box2d)
+    assert(na2 == nz2, s"2-D layouts must agree: $na2 vs $nz2")
+    assert(rows2dZ <= rows2dArrival,
+      s"2-D box: z=$rows2dZ must not scan more than arrival=$rows2dArrival")
+  }
 }
