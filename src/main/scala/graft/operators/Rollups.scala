@@ -1296,6 +1296,54 @@ object Rollups {
           when(col("__m1") === 0, lit(null)).otherwise(col("__m1")), 4).as("mde_rel"))
   }
 
+  /** Holt linear-trend (double exponential smoothing) one-step
+    * backtest — the trend-aware upgrade of D18's EWMA backtest: state
+    * (level, trend) with alpha = beta = 1/2, forecast f_t = l + b,
+    * then l' = floor((y_t + f_t)/2), b' = floor(((l' - l) + b)/2).
+    *
+    * Determinism: the whole recursion runs in INTEGER micro-units
+    * with floor-of-double halving (micro values < 2^52, so the
+    * double division is exact and floor() agrees in any engine — no
+    * div/% sign traps, no float drift); absolute errors sum as exact
+    * longs; the two outputs are one 4dp division each.
+    *
+    * Scale shape: one (keys) combine collects each series (keyed
+    * series are DIM-BOUNDED by contract — day-grain rows per key,
+    * same bound as every D-family series op), and the fold runs
+    * in-row over the sorted array: no window, no join, no second
+    * exchange. Init: l = y_1, b = 0; keys with < 2 points drop.
+    *
+    * Output: (keys..., n_forecasts, mae, forecast_next).
+    */
+  def holtBacktest(
+      series: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    series
+      .select(keys.map(col) :+
+        struct(col(xCol).as("x"),
+          (round(col(yCol)).cast("long") * 1000000L).as("yu")).as("__p"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+      .filter(size(col("__ps")) >= 2)
+      .withColumn("__st", expr(
+        """aggregate(
+          |  transform(slice(__ps, 2, size(__ps) - 1), p -> p.yu),
+          |  named_struct(
+          |    'l', element_at(__ps, 1).yu, 'b', 0L, 'se', 0L, 'n', 0L),
+          |  (a, yu) -> named_struct(
+          |    'l', CAST(floor((yu + a.l + a.b) / 2.0) AS BIGINT),
+          |    'b', CAST(floor(((CAST(floor((yu + a.l + a.b) / 2.0) AS BIGINT)
+          |                      - a.l) + a.b) / 2.0) AS BIGINT),
+          |    'se', a.se + abs(yu - a.l - a.b),
+          |    'n', a.n + 1L))""".stripMargin))
+      .select(keys.map(col) ++ Seq(
+        col("__st.n").as("n_forecasts"),
+        round(d(col("__st.se")) / col("__st.n") / 1e6, 4).as("mae"),
+        round(d(col("__st.l") + col("__st.b")) / 1e6, 4).as("forecast_next")): _*)
+  }
   /** One-step-ahead EWMA forecast backtest per keyed series — the
     * forecast-skill report for D6's half-life smoother: predict each
     * point from the EWMA of everything BEFORE it, then score MAE and
@@ -2151,6 +2199,57 @@ object Rollups {
         .as("z"))
   }
 
+  /** Krippendorff's alpha for BINARY ratings, any number of raters
+    * per unit, missing data handled the canonical way (units with
+    * fewer than 2 ratings drop; raters need not overlap) — the
+    * agreement coefficient that subsumes F54's kappa when annotator
+    * coverage is ragged, which is what real labeling projects have.
+    *
+    * alpha = 1 − Do/De over the coincidence matrix: per unit with c
+    * ratings and s ones, the 0–1 coincidence contribution is
+    * 2·s·(c−s)/(c−1); De pools marginals n0·n1. Determinism: each
+    * unit's contribution quantizes to integer micro-units (1e-6,
+    * half-up) BEFORE the corpus sum — no float fold-order dependence
+    * — and marginal products run in decimal(38,0) (the corpus-moment
+    * contract). One (unit) combine + one global aggregate.
+    *
+    * Output: one row (n_units, n_ratings, do_rate, de_rate, alpha).
+    */
+  def krippendorffAlpha(
+      ratings: DataFrame,
+      itemCol: String,
+      ratingCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = (c: Column) => c.cast("double")
+    val units = ratings
+      .filter(col(ratingCol).isNotNull)
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(ratingCol) =!= 0, 1L).otherwise(0L)).as("__s"))
+      .filter(col("__c") >= 2)
+      .withColumn("__o01u",
+        round(lit(2.0) * col("__s") * (col("__c") - col("__s"))
+          / (col("__c") - 1) * 1e6).cast("long"))
+    units
+      .agg(
+        count(lit(1)).as("n_units"),
+        sum(col("__c")).as("n_ratings"),
+        sum(col("__s")).as("__n1"),
+        sum(col("__o01u")).as("__o01"))
+      .withColumn("__n0", col("n_ratings") - col("__n1"))
+      .withColumn("do_rate",
+        round(d(col("__o01")) / 1e6 / col("n_ratings"), 4))
+      .withColumn("de_rate", round(
+        lit(2.0) * d(col("__n0").cast(dec) * col("__n1").cast(dec))
+          / d(col("n_ratings").cast(dec) * (col("n_ratings") - 1).cast(dec)), 4))
+      .withColumn("alpha",
+        when(col("__n0") === 0 || col("__n1") === 0, lit(null))
+          .otherwise(round(lit(1.0) -
+            (d(col("__o01")) / 1e6) * (col("n_ratings") - 1)
+              / (lit(2.0) * d(col("__n0").cast(dec) * col("__n1").cast(dec))), 4)))
+      .select(col("n_units"), col("n_ratings"), col("do_rate"),
+        col("de_rate"), col("alpha"))
+  }
   /** Cohen's kappa between two binary judges — chance-corrected
     * agreement (Cohen 1960): κ = (p_o − p_e)/(1 − p_e). The question
     * two quality filters, two annotators, or a filter-vs-gold pair

@@ -250,6 +250,34 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Blocklist term matching — the policy-filter stage every corpus
+    * release runs (banned terms, canary strings, licensing markers):
+    * per-document hit counts against a term table. Scale shape: the
+    * exploded word stream joins the BROADCAST term dim (no corpus
+    * shuffle keyed on text), collapses to one row per flagged doc,
+    * and attaches back id-keyed; clean docs pay one broadcast probe
+    * per word and nothing else.
+    *
+    * Output: input columns + (n_hits, n_terms, flagged).
+    */
+  def blocklistHits(
+      df: DataFrame,
+      terms: DataFrame,
+      termCol: String = "term",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val hits = spread(df)
+      .select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .join(broadcast(terms.select(col(termCol).as("__w")).distinct()), Seq("__w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("__w")).as("n_terms"))
+    df.join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("n_terms", coalesce(col("n_terms"), lit(0L)))
+      .withColumn("flagged", col("n_hits") > 0)
+  }
+
   /** Gopher-style quality-filter rules (Rae et al. 2021 §A1.1), each as
     * a per-document flag plus the composite `gopher_pass`:
     *

@@ -415,6 +415,17 @@ private[graft] object RefQueries {
         .agg(count(lit(1)).as("n"))
       Rollups.durbinWatson(series, Seq("datasourceId"), "year", "n")
     }),
+    "q272_holt_backtest" -> ((s, dir) => {
+      // D21 Holt linear-trend one-step backtest per event type: the
+      // trend-aware upgrade of D18's EWMA MAE, integer micro-unit
+      // floor-halving recursion folded in-row over each daily series
+      val t = Tables(s, dir)
+      val series = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      Rollups.holtBacktest(series, Seq("event_type"), "day", "y")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1289,5 +1300,32 @@ private[graft] object RefQueries {
         |       round(CAST(r.rr AS DOUBLE) / 1e6, 4) AS resid
         |FROM r JOIN sd USING (event_type)
         |WHERE sd.sd4 > 0 AND abs(round(CAST(r.rr AS DOUBLE) / 1e6, 4)) > 2.0 * sd.sd4""".stripMargin,
+    // Holt replay: same ordered fold via list_reduce, same integer
+    // micro-unit floor-halving state, same 4dp outputs.
+    "q272_holt_backtest" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) * 1000000 AS yu
+        |  FROM events GROUP BY 1, 2
+        |),
+        |l AS (SELECT event_type, list(yu ORDER BY day) AS ys FROM s GROUP BY 1),
+        |f AS (
+        |  SELECT event_type,
+        |         list_reduce(
+        |           list_transform(ys, y -> [y, CAST(0 AS BIGINT),
+        |                                    CAST(0 AS BIGINT), CAST(0 AS BIGINT)]),
+        |           (a, x) -> [
+        |             CAST(floor((x[1] + a[1] + a[2]) / 2.0) AS BIGINT),
+        |             CAST(floor(((CAST(floor((x[1] + a[1] + a[2]) / 2.0) AS BIGINT)
+        |                          - a[1]) + a[2]) / 2.0) AS BIGINT),
+        |             a[3] + abs(x[1] - a[1] - a[2]),
+        |             a[4] + 1]) AS st
+        |  FROM l WHERE len(ys) >= 2
+        |)
+        |SELECT event_type, st[4] AS n_forecasts,
+        |       round(CAST(st[3] AS DOUBLE) / st[4] / 1e6, 4) AS mae,
+        |       round(CAST(st[1] + st[2] AS DOUBLE) / 1e6, 4) AS forecast_next
+        |FROM f""".stripMargin,
   )
 }

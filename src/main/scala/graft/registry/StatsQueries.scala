@@ -490,6 +490,16 @@ private[graft] object StatsQueries {
       val t = Tables(s, dir)
       Rollups.mannWhitney(t.events, "event_type", "value", "click", "view")
     }),
+    "q273_krippendorff" -> ((s, dir) => {
+      // F57 Krippendorff's alpha: do a user's repeated events agree on
+      // high-value status — binary, ragged ratings-per-unit, units
+      // with < 2 ratings excluded
+      val t = Tables(s, dir)
+      val ratings = t.events.filter(col("value").isNotNull)
+        .select(col("user_id"),
+          when(col("value") >= 50, 1L).otherwise(0L).as("r"))
+      Rollups.krippendorffAlpha(ratings, "user_id", "r")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2230,5 +2240,37 @@ private[graft] object StatsQueries {
          |       round(1.0 - brier
          |             / CASE WHEN brier_ref = 0 THEN NULL ELSE brier_ref END, 4) AS skill
          |FROM r""".stripMargin,
+    // Krippendorff replay: same per-unit micro-unit coincidence
+    // quantization, HUGEINT marginal products, same exclusions.
+    "q273_krippendorff" ->
+      """WITH r AS (
+        |  SELECT user_id, CASE WHEN value >= 50 THEN 1 ELSE 0 END AS r
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c, CAST(sum(r) AS BIGINT) AS s
+        |  FROM r GROUP BY 1 HAVING count(*) >= 2
+        |),
+        |q AS (
+        |  SELECT c, s,
+        |         CAST(round(2.0 * s * (c - s) / (c - 1) * 1e6) AS BIGINT) AS o01u
+        |  FROM u
+        |),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |         CAST(sum(c) AS BIGINT) AS n_ratings,
+        |         CAST(sum(s) AS BIGINT) AS n1,
+        |         CAST(sum(o01u) AS BIGINT) AS o01
+        |  FROM q
+        |)
+        |SELECT n_units, n_ratings,
+        |       round(CAST(o01 AS DOUBLE) / 1e6 / n_ratings, 4) AS do_rate,
+        |       round(2.0 * CAST(CAST(n_ratings - n1 AS HUGEINT) * CAST(n1 AS HUGEINT) AS DOUBLE)
+        |             / CAST(CAST(n_ratings AS HUGEINT) * CAST(n_ratings - 1 AS HUGEINT) AS DOUBLE), 4) AS de_rate,
+        |       CASE WHEN n1 = 0 OR n_ratings = n1 THEN NULL
+        |            ELSE round(1.0 - (CAST(o01 AS DOUBLE) / 1e6) * (n_ratings - 1)
+        |                 / (2.0 * CAST(CAST(n_ratings - n1 AS HUGEINT) * CAST(n1 AS HUGEINT) AS DOUBLE)), 4)
+        |       END AS alpha
+        |FROM t""".stripMargin,
   )
 }

@@ -252,6 +252,15 @@ private[graft] object TextQueries {
       val merges = Bpe.train(t.documents, nMerges = 8)
       Bpe.encode(t.documents, merges).select(col("doc_id"), col("n_bpe_tokens"))
     }),
+    "q274_blocklist" -> ((s, dir) => {
+      // G87 blocklist term filter: per-doc hit counts against a policy
+      // term table via broadcast probe on the exploded word stream
+      val t = Tables(s, dir)
+      import s.implicits._
+      val terms = Seq("slow", "error", "merge").toDF("term")
+      TextAnalysis.blocklistHits(t.documents, terms)
+        .select(col("doc_id"), col("n_hits"), col("n_terms"), col("flagged"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -857,5 +866,21 @@ private[graft] object TextQueries {
          |               + (length(e) - length(replace(e, chr(4), ''))) + 1 END
          |         AS BIGINT) AS n_bpe_tokens
          |FROM enc8""".stripMargin,
+    // Blocklist replay: same word split, same term table, same
+    // left-join-back zero fill.
+    "q274_blocklist" ->
+      """WITH terms(term) AS (VALUES ('slow'), ('error'), ('merge')),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |),
+        |h AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |         CAST(count(DISTINCT w) AS BIGINT) AS n_terms
+        |  FROM w JOIN terms ON w = term GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |       coalesce(h.n_terms, 0) AS n_terms,
+        |       coalesce(h.n_hits, 0) > 0 AS flagged
+        |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin,
   )
 }

@@ -2384,4 +2384,45 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(one == Map(1L -> 3L, 2L -> 4L, 3L -> 0L))
   }
+
+  test("Rollups.holtBacktest: flat series forecasts exactly; trend is tracked") {
+    val flat = (0L until 10L).map(d => ("a", d, 10.0)).toDF("k", "x", "y")
+    val f = Rollups.holtBacktest(flat, Seq("k"), "x", "y").collect().head
+    assert(f.getLong(f.fieldIndex("n_forecasts")) == 9L)
+    assert(f.getDouble(f.fieldIndex("mae")) == 0.0)
+    assert(f.getDouble(f.fieldIndex("forecast_next")) == 10.0)
+    // a clean linear ramp: the trend state locks on and the one-step
+    // MAE stays well under the naive (last-value) error of 1.0
+    val ramp = (0L until 20L).map(d => ("a", d, d.toDouble)).toDF("k", "x", "y")
+    val r = Rollups.holtBacktest(ramp, Seq("k"), "x", "y").collect().head
+    assert(r.getDouble(r.fieldIndex("mae")) < 0.6)
+    assert(math.abs(r.getDouble(r.fieldIndex("forecast_next")) - 20.0) < 1.0)
+  }
+
+  test("Rollups.krippendorffAlpha: perfect agreement 1.0, systematic disagreement negative") {
+    val perfect = Seq(("u1", 1L), ("u1", 1L), ("u2", 0L), ("u2", 0L),
+      ("u3", 1L), ("u3", 1L), ("u3", 1L), ("lonely", 1L))
+      .toDF("item", "r")
+    val p = Rollups.krippendorffAlpha(perfect, "item", "r").collect().head
+    assert(p.getLong(p.fieldIndex("n_units")) == 3L) // lonely excluded
+    assert(p.getLong(p.fieldIndex("n_ratings")) == 7L)
+    assert(p.getDouble(p.fieldIndex("do_rate")) == 0.0)
+    assert(p.getDouble(p.fieldIndex("alpha")) == 1.0)
+    val disagree = Seq(("u1", 0L), ("u1", 1L), ("u2", 1L), ("u2", 0L))
+      .toDF("item", "r")
+    val d = Rollups.krippendorffAlpha(disagree, "item", "r").collect().head
+    // Do = 1, De = 2*2*2/(4*3) = 2/3 -> alpha = 1 - 3/2 = -0.5
+    assert(d.getDouble(d.fieldIndex("alpha")) == -0.5)
+  }
+
+  test("TextAnalysis.blocklistHits: counts with multiplicity, zero-fills clean docs") {
+    val docs = Seq((1L, "bad stuff bad things"), (2L, "all clean here"))
+      .toDF("doc_id", "text")
+    val terms = Seq("bad", "stuff", "absent").toDF("term")
+    val out = TextAnalysis.blocklistHits(docs, terms)
+      .select("doc_id", "n_hits", "n_terms", "flagged").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((3L, 2L, true)))
+    assert(out(2L) == ((0L, 0L, false)))
+  }
 }
