@@ -2199,6 +2199,82 @@ object Rollups {
         .as("z"))
   }
 
+  /** Always-valid inference: mixture SPRT (mSPRT) daily p-value
+    * sequence for a two-arm mean difference (Johari et al. 2017) —
+    * the sequential-testing upgrade of F13's fixed-horizon z-test: a
+    * p_t you may peek at EVERY day and stop the moment it crosses,
+    * without inflating false positives. Lambda_t =
+    * sqrt(s2d/(s2d+tau2)) * exp(d_t^2*tau2/(2*s2d*(s2d+tau2))) with
+    * s2d = pooled-var*(1/n_a+1/n_b) from the CUMULATIVE moments;
+    * p_t = running min of min(1, 1/Lambda_t).
+    *
+    * Determinism: cumulative cent moments ride decimal(38,0) window
+    * sums (exact, order-free); Lambda/p are double expressions in
+    * identical written order at DAY grain; the running min is exact.
+    * Scale shape: ONE corpus combine to day grain, then every window
+    * runs over the dim-sized day table (the sanctioned bare-window-
+    * over-dim shape) — nothing event-grain ever sorts globally.
+    *
+    * Output: (day, n_a, n_b, diff, p_avl, signif) for days where both
+    * cumulative arms have >= 2 observations and positive variance.
+    */
+  def msprtSequence(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      armA: String,
+      armB: String,
+      dayCol: String,
+      tauSq: Double = 1.0,
+      alpha: Double = 0.05): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = (c: Column) => c.cast("double")
+    val cents = round(col(valueCol) * 100).cast("long").cast(dec)
+    val zero = lit(0L).cast(dec)
+    val byDay = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(armA, armB))
+      .groupBy(col(dayCol).as("day"))
+      .agg(
+        sum(when(col(groupCol) === armA, 1L).otherwise(0L)).as("__na"),
+        sum(when(col(groupCol) === armA, cents).otherwise(zero)).as("__sa"),
+        sum(when(col(groupCol) === armA, cents * cents).otherwise(zero)).as("__qa"),
+        sum(when(col(groupCol) === armB, 1L).otherwise(0L)).as("__nb"),
+        sum(when(col(groupCol) === armB, cents).otherwise(zero)).as("__sb"),
+        sum(when(col(groupCol) === armB, cents * cents).otherwise(zero)).as("__qb"))
+    val w = Window.partitionBy().orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byDay
+      .withColumn("n_a", sum(col("__na")).over(w))
+      .withColumn("n_b", sum(col("__nb")).over(w))
+      .withColumn("__csa", sum(col("__sa")).over(w))
+      .withColumn("__cqa", sum(col("__qa")).over(w))
+      .withColumn("__csb", sum(col("__sb")).over(w))
+      .withColumn("__cqb", sum(col("__qb")).over(w))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      // cumulative means/pooled variance in DOLLARS (cents / 100)
+      .withColumn("__ma", d(col("__csa")) / col("n_a") / 100.0)
+      .withColumn("__mb", d(col("__csb")) / col("n_b") / 100.0)
+      .withColumn("__var",
+        ((d(col("__cqa")) / 10000.0 - col("n_a") * col("__ma") * col("__ma")) +
+         (d(col("__cqb")) / 10000.0 - col("n_b") * col("__mb") * col("__mb"))) /
+          (col("n_a") + col("n_b") - 2))
+      .filter(col("__var") > 0)
+      .withColumn("__d", col("__mb") - col("__ma"))
+      .withColumn("__s2d", col("__var") * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      .withColumn("__lam",
+        sqrt(col("__s2d") / (col("__s2d") + lit(tauSq))) *
+          exp(col("__d") * col("__d") * lit(tauSq) /
+            (lit(2.0) * col("__s2d") * (col("__s2d") + lit(tauSq)))))
+      .withColumn("__p1", least(lit(1.0), lit(1.0) / col("__lam")))
+    val wmin = Window.partitionBy().orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum
+      .withColumn("p_avl", round(min(col("__p1")).over(wmin), 4))
+      .select(col("day"), col("n_a"), col("n_b"),
+        round(col("__d"), 4).as("diff"), col("p_avl"),
+        (col("p_avl") <= alpha).as("signif"))
+  }
+
   /** Krippendorff's alpha for BINARY ratings, any number of raters
     * per unit, missing data handled the canonical way (units with
     * fewer than 2 ratings drop; raters need not overlap) — the

@@ -500,6 +500,20 @@ private[graft] object StatsQueries {
           when(col("value") >= 50, 1L).otherwise(0L).as("r"))
       Rollups.krippendorffAlpha(ratings, "user_id", "r")
     }),
+    "q275_msprt" -> ((s, dir) => {
+      // F58 always-valid mSPRT p-value sequence: parity-arm value gap
+      // monitored daily — peek-safe sequential testing over the
+      // cumulative day-grain moments
+      val t = Tables(s, dir)
+      Rollups.msprtSequence(
+        t.events
+          .withColumn("day0", expr("unix_micros(ts) div 86400000000"))
+          .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
+        "arm", "value", "A", "B",
+        dayCol = "day0",
+        tauSq = 1.0)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2272,5 +2286,69 @@ private[graft] object StatsQueries {
         |                 / (2.0 * CAST(CAST(n_ratings - n1 AS HUGEINT) * CAST(n1 AS HUGEINT) AS DOUBLE)), 4)
         |       END AS alpha
         |FROM t""".stripMargin,
+    // mSPRT replay: same HUGEINT cumulative moments at day grain, same
+    // written-order Lambda expression, same rounded running min.
+    "q275_msprt" ->
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |         CAST(round(value * 100) AS HUGEINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |bd AS (
+        |  SELECT day,
+        |         CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS na,
+        |         CAST(coalesce(sum(c) FILTER (arm = 'A'), 0) AS HUGEINT) AS sa,
+        |         CAST(coalesce(sum(c * c) FILTER (arm = 'A'), 0) AS HUGEINT) AS qa,
+        |         CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS nb,
+        |         CAST(coalesce(sum(c) FILTER (arm = 'B'), 0) AS HUGEINT) AS sb,
+        |         CAST(coalesce(sum(c * c) FILTER (arm = 'B'), 0) AS HUGEINT) AS qb
+        |  FROM e GROUP BY 1
+        |),
+        |cu AS (
+        |  SELECT day,
+        |         CAST(sum(na) OVER w AS BIGINT) AS n_a,
+        |         CAST(sum(nb) OVER w AS BIGINT) AS n_b,
+        |         CAST(sum(sa) OVER w AS HUGEINT) AS csa,
+        |         CAST(sum(qa) OVER w AS HUGEINT) AS cqa,
+        |         CAST(sum(sb) OVER w AS HUGEINT) AS csb,
+        |         CAST(sum(qb) OVER w AS HUGEINT) AS cqb
+        |  FROM bd
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |),
+        |m AS (
+        |  SELECT day, n_a, n_b,
+        |         CAST(csa AS DOUBLE) / n_a / 100.0 AS ma,
+        |         CAST(csb AS DOUBLE) / n_b / 100.0 AS mb,
+        |         CAST(cqa AS DOUBLE) / 10000.0 AS dqa,
+        |         CAST(cqb AS DOUBLE) / 10000.0 AS dqb
+        |  FROM cu WHERE n_a > 1 AND n_b > 1
+        |),
+        |v AS (
+        |  SELECT day, n_a, n_b, ma, mb,
+        |         ((dqa - n_a * ma * ma) + (dqb - n_b * mb * mb))
+        |           / (n_a + n_b - 2) AS var
+        |  FROM m
+        |),
+        |l AS (
+        |  SELECT day, n_a, n_b, mb - ma AS d,
+        |         var * (1.0 / n_a + 1.0 / n_b) AS s2d
+        |  FROM v WHERE var > 0
+        |),
+        |pp AS (
+        |  SELECT day, n_a, n_b, d,
+        |         least(1.0, 1.0 / (sqrt(s2d / (s2d + 1.0))
+        |           * exp(d * d * 1.0 / (2.0 * s2d * (s2d + 1.0))))) AS p1
+        |  FROM l
+        |),
+        |fin AS (
+        |  SELECT day, n_a, n_b, round(d, 4) AS diff,
+        |         round(min(p1) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS p_avl
+        |  FROM pp
+        |)
+        |SELECT CAST(day AS BIGINT) AS day, n_a, n_b, diff, p_avl,
+        |       p_avl <= 0.05 AS signif
+        |FROM fin""".stripMargin,
   )
 }

@@ -2425,4 +2425,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) == ((3L, 2L, true)))
     assert(out(2L) == ((0L, 0L, false)))
   }
+
+  test("Rollups.msprtSequence: real effect drives p down and latches; null stays at 1") {
+    // 30 days, 4 obs/arm/day; B pays +8 every day
+    val eff = (0L until 30L).flatMap { day =>
+      (0 until 4).flatMap { i =>
+        Seq(("A", day, 10.0 + (i % 2)), ("B", day, 18.0 + (i % 2)))
+      }
+    }.toDF("arm", "day0", "value")
+    val out = Rollups.msprtSequence(eff, "arm", "value", "A", "B", "day0")
+      .orderBy("day").collect()
+    val ps = out.map(r => r.getDouble(r.fieldIndex("p_avl")))
+    // running min never increases, and the persistent effect crosses
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a })
+    assert(ps.last <= 0.05 && out.last.getBoolean(out.last.fieldIndex("signif")))
+    // null: same variance, zero gap -> Lambda < 1, p pinned at 1.0
+    val nul = (0L until 30L).flatMap { day =>
+      (0 until 4).flatMap { i =>
+        Seq(("A", day, 10.0 + (i % 2)), ("B", day, 10.0 + (i % 2)))
+      }
+    }.toDF("arm", "day0", "value")
+    val pn = Rollups.msprtSequence(nul, "arm", "value", "A", "B", "day0")
+      .agg(min("p_avl"), max("p_avl")).head()
+    assert(pn.getDouble(0) == 1.0 && pn.getDouble(1) == 1.0)
+  }
 }
