@@ -467,6 +467,74 @@ object Multimodal {
       }
   }
 
+  /** Video near-duplicate pairs by frame-fingerprint overlap — the
+    * content-ID primitive: a "video" is its grid of fixed-size frame
+    * payloads; each frame fingerprints to md5; two videos sharing >=
+    * `minShared` distinct frames are near-dup candidates scored by
+    * frame-set Jaccard (reorder/trim tolerant), plus the MODAL frame
+    * OFFSET between shared frames — the "where does the duplicated
+    * clip sit" alignment a set score alone can't give. Here frames are
+    * byte windows of the text payload; on real video the same flow
+    * consumes decoder-emitted frames ([[sampleFrames]]) with a
+    * perceptual [[dhash]] instead of md5 — identical orchestration.
+    *
+    * Scale shape: fingerprints are computed in the scan projection —
+    * payload bytes never ride an exchange (only (id, pos, md5) do);
+    * per-video distinct-frame collapse is an (id, sig) combine;
+    * candidate pairs come from df-capped posting lists on the frame
+    * sig (hot boilerplate frames dropped BEFORE pair expansion,
+    * observe()d, never silent); the offset histogram and modal pick
+    * ride ONE (pair) window; set sizes attach id-keyed.
+    *
+    * Output: (idA, idB, shared, jaccard, offset_mode), idA < idB.
+    */
+  def videoNearDup(
+      df: DataFrame,
+      frameBytes: Int = 16,
+      minShared: Int = 3,
+      dfCap: Int = 16,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(frameBytes >= 1 && minShared >= 1 && dfCap >= 2)
+    val t = col(textCol)
+    val frames = spread(df)
+      .filter(length(t) >= frameBytes)
+      .select(col(idCol).as("id"),
+        posexplode(transform(
+          sequence(lit(0), (length(t).cast("long").divide(frameBytes))
+            .cast("long") - 1),
+          f => md5(t.substr(f.cast("int") * frameBytes + 1, lit(frameBytes))))))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("sig"))
+    // distinct frame set per video, first-occurrence position
+    val ff = frames.groupBy("id", "sig").agg(min("pos").as("pos"))
+    val sizes = ff.groupBy("id").agg(count(lit(1)).as("nf"))
+    val posting = ff.groupBy("sig")
+      .agg(count(lit(1)).as("dfc"), collect_list(struct(col("id"), col("pos"))).as("vs"))
+      .observe(s"graft_video_df_cap_${obsId.incrementAndGet()}",
+        sum(when(col("dfc") > dfCap, 1L).otherwise(0L)).as("dropped_postings"),
+        coalesce(max(col("dfc")), lit(0L)).as("max_df"))
+      .filter(col("dfc") > 1 && col("dfc") <= dfCap)
+    val pairs = posting
+      .select(explode(col("vs")).as("a"), col("vs"))
+      .select(col("a"), explode(col("vs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        (col("b.pos") - col("a.pos")).as("off"))
+    val w = Window.partitionBy("idA", "idB")
+    val scored = pairs
+      .groupBy("idA", "idB", "off").agg(count(lit(1)).as("cnt"))
+      .withColumn("shared", sum(col("cnt")).over(w))
+      .withColumn("__rn", row_number().over(w.orderBy(col("cnt").desc, col("off"))))
+      .filter(col("__rn") === 1 && col("shared") >= minShared)
+    scored
+      .join(sizes.select(col("id").as("idA"), col("nf").as("__na")), Seq("idA"))
+      .join(sizes.select(col("id").as("idB"), col("nf").as("__nb")), Seq("idB"))
+      .select(col("idA"), col("idB"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("__na") + col("__nb") - col("shared")), 3).as("jaccard"),
+        col("off").as("offset_mode"))
+  }
+
   /** Demo pipeline on the documents table: encode each text as a real
     * BMP, then decode it back and extract channel statistics — the
     * full binary-column round trip the oracle recomputes byte-exactly.

@@ -535,6 +535,12 @@ private[graft] object PipelineQueries {
       val t = Tables(s, dir)
       Dedup.exactDupSpans(t.documents)
     }),
+    "q276_video_neardup" -> ((s, dir) => {
+      // G88 video near-dup: frame-fingerprint overlap with df-capped
+      // posting lists, frame-set Jaccard + modal clip offset
+      val t = Tables(s, dir)
+      Multimodal.videoNearDup(t.documents)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2018,5 +2024,44 @@ private[graft] object PipelineQueries {
         |       CAST(max(i) + 8 AS BIGINT) AS span_end,
         |       CAST(max(i) + 8 - min(i) AS BIGINT) AS span_tokens
         |FROM isl GROUP BY doc_id, isl""".stripMargin,
+    // Video near-dup replay: same 16-byte frame grid, md5 sigs,
+    // first-occurrence positions, df-cap 16, modal offset tie-break
+    // (count desc, offset asc), 3dp Jaccard.
+    "q276_video_neardup" ->
+      """WITH fr AS (
+        |  SELECT doc_id AS id, CAST(i AS BIGINT) AS pos,
+        |         md5(substr(text, CAST(i * 16 + 1 AS INT), 16)) AS sig
+        |  FROM documents, unnest(range(0, length(text) // 16)) u(i)
+        |  WHERE length(text) >= 16
+        |),
+        |ff AS (SELECT id, sig, CAST(min(pos) AS BIGINT) AS pos FROM fr GROUP BY 1, 2),
+        |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS nf FROM ff GROUP BY 1),
+        |pl AS (
+        |  SELECT sig FROM ff GROUP BY sig
+        |  HAVING count(*) > 1 AND count(*) <= 16
+        |),
+        |pr AS (
+        |  SELECT a.id AS idA, b.id AS idB, b.pos - a.pos AS off
+        |  FROM ff a JOIN pl USING (sig) JOIN ff b USING (sig)
+        |  WHERE a.id < b.id
+        |),
+        |po AS (
+        |  SELECT idA, idB, off, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pr GROUP BY 1, 2, 3
+        |),
+        |pw AS (
+        |  SELECT idA, idB, off, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY idA, idB) AS BIGINT) AS shared,
+        |         row_number() OVER (PARTITION BY idA, idB
+        |                            ORDER BY cnt DESC, off) AS rn
+        |  FROM po
+        |)
+        |SELECT pw.idA, pw.idB, shared,
+        |       round(CAST(shared AS DOUBLE) / (sa.nf + sb.nf - shared), 3) AS jaccard,
+        |       off AS offset_mode
+        |FROM pw
+        |JOIN sz sa ON sa.id = pw.idA
+        |JOIN sz sb ON sb.id = pw.idB
+        |WHERE rn = 1 AND shared >= 3""".stripMargin,
   )
 }

@@ -2449,4 +2449,23 @@ class OperatorsSpec extends SparkSpec {
       .agg(min("p_avl"), max("p_avl")).head()
     assert(pn.getDouble(0) == 1.0 && pn.getDouble(1) == 1.0)
   }
+
+  test("Multimodal.videoNearDup: shared clip found with modal offset") {
+    def blk(c: Char) = c.toString * 16
+    // video 1: A B C D E ; video 2: X Y B C D  -> clip B,C,D at offset +1
+    val docs = Seq(
+      (1L, blk('a') + blk('b') + blk('c') + blk('d') + blk('e')),
+      (2L, blk('x') + blk('y') + blk('b') + blk('c') + blk('d')),
+      (3L, blk('p') + blk('q') + blk('r'))
+    ).toDF("doc_id", "text")
+    val out = Multimodal.videoNearDup(docs, frameBytes = 16, minShared = 3)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("idA")) == 1L && r.getLong(r.fieldIndex("idB")) == 2L)
+    assert(r.getLong(r.fieldIndex("shared")) == 3L)
+    // jaccard = 3 / (5 + 5 - 3)
+    assert(r.getDouble(r.fieldIndex("jaccard")) == 0.429)
+    assert(r.getLong(r.fieldIndex("offset_mode")) == 1L)
+  }
 }
