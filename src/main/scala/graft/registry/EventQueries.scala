@@ -552,6 +552,35 @@ private[graft] object EventQueries {
         .filter(coalesce(col("l_ts_us"), col("r_ts_us")) <= col("cut_us"))
         .select("user_id", "left_id", "right_id")
     }),
+    "q277_stream_tws" -> ((s, dir) => {
+      // H50 transformWithState running totals on the RocksDB state
+      // store — Spark 4's arbitrary-stateful API replayed
+      // AvailableNow. Exact integer-cent state is micro-batch-split
+      // invariant, so the batch aggregate oracles it; Update mode
+      // emits per touched batch and the final (max-n) row per key is
+      // the state. Provider conf is scoped to this query and restored.
+      import s.implicits._
+      val ev = StreamQueries.streamEvents(s, dir)
+        .filter(col("value").isNotNull && col("event_id").isNotNull &&
+          col("user_id").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStream.Event]
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, EventStream.RocksDbProvider)
+      val out =
+        try StreamQueries.materialize(
+          EventStream.runningTotalsTws(ev), mode = "update")
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      out.groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("total_cents"))).as("st"))
+        .select(col("user_id"), col("st.n_events").as("n_events"),
+          col("st.total_cents").as("total_cents"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1635,5 +1664,13 @@ private[graft] object EventQueries {
         |FROM l FULL JOIN r ON l.user_id = r.user_id
         |  AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
         |WHERE coalesce(epoch_us(l.ts), epoch_us(r.ts)) <= (SELECT c FROM cut)""".stripMargin,
+    // transformWithState replay: the final RocksDB state per user is
+    // the plain batch aggregate (exact integer cents).
+    "q277_stream_tws" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events
+        |WHERE value IS NOT NULL AND event_id IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1""".stripMargin,
   )
 }

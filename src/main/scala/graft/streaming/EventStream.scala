@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured-Streaming twins of the batch event operators: the same
   * windowed aggregations over `readStream`, with watermarks bounding
@@ -264,6 +264,54 @@ object EventStream {
         unix_micros(col("l.ts")).as("l_ts_us"),
         unix_micros(col("r.ts")).as("r_ts_us"),
         col("l.event_id").as("left_id"), col("r.event_id").as("right_id"))
+  }
+
+  final case class UserTotals(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Spark 4's transformWithState port of [[runningTotals]] — the new
+    * arbitrary-stateful-processing API (StatefulProcessor + typed
+    * ValueState on the RocksDB state store) that replaces
+    * mapGroupsWithState: explicit state declaration in init(), typed
+    * get/update, TTL config, timers. Totals accumulate in EXACT
+    * integer cents so the final state is identical under ANY
+    * micro-batch split — which is how the batch aggregate oracle
+    * gates the whole path. Update mode emits each key's running state
+    * per touched batch; the caller keeps the last (max-n) row.
+    */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Event, UserTotals] {
+    @transient private var totals: ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      var st = if (totals.exists()) totals.get() else UserTotals(key, 0L, 0L)
+      rows.foreach { e =>
+        st = UserTotals(key, st.n_events + 1,
+          st.total_cents + math.round(e.value * 100))
+      }
+      totals.update(st)
+      Iterator.single(st)
+    }
+  }
+
+  /** transformWithState requires the RocksDB state store; callers set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * [[RocksDbProvider]] for the query's lifetime (and restore after —
+    * the rest of the replay suite runs on the default HDFS-backed
+    * store).
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def runningTotalsTws(events: org.apache.spark.sql.Dataset[Event]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF()
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

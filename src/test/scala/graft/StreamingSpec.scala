@@ -364,4 +364,40 @@ class StreamingSpec extends SparkSpec {
         s"matched + left-null + right-null expected, got $got")
     } finally q.stop()
   }
+
+  test("transformWithState running totals accumulate across micro-batches (RocksDB)") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, EventStream.RocksDbProvider)
+    try {
+      val input = MemoryStream[EventStream.Event]
+      val q = EventStream.runningTotalsTws(input.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(
+          EventStream.Event(1, ts(1), 1, "click", 1.5),
+          EventStream.Event(2, ts(2), 1, "click", 2.0),
+          EventStream.Event(3, ts(3), 2, "view", 10.0))
+        q.processAllAvailable()
+        input.addData(EventStream.Event(4, ts(4), 1, "view", 0.25))
+        q.processAllAvailable()
+        val fin = spark.table("tws_out")
+          .groupBy("user_id")
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.struct(
+              org.apache.spark.sql.functions.col("n_events"),
+              org.apache.spark.sql.functions.col("total_cents"))).as("st"))
+          .select("user_id", "st.n_events", "st.total_cents")
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        // user 1: 3 events, 150 + 200 + 25 cents; user 2: 1 event, 1000
+        assert(fin(1L) == ((3L, 375L)), s"got $fin")
+        assert(fin(2L) == ((1L, 1000L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
