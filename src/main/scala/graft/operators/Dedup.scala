@@ -870,6 +870,57 @@ object Dedup {
       .limit(k)
   }
 
+  /** LSH banding PLANNER — the design-time companion to
+    * [[bandingEval]]'s measurement: for every (bands, rows) factoring
+    * of a k-hash signature, integrate the collision S-curve
+    * 1 − (1 − s^r)^b against the target threshold to price expected
+    * false-positive area (∫₀ᵗ S) and false-negative area (∫ₜ¹ 1−S),
+    * and flag the cost-minimal setting. Run BEFORE the first 100 TB
+    * dedup pass; q232 then measures what this predicted.
+    *
+    * Determinism: the midpoint grid contribution of every cell
+    * quantizes to 1e-8 units before summation (no float fold order);
+    * pow is evaluated in identical written form both engines. Scale
+    * shape: divisors(k) × gridSteps rows — a pure dim computation,
+    * one broadcast cross of two dims, one tiny combine, one
+    * dim-sized rank window.
+    *
+    * Output: (bands, rows_per_band, fp_area, fn_area, cost, best).
+    */
+  def bandingPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      k: Int = 12,
+      threshold: Double = 0.8,
+      gridSteps: Int = 200): DataFrame = {
+    require(k >= 1 && gridSteps >= 10 && threshold > 0 && threshold < 1)
+    import spark.implicits._
+    val pairs = (1 to k).filter(k % _ == 0).map(b => (b.toLong, (k / b).toLong))
+      .toDF("bands", "rows_per_band")
+    val grid = spark.range(gridSteps).toDF("i")
+    val s = (col("i").cast("double") + 0.5) / gridSteps
+    val prob = lit(1.0) -
+      pow(lit(1.0) - pow(s, col("rows_per_band").cast("double")),
+        col("bands").cast("double"))
+    val cells = broadcast(pairs).crossJoin(grid)
+      .withColumn("__fpu",
+        when(s < threshold, round(prob / gridSteps * 1e8).cast("long"))
+          .otherwise(0L))
+      .withColumn("__fnu",
+        when(s >= threshold, round((lit(1.0) - prob) / gridSteps * 1e8).cast("long"))
+          .otherwise(0L))
+      .groupBy("bands", "rows_per_band")
+      .agg(sum(col("__fpu")).as("__fp"), sum(col("__fnu")).as("__fn"))
+    val w = Window.partitionBy()
+      .orderBy((col("__fp") + col("__fn")).asc, col("bands").asc)
+    cells
+      .withColumn("best", row_number().over(w) === 1)
+      .select(col("bands"), col("rows_per_band"),
+        round(col("__fp").cast("double") / 1e8, 6).as("fp_area"),
+        round(col("__fn").cast("double") / 1e8, 6).as("fn_area"),
+        round((col("__fp") + col("__fn")).cast("double") / 1e8, 6).as("cost"),
+        col("best"))
+  }
+
   /** Measured banding recall — the eval that replaces G2's
     * THEORETICAL band-collision curve with a number from this
     * corpus: on a deterministic ~(100/sampleMod)% document sample,

@@ -720,6 +720,46 @@ object EventWindows {
       .withColumn("delta", col("prev_rnk") - col("rnk"))
   }
 
+  /** Watermark-lateness audit — the planning metric every streaming
+    * deployment needs BEFORE picking a watermark delay: in arrival
+    * order (`arrivalCol` — the ingest sequence, or a simulated
+    * reordering when the corpus ships time-sorted), how many events
+    * arrive more than
+    * `deltaS` seconds behind the running max event time of their
+    * stream, and how far behind? Those are exactly the rows a
+    * `withWatermark(delta)` pipeline would drop as late.
+    *
+    * Scale shape: ONE (type) exchange; the running max is an
+    * O(1)-state window over arrival order; the rollup shares the
+    * partitioning. Exact integer microsecond arithmetic end to end.
+    *
+    * Output: (event_type, n, n_late, late_frac, max_lateness_s).
+    */
+  def latenessAudit(
+      events: DataFrame,
+      deltaS: Long = 3600,
+      typeCol: String = "event_type",
+      arrivalCol: String = "event_id",
+      tsCol: String = "ts"): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val w = Window.partitionBy(col(typeCol)).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col(arrivalCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol), col(arrivalCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__runmax", max(col("__us")).over(w))
+      .withColumn("__behind",
+        greatest(coalesce(col("__runmax") - col("__us"), lit(0L)), lit(0L)))
+      .groupBy(col(typeCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__behind") > deltaS * 1000000L, 1L).otherwise(0L)).as("n_late"),
+        max(col("__behind")).as("__mb"))
+      .select(col(typeCol), col("n"), col("n_late"),
+        round(d(col("n_late")) / col("n"), 4).as("late_frac"),
+        round(d(col("__mb")) / 1e6, 4).as("max_lateness_s"))
+  }
+
   /** DAU / WAU / MAU stickiness — the product-analytics engagement
     * staple: per day, the distinct actives that day, over the
     * trailing week, and over the trailing month, plus the stickiness

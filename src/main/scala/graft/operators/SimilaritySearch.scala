@@ -797,6 +797,52 @@ object SimilaritySearch {
         col("uniform_entropy"), col("imbalance"))
   }
 
+  /** Matryoshka truncation fidelity — how much ANN recall survives
+    * searching on only the FIRST d dimensions of the embedding
+    * (Kusupati et al. 2022): for each truncation width, brute-force
+    * top-k on the sliced vectors is scored against the full-width
+    * exact top-k as micro recall. The table that prices the
+    * memory/recall trade of shipping truncated embeddings to the
+    * 100 TB index — the dimension-axis companion to [[int8Fidelity]]'s
+    * precision axis.
+    *
+    * Scale shape: per width, the [[bruteForceTopK]] shape (broadcast
+    * query sample vs corpus scan); the exact table is eager-cut once
+    * and reused across widths; hits are one semi-join + combine per
+    * width over <= k·queries rows; widths are a bounded literal list.
+    *
+    * Output: (dims, n_queries, n_exact, n_hits, recall), one row per
+    * width.
+    */
+  def matryoshkaFidelity(
+      df: DataFrame,
+      dims: Seq[Int] = Seq(8, 16, 32),
+      k: Int = 5,
+      queryMod: Int = 50,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty && k >= 1 && queryMod >= 1)
+    val qs = df.filter(col(idCol) % queryMod === 0)
+    val exact = bruteForceTopK(df, qs, k, idCol, embCol)
+      .select(col("query_id"), col("id"))
+      .localCheckpoint() // feeds the totals AND every width's hit join
+    val totals = broadcast(exact.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_exact")))
+    dims.map { dd =>
+      val tC = df.withColumn(embCol, slice(col(embCol), 1, dd))
+      val tQ = qs.withColumn(embCol, slice(col(embCol), 1, dd))
+      val ap = bruteForceTopK(tC, tQ, k, idCol, embCol)
+        .select(col("query_id"), col("id"))
+      exact.join(ap, Seq("query_id", "id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(totals)
+        .select(lit(dd.toLong).as("dims"), col("n_queries"), col("n_exact"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_exact"), 4).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Int8 quantization fidelity report — how much cosine geometry
     * does G29's 4× compression actually lose on THIS corpus? Per
     * vector, the cosine between the exact ×1000-quantized vector and

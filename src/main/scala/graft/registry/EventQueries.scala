@@ -581,6 +581,19 @@ private[graft] object EventQueries {
         .select(col("user_id"), col("st.n_events").as("n_events"),
           col("st.total_cents").as("total_cents"))
     }),
+    "q279_lateness" -> ((s, dir) => {
+      // H51 watermark-lateness audit. This corpus ships time-sorted,
+      // so the replay simulates network reordering with a
+      // DETERMINISTIC md5 arrival permutation — the audit arithmetic
+      // (running max event time in arrival order, late = behind by
+      // more than delta) is exercised end to end.
+      val t = Tables(s, dir)
+      val ev = t.events
+        .filter(col("event_id").isNotNull && col("ts").isNotNull)
+        .withColumn("__arr",
+          md5(concat(col("event_id").cast("string"), lit(":arr"))))
+      EventWindows.latenessAudit(ev, deltaS = 1800, arrivalCol = "__arr")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1672,5 +1685,29 @@ private[graft] object EventQueries {
         |FROM events
         |WHERE value IS NOT NULL AND event_id IS NOT NULL AND user_id IS NOT NULL
         |GROUP BY 1""".stripMargin,
+    // Lateness replay: same md5 arrival permutation, same per-type
+    // running max, same 1800 s threshold.
+    "q279_lateness" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         md5(CAST(event_id AS VARCHAR) || ':arr') AS arr,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |),
+        |r AS (
+        |  SELECT event_type, us,
+        |         max(us) OVER (PARTITION BY event_type ORDER BY arr
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        |  FROM e
+        |),
+        |b AS (
+        |  SELECT event_type, greatest(coalesce(rm - us, 0), 0) AS behind FROM r
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) FILTER (behind > 1800000000) AS BIGINT) AS n_late,
+        |       round(CAST(count(*) FILTER (behind > 1800000000) AS DOUBLE)
+        |             / count(*), 4) AS late_frac,
+        |       round(CAST(max(behind) AS DOUBLE) / 1e6, 4) AS max_lateness_s
+        |FROM b GROUP BY 1""".stripMargin,
   )
 }

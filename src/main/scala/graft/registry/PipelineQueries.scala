@@ -541,6 +541,17 @@ private[graft] object PipelineQueries {
       val t = Tables(s, dir)
       Multimodal.videoNearDup(t.documents)
     }),
+    "q278_banding_plan" -> ((s, dir) => {
+      // G89 LSH banding planner: integrate the collision S-curve for
+      // every factoring of the k=12 signature against the 0.8 target
+      Dedup.bandingPlan(s, k = 12, threshold = 0.8)
+    }),
+    "q280_matryoshka" -> ((s, dir) => {
+      // G90 matryoshka truncation fidelity: recall@5 of first-d-dim
+      // search vs the full 64-dim exact top-5, d in {8, 16, 32}
+      val t = Tables(s, dir)
+      SimilaritySearch.matryoshkaFidelity(t.embeddings)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2063,5 +2074,117 @@ private[graft] object PipelineQueries {
         |JOIN sz sa ON sa.id = pw.idA
         |JOIN sz sb ON sb.id = pw.idB
         |WHERE rn = 1 AND shared >= 3""".stripMargin,
+    // Banding-plan replay: same divisor grid, same midpoint S-curve,
+    // same 1e-8 cell quantization and (cost, bands) argmin.
+    "q278_banding_plan" ->
+      """WITH pairs AS (
+        |  SELECT CAST(b AS BIGINT) AS bands, CAST(12 // b AS BIGINT) AS rows_per_band
+        |  FROM unnest([1, 2, 3, 4, 6, 12]) t(b)
+        |),
+        |grid AS (SELECT (CAST(i AS DOUBLE) + 0.5) / 200.0 AS s FROM range(0, 200) u(i)),
+        |c AS (
+        |  SELECT bands, rows_per_band, s,
+        |         1.0 - pow(1.0 - pow(s, CAST(rows_per_band AS DOUBLE)),
+        |                   CAST(bands AS DOUBLE)) AS prob
+        |  FROM pairs, grid
+        |),
+        |a AS (
+        |  SELECT bands, rows_per_band,
+        |         CAST(sum(CASE WHEN s < 0.8
+        |           THEN CAST(round(prob / 200.0 * 1e8) AS BIGINT) ELSE 0 END) AS BIGINT) AS fpu,
+        |         CAST(sum(CASE WHEN s >= 0.8
+        |           THEN CAST(round((1.0 - prob) / 200.0 * 1e8) AS BIGINT) ELSE 0 END) AS BIGINT) AS fnu
+        |  FROM c GROUP BY 1, 2
+        |)
+        |SELECT bands, rows_per_band,
+        |       round(CAST(fpu AS DOUBLE) / 1e8, 6) AS fp_area,
+        |       round(CAST(fnu AS DOUBLE) / 1e8, 6) AS fn_area,
+        |       round(CAST(fpu + fnu AS DOUBLE) / 1e8, 6) AS cost,
+        |       row_number() OVER (ORDER BY fpu + fnu, bands) = 1 AS best
+        |FROM a""".stripMargin,
+    // Matryoshka replay: full-width exact top-5 once, truncated
+    // brute force per width over the SAME quantized vectors.
+    "q280_matryoshka" ->
+      s"""WITH $EmbSql,
+         |qs AS (SELECT vec_id AS query_id, q AS qq, n AS qn FROM nrm WHERE vec_id % 50 = 0),
+         |ex AS MATERIALIZED (
+         |  SELECT query_id, id FROM (
+         |    SELECT q.query_id, c.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+         |               / (c.n * q.qn) DESC, c.vec_id) AS rank
+         |    FROM nrm c CROSS JOIN qs q WHERE c.vec_id != q.query_id
+         |  ) WHERE rank <= 5
+         |),
+         |tot AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |               CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+         |nrm8 AS (
+        |  SELECT vec_id, q,
+        |         sqrt(CAST(list_sum(list_transform(q[1:8], x -> x * x)) AS DOUBLE)) AS n
+        |  FROM nrm
+        |),
+        |qs8 AS (SELECT vec_id AS query_id, q AS qq, n AS qn FROM nrm8 WHERE vec_id % 50 = 0),
+        |ap8 AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT q.query_id, c.vec_id AS id,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             CAST(list_sum(list_transform(range(1, 9), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+        |               / (c.n * q.qn) DESC, c.vec_id) AS rank
+        |    FROM nrm8 c CROSS JOIN qs8 q WHERE c.vec_id != q.query_id
+        |  ) WHERE rank <= 5
+        |),
+        |h8 AS (
+        |  SELECT CAST(8 AS BIGINT) AS dims, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM ex e JOIN ap8 a USING (query_id, id)
+        |),
+        |nrm16 AS (
+        |  SELECT vec_id, q,
+        |         sqrt(CAST(list_sum(list_transform(q[1:16], x -> x * x)) AS DOUBLE)) AS n
+        |  FROM nrm
+        |),
+        |qs16 AS (SELECT vec_id AS query_id, q AS qq, n AS qn FROM nrm16 WHERE vec_id % 50 = 0),
+        |ap16 AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT q.query_id, c.vec_id AS id,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             CAST(list_sum(list_transform(range(1, 17), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+        |               / (c.n * q.qn) DESC, c.vec_id) AS rank
+        |    FROM nrm16 c CROSS JOIN qs16 q WHERE c.vec_id != q.query_id
+        |  ) WHERE rank <= 5
+        |),
+        |h16 AS (
+        |  SELECT CAST(16 AS BIGINT) AS dims, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM ex e JOIN ap16 a USING (query_id, id)
+        |),
+        |nrm32 AS (
+        |  SELECT vec_id, q,
+        |         sqrt(CAST(list_sum(list_transform(q[1:32], x -> x * x)) AS DOUBLE)) AS n
+        |  FROM nrm
+        |),
+        |qs32 AS (SELECT vec_id AS query_id, q AS qq, n AS qn FROM nrm32 WHERE vec_id % 50 = 0),
+        |ap32 AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT q.query_id, c.vec_id AS id,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             CAST(list_sum(list_transform(range(1, 33), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+        |               / (c.n * q.qn) DESC, c.vec_id) AS rank
+        |    FROM nrm32 c CROSS JOIN qs32 q WHERE c.vec_id != q.query_id
+        |  ) WHERE rank <= 5
+        |),
+        |h32 AS (
+        |  SELECT CAST(32 AS BIGINT) AS dims, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM ex e JOIN ap32 a USING (query_id, id)
+        |)
+        |SELECT dims, tot.n_queries, tot.n_exact, n_hits,
+        |       round(CAST(n_hits AS DOUBLE) / tot.n_exact, 4) AS recall
+        |FROM h8 CROSS JOIN tot
+        |UNION ALL
+        |SELECT dims, tot.n_queries, tot.n_exact, n_hits,
+        |       round(CAST(n_hits AS DOUBLE) / tot.n_exact, 4) AS recall
+        |FROM h16 CROSS JOIN tot
+        |UNION ALL
+        |SELECT dims, tot.n_queries, tot.n_exact, n_hits,
+        |       round(CAST(n_hits AS DOUBLE) / tot.n_exact, 4) AS recall
+        |FROM h32 CROSS JOIN tot""".stripMargin,
   )
 }

@@ -2468,4 +2468,41 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("jaccard")) == 0.429)
     assert(r.getLong(r.fieldIndex("offset_mode")) == 1L)
   }
+
+  test("Dedup.bandingPlan: S-curve areas behave and exactly one best") {
+    val p = Dedup.bandingPlan(spark, k = 12, threshold = 0.8).collect()
+    assert(p.length == 6) // divisors of 12
+    assert(p.count(_.getBoolean(5)) == 1)
+    val byBands = p.map(r => r.getLong(0) ->
+      ((r.getDouble(2), r.getDouble(3)))).toMap
+    // more bands -> more collisions: fp grows, fn shrinks
+    assert(byBands(12L)._1 > byBands(1L)._1)
+    assert(byBands(12L)._2 < byBands(1L)._2)
+    p.foreach { r =>
+      assert(math.abs(r.getDouble(2) + r.getDouble(3) - r.getDouble(4)) < 2.1e-6)
+    }
+  }
+
+  test("EventWindows.latenessAudit: reordered arrivals flag as late") {
+    val ev = Seq(
+      // arrival order a1, a2, a3: a2 arrives 10s behind the max, a3 in order
+      ("x", "a1", java.sql.Timestamp.valueOf("2024-01-01 00:00:20")),
+      ("x", "a2", java.sql.Timestamp.valueOf("2024-01-01 00:00:10")),
+      ("x", "a3", java.sql.Timestamp.valueOf("2024-01-01 00:00:30"))
+    ).toDF("event_type", "arr", "ts")
+    val out = EventWindows.latenessAudit(ev, deltaS = 5, arrivalCol = "arr")
+      .collect().head
+    assert(out.getLong(out.fieldIndex("n")) == 3L)
+    assert(out.getLong(out.fieldIndex("n_late")) == 1L)
+    assert(out.getDouble(out.fieldIndex("max_lateness_s")) == 10.0)
+  }
+
+  test("SimilaritySearch.matryoshkaFidelity: full-width truncation is exact") {
+    import graft.sources.Tables
+    val emb = Tables(spark, sfDir).embeddings
+    val out = SimilaritySearch.matryoshkaFidelity(emb, dims = Seq(8, 64))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(64L) == 1.0, s"full width must reproduce exact: $out")
+    assert(out(8L) >= 0.0 && out(8L) <= 1.0)
+  }
 }
