@@ -870,6 +870,43 @@ object Dedup {
       .limit(k)
   }
 
+  /** Near-duplicate leakage across train/val/test splits — the eval-
+    * hygiene number exact-hash contamination (G17) misses: a G15 hash
+    * split assigns every doc a split, the G2 banded MinHash pipeline
+    * surfaces near-dup pairs, and every pair STRADDLING a split
+    * boundary is leaked signal (a test doc whose near-copy was
+    * trained on scores as memorization, not generalization).
+    *
+    * Scale shape: the split is a pure projection (no shuffle); pairs
+    * come from the G2 machinery unchanged; two id-keyed joins attach
+    * splits; the unordered split-pair matrix is a tiny combine over
+    * an eager-cut pair table (the pair pipeline must not replay per
+    * output branch).
+    *
+    * Output: (split_a, split_b, n_pairs, leak, share) — split_a <=
+    * split_b lexicographically, leak = straddling, share of all
+    * near-dup pairs.
+    */
+  def nearDupLeakage(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val splits = Sampling.hashSplit(df, idCol = idCol)
+      .select(col(idCol), col("split"))
+    val joined = minhashLshPairs(df, textCol = textCol, idCol = idCol)
+      .join(splits.select(col(idCol).as("idA"), col("split").as("__sa")), Seq("idA"))
+      .join(splits.select(col(idCol).as("idB"), col("split").as("__sb")), Seq("idB"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .localCheckpoint() // feeds the matrix AND the total
+    joined
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(joined.agg(count(lit(1)).as("__n_total"))))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        (col("split_a") =!= col("split_b")).as("leak"),
+        round(col("n_pairs").cast("double") / col("__n_total"), 4).as("share"))
+  }
+
   /** LSH banding PLANNER — the design-time companion to
     * [[bandingEval]]'s measurement: for every (bands, rows) factoring
     * of a k-hash signature, integrate the collision S-curve

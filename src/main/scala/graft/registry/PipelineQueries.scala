@@ -552,6 +552,13 @@ private[graft] object PipelineQueries {
       val t = Tables(s, dir)
       SimilaritySearch.matryoshkaFidelity(t.embeddings)
     }),
+    "q281_neardup_leakage" -> ((s, dir) => {
+      // G91 near-dup leakage across the G15 hash split: banded
+      // MinHash pairs that straddle a split boundary = memorization
+      // signal exact-hash contamination misses
+      val t = Tables(s, dir)
+      Dedup.nearDupLeakage(t.documents)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2186,5 +2193,29 @@ private[graft] object PipelineQueries {
         |SELECT dims, tot.n_queries, tot.n_exact, n_hits,
         |       round(CAST(n_hits AS DOUBLE) / tot.n_exact, 4) AS recall
         |FROM h32 CROSS JOIN tot""".stripMargin,
+    // Leakage replay: the q31 pair machinery + the q54 split
+    // expression, unordered split-pair matrix, 4dp shares.
+    "q281_neardup_leakage" ->
+      s"""WITH $MinhashPairsSql,
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN b < 80 THEN 'train'
+         |              WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          ${HexBucketSql("md5(CAST(doc_id AS VARCHAR) || ':split')")} AS b
+         |        FROM documents)
+         |),
+         |j AS (
+         |  SELECT least(a.split, b.split) AS split_a,
+         |         greatest(a.split, b.split) AS split_b
+         |  FROM lshpairs p
+         |  JOIN sp a ON a.doc_id = p.idA
+         |  JOIN sp b ON b.doc_id = p.idB
+         |),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM j)
+         |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       split_a <> split_b AS leak,
+         |       round(CAST(count(*) AS DOUBLE) / any_value(tot.n_total), 4) AS share
+         |FROM j CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1703,4 +1703,53 @@ class ScaleDesignSpec extends SparkSpec {
     assert(rows2dZ <= rows2dArrival,
       s"2-D box: z=$rows2dZ must not scan more than arrival=$rows2dArrival")
   }
+
+  test("round-9 batch-2 operator plans honor their scale claims") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def exec(q: String) =
+      SparkEntry.queries(q)(spark, sfDir).queryExecution
+    def shuffles(qe: org.apache.spark.sql.execution.QueryExecution) =
+      helper.collect(qe.executedPlan) { case e: ShuffleExchangeExec => e }
+    def noCartesian(q: String, qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+      assert(helper.collect(qe.executedPlan) {
+        case j: CartesianProductExec => j
+      }.isEmpty, s"$q must not build a cartesian product")
+    def partitionlessWindows(qe: org.apache.spark.sql.execution.QueryExecution) =
+      qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+
+    // q274: the term probe must be a BROADCAST join — the corpus word
+    // stream is never shuffled on text
+    val q274 = exec("q274_blocklist")
+    noCartesian("q274_blocklist", q274)
+    assert(helper.collect(q274.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }.nonEmpty, "q274: term probe must broadcast")
+
+    // q276: frame pair expansion is posting-list bounded (no cartesian)
+    // and every window partitions (pair or doc grain)
+    val q276 = exec("q276_video_neardup")
+    noCartesian("q276_video_neardup", q276)
+    assert(partitionlessWindows(q276).isEmpty,
+      "q276: windows must partition on pair/doc")
+
+    // q279: the lateness running max partitions on event_type
+    val q279 = exec("q279_lateness")
+    assert(partitionlessWindows(q279).isEmpty,
+      "q279: running max must partition on event_type")
+
+    // q275: one corpus combine to day grain; everything after rides
+    // dim-sized day windows — bounded exchange count
+    val q275 = exec("q275_msprt")
+    noCartesian("q275_msprt", q275)
+    assert(shuffles(q275).size <= 4,
+      s"q275: day-grain combine + dim windows only, got ${shuffles(q275).size}")
+
+    // q281: split is a projection; pairs reuse the G2 shapes
+    noCartesian("q281_neardup_leakage", exec("q281_neardup_leakage"))
+  }
 }
