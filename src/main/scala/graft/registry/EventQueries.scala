@@ -594,6 +594,31 @@ private[graft] object EventQueries {
           md5(concat(col("event_id").cast("string"), lit(":arr"))))
       EventWindows.latenessAudit(ev, deltaS = 1800, arrivalCol = "__arr")
     }),
+    "q282_stream_tws_map" -> ((s, dir) => {
+      // H52 transformWithState MAP state: per-user per-type counts in
+      // a MapState (per-touched-entry RocksDB updates), replayed
+      // AvailableNow; final (max-n) row per (user, type) is the state,
+      // gated by the batch (user, type) aggregate.
+      import s.implicits._
+      val ev = StreamQueries.streamEvents(s, dir)
+        .filter(col("value").isNotNull && col("event_id").isNotNull &&
+          col("user_id").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStream.Event]
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, EventStream.RocksDbProvider)
+      val out =
+        try StreamQueries.materialize(
+          EventStream.perTypeCountsTws(ev), mode = "update")
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      out.groupBy("user_id", "event_type")
+        .agg(max(col("n_events")).as("n_events"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1709,5 +1734,12 @@ private[graft] object EventQueries {
         |             / count(*), 4) AS late_frac,
         |       round(CAST(max(behind) AS DOUBLE) / 1e6, 4) AS max_lateness_s
         |FROM b GROUP BY 1""".stripMargin,
+    // MapState replay: the final per-(user, type) entry equals the
+    // plain batch count.
+    "q282_stream_tws_map" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events
+        |WHERE value IS NOT NULL AND event_id IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -297,6 +297,46 @@ object EventStream {
     }
   }
 
+  final case class UserTypeCount(user_id: Long, event_type: String, n_events: Long)
+
+  /** transformWithState with MAP state — the keyed-sub-state shape
+    * [[RunningTotalsProcessor]]'s single ValueState can't express:
+    * per user, a MapState[event_type -> count] where each micro-batch
+    * updates only the touched entries (RocksDB stores each map entry
+    * as its own key, so a user with thousands of event types pays per
+    * TOUCHED entry, not per map). Emits one row per (user, type)
+    * updated in the batch; exact integer counts make the final state
+    * micro-batch-split invariant.
+    */
+  class PerTypeCountsProcessor extends StatefulProcessor[Long, Event, UserTypeCount] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserTypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { e =>
+        val cur = touched.getOrElse(e.event_type,
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L)
+        touched(e.event_type) = cur + 1
+      }
+      touched.foreach { case (t, n) => counts.updateValue(t, n) }
+      touched.iterator.map { case (t, n) => UserTypeCount(key, t, n) }.toSeq.iterator
+    }
+  }
+
+  def perTypeCountsTws(events: org.apache.spark.sql.Dataset[Event]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PerTypeCountsProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** transformWithState requires the RocksDB state store; callers set
     * `spark.sql.streaming.stateStore.providerClass` to
     * [[RocksDbProvider]] for the query's lifetime (and restore after —

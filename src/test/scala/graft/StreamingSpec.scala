@@ -400,4 +400,35 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("transformWithState MapState per-type counts merge across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, EventStream.RocksDbProvider)
+    try {
+      val input = MemoryStream[EventStream.Event]
+      val q = EventStream.perTypeCountsTws(input.toDS())
+        .writeStream.format("memory").queryName("twsmap_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(
+          EventStream.Event(1, ts(1), 1, "click", 1.0),
+          EventStream.Event(2, ts(2), 1, "view", 1.0),
+          EventStream.Event(3, ts(3), 1, "click", 1.0))
+        q.processAllAvailable()
+        input.addData(EventStream.Event(4, ts(4), 1, "click", 1.0))
+        q.processAllAvailable()
+        val fin = spark.table("twsmap_out")
+          .groupBy("user_id", "event_type")
+          .agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        assert(fin((1L, "click")) == 3L && fin((1L, "view")) == 1L, s"got $fin")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
