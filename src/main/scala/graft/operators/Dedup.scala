@@ -76,6 +76,45 @@ object Dedup {
         (col("span_end") - col("span_start")).as("span_tokens"))
   }
 
+  /** Exact-substring CUT — applies [[exactDupSpans]] to the corpus:
+    * every token inside a duplicated span is removed and the document
+    * re-joined, the destructive half of the Lee et al. 2022 pass
+    * (detection finds the spans; this emits the text a training run
+    * would actually see, plus the reduction accounting).
+    *
+    * Scale shape: spans collapse to one bounded struct array per
+    * affected doc (id-keyed combine) and join back id-keyed; the cut
+    * itself is an IN-ROW indexed filter against that array (spans
+    * are disjoint by construction, array length <= tokens/minLen);
+    * only the md5 of the cleaned text leaves the row — no rebuilt
+    * corpus rides the wire.
+    *
+    * Output: (idCol, n_tokens, tokens_cut, clean_md5) for EVERY doc
+    * (untouched docs report tokens_cut = 0 and the md5 of their
+    * space-rejoined text).
+    */
+  def cutSpans(
+      df: DataFrame,
+      minLen: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spans = exactDupSpans(df, minLen, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    df.join(spans, Seq(idCol), "left")
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("__w"), col("__spans"))
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__w"))
+          .otherwise(filter(col("__w"), (w, i) =>
+            !exists(col("__spans"), sp =>
+              i.cast("long") >= sp.getField("span_start") &&
+                i.cast("long") < sp.getField("span_end")))))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        (size(col("__w")) - size(col("__kept"))).cast("long").as("tokens_cut"),
+        md5(concat_ws(" ", col("__kept"))).as("clean_md5"))
+  }
+
   /** Exact duplicate ranking by content hash: every row gets its
     * fingerprint, the number of copies, and a deterministic rank among
     * its copies (rank 1 = the keeper).

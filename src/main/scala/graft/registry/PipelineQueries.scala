@@ -559,6 +559,12 @@ private[graft] object PipelineQueries {
       val t = Tables(s, dir)
       Dedup.nearDupLeakage(t.documents)
     }),
+    "q283_exact_cut" -> ((s, dir) => {
+      // G85b exact-substring cut: remove every duplicated >=8-gram
+      // span (q269's detection) and account the reduction per doc
+      val t = Tables(s, dir)
+      Dedup.cutSpans(t.documents)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2217,5 +2223,54 @@ private[graft] object PipelineQueries {
          |       split_a <> split_b AS leak,
          |       round(CAST(count(*) AS DOUBLE) / any_value(tot.n_total), 4) AS share
          |FROM j CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+    // Cut replay: the q269 span chain, disjoint spans per doc, the
+    // indexed token filter, md5 of the space-rejoined survivor text.
+    "q283_exact_cut" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |         md5(array_to_string(toks[i+1:i+8], ' ')) AS h
+        |  FROM t, unnest(range(0, greatest(0, len(toks) - 8 + 1))) u(i)
+        |  WHERE len(toks) >= 8
+        |),
+        |d AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+        |hits AS (SELECT doc_id, i FROM w JOIN d USING (h)),
+        |m AS (
+        |  SELECT doc_id, i,
+        |         max(i + 8) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |  FROM hits
+        |),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |         sum(CASE WHEN runmax IS NULL OR i > runmax THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM m
+        |),
+        |sp AS (
+        |  SELECT doc_id, CAST(min(i) AS BIGINT) AS s, CAST(max(i) + 8 AS BIGINT) AS e
+        |  FROM isl GROUP BY doc_id, isl
+        |),
+        |tok AS (
+        |  SELECT doc_id, unnest(toks) AS word,
+        |         CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos
+        |  FROM t
+        |),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.word, tok.pos
+        |  FROM tok LEFT JOIN sp
+        |    ON sp.doc_id = tok.doc_id AND tok.pos >= sp.s AND tok.pos < sp.e
+        |  WHERE sp.doc_id IS NULL
+        |),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         md5(string_agg(word, ' ' ORDER BY pos)) AS m5
+        |  FROM kept GROUP BY 1
+        |)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS tokens_cut,
+        |       coalesce(agg.m5, md5('')) AS clean_md5
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
   )
 }

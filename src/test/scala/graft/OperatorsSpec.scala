@@ -2505,4 +2505,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out(64L) == 1.0, s"full width must reproduce exact: $out")
     assert(out(8L) >= 0.0 && out(8L) <= 1.0)
   }
+
+  test("Dedup.cutSpans: duplicated spans removed, clean docs untouched") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, "aa bb " + shared + " cc"),
+      (2L, shared + " zz yy xx ww vv uu tt"),
+      (3L, "totally unique words that appear nowhere else at all ok")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutSpans(docs, minLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc1: 13 tokens, the 10-token shared run cut -> "aa bb cc"
+    assert(out(1L)._1 == 13L && out(1L)._2 == 10L)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def m(s: String) = md5.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1L)._3 == m("aa bb cc"))
+    // doc2: run cut from the front
+    assert(out(2L)._2 == 10L &&
+      out(2L)._3 == m("zz yy xx ww vv uu tt"))
+    // doc3: untouched, md5 of the original text
+    assert(out(3L)._2 == 0L &&
+      out(3L)._3 == m("totally unique words that appear nowhere else at all ok"))
+  }
 }
