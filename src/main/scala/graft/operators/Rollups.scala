@@ -2199,6 +2199,56 @@ object Rollups {
         .as("z"))
   }
 
+  /** Sequential SRM guard — the always-valid companion to F41's
+    * fixed-horizon chi-square: a ONE-SAMPLE mSPRT on the assignment
+    * share against the design ratio p0, monitored daily over the
+    * cumulative counts. Variance is the NULL variance p0(1-p0)/N
+    * (deterministic, no plug-in), so Lambda_t =
+    * sqrt(s2/(s2+tau2)) * exp(d^2*tau2/(2*s2*(s2+tau2))) with
+    * d = N_a/N - p0; p_t = running min of min(1, 1/Lambda_t). Pages
+    * the day assignment drift becomes real, with false positives
+    * controlled under daily peeking.
+    *
+    * Scale shape: ONE corpus combine to day grain; cumulative counts
+    * and the running min ride dim-sized day windows (the F58 shape).
+    * Counts are exact longs; Lambda/p are written-order doubles.
+    *
+    * Output: (day, n_a, n, ratio, p_avl, srm).
+    */
+  def msprtSrm(
+      df: DataFrame,
+      groupCol: String,
+      armA: String,
+      dayCol: String,
+      p0: Double = 0.5,
+      tauSq: Double = 1e-4,
+      alpha: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && tauSq > 0)
+    val d = (c: Column) => c.cast("double")
+    val byDay = df
+      .groupBy(col(dayCol).as("day"))
+      .agg(
+        sum(when(col(groupCol) === armA, 1L).otherwise(0L)).as("__na"),
+        count(lit(1)).as("__n"))
+    val w = Window.partitionBy().orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n_a", sum(col("__na")).over(w))
+      .withColumn("n", sum(col("__n")).over(w))
+      .filter(col("n") > 0)
+      .withColumn("__d", d(col("n_a")) / col("n") - lit(p0))
+      .withColumn("__s2", lit(p0 * (1.0 - p0)) / col("n"))
+      .withColumn("__lam",
+        sqrt(col("__s2") / (col("__s2") + lit(tauSq))) *
+          exp(col("__d") * col("__d") * lit(tauSq) /
+            (lit(2.0) * col("__s2") * (col("__s2") + lit(tauSq)))))
+      .withColumn("__p1", least(lit(1.0), lit(1.0) / col("__lam")))
+      .withColumn("p_avl", round(min(col("__p1")).over(w), 4))
+      .select(col("day"), col("n_a"), col("n"),
+        round(d(col("n_a")) / col("n"), 4).as("ratio"), col("p_avl"),
+        (col("p_avl") <= alpha).as("srm"))
+  }
+
   /** Always-valid inference: mixture SPRT (mSPRT) daily p-value
     * sequence for a two-arm mean difference (Johari et al. 2017) —
     * the sequential-testing upgrade of F13's fixed-horizon z-test: a

@@ -514,6 +514,17 @@ private[graft] object StatsQueries {
         dayCol = "day0",
         tauSq = 1.0)
     }),
+    "q284_msprt_srm" -> ((s, dir) => {
+      // F59 sequential SRM: parity-arm assignment share vs the 50/50
+      // design, monitored daily with an always-valid one-sample mSPRT
+      val t = Tables(s, dir)
+      Rollups.msprtSrm(
+        t.events.filter(col("user_id").isNotNull)
+          .withColumn("day0", expr("unix_micros(ts) div 86400000000"))
+          .withColumn("arm",
+            when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
+        "arm", "A", "day0")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2349,6 +2360,47 @@ private[graft] object StatsQueries {
         |)
         |SELECT CAST(day AS BIGINT) AS day, n_a, n_b, diff, p_avl,
         |       p_avl <= 0.05 AS signif
+        |FROM fin""".stripMargin,
+    // Sequential-SRM replay: same cumulative day counts, null
+    // variance p0(1-p0)/N, written-order Lambda, rounded running min.
+    "q284_msprt_srm" ->
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+        |  FROM events WHERE user_id IS NOT NULL
+        |),
+        |bd AS (
+        |  SELECT day, CAST(sum(a) AS BIGINT) AS na, CAST(count(*) AS BIGINT) AS nn
+        |  FROM e GROUP BY 1
+        |),
+        |cu AS (
+        |  SELECT day,
+        |         CAST(sum(na) OVER w AS BIGINT) AS n_a,
+        |         CAST(sum(nn) OVER w AS BIGINT) AS n
+        |  FROM bd
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |),
+        |l AS (
+        |  SELECT day, n_a, n,
+        |         CAST(n_a AS DOUBLE) / n - 0.5 AS d,
+        |         0.25 / n AS s2
+        |  FROM cu WHERE n > 0
+        |),
+        |pp AS (
+        |  SELECT day, n_a, n, d,
+        |         least(1.0, 1.0 / (sqrt(s2 / (s2 + 0.0001))
+        |           * exp(d * d * 0.0001 / (2.0 * s2 * (s2 + 0.0001))))) AS p1
+        |  FROM l
+        |),
+        |fin AS (
+        |  SELECT day, n_a, n,
+        |         round(CAST(n_a AS DOUBLE) / n, 4) AS ratio,
+        |         round(min(p1) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS p_avl
+        |  FROM pp
+        |)
+        |SELECT CAST(day AS BIGINT) AS day, n_a, n, ratio, p_avl,
+        |       p_avl <= 0.05 AS srm
         |FROM fin""".stripMargin,
   )
 }

@@ -2529,4 +2529,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L)._2 == 0L &&
       out(3L)._3 == m("totally unique words that appear nowhere else at all ok"))
   }
+
+  test("Rollups.msprtSrm: balanced assignment stays quiet, imbalance pages") {
+    val bal = (0L until 30L).flatMap(day =>
+      (0 until 10).map(i => (if (i % 2 == 0) "A" else "B", day)))
+      .toDF("arm", "day0")
+    val pb = Rollups.msprtSrm(bal, "arm", "A", "day0")
+      .agg(min("p_avl")).head().getDouble(0)
+    assert(pb == 1.0, s"balanced must not page: $pb")
+    // persistent 70/30 imbalance: the always-valid p crosses and latches
+    val skew = (0L until 30L).flatMap(day =>
+      (0 until 10).map(i => (if (i < 7) "A" else "B", day)))
+      .toDF("arm", "day0")
+    val out = Rollups.msprtSrm(skew, "arm", "A", "day0")
+      .orderBy("day").collect()
+    val ps = out.map(r => r.getDouble(r.fieldIndex("p_avl")))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a })
+    assert(ps.last <= 0.05 && out.last.getBoolean(out.last.fieldIndex("srm")))
+  }
 }
