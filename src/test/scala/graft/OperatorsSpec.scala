@@ -2538,7 +2538,7 @@ class OperatorsSpec extends SparkSpec {
       .agg(min("p_avl")).head().getDouble(0)
     assert(pb == 1.0, s"balanced must not page: $pb")
     // persistent 70/30 imbalance: the always-valid p crosses and latches
-    val skew = (0L until 30L).flatMap(day =>
+    val skew = (0L until 60L).flatMap(day =>
       (0 until 10).map(i => (if (i < 7) "A" else "B", day)))
       .toDF("arm", "day0")
     val out = Rollups.msprtSrm(skew, "arm", "A", "day0")
