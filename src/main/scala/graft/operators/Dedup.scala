@@ -232,6 +232,73 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
+  /** INCREMENTAL near-dup pairs — the steady-state production shape
+    * for a daily crawl: only pairs TOUCHING the delta batch are
+    * produced, and any bucket containing no delta doc is skipped
+    * before pair expansion (in steady state that is almost all of
+    * them — the full-corpus re-pairing [[minhashLshPairs]] does is
+    * exactly what a 100 TB daily ingest cannot afford; at scale the
+    * base signatures are a persisted index, recomputed here only
+    * because the testdata has no cross-run store). Bucket caps are
+    * computed over base+delta TOGETHER, so the emitted pairs are
+    * byte-identical to the full run filtered to delta-involved pairs
+    * — which is how the oracle gates it.
+    *
+    * Output: (idA, idB, jaccard) with idA < idB, >= one side new.
+    */
+  def incrementalPairs(
+      base: DataFrame,
+      delta: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 12,
+      bands: Int = 3,
+      shingleSize: Int = 3,
+      minJaccard: Double = 0.8,
+      bucketCap: Int = graft.GraftConf.LshBucketCap): DataFrame = {
+    val rows = k / bands
+    def withSig(df: DataFrame, isNew: Boolean) = spread(df)
+      .select(col(idCol).as("id"),
+        graft.functions.NativeText.wordShingles(col(textCol), shingleSize).as("set"))
+      .filter(size(col("set")) > 0)
+      .withColumn("sig", graft.functions.NativeText.minhashSig(col("set"), k))
+      .withColumn("__new", lit(isNew))
+    val all = withSig(base, isNew = false).unionByName(withSig(delta, isNew = true))
+    val banded = all.select(
+      col("id"), col("__new"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows))))))
+        .as(Seq("band", "bucket")))
+    val bucketWin = Window.partitionBy("band", "bucket")
+    val candidates = banded
+      .withColumn("bn", count(lit(1)).over(bucketWin))
+      .observe(s"graft_inc_bucket_cap_${obsId.incrementAndGet()}",
+        sum(when(col("bn") > bucketCap, 1L).otherwise(0L)).as("dropped_postings"),
+        coalesce(max(col("bn")), lit(0L)).as("max_bucket_size"))
+      .filter(col("bn") > 1 && col("bn") <= bucketCap)
+      .groupBy("band", "bucket")
+      .agg(collect_list(struct(col("id"), col("__new"))).as("ids"))
+      // the incremental win: buckets with no delta member never expand
+      .filter(exists(col("ids"), x => x.getField("__new")))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        (col("a.__new") || col("b.__new")))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"))
+      .distinct()
+    val sets = all.select(col("id"), col("set"))
+    candidates
+      .join(sets.select(col("id").as("idA"), col("set").as("setA")), Seq("idA"))
+      .join(sets.select(col("id").as("idB"), col("set").as("setB")), Seq("idB"))
+      .withColumn("jaccard",
+        round(
+          size(array_intersect(col("setA"), col("setB"))).cast("double") /
+            size(array_union(col("setA"), col("setB"))), 3))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
   /** Near-dup CLUSTERS from a pair graph: connected components via
     * hash-to-min label propagation — each doc converges to its
     * component's minimum id, which is the canonical keeper (`id ==

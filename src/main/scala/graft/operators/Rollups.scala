@@ -2199,6 +2199,58 @@ object Rollups {
         .as("z"))
   }
 
+  /** Empirical-Bayes rate shrinkage — the "adjusted rating" every
+    * small-sample ranking needs: per-key success rates shrink toward
+    * the population with a beta prior fit by method of moments on the
+    * per-key rates (unweighted mean m and variance v over the key
+    * table; alpha+beta = m(1-m)/v - 1). A key with 2 trials moves
+    * most of the way to the prior; a key with 10k barely moves — the
+    * fix for "100% CTR on 1 impression" topping every leaderboard.
+    *
+    * Determinism: per-key rates quantize to 1e-6 units before the
+    * moment sums (exact longs, squares in decimal(38,0) — the
+    * corpus-moment contract); m, v, the prior, and each shrunk rate
+    * are written-order doubles, 4dp at the projection. Degenerate
+    * priors (v = 0 or alpha+beta <= 0) shrink fully to m. Scale
+    * shape: one (key) combine, a one-row moment aggregate broadcast
+    * back, then a projection.
+    *
+    * Output: (keyCol, n, x, rate, shrunk).
+    */
+  def ebShrinkRates(
+      df: DataFrame,
+      keyCol: String,
+      successCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = (c: Column) => c.cast("double")
+    val keys = df
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol) =!= 0, 1L).otherwise(0L)).as("x"))
+      .withColumn("__ru", round(d(col("x")) / col("n") * 1e6).cast("long"))
+      .localCheckpoint() // feeds the moment aggregate AND the projection
+    val moments = keys.agg(
+      count(lit(1)).as("__k"),
+      sum(col("__ru")).as("__sr"),
+      sum(col("__ru").cast(dec) * col("__ru").cast(dec)).as("__qr"))
+    keys.crossJoin(broadcast(moments))
+      .withColumn("__m", d(col("__sr")) / col("__k") / 1e6)
+      .withColumn("__v",
+        when(col("__k") > 1,
+          (d(col("__qr")) / 1e12 - col("__k") * col("__m") * col("__m")) /
+            (col("__k") - 1)).otherwise(lit(0.0)))
+      .withColumn("__ab",
+        when(col("__v") > 0, col("__m") * (lit(1.0) - col("__m")) / col("__v") - 1.0)
+          .otherwise(lit(0.0)))
+      .withColumn("shrunk",
+        when(col("__ab") > 0,
+          round((d(col("x")) + col("__m") * col("__ab")) /
+            (d(col("n")) + col("__ab")), 4))
+          .otherwise(round(col("__m"), 4)))
+      .select(col(keyCol), col("n"), col("x"),
+        round(d(col("x")) / col("n"), 4).as("rate"), col("shrunk"))
+  }
+
   /** Sequential SRM guard — the always-valid companion to F41's
     * fixed-horizon chi-square: a ONE-SAMPLE mSPRT on the assignment
     * share against the design ratio p0, monitored daily over the

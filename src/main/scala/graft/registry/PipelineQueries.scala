@@ -565,6 +565,15 @@ private[graft] object PipelineQueries {
       val t = Tables(s, dir)
       Dedup.cutSpans(t.documents)
     }),
+    "q285_incremental_pairs" -> ((s, dir) => {
+      // I29 incremental near-dup: the delta batch (doc_id % 10 == 0)
+      // against the standing corpus — buckets with no delta member
+      // never expand; result == full pairing filtered to delta pairs
+      val t = Tables(s, dir)
+      Dedup.incrementalPairs(
+        t.documents.filter(col("doc_id") % 10 =!= 0),
+        t.documents.filter(col("doc_id") % 10 === 0))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2272,5 +2281,12 @@ private[graft] object PipelineQueries {
         |       CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS tokens_cut,
         |       coalesce(agg.m5, md5('')) AS clean_md5
         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // Incremental replay: bucket caps over base+delta are identical
+    // to the full corpus, so the gate is the q31 machinery filtered
+    // to delta-involved pairs.
+    "q285_incremental_pairs" ->
+      s"""WITH $MinhashPairsSql
+         |SELECT idA, idB, jaccard FROM lshpairs
+         |WHERE idA % 10 = 0 OR idB % 10 = 0""".stripMargin,
   )
 }

@@ -525,6 +525,18 @@ private[graft] object StatsQueries {
             when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
         "arm", "A", "day0")
     }),
+    "q286_eb_shrink" -> ((s, dir) => {
+      // F60 empirical-Bayes CTR shrinkage: per-user click share among
+      // click/view events, shrunk toward the method-of-moments beta
+      // prior fit on the per-user rate table
+      val t = Tables(s, dir)
+      Rollups.ebShrinkRates(
+        t.events.filter(col("event_type").isin("click", "view") &&
+          col("user_id").isNotNull)
+          .withColumn("is_click",
+            when(col("event_type") === "click", 1L).otherwise(0L)),
+        "user_id", "is_click")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2402,5 +2414,47 @@ private[graft] object StatsQueries {
         |SELECT CAST(day AS BIGINT) AS day, n_a, n, ratio, p_avl,
         |       p_avl <= 0.05 AS srm
         |FROM fin""".stripMargin,
+    // Shrinkage replay: 1e-6 rate quantization, HUGEINT rate
+    // squares, method-of-moments prior, written-order doubles.
+    "q286_eb_shrink" ->
+      """WITH k AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+        |  GROUP BY 1
+        |),
+        |r AS (
+        |  SELECT user_id, n, x,
+        |         CAST(round(CAST(x AS DOUBLE) / n * 1e6) AS BIGINT) AS ru
+        |  FROM k
+        |),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS kk,
+        |         CAST(sum(ru) AS BIGINT) AS sr,
+        |         CAST(sum(CAST(ru AS HUGEINT) * CAST(ru AS HUGEINT)) AS HUGEINT) AS qr
+        |  FROM r
+        |),
+        |p AS (
+        |  SELECT r.*, CAST(m.sr AS DOUBLE) / m.kk / 1e6 AS mm,
+        |         CASE WHEN m.kk > 1
+        |              THEN (CAST(m.qr AS DOUBLE) / 1e12
+        |                    - m.kk * (CAST(m.sr AS DOUBLE) / m.kk / 1e6)
+        |                           * (CAST(m.sr AS DOUBLE) / m.kk / 1e6))
+        |                   / (m.kk - 1)
+        |              ELSE 0.0 END AS vv
+        |  FROM r CROSS JOIN m
+        |),
+        |a AS (
+        |  SELECT *, CASE WHEN vv > 0 THEN mm * (1.0 - mm) / vv - 1.0
+        |                 ELSE 0.0 END AS ab
+        |  FROM p
+        |)
+        |SELECT user_id, n, x,
+        |       round(CAST(x AS DOUBLE) / n, 4) AS rate,
+        |       CASE WHEN ab > 0
+        |            THEN round((CAST(x AS DOUBLE) + mm * ab) / (CAST(n AS DOUBLE) + ab), 4)
+        |            ELSE round(mm, 4) END AS shrunk
+        |FROM a""".stripMargin,
   )
 }

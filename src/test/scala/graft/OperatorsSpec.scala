@@ -2547,4 +2547,31 @@ class OperatorsSpec extends SparkSpec {
     assert(ps.zip(ps.tail).forall { case (a, b) => b <= a })
     assert(ps.last <= 0.05 && out.last.getBoolean(out.last.fieldIndex("srm")))
   }
+
+  test("Dedup.incrementalPairs equals full pairing filtered to delta-involved") {
+    import graft.sources.Tables
+    val docs = Tables(spark, sfDir).documents
+    val full = Dedup.minhashLshPairs(docs)
+      .filter(col("idA") % 10 === 0 || col("idB") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.incrementalPairs(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full, s"incremental must equal filtered full: ${inc.size} vs ${full.size}")
+  }
+
+  test("Rollups.ebShrinkRates: small samples shrink hard, large barely move") {
+    val rows = Seq.fill(1)(("tiny", 1L)) ++ // 1/1 = 100% on one trial
+      (0 until 1000).map(i => ("big", if (i < 200) 1L else 0L)) ++ // 20% on 1000
+      (0 until 100).map(i => ("mid", if (i < 50) 1L else 0L)) // 50% on 100
+    val out = Rollups.ebShrinkRates(rows.toDF("k", "s"), "k", "s")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    val (tinyRate, tinyShrunk) = out("tiny")
+    val (bigRate, bigShrunk) = out("big")
+    assert(tinyRate == 1.0 && tinyShrunk < 0.9,
+      s"one-trial 100% must shrink toward the prior: $tinyShrunk")
+    assert(math.abs(bigShrunk - bigRate) < 0.05,
+      s"1000-trial rate must barely move: $bigRate -> $bigShrunk")
+  }
 }
