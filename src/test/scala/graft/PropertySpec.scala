@@ -203,4 +203,30 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("JaroWinkler is code-point exact: astral symbols behave as single chars") {
+    import graft.functions.JaroWinkler
+    def jw(a: String, b: String): Double =
+      JaroWinkler.evalStatic(UTF8String.fromString(a), UTF8String.fromString(b))
+    // JW depends only on the EQUALITY PATTERN of characters, so any
+    // injective symbol renaming must preserve the score — including
+    // astral symbols (2 UTF-16 code units) renamed to BMP ones. Under
+    // code-UNIT comparison the astral side would see doubled lengths
+    // and different match windows, breaking the invariance.
+    val astral = Vector("\uD834\uDD1E", "\uD83D\uDE00", "a", "b") // 𝄞 😀 a b
+    val bmp = Vector("w", "x", "a", "b")
+    val gen = Gen.listOf(Gen.chooseNum(0, 3))
+    check(Prop.forAll(gen, gen) { (s: List[Int], t: List[Int]) =>
+      val (sa, ta) = (s.map(astral).mkString, t.map(astral).mkString)
+      val (sb, tb) = (s.map(bmp).mkString, t.map(bmp).mkString)
+      jw(sa, ta) == jw(sb, tb)
+    })
+    // plus the basics on the astral alphabet
+    check(Prop.forAll(gen, gen) { (s: List[Int], t: List[Int]) =>
+      val (sa, ta) = (s.map(astral).mkString, t.map(astral).mkString)
+      val v = jw(sa, ta)
+      v >= 0.0 && v <= 1.0 && v == jw(ta, sa) &&
+        (sa != ta || sa.isEmpty || v == 1.0)
+    })
+  }
 }

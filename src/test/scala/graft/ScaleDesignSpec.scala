@@ -1752,4 +1752,47 @@ class ScaleDesignSpec extends SparkSpec {
     // q281: split is a projection; pairs reuse the G2 shapes
     noCartesian("q281_neardup_leakage", exec("q281_neardup_leakage"))
   }
+
+  test("round-9 batch-3 operator plans honor their scale claims") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def exec(q: String) =
+      SparkEntry.queries(q)(spark, sfDir).queryExecution
+    def shuffles(qe: org.apache.spark.sql.execution.QueryExecution) =
+      helper.collect(qe.executedPlan) { case e: ShuffleExchangeExec => e }
+    def noCartesian(q: String, qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+      assert(helper.collect(qe.executedPlan) {
+        case j: CartesianProductExec => j
+      }.isEmpty, s"$q must not build a cartesian product")
+
+    // q272: the Holt recursion folds IN-ROW over the collected series
+    // — one day-grain combine then one keys combine, no window, no join
+    val q272 = exec("q272_holt_backtest")
+    noCartesian("q272_holt_backtest", q272)
+    assert(q272.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "q272 must stay window- and join-free")
+    assert(shuffles(q272).size <= 2,
+      s"q272: two combines only, got ${shuffles(q272).size}")
+
+    // q283: spans attach id-keyed, the cut is in-row — windows only at
+    // doc grain, no cartesian
+    val q283 = exec("q283_exact_cut")
+    noCartesian("q283_exact_cut", q283)
+    assert(q283.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }.isEmpty, "q283 windows must partition on doc_id")
+
+    // q285: bucket-keyed candidate generation, never a cartesian
+    noCartesian("q285_incremental_pairs", exec("q285_incremental_pairs"))
+
+    // q286: one key combine + a one-row broadcast back — <= 2 exchanges
+    val q286 = exec("q286_eb_shrink")
+    noCartesian("q286_eb_shrink", q286)
+    assert(shuffles(q286).size <= 2,
+      s"q286: key combine + moment rollup only, got ${shuffles(q286).size}")
+  }
 }
