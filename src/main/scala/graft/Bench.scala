@@ -161,8 +161,11 @@ object Bench {
     // its HEAD (metric/total/q01-q04) is what gets truncated (the
     // BENCH_r07 failure mode). The untruncated contract form always
     // goes to BENCH_FULL.json (schema graft-bench-1, BenchJsonSpec).
+    // A subset run must never clobber the whole-registry artifact —
+    // it lands in BENCH_SUBSET.json instead.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(
+        if (only.nonEmpty) "BENCH_SUBSET.json" else "BENCH_FULL.json"),
       BenchRender.full(results, headline, sfDir, reps) + "\n")
     val out = BenchRender.compact(results, headline, sfDir, reps, 1900)
     spark.stop()
