@@ -2199,6 +2199,55 @@ object Rollups {
         .as("z"))
   }
 
+  /** Tukey–Kramer pairwise q-statistics — the post-hoc step F30's
+    * ANOVA points at: WHICH groups differ. Every unordered group pair
+    * gets the studentized-range statistic q = |mean_b - mean_a| /
+    * sqrt((MSW/2)(1/n_a + 1/n_b)) with MSW the ANOVA within-group
+    * mean square; compare against the studentized-range critical
+    * value for (k, N-k) at the caller's alpha (the statistic table is
+    * the deliverable — critical values are a lookup, not data).
+    *
+    * Exactness: group moments accumulate as decimal(38,0) cent sums
+    * in ONE combine; MSW and every q are written-order doubles, 4dp.
+    * Scale shape: one (group) combine; the pair expansion is a
+    * broadcast self-cross of the GROUP DIM (k(k-1)/2 rows), never of
+    * data; the one-row MSW total attaches by broadcast.
+    *
+    * Output: (group_a, group_b, n_a, n_b, diff, q_stat).
+    */
+  def tukeyQStats(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = (c: Column) => c.cast("double")
+    val cents = round(col(valueCol) * 100).cast("long").cast(dec)
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+        sum(cents * cents).as("q"))
+      .filter(col("n") >= 2)
+      .withColumn("__ssw", d(col("q")) - d(col("s")) * d(col("s")) / col("n"))
+      .localCheckpoint() // feeds the MSW total AND both pair sides
+    val msw = g.agg(
+      count(lit(1)).as("__k"), sum(col("n")).as("__nn"),
+      sum(col("__ssw")).as("__sswt"))
+      .filter(col("__nn") > col("__k"))
+      .select((col("__sswt") / (col("__nn") - col("__k"))).as("__msw"))
+    g.select(col("g").as("group_a"), col("n").as("n_a"), col("s").as("__sa"))
+      .join(g.select(col("g").as("group_b"), col("n").as("n_b"), col("s").as("__sb")),
+        col("group_a") < col("group_b"))
+      .crossJoin(broadcast(msw))
+      .withColumn("__diff",
+        d(col("__sb")) / col("n_b") / 100.0 - d(col("__sa")) / col("n_a") / 100.0)
+      .withColumn("__se",
+        sqrt(col("__msw") / 10000.0 / 2.0 *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        round(col("__diff"), 4).as("diff"),
+        round(abs(col("__diff")) / col("__se"), 4).as("q_stat"))
+  }
+
   /** Empirical-Bayes rate shrinkage — the "adjusted rating" every
     * small-sample ranking needs: per-key success rates shrink toward
     * the population with a beta prior fit by method of moments on the

@@ -537,6 +537,12 @@ private[graft] object StatsQueries {
             when(col("event_type") === "click", 1L).otherwise(0L)),
         "user_id", "is_click")
     }),
+    "q287_tukey" -> ((s, dir) => {
+      // F61 Tukey-Kramer post-hoc: which event-type value means
+      // differ, as studentized-range q statistics over the ANOVA MSW
+      val t = Tables(s, dir)
+      Rollups.tukeyQStats(t.events, "event_type", "value")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2456,5 +2462,32 @@ private[graft] object StatsQueries {
         |            THEN round((CAST(x AS DOUBLE) + mm * ab) / (CAST(n AS DOUBLE) + ab), 4)
         |            ELSE round(mm, 4) END AS shrunk
         |FROM a""".stripMargin,
+    // Tukey replay: HUGEINT cent moments, ANOVA MSW, group-dim pair
+    // cross, written-order doubles, 4dp.
+    "q287_tukey" ->
+      """WITH g AS (
+        |  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS s,
+        |         CAST(sum(CAST(round(value * 100) AS HUGEINT)
+        |                  * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS q
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1 HAVING count(*) >= 2
+        |),
+        |w AS (
+        |  SELECT g, n, s,
+        |         CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssw
+        |  FROM g
+        |),
+        |m AS (
+        |  SELECT sum(ssw) / (sum(n) - count(*)) AS msw
+        |  FROM w HAVING sum(n) > count(*)
+        |)
+        |SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+        |       round(CAST(b.s AS DOUBLE) / b.n / 100.0
+        |             - CAST(a.s AS DOUBLE) / a.n / 100.0, 4) AS diff,
+        |       round(abs(CAST(b.s AS DOUBLE) / b.n / 100.0
+        |                 - CAST(a.s AS DOUBLE) / a.n / 100.0)
+        |             / sqrt(m.msw / 10000.0 / 2.0 * (1.0 / a.n + 1.0 / b.n)), 4) AS q_stat
+        |FROM w a JOIN w b ON a.g < b.g CROSS JOIN m""".stripMargin,
   )
 }

@@ -2574,4 +2574,17 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(bigShrunk - bigRate) < 0.05,
       s"1000-trial rate must barely move: $bigRate -> $bigShrunk")
   }
+
+  test("Rollups.tukeyQStats: separated groups score big q, identical twins score 0") {
+    val rows = (0 until 50).flatMap { i =>
+      Seq(("lo", 10.0 + (i % 3)), ("lo2", 10.0 + (i % 3)), ("hi", 30.0 + (i % 3)))
+    }
+    val out = Rollups.tukeyQStats(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(4), r.getDouble(5)))).toMap
+    val (dTwin, qTwin) = out(("lo", "lo2"))
+    assert(dTwin == 0.0 && qTwin == 0.0)
+    val (dSep, qSep) = out(("hi", "lo"))
+    assert(math.abs(dSep + 20.0) < 1e-9 && qSep > 50.0)
+  }
 }
