@@ -1344,6 +1344,47 @@ object Rollups {
         round(d(col("__st.se")) / col("__st.n") / 1e6, 4).as("mae"),
         round(d(col("__st.l") + col("__st.b")) / 1e6, 4).as("forecast_next")): _*)
   }
+  /** MASE backtest — Hyndman & Koehler 2006's scale-free forecast
+    * skill: the D21 Holt one-step MAE divided by the SEASONAL-NAIVE
+    * MAE (|y_t − y_{t−period}| averaged over the same series), the
+    * denominator every forecasting bake-off normalizes by. mase < 1
+    * = the model beats "same day last week"; > 1 = the fancy model
+    * is losing to a lookup.
+    *
+    * Determinism: both MAEs are exact long micro-unit sums (the Holt
+    * fold's |err| units and the naive lag diffs); the ratio is one
+    * 4dp division. Scale shape: the naive side is one lag window on
+    * the (keys) exchange + a keys combine; the Holt side is D21's
+    * in-row fold; the two key-grain tables meet id-keyed.
+    *
+    * Output: (keys..., n_forecasts, mae_model, mae_naive, mase).
+    */
+  def maseBacktest(
+      series: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 1)
+    val d = (c: Column) => c.cast("double")
+    val holt = holtBacktest(series, keys, xCol, yCol)
+      .select(keys.map(col) :+ col("n_forecasts") :+ col("mae").as("mae_model"): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(xCol))
+    val naive = series
+      .withColumn("__yu", round(col(yCol)).cast("long") * 1000000L)
+      .withColumn("__lag", lag(col("__yu"), period).over(w))
+      .filter(col("__lag").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__nn"),
+        sum(abs(col("__yu") - col("__lag"))).as("__sn"))
+      .filter(col("__nn") > 0 && col("__sn") > 0)
+      .select(keys.map(col) :+
+        round(d(col("__sn")) / col("__nn") / 1e6, 4).as("mae_naive"): _*)
+    holt.join(naive, keys)
+      .withColumn("mase",
+        round(col("mae_model") / col("mae_naive"), 4))
+  }
+
   /** One-step-ahead EWMA forecast backtest per keyed series — the
     * forecast-skill report for D6's half-life smoother: predict each
     * point from the EWMA of everything BEFORE it, then score MAE and
@@ -1443,8 +1484,9 @@ object Rollups {
     *
     * Scale shape: the series is eager-cut (it feeds the fit AND the
     * residual pass); the trend table is keys-grain (broadcast); the
-    * lag window rides ONE (keys) exchange. Calendar-bounded series
-    * keep micro-unit squares far inside long range.
+    * lag window rides ONE (keys) exchange. Micro-unit residual squares
+    * ride decimal(38,0) (sf0.1 already overflows a long — the
+    * corpus-moment contract).
     *
     * Output: keys ++ (n_points, dw).
     */
@@ -1462,12 +1504,14 @@ object Rollups {
       .withColumn("__e",
         round((d(col(yCol)) - (col("intercept") + col("slope") * d(col(xCol)))) * 1e6)
           .cast("long"))
-      .withColumn("__de", col("__e") - lag(col("__e"), 1).over(w))
+      .withColumn("__de",
+        (col("__e") - lag(col("__e"), 1).over(w)).cast("decimal(38,0)"))
+      .withColumn("__ed", col("__e").cast("decimal(38,0)"))
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n_points"),
         sum(col("__de") * col("__de")).as("__num"),
-        sum(col("__e") * col("__e")).as("__den"))
+        sum(col("__ed") * col("__ed")).as("__den"))
       .select(keys.map(col) ++ Seq(col("n_points"),
         round(d(col("__num")) /
           when(col("__den") === 0, lit(null)).otherwise(d(col("__den"))), 4)
@@ -1586,7 +1630,8 @@ object Rollups {
     * ONE (keys) exchange (same partitioning, per-order sorts); the
     * moment rollup rides it too. O(1) window state throughout —
     * a hot key costs its own sort, never cross-key state. Rank sums
-    * stay in long range to ~2·10⁹ rows per key.
+    * are longs; rank SQUARES ride decimal(38,0) (they clear long
+    * range at ~1.5e9 rows per key — the corpus-moment contract).
     *
     * Output: keys ++ (n, rho).
     */
@@ -1603,19 +1648,25 @@ object Rollups {
         lit(2L) * rank().over(Window.partitionBy(keys.map(col): _*).orderBy(bCol)) +
           count(lit(1)).over(Window.partitionBy((keys :+ bCol).map(col): _*)) - 1L)
     val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val ra = col("__ra").cast(dec)
+    val rb = col("__rb").cast(dec)
     ranked
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col("__ra")).as("__sa"), sum(col("__rb")).as("__sb"),
-        sum(col("__ra") * col("__ra")).as("__saa"),
-        sum(col("__rb") * col("__rb")).as("__sbb"),
-        sum(col("__ra") * col("__rb")).as("__sab"))
+        sum(ra).as("__sa"), sum(rb).as("__sb"),
+        // rank squares overflow a long past ~1.5e9 rows per key —
+        // decimal is the corpus-moment contract
+        sum(ra * ra).as("__saa"),
+        sum(rb * rb).as("__sbb"),
+        sum(ra * rb).as("__sab"))
       .withColumn("__den",
-        sqrt(d(col("n") * col("__saa") - col("__sa") * col("__sa")) *
-          d(col("n") * col("__sbb") - col("__sb") * col("__sb"))))
+        sqrt(d(col("n").cast(dec) * col("__saa") - col("__sa") * col("__sa")) *
+          d(col("n").cast(dec) * col("__sbb") - col("__sb") * col("__sb"))))
       .select(keys.map(col) ++ Seq(col("n"),
-        round(d(col("n") * col("__sab") - col("__sa") * col("__sb")) /
+        round(d(col("n").cast("decimal(38,0)") * col("__sab") -
+            col("__sa") * col("__sb")) /
           when(col("__den") === 0, lit(null)).otherwise(col("__den")), 4).as("rho")): _*)
   }
 

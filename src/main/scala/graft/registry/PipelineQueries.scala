@@ -506,8 +506,11 @@ private[graft] object PipelineQueries {
       val t = Tables(s, dir)
       val pairs = Dedup.minhashLshPairs(t.documents, minJaccard = 0.5)
       val th = s.range(10, 20).select((col("id") * lit(0.05)).as("t"))
+      // threshold compare in integer MILLI-units: the 3dp jaccard and
+      // k*0.05 both quantize exactly, so no ulp gap between engines
+      // can flip a boundary pair (sf0.1 had one at t = 0.95)
       pairs.crossJoin(broadcast(th))
-        .filter(col("jaccard") >= col("t"))
+        .filter(round(col("jaccard") * 1000) >= round(col("t") * 1000))
         .select(col("t"), explode(array(col("idA"), col("idB"))).as("id"))
         .groupBy("t")
         .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
@@ -1650,7 +1653,8 @@ private[graft] object PipelineQueries {
       s"""WITH $MinhashPairsSql,
          |th AS (SELECT unnest(range(10, 20)) * 0.05 AS t),
          |f AS (
-         |  SELECT t, idA, idB FROM verified CROSS JOIN th WHERE jaccard >= t
+         |  SELECT t, idA, idB FROM verified CROSS JOIN th
+         |  WHERE round(jaccard * 1000) >= round(t * 1000)
          |),
          |e AS (SELECT t, unnest([idA, idB]) AS id FROM f)
          |SELECT round(t, 2) AS t, CAST(count(*) // 2 AS BIGINT) AS n_pairs,

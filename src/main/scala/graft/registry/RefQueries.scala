@@ -426,6 +426,16 @@ private[graft] object RefQueries {
         .agg(count(lit(1)).as("y"))
       Rollups.holtBacktest(series, Seq("event_type"), "day", "y")
     }),
+    "q288_mase" -> ((s, dir) => {
+      // D22 MASE: the D21 Holt MAE normalized by the seasonal-naive
+      // (lag-7) MAE per event type — is the model beating a lookup?
+      val t = Tables(s, dir)
+      val series = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      Rollups.maseBacktest(series, Seq("event_type"), "day", "y")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -799,12 +809,19 @@ private[graft] object RefQueries {
          |  FROM s
          |  WINDOW w AS (PARTITION BY diseaseId, targetId ORDER BY year
          |               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+         |),
+         |f AS (
+         |  SELECT diseaseId, targetId, year, s0, n, sm,
+         |         (s2 - sm * sm / n) / (n - 1) AS v
+         |  FROM r WHERE n >= 3
          |)
          |SELECT diseaseId, targetId, year, round(s0, 4) AS score,
-         |       round((s0 - sm / n) / sqrt((s2 - sm * sm / n) / (n - 1)), 4) AS z
-         |FROM r
-         |WHERE n >= 3 AND (s2 - sm * sm / n) / (n - 1) > 1e-12
-         |  AND round((s0 - sm / n) / sqrt((s2 - sm * sm / n) / (n - 1)), 4) >= 2.0""".stripMargin,
+         |       round((s0 - sm / n)
+         |             / CASE WHEN v > 1e-12 THEN sqrt(v) END, 4) AS z
+         |FROM f
+         |WHERE v > 1e-12
+         |  AND round((s0 - sm / n)
+         |            / CASE WHEN v > 1e-12 THEN sqrt(v) END, 4) >= 2.0""".stripMargin,
     "q147_linear_trend" ->
       """WITH series AS (
         |  SELECT l_returnflag AS datasourceId,
@@ -1180,8 +1197,8 @@ private[graft] object RefQueries {
         |  FROM e
         |)
         |SELECT datasourceId, CAST(count(*) AS BIGINT) AS n_points,
-        |       round(CAST(sum(de * de) AS DOUBLE)
-        |             / NULLIF(CAST(sum(ei * ei) AS DOUBLE), 0), 4) AS dw
+        |       round(CAST(sum(CAST(de AS HUGEINT) * CAST(de AS HUGEINT)) AS DOUBLE)
+        |             / NULLIF(CAST(sum(CAST(ei AS HUGEINT) * CAST(ei AS HUGEINT)) AS DOUBLE), 0), 4) AS dw
         |FROM w GROUP BY 1""".stripMargin,
     // Backtest replay: the q120 EWMA closed form, lagged one step,
     // errors in integer micro-units before the sums.
@@ -1327,5 +1344,50 @@ private[graft] object RefQueries {
         |       round(CAST(st[3] AS DOUBLE) / st[4] / 1e6, 4) AS mae,
         |       round(CAST(st[1] + st[2] AS DOUBLE) / 1e6, 4) AS forecast_next
         |FROM f""".stripMargin,
+    // MASE replay: the q272 Holt fold + a lag-7 naive MAE over the
+    // same day series, 4dp ratio.
+    "q288_mase" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) * 1000000 AS yu
+        |  FROM events GROUP BY 1, 2
+        |),
+        |l AS (SELECT event_type, list(yu ORDER BY day) AS ys FROM s GROUP BY 1),
+        |f AS (
+        |  SELECT event_type,
+        |         list_reduce(
+        |           list_transform(ys, y -> [y, CAST(0 AS BIGINT),
+        |                                    CAST(0 AS BIGINT), CAST(0 AS BIGINT)]),
+        |           (a, x) -> [
+        |             CAST(floor((x[1] + a[1] + a[2]) / 2.0) AS BIGINT),
+        |             CAST(floor(((CAST(floor((x[1] + a[1] + a[2]) / 2.0) AS BIGINT)
+        |                          - a[1]) + a[2]) / 2.0) AS BIGINT),
+        |             a[3] + abs(x[1] - a[1] - a[2]),
+        |             a[4] + 1]) AS st
+        |  FROM l WHERE len(ys) >= 2
+        |),
+        |h AS (
+        |  SELECT event_type, st[4] AS n_forecasts,
+        |         round(CAST(st[3] AS DOUBLE) / st[4] / 1e6, 4) AS mae_model
+        |  FROM f
+        |),
+        |nv AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nn,
+        |         CAST(sum(abs(yu - lg)) AS BIGINT) AS sn
+        |  FROM (
+        |    SELECT event_type, yu,
+        |           lag(yu, 7) OVER (PARTITION BY event_type ORDER BY day) AS lg
+        |    FROM s
+        |  ) WHERE lg IS NOT NULL
+        |  GROUP BY 1 HAVING count(*) > 0 AND sum(abs(yu - lg)) > 0
+        |),
+        |n2 AS (
+        |  SELECT event_type, round(CAST(sn AS DOUBLE) / nn / 1e6, 4) AS mae_naive
+        |  FROM nv
+        |)
+        |SELECT h.event_type, h.n_forecasts, h.mae_model, n2.mae_naive,
+        |       round(h.mae_model / n2.mae_naive, 4) AS mase
+        |FROM h JOIN n2 USING (event_type)""".stripMargin,
   )
 }

@@ -1030,8 +1030,10 @@ private[graft] object StatsQueries {
         |),
         |s AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |         sum(ra) AS sa, sum(rb) AS sb, sum(ra * ra) AS saa,
-        |         sum(rb * rb) AS sbb, sum(ra * rb) AS sab
+        |         sum(ra) AS sa, sum(rb) AS sb,
+        |         sum(CAST(ra AS HUGEINT) * CAST(ra AS HUGEINT)) AS saa,
+        |         sum(CAST(rb AS HUGEINT) * CAST(rb AS HUGEINT)) AS sbb,
+        |         sum(CAST(ra AS HUGEINT) * CAST(rb AS HUGEINT)) AS sab
         |  FROM r GROUP BY 1
         |)
         |SELECT event_type, n,

@@ -2587,4 +2587,14 @@ class OperatorsSpec extends SparkSpec {
     val (dSep, qSep) = out(("hi", "lo"))
     assert(math.abs(dSep + 20.0) < 1e-9 && qSep > 50.0)
   }
+
+  test("Rollups.maseBacktest: trend model beats seasonal naive on a ramp") {
+    // linear ramp with weekly period: Holt tracks it, lag-7 naive is
+    // off by 7 every step -> mase well below 1
+    val ramp = (0L until 42L).map(d => ("a", d, d.toDouble)).toDF("k", "x", "y")
+    val r = Rollups.maseBacktest(ramp, Seq("k"), "x", "y").collect().head
+    assert(r.getDouble(r.fieldIndex("mae_naive")) == 7.0)
+    assert(r.getDouble(r.fieldIndex("mase")) < 0.2,
+      s"Holt must crush the naive on a ramp: ${r}")
+  }
 }
