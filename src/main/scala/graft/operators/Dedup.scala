@@ -232,6 +232,76 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
+  /** Boilerplate-robust near-dup pairs — [[minhashLshPairs]] with the
+    * G83 stop-shingle list excised BEFORE signatures: templated mass
+    * (headers, navigation, license blocks) no longer buckets
+    * unrelated docs together or inflates verified Jaccard, which is
+    * exactly how boilerplate poisons a web-corpus dedup pass. Feed it
+    * [[boilerplateShingles]]' output (or any curated stoplist dim).
+    *
+    * Scale shape: shingles hash doc-locally and anti-join the
+    * BROADCAST stoplist at (id, shingle) grain, re-collect to one
+    * bounded set per doc, then ride the standard G2 banding flow
+    * (capped buckets, observe()d drops, bucket-local verification).
+    * One extra (id) combine vs the plain path — the price of the
+    * excision.
+    *
+    * Output: (idA, idB, jaccard) with idA < idB, Jaccard on the
+    * STOPLISTED shingle sets.
+    */
+  def stoplistedMinhashPairs(
+      df: DataFrame,
+      stopShingles: DataFrame,
+      stopCol: String = "shingle",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 12,
+      bands: Int = 3,
+      shingleSize: Int = 3,
+      minJaccard: Double = 0.8,
+      bucketCap: Int = graft.GraftConf.LshBucketCap): DataFrame = {
+    val rows = k / bands
+    val kept = spread(df)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.NativeText.wordShingles(col(textCol), shingleSize))
+          .as("s"))
+      .join(broadcast(stopShingles.select(col(stopCol).as("s")).distinct()),
+        Seq("s"), "left_anti")
+      .groupBy("id")
+      .agg(array_distinct(collect_list(col("s"))).as("set"))
+      .filter(size(col("set")) > 0)
+      .withColumn("sig", graft.functions.NativeText.minhashSig(col("set"), k))
+    val banded = kept.select(
+      col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows))))))
+        .as(Seq("band", "bucket")))
+    val bucketWin = Window.partitionBy("band", "bucket")
+    val candidates = banded
+      .withColumn("bn", count(lit(1)).over(bucketWin))
+      .observe(s"graft_stoplsh_bucket_cap_${obsId.incrementAndGet()}",
+        sum(when(col("bn") > bucketCap, 1L).otherwise(0L)).as("dropped_postings"),
+        coalesce(max(col("bn")), lit(0L)).as("max_bucket_size"))
+      .filter(col("bn") > 1 && col("bn") <= bucketCap)
+      .groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .select(explode(col("ids")).as("idA"), col("ids"))
+      .select(col("idA"), explode(col("ids")).as("idB"))
+      .filter(col("idA") < col("idB"))
+      .distinct()
+    val sets = kept.select(col("id"), col("set"))
+    candidates
+      .join(sets.select(col("id").as("idA"), col("set").as("setA")), Seq("idA"))
+      .join(sets.select(col("id").as("idB"), col("set").as("setB")), Seq("idB"))
+      .withColumn("jaccard",
+        round(
+          size(array_intersect(col("setA"), col("setB"))).cast("double") /
+            size(array_union(col("setA"), col("setB"))), 3))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
   /** INCREMENTAL near-dup pairs — the steady-state production shape
     * for a daily crawl: only pairs TOUCHING the delta batch are
     * produced, and any bucket containing no delta doc is skipped

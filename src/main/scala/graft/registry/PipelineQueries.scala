@@ -577,6 +577,13 @@ private[graft] object PipelineQueries {
         t.documents.filter(col("doc_id") % 10 =!= 0),
         t.documents.filter(col("doc_id") % 10 === 0))
     }),
+    "q289_stoplisted_pairs" -> ((s, dir) => {
+      // G92 boilerplate-robust near-dup: the G83 stop-shingle list
+      // excised before signatures, banding, and verification
+      val t = Tables(s, dir)
+      val stop = Dedup.boilerplateShingles(t.documents)
+      Dedup.stoplistedMinhashPairs(t.documents, stop)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2292,5 +2299,52 @@ private[graft] object PipelineQueries {
       s"""WITH $MinhashPairsSql
          |SELECT idA, idB, jaccard FROM lshpairs
          |WHERE idA % 10 = 0 OR idB % 10 = 0""".stripMargin,
+    // Stoplisted replay: the q261 stop list, anti-joined at shingle
+    // grain, then the q31 banding/cap/verify flow on the reduced sets.
+    "q289_stoplisted_pairs" ->
+      s"""WITH $ShinglesSql,
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |stop AS (
+         |  SELECT shingle FROM (
+         |    SELECT s AS shingle, CAST(count(*) AS BIGINT) AS df
+         |    FROM (SELECT id, unnest(list_distinct(sh)) AS s FROM shingled)
+         |    GROUP BY 1
+         |  ) d CROSS JOIN n
+         |  WHERE round(CAST(df AS DOUBLE) / n.n, 4) >= 0.01
+         |  ORDER BY round(CAST(df AS DOUBLE) / n.n, 4) DESC, shingle LIMIT 50
+         |),
+         |kept AS (
+         |  SELECT id, s
+         |  FROM (SELECT id, unnest(list_distinct(sh)) AS s FROM shingled)
+         |  WHERE s NOT IN (SELECT shingle FROM stop)
+         |),
+         |ksets AS (SELECT id, list(DISTINCT s) AS sh2 FROM kept GROUP BY 1),
+         |sig AS (
+         |  SELECT id, j, min(md5(CAST(j AS VARCHAR) || ':' || s)) AS m
+         |  FROM kept
+         |  CROSS JOIN (SELECT unnest(range(1, 13)) AS j) seeds
+         |  GROUP BY id, j
+         |),
+         |banded AS (
+         |  SELECT id, (j - 1) // 4 AS band, md5(string_agg(m, '|' ORDER BY j)) AS bucket
+         |  FROM sig GROUP BY id, (j - 1) // 4
+         |),
+         |bsz AS (SELECT band, bucket, count(*) AS bn FROM banded GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS idA, b.id AS idB
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+         |  JOIN bsz ON bsz.band = a.band AND bsz.bucket = a.bucket
+         |   AND bsz.bn <= ${graft.GraftConf.LshBucketCap}
+         |),
+         |verified AS (
+         |  SELECT c.idA, c.idB,
+         |         round(CAST(len(list_intersect(sa.sh2, sb.sh2)) AS DOUBLE)
+         |               / len(list_distinct(list_concat(sa.sh2, sb.sh2))), 3) AS jaccard
+         |  FROM cand c
+         |  JOIN ksets sa ON sa.id = c.idA
+         |  JOIN ksets sb ON sb.id = c.idB
+         |)
+         |SELECT idA, idB, jaccard FROM verified WHERE jaccard >= 0.8""".stripMargin,
   )
 }

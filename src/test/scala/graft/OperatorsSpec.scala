@@ -2597,4 +2597,31 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("mase")) < 0.2,
       s"Holt must crush the naive on a ramp: ${r}")
   }
+
+  test("Dedup.stoplistedMinhashPairs: boilerplate no longer creates pairs") {
+    // two docs share ONLY a boilerplate template; two others are real dups
+    val tpl = "copyright header terms of service apply here"
+    val real = (1 to 12).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, tpl + " unique alpha words one"),
+      (2L, tpl + " different beta words two"),
+      (3L, real + " x"),
+      (4L, real + " y"),
+      // make the template boilerplate: >= 1% share needs more docs
+      (5L, tpl + " five"), (6L, tpl + " six"), (7L, tpl + " seven")
+    ).toDF("doc_id", "text")
+    val stop = Dedup.boilerplateShingles(docs, minShare = 0.5)
+    assert(stop.count() > 0, "template shingles must be flagged")
+    val plain = Dedup.minhashLshPairs(docs, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val robust = Dedup.stoplistedMinhashPairs(docs, stop, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the real dup pair survives the excision
+    assert(robust.contains((3L, 4L)), s"real dups must survive: $robust")
+    // template-only pairs are gone (plain found at least one of them)
+    val tplPairs = Set((1L, 2L), (1L, 5L), (2L, 5L), (5L, 6L), (6L, 7L), (5L, 7L),
+      (1L, 6L), (1L, 7L), (2L, 6L), (2L, 7L))
+    assert(plain.exists(tplPairs), "plain path should pair template docs")
+    assert(!robust.exists(tplPairs), s"stoplisted path must not: $robust")
+  }
 }
