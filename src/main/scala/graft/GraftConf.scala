@@ -45,6 +45,20 @@ object GraftConf {
     * by-construction bound — drops are never silent.
     */
   val PrefixPostingCap = 1024
+  /** Distinct-value ceiling for the partitionless cumulative windows
+    * of the rank-statistic family (KS, Mann–Whitney, ROC AUC, Gini):
+    * their window input is VALUE grain — bounded by the metric's
+    * quantized range, not the corpus — but an unbounded continuous
+    * metric breaks that assumption and would funnel a single task.
+    * Above the cap the job FAILS LOUDLY (a raise_error riding the same
+    * window stage) instead of silently materializing a single-
+    * partition sort; quantize or bucket the metric upstream. The
+    * system property exists so the guard itself is testable without
+    * building an 8M-distinct-value frame.
+    */
+  def ValueGrainCap: Long =
+    sys.props.get("graft.valueGrainCap").map(_.toLong).getOrElse(8000000L)
+
   /** Block-size cap for blocked-Levenshtein entity resolution: the
     * within-block pair expansion is O(block²), so a degenerate block
     * key (e.g. every record sharing one token) is dropped and

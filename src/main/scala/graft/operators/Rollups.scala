@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftConf
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -774,13 +775,19 @@ object Rollups {
     * crossing test `2·cumw ≥ total` (for q = 1/2) compares exact
     * longs — no interpolation, no floats anywhere, any engine agrees
     * bit-for-bit. The (value, id) ordering makes the cumulative sum
-    * deterministic under ties.
+    * deterministic under ties, and `n_at_or_above` counts rows from
+    * the crossing ROW onward (within the crossing value, rows whose
+    * running weight is still below the threshold are excluded).
     *
-    * Scale shape: one hash(keys) exchange carries both the ordered
-    * cumulative-sum window (O(1) state per row) and the unbounded
-    * total; the crossing row is then picked with a min_by aggregate
-    * riding the same exchange. Hot keys sort within their partition
-    * but never materialize per-key state.
+    * Scale shape: rows collapse to (keys, value) weight/count sums
+    * via ONE map-side combine BEFORE any window — the ordered
+    * cumulative window runs over DISTINCT values per key (the
+    * ksTest / mannWhitney / rocAuc grain), never data rows, so a
+    * low-cardinality key no longer means a single task sorting that
+    * key's entire history. The only row-grain window that remains is
+    * the within-crossing-value refinement of `n_at_or_above`, and it
+    * sees ONLY the tie rows of the one crossing value per key — the
+    * irreducible tie grain, not the corpus.
     */
   def weightedQuantile(
       df: DataFrame,
@@ -791,20 +798,47 @@ object Rollups {
       qNum: Int = 1,
       qDen: Int = 2): DataFrame = {
     require(qNum > 0 && qDen > qNum)
+    val rows = df.filter(col(weightCol) > 0 && col(valueCol).isNotNull)
+      .withColumn("_w", col(weightCol).cast("long"))
+    // value-grain collapse: the window input is the distinct-value
+    // table, bounded by the metric's range, never by corpus rows
+    val vals = rows.groupBy((keys.map(col) :+ col(valueCol)): _*)
+      .agg(sum(col("_w")).as("_vw"), count(lit(1)).as("_vc"))
     val ordered = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(valueCol), col(idCol))
+      .orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(keys.map(col): _*)
-    df.filter(col(weightCol) > 0 && col(valueCol).isNotNull)
-      .withColumn("_w", col(weightCol).cast("long"))
-      .withColumn("_cw", sum(col("_w")).over(ordered))
-      .withColumn("_tw", sum(col("_w")).over(whole))
+    // per-key crossing summary: one row per key (wq_value = smallest
+    // value whose cumulative weight reaches q of the total; _cb = the
+    // cumulative weight BEFORE that value; _nge = rows at value ≥ it)
+    val star = vals
+      .withColumn("_cw", sum(col("_vw")).over(ordered))
+      .withColumn("_tw", sum(col("_vw")).over(whole))
       .filter(col("_cw") * qDen >= col("_tw") * qNum)
       .groupBy(keys.map(col): _*)
       .agg(
         min(col("_tw")).as("total_w"),
-        count(lit(1)).as("n_at_or_above"),
-        min_by(col(valueCol), col("_cw")).as("wq_value"))
+        sum(col("_vc")).as("_nge"),
+        min_by(col(valueCol), col("_cw")).as("wq_value"),
+        min_by(col("_cw") - col("_vw"), col("_cw")).as("_cb"))
+    // tie-grain refinement: of the crossing value's own rows, those
+    // whose (before-value + within-value-by-id) running weight is
+    // still under the threshold sit BEFORE the crossing row
+    val within = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val before = rows
+      .join(star.select((keys.map(col) :+ col("wq_value") :+
+        col("total_w").as("_twj") :+ col("_cb")): _*), keys)
+      .filter(col(valueCol) === col("wq_value"))
+      .withColumn("_wcum", sum(col("_w")).over(within))
+      .filter((col("_cb") + col("_wcum")) * qDen < col("_twj") * qNum)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_nbefore"))
+    star.join(before, keys, "left")
+      .select((keys.map(col)
+        :+ col("total_w")
+        :+ (col("_nge") - coalesce(col("_nbefore"), lit(0L))).as("n_at_or_above")
+        :+ col("wq_value")): _*)
   }
 
   /** Pearson χ² independence test between two categorical columns —
@@ -1064,6 +1098,32 @@ object Rollups {
     *
     * Output: one row (n1, n2, d, lambda, p_value).
     */
+  /** Loud scale guard for the partitionless value-grain window family
+    * ([[ksTest]] / [[mannWhitney]] / [[rocAuc]] / [[giniConcentration]]):
+    * each of those collapses the corpus to distinct quantized values
+    * before a single-partition cumulative window, which is safe only
+    * while the VALUE RANGE is bounded. That contract was documented
+    * ("bucket upstream for unbounded metrics") but unenforced — an
+    * unbounded 100 TB metric would silently materialize a billion-row
+    * single-task sort. This enforces it: a row_number riding the SAME
+    * sort the cumulative sum needs (no extra exchange, no extra job)
+    * raises past [[GraftConf.ValueGrainCap]] with the operator's name.
+    * Under the cap the filter keeps every row — results untouched.
+    */
+  private def grainGuarded(
+      pts: DataFrame,
+      ordered: org.apache.spark.sql.expressions.WindowSpec,
+      op: String): DataFrame = {
+    val cap = GraftConf.ValueGrainCap
+    pts
+      .withColumn("__gg",
+        when(row_number().over(ordered) > cap,
+          raise_error(lit(s"graft.$op: distinct-value grain exceeds " +
+            s"ValueGrainCap=$cap — quantize or bucket the metric upstream")))
+          .otherwise(lit(0)))
+      .filter(col("__gg") === 0).drop("__gg")
+  }
+
   def ksTest(
       df: DataFrame,
       groupCol: String,
@@ -1084,7 +1144,7 @@ object Rollups {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = pts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     val d = (c: Column) => c.cast("double")
-    pts
+    grainGuarded(pts, w, "ksTest")
       .withColumn("__f1", sum("c1").over(w))
       .withColumn("__f2", sum("c2").over(w))
       .crossJoin(broadcast(totals))
@@ -1555,7 +1615,7 @@ object Rollups {
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val d = (c: Column) => c.cast("double")
-    pts
+    grainGuarded(pts, w, "mannWhitney")
       .withColumn("__t", col("c1") + col("c2"))
       .withColumn("__r2",
         lit(2L) * (sum(col("__t")).over(w) - col("__t")) + col("__t") + 1L)
@@ -1745,7 +1805,7 @@ object Rollups {
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val d = (c: Column) => c.cast("double")
-    pts
+    grainGuarded(pts, w, "rocAuc")
       .withColumn("__t", col("c1") + col("c2"))
       .withColumn("__r2",
         lit(2L) * (sum(col("__t")).over(w) - col("__t")) + col("__t") + 1L)
@@ -3155,7 +3215,7 @@ object Rollups {
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val d = (c: Column) => c.cast("double")
-    pts
+    grainGuarded(pts, w, "giniConcentration")
       .withColumn("__cb", sum(col("c")).over(w) - col("c"))
       .withColumn("__s",
         col("v").cast(dec) * (col("c").cast(dec) * col("__cb").cast(dec) +

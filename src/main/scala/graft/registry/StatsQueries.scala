@@ -133,12 +133,30 @@ private[graft] object StatsQueries {
     }),
     "q167_percent_rank" -> ((s, dir) => {
       // cross-source score calibration: percent_rank of document
-      // length within each source — rank-exact rationals, one exchange
+      // length within each source. Rank-exact rationals computed at
+      // VALUE grain — min-rank(v) = 1 + rows-below-v, from cumulative
+      // counts over the distinct (source, n_chars) table — then joined
+      // back, so no per-source corpus sort ever runs (few sources ×
+      // full-partition sort is the q174 scale-killer shape)
       val t = Tables(s, dir)
-      t.documents.select(col("doc_id"), col("source"), col("n_chars"),
-        round(percent_rank().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("source").orderBy("n_chars")), 4).as("pr"))
+      val vals = t.documents.groupBy("source", "n_chars")
+        .agg(count(lit(1)).as("_vc"))
+      val ordered = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("n_chars")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val whole = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val ranked = vals
+        .withColumn("_below", sum(col("_vc")).over(ordered) - col("_vc"))
+        .withColumn("_n", sum(col("_vc")).over(whole))
+        .select(col("source"), col("n_chars"),
+          when(col("_n") > 1,
+            round(col("_below").cast("double")
+              / (col("_n") - 1).cast("double"), 4))
+            .otherwise(lit(0.0)).as("pr"))
+      t.documents.select("doc_id", "source", "n_chars")
+        .join(ranked, Seq("source", "n_chars"))
+        .select("doc_id", "source", "n_chars", "pr")
     }),
     "q169_mad" -> ((s, dir) => {
       // robust outlier report per event type: exact median/MAD (4dp

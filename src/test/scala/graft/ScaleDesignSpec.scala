@@ -1795,4 +1795,77 @@ class ScaleDesignSpec extends SparkSpec {
     assert(shuffles(q286).size <= 2,
       s"q286: key combine + moment rollup only, got ${shuffles(q286).size}")
   }
+
+  test("round-10: q174/q167 windows consume value-grain aggregates, never data rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Window => LWindow}
+    // a window is value-grain when its input chain (through projections
+    // and filters) bottoms out in the distinct-value Aggregate — a
+    // low-cardinality partition key over RAW rows means one task sorts
+    // one key's entire 100 TB history (the r9 q174 scale-killer)
+    def aggInput(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case pr: Project => aggInput(pr.child)
+      case f: Filter => aggInput(f.child)
+      case w: LWindow => aggInput(w.child)
+      case _ => false
+    }
+
+    // q167: BOTH windows (cumulative count, per-source total) ride the
+    // distinct (source, n_chars) aggregate; docs join back afterwards
+    val q167 = SparkEntry.queries("q167_percent_rank")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val w167 = q167.collect { case w: LWindow => w }
+    assert(w167.nonEmpty, "q167 expects windows")
+    assert(w167.forall(w => aggInput(w.child)),
+      s"q167: every window must consume the distinct-value aggregate:\n$q167")
+
+    // q174: the global cumulative windows are value-grain; the ONE
+    // row-grain window allowed is the tie refinement, and it must sit
+    // above the wq_value crossing-value join (it sees only the ties of
+    // the one crossing value per key, not the corpus)
+    val q174 = SparkEntry.queries("q174_weighted_median")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val w174 = q174.collect { case w: LWindow => w }
+    assert(w174.nonEmpty, "q174 expects windows")
+    val rowGrain = w174.filterNot(w => aggInput(w.child))
+    assert(rowGrain.size <= 1,
+      s"q174: only the tie refinement may window over rows:\n$q174")
+    rowGrain.foreach { w =>
+      assert(w.child.collect { case j: Join => j }.nonEmpty &&
+        w.child.toString.contains("wq_value"),
+        s"q174: the row-grain window must be restricted to the crossing " +
+          s"value's ties via the wq_value join:\n${w.child}")
+    }
+  }
+
+  test("round-10: rank-family value-grain cap fails loudly, costs no extra window") {
+    import graft.operators.Rollups
+    val t = Tables(spark, sfDir)
+    // the guard's row_number stacks under the cumulative window on the
+    // SAME single-partition sort — WindowExec preserves distribution
+    // and ordering, so the guarded plan still has exactly one sort
+    val ks = Rollups.ksTest(t.events, "event_type", "value", "click", "view")
+    ks.collect()
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val sorts = helper.collect(ks.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.size == 1, s"guard must reuse the cumulative window's sort, got ${sorts.size}")
+
+    // over-cap distinct grain → loud failure naming the operator
+    sys.props("graft.valueGrainCap") = "10"
+    try {
+      for ((name, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "ksTest" -> (() => Rollups.ksTest(t.events, "event_type", "value", "click", "view")),
+        "mannWhitney" -> (() => Rollups.mannWhitney(t.events, "event_type", "value", "click", "view")),
+        "rocAuc" -> (() => Rollups.rocAuc(t.events, "event_type", "value", "click", "view")),
+        "giniConcentration" -> (() => Rollups.giniConcentration(t.documents, "n_chars")))) {
+        val ex = intercept[Exception] { mk().collect() }
+        def msgs(e: Throwable): String =
+          if (e == null) "" else e.getMessage + "|" + msgs(e.getCause)
+        assert(msgs(ex).contains("ValueGrainCap"),
+          s"$name must fail loudly past the cap, got: ${msgs(ex).take(300)}")
+      }
+    } finally sys.props.remove("graft.valueGrainCap")
+  }
 }
