@@ -24,6 +24,24 @@ object BenchRender {
   private def clean(m: String): String =
     m.replaceAll("[\"\\\\\\n\\r\\t]", " ").filter(_ >= ' ')
 
+  /** Mover adjudication field (VERDICT r9 item 5): for each full-run
+    * query whose wall moved ≥[[Bench.MoverRatio]]× vs the previous
+    * BENCH_FULL.json, the SAME JVM re-times it interleaved min-of-6 and
+    * publishes all three figures — the one-round lag between a phantom
+    * regression and its subset verdict disappears. ≤6 entries, bounded.
+    */
+  def moversField(
+      movers: Seq[(String, Double, Double, Either[String, Double])]): String =
+    if (movers.isEmpty) ""
+    else movers.map { case (k, prev, full, min6) =>
+      val m6 = min6 match {
+        case Right(v) => fmt(v, 3)
+        case Left(e) => "{\"err\":\"" + clean(e).take(40) + "\"}"
+      }
+      "\"" + k + "\":{\"prev\":" + fmt(prev, 3) +
+        ",\"full\":" + fmt(full, 3) + ",\"min6\":" + m6 + "}"
+    }.mkString(",\"movers_min6\":{", ",", "}")
+
   /** One JSON line. keyMode: 0 = full "qNN_name", 1 = "qNN", 2 = "NN". */
   def line(
       results: Seq[(String, Either[String, Double])],
@@ -31,7 +49,8 @@ object BenchRender {
       sfDir: String,
       reps: Int,
       dp: Int,
-      keyMode: Int): String = {
+      keyMode: Int,
+      movers: Seq[(String, Double, Double, Either[String, Double])] = Nil): String = {
     def key(k: String): String = keyMode match {
       case 0 => k
       case 1 => k.split("_")(0)
@@ -50,13 +69,14 @@ object BenchRender {
       case (k, Right(v)) if headline(k) =>
         "\"" + k.split("_")(0) + "\":" + fmt(v, 3)
     }.mkString("{", ",", "}")
-    s"""{"schema":"$Schema","metric":"total","value":${fmt(total, 3)},"unit":"sec","reps":$reps,"queries":$qs,"hl_min6":$hl,"full":"BENCH_FULL.json","sf":"$sfDir"$errField}"""
+    s"""{"schema":"$Schema","metric":"total","value":${fmt(total, 3)},"unit":"sec","reps":$reps,"queries":$qs,"hl_min6":$hl,"full":"BENCH_FULL.json","sf":"$sfDir"$errField${moversField(movers)}}"""
   }
 
   /** The stdout compaction ladder; BENCH_FULL always gets full(). */
   def full(results: Seq[(String, Either[String, Double])],
-      headline: Set[String], sfDir: String, reps: Int): String =
-    line(results, headline, sfDir, reps, 3, 0)
+      headline: Set[String], sfDir: String, reps: Int,
+      movers: Seq[(String, Double, Double, Either[String, Double])] = Nil): String =
+    line(results, headline, sfDir, reps, 3, 0, movers)
 
   /** Summary form for when even maximal key compaction overflows the
     * driver's output window (256 queries × "NN":1.2 alone is >2,500
@@ -65,7 +85,8 @@ object BenchRender {
     * detail delegated to BENCH_FULL.json.
     */
   def summary(results: Seq[(String, Either[String, Double])],
-      headline: Set[String], sfDir: String, reps: Int, topN: Int): String = {
+      headline: Set[String], sfDir: String, reps: Int, topN: Int,
+      movers: Seq[(String, Double, Double, Either[String, Double])] = Nil): String = {
     val total = results.collect { case (_, Right(v)) => v }.sum
     val top = results.collect { case (k, Right(v)) => (k, v) }
       .sortBy { case (k, v) => (-v, k) }.take(topN)
@@ -77,21 +98,49 @@ object BenchRender {
       case (k, Right(v)) if headline(k) =>
         "\"" + k.split("_")(0) + "\":" + fmt(v, 3)
     }.mkString("{", ",", "}")
-    s"""{"schema":"$Schema","metric":"total","value":${fmt(total, 3)},"unit":"sec","reps":$reps,"n_queries":${results.size},"hl_min6":$hl,"top":$top,"errors":$errs,"queries":"BENCH_FULL.json","full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    s"""{"schema":"$Schema","metric":"total","value":${fmt(total, 3)},"unit":"sec","reps":$reps,"n_queries":${results.size},"hl_min6":$hl,"top":$top,"errors":$errs,"queries":"BENCH_FULL.json","full":"BENCH_FULL.json","sf":"$sfDir"${moversField(movers)}}"""
   }
 
   def compact(results: Seq[(String, Either[String, Double])],
-      headline: Set[String], sfDir: String, reps: Int, maxLen: Int): String =
-    (Seq(line(results, headline, sfDir, reps, 3, 0),
-         line(results, headline, sfDir, reps, 2, 0),
-         line(results, headline, sfDir, reps, 2, 1),
-         line(results, headline, sfDir, reps, 1, 2)) ++
-      Seq(40, 30, 20, 10, 0).map(n => summary(results, headline, sfDir, reps, n)))
+      headline: Set[String], sfDir: String, reps: Int, maxLen: Int,
+      movers: Seq[(String, Double, Double, Either[String, Double])] = Nil): String =
+    (Seq(line(results, headline, sfDir, reps, 3, 0, movers),
+         line(results, headline, sfDir, reps, 2, 0, movers),
+         line(results, headline, sfDir, reps, 2, 1, movers),
+         line(results, headline, sfDir, reps, 1, 2, movers)) ++
+      Seq(40, 30, 20, 10, 0).map(n => summary(results, headline, sfDir, reps, n, movers)))
       .find(_.length <= maxLen)
-      .getOrElse(summary(results, headline, sfDir, reps, 0))
+      .getOrElse(summary(results, headline, sfDir, reps, 0, movers))
 }
 
 object Bench {
+  /** A full-run query is a "mover" when its wall is ≥ this multiple of
+    * the previous BENCH_FULL.json figure AND ≥ [[MoverFloorSec]] —
+    * below the floor a 0.1→0.4 s flip is pure scheduler noise, and the
+    * documented sandbox band is 3–5× so 2.5× errs toward re-measuring.
+    */
+  val MoverRatio = 2.5
+  val MoverFloorSec = 1.0
+  val MoverCap = 6
+
+  /** Per-query walls of a previous bench artifact, by full key — the
+    * file is OUR pinned graft-bench-1 format, so a targeted scan of
+    * `"qNN_name":N.NNN` inside it is exact (err entries are objects and
+    * deliberately unmatched). Returns empty when the artifact is
+    * missing or was produced at a DIFFERENT sf (cross-sf walls are not
+    * comparable and would flag everything).
+    */
+  def previousWalls(path: java.nio.file.Path, sfDir: String): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(path)
+      val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
+      if (!sfOk) Map.empty
+      else """"(q\d+_[a-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)""".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -155,6 +204,34 @@ object Bench {
         val n = if (headline(name)) math.max(reps, 6) else reps
         name -> minOf((1 to n).map(_ => timeOnce(fn)))
       }
+    // Auto-adjudicate movers (VERDICT r9 item 5): a full run compares
+    // its walls to the previous BENCH_FULL.json and immediately
+    // re-times the biggest movers interleaved min-of-6 in the SAME
+    // (warm) JVM — r9 shipped six phantom "regressions" (q174 0.7→8.0
+    // single-shot) that a one-command subset later measured at 1.1 s;
+    // now that verdict rides along in the artifact itself.
+    val movers: Seq[(String, Double, Double, Either[String, Double])] =
+      if (only.nonEmpty) Nil
+      else {
+        val prev = Bench.previousWalls(
+          java.nio.file.Paths.get("BENCH_FULL.json"), sfDir)
+        val flagged = results.collect {
+          case (k, Right(v)) if prev.get(k).exists(p =>
+              v >= Bench.MoverFloorSec && v >= Bench.MoverRatio * p) =>
+            (k, prev(k), v)
+        }.sortBy { case (_, p, v) => -(v / p) }.take(Bench.MoverCap)
+        if (flagged.isEmpty) Nil
+        else {
+          val sel = SparkEntry.queries.toSeq
+            .filter { case (n, _) => flagged.exists(_._1 == n) }
+          val rounds = (1 to 6).map { _ =>
+            sel.map { case (name, fn) => name -> timeOnce(fn) }
+          }
+          flagged.map { case (k, p, v) =>
+            (k, p, v, minOf(rounds.map(_.toMap.apply(k))))
+          }
+        }
+      }
     // The driver keeps only the LAST 2000 chars of output, and sbt's
     // trailing "[success] Total time ..." line lands after ours inside
     // that window — so the printed line must stay under ~1900 chars or
@@ -166,8 +243,8 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         if (only.nonEmpty) "BENCH_SUBSET.json" else "BENCH_FULL.json"),
-      BenchRender.full(results, headline, sfDir, reps) + "\n")
-    val out = BenchRender.compact(results, headline, sfDir, reps, 1900)
+      BenchRender.full(results, headline, sfDir, reps, movers) + "\n")
+    val out = BenchRender.compact(results, headline, sfDir, reps, 1900, movers)
     spark.stop()
     // printed after stop() so no Spark shutdown chatter lands between
     // the JSON and the end of output

@@ -65,6 +65,41 @@ class BenchJsonSpec extends AnyFunSuite {
     assert((js \ "queries").asInstanceOf[JObject].obj.size === 20)
   }
 
+  test("movers_min6: prev/full/min6 triples ride every form, absent when empty") {
+    val movers = Seq(
+      ("q31_dedup_minhash", 0.7, 8.0, Right(1.087): Either[String, Double]),
+      ("q99_semdedup", 1.0, 3.0, Left("boom \"x\""): Either[String, Double]))
+    val s = BenchRender.full(results, headline, "/tmp/sf", 6, movers)
+    val j = JsonMethods.parse(s)
+    assert((j \ "movers_min6" \ "q31_dedup_minhash" \ "prev") === JDouble(0.7))
+    assert((j \ "movers_min6" \ "q31_dedup_minhash" \ "full") === JDouble(8.0))
+    assert((j \ "movers_min6" \ "q31_dedup_minhash" \ "min6") === JDouble(1.087))
+    assert((j \ "movers_min6" \ "q99_semdedup" \ "min6" \ "err") !== JNothing)
+    // summary (compaction fallback) carries the same field
+    val sm = JsonMethods.parse(
+      BenchRender.summary(results, headline, "/tmp/sf", 6, 2, movers))
+    assert((sm \ "movers_min6" \ "q31_dedup_minhash" \ "min6") === JDouble(1.087))
+    // a quiet round emits NO movers field at all
+    val quiet = BenchRender.full(results, headline, "/tmp/sf", 6)
+    assert((JsonMethods.parse(quiet) \ "movers_min6") === JNothing)
+  }
+
+  test("previousWalls: full keys only, sf-gated, err entries skipped") {
+    val p = java.nio.file.Files.createTempFile("bench", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"schema":"graft-bench-1","metric":"total","value":9.0,"unit":"sec","reps":2,""" +
+      """"queries":{"q01_assoc_datasource":1.5,"q99_semdedup":{"err":"boom 3.5"}},""" +
+      """"hl_min6":{"q01":1.500},"full":"BENCH_FULL.json","sf":"/tmp/sfX"}""")
+    val walls = Bench.previousWalls(p, "/tmp/sfX")
+    // full-key numeric walls only: no short "q01" hl keys, no err objects
+    assert(walls === Map("q01_assoc_datasource" -> 1.5))
+    // a different sf means the walls are not comparable → empty
+    assert(Bench.previousWalls(p, "/tmp/other") === Map.empty)
+    assert(Bench.previousWalls(
+      java.nio.file.Paths.get("/nonexistent/x.json"), "/tmp/sfX") === Map.empty)
+    java.nio.file.Files.delete(p)
+  }
+
   test("the committed BENCH_FULL.json conforms once regenerated") {
     // pin the FORM of the artifact this repo publishes: if BENCH_FULL
     // exists and is schema-tagged, its keys must be full query names
