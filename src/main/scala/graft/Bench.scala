@@ -130,6 +130,27 @@ object Bench {
     * missing or was produced at a DIFFERENT sf (cross-sf walls are not
     * comparable and would flag everything).
     */
+  /** Canonical per-query walls after mover adjudication: when the
+    * min6 re-time refutes a phantom spike, the published figure must
+    * be the min6 wall, not the spike — else next round's
+    * [[previousWalls]] anchors on the phantom peak and a real
+    * regression below it is never flagged (ADVICE r10). The
+    * movers_min6 field still publishes all three figures.
+    */
+  def adjudicatedWalls(
+      results: Seq[(String, Either[String, Double])],
+      movers: Seq[(String, Double, Double, Either[String, Double])])
+      : Seq[(String, Either[String, Double])] = {
+    val adjudicated = movers.collect {
+      case (k, _, full, Right(m6)) => k -> math.min(full, m6)
+    }.toMap
+    results.map {
+      case (k, Right(_)) if adjudicated.contains(k) =>
+        k -> Right(adjudicated(k)): (String, Either[String, Double])
+      case other => other
+    }
+  }
+
   def previousWalls(path: java.nio.file.Path, sfDir: String): Map[String, Double] =
     try {
       val txt = java.nio.file.Files.readString(path)
@@ -240,11 +261,12 @@ object Bench {
     // goes to BENCH_FULL.json (schema graft-bench-1, BenchJsonSpec).
     // A subset run must never clobber the whole-registry artifact —
     // it lands in BENCH_SUBSET.json instead.
+    val published = Bench.adjudicatedWalls(results, movers)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         if (only.nonEmpty) "BENCH_SUBSET.json" else "BENCH_FULL.json"),
-      BenchRender.full(results, headline, sfDir, reps, movers) + "\n")
-    val out = BenchRender.compact(results, headline, sfDir, reps, 1900, movers)
+      BenchRender.full(published, headline, sfDir, reps, movers) + "\n")
+    val out = BenchRender.compact(published, headline, sfDir, reps, 1900, movers)
     spark.stop()
     // printed after stop() so no Spark shutdown chatter lands between
     // the JSON and the end of output

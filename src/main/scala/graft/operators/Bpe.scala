@@ -49,21 +49,59 @@ object Bpe {
       .groupBy("__word").agg(count(lit(1)).as("__cnt"))
       .select(wrapWord(col("__word")).as("__enc"), col("__cnt"))
 
-  /** Greedy BPE training: nMerges iterations of "count adjacent token
-    * pairs weighted by word frequency, merge the argmax" with the
-    * deterministic tie-break (count desc, left asc, right asc — binary
-    * string order, identical in DuckDB). Returns the merge list as
-    * WRAPPED (left, right) token pairs in training order; stops early
-    * when no pairs remain.
+  /** Greedy BPE training: "count adjacent token pairs weighted by word
+    * frequency, merge the argmax" with the deterministic tie-break
+    * (count desc, left asc, right asc — binary string order, identical
+    * in DuckDB). Returns the merge list as WRAPPED (left, right) token
+    * pairs in training order; stops early when no pairs remain.
+    *
+    * Batched driver rounds (VERDICT r9/r10): the naive loop is one
+    * Spark job per merge — 32k sequential jobs at real tokenizer vocab
+    * scale. Instead each round collects the top `2·batch+1` pairs and
+    * accepts the longest PREFIX of that ranking that sequential greedy
+    * provably also picks, so the merge LIST is bit-identical to the
+    * one-at-a-time algorithm (the q270 DuckDB oracle replays sequential
+    * greedy unchanged). A prefix pair p_i is safely accepted when:
+    *   - its tokens are disjoint from every earlier-accepted pair's
+    *     (disjoint merges can't change each other's counts — existing
+    *     pair counts never increase under a merge), and
+    *   - c_i strictly exceeds every count a pair NEWLY CREATED by an
+    *     earlier-accepted merge (a_j,b_j) could have: new pairs all
+    *     involve the fused token, and their counts are bounded by the
+    *     counts of existing (x,a_j) / (b_j,y) pairs — read from the
+    *     collected window when visible, by the window's floor count
+    *     when not, plus ⌊c_j/2⌋ for the self-pair chain (aa,aa) case.
+    * The first rejection ends the round (later ranks may depend on the
+    * rejected pair's re-count). Round 1 always accepts ≥1 pair, so
+    * driver rounds ≤ nMerges and in practice ~nMerges/batch.
     */
-  def train(df: DataFrame, textCol: String = "text", nMerges: Int = 8): Seq[(String, String)] = {
+  def train(
+      df: DataFrame,
+      textCol: String = "text",
+      nMerges: Int = 8,
+      batch: Int = 16): Seq[(String, String)] =
+    trainCounted(df, textCol, nMerges, batch)._1
+
+  /** [[train]] plus the driver-round count — the spec pins the batching
+    * actually bounds rounds well below one-per-merge.
+    */
+  private[graft] def trainCounted(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      batch: Int): (Seq[(String, String)], Int) = {
+    require(batch >= 1)
     var v = vocab(df, textCol).localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
-    for (_ <- 1 to nMerges if !done) {
+    var rounds = 0
+    val m = math.max(2 * batch, 8)
+    while (out.size < nMerges && !done) {
+      rounds += 1
       val toks = split(col("__enc"), " ")
-      // 1-row argmax: a driver-side control scalar, not a data collect
-      val best = v
+      // bounded top-(m+1) collect: a driver-side control slice of the
+      // vocabulary-grain pair table, not a data collect
+      val top = v
         .filter(size(toks) >= 2)
         .select(col("__cnt"), explode(transform(
           sequence(lit(1), size(toks) - 1),
@@ -72,18 +110,39 @@ object Bpe {
         .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
         .agg(sum(col("__cnt")).as("c"))
         .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) done = true
+        .limit(m + 1).collect()
+      if (top.isEmpty) done = true
       else {
-        val (a, b) = (best(0).getString(0), best(0).getString(1))
-        out += ((a, b))
-        // nMerges chained replaces: linear plan, no branching — no
-        // checkpoint needed (unlike Dedup.clusters' two-branch rounds)
-        v = v.withColumn("__enc",
-          replace(col("__enc"), lit(a + " " + b), lit(merged(a, b))))
+        val window = top.take(m)
+        // every pair NOT in the window counts <= cLast (desc order)
+        val cLast = if (top.length > m) top(m).getLong(2) else 0L
+        val used = scala.collection.mutable.Set.empty[String]
+        var maxNewBound = -1L // max possible new-pair count so far
+        var stop = false
+        var accepted = 0
+        for (r <- window if !stop) {
+          val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          val full = accepted >= batch || out.size >= nMerges
+          val ok = !full && (accepted == 0 ||
+            (!used(a) && !used(b) && c > maxNewBound))
+          if (ok) {
+            out += ((a, b)); accepted += 1; used += a; used += b
+            val fromWindow = window.iterator
+              .filter(q => !(q eq r))
+              .filter(q => q.getString(1) == a || q.getString(0) == b)
+              .map(_.getLong(2)).maxOption.getOrElse(0L)
+            val self = if (a == b) c / 2 else 0L
+            maxNewBound = Seq(maxNewBound, cLast, fromWindow, self).max
+            v = v.withColumn("__enc",
+              replace(col("__enc"), lit(a + " " + b), lit(merged(a, b))))
+          } else stop = true
+        }
+        // cut the round's replace chain so the next round's job does
+        // not replay every prior round's replaces from the checkpoint
+        v = v.localCheckpoint()
       }
     }
-    out.toSeq
+    (out.toSeq, rounds)
   }
 
   /** Apply a trained merge list: adds `out` = EXACT BPE token count

@@ -826,7 +826,10 @@ object Rollups {
     // still under the threshold sit BEFORE the crossing row
     val within = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // only the columns the refinement touches ride the join — a caller
+    // column that happens to be named wq_value/_cb/_twj can't collide
     val before = rows
+      .select((keys :+ valueCol :+ idCol :+ "_w").distinct.map(col): _*)
       .join(star.select((keys.map(col) :+ col("wq_value") :+
         col("total_w").as("_twj") :+ col("_cb")): _*), keys)
       .filter(col(valueCol) === col("wq_value"))

@@ -141,21 +141,26 @@ private[graft] object StatsQueries {
       val t = Tables(s, dir)
       val vals = t.documents.groupBy("source", "n_chars")
         .agg(count(lit(1)).as("_vc"))
+      // NULLS LAST to match DuckDB percent_rank's default ordering
+      // (Spark asc defaults to nulls-first); the join back is
+      // null-SAFE so NULL source / n_chars rows survive exactly as
+      // the oracle's window semantics keep them
       val ordered = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("n_chars")
+        .partitionBy("source").orderBy(col("n_chars").asc_nulls_last)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       val whole = org.apache.spark.sql.expressions.Window.partitionBy("source")
       val ranked = vals
         .withColumn("_below", sum(col("_vc")).over(ordered) - col("_vc"))
         .withColumn("_n", sum(col("_vc")).over(whole))
-        .select(col("source"), col("n_chars"),
+        .select(col("source").as("_rsource"), col("n_chars").as("_rn"),
           when(col("_n") > 1,
             round(col("_below").cast("double")
               / (col("_n") - 1).cast("double"), 4))
             .otherwise(lit(0.0)).as("pr"))
-      t.documents.select("doc_id", "source", "n_chars")
-        .join(ranked, Seq("source", "n_chars"))
+      val docs = t.documents.select("doc_id", "source", "n_chars")
+      docs.join(ranked,
+          docs("source") <=> col("_rsource") && docs("n_chars") <=> col("_rn"))
         .select("doc_id", "source", "n_chars", "pr")
     }),
     "q169_mad" -> ((s, dir) => {

@@ -84,6 +84,27 @@ class BenchJsonSpec extends AnyFunSuite {
     assert((JsonMethods.parse(quiet) \ "movers_min6") === JNothing)
   }
 
+  test("adjudicatedWalls: refuted spikes publish the min6 wall, not the phantom") {
+    val rs = Seq(
+      "q31_dedup_minhash" -> (Right(8.0): Either[String, Double]),
+      "q99_semdedup" -> (Right(3.0): Either[String, Double]),
+      "q01_assoc_datasource" -> (Right(1.5): Either[String, Double]))
+    val movers = Seq(
+      // refuted spike → canonical wall becomes the min6 figure
+      ("q31_dedup_minhash", 0.7, 8.0, Right(1.087): Either[String, Double]),
+      // min6 errored → the full wall stands (no silent green)
+      ("q99_semdedup", 1.0, 3.0, Left("boom"): Either[String, Double]))
+    val out = Bench.adjudicatedWalls(rs, movers).toMap
+    assert(out("q31_dedup_minhash") === Right(1.087))
+    assert(out("q99_semdedup") === Right(3.0))
+    assert(out("q01_assoc_datasource") === Right(1.5))
+    // a min6 that somehow measures SLOWER never inflates the figure
+    val worse = Seq(("q31_dedup_minhash", 0.7, 8.0,
+      Right(9.9): Either[String, Double]))
+    assert(Bench.adjudicatedWalls(rs, worse).toMap
+      .apply("q31_dedup_minhash") === Right(8.0))
+  }
+
   test("previousWalls: full keys only, sf-gated, err entries skipped") {
     val p = java.nio.file.Files.createTempFile("bench", ".json")
     java.nio.file.Files.writeString(p,

@@ -977,14 +977,24 @@ class ScaleDesignSpec extends SparkSpec {
     assert(shuffles(q173).size <= 4,
       s"q173: keys-grain exchanges only, got ${shuffles(q173).size}")
 
-    // q174: ordered cumsum + total + the min_by pick all ride ONE
-    // (event_type) exchange
+    // q174 (round-10 value-grain reshape): the corpus collapses to the
+    // (keys, value) weight table BEFORE any window — see the round-10
+    // window-input pin for the grain invariant itself. The exchange
+    // budget of the new shape, every one keys- or value-grain sized:
+    //   1. rows → (keys, value) map-side combine
+    //   2. keys-grain re-exchange feeding the cumulative/total windows
+    //      + crossing-summary aggregate (windows and agg share it)
+    //   3. rows-side join exchange for the tie refinement
+    //   4. tie-refinement rollup to one row per key
+    //   5. star ⋈ before result join
+    // None of these sorts corpus rows within a single low-cardinality
+    // key partition — that was the r9 scale-killer this shape removed.
     val q174 = exec("q174_weighted_median")
     assert(windows(q174).forall(
         _.partitionSpec.exists(_.toString.contains("event_type"))),
-      "q174: both windows must partition on event_type")
-    assert(shuffles(q174).size == 1,
-      s"q174: windows + crossing pick must share one exchange, got ${shuffles(q174).size}")
+      "q174: every window must partition on event_type")
+    assert(shuffles(q174).size <= 5,
+      s"q174: value-grain exchange budget is 5, got ${shuffles(q174).size}")
 
     // q175: the corpus is touched by exactly one scan feeding the cell
     // aggregate; every window runs over the dim² cell table
@@ -1068,10 +1078,19 @@ class ScaleDesignSpec extends SparkSpec {
     assert(scans(q190).isEmpty,
       s"q190: corpus must be cut at the day-grain checkpoint, got ${scans(q190).size} scans")
 
-    // q192: both CDF cumsums share ONE window over the VALUE-grain
-    // table, and the corpus was cut at the value-grain checkpoint
+    // q192: the round-10 ValueGrainCap guard (row_number) stacks a
+    // SECOND logical Window under the shared cumulative-CDF window —
+    // both ride the value-grain table behind the checkpoint cut, and
+    // the guard is free at the physical layer: ONE SortExec serves
+    // both (WindowExec preserves distribution and ordering), zero
+    // extra exchanges vs the unguarded shape.
     val q192 = exec("q192_ks_test")
-    assert(windows(q192).size == 1, "q192: one shared cumulative-CDF window")
+    assert(windows(q192).size == 2,
+      s"q192: guard + cumulative-CDF windows, got ${windows(q192).size}")
+    assert(helper.collect(q192.executedPlan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.size == 1,
+      "q192: the guard must reuse the cumulative window's single sort")
     assert(scans(q192).isEmpty,
       s"q192: corpus must be cut at the value-grain checkpoint, got ${scans(q192).size} scans")
 
@@ -1292,12 +1311,20 @@ class ScaleDesignSpec extends SparkSpec {
     assert(windows(q215).size <= 2, "q215: bin-table windows only")
 
     // q216/q217: value-grain collapse behind an eager cut, then the
-    // ONE range-bounded cumulative window and a one-row output
+    // range-bounded cumulative window plus the round-10 ValueGrainCap
+    // guard window (row_number) stacked on the SAME sort — 2 logical
+    // Window nodes, but physically ONE SortExec and no extra exchange
+    // (the scale claim the guard must keep proving).
     for (q <- Seq("q216_auc", "q217_gini")) {
       val qe = exec(q)
       assert(scans(qe).isEmpty,
         s"$q: corpus must be cut at the value-grain checkpoint, got ${scans(qe).size}")
-      assert(windows(qe).size == 1, s"$q: exactly the cumulative window")
+      assert(windows(qe).size == 2,
+        s"$q: guard + cumulative windows, got ${windows(qe).size}")
+      assert(helper.collect(qe.executedPlan) {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.size == 1,
+        s"$q: the guard must reuse the cumulative window's single sort")
       noCartesian(q, qe)
     }
 
