@@ -594,6 +594,37 @@ private[graft] object EventQueries {
           md5(concat(col("event_id").cast("string"), lit(":arr"))))
       EventWindows.latenessAudit(ev, deltaS = 1800, arrivalCol = "__arr")
     }),
+    "q290_stream_tws_list" -> ((s, dir) => {
+      // H53 transformWithState LIST state: per-user ListState ledger
+      // of the 3 cheapest (cents, event_id) events plus a ValueState
+      // event counter, replayed AvailableNow on RocksDB. keep-K-min
+      // is a lattice merge, so the final state is split-invariant and
+      // the batch per-user top-K aggregate oracles it; n_seen is
+      // monotone, so max(struct) picks the last emitted state.
+      import s.implicits._
+      val ev = StreamQueries.streamEvents(s, dir)
+        .filter(col("value").isNotNull && col("event_id").isNotNull &&
+          col("user_id").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStream.Event]
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, EventStream.RocksDbProvider)
+      val out =
+        try StreamQueries.materialize(
+          EventStream.minKLedgerTws(ev, k = 3), mode = "update")
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      out.groupBy("user_id")
+        .agg(max(struct(col("n_seen"), col("k_kept"), col("sum_kept_cents")))
+          .as("st"))
+        .select(col("user_id"), col("st.n_seen").as("n_seen"),
+          col("st.k_kept").as("k_kept"),
+          col("st.sum_kept_cents").as("sum_kept_cents"))
+    }),
     "q282_stream_tws_map" -> ((s, dir) => {
       // H52 transformWithState MAP state: per-user per-type counts in
       // a MapState (per-touched-entry RocksDB updates), replayed
@@ -1734,6 +1765,25 @@ private[graft] object EventQueries {
         |             / count(*), 4) AS late_frac,
         |       round(CAST(max(behind) AS DOUBLE) / 1e6, 4) AS max_lateness_s
         |FROM b GROUP BY 1""".stripMargin,
+    // ListState replay: the final K-min ledger per user equals the
+    // plain batch top-K-by-(cents, event_id) aggregate.
+    "q290_stream_tws_list" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL AND user_id IS NOT NULL
+        |),
+        |r AS (
+        |  SELECT user_id, cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY cents, event_id) AS rn
+        |  FROM ev
+        |)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_seen,
+        |       CAST(count(*) FILTER (rn <= 3) AS BIGINT) AS k_kept,
+        |       CAST(sum(cents) FILTER (rn <= 3) AS BIGINT) AS sum_kept_cents
+        |FROM r GROUP BY 1""".stripMargin,
     // MapState replay: the final per-(user, type) entry equals the
     // plain batch count.
     "q282_stream_tws_map" ->

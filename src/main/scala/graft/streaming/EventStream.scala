@@ -337,6 +337,67 @@ object EventStream {
       .toDF()
   }
 
+  final case class LedgerEntry(cents: Long, event_id: Long)
+  final case class UserLedger(
+      user_id: Long, n_seen: Long, k_kept: Long, sum_kept_cents: Long)
+
+  /** transformWithState with LIST state — the third Spark-4 state
+    * primitive ([[RunningTotalsProcessor]] = ValueState,
+    * [[PerTypeCountsProcessor]] = MapState): per user, a bounded
+    * ledger of the K cheapest (cents, event_id) events seen so far.
+    * ListState is the right store for a per-key ledger because RocksDB
+    * appends entries individually (appendValue/appendList) instead of
+    * rewriting one blob per update; here each batch rewrites at most K
+    * entries via put(). keep-K-min is a lattice merge
+    * (minK(minK(A) ∪ B) = minK(A ∪ B)), so the final state is
+    * micro-batch-split invariant and the batch top-K query oracles it.
+    *
+    * TTL: when `ttl` is set (requires TimeMode.ProcessingTime), BOTH
+    * states expire per RocksDB entry — an idle user's ledger and
+    * counter vanish after the duration and the next batch restarts
+    * from empty, which is the observable behavior StreamingSpec pins.
+    */
+  class MinKLedgerProcessor(k: Int, ttl: TTLConfig)
+      extends StatefulProcessor[Long, Event, UserLedger] {
+    @transient private var entries: org.apache.spark.sql.streaming.ListState[LedgerEntry] = _
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      entries = getHandle.getListState[LedgerEntry]("entries",
+        org.apache.spark.sql.Encoders.product[LedgerEntry], ttl)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
+    }
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserLedger] = {
+      val batch = rows
+        .map(e => LedgerEntry(math.round(e.value * 100), e.event_id)).toSeq
+      val kept = (entries.get().toSeq ++ batch)
+        .sortBy(e => (e.cents, e.event_id)).take(k)
+      entries.put(kept.toArray)
+      val n = (if (seen.exists()) seen.get() else 0L) + batch.size
+      seen.update(n)
+      Iterator.single(UserLedger(key, n, kept.size.toLong,
+        kept.iterator.map(_.cents).sum))
+    }
+  }
+
+  def minKLedgerTws(
+      events: org.apache.spark.sql.Dataset[Event],
+      k: Int = 3,
+      ttl: Option[java.time.Duration] = None): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new MinKLedgerProcessor(k, ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)),
+        timeMode, OutputMode.Update())
+      .toDF()
+  }
+
   /** transformWithState requires the RocksDB state store; callers set
     * `spark.sql.streaming.stateStore.providerClass` to
     * [[RocksDbProvider]] for the query's lifetime (and restore after —
