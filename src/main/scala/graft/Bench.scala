@@ -123,6 +123,28 @@ object Bench {
   val MoverFloorSec = 1.0
   val MoverCap = 6
 
+  /** Slot assignment for mover re-timing (VERDICT r11 item 4): ranking
+    * by ratio alone gave a +0.8 s spike at 6× a slot while a +5.4 s
+    * spike at 2.9× went un-adjudicated (r11's q178). Each flagged
+    * query takes the BETTER of its ratio rank and its absolute-Δ
+    * rank, so the head of EITHER ordering is re-timed first; ties
+    * break toward larger absolute Δ (seconds of bench total are what
+    * a phantom inflates).
+    */
+  def selectMovers(
+      flagged: Seq[(String, Double, Double)],
+      cap: Int = MoverCap): Seq[(String, Double, Double)] =
+    if (flagged.isEmpty) Nil
+    else {
+      val byRatio = flagged.sortBy { case (_, p, v) => -(v / p) }
+        .map(_._1).zipWithIndex.toMap
+      val byDelta = flagged.sortBy { case (_, p, v) => -(v - p) }
+        .map(_._1).zipWithIndex.toMap
+      flagged.sortBy { case (k, _, _) =>
+        (math.min(byRatio(k), byDelta(k)), byDelta(k))
+      }.take(cap)
+    }
+
   /** Per-query walls of a previous bench artifact, by full key — the
     * file is OUR pinned graft-bench-1 format, so a targeted scan of
     * `"qNN_name":N.NNN` inside it is exact (err entries are objects and
@@ -236,11 +258,11 @@ object Bench {
       else {
         val prev = Bench.previousWalls(
           java.nio.file.Paths.get("BENCH_FULL.json"), sfDir)
-        val flagged = results.collect {
+        val flagged = Bench.selectMovers(results.collect {
           case (k, Right(v)) if prev.get(k).exists(p =>
               v >= Bench.MoverFloorSec && v >= Bench.MoverRatio * p) =>
             (k, prev(k), v)
-        }.sortBy { case (_, p, v) => -(v / p) }.take(Bench.MoverCap)
+        })
         if (flagged.isEmpty) Nil
         else {
           val sel = SparkEntry.queries.toSeq

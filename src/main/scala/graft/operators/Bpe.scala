@@ -72,8 +72,14 @@ object Bpe {
     *     collected window when visible, by the window's floor count
     *     when not, plus ⌊c_j/2⌋ for the self-pair chain (aa,aa) case.
     * The first rejection ends the round (later ranks may depend on the
-    * rejected pair's re-count). Round 1 always accepts ≥1 pair, so
-    * driver rounds ≤ nMerges and in practice ~nMerges/batch.
+    * rejected pair's re-count). Additionally, if the fused string
+    * COLLIDES with an already-existing fused token (two split points
+    * yielding the same content, routine at real tokenizer vocab
+    * sizes), the merge mints new occurrences of that existing token
+    * and existing-pair counts CAN increase — the round ends right
+    * after the colliding accept so the next recount restores
+    * exactness. Round 1 always accepts ≥1 pair, so driver rounds ≤
+    * nMerges and in practice ~nMerges/batch.
     */
   def train(
       df: DataFrame,
@@ -93,6 +99,9 @@ object Bpe {
     require(batch >= 1)
     var v = vocab(df, textCol).localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // every multi-char token ever created (initial tokens are single
+    // chars, so a fused string can only collide with a FUSED token)
+    val fused = scala.collection.mutable.Set.empty[String]
     var done = false
     var rounds = 0
     val m = math.max(2 * batch, 8)
@@ -127,6 +136,7 @@ object Bpe {
             (!used(a) && !used(b) && c > maxNewBound))
           if (ok) {
             out += ((a, b)); accepted += 1; used += a; used += b
+            val f = merged(a, b)
             val fromWindow = window.iterator
               .filter(q => !(q eq r))
               .filter(q => q.getString(1) == a || q.getString(0) == b)
@@ -134,7 +144,17 @@ object Bpe {
             val self = if (a == b) c / 2 else 0L
             maxNewBound = Seq(maxNewBound, cLast, fromWindow, self).max
             v = v.withColumn("__enc",
-              replace(col("__enc"), lit(a + " " + b), lit(merged(a, b))))
+              replace(col("__enc"), lit(a + " " + b), lit(f)))
+            // string collision: merged(a,b) fuses to an ALREADY-existing
+            // token (e.g. ("t","he") after ("th","e") both yield "the").
+            // The merge then creates NEW occurrences of that token, so
+            // counts of existing pairs involving it can INCREASE — the
+            // "counts never increase under a merge" dominance argument
+            // behind the prefix accept no longer holds. End the round;
+            // the next round's full recount restores exactness.
+            if (fused(f)) stop = true
+            fused += f
+            used += f
           } else stop = true
         }
         // cut the round's replace chain so the next round's job does

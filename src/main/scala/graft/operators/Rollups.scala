@@ -916,8 +916,18 @@ object Rollups {
     val all = Window.partitionBy()
     val suffix = Window.orderBy(col("p_rank"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // loud scale guard (r11 carried item): the global rank is safe only
+    // because the input is a HYPOTHESIS table — a data-grain p feed
+    // would single-task the sort at 100 TB. The raise rides the same
+    // row_number (one window, no extra sort), like the ksTest family.
+    val cap = GraftConf.ValueGrainCap
     df.filter(col(pCol).isNotNull)
-      .withColumn("p_rank", row_number().over(ord).cast("long"))
+      .withColumn("p_rank",
+        when(row_number().over(ord) > cap,
+          raise_error(lit(s"graft.bhAdjust: hypothesis grain exceeds " +
+            s"ValueGrainCap=$cap — bhAdjust takes one row per tested " +
+            "hypothesis, never row-grain data; aggregate upstream")))
+          .otherwise(row_number().over(ord)).cast("long"))
       .withColumn("_m", count(lit(1)).over(all))
       .withColumn("p_adj",
         round(least(lit(1.0),

@@ -939,9 +939,21 @@ object TextAnalysis {
     val vocab = df
       .select(col(groupCol), explode(words(col(textCol))).as("word"))
       .groupBy(col(groupCol), col("word")).agg(count(lit(1)).as("n"))
+    // loud scale guard (r11 carried item): the per-group rank window
+    // sorts the whole per-group VOCABULARY in one task before the
+    // maxRank cut — bounded for natural language, but a degenerate
+    // tokenizer (e.g. unique-id "words") would single-task the corpus.
+    // The raise rides the same row_number: one window, no extra sort,
+    // and the filter's reference to `rank` forces evaluation on every
+    // ranked row, so the over-cap row trips it before being cut.
+    val cap = graft.GraftConf.ValueGrainCap
+    val rw = Window.partitionBy(groupCol).orderBy(col("n").desc, col("word"))
     val ranked = vocab
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(groupCol).orderBy(col("n").desc, col("word"))))
+      .withColumn("rank",
+        when(row_number().over(rw) > cap,
+          raise_error(lit(s"graft.zipfFit: per-group vocabulary grain " +
+            s"exceeds ValueGrainCap=$cap — prune the vocabulary (minFreq) " +
+            "upstream"))).otherwise(row_number().over(rw)))
       .filter(col("rank") <= maxRank && col("n") >= minFreq)
       .withColumn("x", round(log(col("rank")) * 1e6).cast("long"))
       .withColumn("y", round(log(col("n")) * 1e6).cast("long"))
@@ -974,6 +986,13 @@ object TextAnalysis {
       textCol: String = "text",
       vocabSize: Int = 500): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    // loud scale guard (r11 carried item): the id/coverage windows run
+    // single-partition over the KEPT slice, so the bound is vocabSize
+    // itself — enforce the documented cap instead of trusting callers
+    require(vocabSize <= graft.GraftConf.ValueGrainCap,
+      s"graft.vocabBuild: vocabSize=$vocabSize exceeds ValueGrainCap=" +
+        s"${graft.GraftConf.ValueGrainCap} — the kept slice is windowed " +
+        "in one partition; shard the vocabulary build instead")
     // vocab-grain counts feed both the slice and the one-row total;
     // the eager cut keeps the corpus at ONE scan
     val freq = df

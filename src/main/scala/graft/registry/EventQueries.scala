@@ -566,16 +566,10 @@ private[graft] object EventQueries {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[EventStream.Event]
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, EventStream.RocksDbProvider)
-      val out =
-        try StreamQueries.materialize(
+      val out = EventStream.withRocksDbStateStore(s) {
+        StreamQueries.materialize(
           EventStream.runningTotalsTws(ev), mode = "update")
-        finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
+      }
       out.groupBy("user_id")
         .agg(max(struct(col("n_events"), col("total_cents"))).as("st"))
         .select(col("user_id"), col("st.n_events").as("n_events"),
@@ -608,16 +602,10 @@ private[graft] object EventQueries {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[EventStream.Event]
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, EventStream.RocksDbProvider)
-      val out =
-        try StreamQueries.materialize(
+      val out = EventStream.withRocksDbStateStore(s) {
+        StreamQueries.materialize(
           EventStream.minKLedgerTws(ev, k = 3), mode = "update")
-        finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
+      }
       out.groupBy("user_id")
         .agg(max(struct(col("n_seen"), col("k_kept"), col("sum_kept_cents")))
           .as("st"))
@@ -637,16 +625,10 @@ private[graft] object EventQueries {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[EventStream.Event]
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, EventStream.RocksDbProvider)
-      val out =
-        try StreamQueries.materialize(
+      val out = EventStream.withRocksDbStateStore(s) {
+        StreamQueries.materialize(
           EventStream.perTypeCountsTws(ev), mode = "update")
-        finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
+      }
       out.groupBy("user_id", "event_type")
         .agg(max(col("n_events")).as("n_events"))
     }),

@@ -268,6 +268,18 @@ object EventStream {
 
   final case class UserTotals(user_id: Long, n_events: Long, total_cents: Long)
 
+  /** Exact-cent conversion matching the batch side's `round(value *
+    * 100)`: SQL round (Spark and DuckDB alike) is half AWAY FROM ZERO,
+    * while Scala `math.round` is half-up toward +infinity — they
+    * disagree at negative half-cents (-2.5 -> -3 vs -2). BigDecimal
+    * HALF_UP means away-from-zero; `BigDecimal(d)` uses the double's
+    * canonical decimal rendering, the same convention as Spark's
+    * `round` on doubles.
+    */
+  private[streaming] def toCents(v: Double): Long =
+    BigDecimal(v * 100)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLongExact
+
   /** Spark 4's transformWithState port of [[runningTotals]] — the new
     * arbitrary-stateful-processing API (StatefulProcessor + typed
     * ValueState on the RocksDB state store) that replaces
@@ -290,7 +302,7 @@ object EventStream {
       var st = if (totals.exists()) totals.get() else UserTotals(key, 0L, 0L)
       rows.foreach { e =>
         st = UserTotals(key, st.n_events + 1,
-          st.total_cents + math.round(e.value * 100))
+          st.total_cents + toCents(e.value))
       }
       totals.update(st)
       Iterator.single(st)
@@ -372,7 +384,7 @@ object EventStream {
         rows: Iterator[Event],
         timerValues: TimerValues): Iterator[UserLedger] = {
       val batch = rows
-        .map(e => LedgerEntry(math.round(e.value * 100), e.event_id)).toSeq
+        .map(e => LedgerEntry(toCents(e.value), e.event_id)).toSeq
       val kept = (entries.get().toSeq ++ batch)
         .sortBy(e => (e.cents, e.event_id)).take(k)
       entries.put(kept.toArray)
@@ -406,6 +418,29 @@ object EventStream {
     */
   val RocksDbProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val rocksDbLock = new Object
+
+  /** Runs `body` with the session's state-store provider set to
+    * RocksDB, restoring the previous value after. The set/restore pair
+    * is serialized on a process-wide lock so concurrently-driven
+    * callers (the registry is sequential today, but safe-by-
+    * construction beats a latent race) cannot interleave a restore
+    * into another caller's query start — the provider conf is read
+    * once at stream START, which the lock covers in full because
+    * callers materialize inside `body`.
+    */
+  def withRocksDbStateStore[A](s: org.apache.spark.sql.SparkSession)(body: => A): A =
+    rocksDbLock.synchronized {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, RocksDbProvider)
+      try body
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
 
   def runningTotalsTws(events: org.apache.spark.sql.Dataset[Event]): DataFrame = {
     val spark = events.sparkSession

@@ -105,6 +105,26 @@ class BenchJsonSpec extends AnyFunSuite {
       .apply("q31_dedup_minhash") === Right(8.0))
   }
 
+  test("selectMovers: a large-Δ / modest-ratio mover gets a slot (r11 blind spot)") {
+    // r11: slots ranked by ratio only, so q178's +5.4 s at 2.9× lost
+    // to a +0.8 s spike at 6×. With best-of(ratio rank, Δ rank), the
+    // head of EITHER ordering is kept.
+    val flagged = Seq(
+      ("q_big_delta", 2.9, 8.3), // Δ=5.4, ratio 2.86 — must get a slot
+      ("q_r1", 0.30, 1.95), ("q_r2", 0.31, 1.96), ("q_r3", 0.32, 1.97),
+      ("q_r4", 0.33, 1.98), ("q_r5", 0.34, 1.99), ("q_r6", 0.35, 2.00))
+    val picked = Bench.selectMovers(flagged, cap = 6).map(_._1)
+    assert(picked.size == 6)
+    assert(picked.contains("q_big_delta"),
+      s"largest absolute Δ must be re-timed even at a modest ratio: $picked")
+    // pure ratio ordering still wins slots too
+    assert(picked.contains("q_r1"))
+    // under the cap, everything flagged is kept, in deterministic order
+    assert(Bench.selectMovers(flagged.take(3), cap = 6).map(_._1).toSet ==
+      Set("q_big_delta", "q_r1", "q_r2"))
+    assert(Bench.selectMovers(Nil, cap = 6).isEmpty)
+  }
+
   test("previousWalls: full keys only, sf-gated, err entries skipped") {
     val p = java.nio.file.Files.createTempFile("bench", ".json")
     java.nio.file.Files.writeString(p,

@@ -1886,13 +1886,26 @@ class ScaleDesignSpec extends SparkSpec {
         "ksTest" -> (() => Rollups.ksTest(t.events, "event_type", "value", "click", "view")),
         "mannWhitney" -> (() => Rollups.mannWhitney(t.events, "event_type", "value", "click", "view")),
         "rocAuc" -> (() => Rollups.rocAuc(t.events, "event_type", "value", "click", "view")),
-        "giniConcentration" -> (() => Rollups.giniConcentration(t.documents, "n_chars")))) {
+        "giniConcentration" -> (() => Rollups.giniConcentration(t.documents, "n_chars")),
+        // r11 carried item 3: the guard extends to the remaining
+        // global/per-group rank windows with documented bounds
+        "bhAdjust" -> (() => Rollups.bhAdjust(
+          spark.range(50).selectExpr("id / 100.0 AS p", "id AS k").toDF(),
+          "p", Seq("k"))),
+        "zipfFit" -> (() => graft.operators.TextAnalysis.zipfFit(
+          t.documents, "source", "text")))) {
         val ex = intercept[Exception] { mk().collect() }
         def msgs(e: Throwable): String =
           if (e == null) "" else e.getMessage + "|" + msgs(e.getCause)
         assert(msgs(ex).contains("ValueGrainCap"),
           s"$name must fail loudly past the cap, got: ${msgs(ex).take(300)}")
       }
+      // vocabBuild's bound is its vocabSize parameter — the guard is a
+      // loud driver-side refusal, before any job runs
+      val vb = intercept[IllegalArgumentException] {
+        graft.operators.TextAnalysis.vocabBuild(t.documents, vocabSize = 11)
+      }
+      assert(vb.getMessage.contains("ValueGrainCap"))
     } finally sys.props.remove("graft.valueGrainCap")
   }
 }

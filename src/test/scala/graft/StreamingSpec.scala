@@ -401,6 +401,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState ListState ledger expires via processing-time TTL") {
+    // The H53 TTL contract (SURVEY §2): with a TTLConfig in
+    // ProcessingTime mode, BOTH states (ListState ledger + ValueState
+    // counter) expire per entry — an idle user's next batch restarts
+    // from empty instead of extending the old ledger.
+    //
+    // Harness shape: in ProcessingTime mode `shouldRunAnotherBatch` is
+    // perpetually true (the clock itself is pending work), so the
+    // query NEVER quiesces — processAllAvailable hangs (measured:
+    // 9,000+ empty batches) and even Trigger.AvailableNow keeps
+    // planning batches (measured: 421 versions before the timeout).
+    // So: one paced long-running query, and POLL the memory sink for
+    // the expected state instead of awaiting quiescence. Keys with no
+    // input rows emit nothing, so empty clock-tick batches stay
+    // invisible to the sink.
+    implicit val ctx = spark.sqlContext
+    EventStream.withRocksDbStateStore(spark) {
+      val input = MemoryStream[EventStream.Event]
+      val q = EventStream.minKLedgerTws(input.toDS(), k = 3,
+        ttl = Some(java.time.Duration.ofMillis(1000)))
+        .writeStream.format("memory").queryName("twsttl_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .outputMode(OutputMode.Update()).start()
+      def rows(): Set[(Long, Long, Long, Long)] = spark.table("twsttl_out")
+        .select("user_id", "n_seen", "k_kept", "sum_kept_cents")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      def awaitRow(want: (Long, Long, Long, Long)): Set[(Long, Long, Long, Long)] = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        var got = rows()
+        while (!got.contains(want) && System.nanoTime() < deadline) {
+          Thread.sleep(100); got = rows()
+        }
+        got
+      }
+      try {
+        input.addData(
+          EventStream.Event(1, ts(1), 1, "click", 1.00),
+          EventStream.Event(2, ts(2), 1, "click", 2.00))
+        val afterB1 = awaitRow((1L, 2L, 2L, 300L))
+        assert(afterB1 == Set((1L, 2L, 2L, 300L)), s"got $afterB1")
+        // sleep well past the 1 s TTL so every batch-1 entry expires
+        Thread.sleep(3000)
+        input.addData(EventStream.Event(3, ts(3), 1, "click", 5.00))
+        // the new row proves ledger AND counter restarted from empty —
+        // without expiry batch 2 would emit (1, 3, 3, 800): 3 seen,
+        // all of 100/200/500 kept
+        val afterB2 = awaitRow((1L, 1L, 1L, 500L))
+        assert(afterB2.contains((1L, 1L, 1L, 500L)),
+          s"TTL must clear both states; got $afterB2")
+        assert(!afterB2.contains((1L, 3L, 3L, 800L)),
+          s"batch-1 ledger survived past its TTL: $afterB2")
+      } finally q.stop()
+    }
+  }
+
   test("transformWithState MapState per-type counts merge across micro-batches") {
     implicit val ctx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"

@@ -4,15 +4,79 @@
 # full-suite run. This script is the LAST command of every round's
 # work: it runs the full suite and exits non-zero (loudly) on any
 # failure, so a snapshot on red is a deliberate act, never an
-# accident. Usage:  bash tools/green_gate.sh
+# accident.
+#
+# Optional legs (VERDICT r11 items 2 and 5):
+#   --with-oracle [sfDir]   run graft.Verify + tools/oracle_check.py at
+#                           sf0.1 (the CLAUDE.md once-per-round rule —
+#                           r9's sf0.1 pass caught three real scale
+#                           bugs the sf0.01 driver gate missed) and
+#                           refuse on any non-MATCH. Leaves the per-
+#                           query report in /tmp/green_gate_oracle.log
+#                           as the round's recorded artifact.
+#   --with-baseline         run the min-of-6 BaselineBench head-to-head
+#                           and print the two ratios, so BASELINE.md
+#                           gets a fresh row every round instead of
+#                           going stale.
+# Usage:  bash tools/green_gate.sh [--with-oracle [sfDir]] [--with-baseline]
 set -uo pipefail
 cd "$(dirname "$0")/.."
+
+WITH_ORACLE=0
+WITH_BASELINE=0
+SF_DIR=/root/testdata/sf0.1
+while [ $# -gt 0 ]; do
+  case "$1" in
+    --with-oracle)
+      WITH_ORACLE=1
+      if [ $# -gt 1 ] && [ -d "$2" ]; then SF_DIR="$2"; shift; fi ;;
+    --with-baseline) WITH_BASELINE=1 ;;
+    *) echo "[green_gate] unknown arg: $1"; exit 2 ;;
+  esac
+  shift
+done
+
 echo "[green_gate] running full sbt test suite..."
 if sbt -batch test > /tmp/green_gate.log 2>&1; then
   tail -5 /tmp/green_gate.log
-  echo "[green_gate] GREEN — safe to snapshot/commit artifacts."
+  echo "[green_gate] suite GREEN."
 else
   echo "[green_gate] *** SUITE IS RED — do NOT snapshot. Failures:"
   grep -E "\*\*\* FAILED|TESTS FAILED|error\]" /tmp/green_gate.log | tail -30
   exit 1
 fi
+
+if [ "$WITH_ORACLE" = 1 ]; then
+  OUT=$(mktemp -d /tmp/green_gate_verify.XXXXXX)
+  echo "[green_gate] oracle leg: Verify at $SF_DIR -> $OUT ..."
+  if ! sbt -batch "runMain graft.Verify $SF_DIR $OUT" \
+      > /tmp/green_gate_verify.log 2>&1; then
+    echo "[green_gate] *** Verify FAILED:"
+    tail -30 /tmp/green_gate_verify.log
+    exit 1
+  fi
+  if python3 tools/oracle_check.py "$SF_DIR" "$OUT" \
+      > /tmp/green_gate_oracle.log 2>&1; then
+    tail -3 /tmp/green_gate_oracle.log
+    echo "[green_gate] oracle gate GREEN at $SF_DIR (report: /tmp/green_gate_oracle.log)."
+  else
+    echo "[green_gate] *** ORACLE GATE RED at $SF_DIR:"
+    grep -v MATCH /tmp/green_gate_oracle.log | tail -30
+    exit 1
+  fi
+fi
+
+if [ "$WITH_BASELINE" = 1 ]; then
+  echo "[green_gate] baseline leg: min-of-6 BaselineBench head-to-head..."
+  if SPARK_GRAFT_BENCH_REPS=6 sbt -batch "runMain graft.BaselineBench" \
+      > /tmp/green_gate_baseline.log 2>&1; then
+    grep -E "ratio|scaffold|novelty|graft|reference" /tmp/green_gate_baseline.log | tail -12
+    echo "[green_gate] record the ratios above in BASELINE.md."
+  else
+    echo "[green_gate] *** BaselineBench FAILED:"
+    tail -20 /tmp/green_gate_baseline.log
+    exit 1
+  fi
+fi
+
+echo "[green_gate] GREEN — safe to snapshot/commit artifacts."
