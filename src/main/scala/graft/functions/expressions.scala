@@ -169,6 +169,42 @@ object LongDot {
   }
 }
 
+/** `nfc_normalize(s)`: Unicode NFC canonical normalization — the text
+  * canonicalization step UPSTREAM of exact/near dedup and
+  * fingerprinting: decomposed "e"+U+0301 and precomposed U+00E9 are
+  * the same text to a reader but different bytes to md5, so an
+  * un-normalized corpus under-deduplicates (and contaminations hide).
+  * Wraps java.text.Normalizer's canonical composition; DuckDB's
+  * utf8proc-based `nfc_normalize` implements the same Unicode
+  * algorithm, so results agree byte-for-byte on any valid UTF-8.
+  * Fast path: the NFC quick-check (`isNormalized`) returns the input
+  * UTF8String untouched for the overwhelmingly-common already-
+  * composed row — no copy, no allocation.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.evalStatic(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.evalStatic($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def evalStatic(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** `wordShinglesDistinct(text, n)`: split text on single spaces, build
   * the n-gram shingles (tokens joined by " "), dedupe preserving first
   * occurrence. One pass, no per-element lambda interpretation.

@@ -103,6 +103,13 @@ package object functions {
         org.apache.spark.sql.graftshim.expressionOf(a),
         org.apache.spark.sql.graftshim.expressionOf(b)))
 
+  /** Unicode NFC canonical normalization (DuckDB `nfc_normalize`
+    * semantics); see [[NfcNormalize]].
+    */
+  def nfcNormalize(s: Column): Column =
+    org.apache.spark.sql.graftshim.columnOf(
+      NfcNormalize(org.apache.spark.sql.graftshim.expressionOf(s)))
+
   /** Cosine similarity over quantized vectors (deterministic double). */
   def quantizedCosine(a: Column, b: Column): Column =
     quantizedDot(a, b).cast("double") /

@@ -1090,6 +1090,80 @@ object Rollups {
           .as("r"))
   }
 
+  /** Kendall rank correlation τ-b between two daily event-count
+    * series — the concordance companion to D14's lagged Pearson and
+    * F26's Spearman: the share of day PAIRS that move together,
+    * robust to any monotone transform and to outlier days, with the
+    * τ-b tie normalization (zero-count days tie heavily, and the
+    * dense calendar mints them deliberately — an untied τ-a would
+    * overstate agreement).
+    *
+    * τ_b = (C − D) / √((n₀−n₁)(n₀−n₂)) over all day pairs i<j:
+    * C concordant, D discordant, n₁/n₂ pairs tied on x/y.
+    *
+    * Exactness: concordance is pure integer COMPARISON (no sign
+    * products — a 2·10⁹-count day difference squared would clear
+    * long range); every count is an exact long on both engines and
+    * τ is one double division, 4dp.
+    *
+    * Scale shape: the corpus collapses ONCE to the dense day grain
+    * (calendar-bounded — thousands of rows at any corpus size; same
+    * spine as laggedCrossCorr); the pair expansion is a broadcast
+    * self-join on day<day — days² ≈ 10⁷ pairs for a decade, spread
+    * across the cluster, never a single task; one final one-row agg.
+    *
+    * Output: one row (n_days, n_pairs, concordant, discordant,
+    * ties_x, ties_y, tau_b) — null τ when a side is constant.
+    */
+  def kendallTau(
+      events: DataFrame,
+      typeA: String,
+      typeB: String,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val day = expr(s"unix_micros($tsCol) div 86400000000")
+    val counts = events
+      .filter(col(typeCol).isin(typeA, typeB))
+      .groupBy(day.as("day"))
+      .agg(
+        sum(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("na"),
+        sum(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("nb"))
+      .localCheckpoint()
+    val span = counts.agg(min("day").as("__lo"), max("day").as("__hi"))
+    // dense calendar spine: zero-count days are real observations of
+    // the series, exactly as laggedCrossCorr treats them
+    val dense = span
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("na"), lit(0L)).as("a"),
+        coalesce(col("nb"), lit(0L)).as("b"))
+      .localCheckpoint()
+    val d = (c: Column) => c.cast("double")
+    val conc = (col("__a1") < col("__a2") && col("__b1") < col("__b2")) ||
+      (col("__a1") > col("__a2") && col("__b1") > col("__b2"))
+    val disc = (col("__a1") < col("__a2") && col("__b1") > col("__b2")) ||
+      (col("__a1") > col("__a2") && col("__b1") < col("__b2"))
+    dense.select(col("day").as("__d1"), col("a").as("__a1"), col("b").as("__b1"))
+      .join(broadcast(dense.select(
+        col("day").as("__d2"), col("a").as("__a2"), col("b").as("__b2"))),
+        col("__d1") < col("__d2"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(conc, 1L).otherwise(0L)).as("concordant"),
+        sum(when(disc, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("__a1") === col("__a2"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("__b1") === col("__b2"), 1L).otherwise(0L)).as("ties_y"))
+      .crossJoin(broadcast(dense.agg(count(lit(1)).as("n_days"))))
+      .withColumn("__fx", col("n_pairs") - col("ties_x"))
+      .withColumn("__fy", col("n_pairs") - col("ties_y"))
+      .select(col("n_days"), col("n_pairs"),
+        col("concordant"), col("discordant"), col("ties_x"), col("ties_y"),
+        round(d(col("concordant") - col("discordant")) /
+          when(col("__fx") <= 0 || col("__fy") <= 0, lit(null))
+            .otherwise(sqrt(d(col("__fx")) * d(col("__fy")))), 4).as("tau_b"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test — the distribution-shape
     * companion to F13's mean z-test: D = max_v |F₁(v) − F₂(v)| over
     * the pooled empirical CDFs, with the first-term asymptotic
@@ -1205,6 +1279,54 @@ object Rollups {
             .otherwise(col("__ssw") / (col("n") - col("k"))), 4).as("f_stat"),
         round(col("__ssb") / when(col("__sst") <= 0, lit(null)).otherwise(col("__sst")), 4)
           .as("eta_sq"))
+  }
+
+  /** Brown–Forsythe test — variance-homogeneity across k groups (the
+    * Levene family with the MEDIAN center, the robust default):
+    * W = ANOVA F computed on z = |x − median_g|. The gate BEFORE
+    * F30's ANOVA (whose F assumes equal variances) and the direct
+    * "did the SPREAD change" monitor a location test can't see.
+    *
+    * Exactness: per-group medians are the exact interpolated
+    * percentile (the q50 contract — identical definition in DuckDB's
+    * quantile_cont), carried in HALF-cents so even-count medians stay
+    * integral; z is exact integer |2·cents − 2·median|; the group
+    * moments ride decimal(38,0) (z² clears long range at extreme
+    * cents); W follows anovaF's written-order double convention, 4dp.
+    *
+    * Scale shape: two corpus scans by necessity (medians, then
+    * deviations — the textbook two-pass), both map-side-combined;
+    * the k-row median dim attaches back as a broadcast join; no
+    * windows, no value-grain stage.
+    *
+    * Output: one row (k, n, w_stat) — null W when the within-group
+    * deviation variance vanishes.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cents2 = (round(col(valueCol) * 100).cast("long") * 2L).as("__c2")
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val in = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    val med = in
+      .groupBy(col(groupCol).as("__g"))
+      .agg(round(percentile(cents2, lit(0.5))).cast("long").as("__m2"))
+    val z = in
+      .select(col(groupCol).as("__g"), cents2)
+      .join(broadcast(med), "__g")
+      .withColumn("__z", abs(col("__c2") - col("__m2")))
+    z.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum(col("__z").cast(dec)).as("__s"),
+        sum(col("__z").cast(dec) * col("__z")).as("__q"))
+      .agg(
+        count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum(d(col("__s")) * d(col("__s")) / col("__n")).as("__sb"),
+        sum(col("__s")).as("__S"), sum(col("__q")).as("__Q"))
+      .withColumn("__ssb", col("__sb") - d(col("__S")) * d(col("__S")) / col("n"))
+      .withColumn("__ssw", d(col("__Q")) - col("__sb"))
+      .select(col("k"), col("n"),
+        round((col("__ssb") / (col("k") - 1)) /
+          when(col("__ssw") <= 0 || col("n") <= col("k"), lit(null))
+            .otherwise(col("__ssw") / (col("n") - col("k"))), 4).as("w_stat"))
   }
 
   /** Welch's unequal-variance t-test — the two-sample mean test that
@@ -1650,6 +1772,145 @@ object Rollups {
           .as("z"))
   }
 
+  /** Kruskal–Wallis H test — the k-group generalization of F27's
+    * Mann–Whitney (and the rank-based sibling of F30's ANOVA F):
+    * H = 12/(N(N+1))·Σ R²_g/n_g − 3(N+1) on average ranks of the
+    * pooled integer-cent values, with the standard tie correction
+    * H/(1 − Σ(t³−t)/(N³−N)). The omnibus "do ANY of these k cohorts'
+    * distributions differ" gate with no normality assumption.
+    *
+    * Exactness: average ranks are carried as the INTEGER
+    * 2·rank = 2·cumBefore + t + 1 (the mannWhitney/spearman
+    * convention); per-group rank sums ride decimal(38,0) (2R_g ≤
+    * N(N+1) clears long range past ~3·10⁹ rows), tie cubes ride
+    * decimal too (the corpus-moment contract). H then follows the
+    * anovaF double convention: per-group terms are exact-input
+    * doubles, one ordered expression both engines mirror, 4dp.
+    *
+    * Scale shape: ONE corpus scan collapses to (value, group) grain
+    * (map-side combine); cumBefore and the tie count are RANGE frames
+    * on a single value-ordered window over that table (one sort, one
+    * single-partition stage at value×k grain — ValueGrainCap-guarded,
+    * the ksTest contract); the tie rollup reuses the same
+    * checkpointed table. No joins, no corpus re-scan.
+    *
+    * Output: one row (k, n, h, h_adj) — null h_adj when ties consume
+    * the whole pooled sample.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(cents.as("v"), col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val ord = Window.orderBy("v")
+    val ranked = grainGuarded(pts, ord, "kruskalWallis")
+      // peers of v across ALL groups = the value's pooled tie count
+      .withColumn("__t",
+        sum("n").over(ord.rangeBetween(Window.currentRow, Window.currentRow)))
+      .withColumn("__cumb", coalesce(
+        sum("n").over(ord.rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__cumb") + col("__t") + 1L)
+    val perG = ranked.groupBy("g")
+      .agg(sum("n").as("__ng"),
+        sum(col("n").cast("decimal(38,0)") * col("__r2")).as("__s2"))
+    val ties = pts.groupBy("v").agg(sum("n").as("__t"))
+      .agg(coalesce(
+        sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t") - col("__t")),
+        lit(0).cast("decimal(38,0)")).as("__tie3"))
+    perG
+      .agg(
+        count(lit(1)).as("k"), sum("__ng").as("n"),
+        sum(d(col("__s2")) * d(col("__s2")) / 4.0 / col("__ng")).as("__rr"))
+      .crossJoin(broadcast(ties))
+      .withColumn("__h",
+        lit(12.0) * col("__rr") / (d(col("n")) * d(col("n") + 1L)) -
+          lit(3.0) * d(col("n") + 1L))
+      .withColumn("__c",
+        lit(1.0) - d(col("__tie3")) /
+          (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n"))))
+      .select(col("k"), col("n"),
+        round(col("__h"), 4).as("h"),
+        round(col("__h") /
+          when(col("__c") <= 0, lit(null)).otherwise(col("__c")), 4).as("h_adj"))
+  }
+
+  /** Friedman test — the repeated-measures member of the rank-test
+    * family (F27 Mann–Whitney = 2 independent groups, F63
+    * Kruskal–Wallis = k independent, Friedman = k TREATMENTS measured
+    * in every BLOCK): within each block the k treatment values are
+    * ranked (average ranks on ties), χ²_F = 12/(nk(k+1))·ΣR²_j −
+    * 3n(k+1), with Conover's tie correction
+    * χ²/(1 − ΣT/(nk(k²−1))), ΣT = Σ_blocks Σ(t³−t). The "does any
+    * treatment consistently rank higher across blocks" gate that
+    * ignores between-block level shifts entirely.
+    *
+    * Blocks with a missing treatment are zero-filled from the dense
+    * block×treatment cross (a treatment absent that day genuinely
+    * measured zero — the same stance as kendallTau's dense calendar).
+    *
+    * Exactness: average ranks ride the INTEGER 2·rank convention;
+    * rank sums and their squares are exact longs (bounded by
+    * block-dim × treatment-dim, never the corpus); χ² is one
+    * written-order double expression, 4dp.
+    *
+    * Scale shape: ONE corpus scan collapses to (block, treatment)
+    * grain (dim-bounded); the dense fill is a broadcast cross of two
+    * dim tables; ranks are RANGE frames on a window PARTITIONED BY
+    * block (thousands of small sorts, no single-task stage); two
+    * dim-grain aggregates finish.
+    *
+    * Output: one row (n_blocks, k, chi2, chi2_adj) — null chi2_adj
+    * when ties consume every block.
+    */
+  def friedman(
+      df: DataFrame,
+      blockCol: Column,
+      treatCol: Column): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val cells = df
+      .groupBy(blockCol.as("b"), treatCol.as("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val dense = cells.select("b").distinct()
+      .crossJoin(broadcast(cells.select("g").distinct()))
+      .join(cells, Seq("b", "g"), "left")
+      .select(col("b"), col("g"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy("b").orderBy("cnt")
+    val ranked = dense
+      .withColumn("__t",
+        count(lit(1)).over(w.rangeBetween(Window.currentRow, Window.currentRow)))
+      .withColumn("__cumb", coalesce(
+        count(lit(1)).over(w.rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__cumb") + col("__t") + 1L)
+      .localCheckpoint() // feeds the treatment rollup AND the tie rollup
+    val perT = ranked.groupBy("g").agg(sum("__r2").as("__s2"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("__s2") * col("__s2")).as("__rr4")) // 4·ΣR² exactly
+    // Σ over tie GROUPS of (t³−t): each group of size t contributes t
+    // rows that all carry __t = t, so the group's t³−t is exactly the
+    // row-wise sum of t²−1 — no per-group rollup needed
+    val ties = ranked.agg(
+      sum(col("__t") * col("__t") - lit(1L)).as("__tsum"),
+      countDistinct(col("b")).as("n_blocks"))
+    perT.crossJoin(broadcast(ties))
+      .withColumn("__chi2",
+        lit(12.0) * (d(col("__rr4")) / 4.0) /
+          (d(col("n_blocks")) * d(col("k")) * d(col("k") + 1L)) -
+          lit(3.0) * d(col("n_blocks")) * d(col("k") + 1L))
+      .withColumn("__c",
+        lit(1.0) - d(col("__tsum")) /
+          (d(col("n_blocks")) * d(col("k")) *
+            (d(col("k")) * d(col("k")) - 1.0)))
+      .select(col("n_blocks"), col("k"),
+        round(col("__chi2"), 4).as("chi2"),
+        round(col("__chi2") /
+          when(col("__c") <= 0, lit(null)).otherwise(col("__c")), 4)
+          .as("chi2_adj"))
+  }
+
   /** Theil–Sen robust slope per keyed series — the median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i), the 29%-breakdown trend
     * estimator that one outlier year cannot move (Theil 1950; Sen
@@ -1689,6 +1950,69 @@ object Rollups {
           .otherwise((element_at(col("__s"), (col("n_slopes") / 2).cast("int")) +
             element_at(col("__s"), (col("n_slopes") / 2 + 1).cast("int"))) / 2), 4))
       .select(keys.map(col) ++ Seq(col("n_points"), col("n_slopes"), col("slope")): _*)
+  }
+
+  /** Mann–Kendall trend test per keyed series — the SIGNIFICANCE
+    * companion to D15's Theil–Sen slope (the classic pairing in
+    * environmental/ops trend monitoring): S = Σ_{i<j} sign(y_j−y_i)
+    * over the x-ordered series, tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and the
+    * continuity-corrected z = (S∓1)/√Var(S). Detects ANY monotone
+    * trend with no linearity or normality assumption.
+    *
+    * Exactness: S is an exact long sum of {−1,0,1}; the variance is
+    * a ratio of exact longs (n is calendar-bounded, so n³ sits far
+    * inside long range); z is one double division, 4dp.
+    *
+    * Scale shape: the theilSen contract — the series collapses to one
+    * in-row array per key (x-grain must be CALENDAR-BOUNDED), the
+    * O(m²) sign expansion is in-row arithmetic on that array; the tie
+    * rollup is a second key-grain aggregate of the same checkpointed
+    * series and joins back at KEY grain. Two key-grain exchanges, the
+    * corpus-sized input is touched once.
+    *
+    * Output: keys ++ (n_points, s_stat, var_s, z) — null z when the
+    * variance vanishes (fully tied series).
+    */
+  def mannKendall(
+      series: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    // the input feeds the pair expansion AND the tie rollup — eager
+    // cut so the (possibly expensive) series derivation runs once
+    val s0 = series
+      .select((keys.map(col) :+ col(xCol).cast("long").as("__x") :+
+        col(yCol).cast("long").as("__y")): _*)
+      .localCheckpoint()
+    val d = (c: Column) => c.cast("double")
+    val arr = s0
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__x").as("x"), col("__y").as("y"))))
+        .as("__a"), count(lit(1)).as("n_points"))
+      .withColumn("s_stat", aggregate(
+        flatten(transform(col("__a"), (p, i) =>
+          transform(slice(col("__a"), i + lit(2), size(col("__a"))), q =>
+            signum(q.getField("y") - p.getField("y")).cast("long")))),
+        lit(0L), (acc, x) => acc + x))
+    val ties = s0
+      .groupBy((keys.map(col) :+ col("__y")): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__t") * (col("__t") - 1L) * (lit(2L) * col("__t") + 5L))
+        .as("__tsum"))
+    arr.join(ties, keys)
+      .withColumn("__var",
+        d(col("n_points") * (col("n_points") - 1L) *
+          (lit(2L) * col("n_points") + 5L) - col("__tsum")) / 18.0)
+      .select(keys.map(col) ++ Seq(
+        col("n_points"), col("s_stat"),
+        round(col("__var"), 4).as("var_s"),
+        round(
+          when(col("__var") <= 0, lit(null))
+            .otherwise(when(col("s_stat") > 0, d(col("s_stat") - 1L))
+              .when(col("s_stat") < 0, d(col("s_stat") + 1L))
+              .otherwise(lit(0.0)) / sqrt(col("__var"))), 4).as("z")): _*)
   }
 
   /** Spearman rank correlation per key — Pearson r on the AVERAGE
@@ -3156,6 +3480,74 @@ object Rollups {
       .select(keys.map(col) ++ Seq(col(xCol), col(yCol),
         round((d(col("__tu")) + d(col("__su"))) / 1e6, 4).as("expected"),
         col("resid")): _*)
+  }
+
+  /** Trend/seasonal STRENGTH per keyed series (Hyndman &
+    * Athanasopoulos, fpp3 §4.4): F_T = max(0, 1 − Var(R)/Var(T+R)),
+    * F_S = max(0, 1 − Var(R)/Var(S+R)) over D19's decomposition —
+    * the forecastability triage that reduces q230's component table
+    * to two comparable [0,1] scores per series (route strong-F_S
+    * series to seasonal models; near-zero both means the series is
+    * noise and a naive forecast is already optimal).
+    *
+    * Determinism: D19's exact micro-int components end to end; the
+    * three variances are decimal-moment rollups of ONE frame with the
+    * same centered-moment expression (the common n divisor cancels in
+    * the ratio), each strength one written-order double, 4dp. Scale shape: D19's (eager-cut base + broadcast
+    * seasonal dim) plus a single keys-grain moment aggregate.
+    *
+    * Output: (keys..., n_points, trend_strength, seasonal_strength) —
+    * null strength when the denominator variance vanishes.
+    */
+  def seasonalStrength(
+      series: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String,
+      period: Int = 7,
+      halfWindow: Int = 3): DataFrame = {
+    require(period >= 2 && halfWindow >= 1)
+    val dec = "decimal(38,0)"
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val fr = byKey.orderBy(col(xCol)).rowsBetween(-halfWindow, halfWindow)
+    val d = (c: Column) => c.cast("double")
+    val base = series
+      .withColumn("__tu",
+        round(d(sum(round(col(yCol)).cast("long")).over(fr)) /
+          count(lit(1)).over(fr) * 1e6).cast("long"))
+      .withColumn("__du", round(col(yCol)).cast("long") * 1000000L - col("__tu"))
+      .withColumn("phase", pmod(col(xCol).cast("long"), lit(period.toLong)))
+      .localCheckpoint()
+    val seas = base
+      .groupBy((keys.map(col) :+ col("phase")): _*)
+      .agg(sum(col("__du").cast(dec)).as("__sd"), count(lit(1)).as("__pn"))
+      .select((keys.map(col) :+ col("phase") :+
+        round(d(col("__sd")) / col("__pn")).cast("long").as("__su")): _*)
+    def strength(q: Column, s: Column, rq: Column, rs: Column, n: Column) = {
+      val varX = d(q) - d(s) * d(s) / n
+      val varR = d(rq) - d(rs) * d(rs) / n
+      // the null gate stays OUTSIDE greatest: both engines' greatest()
+      // skips nulls, so greatest(0, null) would silently publish 0.0
+      round(when(varX <= 0, lit(null))
+        .otherwise(greatest(lit(0.0), lit(1.0) - varR / varX)), 4)
+    }
+    base.join(broadcast(seas), keys :+ "phase")
+      .withColumn("__r", (col("__du") - col("__su")).cast(dec))
+      .withColumn("__sr", col("__du").cast(dec))
+      .withColumn("__tr",
+        (round(col(yCol)).cast("long") * 1000000L - col("__su")).cast(dec))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__r")).as("__rs"), sum(col("__r") * col("__r")).as("__rq"),
+        sum(col("__sr")).as("__ss"), sum(col("__sr") * col("__sr")).as("__sq"),
+        sum(col("__tr")).as("__ts"), sum(col("__tr") * col("__tr")).as("__tq"))
+      .filter(col("n_points") > 1)
+      .select(keys.map(col) ++ Seq(
+        col("n_points"),
+        strength(col("__tq"), col("__ts"), col("__rq"), col("__rs"),
+          col("n_points")).as("trend_strength"),
+        strength(col("__sq"), col("__ss"), col("__rq"), col("__rs"),
+          col("n_points")).as("seasonal_strength")): _*)
   }
 
   /** Expected calibration error — the scalar that scores a

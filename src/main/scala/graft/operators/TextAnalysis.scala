@@ -1011,4 +1011,46 @@ object TextAnalysis {
         round(col("__cum").cast("double") / col("__total"), 6))
       .select(col("token_id"), col("token"), col("n"), col("coverage"))
   }
+
+  /** Distinct-n n-gram diversity per corpus slice — the standard
+    * generation-diversity / repetitiveness report (distinct-1/2/3 of
+    * Li et al. 2016), here over corpus slices: the fraction of n-gram
+    * OCCURRENCES that are distinct n-grams. A slice whose distinct-3
+    * collapses is template spam even when exact/near dedup passes
+    * (complements G14's intra-doc repetition with a cross-doc view).
+    *
+    * Scale shape: ONE corpus scan builds every n's shingles in-row
+    * and reduces each to md5 BEFORE the exchange (the engine's
+    * hash-only-shuffle contract — gram text never rides a shuffle);
+    * occurrence counts map-side combine at (slice, n, hash) grain,
+    * then roll up to (slice, n). Exact distinct via the two-level
+    * aggregate, not count(distinct) — no Expand, no re-scan per n.
+    * md5 is computed identically by the oracle engine, so collision
+    * behavior (negligible at 2⁻¹²⁸) is shared, not approximated.
+    *
+    * Output: (groupCol, n, total_ngrams, distinct_ngrams,
+    * distinct_ratio 6dp), one row per slice × n.
+    */
+  def ngramDiversity(
+      df: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text",
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1, got $ns")
+    val grams = df
+      .filter(length(col(textCol)) > 0)
+      .select(col(groupCol).as("__g"),
+        explode(flatten(array(ns.map(n =>
+          transform(Dedup.shingles(col(textCol), n),
+            s => struct(lit(n.toLong).as("n"), md5(s).as("h")))): _*))).as("__p"))
+      .select(col("__g"), col("__p.n").as("n"), col("__p.h").as("__h"))
+    grams
+      .groupBy("__g", "n", "__h").agg(count(lit(1)).as("__c"))
+      .groupBy("__g", "n")
+      .agg(sum("__c").as("total_ngrams"), count(lit(1)).as("distinct_ngrams"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("total_ngrams"), col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
+          .as("distinct_ratio"))
+  }
 }

@@ -266,6 +266,19 @@ private[graft] object EventQueries {
           ev.filter(col("event_type") === "click"),
           range = "1 hour", watermark = "3650 days"))
     }),
+    "q296_stream_semi" -> ((s, dir) => {
+      // H54 stream–stream LEFT SEMI: purchases QUALIFIED by a click in
+      // the preceding hour — each purchase emits at most once, no
+      // fan-out per matching click (the inner join q85 emits one row
+      // per match). Watermark outlives the replay, so the set equals
+      // the batch EXISTS semi-join under any micro-batching.
+      val ev = StreamQueries.streamEvents(s, dir)
+      StreamQueries.materialize(
+        EventStream.streamStreamSemiJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          range = "1 hour", watermark = "3650 days"))
+    }),
     "q123_stream_ivm" -> ((s, dir) => {
       // streaming IVM: every micro-batch folds its mergeable state
       // into a persisted parquet rollup (foreachBatch, alternating
@@ -1127,6 +1140,19 @@ private[graft] object EventQueries {
         |  ON l.user_id = r.user_id
         | AND l.event_type = 'purchase' AND r.event_type = 'click'
         | AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts""".stripMargin,
+    // semi replay: EXISTS, not JOIN — at most one row per purchase
+    "q296_stream_semi" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |)
+        |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us
+        |FROM ev p
+        |WHERE p.event_type = 'purchase'
+        |  AND EXISTS (SELECT 1 FROM ev c
+        |              WHERE c.event_type = 'click'
+        |                AND c.user_id = p.user_id
+        |                AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts)""".stripMargin,
     // eviction horizon outlives the replay, so the final state equals
     // the non-evicting twin's (q63) — same oracle
     "q65_stream_evict" ->

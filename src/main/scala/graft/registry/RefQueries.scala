@@ -389,6 +389,16 @@ private[graft] object RefQueries {
       Rollups.seasonalAnomalies(series, Seq("event_type"), "day", "y",
         nSigma = 2.0)
     }),
+    "q297_stl_strength" -> ((s, dir) => {
+      // D24 forecastability triage: Hyndman trend/seasonal strength
+      // per event type over the q230 decomposition's components
+      val t = Tables(s, dir)
+      val series = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      Rollups.seasonalStrength(series, Seq("event_type"), "day", "y")
+    }),
     "q230_seasonal_decompose" -> ((s, dir) => {
       // D19 STL-lite: centered-MA trend, weekly phase effects, and
       // residual spread over each event type's daily count series
@@ -1244,6 +1254,56 @@ private[graft] object RefQueries {
         |FROM e GROUP BY 1""".stripMargin,
     // STL-lite replay: same partial centered frames, same micro-unit
     // quantizations, HUGEINT residual moments.
+    // strength replay: the q230 component pipeline, three HUGEINT
+    // moment triples over one frame, the variance ratio in written
+    // order with the null gate OUTSIDE greatest (both engines'
+    // greatest skips nulls).
+    "q297_stl_strength" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |),
+        |t AS (
+        |  SELECT event_type, day, y,
+        |         CAST(round(CAST(sum(y) OVER fr AS DOUBLE) / count(*) OVER fr * 1e6) AS BIGINT) AS tu
+        |  FROM s WINDOW fr AS (PARTITION BY event_type ORDER BY day
+        |                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |),
+        |b AS (SELECT event_type, day % 7 AS phase, y, y * 1000000 - tu AS du FROM t),
+        |se AS (
+        |  SELECT event_type, phase,
+        |         CAST(round(CAST(sum(CAST(du AS HUGEINT)) AS DOUBLE) / count(*)) AS BIGINT) AS su
+        |  FROM b GROUP BY 1, 2
+        |),
+        |f AS (
+        |  SELECT b.event_type,
+        |         CAST(b.du - se.su AS HUGEINT) AS r,
+        |         CAST(b.du AS HUGEINT) AS sr,
+        |         CAST(b.y * 1000000 - se.su AS HUGEINT) AS tr
+        |  FROM b JOIN se ON se.event_type = b.event_type AND se.phase = b.phase
+        |),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+        |         sum(r) AS rs, sum(r * r) AS rq,
+        |         sum(sr) AS ss, sum(sr * sr) AS sq,
+        |         sum(tr) AS ts2, sum(tr * tr) AS tq
+        |  FROM f GROUP BY 1 HAVING count(*) > 1
+        |)
+        |SELECT event_type, n_points,
+        |       round(CASE WHEN CAST(tq AS DOUBLE) - CAST(ts2 AS DOUBLE) * CAST(ts2 AS DOUBLE) / n_points <= 0
+        |                  THEN NULL
+        |                  ELSE greatest(0.0, 1.0 -
+        |                    (CAST(rq AS DOUBLE) - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE) / n_points)
+        |                    / (CAST(tq AS DOUBLE) - CAST(ts2 AS DOUBLE) * CAST(ts2 AS DOUBLE) / n_points))
+        |             END, 4) AS trend_strength,
+        |       round(CASE WHEN CAST(sq AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n_points <= 0
+        |                  THEN NULL
+        |                  ELSE greatest(0.0, 1.0 -
+        |                    (CAST(rq AS DOUBLE) - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE) / n_points)
+        |                    / (CAST(sq AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n_points))
+        |             END, 4) AS seasonal_strength
+        |FROM m""".stripMargin,
     "q230_seasonal_decompose" ->
       """WITH s AS (
         |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,

@@ -566,6 +566,44 @@ private[graft] object StatsQueries {
       val t = Tables(s, dir)
       Rollups.tukeyQStats(t.events, "event_type", "value")
     }),
+    "q291_kendall_tau" -> ((s, dir) => {
+      // F62 Kendall τ-b: do 'view' and 'purchase' daily volumes move
+      // together — concordant day pairs over the dense calendar, with
+      // the τ-b tie normalization (zero days tie heavily by design)
+      val t = Tables(s, dir)
+      Rollups.kendallTau(t.events, "view", "purchase")
+    }),
+    "q292_kruskal_wallis" -> ((s, dir) => {
+      // F63 Kruskal–Wallis: do ANY of the event-type value
+      // distributions differ — rank-based omnibus on pooled cents,
+      // tie-corrected (the k-group Mann–Whitney / rank-ANOVA)
+      val t = Tables(s, dir)
+      Rollups.kruskalWallis(t.events, "event_type", "value")
+    }),
+    "q293_mann_kendall" -> ((s, dir) => {
+      // D23 Mann–Kendall: monotone-trend significance per datasource
+      // yearly evidence series — the q195 Theil–Sen slope's
+      // significance companion on the SAME series
+      val t = Tables(s, dir)
+      val series = t.evidence.groupBy("datasourceId", "year")
+        .agg(count(lit(1)).as("n"))
+      Rollups.mannKendall(series, Seq("datasourceId"), "year", "n")
+    }),
+    "q298_brown_forsythe" -> ((s, dir) => {
+      // F65 Brown–Forsythe: did the VALUE SPREAD change across event
+      // types — ANOVA F on |x − median_g|, the equal-variance gate
+      // q207's ANOVA assumes
+      val t = Tables(s, dir)
+      Rollups.brownForsythe(t.events, "event_type", "value")
+    }),
+    "q295_friedman" -> ((s, dir) => {
+      // F64 Friedman: do any event types consistently out-rank the
+      // others across days — blocks=days, treatments=types, zero-
+      // filled dense cross, within-day average ranks
+      val t = Tables(s, dir)
+      Rollups.friedman(t.events,
+        expr("unix_micros(ts) div 86400000000"), col("event_type"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2514,5 +2552,214 @@ private[graft] object StatsQueries {
         |                 - CAST(a.s AS DOUBLE) / a.n / 100.0)
         |             / sqrt(m.msw / 10000.0 / 2.0 * (1.0 / a.n + 1.0 / b.n)), 4) AS q_stat
         |FROM w a JOIN w b ON a.g < b.g CROSS JOIN m""".stripMargin,
+    // Kendall τ-b replay: same dense-calendar spine as q190, pure
+    // integer comparisons per pair (no sign products), one double
+    // division at the end.
+    "q291_kendall_tau" ->
+      """WITH d AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS na,
+        |         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS nb
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+        |),
+        |cal AS (
+        |  SELECT unnest(range((SELECT min(day) FROM d),
+        |                      (SELECT max(day) FROM d) + 1)) AS day
+        |),
+        |dense AS (
+        |  SELECT c.day, coalesce(d.na, 0) AS a, coalesce(d.nb, 0) AS b
+        |  FROM cal c LEFT JOIN d USING (day)
+        |),
+        |p AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(count(*) FILTER ((x.a < y.a AND x.b < y.b)
+        |                            OR (x.a > y.a AND x.b > y.b)) AS BIGINT) AS concordant,
+        |         CAST(count(*) FILTER ((x.a < y.a AND x.b > y.b)
+        |                            OR (x.a > y.a AND x.b < y.b)) AS BIGINT) AS discordant,
+        |         CAST(count(*) FILTER (x.a = y.a) AS BIGINT) AS ties_x,
+        |         CAST(count(*) FILTER (x.b = y.b) AS BIGINT) AS ties_y
+        |  FROM dense x JOIN dense y ON x.day < y.day
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM dense) AS n_days,
+        |       n_pairs, concordant, discordant, ties_x, ties_y,
+        |       round(CAST(concordant - discordant AS DOUBLE) /
+        |             CASE WHEN n_pairs - ties_x <= 0 OR n_pairs - ties_y <= 0 THEN NULL
+        |                  ELSE sqrt(CAST(n_pairs - ties_x AS DOUBLE)
+        |                            * CAST(n_pairs - ties_y AS DOUBLE)) END, 4) AS tau_b
+        |FROM p""".stripMargin,
+    // Kruskal–Wallis replay: integer 2·rank via the value-grain
+    // cumulative (the mannWhitney convention), HUGEINT rank sums and
+    // tie cubes, anovaF-style written-order doubles, 4dp.
+    "q292_kruskal_wallis" ->
+      """WITH pts AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type AS g,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |),
+        |vg AS (SELECT v, CAST(sum(n) AS BIGINT) AS t FROM pts GROUP BY 1),
+        |vr AS (
+        |  SELECT v, t,
+        |         2 * coalesce(sum(t) OVER (ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + t + 1 AS r2
+        |  FROM vg
+        |),
+        |perg AS (
+        |  SELECT g, CAST(sum(n) AS BIGINT) AS ng,
+        |         CAST(sum(CAST(n AS HUGEINT) * r2) AS HUGEINT) AS s2
+        |  FROM pts JOIN vr USING (v) GROUP BY 1
+        |),
+        |tie AS (
+        |  SELECT coalesce(CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT),
+        |                  0) AS tie3
+        |  FROM vg
+        |),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |         sum(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / 4.0 / ng) AS rr
+        |  FROM perg
+        |)
+        |SELECT k, n,
+        |       round(12.0 * rr / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+        |             - 3.0 * CAST(n + 1 AS DOUBLE), 4) AS h,
+        |       round((12.0 * rr / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+        |              - 3.0 * CAST(n + 1 AS DOUBLE)) /
+        |             (CASE WHEN 1.0 - CAST(tie3 AS DOUBLE)
+        |                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |                             * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) <= 0
+        |                   THEN NULL
+        |                   ELSE 1.0 - CAST(tie3 AS DOUBLE)
+        |                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |                             * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) END),
+        |             4) AS h_adj
+        |FROM a, tie""".stripMargin,
+    // Mann–Kendall replay: same yearly series as q195, in-list sign
+    // pairs (exact integers), tie rollup from the same series, the
+    // continuity-corrected z as one written-order double, 4dp.
+    "q293_mann_kendall" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS datasourceId,
+        |         CAST(year(l_shipdate) AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |arr AS (
+        |  SELECT datasourceId,
+        |         list(struct_pack(x := x, y := y) ORDER BY x) AS a,
+        |         CAST(count(*) AS BIGINT) AS n_points
+        |  FROM s GROUP BY 1
+        |),
+        |st AS (
+        |  SELECT datasourceId, n_points,
+        |         CAST(coalesce(list_sum(flatten(
+        |           list_transform(range(1, CAST(n_points AS INT) + 1), i ->
+        |             list_transform(range(i + 1, CAST(n_points AS INT) + 1), j ->
+        |               CAST(sign(a[j].y - a[i].y) AS BIGINT))))), 0) AS BIGINT)
+        |           AS s_stat
+        |  FROM arr
+        |),
+        |t AS (
+        |  SELECT datasourceId,
+        |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |  FROM (SELECT datasourceId, y, CAST(count(*) AS BIGINT) AS t
+        |        FROM s GROUP BY 1, 2)
+        |  GROUP BY 1
+        |),
+        |v AS (
+        |  SELECT st.datasourceId, st.n_points, st.s_stat,
+        |         CAST(st.n_points * (st.n_points - 1) * (2 * st.n_points + 5)
+        |              - t.tsum AS DOUBLE) / 18.0 AS var_d
+        |  FROM st JOIN t USING (datasourceId)
+        |)
+        |SELECT datasourceId, n_points, s_stat,
+        |       round(var_d, 4) AS var_s,
+        |       round(CASE WHEN var_d <= 0 THEN NULL
+        |                  ELSE (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |                             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |                             ELSE 0.0 END) / sqrt(var_d) END, 4) AS z
+        |FROM v""".stripMargin,
+    // Brown–Forsythe replay: exact interpolated medians in half-cents
+    // (quantile_cont ≡ Spark percentile, the q50 contract), integer
+    // |deviation|, HUGEINT moments, anovaF written-order doubles.
+    "q298_brown_forsythe" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) * 2 AS c2
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |),
+        |m AS (
+        |  SELECT g, CAST(round(quantile_cont(c2, 0.5)) AS BIGINT) AS m2
+        |  FROM v GROUP BY 1
+        |),
+        |z AS (SELECT v.g, abs(v.c2 - m.m2) AS z FROM v JOIN m USING (g)),
+        |gm AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS s,
+        |         CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS q
+        |  FROM z GROUP BY 1
+        |),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |         sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb,
+        |         CAST(sum(s) AS DOUBLE) AS sS, CAST(sum(q) AS DOUBLE) AS qQ
+        |  FROM gm
+        |)
+        |SELECT k, n,
+        |       round(((sb - sS * sS / n) / (k - 1)) /
+        |             CASE WHEN qQ - sb <= 0 OR n <= k THEN NULL
+        |                  ELSE (qQ - sb) / (n - k) END, 4) AS w_stat
+        |FROM a""".stripMargin,
+    // Friedman replay: identical dense day×type zero-fill, integer
+    // 2·rank via rank() − 1 + peer count (≡ the RANGE-frame
+    // cumulative), exact long rank sums, written-order doubles, 4dp.
+    "q295_friedman" ->
+      """WITH cells AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
+        |         event_type AS g, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |),
+        |dense AS (
+        |  SELECT bb.b, gg.g, coalesce(c.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT b FROM cells) bb
+        |  CROSS JOIN (SELECT DISTINCT g FROM cells) gg
+        |  LEFT JOIN cells c ON c.b = bb.b AND c.g = gg.g
+        |),
+        |r AS (
+        |  SELECT b, g,
+        |         CAST(count(*) OVER (PARTITION BY b, cnt) AS BIGINT) AS t,
+        |         2 * (rank() OVER (PARTITION BY b ORDER BY cnt) - 1)
+        |           + CAST(count(*) OVER (PARTITION BY b, cnt) AS BIGINT) + 1 AS r2
+        |  FROM dense
+        |),
+        |pert AS (SELECT g, CAST(sum(r2) AS BIGINT) AS s2 FROM r GROUP BY 1),
+        |a1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(s2 * s2) AS BIGINT) AS rr4
+        |  FROM pert
+        |),
+        |a2 AS (
+        |  SELECT CAST(sum(t * t - 1) AS BIGINT) AS tsum,
+        |         CAST(count(DISTINCT b) AS BIGINT) AS n_blocks
+        |  FROM r
+        |)
+        |SELECT n_blocks, k,
+        |       round(12.0 * (CAST(rr4 AS DOUBLE) / 4.0)
+        |             / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+        |                * CAST(k + 1 AS DOUBLE))
+        |             - 3.0 * CAST(n_blocks AS DOUBLE) * CAST(k + 1 AS DOUBLE),
+        |             4) AS chi2,
+        |       round((12.0 * (CAST(rr4 AS DOUBLE) / 4.0)
+        |              / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+        |                 * CAST(k + 1 AS DOUBLE))
+        |              - 3.0 * CAST(n_blocks AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+        |             / (CASE WHEN 1.0 - CAST(tsum AS DOUBLE)
+        |                            / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+        |                               * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) <= 0
+        |                     THEN NULL
+        |                     ELSE 1.0 - CAST(tsum AS DOUBLE)
+        |                            / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+        |                               * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))
+        |                END), 4) AS chi2_adj
+        |FROM a1, a2""".stripMargin,
   )
 }

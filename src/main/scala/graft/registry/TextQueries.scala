@@ -261,6 +261,26 @@ private[graft] object TextQueries {
       TextAnalysis.blocklistHits(t.documents, terms)
         .select(col("doc_id"), col("n_hits"), col("n_terms"), col("flagged"))
     }),
+    "q299_nfc_normalize" -> ((s, dir) => {
+      // G94 Unicode NFC canonicalization (native expression): each doc
+      // decorated with a DECOMPOSED suffix (e+U+0301, i+U+0308 — the
+      // corpus itself is ASCII), normalized, and gated per row on
+      // codepoint length + md5 — both engines implement the same
+      // Unicode canonical composition
+      val t = Tables(s, dir)
+      val dec = concat(col("text"), lit(" nai\u0308ve cafe\u0301"))
+      t.documents.select(col("doc_id"),
+        length(dec).cast("long").as("len_raw"),
+        length(graft.functions.nfcNormalize(dec)).cast("long").as("len_nfc"),
+        md5(graft.functions.nfcNormalize(dec)).as("h_nfc"))
+    }),
+    "q294_ngram_diversity" -> ((s, dir) => {
+      // G93 distinct-1/2/3 per source slice: the cross-doc diversity /
+      // template-spam report — md5-reduced shingles for every n from
+      // ONE corpus scan, exact distinct via the two-level aggregate
+      val t = Tables(s, dir)
+      TextAnalysis.ngramDiversity(t.documents)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -882,5 +902,50 @@ private[graft] object TextQueries {
         |       coalesce(h.n_terms, 0) AS n_terms,
         |       coalesce(h.n_hits, 0) > 0 AS flagged
         |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin,
+    // NFC replay: utf8proc's nfc_normalize implements the same Unicode
+    // canonical composition as java.text.Normalizer — the decomposed
+    // suffix (e+U+0301, i+U+0308) composes on both engines, gated per
+    // row on codepoint length + md5 of the normalized bytes.
+    "q299_nfc_normalize" ->
+      """SELECT doc_id,
+        |       CAST(length(text || ' nai\u0308ve cafe\u0301') AS BIGINT) AS len_raw,
+        |       CAST(length(nfc_normalize(text || ' nai\u0308ve cafe\u0301')) AS BIGINT) AS len_nfc,
+        |       md5(nfc_normalize(text || ' nai\u0308ve cafe\u0301')) AS h_nfc
+        |FROM documents""".stripMargin,
+    // Distinct-n replay: identical per-n shingle construction, the
+    // SAME md5 reduction (shared collision behavior, not an
+    // approximation), exact distinct per (slice, n).
+    "q294_ngram_diversity" ->
+      """WITH w AS (
+        |  SELECT source, string_split(text, ' ') AS w
+        |  FROM documents WHERE length(text) > 0
+        |),
+        |g1 AS (
+        |  SELECT source, 1 AS n, md5(s) AS h
+        |  FROM (SELECT source, unnest(w) AS s FROM w)
+        |),
+        |g2 AS (
+        |  SELECT source, 2 AS n, md5(s) AS h
+        |  FROM (SELECT source,
+        |          unnest(list_transform(range(1, len(w)),
+        |                                i -> w[i] || ' ' || w[i+1])) AS s
+        |        FROM w WHERE len(w) >= 2)
+        |),
+        |g3 AS (
+        |  SELECT source, 3 AS n, md5(s) AS h
+        |  FROM (SELECT source,
+        |          unnest(list_transform(range(1, len(w) - 1),
+        |                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |        FROM w WHERE len(w) >= 3)
+        |),
+        |a AS (
+        |  SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3
+        |)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS total_ngrams,
+        |       CAST(count(DISTINCT h) AS BIGINT) AS distinct_ngrams,
+        |       round(CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6)
+        |         AS distinct_ratio
+        |FROM a GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -209,6 +209,31 @@ object EventStream {
         col("l.event_id").as("left_id"), col("r.event_id").as("right_id"))
   }
 
+  /** Stream–stream LEFT SEMI join — the fourth join mode alongside
+    * inner/left-outer/full-outer: each `left` event emits AT MOST
+    * ONCE, iff SOME same-user `right` event sits in the preceding
+    * `range`. The "qualified events" filter a funnel wants when match
+    * MULTIPLICITY is noise (an inner join emits one row per matching
+    * right event; semi does not fan out, and Spark drops the matched
+    * left row's state immediately instead of buffering it for more
+    * matches). Same bounded-state mechanics: both watermarks + the
+    * event-time range let buffered rows expire.
+    */
+  def streamStreamSemiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      range: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      expr(s"""l.user_id = r.user_id AND
+               r.ts BETWEEN l.ts - INTERVAL $range AND l.ts"""),
+      "left_semi")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+  }
+
   /** Stream–stream LEFT OUTER join: like [[streamStreamJoin]], but a
     * `left` event with no same-user `right` event in the preceding
     * `range` still emits (null-extended) — the "purchases with no

@@ -411,6 +411,30 @@ class FunctionsSpec extends SparkSpec {
       viaCol.getDouble(1) == 0.9611111111111111)
   }
 
+  test("nfcNormalize composes decomposed sequences; fast path is zero-copy") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def nfc(s: String): String =
+      NfcNormalize.evalStatic(UTF8String.fromString(s)).toString
+    // decomposed e + COMBINING ACUTE (U+0301) -> precomposed U+00E9
+    assert(nfc("cafe\u0301") == "caf\u00e9")
+    assert(nfc("nai\u0308ve") == "na\u00efve")
+    // already-NFC input returns the SAME UTF8String instance (the
+    // quick-check fast path — no copy on the common case)
+    val in = UTF8String.fromString("plain ascii caf\u00e9")
+    assert(NfcNormalize.evalStatic(in) eq in)
+    // column path agrees, nulls propagate
+    val viaCol = Seq(("cafe\u0301", Option.empty[String])).toDF("a", "b")
+      .select(nfcNormalize(col("a")).as("n"), nfcNormalize(col("b")).as("nb"))
+      .collect().head
+    assert(viaCol.getString(0) == "caf\u00e9" && viaCol.isNullAt(1))
+    // md5 of the normalized form is what dedup sees: the two spellings
+    // of the same text now collide (the G1 motivation)
+    val m = Seq(("cafe\u0301", "caf\u00e9")).toDF("a", "b")
+      .select(md5(nfcNormalize(col("a"))).as("ha"),
+        md5(nfcNormalize(col("b"))).as("hb")).collect().head
+    assert(m.getString(0) == m.getString(1))
+  }
+
   test("Dedup.blockedJaroWinkler keeps only co-blocked pairs over threshold") {
     val names = Seq(
       ("martha lane", "m"), ("marhta lane", "m"),

@@ -1355,6 +1355,140 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("slope")) == 1.0)
   }
 
+  test("Rollups.kendallTau: hand-computed pair classification and tau_b") {
+    // dense days 0..3: a = (1,2,2,0) views, b = (0,1,1,2) purchases.
+    // Pairs: (0,1)C (0,2)C (0,3)D (1,2) tie on BOTH (1,3)D (2,3)D
+    // -> C=2 D=3 ties_x=1 ties_y=1; tau_b = (2-3)/sqrt(5*5) = -0.2
+    def ev(day: Int, tpe: String, k: Int) = (0 until k).map(_ =>
+      (new java.sql.Timestamp(day * 86400000L), tpe))
+    val events = (ev(0, "view", 1) ++ ev(1, "view", 2) ++ ev(2, "view", 2) ++
+      ev(1, "purchase", 1) ++ ev(2, "purchase", 1) ++ ev(3, "purchase", 2))
+      .toDF("ts", "event_type")
+    val r = Rollups.kendallTau(events, "view", "purchase").collect().head
+    assert(r.getLong(r.fieldIndex("n_days")) == 4L)
+    assert(r.getLong(r.fieldIndex("n_pairs")) == 6L)
+    assert(r.getLong(r.fieldIndex("concordant")) == 2L)
+    assert(r.getLong(r.fieldIndex("discordant")) == 3L)
+    assert(r.getLong(r.fieldIndex("ties_x")) == 1L)
+    assert(r.getLong(r.fieldIndex("ties_y")) == 1L)
+    assert(r.getDouble(r.fieldIndex("tau_b")) == -0.2)
+  }
+
+  test("Rollups.kruskalWallis: hand-computed H with the tie correction") {
+    // A: {1.00, 2.00}, B: {2.00, 3.00}. Pooled avg ranks: 1, 2.5, 2.5, 4
+    // -> R_A = 3.5, R_B = 6.5, N = 4:
+    // H = 12/20 * (3.5^2/2 + 6.5^2/2) - 15 = 1.35
+    // one tie group t=2 -> C = 1 - 6/60 = 0.9 -> H_adj = 1.5
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0))
+      .toDF("g", "v")
+    val r = Rollups.kruskalWallis(df, "g", "v").collect().head
+    assert(r.getLong(r.fieldIndex("k")) == 2L)
+    assert(r.getLong(r.fieldIndex("n")) == 4L)
+    assert(r.getDouble(r.fieldIndex("h")) == 1.35)
+    assert(r.getDouble(r.fieldIndex("h_adj")) == 1.5)
+  }
+
+  test("Rollups.mannKendall: hand-computed S, tie-corrected variance, z") {
+    // y = (1,2,2,4): S = 5 (five +1 pairs, one tie);
+    // Var = (4*3*13 - 2*1*9)/18 = 138/18; z = 4/sqrt(138/18) = 1.4446
+    val series = Seq((0L, 1L), (1L, 2L), (2L, 2L), (3L, 4L))
+      .map { case (x, y) => ("k", x, y) }.toDF("g", "x", "y")
+    val r = Rollups.mannKendall(series, Seq("g"), "x", "y").collect().head
+    assert(r.getLong(r.fieldIndex("n_points")) == 4L)
+    assert(r.getLong(r.fieldIndex("s_stat")) == 5L)
+    assert(r.getDouble(r.fieldIndex("var_s")) == 7.6667)
+    assert(r.getDouble(r.fieldIndex("z")) == 1.4446)
+    // fully tied series: zero variance -> null z, S = 0
+    val flat = Seq((0L, 7L), (1L, 7L), (2L, 7L))
+      .map { case (x, y) => ("f", x, y) }.toDF("g", "x", "y")
+    val f = Rollups.mannKendall(flat, Seq("g"), "x", "y").collect().head
+    assert(f.getLong(f.fieldIndex("s_stat")) == 0L)
+    assert(f.isNullAt(f.fieldIndex("z")))
+  }
+
+  test("Rollups.friedman: hand-computed chi2 with zero-fill and tie correction") {
+    // block d0: counts A=1 B=2 C=3 -> ranks 1,2,3; block d1: all 2 ->
+    // avg rank 2 each. R = (3,4,5), n=2, k=3:
+    // chi2 = 12/(2*3*4)*(9+16+25) - 3*2*4 = 1; ties T=24 in d1 ->
+    // C = 1 - 24/(2*3*8) = 0.5 -> chi2_adj = 2
+    def rows(b: Long, g: String, k: Int) = (0 until k).map(_ => (b, g))
+    val df = (rows(0, "A", 1) ++ rows(0, "B", 2) ++ rows(0, "C", 3) ++
+      rows(1, "A", 2) ++ rows(1, "B", 2) ++ rows(1, "C", 2))
+      .toDF("b", "g")
+    val r = Rollups.friedman(df, col("b"), col("g")).collect().head
+    assert(r.getLong(r.fieldIndex("n_blocks")) == 2L)
+    assert(r.getLong(r.fieldIndex("k")) == 3L)
+    assert(r.getDouble(r.fieldIndex("chi2")) == 1.0)
+    assert(r.getDouble(r.fieldIndex("chi2_adj")) == 2.0)
+    // zero-fill: a treatment with no rows in a block ranks below the
+    // others there — d0: A=0(zero-filled) B=1 C=2; d1: A=1 B=0(fill)
+    // C=2 -> d0 ranks (1,2,3), d1 ranks (2,1,3): R=(3,3,6)
+    // chi2 = 12/24*(9+9+36) - 24 = 27 - 24 = 3; no ties -> adj = 3
+    val zf = (rows(0, "B", 1) ++ rows(0, "C", 2) ++
+      rows(1, "A", 1) ++ rows(1, "C", 2)).toDF("b", "g")
+    val z = Rollups.friedman(zf, col("b"), col("g")).collect().head
+    assert(z.getDouble(z.fieldIndex("chi2")) == 3.0)
+    assert(z.getDouble(z.fieldIndex("chi2_adj")) == 3.0)
+  }
+
+  test("Rollups.brownForsythe: hand-computed W on |x - median| deviations") {
+    // A: {1,2,3} median 2 -> z(half-cents) = (200,0,200); B: {1,5}
+    // median 3 -> z = (400,400). sb = 400^2/3 + 800^2/2; SSB =
+    // sb - 1200^2/5 = 85333.33; SSW = 400000 - sb = 26666.67;
+    // W = (SSB/1)/(SSW/3) = 9.6
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 1.0), ("B", 5.0))
+      .toDF("g", "v")
+    val r = Rollups.brownForsythe(df, "g", "v").collect().head
+    assert(r.getLong(r.fieldIndex("k")) == 2L)
+    assert(r.getLong(r.fieldIndex("n")) == 5L)
+    assert(r.getDouble(r.fieldIndex("w_stat")) == 9.6)
+    // identical groups with within-spread -> SSB = 0 -> W exactly 0
+    val same = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 1.0), ("B", 2.0), ("B", 3.0)).toDF("g", "v")
+    val s = Rollups.brownForsythe(same, "g", "v").collect().head
+    assert(s.getDouble(s.fieldIndex("w_stat")) == 0.0)
+    // degenerate: zero within-group deviation everywhere -> null W
+    val zero = Seq(("A", 1.0), ("A", 3.0), ("B", 1.0), ("B", 3.0)).toDF("g", "v")
+    val z = Rollups.brownForsythe(zero, "g", "v").collect().head
+    assert(z.isNullAt(z.fieldIndex("w_stat")))
+  }
+
+  test("Rollups.seasonalStrength: seasonal series scores F_S high, noise low") {
+    // 8 weeks of a pure weekly pattern + tiny jitter: F_S must be
+    // near 1 and far above F_T; a flat series has zero component
+    // variance on both sides -> null strengths (not fake zeros)
+    val pattern = Seq(10L, 20L, 30L, 40L, 30L, 20L, 10L)
+    val seasonal = (0L until 56L).map(d =>
+      ("s", d, pattern((d % 7).toInt) * 10 + (d % 3))).toDF("k", "x", "y")
+    val r = Rollups.seasonalStrength(seasonal, Seq("k"), "x", "y").collect().head
+    val fs = r.getDouble(r.fieldIndex("seasonal_strength"))
+    val ft = r.getDouble(r.fieldIndex("trend_strength"))
+    assert(fs > 0.95 && fs <= 1.0, s"strong weekly pattern must score high F_S, got $fs")
+    assert(fs > ft, s"F_S ($fs) must dominate F_T ($ft) on a trendless seasonal series")
+    val flat = (0L until 56L).map(d => ("f", d, 100L)).toDF("k", "x", "y")
+    val f = Rollups.seasonalStrength(flat, Seq("k"), "x", "y").collect().head
+    assert(f.isNullAt(f.fieldIndex("seasonal_strength")) &&
+      f.isNullAt(f.fieldIndex("trend_strength")),
+      "flat series: zero variance must publish null, not 0")
+  }
+
+  test("TextAnalysis.ngramDiversity: hand-computed distinct-1/2/3") {
+    // "a b a b" + "a b": unigrams 6 occ / 2 distinct; bigrams
+    // ("a b","b a","a b") + ("a b") = 4 occ / 2 distinct; trigrams
+    // ("a b a","b a b") = 2 occ / 2 distinct
+    val docs = Seq(("s1", "a b a b"), ("s1", "a b"), ("s2", ""))
+      .toDF("source", "text")
+    val got = TextAnalysis.ngramDiversity(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("s1", 1L)) == ((6L, 2L, 0.333333)))
+    assert(got(("s1", 2L)) == ((4L, 2L, 0.5)))
+    assert(got(("s1", 3L)) == ((2L, 2L, 1.0)))
+    // empty text contributes nothing, not empty-string grams
+    assert(!got.contains(("s2", 1L)))
+  }
+
   test("Rollups.spearman: monotone nonlinear is rho=1, reversed is -1") {
     val up = (1L to 20L).map(a => ("u", a, a * a * a)).toDF("g", "a", "b")
     val u = Rollups.spearman(up, Seq("g"), "a", "b").collect().head

@@ -28,7 +28,8 @@ class ScaleDesignSpec extends SparkSpec {
       "long_dot" -> quantizedDot(c, c),
       "rolling_minhash" -> rollingMinHash(c),
       "pearson_p" -> pearsonP(c, c),
-      "jaro_winkler" -> jaroWinkler(c, c))
+      "jaro_winkler" -> jaroWinkler(c, c),
+      "nfc_normalize" -> nfcNormalize(c))
     for ((name, column) <- natives)
       assert(!expressionOf(column)
           .isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback],
@@ -1907,5 +1908,33 @@ class ScaleDesignSpec extends SparkSpec {
       }
       assert(vb.getMessage.contains("ValueGrainCap"))
     } finally sys.props.remove("graft.valueGrainCap")
+  }
+
+  test("round-12: new stats operators keep their plan shapes") {
+    import graft.operators.Rollups
+    val t = tables
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    // q292: the grain guard's row_number, the peer-count frame, and
+    // the cumulative frame share (partition, order) — ONE WindowExec,
+    // ONE SortExec (the q192 contract extended to the k-group test)
+    val kw = Rollups.kruskalWallis(t.events, "event_type", "value")
+    kw.collect()
+    val kwSorts = helper.collect(kw.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(kwSorts.size == 1,
+      s"kruskalWallis: guard + both RANGE frames must ride one sort, got ${kwSorts.size}")
+    // q291: the day-pair expansion is a broadcast nested-loop over the
+    // calendar-bounded dense spine — never a shuffled join of the
+    // pair table, never an unbroadcast cartesian
+    val kt = Rollups.kendallTau(t.events, "view", "purchase")
+    kt.collect()
+    val ktPlan = kt.queryExecution.executedPlan
+    assert(helper.collect(ktPlan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.nonEmpty, "kendallTau: day<day pair join must broadcast")
+    assert(helper.collect(ktPlan) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "kendallTau: no unbroadcast cartesian")
   }
 }
