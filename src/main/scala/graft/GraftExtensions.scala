@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HarmonicScore, JaroWinkler, MinHashSignature, RollingMinHash, TopKCollect, TopKHarmonic, WordShinglesDistinct}
+import graft.functions.{HarmonicScore, JaroWinkler, MinHashSignature, NfcNormalize, RollingMinHash, TopKCollect, TopKHarmonic, WordShinglesDistinct}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -124,6 +124,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => JaroWinkler(a, b)
         case _ => throw new IllegalArgumentException("jaro_winkler takes 2 arguments")
+      }),
+    ("nfc_normalize",
+      info("nfc_normalize",
+        "nfc_normalize(s) - Unicode NFC canonical normalization (DuckDB-identical semantics)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => NfcNormalize(s)
+        case _ => throw new IllegalArgumentException("nfc_normalize takes 1 argument")
       }),
     ("minhash_signature",
       info("minhash_signature",

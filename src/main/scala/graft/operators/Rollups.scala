@@ -1281,6 +1281,45 @@ object Rollups {
           .as("eta_sq"))
   }
 
+  /** Wilson score interval per group — the proportion CI that stays
+    * honest at small n and extreme p̂ (the Wald interval collapses to
+    * zero width at p̂∈{0,1}; Wilson is the standard replacement —
+    * Brown, Cai & DasGupta 2001). center = (p̂ + z²/2n)/(1 + z²/n),
+    * half-width = z/(1 + z²/n)·√(p̂(1−p̂)/n + z²/4n²). The per-cohort
+    * conversion-rate report card F13's z-test compares.
+    *
+    * Exactness: successes/trials are exact longs from one map-side
+    * combine; z is a fixed literal (1.959963984540054 at 95%), the
+    * interval is one written-order double expression per group, 4dp.
+    * Scale shape: one corpus scan, one group-dim aggregate — nothing
+    * else.
+    *
+    * Output: (group, trials, successes, p_hat, ci_lo, ci_hi).
+    */
+  def wilsonInterval(
+      df: DataFrame,
+      groupCol: String,
+      successCol: Column,
+      z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0)
+    val d = (c: Column) => c.cast("double")
+    df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("trials"),
+        sum(when(successCol, 1L).otherwise(0L)).as("successes"))
+      .withColumn("__p", d(col("successes")) / col("trials"))
+      .withColumn("__den", lit(1.0) + lit(z * z) / col("trials"))
+      .withColumn("__ctr",
+        (col("__p") + lit(z * z) / (lit(2.0) * col("trials"))) / col("__den"))
+      .withColumn("__hw",
+        lit(z) / col("__den") * sqrt(
+          col("__p") * (lit(1.0) - col("__p")) / col("trials") +
+            lit(z * z) / (lit(4.0) * col("trials") * col("trials"))))
+      .select(col("g").as(groupCol), col("trials"), col("successes"),
+        round(col("__p"), 4).as("p_hat"),
+        round(greatest(lit(0.0), col("__ctr") - col("__hw")), 4).as("ci_lo"),
+        round(least(lit(1.0), col("__ctr") + col("__hw")), 4).as("ci_hi"))
+  }
+
   /** Brown–Forsythe test — variance-homogeneity across k groups (the
     * Levene family with the MEDIAN center, the robust default):
     * W = ANOVA F computed on z = |x − median_g|. The gate BEFORE
@@ -1539,6 +1578,78 @@ object Rollups {
         round(d(col("__st.se")) / col("__st.n") / 1e6, 4).as("mae"),
         round(d(col("__st.l") + col("__st.b")) / 1e6, 4).as("forecast_next")): _*)
   }
+  /** Wilder's RSI per keyed series — the momentum oscillator
+    * (Wilder 1978): seed avgGain/avgLoss with the simple mean of the
+    * first `period` deltas' gains/losses, then smooth each subsequent
+    * delta as avg' = (avg·(p−1) + new)/p; RSI = 100 − 100/(1 + RS),
+    * RS = avgGain/avgLoss. Completes the D18/D21 smoothing family
+    * with the bounded [0,100] overbought/oversold read.
+    *
+    * Portability: the D21 Holt contract — one per-key sorted-array
+    * fold, state in integer micro-units, every division a
+    * floor-of-double (engine-identical; int div is not) — with one
+    * HARD constraint the Holt fold never hit: the oracle engine's
+    * struct-state list_reduce mis-evaluates CONDITIONALS that read
+    * accumulator fields (probed: `CASE WHEN acc.i = 1` never fires;
+    * pure arithmetic and greatest() are fine). So the seed phase is
+    * hoisted OUT of the fold — the simple-mean seed comes from an
+    * unconditional delta-sum over the first `period` gaps, and the
+    * fold proper is branch-free smoothing arithmetic only.
+    * avgLoss = 0 publishes RSI = 100 (RS → ∞, the standard
+    * convention); series shorter than period+1 points publish null.
+    *
+    * Scale shape: one (keys) exchange into calendar-bounded in-row
+    * arrays; seeds and the fold are row-local arithmetic.
+    *
+    * Output: (keys..., n_points, rsi).
+    */
+  def rsi(
+      series: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String,
+      period: Int = 14): DataFrame = {
+    require(period >= 1)
+    val d = (c: Column) => c.cast("double")
+    val p = period
+    def seedSum(gain: Boolean): String = {
+      val diff = if (gain) "element_at(__ys, i) - element_at(__ys, i - 1)"
+      else "element_at(__ys, i - 1) - element_at(__ys, i)"
+      s"""aggregate(
+         |  transform(sequence(2, ${p + 1}), i -> greatest($diff, 0L)),
+         |  0L, (a, x) -> a + x)""".stripMargin
+    }
+    series
+      .select(keys.map(col) :+
+        struct(col(xCol).as("x"),
+          round(col(yCol)).cast("long").as("y")).as("__p"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+      .withColumn("n_points", size(col("__ps")).cast("long"))
+      .withColumn("__ys", expr("transform(__ps, q -> q.y)"))
+      .withColumn("__st", when(col("n_points") >= p + 1, expr(
+        s"""aggregate(
+           |  slice(__ys, ${p + 2}, size(__ys) - ${p + 1}),
+           |  named_struct(
+           |    'prev', element_at(__ys, ${p + 1}),
+           |    'ag', CAST(floor((${seedSum(gain = true)}) * 1000000.0 / $p.0) AS BIGINT),
+           |    'al', CAST(floor((${seedSum(gain = false)}) * 1000000.0 / $p.0) AS BIGINT)),
+           |  (a, y) -> named_struct(
+           |    'prev', y,
+           |    'ag', CAST(floor((a.ag * ${p - 1}L
+           |      + greatest(y - a.prev, 0L) * 1000000L) / $p.0) AS BIGINT),
+           |    'al', CAST(floor((a.al * ${p - 1}L
+           |      + greatest(a.prev - y, 0L) * 1000000L) / $p.0) AS BIGINT)))""".stripMargin)))
+      .select(keys.map(col) ++ Seq(
+        col("n_points"),
+        round(
+          when(col("__st").isNull, lit(null))
+            .when(col("__st.al") === 0L, lit(100.0))
+            .otherwise(lit(100.0) - lit(100.0) /
+              (lit(1.0) + d(col("__st.ag")) / d(col("__st.al")))), 4)
+          .as("rsi")): _*)
+  }
+
   /** MASE backtest — Hyndman & Koehler 2006's scale-free forecast
     * skill: the D21 Holt one-step MAE divided by the SEASONAL-NAIVE
     * MAE (|y_t − y_{t−period}| averaged over the same series), the

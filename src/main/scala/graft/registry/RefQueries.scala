@@ -389,6 +389,16 @@ private[graft] object RefQueries {
       Rollups.seasonalAnomalies(series, Seq("event_type"), "day", "y",
         nSigma = 2.0)
     }),
+    "q301_rsi" -> ((s, dir) => {
+      // D25 Wilder RSI-14 over each event type's daily count series —
+      // the bounded momentum read beside D18's EWMA and D21's Holt
+      val t = Tables(s, dir)
+      val series = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      Rollups.rsi(series, Seq("event_type"), "day", "y")
+    }),
     "q297_stl_strength" -> ((s, dir) => {
       // D24 forecastability triage: Hyndman trend/seasonal strength
       // per event type over the q230 decomposition's components
@@ -1254,6 +1264,57 @@ private[graft] object RefQueries {
         |FROM e GROUP BY 1""".stripMargin,
     // STL-lite replay: same partial centered frames, same micro-unit
     // quantizations, HUGEINT residual moments.
+    // RSI replay: the D21 fold contract, BRANCH-FREE inside the
+    // lambda (this engine's struct-state list_reduce mis-evaluates
+    // accumulator-referencing conditionals — probed; arithmetic and
+    // greatest() are exact). The simple-mean seed is computed outside
+    // and PREPENDED as the fold list's first element (list_reduce has
+    // no init arg); integer micro-unit averages, floor-of-double
+    // divisions, RS ratio one double at the end.
+    "q301_rsi" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |),
+        |arr AS (
+        |  SELECT event_type, list(y ORDER BY day) AS a,
+        |         CAST(count(*) AS BIGINT) AS n_points
+        |  FROM s GROUP BY 1
+        |),
+        |sd AS (
+        |  SELECT event_type, n_points, a,
+        |         CAST(floor(list_sum(list_transform(range(2, 16),
+        |             i -> greatest(a[i] - a[i-1], 0))) * 1000000.0 / 14.0)
+        |           AS BIGINT) AS seed_g,
+        |         CAST(floor(list_sum(list_transform(range(2, 16),
+        |             i -> greatest(a[i-1] - a[i], 0))) * 1000000.0 / 14.0)
+        |           AS BIGINT) AS seed_l
+        |  FROM arr WHERE n_points >= 15
+        |),
+        |st AS (
+        |  SELECT event_type, n_points,
+        |    list_reduce(
+        |      list_concat(
+        |        [struct_pack(prev := a[15], ag := seed_g, al := seed_l)],
+        |        list_transform(a[16:], y -> struct_pack(
+        |          prev := y, ag := CAST(0 AS BIGINT), al := CAST(0 AS BIGINT)))),
+        |      (acc, e) -> struct_pack(
+        |        prev := e.prev,
+        |        ag := CAST(floor((acc.ag * 13
+        |          + greatest(e.prev - acc.prev, 0) * 1000000) / 14.0) AS BIGINT),
+        |        al := CAST(floor((acc.al * 13
+        |          + greatest(acc.prev - e.prev, 0) * 1000000) / 14.0) AS BIGINT)))
+        |      AS fold
+        |  FROM sd
+        |)
+        |SELECT arr.event_type, arr.n_points,
+        |       round(CASE WHEN arr.n_points < 15 THEN NULL
+        |                  WHEN st.fold.al = 0 THEN 100.0
+        |                  ELSE 100.0 - 100.0 / (1.0 + CAST(st.fold.ag AS DOUBLE)
+        |                                              / CAST(st.fold.al AS DOUBLE))
+        |             END, 4) AS rsi
+        |FROM arr LEFT JOIN st USING (event_type)""".stripMargin,
     // strength replay: the q230 component pipeline, three HUGEINT
     // moment triples over one frame, the variance ratio in written
     // order with the null gate OUTSIDE greatest (both engines'

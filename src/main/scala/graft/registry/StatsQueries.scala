@@ -589,6 +589,16 @@ private[graft] object StatsQueries {
         .agg(count(lit(1)).as("n"))
       Rollups.mannKendall(series, Seq("datasourceId"), "year", "n")
     }),
+    "q300_wilson" -> ((s, dir) => {
+      // F66 Wilson 95% score interval on the purchase share per user
+      // cohort — the small-n-honest proportion CI (Wald collapses at
+      // extreme p̂)
+      val t = Tables(s, dir)
+      Rollups.wilsonInterval(
+        t.events.filter(col("user_id").isNotNull)
+          .withColumn("cohort", pmod(col("user_id"), lit(10L))),
+        "cohort", col("event_type") === "purchase")
+    }),
     "q298_brown_forsythe" -> ((s, dir) => {
       // F65 Brown–Forsythe: did the VALUE SPREAD change across event
       // types — ANOVA F on |x − median_g|, the equal-variance gate
@@ -2679,6 +2689,35 @@ private[graft] object StatsQueries {
         |                             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
         |                             ELSE 0.0 END) / sqrt(var_d) END, 4) AS z
         |FROM v""".stripMargin,
+    // Wilson replay: exact long counts, the z literal written as the
+    // same double product, written-order interval arithmetic, 4dp.
+    "q300_wilson" ->
+      """WITH g AS (
+        |  SELECT user_id % 10 AS cohort, CAST(count(*) AS BIGINT) AS trials,
+        |         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |           AS successes
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |),
+        |w AS (
+        |  SELECT cohort, trials, successes,
+        |         CAST(successes AS DOUBLE) / trials AS p,
+        |         1.0 + 1.959963984540054 * 1.959963984540054 / trials AS den
+        |  FROM g
+        |),
+        |c AS (
+        |  SELECT cohort, trials, successes, p,
+        |         (p + 1.959963984540054 * 1.959963984540054 / (2.0 * trials))
+        |           / den AS ctr,
+        |         1.959963984540054 / den * sqrt(
+        |           p * (1.0 - p) / trials +
+        |           1.959963984540054 * 1.959963984540054
+        |             / (4.0 * trials * trials)) AS hw
+        |  FROM w
+        |)
+        |SELECT cohort, trials, successes, round(p, 4) AS p_hat,
+        |       round(greatest(0.0, ctr - hw), 4) AS ci_lo,
+        |       round(least(1.0, ctr + hw), 4) AS ci_hi
+        |FROM c""".stripMargin,
     // Brown–Forsythe replay: exact interpolated medians in half-cents
     // (quantile_cont ≡ Spark percentile, the q50 contract), integer
     // |deviation|, HUGEINT moments, anovaF written-order doubles.

@@ -1472,6 +1472,37 @@ class OperatorsSpec extends SparkSpec {
       "flat series: zero variance must publish null, not 0")
   }
 
+  test("Rollups.wilsonInterval: matches the textbook 3/10 interval") {
+    // Wilson 95% for 3 successes in 10 trials = (0.1078, 0.6032) —
+    // the standard worked example (Wald would give (0.016, 0.584))
+    val df = (1 to 10).map(i => ("a", i <= 3)).toDF("g", "ok")
+    val r = Rollups.wilsonInterval(df, "g", col("ok")).collect().head
+    assert(r.getLong(r.fieldIndex("trials")) == 10L)
+    assert(r.getLong(r.fieldIndex("successes")) == 3L)
+    assert(r.getDouble(r.fieldIndex("p_hat")) == 0.3)
+    assert(r.getDouble(r.fieldIndex("ci_lo")) == 0.1078)
+    assert(r.getDouble(r.fieldIndex("ci_hi")) == 0.6032)
+    // extremes clamp to [0,1] and never collapse to zero width
+    val ext = (1 to 5).map(_ => ("b", true)).toDF("g", "ok")
+    val e = Rollups.wilsonInterval(ext, "g", col("ok")).collect().head
+    assert(e.getDouble(e.fieldIndex("ci_hi")) == 1.0)
+    assert(e.getDouble(e.fieldIndex("ci_lo")) < 1.0,
+      "p_hat=1 must still have a real lower bound")
+  }
+
+  test("Rollups.rsi: monotone series pin the endpoints; short series are null") {
+    val up = (0L until 20L).map(i => ("u", i, i * 3)).toDF("g", "x", "y")
+    val u = Rollups.rsi(up, Seq("g"), "x", "y").collect().head
+    assert(u.getDouble(u.fieldIndex("rsi")) == 100.0, "pure gains -> 100")
+    val down = (0L until 20L).map(i => ("d", i, 1000L - i * 3)).toDF("g", "x", "y")
+    val dn = Rollups.rsi(down, Seq("g"), "x", "y").collect().head
+    assert(dn.getDouble(dn.fieldIndex("rsi")) == 0.0, "pure losses -> 0")
+    val short = (0L until 14L).map(i => ("s", i, i)).toDF("g", "x", "y")
+    val sh = Rollups.rsi(short, Seq("g"), "x", "y").collect().head
+    assert(sh.isNullAt(sh.fieldIndex("rsi")),
+      "period+1 points are required for the Wilder seed")
+  }
+
   test("TextAnalysis.ngramDiversity: hand-computed distinct-1/2/3") {
     // "a b a b" + "a b": unigrams 6 occ / 2 distinct; bigrams
     // ("a b","b a","a b") + ("a b") = 4 occ / 2 distinct; trigrams

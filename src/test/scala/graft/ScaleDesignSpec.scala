@@ -709,7 +709,8 @@ class ScaleDesignSpec extends SparkSpec {
         "topk_collect", "rolling_minhash", "hll_distinct",
         "cms_sketch", "cms_estimate", "bloom_sketch", "bloom_might_contain",
         "hll_state", "hll_merge", "vector_sum",
-        "bitmap_distinct", "bitmap_state", "bitmap_merge", "jaro_winkler"))
+        "bitmap_distinct", "bitmap_state", "bitmap_merge", "jaro_winkler",
+        "nfc_normalize"))
   }
 
   test("SQL surface: state/merge rollups match their Column APIs") {
