@@ -600,6 +600,29 @@ object EventWindows {
       .withColumn("is_current", col("valid_to_us").isNull)
   }
 
+  /** Point-in-time (PIT) dimension enrichment — the consumption
+    * pattern [[scd2]]'s history exists for: each fact row picks the
+    * dimension VERSION whose validity interval covers the fact's
+    * event time. The feature-store join that keeps training data
+    * leakage-free ("the customer's state WHEN the order landed",
+    * never a future state).
+    *
+    * Spark-first shape: validity intervals PARTITION time per key, so
+    * "the covering version" is exactly "the latest version with
+    * valid_from ≤ t" — one [[AsOfJoin.asOf]] (tagged-union sorted
+    * pass on the key exchange), never the point-in-interval range
+    * join that fans out per key. Facts before a key's first version
+    * null-pad, matching the interval join's left semantics; a probe
+    * AT a boundary lands in the newer version (from ≤ t < to).
+    */
+  def pointInTime(
+      facts: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      payloadCols: Seq[String]): DataFrame =
+    AsOfJoin.asOf(facts, dim, Seq(keyCol), tsUsCol, "valid_from_us", payloadCols)
+
   /** Last-touch marketing attribution: credit every conversion event
     * to the most recent preceding touch (click/view/…) by the same
     * user within a lookback horizon; conversions with no qualifying

@@ -48,6 +48,48 @@ object SimilaritySearch {
       .select(col("query_id"), col("id"), col("rank"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Hard-negative mining for contrastive training — for each ANCHOR
+    * vector, the k most-similar corpus vectors carrying a DIFFERENT
+    * label: the negatives that actually move a contrastive/triplet
+    * loss (random negatives are trivially separable; the near-miss
+    * wrong-label items define the decision boundary — e.g. SimCSE /
+    * DPR hard-negative curation). G70's neighbor label-confusion
+    * REPORTS the boundary problem; this emits the training rows.
+    *
+    * Scale shape: the [[bruteForceTopK]] contract — anchors broadcast
+    * against the corpus scan, with the label-inequality predicate
+    * riding the JOIN so wrong-label pruning happens before any scored
+    * row materializes; integer dots; bounded per-anchor top-k window.
+    *
+    * Output: (query_id, anchor_label, id, neg_label, rank, cos).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    def prep(df: DataFrame) = spread(df).select(
+        col(idCol).as("id"), quantize(col(embCol)).as("qv"),
+        col(labelCol).as("lbl"))
+      .withColumn("nrm", sqrt(quantizedDot(col("qv"), col("qv")).cast("double")))
+    val c = prep(corpus)
+    val q = prep(anchors).select(col("id").as("query_id"),
+      col("qv").as("qqv"), col("nrm").as("qnrm"), col("lbl").as("qlbl"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
+    c.join(broadcast(q),
+        col("id") =!= col("query_id") && col("lbl") =!= col("qlbl"))
+      .withColumn("cos",
+        quantizedDot(col("qv"), col("qqv")).cast("double") /
+          (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("qlbl").as("anchor_label"),
+        col("id"), col("lbl").as("neg_label"),
+        col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Brute-force cosine top-k over int8-quantized codes — the
     * quantized-index variant of [[bruteForceTopK]]: vectors are
     * compressed to per-vector-scaled int8 (see

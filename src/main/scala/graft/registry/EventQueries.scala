@@ -82,6 +82,22 @@ private[graft] object EventQueries {
         .select("user_id", "version", "value",
           "valid_from_us", "valid_to_us", "is_current")
     }),
+    "q302_pit_join" -> ((s, dir) => {
+      // H55 point-in-time enrichment: probe each event 30 minutes
+      // after it happened against the user's SCD-2 state history —
+      // the leakage-free feature-store join, realized as ONE as-of
+      // pass (never a per-key interval fan-out)
+      val t = Tables(s, dir)
+      val ev = t.events.withColumn("ts_us", unix_micros(col("ts")))
+      val dim = EventWindows.scd2(ev, "user_id", "event_type", "ts_us", "event_id")
+      val facts = ev.filter(col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          (col("ts_us") + 1800000000L).as("probe_us"))
+      EventWindows.pointInTime(facts, dim, "user_id", "probe_us",
+          Seq("value", "valid_from_us"))
+        .select(col("event_id"), col("user_id"),
+          col("value").as("state"), col("valid_from_us").as("state_from_us"))
+    }),
     "q149_ohlc" -> ((s, dir) => {
       // hourly OHLC bars of event value per event_type — one map-side
       // combined aggregate, min_by/max_by against (ts, event_id) for
@@ -914,6 +930,47 @@ private[graft] object EventQueries {
         |       lead(valid_from_us) OVER (PARTITION BY user_id
         |         ORDER BY version) IS NULL AS is_current
         |FROM g""".stripMargin,
+    // PIT replay: the q118 SCD-2 pipeline, probes shifted +30 min,
+    // covering-version via the interval predicate (from <= t < to) —
+    // equivalent to the as-of argmax because versions partition time.
+    "q302_pit_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+        |),
+        |c AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id) AS prev
+        |  FROM e
+        |),
+        |r AS (
+        |  SELECT user_id, event_type, us,
+        |         CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+        |             THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM c
+        |),
+        |g AS (
+        |  SELECT user_id, version, min(event_type) AS value,
+        |         min(us) AS valid_from_us
+        |  FROM r GROUP BY 1, 2
+        |),
+        |d AS (
+        |  SELECT user_id, value, valid_from_us,
+        |         lead(valid_from_us) OVER (PARTITION BY user_id
+        |           ORDER BY version) AS valid_to_us
+        |  FROM g
+        |),
+        |f AS (
+        |  SELECT event_id, user_id, us + 1800000000 AS pts
+        |  FROM e WHERE user_id IS NOT NULL
+        |)
+        |SELECT f.event_id, f.user_id, d.value AS state,
+        |       d.valid_from_us AS state_from_us
+        |FROM f LEFT JOIN d
+        |  ON d.user_id = f.user_id AND d.valid_from_us <= f.pts
+        | AND (d.valid_to_us IS NULL OR f.pts < d.valid_to_us)""".stripMargin,
     // Retention replay: identical fixed-width epoch periods (7-day
     // buckets of epoch_us — no calendar weeks), min-period cohorts,
     // distinct-user rollup per (cohort, offset).

@@ -253,6 +253,14 @@ private[graft] object PipelineQueries {
       SimilaritySearch.bruteForceTopK(
         t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
     }),
+    "q303_hard_negatives" -> ((s, dir) => {
+      // G95 hard-negative mining: for each anchor, the 5 most-similar
+      // WRONG-label vectors — the contrastive-training rows; label
+      // inequality rides the broadcast join, not a post-filter
+      val t = Tables(s, dir)
+      SimilaritySearch.hardNegatives(
+        t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
+    }),
     "q96_pq_ann" -> ((s, dir) => {
       // product-quantization ANN: 4 subspaces x 8-entry codebooks,
       // corpus encoded to 4 code ints, ADC search via per-query
@@ -696,6 +704,33 @@ private[graft] object PipelineQueries {
          |  FROM scored
          |)
          |SELECT query_id, id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin,
+    // hard-negative replay: q34's scoring with labels carried and the
+    // wrong-label predicate in the join.
+    "q303_hard_negatives" ->
+      s"""WITH $EmbSql,
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |qs AS (
+         |  SELECT n.vec_id AS query_id, n.q AS qq, n.n AS qn, l.label AS qlbl
+         |  FROM nrm n JOIN lbl l ON l.vec_id = n.vec_id
+         |  WHERE n.vec_id % 50 = 0
+         |),
+         |scored AS (
+         |  SELECT q.query_id, q.qlbl AS anchor_label, c.vec_id AS id,
+         |         l.label AS neg_label,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+         |           / (c.n * q.qn) AS cos
+         |  FROM nrm c JOIN lbl l ON l.vec_id = c.vec_id
+         |  CROSS JOIN qs q
+         |  WHERE c.vec_id != q.query_id AND l.label != q.qlbl
+         |),
+         |ranked AS (
+         |  SELECT query_id, anchor_label, id, neg_label,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS INT) AS rank,
+         |         cos
+         |  FROM scored
+         |)
+         |SELECT query_id, anchor_label, id, neg_label, rank, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= 5""".stripMargin,
     // PQ replay: md5-ordered codebook seeds, per-(vector, subspace,
     // entry) integer squared-L2 distances in one table, codes =
     // argmin with (d, ci) ties, ADC shortlist of 100 = sum of the

@@ -1503,6 +1503,43 @@ class OperatorsSpec extends SparkSpec {
       "period+1 points are required for the Wilder seed")
   }
 
+  test("EventWindows.pointInTime: covering version, boundary, pre-history null") {
+    // user 1 history: state A on [100, 200), B on [200, inf)
+    val dimSrc = Seq((1L, 1L, "A", 100L), (1L, 2L, "B", 200L))
+      .toDF("user_id", "event_id", "state", "ts_us")
+    val dim = EventWindows.scd2(dimSrc, "user_id", "state", "ts_us", "event_id")
+    val facts = Seq(
+      (10L, 1L, 150L), // inside version 1
+      (11L, 1L, 200L), // AT the boundary -> the NEWER version (from <= t < to)
+      (12L, 1L, 999L), // open-ended current version
+      (13L, 1L, 50L))  // before any history -> null
+      .toDF("event_id", "user_id", "probe_us")
+    val got = EventWindows.pointInTime(facts, dim, "user_id", "probe_us",
+        Seq("value"))
+      .collect().map(r => r.getLong(r.fieldIndex("event_id")) ->
+        (if (r.isNullAt(r.fieldIndex("value"))) null
+         else r.getString(r.fieldIndex("value")))).toMap
+    assert(got == Map(10L -> "A", 11L -> "B", 12L -> "B", 13L -> null), s"got $got")
+  }
+
+  test("SimilaritySearch.hardNegatives: nearest same-label vector is excluded") {
+    // anchor (id 0, label 0): id 1 is nearly identical but SAME label
+    // -> must not appear; ids 2/3 are wrong-label and rank by cosine
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.99f, 0.01f), 0), // same label, most similar
+      (2L, Seq(0.9f, 0.1f), 1),
+      (3L, Seq(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilaritySearch.hardNegatives(
+        emb, emb.filter(col("vec_id") === 0L), k = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(r.fieldIndex("id")),
+        r.getInt(r.fieldIndex("neg_label"))))
+    assert(got.toSeq == Seq((2L, 1), (3L, 2)),
+      s"wrong-label neighbors only, by similarity: ${got.toSeq}")
+  }
+
   test("TextAnalysis.ngramDiversity: hand-computed distinct-1/2/3") {
     // "a b a b" + "a b": unigrams 6 occ / 2 distinct; bigrams
     // ("a b","b a","a b") + ("a b") = 4 occ / 2 distinct; trigrams
