@@ -98,6 +98,20 @@ private[graft] object EventQueries {
         .select(col("event_id"), col("user_id"),
           col("value").as("state"), col("valid_from_us").as("state_from_us"))
     }),
+    "q304_stream_pit" -> ((s, dir) => {
+      // H56 streaming point-in-time: the q302 enrichment with the
+      // PROBE side live — a stateless stream-static LEFT join against
+      // the broadcast SCD-2 dim (append mode, no state store); the
+      // interval predicate replaces the as-of sort a stream can't do,
+      // and the SAME oracle gates both halves
+      val t = Tables(s, dir)
+      val dim = EventWindows.scd2(
+        t.events.withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "event_type", "ts_us", "event_id")
+      val ev = StreamQueries.streamEvents(s, dir)
+      StreamQueries.materialize(
+        EventStream.streamPointInTime(ev, dim, probeShiftUs = 1800000000L))
+    }),
     "q149_ohlc" -> ((s, dir) => {
       // hourly OHLC bars of event value per event_type — one map-side
       // combined aggregate, min_by/max_by against (ts, event_id) for
@@ -934,6 +948,46 @@ private[graft] object EventQueries {
     // covering-version via the interval predicate (from <= t < to) —
     // equivalent to the as-of argmax because versions partition time.
     "q302_pit_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+        |),
+        |c AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id) AS prev
+        |  FROM e
+        |),
+        |r AS (
+        |  SELECT user_id, event_type, us,
+        |         CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+        |             THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM c
+        |),
+        |g AS (
+        |  SELECT user_id, version, min(event_type) AS value,
+        |         min(us) AS valid_from_us
+        |  FROM r GROUP BY 1, 2
+        |),
+        |d AS (
+        |  SELECT user_id, value, valid_from_us,
+        |         lead(valid_from_us) OVER (PARTITION BY user_id
+        |           ORDER BY version) AS valid_to_us
+        |  FROM g
+        |),
+        |f AS (
+        |  SELECT event_id, user_id, us + 1800000000 AS pts
+        |  FROM e WHERE user_id IS NOT NULL
+        |)
+        |SELECT f.event_id, f.user_id, d.value AS state,
+        |       d.valid_from_us AS state_from_us
+        |FROM f LEFT JOIN d
+        |  ON d.user_id = f.user_id AND d.valid_from_us <= f.pts
+        | AND (d.valid_to_us IS NULL OR f.pts < d.valid_to_us)""".stripMargin,
+    // streaming PIT replay: identical to q302 — the stream-static
+    // interval join returns the batch as-of result by construction.
+    "q304_stream_pit" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
         |),

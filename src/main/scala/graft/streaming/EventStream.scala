@@ -209,6 +209,34 @@ object EventStream {
         col("l.event_id").as("left_id"), col("r.event_id").as("right_id"))
   }
 
+  /** Streaming point-in-time enrichment — the STREAMING half of the
+    * feature-store pattern (batch half: EventWindows.pointInTime):
+    * each live event probes a STATIC SCD-2 dimension for the version
+    * covering its (shifted) event time. A stream can't sort across
+    * unbounded history, so the as-of formulation is out; against a
+    * static dim the interval predicate is a stateless stream-static
+    * LEFT join (broadcastable dim, append mode, no state store) and
+    * returns the identical result — the same oracle gates both.
+    */
+  def streamPointInTime(
+      events: DataFrame,
+      dim: DataFrame,
+      probeShiftUs: Long = 0L): DataFrame = {
+    val f = events
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) + probeShiftUs).as("probe_us"))
+    f.join(
+        broadcast(dim.select(col("user_id").as("__k"), col("value"),
+          col("valid_from_us"), col("valid_to_us"))),
+        col("user_id") === col("__k") &&
+          col("valid_from_us") <= col("probe_us") &&
+          (col("valid_to_us").isNull || col("probe_us") < col("valid_to_us")),
+        "left")
+      .select(col("event_id"), col("user_id"),
+        col("value").as("state"), col("valid_from_us").as("state_from_us"))
+  }
+
   /** Stream–stream LEFT SEMI join — the fourth join mode alongside
     * inner/left-outer/full-outer: each `left` event emits AT MOST
     * ONCE, iff SOME same-user `right` event sits in the preceding
