@@ -1026,7 +1026,10 @@ object TextAnalysis {
     * then roll up to (slice, n). Exact distinct via the two-level
     * aggregate, not count(distinct) — no Expand, no re-scan per n.
     * md5 is computed identically by the oracle engine, so collision
-    * behavior (negligible at 2⁻¹²⁸) is shared, not approximated.
+    * behavior (negligible at 2⁻¹²⁸) is shared, not approximated; the
+    * digest rides the exchange as 16 raw bytes (unhex), not the
+    * 32-char hex string — half the shuffled key bytes, same
+    * cardinality (unhex is injective).
     *
     * Output: (groupCol, n, total_ngrams, distinct_ngrams,
     * distinct_ratio 6dp), one row per slice × n.
@@ -1042,7 +1045,7 @@ object TextAnalysis {
       .select(col(groupCol).as("__g"),
         explode(flatten(array(ns.map(n =>
           transform(Dedup.shingles(col(textCol), n),
-            s => struct(lit(n.toLong).as("n"), md5(s).as("h")))): _*))).as("__p"))
+            s => struct(lit(n.toLong).as("n"), unhex(md5(s)).as("h")))): _*))).as("__p"))
       .select(col("__g"), col("__p.n").as("n"), col("__p.h").as("__h"))
     grams
       .groupBy("__g", "n", "__h").agg(count(lit(1)).as("__c"))
