@@ -439,6 +439,48 @@ object Multimodal {
     }
   }
 
+  final case class AudioGain(
+      doc_id: Long, n_samples: Long, rms: Double,
+      gain_mu: Option[Long], n_clipped: Long)
+
+  /** Loudness-normalization plan per clip — the pre-flight report an
+    * audio pipeline computes BEFORE rewriting payloads: REAL WAV
+    * decode → full-clip RMS → the gain that brings the clip to
+    * `targetRms` (capped at `maxGain`), plus how many samples would
+    * clip int16 at that gain. The gain publishes in integer
+    * MICRO-units and the clip test runs in exact integers against the
+    * published value (|s|·gain_mu > 32767·10⁶) — threshold
+    * comparisons never ride raw doubles (the q198 contract). A silent
+    * clip (rms = 0) gets a null gain and clips nothing.
+    *
+    * Scale shape: the [[wavFeatures]] contract — one decoder pass per
+    * partition, payload bytes never ride an exchange.
+    */
+  def wavGain(
+      df: Dataset[Media],
+      targetRms: Double = 10000.0,
+      maxGain: Double = 4.0): Dataset[AudioGain] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.mapPartitions { it =>
+      it.map { m =>
+        val wav = decodeWav(m.payload)
+        val n = wav.samples.length
+        var e = 0L
+        wav.samples.foreach(v => e += v.toLong * v.toLong)
+        val rms = math.sqrt(e.toDouble / n)
+        if (rms == 0) AudioGain(m.doc_id, n.toLong, 0.0, None, 0L)
+        else {
+          // positive domain: floor(x+0.5) == SQL round-away-from-zero
+          val gainMu = math.round(math.min(maxGain, targetRms / rms) * 1000000.0)
+          val clipped = wav.samples.count(v =>
+            math.abs(v.toLong) * gainMu > 32767000000L)
+          AudioGain(m.doc_id, n.toLong, rms, Some(gainMu), clipped.toLong)
+        }
+      }
+    }
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Frame sampling for "video" payloads: emit every `stride`-th

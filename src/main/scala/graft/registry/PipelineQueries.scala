@@ -127,6 +127,15 @@ private[graft] object PipelineQueries {
         .groupBy("dhash_hi", "dhash_lo")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
     }),
+    "q305_audio_gain" -> ((s, dir) => {
+      // G96 loudness-normalization plan: REAL WAV decode, full-clip
+      // RMS, micro-unit capped gain to target RMS 10000, exact-integer
+      // clip census against the published gain
+      val t = Tables(s, dir)
+      Multimodal.wavGain(Multimodal.textToWav(t.documents)).toDF()
+        .select(col("doc_id"), col("n_samples"),
+          round(col("rms"), 4).as("rms"), col("gain_mu"), col("n_clipped"))
+    }),
     "q116_audio_energy" -> ((s, dir) => {
       // voice-activity shape: REAL WAV decode → tumbling 50-sample
       // windows → exact integer energy + RMS per window
@@ -1304,6 +1313,48 @@ private[graft] object PipelineQueries {
         |FROM bits GROUP BY 1, 2""".stripMargin,
     // windowed energy replay: q67's sample synthesis, 50-sample
     // tumbling windows, exact integer Σs² then one sqrt
+    // gain replay: q116's deterministic sample synthesis, full-clip
+    // RMS, the same positive-domain round into micro-units, and the
+    // integer clip test against the published gain.
+    "q305_audio_gain" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
+        |    ELSE length(text) END AS INT) AS n FROM documents
+        |),
+        |sm AS (SELECT doc_id, text, n, unnest(range(0, 200)) AS i FROM b),
+        |v AS (
+        |  SELECT doc_id,
+        |         ascii(substring(text, CAST((2*i) % n AS INT) + 1, 1)) * 256
+        |         + ascii(substring(text, CAST((2*i + 1) % n AS INT) + 1, 1))
+        |         - 32768 AS s
+        |  FROM sm
+        |),
+        |e AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |         CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy
+        |  FROM v GROUP BY 1
+        |),
+        |g AS (
+        |  SELECT doc_id, n_samples,
+        |         sqrt(CAST(energy AS DOUBLE) / n_samples) AS rms_raw
+        |  FROM e
+        |),
+        |g2 AS (
+        |  SELECT doc_id, n_samples, rms_raw,
+        |         CASE WHEN rms_raw = 0 THEN NULL
+        |              ELSE CAST(round(least(4.0, 10000.0 / rms_raw) * 1000000.0)
+        |                        AS BIGINT) END AS gain_mu
+        |  FROM g
+        |),
+        |c AS (
+        |  SELECT v.doc_id,
+        |         CAST(count(*) FILTER (abs(v.s) * g2.gain_mu > 32767000000)
+        |              AS BIGINT) AS n_clipped
+        |  FROM v JOIN g2 USING (doc_id) GROUP BY 1
+        |)
+        |SELECT g2.doc_id, g2.n_samples, round(g2.rms_raw, 4) AS rms,
+        |       g2.gain_mu, c.n_clipped
+        |FROM g2 JOIN c USING (doc_id)""".stripMargin,
     "q116_audio_energy" ->
       """WITH b AS (
         |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1

@@ -936,6 +936,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Multimodal.wavGain: capped gain, exact clip census, silent-clip null") {
+    import spark.implicits._
+    // hand-built clips: (a) constant amplitude 5000 -> rms 5000, gain
+    // 2x exactly, nothing clips (10000 < 32767); (b) amplitude 20000
+    // -> 10000/20000 = 0.5, under the 4.0 cap, nothing clips;
+    // (c) 98 samples of 100 + 2 of 32000: rms = sqrt(2.0489e7) =
+    // 4526.6 -> gain 2.209, so 32000*2.209 = 70696 clips and 100 does
+    // not; (d) silence -> null gain, zero clipped
+    def media(id: Long, samples: Array[Short]) =
+      Multimodal.Media(id, Multimodal.encodeWav(8000, 1, samples))
+    val ds = Seq(
+      media(1L, Array.fill[Short](100)(5000)),
+      media(2L, Array.fill[Short](100)(20000)),
+      media(3L, (Array.fill[Short](98)(100) ++ Array.fill[Short](2)(32000))),
+      media(4L, Array.fill[Short](100)(0))).toDS()
+    val got = Multimodal.wavGain(ds).collect().map(g => g.doc_id -> g).toMap
+    assert(got(1L).gain_mu.contains(2000000L) && got(1L).n_clipped == 0)
+    assert(got(2L).gain_mu.contains(500000L) && got(2L).n_clipped == 0)
+    val g3 = got(3L)
+    assert(g3.gain_mu.get > 2000000L && g3.gain_mu.get < 2400000L, s"got $g3")
+    assert(g3.n_clipped == 2, s"exactly the 32000-amplitude samples clip: $g3")
+    assert(got(4L).gain_mu.isEmpty && got(4L).n_clipped == 0)
+  }
+
   test("Incremental.joinDelta ≡ new-join rows, including the dA⋈dB corner") {
     val a = spark.range(0, 300).select((col("id") % 40).as("k"), col("id").as("av"))
     val b = spark.range(0, 500).select((col("id") % 40).as("k"), col("id").as("bv"))
