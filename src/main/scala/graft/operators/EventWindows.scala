@@ -600,6 +600,40 @@ object EventWindows {
       .withColumn("is_current", col("valid_to_us").isNull)
   }
 
+  /** State dwell-time distribution — how long a key SITS in each
+    * state before transitioning, from the [[scd2]] history: per state
+    * value, the count of CLOSED versions, total/mean dwell, and the
+    * exact interpolated median (open current versions have no
+    * duration yet and are excluded — a live state's dwell is
+    * right-censored; H41's Nelson–Aalen is the censoring-aware view).
+    *
+    * Exactness: durations are exact micro-second longs (valid_to −
+    * valid_from); mean is one 4dp division; the median rides the q50
+    * percentile contract (≡ DuckDB quantile_cont), published in whole
+    * microseconds via the positive-domain round.
+    *
+    * Scale shape: the SCD-2 build's key exchange, then one state-dim
+    * aggregate — nothing else.
+    *
+    * Output: (value, n_spells, total_dwell_us, mean_dwell_us,
+    * median_dwell_us).
+    */
+  def stateDwell(dim: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    dim
+      .filter(col("valid_to_us").isNotNull)
+      .withColumn("__dur", col("valid_to_us") - col("valid_from_us"))
+      .groupBy("value")
+      .agg(count(lit(1)).as("n_spells"),
+        sum("__dur").as("total_dwell_us"),
+        round(percentile(col("__dur"), lit(0.5))).cast("long")
+          .as("median_dwell_us"))
+      .withColumn("mean_dwell_us",
+        round(d(col("total_dwell_us")) / col("n_spells"), 4))
+      .select(col("value"), col("n_spells"), col("total_dwell_us"),
+        col("mean_dwell_us"), col("median_dwell_us"))
+  }
+
   /** Point-in-time (PIT) dimension enrichment — the consumption
     * pattern [[scd2]]'s history exists for: each fact row picks the
     * dimension VERSION whose validity interval covers the fact's

@@ -64,6 +64,48 @@ object Incremental {
   }
 
   /** Resolve state to final aggregates (n, sum, min, max, avg). */
+  /** Incremental SCD-2 maintenance — apply a batch of NEW events (all
+    * strictly later than the stored history's horizon) to an existing
+    * [[EventWindows.scd2]] table without recomputing history. Only
+    * TOUCHED keys' OPEN versions reopen: each is replayed as one
+    * synthetic event (its value at its valid_from, id = MIN_LONG so no
+    * real event can tie ahead of it) together with the key's delta
+    * events through the same run-length encoding, then renumbered
+    * from the old open version's number. Closed versions and
+    * untouched keys pass through byte-identical.
+    *
+    * Contract (the oracle): `scd2Apply(scd2(base), delta)` ≡
+    * `scd2(base ∪ delta)` whenever, PER KEY, every delta timestamp is
+    * strictly later than every base timestamp (a key absent from base
+    * may arrive at any time). The warehouse MERGE pattern: work ∝
+    * |delta| + touched open versions, never |history|.
+    */
+  def scd2Apply(
+      dim: DataFrame,
+      delta: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      tsUsCol: String,
+      idCol: String): DataFrame = {
+    val touched = delta.select(col(keyCol)).distinct()
+    val open = dim.filter(col("is_current"))
+    val seed = open.join(touched, Seq(keyCol))
+      .select(col(keyCol), col("value").as(valueCol),
+        col("valid_from_us").as(tsUsCol),
+        lit(Long.MinValue).as(idCol))
+    val rebuilt = EventWindows.scd2(
+      seed.unionByName(delta.select(col(keyCol), col(valueCol),
+        col(tsUsCol), col(idCol))),
+      keyCol, valueCol, tsUsCol, idCol)
+    val off = open.select(col(keyCol), col("version").as("__off"))
+    val renumbered = rebuilt.join(off, Seq(keyCol), "left")
+      .withColumn("version", col("version") + coalesce(col("__off"), lit(1L)) - 1L)
+      .drop("__off")
+    dim.filter(!col("is_current"))
+      .unionByName(open.join(touched, Seq(keyCol), "left_anti"))
+      .unionByName(renumbered.select(dim.columns.map(col): _*))
+  }
+
   def finish(state: DataFrame): DataFrame =
     state
       .withColumn("n", col("st_n"))

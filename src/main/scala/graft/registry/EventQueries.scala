@@ -98,6 +98,16 @@ private[graft] object EventQueries {
         .select(col("event_id"), col("user_id"),
           col("value").as("state"), col("valid_from_us").as("state_from_us"))
     }),
+    "q306_state_dwell" -> ((s, dir) => {
+      // H57 state dwell-time distribution: how long users sit in each
+      // event-type state before transitioning, from the SCD-2 history
+      // (closed versions only — live states are right-censored)
+      val t = Tables(s, dir)
+      val dim = EventWindows.scd2(
+        t.events.withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "event_type", "ts_us", "event_id")
+      EventWindows.stateDwell(dim)
+    }),
     "q304_stream_pit" -> ((s, dir) => {
       // H56 streaming point-in-time: the q302 enrichment with the
       // PROBE side live — a stateless stream-static LEFT join against
@@ -985,6 +995,47 @@ private[graft] object EventQueries {
         |FROM f LEFT JOIN d
         |  ON d.user_id = f.user_id AND d.valid_from_us <= f.pts
         | AND (d.valid_to_us IS NULL OR f.pts < d.valid_to_us)""".stripMargin,
+    // dwell replay: the q118 SCD-2 pipeline, closed versions only,
+    // exact micro-second durations, quantile_cont median (the q50
+    // contract) rounded to whole micros.
+    "q306_state_dwell" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+        |),
+        |c AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id) AS prev
+        |  FROM e
+        |),
+        |r AS (
+        |  SELECT user_id, event_type, us,
+        |         CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+        |             THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM c
+        |),
+        |g AS (
+        |  SELECT user_id, version, min(event_type) AS value,
+        |         min(us) AS valid_from_us
+        |  FROM r GROUP BY 1, 2
+        |),
+        |d AS (
+        |  SELECT user_id, value, valid_from_us,
+        |         lead(valid_from_us) OVER (PARTITION BY user_id
+        |           ORDER BY version) AS valid_to_us
+        |  FROM g
+        |),
+        |sp AS (
+        |  SELECT value, valid_to_us - valid_from_us AS dur
+        |  FROM d WHERE valid_to_us IS NOT NULL
+        |)
+        |SELECT value, CAST(count(*) AS BIGINT) AS n_spells,
+        |       CAST(sum(dur) AS BIGINT) AS total_dwell_us,
+        |       round(CAST(sum(dur) AS DOUBLE) / count(*), 4) AS mean_dwell_us,
+        |       CAST(round(quantile_cont(dur, 0.5)) AS BIGINT) AS median_dwell_us
+        |FROM sp GROUP BY 1""".stripMargin,
     // streaming PIT replay: identical to q302 — the stream-static
     // interval join returns the batch as-of result by construction.
     "q304_stream_pit" ->

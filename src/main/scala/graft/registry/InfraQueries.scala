@@ -29,6 +29,25 @@ private[graft] object InfraQueries {
         t.events.filter(col("ts") >= split), Seq("event_type"), "value")
       Incremental.finish(Incremental.merge(Seq("event_type"), hist, delta))
     }),
+    "q307_scd2_apply" -> ((s, dir) => {
+      // I30 incremental SCD-2 maintenance: history versions built from
+      // events before the split, the rest applied as a delta batch —
+      // only touched keys' open versions replay; the oracle recomputes
+      // the FULL history directly, so any drift in versioning,
+      // validity bounds, or pass-through hash-mismatches
+      val t = Tables(s, dir)
+      val split = lit("1997-07-01").cast("timestamp")
+      val ev = t.events.withColumn("ts_us", unix_micros(col("ts")))
+      val base = EventWindows.scd2(ev.filter(col("ts") < split),
+        "user_id", "event_type", "ts_us", "event_id")
+      val delta = ev.filter(col("ts") >= split)
+        .select(col("user_id"), col("event_type"),
+          col("ts_us"), col("event_id"))
+      Incremental.scd2Apply(base, delta,
+          "user_id", "event_type", "ts_us", "event_id")
+        .select("user_id", "version", "value",
+          "valid_from_us", "valid_to_us", "is_current")
+    }),
     "q113_kmv_overlap" -> ((s, dir) => {
       // KMV theta sketches with SET OPERATIONS: per-segment k-minimum
       // 60-bit md5 hashes (bounded-state aggregate, map-side
@@ -480,6 +499,38 @@ private[graft] object InfraQueries {
         |       round(max(value), 4) AS max_v,
         |       round(sum(value) / count(value), 4) AS avg_v
         |FROM events GROUP BY event_type""".stripMargin,
+    // incremental SCD-2 replay: the oracle is the FULL recompute (the
+    // q118 pipeline over all events) — the engine's split+apply path
+    // must land on it byte-for-byte.
+    "q307_scd2_apply" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+        |),
+        |c AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id) AS prev
+        |  FROM e
+        |),
+        |r AS (
+        |  SELECT user_id, event_type, us,
+        |         CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+        |             THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM c
+        |),
+        |g AS (
+        |  SELECT user_id, version, min(event_type) AS value,
+        |         min(us) AS valid_from_us
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT user_id, version, value, valid_from_us,
+        |       lead(valid_from_us) OVER (PARTITION BY user_id
+        |         ORDER BY version) AS valid_to_us,
+        |       lead(valid_from_us) OVER (PARTITION BY user_id
+        |         ORDER BY version) IS NULL AS is_current
+        |FROM g""".stripMargin,
     // KMV replay: the sketch IS the k smallest hashes, so row_number
     // over the same 60-bit md5 values rebuilds it exactly; union /
     // membership flags replay the array set ops

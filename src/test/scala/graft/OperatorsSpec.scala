@@ -960,6 +960,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got(4L).gain_mu.isEmpty && got(4L).n_clipped == 0)
   }
 
+  test("Incremental.scd2Apply ≡ full recompute at every split point") {
+    // randomized keyed state stream; keys 0-4, values a/b/c. Split at
+    // several horizons: keys untouched by the delta, keys born in the
+    // delta, runs continuing across the split, and runs closing at it
+    // must all land on the full recompute byte-for-byte.
+    val rnd = new scala.util.Random(42)
+    val events = (0L until 200L).map { i =>
+      (rnd.nextInt(5).toLong, "abc" (rnd.nextInt(3)).toString, i * 10L, i)
+    }.toDF("k", "v", "ts_us", "id")
+    val full = EventWindows.scd2(events, "k", "v", "ts_us", "id")
+    for (splitTs <- Seq(500L, 1000L, 1500L, 1990L)) {
+      val base = EventWindows.scd2(
+        events.filter(col("ts_us") < splitTs), "k", "v", "ts_us", "id")
+      val delta = events.filter(col("ts_us") >= splitTs)
+      val applied = Incremental.scd2Apply(base, delta, "k", "v", "ts_us", "id")
+      assert(applied.exceptAll(full).isEmpty && full.exceptAll(applied).isEmpty,
+        s"split at $splitTs diverged from the full recompute")
+    }
+    // delta-only key (base never saw it): versions start at 1
+    val fresh = Incremental.scd2Apply(
+      EventWindows.scd2(events.filter(col("k") =!= 4L && col("ts_us") < 1000L),
+        "k", "v", "ts_us", "id"),
+      events.filter(col("k") === 4L || col("ts_us") >= 1000L),
+      "k", "v", "ts_us", "id")
+    val fullF = EventWindows.scd2(events, "k", "v", "ts_us", "id")
+    assert(fresh.exceptAll(fullF).isEmpty && fullF.exceptAll(fresh).isEmpty)
+  }
+
   test("Incremental.joinDelta ≡ new-join rows, including the dA⋈dB corner") {
     val a = spark.range(0, 300).select((col("id") % 40).as("k"), col("id").as("av"))
     val b = spark.range(0, 500).select((col("id") % 40).as("k"), col("id").as("bv"))
