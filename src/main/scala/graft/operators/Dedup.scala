@@ -450,6 +450,37 @@ object Dedup {
     labels
   }
 
+  /** Soft dedup — duplicate-count DOWNWEIGHTING instead of removal:
+    * every document keeps weight 1/|its near-dup cluster| (singletons
+    * weight 1), so a family of k near-copies contributes one
+    * document's worth of training mass in expectation while keeping
+    * intra-family diversity available to the sampler — the soft
+    * alternative to [[clusters]]' keeper-only cut, pairing with G24's
+    * weighted sampling downstream. Weights publish in exact
+    * micro-units (round(10⁶/k), positive-domain — engine-identical);
+    * the per-source rollup reports raw vs EFFECTIVE corpus size
+    * (Σ weights) — the number a mixture budget actually spends.
+    *
+    * Scale shape: G2's capped pair machinery + [[clusters]]'
+    * pointer-jumping; the weight attach is one left join of the doc
+    * table against the component-size dim; the rollup map-side
+    * combines. Text never rides an exchange.
+    *
+    * Output: (source, n_docs, effective_docs_mu).
+    */
+  def softDedupWeights(documents: DataFrame): DataFrame = {
+    val comp = clusters(minhashLshPairs(documents).select("idA", "idB"))
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("__k"))
+    val perDoc = comp.join(sizes, "comp")
+      .select(col("id").as("doc_id"),
+        round(lit(1000000.0) / col("__k")).cast("long").as("__w"))
+    documents.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("__w", coalesce(col("__w"), lit(1000000L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__w").as("effective_docs_mu"))
+  }
+
   /** Asymmetric shingle CONTAINMENT (Broder 1997), within a blocking
     * key: C(A→B) = |A∩B|/|A| and the reverse — the subset/quotation
     * detector Jaccard misses (a short doc quoted verbatim inside a

@@ -249,6 +249,13 @@ private[graft] object PipelineQueries {
       val t = Tables(s, dir)
       Dedup.clusters(Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
     }),
+    "q308_soft_dedup" -> ((s, dir) => {
+      // G97 soft dedup: 1/cluster-size downweighting instead of
+      // removal — per-source raw vs effective corpus size in exact
+      // micro-doc units (the mass a mixture budget actually spends)
+      val t = Tables(s, dir)
+      Dedup.softDedupWeights(t.documents)
+    }),
     "q32_dedup_simhash" -> ((s, dir) => {
       val t = Tables(s, dir)
       Dedup.simhash(t.documents)
@@ -627,6 +634,31 @@ private[graft] object PipelineQueries {
          |  SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id
          |)
          |SELECT id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin,
+    // soft-dedup replay: q47's components, micro-unit 1/k weights,
+    // singletons (docs outside every pair) weigh 1.0 via the left join.
+    "q308_soft_dedup" ->
+      s"""WITH RECURSIVE $MinhashPairsSql,
+         |edges AS (
+         |  SELECT idA AS src, idB AS dst FROM lshpairs
+         |  UNION ALL
+         |  SELECT idB AS src, idA AS dst FROM lshpairs
+         |),
+         |walk(id, comp) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id
+         |),
+         |cmp AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |ks AS (SELECT comp, CAST(count(*) AS BIGINT) AS k FROM cmp GROUP BY 1),
+         |wt AS (
+         |  SELECT cmp.id AS doc_id,
+         |         CAST(round(1000000.0 / ks.k) AS BIGINT) AS w
+         |  FROM cmp JOIN ks USING (comp)
+         |)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(coalesce(wt.w, 1000000)) AS BIGINT) AS effective_docs_mu
+         |FROM documents d LEFT JOIN wt ON wt.doc_id = d.doc_id
+         |GROUP BY 1""".stripMargin,
     "q32_dedup_simhash" ->
       """WITH docs AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents
