@@ -1413,6 +1413,56 @@ object Rollups {
           .as("df"))
   }
 
+  /** Cohen's d / Hedges' g — STANDARDIZED effect size between two
+    * groups, the number a test's p-value deliberately hides:
+    * d = (m̄₁−m̄₂)/s_pooled with the (n−1)-weighted pooled SD, and
+    * Hedges' g = d·(1 − 3/(4(n₁+n₂)−9)), the small-sample
+    * de-biasing. The report card beside F31's Welch t (is it
+    * significant?) and F32's MDE (could we even have seen it?):
+    * HOW BIG is it.
+    *
+    * Exactness: per-group integer-cent (n, Σx, Σx²) from ONE
+    * map-side combine (the welchT contract); d is computed in cents
+    * (the scale cancels), means/SD publish in the value's units;
+    * written-order doubles, 4dp.
+    *
+    * Output: one row (n1, n2, mean_diff, pooled_sd, cohens_d,
+    * hedges_g) — null d when the pooled variance vanishes.
+    */
+  def effectSize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val d = (c: Column) => c.cast("double")
+    df.filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(groupCol) === groupA, cents).otherwise(0L)).as("__s1"),
+        sum(when(col(groupCol) === groupA, cents * cents).otherwise(0L)).as("__q1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("n2"),
+        sum(when(col(groupCol) === groupB, cents).otherwise(0L)).as("__s2"),
+        sum(when(col(groupCol) === groupB, cents * cents).otherwise(0L)).as("__q2"))
+      .filter(col("n1") > 1 && col("n2") > 1)
+      .withColumn("__md",
+        d(col("__s1")) / col("n1") - d(col("__s2")) / col("n2"))
+      .withColumn("__sp", sqrt(
+        ((d(col("__q1")) - d(col("__s1")) * d(col("__s1")) / col("n1")) +
+          (d(col("__q2")) - d(col("__s2")) * d(col("__s2")) / col("n2"))) /
+          (col("n1") + col("n2") - 2L)))
+      .withColumn("__d",
+        col("__md") / when(col("__sp") <= 0, lit(null)).otherwise(col("__sp")))
+      .select(col("n1"), col("n2"),
+        round(col("__md") / 100.0, 4).as("mean_diff"),
+        round(col("__sp") / 100.0, 4).as("pooled_sd"),
+        round(col("__d"), 4).as("cohens_d"),
+        round(col("__d") *
+          (lit(1.0) - lit(3.0) /
+            (lit(4.0) * d(col("n1") + col("n2")) - 9.0)), 4).as("hedges_g"))
+  }
+
   /** Poisson-bootstrap CI for a DIFFERENCE in means — the
     * uncertainty band around an A/B effect estimate (F18's machinery
     * pointed at the quantity experimenters actually report): each
@@ -1648,6 +1698,63 @@ object Rollups {
             .otherwise(lit(100.0) - lit(100.0) /
               (lit(1.0) + d(col("__st.ag")) / d(col("__st.al")))), 4)
           .as("rsi")): _*)
+  }
+
+  /** MACD per keyed series (Appel's moving-average convergence/
+    * divergence): fast EMA − slow EMA, with a signal EMA over the
+    * MACD series and the histogram (macd − signal) — the trend-
+    * momentum crossover read beside D25's bounded RSI. Standard
+    * (12, 26, 9) periods; each EMA uses α = 2/(n+1) seeded with the
+    * series' first value (the convention that needs no warm-up
+    * window).
+    *
+    * Portability: one per-key sorted-array fold carrying
+    * (ema_fast, ema_slow, signal) in integer micro-units — ALL
+    * arithmetic, no accumulator conditionals (the q301/CLAUDE.md
+    * list_reduce constraint); every step is two integer products and
+    * a floor-of-double division per EMA.
+    *
+    * Output: (keys..., n_points, macd, signal, histogram) — 4dp
+    * values in the series' units.
+    */
+  def macd(
+      series: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String,
+      fast: Int = 12,
+      slow: Int = 26,
+      signalP: Int = 9): DataFrame = {
+    require(fast >= 1 && slow > fast && signalP >= 1)
+    val d = (c: Column) => c.cast("double")
+    def ema(prev: String, y: String, n: Int): String =
+      s"CAST(floor(($prev * ${n - 1}L + 2L * $y) / ${n + 1}.0) AS BIGINT)"
+    series
+      .select(keys.map(col) :+
+        struct(col(xCol).as("x"),
+          (round(col(yCol)).cast("long") * 1000000L).as("yu")).as("__p"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+      .withColumn("n_points", size(col("__ps")).cast("long"))
+      .withColumn("__st", expr(
+        s"""aggregate(
+           |  transform(slice(__ps, 2, size(__ps) - 1), q -> q.yu),
+           |  named_struct(
+           |    'ef', element_at(__ps, 1).yu,
+           |    'es', element_at(__ps, 1).yu,
+           |    'sig', 0L),
+           |  (a, yu) -> named_struct(
+           |    'ef', ${ema("a.ef", "yu", fast)},
+           |    'es', ${ema("a.es", "yu", slow)},
+           |    'sig', ${ema("a.sig",
+                  s"""(${ema("a.ef", "yu", fast)} - ${ema("a.es", "yu", slow)})""",
+                  signalP)}))""".stripMargin))
+      .select(keys.map(col) ++ Seq(
+        col("n_points"),
+        round(d(col("__st.ef") - col("__st.es")) / 1e6, 4).as("macd"),
+        round(d(col("__st.sig")) / 1e6, 4).as("signal"),
+        round((d(col("__st.ef") - col("__st.es")) - d(col("__st.sig"))) / 1e6, 4)
+          .as("histogram")): _*)
   }
 
   /** MASE backtest — Hyndman & Koehler 2006's scale-free forecast

@@ -389,6 +389,17 @@ private[graft] object RefQueries {
       Rollups.seasonalAnomalies(series, Seq("event_type"), "day", "y",
         nSigma = 2.0)
     }),
+    "q309_macd" -> ((s, dir) => {
+      // D27 MACD(12,26,9) over each event type's daily count series —
+      // the trend-momentum crossover beside q301's bounded RSI; one
+      // branch-free micro-unit fold per key
+      val t = Tables(s, dir)
+      val series = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      Rollups.macd(series, Seq("event_type"), "day", "y")
+    }),
     "q301_rsi" -> ((s, dir) => {
       // D25 Wilder RSI-14 over each event type's daily count series —
       // the bounded momentum read beside D18's EWMA and D21's Holt
@@ -1264,6 +1275,55 @@ private[graft] object RefQueries {
         |FROM e GROUP BY 1""".stripMargin,
     // STL-lite replay: same partial centered frames, same micro-unit
     // quantizations, HUGEINT residual moments.
+    // MACD replay: the (ef, es) fold reads ONLY its own accumulator
+    // field + the element (the shape this engine's struct list_reduce
+    // evaluates correctly — an inlined cross-field signal expression
+    // mis-evaluates, the q301 lesson extended); the signal then comes
+    // from a SCALAR fold over the per-prefix macd series (O(n²)
+    // nested reduces — oracle-side only, n is calendar-bounded).
+    // macd_1 = 0 seeds the scalar fold naturally.
+    "q309_macd" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |),
+        |arr AS (
+        |  SELECT event_type, list(y * 1000000 ORDER BY day) AS a,
+        |         CAST(count(*) AS BIGINT) AS n_points
+        |  FROM s GROUP BY 1
+        |),
+        |st AS (
+        |  SELECT event_type, n_points,
+        |    list_reduce(
+        |      list_transform(a, yu -> struct_pack(
+        |        ef := CAST(yu AS BIGINT), es := CAST(yu AS BIGINT))),
+        |      (acc, e) -> struct_pack(
+        |        ef := CAST(floor((acc.ef * 11 + 2 * e.ef) / 13.0) AS BIGINT),
+        |        es := CAST(floor((acc.es * 25 + 2 * e.ef) / 27.0) AS BIGINT))) AS fold,
+        |    list_reduce(
+        |      list_transform(range(1, CAST(n_points AS INT) + 1), t ->
+        |        (list_reduce(
+        |           list_transform(a[1:t], yu -> struct_pack(
+        |             ef := CAST(yu AS BIGINT), es := CAST(yu AS BIGINT))),
+        |           (acc, e) -> struct_pack(
+        |             ef := CAST(floor((acc.ef * 11 + 2 * e.ef) / 13.0) AS BIGINT),
+        |             es := CAST(floor((acc.es * 25 + 2 * e.ef) / 27.0) AS BIGINT)))).ef
+        |        - (list_reduce(
+        |           list_transform(a[1:t], yu -> struct_pack(
+        |             ef := CAST(yu AS BIGINT), es := CAST(yu AS BIGINT))),
+        |           (acc, e) -> struct_pack(
+        |             ef := CAST(floor((acc.ef * 11 + 2 * e.ef) / 13.0) AS BIGINT),
+        |             es := CAST(floor((acc.es * 25 + 2 * e.ef) / 27.0) AS BIGINT)))).es),
+        |      (acc, e) -> CAST(floor((acc * 8 + 2 * e) / 10.0) AS BIGINT)) AS sig
+        |  FROM arr
+        |)
+        |SELECT event_type, n_points,
+        |       round(CAST(fold.ef - fold.es AS DOUBLE) / 1e6, 4) AS macd,
+        |       round(CAST(sig AS DOUBLE) / 1e6, 4) AS signal,
+        |       round((CAST(fold.ef - fold.es AS DOUBLE)
+        |              - CAST(sig AS DOUBLE)) / 1e6, 4) AS histogram
+        |FROM st""".stripMargin,
     // RSI replay: the D21 fold contract, BRANCH-FREE inside the
     // lambda (this engine's struct-state list_reduce mis-evaluates
     // accumulator-referencing conditionals — probed; arithmetic and

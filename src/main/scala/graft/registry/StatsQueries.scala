@@ -589,6 +589,12 @@ private[graft] object StatsQueries {
         .agg(count(lit(1)).as("n"))
       Rollups.mannKendall(series, Seq("datasourceId"), "year", "n")
     }),
+    "q310_effect_size" -> ((s, dir) => {
+      // F67 Cohen's d / Hedges' g: how BIG is the click-vs-view value
+      // difference — the standardized effect beside q208's Welch t
+      val t = Tables(s, dir)
+      Rollups.effectSize(t.events, "event_type", "value", "click", "view")
+    }),
     "q300_wilson" -> ((s, dir) => {
       // F66 Wilson 95% score interval on the purchase share per user
       // cohort — the small-n-honest proportion CI (Wald collapses at
@@ -2689,6 +2695,45 @@ private[graft] object StatsQueries {
         |                             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
         |                             ELSE 0.0 END) / sqrt(var_d) END, 4) AS z
         |FROM v""".stripMargin,
+    // effect-size replay: welchT's exact cent moments, (n-1)-weighted
+    // pooled SD, written-order doubles, Hedges correction inline.
+    "q310_effect_size" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n1,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |         FILTER (event_type = 'click') AS BIGINT) AS s1,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |             * CAST(round(value * 100) AS BIGINT))
+        |         FILTER (event_type = 'click') AS BIGINT) AS q1,
+        |    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n2,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |         FILTER (event_type = 'view') AS BIGINT) AS s2,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |             * CAST(round(value * 100) AS BIGINT))
+        |         FILTER (event_type = 'view') AS BIGINT) AS q2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |),
+        |b AS (
+        |  SELECT n1, n2,
+        |         CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md,
+        |         sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+        |               + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2))
+        |              / (n1 + n2 - 2)) AS sp
+        |  FROM a WHERE n1 > 1 AND n2 > 1
+        |),
+        |c AS (
+        |  SELECT n1, n2, md, sp,
+        |         md / (CASE WHEN sp <= 0 THEN NULL ELSE sp END) AS dd
+        |  FROM b
+        |)
+        |SELECT n1, n2, round(md / 100.0, 4) AS mean_diff,
+        |       round(sp / 100.0, 4) AS pooled_sd,
+        |       round(dd, 4) AS cohens_d,
+        |       round(dd * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)), 4)
+        |         AS hedges_g
+        |FROM c""".stripMargin,
     // Wilson replay: exact long counts, the z literal written as the
     // same double product, written-order interval arithmetic, 4dp.
     "q300_wilson" ->

@@ -1542,6 +1542,39 @@ class OperatorsSpec extends SparkSpec {
       "p_hat=1 must still have a real lower bound")
   }
 
+  test("Rollups.macd: flat series is all zeros; uptrend has positive macd") {
+    val flat = (0L until 40L).map(i => ("f", i, 100L)).toDF("g", "x", "y")
+    val f = Rollups.macd(flat, Seq("g"), "x", "y").collect().head
+    assert(f.getDouble(f.fieldIndex("macd")) == 0.0 &&
+      f.getDouble(f.fieldIndex("signal")) == 0.0 &&
+      f.getDouble(f.fieldIndex("histogram")) == 0.0)
+    // steady uptrend: fast EMA rides above slow -> positive macd, and
+    // the signal lags it from below early on
+    val up = (0L until 40L).map(i => ("u", i, 100L + i * 10)).toDF("g", "x", "y")
+    val u = Rollups.macd(up, Seq("g"), "x", "y").collect().head
+    assert(u.getDouble(u.fieldIndex("macd")) > 0,
+      s"uptrend must have positive macd: $u")
+    assert(u.getDouble(u.fieldIndex("histogram")) ==
+      math.round((u.getDouble(u.fieldIndex("macd")) -
+        u.getDouble(u.fieldIndex("signal"))) * 1e4) / 1e4)
+  }
+
+  test("Rollups.effectSize: hand-computed Cohen's d and Hedges' g") {
+    // A {1,3}, B {2,4}: both var 2e4 cents^2, pooled sd 141.4214 c;
+    // d = -100/141.4214 = -0.7071; g = d * (1 - 3/7) = -0.4041
+    val df = Seq(("A", 1.0), ("A", 3.0), ("B", 2.0), ("B", 4.0)).toDF("g", "v")
+    val r = Rollups.effectSize(df, "g", "v", "A", "B").collect().head
+    assert(r.getLong(r.fieldIndex("n1")) == 2L && r.getLong(r.fieldIndex("n2")) == 2L)
+    assert(r.getDouble(r.fieldIndex("mean_diff")) == -1.0)
+    assert(r.getDouble(r.fieldIndex("pooled_sd")) == 1.4142)
+    assert(r.getDouble(r.fieldIndex("cohens_d")) == -0.7071)
+    assert(r.getDouble(r.fieldIndex("hedges_g")) == -0.4041)
+    // zero pooled variance -> null d
+    val z = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0)).toDF("g", "v")
+    val zr = Rollups.effectSize(z, "g", "v", "A", "B").collect().head
+    assert(zr.isNullAt(zr.fieldIndex("cohens_d")))
+  }
+
   test("Rollups.rsi: monotone series pin the endpoints; short series are null") {
     val up = (0L until 20L).map(i => ("u", i, i * 3)).toDF("g", "x", "y")
     val u = Rollups.rsi(up, Seq("g"), "x", "y").collect().head
