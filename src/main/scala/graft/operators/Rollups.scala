@@ -1320,6 +1320,56 @@ object Rollups {
         round(least(lit(1.0), col("__ctr") + col("__hw")), 4).as("ci_hi"))
   }
 
+  /** Newcombe score interval for a DIFFERENCE in proportions
+    * (Newcombe 1998, method 10 — the hybrid-Wilson interval): the CI
+    * around p̂₁ − p̂₂ built from the two groups' Wilson bounds,
+    * lo = d̂ − √((p̂₁−l₁)² + (u₂−p̂₂)²) and
+    * hi = d̂ + √((u₁−p̂₁)² + (p̂₂−l₂)²). The interval to report NEXT
+    * TO F13's z statistic: honest at small n and extreme rates where
+    * the Wald difference interval degenerates, the same reason F66
+    * replaces Wald per group.
+    *
+    * Exactness: exact long counts from one map-side combine; z is a
+    * fixed literal; every bound is a written-order double, 4dp.
+    *
+    * Output: one row (n1, x1, n2, x2, p1, p2, diff, ci_lo, ci_hi).
+    */
+  def newcombeDiff(
+      df: DataFrame,
+      groupCol: String,
+      successCol: Column,
+      groupA: String,
+      groupB: String,
+      z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0)
+    val d = (c: Column) => c.cast("double")
+    def wilson(n: Column, x: Column) = {
+      val p = d(x) / n
+      val den = lit(1.0) + lit(z * z) / n
+      val ctr = (p + lit(z * z) / (lit(2.0) * n)) / den
+      val hw = lit(z) / den * sqrt(
+        p * (lit(1.0) - p) / n + lit(z * z) / (lit(4.0) * n * n))
+      (p, greatest(lit(0.0), ctr - hw), least(lit(1.0), ctr + hw))
+    }
+    val agg = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(groupCol) === groupA && successCol, 1L).otherwise(0L)).as("x1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("n2"),
+        sum(when(col(groupCol) === groupB && successCol, 1L).otherwise(0L)).as("x2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+    val (p1, l1, u1) = wilson(col("n1"), col("x1"))
+    val (p2, l2, u2) = wilson(col("n2"), col("x2"))
+    agg.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      round(p1, 4).as("p1"), round(p2, 4).as("p2"),
+      round(p1 - p2, 4).as("diff"),
+      round(p1 - p2 - sqrt((p1 - l1) * (p1 - l1) + (u2 - p2) * (u2 - p2)), 4)
+        .as("ci_lo"),
+      round(p1 - p2 + sqrt((u1 - p1) * (u1 - p1) + (p2 - l2) * (p2 - l2)), 4)
+        .as("ci_hi"))
+  }
+
   /** Brown–Forsythe test — variance-homogeneity across k groups (the
     * Levene family with the MEDIAN center, the robust default):
     * W = ANOVA F computed on z = |x − median_g|. The gate BEFORE

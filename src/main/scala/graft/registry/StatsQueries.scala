@@ -589,6 +589,32 @@ private[graft] object StatsQueries {
         .agg(count(lit(1)).as("n"))
       Rollups.mannKendall(series, Seq("datasourceId"), "year", "n")
     }),
+    "q312_key_skew" -> ((s, dir) => {
+      // I31 shuffle-key skew advisor: would keying a shuffle on
+      // user_id skew it — Gini over the per-key row counts plus the
+      // hottest key's share, the numbers I1/I2's salting decision
+      // reads (F35's machinery pointed at the key-count table)
+      val t = Tables(s, dir)
+      val counts = t.events.filter(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      Rollups.giniConcentration(counts, "n")
+        .crossJoin(broadcast(counts.agg(max("n").as("__mx"))))
+        .select(col("n").as("n_keys"), col("total").as("n_rows"), col("gini"),
+          round(col("__mx").cast("double") / col("total"), 6)
+            .as("top_key_share"))
+    }),
+    "q311_newcombe" -> ((s, dir) => {
+      // F68 Newcombe hybrid-Wilson CI around the purchase-share
+      // difference between even/odd user cohorts — the interval to
+      // report beside q156's z statistic
+      val t = Tables(s, dir)
+      Rollups.newcombeDiff(
+        t.events.filter(col("user_id").isNotNull)
+          .withColumn("arm",
+            when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
+        "arm", col("event_type") === "purchase", "A", "B")
+    }),
     "q310_effect_size" -> ((s, dir) => {
       // F67 Cohen's d / Hedges' g: how BIG is the click-vs-view value
       // difference — the standardized effect beside q208's Welch t
@@ -2695,6 +2721,79 @@ private[graft] object StatsQueries {
         |                             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
         |                             ELSE 0.0 END) / sqrt(var_d) END, 4) AS z
         |FROM v""".stripMargin,
+    // key-skew replay: the q217 Gini pipeline over per-key counts,
+    // plus max-count share.
+    "q312_key_skew" ->
+      """WITH k AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |),
+        |p AS (
+        |  SELECT CAST(n AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM k WHERE n IS NOT NULL AND n >= 0 GROUP BY 1
+        |),
+        |r AS (
+        |  SELECT v, c,
+        |         sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS cb
+        |  FROM p
+        |),
+        |s AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         sum(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)) AS t,
+        |         sum(CAST(v AS HUGEINT) * (CAST(c AS HUGEINT) * CAST(cb AS HUGEINT)
+        |             + CAST((c * (c + 1)) // 2 AS HUGEINT))) AS s2
+        |  FROM r
+        |),
+        |mx AS (SELECT CAST(max(n) AS BIGINT) AS mx FROM k)
+        |SELECT s.n AS n_keys, CAST(s.t AS BIGINT) AS n_rows,
+        |       round((2.0 * CAST(s.s2 AS DOUBLE) - CAST(s.n + 1 AS DOUBLE) * CAST(s.t AS DOUBLE))
+        |             / CASE WHEN s.n = 0 OR s.t = 0 THEN NULL
+        |                    ELSE CAST(s.n AS DOUBLE) * CAST(s.t AS DOUBLE) END, 4) AS gini,
+        |       round(CAST(mx.mx AS DOUBLE) / CAST(s.t AS BIGINT), 6) AS top_key_share
+        |FROM s, mx""".stripMargin,
+    // Newcombe replay: per-arm Wilson bounds with the same written
+    // order as q300, hybrid combination, 4dp.
+    "q311_newcombe" ->
+      """WITH g AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n1,
+        |    CAST(count(*) FILTER (user_id % 2 = 0 AND event_type = 'purchase')
+        |         AS BIGINT) AS x1,
+        |    CAST(count(*) FILTER (user_id % 2 <> 0) AS BIGINT) AS n2,
+        |    CAST(count(*) FILTER (user_id % 2 <> 0 AND event_type = 'purchase')
+        |         AS BIGINT) AS x2
+        |  FROM events WHERE user_id IS NOT NULL
+        |),
+        |w AS (
+        |  SELECT n1, x1, n2, x2,
+        |    CAST(x1 AS DOUBLE) / n1 AS p1, CAST(x2 AS DOUBLE) / n2 AS p2,
+        |    1.0 + 1.959963984540054 * 1.959963984540054 / n1 AS d1,
+        |    1.0 + 1.959963984540054 * 1.959963984540054 / n2 AS d2
+        |  FROM g WHERE n1 > 0 AND n2 > 0
+        |),
+        |b AS (
+        |  SELECT n1, x1, n2, x2, p1, p2,
+        |    greatest(0.0, (p1 + 1.959963984540054 * 1.959963984540054 / (2.0 * n1)) / d1
+        |      - 1.959963984540054 / d1 * sqrt(p1 * (1.0 - p1) / n1
+        |          + 1.959963984540054 * 1.959963984540054 / (4.0 * n1 * n1))) AS l1,
+        |    least(1.0, (p1 + 1.959963984540054 * 1.959963984540054 / (2.0 * n1)) / d1
+        |      + 1.959963984540054 / d1 * sqrt(p1 * (1.0 - p1) / n1
+        |          + 1.959963984540054 * 1.959963984540054 / (4.0 * n1 * n1))) AS u1,
+        |    greatest(0.0, (p2 + 1.959963984540054 * 1.959963984540054 / (2.0 * n2)) / d2
+        |      - 1.959963984540054 / d2 * sqrt(p2 * (1.0 - p2) / n2
+        |          + 1.959963984540054 * 1.959963984540054 / (4.0 * n2 * n2))) AS l2,
+        |    least(1.0, (p2 + 1.959963984540054 * 1.959963984540054 / (2.0 * n2)) / d2
+        |      + 1.959963984540054 / d2 * sqrt(p2 * (1.0 - p2) / n2
+        |          + 1.959963984540054 * 1.959963984540054 / (4.0 * n2 * n2))) AS u2
+        |  FROM w
+        |)
+        |SELECT n1, x1, n2, x2, round(p1, 4) AS p1, round(p2, 4) AS p2,
+        |       round(p1 - p2, 4) AS diff,
+        |       round(p1 - p2 - sqrt((p1 - l1) * (p1 - l1)
+        |                            + (u2 - p2) * (u2 - p2)), 4) AS ci_lo,
+        |       round(p1 - p2 + sqrt((u1 - p1) * (u1 - p1)
+        |                            + (p2 - l2) * (p2 - l2)), 4) AS ci_hi
+        |FROM b""".stripMargin,
     // effect-size replay: welchT's exact cent moments, (n-1)-weighted
     // pooled SD, written-order doubles, Hedges correction inline.
     "q310_effect_size" ->
