@@ -1370,6 +1370,54 @@ object Rollups {
         .as("ci_hi"))
   }
 
+  /** Odds ratio with the Woolf log-CI — the 2×2 association measure
+    * (epidemiology's native effect size, and the A/B read that is
+    * invariant to which margin was sampled, unlike the risk
+    * difference F68 intervals): OR = (a·d)/(b·c), and the CI comes
+    * from ln(OR) ± z·√(1/a + 1/b + 1/c + 1/d). Any empty cell leaves
+    * OR undefined — published null, no Haldane fudge (the caller
+    * decides how to handle structural zeros).
+    *
+    * Exactness: four exact long cells from one map-side combine;
+    * cell products ride doubles (a·d clears long range at ~3·10⁹ per
+    * cell); written-order doubles, 4dp.
+    *
+    * Output: one row (n_a_succ, n_a_fail, n_b_succ, n_b_fail,
+    * odds_ratio, ci_lo, ci_hi).
+    */
+  def oddsRatio(
+      df: DataFrame,
+      groupCol: String,
+      successCol: Column,
+      groupA: String,
+      groupB: String,
+      z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0)
+    val d = (c: Column) => c.cast("double")
+    df.filter(col(groupCol).isin(groupA, groupB))
+      .agg(
+        sum(when(col(groupCol) === groupA && successCol, 1L).otherwise(0L))
+          .as("n_a_succ"),
+        sum(when(col(groupCol) === groupA && !successCol, 1L).otherwise(0L))
+          .as("n_a_fail"),
+        sum(when(col(groupCol) === groupB && successCol, 1L).otherwise(0L))
+          .as("n_b_succ"),
+        sum(when(col(groupCol) === groupB && !successCol, 1L).otherwise(0L))
+          .as("n_b_fail"))
+      .withColumn("__or",
+        when(col("n_a_succ") === 0 || col("n_a_fail") === 0 ||
+          col("n_b_succ") === 0 || col("n_b_fail") === 0, lit(null))
+          .otherwise(d(col("n_a_succ")) * d(col("n_b_fail")) /
+            (d(col("n_a_fail")) * d(col("n_b_succ")))))
+      .withColumn("__se", sqrt(
+        lit(1.0) / col("n_a_succ") + lit(1.0) / col("n_a_fail") +
+          lit(1.0) / col("n_b_succ") + lit(1.0) / col("n_b_fail")))
+      .select(col("n_a_succ"), col("n_a_fail"), col("n_b_succ"), col("n_b_fail"),
+        round(col("__or"), 4).as("odds_ratio"),
+        round(exp(log(col("__or")) - lit(z) * col("__se")), 4).as("ci_lo"),
+        round(exp(log(col("__or")) + lit(z) * col("__se")), 4).as("ci_hi"))
+  }
+
   /** Brown–Forsythe test — variance-homogeneity across k groups (the
     * Levene family with the MEDIAN center, the robust default):
     * W = ANOVA F computed on z = |x − median_g|. The gate BEFORE

@@ -589,6 +589,16 @@ private[graft] object StatsQueries {
         .agg(count(lit(1)).as("n"))
       Rollups.mannKendall(series, Seq("datasourceId"), "year", "n")
     }),
+    "q313_odds_ratio" -> ((s, dir) => {
+      // F69 odds ratio + Woolf log-CI on the same 2x2 as q311 —
+      // purchase odds, even vs odd user cohorts
+      val t = Tables(s, dir)
+      Rollups.oddsRatio(
+        t.events.filter(col("user_id").isNotNull)
+          .withColumn("arm",
+            when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
+        "arm", col("event_type") === "purchase", "A", "B")
+    }),
     "q312_key_skew" -> ((s, dir) => {
       // I31 shuffle-key skew advisor: would keying a shuffle on
       // user_id skew it — Gini over the per-key row counts plus the
@@ -2721,6 +2731,37 @@ private[graft] object StatsQueries {
         |                             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
         |                             ELSE 0.0 END) / sqrt(var_d) END, 4) AS z
         |FROM v""".stripMargin,
+    // odds-ratio replay: four exact cells, double products, Woolf
+    // log-CI in written order.
+    "q313_odds_ratio" ->
+      """WITH g AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (user_id % 2 = 0 AND event_type = 'purchase')
+        |         AS BIGINT) AS n_a_succ,
+        |    CAST(count(*) FILTER (user_id % 2 = 0 AND event_type <> 'purchase')
+        |         AS BIGINT) AS n_a_fail,
+        |    CAST(count(*) FILTER (user_id % 2 <> 0 AND event_type = 'purchase')
+        |         AS BIGINT) AS n_b_succ,
+        |    CAST(count(*) FILTER (user_id % 2 <> 0 AND event_type <> 'purchase')
+        |         AS BIGINT) AS n_b_fail
+        |  FROM events WHERE user_id IS NOT NULL
+        |),
+        |o AS (
+        |  SELECT n_a_succ, n_a_fail, n_b_succ, n_b_fail,
+        |    CASE WHEN n_a_succ = 0 OR n_a_fail = 0 OR n_b_succ = 0 OR n_b_fail = 0
+        |         THEN NULL
+        |         ELSE CAST(n_a_succ AS DOUBLE) * CAST(n_b_fail AS DOUBLE)
+        |              / (CAST(n_a_fail AS DOUBLE) * CAST(n_b_succ AS DOUBLE)) END
+        |      AS orr,
+        |    sqrt(1.0 / n_a_succ + 1.0 / n_a_fail
+        |         + 1.0 / n_b_succ + 1.0 / n_b_fail) AS se
+        |  FROM g
+        |)
+        |SELECT n_a_succ, n_a_fail, n_b_succ, n_b_fail,
+        |       round(orr, 4) AS odds_ratio,
+        |       round(exp(ln(orr) - 1.959963984540054 * se), 4) AS ci_lo,
+        |       round(exp(ln(orr) + 1.959963984540054 * se), 4) AS ci_hi
+        |FROM o""".stripMargin,
     // key-skew replay: the q217 Gini pipeline over per-key counts,
     // plus max-count share.
     "q312_key_skew" ->
