@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HarmonicScore, JaroWinkler, MinHashSignature, NfcNormalize, RollingMinHash, TopKCollect, TopKHarmonic, WordShinglesDistinct}
+import graft.functions.{CanonicalUrl, HarmonicScore, JaroWinkler, MinHashSignature, NfcNormalize, RollingMinHash, TopKCollect, TopKHarmonic, WordShinglesDistinct}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -131,6 +131,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(s) => NfcNormalize(s)
         case _ => throw new IllegalArgumentException("nfc_normalize takes 1 argument")
+      }),
+    ("canonical_url",
+      info("canonical_url",
+        "canonical_url(s) - web-corpus URL canonicalization (SQL-replayable rules)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => CanonicalUrl(s)
+        case _ => throw new IllegalArgumentException("canonical_url takes 1 argument")
       }),
     ("minhash_signature",
       info("minhash_signature",

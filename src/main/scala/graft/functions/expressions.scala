@@ -562,3 +562,109 @@ object JaroWinkler {
     } else jaro
   }
 }
+
+/** `canonical_url(s)`: web-corpus URL canonicalization — the FIRST
+  * dedup key of a CCNet/RefinedWeb-style pipeline, applied before any
+  * content hashing so `HTTP://Host.com:80/a/?utm_source=x#f` and
+  * `http://host.com/a` collapse to one key. Rules (each replayable in
+  * plain SQL, which is what the oracle does):
+  *
+  *  - no `://` after a `[^:/?#]+` scheme prefix → NULL (not a URL);
+  *  - scheme and host lowercase; the port suffix `:[0-9]+` is dropped
+  *    when it is the scheme default (http:80, https:443), kept
+  *    otherwise;
+  *  - the `#fragment` is dropped;
+  *  - ONE trailing `/` is stripped from the path (`/a/` → `/a`,
+  *    `/` → ``);
+  *  - query params whose lowercased key starts with `utm_` or is one
+  *    of gclid/fbclid/msclkid/igshid/ref are removed (as are empty
+  *    `&&` segments), remaining params keep their order; an emptied
+  *    query drops its `?`.
+  *
+  * One JVM pass per row, no regex on the hot path.
+  */
+case class CanonicalUrl(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "canonical_url"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CanonicalUrl.evalStatic(input.asInstanceOf[UTF8String])
+
+  // not-a-URL inputs produce null from a non-null child, so the
+  // codegen sets isNull from the call result (nullSafeCodeGen allows
+  // exactly this; defineCodeGen would assume non-null results)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.CanonicalUrl.evalStatic($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): CanonicalUrl =
+    copy(child = newChild)
+}
+
+object CanonicalUrl {
+  private val DropKeys = Set("gclid", "fbclid", "msclkid", "igshid", "ref")
+
+  def evalStatic(s: UTF8String): UTF8String = {
+    val url = s.toString
+    val sep = url.indexOf("://")
+    if (sep <= 0) return null
+    val scheme = url.substring(0, sep)
+    var i = 0
+    while (i < scheme.length) {
+      val c = scheme.charAt(i)
+      if (c == ':' || c == '/' || c == '?' || c == '#') return null
+      i += 1
+    }
+    val schemeL = scheme.toLowerCase(java.util.Locale.ROOT)
+    var rest = url.substring(sep + 3)
+    val frag = rest.indexOf('#')
+    if (frag >= 0) rest = rest.substring(0, frag)
+    var hpEnd = 0
+    while (hpEnd < rest.length && rest.charAt(hpEnd) != '/' && rest.charAt(hpEnd) != '?')
+      hpEnd += 1
+    val hostport = rest.substring(0, hpEnd)
+    val tail = rest.substring(hpEnd)
+    // port = trailing ':digits+' only — anything else stays host text
+    val colon = hostport.lastIndexOf(':')
+    val hasPort = colon >= 0 && colon < hostport.length - 1 &&
+      hostport.substring(colon + 1).forall(c => c >= '0' && c <= '9')
+    val host = (if (hasPort) hostport.substring(0, colon) else hostport)
+      .toLowerCase(java.util.Locale.ROOT)
+    val port = if (hasPort) hostport.substring(colon + 1) else ""
+    val dropPort = hasPort &&
+      ((schemeL == "http" && port == "80") || (schemeL == "https" && port == "443"))
+    val q = tail.indexOf('?')
+    val path = if (q >= 0) tail.substring(0, q) else tail
+    val query = if (q >= 0) tail.substring(q + 1) else ""
+    val cpath = if (path.endsWith("/")) path.substring(0, path.length - 1) else path
+    val kept = new StringBuilder
+    if (query.nonEmpty) {
+      var start = 0
+      while (start <= query.length) {
+        val amp = query.indexOf('&', start)
+        val end = if (amp < 0) query.length else amp
+        if (end > start) {
+          val seg = query.substring(start, end)
+          val eq = seg.indexOf('=')
+          val key = (if (eq >= 0) seg.substring(0, eq) else seg)
+            .toLowerCase(java.util.Locale.ROOT)
+          if (!key.startsWith("utm_") && !DropKeys.contains(key)) {
+            if (kept.nonEmpty) kept.append('&')
+            kept.append(seg)
+          }
+        }
+        start = end + 1
+        if (amp < 0) start = query.length + 1
+      }
+    }
+    val out = new StringBuilder(url.length)
+    out.append(schemeL).append("://").append(host)
+    if (hasPort && !dropPort) out.append(':').append(port)
+    out.append(cpath)
+    if (kept.nonEmpty) out.append('?').append(kept)
+    UTF8String.fromString(out.toString)
+  }
+}

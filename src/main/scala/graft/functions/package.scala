@@ -110,6 +110,13 @@ package object functions {
     org.apache.spark.sql.graftshim.columnOf(
       NfcNormalize(org.apache.spark.sql.graftshim.expressionOf(s)))
 
+  /** Web-corpus URL canonicalization (SQL-replayable rules); see
+    * [[CanonicalUrl]]. Null for inputs with no `scheme://` prefix.
+    */
+  def canonicalUrl(s: Column): Column =
+    org.apache.spark.sql.graftshim.columnOf(
+      CanonicalUrl(org.apache.spark.sql.graftshim.expressionOf(s)))
+
   /** Cosine similarity over quantized vectors (deterministic double). */
   def quantizedCosine(a: Column, b: Column): Column =
     quantizedDot(a, b).cast("double") /

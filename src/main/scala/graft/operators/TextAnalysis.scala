@@ -555,6 +555,92 @@ object TextAnalysis {
         round(-col("__ll") / col("n_pairs").cast("double"), 4).as("nll"))
   }
 
+  /** G47b stupid-backoff trigram LM scoring (Brants et al. 2007,
+    * "Large Language Models in Machine Translation") — the rung of the
+    * quality ladder above [[unigramLm]] (G20) and [[bigramLm]] (G47),
+    * and the CCNet shape: counts train on a REFERENCE slice (`refPred`
+    * — Wikipedia in CCNet, a lang slice here) and EVERY document is
+    * scored against them, so out-of-slice text walks the backoff
+    * chain. Per trigram position:
+    *
+    *   S(w₃|w₁w₂) = c₃(w₁w₂w₃)/c₂(w₁w₂)            seen trigram
+    *              | α · (c₂(w₂w₃)/c₁(w₂))           seen bigram
+    *              | α · (α · (max(c₁(w₃),1)/N))     unigram, floor 1
+    *
+    * with Brants' α = 0.4; the unseen-word floor of 1 keeps the log
+    * finite (no smoothing elsewhere — stupid backoff's whole point is
+    * that raw relative frequencies suffice at corpus scale).
+    *
+    * Scale shape: the three count tables are integer-exact,
+    * vocabulary-grain aggregates (map-side combine on the gram key);
+    * scoring LEFT-joins the (doc, trigram, tf) table to them on gram
+    * keys — shuffle joins that stream any vocabulary, AQE splitting
+    * the "of the" heads — plus a one-row broadcast N. Parenthesization
+    * of the α products is pinned (both engines multiply in the same
+    * order); doubles appear only in the final ln, rounded 4dp at the
+    * last projection (the q141 contract). Docs need ≥ 3 words.
+    *
+    * Output: (idCol, n_tris, nll).
+    */
+  def stupidBackoff(
+      df: DataFrame,
+      refPred: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      alpha: Double = 0.4): DataFrame = {
+    val w = words(col(textCol))
+    def tris(src: DataFrame, keep: Column*): DataFrame = src
+      .filter(size(w) >= 3)
+      .select(keep :+ explode(zip_with(
+        zip_with(
+          slice(w, lit(1), size(w) - 2), slice(w, lit(2), size(w) - 2),
+          (a, b) => struct(a.as("a"), b.as("b"))),
+        slice(w, lit(3), size(w) - 2),
+        (ab, c) => struct(ab.getField("a").as("a"), ab.getField("b").as("b"),
+          c.as("c")))).as("__t"): _*)
+      .select(keep ++ Seq(col("__t.a").as("a"), col("__t.b").as("b"),
+        col("__t.c").as("c")): _*)
+    val ref = df.filter(refPred)
+    val uni = ref
+      .select(explode(words(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val nTot = broadcast(uni.agg(sum("c1").cast("long").as("n_tot")))
+    val bi = ref
+      .filter(size(w) >= 2)
+      .select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("__b"))
+      .groupBy(col("__b.a").as("a"), col("__b.b").as("b"))
+      .agg(count(lit(1)).as("c2"))
+    val tri = tris(ref)
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("c3"))
+    val docTri = tris(df, col(idCol))
+      .groupBy(col(idCol), col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("tf"))
+    val s =
+      when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2ab").cast("double"))
+        .when(col("c2bc").isNotNull,
+          lit(alpha) * (col("c2bc").cast("double") / col("c1b").cast("double")))
+        .otherwise(lit(alpha) * (lit(alpha) *
+          (greatest(coalesce(col("c1c"), lit(0L)), lit(1L)).cast("double") /
+            col("n_tot").cast("double"))))
+    docTri
+      .join(tri, Seq("a", "b", "c"), "left")
+      .join(bi.select(col("a"), col("b"), col("c2").as("c2ab")),
+        Seq("a", "b"), "left")
+      .join(bi.select(col("a").as("b"), col("b").as("c"), col("c2").as("c2bc")),
+        Seq("b", "c"), "left")
+      .join(uni.select(col("w1").as("b"), col("c1").as("c1b")), Seq("b"), "left")
+      .join(uni.select(col("w1").as("c"), col("c1").as("c1c")), Seq("c"), "left")
+      .join(nTot)
+      .groupBy(col(idCol))
+      .agg(sum("tf").cast("long").as("n_tris"),
+        sum(col("tf").cast("double") * log(s)).as("__ll"))
+      .select(col(idCol), col("n_tris"),
+        round(-col("__ll") / col("n_tris").cast("double"), 4).as("nll"))
+  }
+
   /** Per-document TF-IDF keyword extraction: the top-k most
     * distinctive terms of every document (tf × ln(N/df)), the standard
     * relevance/keyword primitive of search and curation pipelines.
@@ -1055,5 +1141,44 @@ object TextAnalysis {
         col("total_ngrams"), col("distinct_ngrams"),
         round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
           .as("distinct_ratio"))
+  }
+
+  /** G93b sketched distinct-n diversity — the HLL register-file
+    * variant of [[ngramDiversity]]. The exact variant's exchange is
+    * (slice, n, gram-hash)-grain: at 100 TB that is the engine's
+    * largest shuffle per input byte (every 1/2/3-gram of the corpus
+    * crosses the wire once, even md5-reduced). Here the ONLY exchange
+    * is (slice, n)-grain: each map task folds its grams into a 4 KB
+    * register file ([[graft.functions.HllSketch]], partial-merge
+    * aggregate) plus a long count, so the shuffle carries a few KB per
+    * (slice, n) group per task regardless of corpus size.
+    *
+    * Estimates follow the sketch's md5 register contract, so an
+    * external oracle replays the identical doubles (register max +
+    * exact-integer harmonic sum — bit-reproducible). The ratio is
+    * computed from the unrounded estimate and rounded only at the
+    * final projection, both sides.
+    */
+  def ngramDiversityApprox(
+      df: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text",
+      ns: Seq[Int] = Seq(1, 2, 3),
+      p: Int = 12): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1, got $ns")
+    val grams = df
+      .filter(length(col(textCol)) > 0)
+      .select(col(groupCol).as("__g"),
+        explode(flatten(array(ns.map(n =>
+          transform(Dedup.shingles(col(textCol), n),
+            s => struct(lit(n.toLong).as("n"), s.as("s")))): _*))).as("__p"))
+      .select(col("__g"), col("__p.n").as("n"), col("__p.s").as("__s"))
+    grams
+      .groupBy("__g", "n")
+      .agg(count(lit(1)).as("total_ngrams"),
+        graft.functions.HllSketch.hllDistinct(col("__s"), p).as("__est"))
+      .select(col("__g").as(groupCol), col("n"), col("total_ngrams"),
+        round(col("__est"), 4).as("approx_distinct"),
+        round(col("__est") / col("total_ngrams"), 6).as("approx_ratio"))
   }
 }

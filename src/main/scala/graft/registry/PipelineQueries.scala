@@ -16,6 +16,51 @@ import QueryHelpers._
   */
 private[graft] object PipelineQueries {
 
+  /** Deterministic URL salted from doc_id for the G98 curation family
+    * (the corpus has no URL column — same synthesis pattern as q87's
+    * PII): mixed-case scheme/host, default and non-default ports,
+    * trailing slashes, tracking params, fragments, and a non-URL
+    * branch (doc_id % 17 == 0) for the null path. [[SynthUrlSql]] is
+    * the character-identical DuckDB spelling.
+    */
+  private def synthUrl: org.apache.spark.sql.Column =
+    when(col("doc_id") % 17 === 0, lit("no scheme here")).otherwise(concat(
+      when(col("doc_id") % 3 === 0, lit("HTTP"))
+        .when(col("doc_id") % 3 === 1, lit("https"))
+        .otherwise(lit("Http")),
+      lit("://"),
+      when(col("doc_id") % 2 === 0, lit("WWW.Example")).otherwise(lit("cdn.Site")),
+      (col("doc_id") % 7).cast("string"), lit(".COM"),
+      when(col("doc_id") % 5 === 0, lit(":80"))
+        .when(col("doc_id") % 5 === 1, lit(":443"))
+        .when(col("doc_id") % 5 === 2, lit(":8080"))
+        .otherwise(lit("")),
+      lit("/Path/"), (col("doc_id") % 11).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&id="), (col("doc_id") % 13).cast("string"),
+      when(col("doc_id") % 6 === 0, lit("&gclid=abc&x=1")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 1, lit("#Sec2")).otherwise(lit(""))))
+
+  // NOTE: interpolated into stripMargin'd oracle templates, so no line
+  // may START with `|` (the outer stripMargin would eat one pipe of a
+  // leading `||`) — concatenation operators sit at line ENDS.
+  private val SynthUrlSql: String =
+    """CASE WHEN doc_id % 17 = 0 THEN 'no scheme here' ELSE
+      (CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
+            WHEN doc_id % 3 = 1 THEN 'https' ELSE 'Http' END) ||
+      '://' ||
+      (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example' ELSE 'cdn.Site' END) ||
+      CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+      (CASE WHEN doc_id % 5 = 0 THEN ':80'
+            WHEN doc_id % 5 = 1 THEN ':443'
+            WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END) ||
+      '/Path/' || CAST(doc_id % 11 AS VARCHAR) ||
+      (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      '?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR) ||
+      (CASE WHEN doc_id % 6 = 0 THEN '&gclid=abc&x=1' ELSE '' END) ||
+      (CASE WHEN doc_id % 2 = 1 THEN '#Sec2' ELSE '' END)
+    END"""
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q93_span_coverage" -> ((s, dir) => {
       // duplicated-span document filter: share of each doc's distinct
@@ -607,6 +652,30 @@ private[graft] object PipelineQueries {
       val t = Tables(s, dir)
       val stop = Dedup.boilerplateShingles(t.documents)
       Dedup.stoplistedMinhashPairs(t.documents, stop)
+    }),
+    "q315_url_canonical" -> ((s, dir) => {
+      // G98 canonical-URL normalization — CCNet/RefinedWeb's first
+      // dedup key, as a native codegen expression: lowercase
+      // scheme/host, default-port + fragment strip, tracking-param
+      // removal, trailing-slash. Pure projection (zero exchanges);
+      // the oracle replays every rule with DuckDB string functions.
+      val t = Tables(s, dir)
+      val u = graft.functions.canonicalUrl(synthUrl)
+      t.documents.select(col("doc_id"), u.as("url_canon"),
+        regexp_extract(u, "^[a-z]+://([^/:?]*)", 1).as("domain"))
+    }),
+    "q316_domain_cap" -> ((s, dir) => {
+      // G98 per-domain cap: canonical domains feed capPerStratum's
+      // bounded-state exact-k sample — the "no domain dominates the
+      // mix" step of web curation. Kept set is md5-rank deterministic.
+      val t = Tables(s, dir)
+      val canon = t.documents
+        .select(col("doc_id"), graft.functions.canonicalUrl(synthUrl).as("u"))
+        .filter(col("u").isNotNull)
+        .select(col("doc_id"),
+          regexp_extract(col("u"), "^[a-z]+://([^/:?]*)", 1).as("domain"))
+      Sampling.capPerStratum(canon, k = 40, stratumCol = "domain",
+        idCol = "doc_id", salt = "domcap")
     }),
   )
 
@@ -2464,5 +2533,87 @@ private[graft] object PipelineQueries {
          |  JOIN ksets sb ON sb.id = c.idB
          |)
          |SELECT idA, idB, jaccard FROM verified WHERE jaccard >= 0.8""".stripMargin,
+    // Canonical-URL replay: every rule of the native expression spelled
+    // in DuckDB string functions — scheme/host lowercase, default-port
+    // strip (http:80 / https:443), fragment cut, ONE trailing slash off
+    // the path, tracking params (utm_* prefix + exact gclid/fbclid/
+    // msclkid/igshid/ref keys) and empty `&&` segments dropped with
+    // order preserved. No-scheme inputs → NULL. The domain re-extracts
+    // from the CANONICAL string with the identical regex as the engine.
+    "q315_url_canonical" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, $SynthUrlSql AS url FROM documents
+         |),
+         |p1 AS (
+         |  SELECT doc_id, url,
+         |         lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+         |         regexp_replace(regexp_replace(url, '^[^:/?#]+://', ''),
+         |                        '#.*$$', '') AS nofrag
+         |  FROM u
+         |),
+         |p2 AS (
+         |  SELECT *, regexp_extract(nofrag, '^([^/?]*)', 1) AS hostport FROM p1
+         |),
+         |p3 AS (
+         |  SELECT *,
+         |         substring(nofrag, length(hostport) + 1) AS tail,
+         |         regexp_extract(hostport, ':([0-9]+)$$', 1) AS port
+         |  FROM p2
+         |),
+         |p4 AS (
+         |  SELECT *,
+         |         lower(CASE WHEN port <> ''
+         |                    THEN substring(hostport, 1,
+         |                           length(hostport) - length(port) - 1)
+         |                    ELSE hostport END) AS host,
+         |         regexp_extract(tail, '^([^?]*)', 1) AS path,
+         |         CASE WHEN strpos(tail, '?') > 0
+         |              THEN substring(tail, strpos(tail, '?') + 1)
+         |              ELSE '' END AS qs
+         |  FROM p3
+         |),
+         |p5 AS (
+         |  SELECT *,
+         |         regexp_replace(path, '/$$', '') AS cpath,
+         |         array_to_string(list_filter(string_split(qs, '&'), q ->
+         |           q <> '' AND NOT regexp_matches(lower(q),
+         |             '^(utm_|gclid(=|$$)|fbclid(=|$$)|msclkid(=|$$)|igshid(=|$$)|ref(=|$$))')),
+         |           '&') AS cquery
+         |  FROM p4
+         |),
+         |fin AS (
+         |  SELECT doc_id,
+         |         CASE WHEN scheme = '' THEN NULL ELSE
+         |           scheme || '://' || host ||
+         |           (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+         |                                       OR (scheme = 'https' AND port = '443'))
+         |                 THEN ':' || port ELSE '' END) ||
+         |           cpath ||
+         |           (CASE WHEN cquery <> '' THEN '?' || cquery ELSE '' END)
+         |         END AS url_canon
+         |  FROM p5
+         |)
+         |SELECT doc_id, url_canon,
+         |       regexp_extract(url_canon, '^[a-z]+://([^/:?]*)', 1) AS domain
+         |FROM fin""".stripMargin,
+    // Domain-cap replay: the q106 md5-rank spelling keyed on the
+    // directly-constructed canonical domain — if the engine's
+    // canonical_url → domain path produced anything else, the kept
+    // sets diverge and the hash catches it.
+    "q316_domain_cap" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |         (CASE WHEN doc_id % 2 = 0 THEN 'www.example' ELSE 'cdn.site' END)
+         |           || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain
+         |  FROM documents WHERE doc_id % 17 <> 0
+         |),
+         |r AS (
+         |  SELECT domain, doc_id,
+         |         row_number() OVER (PARTITION BY domain ORDER BY
+         |           ${HexValSql("md5(CAST(doc_id AS VARCHAR) || ':domcap')", 1, 13)},
+         |           doc_id) AS rk
+         |  FROM c
+         |)
+         |SELECT domain, doc_id FROM r WHERE rk <= 40""".stripMargin,
   )
 }

@@ -281,6 +281,22 @@ private[graft] object TextQueries {
       val t = Tables(s, dir)
       TextAnalysis.ngramDiversity(t.documents)
     }),
+    "q317_stupid_backoff" -> ((s, dir) => {
+      // G47b stupid-backoff trigram LM: counts train on the English
+      // slice, every doc scored against them — non-en docs walk the
+      // full backoff chain (trigram → bigram → floored unigram)
+      val t = Tables(s, dir)
+      TextAnalysis.stupidBackoff(t.documents, col("lang") === "en")
+    }),
+    "q314_ngram_diversity_hll" -> ((s, dir) => {
+      // G93b sketched distinct-n: q294's report with the gram stream
+      // never crossing an exchange — the one shuffle carries 4 KB HLL
+      // register files per (slice, n), the scale path for the
+      // engine's largest per-byte exchange. Oracle replays the
+      // registers (I6's md5 contract) and lands on identical doubles.
+      val t = Tables(s, dir)
+      TextAnalysis.ngramDiversityApprox(t.documents)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -947,5 +963,104 @@ private[graft] object TextQueries {
         |       round(CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6)
         |         AS distinct_ratio
         |FROM a GROUP BY 1, 2""".stripMargin,
+    // Stupid-backoff replay: identical count tables from the en slice,
+    // the same left joins, the same PARENTHESIZED α products (0.4·(x)
+    // and 0.4·(0.4·(x)) — multiplication order matters in doubles),
+    // ln only at the end, 4dp at the final projection (q141 contract).
+    "q317_stupid_backoff" ->
+      """WITH wd AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        |),
+        |uni AS (
+        |  SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(w) AS w1 FROM wd WHERE lang = 'en')
+        |  GROUP BY 1
+        |),
+        |ntot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tot FROM uni),
+        |bi AS (
+        |  SELECT a, b, count(*) AS c2
+        |  FROM (SELECT w[i-1] AS a, w[i] AS b
+        |        FROM (SELECT w, unnest(range(2, len(w) + 1)) AS i
+        |              FROM wd WHERE lang = 'en'))
+        |  GROUP BY 1, 2
+        |),
+        |tri AS (
+        |  SELECT a, b, c, count(*) AS c3
+        |  FROM (SELECT w[i-2] AS a, w[i-1] AS b, w[i] AS c
+        |        FROM (SELECT w, unnest(range(3, len(w) + 1)) AS i
+        |              FROM wd WHERE lang = 'en'))
+        |  GROUP BY 1, 2, 3
+        |),
+        |dt AS (
+        |  SELECT doc_id, a, b, c, count(*) AS tf
+        |  FROM (SELECT doc_id, w[i-2] AS a, w[i-1] AS b, w[i] AS c
+        |        FROM (SELECT doc_id, w, unnest(range(3, len(w) + 1)) AS i FROM wd))
+        |  GROUP BY 1, 2, 3, 4
+        |),
+        |scored AS (
+        |  SELECT d.doc_id, d.tf,
+        |         CASE WHEN t.c3 IS NOT NULL
+        |                THEN CAST(t.c3 AS DOUBLE) / CAST(ba.c2 AS DOUBLE)
+        |              WHEN bb.c2 IS NOT NULL
+        |                THEN 0.4 * (CAST(bb.c2 AS DOUBLE) / CAST(ub.c1 AS DOUBLE))
+        |              ELSE 0.4 * (0.4 * (CAST(greatest(coalesce(uc.c1, 0), 1) AS DOUBLE)
+        |                                 / CAST(n.n_tot AS DOUBLE)))
+        |         END AS s
+        |  FROM dt d
+        |  LEFT JOIN tri t ON d.a = t.a AND d.b = t.b AND d.c = t.c
+        |  LEFT JOIN bi ba ON d.a = ba.a AND d.b = ba.b
+        |  LEFT JOIN bi bb ON d.b = bb.a AND d.c = bb.b
+        |  LEFT JOIN uni ub ON d.b = ub.w1
+        |  LEFT JOIN uni uc ON d.c = uc.w1
+        |  CROSS JOIN ntot n
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tris,
+        |       round(-sum(tf * ln(s)) / sum(tf), 4) AS nll
+        |FROM scored GROUP BY 1""".stripMargin,
+    // Sketched distinct-n replay: identical shingle construction as
+    // q294, then the HLL register rebuild (HllChainSql — same md5
+    // index/payload split and exact-integer harmonic sum as the
+    // engine's sketch), grouped on a composite (slice, n) key. The
+    // ratio divides the UNROUNDED estimate, rounding only at the
+    // final projection — the engine does the same.
+    "q314_ngram_diversity_hll" ->
+      s"""WITH w AS (
+         |  SELECT source, string_split(text, ' ') AS w
+         |  FROM documents WHERE length(text) > 0
+         |),
+         |g1 AS (
+         |  SELECT source, 1 AS n, s
+         |  FROM (SELECT source, unnest(w) AS s FROM w)
+         |),
+         |g2 AS (
+         |  SELECT source, 2 AS n, s
+         |  FROM (SELECT source,
+         |          unnest(list_transform(range(1, len(w)),
+         |                                i -> w[i] || ' ' || w[i+1])) AS s
+         |        FROM w WHERE len(w) >= 2)
+         |),
+         |g3 AS (
+         |  SELECT source, 3 AS n, s
+         |  FROM (SELECT source,
+         |          unnest(list_transform(range(1, len(w) - 1),
+         |                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         |        FROM w WHERE len(w) >= 3)
+         |),
+         |grams AS (
+         |  SELECT source || '#' || CAST(n AS VARCHAR) AS gk, s
+         |  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+         |        UNION ALL SELECT * FROM g3)
+         |),
+         |${HllChainSql("nd", "s", "gk", "gk", "grams")},
+         |tot AS (
+         |  SELECT gk, CAST(count(*) AS BIGINT) AS total_ngrams
+         |  FROM grams GROUP BY 1
+         |)
+         |SELECT split_part(t.gk, '#', 1) AS source,
+         |       CAST(split_part(t.gk, '#', 2) AS BIGINT) AS n,
+         |       t.total_ngrams,
+         |       round(h.est, 4) AS approx_distinct,
+         |       round(h.est / t.total_ngrams, 6) AS approx_ratio
+         |FROM tot t JOIN nd_est h USING (gk)""".stripMargin,
   )
 }

@@ -411,6 +411,47 @@ class FunctionsSpec extends SparkSpec {
       viaCol.getDouble(1) == 0.9611111111111111)
   }
 
+  test("canonicalUrl: every rule, plus the null and SQL paths") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def cu(s: String): String = {
+      val r = CanonicalUrl.evalStatic(UTF8String.fromString(s))
+      if (r == null) null else r.toString
+    }
+    // lowercase scheme/host, default port dropped, fragment cut
+    assert(cu("HTTP://Example.COM:80/A/b#frag") == "http://example.com/A/b")
+    assert(cu("HTTPS://X.org:443/") == "https://x.org")
+    // non-default port kept; http's default on https kept too
+    assert(cu("https://x.org:80/a") == "https://x.org:80/a")
+    assert(cu("http://x.org:8080/a/") == "http://x.org:8080/a")
+    // tracking params dropped (utm_ prefix + exact keys), order kept,
+    // empty segments dropped, emptied query drops its '?'
+    assert(cu("http://a.com/p?utm_source=x&id=1&&gclid=z&b=2") ==
+      "http://a.com/p?id=1&b=2")
+    assert(cu("http://a.com/p?utm_campaign=x&fbclid=1") == "http://a.com/p")
+    // exact-key match only: gclidx and ref_src are NOT tracking keys
+    assert(cu("http://a.com/?gclidx=1&ref=x&ref_src=y") ==
+      "http://a.com?gclidx=1&ref_src=y")
+    // path-less and query-only forms; ONE trailing slash stripped
+    assert(cu("http://a.com") == "http://a.com")
+    assert(cu("http://a.com//") == "http://a.com/")
+    assert(cu("http://a.com?ref=x") == "http://a.com")
+    // not a URL → null (no scheme, empty scheme, scheme with /?#)
+    assert(cu("no scheme here") == null)
+    assert(cu("://x.com") == null)
+    assert(cu("a/b://x.com") == null)
+    // column + SQL surfaces agree; null propagates
+    GraftExtensions.register(spark)
+    val row = Seq(("HTTP://A.com:80/x/?utm_a=1&k=2", Option.empty[String]))
+      .toDF("a", "b")
+      .select(graft.functions.canonicalUrl(col("a")).as("c"),
+        expr("canonical_url(a)").as("s"),
+        graft.functions.canonicalUrl(col("b")).as("nb"))
+      .collect().head
+    assert(row.getString(0) == "http://a.com/x?k=2")
+    assert(row.getString(1) == row.getString(0))
+    assert(row.isNullAt(2))
+  }
+
   test("nfcNormalize composes decomposed sequences; fast path is zero-copy") {
     import org.apache.spark.unsafe.types.UTF8String
     def nfc(s: String): String =

@@ -1642,6 +1642,44 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.contains(("s2", 1L)))
   }
 
+  test("TextAnalysis.stupidBackoff: hand-computed backoff chain") {
+    // ref (en): "a b c a b c" → c3: abc=2 bca=1 cab=1; c2: ab=2 bc=2
+    // ca=1; c1: a=b=c=2, N=6
+    val docs = Seq((1L, "en", "a b c a b c"), (2L, "de", "a b c x"),
+      (3L, "de", "a b")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.stupidBackoff(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 1: abc×2 → 1.0, bca → 1/2, cab → 1/1; nll = −ln(0.5)/4
+    val nll1 = BigDecimal(-(2 * math.log(1.0) + math.log(0.5) + math.log(1.0)) / 4)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((4L, nll1)))
+    // doc 2: (a,b,c) seen → 1.0; (b,c,x): no trigram, no bigram (c,x),
+    // x unseen → α·(α·(1/6))
+    val nll2 = BigDecimal(
+      -(math.log(1.0) + math.log(0.4 * (0.4 * (1.0 / 6)))) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L) == ((2L, nll2)))
+    // doc 3 has < 3 words → absent
+    assert(!got.contains(3L))
+  }
+
+  test("TextAnalysis.ngramDiversityApprox: within 5% of exact on the corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = TextAnalysis.ngramDiversity(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val approx = TextAnalysis.ngramDiversityApprox(docs).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (total, est)) =>
+      val ex = exact(k)
+      assert(total > 0 && est > 0)
+      // p=12 → 1.04/√4096 ≈ 1.6% standard error; 5% is the ~3σ gate
+      assert(math.abs(est - ex) <= 0.05 * ex,
+        s"$k: HLL est $est vs exact $ex drifts past 5%")
+    }
+  }
+
   test("Rollups.spearman: monotone nonlinear is rho=1, reversed is -1") {
     val up = (1L to 20L).map(a => ("u", a, a * a * a)).toDF("g", "a", "b")
     val u = Rollups.spearman(up, Seq("g"), "a", "b").collect().head

@@ -29,7 +29,8 @@ class ScaleDesignSpec extends SparkSpec {
       "rolling_minhash" -> rollingMinHash(c),
       "pearson_p" -> pearsonP(c, c),
       "jaro_winkler" -> jaroWinkler(c, c),
-      "nfc_normalize" -> nfcNormalize(c))
+      "nfc_normalize" -> nfcNormalize(c),
+      "canonical_url" -> canonicalUrl(c))
     for ((name, column) <- natives)
       assert(!expressionOf(column)
           .isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback],
@@ -209,6 +210,19 @@ class ScaleDesignSpec extends SparkSpec {
       assert(plan.contains("Bucketed: true"), s"scan must use buckets:\n$plan")
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("sketched n-gram diversity shuffles sketch-grain, never the gram stream") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val approx = graft.operators.TextAnalysis.ngramDiversityApprox(docs)
+    val plan = approx.queryExecution.executedPlan.toString
+    // exact q294 pays two exchanges (gram-hash grain, then slice
+    // grain); the sketch variant must pay exactly ONE, at (slice, n)
+    // grain, carrying partial HLL register files — the whole point
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex == 1, s"sketch variant must shuffle once, got $ex:\n$plan")
+    assert(plan.contains("partial_hll_distinct"),
+      s"map side must fold grams into registers before the exchange:\n$plan")
   }
 
   test("dedup cap guards stay aggregate-shaped — bounded exchanges, no shingle window") {

@@ -21,6 +21,12 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Same rationale as GraftSession: every global window in the
+    // engine is value-/dim-grain by construction (plan-pinned), so
+    // WindowExec's per-task WARN floods the test log with no signal.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }
