@@ -2,7 +2,7 @@ package graft
 
 import graft.operators._
 import graft.sources.{Io, Tables}
-import graft.streaming.{AssociationStream, EventStream, StreamQueries}
+import graft.streaming.{AssociationStream, DedupStream, EventStream, StreamQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -260,6 +260,20 @@ private[graft] object EventQueries {
           EventStream.dedupeExact(StreamQueries.streamEvents(s, dir),
             Seq("user_id", "event_type"), watermark = "3650 days"))
         .select("user_id", "event_type")
+    }),
+    "q318_stream_neardup" -> ((s, dir) => {
+      // H58 streaming near-dup suppression: documents replayed through
+      // the per-bucket keeper processor (state = ONE long per LSH
+      // bucket), reduced to the split-invariant kept set — a doc
+      // survives iff no band bucket of its has a smaller member (the
+      // batch minhash keeper rule, which the oracle replays).
+      val updates = EventStream.withRocksDbStateStore(s) {
+        StreamQueries.materialize(
+          DedupStream.bucketKeepers(
+            StreamQueries.streamTable(s, dir, "documents")),
+          mode = "update")
+      }
+      DedupStream.keptDocs(updates)
     }),
     "q63_stream_assoc" -> ((s, dir) => {
       // the flagship chain's streaming twin: cumulative top-K harmonic
@@ -1231,6 +1245,29 @@ private[graft] object EventQueries {
         |FROM agg a, mx WHERE a.end_ts <= mx.mt - INTERVAL 2 HOUR""".stripMargin,
     "q62_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // Streaming near-dup replay: the batch minhash keeper rule — same
+    // shingle/signature/banding chain as q31's oracle, keeper per
+    // (band, bucket) = min id, kept = docs with no smaller bucket-mate.
+    "q318_stream_neardup" ->
+      s"""WITH $ShinglesSql,
+         |sig AS (
+         |  SELECT id, j, min(md5(CAST(j AS VARCHAR) || ':' || s)) AS m
+         |  FROM (SELECT id, unnest(sh) AS s FROM shingled)
+         |  CROSS JOIN (SELECT unnest(range(1, 13)) AS j) seeds
+         |  GROUP BY id, j
+         |),
+         |banded AS (
+         |  SELECT id, (j - 1) // 4 AS band,
+         |         md5(string_agg(m, '|' ORDER BY j)) AS bucket
+         |  FROM sig GROUP BY id, (j - 1) // 4
+         |),
+         |mins AS (
+         |  SELECT band, bucket, min(id) AS fk FROM banded GROUP BY 1, 2
+         |)
+         |SELECT b.id AS doc_id
+         |FROM banded b JOIN mins m ON b.band = m.band AND b.bucket = m.bucket
+         |GROUP BY 1
+         |HAVING max(CASE WHEN m.fk < b.id THEN 1 ELSE 0 END) = 0""".stripMargin,
     // the split-invariant H7 slice: max emitted peak = final cumulative
     // harmonic; emitting keys = {harmonic > 0} (filter on the UNROUNDED
     // harmonic, exactly the score > 0 emission condition)

@@ -486,4 +486,31 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("DedupStream: kept set is micro-batch-split invariant (H58)") {
+    implicit val ctx = spark.sqlContext
+    val ctr = new java.util.concurrent.atomic.AtomicLong()
+    def run(batches: Seq[Seq[(Long, String)]]): Set[Long] =
+      EventStream.withRocksDbStateStore(spark) {
+        val input = MemoryStream[(Long, String)]
+        val name = s"neardup_out_${ctr.incrementAndGet()}"
+        val q = graft.streaming.DedupStream
+          .bucketKeepers(input.toDF().toDF("doc_id", "text"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Update()).start()
+        try {
+          batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+          graft.streaming.DedupStream.keptDocs(spark.table(name))
+            .as[Long].collect().toSet
+        } finally q.stop()
+      }
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val other = "completely different words appear in this unrelated sentence"
+    // doc 2 arrives BEFORE doc 1 — in-stream it is the first claimant,
+    // but the split-invariant reduction resolves keepers to min id
+    val a = run(Seq(Seq(2L -> dup, 3L -> other), Seq(1L -> dup)))
+    val b = run(Seq(Seq(1L -> dup, 2L -> dup, 3L -> other)))
+    assert(a == Set(1L, 3L), s"split A kept $a")
+    assert(b == a, s"kept set must not depend on the micro-batch split: $b vs $a")
+  }
 }
