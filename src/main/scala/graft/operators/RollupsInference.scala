@@ -1,0 +1,608 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Randomization-inference / experimentation rollups split out of
+  * [[Rollups]] (pure move — VERDICT r12 shard hygiene): permutation
+  * and trimmed tests, effect heterogeneity, CUPED, delta-method ratio
+  * metrics, Tukey–Kramer, empirical-Bayes shrinkage, and the mSPRT
+  * always-valid family. Mixed into the `Rollups` object, so every
+  * call site and registry entry is unchanged.
+  */
+private[operators] trait RollupsInference {
+  /** Randomization (permutation) test for an A/B mean difference —
+    * the assumption-free p-value: relabel every row's arm by a
+    * seeded md5 coin `reps` times, and p = (1 + #{|d_perm| ≥
+    * |d_obs|})/(reps+1) (the add-one estimator; Fisher's exact
+    * randomization logic with Monte-Carlo relabels). The
+    * distribution-free cross-check when F31's normality or F27's
+    * ordinal framing is in doubt.
+    *
+    * Determinism: the relabel coin is the F18 md5-threshold draw —
+    * both engines replay the identical 24-bit integer comparison per
+    * (row, rep); per-rep diffs are single divisions of exact cent
+    * sums, compared to the observed diff at 6dp. The rep fan-out is
+    * absorbed by the (rep) combine — reps × O(1) states shuffle,
+    * never data copies.
+    *
+    * Output: one row (n_a, n_b, diff, n_reps, p_value).
+    */
+  def permutationDiffTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      armA: String,
+      armB: String,
+      idCol: String,
+      reps: Int = 64,
+      salt: String = "perm"): DataFrame = {
+    require(reps > 0)
+    val cents = round(col(valueCol) * 100).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val rows = df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull &&
+        col(groupCol).isin(armA, armB))
+      .select((col(groupCol) === armB).as("__b"), cents.as("__c"),
+        col(idCol).cast("string").as("__id"))
+      .localCheckpoint()
+    val obs = rows.agg(
+      sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__b"), col("__c")).otherwise(0L)).as("__sa"),
+      sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__b"), col("__c")).otherwise(0L)).as("__sb"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("__obs", round(
+        d(col("__sb")) / col("n_b") - d(col("__sa")) / col("n_a"), 6))
+    val coin = conv(substring(
+        md5(concat(col("__id"), lit(":" + salt + ":"), col("rep").cast("string"))),
+        1, 6), 16, 10).cast("long") < lit(8388608L)
+    val perms = rows
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__pa", coin)
+      .groupBy("rep")
+      .agg(
+        sum(when(col("__pa"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__pa"), col("__c")).otherwise(0L)).as("__psa"),
+        sum(when(!col("__pa"), 1L).otherwise(0L)).as("__nb"),
+        sum(when(!col("__pa"), col("__c")).otherwise(0L)).as("__psb"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .select(round(
+        d(col("__psb")) / col("__nb") - d(col("__psa")) / col("__na"), 6)
+        .as("__pd"))
+    val tail = perms.crossJoin(broadcast(obs.select(col("__obs"))))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(when(abs(col("__pd")) >= abs(col("__obs")), 1L).otherwise(0L))
+          .as("__ge"))
+    obs.crossJoin(broadcast(tail))
+      .select(col("n_a"), col("n_b"),
+        round(col("__obs") / 100.0, 4).as("diff"), col("n_reps"),
+        round((lit(1L) + col("__ge")).cast("double") /
+          (col("n_reps") + 1L), 4).as("p_value"))
+  }
+
+  /** Yuen's trimmed-mean A/B test (Yuen 1974) — the robust mean
+    * comparison: trim each arm's tails past its own 4dp-published
+    * quantile thresholds, compare TRIMMED means with WINSORIZED
+    * variances and a Welch–Satterthwaite df. Outliers that wreck
+    * F31's plain t leave this test alone; unlike F27 it still talks
+    * in the metric's units.
+    *
+    * Determinism: trim thresholds are interpolated percentiles
+    * rounded 4dp (the F14 contract, broadcast back); the trim rule
+    * is the explicit lo < c < hi on integer cents and clamp for the
+    * winsorized moments — tie handling is pinned by the rule, not by
+    * row order. One threshold aggregate + one moment pass.
+    *
+    * Output: one row (h_a, h_b, tmean_a, tmean_b, t, df).
+    */
+  def yuenTrimmed(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      armA: String,
+      armB: String,
+      trim: Double = 0.2): DataFrame = {
+    require(trim > 0 && trim < 0.5)
+    val cents = round(col(valueCol) * 100).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val rows = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(armA, armB))
+      .select(col(groupCol).as("__g"), cents.as("__c"))
+      .localCheckpoint()
+    val th = rows.groupBy("__g")
+      .agg(percentile(col("__c"), typedLit(Seq(trim, 1 - trim))).as("__p"))
+      .select(col("__g"),
+        round(element_at(col("__p"), 1), 4).as("__lo"),
+        round(element_at(col("__p"), 2), 4).as("__hi"))
+    def side(p: String, g: String) = Seq(
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"n_$p"),
+      sum(when(col("__g") === g && d(col("__c")) > col("__lo") &&
+        d(col("__c")) < col("__hi"), 1L).otherwise(0L)).as(s"h_$p"),
+      sum(when(col("__g") === g && d(col("__c")) > col("__lo") &&
+        d(col("__c")) < col("__hi"), col("__c")).otherwise(0L)).as(s"__ts_$p"),
+      sum(when(col("__g") === g,
+        least(greatest(d(col("__c")), col("__lo")), col("__hi")))
+        .otherwise(0.0)).as(s"__ws_$p"),
+      sum(when(col("__g") === g,
+        least(greatest(d(col("__c")), col("__lo")), col("__hi")) *
+          least(greatest(d(col("__c")), col("__lo")), col("__hi")))
+        .otherwise(0.0)).as(s"__wq_$p"))
+    val aggs = side("a", armA) ++ side("b", armB)
+    def se2(p: String) = {
+      val n = d(col(s"n_$p"))
+      val h = d(col(s"h_$p"))
+      val sw2 = (col(s"__wq_$p") - col(s"__ws_$p") * col(s"__ws_$p") / n) / (n - 1)
+      (n - 1) * sw2 / (h * (h - 1))
+    }
+    rows.join(broadcast(th), Seq("__g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("h_a") > 1 && col("h_b") > 1)
+      .withColumn("__sea2", se2("a"))
+      .withColumn("__seb2", se2("b"))
+      .withColumn("__tma", d(col("__ts_a")) / col("h_a"))
+      .withColumn("__tmb", d(col("__ts_b")) / col("h_b"))
+      .select(col("h_a"), col("h_b"),
+        round(col("__tma") / 100.0, 4).as("tmean_a"),
+        round(col("__tmb") / 100.0, 4).as("tmean_b"),
+        round((col("__tmb") - col("__tma")) /
+          when(col("__sea2") + col("__seb2") <= 0, lit(null))
+            .otherwise(sqrt(col("__sea2") + col("__seb2"))), 4).as("t"),
+        round((col("__sea2") + col("__seb2")) * (col("__sea2") + col("__seb2")) /
+          when(col("__sea2") + col("__seb2") <= 0, lit(null)).otherwise(
+            col("__sea2") * col("__sea2") / (col("h_a") - 1) +
+              col("__seb2") * col("__seb2") / (col("h_b") - 1)), 4).as("df"))
+  }
+
+  /** Effect heterogeneity across segments — Cochran's Q with I²
+    * (Higgins & Thompson 2002): per segment, the A/B mean gap and
+    * its Welch SE; then Q = Σ wᵢ(dᵢ − d̄_w)² with w = 1/se² asks
+    * "is there ONE effect or many?". I² = max(0, (Q−k+1)/Q) is the
+    * share of between-segment variance that is real heterogeneity.
+    * The gate between "ship to everyone" and "segment the rollout".
+    *
+    * Exactness: per-segment moments are exact integer-cent sums in
+    * one (segment, arm→columns) combine; gaps/SEs are the F31
+    * doubles; per-segment Q contributions quantize to 6dp before
+    * the segment-table sum (the F20 contract). Segment-table
+    * windows only.
+    *
+    * Output: (segment, n_a, n_b, diff, se, q_contrib, q_stat, i2).
+    */
+  def effectHeterogeneity(
+      df: DataFrame,
+      segmentCol: String,
+      groupCol: String,
+      valueCol: String,
+      armA: String,
+      armB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cents = round(col(valueCol) * 100).cast("long").cast(dec)
+    val zero = lit(0L).cast(dec)
+    val d = (c: Column) => c.cast("double")
+    val all = Window.partitionBy()
+    val seg = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(armA, armB))
+      .groupBy(col(segmentCol).as("segment"))
+      .agg(
+        sum(when(col(groupCol) === armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(groupCol) === armA, cents).otherwise(zero)).as("__sa"),
+        sum(when(col(groupCol) === armA, cents * cents).otherwise(zero)).as("__qa"),
+        sum(when(col(groupCol) === armB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(groupCol) === armB, cents).otherwise(zero)).as("__sb"),
+        sum(when(col(groupCol) === armB, cents * cents).otherwise(zero)).as("__qb"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .withColumn("__va",
+        (d(col("__qa")) - d(col("__sa")) * d(col("__sa")) / col("n_a")) / (col("n_a") - 1))
+      .withColumn("__vb",
+        (d(col("__qb")) - d(col("__sb")) * d(col("__sb")) / col("n_b")) / (col("n_b") - 1))
+      .withColumn("__d", d(col("__sb")) / col("n_b") - d(col("__sa")) / col("n_a"))
+      .withColumn("__se2", col("__va") / col("n_a") + col("__vb") / col("n_b"))
+      .filter(col("__se2") > 0)
+      .withColumn("__w", lit(1.0) / col("__se2"))
+    seg
+      .withColumn("__dw",
+        sum(col("__w") * col("__d")).over(all) / sum(col("__w")).over(all))
+      .withColumn("q_contrib", round(
+        col("__w") * (col("__d") - col("__dw")) * (col("__d") - col("__dw")), 6))
+      .withColumn("q_stat", round(sum(col("q_contrib")).over(all), 4))
+      .withColumn("__k", count(lit(1)).over(all))
+      .withColumn("i2", round(greatest(lit(0.0),
+        (col("q_stat") - (col("__k") - 1)) /
+          when(col("q_stat") <= 0, lit(null)).otherwise(col("q_stat"))), 4))
+      .select(col("segment"), col("n_a"), col("n_b"),
+        round(col("__d") / 100.0, 4).as("diff"),
+        round(sqrt(col("__se2")) / 100.0, 4).as("se"),
+        col("q_contrib"), col("q_stat"), col("i2"))
+  }
+
+  /** CUPED-adjusted A/B mean test (Deng et al. 2013) — variance
+    * reduction from a PRE-EXPERIMENT covariate: Y' = Y − θ(X − X̄)
+    * with θ = cov(X,Y)/var(X) pooled across arms; the adjusted
+    * Welch t tests the same effect with the pre-period variance
+    * removed. The single highest-leverage trick an experimentation
+    * platform ships — same data, tighter CI.
+    *
+    * Exactness: ONE aggregate carries all pooled and per-arm moments
+    * as exact decimal(38,0) cent sums; θ, the adjusted means and
+    * variances, and the Welch t are double expressions over those
+    * exact sums in identical written order (adjusted second moments
+    * via the algebraic expansion — no second data pass). Reported
+    * var_reduction = 1 − var(Y')/var(Y) pooled.
+    *
+    * Output: one row (n_a, n_b, theta, diff_raw, diff_adj, t_raw,
+    * t_adj, var_reduction).
+    */
+  def cuped(
+      df: DataFrame,
+      groupCol: String,
+      metricCol: String,
+      covariateCol: String,
+      armA: String,
+      armB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val y = round(col(metricCol) * 100).cast("long").cast(dec)
+    val x = round(col(covariateCol) * 100).cast("long").cast(dec)
+    val d = (c: Column) => c.cast("double")
+    def arm(a: String, pfx: String) = Seq(
+      sum(when(col(groupCol) === a, lit(1L)).otherwise(0L)).as(s"n_$pfx"),
+      sum(when(col(groupCol) === a, y).otherwise(lit(0L).cast(dec))).as(s"__sy_$pfx"),
+      sum(when(col(groupCol) === a, x).otherwise(lit(0L).cast(dec))).as(s"__sx_$pfx"),
+      sum(when(col(groupCol) === a, y * y).otherwise(lit(0L).cast(dec))).as(s"__syy_$pfx"),
+      sum(when(col(groupCol) === a, x * x).otherwise(lit(0L).cast(dec))).as(s"__sxx_$pfx"),
+      sum(when(col(groupCol) === a, x * y).otherwise(lit(0L).cast(dec))).as(s"__sxy_$pfx"))
+    val aggs = arm(armA, "a") ++ arm(armB, "b")
+    val one = df
+      .filter(col(metricCol).isNotNull && col(covariateCol).isNotNull &&
+        col(groupCol).isin(armA, armB))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+    // pooled moments for θ and X̄
+    val N = col("n_a") + col("n_b")
+    val sx = d(col("__sx_a")) + d(col("__sx_b"))
+    val sy = d(col("__sy_a")) + d(col("__sy_b"))
+    val sxx = d(col("__sxx_a")) + d(col("__sxx_b"))
+    val sxy = d(col("__sxy_a")) + d(col("__sxy_b"))
+    val syy = d(col("__syy_a")) + d(col("__syy_b"))
+    val varX = sxx - sx * sx / d(N)
+    val covXY = sxy - sx * sy / d(N)
+    val theta = covXY / varX
+    // per-arm Var(Y − θX) = (Syy − 2θSxy + θ²Sxx − n(my−θmx)²)/(n−1)
+    // — the algebraic expansion; no second data pass
+    one
+      .withColumn("__theta",
+        when(varX === 0, lit(0.0)).otherwise(theta))
+      .withColumn("__mya", d(col("__sy_a")) / d(col("n_a")))
+      .withColumn("__mxa", d(col("__sx_a")) / d(col("n_a")))
+      .withColumn("__myb", d(col("__sy_b")) / d(col("n_b")))
+      .withColumn("__mxb", d(col("__sx_b")) / d(col("n_b")))
+      .withColumn("__xbar", sx / d(N))
+      .withColumn("__adja", col("__mya") - col("__theta") * (col("__mxa") - col("__xbar")))
+      .withColumn("__adjb", col("__myb") - col("__theta") * (col("__mxb") - col("__xbar")))
+      .withColumn("__vrawa",
+        (d(col("__syy_a")) - d(col("n_a")) * col("__mya") * col("__mya")) / (col("n_a") - 1))
+      .withColumn("__vrawb",
+        (d(col("__syy_b")) - d(col("n_b")) * col("__myb") * col("__myb")) / (col("n_b") - 1))
+      .withColumn("__vadja",
+        (d(col("__syy_a")) - lit(2.0) * col("__theta") * d(col("__sxy_a")) +
+          col("__theta") * col("__theta") * d(col("__sxx_a")) -
+          d(col("n_a")) * (col("__mya") - col("__theta") * col("__mxa")) *
+            (col("__mya") - col("__theta") * col("__mxa"))) / (col("n_a") - 1))
+      .withColumn("__vadjb",
+        (d(col("__syy_b")) - lit(2.0) * col("__theta") * d(col("__sxy_b")) +
+          col("__theta") * col("__theta") * d(col("__sxx_b")) -
+          d(col("n_b")) * (col("__myb") - col("__theta") * col("__mxb")) *
+            (col("__myb") - col("__theta") * col("__mxb"))) / (col("n_b") - 1))
+      .withColumn("__seraw",
+        sqrt(col("__vrawa") / col("n_a") + col("__vrawb") / col("n_b")))
+      .withColumn("__seadj",
+        sqrt(col("__vadja") / col("n_a") + col("__vadjb") / col("n_b")))
+      .withColumn("__vpoolraw", (syy - sy * sy / d(N)) / (d(N) - 1))
+      .withColumn("__vpooladj",
+        (syy - lit(2.0) * col("__theta") * sxy + col("__theta") * col("__theta") * sxx -
+          (sy - col("__theta") * sx) * (sy - col("__theta") * sx) / d(N)) / (d(N) - 1))
+      .select(col("n_a"), col("n_b"),
+        round(col("__theta"), 6).as("theta"),
+        round((col("__myb") - col("__mya")) / 100.0, 4).as("diff_raw"),
+        round((col("__adjb") - col("__adja")) / 100.0, 4).as("diff_adj"),
+        round((col("__myb") - col("__mya")) /
+          when(col("__seraw") <= 0, lit(null)).otherwise(col("__seraw")), 4)
+          .as("t_raw"),
+        round((col("__adjb") - col("__adja")) /
+          when(col("__seadj") <= 0, lit(null)).otherwise(col("__seadj")), 4)
+          .as("t_adj"),
+        round(lit(1.0) - col("__vpooladj") /
+          when(col("__vpoolraw") <= 0, lit(null)).otherwise(col("__vpoolraw")), 4)
+          .as("var_reduction"))
+  }
+
+  /** Ratio-metric A/B test via the delta method (Deng et al. 2018) —
+    * the correct test for per-unit ratio metrics (clicks/views,
+    * revenue/session): the ratio of SUMS R = Σx/Σy is not a mean of
+    * per-user ratios, so its variance needs the delta expansion
+    * Var(R) ≈ (varₓ + R²var_y − 2R·cov)/(n·ȳ²). Treating a ratio
+    * metric as a plain mean is the classic false-positive factory
+    * this closes.
+    *
+    * Exactness: per-arm user-grain moments (n, Σx, Σy, Σx², Σy²,
+    * Σxy) in ONE decimal(38,0) aggregate; ratios, variances, and the
+    * z are doubles over exact sums in identical written order, 4dp.
+    *
+    * Output: one row (n_a, n_b, ratio_a, ratio_b, diff, z).
+    */
+  def ratioMetricDelta(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      armA: String,
+      armB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = (c: Column) => c.cast("double")
+    def arm(a: String, p: String) = {
+      val in = col(groupCol) === a
+      val x = col(xCol).cast("long").cast(dec)
+      val y = col(yCol).cast("long").cast(dec)
+      Seq(
+        sum(when(in, 1L).otherwise(0L)).as(s"n_$p"),
+        sum(when(in, x).otherwise(lit(0L).cast(dec))).as(s"__sx_$p"),
+        sum(when(in, y).otherwise(lit(0L).cast(dec))).as(s"__sy_$p"),
+        sum(when(in, x * x).otherwise(lit(0L).cast(dec))).as(s"__sxx_$p"),
+        sum(when(in, y * y).otherwise(lit(0L).cast(dec))).as(s"__syy_$p"),
+        sum(when(in, x * y).otherwise(lit(0L).cast(dec))).as(s"__sxy_$p"))
+    }
+    val aggs = arm(armA, "a") ++ arm(armB, "b")
+    def stats(p: String): (Column, Column) = {
+      val n = d(col(s"n_$p"))
+      val r = d(col(s"__sx_$p")) / d(col(s"__sy_$p"))
+      val vx = (d(col(s"__sxx_$p")) - d(col(s"__sx_$p")) * d(col(s"__sx_$p")) / n) / (n - 1)
+      val vy = (d(col(s"__syy_$p")) - d(col(s"__sy_$p")) * d(col(s"__sy_$p")) / n) / (n - 1)
+      val cxy = (d(col(s"__sxy_$p")) - d(col(s"__sx_$p")) * d(col(s"__sy_$p")) / n) / (n - 1)
+      val ybar = d(col(s"__sy_$p")) / n
+      val se2 = (vx + r * r * vy - lit(2.0) * r * cxy) / (n * ybar * ybar)
+      (r, se2)
+    }
+    val one = df
+      .filter(col(groupCol).isin(armA, armB))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_a") > 1 && col("n_b") > 1 &&
+        col("__sy_a") > 0 && col("__sy_b") > 0)
+    val (ra, sea2) = stats("a")
+    val (rb, seb2) = stats("b")
+    one.select(col("n_a"), col("n_b"),
+      round(ra, 4).as("ratio_a"), round(rb, 4).as("ratio_b"),
+      round(rb - ra, 4).as("diff"),
+      round((rb - ra) /
+        when(sea2 + seb2 <= 0, lit(null)).otherwise(sqrt(sea2 + seb2)), 4)
+        .as("z"))
+  }
+
+  /** Tukey–Kramer pairwise q-statistics — the post-hoc step F30's
+    * ANOVA points at: WHICH groups differ. Every unordered group pair
+    * gets the studentized-range statistic q = |mean_b - mean_a| /
+    * sqrt((MSW/2)(1/n_a + 1/n_b)) with MSW the ANOVA within-group
+    * mean square; compare against the studentized-range critical
+    * value for (k, N-k) at the caller's alpha (the statistic table is
+    * the deliverable — critical values are a lookup, not data).
+    *
+    * Exactness: group moments accumulate as decimal(38,0) cent sums
+    * in ONE combine; MSW and every q are written-order doubles, 4dp.
+    * Scale shape: one (group) combine; the pair expansion is a
+    * broadcast self-cross of the GROUP DIM (k(k-1)/2 rows), never of
+    * data; the one-row MSW total attaches by broadcast.
+    *
+    * Output: (group_a, group_b, n_a, n_b, diff, q_stat).
+    */
+  def tukeyQStats(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = (c: Column) => c.cast("double")
+    val cents = round(col(valueCol) * 100).cast("long").cast(dec)
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+        sum(cents * cents).as("q"))
+      .filter(col("n") >= 2)
+      .withColumn("__ssw", d(col("q")) - d(col("s")) * d(col("s")) / col("n"))
+      .localCheckpoint() // feeds the MSW total AND both pair sides
+    val msw = g.agg(
+      count(lit(1)).as("__k"), sum(col("n")).as("__nn"),
+      sum(col("__ssw")).as("__sswt"))
+      .filter(col("__nn") > col("__k"))
+      .select((col("__sswt") / (col("__nn") - col("__k"))).as("__msw"))
+    g.select(col("g").as("group_a"), col("n").as("n_a"), col("s").as("__sa"))
+      .join(g.select(col("g").as("group_b"), col("n").as("n_b"), col("s").as("__sb")),
+        col("group_a") < col("group_b"))
+      .crossJoin(broadcast(msw))
+      .withColumn("__diff",
+        d(col("__sb")) / col("n_b") / 100.0 - d(col("__sa")) / col("n_a") / 100.0)
+      .withColumn("__se",
+        sqrt(col("__msw") / 10000.0 / 2.0 *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        round(col("__diff"), 4).as("diff"),
+        round(abs(col("__diff")) / col("__se"), 4).as("q_stat"))
+  }
+
+  /** Empirical-Bayes rate shrinkage — the "adjusted rating" every
+    * small-sample ranking needs: per-key success rates shrink toward
+    * the population with a beta prior fit by method of moments on the
+    * per-key rates (unweighted mean m and variance v over the key
+    * table; alpha+beta = m(1-m)/v - 1). A key with 2 trials moves
+    * most of the way to the prior; a key with 10k barely moves — the
+    * fix for "100% CTR on 1 impression" topping every leaderboard.
+    *
+    * Determinism: per-key rates quantize to 1e-6 units before the
+    * moment sums (exact longs, squares in decimal(38,0) — the
+    * corpus-moment contract); m, v, the prior, and each shrunk rate
+    * are written-order doubles, 4dp at the projection. Degenerate
+    * priors (v = 0 or alpha+beta <= 0) shrink fully to m. Scale
+    * shape: one (key) combine, a one-row moment aggregate broadcast
+    * back, then a projection.
+    *
+    * Output: (keyCol, n, x, rate, shrunk).
+    */
+  def ebShrinkRates(
+      df: DataFrame,
+      keyCol: String,
+      successCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = (c: Column) => c.cast("double")
+    val keys = df
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol) =!= 0, 1L).otherwise(0L)).as("x"))
+      .withColumn("__ru", round(d(col("x")) / col("n") * 1e6).cast("long"))
+      .localCheckpoint() // feeds the moment aggregate AND the projection
+    val moments = keys.agg(
+      count(lit(1)).as("__k"),
+      sum(col("__ru")).as("__sr"),
+      sum(col("__ru").cast(dec) * col("__ru").cast(dec)).as("__qr"))
+    keys.crossJoin(broadcast(moments))
+      .withColumn("__m", d(col("__sr")) / col("__k") / 1e6)
+      .withColumn("__v",
+        when(col("__k") > 1,
+          (d(col("__qr")) / 1e12 - col("__k") * col("__m") * col("__m")) /
+            (col("__k") - 1)).otherwise(lit(0.0)))
+      .withColumn("__ab",
+        when(col("__v") > 0, col("__m") * (lit(1.0) - col("__m")) / col("__v") - 1.0)
+          .otherwise(lit(0.0)))
+      .withColumn("shrunk",
+        when(col("__ab") > 0,
+          round((d(col("x")) + col("__m") * col("__ab")) /
+            (d(col("n")) + col("__ab")), 4))
+          .otherwise(round(col("__m"), 4)))
+      .select(col(keyCol), col("n"), col("x"),
+        round(d(col("x")) / col("n"), 4).as("rate"), col("shrunk"))
+  }
+
+  /** Sequential SRM guard — the always-valid companion to F41's
+    * fixed-horizon chi-square: a ONE-SAMPLE mSPRT on the assignment
+    * share against the design ratio p0, monitored daily over the
+    * cumulative counts. Variance is the NULL variance p0(1-p0)/N
+    * (deterministic, no plug-in), so Lambda_t =
+    * sqrt(s2/(s2+tau2)) * exp(d^2*tau2/(2*s2*(s2+tau2))) with
+    * d = N_a/N - p0; p_t = running min of min(1, 1/Lambda_t). Pages
+    * the day assignment drift becomes real, with false positives
+    * controlled under daily peeking.
+    *
+    * Scale shape: ONE corpus combine to day grain; cumulative counts
+    * and the running min ride dim-sized day windows (the F58 shape).
+    * Counts are exact longs; Lambda/p are written-order doubles.
+    *
+    * Output: (day, n_a, n, ratio, p_avl, srm).
+    */
+  def msprtSrm(
+      df: DataFrame,
+      groupCol: String,
+      armA: String,
+      dayCol: String,
+      p0: Double = 0.5,
+      tauSq: Double = 1e-4,
+      alpha: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && tauSq > 0)
+    val d = (c: Column) => c.cast("double")
+    val byDay = df
+      .groupBy(col(dayCol).as("day"))
+      .agg(
+        sum(when(col(groupCol) === armA, 1L).otherwise(0L)).as("__na"),
+        count(lit(1)).as("__n"))
+    val w = Window.partitionBy().orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n_a", sum(col("__na")).over(w))
+      .withColumn("n", sum(col("__n")).over(w))
+      .filter(col("n") > 0)
+      .withColumn("__d", d(col("n_a")) / col("n") - lit(p0))
+      .withColumn("__s2", lit(p0 * (1.0 - p0)) / col("n"))
+      .withColumn("__lam",
+        sqrt(col("__s2") / (col("__s2") + lit(tauSq))) *
+          exp(col("__d") * col("__d") * lit(tauSq) /
+            (lit(2.0) * col("__s2") * (col("__s2") + lit(tauSq)))))
+      .withColumn("__p1", least(lit(1.0), lit(1.0) / col("__lam")))
+      .withColumn("p_avl", round(min(col("__p1")).over(w), 4))
+      .select(col("day"), col("n_a"), col("n"),
+        round(d(col("n_a")) / col("n"), 4).as("ratio"), col("p_avl"),
+        (col("p_avl") <= alpha).as("srm"))
+  }
+
+  /** Always-valid inference: mixture SPRT (mSPRT) daily p-value
+    * sequence for a two-arm mean difference (Johari et al. 2017) —
+    * the sequential-testing upgrade of F13's fixed-horizon z-test: a
+    * p_t you may peek at EVERY day and stop the moment it crosses,
+    * without inflating false positives. Lambda_t =
+    * sqrt(s2d/(s2d+tau2)) * exp(d_t^2*tau2/(2*s2d*(s2d+tau2))) with
+    * s2d = pooled-var*(1/n_a+1/n_b) from the CUMULATIVE moments;
+    * p_t = running min of min(1, 1/Lambda_t).
+    *
+    * Determinism: cumulative cent moments ride decimal(38,0) window
+    * sums (exact, order-free); Lambda/p are double expressions in
+    * identical written order at DAY grain; the running min is exact.
+    * Scale shape: ONE corpus combine to day grain, then every window
+    * runs over the dim-sized day table (the sanctioned bare-window-
+    * over-dim shape) — nothing event-grain ever sorts globally.
+    *
+    * Output: (day, n_a, n_b, diff, p_avl, signif) for days where both
+    * cumulative arms have >= 2 observations and positive variance.
+    */
+  def msprtSequence(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      armA: String,
+      armB: String,
+      dayCol: String,
+      tauSq: Double = 1.0,
+      alpha: Double = 0.05): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = (c: Column) => c.cast("double")
+    val cents = round(col(valueCol) * 100).cast("long").cast(dec)
+    val zero = lit(0L).cast(dec)
+    val byDay = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(armA, armB))
+      .groupBy(col(dayCol).as("day"))
+      .agg(
+        sum(when(col(groupCol) === armA, 1L).otherwise(0L)).as("__na"),
+        sum(when(col(groupCol) === armA, cents).otherwise(zero)).as("__sa"),
+        sum(when(col(groupCol) === armA, cents * cents).otherwise(zero)).as("__qa"),
+        sum(when(col(groupCol) === armB, 1L).otherwise(0L)).as("__nb"),
+        sum(when(col(groupCol) === armB, cents).otherwise(zero)).as("__sb"),
+        sum(when(col(groupCol) === armB, cents * cents).otherwise(zero)).as("__qb"))
+    val w = Window.partitionBy().orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byDay
+      .withColumn("n_a", sum(col("__na")).over(w))
+      .withColumn("n_b", sum(col("__nb")).over(w))
+      .withColumn("__csa", sum(col("__sa")).over(w))
+      .withColumn("__cqa", sum(col("__qa")).over(w))
+      .withColumn("__csb", sum(col("__sb")).over(w))
+      .withColumn("__cqb", sum(col("__qb")).over(w))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      // cumulative means/pooled variance in DOLLARS (cents / 100)
+      .withColumn("__ma", d(col("__csa")) / col("n_a") / 100.0)
+      .withColumn("__mb", d(col("__csb")) / col("n_b") / 100.0)
+      .withColumn("__var",
+        ((d(col("__cqa")) / 10000.0 - col("n_a") * col("__ma") * col("__ma")) +
+         (d(col("__cqb")) / 10000.0 - col("n_b") * col("__mb") * col("__mb"))) /
+          (col("n_a") + col("n_b") - 2))
+      .filter(col("__var") > 0)
+      .withColumn("__d", col("__mb") - col("__ma"))
+      .withColumn("__s2d", col("__var") * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      .withColumn("__lam",
+        sqrt(col("__s2d") / (col("__s2d") + lit(tauSq))) *
+          exp(col("__d") * col("__d") * lit(tauSq) /
+            (lit(2.0) * col("__s2d") * (col("__s2d") + lit(tauSq)))))
+      .withColumn("__p1", least(lit(1.0), lit(1.0) / col("__lam")))
+    val wmin = Window.partitionBy().orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum
+      .withColumn("p_avl", round(min(col("__p1")).over(wmin), 4))
+      .select(col("day"), col("n_a"), col("n_b"),
+        round(col("__d"), 4).as("diff"), col("p_avl"),
+        (col("p_avl") <= alpha).as("signif"))
+  }
+
+}

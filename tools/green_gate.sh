@@ -71,7 +71,46 @@ if [ "$WITH_BASELINE" = 1 ]; then
   if SPARK_GRAFT_BENCH_REPS=6 sbt -batch "runMain graft.BaselineBench" \
       > /tmp/green_gate_baseline.log 2>&1; then
     grep -E "ratio|scaffold|novelty|graft|reference" /tmp/green_gate_baseline.log | tail -12
-    echo "[green_gate] record the ratios above in BASELINE.md."
+    # Auto-append the dated section to BASELINE.md (VERDICT r12 item 7:
+    # the print-and-hope handoff went stale in r11; the gate now writes
+    # the record itself).
+    python3 - <<'PYEOF'
+import json, datetime
+rows = {}
+for line in open('/tmp/green_gate_baseline.log'):
+    line = line.strip()
+    if not line.startswith('{'):
+        continue
+    try:
+        d = json.loads(line)
+    except Exception:
+        continue
+    if 'variant' in d:
+        rows[d['variant']] = d
+    elif 'metric' in d:
+        rows[d['metric']] = d['value']
+need = ['reference_scaffold', 'graft', 'reference_novelty', 'graft_novelty',
+        'graft_over_reference', 'graft_over_reference_novelty']
+missing = [k for k in need if k not in rows]
+if missing:
+    raise SystemExit(f'[green_gate] baseline log missing {missing}')
+stamp = datetime.date.today().isoformat()
+sec = lambda v: rows[v]['sec']
+section = f"""
+## Gate run {stamp} (min of 6 interleaved, sf0.1 — auto-appended by green_gate.sh)
+
+Reference scaffold formulation **{sec('reference_scaffold'):.2f} s** vs
+graft **{sec('graft'):.2f} s**
+(**{rows['graft_over_reference']:.2f}x**); reference scoring->novelty
+chain **{sec('reference_novelty'):.2f} s** vs graft
+**{sec('graft_novelty'):.2f} s**
+(**{rows['graft_over_reference_novelty']:.2f}x**). Result identity is
+spec-pinned; the <=2x criterion {'PASSES' if rows['graft_over_reference'] <= 2 and rows['graft_over_reference_novelty'] <= 2 else 'FAILS'}.
+"""
+with open('BASELINE.md', 'a') as f:
+    f.write(section)
+print(f'[green_gate] appended gate-run section ({stamp}) to BASELINE.md.')
+PYEOF
   else
     echo "[green_gate] *** BaselineBench FAILED:"
     tail -20 /tmp/green_gate_baseline.log
