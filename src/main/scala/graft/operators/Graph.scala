@@ -61,10 +61,11 @@ object Graph {
     * rank(v) = (1−d)/N + d · Σ_{u→v} rank(u)/outdeg(u), from a
     * uniform 1/N start.
     *
-    * Shapes: each round is two equi-joins on the (high-cardinality)
-    * node key plus one map-side-combined sum — the standard
-    * distributed formulation; nothing is ever collected and no window
-    * appears. The node count is the only driver-side value (a
+    * Shapes: out-degree is folded onto the rank frame once, so each
+    * round is ONE equi-join on the (high-cardinality) node key plus
+    * one map-side-combined sum and the node-grain re-attach — the
+    * standard distributed formulation; nothing is ever collected and
+    * no window appears. The node count is the only driver-side value (a
     * constant-size aggregate scalar, the same sanctioned shape as
     * `Dedup.clusters`' convergence probe). Lineage is TRUNCATED with
     * an eager `localCheckpoint()` every `checkpointEvery` rounds (and
@@ -99,19 +100,27 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    val n = nodes.count()
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    // out-degree folds onto the rank frame ONCE (checkpointed,
+    // node-grain), so each round pays one edge-side join instead of
+    // two — 8 joins saved over the default run (VERDICT r12 item 8).
+    // Dangling nodes (no out-edges) carry deg 1; their rank/deg is
+    // never read because the contribution join keys on edge sources.
+    val nodeDeg = nodes
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(1L)).as("deg"))
+      .localCheckpoint()
+    val n = nodeDeg.count()
+    var ranks = nodeDeg.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var atCkpt = ranks
     var i = 1
     var converged = false
     while (i <= iters && !converged) {
       val contribs = e
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("csum"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
-        .select(col("id"),
+      ranks = nodeDeg.join(contribs, Seq("id"), "left")
+        .select(col("id"), col("deg"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("csum"), lit(0.0))).as("rank"))
       if (i % checkpointEvery == 0 || i == iters) {
@@ -128,7 +137,10 @@ object Graph {
       }
       i += 1
     }
-    ranks
+    // the returned frame is checkpointed (every exit path ends on a
+    // checkpoint boundary), so the degree table can release its cache
+    nodeDeg.unpersist()
+    ranks.select("id", "rank")
   }
   /** Component size distribution — the shape report over G2b's
     * clustering: how many components of each size, plus each size
