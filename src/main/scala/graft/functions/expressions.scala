@@ -574,8 +574,10 @@ object JaroWinkler {
   *    when it is the scheme default (http:80, https:443), kept
   *    otherwise;
   *  - the `#fragment` is dropped;
-  *  - ONE trailing `/` is stripped from the path (`/a/` → `/a`,
-  *    `/` → ``);
+  *  - trailing `/`s are stripped from the path (`/a/` → `/a`,
+  *    `/` → ``, `//` → `` — ALL of them, which is what makes the
+  *    expression idempotent: canonical(canonical(x)) = canonical(x),
+  *    fuzz-pinned in PropertySpec);
   *  - query params whose lowercased key starts with `utm_` or is one
   *    of gclid/fbclid/msclkid/igshid/ref are removed (as are empty
   *    `&&` segments), remaining params keep their order; an emptied
@@ -639,7 +641,9 @@ object CanonicalUrl {
     val q = tail.indexOf('?')
     val path = if (q >= 0) tail.substring(0, q) else tail
     val query = if (q >= 0) tail.substring(q + 1) else ""
-    val cpath = if (path.endsWith("/")) path.substring(0, path.length - 1) else path
+    var pEnd = path.length
+    while (pEnd > 0 && path.charAt(pEnd - 1) == '/') pEnd -= 1
+    val cpath = path.substring(0, pEnd)
     val kept = new StringBuilder
     if (query.nonEmpty) {
       var start = 0

@@ -2535,8 +2535,8 @@ private[graft] object PipelineQueries {
          |SELECT idA, idB, jaccard FROM verified WHERE jaccard >= 0.8""".stripMargin,
     // Canonical-URL replay: every rule of the native expression spelled
     // in DuckDB string functions — scheme/host lowercase, default-port
-    // strip (http:80 / https:443), fragment cut, ONE trailing slash off
-    // the path, tracking params (utm_* prefix + exact gclid/fbclid/
+    // strip (http:80 / https:443), fragment cut, ALL trailing slashes
+    // off the path, tracking params (utm_* prefix + exact gclid/fbclid/
     // msclkid/igshid/ref keys) and empty `&&` segments dropped with
     // order preserved. No-scheme inputs → NULL. The domain re-extracts
     // from the CANONICAL string with the identical regex as the engine.
@@ -2574,7 +2574,7 @@ private[graft] object PipelineQueries {
          |),
          |p5 AS (
          |  SELECT *,
-         |         regexp_replace(path, '/$$', '') AS cpath,
+         |         regexp_replace(path, '/+$$', '') AS cpath,
          |         array_to_string(list_filter(string_split(qs, '&'), q ->
          |           q <> '' AND NOT regexp_matches(lower(q),
          |             '^(utm_|gclid(=|$$)|fbclid(=|$$)|msclkid(=|$$)|igshid(=|$$)|ref(=|$$))')),

@@ -431,9 +431,11 @@ class FunctionsSpec extends SparkSpec {
     // exact-key match only: gclidx and ref_src are NOT tracking keys
     assert(cu("http://a.com/?gclidx=1&ref=x&ref_src=y") ==
       "http://a.com?gclidx=1&ref_src=y")
-    // path-less and query-only forms; ONE trailing slash stripped
+    // path-less and query-only forms; ALL trailing slashes stripped
+    // (idempotence: canonical(canonical(x)) == canonical(x))
     assert(cu("http://a.com") == "http://a.com")
-    assert(cu("http://a.com//") == "http://a.com/")
+    assert(cu("http://a.com//") == "http://a.com")
+    assert(cu("http://a.com/a//") == "http://a.com/a")
     assert(cu("http://a.com?ref=x") == "http://a.com")
     // not a URL → null (no scheme, empty scheme, scheme with /?#)
     assert(cu("no scheme here") == null)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HarmonicScore, TopKBuffer}
+import graft.functions.{CanonicalUrl, HarmonicScore, TopKBuffer}
 
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
@@ -227,6 +227,32 @@ class PropertySpec extends AnyFunSuite {
       val v = jw(sa, ta)
       v >= 0.0 && v <= 1.0 && v == jw(ta, sa) &&
         (sa != ta || sa.isEmpty || v == 1.0)
+    })
+  }
+
+  test("CanonicalUrl is idempotent on arbitrary URL-ish strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def cu(s: String): String = {
+      val r = CanonicalUrl.evalStatic(UTF8String.fromString(s))
+      if (r == null) null else r.toString
+    }
+    val scheme = Gen.oneOf("http", "HTTP", "https", "HtTpS", "ftp", "")
+    val host = Gen.oneOf("A.com", "x.ORG", "Sub.Host.net", "h", "")
+    val port = Gen.oneOf("", ":80", ":443", ":8080", ":0443", ":x80")
+    val path = Gen.listOf(Gen.oneOf("/A", "/b", "//", "/", "")).map(_.mkString)
+    val qseg = Gen.oneOf("utm_source=x", "UTM_X=1", "gclid=2", "ref",
+      "id=3", "a=b=c", "", "k")
+    val query = Gen.listOf(qseg).map(s =>
+      if (s.isEmpty) "" else "?" + s.mkString("&"))
+    val frag = Gen.oneOf("", "#f", "#a#b")
+    val url = for {
+      sc <- scheme; h <- host; p <- port
+      pa <- path; q <- query; f <- frag
+    } yield s"$sc://$h$p$pa$q$f"
+    check(Prop.forAll(url) { (u: String) =>
+      val once = cu(u)
+      // non-URLs (empty scheme) go null; canonicals are fixed points
+      once == null || cu(once) == once
     })
   }
 }

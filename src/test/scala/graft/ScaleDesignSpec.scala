@@ -720,7 +720,7 @@ class ScaleDesignSpec extends SparkSpec {
     assert(new GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
     assert(GraftExtensions.functions.map(_._1).toSet ==
       Set("harmonic_score", "word_shingles", "minhash_signature", "topk_harmonic",
-        "topk_collect", "rolling_minhash", "hll_distinct",
+        "topk_collect", "rolling_minhash", "hll_distinct", "canonical_url",
         "cms_sketch", "cms_estimate", "bloom_sketch", "bloom_might_contain",
         "hll_state", "hll_merge", "vector_sum",
         "bitmap_distinct", "bitmap_state", "bitmap_merge", "jaro_winkler",
