@@ -76,12 +76,33 @@ case class HllSketch(
 
   override def createAggregationBuffer(): HllRegisters = new HllRegisters(p)
 
+  // lazy: the analyzer copies this node while the child is still
+  // unresolved, and dataType on an unresolved child throws
+  private lazy val binaryInput: Boolean =
+    child.dataType == org.apache.spark.sql.types.BinaryType
+
   override def update(buffer: HllRegisters, input: InternalRow): HllRegisters = {
     val v = child.eval(input)
     if (v != null) {
-      val hex = v.asInstanceOf[UTF8String].toString
-      val idx = Integer.parseInt(hex.substring(0, 3), 16)
-      val w = java.lang.Long.parseLong(hex.substring(3, 16), 16)
+      // Register coordinates = the md5's first 64 bits: top 12 bits the
+      // index, next 52 the rank payload. Two equivalent encodings of
+      // the child: raw 16-byte md5 (BinaryType — the ngram_md5s path,
+      // zero decode work) or lowercase md5 hex (StringType — nibbles
+      // parsed straight off the UTF8String bytes, no substring/String
+      // allocation per row). Identical registers either way, so the
+      // oracle replay is shared.
+      var hi = 0L
+      if (binaryInput) {
+        val b = v.asInstanceOf[Array[Byte]]
+        var i = 0
+        while (i < 8) { hi = (hi << 8) | (b(i) & 0xffL); i += 1 }
+      } else {
+        val hex = v.asInstanceOf[UTF8String]
+        var i = 0
+        while (i < 16) { hi = (hi << 4) | HllSketch.nibble(hex.getByte(i)); i += 1 }
+      }
+      val idx = (hi >>> 52).toInt
+      val w = hi & ((1L << 52) - 1)
       // rank = leading zeros of the 52-bit payload + 1 = 53 − bitlen(w)
       val rho = if (w == 0L) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
       buffer.add(idx, rho)
@@ -184,6 +205,10 @@ object HllSketch {
   /** 2^53 as an exact double. */
   val Pow53: Double = 9007199254740992.0
 
+  /** Hex nibble value of a lowercase-hex ASCII byte. */
+  @inline private[functions] def nibble(b: Byte): Int =
+    if (b >= 'a') b - 'a' + 10 else b - '0'
+
   /** Approximate distinct count of `value` (any type; hashed through
     * md5 of its string form so external oracles can replay it).
     */
@@ -191,6 +216,14 @@ object HllSketch {
     import org.apache.spark.sql.functions.md5
     columnOf(HllSketch(expressionOf(md5(value.cast("string"))), p).toAggregateExpression())
   }
+
+  /** Approximate distinct count of ALREADY-md5'd values (16-byte
+    * binary, e.g. [[NgramMd5Structs]] output) — same registers and
+    * estimate as [[hllDistinct]] of the pre-image, zero decode work
+    * per row.
+    */
+  def hllDistinctHashed(md5bin: Column, p: Int = 12): Column =
+    columnOf(HllSketch(expressionOf(md5bin), p).toAggregateExpression())
 
   /** The register file of `value`'s sketch, as bytes (store at fine
     * grain, roll up later with [[hllMergeEstimate]]).

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.{columnOf, expressionOf}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the text-dedup hot paths.
@@ -44,6 +44,12 @@ private[graft] object NativeText {
   /** Native harmonic-sum score; see [[HarmonicScore]]. */
   def harmonic(scores: Column, k: Int, maxScore: Double): Column =
     columnOf(HarmonicScore(expressionOf(scores), k, maxScore))
+
+  /** All word n-grams for every n in `ns`, md5-reduced in one pass;
+    * see [[NgramMd5Structs]].
+    */
+  def ngramMd5s(text: Column, ns: Seq[Int]): Column =
+    columnOf(NgramMd5Structs(expressionOf(text), ns))
 
   /** Native long-array dot product; see [[LongDot]]. */
   def longDot(a: Column, b: Column): Column =
@@ -670,5 +676,86 @@ object CanonicalUrl {
     out.append(cpath)
     if (kept.nonEmpty) out.append('?').append(kept)
     UTF8String.fromString(out.toString)
+  }
+}
+
+/** `ngram_md5s(text, ns)`: every word n-gram of `text` for every n in
+  * `ns`, reduced to its 16-byte md5, in ONE JVM pass — the corpus-scale
+  * construction step of the G93/G93b distinct-n reports. Replaces the
+  * interpreted HOF chain (sequence→transform→concat_ws→md5 per
+  * element), which dominated q294/q314 wall time: words split once,
+  * each gram's digest runs over the word byte-slices joined by 0x20 —
+  * byte-identical to `unhex(md5(concat_ws(" ", w_i..w_{i+n-1})))`, so
+  * the DuckDB oracles are untouched. Output rides the exchange as
+  * (n, 16-byte binary), never gram text.
+  *
+  * Output: array<struct<n: long, h: binary>> (non-distinct, in n-then-
+  * position order; fewer than n words contribute nothing for that n).
+  */
+case class NgramMd5Structs(child: Expression, ns: Seq[Int])
+    extends UnaryExpression {
+
+  require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1, got $ns")
+
+  private val nsArr: Array[Int] = ns.toArray
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("h", BinaryType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "ngram_md5s"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramMd5Structs.evalStatic(input.asInstanceOf[UTF8String], nsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ns", nsArr, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NgramMd5Structs.evalStatic($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramMd5Structs =
+    copy(child = newChild)
+}
+
+object NgramMd5Structs {
+  def evalStatic(text: UTF8String, ns: Array[Int]): ArrayData = {
+    val words = NativeText.splitWords(text)
+    val wb = new Array[Array[Byte]](words.length)
+    var i = 0
+    while (i < words.length) { wb(i) = words(i).getBytes; i += 1 }
+    val md = MessageDigest.getInstance("MD5")
+    var total = 0
+    var t = 0
+    while (t < ns.length) {
+      if (words.length >= ns(t)) total += words.length - ns(t) + 1
+      t += 1
+    }
+    val out = new Array[Any](total)
+    var p = 0
+    t = 0
+    while (t < ns.length) {
+      val n = ns(t)
+      if (words.length >= n) {
+        val nl = java.lang.Long.valueOf(n.toLong)
+        i = 0
+        while (i <= words.length - n) {
+          md.reset()
+          var j = 0
+          while (j < n) {
+            if (j > 0) md.update(' '.toByte)
+            md.update(wb(i + j))
+            j += 1
+          }
+          out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](nl, md.digest()))
+          p += 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -1106,7 +1106,9 @@ object TextAnalysis {
     * (complements G14's intra-doc repetition with a cross-doc view).
     *
     * Scale shape: ONE corpus scan builds every n's shingles in-row
-    * and reduces each to md5 BEFORE the exchange (the engine's
+    * ([[graft.functions.NgramMd5Structs]] — one native JVM pass per
+    * doc; the interpreted HOF chain was the q294 wall) and reduces
+    * each to md5 BEFORE the exchange (the engine's
     * hash-only-shuffle contract — gram text never rides a shuffle);
     * occurrence counts map-side combine at (slice, n, hash) grain,
     * then roll up to (slice, n). Exact distinct via the two-level
@@ -1129,9 +1131,7 @@ object TextAnalysis {
     val grams = df
       .filter(length(col(textCol)) > 0)
       .select(col(groupCol).as("__g"),
-        explode(flatten(array(ns.map(n =>
-          transform(Dedup.shingles(col(textCol), n),
-            s => struct(lit(n.toLong).as("n"), unhex(md5(s)).as("h")))): _*))).as("__p"))
+        explode(graft.functions.NativeText.ngramMd5s(col(textCol), ns)).as("__p"))
       .select(col("__g"), col("__p.n").as("n"), col("__p.h").as("__h"))
     grams
       .groupBy("__g", "n", "__h").agg(count(lit(1)).as("__c"))
@@ -1169,14 +1169,12 @@ object TextAnalysis {
     val grams = df
       .filter(length(col(textCol)) > 0)
       .select(col(groupCol).as("__g"),
-        explode(flatten(array(ns.map(n =>
-          transform(Dedup.shingles(col(textCol), n),
-            s => struct(lit(n.toLong).as("n"), s.as("s")))): _*))).as("__p"))
-      .select(col("__g"), col("__p.n").as("n"), col("__p.s").as("__s"))
+        explode(graft.functions.NativeText.ngramMd5s(col(textCol), ns)).as("__p"))
+      .select(col("__g"), col("__p.n").as("n"), col("__p.h").as("__h"))
     grams
       .groupBy("__g", "n")
       .agg(count(lit(1)).as("total_ngrams"),
-        graft.functions.HllSketch.hllDistinct(col("__s"), p).as("__est"))
+        graft.functions.HllSketch.hllDistinctHashed(col("__h"), p).as("__est"))
       .select(col("__g").as(groupCol), col("n"), col("total_ngrams"),
         round(col("__est"), 4).as("approx_distinct"),
         round(col("__est") / col("total_ngrams"), 6).as("approx_ratio"))
