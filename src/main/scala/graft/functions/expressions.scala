@@ -51,6 +51,12 @@ private[graft] object NativeText {
   def ngramMd5s(text: Column, ns: Seq[Int]): Column =
     columnOf(NgramMd5Structs(expressionOf(text), ns))
 
+  /** All word n-grams, duplicates kept in position order; see
+    * [[WordShinglesAll]].
+    */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    columnOf(WordShinglesAll(expressionOf(text), n))
+
   /** Native long-array dot product; see [[LongDot]]. */
   def longDot(a: Column, b: Column): Column =
     columnOf(LongDot(expressionOf(a), expressionOf(b)))
@@ -755,6 +761,54 @@ object NgramMd5Structs {
         }
       }
       t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `word_shingles_all(text, n)`: every word n-gram (tokens joined by
+  * one space), duplicates KEPT in position order — the tf-weighted
+  * counterpart of [[WordShinglesDistinct]] (set operators dedupe;
+  * tf-cosine weights the repeats). One JVM pass; replaces the
+  * interpreted sequence→transform→concat_ws chain on the q142 hot
+  * path. Fewer than n words → empty array.
+  */
+case class WordShinglesAll(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles_all"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShinglesAll.evalStatic(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordShinglesAll.evalStatic($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesAll =
+    copy(child = newChild)
+}
+
+object WordShinglesAll {
+  private val Space = UTF8String.fromString(" ")
+
+  def evalStatic(text: UTF8String, n: Int): ArrayData = {
+    val words = NativeText.splitWords(text)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - n + 1)
+    var i = 0
+    while (i <= words.length - n) {
+      var shingle = words(i)
+      var j = 1
+      while (j < n) {
+        shingle = UTF8String.concat(shingle, Space, words(i + j))
+        j += 1
+      }
+      out(i) = shingle
+      i += 1
     }
     new GenericArrayData(out)
   }

@@ -471,14 +471,15 @@ object TextAnalysis {
       minCos: Double = 0.8,
       maxDf: Int = 100): DataFrame = {
     // shingles WITH duplicates (unlike NativeText.wordShingles, which
-    // dedupes for set-overlap operators) — tf weights are the point
+    // dedupes for set-overlap operators) — tf weights are the point;
+    // native one-pass construction (the interpreted transform/
+    // concat_ws chain was this query's wall)
     val w = words(col(textCol))
     val tf = df
       .filter(size(w) >= 3)
       .select(col(idCol).as("id"),
-        explode(transform(sequence(lit(1), size(w) - 2), i =>
-          concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-            element_at(w, i + 2)))).as("word"))
+        explode(graft.functions.NativeText.wordShinglesAll(col(textCol), 3))
+          .as("word"))
       .groupBy("id", "word").agg(count(lit(1)).as("tf"))
     val nrm = tf.groupBy("id").agg(sum(col("tf") * col("tf")).as("n2"))
     val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))

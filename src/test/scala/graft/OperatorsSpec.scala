@@ -1642,6 +1642,32 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.contains(("s2", 1L)))
   }
 
+  test("NgramMd5Structs/WordShinglesAll match their HOF formulations") {
+    // the native one-pass constructions must be byte-identical to the
+    // builtin chains they replaced (the oracles replay the builtins)
+    val docs = Seq("a b a b", "x", "", "a  b c", "one two three four")
+      .toDF("text")
+    val viaNative = docs.select(
+      explode(graft.functions.NativeText.ngramMd5s(col("text"), Seq(1, 2, 3)))
+        .as("p"))
+      .select(col("p.n"), hex(col("p.h")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val viaHof = docs.select(
+      explode(flatten(array(Seq(1, 2, 3).map(n =>
+        transform(Dedup.shingles(col("text"), n),
+          s => struct(lit(n.toLong).as("n"), unhex(md5(s)).as("h")))): _*)))
+        .as("p"))
+      .select(col("p.n"), hex(col("p.h")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(viaNative == viaHof)
+    val allNative = docs.select(
+      graft.functions.NativeText.wordShinglesAll(col("text"), 2).as("sh"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val allHof = docs.select(Dedup.shingles(col("text"), 2).as("sh"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(allNative == allHof)
+  }
+
   test("TextAnalysis.stupidBackoff: hand-computed backoff chain") {
     // ref (en): "a b c a b c" → c3: abc=2 bca=1 cab=1; c2: ab=2 bc=2
     // ca=1; c1: a=b=c=2, N=6

@@ -30,7 +30,9 @@ class ScaleDesignSpec extends SparkSpec {
       "pearson_p" -> pearsonP(c, c),
       "jaro_winkler" -> jaroWinkler(c, c),
       "nfc_normalize" -> nfcNormalize(c),
-      "canonical_url" -> canonicalUrl(c))
+      "canonical_url" -> canonicalUrl(c),
+      "word_shingles_all" -> NativeText.wordShinglesAll(c, 3),
+      "ngram_md5s" -> NativeText.ngramMd5s(c, Seq(1, 2, 3)))
     for ((name, column) <- natives)
       assert(!expressionOf(column)
           .isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback],
