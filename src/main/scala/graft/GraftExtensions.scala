@@ -266,36 +266,32 @@ object GraftExtensions {
       }),
     ("bitmap_distinct",
       info("bitmap_distinct",
-        "bitmap_distinct(value[, n_bits]) - EXACT distinct count over a bounded integer domain"),
+        "bitmap_distinct(value) - EXACT distinct count of any long column (sparse bitmap)"),
       (args: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.Cast
         import org.apache.spark.sql.types.LongType
         args match {
           case Seq(c) => graft.functions.BitmapAgg(Cast(c, LongType))
-          case Seq(c, n) => graft.functions.BitmapAgg(Cast(c, LongType), intArg(n, "n_bits"))
-          case _ => throw new IllegalArgumentException("bitmap_distinct takes 1-2 arguments")
+          case _ => throw new IllegalArgumentException("bitmap_distinct takes 1 argument")
         }
       }),
     ("bitmap_state",
       info("bitmap_state",
-        "bitmap_state(value[, n_bits]) - bitset file as bytes (store fine, roll up with bitmap_merge)"),
+        "bitmap_state(value) - bitset file as bytes (store fine, roll up with bitmap_merge)"),
       (args: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.Cast
         import org.apache.spark.sql.types.LongType
         args match {
           case Seq(c) => graft.functions.BitmapAgg(Cast(c, LongType), evalState = true)
-          case Seq(c, n) =>
-            graft.functions.BitmapAgg(Cast(c, LongType), intArg(n, "n_bits"), evalState = true)
-          case _ => throw new IllegalArgumentException("bitmap_state takes 1-2 arguments")
+          case _ => throw new IllegalArgumentException("bitmap_state takes 1 argument")
         }
       }),
     ("bitmap_merge",
       info("bitmap_merge",
-        "bitmap_merge(state[, n_bits]) - OR stored bitset files to the exact merged distinct count"),
+        "bitmap_merge(state) - OR stored bitset files to the exact merged distinct count"),
       (args: Seq[Expression]) => args match {
         case Seq(c) => graft.functions.BitmapMerge(c)
-        case Seq(c, n) => graft.functions.BitmapMerge(c, intArg(n, "n_bits"))
-        case _ => throw new IllegalArgumentException("bitmap_merge takes 1-2 arguments")
+        case _ => throw new IllegalArgumentException("bitmap_merge takes 1 argument")
       }))
 
   /** Register on a live session (tests/notebooks). */

@@ -8,44 +8,72 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftshim.{columnOf, expressionOf}
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
-/** Fixed-domain bitset: one bit per possible id. */
-final class BitmapBits(val nBits: Int) extends Serializable {
-  val words = new Array[Long]((nBits + 63) >>> 6)
+/** Sparse roaring-style bitset: dense 2^16-bit containers keyed by the
+  * value's high 48 bits (arithmetic shift — negatives work), created
+  * on demand. Exact membership over the FULL long domain: the original
+  * fixed-domain bitset `require`d ids < 2^20, which the sf1 synthetic
+  * gate caught the moment realistic (remapped, 10^7-range) ids arrived
+  * — an exact-distinct sketch for a 100 TB engine cannot assume a
+  * dense small universe. State is O(touched containers): 8 KB per
+  * 65,536-value block, and serialization writes sparse containers as
+  * value arrays (≤ 512 set bits → 2 bytes/value), so clustered id
+  * blocks stay compact and scattered ids don't pay the dense page.
+  */
+final class BitmapBits extends Serializable {
+  // container key (v >> 16) -> 1024-long dense bitset of the low 16 bits
+  val containers = new java.util.HashMap[java.lang.Long, Array[Long]]()
+
   def set(v: Long): Unit = {
-    require(v >= 0 && v < nBits,
-      s"bitmap_distinct: value $v outside domain [0, $nBits)")
-    words((v >>> 6).toInt) |= 1L << (v & 63)
+    val key = java.lang.Long.valueOf(v >> 16)
+    var c = containers.get(key)
+    if (c == null) { c = new Array[Long](1024); containers.put(key, c) }
+    val lo = (v & 0xffff).toInt
+    c(lo >>> 6) |= 1L << (lo & 63)
   }
+
   def or(o: BitmapBits): Unit = {
-    var i = 0
-    while (i < words.length) { words(i) |= o.words(i); i += 1 }
+    val it = o.containers.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val mine = containers.get(e.getKey)
+      if (mine == null) containers.put(e.getKey, e.getValue.clone())
+      else {
+        val theirs = e.getValue
+        var i = 0
+        while (i < 1024) { mine(i) |= theirs(i); i += 1 }
+      }
+    }
   }
+
   def popCount: Long = {
-    var n = 0L; var i = 0
-    while (i < words.length) { n += java.lang.Long.bitCount(words(i)); i += 1 }
+    var n = 0L
+    val it = containers.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      var i = 0
+      while (i < 1024) { n += java.lang.Long.bitCount(c(i)); i += 1 }
+    }
     n
   }
 }
 
-/** EXACT distinct count over a bounded integer domain, as a mergeable
-  * bitmap aggregate (the ClickHouse `groupBitmap` / roaring-bitmap
-  * shape, dense because the driver ids here are dense). Distinct
-  * counts don't add across groups — but bitmaps OR: store the bitset
-  * at fine grain once and roll it up to ANY coarser grain with
-  * [[BitmapMerge]], getting exact (not HLL-approximate) distincts at
-  * every grain. OR is associative/commutative/idempotent, so any
-  * rollup path equals the direct bitmap — the q138 oracle pins rolled
-  * = `count(DISTINCT ...)`.
+/** EXACT distinct count as a mergeable sparse-bitmap aggregate (the
+  * ClickHouse `groupBitmap` / roaring-bitmap shape). Distinct counts
+  * don't add across groups — but bitmaps OR: store the bitset at fine
+  * grain once and roll it up to ANY coarser grain with [[BitmapMerge]],
+  * getting exact (not HLL-approximate) distincts at every grain. OR is
+  * associative/commutative/idempotent, so any rollup path equals the
+  * direct bitmap — the q138 oracle pins rolled = `count(DISTINCT ...)`.
   *
-  * Scale: constant nBits/8 bytes of state per group (128 KB at the
-  * 2^20 default) with full map-side combine; the shuffle carries one
-  * bitset per group, never the rows. The domain bound is enforced
-  * per row — ids past the capacity fail loudly rather than aliasing;
-  * for unbounded domains use [[HllSketch]] instead.
+  * Scale: full map-side combine; the shuffle carries one bitset per
+  * group (8 KB per touched 65,536-id block, sparse blocks serialized
+  * as value arrays), never the rows. Any long value is admissible —
+  * exactness over an unbounded domain costs O(distinct) state by
+  * definition; when that is too much, [[HllSketch]] is the 4 KB
+  * constant-state alternative.
   */
 case class BitmapAgg(
     child: Expression,
-    nBits: Int = 1 << 20,
     evalState: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
@@ -56,7 +84,7 @@ case class BitmapAgg(
   override def prettyName: String =
     if (evalState) "bitmap_state" else "bitmap_distinct"
 
-  override def createAggregationBuffer(): BitmapBits = new BitmapBits(nBits)
+  override def createAggregationBuffer(): BitmapBits = new BitmapBits
 
   override def update(buffer: BitmapBits, input: InternalRow): BitmapBits = {
     val v = child.eval(input)
@@ -71,18 +99,71 @@ case class BitmapAgg(
   override def eval(buffer: BitmapBits): Any =
     if (evalState) serialize(buffer) else buffer.popCount
 
+  // Format: int nContainers, then per container: long key, int nSet,
+  // then (nSet <= 512) nSet shorts of set low-16 values, else the 1024
+  // raw words. Sparse blocks cost 2 bytes per value, dense ones 8 KB.
   override def serialize(buffer: BitmapBits): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buffer.words.length)
-    bb.putInt(buffer.nBits)
-    buffer.words.foreach(bb.putLong)
+    var size = 4
+    val it0 = buffer.containers.values().iterator()
+    while (it0.hasNext) {
+      val c = it0.next()
+      var n = 0
+      var i = 0
+      while (i < 1024) { n += java.lang.Long.bitCount(c(i)); i += 1 }
+      size += 8 + 4 + (if (n <= 512) 2 * n else 8 * 1024)
+    }
+    val bb = java.nio.ByteBuffer.allocate(size)
+    bb.putInt(buffer.containers.size())
+    val it = buffer.containers.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      var n = 0
+      var i = 0
+      while (i < 1024) { n += java.lang.Long.bitCount(c(i)); i += 1 }
+      bb.putLong(e.getKey.longValue())
+      bb.putInt(n)
+      if (n <= 512) {
+        i = 0
+        while (i < 1024) {
+          var w = c(i)
+          while (w != 0L) {
+            val b = java.lang.Long.numberOfTrailingZeros(w)
+            bb.putShort(((i << 6) | b).toShort)
+            w &= w - 1
+          }
+          i += 1
+        }
+      } else {
+        i = 0
+        while (i < 1024) { bb.putLong(c(i)); i += 1 }
+      }
+    }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): BitmapBits = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val buf = new BitmapBits(bb.getInt())
-    var i = 0
-    while (i < buf.words.length) { buf.words(i) = bb.getLong(); i += 1 }
+    val buf = new BitmapBits
+    var k = bb.getInt()
+    while (k > 0) {
+      val key = java.lang.Long.valueOf(bb.getLong())
+      val n = bb.getInt()
+      val c = new Array[Long](1024)
+      if (n <= 512) {
+        var j = 0
+        while (j < n) {
+          val lo = bb.getShort() & 0xffff
+          c(lo >>> 6) |= 1L << (lo & 63)
+          j += 1
+        }
+      } else {
+        var i = 0
+        while (i < 1024) { c(i) = bb.getLong(); i += 1 }
+      }
+      buf.containers.put(key, c)
+      k -= 1
+    }
     buf
   }
 
@@ -99,24 +180,18 @@ case class BitmapAgg(
   */
 case class BitmapMerge(
     child: Expression,
-    nBits: Int = 1 << 20,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[BitmapBits] with UnaryLike[Expression] {
 
-  private val inner = BitmapAgg(child, nBits)
+  private val inner = BitmapAgg(child)
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def prettyName: String = "bitmap_merge"
-  override def createAggregationBuffer(): BitmapBits = new BitmapBits(nBits)
+  override def createAggregationBuffer(): BitmapBits = new BitmapBits
   override def update(b: BitmapBits, in: InternalRow): BitmapBits = {
     val v = child.eval(in)
-    if (v != null) {
-      val o = inner.deserialize(v.asInstanceOf[Array[Byte]])
-      require(o.nBits == b.nBits,
-        s"bitmap_merge capacity mismatch: ${o.nBits} vs ${b.nBits}")
-      b.or(o)
-    }
+    if (v != null) b.or(inner.deserialize(v.asInstanceOf[Array[Byte]]))
     b
   }
   override def merge(b: BitmapBits, o: BitmapBits): BitmapBits = { b.or(o); b }
@@ -132,19 +207,19 @@ case class BitmapMerge(
 }
 
 object BitmapSketch {
-  /** Exact distinct count of a bounded-domain long column. */
-  def bitmapDistinct(value: Column, nBits: Int = 1 << 20): Column =
-    columnOf(BitmapAgg(expressionOf(value.cast("long")), nBits)
+  /** Exact distinct count of any long column (sparse bitmap). */
+  def bitmapDistinct(value: Column): Column =
+    columnOf(BitmapAgg(expressionOf(value.cast("long")))
       .toAggregateExpression())
 
   /** The bitset file, as bytes — store at fine grain, roll up later
     * with [[bitmapMergeCount]] for exact distincts at any grain.
     */
-  def bitmapState(value: Column, nBits: Int = 1 << 20): Column =
-    columnOf(BitmapAgg(expressionOf(value.cast("long")), nBits, evalState = true)
+  def bitmapState(value: Column): Column =
+    columnOf(BitmapAgg(expressionOf(value.cast("long")), evalState = true)
       .toAggregateExpression())
 
   /** OR stored bitset files to the exact merged distinct count. */
-  def bitmapMergeCount(states: Column, nBits: Int = 1 << 20): Column =
-    columnOf(BitmapMerge(expressionOf(states), nBits).toAggregateExpression())
+  def bitmapMergeCount(states: Column): Column =
+    columnOf(BitmapMerge(expressionOf(states)).toAggregateExpression())
 }

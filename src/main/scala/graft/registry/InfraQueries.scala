@@ -165,13 +165,12 @@ private[graft] object InfraQueries {
       t.events
         .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
         .groupBy("event_type", "day")
-        .agg(graft.functions.BitmapSketch.bitmapState(col("user_id"), 1 << 16)
-            .as("bm"),
+        .agg(graft.functions.BitmapSketch.bitmapState(col("user_id")).as("bm"),
           count(lit(1)).as("n"))
         .groupBy("event_type")
         .agg(count(lit(1)).cast("long").as("n_days"),
           sum("n").cast("long").as("n_events"),
-          graft.functions.BitmapSketch.bitmapMergeCount(col("bm"), 1 << 16)
+          graft.functions.BitmapSketch.bitmapMergeCount(col("bm"))
             .as("u_exact"))
     }),
     "q137_cms_rollup" -> ((s, dir) => {

@@ -294,31 +294,43 @@ class FunctionsSpec extends SparkSpec {
   test("bitmapDistinct: exact, duplication/partitioning-invariant; state rollup = direct") {
     val rows = spark.range(0, 5000)
       .select((col("id") % 700).as("v"), (col("id") % 3).as("g"))
-    val exact = rows.agg(BitmapSketch.bitmapDistinct(col("v"), 1 << 12))
+    val exact = rows.agg(BitmapSketch.bitmapDistinct(col("v")))
       .head().getLong(0)
     assert(exact == 700L)
-    val re = rows.repartition(11).agg(BitmapSketch.bitmapDistinct(col("v"), 1 << 12))
+    val re = rows.repartition(11).agg(BitmapSketch.bitmapDistinct(col("v")))
       .head().getLong(0)
     assert(re == 700L, "merge must be bitwise OR")
     // fine grain (g) states ORed back together == global distinct
     val rolled = rows.groupBy("g")
-      .agg(BitmapSketch.bitmapState(col("v"), 1 << 12).as("bm"))
-      .agg(BitmapSketch.bitmapMergeCount(col("bm"), 1 << 12))
+      .agg(BitmapSketch.bitmapState(col("v")).as("bm"))
+      .agg(BitmapSketch.bitmapMergeCount(col("bm")))
       .head().getLong(0)
     assert(rolled == 700L, "bitmap rollup must equal the direct distinct")
     // per-group counts match exact count(DISTINCT)
     val per = rows.groupBy("g")
-      .agg(BitmapSketch.bitmapDistinct(col("v"), 1 << 12).as("u"),
+      .agg(BitmapSketch.bitmapDistinct(col("v")).as("u"),
         countDistinct(col("v")).as("cd"))
       .collect()
     per.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
   }
 
-  test("bitmapDistinct fails loudly outside the domain instead of aliasing") {
-    val bad = spark.range(0, 10).select((col("id") + 4090).as("v"))
-      .agg(BitmapSketch.bitmapDistinct(col("v"), 1 << 12))
-    val e = intercept[Exception](bad.head())
-    assert(e.getMessage != null)
+  test("bitmapDistinct: sparse long domain — scattered, huge, negative ids") {
+    // the sf1 gate's catch: the old fixed-domain bitset required
+    // v < 2^20; realistic remapped ids (10^7-range blocks, plus
+    // negatives and Long extremes here) must count exactly
+    val vals = Seq(0L, 1L, -1L, -65536L, 65536L, 10_000_001L, 90_000_001L,
+      Long.MaxValue, Long.MinValue, 10_000_001L, 0L)
+    val rows = vals.toDF("v")
+    val exact = rows.repartition(3).agg(BitmapSketch.bitmapDistinct(col("v")))
+      .head().getLong(0)
+    assert(exact == vals.distinct.size.toLong)
+    // dense-container path too (> 512 set bits in one 65,536 block
+    // exercises the dense serialization branch)
+    val dense = spark.range(0, 5000)
+      .agg(BitmapSketch.bitmapState(col("id")).as("bm"))
+      .agg(BitmapSketch.bitmapMergeCount(col("bm")))
+      .head().getLong(0)
+    assert(dense == 5000L)
   }
 
   test("bloomAgg/mightContain: no false negatives, low FP rate, OR-merge invariant") {
