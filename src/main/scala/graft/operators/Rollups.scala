@@ -498,6 +498,52 @@ object Rollups extends RollupsInference with RollupsEval {
       .drop("__T", "__D", "__S")
   }
 
+  /** Page–Hinkley mean-shift detector (Page 1954; the streaming-ML
+    * drift test, e.g. Gama et al. 2014) over a keyed integer series —
+    * CUSUM's running-mean sibling: where `cusumDrift` measures excess
+    * over the FIXED whole-series mean, Page–Hinkley measures each
+    * point against the RUNNING mean seen so far,
+    *   m_t = Σ_{i≤t} (x_i − x̄_i),  PH_t = m_t − min_{i≤t} m_i,
+    * so it reacts to a level shift without needing the series total
+    * up front (the form an online monitor actually runs).
+    *
+    * Portability: x̄_i = S_i/i is rational with a PER-ROW denominator,
+    * so unlike CUSUM there is no single integer scaling — each
+    * deviation is fixed to micro-units via floor-of-double
+    * (engine-identical IEEE division + floor; integer `div` is not
+    * portable on negatives), after which every window sum/min/compare
+    * is exact integer arithmetic. A point is flagged when PH exceeds
+    * 1/fracDen of the series' total volume — the same scale-free,
+    * variance-free threshold contract as `cusumDrift`.
+    *
+    * Scale shape: identical to CUSUM — running sum + running min +
+    * one full-frame total, all riding ONE (keys) exchange and one
+    * sort; O(1) window state, no recursion or self-join.
+    *
+    * Adds (ph, flag) to the series rows; ph is in value-micro-units.
+    */
+  def pageHinkley(
+      df: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      valCol: String,
+      fracDen: Int = 10): DataFrame = {
+    val part = Window.partitionBy(keys.map(col): _*)
+    val run = part.orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__T", sum(col(valCol).cast("long")).over(part))
+      .withColumn("__S", sum(col(valCol).cast("long")).over(run))
+      .withColumn("__i", count(lit(1)).over(run))
+      .withColumn("__dev",
+        col(valCol).cast("long") * 1000000L -
+          floor(col("__S").cast("double") * 1e6 / col("__i").cast("double"))
+            .cast("long"))
+      .withColumn("__m", sum("__dev").over(run))
+      .withColumn("ph", col("__m") - min("__m").over(run))
+      .withColumn("flag", col("ph") * fracDen > col("__T") * 1000000L)
+      .drop("__T", "__S", "__i", "__dev", "__m")
+  }
+
   /** Autocorrelation function (lags 1..maxLag) of a keyed integer
     * series: Pearson r between x(year) and x(year−k), pairing by YEAR
     * ARITHMETIC (a pair exists only when the series has both year and

@@ -437,6 +437,75 @@ object TextAnalysis {
         round(-col("__ll") / col("n_words").cast("double"), 4).as("nll"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek 2020): train a unigram
+    * LM PER LANGUAGE, score every document's mean surprisal against
+    * its own language's model, and split each language into
+    * head / middle / tail terciles — the standard quality-mixing key
+    * for web-corpus curation (head = most-fluent third).
+    *
+    * Tercile assignment is BY VALUE, never by per-doc rank: a
+    * lang-partitioned row_number would funnel every document of a
+    * language (corpus-grain under a handful of langs) into one task.
+    * Instead per-doc surprisal is fixed to integer 10⁻⁴-nat units —
+    * a domain bounded by 10⁴·ln(corpus tokens) ≈ a few hundred
+    * thousand values regardless of corpus size — histogrammed at
+    * (lang, value) grain, and the cumulative count over that bounded
+    * domain (grain-guarded) yields the smallest value with
+    * 3·cum ≥ n / ≥ 2n as the cut points. Docs AT a cut share its
+    * bucket (ties never split an equal value across buckets), so
+    * bucket sizes are n/3 up to value ties — the deterministic,
+    * engine-portable contract (integer compares only; the q198
+    * lesson: never order or threshold on raw doubles).
+    *
+    * Scale shape: the q59 LM chain — (doc, word) combine, (lang,
+    * word)-keyed vocab join (AQE-skew-safe, never broadcast), one
+    * lang-grain broadcast of totals — plus a value-grain histogram
+    * window and a lang-grain broadcast of the two cuts back onto the
+    * doc-grain frame. Text crosses once; no doc-grain sort anywhere.
+    *
+    * Output: (idCol, langCol, n_words, nll 4dp, bucket).
+    */
+  def perplexityBuckets(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val tf = df
+      .select(col(idCol), col(langCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col(idCol), col(langCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(langCol, "word").agg(sum("tf").as("cf"))
+    val tot = broadcast(cf.groupBy(langCol).agg(sum("cf").as("t")))
+    val nll = tf.join(cf, Seq(langCol, "word"))
+      .join(tot, Seq(langCol))
+      .groupBy(col(idCol), col(langCol))
+      .agg(
+        sum("tf").as("n_words"),
+        sum(col("tf").cast("double") *
+          log(col("cf").cast("double") / col("t").cast("double"))).as("__ll"))
+      .withColumn("nll_q",
+        round(-col("__ll") / col("n_words").cast("double") * 10000)
+          .cast("long"))
+      .drop("__ll")
+    val byLang = Window.partitionBy(col(langCol))
+    val run = byLang.orderBy(col("nll_q"))
+    val hist = Rollups.grainGuarded(
+      nll.groupBy(col(langCol), col("nll_q")).agg(count(lit(1)).as("__c")),
+      run, "perplexityBuckets")
+      .withColumn("__cum", sum("__c").over(
+        run.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("__c").over(byLang))
+    val th = broadcast(hist.groupBy(col(langCol)).agg(
+      min(when(col("__cum") * 3 >= col("__n"), col("nll_q"))).as("__t1"),
+      min(when(col("__cum") * 3 >= col("__n") * 2, col("nll_q"))).as("__t2")))
+    nll.join(th, Seq(langCol))
+      .select(col(idCol), col(langCol), col("n_words"),
+        round(col("nll_q").cast("double") / 10000.0, 4).as("nll"),
+        when(col("nll_q") <= col("__t1"), lit("head"))
+          .when(col("nll_q") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   private val obsId = new java.util.concurrent.atomic.AtomicLong()
 
   /** Sparse lexical cosine similarity join — TF-vector cosine over an

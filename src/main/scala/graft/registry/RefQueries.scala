@@ -326,6 +326,22 @@ private[graft] object RefQueries {
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n"), col("drift"), col("flag"))
     }),
+    "q319_page_hinkley" -> ((s, dir) => {
+      // D28 Page–Hinkley mean-shift drift over daily event volume per
+      // type: each day scored against the RUNNING mean (the online
+      // form, vs q139's fixed-mean CUSUM) — micro-unit floor-of-double
+      // deviations, then exact-integer running sum/min on the same
+      // single (event_type) exchange; flag = PH excess > 10% of the
+      // series' total volume
+      val t = Tables(s, dir)
+      val series = t.events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      Rollups.pageHinkley(series, Seq("event_type"), "day", "n")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("ph"), col("flag"))
+    }),
     "q120_ewma" -> ((s, dir) => {
       // EWMA-smoothed overall association score (α = 1/2): the
       // closed-form running-sum formulation rides the scoring chain's
@@ -989,6 +1005,42 @@ private[graft] object RefQueries {
         |)
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, drift,
         |       drift * 10 > tt * d AS flag
+        |FROM m""".stripMargin,
+    // PH replay: deviations vs the running mean fixed to micro-units
+    // via floor-of-double (the engine-portable division), then exact
+    // integer running sum / running min — the q139 window scaffold.
+    "q319_page_hinkley" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT *,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tt,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sr,
+        |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS i
+        |  FROM s
+        |),
+        |d AS (
+        |  SELECT *, n * 1000000 - CAST(floor(CAST(sr AS DOUBLE) * 1e6
+        |    / CAST(i AS DOUBLE)) AS BIGINT) AS dev
+        |  FROM r
+        |),
+        |m AS (
+        |  SELECT *, CAST(sum(dev) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mm
+        |  FROM d
+        |)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |       mm - CAST(min(mm) OVER (PARTITION BY event_type ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS ph,
+        |       (mm - CAST(min(mm) OVER (PARTITION BY event_type ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+        |         * 10 > tt * 1000000 AS flag
         |FROM m""".stripMargin,
     "q120_ewma" ->
       s"""WITH $OverallSql,

@@ -186,6 +186,14 @@ private[graft] object TextQueries {
       val t = Tables(s, dir)
       TextAnalysis.unigramLm(t.documents)
     }),
+    "q320_ppl_buckets" -> ((s, dir) => {
+      // G99 CCNet head/middle/tail: per-LANGUAGE unigram LM + tercile
+      // split of per-doc surprisal — cuts found on a bounded
+      // (lang, 10⁻⁴-nat) value-grain histogram (grain-guarded), never
+      // a doc-grain per-lang sort; docs at a cut share its bucket
+      val t = Tables(s, dir)
+      TextAnalysis.perplexityBuckets(t.documents)
+    }),
     "q72_tfidf" -> ((s, dir) => {
       // per-doc top-3 TF-IDF keywords — word-keyed df join, one-row
       // broadcast doc count, per-doc window for the top-k
@@ -632,6 +640,45 @@ private[graft] object TextQueries {
         |             / CAST(sum(tf) AS DOUBLE), 4) AS nll
         |FROM tf JOIN cf USING (word) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    // q59's LM chain per language, surprisal fixed to integer
+    // 10⁻⁴-nat units, tercile cuts off the value-grain cumulative
+    // histogram; docs at a cut share its bucket.
+    "q320_ppl_buckets" ->
+      """WITH tf AS (
+        |  SELECT doc_id, lang, word, count(*) AS tf
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2, 3
+        |),
+        |cf AS (SELECT lang, word, CAST(sum(tf) AS BIGINT) AS cf
+        |       FROM tf GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(cf) AS BIGINT) AS t FROM cf GROUP BY 1),
+        |nll AS (
+        |  SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_words,
+        |         CAST(round(-sum(tf * ln(CAST(cf AS DOUBLE) / CAST(t AS DOUBLE)))
+        |                    / CAST(sum(tf) AS DOUBLE) * 10000) AS BIGINT) AS nll_q
+        |  FROM tf JOIN cf USING (lang, word) JOIN tot USING (lang)
+        |  GROUP BY 1, 2
+        |),
+        |hist AS (SELECT lang, nll_q, count(*) AS c FROM nll GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, nll_q,
+        |         CAST(sum(c) OVER (PARTITION BY lang ORDER BY nll_q
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum,
+        |         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM hist
+        |),
+        |th AS (
+        |  SELECT lang, min(CASE WHEN cum * 3 >= n THEN nll_q END) AS t1,
+        |         min(CASE WHEN cum * 3 >= 2 * n THEN nll_q END) AS t2
+        |  FROM cum GROUP BY 1
+        |)
+        |SELECT doc_id, lang, n_words,
+        |       round(CAST(nll_q AS DOUBLE) / 10000.0, 4) AS nll,
+        |       CASE WHEN nll_q <= t1 THEN 'head'
+        |            WHEN nll_q <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM nll JOIN th USING (lang)""".stripMargin,
     "q72_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, word, count(*) AS tf

@@ -1051,6 +1051,34 @@ class OperatorsSpec extends SparkSpec {
     assert(re == expect)
   }
 
+  test("pageHinkley equals the textbook running-mean recursion in micro-units") {
+    val xs = Seq(4L, 4L, 4L, 4L, 4L, 20L, 21L, 22L, 20L, 21L)
+    val df = xs.zipWithIndex
+      .map { case (x, t) => ("k", t, x) }.toDF("g", "t", "x")
+    val got = Rollups.pageHinkley(df, Seq("g"), "t", "x", fracDen = 10)
+      .orderBy("t").select("ph", "flag").collect()
+    // reference recursion: m_t = Σ (x_i − mean_i), PH = m − min m,
+    // deviations floored to micro-units exactly as the operator does
+    var s = 0L; var i = 0L; var m = 0L; var mn = Long.MaxValue
+    val expect = xs.map { x =>
+      s += x; i += 1
+      m += x * 1000000L - math.floor(s.toDouble * 1e6 / i.toDouble).toLong
+      mn = math.min(mn, m)
+      m - mn
+    }
+    assert(got.map(_.getLong(0)).toSeq == expect)
+    val total = xs.sum
+    assert(got.map(_.getBoolean(1)).toSeq ==
+      expect.map(_ * 10 > total * 1000000L))
+    // a level shift must alarm where a constant series must not
+    assert(got.last.getBoolean(1))
+    assert(!got.take(5).exists(_.getBoolean(1)))
+    // partitioning invariance
+    val re = Rollups.pageHinkley(df.repartition(7), Seq("g"), "t", "x")
+      .orderBy("t").select("ph").as[Long].collect().toSeq
+    assert(re == expect)
+  }
+
   test("autocorrelation: +1 on a linear ramp, -1 on an alternating series, gap-aware pairing") {
     val ramp = (2000 to 2010).map(y => ("ramp", y, (y - 1990).toLong))
     val alt = (2000 to 2010).map(y => ("alt", y, if (y % 2 == 0) 10L else 2L))
