@@ -1772,6 +1772,64 @@ object Rollups extends RollupsInference with RollupsEval {
         round(d(col("__st.se")) / col("__st.n") / 1e6, 4).as("mae"),
         round(d(col("__st.l") + col("__st.b")) / 1e6, 4).as("forecast_next")): _*)
   }
+
+  /** Croston's method (1972) for INTERMITTENT demand — the forecast
+    * for series that are mostly zero (per-user daily activity, spare
+    * parts, long-tail SKUs), where Holt/EWMA on the dense series just
+    * decays to zero between demands. Croston smooths two separate
+    * series sampled only AT demand points: the nonzero demand size
+    * z and the inter-demand interval p, each with α = 1/2; the
+    * per-period forecast is z/p.
+    *
+    * Input is the sparse frame itself (one row per nonzero demand
+    * point) — zeros are never materialized, which is the point: at
+    * 100 TB the dense calendar scaffold is exactly the blow-up the
+    * reference's formulation pays for. Intervals come from a lag
+    * window riding the same (keys) exchange the fold's collect needs;
+    * the first point's interval is 1 by convention (the series starts
+    * at its first demand).
+    *
+    * Portability: the D21 Holt fold contract — per-key sorted-array
+    * fold, state in integer micro-units, halving via floor-of-double,
+    * and BOTH state fields are self-field + element only (z from z,
+    * p from p), the one list_reduce shape the oracle engine evaluates
+    * correctly. Keys with one demand publish the seed itself.
+    *
+    * Output: (keys..., n_demands, size_hat 4dp, interval_hat 4dp,
+    * forecast 4dp — demand per period).
+    */
+  def croston(
+      series: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(xCol))
+    series
+      .withColumn("__gu",
+        coalesce(col(xCol).cast("long") - lag(col(xCol).cast("long"), 1).over(w),
+          lit(1L)) * 1000000L)
+      .select(keys.map(col) :+
+        struct(col(xCol).as("x"), col("__gu").as("gu"),
+          (round(col(yCol)).cast("long") * 1000000L).as("yu")).as("__p"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+      .withColumn("__st", expr(
+        """aggregate(
+          |  slice(__ps, 2, size(__ps) - 1),
+          |  named_struct(
+          |    'z', element_at(__ps, 1).yu,
+          |    'p', element_at(__ps, 1).gu, 'n', 1L),
+          |  (a, e) -> named_struct(
+          |    'z', CAST(floor((a.z + e.yu) / 2.0) AS BIGINT),
+          |    'p', CAST(floor((a.p + e.gu) / 2.0) AS BIGINT),
+          |    'n', a.n + 1L))""".stripMargin))
+      .select(keys.map(col) ++ Seq(
+        col("__st.n").as("n_demands"),
+        round(d(col("__st.z")) / 1e6, 4).as("size_hat"),
+        round(d(col("__st.p")) / 1e6, 4).as("interval_hat"),
+        round(d(col("__st.z")) / d(col("__st.p")), 4).as("forecast")): _*)
+  }
   /** Wilder's RSI per keyed series — the momentum oscillator
     * (Wilder 1978): seed avgGain/avgLoss with the simple mean of the
     * first `period` deltas' gains/losses, then smooth each subsequent

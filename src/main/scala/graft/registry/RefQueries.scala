@@ -473,6 +473,19 @@ private[graft] object RefQueries {
         .agg(count(lit(1)).as("y"))
       Rollups.holtBacktest(series, Seq("event_type"), "day", "y")
     }),
+    "q321_croston" -> ((s, dir) => {
+      // D29 Croston intermittent demand: per-user daily activity is
+      // mostly zero, so smooth demand SIZE and inter-demand INTERVAL
+      // separately at demand points only — the sparse frame is the
+      // input, no dense calendar scaffold; α = 1/2 micro-unit
+      // self-field folds (the D21 contract), forecast = size/interval
+      val t = Tables(s, dir)
+      val series = t.events
+        .groupBy(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      Rollups.croston(series, Seq("user_id"), "day", "y")
+    }),
     "q288_mase" -> ((s, dir) => {
       // D22 MASE: the D21 Holt MAE normalized by the seasonal-naive
       // (lag-7) MAE per event type — is the model beating a lookup?
@@ -1576,6 +1589,41 @@ private[graft] object RefQueries {
         |SELECT event_type, st[4] AS n_forecasts,
         |       round(CAST(st[3] AS DOUBLE) / st[4] / 1e6, 4) AS mae,
         |       round(CAST(st[1] + st[2] AS DOUBLE) / 1e6, 4) AS forecast_next
+        |FROM f""".stripMargin,
+    // Croston replay: the q272 list-state fold with both fields
+    // self-only (z := half(z+yu), p := half(p+gu)); intervals from a
+    // lag window, first interval = 1 day by convention.
+    "q321_croston" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) * 1000000 AS yu
+        |  FROM events GROUP BY 1, 2
+        |),
+        |g AS (
+        |  SELECT user_id, day, yu,
+        |         coalesce(day - lag(day) OVER (PARTITION BY user_id
+        |           ORDER BY day), CAST(1 AS BIGINT)) * 1000000 AS gu
+        |  FROM s
+        |),
+        |l AS (
+        |  SELECT user_id,
+        |         list([yu, gu, CAST(1 AS BIGINT)] ORDER BY day) AS ps
+        |  FROM g GROUP BY 1
+        |),
+        |f AS (
+        |  SELECT user_id,
+        |         list_reduce(ps, (a, x) -> [
+        |           CAST(floor((a[1] + x[1]) / 2.0) AS BIGINT),
+        |           CAST(floor((a[2] + x[2]) / 2.0) AS BIGINT),
+        |           a[3] + 1]) AS st
+        |  FROM l
+        |)
+        |SELECT user_id, st[3] AS n_demands,
+        |       round(CAST(st[1] AS DOUBLE) / 1e6, 4) AS size_hat,
+        |       round(CAST(st[2] AS DOUBLE) / 1e6, 4) AS interval_hat,
+        |       round(CAST(st[1] AS DOUBLE) / CAST(st[2] AS DOUBLE), 4)
+        |         AS forecast
         |FROM f""".stripMargin,
     // MASE replay: the q272 Holt fold + a lag-7 naive MAE over the
     // same day series, 4dp ratio.

@@ -1079,6 +1079,33 @@ class OperatorsSpec extends SparkSpec {
     assert(re == expect)
   }
 
+  test("croston matches the hand recursion; single demand publishes the seed") {
+    // demands at days 10, 12, 16, 17 with sizes 4, 8, 2, 6
+    val pts = Seq((10L, 4L), (12L, 8L), (16L, 2L), (17L, 6L))
+    val df = pts.map { case (x, y) => ("k", x, y) }.toDF("g", "x", "y")
+    val got = Rollups.croston(df, Seq("g"), "x", "y").head()
+    // hand fold in micro-units: z seeds 4e6, p seeds 1e6 (first gap=1)
+    var z = 4000000L; var p = 1000000L
+    for ((gap, y) <- Seq((2L, 8L), (4L, 2L), (1L, 6L))) {
+      z = math.floor((z + y * 1000000L) / 2.0).toLong
+      p = math.floor((p + gap * 1000000L) / 2.0).toLong
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(got.fieldIndex("n_demands")) == 4L)
+    assert(got.getDouble(got.fieldIndex("size_hat")) == r4(z / 1e6))
+    assert(got.getDouble(got.fieldIndex("interval_hat")) == r4(p / 1e6))
+    assert(got.getDouble(got.fieldIndex("forecast")) ==
+      r4(z.toDouble / p.toDouble))
+    // a key with ONE demand publishes its seed: size = demand, interval 1
+    val one = Rollups.croston(
+      Seq(("solo", 5L, 9L)).toDF("g", "x", "y"), Seq("g"), "x", "y").head()
+    assert(one.getLong(one.fieldIndex("n_demands")) == 1L)
+    assert(one.getDouble(one.fieldIndex("size_hat")) == 9.0)
+    assert(one.getDouble(one.fieldIndex("interval_hat")) == 1.0)
+    assert(one.getDouble(one.fieldIndex("forecast")) == 9.0)
+  }
+
   test("autocorrelation: +1 on a linear ramp, -1 on an alternating series, gap-aware pairing") {
     val ramp = (2000 to 2010).map(y => ("ramp", y, (y - 1990).toLong))
     val alt = (2000 to 2010).map(y => ("alt", y, if (y % 2 == 0) 10L else 2L))
