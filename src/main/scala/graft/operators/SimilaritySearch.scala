@@ -463,6 +463,46 @@ object SimilaritySearch {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** SEMANTIC leakage across the G15 hash split — the embedding
+    * complement of `Dedup.nearDupLeakage`'s lexical check: cosine
+    * near-dup pairs (the G5b chain) that straddle a train/val/test
+    * boundary are contamination that n-gram overlap and MinHash both
+    * miss (paraphrases, translations, re-renders of the same content).
+    * A real decontamination pass runs BOTH; this completes the pair.
+    *
+    * Scale shape: the G5b bucket-capped pair chain (never all-pairs)
+    * plus two id-keyed split joins — the split frame is a pure
+    * projection of the corpus, so nothing here exceeds the pair
+    * chain's own cost. The (split, split) matrix is ≤ 6 rows; the
+    * one-row total broadcasts; localCheckpoint() truncates the pair
+    * plan before it feeds both the matrix and the total.
+    *
+    * Output: (split_a, split_b, n_pairs, leak, share 4dp).
+    */
+  def semanticLeakage(
+      corpus: DataFrame,
+      minCos: Double = 0.35,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val splits = Sampling.hashSplit(corpus, idCol = idCol)
+      .select(col(idCol), col("split"))
+    val joined = cosineNearDupPairs(corpus, minCos = minCos,
+      idCol = idCol, embCol = embCol)
+      .join(splits.select(col(idCol).as("idA"), col("split").as("__sa")),
+        Seq("idA"))
+      .join(splits.select(col(idCol).as("idB"), col("split").as("__sb")),
+        Seq("idB"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .localCheckpoint() // feeds the matrix AND the total
+    joined
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(joined.agg(count(lit(1)).as("__n_total"))))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        (col("split_a") =!= col("split_b")).as("leak"),
+        round(col("n_pairs").cast("double") / col("__n_total"), 4).as("share"))
+  }
+
   /** LSH-bucketed ANN: score only candidates in the query's bucket.
     * Approximate — recall depends on `planes`; at 100 TB this replaces
     * the brute-force scan with a bucket-equi-join.

@@ -351,6 +351,14 @@ private[graft] object PipelineQueries {
       val t = Tables(s, dir)
       SimilaritySearch.cosineNearDupPairs(t.embeddings)
     }),
+    "q322_semantic_leakage" -> ((s, dir) => {
+      // G100 semantic leakage across the G15 hash split: cosine
+      // near-dup pairs straddling a train/val/test boundary — the
+      // paraphrase contamination q281's MinHash check misses; a real
+      // decontamination pass runs both
+      val t = Tables(s, dir)
+      SimilaritySearch.semanticLeakage(t.embeddings)
+    }),
     "q49_ann_ivf_trained" -> ((s, dir) => {
       // the Lloyd-trained, spill-replicated IVF path (same config the
       // recall spec pins at >= 0.9)
@@ -1079,6 +1087,42 @@ private[graft] object PipelineQueries {
          |FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
          |      / (a.n * b.n) >= 0.35""".stripMargin,
+    // q45's pair chain + the q54 hash split on vec_id + the q281
+    // leakage matrix.
+    "q322_semantic_leakage" ->
+      s"""WITH $EmbSql,
+         |$LshSql,
+         |bsz AS (SELECT bucket, count(*) AS bn FROM withb GROUP BY 1),
+         |ok AS (
+         |  SELECT w.* FROM withb w JOIN bsz USING (bucket)
+         |  WHERE bn > 1 AND bn <= ${graft.GraftConf.LshBucketCap}
+         |),
+         |pr AS (
+         |  SELECT a.vec_id AS idA, b.vec_id AS idB
+         |  FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+         |        / (a.n * b.n) >= 0.35
+         |),
+         |sp AS (
+         |  SELECT vec_id,
+         |         CASE WHEN b < 80 THEN 'train'
+         |              WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT vec_id,
+         |          ${HexBucketSql("md5(CAST(vec_id AS VARCHAR) || ':split')")} AS b
+         |        FROM embeddings)
+         |),
+         |j AS (
+         |  SELECT least(a.split, b.split) AS split_a,
+         |         greatest(a.split, b.split) AS split_b
+         |  FROM pr p
+         |  JOIN sp a ON a.vec_id = p.idA
+         |  JOIN sp b ON b.vec_id = p.idB
+         |),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM j)
+         |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       split_a <> split_b AS leak,
+         |       round(CAST(count(*) AS DOUBLE) / any_value(tot.n_total), 4) AS share
+         |FROM j CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
     // Frame sampling replay: every 4th full 64-byte window of the
     // ASCII payload, hashed — byte-identical to the stub pipeline.
     "q44_frame_sample" ->
