@@ -370,6 +370,29 @@ private[graft] object EventQueries {
         .filter(col("l_ts_us") <= col("cut_us"))
         .select("user_id", "left_id", "right_id")
     }),
+    "q323_stream_right_outer" -> ((s, dir) => {
+      // H59 stream-stream RIGHT OUTER join end-to-end: clicks WITH
+      // and WITHOUT a same-user purchase in the following hour
+      // ("clicks that never converted" — the mirror of q117), null
+      // rows emitted by real watermark-driven state expiry.
+      // Registered slice = right events ≥ watermark+range behind both
+      // sides' max event time, whose outer verdict no micro-batch
+      // split can change — the batch right-join oracle gates exactly.
+      val ev = StreamQueries.streamEvents(s, dir)
+      val out = StreamQueries.materialize(
+        EventStream.streamStreamRightJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          range = "1 hour", watermark = "1 hour"))
+      val t = Tables(s, dir)
+      val cut = t.events
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+        .agg((min("m") - 7200000000L).as("cut_us"))
+      out.crossJoin(broadcast(cut))
+        .filter(col("r_ts_us") <= col("cut_us"))
+        .select("user_id", "left_id", "right_id")
+    }),
     "q65_stream_evict" -> ((s, dir) => {
       // H9 event-time state eviction END-TO-END: the EventTimeTimeout
       // variant of the cumulative chain runs with a real watermark and
@@ -1328,6 +1351,24 @@ private[graft] object EventQueries {
         |FROM l LEFT JOIN r ON l.user_id = r.user_id
         |  AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
         |WHERE epoch_us(l.ts) <= (SELECT c FROM cut)""".stripMargin,
+    // RIGHT-outer replay of the q117 shape: right-side null emission,
+    // the cut on the RIGHT (outer-side) event time.
+    "q323_stream_right_outer" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |),
+        |cut AS (
+        |  SELECT min(m) - 7200000000 AS c FROM (
+        |    SELECT event_type, max(epoch_us(ts)) AS m FROM ev
+        |    WHERE event_type IN ('purchase', 'click') GROUP BY 1)
+        |),
+        |l AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |r AS (SELECT * FROM ev WHERE event_type = 'click')
+        |SELECT r.user_id, l.event_id AS left_id, r.event_id AS right_id
+        |FROM l RIGHT JOIN r ON l.user_id = r.user_id
+        |  AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
+        |WHERE epoch_us(r.ts) <= (SELECT c FROM cut)""".stripMargin,
     "q85_stream_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -319,6 +319,34 @@ object EventStream {
         col("l.event_id").as("left_id"), col("r.event_id").as("right_id"))
   }
 
+  /** Stream–stream RIGHT OUTER join — the mirror of
+    * [[streamStreamLeftJoin]] and the last of the five watermarked
+    * join modes (inner/left/full/semi/right): every `right` event
+    * emits, null-extended when NO same-user `left` event follows it
+    * within `range` — the "clicks that never converted" shape, where
+    * the left-outer asks "purchases with no prior click". Spark holds
+    * an unmatched right row until the watermark proves no future left
+    * row can still satisfy the range predicate (l.ts ∈ [r.ts,
+    * r.ts + range]), then emits the null row. The right event time
+    * rides along so callers can slice to FINAL verdicts: r.ts at
+    * least `watermark + range` behind both sides' max event time.
+    */
+  def streamStreamRightJoin(
+      left: DataFrame,
+      right: DataFrame,
+      range: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      expr(s"""l.user_id = r.user_id AND
+               r.ts BETWEEN l.ts - INTERVAL $range AND l.ts"""),
+      "right_outer")
+      .select(col("r.user_id").as("user_id"),
+        unix_micros(col("r.ts")).as("r_ts_us"),
+        col("l.event_id").as("left_id"), col("r.event_id").as("right_id"))
+  }
+
   final case class UserTotals(user_id: Long, n_events: Long, total_cents: Long)
 
   /** Exact-cent conversion matching the batch side's `round(value *
