@@ -437,6 +437,49 @@ object TextAnalysis {
         round(-col("__ll") / col("n_words").cast("double"), 4).as("nll"))
   }
 
+  /** Vocabulary richness per slice — how much of the language does
+    * this corpus slice actually cover, and how much is left unseen?
+    * Two classical estimators off the word-frequency spectrum:
+    * Chao1 species richness (Chao 1984, bias-corrected form
+    * D + f1(f1−1)/(2(f2+1)) — the lower bound on TRUE vocabulary size
+    * implied by how many words appeared exactly once/twice) and
+    * Good–Turing coverage 1 − f1/N (the probability the NEXT token is
+    * a word already seen). The pre-flight read a corpus-expansion
+    * decision wants: a slice with low coverage and Chao1 ≫ D still
+    * has unseen vocabulary worth collecting; one with coverage ≈ 1 is
+    * saturated.
+    *
+    * Scale shape: one (slice, word) map-side combine absorbs the Zipf
+    * skew, then a vocabulary-grain reduce to slice grain. All counts
+    * exact longs; floats only in the two final ratios.
+    *
+    * Output: (slice, n_tokens, vocab, f1, f2, chao1 4dp,
+    * coverage 4dp).
+    */
+  def vocabRichness(
+      df: DataFrame,
+      sliceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val tf = df
+      .select(col(sliceCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col(sliceCol), col("word"))
+      .agg(count(lit(1)).as("cf"))
+    tf.groupBy(col(sliceCol))
+      .agg(
+        sum("cf").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        count(when(col("cf") === 1, lit(1))).as("f1"),
+        count(when(col("cf") === 2, lit(1))).as("f2"))
+      .select(col(sliceCol), col("n_tokens"), col("vocab"), col("f1"),
+        col("f2"),
+        round(col("vocab").cast("double") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+            (lit(2) * (col("f2") + 1)).cast("double"), 4).as("chao1"),
+        round(lit(1.0) -
+          col("f1").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("coverage"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek 2020): train a unigram
     * LM PER LANGUAGE, score every document's mean surprisal against
     * its own language's model, and split each language into

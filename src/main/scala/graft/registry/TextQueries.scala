@@ -186,6 +186,15 @@ private[graft] object TextQueries {
       val t = Tables(s, dir)
       TextAnalysis.unigramLm(t.documents)
     }),
+    "q324_vocab_richness" -> ((s, dir) => {
+      // G101 vocabulary richness per source: Chao1 species-richness
+      // lower bound + Good–Turing coverage off the frequency
+      // spectrum — the corpus-expansion pre-flight (is this slice
+      // saturated?); exact-long spectrum counts, floats only in the
+      // two final ratios
+      val t = Tables(s, dir)
+      TextAnalysis.vocabRichness(t.documents)
+    }),
     "q320_ppl_buckets" -> ((s, dir) => {
       // G99 CCNet head/middle/tail: per-LANGUAGE unigram LM + tercile
       // split of per-doc surprisal — cuts found on a bounded
@@ -640,6 +649,28 @@ private[graft] object TextQueries {
         |             / CAST(sum(tf) AS DOUBLE), 4) AS nll
         |FROM tf JOIN cf USING (word) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    // Frequency-spectrum replay: same split, exact counts, identical
+    // written form for the two ratios.
+    "q324_vocab_richness" ->
+      """WITH tf AS (
+        |  SELECT source, word, count(*) AS cf
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source,
+        |       CAST(sum(cf) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS vocab,
+        |       CAST(count(*) FILTER (cf = 1) AS BIGINT) AS f1,
+        |       CAST(count(*) FILTER (cf = 2) AS BIGINT) AS f2,
+        |       round(CAST(count(*) AS DOUBLE) +
+        |             CAST(count(*) FILTER (cf = 1)
+        |                  * (count(*) FILTER (cf = 1) - 1) AS DOUBLE) /
+        |             CAST(2 * (count(*) FILTER (cf = 2) + 1) AS DOUBLE), 4)
+        |         AS chao1,
+        |       round(1.0 - CAST(count(*) FILTER (cf = 1) AS DOUBLE)
+        |             / CAST(sum(cf) AS DOUBLE), 4) AS coverage
+        |FROM tf GROUP BY 1""".stripMargin,
     // q59's LM chain per language, surprisal fixed to integer
     // 10⁻⁴-nat units, tercile cuts off the value-grain cumulative
     // histogram; docs at a cut share its bucket.
