@@ -172,6 +172,51 @@ object Graph {
         col("node_share"), col("max_share"))
   }
 
+  /** k-core membership after `rounds` synchronous peel rounds —
+    * Seidman's (1983) cohesion measure: repeatedly delete every node
+    * with fewer than k surviving neighbors; what remains is the
+    * k-core. On a near-dup graph the 2-core separates DENSE duplicate
+    * families (template spam, mirrored boilerplate — every member
+    * similar to several others) from incidental pairwise matches,
+    * which peel away; it is the standard spam/anomaly screen on
+    * similarity and link graphs.
+    *
+    * Bounded-round contract (the G37 PageRank convention): exactly
+    * `rounds` peels, each one (src) degree combine + two node-keyed
+    * semi-joins, edges checkpointed per round (each round's edge set
+    * feeds both the degree count and the next filter — the
+    * [[Dedup.clusters]] lineage rule). Peeling is monotone, so a
+    * converged graph is a fixed point and extra rounds are identical
+    * — the unrolled oracle replays the same `rounds` regardless.
+    * Real graphs' peel depth is small (the 100 TB path raises
+    * `rounds`, not the shape); every round shuffles the SURVIVING
+    * edge list only, on node keys.
+    *
+    * Output: (id, deg) — nodes surviving all rounds with their
+    * within-core degree.
+    */
+  def kCore(
+      pairs: DataFrame,
+      k: Int = 2,
+      rounds: Int = 8,
+      aCol: String = "idA",
+      bCol: String = "idB"): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("src").as("__id"))
+      e = e
+        .join(keep.withColumnRenamed("__id", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("__id", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .select(col("id"), col("deg"))
+  }
+
   /** Degree distribution power-law fit — the graph-shape diagnostic
     * that prices every downstream graph operator: a heavy-tailed
     * (scale-free-ish) degree histogram predicts hot keys in G38's

@@ -152,6 +152,14 @@ private[graft] object PipelineQueries {
       Graph.pageRank(edges)
         .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
+    "q325_kcore" -> ((s, dir) => {
+      // G102 2-core of the MinHash near-dup graph after 8 synchronous
+      // peels (bounded-round contract, fixed-point-stable): dense
+      // duplicate families survive, incidental pairwise matches peel
+      // away — the template-spam screen beside q111's triangles
+      val t = Tables(s, dir)
+      Graph.kCore(Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
+    }),
     "q111_triangles" -> ((s, dir) => {
       // per-node triangle participation over the MinHash near-dup
       // graph — duplicate families are mutually similar, so their
@@ -1307,6 +1315,29 @@ private[graft] object PipelineQueries {
          |r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
          |$PageRankItersSql
          |SELECT id, round(rank, 6) AS rank FROM r8""".stripMargin,
+    // k-core replay: the same 8 unrolled peel rounds. Every CTE is
+    // MATERIALIZED — e_i feeds both k_{i+1} and e_{i+1}, and DuckDB's
+    // default inlining would go exponential on the chain.
+    "q325_kcore" -> {
+      val peels = (1 to 8).map { i =>
+        s"""k$i AS MATERIALIZED (
+           |  SELECT src AS id FROM e${i - 1} GROUP BY src HAVING count(*) >= 2
+           |),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN k$i a ON e.src = a.id JOIN k$i b ON e.dst = b.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $MinhashPairsSql,
+         |e0 AS MATERIALIZED (
+         |  SELECT idA AS src, idB AS dst FROM lshpairs
+         |  UNION ALL
+         |  SELECT idB AS src, idA AS dst FROM lshpairs
+         |),
+         |$peels
+         |SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |FROM e8 GROUP BY 1""".stripMargin
+    },
     // Triangle oracle: the naive id-ordered closure (a<b<c via
     // e(a,b)⋈e(b,c)⋈e(a,c)) over the q31 pair set —
     // orientation-invariant, so it must land on the Scala side's

@@ -1079,6 +1079,23 @@ class OperatorsSpec extends SparkSpec {
     assert(re == expect)
   }
 
+  test("kCore: a triangle survives the 2-core, its pendant chain peels away") {
+    // triangle 1-2-3 with a chain 3-4-5 hanging off it; 4 has degree 2
+    // until 5 peels, so the chain needs TWO rounds to fully unravel —
+    // pins that peeling iterates rather than filtering once
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("idA", "idB")
+    val core = Graph.kCore(pairs, k = 2, rounds = 8)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // one round is NOT enough: node 4 still has degree 2 after round 1
+    val oneRound = Graph.kCore(pairs, k = 2, rounds = 1)
+      .select("id").as[Long].collect().toSet
+    assert(oneRound == Set(1L, 2L, 3L, 4L))
+    // a 3-core on a graph whose densest part is a triangle is empty
+    assert(Graph.kCore(pairs, k = 3, rounds = 8).count() == 0L)
+  }
+
   test("croston matches the hand recursion; single demand publishes the seed") {
     // demands at days 10, 12, 16, 17 with sizes 4, 8, 2, 6
     val pts = Seq((10L, 4L), (12L, 8L), (16L, 2L), (17L, 6L))
