@@ -481,6 +481,48 @@ object Multimodal {
     }
   }
 
+  final case class AudioResample(
+      doc_id: Long, n_in: Long, n_out: Long, energy_out: Long, rms_out: Double)
+
+  /** Sample-rate DECIMATION plan per clip — the "convert everything
+    * to 16 kHz mono" stage every speech pipeline runs before
+    * featurization: REAL WAV decode, then `factor`:1 downsampling by
+    * block averaging (the box-filter anti-alias, the standard cheap
+    * decimator). Each output sample is floor-of-double of the block
+    * mean — the engine-portable division (integer div rounds toward
+    * zero on negatives and is NOT portable); the output energy Σs'²
+    * is exact integer, so the report hash-gates bit-identically and
+    * only the final RMS is a float.
+    *
+    * Scale shape: the [[wavFeatures]] contract — one decoder pass per
+    * partition, payload bytes never ride an exchange; output is one
+    * doc-grain row per clip.
+    */
+  def wavResample(df: Dataset[Media], factor: Int = 2): Dataset[AudioResample] = {
+    require(factor >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.mapPartitions { it =>
+      it.map { m =>
+        val wav = decodeWav(m.payload)
+        val n = wav.samples.length
+        val nOut = n / factor
+        var e = 0L
+        var j = 0
+        while (j < nOut) {
+          var acc = 0L
+          var i = j * factor
+          while (i < (j + 1) * factor) { acc += wav.samples(i); i += 1 }
+          val s = math.floor(acc.toDouble / factor).toLong
+          e += s * s
+          j += 1
+        }
+        val rms = if (nOut == 0) 0.0 else math.sqrt(e.toDouble / nOut)
+        AudioResample(m.doc_id, n.toLong, nOut.toLong, e, rms)
+      }
+    }
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Frame sampling for "video" payloads: emit every `stride`-th

@@ -189,6 +189,16 @@ private[graft] object PipelineQueries {
         .select(col("doc_id"), col("n_samples"),
           round(col("rms"), 4).as("rms"), col("gain_mu"), col("n_clipped"))
     }),
+    "q326_audio_resample" -> ((s, dir) => {
+      // G103 decimation plan: REAL WAV decode → 2:1 block-average
+      // downsample (box-filter anti-alias, floor-of-double means) →
+      // exact integer output energy + one final RMS float — the
+      // "convert to 16 kHz" stage of a speech pipeline as a report
+      val t = Tables(s, dir)
+      Multimodal.wavResample(Multimodal.textToWav(t.documents)).toDF()
+        .select(col("doc_id"), col("n_in"), col("n_out"),
+          col("energy_out"), round(col("rms_out"), 4).as("rms_out"))
+    }),
     "q116_audio_energy" -> ((s, dir) => {
       // voice-activity shape: REAL WAV decode → tumbling 50-sample
       // windows → exact integer energy + RMS per window
@@ -1531,6 +1541,34 @@ private[graft] object PipelineQueries {
         |SELECT g2.doc_id, g2.n_samples, round(g2.rms_raw, 4) AS rms,
         |       g2.gain_mu, c.n_clipped
         |FROM g2 JOIN c USING (doc_id)""".stripMargin,
+    // resample replay: q305's sample synthesis, 2-sample blocks via
+    // i // 2, floor-of-double block means, exact integer Σs'².
+    "q326_audio_resample" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
+        |    ELSE length(text) END AS INT) AS n FROM documents
+        |),
+        |sm AS (SELECT doc_id, text, n, unnest(range(0, 200)) AS i FROM b),
+        |v AS (
+        |  SELECT doc_id, i,
+        |         ascii(substring(text, CAST((2*i) % n AS INT) + 1, 1)) * 256
+        |         + ascii(substring(text, CAST((2*i + 1) % n AS INT) + 1, 1))
+        |         - 32768 AS s
+        |  FROM sm
+        |),
+        |r AS (
+        |  SELECT doc_id, i // 2 AS j,
+        |         CAST(floor(CAST(sum(s) AS DOUBLE) / 2.0) AS BIGINT) AS sr
+        |  FROM v GROUP BY 1, 2
+        |),
+        |e AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_out,
+        |         CAST(sum(sr * sr) AS BIGINT) AS energy_out
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(200 AS BIGINT) AS n_in, n_out, energy_out,
+        |       round(sqrt(CAST(energy_out AS DOUBLE) / n_out), 4) AS rms_out
+        |FROM e""".stripMargin,
     "q116_audio_energy" ->
       """WITH b AS (
         |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
