@@ -105,6 +105,35 @@ private[graft] object StatsQueries {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
           col("revenue"))
     }),
+    "q327_tpch_q5" -> ((s, dir) => {
+      // F70 TPC-H Q5 shape (local-supplier volume): revenue by nation
+      // for same-nation customer+supplier pairs inside one region and
+      // one order year. Nation⋈region prune BROADCASTS (dim-sized
+      // forever); orders date-filter pushes to the scan; customer,
+      // lineitem, supplier join on their natural high-cardinality
+      // keys (AQE-sizable, never forced broadcast — they scale with
+      // SF). Revenue quantized to per-row cents (identical double →
+      // identical round both engines) so the nation sums are exact
+      // longs — a million-row double fold would hash on ulp luck.
+      val t = Tables(s, dir)
+      val nr = broadcast(
+        t.nation.join(t.region, col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("n_nationkey"), col("n_name")))
+      t.orders
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(nr, col("c_nationkey") === col("n_nationkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("revenue_cents"))
+        .select(col("n_name"),
+          round(col("revenue_cents").cast("double") / 100, 2).as("revenue"))
+    }),
     "q156_ab_ztest" -> ((s, dir) => {
       // two-proportion A/B z statistic per event_type: variant B =
       // odd user_id, success = value > 0.5 — one conditional
@@ -726,6 +755,23 @@ private[graft] object StatsQueries {
         |  ON c.user_id = p.user_id AND c.ts >= p.p_start AND c.ts <= p.p_end""".stripMargin,
     // TPC-H Q3 replay (adapted: no shippriority column in this
     // schema; date bracket around one cutoff).
+    // Q5 replay: same joins, same per-row cent quantization.
+    "q327_tpch_q5" ->
+      """SELECT n.n_name,
+        |       round(CAST(sum(CAST(round(l.l_extendedprice
+        |                 * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)
+        |             / 100, 2) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |             AND s.s_nationkey = c.c_nationkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
     "q102_tpch_q3" ->
       """SELECT l.l_orderkey,
         |       strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS o_date,
