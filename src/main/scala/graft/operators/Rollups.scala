@@ -307,6 +307,74 @@ object Rollups extends RollupsInference with RollupsEval {
         round(avg(clamped), 4).as("mean_wins"))
   }
 
+  /** Fixed-period periodogram — the single-frequency DFT power at
+    * each candidate period p (weekly 7, monthly 30, ...): does this
+    * keyed daily series actually cycle at p, how strongly (amplitude
+    * in original count units), and where is the peak phase? The
+    * quantitative upgrade of [[seasonalIndex]]'s month-share table,
+    * and the pre-flight for any seasonal model (D19/D24 assume the
+    * period; this measures it).
+    *
+    * Portability: the per-phase profile m_r is a floor-of-double
+    * micro-mean; centering multiplies through by the phase count P
+    * (exact integers, the CUSUM trick); the cos/sin weights quantize
+    * to integer milli-units — `round(cos(2·π·r/p)·1000)` in identical
+    * written form both engines, so a 1-ulp libm disagreement dies at
+    * the rounding — and the Fourier sums accumulate in decimal(38,0)
+    * (c_r·weight can pass long range at 100 TB daily volumes).
+    * Floats survive only in the final sqrt/scale. Peak phase =
+    * smallest r attaining the max profile value — integer compares.
+    *
+    * Scale shape: one (keys, day) combine, one (keys, period, r)
+    * combine (≤ Σp rows per key), a ≤max(p)-row window for the
+    * centering totals, one final combine. No data-grain windows.
+    *
+    * Output: (keys..., period, n_phases, amp 4dp, peak_phase).
+    */
+  def periodogram(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      periods: Seq[Int] = Seq(7, 30)): DataFrame = {
+    require(periods.nonEmpty && periods.forall(p => p >= 2 && p < 1024))
+    val dec = "decimal(38,0)"
+    val daily = events
+      .groupBy(keys.map(col) :+
+        expr(s"unix_micros($tsCol) div 86400000000").as("__day"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val phase = daily
+      .select(keys.map(col) ++ Seq(col("__day"), col("__n"),
+        explode(array(periods.map(lit(_)): _*)).as("period")): _*)
+      .withColumn("__r", pmod(col("__day"), col("period")).cast("long"))
+      .groupBy(keys.map(col) ++ Seq(col("period"), col("__r")): _*)
+      .agg(sum("__n").as("__s"), count(lit(1)).as("__c"))
+      .withColumn("__m",
+        floor(col("__s").cast("double") * 1e6 / col("__c")).cast("long"))
+    val w = Window.partitionBy(keys.map(col) :+ col("period"): _*)
+    phase
+      .withColumn("__Ct", sum("__m").over(w))
+      .withColumn("__P", count(lit(1)).over(w))
+      .withColumn("__mx", max("__m").over(w))
+      .withColumn("__cr", col("__m") * col("__P") - col("__Ct"))
+      .withColumn("__cw",
+        expr("CAST(round(cos(2 * pi() * __r / period) * 1000) AS BIGINT)"))
+      .withColumn("__sw",
+        expr("CAST(round(sin(2 * pi() * __r / period) * 1000) AS BIGINT)"))
+      .groupBy(keys.map(col) :+ col("period"): _*)
+      .agg(
+        first(col("__P")).as("n_phases"),
+        sum(col("__cr").cast(dec) * col("__cw")).as("__A"),
+        sum(col("__cr").cast(dec) * col("__sw")).as("__B"),
+        min(when(col("__m") === col("__mx"), col("__r"))).as("peak_phase"))
+      .select(keys.map(col) ++ Seq(col("period"), col("n_phases"),
+        round(
+          sqrt((col("__A") * col("__A") + col("__B") * col("__B"))
+            .cast("double")) * 2 /
+            (col("n_phases") * col("n_phases")).cast("double") / 1e9, 4)
+          .as("amp"),
+        col("peak_phase")): _*)
+  }
+
   /** Seasonal index per key and calendar month: 12·(month share) — 1.0
     * means a flat month, 2.0 means the month carries twice its uniform
     * share. The classic retail/telemetry seasonality diagnostic.
@@ -531,8 +599,11 @@ object Rollups extends RollupsInference with RollupsEval {
     val part = Window.partitionBy(keys.map(col): _*)
     val run = part.orderBy(col(timeCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__T", sum(col(valCol).cast("long")).over(part))
-      .withColumn("__S", sum(col(valCol).cast("long")).over(run))
+    // running frames FIRST, the partition-only total LAST: planned
+    // above the (keys, time)-sorted running windows its keys-only sort
+    // requirement is prefix-satisfied, so the whole operator rides one
+    // exchange and ONE sort (pinned in ScaleDesignSpec round-13)
+    df.withColumn("__S", sum(col(valCol).cast("long")).over(run))
       .withColumn("__i", count(lit(1)).over(run))
       .withColumn("__dev",
         col(valCol).cast("long") * 1000000L -
@@ -540,6 +611,7 @@ object Rollups extends RollupsInference with RollupsEval {
             .cast("long"))
       .withColumn("__m", sum("__dev").over(run))
       .withColumn("ph", col("__m") - min("__m").over(run))
+      .withColumn("__T", sum(col(valCol).cast("long")).over(part))
       .withColumn("flag", col("ph") * fracDen > col("__T") * 1000000L)
       .drop("__T", "__S", "__i", "__dev", "__m")
   }

@@ -29,6 +29,80 @@ private[operators] trait RollupsInference {
     *
     * Output: one row (n_a, n_b, diff, n_reps, p_value).
     */
+  /** Jonckheere–Terpstra ordered-alternative test — is the metric
+    * MONOTONE across an a-priori ORDERED factor (priority levels,
+    * dose tiers, app versions)? Strictly sharper than Kruskal–Wallis
+    * (F63) when the ordering is known: JT = Σ_{i<j} U_ij over ordered
+    * group pairs, each U_ij the Mann–Whitney count #(x_i < x_j) with
+    * ties counted half. Published DOUBLED (jt2) so the tie-halves
+    * stay exact integers; z uses the standard no-tie null moments
+    * E = (N²−Σn_k²)/4, Var = [N²(2N+3) − Σn_k²(2n_k+3)]/72 (cent
+    * quantization keeps real ties rare; the statistic itself counts
+    * them exactly).
+    *
+    * Scale shape: the F25 ksTest contract generalized to G groups —
+    * one value-grain collapse to integer cents with per-group
+    * conditional counts (map-side combined, grain-guarded), one
+    * cumulative window over the bounded value domain for the G CDFs,
+    * then the G(G−1)/2 pair cross-products row-locally and one
+    * one-row reduce. Pair work is O(V·G²) with V value-grain — never
+    * an O(N²) pair expansion. Sums in decimal(38,0): c_i·(n_j−F_j)
+    * passes long range at corpus N.
+    *
+    * Output: one row (n, jt 1dp — the .5s are tie halves, z 4dp;
+    * z > 0 means the metric increases along the given order).
+    */
+  def jonckheereTerpstra(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ordered: Seq[String]): DataFrame = {
+    val G = ordered.size
+    require(G >= 2, s"need >= 2 ordered groups, got $G")
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val cents = round(col(valueCol) * 100).cast("long")
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(ordered: _*))
+      .groupBy(cents.as("v"))
+      .agg(ordered.zipWithIndex.map { case (g, i) =>
+        sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"c${i + 1}")
+      }.head, ordered.zipWithIndex.tail.map { case (g, i) =>
+        sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"c${i + 1}")
+      }: _*)
+      .localCheckpoint() // feeds the CDF window AND the totals
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = pts.agg(
+      sum(col("c1")).as("n1"),
+      (2 to G).map(i => sum(col(s"c$i")).as(s"n$i")): _*)
+    var t = Rollups.grainGuarded(pts, w, "jonckheereTerpstra")
+    for (i <- 1 to G) t = t.withColumn(s"f$i", sum(col(s"c$i")).over(w))
+    // doubled per-row contribution: Σ_{i<j} 2·c_i·(n_j − F_j) + c_i·c_j
+    val rowTerm = (for { i <- 1 to G; j <- (i + 1) to G } yield
+      col(s"c$i").cast(dec) * (col(s"n$j") - col(s"f$j")) * 2 +
+        col(s"c$i").cast(dec) * col(s"c$j")).reduce(_ + _)
+    val nSum = (1 to G).map(i => col(s"n$i")).reduce(_ + _)
+    val sqSum = (1 to G).map(i => col(s"n$i").cast(dec) * col(s"n$i"))
+      .reduce(_ + _)
+    val varSum = (1 to G).map(i =>
+      d(col(s"n$i")) * d(col(s"n$i")) * (lit(2.0) * d(col(s"n$i")) + 3))
+      .reduce(_ + _)
+    t.crossJoin(broadcast(totals))
+      .groupBy((1 to G).map(i => col(s"n$i")): _*)
+      .agg(sum(rowTerm).as("__jt2"))
+      .withColumn("n", nSum.cast("long"))
+      .withColumn("__e2", col("n").cast(dec) * col("n") - sqSum)
+      .withColumn("__var",
+        (d(col("n")) * d(col("n")) * (lit(2.0) * d(col("n")) + 3) - varSum)
+          / 72.0)
+      .select(col("n"),
+        round(d(col("__jt2")) / 2, 1).as("jt"),
+        // jt2 = 2·JT and e2 = 4·E, so (jt2 − e2/2)/2 = JT − E
+        round((d(col("__jt2")) - d(col("__e2")) / 2) / 2
+          / sqrt(col("__var")), 4).as("z"))
+  }
+
   def permutationDiffTest(
       df: DataFrame,
       groupCol: String,

@@ -437,6 +437,70 @@ object TextAnalysis {
         round(-col("__ll") / col("n_words").cast("double"), 4).as("nll"))
   }
 
+  /** Heaps' law vocabulary-growth fit per slice — V(T) ≈ K·T^β over
+    * `points` doc-id-ordered checkpoints: the corpus-SCALING
+    * diagnostic that [[vocabRichness]]'s point estimate can't give.
+    * β ≈ 0.4–0.6 is natural language (collect 10× tokens → ~10^β×
+    * vocabulary); β near 1 flags an id-like token stream (vocabulary
+    * grows as fast as the corpus — a tokenizer or PII leak), β near 0
+    * a saturated/templated slice.
+    *
+    * Rank-free by construction: checkpoints are doc-ID VALUE
+    * thresholds th_k = lo−1 + ((hi−lo+1)·k) div points (exact
+    * positive-integer arithmetic, engine-identical), never an exact
+    * decile — no doc-grain sort or per-slice row_number anywhere.
+    * V_k counts words whose FIRST doc (min doc-id, a vocab-grain
+    * combine) is ≤ th_k; T_k sums tokens over docs ≤ th_k. Both ride
+    * a ≤`points`-row-per-slice broadcast of thresholds and map-side
+    * combines; the fit is D9's exact-decimal trend over micro-nat
+    * logs (the G60 pattern). Checkpoints with V or T = 0 drop.
+    *
+    * Output: (slice, n_points, heaps_beta 4dp, intercept 4dp — ln K
+    * in micro-nats per micro-nat, r2 4dp).
+    */
+  def heapsLaw(
+      df: DataFrame,
+      sliceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      points: Int = 10): DataFrame = {
+    require(points >= 2)
+    val ks = (1 to points).map(lit(_))
+    val kdim = broadcast(df
+      .groupBy(col(sliceCol))
+      .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+      .select(col(sliceCol), explode(array(ks: _*)).as("k"),
+        col("__lo"), col("__hi"))
+      // positive-operand integer div — engine-identical (negatives are
+      // not; doc ids are nonnegative by contract)
+      .select(col(sliceCol), col("k"),
+        expr(s"__lo - 1 + ((__hi - __lo + 1) * k) div $points")
+          .cast("long").as("__th")))
+    val firsts = df
+      .select(col(sliceCol), col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col(sliceCol), col("word"))
+      .agg(min(col(idCol)).as("__fd"))
+    val v = firsts.join(kdim, Seq(sliceCol))
+      .filter(col("__fd") <= col("__th"))
+      .groupBy(col(sliceCol), col("k"))
+      .agg(count(lit(1)).as("__v"))
+    val t = df
+      .select(col(sliceCol), col(idCol),
+        size(words(col(textCol))).cast("long").as("__tok"))
+      .join(kdim, Seq(sliceCol))
+      .filter(col(idCol) <= col("__th"))
+      .groupBy(col(sliceCol), col("k"))
+      .agg(sum(col("__tok")).as("__t"))
+    val pts = v.join(t, Seq(sliceCol, "k"))
+      .filter(col("__v") > 0 && col("__t") > 0)
+      .withColumn("x", round(log(col("__t")) * 1e6).cast("long"))
+      .withColumn("y", round(log(col("__v")) * 1e6).cast("long"))
+    Rollups.linearTrend(pts, Seq(sliceCol), "x", "y")
+      .withColumnRenamed("slope", "heaps_beta")
+      .select(col(sliceCol), col("n_points"), col("heaps_beta"),
+        col("intercept"), col("r2"))
+  }
+
   /** Vocabulary richness per slice — how much of the language does
     * this corpus slice actually cover, and how much is left unseen?
     * Two classical estimators off the word-frequency spectrum:

@@ -326,6 +326,15 @@ private[graft] object RefQueries {
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n"), col("drift"), col("flag"))
     }),
+    "q329_periodogram" -> ((s, dir) => {
+      // D30 fixed-period DFT power at 7 and 30 days per event type:
+      // is the series actually weekly/monthly-cyclic, how strong
+      // (amplitude in count units), and where's the peak phase —
+      // milli-quantized trig weights, decimal Fourier sums, phase
+      // profile in floor-of-double micro-means
+      val t = Tables(s, dir)
+      Rollups.periodogram(t.events, Seq("event_type"), "ts")
+    }),
     "q319_page_hinkley" -> ((s, dir) => {
       // D28 Page–Hinkley mean-shift drift over daily event volume per
       // type: each day scored against the RUNNING mean (the online
@@ -1019,6 +1028,52 @@ private[graft] object RefQueries {
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, drift,
         |       drift * 10 > tt * d AS flag
         |FROM m""".stripMargin,
+    // Periodogram replay: same phase micro-means, milli trig weights
+    // (identical written form — a 1-ulp libm gap dies at the round),
+    // HUGEINT Fourier sums, integer peak-phase pick.
+    "q329_periodogram" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |ph AS (
+        |  SELECT event_type, p.period, day % p.period AS r,
+        |         CAST(sum(n) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+        |  FROM s CROSS JOIN (SELECT unnest([7, 30]) AS period) p
+        |  GROUP BY 1, 2, 3
+        |),
+        |m AS (
+        |  SELECT *, CAST(floor(CAST(s AS DOUBLE) * 1e6 / c) AS BIGINT) AS m
+        |  FROM ph
+        |),
+        |wn AS (
+        |  SELECT *,
+        |    CAST(sum(m) OVER (PARTITION BY event_type, period) AS BIGINT) AS ct,
+        |    CAST(count(*) OVER (PARTITION BY event_type, period) AS BIGINT) AS pp,
+        |    CAST(max(m) OVER (PARTITION BY event_type, period) AS BIGINT) AS mx
+        |  FROM m
+        |),
+        |cw AS (
+        |  SELECT *, m * pp - ct AS cr,
+        |    CAST(round(cos(2 * pi() * r / period) * 1000) AS BIGINT) AS cwt,
+        |    CAST(round(sin(2 * pi() * r / period) * 1000) AS BIGINT) AS swt
+        |  FROM wn
+        |),
+        |a AS (
+        |  SELECT event_type, period,
+        |         any_value(pp) AS n_phases,
+        |         sum(CAST(cr AS HUGEINT) * cwt) AS A,
+        |         sum(CAST(cr AS HUGEINT) * swt) AS B,
+        |         min(CASE WHEN m = mx THEN r END) AS peak_phase
+        |  FROM cw GROUP BY 1, 2
+        |)
+        |SELECT event_type, period, n_phases,
+        |       round(sqrt(CAST(A*A + B*B AS DOUBLE)) * 2
+        |             / CAST(n_phases * n_phases AS DOUBLE) / 1e9, 4) AS amp,
+        |       peak_phase
+        |FROM a""".stripMargin,
     // PH replay: deviations vs the running mean fixed to micro-units
     // via floor-of-double (the engine-portable division), then exact
     // integer running sum / running min — the q139 window scaffold.

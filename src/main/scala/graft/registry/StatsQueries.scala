@@ -609,6 +609,16 @@ private[graft] object StatsQueries {
       val t = Tables(s, dir)
       Rollups.kruskalWallis(t.events, "event_type", "value")
     }),
+    "q330_jonckheere" -> ((s, dir) => {
+      // F71 Jonckheere–Terpstra: does order total trend MONOTONE
+      // across the a-priori priority order 1-URGENT..5-LOW — the
+      // ordered-alternative sharpening of q292's omnibus; value-grain
+      // CDFs (the F25 contract at G=5), exact doubled statistic
+      val t = Tables(s, dir)
+      Rollups.jonckheereTerpstra(t.orders, "o_orderpriority",
+        "o_totalprice", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+    }),
     "q293_mann_kendall" -> ((s, dir) => {
       // D23 Mann–Kendall: monotone-trend significance per datasource
       // yearly evidence series — the q195 Theil–Sen slope's
@@ -2732,6 +2742,62 @@ private[graft] object StatsQueries {
         |                             * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) END),
         |             4) AS h_adj
         |FROM a, tie""".stripMargin,
+    // JT replay: value-grain conditional counts, one cumulative
+    // window for the 5 CDFs, the 10 ordered-pair cross terms in the
+    // identical (i<j) order, HUGEINT doubled statistic, no-tie null
+    // moments in exact-integer-valued doubles.
+    "q330_jonckheere" -> {
+      val gs = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW")
+      val cdefs = gs.zipWithIndex.map { case (g, i) =>
+        s"CAST(count(*) FILTER (g = '$g') AS BIGINT) AS c${i + 1}"
+      }.mkString(",\n         ")
+      val fdefs = (1 to 5).map(i =>
+        s"CAST(sum(c$i) OVER w AS BIGINT) AS f$i").mkString(",\n         ")
+      val ndefs = (1 to 5).map(i =>
+        s"CAST(sum(c$i) AS BIGINT) AS n$i").mkString(", ")
+      val pairTerms = (for { i <- 1 to 5; j <- (i + 1) to 5 } yield
+        s"CAST(c$i AS HUGEINT) * (n$j - f$j) * 2 + CAST(c$i AS HUGEINT) * c$j")
+        .mkString("\n           + ")
+      val nAll = (1 to 5).map(i => s"n$i").mkString(" + ")
+      val sqAll = (1 to 5).map(i => s"CAST(n$i AS HUGEINT) * n$i")
+        .mkString(" + ")
+      val varAll = (1 to 5).map(i =>
+        s"CAST(n$i AS DOUBLE) * CAST(n$i AS DOUBLE) * (2.0 * CAST(n$i AS DOUBLE) + 3)")
+        .mkString("\n             + ")
+      s"""WITH v AS (
+         |  SELECT o_orderpriority AS g,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |  FROM orders WHERE o_totalprice IS NOT NULL
+         |),
+         |h AS (
+         |  SELECT v,
+         |         $cdefs
+         |  FROM v GROUP BY 1
+         |),
+         |f AS (
+         |  SELECT *,
+         |         $fdefs
+         |  FROM h WINDOW w AS (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |t AS (SELECT $ndefs FROM h),
+         |s AS (
+         |  SELECT n1, n2, n3, n4, n5,
+         |         sum($pairTerms) AS jt2
+         |  FROM f CROSS JOIN t
+         |  GROUP BY 1, 2, 3, 4, 5
+         |)
+         |SELECT CAST($nAll AS BIGINT) AS n,
+         |       round(CAST(jt2 AS DOUBLE) / 2, 1) AS jt,
+         |       round((CAST(jt2 AS DOUBLE)
+         |              - CAST(CAST($nAll AS HUGEINT) * ($nAll)
+         |                     - ($sqAll) AS DOUBLE) / 2) / 2
+         |             / sqrt((CAST($nAll AS DOUBLE) * CAST($nAll AS DOUBLE)
+         |                       * (2.0 * CAST($nAll AS DOUBLE) + 3)
+         |                     - ($varAll)) / 72.0), 4) AS z
+         |FROM s""".stripMargin
+    },
     // Mann–Kendall replay: same yearly series as q195, in-list sign
     // pairs (exact integers), tie rollup from the same series, the
     // continuity-corrected z as one written-order double, 4dp.

@@ -186,6 +186,15 @@ private[graft] object TextQueries {
       val t = Tables(s, dir)
       TextAnalysis.unigramLm(t.documents)
     }),
+    "q328_heaps_law" -> ((s, dir) => {
+      // G104 Heaps-law vocabulary growth per source: V(T) ≈ K·T^β
+      // over 10 doc-id-value checkpoints (rank-free, no doc-grain
+      // sort) — the corpus-scaling read (β≈0.5 natural language, ≈1
+      // id leak, ≈0 saturated); D9's exact-decimal trend on micro-nat
+      // logs
+      val t = Tables(s, dir)
+      TextAnalysis.heapsLaw(t.documents)
+    }),
     "q324_vocab_richness" -> ((s, dir) => {
       // G101 vocabulary richness per source: Chao1 species-richness
       // lower bound + Good–Turing coverage off the frequency
@@ -649,6 +658,65 @@ private[graft] object TextQueries {
         |             / CAST(sum(tf) AS DOUBLE), 4) AS nll
         |FROM tf JOIN cf USING (word) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    // Heaps replay: same value thresholds (positive integer //), word
+    // first-occurrence joins, the q147 exact-HUGEINT fit tail.
+    "q328_heaps_law" ->
+      """WITH b AS (
+        |  SELECT source, min(doc_id) AS lo, max(doc_id) AS hi
+        |  FROM documents GROUP BY 1
+        |),
+        |kd AS (
+        |  SELECT source, k, lo - 1 + ((hi - lo + 1) * k) // 10 AS th
+        |  FROM b, unnest(range(1, 11)) u(k)
+        |),
+        |fw AS (
+        |  SELECT source, word, min(doc_id) AS fd
+        |  FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |v AS (
+        |  SELECT f.source, kd.k, CAST(count(*) AS BIGINT) AS v
+        |  FROM fw f JOIN kd ON kd.source = f.source AND f.fd <= kd.th
+        |  GROUP BY 1, 2
+        |),
+        |tt AS (
+        |  SELECT d.source, kd.k,
+        |         CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS t
+        |  FROM documents d JOIN kd ON kd.source = d.source AND d.doc_id <= kd.th
+        |  GROUP BY 1, 2
+        |),
+        |p AS (
+        |  SELECT v.source,
+        |         CAST(round(ln(tt.t) * 1e6) AS BIGINT) AS x,
+        |         CAST(round(ln(v.v) * 1e6) AS BIGINT) AS y
+        |  FROM v JOIN tt ON v.source = tt.source AND v.k = tt.k
+        |  WHERE v.v > 0 AND tt.t > 0
+        |),
+        |m AS (
+        |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |         CAST(sum(x*y) AS HUGEINT) AS sxy,
+        |         CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |         CAST(sum(y*y) AS HUGEINT) AS syy
+        |  FROM p GROUP BY 1
+        |),
+        |f AS (
+        |  SELECT source, n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS varx,
+        |         n*syy - sy*sy AS vary, sx, sy
+        |  FROM m WHERE n >= 2 AND n*sxx - sx*sx > 0
+        |)
+        |SELECT source, CAST(n AS BIGINT) AS n_points,
+        |       round(CAST(num AS DOUBLE) / CAST(varx AS DOUBLE), 4)
+        |         AS heaps_beta,
+        |       round((CAST(sy AS DOUBLE)
+        |           - (CAST(num AS DOUBLE) / CAST(varx AS DOUBLE))
+        |             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept,
+        |       CASE WHEN vary > 0
+        |         THEN round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |                / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 4)
+        |       END AS r2
+        |FROM f""".stripMargin,
     // Frequency-spectrum replay: same split, exact counts, identical
     // written form for the two ratios.
     "q324_vocab_richness" ->

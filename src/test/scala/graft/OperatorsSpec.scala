@@ -1079,6 +1079,62 @@ class OperatorsSpec extends SparkSpec {
     assert(re == expect)
   }
 
+  test("jonckheereTerpstra: perfectly ordered groups hit the closed-form z") {
+    // a < b < c with fully separated values: JT = 27 (max), E = 13.5,
+    // Var = 20.25 -> z = 3.0 exactly
+    val rows = Seq("a" -> Seq(1, 2, 3), "b" -> Seq(4, 5, 6),
+      "c" -> Seq(7, 8, 9)).flatMap { case (g, vs) =>
+      vs.map(v => (g, v.toDouble))
+    }
+    val df = rows.toDF("g", "v")
+    val r = Rollups.jonckheereTerpstra(df, "g", "v", Seq("a", "b", "c")).head()
+    assert(r.getLong(r.fieldIndex("n")) == 9L)
+    assert(r.getDouble(r.fieldIndex("jt")) == 27.0)
+    assert(r.getDouble(r.fieldIndex("z")) == 3.0)
+    // reversing the hypothesized order flips the sign
+    val rev = Rollups.jonckheereTerpstra(df, "g", "v", Seq("c", "b", "a")).head()
+    assert(rev.getDouble(rev.fieldIndex("z")) == -3.0)
+    // a tie straddling two groups counts half: a=(1,2), b=(2,3)
+    // U_ab = #(a<b) + 0.5*ties = 3 + 0.5
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val tr = Rollups.jonckheereTerpstra(tied, "g", "v", Seq("a", "b")).head()
+    assert(tr.getDouble(tr.fieldIndex("jt")) == 3.5)
+  }
+
+  test("heapsLaw: unique-word docs fit beta=1, identical docs fit beta=0") {
+    // "idleak": every doc contributes 3 brand-new words -> V = T, beta 1
+    val idleak = (1 to 40).map(i =>
+      ("idleak", i.toLong, s"w${i}a w${i}b w${i}c"))
+    // "flat": every doc is the same 3 words -> V constant, beta 0
+    val flat = (1 to 40).map(i => ("flat", i.toLong, "a b c"))
+    val df = (idleak ++ flat).toDF("source", "doc_id", "text")
+    val fit = TextAnalysis.heapsLaw(df).collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("heaps_beta")))
+      .toMap
+    assert(fit("idleak") == 1.0)
+    assert(fit("flat") == 0.0)
+  }
+
+  test("periodogram: a weekly square wave peaks at period 7, phase 0") {
+    val rows = (0 until 70).map { d =>
+      val n = if (d % 7 == 0) 10 else 3
+      (0 until n).map(k => ("e", java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(d.toLong * 86400 + k))))
+    }.flatten
+    val df = rows.toDF("event_type", "ts")
+    val got = Rollups.periodogram(df, Seq("event_type"), "ts")
+      .collect().map(r => r.getInt(r.fieldIndex("period")) ->
+        (r.getLong(r.fieldIndex("n_phases")),
+          r.getDouble(r.fieldIndex("amp")),
+          r.getLong(r.fieldIndex("peak_phase")))).toMap
+    val (p7n, p7amp, p7peak) = got(7)
+    assert(p7n == 7L && p7peak == 0L)
+    // the fundamental of a 7-day impulse train carries ~2·(10-3)/7 ≈ 2
+    // counts of amplitude; the 30-day probe sees only leakage
+    assert(p7amp > 1.5 && p7amp < 2.5)
+    assert(got(30)._2 < p7amp / 2)
+  }
+
   test("kCore: a triangle survives the 2-core, its pendant chain peels away") {
     // triangle 1-2-3 with a chain 3-4-5 hanging off it; 4 has degree 2
     // until 5 peels, so the chain needs TWO rounds to fully unravel —

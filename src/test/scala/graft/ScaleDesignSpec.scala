@@ -1954,4 +1954,69 @@ class ScaleDesignSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
     }.isEmpty, "kendallTau: no unbroadcast cartesian")
   }
+
+  test("round-13: new operator plans honor their scale claims") {
+    import graft.operators.{Rollups, TextAnalysis}
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val t = tables
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    // q319 Page–Hinkley: all four running frames + the full-frame
+    // total share ONE (keys) exchange and ONE sort — the q139 CUSUM
+    // window contract
+    val ph = Rollups.pageHinkley(
+      t.events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")), Seq("event_type"), "day", "n")
+    ph.collect()
+    assert(helper.collect(ph.queryExecution.executedPlan) {
+      case s: SortExec => s
+    }.size == 1, "pageHinkley: one sort for every running frame")
+    // q320 perplexity buckets: NO doc-grain window — the only
+    // WindowExec consumes the (lang, value)-grain histogram — and the
+    // tercile cuts come back via broadcast, never a shuffled join
+    val ppl = TextAnalysis.perplexityBuckets(t.documents)
+    ppl.collect()
+    val pplPlan = ppl.queryExecution.executedPlan
+    val pplWins = helper.collect(pplPlan) { case w: WindowExec => w }
+    assert(pplWins.nonEmpty && pplWins.forall(
+      _.child.output.exists(_.name == "__c")),
+      "pplBuckets: every window must consume the (lang, value)-grain " +
+        s"histogram (__c), got ${pplWins.map(_.child.output.map(_.name))}")
+    assert(helper.collect(pplPlan) { case b: BroadcastHashJoinExec => b }
+      .size >= 2, "pplBuckets: lang totals AND tercile cuts must broadcast")
+    // q321 Croston: the interval lag window and the fold's collect
+    // ride ONE (keys) exchange
+    val cr = Rollups.croston(
+      t.events.groupBy(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y")), Seq("user_id"), "day", "y")
+    cr.collect()
+    val crShuffles = helper.collect(cr.queryExecution.executedPlan) {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(crShuffles.size <= 2,
+      s"croston: daily combine + one (keys) exchange, got ${crShuffles.size}")
+    // q330 Jonckheere–Terpstra: the G CDF frames + the grain guard
+    // share one value-grain sort; the totals attach by broadcast
+    val jt = Rollups.jonckheereTerpstra(t.orders, "o_orderpriority",
+      "o_totalprice", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW"))
+    jt.collect()
+    val jtPlan = jt.queryExecution.executedPlan
+    assert(helper.collect(jtPlan) { case s: SortExec => s }.size == 1,
+      "jonckheere: all five CDFs + guard on one sort")
+    assert(helper.collect(jtPlan) { case c: CartesianProductExec => c }.isEmpty,
+      "jonckheere: the one-row totals cross must broadcast")
+    // q329 periodogram: phase grain only — no data-grain window, no
+    // cartesian; the centering window consumes the ≤Σp-row phase frame
+    val pg = Rollups.periodogram(t.events, Seq("event_type"), "ts")
+    pg.collect()
+    val pgPlan = pg.queryExecution.executedPlan
+    assert(helper.collect(pgPlan) { case c: CartesianProductExec => c }.isEmpty,
+      "periodogram: no cartesian")
+    assert(helper.collect(pgPlan) { case e: ShuffleExchangeLike => e }.size <= 3,
+      "periodogram: daily combine, phase combine, final reduce — no more")
+  }
 }
