@@ -29,6 +29,55 @@ private[operators] trait RollupsInference {
     *
     * Output: one row (n_a, n_b, diff, n_reps, p_value).
     */
+  /** Cochran–Armitage trend test — does a BINARY outcome rate trend
+    * linearly across an a-priori ordered factor (dose tiers, priority
+    * levels, cohort age)? The proportions companion of
+    * [[jonckheereTerpstra]]'s continuous-metric test: with integer
+    * scores w_i = 1..G, T = Σ w_i·(r_i·N − n_i·R) (r_i successes of
+    * n_i in group i; R, N the totals) and
+    * Var(T) = R·(N−R)·(N·Σw_i²n_i − (Σw_i n_i)²) / N, z = T/√Var.
+    * This multiplied-through form keeps EVERYTHING integer until the
+    * final ratio — no per-group proportions, no p̄ rounding.
+    *
+    * Scale shape: ONE conditional map-side combine to the G-row group
+    * table, then a one-row reduce. Sums in decimal(38,0): w·r·N
+    * passes long range at corpus N.
+    *
+    * Output: one row (n, successes, z 4dp; z > 0 means the success
+    * rate increases along the given order).
+    */
+  def cochranArmitage(
+      df: DataFrame,
+      groupCol: String,
+      successCol: Column,
+      ordered: Seq[String]): DataFrame = {
+    val G = ordered.size
+    require(G >= 2, s"need >= 2 ordered groups, got $G")
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val score = ordered.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (g, i)) => when(col(groupCol) === g, lit(i + 1)).otherwise(acc)
+    }
+    df.filter(col(groupCol).isin(ordered: _*))
+      .select(score.as("__w"), when(successCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__r"))
+      .agg(
+        sum(col("__n")).as("n"), sum(col("__r")).as("successes"),
+        sum(col("__w").cast(dec) * col("__n")).as("__wn"),
+        sum(col("__w").cast(dec) * col("__w") * col("__n")).as("__wwn"),
+        sum(col("__w").cast(dec) * col("__r")).as("__wr"))
+      .withColumn("__t",
+        col("__wr") * col("n") - col("__wn") * col("successes"))
+      .withColumn("__var",
+        d(col("successes")) * (d(col("n")) - d(col("successes"))) *
+          (d(col("n")) * d(col("__wwn")) - d(col("__wn")) * d(col("__wn")))
+          / d(col("n")))
+      .select(col("n"), col("successes"),
+        when(col("__var") > 0,
+          round(d(col("__t")) / sqrt(col("__var")), 4)).as("z"))
+  }
+
   /** Jonckheere–Terpstra ordered-alternative test — is the metric
     * MONOTONE across an a-priori ORDERED factor (priority levels,
     * dose tiers, app versions)? Strictly sharper than Kruskal–Wallis

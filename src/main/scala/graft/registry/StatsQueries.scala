@@ -619,6 +619,16 @@ private[graft] object StatsQueries {
         "o_totalprice", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
           "4-NOT SPECIFIED", "5-LOW"))
     }),
+    "q331_cochran_armitage" -> ((s, dir) => {
+      // F72 Cochran–Armitage: does the fulfilled-order rate trend
+      // across the priority order — q330's proportions companion;
+      // one conditional combine, integer T and multiplied-through
+      // variance, one final ratio
+      val t = Tables(s, dir)
+      Rollups.cochranArmitage(t.orders, "o_orderpriority",
+        col("o_orderstatus") === "F", Seq("1-URGENT", "2-HIGH",
+          "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+    }),
     "q293_mann_kendall" -> ((s, dir) => {
       // D23 Mann–Kendall: monotone-trend significance per datasource
       // yearly evidence series — the q195 Theil–Sen slope's
@@ -2798,6 +2808,40 @@ private[graft] object StatsQueries {
          |                     - ($varAll)) / 72.0), 4) AS z
          |FROM s""".stripMargin
     },
+    // CA replay: same integer scores, HUGEINT moments, the identical
+    // multiplied-through variance written form.
+    "q331_cochran_armitage" ->
+      """WITH g AS (
+        |  SELECT CASE o_orderpriority
+        |           WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+        |           WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+        |           WHEN '5-LOW' THEN 5 END AS w,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS r
+        |  FROM orders GROUP BY 1
+        |),
+        |a AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n,
+        |         CAST(sum(r) AS BIGINT) AS successes,
+        |         sum(CAST(w AS HUGEINT) * n) AS wn,
+        |         sum(CAST(w AS HUGEINT) * w * n) AS wwn,
+        |         sum(CAST(w AS HUGEINT) * r) AS wr
+        |  FROM g
+        |),
+        |v AS (
+        |  SELECT *,
+        |         CAST(successes AS DOUBLE)
+        |           * (CAST(n AS DOUBLE) - CAST(successes AS DOUBLE))
+        |           * (CAST(n AS DOUBLE) * CAST(wwn AS DOUBLE)
+        |              - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE))
+        |           / CAST(n AS DOUBLE) AS var
+        |  FROM a
+        |)
+        |SELECT n, successes,
+        |       CASE WHEN var > 0
+        |         THEN round(CAST(wr * n - wn * successes AS DOUBLE)
+        |                    / sqrt(var), 4) END AS z
+        |FROM v""".stripMargin,
     // Mann–Kendall replay: same yearly series as q195, in-list sign
     // pairs (exact integers), tie rollup from the same series, the
     // continuity-corrected z as one written-order double, 4dp.

@@ -1079,6 +1079,21 @@ class OperatorsSpec extends SparkSpec {
     assert(re == expect)
   }
 
+  test("cochranArmitage: separated rates hit the closed-form z, flat rates give 0") {
+    // a: 0/2 success, b: 2/2 -> T = 4, Var = 4, z = 2.0 exactly
+    val df = Seq(("a", false), ("a", false), ("b", true), ("b", true))
+      .toDF("g", "y")
+    val r = Rollups.cochranArmitage(df, "g", col("y"), Seq("a", "b")).head()
+    assert(r.getLong(r.fieldIndex("n")) == 4L)
+    assert(r.getLong(r.fieldIndex("successes")) == 2L)
+    assert(r.getDouble(r.fieldIndex("z")) == 2.0)
+    // identical rates in every group -> T = 0
+    val flat = Seq(("a", true), ("a", false), ("b", true), ("b", false))
+      .toDF("g", "y")
+    val fr = Rollups.cochranArmitage(flat, "g", col("y"), Seq("a", "b")).head()
+    assert(fr.getDouble(fr.fieldIndex("z")) == 0.0)
+  }
+
   test("jonckheereTerpstra: perfectly ordered groups hit the closed-form z") {
     // a < b < c with fully separated values: JT = 27 (max), E = 13.5,
     // Var = 20.25 -> z = 3.0 exactly
