@@ -286,8 +286,10 @@ object EventWindows {
       .withColumn("__hu",
         round(col("d").cast("double") / col("n_risk").cast("double") * 1e6)
           .cast("long"))
+      // integer-grain publish (the q321 halfway-flip contract)
       .withColumn("cum_hazard",
-        round(sum(col("__hu")).over(wOrd).cast("double") / 1e6, 4))
+        round(sum(col("__hu")).over(wOrd).cast("double") / 100.0)
+          .cast("long") / 10000.0)
       .select((keys :+ durationCol).map(col) ++ Seq(col("n_risk"),
         col("d"), col("c"), col("cum_hazard")): _*)
   }
@@ -735,11 +737,13 @@ object EventWindows {
         max(col("__gap")).as("__max"))
       .select(reportKeys.map(col) ++ Seq(
         col("n_gaps"),
-        round(col("__sum").cast("double") / col("n_gaps") / 1e6, 4)
-          .as("mean_gap_s"),
-        round(col("__p50") / 1e6, 4).as("p50_gap_s"),
-        round(col("__p90") / 1e6, 4).as("p90_gap_s"),
-        round(col("__max").cast("double") / 1e6, 4).as("max_gap_s")): _*)
+        (round(col("__sum").cast("double") / col("n_gaps") / 100.0)
+          .cast("long") / 10000.0).as("mean_gap_s"),
+        // integer-grain publish (the q321 halfway-flip contract)
+        (round(col("__p50") / 100.0).cast("long") / 10000.0).as("p50_gap_s"),
+        (round(col("__p90") / 100.0).cast("long") / 10000.0).as("p90_gap_s"),
+        (round(col("__max").cast("double") / 100.0).cast("long") / 10000.0)
+          .as("max_gap_s")): _*)
   }
 
   /** Daily trending ranks — per day, the top-k items by event count
@@ -814,7 +818,8 @@ object EventWindows {
         max(col("__behind")).as("__mb"))
       .select(col(typeCol), col("n"), col("n_late"),
         round(d(col("n_late")) / col("n"), 4).as("late_frac"),
-        round(d(col("__mb")) / 1e6, 4).as("max_lateness_s"))
+        (round(d(col("__mb")) / 100.0).cast("long") / 10000.0)
+          .as("max_lateness_s"))
   }
 
   /** DAU / WAU / MAU stickiness — the product-analytics engagement
@@ -944,7 +949,8 @@ object EventWindows {
         sqrt(greatest(col("__var"), lit(0.0))) / col("__mean"), 4))
       .filter(col("cv") <= maxCv)
       .select(col(userCol), col("n_events"),
-        round(col("__mean") / 1e6, 4).as("mean_gap_s"), col("cv"))
+        (round(col("__mean") / 100.0).cast("long") / 10000.0)
+          .as("mean_gap_s"), col("cv"))
   }
 
   /** Majority-transition predictor accuracy — the baseline every

@@ -1842,7 +1842,11 @@ object Rollups extends RollupsInference with RollupsEval {
       .select(keys.map(col) ++ Seq(
         col("__st.n").as("n_forecasts"),
         round(d(col("__st.se")) / col("__st.n") / 1e6, 4).as("mae"),
-        round(d(col("__st.l") + col("__st.b")) / 1e6, 4).as("forecast_next")): _*)
+        // integer-grain publish (the q321 halfway-flip contract):
+        // micro/1e6 rounded at 4dp flips engines when micro ends in
+        // exactly 50; micro/100.0 is exact at halves, so round there
+        (round(d(col("__st.l") + col("__st.b")) / 100.0).cast("long")
+          / 10000.0).as("forecast_next")): _*)
   }
 
   /** Croston's method (1972) for INTERMITTENT demand — the forecast
@@ -1868,7 +1872,15 @@ object Rollups extends RollupsInference with RollupsEval {
     * correctly. Keys with one demand publish the seed itself.
     *
     * Output: (keys..., n_demands, size_hat 4dp, interval_hat 4dp,
-    * forecast 4dp — demand per period).
+    * forecast 4dp — demand per period). The two micro-unit states
+    * publish via INTEGER-grain rounding (round(micro/100)/10⁴):
+    * `round(micro/1e6, 4)` flips engines when micro ends in exactly
+    * 50 — micro/1e6 is then a non-representable decimal half that
+    * Spark's BigDecimal render rounds up and a binary-double round
+    * rounds down (bit q321 at sf0.1, row user 660: 1.25595 → 1.256
+    * vs 1.2559). micro/100.0 IS exact at halves (X.5, X < 2⁵²), so
+    * both engines agree. `forecast` is a genuine ratio — never
+    * exactly half — and stays a plain 4dp round.
     */
   def croston(
       series: DataFrame,
@@ -1898,8 +1910,10 @@ object Rollups extends RollupsInference with RollupsEval {
           |    'n', a.n + 1L))""".stripMargin))
       .select(keys.map(col) ++ Seq(
         col("__st.n").as("n_demands"),
-        round(d(col("__st.z")) / 1e6, 4).as("size_hat"),
-        round(d(col("__st.p")) / 1e6, 4).as("interval_hat"),
+        (round(d(col("__st.z")) / 100.0).cast("long") / 10000.0)
+          .as("size_hat"),
+        (round(d(col("__st.p")) / 100.0).cast("long") / 10000.0)
+          .as("interval_hat"),
         round(d(col("__st.z")) / d(col("__st.p")), 4).as("forecast")): _*)
   }
   /** Wilder's RSI per keyed series — the momentum oscillator
@@ -2025,9 +2039,12 @@ object Rollups extends RollupsInference with RollupsEval {
                   signalP)}))""".stripMargin))
       .select(keys.map(col) ++ Seq(
         col("n_points"),
-        round(d(col("__st.ef") - col("__st.es")) / 1e6, 4).as("macd"),
-        round(d(col("__st.sig")) / 1e6, 4).as("signal"),
-        round((d(col("__st.ef") - col("__st.es")) - d(col("__st.sig"))) / 1e6, 4)
+        (round(d(col("__st.ef") - col("__st.es")) / 100.0).cast("long")
+          / 10000.0).as("macd"),
+        (round(d(col("__st.sig")) / 100.0).cast("long") / 10000.0)
+          .as("signal"),
+        (round((d(col("__st.ef") - col("__st.es")) - d(col("__st.sig")))
+          / 100.0).cast("long") / 10000.0)
           .as("histogram")): _*)
   }
 

@@ -559,7 +559,9 @@ private[operators] trait RollupsEval {
       .select((keys.map(col) :+ col("resid_sd")): _*)
     seas.join(broadcast(resid), keys)
       .select(keys.map(col) ++ Seq(col("phase"), col("n"),
-        round(d(col("__su")) / 1e6, 4).as("seasonal"), col("resid_sd")): _*)
+        // integer-grain publish (the q321 halfway-flip contract)
+        (round(d(col("__su")) / 100.0).cast("long") / 10000.0)
+          .as("seasonal"), col("resid_sd")): _*)
   }
 
   /** STL-based anomaly days — the detector D19's decomposition
@@ -613,10 +615,12 @@ private[operators] trait RollupsEval {
         (d(col("__rq")) - d(col("__rs")) * d(col("__rs")) / col("__rn")) /
           (col("__rn") - 1)) / 1e6, 4).as("__sd4"): _*)
     withSeas.join(broadcast(sd), keys)
-      .withColumn("resid", round(d(col("__r")) / 1e6, 4))
+      .withColumn("resid",
+        round(d(col("__r")) / 100.0).cast("long") / 10000.0)
       .filter(col("__sd4") > 0 && abs(col("resid")) > lit(nSigma) * col("__sd4"))
       .select(keys.map(col) ++ Seq(col(xCol), col(yCol),
-        round((d(col("__tu")) + d(col("__su"))) / 1e6, 4).as("expected"),
+        (round((d(col("__tu")) + d(col("__su"))) / 100.0).cast("long")
+          / 10000.0).as("expected"),
         col("resid")): _*)
   }
 

@@ -245,7 +245,8 @@ object TextAnalysis {
     phrases.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
       .join(scored, Seq("phrase"))
       .select(col("phrase"), col("n_words"), col("n_occurrences"),
-        round(col("__su").cast("double") / 1e6, 4).as("score"))
+        (round(col("__su").cast("double") / 100.0).cast("long") / 10000.0)
+          .as("score"))
       .orderBy(col("score").desc, col("phrase"))
       .limit(k)
   }

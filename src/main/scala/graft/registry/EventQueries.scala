@@ -1493,10 +1493,14 @@ private[graft] object EventQueries {
         |  FROM events
         |)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
-        |       round(CAST(sum(gap) AS DOUBLE) / count(*) / 1e6, 4) AS mean_gap_s,
-        |       round(quantile_cont(gap, 0.5) / 1e6, 4) AS p50_gap_s,
-        |       round(quantile_cont(gap, 0.9) / 1e6, 4) AS p90_gap_s,
-        |       round(CAST(max(gap) AS DOUBLE) / 1e6, 4) AS max_gap_s
+        |       CAST(round(CAST(sum(gap) AS DOUBLE) / count(*) / 100.0)
+        |            AS BIGINT) / 10000.0 AS mean_gap_s,
+        |       CAST(round(quantile_cont(gap, 0.5) / 100.0) AS BIGINT)
+        |         / 10000.0 AS p50_gap_s,
+        |       CAST(round(quantile_cont(gap, 0.9) / 100.0) AS BIGINT)
+        |         / 10000.0 AS p90_gap_s,
+        |       CAST(round(CAST(max(gap) AS DOUBLE) / 100.0) AS BIGINT)
+        |         / 10000.0 AS max_gap_s
         |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
     // Sweep-line replay: same half-open boundary order (t, d), same
     // ROWS cumsum, same (conc desc, t, d) argmax total order.
@@ -1787,9 +1791,9 @@ private[graft] object EventQueries {
         |  FROM w
         |)
         |SELECT cohort, duration, n_risk, d, c,
-        |       round(CAST(sum(hu) OVER (PARTITION BY cohort ORDER BY duration
+        |       CAST(round(CAST(sum(hu) OVER (PARTITION BY cohort ORDER BY duration
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |             / 1e6, 4) AS cum_hazard
+        |             / 100.0) AS BIGINT) / 10000.0 AS cum_hazard
         |FROM h""".stripMargin,
     // Churn-label replay: same max-anchored cutoff, same side counts.
     "q240_churn_labels" ->
@@ -1960,7 +1964,8 @@ private[graft] object EventQueries {
         |               / (CAST(sg AS DOUBLE) / ng), 4) AS cv
         |  FROM s WHERE n_events >= 20 AND ng > 1 AND sg > 0
         |)
-        |SELECT user_id, n_events, round(mean / 1e6, 4) AS mean_gap_s, cv
+        |SELECT user_id, n_events,
+        |       CAST(round(mean / 100.0) AS BIGINT) / 10000.0 AS mean_gap_s, cv
         |FROM c WHERE cv <= 0.9""".stripMargin,
     // FULL-outer replay of the q117 shape: both-side null emission,
     // same watermark+range cut on the driving (left, else right) time.
@@ -2011,7 +2016,8 @@ private[graft] object EventQueries {
         |       CAST(count(*) FILTER (behind > 1800000000) AS BIGINT) AS n_late,
         |       round(CAST(count(*) FILTER (behind > 1800000000) AS DOUBLE)
         |             / count(*), 4) AS late_frac,
-        |       round(CAST(max(behind) AS DOUBLE) / 1e6, 4) AS max_lateness_s
+        |       CAST(round(CAST(max(behind) AS DOUBLE) / 100.0) AS BIGINT)
+        |         / 10000.0 AS max_lateness_s
         |FROM b GROUP BY 1""".stripMargin,
     // ListState replay: the final K-min ledger per user equals the
     // plain batch top-K-by-(cents, event_id) aggregate.

@@ -1439,10 +1439,13 @@ private[graft] object RefQueries {
         |  FROM arr
         |)
         |SELECT event_type, n_points,
-        |       round(CAST(fold.ef - fold.es AS DOUBLE) / 1e6, 4) AS macd,
-        |       round(CAST(sig AS DOUBLE) / 1e6, 4) AS signal,
-        |       round((CAST(fold.ef - fold.es AS DOUBLE)
-        |              - CAST(sig AS DOUBLE)) / 1e6, 4) AS histogram
+        |       CAST(round(CAST(fold.ef - fold.es AS DOUBLE) / 100.0)
+        |            AS BIGINT) / 10000.0 AS macd,
+        |       CAST(round(CAST(sig AS DOUBLE) / 100.0) AS BIGINT) / 10000.0
+        |         AS signal,
+        |       CAST(round((CAST(fold.ef - fold.es AS DOUBLE)
+        |              - CAST(sig AS DOUBLE)) / 100.0) AS BIGINT) / 10000.0
+        |         AS histogram
         |FROM st""".stripMargin,
     // RSI replay: the D21 fold contract, BRANCH-FREE inside the
     // lambda (this engine's struct-state list_reduce mis-evaluates
@@ -1579,7 +1582,8 @@ private[graft] object RefQueries {
         |  FROM rs
         |)
         |SELECT se.event_type, se.phase, se.n,
-        |       round(CAST(se.su AS DOUBLE) / 1e6, 4) AS seasonal, rr.resid_sd
+        |       CAST(round(CAST(se.su AS DOUBLE) / 100.0) AS BIGINT) / 10000.0
+        |         AS seasonal, rr.resid_sd
         |FROM se JOIN rr USING (event_type)""".stripMargin,
     // STL-anomaly replay: the q230 pipeline + the 4dp-threshold keep
     // test against 2 sigma.
@@ -1614,10 +1618,14 @@ private[graft] object RefQueries {
         |  FROM r GROUP BY 1 HAVING count(*) > 1
         |)
         |SELECT r.event_type, r.day, r.y,
-        |       round((CAST(r.tu AS DOUBLE) + CAST(r.su AS DOUBLE)) / 1e6, 4) AS expected,
-        |       round(CAST(r.rr AS DOUBLE) / 1e6, 4) AS resid
+        |       CAST(round((CAST(r.tu AS DOUBLE) + CAST(r.su AS DOUBLE)) / 100.0)
+        |            AS BIGINT) / 10000.0 AS expected,
+        |       CAST(round(CAST(r.rr AS DOUBLE) / 100.0) AS BIGINT) / 10000.0
+        |         AS resid
         |FROM r JOIN sd USING (event_type)
-        |WHERE sd.sd4 > 0 AND abs(round(CAST(r.rr AS DOUBLE) / 1e6, 4)) > 2.0 * sd.sd4""".stripMargin,
+        |WHERE sd.sd4 > 0
+        |  AND abs(CAST(round(CAST(r.rr AS DOUBLE) / 100.0) AS BIGINT) / 10000.0)
+        |      > 2.0 * sd.sd4""".stripMargin,
     // Holt replay: same ordered fold via list_reduce, same integer
     // micro-unit floor-halving state, same 4dp outputs.
     "q272_holt_backtest" ->
@@ -1643,7 +1651,8 @@ private[graft] object RefQueries {
         |)
         |SELECT event_type, st[4] AS n_forecasts,
         |       round(CAST(st[3] AS DOUBLE) / st[4] / 1e6, 4) AS mae,
-        |       round(CAST(st[1] + st[2] AS DOUBLE) / 1e6, 4) AS forecast_next
+        |       CAST(round(CAST(st[1] + st[2] AS DOUBLE) / 100.0) AS BIGINT)
+        |         / 10000.0 AS forecast_next
         |FROM f""".stripMargin,
     // Croston replay: the q272 list-state fold with both fields
     // self-only (z := half(z+yu), p := half(p+gu)); intervals from a
@@ -1675,8 +1684,10 @@ private[graft] object RefQueries {
         |  FROM l
         |)
         |SELECT user_id, st[3] AS n_demands,
-        |       round(CAST(st[1] AS DOUBLE) / 1e6, 4) AS size_hat,
-        |       round(CAST(st[2] AS DOUBLE) / 1e6, 4) AS interval_hat,
+        |       CAST(round(CAST(st[1] AS DOUBLE) / 100.0) AS BIGINT) / 10000.0
+        |         AS size_hat,
+        |       CAST(round(CAST(st[2] AS DOUBLE) / 100.0) AS BIGINT) / 10000.0
+        |         AS interval_hat,
         |       round(CAST(st[1] AS DOUBLE) / CAST(st[2] AS DOUBLE), 4)
         |         AS forecast
         |FROM f""".stripMargin,

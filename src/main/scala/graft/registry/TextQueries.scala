@@ -978,7 +978,8 @@ private[graft] object TextQueries {
         |),
         |occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences FROM ph GROUP BY 1)
         |SELECT occ.phrase, sc.n_words, occ.n_occurrences,
-        |       round(CAST(sc.su AS DOUBLE) / 1e6, 4) AS score
+        |       CAST(round(CAST(sc.su AS DOUBLE) / 100.0) AS BIGINT) / 10000.0
+        |         AS score
         |FROM occ JOIN sc USING (phrase)
         |ORDER BY score DESC, phrase LIMIT 30""".stripMargin,
     // Readability replay: the same regex match counts (RE2-safe

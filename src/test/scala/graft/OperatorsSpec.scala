@@ -1178,11 +1178,14 @@ class OperatorsSpec extends SparkSpec {
       z = math.floor((z + y * 1000000L) / 2.0).toLong
       p = math.floor((p + gap * 1000000L) / 2.0).toLong
     }
+    // integer-grain publish: round(micro/100)/1e4 (the q321 sf0.1
+    // halfway-flip fix), forecast a plain 4dp ratio round
+    def r4i(micro: Long): Double = math.round(micro / 100.0) / 10000.0
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.getLong(got.fieldIndex("n_demands")) == 4L)
-    assert(got.getDouble(got.fieldIndex("size_hat")) == r4(z / 1e6))
-    assert(got.getDouble(got.fieldIndex("interval_hat")) == r4(p / 1e6))
+    assert(got.getDouble(got.fieldIndex("size_hat")) == r4i(z))
+    assert(got.getDouble(got.fieldIndex("interval_hat")) == r4i(p))
     assert(got.getDouble(got.fieldIndex("forecast")) ==
       r4(z.toDouble / p.toDouble))
     // a key with ONE demand publishes its seed: size = demand, interval 1
