@@ -555,6 +555,52 @@ object Dedup {
     * identical to the naive all-pairs form (a pair with zero common
     * shingles has Jaccard 0 < threshold).
     */
+  /** MERGEABLE MinHash slice state + pairwise slice-overlap estimate —
+    * the sketch-grain companion to G55's exact vocabulary Jaccard: the
+    * per-slice state is the elementwise MIN of every member document's
+    * k-component signature, which equals the MinHash of the slice's
+    * shingle-set UNION (min is associative/commutative — the same
+    * state/merge contract as the I6/I16 HLL and I12 KMV families, k
+    * strings per slice instead of the vocabulary). Ĵ(A, B) = the
+    * fraction of agreeing components — the standard MinHash estimator,
+    * ±1/√k. The "how much do these two corpus slices actually share"
+    * pre-flight at 100 TB, where G55's exact set intersection would
+    * shuffle both vocabularies.
+    *
+    * Scale shape: signatures are row-local (the G2 chain's native
+    * expressions); the rollup is one map-side-combined (slice,
+    * component) aggregate — the ONLY exchange carries ≤ slices·k
+    * 32-char strings; the pair compare is a dim-sized self-join.
+    *
+    * Output: (slice_a, slice_b, k, n_agree, jaccard_est 4dp),
+    * slice_a < slice_b.
+    */
+  def minhashSliceOverlap(
+      df: DataFrame,
+      sliceCol: String = "source",
+      textCol: String = "text",
+      k: Int = 12,
+      shingleSize: Int = 3): DataFrame = {
+    val state = spread(df)
+      .select(col(sliceCol).as("slice"),
+        graft.functions.NativeText.wordShingles(col(textCol), shingleSize)
+          .as("set"))
+      .filter(size(col("set")) > 0)
+      .withColumn("sig",
+        graft.functions.NativeText.minhashSig(col("set"), k))
+      .select(col("slice"), posexplode(col("sig")).as(Seq("i", "h")))
+      .groupBy(col("slice"), col("i"))
+      .agg(min(col("h")).as("h"))
+    state.alias("a")
+      .join(state.alias("b"),
+        col("a.i") === col("b.i") && col("a.slice") < col("b.slice"))
+      .groupBy(col("a.slice").as("slice_a"), col("b.slice").as("slice_b"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("a.h") === col("b.h"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("slice_a"), col("slice_b"), col("k"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("k"), 4).as("jaccard_est"))
+  }
+
   def ngramJaccard(
       df: DataFrame,
       blockCol: String,

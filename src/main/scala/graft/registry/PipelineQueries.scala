@@ -152,6 +152,15 @@ private[graft] object PipelineQueries {
       Graph.pageRank(edges)
         .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
+    "q332_minhash_rollup" -> ((s, dir) => {
+      // I32 mergeable MinHash slice state: elementwise-min of member
+      // signatures = MinHash of the slice's shingle UNION (the
+      // I6/I16/I12 state/merge contract); pairwise slice Jaccard
+      // estimate from component agreement — G55's exact vocabulary
+      // join priced down to k strings per slice
+      val t = Tables(s, dir)
+      Dedup.minhashSliceOverlap(t.documents)
+    }),
     "q325_kcore" -> ((s, dir) => {
       // G102 2-core of the MinHash near-dup graph after 8 synchronous
       // peels (bounded-round contract, fixed-point-stable): dense
@@ -1325,6 +1334,28 @@ private[graft] object PipelineQueries {
          |r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
          |$PageRankItersSql
          |SELECT id, round(rank, 6) AS rank FROM r8""".stripMargin,
+    // Slice-minhash replay: q31's shingle + md5-seed hash forms, min
+    // per (slice, seed), component-agreement estimator.
+    "q332_minhash_rollup" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT source, unnest(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM w WHERE len(w) >= 3
+        |),
+        |st AS (
+        |  SELECT source, j, min(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(1, 13)) AS j) seeds
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a.source AS slice_a, b.source AS slice_b,
+        |       CAST(count(*) AS BIGINT) AS k,
+        |       CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_agree,
+        |       round(CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 4) AS jaccard_est
+        |FROM st a JOIN st b ON a.j = b.j AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     // k-core replay: the same 8 unrolled peel rounds. Every CTE is
     // MATERIALIZED — e_i feeds both k_{i+1} and e_{i+1}, and DuckDB's
     // default inlining would go exponential on the chain.
