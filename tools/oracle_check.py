@@ -11,6 +11,17 @@ out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
 only = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
+# Opt-in resource caps for the big synthetic-SF sweeps (default
+# behavior unchanged for the driver): without a memory_limit DuckDB
+# ballooned past 118 GB and OOM'd on the sf1 q01/q111 replays; with a
+# cap + temp_directory it spills instead.
+import os
+if os.environ.get('GRAFT_DUCKDB_MEM'):
+    os.makedirs('/tmp/duckspill', exist_ok=True)
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+    con.execute("SET temp_directory='/tmp/duckspill'")
+if os.environ.get('GRAFT_DUCKDB_THREADS'):
+    con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
