@@ -173,6 +173,22 @@ object Bench {
     }
   }
 
+  /** The mover flag step, extracted so BenchJsonSpec can prove the
+    * adjudicator ENGAGES across registry growth (VERDICT r13 item 6):
+    * a query in `prev` but not in `results` (removed) or in `results`
+    * but not in `prev` (newly registered) must never disarm the
+    * comparison for the keys present in BOTH — the diff is per-key,
+    * never gated on n_queries.
+    */
+  def flagMovers(
+      results: Seq[(String, Either[String, Double])],
+      prev: Map[String, Double]): Seq[(String, Double, Double)] =
+    selectMovers(results.collect {
+      case (k, Right(v)) if prev.get(k).exists(p =>
+          v >= MoverFloorSec && v >= MoverRatio * p) =>
+        (k, prev(k), v)
+    })
+
   def previousWalls(path: java.nio.file.Path, sfDir: String): Map[String, Double] =
     try {
       val txt = java.nio.file.Files.readString(path)
@@ -258,11 +274,7 @@ object Bench {
       else {
         val prev = Bench.previousWalls(
           java.nio.file.Paths.get("BENCH_FULL.json"), sfDir)
-        val flagged = Bench.selectMovers(results.collect {
-          case (k, Right(v)) if prev.get(k).exists(p =>
-              v >= Bench.MoverFloorSec && v >= Bench.MoverRatio * p) =>
-            (k, prev(k), v)
-        })
+        val flagged = Bench.flagMovers(results, prev)
         if (flagged.isEmpty) Nil
         else {
           val sel = SparkEntry.queries.toSeq

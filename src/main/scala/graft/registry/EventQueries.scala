@@ -390,7 +390,11 @@ private[graft] object EventQueries {
         .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
         .agg((min("m") - 7200000000L).as("cut_us"))
       out.crossJoin(broadcast(cut))
-        .filter(col("r_ts_us") <= col("cut_us"))
+        // strict <: at exact equality the global watermark equals
+        // r.ts + range and outer-state eviction is strict at the
+        // boundary, so the null-extended verdict for an == row may
+        // not yet be emitted when the stream drains (ADVICE r13)
+        .filter(col("r_ts_us") < col("cut_us"))
         .select("user_id", "left_id", "right_id")
     }),
     "q65_stream_evict" -> ((s, dir) => {
@@ -1368,7 +1372,7 @@ private[graft] object EventQueries {
         |SELECT r.user_id, l.event_id AS left_id, r.event_id AS right_id
         |FROM l RIGHT JOIN r ON l.user_id = r.user_id
         |  AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
-        |WHERE epoch_us(r.ts) <= (SELECT c FROM cut)""".stripMargin,
+        |WHERE epoch_us(r.ts) < (SELECT c FROM cut)""".stripMargin,
     "q85_stream_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts

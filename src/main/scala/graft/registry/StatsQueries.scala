@@ -2818,7 +2818,10 @@ private[graft] object StatsQueries {
         |           WHEN '5-LOW' THEN 5 END AS w,
         |         CAST(count(*) AS BIGINT) AS n,
         |         CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS r
-        |  FROM orders GROUP BY 1
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+        |                            '4-NOT SPECIFIED', '5-LOW')
+        |  GROUP BY 1
         |),
         |a AS (
         |  SELECT CAST(sum(n) AS BIGINT) AS n,

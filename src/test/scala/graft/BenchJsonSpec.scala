@@ -141,6 +141,35 @@ class BenchJsonSpec extends AnyFunSuite {
     java.nio.file.Files.delete(p)
   }
 
+  test("flagMovers engages across registry growth (r13 item 6)") {
+    // The r13 worry: if the diff were gated on n_queries (or any
+    // whole-file identity), adding queries to the registry would
+    // silently DISARM the regression guard exactly when rounds add
+    // queries. Synthetic prev artifact: one genuine 2.5× mover plus
+    // keys that exist only on one side (removed / newly registered).
+    val p = java.nio.file.Files.createTempFile("bench_prev", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"schema":"graft-bench-1","metric":"total","value":9.0,"unit":"sec","reps":2,""" +
+      """"queries":{"q01_assoc_datasource":1.0,"q02_assoc_overall":0.4,""" +
+      """"q77_removed_query":2.0,"q78_also_removed":1.1},""" +
+      """"hl_min6":{"q01":1.000},"full":"BENCH_FULL.json","sf":"/tmp/sfG"}""")
+    val prev = Bench.previousWalls(p, "/tmp/sfG")
+    assert(prev.size === 4) // extra (removed) keys parse fine
+    val current: Seq[(String, Either[String, Double])] = Seq(
+      "q01_assoc_datasource" -> Right(2.6), // 2.6× AND ≥ floor → mover
+      "q02_assoc_overall" -> Right(0.9), // 2.25× but < floor → quiet
+      "q330_new_query" -> Right(5.0), // new this round: no prev → quiet
+      "q331_new_query" -> Right(9.0))
+    val flagged = Bench.flagMovers(current, prev)
+    assert(flagged === Seq(("q01_assoc_datasource", 1.0, 2.6)),
+      s"registry growth (2 removed, 2 added) must not disarm the per-key diff: $flagged")
+    // and with NO overlap at all (a full registry rename), it flags
+    // nothing rather than crashing
+    assert(Bench.flagMovers(
+      Seq("qX_only_new" -> Right(9.9)), prev).isEmpty)
+    java.nio.file.Files.delete(p)
+  }
+
   test("the committed BENCH_FULL.json conforms once regenerated") {
     // pin the FORM of the artifact this repo publishes: if BENCH_FULL
     // exists and is schema-tagged, its keys must be full query names
