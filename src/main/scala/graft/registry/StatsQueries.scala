@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
 
 import QueryHelpers._
 
-/** Registry shard — relational + statistics: TPC-H-style relational queries and
-  * the experiment/statistics family (SURVEY.md family F).
+/** Registry shard — relational + descriptive statistics: TPC-H-style
+  * relational queries and the descriptive/rollup statistics family.
   *
   * Every query here has its DuckDB oracle co-located below with
   * IDENTICAL column names (the driver contract; see SparkEntry).
@@ -134,15 +134,6 @@ private[graft] object StatsQueries {
         .select(col("n_name"),
           round(col("revenue_cents").cast("double") / 100, 2).as("revenue"))
     }),
-    "q156_ab_ztest" -> ((s, dir) => {
-      // two-proportion A/B z statistic per event_type: variant B =
-      // odd user_id, success = value > 0.5 — one conditional
-      // map-side-combined aggregate, exact integer counts
-      val t = Tables(s, dir)
-      Rollups.twoProportionZ(t.events, Seq("event_type"),
-        col("user_id") % 2 === 1, col("value") > 0.5,
-        variantA = Some(col("user_id") % 2 === 0))
-    }),
     "q157_winsorize" -> ((s, dir) => {
       // heavy-tail clamping report: exact interpolated [p10, p90] per
       // event_type (thresholds rounded 4dp on BOTH engines before
@@ -245,13 +236,6 @@ private[graft] object StatsQueries {
       t.evidence.rollup("datasourceId", "year")
         .agg(count(lit(1)).as("n"), round(sum("score"), 4).as("sum_score"))
     }),
-    "q173_bootstrap_ci" -> ((s, dir) => {
-      // F18 Poisson-bootstrap CI of the mean value per event type:
-      // all 64 resample means from one pass (map-side rep explosion
-      // absorbed by the (key, rep) combine), exact integer cents
-      val t = Tables(s, dir)
-      Rollups.bootstrapMeanCI(t.events, Seq("event_type"), "value", "event_id")
-    }),
     "q174_weighted_median" -> ((s, dir) => {
       // F19 exact weighted median: value at which cumulative props.k
       // weight crosses half the total — all-integer crossing test on
@@ -261,27 +245,6 @@ private[graft] object StatsQueries {
         get_json_object(col("props"), "$.k").cast("long"))
       Rollups.weightedQuantile(ev, Seq("event_type"), "value", "k", "event_id")
         .withColumn("wq_value", round(col("wq_value"), 4))
-    }),
-    "q175_mutual_info" -> ((s, dir) => {
-      // F20 categorical mutual information lang ⇄ source: exact-count
-      // cell table with PMI + MI contributions; corpus touched once
-      val t = Tables(s, dir)
-      Rollups.mutualInfo(t.documents, "lang", "source")
-    }),
-    "q178_fdr" -> ((s, dir) => {
-      // F21 Benjamini–Hochberg FDR over q19's correlation p-values —
-      // the multiple-testing correction analysis.ipynb stops short
-      // of; global windows run over the HYPOTHESIS table, never data
-      val t = Tables(s, dir)
-      Rollups.bhAdjust(
-        Rollups.peakYearCorrelation(AssociationScore.byDatasource(t.evidence)),
-        "p_value", Seq("datasourceIdA", "datasourceIdB"))
-    }),
-    "q182_chi_square" -> ((s, dir) => {
-      // F22 Pearson χ² + Cramér's V for lang ⇄ source — q175's
-      // hypothesis-test companion; empty cells folded in closed form
-      val t = Tables(s, dir)
-      Rollups.chiSquare(t.documents, "lang", "source")
     }),
     "q187_ucb1" -> ((s, dir) => {
       // F23 UCB1 bandit index per event_type arm over `value` rewards
@@ -296,163 +259,11 @@ private[graft] object StatsQueries {
       Baskets.pairLift(t.lineitem, "l_orderkey", "l_partkey",
         k = 20, minSupport = 3)
     }),
-    "q192_ks_test" -> ((s, dir) => {
-      // F25 two-sample KS: did click and view draw their values from
-      // the same distribution? Exact long CDF gaps, one report row
-      val t = Tables(s, dir)
-      Rollups.ksTest(t.events, "event_type", "value", "click", "view")
-    }),
-    "q196_spearman" -> ((s, dir) => {
-      // F26 monotone value-vs-time drift per event type: Spearman rho
-      // on integer double-average-ranks, one (type) exchange
-      val t = Tables(s, dir)
-      val e = t.events.filter(col("value").isNotNull)
-        .select(col("event_type"),
-          round(col("value") * 100).cast("long").as("v"),
-          expr("unix_micros(ts)").as("tus"))
-      Rollups.spearman(e, Seq("event_type"), "v", "tus")
-    }),
-    "q214_bootstrap_diff" -> ((s, dir) => {
-      // F33 resampling CI around the click-vs-view mean gap — the
-      // q173 Poisson machinery pointed at the A/B effect
-      val t = Tables(s, dir)
-      Rollups.bootstrapDiffCI(t.events, "event_type", "value",
-        "click", "view", "event_id")
-    }),
-    "q216_auc" -> ((s, dir) => {
-      // F34 threshold-free classifier quality: does value separate
-      // clicks from views? AUC via the F27 rank statistic
-      val t = Tables(s, dir)
-      Rollups.rocAuc(t.events, "event_type", "value", "click", "view")
-    }),
     "q217_gini" -> ((s, dir) => {
       // F35 corpus mass concentration: how unequally is character
       // mass spread across documents?
       val t = Tables(s, dir)
       Rollups.giniConcentration(t.documents, "n_chars")
-    }),
-    "q218_ols2" -> ((s, dir) => {
-      // F36 two-regressor OLS in closed form: price on quantity
-      // controlling for discount, one scan, Cramer on exact moments
-      val t = Tables(s, dir)
-      Rollups.ols2(t.lineitem, "l_extendedprice", "l_quantity", "l_discount")
-    }),
-    "q219_partial_corr" -> ((s, dir) => {
-      // F37 confounder screen: quantity-price dependence with the
-      // discount channel partialled out
-      val t = Tables(s, dir)
-      Rollups.partialCorr(t.lineitem, "l_quantity", "l_extendedprice",
-        "l_discount")
-    }),
-    "q268_brier" -> ((s, dir) => {
-      // F56 proper-score check: does the quality score, read as a
-      // pass probability, beat the base-rate forecast?
-      val t = Tables(s, dir)
-      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
-      Rollups.brierScore(scored, "quality", "gopher_pass")
-    }),
-    "q267_mcc" -> ((s, dir) => {
-      // F55 Matthews correlation of the quality filter vs the Gopher
-      // gate — the imbalance-honest single number
-      val t = Tables(s, dir)
-      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
-        .withColumn("q_pass", col("quality") >= 0.5)
-      Rollups.matthewsCorr(scored, "q_pass", "gopher_pass")
-    }),
-    "q265_kappa" -> ((s, dir) => {
-      // F54 chance-corrected filter agreement: does quality >= 0.5
-      // agree with the Gopher gate beyond base rates?
-      val t = Tables(s, dir)
-      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
-        .withColumn("q_pass", col("quality") >= 0.5)
-      Rollups.cohenKappa(scored, "q_pass", "gopher_pass")
-    }),
-    "q263_pr_curve" -> ((s, dir) => {
-      // F52 precision-recall sweep + average precision — the
-      // imbalance-honest companion to q262
-      val t = Tables(s, dir)
-      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
-      Rollups.prCurve(scored, "quality", "gopher_pass")
-    }),
-    "q264_best_f1" -> ((s, dir) => {
-      // F53 deployable threshold: the decile cut maximizing F1
-      val t = Tables(s, dir)
-      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
-      Rollups.bestF1Threshold(scored, "quality", "gopher_pass")
-    }),
-    "q262_roc_curve" -> ((s, dir) => {
-      // F51 ROC operating points: TPR/FPR per quality decile against
-      // the Gopher pass label — the table behind q216's AUC
-      val t = Tables(s, dir)
-      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
-      Rollups.rocCurve(scored, "quality", "gopher_pass")
-    }),
-    "q256_permutation" -> ((s, dir) => {
-      // F49 randomization test: assumption-free p for the click-vs-
-      // view value gap via 64 seeded md5 relabels
-      val t = Tables(s, dir)
-      Rollups.permutationDiffTest(t.events, "event_type", "value",
-        "click", "view", "event_id")
-    }),
-    "q257_yuen" -> ((s, dir) => {
-      // F50 Yuen 20%-trimmed robust mean test, click vs view values
-      val t = Tables(s, dir)
-      Rollups.yuenTrimmed(t.events, "event_type", "value", "click", "view")
-    }),
-    "q255_heterogeneity" -> ((s, dir) => {
-      // F48 Cochran's Q across event-type segments: is the parity-arm
-      // value gap ONE effect or segment-specific?
-      val t = Tables(s, dir)
-      Rollups.effectHeterogeneity(
-        t.events.withColumn("arm",
-          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
-        "event_type", "arm", "value", "A", "B")
-    }),
-    "q244_cuped" -> ((s, dir) => {
-      // F46 CUPED variance reduction: post-cutoff spend tested with
-      // the pre-cutoff spend covariate removed (parity arms)
-      val t = Tables(s, dir)
-      val day = expr("unix_micros(ts) div 86400000000")
-      val anchor = broadcast(t.events.agg((max(day) - 6).as("__cut")))
-      val users = t.events
-        .select(col("user_id"), day.as("__d"),
-          coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("__c"))
-        .crossJoin(anchor)
-        .groupBy("user_id")
-        .agg(
-          sum(when(col("__d") < col("__cut"), col("__c")).otherwise(0L)).as("__pre"),
-          sum(when(col("__d") >= col("__cut"), col("__c")).otherwise(0L)).as("__post"))
-        .select(col("user_id"),
-          (col("__pre") / lit(100.0)).as("pre"),
-          (col("__post") / lit(100.0)).as("post"),
-          when(pmod(col("user_id"), lit(2)) === 1, "B").otherwise("A").as("arm"))
-      Rollups.cuped(users, "arm", "post", "pre", "A", "B")
-    }),
-    "q245_ratio_delta" -> ((s, dir) => {
-      // F47 delta-method ratio metric: clicks-per-view tested at the
-      // USER grain — the correct SE for a ratio of sums
-      val t = Tables(s, dir)
-      val users = t.events.groupBy("user_id").agg(
-        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
-        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
-        .withColumn("arm",
-          when(pmod(col("user_id"), lit(2)) === 1, "B").otherwise("A"))
-      Rollups.ratioMetricDelta(users, "arm", "x", "y", "A", "B")
-    }),
-    "q241_qini" -> ((s, dir) => {
-      // F43 uplift targeting eval: does spend rank find the users
-      // the (parity-arm) treatment moves to purchase?
-      val t = Tables(s, dir)
-      val users = t.events.groupBy("user_id").agg(
-        coalesce(sum(round(col("value") * 100).cast("long")), lit(0L))
-          .as("__sc"),
-        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("__conv"))
-        .select(col("user_id"),
-          (col("__sc") / lit(100.0)).as("score"),
-          (pmod(col("user_id"), lit(2)) === 1).as("treat"),
-          (col("__conv") === 1L).as("converted"))
-      Rollups.qiniCurve(users, "score", "treat", "converted")
     }),
     "q242_triples" -> ((s, dir) => {
       // F44 bundle mining: top item triples by support, in-row
@@ -467,23 +278,6 @@ private[graft] object StatsQueries {
       val t = Tables(s, dir)
       Rollups.madOutliers(t.events, Seq("event_type"), "value", "event_id")
     }),
-    "q238_lift_curve" -> ((s, dir) => {
-      // F42 cumulative gains/lift: does the quality ORDERING find
-      // the Gopher-passing docs? (F39 asks if the probabilities are
-      // honest; this asks if the ranking targets well)
-      val t = Tables(s, dir)
-      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
-      Rollups.liftCurve(scored, "quality", "gopher_pass")
-    }),
-    "q233_srm" -> ((s, dir) => {
-      // F41 sample-ratio-mismatch gate on the q156 A/B arms: does
-      // the observed split match the intended 50/50?
-      val t = Tables(s, dir)
-      Rollups.srmCheck(
-        t.events.withColumn("arm",
-          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
-        "arm", "A", "B")
-    }),
     "q231_item_cosine" -> ((s, dir) => {
       // F40 item-based CF similarity: cosine of part audiences from
       // order-basket co-occurrence, threshold on the rounded score
@@ -491,162 +285,12 @@ private[graft] object StatsQueries {
       Baskets.itemCosine(t.lineitem, "l_orderkey", "l_partkey",
         minCos = 0.1)
     }),
-    "q226_paired_uplift" -> ((s, dir) => {
-      // F38 within-user matched-pair effect: click value vs the same
-      // user's nearest preceding view, paired t
-      val t = Tables(s, dir)
-      EventWindows.pairedUplift(t.events, "click", "view")
-    }),
-    "q227_ece" -> ((s, dir) => {
-      // F39 expected calibration error of the quality score against
-      // the Gopher pass outcome — G62's diagram as one number
-      val t = Tables(s, dir)
-      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
-      Rollups.calibrationError(scored, "quality", "gopher_pass")
-    }),
-    "q210_mde" -> ((s, dir) => {
-      // F32 experiment sizing: smallest mean gap the click-vs-view
-      // sample could detect at α=0.05 / 80% power
-      val t = Tables(s, dir)
-      Rollups.minDetectableEffect(t.events, "event_type", "value",
-        "click", "view")
-    }),
-    "q207_anova" -> ((s, dir) => {
-      // F30 one-way ANOVA: does ANY event type's mean value differ?
-      // one dim-sized combine + a one-row reduce, exact cent sums
-      val t = Tables(s, dir)
-      Rollups.anovaF(t.events, "event_type", "value")
-    }),
-    "q208_welch" -> ((s, dir) => {
-      // F31 Welch unequal-variance t-test, click vs view values
-      val t = Tables(s, dir)
-      Rollups.welchT(t.events, "event_type", "value", "click", "view")
-    }),
-    "q204_corr_matrix" -> ((s, dir) => {
-      // F29 pairwise correlation matrix over four lineitem measures
-      // in ONE scan — a single O(k²)-state combine, then a stack
-      val t = Tables(s, dir)
-      Rollups.corrMatrix(t.lineitem,
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-    }),
     "q201_benford" -> ((s, dir) => {
       // F28 Benford first-digit audit of extended prices — the
       // synthetic-data/fraud detector; digit from the integer-cent
       // decimal string, nine-row digit table
       val t = Tables(s, dir)
       Profile.benfordAudit(t.lineitem, "l_extendedprice")
-    }),
-    "q199_mann_whitney" -> ((s, dir) => {
-      // F27 rank-sum location test click vs view — the tie-corrected
-      // U/z from exact integer double-ranks
-      val t = Tables(s, dir)
-      Rollups.mannWhitney(t.events, "event_type", "value", "click", "view")
-    }),
-    "q273_krippendorff" -> ((s, dir) => {
-      // F57 Krippendorff's alpha: do a user's repeated events agree on
-      // high-value status — binary, ragged ratings-per-unit, units
-      // with < 2 ratings excluded
-      val t = Tables(s, dir)
-      val ratings = t.events.filter(col("value").isNotNull)
-        .select(col("user_id"),
-          when(col("value") >= 50, 1L).otherwise(0L).as("r"))
-      Rollups.krippendorffAlpha(ratings, "user_id", "r")
-    }),
-    "q275_msprt" -> ((s, dir) => {
-      // F58 always-valid mSPRT p-value sequence: parity-arm value gap
-      // monitored daily — peek-safe sequential testing over the
-      // cumulative day-grain moments
-      val t = Tables(s, dir)
-      Rollups.msprtSequence(
-        t.events
-          .withColumn("day0", expr("unix_micros(ts) div 86400000000"))
-          .withColumn("arm",
-          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
-        "arm", "value", "A", "B",
-        dayCol = "day0",
-        tauSq = 1.0)
-    }),
-    "q284_msprt_srm" -> ((s, dir) => {
-      // F59 sequential SRM: parity-arm assignment share vs the 50/50
-      // design, monitored daily with an always-valid one-sample mSPRT
-      val t = Tables(s, dir)
-      Rollups.msprtSrm(
-        t.events.filter(col("user_id").isNotNull)
-          .withColumn("day0", expr("unix_micros(ts) div 86400000000"))
-          .withColumn("arm",
-            when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
-        "arm", "A", "day0")
-    }),
-    "q286_eb_shrink" -> ((s, dir) => {
-      // F60 empirical-Bayes CTR shrinkage: per-user click share among
-      // click/view events, shrunk toward the method-of-moments beta
-      // prior fit on the per-user rate table
-      val t = Tables(s, dir)
-      Rollups.ebShrinkRates(
-        t.events.filter(col("event_type").isin("click", "view") &&
-          col("user_id").isNotNull)
-          .withColumn("is_click",
-            when(col("event_type") === "click", 1L).otherwise(0L)),
-        "user_id", "is_click")
-    }),
-    "q287_tukey" -> ((s, dir) => {
-      // F61 Tukey-Kramer post-hoc: which event-type value means
-      // differ, as studentized-range q statistics over the ANOVA MSW
-      val t = Tables(s, dir)
-      Rollups.tukeyQStats(t.events, "event_type", "value")
-    }),
-    "q291_kendall_tau" -> ((s, dir) => {
-      // F62 Kendall τ-b: do 'view' and 'purchase' daily volumes move
-      // together — concordant day pairs over the dense calendar, with
-      // the τ-b tie normalization (zero days tie heavily by design)
-      val t = Tables(s, dir)
-      Rollups.kendallTau(t.events, "view", "purchase")
-    }),
-    "q292_kruskal_wallis" -> ((s, dir) => {
-      // F63 Kruskal–Wallis: do ANY of the event-type value
-      // distributions differ — rank-based omnibus on pooled cents,
-      // tie-corrected (the k-group Mann–Whitney / rank-ANOVA)
-      val t = Tables(s, dir)
-      Rollups.kruskalWallis(t.events, "event_type", "value")
-    }),
-    "q330_jonckheere" -> ((s, dir) => {
-      // F71 Jonckheere–Terpstra: does order total trend MONOTONE
-      // across the a-priori priority order 1-URGENT..5-LOW — the
-      // ordered-alternative sharpening of q292's omnibus; value-grain
-      // CDFs (the F25 contract at G=5), exact doubled statistic
-      val t = Tables(s, dir)
-      Rollups.jonckheereTerpstra(t.orders, "o_orderpriority",
-        "o_totalprice", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
-          "4-NOT SPECIFIED", "5-LOW"))
-    }),
-    "q331_cochran_armitage" -> ((s, dir) => {
-      // F72 Cochran–Armitage: does the fulfilled-order rate trend
-      // across the priority order — q330's proportions companion;
-      // one conditional combine, integer T and multiplied-through
-      // variance, one final ratio
-      val t = Tables(s, dir)
-      Rollups.cochranArmitage(t.orders, "o_orderpriority",
-        col("o_orderstatus") === "F", Seq("1-URGENT", "2-HIGH",
-          "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
-    }),
-    "q293_mann_kendall" -> ((s, dir) => {
-      // D23 Mann–Kendall: monotone-trend significance per datasource
-      // yearly evidence series — the q195 Theil–Sen slope's
-      // significance companion on the SAME series
-      val t = Tables(s, dir)
-      val series = t.evidence.groupBy("datasourceId", "year")
-        .agg(count(lit(1)).as("n"))
-      Rollups.mannKendall(series, Seq("datasourceId"), "year", "n")
-    }),
-    "q313_odds_ratio" -> ((s, dir) => {
-      // F69 odds ratio + Woolf log-CI on the same 2x2 as q311 —
-      // purchase odds, even vs odd user cohorts
-      val t = Tables(s, dir)
-      Rollups.oddsRatio(
-        t.events.filter(col("user_id").isNotNull)
-          .withColumn("arm",
-            when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
-        "arm", col("event_type") === "purchase", "A", "B")
     }),
     "q312_key_skew" -> ((s, dir) => {
       // I31 shuffle-key skew advisor: would keying a shuffle on
@@ -662,48 +306,6 @@ private[graft] object StatsQueries {
         .select(col("n").as("n_keys"), col("total").as("n_rows"), col("gini"),
           round(col("__mx").cast("double") / col("total"), 6)
             .as("top_key_share"))
-    }),
-    "q311_newcombe" -> ((s, dir) => {
-      // F68 Newcombe hybrid-Wilson CI around the purchase-share
-      // difference between even/odd user cohorts — the interval to
-      // report beside q156's z statistic
-      val t = Tables(s, dir)
-      Rollups.newcombeDiff(
-        t.events.filter(col("user_id").isNotNull)
-          .withColumn("arm",
-            when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
-        "arm", col("event_type") === "purchase", "A", "B")
-    }),
-    "q310_effect_size" -> ((s, dir) => {
-      // F67 Cohen's d / Hedges' g: how BIG is the click-vs-view value
-      // difference — the standardized effect beside q208's Welch t
-      val t = Tables(s, dir)
-      Rollups.effectSize(t.events, "event_type", "value", "click", "view")
-    }),
-    "q300_wilson" -> ((s, dir) => {
-      // F66 Wilson 95% score interval on the purchase share per user
-      // cohort — the small-n-honest proportion CI (Wald collapses at
-      // extreme p̂)
-      val t = Tables(s, dir)
-      Rollups.wilsonInterval(
-        t.events.filter(col("user_id").isNotNull)
-          .withColumn("cohort", pmod(col("user_id"), lit(10L))),
-        "cohort", col("event_type") === "purchase")
-    }),
-    "q298_brown_forsythe" -> ((s, dir) => {
-      // F65 Brown–Forsythe: did the VALUE SPREAD change across event
-      // types — ANOVA F on |x − median_g|, the equal-variance gate
-      // q207's ANOVA assumes
-      val t = Tables(s, dir)
-      Rollups.brownForsythe(t.events, "event_type", "value")
-    }),
-    "q295_friedman" -> ((s, dir) => {
-      // F64 Friedman: do any event types consistently out-rank the
-      // others across days — blocks=days, treatments=types, zero-
-      // filled dense cross, within-day average ranks
-      val t = Tables(s, dir)
-      Rollups.friedman(t.events,
-        expr("unix_micros(ts) div 86400000000"), col("event_type"))
     }),
   )
 
@@ -756,7 +358,7 @@ private[graft] object StatsQueries {
          |       round(sum(score), 4) AS sum_score
          |FROM ev GROUP BY ROLLUP (datasourceId, year)""".stripMargin,
     // Range-join replay: a plain SQL interval predicate — the binned
-    // reformulation must be exactly equivalent.
+    // reformulation must be exactly equivalent.,
     "q48_range_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -775,7 +377,7 @@ private[graft] object StatsQueries {
         |  ON c.user_id = p.user_id AND c.ts >= p.p_start AND c.ts <= p.p_end""".stripMargin,
     // TPC-H Q3 replay (adapted: no shippriority column in this
     // schema; date bracket around one cutoff).
-    // Q5 replay: same joins, same per-row cent quantization.
+    // Q5 replay: same joins, same per-row cent quantization.,
     "q327_tpch_q5" ->
       """SELECT n.n_name,
         |       round(CAST(sum(CAST(round(l.l_extendedprice
@@ -835,25 +437,6 @@ private[graft] object StatsQueries {
         |       round(sum(l_quantity), 4) AS sum_qty,
         |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
-    "q156_ab_ztest" ->
-      """WITH g AS (
-        |  SELECT event_type,
-        |         CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
-        |         CAST(count(CASE WHEN user_id % 2 = 0 AND value > 0.5 THEN 1 END) AS BIGINT) AS x_a,
-        |         CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b,
-        |         CAST(count(CASE WHEN user_id % 2 = 1 AND value > 0.5 THEN 1 END) AS BIGINT) AS x_b
-        |  FROM events GROUP BY 1
-        |)
-        |SELECT event_type, n_a, x_a, n_b, x_b,
-        |       CASE WHEN n_a > 0 AND n_b > 0
-        |                 AND (x_a + x_b) > 0 AND (x_a + x_b) < (n_a + n_b)
-        |         THEN round(
-        |           (CAST(x_b AS DOUBLE)/n_b - CAST(x_a AS DOUBLE)/n_a)
-        |           / sqrt((CAST(x_a + x_b AS DOUBLE)/(n_a + n_b))
-        |                  * (1 - CAST(x_a + x_b AS DOUBLE)/(n_a + n_b))
-        |                  * (1.0/n_a + 1.0/n_b)), 4)
-        |       END AS z
-        |FROM g""".stripMargin,
     "q157_winsorize" ->
       """WITH th AS (
         |  SELECT event_type, round(quantile_cont(value, 0.1), 4) AS lo_th,
@@ -920,7 +503,7 @@ private[graft] object StatsQueries {
         |)""".stripMargin,
     // Histogram-quantile replay: same fixed-width binning (width
     // 400/1024 = 0.390625, exactly representable), same cumulative
-    // crossing rule and in-bin interpolation over integer counts.
+    // crossing rule and in-bin interpolation over integer counts.,
     "q94_hist_quantiles" ->
       """WITH b AS (
         |  SELECT event_type,
@@ -942,53 +525,7 @@ private[graft] object StatsQueries {
     // Poisson-bootstrap replay: same 24-bit md5 bucket, same integer
     // inverse-CDF thresholds, exact long cents — every resample mean
     // is a ratio of identical longs, so quantile_cont and Spark's
-    // percentile interpolate the same doubles (4dp-rounded outputs).
-    "q173_bootstrap_ci" ->
-      s"""WITH ev AS (
-         |  SELECT event_type, CAST(event_id AS VARCHAR) AS id,
-         |         CAST(round(value * 100) AS BIGINT) AS cents
-         |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
-         |),
-         |r AS (
-         |  SELECT event_type, cents,
-         |         ${HexValSql("md5(id || ':boot:' || CAST(rep AS VARCHAR))", 1, 6)} AS b,
-         |         rep
-         |  FROM ev CROSS JOIN (SELECT unnest(range(0, 64)) AS rep)
-         |),
-         |w AS (
-         |  SELECT event_type, rep, cents,
-         |         CASE WHEN b < 6171992 THEN 0 WHEN b < 12343985 THEN 1
-         |              WHEN b < 15429982 THEN 2 WHEN b < 16458647 THEN 3
-         |              WHEN b < 16715813 THEN 4 WHEN b < 16767247 THEN 5
-         |              WHEN b < 16775819 THEN 6 WHEN b < 16777044 THEN 7
-         |              ELSE 8 END AS w
-         |  FROM r
-         |),
-         |pr AS (
-         |  SELECT event_type, rep, sum(w * cents) AS ws, sum(w) AS wn
-         |  FROM w GROUP BY 1, 2 HAVING sum(w) > 0
-         |),
-         |m AS (
-         |  SELECT event_type,
-         |         CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) / 100.0 AS mean
-         |  FROM pr
-         |),
-         |ci AS (
-         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_reps,
-         |         round(quantile_cont(mean, 0.025), 4) AS ci_lo,
-         |         round(quantile_cont(mean, 0.975), 4) AS ci_hi
-         |  FROM m GROUP BY 1
-         |),
-         |base AS (
-         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-         |         round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-         |               / 100.0, 4) AS mean
-         |  FROM ev GROUP BY 1
-         |)
-         |SELECT event_type, n, mean, n_reps, ci_lo, ci_hi
-         |FROM base JOIN ci USING (event_type)""".stripMargin,
-    // Weighted-median replay: identical (value, event_id) cumulative
-    // ordering, all-long crossing test — no floats until the final 4dp.
+    // percentile interpolate the same doubles (4dp-rounded outputs).,
     "q174_weighted_median" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, value,
@@ -1009,117 +546,7 @@ private[graft] object StatsQueries {
         |       round(arg_min(value, cw), 4) AS wq_value
         |FROM c WHERE cw * 2 >= tw * 1 GROUP BY 1""".stripMargin,
     // MI replay: same cast-then-multiply ratio order per cell; the
-    // total sums 6dp-rounded contributions, so window order is moot.
-    "q175_mutual_info" ->
-      """WITH cells AS (
-        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ab
-        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
-        |  GROUP BY 1, 2
-        |),
-        |e AS (
-        |  SELECT lang, source, n_ab,
-        |         CAST(sum(n_ab) OVER (PARTITION BY lang) AS BIGINT) AS na,
-        |         CAST(sum(n_ab) OVER (PARTITION BY source) AS BIGINT) AS nb,
-        |         CAST(sum(n_ab) OVER () AS BIGINT) AS n
-        |  FROM cells
-        |),
-        |c AS (
-        |  SELECT lang, source, n_ab,
-        |         round(ln(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
-        |           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 4) AS pmi,
-        |         round(CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE)
-        |           * ln(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
-        |             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6) AS contrib
-        |  FROM e
-        |)
-        |SELECT lang, source, n_ab, pmi, contrib,
-        |       round(sum(contrib) OVER (), 4) AS mi
-        |FROM c""".stripMargin,
-    // BH replay over the q19 chain: total (p, pair) rank order, the
-    // same (p·m)/rank suffix-min, 4dp cap-at-1 adjustment.
-    "q178_fdr" ->
-      s"""WITH RECURSIVE $BySourceSql,
-         |pk AS (
-         |  SELECT diseaseId, targetId, datasourceId, year AS peakYear,
-         |         coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
-         |           PARTITION BY diseaseId, targetId, datasourceId ORDER BY year) AS peak
-         |  FROM bysource
-         |),
-         |fp AS (
-         |  SELECT diseaseId, targetId, datasourceId,
-         |         CAST(min(peakYear) AS INT) AS peakYear
-         |  FROM pk WHERE peak > 0 GROUP BY 1, 2, 3
-         |),
-         |j AS (
-         |  SELECT a.datasourceId AS datasourceIdA, b.datasourceId AS datasourceIdB,
-         |         a.peakYear AS yearA, b.peakYear AS yearB
-         |  FROM fp a JOIN fp b USING (diseaseId, targetId)
-         |),
-         |$CorrPCtesSql,
-         |corr_out AS (
-         |$CorrPSelectSql
-         |),
-         |rk AS (
-         |  SELECT *, CAST(row_number() OVER (
-         |           ORDER BY p_value, datasourceIdA, datasourceIdB) AS BIGINT)
-         |           AS p_rank,
-         |         CAST(count(*) OVER () AS BIGINT) AS m
-         |  FROM corr_out WHERE p_value IS NOT NULL
-         |),
-         |adj AS (
-         |  SELECT *, round(least(1.0, min(p_value * m / p_rank) OVER (
-         |           ORDER BY p_rank
-         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 4)
-         |           AS p_adj
-         |  FROM rk
-         |)
-         |SELECT datasourceIdA, datasourceIdB, n, r, p_value, p_rank, p_adj,
-         |       p_adj <= 0.05 AS significant
-         |FROM adj""".stripMargin,
-    // χ² replay: identical cast-then-multiply E per cell, the same
-    // empty-cell fold (Σ(O−E)²/E−E + n), 6dp contributions.
-    "q182_chi_square" ->
-      """WITH cells AS (
-        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ab
-        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
-        |  GROUP BY 1, 2
-        |),
-        |e AS (
-        |  SELECT lang, source, n_ab,
-        |         CAST(sum(n_ab) OVER (PARTITION BY lang) AS BIGINT) AS na,
-        |         CAST(sum(n_ab) OVER (PARTITION BY source) AS BIGINT) AS nb,
-        |         CAST(sum(n_ab) OVER () AS BIGINT) AS n
-        |  FROM cells
-        |),
-        |c AS (
-        |  SELECT lang, source, n_ab, n,
-        |         round((CAST(n_ab AS DOUBLE)
-        |                - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
-        |             * (CAST(n_ab AS DOUBLE)
-        |                - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
-        |             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
-        |             - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |           AS contrib
-        |  FROM e
-        |),
-        |agg AS (
-        |  SELECT CAST(min(n) AS BIGINT) AS n,
-        |         CAST(count(DISTINCT lang) AS BIGINT) AS r_levels,
-        |         CAST(count(DISTINCT source) AS BIGINT) AS c_levels,
-        |         sum(contrib) AS sc
-        |  FROM c
-        |)
-        |SELECT n, r_levels, c_levels,
-        |       (r_levels - 1) * (c_levels - 1) AS dof,
-        |       round(sc + n, 4) AS chi2,
-        |       CASE WHEN (r_levels - 1) * (c_levels - 1) > 0
-        |            THEN round(sqrt(round(sc + n, 4)
-        |                 / (CAST(n AS DOUBLE)
-        |                    * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))), 4)
-        |       END AS cramers_v
-        |FROM agg""".stripMargin,
-    // UCB1 replay: exact integer-cent means; ln/sqrt rounded 6dp
-    // before the display rank so ranks can never flip on an ulp.
+    // total sums 6dp-rounded contributions, so window order is moot.,
     "q187_ucb1" ->
       """WITH a AS (
         |  SELECT event_type AS arm, CAST(count(*) AS BIGINT) AS n,
@@ -1140,7 +567,7 @@ private[graft] object StatsQueries {
         |FROM s""".stripMargin,
     // Basket-lift replay: pairs via a basket-keyed self-join instead
     // of Spark's in-row expansion — same exact counts either way; the
-    // top-20 cut orders by the ROUNDED lift with (a, b) tie-break.
+    // top-20 cut orders by the ROUNDED lift with (a, b) tie-break.,
     "q189_basket_lift" ->
       """WITH b AS (
         |  SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2
@@ -1157,109 +584,7 @@ private[graft] object StatsQueries {
         |WHERE p.n_ab >= 3
         |ORDER BY lift DESC, p.a, p.b LIMIT 20""".stripMargin,
     // KS replay: same cents grain, all-long CDF gap |F1·n2 − F2·n1|,
-    // identical double-op order for d/λ/p before the 4dp rounds.
-    "q192_ks_test" ->
-      """WITH p AS (
-        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
-        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
-        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
-        |  FROM events
-        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
-        |  GROUP BY 1
-        |),
-        |c AS (
-        |  SELECT sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
-        |         sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
-        |  FROM p
-        |),
-        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM p),
-        |m AS (
-        |  SELECT t.n1, t.n2, CAST(max(abs(f1 * t.n2 - f2 * t.n1)) AS BIGINT) AS dn
-        |  FROM c CROSS JOIN t GROUP BY t.n1, t.n2
-        |),
-        |s AS (
-        |  SELECT n1, n2,
-        |         CAST(dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d0
-        |  FROM m
-        |),
-        |l AS (
-        |  SELECT n1, n2, d0,
-        |         d0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-        |                   / CAST(n1 + n2 AS DOUBLE)) AS lam
-        |  FROM s
-        |)
-        |SELECT n1, n2, round(d0, 4) AS d, round(lam, 4) AS lambda,
-        |       round(least(1.0, 2.0 * exp(-2.0 * lam * lam)), 4) AS p_value
-        |FROM l""".stripMargin,
-    // Spearman replay: identical integer 2·avg-rank encoding, exact
-    // long moment sums, one double division.
-    "q196_spearman" ->
-      """WITH e AS (
-        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
-        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus
-        |  FROM events WHERE value IS NOT NULL
-        |),
-        |r AS (
-        |  SELECT event_type,
-        |         2 * rank() OVER (PARTITION BY event_type ORDER BY v)
-        |           + count(*) OVER (PARTITION BY event_type, v) - 1 AS ra,
-        |         2 * rank() OVER (PARTITION BY event_type ORDER BY tus)
-        |           + count(*) OVER (PARTITION BY event_type, tus) - 1 AS rb
-        |  FROM e
-        |),
-        |s AS (
-        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |         sum(ra) AS sa, sum(rb) AS sb,
-        |         sum(CAST(ra AS HUGEINT) * CAST(ra AS HUGEINT)) AS saa,
-        |         sum(CAST(rb AS HUGEINT) * CAST(rb AS HUGEINT)) AS sbb,
-        |         sum(CAST(ra AS HUGEINT) * CAST(rb AS HUGEINT)) AS sab
-        |  FROM r GROUP BY 1
-        |)
-        |SELECT event_type, n,
-        |       round(CAST(n * sab - sa * sb AS DOUBLE)
-        |             / NULLIF(sqrt(CAST(n * saa - sa * sa AS DOUBLE)
-        |                           * CAST(n * sbb - sb * sb AS DOUBLE)), 0), 4) AS rho
-        |FROM s""".stripMargin,
-    // Rank-sum replay: identical 2·avg-rank integers at value grain,
-    // exact 2U₁ and tie sums, same double-op order for z.
-    "q199_mann_whitney" ->
-      """WITH p AS (
-        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
-        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
-        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
-        |  FROM events
-        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
-        |  GROUP BY 1
-        |),
-        |r AS (
-        |  SELECT c1, c2, c1 + c2 AS t,
-        |         2 * (sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
-        |              - (c1 + c2)) + (c1 + c2) + 1 AS r2
-        |  FROM p
-        |),
-        |s AS (
-        |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
-        |         CAST(sum(c1 * r2) AS BIGINT) AS r2sum1,
-        |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
-        |  FROM r
-        |),
-        |m AS (
-        |  SELECT n1, n2, r2sum1 - n1 * (n1 + 1) AS twoU1, n1 + n2 AS n, ties
-        |  FROM s
-        |),
-        |vv AS (
-        |  SELECT n1, n2, twoU1,
-        |         CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
-        |           * (CAST(n + 1 AS DOUBLE)
-        |              - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS var
-        |  FROM m
-        |)
-        |SELECT n1, n2, round(CAST(twoU1 AS DOUBLE) / 2.0, 4) AS u,
-        |       round(CAST(twoU1 - n1 * n2 AS DOUBLE)
-        |             / CASE WHEN var <= 0 THEN NULL ELSE 2.0 * sqrt(var) END, 4) AS z
-        |FROM vv""".stripMargin,
-    // Benford replay: digit from the integer-cent decimal string,
-    // contributions 6dp before the 4dp χ² window.
+    // identical double-op order for d/λ/p before the 4dp rounds.,
     "q201_benford" ->
       """WITH c AS (
         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
@@ -1287,217 +612,7 @@ private[graft] object StatsQueries {
         |       round(sum(contrib) OVER (), 4) AS chi2
         |FROM e""".stripMargin,
     // Matrix replay: HUGEINT moment sums (≡ Spark's decimal(38,0)),
-    // listwise deletion, one r expression per pair.
-    "q204_corr_matrix" ->
-      """WITH k AS (
-        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS c1,
-        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS c2,
-        |         CAST(round(l_discount * 100) AS BIGINT) AS c3,
-        |         CAST(round(l_tax * 100) AS BIGINT) AS c4
-        |  FROM lineitem
-        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
-        |),
-        |s AS (
-        |  SELECT CAST(count(*) AS HUGEINT) AS n,
-        |         CAST(sum(c1) AS HUGEINT) AS s1, CAST(sum(c2) AS HUGEINT) AS s2,
-        |         CAST(sum(c3) AS HUGEINT) AS s3, CAST(sum(c4) AS HUGEINT) AS s4,
-        |         CAST(sum(c1*c1) AS HUGEINT) AS p11, CAST(sum(c1*c2) AS HUGEINT) AS p12,
-        |         CAST(sum(c1*c3) AS HUGEINT) AS p13, CAST(sum(c1*c4) AS HUGEINT) AS p14,
-        |         CAST(sum(c2*c2) AS HUGEINT) AS p22, CAST(sum(c2*c3) AS HUGEINT) AS p23,
-        |         CAST(sum(c2*c4) AS HUGEINT) AS p24, CAST(sum(c3*c3) AS HUGEINT) AS p33,
-        |         CAST(sum(c3*c4) AS HUGEINT) AS p34, CAST(sum(c4*c4) AS HUGEINT) AS p44
-        |  FROM k
-        |),
-        |pairs AS (
-        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n, n*p12 - s1*s2 AS num, n*p11 - s1*s1 AS da, n*p22 - s2*s2 AS db FROM s
-        |  UNION ALL SELECT 'l_quantity', 'l_discount', n, n*p13 - s1*s3, n*p11 - s1*s1, n*p33 - s3*s3 FROM s
-        |  UNION ALL SELECT 'l_quantity', 'l_tax', n, n*p14 - s1*s4, n*p11 - s1*s1, n*p44 - s4*s4 FROM s
-        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', n, n*p23 - s2*s3, n*p22 - s2*s2, n*p33 - s3*s3 FROM s
-        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', n, n*p24 - s2*s4, n*p22 - s2*s2, n*p44 - s4*s4 FROM s
-        |  UNION ALL SELECT 'l_discount', 'l_tax', n, n*p34 - s3*s4, n*p33 - s3*s3, n*p44 - s4*s4 FROM s
-        |)
-        |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
-        |       round(CAST(num AS DOUBLE)
-        |             / NULLIF(sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)), 0), 4) AS r
-        |FROM pairs""".stripMargin,
-    // ANOVA replay: same per-group exact sums, same algebraic
-    // SSB/SSW identities in the same double op order.
-    "q207_anova" ->
-      """WITH g AS (
-        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
-        |         CAST(sum(CAST(round(value * 100) AS BIGINT)
-        |                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1
-        |),
-        |t AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
-        |         sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb,
-        |         CAST(sum(s) AS BIGINT) AS S, CAST(sum(q) AS BIGINT) AS Q
-        |  FROM g
-        |),
-        |m AS (
-        |  SELECT k, n,
-        |         sb - CAST(S AS DOUBLE) * CAST(S AS DOUBLE) / n AS ssb,
-        |         CAST(Q AS DOUBLE) - sb AS ssw,
-        |         CAST(Q AS DOUBLE) - CAST(S AS DOUBLE) * CAST(S AS DOUBLE) / n AS sst
-        |  FROM t
-        |)
-        |SELECT k, n,
-        |       round((ssb / (k - 1))
-        |             / CASE WHEN ssw <= 0 OR n <= k THEN NULL
-        |                    ELSE ssw / (n - k) END, 4) AS f_stat,
-        |       round(ssb / CASE WHEN sst <= 0 THEN NULL ELSE sst END, 4) AS eta_sq
-        |FROM m""".stripMargin,
-    // Welch replay: same exact sums, same mean/variance/t/df ops.
-    "q208_welch" ->
-      """WITH s AS (
-        |  SELECT
-        |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n1,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'click') AS BIGINT) AS s1,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
-        |         FILTER (event_type = 'click') AS BIGINT) AS q1,
-        |    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n2,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'view') AS BIGINT) AS s2,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
-        |         FILTER (event_type = 'view') AS BIGINT) AS q2
-        |  FROM events
-        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
-        |),
-        |v AS (
-        |  SELECT n1, n2, s1, s2,
-        |         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) AS v1,
-        |         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1) AS v2
-        |  FROM s WHERE n1 > 1 AND n2 > 1
-        |),
-        |e AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM v)
-        |SELECT n1, n2,
-        |       round(CAST(s1 AS DOUBLE) / n1 / 100.0, 4) AS mean1,
-        |       round(CAST(s2 AS DOUBLE) / n2 / 100.0, 4) AS mean2,
-        |       round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
-        |             / CASE WHEN se2 <= 0 THEN NULL ELSE sqrt(se2) END, 4) AS t,
-        |       round(se2 * se2 / CASE WHEN se2 <= 0 THEN NULL
-        |             ELSE (v1 / n1) * (v1 / n1) / (n1 - 1)
-        |                + (v2 / n2) * (v2 / n2) / (n2 - 1) END, 4) AS df
-        |FROM e""".stripMargin,
-    // MDE replay: welch-shape exact sums, the same fixed z literals.
-    "q210_mde" ->
-      """WITH s AS (
-        |  SELECT
-        |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n1,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'click') AS BIGINT) AS s1,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
-        |         FILTER (event_type = 'click') AS BIGINT) AS q1,
-        |    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n2,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'view') AS BIGINT) AS s2,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
-        |         FILTER (event_type = 'view') AS BIGINT) AS q2
-        |  FROM events
-        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
-        |),
-        |v AS (
-        |  SELECT n1, n2, s1,
-        |         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) AS v1,
-        |         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1) AS v2
-        |  FROM s WHERE n1 > 1 AND n2 > 1
-        |),
-        |e AS (
-        |  SELECT n1, n2, CAST(s1 AS DOUBLE) / n1 AS m1,
-        |         sqrt(v1 / n1 + v2 / n2) AS se
-        |  FROM v
-        |)
-        |SELECT n1, n2, round(m1 / 100.0, 4) AS mean1, round(se / 100.0, 4) AS se,
-        |       round((1.959964 + 0.841621) * se / 100.0, 4) AS mde_abs,
-        |       round((1.959964 + 0.841621) * se
-        |             / CASE WHEN m1 = 0 THEN NULL ELSE m1 END, 4) AS mde_rel
-        |FROM e""".stripMargin,
-    // Diff-CI replay: the q173 Poisson draw verbatim, four exact-long
-    // states per rep, percentile band over replicate diffs.
-    "q214_bootstrap_diff" ->
-      s"""WITH ev AS (
-         |  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
-         |         CAST(round(value * 100) AS BIGINT) AS cents
-         |  FROM events
-         |  WHERE value IS NOT NULL AND event_id IS NOT NULL
-         |    AND event_type IN ('click', 'view')
-         |),
-         |r AS (
-         |  SELECT g, cents,
-         |         ${HexValSql("md5(id || ':boot:' || CAST(rep AS VARCHAR))", 1, 6)} AS b,
-         |         rep
-         |  FROM ev CROSS JOIN (SELECT unnest(range(0, 64)) AS rep)
-         |),
-         |w AS (
-         |  SELECT g, rep, cents,
-         |         CASE WHEN b < 6171992 THEN 0 WHEN b < 12343985 THEN 1
-         |              WHEN b < 15429982 THEN 2 WHEN b < 16458647 THEN 3
-         |              WHEN b < 16715813 THEN 4 WHEN b < 16767247 THEN 5
-         |              WHEN b < 16775819 THEN 6 WHEN b < 16777044 THEN 7
-         |              ELSE 8 END AS w
-         |  FROM r
-         |),
-         |pr AS (
-         |  SELECT rep,
-         |         sum(CASE WHEN g = 'click' THEN w * cents ELSE 0 END) AS wsA,
-         |         sum(CASE WHEN g = 'click' THEN w ELSE 0 END) AS wnA,
-         |         sum(CASE WHEN g <> 'click' THEN w * cents ELSE 0 END) AS wsB,
-         |         sum(CASE WHEN g <> 'click' THEN w ELSE 0 END) AS wnB
-         |  FROM w GROUP BY 1 HAVING sum(CASE WHEN g = 'click' THEN w ELSE 0 END) > 0
-         |     AND sum(CASE WHEN g <> 'click' THEN w ELSE 0 END) > 0
-         |),
-         |m AS (
-         |  SELECT CAST(wsB AS DOUBLE) / CAST(wnB AS DOUBLE) / 100.0
-         |         - CAST(wsA AS DOUBLE) / CAST(wnA AS DOUBLE) / 100.0 AS diff
-         |  FROM pr
-         |),
-         |ci AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_reps,
-         |         round(quantile_cont(diff, 0.025), 4) AS ci_lo,
-         |         round(quantile_cont(diff, 0.975), 4) AS ci_hi
-         |  FROM m
-         |),
-         |base AS (
-         |  SELECT CAST(count(*) FILTER (g = 'click') AS BIGINT) AS n1,
-         |         CAST(count(*) FILTER (g <> 'click') AS BIGINT) AS n2,
-         |         round(CAST(sum(cents) FILTER (g <> 'click') AS DOUBLE)
-         |               / count(*) FILTER (g <> 'click') / 100.0
-         |             - CAST(sum(cents) FILTER (g = 'click') AS DOUBLE)
-         |               / count(*) FILTER (g = 'click') / 100.0, 4) AS diff
-         |  FROM ev
-         |)
-         |SELECT n1, n2, diff, n_reps, ci_lo, ci_hi
-         |FROM base CROSS JOIN ci""".stripMargin,
-    // AUC replay: the F27 integer 2·average-rank machinery, AUC =
-    // 2U1 / (2·n_pos·n_neg).
-    "q216_auc" ->
-      """WITH p AS (
-        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
-        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
-        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
-        |  FROM events
-        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
-        |  GROUP BY 1
-        |),
-        |r AS (
-        |  SELECT c1, c2,
-        |         2 * (sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
-        |              - (c1 + c2)) + (c1 + c2) + 1 AS r2
-        |  FROM p
-        |),
-        |s AS (
-        |  SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
-        |         CAST(sum(c2) AS BIGINT) AS n_neg,
-        |         CAST(sum(c1 * r2) AS BIGINT) AS r2sum1
-        |  FROM r
-        |)
-        |SELECT n_pos, n_neg,
-        |       round(CAST(r2sum1 - n_pos * (n_pos + 1) AS DOUBLE)
-        |             / CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-        |                    ELSE CAST(2 * n_pos * n_neg AS DOUBLE) END, 4) AS auc
-        |FROM s""".stripMargin,
-    // Gini replay: same value-grain tie-run closed form, HUGEINT
-    // totals mirroring the decimal(38,0) sums.
+    // listwise deletion, one r expression per pair.,
     "q217_gini" ->
       """WITH p AS (
         |  SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
@@ -1523,186 +638,7 @@ private[graft] object StatsQueries {
         |                    ELSE CAST(n AS DOUBLE) * CAST(t AS DOUBLE) END, 4) AS gini
         |FROM s""".stripMargin,
     // OLS replay: same exact HUGEINT cent moments, same Cramer
-    // determinant expressions in identical double op order.
-    "q218_ols2" ->
-      """WITH m AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS s1,
-        |         sum(CAST(round(l_discount * 100) AS BIGINT)) AS s2,
-        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
-        |         sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS s11,
-        |         sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS s12,
-        |         sum(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS s22,
-        |         sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS s1y,
-        |         sum(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS s2y,
-        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
-        |  FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
-        |    AND l_discount IS NOT NULL
-        |),
-        |d AS (
-        |  SELECT n, CAST(n AS DOUBLE) AS nn,
-        |         CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
-        |         CAST(sy AS DOUBLE) AS dy,
-        |         CAST(s11 AS DOUBLE) AS d11, CAST(s12 AS DOUBLE) AS d12,
-        |         CAST(s22 AS DOUBLE) AS d22,
-        |         CAST(s1y AS DOUBLE) AS d1y, CAST(s2y AS DOUBLE) AS d2y,
-        |         CAST(syy AS DOUBLE) AS dyy
-        |  FROM m
-        |),
-        |c AS (
-        |  SELECT n, nn, dy, d1y, d2y, dyy,
-        |         nn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
-        |           + d2 * (d1 * d12 - d11 * d2) AS det,
-        |         dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y)
-        |           + d2 * (d1y * d12 - d11 * d2y) AS det0,
-        |         nn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2)
-        |           + d2 * (d1 * d2y - d1y * d2) AS det1,
-        |         nn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2)
-        |           + dy * (d1 * d12 - d11 * d2) AS det2,
-        |         dyy - dy * dy / nn AS sst
-        |  FROM d
-        |),
-        |b AS (
-        |  SELECT n, dy, d1y, d2y, dyy, sst,
-        |         CASE WHEN abs(det) < 1e-9 * nn THEN NULL ELSE det0 / det END AS b0,
-        |         CASE WHEN abs(det) < 1e-9 * nn THEN NULL ELSE det1 / det END AS b1,
-        |         CASE WHEN abs(det) < 1e-9 * nn THEN NULL ELSE det2 / det END AS b2
-        |  FROM c
-        |)
-        |SELECT n, round(b0 / 100.0, 6) AS b0, round(b1, 6) AS b1,
-        |       round(b2, 6) AS b2,
-        |       round(1.0 - (dyy - b0 * dy - b1 * d1y - b2 * d2y)
-        |             / CASE WHEN sst <= 0 THEN NULL ELSE sst END, 4) AS r2
-        |FROM b""".stripMargin,
-    // Partial-correlation replay: F29's exact HUGEINT moments, the
-    // same unrounded r's feeding the partial formula.
-    "q219_partial_corr" ->
-      """WITH m AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
-        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
-        |         sum(CAST(round(l_discount * 100) AS BIGINT)) AS sz,
-        |         sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
-        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
-        |         sum(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS szz,
-        |         sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
-        |         sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS sxz,
-        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS syz
-        |  FROM lineitem
-        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-        |    AND l_discount IS NOT NULL
-        |),
-        |r AS (
-        |  SELECT n,
-        |         CAST(n * sxy - sx * sy AS DOUBLE)
-        |           / CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) = 0
-        |                  THEN NULL
-        |                  ELSE sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) END AS rxy,
-        |         CAST(n * sxz - sx * sz AS DOUBLE)
-        |           / CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE)) = 0
-        |                  THEN NULL
-        |                  ELSE sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE)) END AS rxz,
-        |         CAST(n * syz - sy * sz AS DOUBLE)
-        |           / CASE WHEN sqrt(CAST(n * syy - sy * sy AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE)) = 0
-        |                  THEN NULL
-        |                  ELSE sqrt(CAST(n * syy - sy * sy AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE)) END AS ryz
-        |  FROM m
-        |),
-        |p AS (
-        |  SELECT n, rxy, rxz, ryz,
-        |         sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) AS den
-        |  FROM r
-        |)
-        |SELECT n, round(rxy, 4) AS r_xy, round(rxz, 4) AS r_xz,
-        |       round(ryz, 4) AS r_yz,
-        |       round((rxy - rxz * ryz)
-        |             / CASE WHEN den = 0 THEN NULL ELSE den END, 4) AS r_partial
-        |FROM p""".stripMargin,
-    // Paired-uplift replay: controls collapsed to (user, ts) grain,
-    // DuckDB's native ASOF backward pick, same exact cent sums.
-    "q226_paired_uplift" ->
-      """WITH ev AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type,
-        |         CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events
-        |),
-        |treat AS (
-        |  SELECT user_id, ts, cents AS tc FROM ev
-        |  WHERE event_type = 'click' AND value IS NOT NULL
-        |),
-        |ctrl AS (
-        |  SELECT user_id, ts, max(cents) AS cc FROM ev
-        |  WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1, 2
-        |),
-        |m AS (
-        |  SELECT t.tc, c.cc
-        |  FROM treat t ASOF LEFT JOIN ctrl c
-        |    ON t.user_id = c.user_id AND t.ts >= c.ts
-        |),
-        |s AS (
-        |  SELECT CAST(count(cc) AS BIGINT) AS n_pairs,
-        |         CAST(count(*) FILTER (cc IS NULL) AS BIGINT) AS n_unmatched,
-        |         CAST(sum(CAST(tc - cc AS HUGEINT)) AS HUGEINT) AS s,
-        |         CAST(sum(CAST(tc - cc AS HUGEINT) * CAST(tc - cc AS HUGEINT)) AS HUGEINT) AS q
-        |  FROM m
-        |),
-        |v AS (
-        |  SELECT n_pairs, n_unmatched, s,
-        |         (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_pairs)
-        |           / (n_pairs - 1) AS var
-        |  FROM s WHERE n_pairs > 1
-        |)
-        |SELECT n_pairs, n_unmatched,
-        |       round(CAST(s AS DOUBLE) / n_pairs / 100.0, 4) AS mean_diff,
-        |       round((CAST(s AS DOUBLE) / n_pairs)
-        |             / CASE WHEN var <= 0 THEN NULL
-        |                    ELSE sqrt(var / n_pairs) END, 4) AS t
-        |FROM v""".stripMargin,
-    // ECE replay: q183's quality + Gopher pass, exact 1e-4 confidence
-    // units, 6dp contributions, 4dp bin-table total.
-    "q227_ece" ->
-      s"""WITH $GopherDocSql,
-         |base AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS w,
-         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
-         |           AS n_tokens
-         |  FROM documents
-         |),
-         |q AS (
-         |  SELECT doc_id,
-         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
-         |                    + 300 * len(list_distinct(w))
-         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
-         |                                      - len(list_filter(w, x -> x = 'a')))
-         |               AS BIGINT)
-         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
-         |  FROM base
-         |),
-         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
-         |b AS (
-         |  SELECT CAST(least(CAST(floor(CAST(qi AS DOUBLE) / 10000.0 * 10) AS BIGINT), 9) AS BIGINT) AS bin,
-         |         CAST(count(*) AS BIGINT) AS n,
-         |         CAST(sum(qi) AS BIGINT) AS sc,
-         |         CAST(count(CASE WHEN gopher_pass THEN 1 END) AS BIGINT) AS hits
-         |  FROM q JOIN g USING (doc_id) GROUP BY 1
-         |),
-         |w2 AS (
-         |  SELECT bin, n, sc, hits, sum(n) OVER () AS nn,
-         |         CAST(sc AS DOUBLE) / n / 10000.0 AS conf,
-         |         CAST(hits AS DOUBLE) / n AS acc
-         |  FROM b
-         |),
-         |c AS (
-         |  SELECT bin, n, conf, acc,
-         |         round(CAST(n AS DOUBLE) / nn * abs(acc - conf), 6) AS contrib
-         |  FROM w2
-         |)
-         |SELECT bin, n, round(conf, 4) AS conf_avg, round(acc, 4) AS acc,
-         |       contrib, round(sum(contrib) OVER (), 4) AS ece
-         |FROM c""".stripMargin,
-    // Item-cosine replay: same basket collapse, same in-row pair
-    // expansion, same 4dp-rounded keep test.
+    // determinant expressions in identical double op order.,
     "q231_item_cosine" ->
       """WITH baskets AS (
         |  SELECT l_orderkey AS bk, list_sort(list_distinct(list(l_partkey))) AS items
@@ -1729,136 +665,7 @@ private[graft] object StatsQueries {
         |WHERE p.n_ab >= 3
         |  AND round(CAST(p.n_ab AS DOUBLE) / sqrt(CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)), 4) >= 0.1""".stripMargin,
     // SRM replay: pmod parity arms, identical chi-square op order,
-    // flag on the 4dp-rounded statistic.
-    "q233_srm" ->
-      """WITH a AS (
-        |  SELECT CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
-        |         CAST(count(*) FILTER (user_id % 2 <> 0) AS BIGINT) AS n_b
-        |  FROM events
-        |),
-        |e AS (
-        |  SELECT n_a, n_b,
-        |         CAST(n_a + n_b AS DOUBLE) * 0.5 AS ea,
-        |         CAST(n_a + n_b AS DOUBLE) * 0.5 AS eb
-        |  FROM a WHERE n_a + n_b > 0
-        |),
-        |c AS (
-        |  SELECT n_a, n_b,
-        |         round((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
-        |               + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb, 4) AS chi2
-        |  FROM e
-        |)
-        |SELECT n_a, n_b,
-        |       round(CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE), 4) AS ratio,
-        |       chi2, chi2 > 3.8415 AS srm
-        |FROM c""".stripMargin,
-    // Lift-curve replay: q227's quality/pass inputs, I25's 4dp decile
-    // boundaries, cumulative windows from the TOP bin down.
-    "q238_lift_curve" ->
-      s"""WITH $GopherDocSql,
-         |base AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS w,
-         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
-         |           AS n_tokens
-         |  FROM documents
-         |),
-         |q AS (
-         |  SELECT doc_id,
-         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
-         |                    + 300 * len(list_distinct(w))
-         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
-         |                                      - len(list_filter(w, x -> x = 'a')))
-         |               AS BIGINT)
-         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
-         |  FROM base
-         |),
-         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
-         |rows_q AS (
-         |  SELECT q.qi AS u, CASE WHEN g.gopher_pass THEN 1 ELSE 0 END AS y
-         |  FROM q JOIN g USING (doc_id)
-         |),
-         |b AS (
-         |  SELECT list_transform(quantile_cont(u, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
-         |           x -> round(x, 4)) AS bs
-         |  FROM rows_q
-         |),
-         |binned AS (
-         |  SELECT CAST(list_sum(list_transform(bs,
-         |           x -> CASE WHEN u > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin, y
-         |  FROM rows_q CROSS JOIN b
-         |),
-         |t AS (
-         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
-         |         CAST(sum(y) AS BIGINT) AS n_pos
-         |  FROM binned GROUP BY 1
-         |),
-         |c AS (
-         |  SELECT bin, n, n_pos,
-         |         CAST(sum(n) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
-         |         CAST(sum(n_pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
-         |         CAST(sum(n) OVER () AS BIGINT) AS tn,
-         |         CAST(sum(n_pos) OVER () AS BIGINT) AS tp
-         |  FROM t
-         |)
-         |SELECT bin, n, n_pos, cum_n, cum_pos,
-         |       round(CAST(cum_pos AS DOUBLE)
-         |             / CASE WHEN tp = 0 THEN NULL ELSE CAST(tp AS DOUBLE) END, 4) AS gain,
-         |       round((CAST(cum_pos AS DOUBLE) / cum_n)
-         |             / CASE WHEN tp = 0 THEN NULL
-         |                    ELSE CAST(tp AS DOUBLE) / tn END, 4) AS lift
-         |FROM c""".stripMargin,
-    // Qini replay: same user frame, same parity arms, I25 boundary
-    // binning, desc cumulative incremental conversions.
-    "q241_qini" ->
-      """WITH u AS (
-        |  SELECT user_id,
-        |         COALESCE(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT), 0) AS sc,
-        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-        |  FROM events GROUP BY 1
-        |),
-        |r AS (
-        |  SELECT CAST(round(CAST(sc AS DOUBLE) / 100.0 * 10000) AS BIGINT) AS u,
-        |         user_id % 2 <> 0 AS t, conv AS y
-        |  FROM u
-        |),
-        |b AS (
-        |  SELECT list_transform(
-        |           quantile_cont(u, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
-        |           x -> round(x, 4)) AS bs
-        |  FROM r
-        |),
-        |binned AS (
-        |  SELECT CAST(list_sum(list_transform(bs,
-        |           x -> CASE WHEN u > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin, t, y
-        |  FROM r CROSS JOIN b
-        |),
-        |g AS (
-        |  SELECT bin,
-        |         CAST(count(*) FILTER (t) AS BIGINT) AS n_treat,
-        |         CAST(count(*) FILTER (NOT t) AS BIGINT) AS n_ctrl,
-        |         CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS conv_treat,
-        |         CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS conv_ctrl
-        |  FROM binned GROUP BY 1
-        |),
-        |c AS (
-        |  SELECT *,
-        |         CAST(sum(n_treat) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnt,
-        |         CAST(sum(n_ctrl) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnc,
-        |         CAST(sum(conv_treat) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpt,
-        |         CAST(sum(conv_ctrl) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpc
-        |  FROM g
-        |)
-        |SELECT bin, n_treat, n_ctrl, conv_treat, conv_ctrl,
-        |       round(CAST(cpt AS DOUBLE) - CAST(cpc AS DOUBLE)
-        |             * CASE WHEN cnc = 0 THEN NULL
-        |                    ELSE CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE) END, 4) AS qini,
-        |       round(CAST(cpt AS DOUBLE)
-        |             / CASE WHEN cnt = 0 THEN NULL ELSE CAST(cnt AS DOUBLE) END
-        |             - CAST(cpc AS DOUBLE)
-        |             / CASE WHEN cnc = 0 THEN NULL ELSE CAST(cnc AS DOUBLE) END, 4) AS uplift
-        |FROM c""".stripMargin,
-    // Triple-support replay: same sorted distinct baskets, same
-    // canonical (a < b < c) in-row expansion, same top-k order.
+    // flag on the 4dp-rounded statistic.,
     "q242_triples" ->
       """WITH baskets AS (
         |  SELECT l_orderkey AS bk, list_sort(list_distinct(list(l_partkey))) AS items
@@ -1875,7 +682,7 @@ private[graft] object StatsQueries {
         |GROUP BY 1, 2, 3 HAVING count(*) >= 2
         |ORDER BY n_abc DESC, a, b, c LIMIT 20""".stripMargin,
     // Outlier replay: 4dp-published median/MAD thresholds, modified z
-    // against integer cents, keep test on the rounded value.
+    // against integer cents, keep test on the rounded value.,
     "q243_outliers" ->
       """WITH b AS (
         |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c
@@ -1894,1035 +701,7 @@ private[graft] object StatsQueries {
         |WHERE mad > 0
         |  AND abs(round(0.6745 * (CAST(c AS DOUBLE) - med) / mad, 4)) > 3.5""".stripMargin,
     // CUPED replay: same cutoff frame, HUGEINT moments, identical
-    // theta/adjustment/variance expressions in the same op order.
-    "q244_cuped" ->
-      """WITH f AS (
-        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
-        |         COALESCE(CAST(round(value * 100) AS BIGINT), 0) AS c
-        |  FROM events
-        |),
-        |a0 AS (SELECT max(d) - 6 AS cut FROM f),
-        |u AS (
-        |  SELECT user_id,
-        |         CAST(sum(CASE WHEN d < cut THEN c ELSE 0 END) AS BIGINT) AS xx,
-        |         CAST(sum(CASE WHEN d >= cut THEN c ELSE 0 END) AS BIGINT) AS yy
-        |  FROM f CROSS JOIN a0 GROUP BY 1
-        |),
-        |r AS (
-        |  SELECT CASE WHEN user_id % 2 <> 0 THEN 'B' ELSE 'A' END AS arm, xx, yy
-        |  FROM u
-        |),
-        |m AS (
-        |  SELECT
-        |    CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
-        |    CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS n_b,
-        |    sum(yy) FILTER (arm = 'A') AS sy_a, sum(xx) FILTER (arm = 'A') AS sx_a,
-        |    sum(CAST(yy AS HUGEINT) * yy) FILTER (arm = 'A') AS syy_a,
-        |    sum(CAST(xx AS HUGEINT) * xx) FILTER (arm = 'A') AS sxx_a,
-        |    sum(CAST(xx AS HUGEINT) * yy) FILTER (arm = 'A') AS sxy_a,
-        |    sum(yy) FILTER (arm = 'B') AS sy_b, sum(xx) FILTER (arm = 'B') AS sx_b,
-        |    sum(CAST(yy AS HUGEINT) * yy) FILTER (arm = 'B') AS syy_b,
-        |    sum(CAST(xx AS HUGEINT) * xx) FILTER (arm = 'B') AS sxx_b,
-        |    sum(CAST(xx AS HUGEINT) * yy) FILTER (arm = 'B') AS sxy_b
-        |  FROM r
-        |),
-        |c1 AS (
-        |  SELECT *, n_a + n_b AS nn,
-        |         CAST(sx_a AS DOUBLE) + CAST(sx_b AS DOUBLE) AS sx,
-        |         CAST(sy_a AS DOUBLE) + CAST(sy_b AS DOUBLE) AS sy,
-        |         CAST(sxx_a AS DOUBLE) + CAST(sxx_b AS DOUBLE) AS sxx,
-        |         CAST(sxy_a AS DOUBLE) + CAST(sxy_b AS DOUBLE) AS sxy,
-        |         CAST(syy_a AS DOUBLE) + CAST(syy_b AS DOUBLE) AS syy
-        |  FROM m WHERE n_a > 1 AND n_b > 1
-        |),
-        |c2 AS (SELECT *, sxx - sx * sx / nn AS varx, sxy - sx * sy / nn AS covxy FROM c1),
-        |c3 AS (
-        |  SELECT *, CASE WHEN varx = 0 THEN 0.0 ELSE covxy / varx END AS theta,
-        |         sx / nn AS xbar
-        |  FROM c2
-        |),
-        |c4 AS (
-        |  SELECT *,
-        |         CAST(sy_a AS DOUBLE) / n_a AS mya, CAST(sx_a AS DOUBLE) / n_a AS mxa,
-        |         CAST(sy_b AS DOUBLE) / n_b AS myb, CAST(sx_b AS DOUBLE) / n_b AS mxb
-        |  FROM c3
-        |),
-        |c5 AS (
-        |  SELECT *,
-        |         mya - theta * (mxa - xbar) AS adja, myb - theta * (mxb - xbar) AS adjb,
-        |         (CAST(syy_a AS DOUBLE) - n_a * mya * mya) / (n_a - 1) AS vrawa,
-        |         (CAST(syy_b AS DOUBLE) - n_b * myb * myb) / (n_b - 1) AS vrawb,
-        |         (CAST(syy_a AS DOUBLE) - 2.0 * theta * CAST(sxy_a AS DOUBLE)
-        |          + theta * theta * CAST(sxx_a AS DOUBLE)
-        |          - n_a * (mya - theta * mxa) * (mya - theta * mxa)) / (n_a - 1) AS vadja,
-        |         (CAST(syy_b AS DOUBLE) - 2.0 * theta * CAST(sxy_b AS DOUBLE)
-        |          + theta * theta * CAST(sxx_b AS DOUBLE)
-        |          - n_b * (myb - theta * mxb) * (myb - theta * mxb)) / (n_b - 1) AS vadjb
-        |  FROM c4
-        |),
-        |c6 AS (
-        |  SELECT *, sqrt(vrawa / n_a + vrawb / n_b) AS seraw,
-        |         sqrt(vadja / n_a + vadjb / n_b) AS seadj,
-        |         (syy - sy * sy / nn) / (nn - 1) AS vpoolraw,
-        |         (syy - 2.0 * theta * sxy + theta * theta * sxx
-        |          - (sy - theta * sx) * (sy - theta * sx) / nn) / (nn - 1) AS vpooladj
-        |  FROM c5
-        |)
-        |SELECT n_a, n_b, round(theta, 6) AS theta,
-        |       round((myb - mya) / 100.0, 4) AS diff_raw,
-        |       round((adjb - adja) / 100.0, 4) AS diff_adj,
-        |       round((myb - mya)
-        |             / CASE WHEN seraw <= 0 THEN NULL ELSE seraw END, 4) AS t_raw,
-        |       round((adjb - adja)
-        |             / CASE WHEN seadj <= 0 THEN NULL ELSE seadj END, 4) AS t_adj,
-        |       round(1.0 - vpooladj
-        |             / CASE WHEN vpoolraw <= 0 THEN NULL ELSE vpoolraw END, 4)
-        |         AS var_reduction
-        |FROM c6""".stripMargin,
-    // Ratio-delta replay: same user-grain counts, same delta-method
-    // variance expansion.
-    "q245_ratio_delta" ->
-      """WITH u AS (
-        |  SELECT user_id,
-        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS x,
-        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS y
-        |  FROM events GROUP BY 1
-        |),
-        |r AS (
-        |  SELECT CASE WHEN user_id % 2 <> 0 THEN 'B' ELSE 'A' END AS arm, x, y
-        |  FROM u
-        |),
-        |m AS (
-        |  SELECT
-        |    CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
-        |    CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS n_b,
-        |    sum(x) FILTER (arm = 'A') AS sx_a, sum(y) FILTER (arm = 'A') AS sy_a,
-        |    sum(CAST(x AS HUGEINT) * x) FILTER (arm = 'A') AS sxx_a,
-        |    sum(CAST(y AS HUGEINT) * y) FILTER (arm = 'A') AS syy_a,
-        |    sum(CAST(x AS HUGEINT) * y) FILTER (arm = 'A') AS sxy_a,
-        |    sum(x) FILTER (arm = 'B') AS sx_b, sum(y) FILTER (arm = 'B') AS sy_b,
-        |    sum(CAST(x AS HUGEINT) * x) FILTER (arm = 'B') AS sxx_b,
-        |    sum(CAST(y AS HUGEINT) * y) FILTER (arm = 'B') AS syy_b,
-        |    sum(CAST(x AS HUGEINT) * y) FILTER (arm = 'B') AS sxy_b
-        |  FROM r
-        |),
-        |k AS (SELECT * FROM m WHERE n_a > 1 AND n_b > 1 AND sy_a > 0 AND sy_b > 0),
-        |c AS (
-        |  SELECT n_a, n_b,
-        |    CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE) AS ra,
-        |    CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE) AS rb,
-        |    (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / n_a) / (n_a - 1) AS vxa,
-        |    (CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / n_a) / (n_a - 1) AS vya,
-        |    (CAST(sxy_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / n_a) / (n_a - 1) AS ca,
-        |    CAST(sy_a AS DOUBLE) / n_a AS yba,
-        |    (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b) / (n_b - 1) AS vxb,
-        |    (CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / n_b) / (n_b - 1) AS vyb,
-        |    (CAST(sxy_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / n_b) / (n_b - 1) AS cb,
-        |    CAST(sy_b AS DOUBLE) / n_b AS ybb
-        |  FROM k
-        |),
-        |e AS (
-        |  SELECT *,
-        |    (vxa + ra * ra * vya - 2.0 * ra * ca) / (n_a * yba * yba) AS sea2,
-        |    (vxb + rb * rb * vyb - 2.0 * rb * cb) / (n_b * ybb * ybb) AS seb2
-        |  FROM c
-        |)
-        |SELECT n_a, n_b, round(ra, 4) AS ratio_a, round(rb, 4) AS ratio_b,
-        |       round(rb - ra, 4) AS diff,
-        |       round((rb - ra)
-        |             / CASE WHEN sea2 + seb2 <= 0 THEN NULL
-        |                    ELSE sqrt(sea2 + seb2) END, 4) AS z
-        |FROM e""".stripMargin,
-    // Heterogeneity replay: per-segment F31 moments, 6dp Q
-    // contributions, segment-table windows.
-    "q255_heterogeneity" ->
-      """WITH seg AS (
-        |  SELECT event_type AS segment,
-        |         CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
-        |         CAST(sum(CAST(round(value * 100) AS HUGEINT)) FILTER (user_id % 2 = 0) AS HUGEINT) AS sa,
-        |         CAST(sum(CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS HUGEINT))
-        |              FILTER (user_id % 2 = 0) AS HUGEINT) AS qa,
-        |         CAST(count(*) FILTER (user_id % 2 <> 0) AS BIGINT) AS n_b,
-        |         CAST(sum(CAST(round(value * 100) AS HUGEINT)) FILTER (user_id % 2 <> 0) AS HUGEINT) AS sb,
-        |         CAST(sum(CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS HUGEINT))
-        |              FILTER (user_id % 2 <> 0) AS HUGEINT) AS qb
-        |  FROM events WHERE value IS NOT NULL
-        |  GROUP BY 1
-        |),
-        |v AS (
-        |  SELECT segment, n_a, n_b,
-        |         (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / n_a) / (n_a - 1) AS va,
-        |         (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / n_b) / (n_b - 1) AS vb,
-        |         CAST(sb AS DOUBLE) / n_b - CAST(sa AS DOUBLE) / n_a AS dd
-        |  FROM seg WHERE n_a > 1 AND n_b > 1
-        |),
-        |e AS (
-        |  SELECT *, va / n_a + vb / n_b AS se2 FROM v
-        |),
-        |w AS (
-        |  SELECT *, 1.0 / se2 AS w FROM e WHERE se2 > 0
-        |),
-        |dw AS (
-        |  SELECT *, sum(w * dd) OVER () / sum(w) OVER () AS dwbar FROM w
-        |),
-        |qq AS (
-        |  SELECT *, round(w * (dd - dwbar) * (dd - dwbar), 6) AS q_contrib FROM dw
-        |),
-        |t AS (
-        |  SELECT *, round(sum(q_contrib) OVER (), 4) AS q_stat,
-        |         count(*) OVER () AS k
-        |  FROM qq
-        |)
-        |SELECT segment, n_a, n_b,
-        |       round(dd / 100.0, 4) AS diff, round(sqrt(se2) / 100.0, 4) AS se,
-        |       q_contrib, q_stat,
-        |       round(greatest(0.0, (q_stat - (k - 1))
-        |             / CASE WHEN q_stat <= 0 THEN NULL ELSE q_stat END), 4) AS i2
-        |FROM t""".stripMargin,
-    // Permutation replay: the same md5 24-bit coin per (row, rep),
-    // exact per-rep sums, 6dp diff compare, add-one p.
-    "q256_permutation" ->
-      s"""WITH rows_p AS (
-         |  SELECT event_type = 'view' AS b, CAST(round(value * 100) AS BIGINT) AS c,
-         |         CAST(event_id AS VARCHAR) AS id
-         |  FROM events
-         |  WHERE value IS NOT NULL AND event_id IS NOT NULL
-         |    AND event_type IN ('click', 'view')
-         |),
-         |obs AS (
-         |  SELECT CAST(count(*) FILTER (NOT b) AS BIGINT) AS n_a,
-         |         CAST(count(*) FILTER (b) AS BIGINT) AS n_b,
-         |         round(CAST(sum(c) FILTER (b) AS DOUBLE) / count(*) FILTER (b)
-         |               - CAST(sum(c) FILTER (NOT b) AS DOUBLE) / count(*) FILTER (NOT b), 6) AS obs
-         |  FROM rows_p HAVING n_a > 0 AND n_b > 0
-         |),
-         |r AS (
-         |  SELECT c, rep,
-         |         ${HexValSql("md5(id || ':perm:' || CAST(rep AS VARCHAR))", 1, 6)} < 8388608 AS pa
-         |  FROM rows_p CROSS JOIN (SELECT unnest(range(0, 64)) AS rep)
-         |),
-         |pd AS (
-         |  SELECT round(CAST(sum(c) FILTER (NOT pa) AS DOUBLE) / count(*) FILTER (NOT pa)
-         |               - CAST(sum(c) FILTER (pa) AS DOUBLE) / count(*) FILTER (pa), 6) AS d
-         |  FROM r GROUP BY rep
-         |  HAVING count(*) FILTER (pa) > 0 AND count(*) FILTER (NOT pa) > 0
-         |),
-         |t AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_reps,
-         |         CAST(count(*) FILTER (abs(pd.d) >= abs(obs.obs)) AS BIGINT) AS ge
-         |  FROM pd CROSS JOIN obs
-         |)
-         |SELECT obs.n_a, obs.n_b, round(obs.obs / 100.0, 4) AS diff, t.n_reps,
-         |       round(CAST(1 + t.ge AS DOUBLE) / (t.n_reps + 1), 4) AS p_value
-         |FROM obs CROSS JOIN t""".stripMargin,
-    // Yuen replay: per-arm 4dp-published trim thresholds, the pinned
-    // lo < c < hi trim rule and clamp moments.
-    "q257_yuen" ->
-      """WITH rows_y AS (
-        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c
-        |  FROM events
-        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
-        |),
-        |th AS (
-        |  SELECT g, round(quantile_cont(c, 0.2), 4) AS lo,
-        |         round(quantile_cont(c, 0.8), 4) AS hi
-        |  FROM rows_y GROUP BY 1
-        |),
-        |j AS (
-        |  SELECT r.g, CAST(r.c AS DOUBLE) AS cd, th.lo, th.hi,
-        |         least(greatest(CAST(r.c AS DOUBLE), th.lo), th.hi) AS w
-        |  FROM rows_y r JOIN th USING (g)
-        |),
-        |m AS (
-        |  SELECT
-        |    CAST(count(*) FILTER (g = 'click') AS BIGINT) AS n_a,
-        |    CAST(count(*) FILTER (g = 'click' AND cd > lo AND cd < hi) AS BIGINT) AS h_a,
-        |    CAST(sum(CAST(cd AS BIGINT)) FILTER (g = 'click' AND cd > lo AND cd < hi) AS BIGINT) AS ts_a,
-        |    sum(w) FILTER (g = 'click') AS ws_a,
-        |    sum(w * w) FILTER (g = 'click') AS wq_a,
-        |    CAST(count(*) FILTER (g = 'view') AS BIGINT) AS n_b,
-        |    CAST(count(*) FILTER (g = 'view' AND cd > lo AND cd < hi) AS BIGINT) AS h_b,
-        |    CAST(sum(CAST(cd AS BIGINT)) FILTER (g = 'view' AND cd > lo AND cd < hi) AS BIGINT) AS ts_b,
-        |    sum(w) FILTER (g = 'view') AS ws_b,
-        |    sum(w * w) FILTER (g = 'view') AS wq_b
-        |  FROM j
-        |),
-        |k AS (SELECT * FROM m WHERE h_a > 1 AND h_b > 1),
-        |e AS (
-        |  SELECT *,
-        |    (CAST(n_a AS DOUBLE) - 1) * ((wq_a - ws_a * ws_a / CAST(n_a AS DOUBLE)) / (n_a - 1))
-        |      / (CAST(h_a AS DOUBLE) * (CAST(h_a AS DOUBLE) - 1)) AS sea2,
-        |    (CAST(n_b AS DOUBLE) - 1) * ((wq_b - ws_b * ws_b / CAST(n_b AS DOUBLE)) / (n_b - 1))
-        |      / (CAST(h_b AS DOUBLE) * (CAST(h_b AS DOUBLE) - 1)) AS seb2,
-        |    CAST(ts_a AS DOUBLE) / h_a AS tma, CAST(ts_b AS DOUBLE) / h_b AS tmb
-        |  FROM k
-        |)
-        |SELECT h_a, h_b,
-        |       round(tma / 100.0, 4) AS tmean_a, round(tmb / 100.0, 4) AS tmean_b,
-        |       round((tmb - tma)
-        |             / CASE WHEN sea2 + seb2 <= 0 THEN NULL ELSE sqrt(sea2 + seb2) END, 4) AS t,
-        |       round((sea2 + seb2) * (sea2 + seb2)
-        |             / CASE WHEN sea2 + seb2 <= 0 THEN NULL
-        |                    ELSE sea2 * sea2 / (h_a - 1) + seb2 * seb2 / (h_b - 1) END, 4) AS df
-        |FROM e""".stripMargin,
-    // ROC replay: q238's binning, cumulative TPR/FPR from the top bin.
-    "q262_roc_curve" ->
-      s"""WITH $GopherDocSql,
-         |base AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS w,
-         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
-         |           AS n_tokens
-         |  FROM documents
-         |),
-         |q AS (
-         |  SELECT doc_id,
-         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
-         |                    + 300 * len(list_distinct(w))
-         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
-         |                                      - len(list_filter(w, x -> x = 'a')))
-         |               AS BIGINT)
-         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
-         |  FROM base
-         |),
-         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
-         |rows_r AS (
-         |  SELECT q.qi AS u, CASE WHEN g.gopher_pass THEN 1 ELSE 0 END AS y
-         |  FROM q JOIN g USING (doc_id)
-         |),
-         |b AS (
-         |  SELECT list_transform(quantile_cont(u, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
-         |           x -> round(x, 4)) AS bs
-         |  FROM rows_r
-         |),
-         |binned AS (
-         |  SELECT CAST(list_sum(list_transform(bs,
-         |           x -> CASE WHEN u > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin, y
-         |  FROM rows_r CROSS JOIN b
-         |),
-         |t AS (
-         |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
-         |  FROM binned GROUP BY 1
-         |),
-         |c AS (
-         |  SELECT bin, n, n_pos,
-         |         CAST(sum(n_pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
-         |         CAST(sum(n - n_pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
-         |         CAST(sum(n_pos) OVER () AS BIGINT) AS tp,
-         |         CAST(sum(n - n_pos) OVER () AS BIGINT) AS tn
-         |  FROM t
-         |)
-         |SELECT bin, n, n_pos,
-         |       round(CAST(cp AS DOUBLE)
-         |             / CASE WHEN tp = 0 THEN NULL ELSE CAST(tp AS DOUBLE) END, 4) AS tpr,
-         |       round(CAST(cn AS DOUBLE)
-         |             / CASE WHEN tn = 0 THEN NULL ELSE CAST(tn AS DOUBLE) END, 4) AS fpr
-         |FROM c""".stripMargin,
-    // PR replay: q262's bins, step-wise AP from 6dp contributions.
-    "q263_pr_curve" ->
-      s"""WITH $GopherDocSql,
-         |base AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS w,
-         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
-         |           AS n_tokens
-         |  FROM documents
-         |),
-         |q AS (
-         |  SELECT doc_id,
-         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
-         |                    + 300 * len(list_distinct(w))
-         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
-         |                                      - len(list_filter(w, x -> x = 'a')))
-         |               AS BIGINT)
-         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
-         |  FROM base
-         |),
-         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
-         |rows_r AS (
-         |  SELECT q.qi AS u, CASE WHEN g.gopher_pass THEN 1 ELSE 0 END AS y
-         |  FROM q JOIN g USING (doc_id)
-         |),
-         |b AS (
-         |  SELECT list_transform(quantile_cont(u, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
-         |           x -> round(x, 4)) AS bs
-         |  FROM rows_r
-         |),
-         |binned AS (
-         |  SELECT CAST(list_sum(list_transform(bs,
-         |           x -> CASE WHEN u > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin, y
-         |  FROM rows_r CROSS JOIN b
-         |),
-         |t AS (
-         |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
-         |  FROM binned GROUP BY 1
-         |),
-         |c AS (
-         |  SELECT bin, n, n_pos,
-         |         round(CAST(sum(n_pos) OVER dw AS DOUBLE)
-         |               / sum(n) OVER dw, 4) AS precision,
-         |         round(CAST(sum(n_pos) OVER dw AS DOUBLE)
-         |               / CASE WHEN sum(n_pos) OVER () = 0 THEN NULL
-         |                      ELSE CAST(sum(n_pos) OVER () AS DOUBLE) END, 4) AS recall
-         |  FROM t
-         |  WINDOW dw AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
-         |),
-         |a AS (
-         |  SELECT *, round((recall - coalesce(lag(recall) OVER (ORDER BY bin DESC), 0.0))
-         |                  * precision, 6) AS apc
-         |  FROM c
-         |)
-         |SELECT bin, n, n_pos, precision, recall,
-         |       round(sum(apc) OVER (), 4) AS ap
-         |FROM a""".stripMargin,
-    // Best-F1 replay: the PR bins, 4dp F1, (f1 desc, bin desc) argmax.
-    "q264_best_f1" ->
-      s"""WITH $GopherDocSql,
-         |base AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS w,
-         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
-         |           AS n_tokens
-         |  FROM documents
-         |),
-         |q AS (
-         |  SELECT doc_id,
-         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
-         |                    + 300 * len(list_distinct(w))
-         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
-         |                                      - len(list_filter(w, x -> x = 'a')))
-         |               AS BIGINT)
-         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
-         |  FROM base
-         |),
-         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
-         |rows_r AS (
-         |  SELECT q.qi AS u, CASE WHEN g.gopher_pass THEN 1 ELSE 0 END AS y
-         |  FROM q JOIN g USING (doc_id)
-         |),
-         |b AS (
-         |  SELECT list_transform(quantile_cont(u, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
-         |           x -> round(x, 4)) AS bs
-         |  FROM rows_r
-         |),
-         |binned AS (
-         |  SELECT CAST(list_sum(list_transform(bs,
-         |           x -> CASE WHEN u > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin, y
-         |  FROM rows_r CROSS JOIN b
-         |),
-         |t AS (
-         |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
-         |  FROM binned GROUP BY 1
-         |),
-         |c AS (
-         |  SELECT bin,
-         |         round(CAST(sum(n_pos) OVER dw AS DOUBLE) / sum(n) OVER dw, 4) AS precision,
-         |         round(CAST(sum(n_pos) OVER dw AS DOUBLE)
-         |               / CASE WHEN sum(n_pos) OVER () = 0 THEN NULL
-         |                      ELSE CAST(sum(n_pos) OVER () AS DOUBLE) END, 4) AS recall
-         |  FROM t
-         |  WINDOW dw AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
-         |),
-         |f AS (
-         |  SELECT bin, precision, recall,
-         |         round(2.0 * precision * recall
-         |               / CASE WHEN precision + recall = 0 THEN NULL
-         |                      ELSE precision + recall END, 4) AS f1
-         |  FROM c
-         |),
-         |r AS (
-         |  SELECT *, row_number() OVER (ORDER BY f1 DESC NULLS LAST, bin DESC) AS rnk
-         |  FROM f
-         |)
-         |SELECT bin AS best_bin, precision, recall, f1
-         |FROM r WHERE rnk = 1""".stripMargin,
-    // Kappa replay: the same 2x2 exact table and closed form.
-    "q265_kappa" ->
-      s"""WITH $GopherDocSql,
-         |base AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS w,
-         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
-         |           AS n_tokens
-         |  FROM documents
-         |),
-         |q AS (
-         |  SELECT doc_id,
-         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
-         |                    + 300 * len(list_distinct(w))
-         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
-         |                                      - len(list_filter(w, x -> x = 'a')))
-         |               AS BIGINT)
-         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
-         |  FROM base
-         |),
-         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
-         |j AS (
-         |  SELECT CAST(q.qi AS DOUBLE) / 10000.0 >= 0.5 AS a, g.gopher_pass AS b
-         |  FROM q JOIN g USING (doc_id)
-         |),
-         |m AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |         CAST(count(*) FILTER (a AND b) AS BIGINT) AS tt,
-         |         CAST(count(*) FILTER (a AND NOT b) AS BIGINT) AS tf,
-         |         CAST(count(*) FILTER (NOT a AND b) AS BIGINT) AS ft,
-         |         CAST(count(*) FILTER (NOT a AND NOT b) AS BIGINT) AS ff
-         |  FROM j HAVING count(*) > 0
-         |),
-         |c AS (
-         |  SELECT n, tt + ff AS n_agree,
-         |         CAST(tt + ff AS DOUBLE) / n AS po,
-         |         (CAST(tt + tf AS DOUBLE) * CAST(tt + ft AS DOUBLE)
-         |          + CAST(ft + ff AS DOUBLE) * CAST(tf + ff AS DOUBLE))
-         |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
-         |  FROM m
-         |)
-         |SELECT n, CAST(n_agree AS BIGINT) AS n_agree,
-         |       round(po, 4) AS p_o, round(pe, 4) AS p_e,
-         |       round((po - pe) / CASE WHEN pe = 1.0 THEN NULL ELSE 1.0 - pe END, 4)
-         |         AS kappa
-         |FROM c""".stripMargin,
-    // MCC replay: the q265 2x2, exact HUGEINT products.
-    "q267_mcc" ->
-      s"""WITH $GopherDocSql,
-         |base AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS w,
-         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
-         |           AS n_tokens
-         |  FROM documents
-         |),
-         |q AS (
-         |  SELECT doc_id,
-         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
-         |                    + 300 * len(list_distinct(w))
-         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
-         |                                      - len(list_filter(w, x -> x = 'a')))
-         |               AS BIGINT)
-         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
-         |  FROM base
-         |),
-         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
-         |j AS (
-         |  SELECT CAST(q.qi AS DOUBLE) / 10000.0 >= 0.5 AS p, g.gopher_pass AS y
-         |  FROM q JOIN g USING (doc_id)
-         |),
-         |m AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |         CAST(count(*) FILTER (p AND y) AS BIGINT) AS tp,
-         |         CAST(count(*) FILTER (p AND NOT y) AS BIGINT) AS fp,
-         |         CAST(count(*) FILTER (NOT p AND y) AS BIGINT) AS fn,
-         |         CAST(count(*) FILTER (NOT p AND NOT y) AS BIGINT) AS tn
-         |  FROM j HAVING count(*) > 0
-         |),
-         |c AS (
-         |  SELECT *,
-         |         CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS num,
-         |         sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
-         |                   * (tn + fp) * (tn + fn) AS DOUBLE)) AS den
-         |  FROM m
-         |)
-         |SELECT n, tp, fp, fn, tn,
-         |       round(CAST(num AS DOUBLE)
-         |             / CASE WHEN den = 0 THEN NULL ELSE den END, 4) AS mcc
-         |FROM c""".stripMargin,
-    // Brier replay: exact 1e-4-unit squared errors, closed-form
-    // reference score.
-    "q268_brier" ->
-      s"""WITH $GopherDocSql,
-         |base AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS w,
-         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
-         |           AS n_tokens
-         |  FROM documents
-         |),
-         |q AS (
-         |  SELECT doc_id,
-         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
-         |                    + 300 * len(list_distinct(w))
-         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
-         |                                      - len(list_filter(w, x -> x = 'a')))
-         |               AS BIGINT)
-         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
-         |  FROM base
-         |),
-         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
-         |j AS (
-         |  SELECT q.qi AS u, CASE WHEN g.gopher_pass THEN 1 ELSE 0 END AS y
-         |  FROM q JOIN g USING (doc_id)
-         |),
-         |m AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |         CAST(sum(y) AS BIGINT) AS p,
-         |         CAST(sum((u - 10000 * y) * (u - 10000 * y)) AS BIGINT) AS se
-         |  FROM j HAVING count(*) > 0
-         |),
-         |c AS (
-         |  SELECT n, CAST(p AS DOUBLE) / n AS rate,
-         |         round(CAST(se AS DOUBLE) / n / 1e8, 6) AS brier
-         |  FROM m
-         |),
-         |r AS (
-         |  SELECT *, round(rate * (1.0 - rate), 6) AS brier_ref FROM c
-         |)
-         |SELECT n, round(rate, 4) AS base_rate, brier, brier_ref,
-         |       round(1.0 - brier
-         |             / CASE WHEN brier_ref = 0 THEN NULL ELSE brier_ref END, 4) AS skill
-         |FROM r""".stripMargin,
-    // Krippendorff replay: same per-unit micro-unit coincidence
-    // quantization, HUGEINT marginal products, same exclusions.
-    "q273_krippendorff" ->
-      """WITH r AS (
-        |  SELECT user_id, CASE WHEN value >= 50 THEN 1 ELSE 0 END AS r
-        |  FROM events WHERE value IS NOT NULL
-        |),
-        |u AS (
-        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c, CAST(sum(r) AS BIGINT) AS s
-        |  FROM r GROUP BY 1 HAVING count(*) >= 2
-        |),
-        |q AS (
-        |  SELECT c, s,
-        |         CAST(round(2.0 * s * (c - s) / (c - 1) * 1e6) AS BIGINT) AS o01u
-        |  FROM u
-        |),
-        |t AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_units,
-        |         CAST(sum(c) AS BIGINT) AS n_ratings,
-        |         CAST(sum(s) AS BIGINT) AS n1,
-        |         CAST(sum(o01u) AS BIGINT) AS o01
-        |  FROM q
-        |)
-        |SELECT n_units, n_ratings,
-        |       round(CAST(o01 AS DOUBLE) / 1e6 / n_ratings, 4) AS do_rate,
-        |       round(2.0 * CAST(CAST(n_ratings - n1 AS HUGEINT) * CAST(n1 AS HUGEINT) AS DOUBLE)
-        |             / CAST(CAST(n_ratings AS HUGEINT) * CAST(n_ratings - 1 AS HUGEINT) AS DOUBLE), 4) AS de_rate,
-        |       CASE WHEN n1 = 0 OR n_ratings = n1 THEN NULL
-        |            ELSE round(1.0 - (CAST(o01 AS DOUBLE) / 1e6) * (n_ratings - 1)
-        |                 / (2.0 * CAST(CAST(n_ratings - n1 AS HUGEINT) * CAST(n1 AS HUGEINT) AS DOUBLE)), 4)
-        |       END AS alpha
-        |FROM t""".stripMargin,
-    // mSPRT replay: same HUGEINT cumulative moments at day grain, same
-    // written-order Lambda expression, same rounded running min.
-    "q275_msprt" ->
-      """WITH e AS (
-        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
-        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
-        |         CAST(round(value * 100) AS HUGEINT) AS c
-        |  FROM events WHERE value IS NOT NULL
-        |),
-        |bd AS (
-        |  SELECT day,
-        |         CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS na,
-        |         CAST(coalesce(sum(c) FILTER (arm = 'A'), 0) AS HUGEINT) AS sa,
-        |         CAST(coalesce(sum(c * c) FILTER (arm = 'A'), 0) AS HUGEINT) AS qa,
-        |         CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS nb,
-        |         CAST(coalesce(sum(c) FILTER (arm = 'B'), 0) AS HUGEINT) AS sb,
-        |         CAST(coalesce(sum(c * c) FILTER (arm = 'B'), 0) AS HUGEINT) AS qb
-        |  FROM e GROUP BY 1
-        |),
-        |cu AS (
-        |  SELECT day,
-        |         CAST(sum(na) OVER w AS BIGINT) AS n_a,
-        |         CAST(sum(nb) OVER w AS BIGINT) AS n_b,
-        |         CAST(sum(sa) OVER w AS HUGEINT) AS csa,
-        |         CAST(sum(qa) OVER w AS HUGEINT) AS cqa,
-        |         CAST(sum(sb) OVER w AS HUGEINT) AS csb,
-        |         CAST(sum(qb) OVER w AS HUGEINT) AS cqb
-        |  FROM bd
-        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |),
-        |m AS (
-        |  SELECT day, n_a, n_b,
-        |         CAST(csa AS DOUBLE) / n_a / 100.0 AS ma,
-        |         CAST(csb AS DOUBLE) / n_b / 100.0 AS mb,
-        |         CAST(cqa AS DOUBLE) / 10000.0 AS dqa,
-        |         CAST(cqb AS DOUBLE) / 10000.0 AS dqb
-        |  FROM cu WHERE n_a > 1 AND n_b > 1
-        |),
-        |v AS (
-        |  SELECT day, n_a, n_b, ma, mb,
-        |         ((dqa - n_a * ma * ma) + (dqb - n_b * mb * mb))
-        |           / (n_a + n_b - 2) AS var
-        |  FROM m
-        |),
-        |l AS (
-        |  SELECT day, n_a, n_b, mb - ma AS d,
-        |         var * (1.0 / n_a + 1.0 / n_b) AS s2d
-        |  FROM v WHERE var > 0
-        |),
-        |pp AS (
-        |  SELECT day, n_a, n_b, d,
-        |         least(1.0, 1.0 / (sqrt(s2d / (s2d + 1.0))
-        |           * exp(d * d * 1.0 / (2.0 * s2d * (s2d + 1.0))))) AS p1
-        |  FROM l
-        |),
-        |fin AS (
-        |  SELECT day, n_a, n_b, round(d, 4) AS diff,
-        |         round(min(p1) OVER (ORDER BY day
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS p_avl
-        |  FROM pp
-        |)
-        |SELECT CAST(day AS BIGINT) AS day, n_a, n_b, diff, p_avl,
-        |       p_avl <= 0.05 AS signif
-        |FROM fin""".stripMargin,
-    // Sequential-SRM replay: same cumulative day counts, null
-    // variance p0(1-p0)/N, written-order Lambda, rounded running min.
-    "q284_msprt_srm" ->
-      """WITH e AS (
-        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
-        |         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
-        |  FROM events WHERE user_id IS NOT NULL
-        |),
-        |bd AS (
-        |  SELECT day, CAST(sum(a) AS BIGINT) AS na, CAST(count(*) AS BIGINT) AS nn
-        |  FROM e GROUP BY 1
-        |),
-        |cu AS (
-        |  SELECT day,
-        |         CAST(sum(na) OVER w AS BIGINT) AS n_a,
-        |         CAST(sum(nn) OVER w AS BIGINT) AS n
-        |  FROM bd
-        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |),
-        |l AS (
-        |  SELECT day, n_a, n,
-        |         CAST(n_a AS DOUBLE) / n - 0.5 AS d,
-        |         0.25 / n AS s2
-        |  FROM cu WHERE n > 0
-        |),
-        |pp AS (
-        |  SELECT day, n_a, n, d,
-        |         least(1.0, 1.0 / (sqrt(s2 / (s2 + 0.0001))
-        |           * exp(d * d * 0.0001 / (2.0 * s2 * (s2 + 0.0001))))) AS p1
-        |  FROM l
-        |),
-        |fin AS (
-        |  SELECT day, n_a, n,
-        |         round(CAST(n_a AS DOUBLE) / n, 4) AS ratio,
-        |         round(min(p1) OVER (ORDER BY day
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS p_avl
-        |  FROM pp
-        |)
-        |SELECT CAST(day AS BIGINT) AS day, n_a, n, ratio, p_avl,
-        |       p_avl <= 0.05 AS srm
-        |FROM fin""".stripMargin,
-    // Shrinkage replay: 1e-6 rate quantization, HUGEINT rate
-    // squares, method-of-moments prior, written-order doubles.
-    "q286_eb_shrink" ->
-      """WITH k AS (
-        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS x
-        |  FROM events
-        |  WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
-        |  GROUP BY 1
-        |),
-        |r AS (
-        |  SELECT user_id, n, x,
-        |         CAST(round(CAST(x AS DOUBLE) / n * 1e6) AS BIGINT) AS ru
-        |  FROM k
-        |),
-        |m AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS kk,
-        |         CAST(sum(ru) AS BIGINT) AS sr,
-        |         CAST(sum(CAST(ru AS HUGEINT) * CAST(ru AS HUGEINT)) AS HUGEINT) AS qr
-        |  FROM r
-        |),
-        |p AS (
-        |  SELECT r.*, CAST(m.sr AS DOUBLE) / m.kk / 1e6 AS mm,
-        |         CASE WHEN m.kk > 1
-        |              THEN (CAST(m.qr AS DOUBLE) / 1e12
-        |                    - m.kk * (CAST(m.sr AS DOUBLE) / m.kk / 1e6)
-        |                           * (CAST(m.sr AS DOUBLE) / m.kk / 1e6))
-        |                   / (m.kk - 1)
-        |              ELSE 0.0 END AS vv
-        |  FROM r CROSS JOIN m
-        |),
-        |a AS (
-        |  SELECT *, CASE WHEN vv > 0 THEN mm * (1.0 - mm) / vv - 1.0
-        |                 ELSE 0.0 END AS ab
-        |  FROM p
-        |)
-        |SELECT user_id, n, x,
-        |       round(CAST(x AS DOUBLE) / n, 4) AS rate,
-        |       CASE WHEN ab > 0
-        |            THEN round((CAST(x AS DOUBLE) + mm * ab) / (CAST(n AS DOUBLE) + ab), 4)
-        |            ELSE round(mm, 4) END AS shrunk
-        |FROM a""".stripMargin,
-    // Tukey replay: HUGEINT cent moments, ANOVA MSW, group-dim pair
-    // cross, written-order doubles, 4dp.
-    "q287_tukey" ->
-      """WITH g AS (
-        |  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS s,
-        |         CAST(sum(CAST(round(value * 100) AS HUGEINT)
-        |                  * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS q
-        |  FROM events WHERE value IS NOT NULL
-        |  GROUP BY 1 HAVING count(*) >= 2
-        |),
-        |w AS (
-        |  SELECT g, n, s,
-        |         CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssw
-        |  FROM g
-        |),
-        |m AS (
-        |  SELECT sum(ssw) / (sum(n) - count(*)) AS msw
-        |  FROM w HAVING sum(n) > count(*)
-        |)
-        |SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
-        |       round(CAST(b.s AS DOUBLE) / b.n / 100.0
-        |             - CAST(a.s AS DOUBLE) / a.n / 100.0, 4) AS diff,
-        |       round(abs(CAST(b.s AS DOUBLE) / b.n / 100.0
-        |                 - CAST(a.s AS DOUBLE) / a.n / 100.0)
-        |             / sqrt(m.msw / 10000.0 / 2.0 * (1.0 / a.n + 1.0 / b.n)), 4) AS q_stat
-        |FROM w a JOIN w b ON a.g < b.g CROSS JOIN m""".stripMargin,
-    // Kendall τ-b replay: same dense-calendar spine as q190, pure
-    // integer comparisons per pair (no sign products), one double
-    // division at the end.
-    "q291_kendall_tau" ->
-      """WITH d AS (
-        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
-        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS na,
-        |         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS nb
-        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
-        |),
-        |cal AS (
-        |  SELECT unnest(range((SELECT min(day) FROM d),
-        |                      (SELECT max(day) FROM d) + 1)) AS day
-        |),
-        |dense AS (
-        |  SELECT c.day, coalesce(d.na, 0) AS a, coalesce(d.nb, 0) AS b
-        |  FROM cal c LEFT JOIN d USING (day)
-        |),
-        |p AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-        |         CAST(count(*) FILTER ((x.a < y.a AND x.b < y.b)
-        |                            OR (x.a > y.a AND x.b > y.b)) AS BIGINT) AS concordant,
-        |         CAST(count(*) FILTER ((x.a < y.a AND x.b > y.b)
-        |                            OR (x.a > y.a AND x.b < y.b)) AS BIGINT) AS discordant,
-        |         CAST(count(*) FILTER (x.a = y.a) AS BIGINT) AS ties_x,
-        |         CAST(count(*) FILTER (x.b = y.b) AS BIGINT) AS ties_y
-        |  FROM dense x JOIN dense y ON x.day < y.day
-        |)
-        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM dense) AS n_days,
-        |       n_pairs, concordant, discordant, ties_x, ties_y,
-        |       round(CAST(concordant - discordant AS DOUBLE) /
-        |             CASE WHEN n_pairs - ties_x <= 0 OR n_pairs - ties_y <= 0 THEN NULL
-        |                  ELSE sqrt(CAST(n_pairs - ties_x AS DOUBLE)
-        |                            * CAST(n_pairs - ties_y AS DOUBLE)) END, 4) AS tau_b
-        |FROM p""".stripMargin,
-    // Kruskal–Wallis replay: integer 2·rank via the value-grain
-    // cumulative (the mannWhitney convention), HUGEINT rank sums and
-    // tie cubes, anovaF-style written-order doubles, 4dp.
-    "q292_kruskal_wallis" ->
-      """WITH pts AS (
-        |  SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type AS g,
-        |         CAST(count(*) AS BIGINT) AS n
-        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
-        |  GROUP BY 1, 2
-        |),
-        |vg AS (SELECT v, CAST(sum(n) AS BIGINT) AS t FROM pts GROUP BY 1),
-        |vr AS (
-        |  SELECT v, t,
-        |         2 * coalesce(sum(t) OVER (ORDER BY v
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |           + t + 1 AS r2
-        |  FROM vg
-        |),
-        |perg AS (
-        |  SELECT g, CAST(sum(n) AS BIGINT) AS ng,
-        |         CAST(sum(CAST(n AS HUGEINT) * r2) AS HUGEINT) AS s2
-        |  FROM pts JOIN vr USING (v) GROUP BY 1
-        |),
-        |tie AS (
-        |  SELECT coalesce(CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT),
-        |                  0) AS tie3
-        |  FROM vg
-        |),
-        |a AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
-        |         sum(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / 4.0 / ng) AS rr
-        |  FROM perg
-        |)
-        |SELECT k, n,
-        |       round(12.0 * rr / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
-        |             - 3.0 * CAST(n + 1 AS DOUBLE), 4) AS h,
-        |       round((12.0 * rr / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
-        |              - 3.0 * CAST(n + 1 AS DOUBLE)) /
-        |             (CASE WHEN 1.0 - CAST(tie3 AS DOUBLE)
-        |                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-        |                             * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) <= 0
-        |                   THEN NULL
-        |                   ELSE 1.0 - CAST(tie3 AS DOUBLE)
-        |                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-        |                             * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) END),
-        |             4) AS h_adj
-        |FROM a, tie""".stripMargin,
-    // JT replay: value-grain conditional counts, one cumulative
-    // window for the 5 CDFs, the 10 ordered-pair cross terms in the
-    // identical (i<j) order, HUGEINT doubled statistic, no-tie null
-    // moments in exact-integer-valued doubles.
-    "q330_jonckheere" -> {
-      val gs = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
-        "5-LOW")
-      val cdefs = gs.zipWithIndex.map { case (g, i) =>
-        s"CAST(count(*) FILTER (g = '$g') AS BIGINT) AS c${i + 1}"
-      }.mkString(",\n         ")
-      val fdefs = (1 to 5).map(i =>
-        s"CAST(sum(c$i) OVER w AS BIGINT) AS f$i").mkString(",\n         ")
-      val ndefs = (1 to 5).map(i =>
-        s"CAST(sum(c$i) AS BIGINT) AS n$i").mkString(", ")
-      val pairTerms = (for { i <- 1 to 5; j <- (i + 1) to 5 } yield
-        s"CAST(c$i AS HUGEINT) * (n$j - f$j) * 2 + CAST(c$i AS HUGEINT) * c$j")
-        .mkString("\n           + ")
-      val nAll = (1 to 5).map(i => s"n$i").mkString(" + ")
-      val sqAll = (1 to 5).map(i => s"CAST(n$i AS HUGEINT) * n$i")
-        .mkString(" + ")
-      val varAll = (1 to 5).map(i =>
-        s"CAST(n$i AS DOUBLE) * CAST(n$i AS DOUBLE) * (2.0 * CAST(n$i AS DOUBLE) + 3)")
-        .mkString("\n             + ")
-      s"""WITH v AS (
-         |  SELECT o_orderpriority AS g,
-         |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
-         |  FROM orders WHERE o_totalprice IS NOT NULL
-         |),
-         |h AS (
-         |  SELECT v,
-         |         $cdefs
-         |  FROM v GROUP BY 1
-         |),
-         |f AS (
-         |  SELECT *,
-         |         $fdefs
-         |  FROM h WINDOW w AS (ORDER BY v
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |),
-         |t AS (SELECT $ndefs FROM h),
-         |s AS (
-         |  SELECT n1, n2, n3, n4, n5,
-         |         sum($pairTerms) AS jt2
-         |  FROM f CROSS JOIN t
-         |  GROUP BY 1, 2, 3, 4, 5
-         |)
-         |SELECT CAST($nAll AS BIGINT) AS n,
-         |       round(CAST(jt2 AS DOUBLE) / 2, 1) AS jt,
-         |       round((CAST(jt2 AS DOUBLE)
-         |              - CAST(CAST($nAll AS HUGEINT) * ($nAll)
-         |                     - ($sqAll) AS DOUBLE) / 2) / 2
-         |             / sqrt((CAST($nAll AS DOUBLE) * CAST($nAll AS DOUBLE)
-         |                       * (2.0 * CAST($nAll AS DOUBLE) + 3)
-         |                     - ($varAll)) / 72.0), 4) AS z
-         |FROM s""".stripMargin
-    },
-    // CA replay: same integer scores, HUGEINT moments, the identical
-    // multiplied-through variance written form.
-    "q331_cochran_armitage" ->
-      """WITH g AS (
-        |  SELECT CASE o_orderpriority
-        |           WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
-        |           WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
-        |           WHEN '5-LOW' THEN 5 END AS w,
-        |         CAST(count(*) AS BIGINT) AS n,
-        |         CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS r
-        |  FROM orders
-        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
-        |                            '4-NOT SPECIFIED', '5-LOW')
-        |  GROUP BY 1
-        |),
-        |a AS (
-        |  SELECT CAST(sum(n) AS BIGINT) AS n,
-        |         CAST(sum(r) AS BIGINT) AS successes,
-        |         sum(CAST(w AS HUGEINT) * n) AS wn,
-        |         sum(CAST(w AS HUGEINT) * w * n) AS wwn,
-        |         sum(CAST(w AS HUGEINT) * r) AS wr
-        |  FROM g
-        |),
-        |v AS (
-        |  SELECT *,
-        |         CAST(successes AS DOUBLE)
-        |           * (CAST(n AS DOUBLE) - CAST(successes AS DOUBLE))
-        |           * (CAST(n AS DOUBLE) * CAST(wwn AS DOUBLE)
-        |              - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE))
-        |           / CAST(n AS DOUBLE) AS var
-        |  FROM a
-        |)
-        |SELECT n, successes,
-        |       CASE WHEN var > 0
-        |         THEN round(CAST(wr * n - wn * successes AS DOUBLE)
-        |                    / sqrt(var), 4) END AS z
-        |FROM v""".stripMargin,
-    // Mann–Kendall replay: same yearly series as q195, in-list sign
-    // pairs (exact integers), tie rollup from the same series, the
-    // continuity-corrected z as one written-order double, 4dp.
-    "q293_mann_kendall" ->
-      """WITH s AS (
-        |  SELECT l_returnflag AS datasourceId,
-        |         CAST(year(l_shipdate) AS BIGINT) AS x,
-        |         CAST(count(*) AS BIGINT) AS y
-        |  FROM lineitem GROUP BY 1, 2
-        |),
-        |arr AS (
-        |  SELECT datasourceId,
-        |         list(struct_pack(x := x, y := y) ORDER BY x) AS a,
-        |         CAST(count(*) AS BIGINT) AS n_points
-        |  FROM s GROUP BY 1
-        |),
-        |st AS (
-        |  SELECT datasourceId, n_points,
-        |         CAST(coalesce(list_sum(flatten(
-        |           list_transform(range(1, CAST(n_points AS INT) + 1), i ->
-        |             list_transform(range(i + 1, CAST(n_points AS INT) + 1), j ->
-        |               CAST(sign(a[j].y - a[i].y) AS BIGINT))))), 0) AS BIGINT)
-        |           AS s_stat
-        |  FROM arr
-        |),
-        |t AS (
-        |  SELECT datasourceId,
-        |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
-        |  FROM (SELECT datasourceId, y, CAST(count(*) AS BIGINT) AS t
-        |        FROM s GROUP BY 1, 2)
-        |  GROUP BY 1
-        |),
-        |v AS (
-        |  SELECT st.datasourceId, st.n_points, st.s_stat,
-        |         CAST(st.n_points * (st.n_points - 1) * (2 * st.n_points + 5)
-        |              - t.tsum AS DOUBLE) / 18.0 AS var_d
-        |  FROM st JOIN t USING (datasourceId)
-        |)
-        |SELECT datasourceId, n_points, s_stat,
-        |       round(var_d, 4) AS var_s,
-        |       round(CASE WHEN var_d <= 0 THEN NULL
-        |                  ELSE (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
-        |                             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
-        |                             ELSE 0.0 END) / sqrt(var_d) END, 4) AS z
-        |FROM v""".stripMargin,
-    // odds-ratio replay: four exact cells, double products, Woolf
-    // log-CI in written order.
-    "q313_odds_ratio" ->
-      """WITH g AS (
-        |  SELECT
-        |    CAST(count(*) FILTER (user_id % 2 = 0 AND event_type = 'purchase')
-        |         AS BIGINT) AS n_a_succ,
-        |    CAST(count(*) FILTER (user_id % 2 = 0 AND event_type <> 'purchase')
-        |         AS BIGINT) AS n_a_fail,
-        |    CAST(count(*) FILTER (user_id % 2 <> 0 AND event_type = 'purchase')
-        |         AS BIGINT) AS n_b_succ,
-        |    CAST(count(*) FILTER (user_id % 2 <> 0 AND event_type <> 'purchase')
-        |         AS BIGINT) AS n_b_fail
-        |  FROM events WHERE user_id IS NOT NULL
-        |),
-        |o AS (
-        |  SELECT n_a_succ, n_a_fail, n_b_succ, n_b_fail,
-        |    CASE WHEN n_a_succ = 0 OR n_a_fail = 0 OR n_b_succ = 0 OR n_b_fail = 0
-        |         THEN NULL
-        |         ELSE CAST(n_a_succ AS DOUBLE) * CAST(n_b_fail AS DOUBLE)
-        |              / (CAST(n_a_fail AS DOUBLE) * CAST(n_b_succ AS DOUBLE)) END
-        |      AS orr,
-        |    sqrt(1.0 / n_a_succ + 1.0 / n_a_fail
-        |         + 1.0 / n_b_succ + 1.0 / n_b_fail) AS se
-        |  FROM g
-        |)
-        |SELECT n_a_succ, n_a_fail, n_b_succ, n_b_fail,
-        |       round(orr, 4) AS odds_ratio,
-        |       round(exp(ln(orr) - 1.959963984540054 * se), 4) AS ci_lo,
-        |       round(exp(ln(orr) + 1.959963984540054 * se), 4) AS ci_hi
-        |FROM o""".stripMargin,
-    // key-skew replay: the q217 Gini pipeline over per-key counts,
-    // plus max-count share.
+    // theta/adjustment/variance expressions in the same op order.,
     "q312_key_skew" ->
       """WITH k AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
@@ -2952,197 +731,6 @@ private[graft] object StatsQueries {
         |       round(CAST(mx.mx AS DOUBLE) / CAST(s.t AS BIGINT), 6) AS top_key_share
         |FROM s, mx""".stripMargin,
     // Newcombe replay: per-arm Wilson bounds with the same written
-    // order as q300, hybrid combination, 4dp.
-    "q311_newcombe" ->
-      """WITH g AS (
-        |  SELECT
-        |    CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n1,
-        |    CAST(count(*) FILTER (user_id % 2 = 0 AND event_type = 'purchase')
-        |         AS BIGINT) AS x1,
-        |    CAST(count(*) FILTER (user_id % 2 <> 0) AS BIGINT) AS n2,
-        |    CAST(count(*) FILTER (user_id % 2 <> 0 AND event_type = 'purchase')
-        |         AS BIGINT) AS x2
-        |  FROM events WHERE user_id IS NOT NULL
-        |),
-        |w AS (
-        |  SELECT n1, x1, n2, x2,
-        |    CAST(x1 AS DOUBLE) / n1 AS p1, CAST(x2 AS DOUBLE) / n2 AS p2,
-        |    1.0 + 1.959963984540054 * 1.959963984540054 / n1 AS d1,
-        |    1.0 + 1.959963984540054 * 1.959963984540054 / n2 AS d2
-        |  FROM g WHERE n1 > 0 AND n2 > 0
-        |),
-        |b AS (
-        |  SELECT n1, x1, n2, x2, p1, p2,
-        |    greatest(0.0, (p1 + 1.959963984540054 * 1.959963984540054 / (2.0 * n1)) / d1
-        |      - 1.959963984540054 / d1 * sqrt(p1 * (1.0 - p1) / n1
-        |          + 1.959963984540054 * 1.959963984540054 / (4.0 * n1 * n1))) AS l1,
-        |    least(1.0, (p1 + 1.959963984540054 * 1.959963984540054 / (2.0 * n1)) / d1
-        |      + 1.959963984540054 / d1 * sqrt(p1 * (1.0 - p1) / n1
-        |          + 1.959963984540054 * 1.959963984540054 / (4.0 * n1 * n1))) AS u1,
-        |    greatest(0.0, (p2 + 1.959963984540054 * 1.959963984540054 / (2.0 * n2)) / d2
-        |      - 1.959963984540054 / d2 * sqrt(p2 * (1.0 - p2) / n2
-        |          + 1.959963984540054 * 1.959963984540054 / (4.0 * n2 * n2))) AS l2,
-        |    least(1.0, (p2 + 1.959963984540054 * 1.959963984540054 / (2.0 * n2)) / d2
-        |      + 1.959963984540054 / d2 * sqrt(p2 * (1.0 - p2) / n2
-        |          + 1.959963984540054 * 1.959963984540054 / (4.0 * n2 * n2))) AS u2
-        |  FROM w
-        |)
-        |SELECT n1, x1, n2, x2, round(p1, 4) AS p1, round(p2, 4) AS p2,
-        |       round(p1 - p2, 4) AS diff,
-        |       round(p1 - p2 - sqrt((p1 - l1) * (p1 - l1)
-        |                            + (u2 - p2) * (u2 - p2)), 4) AS ci_lo,
-        |       round(p1 - p2 + sqrt((u1 - p1) * (u1 - p1)
-        |                            + (p2 - l2) * (p2 - l2)), 4) AS ci_hi
-        |FROM b""".stripMargin,
-    // effect-size replay: welchT's exact cent moments, (n-1)-weighted
-    // pooled SD, written-order doubles, Hedges correction inline.
-    "q310_effect_size" ->
-      """WITH a AS (
-        |  SELECT
-        |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n1,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT))
-        |         FILTER (event_type = 'click') AS BIGINT) AS s1,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)
-        |             * CAST(round(value * 100) AS BIGINT))
-        |         FILTER (event_type = 'click') AS BIGINT) AS q1,
-        |    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n2,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT))
-        |         FILTER (event_type = 'view') AS BIGINT) AS s2,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)
-        |             * CAST(round(value * 100) AS BIGINT))
-        |         FILTER (event_type = 'view') AS BIGINT) AS q2
-        |  FROM events
-        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
-        |),
-        |b AS (
-        |  SELECT n1, n2,
-        |         CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md,
-        |         sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
-        |               + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2))
-        |              / (n1 + n2 - 2)) AS sp
-        |  FROM a WHERE n1 > 1 AND n2 > 1
-        |),
-        |c AS (
-        |  SELECT n1, n2, md, sp,
-        |         md / (CASE WHEN sp <= 0 THEN NULL ELSE sp END) AS dd
-        |  FROM b
-        |)
-        |SELECT n1, n2, round(md / 100.0, 4) AS mean_diff,
-        |       round(sp / 100.0, 4) AS pooled_sd,
-        |       round(dd, 4) AS cohens_d,
-        |       round(dd * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)), 4)
-        |         AS hedges_g
-        |FROM c""".stripMargin,
-    // Wilson replay: exact long counts, the z literal written as the
-    // same double product, written-order interval arithmetic, 4dp.
-    "q300_wilson" ->
-      """WITH g AS (
-        |  SELECT user_id % 10 AS cohort, CAST(count(*) AS BIGINT) AS trials,
-        |         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
-        |           AS successes
-        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
-        |),
-        |w AS (
-        |  SELECT cohort, trials, successes,
-        |         CAST(successes AS DOUBLE) / trials AS p,
-        |         1.0 + 1.959963984540054 * 1.959963984540054 / trials AS den
-        |  FROM g
-        |),
-        |c AS (
-        |  SELECT cohort, trials, successes, p,
-        |         (p + 1.959963984540054 * 1.959963984540054 / (2.0 * trials))
-        |           / den AS ctr,
-        |         1.959963984540054 / den * sqrt(
-        |           p * (1.0 - p) / trials +
-        |           1.959963984540054 * 1.959963984540054
-        |             / (4.0 * trials * trials)) AS hw
-        |  FROM w
-        |)
-        |SELECT cohort, trials, successes, round(p, 4) AS p_hat,
-        |       round(greatest(0.0, ctr - hw), 4) AS ci_lo,
-        |       round(least(1.0, ctr + hw), 4) AS ci_hi
-        |FROM c""".stripMargin,
-    // Brown–Forsythe replay: exact interpolated medians in half-cents
-    // (quantile_cont ≡ Spark percentile, the q50 contract), integer
-    // |deviation|, HUGEINT moments, anovaF written-order doubles.
-    "q298_brown_forsythe" ->
-      """WITH v AS (
-        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) * 2 AS c2
-        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
-        |),
-        |m AS (
-        |  SELECT g, CAST(round(quantile_cont(c2, 0.5)) AS BIGINT) AS m2
-        |  FROM v GROUP BY 1
-        |),
-        |z AS (SELECT v.g, abs(v.c2 - m.m2) AS z FROM v JOIN m USING (g)),
-        |gm AS (
-        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS s,
-        |         CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS q
-        |  FROM z GROUP BY 1
-        |),
-        |a AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
-        |         sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb,
-        |         CAST(sum(s) AS DOUBLE) AS sS, CAST(sum(q) AS DOUBLE) AS qQ
-        |  FROM gm
-        |)
-        |SELECT k, n,
-        |       round(((sb - sS * sS / n) / (k - 1)) /
-        |             CASE WHEN qQ - sb <= 0 OR n <= k THEN NULL
-        |                  ELSE (qQ - sb) / (n - k) END, 4) AS w_stat
-        |FROM a""".stripMargin,
-    // Friedman replay: identical dense day×type zero-fill, integer
-    // 2·rank via rank() − 1 + peer count (≡ the RANGE-frame
-    // cumulative), exact long rank sums, written-order doubles, 4dp.
-    "q295_friedman" ->
-      """WITH cells AS (
-        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
-        |         event_type AS g, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM events GROUP BY 1, 2
-        |),
-        |dense AS (
-        |  SELECT bb.b, gg.g, coalesce(c.cnt, 0) AS cnt
-        |  FROM (SELECT DISTINCT b FROM cells) bb
-        |  CROSS JOIN (SELECT DISTINCT g FROM cells) gg
-        |  LEFT JOIN cells c ON c.b = bb.b AND c.g = gg.g
-        |),
-        |r AS (
-        |  SELECT b, g,
-        |         CAST(count(*) OVER (PARTITION BY b, cnt) AS BIGINT) AS t,
-        |         2 * (rank() OVER (PARTITION BY b ORDER BY cnt) - 1)
-        |           + CAST(count(*) OVER (PARTITION BY b, cnt) AS BIGINT) + 1 AS r2
-        |  FROM dense
-        |),
-        |pert AS (SELECT g, CAST(sum(r2) AS BIGINT) AS s2 FROM r GROUP BY 1),
-        |a1 AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS k,
-        |         CAST(sum(s2 * s2) AS BIGINT) AS rr4
-        |  FROM pert
-        |),
-        |a2 AS (
-        |  SELECT CAST(sum(t * t - 1) AS BIGINT) AS tsum,
-        |         CAST(count(DISTINCT b) AS BIGINT) AS n_blocks
-        |  FROM r
-        |)
-        |SELECT n_blocks, k,
-        |       round(12.0 * (CAST(rr4 AS DOUBLE) / 4.0)
-        |             / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
-        |                * CAST(k + 1 AS DOUBLE))
-        |             - 3.0 * CAST(n_blocks AS DOUBLE) * CAST(k + 1 AS DOUBLE),
-        |             4) AS chi2,
-        |       round((12.0 * (CAST(rr4 AS DOUBLE) / 4.0)
-        |              / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
-        |                 * CAST(k + 1 AS DOUBLE))
-        |              - 3.0 * CAST(n_blocks AS DOUBLE) * CAST(k + 1 AS DOUBLE))
-        |             / (CASE WHEN 1.0 - CAST(tsum AS DOUBLE)
-        |                            / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
-        |                               * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) <= 0
-        |                     THEN NULL
-        |                     ELSE 1.0 - CAST(tsum AS DOUBLE)
-        |                            / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
-        |                               * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))
-        |                END), 4) AS chi2_adj
-        |FROM a1, a2""".stripMargin,
+    // order as q300, hybrid combination, 4dp.,
   )
 }
