@@ -98,6 +98,12 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
   }
 
+  private def doubleSeqArg(e: Expression, what: String): Seq[Double] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+      items.map(doubleArg(_, what))
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array(...) of numeric literals, got $other")
+  }
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "")
 
@@ -292,6 +298,35 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(c) => graft.functions.BitmapMerge(c)
         case _ => throw new IllegalArgumentException("bitmap_merge takes 1 argument")
+      }),
+    ("kll_state",
+      info("kll_state",
+        "kll_state(value[, k]) - KLL quantile summary as bytes (store fine, roll up with kll_merge)"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.DoubleType
+        args match {
+          case Seq(c) => graft.functions.KllSketch(Cast(c, DoubleType))
+          case Seq(c, k) => graft.functions.KllSketch(Cast(c, DoubleType), intArg(k, "k"))
+          case _ => throw new IllegalArgumentException("kll_state takes 1-2 arguments")
+        }
+      }),
+    ("kll_merge",
+      info("kll_merge",
+        "kll_merge(state[, k]) - fold stored KLL summaries to the merged summary bytes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.KllMergeState(c)
+        case Seq(c, k) => graft.functions.KllMergeState(c, intArg(k, "k"))
+        case _ => throw new IllegalArgumentException("kll_merge takes 1-2 arguments")
+      }),
+    ("kll_quantiles",
+      info("kll_quantiles",
+        "kll_quantiles(state, array(phi...)[, k]) - fold stored KLL summaries and eval the phi-quantile estimates"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, p) => graft.functions.KllQuantiles(c, doubleSeqArg(p, "phis"))
+        case Seq(c, p, k) =>
+          graft.functions.KllQuantiles(c, doubleSeqArg(p, "phis"), intArg(k, "k"))
+        case _ => throw new IllegalArgumentException("kll_quantiles takes 2-3 arguments")
       }))
 
   /** Register on a live session (tests/notebooks). */

@@ -17,6 +17,68 @@ import QueryHelpers._
 private[graft] object InfraQueries {
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q333_quantile_sample" -> ((s, dir) => {
+      // I33 merge-order-INVARIANT mergeable quantile sample with
+      // stored-state rollup: bottom-k (hash, value) pairs per fine
+      // grain (returnflag, linestatus) — a pure set function, so
+      // explode + re-aggregate to returnflag equals sketching the
+      // union bit-for-bit (spec-pinned), and the oracle replays it
+      // with one ranked window. Needs no value range up front (I20's
+      // gap) and no merge-tree luck (KLL's gap). O(k) state per
+      // group, map-side combined.
+      val t = Tables(s, dir)
+      import graft.functions.BottomKSample._
+      val rows = t.lineitem.select(
+        col("l_returnflag"), col("l_linestatus"),
+        bottomKHash(concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))).as("h"),
+        col("l_extendedprice").as("v"))
+      val fine = rows.groupBy("l_returnflag", "l_linestatus")
+        .agg(bottomKSample(col("h"), col("v"), 256).as("sample"))
+      fine
+        .select(col("l_returnflag"), explode(col("sample")).as("x"))
+        .groupBy("l_returnflag")
+        .agg(bottomKSample(col("x.h"), col("x.v"), 256).as("sample"))
+        .select(col("l_returnflag"),
+          size(col("sample")).cast("long").as("m"),
+          sampleQuantile(col("sample"), 0.25).as("p25"),
+          sampleQuantile(col("sample"), 0.5).as("p50"),
+          sampleQuantile(col("sample"), 0.9).as("p90"))
+    }),
+    "q334_kll_rollup" -> ((s, dir) => {
+      // I34 KLL quantile summary with stored-state rollup (kll_state
+      // at (returnflag, linestatus) grain → kll_merge/kll_quantiles to
+      // returnflag): the compactor is NOT merge-order invariant, so
+      // the gate is the sketch CONTRACT itself — the summary's n must
+      // equal the exact count (invariant under any merge tree) and
+      // every φ estimate's EXACT rank (computed by one verification
+      // pass over the data) must sit within the pinned ε=0.025 of φ
+      // (KllSketchSpec pins the same bound unit-level). A broken
+      // compaction, merge, or weight ledger flips `ok` to false and
+      // hash-mismatches.
+      val t = Tables(s, dir)
+      import graft.functions.KllSketch._
+      val phis = Seq(0.1, 0.5, 0.9)
+      val fine = t.lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(kllState(col("l_extendedprice")).as("st"))
+      val rolled = fine.groupBy("l_returnflag")
+        .agg(kllQuantiles(col("st"), phis).as("q"),
+          kllMerge(col("st")).as("merged"))
+        .select(col("l_returnflag"), kllN(col("merged")).as("n"),
+          posexplode(col("q")).as(Seq("i", "est")))
+        .withColumn("phi",
+          element_at(typedLit(phis), col("i").cast("int") + 1))
+      t.lineitem.select("l_returnflag", "l_extendedprice")
+        .join(broadcast(rolled), "l_returnflag")
+        .groupBy("l_returnflag", "phi", "n", "est")
+        .agg(sum(when(col("l_extendedprice") <= col("est"), 1L)
+          .otherwise(0L)).as("rank"),
+          count(lit(1)).as("n_exact"))
+        .select(col("l_returnflag"), col("phi"), col("n"),
+          (col("n") === col("n_exact") &&
+            abs(col("rank").cast("double") / col("n_exact") - col("phi"))
+              <= 0.025).as("ok"))
+    }),
     "q101_incremental_agg" -> ((s, dir) => {
       // incremental refresh: history state (events before the split)
       // merged with the delta's state must equal aggregating the full
@@ -488,6 +550,51 @@ private[graft] object InfraQueries {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // Quantile-sample replay: the sketch IS the k smallest
+    // (hash, value) pairs, so one ranked window per coarse group
+    // rebuilds it bit-for-bit (k-smallest of the fine unions ==
+    // k-smallest of the group); quantiles index the value-sorted
+    // sample with the identical max(1, ceil(φ·m)) rule. Raw doubles —
+    // every output value is an element of the data, so no rounding.
+    "q333_quantile_sample" ->
+      s"""WITH r AS (
+         |  SELECT l_returnflag,
+         |         ${HexValSql(
+               "md5(CAST(l_orderkey AS VARCHAR) || ':' || " +
+               "CAST(l_linenumber AS VARCHAR) || ':bk')", 1, 15)} AS h,
+         |         l_extendedprice AS v
+         |  FROM lineitem
+         |),
+         |ranked AS (
+         |  SELECT l_returnflag, h, v,
+         |         row_number() OVER (PARTITION BY l_returnflag
+         |                            ORDER BY h, v) AS rn
+         |  FROM r
+         |),
+         |agg AS (
+         |  SELECT l_returnflag, list(v ORDER BY v) AS vs,
+         |         CAST(count(*) AS BIGINT) AS m
+         |  FROM ranked WHERE rn <= 256 GROUP BY 1
+         |)
+         |SELECT l_returnflag, m,
+         |       vs[CAST(greatest(1, ceil(0.25 * m)) AS BIGINT)] AS p25,
+         |       vs[CAST(greatest(1, ceil(0.5 * m)) AS BIGINT)] AS p50,
+         |       vs[CAST(greatest(1, ceil(0.9 * m)) AS BIGINT)] AS p90
+         |FROM agg""".stripMargin,
+    // KLL gate: the summary's n must equal the exact group count and
+    // every φ estimate must pass the ε rank check computed by the
+    // engine's own verification pass — so the oracle is the exact
+    // count crossed with the φ grid, all-true. A compaction/merge/
+    // weight bug flips ok to false (or drifts n) and hash-mismatches.
+    "q334_kll_rollup" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, phi, n, true AS ok
+        |FROM g CROSS JOIN (
+        |  SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                 CAST(0.9 AS DOUBLE)]) AS phi)""".stripMargin,
     // Incremental-agg oracle: aggregate the FULL input directly — the
     // merged history⊕delta state must land on identical numbers.
     "q101_incremental_agg" ->

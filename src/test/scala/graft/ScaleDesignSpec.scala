@@ -2019,4 +2019,34 @@ class ScaleDesignSpec extends SparkSpec {
     assert(helper.collect(pgPlan) { case e: ShuffleExchangeLike => e }.size <= 3,
       "periodogram: daily combine, phase combine, final reduce — no more")
   }
+
+  test("round-14: quantile-sketch family plans honor their scale claims") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    // q333 bottom-k sample: the ranked window lives ONLY in the
+    // oracle — the engine side is two bounded map-side-combined
+    // aggregates (fine grain, then explode + coarse), never a
+    // per-group sort of the data
+    val qs = SparkEntry.queries("q333_quantile_sample")(spark, sfDir)
+    qs.collect()
+    val qsPlan = qs.queryExecution.executedPlan
+    assert(helper.collect(qsPlan) { case w: WindowExec => w }.isEmpty,
+      "quantile sample: no data-grain window — the sketch IS the rank filter")
+    assert(helper.collect(qsPlan) { case e: ShuffleExchangeLike => e }.size <= 2,
+      "quantile sample: fine combine + coarse combine, no more")
+    // q334 KLL: fine states → merged summaries; the verification pass
+    // joins the ≤ groups·φ estimate rows back by BROADCAST (the data
+    // side never reshuffles for it)
+    val kll = SparkEntry.queries("q334_kll_rollup")(spark, sfDir)
+    kll.collect()
+    val kllPlan = kll.queryExecution.executedPlan
+    assert(helper.collect(kllPlan) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "kll rollup: estimates must broadcast onto the verification scan")
+    assert(helper.collect(kllPlan) { case c: CartesianProductExec => c }.isEmpty,
+      "kll rollup: no cartesian")
+    assert(helper.collect(kllPlan) { case w: WindowExec => w }.isEmpty,
+      "kll rollup: no window anywhere — summaries and one conditional count")
+  }
 }
