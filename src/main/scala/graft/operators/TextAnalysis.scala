@@ -75,6 +75,99 @@ object TextAnalysis {
       .drop("__w")
   }
 
+  /** G7b trained language-ID: self-trained per-language character-
+    * TRIGRAM Naive Bayes (the char-n-gram model real curation
+    * pipelines use — langid.py / CLD shape), replacing G7's fixed
+    * stopword markers with distributions learned from a labeled
+    * slice of the corpus itself.
+    *
+    * Split: docs whose first md5 nibble of (id ":lid") is ≥ 4 train
+    * (75%), the rest are scored — the q54 deterministic-hash-split
+    * contract, replayable in any engine with md5. Model: Laplace
+    * log P(tri|lang) = ln((c+1)/(tot_lang+V)) and class prior
+    * ln(n_lang/n), both in INTEGER MICRO-UNITS (round(ln·1e6) as
+    * long), so every document score is an exact integer sum —
+    * order-invariant, engine-identical. Prediction: argmax with ties
+    * to the lexicographically smallest language.
+    *
+    * Scale shape: model tables are VOCABULARY-grain (≤ langs·|tri|;
+    * char trigrams are bounded ~1e5 even at 100 TB) and broadcast as
+    * one per-trigram log-prob VECTOR over the sorted language list —
+    * scoring is a map-only broadcast join at (doc, tri) grain plus
+    * ONE doc-keyed [[graft.functions.VectorSum]] combine; unseen
+    * trigrams fall back to the per-language Laplace floor vector.
+    * No per-language expansion of the data, no window anywhere.
+    *
+    * Output: (idCol, langCol true label, lang_pred) for the SCORED
+    * (test) slice.
+    */
+  def langIdTrained(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val micro = (x: Column) => round(log(x) * 1e6, 0).cast("long")
+    val nib = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":lid"))), 1, 1), 16, 10).cast("long")
+    val tris = transform(
+      sequence(lit(1), length(col(textCol)) - 2),
+      i => substring(col(textCol), i.cast("int"), lit(3)))
+    val base = df.filter(length(col(textCol)) >= 3)
+      .select(col(idCol), col(langCol), tris.as("__tris"), nib.as("__nib"))
+    val train = base.filter(col("__nib") >= 4)
+    val test = base.filter(col("__nib") < 4)
+
+    val trainTris = train.select(col(langCol),
+      explode(col("__tris")).as("tri"))
+    val c = trainTris.groupBy("tri", langCol).agg(count(lit(1)).as("c"))
+    val tot = c.groupBy(langCol).agg(sum("c").as("tot"))
+    val vRow = trainTris.agg(count_distinct(col("tri")).as("v"))
+    val prior = train.groupBy(langCol).agg(count(lit(1)).as("nd"))
+    val ndAll = train.agg(count(lit(1)).as("nd_all"))
+    // one-row language dim: sorted langs + per-lang Laplace floor and
+    // prior vectors (dim grain — a handful of rows folding to one)
+    val dimRow = tot.join(prior, langCol).crossJoin(vRow).crossJoin(ndAll)
+      .select(col(langCol),
+        micro(lit(1.0) / (col("tot") + col("v")).cast("double")).as("l0"),
+        micro(col("nd").cast("double") / col("nd_all")).as("lp"))
+      .agg(sort_array(collect_list(
+        struct(col(langCol), col("l0"), col("lp")))).as("d"))
+      .select(
+        transform(col("d"), x => x.getField(langCol)).as("__langs"),
+        transform(col("d"), x => x.getField("l0")).as("__l0"),
+        transform(col("d"), x => x.getField("lp")).as("__lp"))
+    // per-trigram log-prob vector over the sorted langs, floor-filled
+    val modelByTri = c.join(broadcast(tot), langCol)
+      .crossJoin(broadcast(vRow))
+      .select(col("tri"), col(langCol),
+        micro((col("c") + 1).cast("double") /
+          (col("tot") + col("v")).cast("double")).as("l"))
+      .groupBy("tri")
+      .agg(map_from_entries(collect_list(
+        struct(col(langCol), col("l")))).as("__m"))
+      .crossJoin(broadcast(dimRow))
+      .select(col("tri"), zip_with(col("__langs"), col("__l0"),
+        (lang, l0) => coalesce(element_at(col("__m"), lang), l0)).as("__lv"))
+    val docTf = test
+      .select(col(idCol), col(langCol), explode(col("__tris")).as("tri"))
+      .groupBy(col(idCol), col(langCol), col("tri"))
+      .agg(count(lit(1)).as("tf"))
+    docTf
+      .join(broadcast(modelByTri), Seq("tri"), "left")
+      .crossJoin(broadcast(dimRow))
+      .select(col(idCol), col(langCol),
+        transform(coalesce(col("__lv"), col("__l0")),
+          x => x * col("tf")).as("__vec"))
+      .groupBy(col(idCol), col(langCol))
+      .agg(graft.functions.VectorSum.vectorSum(col("__vec")).as("__s"))
+      .crossJoin(broadcast(dimRow))
+      .withColumn("__st", zip_with(col("__s"), col("__lp"), _ + _))
+      .select(col(idCol), col(langCol),
+        element_at(col("__langs"),
+          array_position(col("__st"), array_max(col("__st"))).cast("int"))
+          .as("lang_pred"))
+  }
+
   /** Composite quality score in [0,1]:
     * 0.4·min(n_tokens/100, 1) + 0.3·distinct-ratio + 0.3·(1 − stopword-ratio).
     *

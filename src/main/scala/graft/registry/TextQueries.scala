@@ -97,6 +97,23 @@ private[graft] object TextQueries {
       val t = Tables(s, dir)
       TextAnalysis.jsDivergence(t.documents)
     }),
+    "q335_langid_trained" -> ((s, dir) => {
+      // G7b TRAINED language-ID: char-trigram Naive Bayes self-trained
+      // on the md5-hash 75% slice, scored on the rest — integer
+      // micro-unit log-probs (exact integer doc scores), broadcast
+      // per-trigram log-prob vectors, ONE doc-keyed vector_sum
+      // combine; confusion matrix on the scored slice (the q166 eval
+      // shape). The synthetic corpus carries no real language signal
+      // (TextAnalysisSpec records trained-vs-heuristic accuracy and
+      // pins learnability on a signal-injected fixture); the oracle
+      // gates the full train→score→argmax mechanism bit-for-bit.
+      val t = Tables(s, dir)
+      TextAnalysis.langIdTrained(t.documents)
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n").cast("double") /
+          sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lang")), 4))
+    }),
     "q166_langid_confusion" -> ((s, dir) => {
       // classifier evaluation: labeled-vs-predicted language confusion
       // matrix with per-label shares — the eval loop for G7
@@ -480,6 +497,67 @@ private[graft] object TextQueries {
         |       round((s1 + ln(2) * (1 - pm)) / 2
         |           + (s2 + ln(2) * (1 - qm)) / 2, 4) AS js
         |FROM j""".stripMargin,
+    // Trained-langid replay: same md5 split, same Laplace micro-unit
+    // model, same integer doc scores, same (s DESC, lang) argmax —
+    // written as the per-language expansion the vector formulation
+    // collapses.
+    "q335_langid_trained" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, lang,
+         |         ${HexValSql("md5(CAST(doc_id AS VARCHAR) || ':lid')", 1, 1)} AS nib
+         |  FROM documents WHERE length(text) >= 3
+         |),
+         |train AS (SELECT * FROM base WHERE nib >= 4),
+         |test AS (SELECT * FROM base WHERE nib < 4),
+         |ttris AS (
+         |  SELECT lang, unnest(list_transform(range(1, length(text) - 1),
+         |           i -> substring(text, CAST(i AS INT), 3))) AS tri
+         |  FROM train),
+         |c AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS c
+         |      FROM ttris GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT tri) AS BIGINT) AS v FROM ttris),
+         |prior AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+         |          FROM train GROUP BY 1),
+         |nall AS (SELECT CAST(count(*) AS BIGINT) AS nd_all FROM train),
+         |model AS (
+         |  SELECT lang, tri,
+         |         CAST(round(ln(CAST(c + 1 AS DOUBLE)
+         |           / CAST(tot + v AS DOUBLE)) * 1e6) AS BIGINT) AS l
+         |  FROM c JOIN tot USING (lang) CROSS JOIN v),
+         |dim AS (
+         |  SELECT lang,
+         |         CAST(round(ln(1.0 / CAST(tot + v AS DOUBLE)) * 1e6)
+         |           AS BIGINT) AS l0,
+         |         CAST(round(ln(CAST(nd AS DOUBLE)
+         |           / CAST(nd_all AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+         |  FROM tot JOIN prior USING (lang) CROSS JOIN v CROSS JOIN nall),
+         |dtf AS (
+         |  SELECT doc_id, lang_true, tri, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (
+         |    SELECT doc_id, lang AS lang_true,
+         |           unnest(list_transform(range(1, length(text) - 1),
+         |             i -> substring(text, CAST(i AS INT), 3))) AS tri
+         |    FROM test)
+         |  GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT d.doc_id, d.lang_true, dl.lang,
+         |         dl.lp + sum(d.tf * coalesce(m.l, dl.l0)) AS s
+         |  FROM dtf d CROSS JOIN dim dl
+         |  LEFT JOIN model m ON m.tri = d.tri AND m.lang = dl.lang
+         |  GROUP BY 1, 2, 3, dl.lp),
+         |pred AS (
+         |  SELECT doc_id, lang_true, lang AS lang_pred,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY s DESC, lang) AS rn
+         |  FROM scored),
+         |m2 AS (
+         |  SELECT lang_true AS lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM pred WHERE rn = 1 GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n,
+         |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 4)
+         |         AS share
+         |FROM m2""".stripMargin,
     "q166_langid_confusion" ->
       s"""WITH $LangPredSql,
          |m AS (

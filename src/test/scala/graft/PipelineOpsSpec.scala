@@ -702,4 +702,59 @@ class PipelineOpsSpec extends SparkSpec {
         top.mkString(","))
     assert(top.forall(_.getDouble(2) > 0), "target-slice weights are positive")
   }
+
+  test("langIdTrained learns a real signal the heuristic can't see (G7b)") {
+    val s = spark
+    import s.implicits._
+    // signal-injected fixture: three languages with genuinely distinct
+    // character-trigram distributions (deterministic rotations of
+    // per-language word pools — no randomness). The de/es pools avoid
+    // the heuristic's marker tokens, so the stopword scorer is blind
+    // here while the trained model has everything it needs.
+    val pools = Map(
+      "en" -> Seq("quick", "brown", "fox", "jumps", "lazy", "dog",
+        "with", "many", "words", "running", "through", "fields"),
+      "de" -> Seq("schnelle", "braune", "fuchs", "springt", "faulen",
+        "hund", "vielen", "woertern", "durch", "felder", "immer", "gerne"),
+      "es" -> Seq("zorro", "marron", "rapido", "salta", "perro",
+        "perezoso", "muchas", "palabras", "corriendo", "campos",
+        "siempre", "gusta"))
+    val docs = (for {
+      ((lang, ws), li) <- pools.toSeq.sortBy(_._1).zipWithIndex
+      i <- 0 until 80
+    } yield {
+      val text = (0 until 8).map(j => ws((i + j * 5) % ws.size)).mkString(" ")
+      (li * 1000L + i, text, lang)
+    }).toDF("doc_id", "text", "lang")
+    val pred = TextAnalysis.langIdTrained(docs).collect()
+    assert(pred.length > 30, s"hash split left too few test docs: ${pred.length}")
+    val acc = pred.count(r => r.getString(1) == r.getString(2)).toDouble / pred.length
+    assert(acc >= 0.9, s"trained language-ID must learn the injected signal, acc=$acc")
+    val heur = TextAnalysis.langId(docs).select("lang", "lang_pred").collect()
+    val hAcc = heur.count(r => r.getString(0) == r.getString(1)).toDouble / heur.length
+    assert(acc > hAcc,
+      s"trained ($acc) must beat the marker heuristic ($hAcc) on marker-free text")
+  }
+
+  test("langIdTrained vs heuristic on the driver corpus: the accuracy row (G7b)") {
+    // The synthetic documents table carries NO real language signal
+    // (every language shares one vocabulary; marker tokens for
+    // de/es/fr never occur) — so this records the honest comparison
+    // rather than asserting superiority: the heuristic collapses to
+    // the majority class and the trained model hovers near it,
+    // overfitting trigram noise. The MECHANISM is gated bit-for-bit
+    // by q335's oracle; learnability by the fixture test above.
+    val docs = sources.Tables(spark, sfDir).documents
+    val trained = TextAnalysis.langIdTrained(docs).collect()
+    val tAcc = trained.count(r => r.getString(1) == r.getString(2)).toDouble /
+      trained.length
+    val heur = TextAnalysis.langId(docs).select("lang", "lang_pred").collect()
+    val hAcc = heur.count(r => r.getString(0) == r.getString(1)).toDouble /
+      heur.length
+    info(f"driver-corpus accuracy — trained NB: $tAcc%.4f, marker heuristic: $hAcc%.4f")
+    assert(tAcc >= 0.0 && tAcc <= 1.0 && hAcc >= 0.0 && hAcc <= 1.0)
+    // every scored doc gets exactly one prediction from the known set
+    val langs = trained.map(_.getString(2)).toSet
+    assert(langs.subsetOf(Set("de", "en", "es", "fr", "zh")), s"got $langs")
+  }
 }
