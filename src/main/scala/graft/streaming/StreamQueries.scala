@@ -22,6 +22,36 @@ object StreamQueries {
 
   private val ctr = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Per-run throughput/state record captured from
+    * `StreamingQueryProgress` when a replay terminates — the figures a
+    * 100 TB ingest decision needs next to the correctness gate
+    * (VERDICT r13 item 5). `graft.StreamBench` drains this between
+    * queries and publishes BENCH_STREAM.json.
+    */
+  final case class StreamRunMetrics(
+      batches: Int,
+      inputRows: Long,
+      wallMs: Long,
+      stateRowsMax: Long,
+      stateBytesMax: Long)
+
+  val metrics = scala.collection.concurrent.TrieMap.empty[String, StreamRunMetrics]
+
+  private def record(
+      name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      wallMs: Long): Unit = {
+    val progs = q.recentProgress
+    metrics.put(name, StreamRunMetrics(
+      batches = progs.length,
+      inputRows = progs.map(_.numInputRows).sum,
+      wallMs = wallMs,
+      stateRowsMax = progs.map(p =>
+        p.stateOperators.map(_.numRowsTotal).sum).maxOption.getOrElse(0L),
+      stateBytesMax = progs.map(p =>
+        p.stateOperators.map(_.memoryUsedBytes).sum).maxOption.getOrElse(0L)))
+  }
+
   /** A driver parquet table as a file-source stream (schema probed from
     * the parquet footer).
     */
@@ -75,6 +105,7 @@ object StreamQueries {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       graft.GraftConf.StreamStatePartitions.toString)
+    val t0 = System.nanoTime()
     val q = try {
       stream.writeStream
         .format("memory")
@@ -85,6 +116,7 @@ object StreamQueries {
         .start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
+    record(name, q, (System.nanoTime() - t0) / 1000000L)
     spark.table(name)
   }
 
@@ -111,6 +143,7 @@ object StreamQueries {
     val dirs = Array(graft.Scratch.dir(s"$name-a"), graft.Scratch.dir(s"$name-b"))
     val spark = events.sparkSession
     @volatile var last = -1L
+    val t0 = System.nanoTime()
     val q = events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val delta = graft.operators.Incremental.aggState(batch, keys, valueCol)
@@ -126,6 +159,7 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    record(name, q, (System.nanoTime() - t0) / 1000000L)
     require(last >= 0, "stream produced no batches")
     spark.read.parquet(dirs((last % 2).toInt))
   }

@@ -170,6 +170,26 @@ class BenchJsonSpec extends AnyFunSuite {
     java.nio.file.Files.delete(p)
   }
 
+  test("the committed BENCH_STREAM.json conforms (graft-stream-bench-1)") {
+    // pin the streaming-band artifact's form: schema tag, full query
+    // keys, and per-query rows_per_sec/state fields (or an err object)
+    val p = java.nio.file.Paths.get("BENCH_STREAM.json")
+    if (java.nio.file.Files.exists(p)) {
+      val j = JsonMethods.parse(java.nio.file.Files.readString(p))
+      assert((j \ "schema") === JString("graft-stream-bench-1"))
+      val qs = (j \ "queries").asInstanceOf[JObject].obj
+      assert(qs.nonEmpty && qs.forall(_._1.matches("q\\d+[a-z0-9_]*")))
+      qs.foreach { case (k, v) =>
+        val ok = (v \ "err") != JNothing ||
+          ((v \ "rows_per_sec") != JNothing &&
+            (v \ "state_rows_max") != JNothing &&
+            (v \ "state_bytes_max") != JNothing &&
+            (v \ "input_rows") != JNothing)
+        assert(ok, s"$k missing throughput/state fields: $v")
+      }
+    }
+  }
+
   test("the committed BENCH_FULL.json conforms once regenerated") {
     // pin the FORM of the artifact this repo publishes: if BENCH_FULL
     // exists and is schema-tagged, its keys must be full query names

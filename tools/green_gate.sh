@@ -18,12 +18,18 @@
 #                           and print the two ratios, so BASELINE.md
 #                           gets a fresh row every round instead of
 #                           going stale.
-# Usage:  bash tools/green_gate.sh [--with-oracle [sfDir]] [--with-baseline]
+#   --with-stream           run graft.StreamBench (per-streaming-query
+#                           rows/sec + state size from
+#                           StreamingQueryProgress) and auto-append the
+#                           band table to BASELINE.md (VERDICT r13
+#                           item 5).
+# Usage:  bash tools/green_gate.sh [--with-oracle [sfDir]] [--with-baseline] [--with-stream]
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
 WITH_ORACLE=0
 WITH_BASELINE=0
+WITH_STREAM=0
 SF_DIR=/root/testdata/sf0.1
 while [ $# -gt 0 ]; do
   case "$1" in
@@ -31,6 +37,7 @@ while [ $# -gt 0 ]; do
       WITH_ORACLE=1
       if [ $# -gt 1 ] && [ -d "$2" ]; then SF_DIR="$2"; shift; fi ;;
     --with-baseline) WITH_BASELINE=1 ;;
+    --with-stream) WITH_STREAM=1 ;;
     *) echo "[green_gate] unknown arg: $1"; exit 2 ;;
   esac
   shift
@@ -114,6 +121,40 @@ PYEOF
   else
     echo "[green_gate] *** BaselineBench FAILED:"
     tail -20 /tmp/green_gate_baseline.log
+    exit 1
+  fi
+fi
+
+if [ "$WITH_STREAM" = 1 ]; then
+  echo "[green_gate] stream leg: graft.StreamBench throughput/state record..."
+  if SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.StreamBench" \
+      > /tmp/green_gate_stream.log 2>&1; then
+    python3 - <<'PYEOF'
+import json, datetime
+line = next(l for l in open('BENCH_STREAM.json') if l.strip().startswith('{'))
+d = json.loads(line)
+stamp = datetime.date.today().isoformat()
+rows = []
+for name, s in sorted(d['queries'].items()):
+    if 'err' in s:
+        rows.append(f"| {name} | ERR {s['err'][:40]} | | |")
+        continue
+    rows.append(f"| {name} | {s['rows_per_sec']:,.0f} | {s['state_rows_max']:,} "
+                f"| {s['state_bytes_max'] / 1048576:.1f} |")
+section = (f"\n## Streaming band {stamp} (AvailableNow replay at sf0.1 — "
+           "auto-appended by green_gate.sh --with-stream)\n\n"
+           "Replay-shaped figures: rows/sec is a floor (state-store startup "
+           "per micro-batch is billed in); max state rows/bytes are "
+           "split-invariant. Full detail in BENCH_STREAM.json.\n\n"
+           "| query | rows/sec | state rows (max) | state MB (max) |\n"
+           "|---|---|---|---|\n" + "\n".join(rows) + "\n")
+with open('BASELINE.md', 'a') as f:
+    f.write(section)
+print(f'[green_gate] appended streaming band ({stamp}, {len(rows)} queries) to BASELINE.md.')
+PYEOF
+  else
+    echo "[green_gate] *** StreamBench FAILED:"
+    tail -20 /tmp/green_gate_stream.log
     exit 1
   fi
 fi
