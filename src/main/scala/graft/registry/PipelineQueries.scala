@@ -1383,14 +1383,33 @@ private[graft] object PipelineQueries {
     // e(a,b)⋈e(b,c)⋈e(a,c)) over the q31 pair set —
     // orientation-invariant, so it must land on the Scala side's
     // degree-oriented counts exactly.
+    // Orientation-PINNED wedge replay (VERDICT r13 item 1): the naive
+    // id-ordered triple join enumerates every hub's full wedge fan and
+    // filled the sf1 spill disk; orienting each edge low→high by
+    // (degree, id) — exactly Graph.triangleCount's formulation — caps
+    // wedge fan-out at the oriented out-degree. Same triangle set.
     "q111_triangles" ->
       s"""WITH $MinhashPairsSql,
-         |prs AS (SELECT idA, idB FROM lshpairs),
+         |prs AS (SELECT idA AS a, idB AS b FROM lshpairs),
+         |deg AS (
+         |  SELECT id, count(*) AS d FROM (
+         |    SELECT a AS id FROM prs UNION ALL SELECT b FROM prs)
+         |  GROUP BY 1
+         |),
+         |ed AS (
+         |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+         |              THEN p.a ELSE p.b END AS u,
+         |         CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+         |              THEN p.b ELSE p.a END AS v
+         |  FROM prs p
+         |  JOIN deg da ON da.id = p.a
+         |  JOIN deg db ON db.id = p.b
+         |),
          |tw AS (
-         |  SELECT e1.idA AS x, e1.idB AS y, e2.idB AS z
-         |  FROM prs e1
-         |  JOIN prs e2 ON e1.idB = e2.idA
-         |  JOIN prs e3 ON e3.idA = e1.idA AND e3.idB = e2.idB
+         |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM ed e1
+         |  JOIN ed e2 ON e2.u = e1.v
+         |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v
          |),
          |m AS (
          |  SELECT x AS id FROM tw
@@ -1486,15 +1505,23 @@ private[graft] object PipelineQueries {
     },
     // prefix-filter replay: same rarity key (lpad(df)||':'||shingle),
     // same integer prefix length and threshold arithmetic
+    // Prefix-PRUNED posting replay (VERDICT r13 item 1): mirrors
+    // Dedup.prefixJaccardJoin's posting-list shape — prefix keys
+    // grouped into postings, buckets capped at PrefixPostingCap
+    // (graft drops oversized buckets too, so the cap is SEMANTICS,
+    // not just cost), and intersection via per-doc shingle ARRAYS
+    // instead of a quadratic explode-join. The uncapped exploded
+    // formulation filled the sf1 spill disk while graft completed.
     "q121_ppjoin" ->
       s"""WITH $ShinglesSql,
-         |dsh AS (SELECT id, unnest(list_distinct(sh)) AS s FROM shingled),
-         |zs AS (SELECT id, count(*) AS sz FROM dsh GROUP BY 1),
+         |sd AS (SELECT id, list_distinct(sh) AS shd,
+         |              len(list_distinct(sh)) AS sz FROM shingled),
+         |dsh AS (SELECT id, sz, unnest(shd) AS s FROM sd),
          |dfx AS (SELECT s, count(*) AS df FROM dsh GROUP BY 1),
          |ky AS (
-         |  SELECT d.id, z.sz,
+         |  SELECT d.id, d.sz,
          |         lpad(CAST(x.df AS VARCHAR), 10, '0') || ':' || d.s AS k
-         |  FROM dsh d JOIN dfx x USING (s) JOIN zs z USING (id)
+         |  FROM dsh d JOIN dfx x USING (s)
          |),
          |r AS (
          |  SELECT id, sz, k,
@@ -1502,24 +1529,28 @@ private[graft] object PipelineQueries {
          |  FROM ky
          |),
          |pre AS (SELECT id, k FROM r WHERE rn <= sz - ((sz * 1 + 2) // 3) + 1),
+         |post AS (SELECT k, count(*) AS bn FROM pre GROUP BY 1),
+         |kept AS (
+         |  SELECT p.id, p.k FROM pre p JOIN post USING (k)
+         |  WHERE bn > 1 AND bn <= ${graft.GraftConf.PrefixPostingCap}
+         |),
          |cand AS (
          |  SELECT DISTINCT a.id AS idA, b.id AS idB
-         |  FROM pre a JOIN pre b ON a.k = b.k AND a.id < b.id
+         |  FROM kept a JOIN kept b ON b.k = a.k AND a.id < b.id
          |),
          |inter AS (
-         |  SELECT c.idA, c.idB, count(*) AS common
+         |  SELECT c.idA, c.idB,
+         |         len(list_intersect(sa.shd, sb.shd)) AS common,
+         |         sa.sz AS sza, sb.sz AS szb
          |  FROM cand c
-         |  JOIN dsh x ON x.id = c.idA
-         |  JOIN dsh y ON y.id = c.idB AND y.s = x.s
-         |  GROUP BY 1, 2
+         |  JOIN sd sa ON sa.id = c.idA
+         |  JOIN sd sb ON sb.id = c.idB
          |)
-         |SELECT i.idA, i.idB,
-         |       round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4)
+         |SELECT idA, idB,
+         |       round(CAST(common AS DOUBLE) / (sza + szb - common), 4)
          |         AS jaccard
-         |FROM inter i
-         |JOIN zs za ON za.id = i.idA
-         |JOIN zs zb ON zb.id = i.idB
-         |WHERE common * 2 >= (za.sz + zb.sz - common) * 1""".stripMargin,
+         |FROM inter
+         |WHERE common * 2 >= (sza + szb - common) * 1""".stripMargin,
     // dHash replay: same (3k+c) mod n channel synthesis as q68, 9×8
     // nearest-neighbor grid, integer grayscale, bit = right-neighbor
     // brighter; halves as exact power-of-two sums

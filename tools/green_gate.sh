@@ -23,13 +23,21 @@
 #                           StreamingQueryProgress) and auto-append the
 #                           band table to BASELINE.md (VERDICT r13
 #                           item 5).
-# Usage:  bash tools/green_gate.sh [--with-oracle [sfDir]] [--with-baseline] [--with-stream]
+#   --with-sf1              the once-per-round DECADE gate (VERDICT r13
+#                           items 1+8): synthesize /tmp/testdata/sf1 if
+#                           absent (tools/make_sf1.py), run graft.Verify
+#                           there, then the CAPPED DuckDB replay
+#                           (oracle_check.py --sf1), and auto-append the
+#                           record to BASELINE.md. Long (~1-2 h) — run
+#                           it detached (setsid nohup) when interactive.
+# Usage:  bash tools/green_gate.sh [--with-oracle [sfDir]] [--with-baseline] [--with-stream] [--with-sf1]
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
 WITH_ORACLE=0
 WITH_BASELINE=0
 WITH_STREAM=0
+WITH_SF1=0
 SF_DIR=/root/testdata/sf0.1
 while [ $# -gt 0 ]; do
   case "$1" in
@@ -38,6 +46,7 @@ while [ $# -gt 0 ]; do
       if [ $# -gt 1 ] && [ -d "$2" ]; then SF_DIR="$2"; shift; fi ;;
     --with-baseline) WITH_BASELINE=1 ;;
     --with-stream) WITH_STREAM=1 ;;
+    --with-sf1) WITH_SF1=1 ;;
     *) echo "[green_gate] unknown arg: $1"; exit 2 ;;
   esac
   shift
@@ -155,6 +164,42 @@ PYEOF
   else
     echo "[green_gate] *** StreamBench FAILED:"
     tail -20 /tmp/green_gate_stream.log
+    exit 1
+  fi
+fi
+
+if [ "$WITH_SF1" = 1 ]; then
+  SF1_DIR=/tmp/testdata/sf1
+  if [ ! -f "$SF1_DIR/lineitem.parquet" ]; then
+    echo "[green_gate] sf1 leg: synthesizing $SF1_DIR (make_sf1.py)..."
+    if ! python3 tools/make_sf1.py > /tmp/green_gate_sf1_make.log 2>&1; then
+      echo "[green_gate] *** make_sf1 FAILED:"; tail -10 /tmp/green_gate_sf1_make.log
+      exit 1
+    fi
+  fi
+  SF1_OUT=$(mktemp -d /tmp/green_gate_sf1.XXXXXX)
+  echo "[green_gate] sf1 leg: Verify at $SF1_DIR -> $SF1_OUT (long)..."
+  if ! sbt -batch "runMain graft.Verify $SF1_DIR $SF1_OUT" \
+      > /tmp/green_gate_sf1_verify.log 2>&1; then
+    echo "[green_gate] *** sf1 Verify FAILED:"; tail -20 /tmp/green_gate_sf1_verify.log
+    exit 1
+  fi
+  echo "[green_gate] sf1 leg: capped DuckDB replay (oracle_check --sf1, long)..."
+  if python3 tools/oracle_check.py --sf1 "$SF1_DIR" "$SF1_OUT" \
+      > /tmp/green_gate_sf1_oracle.log 2>&1; then
+    N_MATCH=$(grep -c ': MATCH' /tmp/green_gate_sf1_oracle.log)
+    {
+      echo ""
+      echo "## sf1 decade gate $(date +%F) (auto-appended by green_gate.sh --with-sf1)"
+      echo ""
+      echo "graft.Verify + capped DuckDB replay (oracle_check --sf1) at the"
+      echo "synthetic sf1 (tools/make_sf1.py): **$N_MATCH/$N_MATCH MATCH, zero"
+      echo "mismatches** (report: /tmp/green_gate_sf1_oracle.log)."
+    } >> BASELINE.md
+    echo "[green_gate] sf1 gate GREEN: $N_MATCH MATCH, recorded in BASELINE.md."
+  else
+    echo "[green_gate] *** SF1 ORACLE GATE RED:"
+    grep -v ': MATCH' /tmp/green_gate_sf1_oracle.log | tail -30
     exit 1
   fi
 fi

@@ -1,27 +1,45 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB oracle compare.
 
-Usage: python3 tools/oracle_check.py [sf_dir] [verify_out]
+Usage: python3 tools/oracle_check.py [--sf1] [sf_dir] [verify_out] [only]
+
+--sf1 (VERDICT r13 item 1): the bounded one-command decade-gate leg —
+applies default DuckDB resource caps (GRAFT_DUCKDB_MEM, default 48GB;
+GRAFT_DUCKDB_THREADS, default 16) and a spill dir with headroom, so
+the replay spills instead of OOMing and can't fill the disk unnoticed
+(it refuses to start under 20 GB free).
 """
 import duckdb, json, sys
 import pandas as pd
 
-sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
-out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
-only = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
+args = [a for a in sys.argv[1:] if a != '--sf1']
+sf1_mode = '--sf1' in sys.argv[1:]
+sf = args[0] if len(args) > 0 else '/root/testdata/sf0.001'
+out = args[1] if len(args) > 1 else '/tmp/verify_out'
+only = set(args[2].split(',')) if len(args) > 2 else None
 
 con = duckdb.connect()
-# Opt-in resource caps for the big synthetic-SF sweeps (default
-# behavior unchanged for the driver): without a memory_limit DuckDB
-# ballooned past 118 GB and OOM'd on the sf1 q01/q111 replays; with a
-# cap + temp_directory it spills instead.
-import os
-if os.environ.get('GRAFT_DUCKDB_MEM'):
-    os.makedirs('/tmp/duckspill', exist_ok=True)
-    con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
-    con.execute("SET temp_directory='/tmp/duckspill'")
-if os.environ.get('GRAFT_DUCKDB_THREADS'):
-    con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+# Resource caps for the big synthetic-SF sweeps (default behavior
+# unchanged for the driver): without a memory_limit DuckDB ballooned
+# past 118 GB and OOM'd on the sf1 q01/q111 replays; with a cap +
+# temp_directory it spills instead. --sf1 turns the caps ON with
+# defaults; the env vars still override.
+import os, shutil
+mem = os.environ.get('GRAFT_DUCKDB_MEM') or ('48GB' if sf1_mode else None)
+threads = os.environ.get('GRAFT_DUCKDB_THREADS') or ('16' if sf1_mode else None)
+if mem:
+    spill = os.environ.get('GRAFT_DUCKDB_SPILL', '/tmp/duckspill')
+    os.makedirs(spill, exist_ok=True)
+    if sf1_mode:
+        free_gb = shutil.disk_usage(spill).free / 1e9
+        if free_gb < 20:
+            sys.exit(f'--sf1 refused: only {free_gb:.0f} GB free at {spill}; '
+                     'need >= 20 GB spill headroom')
+        con.execute("SET max_temp_directory_size='60GB'")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{spill}'")
+if threads:
+    con.execute(f"SET threads={int(threads)}")
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
