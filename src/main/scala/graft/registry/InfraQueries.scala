@@ -79,6 +79,51 @@ private[graft] object InfraQueries {
             abs(col("rank").cast("double") / col("n_exact") - col("phi"))
               <= 0.025).as("ok"))
     }),
+    "q336_heavy_hitters" -> ((s, dir) => {
+      // I35 Misra–Gries frequent-items summary with stored-state
+      // rollup: the candidate-LISTING heavy-hitter member (CMS/q91
+      // point-estimates any key but can't enumerate candidates
+      // without a known dim). Fine (source, lang) summaries roll up
+      // per source by exploding (item, est) pairs into the same
+      // weighted aggregate. The gate is the summary's DETERMINISTIC
+      // contract, which holds under ANY merge tree: per top-3-exact
+      // word, est ≤ true and (true − est)·(k+1) ≤ n (integer exact),
+      // and NO word with true·(k+1) > n may be missing (n_missed=0).
+      val t = Tables(s, dir)
+      import graft.functions.FreqSketch.freqSketch
+      val k = 128
+      val words = t.documents.select(col("source"), col("lang"),
+        explode(TextAnalysis.words(col("text"))).as("word"))
+      val rolled = words
+        .groupBy("source", "lang")
+        .agg(freqSketch(col("word"), lit(1L), k).as("st"))
+        .select(col("source"), explode(col("st")).as("x"))
+        .groupBy("source")
+        .agg(freqSketch(col("x.w"), col("x.c"), k).as("cand"))
+        .select(col("source"), explode(col("cand")).as("c"))
+        .select(col("source"), col("c.w").as("word"), col("c.c").as("est"))
+      val exact = words.groupBy("source", "word")
+        .agg(count(lit(1)).as("n_true"))
+      val totals = words.groupBy("source").agg(count(lit(1)).as("n"))
+      val checked = exact
+        .join(broadcast(totals), "source")
+        .join(rolled, Seq("source", "word"), "left")
+      val missed = checked
+        .groupBy("source")
+        .agg(sum(when(col("est").isNull &&
+          col("n_true") * (k + 1) > col("n"), 1L).otherwise(0L)).as("n_missed"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_true").desc, col("word"))
+      checked
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .join(broadcast(missed), "source")
+        .select(col("source"), col("word"), col("n_true"),
+          coalesce(col("est") <= col("n_true") &&
+            (col("n_true") - col("est")) * (k + 1) <= col("n"), lit(false))
+            .as("est_ok"),
+          col("n_missed"))
+    }),
     "q101_incremental_agg" -> ((s, dir) => {
       // incremental refresh: history state (events before the split)
       // merged with the delta's state must equal aggregating the full
@@ -595,6 +640,26 @@ private[graft] object InfraQueries {
         |FROM g CROSS JOIN (
         |  SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
         |                 CAST(0.9 AS DOUBLE)]) AS phi)""".stripMargin,
+    // Heavy-hitter gate: the Misra–Gries CONTRACT is deterministic
+    // under any merge tree, so the oracle is the exact top-3 words per
+    // source with all-true bound checks and zero guaranteed-misses —
+    // a broken compress/merge/weight ledger flips est_ok or n_missed.
+    "q336_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |),
+        |cnt AS (SELECT source, word, CAST(count(*) AS BIGINT) AS n_true
+        |        FROM w GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, word, n_true,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_true DESC, word) AS rk
+        |  FROM cnt
+        |)
+        |SELECT source, word, n_true, true AS est_ok,
+        |       CAST(0 AS BIGINT) AS n_missed
+        |FROM top WHERE rk <= 3""".stripMargin,
     // Incremental-agg oracle: aggregate the FULL input directly — the
     // merged history⊕delta state must land on identical numbers.
     "q101_incremental_agg" ->

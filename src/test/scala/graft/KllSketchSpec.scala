@@ -168,6 +168,53 @@ class KllSketchSpec extends SparkSpec {
     assert(viaSql == viaApi, "kll SQL surface drifted from the Column API")
   }
 
+  test("FreqSketch (Misra–Gries): bounds + completeness under any merge tree") {
+    import graft.functions.MgBuffer
+    // Zipf-ish synthetic stream: item i appears ~N/i times, plus a
+    // long uniform tail — heavy heads MUST survive, tails may not
+    val k = 16
+    val items = (1 to 40).flatMap(i => Seq.fill(2000 / i)(s"w$i")) ++
+      (0 until 3000).map(i => s"tail${i % 600}")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = items.size.toLong
+    def check(b: MgBuffer, tag: String): Unit = {
+      val est = {
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        b.counts.forEach((w, c) => m(w) = c)
+        m.toMap
+      }
+      assert(est.size <= k, s"$tag: state over k")
+      est.foreach { case (w, e) =>
+        assert(e <= exact(w), s"$tag: $w over-counted $e > ${exact(w)}")
+        assert((exact(w) - e) * (k + 1) <= n,
+          s"$tag: $w under bound: ${exact(w) - e} > n/(k+1)")
+      }
+      exact.foreach { case (w, c) =>
+        if (c * (k + 1) > n)
+          assert(est.contains(w), s"$tag: guaranteed-heavy $w missing")
+      }
+    }
+    // direct build
+    val direct = new MgBuffer(k)
+    items.foreach(direct.insert(_, 1L))
+    check(direct, "direct")
+    // skewed merge tree over sequential chunks (mergeIn MUTATES the
+    // receiver, so each path builds its parts fresh)
+    def parts(): Seq[MgBuffer] = items.grouped(700).map { chunk =>
+      val b = new MgBuffer(k); chunk.foreach(b.insert(_, 1L)); b
+    }.toSeq
+    val seq = parts()
+    val merged = seq.head
+    seq.tail.foreach(merged.mergeIn)
+    check(merged, "merge-seq")
+    // weighted re-insertion of a stored summary ≡ merge (the rollup path)
+    val reinserted = new MgBuffer(k)
+    parts().foreach { p =>
+      p.counts.forEach((w, c) => reinserted.insert(w, c))
+    }
+    check(reinserted, "rollup-weighted")
+  }
+
   test("BottomKSample: rollup path equals direct sketch EXACTLY") {
     val s = spark
     import s.implicits._
