@@ -2048,5 +2048,26 @@ class ScaleDesignSpec extends SparkSpec {
       "kll rollup: no cartesian")
     assert(helper.collect(kllPlan) { case w: WindowExec => w }.isEmpty,
       "kll rollup: no window anywhere — summaries and one conditional count")
+    // q335 trained langid: the model attaches by BROADCAST (map-only
+    // scoring — the data side never reshuffles for the model) and no
+    // window except the final ≤langs²-row confusion share
+    val lid = SparkEntry.queries("q335_langid_trained")(spark, sfDir)
+    lid.collect()
+    val lidPlan = lid.queryExecution.executedPlan
+    assert(helper.collect(lidPlan) { case b: BroadcastHashJoinExec => b }
+      .size >= 1, "langid: the trigram model must broadcast onto scoring")
+    assert(helper.collect(lidPlan) { case c: CartesianProductExec => c }.isEmpty,
+      "langid: dims attach as broadcast nest-loops, never cartesians")
+    // q336 heavy hitters: the top-3 window consumes the (source, word)
+    // VOCABULARY-grain count table, never document rows
+    val hh = SparkEntry.queries("q336_heavy_hitters")(spark, sfDir)
+    hh.collect()
+    val hhPlan = hh.queryExecution.executedPlan
+    val hhWins = helper.collect(hhPlan) { case w: WindowExec => w }
+    assert(hhWins.forall(_.child.output.exists(_.name == "n_true")),
+      "heavy hitters: any window must consume the vocab-grain count table, " +
+        s"got ${hhWins.map(_.child.output.map(_.name))}")
+    assert(helper.collect(hhPlan) { case c: CartesianProductExec => c }.isEmpty,
+      "heavy hitters: no cartesian")
   }
 }
