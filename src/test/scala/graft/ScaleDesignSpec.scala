@@ -726,7 +726,7 @@ class ScaleDesignSpec extends SparkSpec {
         "cms_sketch", "cms_estimate", "bloom_sketch", "bloom_might_contain",
         "hll_state", "hll_merge", "vector_sum",
         "bitmap_distinct", "bitmap_state", "bitmap_merge", "jaro_winkler",
-        "nfc_normalize"))
+        "nfc_normalize", "kll_state", "kll_merge", "kll_quantiles"))
   }
 
   test("SQL surface: state/merge rollups match their Column APIs") {
