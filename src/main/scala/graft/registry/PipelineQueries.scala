@@ -1509,48 +1509,59 @@ private[graft] object PipelineQueries {
     // Dedup.prefixJaccardJoin's posting-list shape — prefix keys
     // grouped into postings, buckets capped at PrefixPostingCap
     // (graft drops oversized buckets too, so the cap is SEMANTICS,
-    // not just cost), and intersection via per-doc shingle ARRAYS
-    // instead of a quadratic explode-join. The uncapped exploded
-    // formulation filled the sf1 spill disk while graft completed.
+    // not just cost). Everything row-heavy is INTEGER-only: prefix
+    // ranks come from a (df, hash) sort key and the intersection
+    // count joins 8-byte DuckDB-internal hashes — the string-keyed
+    // formulation's join/window buffers are unaccounted by DuckDB
+    // 1.0's memory_limit and OOM'd the sf1 replay at 118 GB (the
+    // counts only need to be internally consistent; a cross-pair
+    // hash collision is ~1e-9 over the whole corpus).
     "q121_ppjoin" ->
       s"""WITH $ShinglesSql,
          |sd AS (SELECT id, list_distinct(sh) AS shd,
          |              len(list_distinct(sh)) AS sz FROM shingled),
-         |dsh AS (SELECT id, sz, unnest(shd) AS s FROM sd),
-         |dfx AS (SELECT s, count(*) AS df FROM dsh GROUP BY 1),
-         |ky AS (
+         |dshs AS (SELECT id, sz, s, hash(s) AS hs
+         |         FROM (SELECT id, sz, unnest(shd) AS s FROM sd)),
+         |dsh AS (SELECT id, sz, hs FROM dshs),
+         |dfx AS (SELECT hs, count(*) AS df FROM dsh GROUP BY 1),
+         |pl AS (
          |  SELECT d.id, d.sz,
-         |         lpad(CAST(x.df AS VARCHAR), 10, '0') || ':' || d.s AS k
-         |  FROM dsh d JOIN dfx x USING (s)
+         |         list(struct_pack(df := x.df, h := d.hs)
+         |              ORDER BY x.df, d.s) AS ks
+         |  FROM dshs d JOIN dfx x USING (hs)
+         |  GROUP BY d.id, d.sz
          |),
-         |r AS (
-         |  SELECT id, sz, k,
-         |         row_number() OVER (PARTITION BY id ORDER BY k) AS rn
-         |  FROM ky
+         |pre AS (
+         |  SELECT id, u.df AS df, u.h AS hs
+         |  FROM (SELECT id,
+         |               unnest(ks[1 : sz - ((sz * 1 + 2) // 3) + 1]) AS u
+         |        FROM pl)
          |),
-         |pre AS (SELECT id, k FROM r WHERE rn <= sz - ((sz * 1 + 2) // 3) + 1),
-         |post AS (SELECT k, count(*) AS bn FROM pre GROUP BY 1),
+         |post AS (SELECT df, hs, count(*) AS bn FROM pre GROUP BY 1, 2),
          |kept AS (
-         |  SELECT p.id, p.k FROM pre p JOIN post USING (k)
+         |  SELECT p.id, p.df, p.hs FROM pre p JOIN post USING (df, hs)
          |  WHERE bn > 1 AND bn <= ${graft.GraftConf.PrefixPostingCap}
          |),
          |cand AS (
          |  SELECT DISTINCT a.id AS idA, b.id AS idB
-         |  FROM kept a JOIN kept b ON b.k = a.k AND a.id < b.id
+         |  FROM kept a JOIN kept b ON b.df = a.df AND b.hs = a.hs
+         |                         AND a.id < b.id
          |),
          |inter AS (
-         |  SELECT c.idA, c.idB,
-         |         len(list_intersect(sa.shd, sb.shd)) AS common,
-         |         sa.sz AS sza, sb.sz AS szb
+         |  SELECT c.idA, c.idB, count(*) AS common
          |  FROM cand c
-         |  JOIN sd sa ON sa.id = c.idA
-         |  JOIN sd sb ON sb.id = c.idB
-         |)
-         |SELECT idA, idB,
-         |       round(CAST(common AS DOUBLE) / (sza + szb - common), 4)
+         |  JOIN dsh x ON x.id = c.idA
+         |  JOIN dsh y ON y.id = c.idB AND y.hs = x.hs
+         |  GROUP BY 1, 2
+         |),
+         |zs AS (SELECT id, sz FROM sd)
+         |SELECT i.idA, i.idB,
+         |       round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4)
          |         AS jaccard
-         |FROM inter
-         |WHERE common * 2 >= (sza + szb - common) * 1""".stripMargin,
+         |FROM inter i
+         |JOIN zs za ON za.id = i.idA
+         |JOIN zs zb ON zb.id = i.idB
+         |WHERE common * 2 >= (za.sz + zb.sz - common) * 1""".stripMargin,
     // dHash replay: same (3k+c) mod n channel synthesis as q68, 9×8
     // nearest-neighbor grid, integer grayscale, bit = right-neighbor
     // brighter; halves as exact power-of-two sums
