@@ -1505,63 +1505,86 @@ private[graft] object PipelineQueries {
     },
     // prefix-filter replay: same rarity key (lpad(df)||':'||shingle),
     // same integer prefix length and threshold arithmetic
-    // Prefix-PRUNED posting replay (VERDICT r13 item 1): mirrors
-    // Dedup.prefixJaccardJoin's posting-list shape — prefix keys
-    // grouped into postings, buckets capped at PrefixPostingCap
-    // (graft drops oversized buckets too, so the cap is SEMANTICS,
-    // not just cost). Everything row-heavy is INTEGER-only: prefix
-    // ranks come from a (df, hash) sort key and the intersection
-    // count joins 8-byte DuckDB-internal hashes — the string-keyed
-    // formulation's join/window buffers are unaccounted by DuckDB
-    // 1.0's memory_limit and OOM'd the sf1 replay at 118 GB (the
-    // counts only need to be internally consistent; a cross-pair
-    // hash collision is ~1e-9 over the whole corpus).
+    // Prefix-pruned posting replay at EXACT-DUP-FAMILY grain (VERDICT
+    // r13 item 1): identical-text docs share sz, shingles, prefix keys
+    // and every pairwise jaccard, so the whole pipeline runs once per
+    // family rep and doc pairs expand only at the END (result grain).
+    // df and posting-bucket sizes stay DOC-grain via the family-size
+    // weight Σf, and the prefix ORDER stays graft's (df, shingle-lex)
+    // — the PrefixPostingCap makes dropped pairs ordering-dependent,
+    // so a different global order is not an equivalent oracle; the
+    // cap is semantics, not just cost. Row-heavy joins run on 8-byte
+    // internal hashes. The doc-grain formulations all died at sf1
+    // (118 GB host OOM on string join/window buffers DuckDB 1.0's
+    // memory_limit does not account; then an accounted OOM on the
+    // Σbn² candidate explosion that exact-dup families square).
     "q121_ppjoin" ->
       s"""WITH $ShinglesSql,
-         |sd AS (SELECT id, list_distinct(sh) AS shd,
-         |              len(list_distinct(sh)) AS sz FROM shingled),
-         |dshs AS (SELECT id, sz, s, hash(s) AS hs
-         |         FROM (SELECT id, sz, unnest(shd) AS s FROM sd)),
-         |dsh AS (SELECT id, sz, hs FROM dshs),
-         |dfx AS (SELECT hs, count(*) AS df FROM dsh GROUP BY 1),
+         |fam AS (
+         |  SELECT doc_id AS id, md5(text) AS fk
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+         |),
+         |reps AS (SELECT fk, min(id) AS rid, CAST(count(*) AS BIGINT) AS f
+         |         FROM fam GROUP BY 1),
+         |rsh AS (
+         |  SELECT r.fk, r.f, list_distinct(s.sh) AS shd,
+         |         len(list_distinct(s.sh)) AS sz
+         |  FROM reps r JOIN shingled s ON s.id = r.rid
+         |),
+         |rdsh AS (SELECT fk, f, sz, s, hash(s) AS hs
+         |         FROM (SELECT fk, f, sz, unnest(shd) AS s FROM rsh)),
+         |dfx AS (SELECT hs, CAST(sum(f) AS BIGINT) AS df
+         |        FROM rdsh GROUP BY 1),
          |pl AS (
-         |  SELECT d.id, d.sz,
+         |  SELECT d.fk, d.f, d.sz,
          |         list(struct_pack(df := x.df, h := d.hs)
          |              ORDER BY x.df, d.s) AS ks
-         |  FROM dshs d JOIN dfx x USING (hs)
-         |  GROUP BY d.id, d.sz
+         |  FROM rdsh d JOIN dfx x USING (hs)
+         |  GROUP BY d.fk, d.f, d.sz
          |),
          |pre AS (
-         |  SELECT id, u.df AS df, u.h AS hs
-         |  FROM (SELECT id,
+         |  SELECT fk, f, u.df AS df, u.h AS hs
+         |  FROM (SELECT fk, f,
          |               unnest(ks[1 : sz - ((sz * 1 + 2) // 3) + 1]) AS u
          |        FROM pl)
          |),
-         |post AS (SELECT df, hs, count(*) AS bn FROM pre GROUP BY 1, 2),
+         |post AS (SELECT df, hs, CAST(sum(f) AS BIGINT) AS bn
+         |         FROM pre GROUP BY 1, 2),
          |kept AS (
-         |  SELECT p.id, p.df, p.hs FROM pre p JOIN post USING (df, hs)
+         |  SELECT p.fk, p.f, p.df, p.hs FROM pre p JOIN post USING (df, hs)
          |  WHERE bn > 1 AND bn <= ${graft.GraftConf.PrefixPostingCap}
          |),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS idA, b.id AS idB
+         |rcand AS (
+         |  SELECT DISTINCT a.fk AS fkA, b.fk AS fkB
          |  FROM kept a JOIN kept b ON b.df = a.df AND b.hs = a.hs
-         |                         AND a.id < b.id
+         |  WHERE a.fk < b.fk OR (a.fk = b.fk AND a.f >= 2)
          |),
-         |inter AS (
-         |  SELECT c.idA, c.idB, count(*) AS common
-         |  FROM cand c
-         |  JOIN dsh x ON x.id = c.idA
-         |  JOIN dsh y ON y.id = c.idB AND y.hs = x.hs
-         |  GROUP BY 1, 2
-         |),
-         |zs AS (SELECT id, sz FROM sd)
-         |SELECT i.idA, i.idB,
-         |       round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4)
-         |         AS jaccard
-         |FROM inter i
-         |JOIN zs za ON za.id = i.idA
-         |JOIN zs zb ON zb.id = i.idB
-         |WHERE common * 2 >= (za.sz + zb.sz - common) * 1""".stripMargin,
+         |rpass AS (
+         |  SELECT fkA, fkB,
+         |         round(CAST(common AS DOUBLE) / (sza + szb - common), 4)
+         |           AS jaccard
+         |  FROM (
+         |    SELECT c.fkA, c.fkB,
+         |           CASE WHEN c.fkA = c.fkB THEN sa.sz
+         |                ELSE len(list_intersect(sa.shd, sb.shd)) END AS common,
+         |           sa.sz AS sza, sb.sz AS szb
+         |    FROM rcand c
+         |    JOIN rsh sa ON sa.fk = c.fkA
+         |    JOIN rsh sb ON sb.fk = c.fkB)
+         |  WHERE common * 2 >= (sza + szb - common) * 1
+         |)
+         |SELECT least(a.id, b.id) AS idA, greatest(a.id, b.id) AS idB,
+         |       r.jaccard
+         |FROM rpass r
+         |JOIN fam a ON a.fk = r.fkA
+         |JOIN fam b ON b.fk = r.fkB
+         |WHERE r.fkA < r.fkB
+         |UNION ALL
+         |SELECT a.id AS idA, b.id AS idB, r.jaccard
+         |FROM rpass r
+         |JOIN fam a ON a.fk = r.fkA
+         |JOIN fam b ON b.fk = r.fkB AND a.id < b.id
+         |WHERE r.fkA = r.fkB""".stripMargin,
     // dHash replay: same (3k+c) mod n channel synthesis as q68, 9×8
     // nearest-neighbor grid, integer grayscale, bit = right-neighbor
     // brighter; halves as exact power-of-two sums
