@@ -120,36 +120,72 @@ private[graft] object QueryHelpers {
        |)""".stripMargin
 
   /** MinHash-LSH near-dup pair CTE chain (ends in `lshpairs`) —
-    * mirrors graft.operators.Dedup.minhashLshPairs; shared by the q31
-    * and q47 oracles. Requires [[ShinglesSql]]'s `shingled`.
+    * mirrors graft.operators.Dedup.minhashLshPairs; shared by the
+    * q31/q47/q111/… oracles. Requires [[ShinglesSql]]'s `shingled`.
+    *
+    * Replays at EXACT-DUP-FAMILY grain (VERDICT r13 item 1):
+    * identical-text docs have identical shingles, signatures, bands
+    * and buckets, so signatures are computed once per family rep and
+    * doc pairs expand only at the END. Bucket sizes stay DOC-grain
+    * via the family-size weight Σf (the LshBucketCap is semantics:
+    * graft drops oversized buckets too). The doc-grain formulation
+    * pushed ~1.6e9 md5 rows through one aggregate at sf1 and OOM'd
+    * DuckDB at its 48 GB cap; rep grain is the same pair set.
     */
   private[graft] val MinhashPairsSql =
     s"""$ShinglesSql,
+       |lshfam AS (
+       |  SELECT doc_id AS id, md5(text) AS fk
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+       |),
+       |lshreps AS (SELECT fk, min(id) AS rid, CAST(count(*) AS BIGINT) AS f
+       |            FROM lshfam GROUP BY 1),
        |sig AS (
-       |  SELECT id, j, min(md5(CAST(j AS VARCHAR) || ':' || s)) AS m
-       |  FROM (SELECT id, unnest(sh) AS s FROM shingled)
+       |  SELECT r.fk, j, min(md5(CAST(j AS VARCHAR) || ':' || sh0.s)) AS m
+       |  FROM lshreps r
+       |  JOIN (SELECT id, unnest(sh) AS s FROM shingled) sh0 ON sh0.id = r.rid
        |  CROSS JOIN (SELECT unnest(range(1, 13)) AS j) seeds
-       |  GROUP BY id, j
+       |  GROUP BY r.fk, j
        |),
        |banded AS (
-       |  SELECT id, (j - 1) // 4 AS band, md5(string_agg(m, '|' ORDER BY j)) AS bucket
-       |  FROM sig GROUP BY id, (j - 1) // 4
+       |  SELECT fk, (j - 1) // 4 AS band, md5(string_agg(m, '|' ORDER BY j)) AS bucket
+       |  FROM sig GROUP BY fk, (j - 1) // 4
        |),
-       |bsz AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2),
-       |cand AS (
-       |  SELECT DISTINCT a.id AS idA, b.id AS idB
-       |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+       |bsz AS (SELECT band, bucket, CAST(sum(f) AS BIGINT) AS n
+       |        FROM banded JOIN lshreps USING (fk) GROUP BY 1, 2),
+       |rcand AS (
+       |  SELECT DISTINCT a.fk AS fkA, b.fk AS fkB
+       |  FROM banded a
+       |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+       |  JOIN lshreps ra ON ra.fk = a.fk
        |  JOIN bsz ON bsz.band = a.band AND bsz.bucket = a.bucket
        |   AND bsz.n <= ${graft.GraftConf.LshBucketCap}
+       |  WHERE a.fk < b.fk OR (a.fk = b.fk AND ra.f >= 2)
+       |),
+       |rver AS (
+       |  SELECT c.fkA, c.fkB,
+       |         CASE WHEN c.fkA = c.fkB THEN CAST(1.0 AS DOUBLE)
+       |              ELSE round(CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
+       |                   / len(list_distinct(list_concat(sa.sh, sb.sh))), 3) END AS jaccard
+       |  FROM rcand c
+       |  JOIN lshreps la ON la.fk = c.fkA
+       |  JOIN lshreps lb ON lb.fk = c.fkB
+       |  JOIN shingled sa ON sa.id = la.rid
+       |  JOIN shingled sb ON sb.id = lb.rid
        |),
        |verified AS (
-       |  SELECT c.idA, c.idB,
-       |         round(CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
-       |               / len(list_distinct(list_concat(sa.sh, sb.sh))), 3) AS jaccard
-       |  FROM cand c
-       |  JOIN shingled sa ON sa.id = c.idA
-       |  JOIN shingled sb ON sb.id = c.idB
+       |  SELECT least(a.id, b.id) AS idA, greatest(a.id, b.id) AS idB,
+       |         r.jaccard
+       |  FROM rver r
+       |  JOIN lshfam a ON a.fk = r.fkA
+       |  JOIN lshfam b ON b.fk = r.fkB
+       |  WHERE r.fkA < r.fkB
+       |  UNION ALL
+       |  SELECT a.id AS idA, b.id AS idB, r.jaccard
+       |  FROM rver r
+       |  JOIN lshfam a ON a.fk = r.fkA
+       |  JOIN lshfam b ON b.fk = r.fkB AND a.id < b.id
+       |  WHERE r.fkA = r.fkB
        |),
        |lshpairs AS (SELECT idA, idB, jaccard FROM verified WHERE jaccard >= 0.8)""".stripMargin
 
