@@ -137,6 +137,93 @@ object EventWindows {
         col("d"), col("c"), round(col("surv"), 4).as("surv")): _*)
   }
 
+  /** Two-group log-rank test (H60) — "do these two survival curves
+    * differ?", the inferential companion to [[kaplanMeier]]'s
+    * descriptive curve (reference analysis grain: time-to-first-
+    * outcome cohorts, analysis.ipynb's approval-timing comparisons).
+    * At each distinct event time t with d_t total events, n1_t/n2_t
+    * at risk: E1_t = d_t·n1_t/n_t and the hypergeometric variance
+    * V_t = d_t·n1_t·n2_t·(n_t−d_t) / (n_t²·(n_t−1)); the statistic is
+    * z = (O1−E1)/√ΣV_t, χ² = z².
+    *
+    * Determinism: subjects collapse to (duration) grain with exact
+    * long counts; risk sets are integer window arithmetic. Each
+    * per-time E1/V term is converted to integer MICRO-UNITS via
+    * `floor(x·1e6 + 0.5)` — floor-of-double is engine-identical
+    * (the Holt halving contract) — so the test sums LONGS, immune to
+    * float summation order on both engines; z/χ² are then single
+    * double expressions over exact integers (true-ratio class, safe
+    * to round 4dp), and e1/v publish via the integer-grain
+    * `round(x/100.0)::long / 10000.0` rule.
+    *
+    * Scale shape: one subject scan → duration-grain combine (≤ a few
+    * thousand rows at any corpus size — day grain); the risk-set
+    * windows ride ONE value-ordered single-partition stage over that
+    * bounded table (ValueGrainCap-guarded, the ksTest contract), then
+    * a one-row reduce. No joins, no corpus re-scan.
+    *
+    * Output: one row (n1, n2, o1, e1, v, z, chi2) — z null when the
+    * variance is 0 (no informative event times).
+    */
+  def logRank(
+      subjects: DataFrame,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      durationCol: String = "duration",
+      eventCol: String = "event"): DataFrame = {
+    val isA = col(groupCol) === groupA
+    val ev = col(eventCol).cast("long")
+    val grain = subjects
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(durationCol).as("t"))
+      .agg(
+        sum(when(isA, ev).otherwise(0L)).as("d1"),
+        sum(when(isA, 1L).otherwise(0L)).as("l1"),
+        sum(when(!isA, ev).otherwise(0L)).as("d2"),
+        sum(when(!isA, 1L).otherwise(0L)).as("l2"))
+      .localCheckpoint()
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val d = (c: Column) => c.cast("double")
+    val terms = Rollups.grainGuarded(grain, w, "logRank")
+      .withColumn("__N1", sum("l1").over(wAll))
+      .withColumn("__N2", sum("l2").over(wAll))
+      .withColumn("__n1", col("__N1") - (sum("l1").over(w) - col("l1")))
+      .withColumn("__n2", col("__N2") - (sum("l2").over(w) - col("l2")))
+      .withColumn("__d", col("d1") + col("d2"))
+      .withColumn("__n", col("__n1") + col("__n2"))
+      .filter(col("__d") > 0)
+      // micro-unit per-time terms: floor(x*1e6 + 0.5) over exact
+      // integer inputs is bit-identical across engines
+      .withColumn("__e1us",
+        floor(d(col("__d")) * d(col("__n1")) / d(col("__n")) * 1e6 + 0.5)
+          .cast("long"))
+      .withColumn("__vus",
+        when(col("__n") > 1,
+          floor(d(col("__d")) * d(col("__n1")) * d(col("__n2")) *
+            d(col("__n") - col("__d")) /
+            (d(col("__n")) * d(col("__n")) * d(col("__n") - 1L)) * 1e6 + 0.5)
+            .cast("long"))
+          .otherwise(lit(0L)))
+    terms
+      .agg(
+        max(col("__N1")).as("__N1"), max(col("__N2")).as("__N2"),
+        sum("d1").as("o1"),
+        sum("__e1us").as("__e1us"), sum("__vus").as("__vusS"))
+      .withColumn("__z",
+        when(col("__vusS") > 0,
+          (d(col("o1")) - d(col("__e1us")) / 1e6) /
+            sqrt(d(col("__vusS")) / 1e6)))
+      .select(
+        col("__N1").as("n1"), col("__N2").as("n2"), col("o1"),
+        (round(col("__e1us") / 100.0).cast("long") / 10000.0).as("e1"),
+        (round(col("__vusS") / 100.0).cast("long") / 10000.0).as("v"),
+        round(col("__z"), 4).as("z"),
+        round(col("__z") * col("__z"), 4).as("chi2"))
+  }
+
   /** Daily percentile bands — the dashboard envelope (p10/p50/p90 of
     * a metric per day): the spread view a daily mean hides. Exact
     * interpolated percentiles over integer cents at day grain

@@ -2281,6 +2281,67 @@ object Rollups extends RollupsInference with RollupsEval {
           .as("z"))
   }
 
+  /** Cliff's delta ordinal effect size (F73) — HOW MUCH does group A
+    * stochastically dominate group B, the magnitude companion to
+    * [[mannWhitney]]'s significance-only z: δ = (#(a>b) − #(a<b)) /
+    * (n1·n2) = (2U1 − n1·n2)/(n1·n2) on midrank U, and the
+    * common-language effect size Â = U1/(n1·n2) = P(a>b) + ½P(a=b).
+    * A huge corpus makes every z "significant"; δ is the number that
+    * says whether anyone should care.
+    *
+    * Exactness: rides mannWhitney's integer double-rank 2U1 — the
+    * numerator 2U1 − n1·n2 is EXACT integer, carried in
+    * decimal(38,0) (n1·n2 overflows long past ~3·10⁹ rows, the
+    * corpus-moment contract); δ and Â are single final divisions
+    * (true-ratio class, 4dp). The |δ| magnitude band (Romano et al.
+    * 0.147/0.33/0.474 cuts) is decided by exact INTEGER cross
+    * products — 1000·|num| vs k·n1·n2 — so a boundary value can
+    * never ulp-flip the label.
+    *
+    * Scale shape: identical to mannWhitney — one scan to (value)
+    * grain, one bounded value-ordered window, one-row reduce.
+    *
+    * Output: one row (n1, n2, delta, a_hat, magnitude).
+    */
+  def cliffsDelta(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(cents.as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    grainGuarded(pts, w, "cliffsDelta")
+      .withColumn("__t", col("c1") + col("c2"))
+      .withColumn("__r2",
+        lit(2L) * (sum(col("__t")).over(w) - col("__t")) + col("__t") + 1L)
+      .agg(
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(dec(col("c1")) * dec(col("__r2"))).as("__r2sum1"))
+      .withColumn("__twoU1",
+        col("__r2sum1") - dec(col("n1")) * dec(col("n1") + 1L))
+      .withColumn("__den", dec(col("n1")) * dec(col("n2")))
+      .withColumn("__num", col("__twoU1") - col("__den"))
+      .withColumn("__absk", abs(col("__num")) * lit(1000L))
+      .select(col("n1"), col("n2"),
+        round(d(col("__num")) / d(col("__den")), 4).as("delta"),
+        round(d(col("__twoU1")) / (lit(2.0) * d(col("__den"))), 4).as("a_hat"),
+        when(col("__absk") < col("__den") * 147L, "negligible")
+          .when(col("__absk") < col("__den") * 330L, "small")
+          .when(col("__absk") < col("__den") * 474L, "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
   /** Kruskal–Wallis H test — the k-group generalization of F27's
     * Mann–Whitney (and the rank-based sibling of F30's ANOVA F):
     * H = 12/(N(N+1))·Σ R²_g/n_g − 3(N+1) on average ranks of the

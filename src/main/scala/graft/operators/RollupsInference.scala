@@ -728,4 +728,45 @@ private[operators] trait RollupsInference {
         (col("p_avl") <= alpha).as("signif"))
   }
 
+  /** McNemar's test for PAIRED binary outcomes (F74) — "did the same
+    * subjects flip?": the within-subject companion to the independent
+    * two-proportion z (F13). Only the discordant cells carry signal:
+    * with b = #{a=1,b=0} and c = #{a=0,b=1},
+    * χ² = (max(|b−c|−1, 0))² / (b+c) — the Edwards
+    * continuity-corrected form, with the |b−c| ≤ 1 case clamped to 0
+    * (the uncorrected statistic is already 0-or-tiny there and the
+    * textbook (−1)² = 1 artifact would claim evidence from none).
+    *
+    * Exactness: the 2×2 concordance cells are exact long counts from
+    * one grouped scan; χ² is one final integer-over-integer division
+    * (true-ratio class, 4dp). Null when b+c = 0 (no discordant
+    * pairs — the test is undefined).
+    *
+    * Scale shape: one subject-grain combine (map-side), then a
+    * one-row reduce over the four cells. No windows, no joins.
+    *
+    * Output: one row (n, n11, n00, b01, b10, chi2).
+    */
+  def mcnemar(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val d = (c: Column) => c.cast("double")
+    pairs
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(a === 1L && b === 1L, 1L).otherwise(0L)).as("n11"),
+        sum(when(a === 0L && b === 0L, 1L).otherwise(0L)).as("n00"),
+        sum(when(a === 1L && b === 0L, 1L).otherwise(0L)).as("b01"),
+        sum(when(a === 0L && b === 1L, 1L).otherwise(0L)).as("b10"))
+      .withColumn("__disc", col("b01") + col("b10"))
+      .withColumn("__num",
+        greatest(abs(col("b01") - col("b10")) - 1L, lit(0L)))
+      .select(col("n"), col("n11"), col("n00"), col("b01"), col("b10"),
+        when(col("__disc") > 0,
+          // square in DOUBLES: |b−c| is exact far below 2^53, and the
+          // long product would overflow first at corpus counts
+          round(d(col("__num")) * d(col("__num")) / d(col("__disc")), 4))
+          .as("chi2"))
+  }
+
 }

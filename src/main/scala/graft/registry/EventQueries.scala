@@ -179,6 +179,27 @@ private[graft] object EventQueries {
         .withColumn("duration", expr("(coalesce(tp, hz) - t0) DIV 86400000000"))
       EventWindows.kaplanMeier(subjects, Seq("cohort"))
     }),
+    "q337_logrank" -> ((s, dir) => {
+      // H60 two-arm log-rank: q144's time-to-purchase subjects, arms
+      // from the deterministic md5 coin on user_id — "did the A/B
+      // split change time-to-convert", the inferential twin of the
+      // KM curves. Micro-unit term sums keep both engines integer.
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val horizon = broadcast(ev.agg(max("us").as("hz")))
+      val users = ev.groupBy("user_id")
+        .agg(min("us").as("t0"),
+          min(when(col("event_type") === "purchase", col("us"))).as("tp"))
+      val subjects = users.join(horizon)
+        .withColumn("arm",
+          when(Sampling.hashBucket(col("user_id"), "lr") % 2 === 0, "A")
+            .otherwise("B"))
+        .withColumn("event", when(col("tp").isNotNull, 1L).otherwise(0L))
+        .withColumn("duration",
+          expr("(coalesce(tp, hz) - t0) DIV 86400000000"))
+      EventWindows.logRank(subjects, "arm", "A", "B")
+    }),
     "q97_retention" -> ((s, dir) => {
       // weekly cohort retention: cohort = first active 7-day epoch
       // period per user; rate = active users at offset / cohort size
@@ -942,6 +963,79 @@ private[graft] object EventQueries {
         |SELECT cohort, duration, n_risk, d, c,
         |       round(CASE WHEN mz = 0 THEN 0.0 ELSE exp(sl) END, 4) AS surv
         |FROM z""".stripMargin,
+    // Log-rank: q144's subject CTE, md5-coin arms; each per-time E1/V
+    // term goes to integer micro-units via the engine-identical
+    // floor(x·1e6 + 0.5) so the sums are order-free longs on both
+    // sides; publication follows the integer-grain rounding rule.
+    "q337_logrank" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+         |),
+         |hz AS (SELECT max(us) AS hz FROM e),
+         |u AS (
+         |  SELECT user_id, min(us) AS t0,
+         |         min(CASE WHEN event_type = 'purchase' THEN us END) AS tp
+         |  FROM e GROUP BY 1
+         |),
+         |s AS (
+         |  SELECT CASE WHEN (${HexBucketSql(
+                    "md5(CAST(user_id AS VARCHAR) || ':lr')")}) % 2 = 0
+         |              THEN 1 ELSE 0 END AS isa,
+         |         CASE WHEN u.tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+         |         (coalesce(u.tp, hz.hz) - u.t0) // 86400000000 AS t
+         |  FROM u CROSS JOIN hz
+         |),
+         |g AS (
+         |  SELECT t,
+         |         CAST(sum(CASE WHEN isa = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+         |         CAST(sum(isa) AS BIGINT) AS l1,
+         |         CAST(sum(CASE WHEN isa = 0 THEN ev ELSE 0 END) AS BIGINT) AS d2,
+         |         CAST(sum(1 - isa) AS BIGINT) AS l2
+         |  FROM s GROUP BY 1
+         |),
+         |w AS (
+         |  SELECT *,
+         |    CAST(sum(l1) OVER () AS BIGINT) AS bn1,
+         |    CAST(sum(l2) OVER () AS BIGINT) AS bn2,
+         |    CAST(sum(l1) OVER ()
+         |      - (sum(l1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) - l1)
+         |      AS BIGINT) AS n1t,
+         |    CAST(sum(l2) OVER ()
+         |      - (sum(l2) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) - l2)
+         |      AS BIGINT) AS n2t
+         |  FROM g
+         |),
+         |f AS (
+         |  SELECT *, d1 + d2 AS dt, n1t + n2t AS nt
+         |  FROM w WHERE d1 + d2 > 0
+         |),
+         |m AS (
+         |  SELECT *,
+         |    CAST(floor(CAST(dt AS DOUBLE) * n1t / nt * 1e6 + 0.5) AS BIGINT)
+         |      AS e1us,
+         |    CASE WHEN nt > 1 THEN
+         |      CAST(floor(CAST(dt AS DOUBLE) * n1t * n2t * (nt - dt)
+         |        / (CAST(nt AS DOUBLE) * nt * (nt - 1)) * 1e6 + 0.5) AS BIGINT)
+         |      ELSE 0 END AS vus
+         |  FROM f
+         |),
+         |a AS (
+         |  SELECT CAST(max(bn1) AS BIGINT) AS n1, CAST(max(bn2) AS BIGINT) AS n2,
+         |         CAST(sum(d1) AS BIGINT) AS o1,
+         |         CAST(sum(e1us) AS BIGINT) AS e1us,
+         |         CAST(sum(vus) AS BIGINT) AS vus
+         |  FROM m
+         |)
+         |SELECT n1, n2, o1,
+         |       CAST(round(e1us / 100.0) AS BIGINT) / 10000.0 AS e1,
+         |       CAST(round(vus / 100.0) AS BIGINT) / 10000.0 AS v,
+         |       CASE WHEN vus > 0
+         |            THEN round((o1 - e1us / 1e6) / sqrt(vus / 1e6), 4) END AS z,
+         |       CASE WHEN vus > 0
+         |            THEN round(((o1 - e1us / 1e6) / sqrt(vus / 1e6))
+         |                     * ((o1 - e1us / 1e6) / sqrt(vus / 1e6)), 4)
+         |       END AS chi2
+         |FROM a""".stripMargin,
     "q112_interval_merge" ->
       """WITH iv AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS start_us,

@@ -19,6 +19,23 @@ import QueryHelpers._
 private[graft] object StatsInferenceQueries {
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q338_cliffs_delta" -> ((s, dir) => {
+      // F73 ordinal effect size click vs view — the magnitude
+      // companion to q199's z, from the same exact integer
+      // double-ranks; the label is decided by integer cross products
+      val t = Tables(s, dir)
+      Rollups.cliffsDelta(t.events, "event_type", "value", "click", "view")
+    }),
+    "q339_mcnemar" -> ((s, dir) => {
+      // F74 paired binary flip test: per user, did-click vs
+      // did-purchase — the within-subject companion to q156's
+      // independent two-proportion z; continuity-corrected χ²
+      val t = Tables(s, dir)
+      val pairs = t.events.groupBy("user_id").agg(
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+      Rollups.mcnemar(pairs, "a", "b")
+    }),
     "q156_ab_ztest" -> ((s, dir) => {
       // two-proportion A/B z statistic per event_type: variant B =
       // odd user_id, success = value > 0.5 — one conditional
@@ -331,6 +348,68 @@ private[graft] object StatsInferenceQueries {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // Cliff's delta: q199's double-rank CTE; the numerator 2U1 − n1·n2
+    // stays exact integer (HUGEINT mirrors decimal(38,0)); the
+    // magnitude band compares integer cross products, ulp-proof.
+    "q338_cliffs_delta" ->
+      """WITH p AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |),
+        |r AS (
+        |  SELECT c1, c2,
+        |         2 * (sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |              - (c1 + c2)) + (c1 + c2) + 1 AS r2
+        |  FROM p
+        |),
+        |a AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |         sum(CAST(c1 AS HUGEINT) * r2) AS r2sum1
+        |  FROM r
+        |),
+        |b AS (
+        |  SELECT n1, n2,
+        |         r2sum1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS twoU1,
+        |         CAST(n1 AS HUGEINT) * n2 AS den
+        |  FROM a
+        |),
+        |c AS (SELECT *, twoU1 - den AS num FROM b)
+        |SELECT n1, n2,
+        |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS delta,
+        |       round(CAST(twoU1 AS DOUBLE) / (2.0 * CAST(den AS DOUBLE)), 4)
+        |         AS a_hat,
+        |       CASE WHEN abs(num) * 1000 < den * 147 THEN 'negligible'
+        |            WHEN abs(num) * 1000 < den * 330 THEN 'small'
+        |            WHEN abs(num) * 1000 < den * 474 THEN 'medium'
+        |            ELSE 'large' END AS magnitude
+        |FROM c""".stripMargin,
+    // McNemar: exact 2×2 concordance cells; χ² is one integer-over-
+    // integer division (true-ratio class), null when no discordants.
+    "q339_mcnemar" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM events GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b01,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b10
+        |  FROM u
+        |)
+        |SELECT n, n11, n00, b01, b10,
+        |       CASE WHEN b01 + b10 > 0 THEN
+        |         round(CAST(greatest(abs(b01 - b10) - 1, 0) AS DOUBLE)
+        |               * CAST(greatest(abs(b01 - b10) - 1, 0) AS DOUBLE)
+        |               / (b01 + b10), 4) END AS chi2
+        |FROM c""".stripMargin,
     "q156_ab_ztest" ->
       """WITH g AS (
         |  SELECT event_type,

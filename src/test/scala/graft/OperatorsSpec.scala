@@ -1884,6 +1884,54 @@ class OperatorsSpec extends SparkSpec {
     assert(t.isNullAt(t.fieldIndex("z")), "all-tied variance must yield null z")
   }
 
+  test("EventWindows.logRank: hand-worked two-arm example in micro-units") {
+    // A: events at t=1, t=2; censored at 3. B: events at t=2, t=4.
+    // t=1: n=(3,2), d1=1 → E1 += 0.6,      V += 0.24
+    // t=2: n=(2,2), d=2  → E1 += 1.0,      V += floor(1e6/3 + .5)/1e6
+    // t=4: n=(0,1), d=1  → E1 += 0,        V += 0 (n=1 skipped)
+    val subj = Seq(("A", 1L, 1L), ("A", 2L, 1L), ("A", 3L, 0L),
+      ("B", 2L, 1L), ("B", 4L, 1L)).toDF("arm", "duration", "event")
+    val r = EventWindows.logRank(subj, "arm", "A", "B").collect().head
+    assert(r.getLong(r.fieldIndex("n1")) == 3L)
+    assert(r.getLong(r.fieldIndex("n2")) == 2L)
+    assert(r.getLong(r.fieldIndex("o1")) == 2L)
+    assert(r.getDouble(r.fieldIndex("e1")) == 1.6)
+    assert(r.getDouble(r.fieldIndex("v")) == 0.5733)
+    val z = (2.0 - 1.6) / math.sqrt(573333L / 1e6)
+    assert(r.getDouble(r.fieldIndex("z")) == math.round(z * 1e4) / 1e4)
+    assert(r.getDouble(r.fieldIndex("chi2")) == math.round(z * z * 1e4) / 1e4)
+  }
+
+  test("Rollups.cliffsDelta: exact dominance fractions and integer-cut band") {
+    // A={1,2,3}, B={1,1,2}: #(a>b)=5, #(a<b)=1, ties=3 → δ=4/9, Â=6.5/9
+    val df = (Seq(1.0, 2.0, 3.0).map(("A", _)) ++
+      Seq(1.0, 1.0, 2.0).map(("B", _))).toDF("g", "v")
+    val r = Rollups.cliffsDelta(df, "g", "v", "A", "B").collect().head
+    assert(r.getLong(r.fieldIndex("n1")) == 3L)
+    assert(r.getLong(r.fieldIndex("n2")) == 3L)
+    assert(r.getDouble(r.fieldIndex("delta")) == 0.4444)
+    assert(r.getDouble(r.fieldIndex("a_hat")) == 0.7222)
+    // 4000 in [330·9, 474·9) — medium by exact integer cross products
+    assert(r.getString(r.fieldIndex("magnitude")) == "medium")
+  }
+
+  test("Rollups.mcnemar: corrected discordant chi2; null and clamp edges") {
+    val pairs = (Seq.fill(6)((1, 0)) ++ Seq.fill(2)((0, 1)) ++
+      Seq.fill(3)((1, 1)) ++ Seq.fill(4)((0, 0))).toDF("a", "b")
+    val r = Rollups.mcnemar(pairs, "a", "b").collect().head
+    assert(r.getLong(r.fieldIndex("n")) == 15L)
+    assert(r.getLong(r.fieldIndex("b01")) == 6L)
+    assert(r.getLong(r.fieldIndex("b10")) == 2L)
+    assert(r.getDouble(r.fieldIndex("chi2")) == 1.125) // (4−1)²/8
+    val conc = Seq((1, 1), (0, 0)).toDF("a", "b")
+    val c = Rollups.mcnemar(conc, "a", "b").collect().head
+    assert(c.isNullAt(c.fieldIndex("chi2")), "no discordants → null")
+    // |b−c| ≤ 1 clamps to 0 rather than the textbook (−1)² artifact
+    val near = Seq((1, 0), (0, 1), (1, 0)).toDF("a", "b")
+    val nr = Rollups.mcnemar(near, "a", "b").collect().head
+    assert(nr.getDouble(nr.fieldIndex("chi2")) == 0.0)
+  }
+
   test("EventWindows.maxConcurrency: half-open overlap count and instant") {
     // [0,10) [5,15) [8,12) overlap 3 at t=8; [15,20) never overlaps
     // ([5,15) ends exactly when [15,20) starts — half-open: no overlap)

@@ -1903,6 +1903,12 @@ class ScaleDesignSpec extends SparkSpec {
       for ((name, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
         "ksTest" -> (() => Rollups.ksTest(t.events, "event_type", "value", "click", "view")),
         "mannWhitney" -> (() => Rollups.mannWhitney(t.events, "event_type", "value", "click", "view")),
+        "cliffsDelta" -> (() => Rollups.cliffsDelta(t.events, "event_type", "value", "click", "view")),
+        "logRank" -> (() => graft.operators.EventWindows.logRank(
+          t.events.selectExpr("event_type AS arm",
+            "CAST(round(value * 100) AS LONG) AS duration",
+            "CAST(1 AS LONG) AS event"),
+          "arm", "click", "view")),
         "rocAuc" -> (() => Rollups.rocAuc(t.events, "event_type", "value", "click", "view")),
         "giniConcentration" -> (() => Rollups.giniConcentration(t.documents, "n_chars")),
         // r11 carried item 3: the guard extends to the remaining
