@@ -67,6 +67,30 @@ object Baskets {
       .limit(k)
   }
 
+  /** Co-occurrence EDGE LIST — item pairs sharing at least
+    * `minSupport` baskets, the graph substrate for the Graph.* family
+    * (Adamic–Adar link prediction, clustering structure) over
+    * co-purchase/co-view data. [[pairLift]]'s one-exchange basket
+    * collapse + in-row bounded pair expansion, without the
+    * marginals/ranking tail.
+    *
+    * Output: (src, dst, n_ab), src < dst.
+    */
+  def coPairs(
+      df: DataFrame,
+      basketCol: String = "basket",
+      itemCol: String = "item",
+      minSupport: Int = 2): DataFrame =
+    df
+      .groupBy(col(basketCol).as("__bk"))
+      .agg(sort_array(collect_set(col(itemCol))).as("__items"))
+      .select(explode(flatten(transform(col("__items"), (x, i) =>
+        transform(slice(col("__items"), i + lit(2), size(col("__items"))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .groupBy(col("__p.a").as("src"), col("__p.b").as("dst"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+
   /** Item–item cosine similarity from basket co-occurrence —
     * cos(a,b) = n_ab/√(n_a·n_b), the classic item-based
     * collaborative-filtering similarity (Sarwar et al. 2001):

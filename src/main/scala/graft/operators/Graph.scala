@@ -217,6 +217,105 @@ object Graph {
       .select(col("id"), col("deg"))
   }
 
+  /** Per-node local clustering coefficient (G107) — how CLIQUE-LIKE is
+    * each node's neighborhood: C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * the standard cohesion score on similarity graphs. On a near-dup
+    * graph, high C at high degree marks a true duplicate FAMILY
+    * (mutually similar members — template spam), while high degree
+    * with low C marks a boilerplate hub stitching unrelated documents
+    * together (the banding false-positive signature G83 hunts at the
+    * shingle grain) — the two need opposite keeper policies.
+    *
+    * Scale shape: triangles ride [[triangleCount]]'s degree-oriented
+    * wedge join (O(m^1.5) bound); degrees are one (node) combine over
+    * the canonical edge list; the attach is a node-keyed left join.
+    * C is one exact integer ratio, 4dp (deg ≤ 1 publishes 0).
+    *
+    * Output: (id, deg, tri, coeff).
+    */
+  def clusteringCoefficient(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .localCheckpoint() // feeds both the degree combine and the wedge join
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg
+      .join(triangleCount(e, "a", "b"), Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("coeff",
+        when(col("deg") > 1,
+          round(lit(2.0) * col("tri").cast("double") /
+            (col("deg").cast("double") * (col("deg") - 1L).cast("double")), 4))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Adamic–Adar link prediction (G108) — which node pairs are NOT yet
+    * connected but share many (rare) neighbors: score(u,v) =
+    * Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w), the classic common-neighbor
+    * predictor weighted so promiscuous hubs count least. On a dedup
+    * graph the top predictions are the pairs a slightly looser
+    * banding WOULD have caught — the "review next" list when tuning
+    * recall (G76/G89's measured complement).
+    *
+    * Determinism: each wedge center contributes the integer
+    * micro-unit floor(1e6/ln(deg_w) + 0.5) — engine-identical — so
+    * pair scores are order-free LONG sums; the top-k cut orders by
+    * (score desc, u, v), total.
+    *
+    * Scale shape: wedge centers with deg > `hubCap` are EXCLUDED —
+    * the cap is SEMANTICS (their per-wedge weight is the smallest and
+    * their deg² fan-out the largest; the LshBucketCap convention,
+    * mirrored by the oracle). Wedge enumeration is one self-join of
+    * the capped doubled edge list on the center key (fan-out ≤
+    * hubCap² per center), one (u,v) combine, an anti-join against the
+    * existing edges, and a global top-k (TakeOrdered — no full sort).
+    *
+    * Output: topK rows (u, v, common, aa).
+    */
+  def adamicAdar(
+      edges: DataFrame,
+      topK: Int = 20,
+      hubCap: Int = 64,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .localCheckpoint() // feeds degrees, wedges, and the anti-join
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val dbl = e.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+    // deg-1 nodes can't center a wedge (and ln(1)=0 would divide by
+    // zero); hubs past the cap are excluded by contract
+    val capped = dbl
+      .join(deg.filter(col("deg") >= 2 && col("deg") <= hubCap)
+        .withColumnRenamed("id", "w"), Seq("w"))
+      .withColumn("__c",
+        floor(lit(1e6) / log(col("deg").cast("double")) + 0.5).cast("long"))
+    val scored = capped.as("x")
+      .join(capped.as("y"),
+        col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("u"), col("y.n").as("v"), col("x.__c").as("__c"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common"), sum("__c").as("__aaus"))
+    scored
+      .join(e, scored("u") === e("a") && scored("v") === e("b"), "left_anti")
+      .orderBy(col("__aaus").desc, col("u"), col("v"))
+      .limit(topK)
+      .select(col("u"), col("v"), col("common"),
+        (round(col("__aaus") / 100.0).cast("long") / 10000.0).as("aa"))
+  }
+
   /** Degree distribution power-law fit — the graph-shape diagnostic
     * that prices every downstream graph operator: a heavy-tailed
     * (scale-free-ish) degree histogram predicts hot keys in G38's

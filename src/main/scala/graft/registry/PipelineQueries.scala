@@ -180,6 +180,29 @@ private[graft] object PipelineQueries {
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"),
         "idA", "idB")
     }),
+    "q340_clustering_coeff" -> ((s, dir) => {
+      // G107 per-node local clustering coefficient over the near-dup
+      // graph: high C = true duplicate family, high-degree low C =
+      // boilerplate hub — opposite keeper policies
+      val t = Tables(s, dir)
+      Graph.clusteringCoefficient(
+        Dedup.minhashLshPairs(t.documents).select("idA", "idB"),
+        "idA", "idB")
+    }),
+    "q341_adamic_adar" -> ((s, dir) => {
+      // G108 Adamic–Adar link prediction over the co-purchase graph
+      // (part pairs sharing ≥2 order baskets): the not-yet-linked
+      // pairs with the most shared RARE neighbors — what an item
+      // recommender surfaces next. (The near-dup graph is pure
+      // cliques at this corpus — zero open wedges, by construction —
+      // q340 pins that; prediction needs an open graph.) Integer
+      // micro-unit 1/ln(deg) wedge weights, hub-capped centers.
+      val t = Tables(s, dir)
+      Graph.adamicAdar(
+        Baskets.coPairs(t.lineitem, "l_orderkey", "l_partkey",
+          minSupport = 2),
+        topK = 20, hubCap = 64)
+    }),
     "q115_image_dhash" -> ((s, dir) => {
       // perceptual image dedup: REAL BMP decode → 9×8 grayscale dHash
       // → hash-family rollup (the image-level exact-dedup key; hamming
@@ -1417,6 +1440,88 @@ private[graft] object PipelineQueries {
          |  UNION ALL SELECT z FROM tw
          |)
          |SELECT id, CAST(count(*) AS BIGINT) AS tri FROM m GROUP BY id""".stripMargin,
+    // Clustering coefficient: q111's oriented-wedge triangle CTE plus
+    // the degree table; C is one exact integer ratio per node.
+    "q340_clustering_coeff" ->
+      s"""WITH $MinhashPairsSql,
+         |prs AS (SELECT idA AS a, idB AS b FROM lshpairs),
+         |deg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS id FROM prs UNION ALL SELECT b FROM prs)
+         |  GROUP BY 1
+         |),
+         |ed AS (
+         |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+         |              THEN p.a ELSE p.b END AS u,
+         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+         |              THEN p.b ELSE p.a END AS v
+         |  FROM prs p
+         |  JOIN deg da ON da.id = p.a
+         |  JOIN deg db ON db.id = p.b
+         |),
+         |tw AS (
+         |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM ed e1
+         |  JOIN ed e2 ON e2.u = e1.v
+         |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v
+         |),
+         |m AS (
+         |  SELECT x AS id FROM tw
+         |  UNION ALL SELECT y FROM tw
+         |  UNION ALL SELECT z FROM tw
+         |),
+         |tri AS (SELECT id, CAST(count(*) AS BIGINT) AS tri FROM m GROUP BY id)
+         |SELECT d.id, d.deg,
+         |       coalesce(t.tri, CAST(0 AS BIGINT)) AS tri,
+         |       CASE WHEN d.deg > 1
+         |            THEN round(2.0 * coalesce(t.tri, CAST(0 AS BIGINT))
+         |                   / (CAST(d.deg AS DOUBLE) * (d.deg - 1)), 4)
+         |            ELSE 0.0 END AS coeff
+         |FROM deg d LEFT JOIN tri t USING (id)""".stripMargin,
+    // Adamic–Adar: co-purchase edges (≥2 shared baskets, replayed by
+    // the naive basket self-join — same pair counts as the in-row
+    // expansion); hub-capped wedge centers (the cap is semantics,
+    // mirrored here), integer micro-unit 1/ln(deg) weights so pair
+    // scores are order-free long sums, total (score, u, v) top-k cut.
+    "q341_adamic_adar" ->
+      s"""WITH bk AS (
+         |  SELECT l_orderkey AS bsk, l_partkey AS it
+         |  FROM lineitem GROUP BY 1, 2
+         |),
+         |prs AS (
+         |  SELECT x.it AS a, y.it AS b
+         |  FROM bk x JOIN bk y ON x.bsk = y.bsk AND x.it < y.it
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |),
+         |deg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS id FROM prs UNION ALL SELECT b FROM prs)
+         |  GROUP BY 1
+         |),
+         |dbl AS (
+         |  SELECT a AS w, b AS n FROM prs
+         |  UNION ALL SELECT b AS w, a AS n FROM prs
+         |),
+         |cap AS (
+         |  SELECT dbl.w, dbl.n,
+         |         CAST(floor(1e6 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT) AS c
+         |  FROM dbl JOIN deg ON deg.id = dbl.w
+         |  WHERE deg BETWEEN 2 AND 64
+         |),
+         |sc AS (
+         |  SELECT x.n AS u, y.n AS v, CAST(count(*) AS BIGINT) AS common,
+         |         CAST(sum(x.c) AS BIGINT) AS aaus
+         |  FROM cap x JOIN cap y ON x.w = y.w AND x.n < y.n
+         |  GROUP BY 1, 2
+         |),
+         |ne AS (
+         |  SELECT sc.u, sc.v, sc.common, sc.aaus FROM sc
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM prs WHERE prs.a = sc.u AND prs.b = sc.v)
+         |)
+         |SELECT u, v, common,
+         |       CAST(round(aaus / 100.0) AS BIGINT) / 10000.0 AS aa
+         |FROM ne ORDER BY aaus DESC, u, v LIMIT 20""".stripMargin,
     // Silhouette replay: q39's seed pick, full 16-way in-row scoring,
     // top-2 by (sim desc, cell) → a/b distances → per-cell mean.
     "q161_silhouette" ->

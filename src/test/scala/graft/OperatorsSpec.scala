@@ -1932,6 +1932,33 @@ class OperatorsSpec extends SparkSpec {
     assert(nr.getDouble(nr.fieldIndex("chi2")) == 0.0)
   }
 
+  test("Graph.clusteringCoefficient: triangle-plus-pendant exact ratios") {
+    // triangle {1,2,3} + pendant 4–1: C(1)=2/(3·2)=0.3333, C(2)=C(3)=1,
+    // C(4)=0 (deg ≤ 1)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    val m = Graph.clusteringCoefficient(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(m(1L) == ((3L, 1L, 0.3333)))
+    assert(m(2L) == ((2L, 1L, 1.0)))
+    assert(m(3L) == ((2L, 1L, 1.0)))
+    assert(m(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("Graph.adamicAdar: path wedge score in micro-units, hub cap excludes") {
+    // path 1–2–3: the only candidate is (1,3) via center 2 (deg 2) —
+    // aa = floor(1e6/ln 2 + .5)/1e6 = 1.442695 → published 1.4427
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.adamicAdar(path).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 1L && r.head.getLong(1) == 3L)
+    assert(r.head.getLong(2) == 1L)
+    assert(r.head.getDouble(3) == 1.4427)
+    // a star center past hubCap contributes no wedges at all
+    val star = (1L to 70L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Graph.adamicAdar(star, hubCap = 64).count() == 0L)
+  }
+
   test("EventWindows.maxConcurrency: half-open overlap count and instant") {
     // [0,10) [5,15) [8,12) overlap 3 at t=8; [15,20) never overlaps
     // ([5,15) ends exactly when [15,20) starts — half-open: no overlap)
