@@ -667,6 +667,83 @@ object Rollups extends RollupsInference with RollupsEval {
           .as("acf")): _*)
   }
 
+  /** Ljung–Box portmanteau test (D31) — is a keyed series WHITE NOISE
+    * across the first h lags jointly: Q = n(n+2)·Σ_{k≤h} ρ̂²_k/(n−k),
+    * the one-number autocorrelation gate (large Q ⇒ structure
+    * remains). Complements [[autocorrelation]]'s per-lag view and
+    * [[Rollups.durbinWatson]]'s lag-1-only residual check — the
+    * standard "are these residuals done" test after any D-family fit.
+    *
+    * Exactness: values must arrive as INTEGER units (the caller
+    * quantizes — daily cent sums, counts). The one-mean ACF is
+    * multiplied through by n²: ρ̂_k = (n²·Σx_t x_{t−k} −
+    * n·Sx·(Σ'x_t + Σ'x_{t−k}) + m_k·Sx²) / (n·(n·Sxx − Sx²)) — every
+    * sum exact in decimal(38,0), so ρ̂_k is ONE double ratio of exact
+    * integers. Each lag's ρ̂²/(n−k) term becomes integer PICO-units
+    * via the engine-identical floor(x·1e12 + 0.5), so the h-term sum
+    * is order-free; Q is one final double expression, 4dp.
+    *
+    * Scale shape: series live at key grain (day-grain bounded — the
+    * Holt/D-family series contract); lag pairs come from ONE
+    * time-ARITHMETIC equi-join on (keys, t−k) after an in-row ≤h
+    * fan-out — gap-proof (a position-lag window would silently pair
+    * across gaps differently than the oracle), the q140 replay
+    * convention; the (key, lag) combine is map-side and the per-key
+    * totals join is key-grain. No single-partition stage.
+    *
+    * Output: (keys..., n, n_lags, q_lb) — null when the series is
+    * constant (zero variance) or too short (n ≤ maxLag).
+    */
+  def ljungBox(
+      df: DataFrame,
+      keys: Seq[String],
+      tCol: String,
+      valCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1)
+    val dec = "decimal(38,0)"
+    val d = (c: Column) => c.cast("double")
+    val base = df
+      .select(keys.map(col) ++ Seq(col(tCol).cast("long").as("__t"),
+        col(valCol).cast("long").as("__x")): _*)
+      .localCheckpoint() // feeds totals, probes, and the lag partner
+    val tot = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"))
+    val part = base.select(
+      (keys.map(col) :+ col("__t").as("__tp") :+ col("__x").as("__xp")): _*)
+    val perLag = base
+      .select(keys.map(col) ++ Seq(col("__t"), col("__x").cast(dec).as("__xc"),
+        explode(array((1 to maxLag).map(k => lit(k.toLong)): _*)).as("__k")): _*)
+      .withColumn("__tp", col("__t") - col("__k"))
+      .join(part, (keys :+ "__tp").toSeq)
+      .groupBy(keys.map(col) :+ col("__k"): _*)
+      .agg(count(lit(1)).cast(dec).as("__m"),
+        sum(col("__xc") * col("__xp").cast(dec)).as("__sxy"),
+        sum(col("__xc")).as("__sxt"),
+        sum(col("__xp").cast(dec)).as("__sxp"))
+    val n = col("__n").cast(dec)
+    val num = n * n * col("__sxy") -
+      n * col("__sx") * (col("__sxt") + col("__sxp")) +
+      col("__m") * col("__sx") * col("__sx")
+    val den = n * (n * col("__sxx") - col("__sx") * col("__sx"))
+    perLag
+      .join(tot, keys)
+      .withColumn("__rho", when(den > 0, d(num) / d(den)))
+      .withColumn("__term",
+        floor(col("__rho") * col("__rho") /
+          d(col("__n") - col("__k")) * 1e12 + 0.5).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(max("__n").as("n"), count(lit(1)).as("n_lags"),
+        min(when(col("__rho").isNotNull, 1).otherwise(0)).as("__ok"),
+        sum("__term").as("__ts"))
+      .select(keys.map(col) ++ Seq(col("n"), col("n_lags"),
+        when(col("__ok") === 1 && col("n") > maxLag,
+          round(d(col("n")) * d(col("n") + 2L) *
+            (d(col("__ts")) / 1e12), 4)).as("q_lb")): _*)
+  }
+
   /** 2-D skyline (Pareto frontier, minimize both): the distinct points
     * no other point beats on both dimensions (ties on one dimension
     * only don't dominate). The classic OLAP "best tradeoffs" operator
@@ -1363,6 +1440,60 @@ object Rollups extends RollupsInference with RollupsEval {
         round(col("__lam"), 4).as("lambda"),
         round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("__lam") * col("__lam"))), 4)
           .as("p_value"))
+  }
+
+  /** Wasserstein-1 (earth-mover) distance between two groups' value
+    * distributions (F75) — HOW FAR apart are they in value units, the
+    * magnitude companion to [[ksTest]]'s sup-gap significance and the
+    * bin-free upgrade of I25's PSI: W1 = ∫|F1−F2| dx over the pooled
+    * support. The drift monitor that says "the score distribution
+    * moved by $0.12", which a p-value can't.
+    *
+    * Exactness: FULLY integer until one final division —
+    * W1 = Σ_v |F1(v)·n2 − F2(v)·n1| · Δv / (n1·n2·100) where F are
+    * cumulative integer-cent counts and Δv the gap to the next
+    * distinct value; the sum rides decimal(38,0) (the corpus-moment
+    * contract), so there is NO float accumulation on either engine.
+    *
+    * Scale shape: the ksTest contract — one value-grain collapse
+    * feeding the CDF window and the totals, one grain-guarded
+    * value-ordered single-partition stage, a one-row reduce.
+    *
+    * Output: one row (n1, n2, w1) in original value units, 4dp.
+    */
+  def wasserstein1(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(cents.as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.orderBy("v")
+    val totals = pts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    grainGuarded(pts, w, "wasserstein1")
+      .withColumn("__f1", sum("c1").over(w))
+      .withColumn("__f2", sum("c2").over(w))
+      .withColumn("__dx", lead(col("v"), 1).over(wLead) - col("v"))
+      // the last value row has no gap (and |F1·n2−F2·n1| = 0 there)
+      .filter(col("__dx").isNotNull)
+      .crossJoin(broadcast(totals))
+      .groupBy("n1", "n2")
+      .agg(sum(abs(dec(col("__f1")) * dec(col("n2")) -
+        dec(col("__f2")) * dec(col("n1"))) * dec(col("__dx"))).as("__num"))
+      .select(col("n1"), col("n2"),
+        round(d(col("__num")) /
+          (d(col("n1")) * d(col("n2")) * lit(100.0)), 4).as("w1"))
   }
 
   /** One-way ANOVA F statistic — does ANY of k groups' mean differ?

@@ -846,6 +846,46 @@ object SimilaritySearch {
         round(col("__th").cast("double") / col("__te"), 4).as("micro_recall"))
   }
 
+  /** MRR@k index eval (G109) — WHERE does the true nearest neighbor
+    * land in the approximate index's ranking: per query, the
+    * reciprocal rank of the brute-force top-1 inside the approx top-k
+    * (0 on a miss), plus the corpus MRR. Sharper than G65's recall@k
+    * (which scores a rank-5 hit and a rank-1 hit the same) — the
+    * first-position quality number a retrieval UI actually cares
+    * about.
+    *
+    * Determinism: reciprocal ranks are integer MICRO-units
+    * floor(1e6/rank + 0.5) (engine-identical on small integer ranks),
+    * so the corpus MRR is an order-free long sum over queries; both
+    * publications follow the integer-grain rounding rule.
+    *
+    * Scale shape: one (query, id) equi-join of the two k-bounded
+    * per-query lists, a query-grain combine, and a one-row broadcast
+    * total — the recallAtK contract.
+    *
+    * Output: (query_id, rank_of_true, rr, mrr) — rank_of_true 0 on a
+    * miss; mrr identical on every row.
+    */
+  def mrrAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val truth = exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("id"))
+    val hits = approx.select(col("query_id"), col("id"),
+      col("rank").cast("long").as("__r"))
+    val per = truth.join(hits, Seq("query_id", "id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__r"), lit(0L)).as("rank_of_true"),
+        when(col("__r").isNotNull,
+          floor(lit(1e6) / col("__r").cast("double") + 0.5).cast("long"))
+          .otherwise(lit(0L)).as("__rrus"))
+      .localCheckpoint() // feeds both the output and the corpus total
+    val totals = per.agg(count(lit(1)).as("__nq"), sum("__rrus").as("__ts"))
+    per.crossJoin(broadcast(totals))
+      .select(col("query_id"), col("rank_of_true"),
+        (round(col("__rrus") / 100.0).cast("long") / 10000.0).as("rr"),
+        round(col("__ts").cast("double") / col("__nq").cast("double") / 1e6, 4)
+          .as("mrr"))
+  }
+
   /** Label balance report — the first table of any supervised-data
     * review: per-label counts and shares, plus the distribution's
     * entropy (in nats, vs the uniform ln k ceiling) and the

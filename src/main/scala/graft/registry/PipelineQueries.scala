@@ -529,6 +529,17 @@ private[graft] object PipelineQueries {
         SimilaritySearch.bruteForceTopK(t.embeddings, qs),
         SimilaritySearch.lshTopK(t.embeddings, qs))
     }),
+    "q344_ann_mrr" -> ((s, dir) => {
+      // G109 MRR@5 of the LSH index vs the brute-force true nearest
+      // neighbor: WHERE the truth lands in the approx ranking, not
+      // just whether it appears (q191's recall) — micro-unit
+      // reciprocal ranks, order-free corpus mean
+      val t = Tables(s, dir)
+      val qs = t.embeddings.filter(col("vec_id") % 50 === 0)
+      SimilaritySearch.mrrAtK(
+        SimilaritySearch.bruteForceTopK(t.embeddings, qs),
+        SimilaritySearch.lshTopK(t.embeddings, qs))
+    }),
     "q193_dp_counts" -> ((s, dir) => {
       // G66 ε-DP daily event counts via the geometric mechanism —
       // seeded integer-threshold noise both engines replay exactly
@@ -2122,6 +2133,48 @@ private[graft] object PipelineQueries {
          |SELECT query_id, n_exact, n_hits,
          |       round(CAST(n_hits AS DOUBLE) / n_exact, 4) AS recall,
          |       round(CAST(tot.th AS DOUBLE) / tot.te, 4) AS micro_recall
+         |FROM per CROSS JOIN tot""".stripMargin,
+    // MRR replay: q191's exact/approx rankings, truth = rank-1 only,
+    // micro-unit reciprocal ranks (engine-identical floor), one
+    // broadcast total.
+    "q344_ann_mrr" ->
+      s"""WITH $EmbSql,
+         |$LshSql,
+         |qs AS (SELECT vec_id AS query_id, q AS qq, n AS qn FROM nrm WHERE vec_id % 50 = 0),
+         |ex AS (
+         |  SELECT query_id, id FROM (
+         |    SELECT q.query_id, c.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+         |               / (c.n * q.qn) DESC, c.vec_id) AS rank
+         |    FROM nrm c CROSS JOIN qs q WHERE c.vec_id != q.query_id
+         |  ) WHERE rank = 1
+         |),
+         |qb AS (SELECT w.vec_id AS query_id, w.q AS qq, w.n AS qn, w.bucket
+         |       FROM withb w WHERE w.vec_id % 50 = 0),
+         |ap AS (
+         |  SELECT query_id, id, rank FROM (
+         |    SELECT q.query_id, c.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE)
+         |               / (c.n * q.qn) DESC, c.vec_id) AS rank
+         |    FROM withb c JOIN qb q USING (bucket) WHERE c.vec_id != q.query_id
+         |  ) WHERE rank <= 5
+         |),
+         |per AS (
+         |  SELECT e.query_id,
+         |         CAST(coalesce(a.rank, 0) AS BIGINT) AS rank_of_true,
+         |         CASE WHEN a.rank IS NOT NULL
+         |              THEN CAST(floor(1e6 / CAST(a.rank AS DOUBLE) + 0.5) AS BIGINT)
+         |              ELSE CAST(0 AS BIGINT) END AS rrus
+         |  FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.id = e.id
+         |),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nq,
+         |               CAST(sum(rrus) AS BIGINT) AS ts FROM per)
+         |SELECT per.query_id, per.rank_of_true,
+         |       CAST(round(per.rrus / 100.0) AS BIGINT) / 10000.0 AS rr,
+         |       round(CAST(tot.ts AS DOUBLE) / CAST(tot.nq AS DOUBLE) / 1e6, 4)
+         |         AS mrr
          |FROM per CROSS JOIN tot""".stripMargin,
     // DP replay: the noise CASE below is RENDERED from the same
     // dpThresholds() the Spark side folds over — identical constants

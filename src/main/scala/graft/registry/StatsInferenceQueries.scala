@@ -36,6 +36,24 @@ private[graft] object StatsInferenceQueries {
         max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
       Rollups.mcnemar(pairs, "a", "b")
     }),
+    "q342_wasserstein" -> ((s, dir) => {
+      // F75 earth-mover distance click vs view — the "moved by how
+      // many dollars" companion to q192's KS significance; fully
+      // integer until one final division
+      val t = Tables(s, dir)
+      Rollups.wasserstein1(t.events, "event_type", "value", "click", "view")
+    }),
+    "q343_ljung_box" -> ((s, dir) => {
+      // D31 white-noise portmanteau gate on the daily event-count
+      // series per type: Q over ACF lags 1..7, pico-unit order-free
+      // term sums, time-arithmetic lag pairing
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.ljungBox(daily, Seq("event_type"), "day", "cnt", maxLag = 7)
+    }),
     "q156_ab_ztest" -> ((s, dir) => {
       // two-proportion A/B z statistic per event_type: variant B =
       // odd user_id, success = value > 0.5 — one conditional
@@ -348,6 +366,88 @@ private[graft] object StatsInferenceQueries {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // Wasserstein-1: the q192 CDF CTE plus value gaps — the sum is
+    // exact HUGEINT (mirrors decimal(38,0)), one final division.
+    "q342_wasserstein" ->
+      """WITH p AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT v,
+        |         sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+        |         sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2,
+        |         lead(v) OVER (ORDER BY v) AS nv
+        |  FROM p
+        |),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM p),
+        |m AS (
+        |  SELECT t.n1, t.n2,
+        |         sum(abs(CAST(f1 AS HUGEINT) * t.n2
+        |                 - CAST(f2 AS HUGEINT) * t.n1) * (nv - v)) AS num
+        |  FROM c CROSS JOIN t WHERE nv IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT n1, n2,
+        |       round(CAST(num AS DOUBLE)
+        |             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 100.0), 4)
+        |         AS w1
+        |FROM m""".stripMargin,
+    // Ljung-Box: time-arithmetic lag pairs (the q140 convention),
+    // multiplied-through integer ACF in HUGEINT, pico-unit terms via
+    // the engine-identical floor(x*1e12 + 0.5), one final expression.
+    "q343_ljung_box" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |),
+        |tot AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(x) AS HUGEINT) AS sx,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM s GROUP BY 1
+        |),
+        |pr AS (
+        |  SELECT a.event_type, ks.k,
+        |         CAST(count(*) AS HUGEINT) AS m,
+        |         CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy,
+        |         CAST(sum(a.x) AS HUGEINT) AS sxt,
+        |         CAST(sum(b.x) AS HUGEINT) AS sxp
+        |  FROM s a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS k) ks
+        |  JOIN s b ON b.event_type = a.event_type
+        |          AND b.day = a.day - ks.k
+        |  GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT pr.event_type, pr.k, t.n,
+        |         (t.n * t.n * pr.sxy - t.n * t.sx * (pr.sxt + pr.sxp)
+        |           + pr.m * t.sx * t.sx) AS num,
+        |         (t.n * (t.n * t.sxx - t.sx * t.sx)) AS den
+        |  FROM pr JOIN tot t USING (event_type)
+        |),
+        |tm AS (
+        |  SELECT event_type, n, k,
+        |         CASE WHEN den > 0 THEN
+        |           CAST(floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        |                * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        |                / CAST(n - k AS DOUBLE) * 1e12 + 0.5) AS BIGINT)
+        |         END AS term,
+        |         CASE WHEN den > 0 THEN 1 ELSE 0 END AS ok
+        |  FROM r
+        |)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS n_lags,
+        |       CASE WHEN min(ok) = 1 AND max(n) > 7 THEN
+        |         round(CAST(max(n) AS DOUBLE) * CAST(max(n) + 2 AS DOUBLE)
+        |               * (CAST(sum(term) AS DOUBLE) / 1e12), 4)
+        |       END AS q_lb
+        |FROM tm GROUP BY 1""".stripMargin,
     // Cliff's delta: q199's double-rank CTE; the numerator 2U1 − n1·n2
     // stays exact integer (HUGEINT mirrors decimal(38,0)); the
     // magnitude band compares integer cross products, ulp-proof.

@@ -1959,6 +1959,64 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.adamicAdar(star, hubCap = 64).count() == 0L)
   }
 
+  test("Rollups.wasserstein1: unit shift costs exactly 1.0; identity is 0") {
+    val shift = (Seq(1.0, 2.0).map(("A", _)) ++
+      Seq(2.0, 3.0).map(("B", _))).toDF("g", "v")
+    val r = Rollups.wasserstein1(shift, "g", "v", "A", "B").collect().head
+    assert(r.getLong(r.fieldIndex("n1")) == 2L)
+    assert(r.getLong(r.fieldIndex("n2")) == 2L)
+    assert(r.getDouble(r.fieldIndex("w1")) == 1.0)
+    val same = (Seq(1.0, 5.0).map(("A", _)) ++
+      Seq(1.0, 5.0).map(("B", _))).toDF("g", "v")
+    val z = Rollups.wasserstein1(same, "g", "v", "A", "B").collect().head
+    assert(z.getDouble(z.fieldIndex("w1")) == 0.0)
+  }
+
+  test("Rollups.ljungBox: exact replication on an alternating series; " +
+    "constant and short series are null") {
+    val xs = Seq.fill(6)(Seq(1L, 2L)).flatten
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("g", "t", "x")
+    val r = Rollups.ljungBox(df, Seq("g"), "t", "x", 7).collect().head
+    assert(r.getLong(r.fieldIndex("n")) == 12L)
+    assert(r.getLong(r.fieldIndex("n_lags")) == 7L)
+    // replicate the multiplied-through integer formula exactly
+    val n = BigInt(12); val sx = BigInt(xs.sum)
+    val sxx = BigInt(xs.map(x => x * x).sum)
+    val terms = (1 to 7).map { k =>
+      val pairs = (k until 12).map(i => (xs(i), xs(i - k)))
+      val m = BigInt(pairs.size)
+      val sxy = BigInt(pairs.map { case (a, b) => a * b }.sum)
+      val sxt = BigInt(pairs.map(_._1).sum)
+      val sxp = BigInt(pairs.map(_._2).sum)
+      val num = n * n * sxy - n * sx * (sxt + sxp) + m * sx * sx
+      val den = n * (n * sxx - sx * sx)
+      val rho = num.toDouble / den.toDouble
+      math.floor(rho * rho / (12 - k).toDouble * 1e12 + 0.5).toLong
+    }
+    val expected = math.round(12.0 * 14.0 * (terms.sum / 1e12) * 1e4) / 1e4.toDouble
+    assert(r.getDouble(r.fieldIndex("q_lb")) == expected)
+    val const = (0 until 12).map(i => ("c", i.toLong, 5L)).toDF("g", "t", "x")
+    val c = Rollups.ljungBox(const, Seq("g"), "t", "x", 7).collect().head
+    assert(c.isNullAt(c.fieldIndex("q_lb")), "zero variance → null")
+    val short = (0 until 5).map(i => ("s", i.toLong, i.toLong)).toDF("g", "t", "x")
+    val s = Rollups.ljungBox(short, Seq("g"), "t", "x", 7).collect().head
+    assert(s.isNullAt(s.fieldIndex("q_lb")), "n <= maxLag → null")
+  }
+
+  test("SimilaritySearch.mrrAtK: reciprocal of the true hit's rank, 0 on miss") {
+    val exact = Seq((1L, 10L, 1), (2L, 20L, 1), (3L, 30L, 1))
+      .toDF("query_id", "id", "rank")
+    val approx = Seq((1L, 99L, 1), (1L, 10L, 2), (2L, 20L, 1), (3L, 77L, 1))
+      .toDF("query_id", "id", "rank")
+    val m = SimilaritySearch.mrrAtK(exact, approx).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(m(1L) == ((2L, 0.5, 0.5)))
+    assert(m(2L) == ((1L, 1.0, 0.5)))
+    assert(m(3L) == ((0L, 0.0, 0.5)))
+  }
+
   test("EventWindows.maxConcurrency: half-open overlap count and instant") {
     // [0,10) [5,15) [8,12) overlap 3 at t=8; [15,20) never overlaps
     // ([5,15) ends exactly when [15,20) starts — half-open: no overlap)
