@@ -252,6 +252,53 @@ private[graft] object EventQueries {
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("n"), round(col("u_hll"), 4).as("u_hll"))
     }),
+    "q345_stream_kll" -> ((s, dir) => {
+      // H61 KLL summary as streaming state per finalized tumbling
+      // hour; gate = the I34 sketch contract per window (summary n ≡
+      // exact count, every φ estimate's exact rank within ε=0.025,
+      // verified by one batch pass) — invariant under any micro-batch
+      // split, so the batch window grid oracles the streaming path
+      val t = Tables(s, dir)
+      val phis = Seq(0.25, 0.5, 0.9)
+      import graft.functions.KllSketch._
+      val sk = StreamQueries.materialize(
+          EventStream.tumblingKll(
+            StreamQueries.streamEvents(s, dir), "value", "1 hour", "2 hours"))
+        .groupBy(col("window_start"), col("n"))
+        .agg(kllQuantiles(col("st"), phis).as("q"),
+          kllMerge(col("st")).as("m"))
+        .select(col("window_start"), col("n"), kllN(col("m")).as("__nsk"),
+          posexplode(col("q")).as(Seq("i", "est")))
+        .withColumn("phi",
+          element_at(typedLit(phis), col("i").cast("int") + 1))
+      t.events.filter(col("value").isNotNull)
+        .select(date_trunc("hour", col("ts")).as("window_start"), col("value"))
+        .join(broadcast(sk), "window_start")
+        .groupBy(col("window_start"), col("phi"), col("n"), col("__nsk"),
+          col("est"))
+        .agg(sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("__le"),
+          sum(when(col("value") < col("est"), 1L).otherwise(0L)).as("__lt"),
+          count(lit(1)).as("__ne"))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("phi"), col("n"),
+          // DISCRETE, tie-aware form of the ε gate: the sketch's
+          // selection rule targets rank max(1, ceil(φ·n)) exactly
+          // (KllBuffer.quantiles); a tied est occupies the rank
+          // INTERVAL [#(v<est)+1, #(v≤est)], so the gate asks the
+          // target to sit within that interval widened by the ε·n
+          // compaction bound — small windows (where |rank/n − φ| can
+          // never beat ε) are judged against the rule itself, as I34
+          {
+            val eps = lit(0.025) * col("__ne").cast("double")
+            val target = greatest(lit(1L),
+              ceil(col("phi") * col("__ne").cast("double"))).cast("double")
+            (col("n") === col("__ne") && col("__nsk") === col("n") &&
+              target >= col("__lt").cast("double") + lit(1.0) - eps &&
+              target <= col("__le").cast("double") + eps).as("ok")
+          })
+    }),
     "q61_stream_sessions" -> ((s, dir) => {
       // streaming gap sessionization (session_window): finalized
       // sessions only (end = last event + gap ≤ max event time − 2h)
@@ -1306,6 +1353,23 @@ private[graft] object EventQueries {
          |       b.n, round(h.est, 4) AS u_hll
          |FROM b JOIN hw_est h USING (ws), mx
          |WHERE b.ws + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""".stripMargin,
+    // Streaming-KLL gate: the engine verifies the sketch contract
+    // against its own one-pass exact ranks, so the oracle is the
+    // finalized-window grid with exact counts and all-true flags —
+    // any compaction/merge/state-restore defect flips ok or drifts n.
+    "q345_stream_kll" ->
+      """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mt FROM events),
+        |b AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |)
+        |SELECT strftime(b.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       phi, b.n, true AS ok
+        |FROM b
+        |CROSS JOIN (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                           CAST(0.9 AS DOUBLE)]) AS phi), mx
+        |WHERE b.ws + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""".stripMargin,
     // dynamic-gap replay: interval merge with running max end (an
     // early long-gap event can outlast the last event's window)
     "q128_stream_dynamic_sessions" ->

@@ -134,6 +134,51 @@ private[graft] object StatsQueries {
         .select(col("n_name"),
           round(col("revenue_cents").cast("double") / 100, 2).as("revenue"))
     }),
+    "q346_tpch_q17" -> ((s, dir) => {
+      // F76 TPC-H Q17 shape (small-quantity-order revenue): parts of
+      // one brand, rows whose quantity is under 0.2× that part's
+      // average — the correlated-subquery shape DECORRELATED into a
+      // part-grain threshold dim re-joined to the fact (what a good
+      // optimizer does; declared directly here). The threshold test
+      // is EXACT integer arithmetic: q < 0.2·(S/n) ⇔ 5·q·n < S on
+      // integral quantities — no double-average boundary to ulp-flip.
+      // Revenue in exact cents; brand prune broadcasts.
+      val t = Tables(s, dir)
+      val pk = broadcast(t.part.filter(col("p_brand") === "Brand#11")
+        .select("p_partkey"))
+      val li = t.lineitem.join(pk, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"))
+        .localCheckpoint() // feeds the threshold dim AND the probe side
+      val th = li.groupBy("l_partkey").agg(
+        sum(col("l_quantity")).cast("long").as("__s"),
+        count(lit(1)).as("__n"))
+      li.join(broadcast(th), "l_partkey")
+        .filter(col("l_quantity").cast("long") * lit(5L) * col("__n") <
+          col("__s"))
+        .agg(coalesce(sum(round(col("l_extendedprice") * 100).cast("long")),
+          lit(0L)).as("__c"))
+        .select(round(col("__c").cast("double") / 700.0, 4).as("avg_yearly"))
+    }),
+    "q347_tpch_q18" -> ((s, dir) => {
+      // F77 TPC-H Q18 shape (large-volume customers): orders whose
+      // total quantity exceeds 300, with customer attach — the
+      // classic "HAVING subquery as semi-join dim" shape; quantity
+      // totals exact longs, total order (price desc, date, orderkey)
+      // so the top-100 cut is deterministic on both engines
+      val t = Tables(s, dir)
+      val big = t.lineitem.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 300L)
+      t.orders.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
+    }),
     "q157_winsorize" -> ((s, dir) => {
       // heavy-tail clamping report: exact interpolated [p10, p90] per
       // event_type (thresholds rounded 4dp on BOTH engines before
@@ -310,6 +355,48 @@ private[graft] object StatsQueries {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // Q17 replay: same decorrelated threshold dim; the 5·q·n < S test
+    // is pure integer; cents sum exact; null-empty case coalesced on
+    // both sides.
+    "q346_tpch_q17" ->
+      """WITH pk AS (
+        |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'
+        |),
+        |li AS (
+        |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l JOIN pk ON l.l_partkey = pk.p_partkey
+        |),
+        |th AS (
+        |  SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM li GROUP BY 1
+        |),
+        |f AS (
+        |  SELECT li.l_extendedprice
+        |  FROM li JOIN th USING (l_partkey)
+        |  WHERE CAST(li.l_quantity AS BIGINT) * 5 * th.n < th.s
+        |),
+        |c AS (
+        |  SELECT coalesce(CAST(sum(CAST(round(l_extendedprice * 100)
+        |    AS BIGINT)) AS BIGINT), 0) AS c
+        |  FROM f
+        |)
+        |SELECT round(CAST(c AS DOUBLE) / 700.0, 4) AS avg_yearly FROM c""".stripMargin,
+    // Q18 replay: quantity totals exact longs; identical total order
+    // under the top-100 cut.
+    "q347_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+        |)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o.o_totalprice, b.total_qty
+        |FROM orders o
+        |JOIN big b ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o_orderdate, o.o_orderkey
+        |LIMIT 100""".stripMargin,
     "q20_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

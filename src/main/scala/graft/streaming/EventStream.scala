@@ -116,6 +116,33 @@ object EventStream {
         graft.functions.CmsSketch.cmsSketch(col(keyCol)).as("sk"))
       .select(col("window.start").as("window_start"), col("n"), col("sk"))
 
+  /** KLL quantile summary AS STREAMING STATE per tumbling window
+    * (H61) — per-window percentiles over an unbounded value stream
+    * with O(k) state: each window's state row carries ONE compactor
+    * summary instead of the window's value multiset (the exact
+    * streaming percentile is unsupported for precisely that reason —
+    * unbounded state). Completes the streaming-sketch trio next to
+    * H13b's HLL and H37's CMS. The compactor is NOT merge-order
+    * invariant, so the gate is I34's sketch CONTRACT per finalized
+    * window — summary n ≡ exact count, every φ estimate's exact rank
+    * within ε — which holds under ANY micro-batch split. Append mode:
+    * finalized windows only; quantile eval happens downstream on the
+    * materialized summaries.
+    */
+  def tumblingKll(
+      events: DataFrame,
+      valueCol: String = "value",
+      duration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .filter(col(valueCol).isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.KllSketch.kllState(col(valueCol)).as("st"))
+      .select(col("window.start").as("window_start"), col("n"), col("st"))
+
   /** Gap-based session aggregation using the built-in session_window —
     * the streaming twin of graft.operators.Sessionize.
     */

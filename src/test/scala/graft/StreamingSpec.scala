@@ -286,6 +286,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KLL summary keeps the quantile contract across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.tumblingKll(input.toDF(), duration = "1 hour")
+      .writeStream.format("memory").queryName("kll_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // one window, two micro-batches: the state-store summary must
+      // carry all four values (n exact) and eval the same quantiles
+      // as a one-batch sketch (no compaction at n << k)
+      input.addData(
+        EventStream.Event(1, ts(5), 1, "click", 1.0),
+        EventStream.Event(2, ts(10), 2, "click", 4.0))
+      q.processAllAvailable()
+      input.addData(
+        EventStream.Event(3, ts(15), 2, "view", 2.0),
+        EventStream.Event(4, ts(20), 3, "view", 3.0))
+      q.processAllAvailable()
+      val last = spark.table("kll_out")
+        .select("n", "st").as[(Long, Array[Byte])].collect().maxBy(_._1)
+      assert(last._1 == 4L)
+      import graft.functions.KllSketch._
+      val phis = Seq(0.25, 0.5, 0.9)
+      val got = Seq(Tuple1(last._2)).toDF("st")
+        .agg(kllQuantiles($"st", phis).as("q"), kllMerge($"st").as("m"))
+        .select($"q", kllN($"m").as("nk")).as[(Seq[Double], Long)].head()
+      assert(got._2 == 4L, "summary n must equal the exact count")
+      val batch = Seq(1.0, 4.0, 2.0, 3.0).toDF("v")
+        .agg(kllState($"v").as("st"))
+        .agg(kllQuantiles($"st", phis).as("q"))
+        .as[Seq[Double]].head()
+      assert(got._1 == batch,
+        s"streamed summary quantiles ${got._1} must equal one-batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming OHLC state merges across micro-batches like one batch") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
