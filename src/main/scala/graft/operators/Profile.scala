@@ -143,6 +143,38 @@ object Profile {
     * the bin table. Output: (bin, n_ref, n_cur, p_ref, p_cur,
     * contrib, psi), one row per occupied bin.
     */
+  /** Approximate functional-dependency audit (I36) — for each
+    * candidate determinant→dependent pair, does lhs functionally
+    * determine rhs, and if not, how many keys violate it? The
+    * profiling step that discovers which columns are safe join/
+    * partition keys, which "id" columns secretly collide, and which
+    * denormalized attributes drifted (a violating o_custkey→segment
+    * FD means the same customer carries two segments — an upstream
+    * merge bug). Exact counts, not sampling.
+    *
+    * Scale shape: per candidate, ONE (lhs) combine carrying a
+    * distinct-rhs count (partial-aggregated map-side), then a one-row
+    * reduce; candidates are a fixed small list, so the union is
+    * dim-sized. Nulls: a null lhs is its own key; null rhs values
+    * are ignored by the distinct count (both mirrored in SQL).
+    *
+    * Output: one row per candidate (lhs, rhs, n_keys, n_pairs,
+    * n_violating, holds, violation_share).
+    */
+  def fdAudit(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty)
+    candidates.map { case (l, r) =>
+      df.groupBy(col(l)).agg(countDistinct(col(r)).as("__d"))
+        .agg(count(lit(1)).as("n_keys"), sum("__d").as("n_pairs"),
+          sum(when(col("__d") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(l).as("lhs"), lit(r).as("rhs"), col("n_keys"),
+          col("n_pairs"), col("n_violating"),
+          (col("n_violating") === 0L).as("holds"),
+          round(col("n_violating").cast("double") /
+            col("n_keys").cast("double"), 4).as("violation_share"))
+    }.reduce(_ unionByName _)
+  }
+
   def psi(
       df: DataFrame,
       groupCol: String,

@@ -146,6 +146,112 @@ private[operators] trait RollupsEval {
           .as("skill"))
   }
 
+  /** Kendall's W concordance (F78) — HOW MUCH do m repeated rankings
+    * of k items agree, on [0, 1]: the effect-size companion to F64's
+    * Friedman χ² (which only says WHETHER they agree more than
+    * chance). Same blocked-rank frame: blocks rank the k treatments
+    * by cell count; W = (12·ΣR² − 3m²k(k+1)²) / (m²k(k²−1) − m·T)
+    * with the standard tie term T = Σ(t³−t).
+    *
+    * Exactness: rides Friedman's integer doubled ranks — ΣR² and T
+    * are exact long sums; W is one final double expression over
+    * them, identically associated on both engines, 4dp.
+    *
+    * Scale shape: the friedman contract — one (block, treatment)
+    * combine, dense-grid broadcast, per-block bounded rank windows,
+    * one-row reduce.
+    *
+    * Output: one row (n_blocks, k, w) — null when ties consume the
+    * whole denominator.
+    */
+  def kendallW(
+      df: DataFrame,
+      blockCol: Column,
+      treatCol: Column): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val cells = df
+      .groupBy(blockCol.as("b"), treatCol.as("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val dense = cells.select("b").distinct()
+      .crossJoin(broadcast(cells.select("g").distinct()))
+      .join(cells, Seq("b", "g"), "left")
+      .select(col("b"), col("g"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy("b").orderBy("cnt")
+    val ranked = dense
+      .withColumn("__t",
+        count(lit(1)).over(w.rangeBetween(Window.currentRow, Window.currentRow)))
+      .withColumn("__cumb", coalesce(
+        count(lit(1)).over(w.rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__cumb") + col("__t") + 1L)
+      .localCheckpoint() // feeds the treatment rollup AND the tie rollup
+    val perT = ranked.groupBy("g").agg(sum("__r2").as("__s2"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("__s2") * col("__s2")).as("__rr4")) // 4·ΣR² exactly
+    val ties = ranked.agg(
+      sum(col("__t") * col("__t") - lit(1L)).as("__tsum"),
+      countDistinct(col("b")).as("n_blocks"))
+    val m = d(col("n_blocks"))
+    val k = d(col("k"))
+    perT.crossJoin(broadcast(ties))
+      .withColumn("__num",
+        lit(3.0) * d(col("__rr4")) -
+          lit(3.0) * m * m * k * (k + 1.0) * (k + 1.0))
+      .withColumn("__den",
+        m * m * k * (k * k - 1.0) - m * d(col("__tsum")))
+      .select(col("n_blocks"), col("k"),
+        round(col("__num") /
+          when(col("__den") <= 0, lit(null)).otherwise(col("__den")), 4)
+          .as("w"))
+  }
+
+  /** Cross-entropy / log-loss with base-rate skill (F79) — the
+    * likelihood-proper companion to F56's Brier: LL =
+    * −mean(y·ln p + (1−y)·ln(1−p)), judged against forecasting the
+    * base rate everywhere (LL_ref = the label entropy), skill =
+    * 1 − LL/LL_ref. Punishes confident wrong predictions harder than
+    * Brier — the score that catches overconfident filters.
+    *
+    * Determinism: probabilities quantize to 1e-4 units CLAMPED to
+    * [1, 9999] (ln 0 is the alternative — the clamp is semantics,
+    * mirrored in the oracle); each row's −ln term goes to integer
+    * NANO-units via the engine-identical floor(x·1e9 + 0.5), so the
+    * corpus sum is an order-free long sum; LL, the entropy reference,
+    * and skill are final double expressions over exact integers.
+    *
+    * Scale shape: one map-side-combined reduce; no windows, no joins.
+    *
+    * Output: one row (n, base_rate, log_loss, log_loss_ref, skill) —
+    * ref/skill null on a degenerate (all-one-label) corpus.
+    */
+  def logLoss(
+      df: DataFrame,
+      confCol: String,
+      labelCol: String): DataFrame = {
+    val u = greatest(lit(1L), least(lit(9999L),
+      round(col(confCol) * 10000).cast("long")))
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val d = (c: Column) => c.cast("double")
+    df.filter(col(confCol).isNotNull)
+      .select(u.as("__u"), y.as("__y"))
+      .withColumn("__t",
+        floor(-when(col("__y") === 1L, log(d(col("__u")) / 10000.0))
+          .otherwise(log(lit(1.0) - d(col("__u")) / 10000.0)) * 1e9 + 0.5)
+          .cast("long"))
+      .agg(count(lit(1)).as("n"), sum("__y").as("__p"), sum("__t").as("__ts"))
+      .filter(col("n") > 0)
+      .withColumn("__rate", d(col("__p")) / d(col("n")))
+      .withColumn("__ll", d(col("__ts")) / d(col("n")) / 1e9)
+      .withColumn("__ref",
+        when(col("__p") > 0 && col("__p") < col("n"),
+          -(col("__rate") * log(col("__rate")) +
+            (lit(1.0) - col("__rate")) * log(lit(1.0) - col("__rate")))))
+      .select(col("n"), round(col("__rate"), 4).as("base_rate"),
+        round(col("__ll"), 6).as("log_loss"),
+        round(col("__ref"), 6).as("log_loss_ref"),
+        round(lit(1.0) - col("__ll") / col("__ref"), 4).as("skill"))
+  }
+
   /** Matthews correlation coefficient — the single-number binary-
     * classifier score that stays honest under imbalance (Matthews
     * 1975; Chicco & Jurman 2020's recommended default): the Pearson

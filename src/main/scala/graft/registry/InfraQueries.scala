@@ -45,6 +45,20 @@ private[graft] object InfraQueries {
           sampleQuantile(col("sample"), 0.5).as("p50"),
           sampleQuantile(col("sample"), 0.9).as("p90"))
     }),
+    "q348_fd_audit" -> ((s, dir) => {
+      // I36 approximate-FD audit over a fixed candidate list: key
+      // columns must determine (o_orderkey→o_custkey), denormalized
+      // attributes usually don't (o_custkey→o_orderpriority) — the
+      // exact distinct-count profile that prices join/partition keys
+      val t = Tables(s, dir)
+      Profile.fdAudit(t.orders, Seq(
+        "o_orderkey" -> "o_custkey",
+        "o_custkey" -> "o_orderpriority"))
+        .unionByName(Profile.fdAudit(t.lineitem, Seq(
+          "l_orderkey" -> "l_returnflag",
+          "l_partkey" -> "l_suppkey",
+          "l_suppkey" -> "l_returnflag")))
+    }),
     "q334_kll_rollup" -> ((s, dir) => {
       // I34 KLL quantile summary with stored-state rollup (kll_state
       // at (returnflag, linestatus) grain → kll_merge/kll_quantiles to
@@ -601,6 +615,26 @@ private[graft] object InfraQueries {
     // k-smallest of the group); quantiles index the value-sorted
     // sample with the identical max(1, ceil(φ·m)) rule. Raw doubles —
     // every output value is an element of the data, so no rounding.
+    // FD audit replay: one distinct-count profile per candidate,
+    // UNION ALL — exact counts, null-lhs is a key, null-rhs ignored
+    // by count(DISTINCT) on both engines.
+    "q348_fd_audit" -> Seq(
+      ("orders", "o_orderkey", "o_custkey"),
+      ("orders", "o_custkey", "o_orderpriority"),
+      ("lineitem", "l_orderkey", "l_returnflag"),
+      ("lineitem", "l_partkey", "l_suppkey"),
+      ("lineitem", "l_suppkey", "l_returnflag")).map { case (tb, l, r) =>
+      s"""SELECT '$l' AS lhs, '$r' AS rhs,
+         |       CAST(count(*) AS BIGINT) AS n_keys,
+         |       CAST(sum(d) AS BIGINT) AS n_pairs,
+         |       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_violating,
+         |       sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+         |       round(CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 4) AS violation_share
+         |FROM (SELECT $l AS lk, count(DISTINCT $r) AS d
+         |      FROM $tb GROUP BY 1)""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", ""),
     "q333_quantile_sample" ->
       s"""WITH r AS (
          |  SELECT l_returnflag,

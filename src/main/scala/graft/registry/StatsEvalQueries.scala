@@ -25,6 +25,14 @@ private[graft] object StatsEvalQueries {
       val t = Tables(s, dir)
       Rollups.rocAuc(t.events, "event_type", "value", "click", "view")
     }),
+    "q350_log_loss" -> ((s, dir) => {
+      // F79 likelihood-proper filter scoring: quality read as a pass
+      // probability vs the Gopher gate, judged against the label
+      // entropy — nano-unit order-free term sums
+      val t = Tables(s, dir)
+      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
+      Rollups.logLoss(scored, "quality", "gopher_pass")
+    }),
     "q268_brier" -> ((s, dir) => {
       // F56 proper-score check: does the quality score, read as a
       // pass probability, beat the base-rate forecast?
@@ -541,6 +549,63 @@ private[graft] object StatsEvalQueries {
          |       round(CAST(num AS DOUBLE)
          |             / CASE WHEN den = 0 THEN NULL ELSE den END, 4) AS mcc
          |FROM c""".stripMargin,
+    // Log-loss replay: q268's exact 1e-4-unit quality integers,
+    // clamped to [1, 9999] (the Spark-side semantics), nano-unit
+    // per-row terms via the engine-identical floor, entropy reference.
+    "q350_log_loss" ->
+      s"""WITH $GopherDocSql,
+         |base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a')))
+         |               AS BIGINT)
+         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS BIGINT) AS qi
+         |  FROM base
+         |),
+         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
+         |j AS (
+         |  SELECT greatest(1, least(9999, q.qi)) AS u,
+         |         CASE WHEN g.gopher_pass THEN 1 ELSE 0 END AS y
+         |  FROM q JOIN g USING (doc_id)
+         |),
+         |tm AS (
+         |  SELECT y,
+         |         CAST(floor(-(CASE WHEN y = 1
+         |                  THEN ln(CAST(u AS DOUBLE) / 10000.0)
+         |                  ELSE ln(1.0 - CAST(u AS DOUBLE) / 10000.0) END)
+         |              * 1e9 + 0.5) AS BIGINT) AS t
+         |  FROM j
+         |),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(y) AS BIGINT) AS p,
+         |         CAST(sum(t) AS BIGINT) AS ts
+         |  FROM tm HAVING count(*) > 0
+         |),
+         |f AS (
+         |  SELECT n,
+         |         CAST(p AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+         |         CAST(ts AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 AS ll,
+         |         CASE WHEN p > 0 AND p < n THEN
+         |           -(CAST(p AS DOUBLE) / CAST(n AS DOUBLE)
+         |               * ln(CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+         |             + (1.0 - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+         |               * ln(1.0 - CAST(p AS DOUBLE) / CAST(n AS DOUBLE)))
+         |         END AS ref
+         |  FROM m
+         |)
+         |SELECT n, round(rate, 4) AS base_rate, round(ll, 6) AS log_loss,
+         |       round(ref, 6) AS log_loss_ref,
+         |       round(1.0 - ll / ref, 4) AS skill
+         |FROM f""".stripMargin,
     // Brier replay: exact 1e-4-unit squared errors, closed-form
     // reference score.,
     "q268_brier" ->

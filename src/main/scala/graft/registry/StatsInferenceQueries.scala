@@ -355,6 +355,14 @@ private[graft] object StatsInferenceQueries {
       val t = Tables(s, dir)
       Rollups.brownForsythe(t.events, "event_type", "value")
     }),
+    "q349_kendall_w" -> ((s, dir) => {
+      // F78 Kendall's W: HOW concordant are the day-wise event-type
+      // rankings — the magnitude companion to q295's Friedman χ²,
+      // same blocked doubled-rank frame
+      val t = Tables(s, dir)
+      Rollups.kendallW(t.events,
+        expr("unix_micros(ts) div 86400000000"), col("event_type"))
+    }),
     "q295_friedman" -> ((s, dir) => {
       // F64 Friedman: do any event types consistently out-rank the
       // others across days — blocks=days, treatments=types, zero-
@@ -1968,6 +1976,54 @@ private[graft] object StatsInferenceQueries {
     // Friedman replay: identical dense day×type zero-fill, integer
     // 2·rank via rank() − 1 + peer count (≡ the RANGE-frame
     // cumulative), exact long rank sums, written-order doubles, 4dp.,
+    // Kendall's W replay: q295's rank CTEs through a1/a2, then the W
+    // expression mirrored term-for-term (left-associated doubles over
+    // exact integers).
+    "q349_kendall_w" ->
+      """WITH cells AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
+        |         event_type AS g, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |),
+        |dense AS (
+        |  SELECT bb.b, gg.g, coalesce(c.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT b FROM cells) bb
+        |  CROSS JOIN (SELECT DISTINCT g FROM cells) gg
+        |  LEFT JOIN cells c ON c.b = bb.b AND c.g = gg.g
+        |),
+        |r AS (
+        |  SELECT b, g,
+        |         CAST(count(*) OVER (PARTITION BY b, cnt) AS BIGINT) AS t,
+        |         2 * (rank() OVER (PARTITION BY b ORDER BY cnt) - 1)
+        |           + CAST(count(*) OVER (PARTITION BY b, cnt) AS BIGINT) + 1 AS r2
+        |  FROM dense
+        |),
+        |pert AS (SELECT g, CAST(sum(r2) AS BIGINT) AS s2 FROM r GROUP BY 1),
+        |a1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(s2 * s2) AS BIGINT) AS rr4
+        |  FROM pert
+        |),
+        |a2 AS (
+        |  SELECT CAST(sum(t * t - 1) AS BIGINT) AS tsum,
+        |         CAST(count(DISTINCT b) AS BIGINT) AS n_blocks
+        |  FROM r
+        |),
+        |f AS (
+        |  SELECT n_blocks, k,
+        |         3.0 * CAST(rr4 AS DOUBLE)
+        |           - 3.0 * CAST(n_blocks AS DOUBLE) * CAST(n_blocks AS DOUBLE)
+        |             * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+        |             * (CAST(k AS DOUBLE) + 1.0) AS num,
+        |         CAST(n_blocks AS DOUBLE) * CAST(n_blocks AS DOUBLE)
+        |           * CAST(k AS DOUBLE)
+        |           * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+        |           - CAST(n_blocks AS DOUBLE) * CAST(tsum AS DOUBLE) AS den
+        |  FROM a1, a2
+        |)
+        |SELECT n_blocks, k,
+        |       round(num / (CASE WHEN den <= 0 THEN NULL ELSE den END), 4) AS w
+        |FROM f""".stripMargin,
     "q295_friedman" ->
       """WITH cells AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,

@@ -2017,6 +2017,61 @@ class OperatorsSpec extends SparkSpec {
     assert(m(3L) == ((0L, 0.0, 0.5)))
   }
 
+  test("Profile.fdAudit: holding and violated dependencies with exact counts") {
+    val df = Seq((1L, "a", 10L), (1L, "a", 11L), (2L, "b", 20L), (3L, "b", 30L))
+      .toDF("k", "attr", "other")
+    val m = Profile.fdAudit(df, Seq("k" -> "attr", "attr" -> "k")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // k → attr holds (each k has one attr)
+    val h = m("k")
+    assert(h.getLong(h.fieldIndex("n_keys")) == 3L)
+    assert(h.getLong(h.fieldIndex("n_violating")) == 0L)
+    assert(h.getBoolean(h.fieldIndex("holds")))
+    // attr → k violated by 'b' (two k values)
+    val v = m("attr")
+    assert(v.getLong(v.fieldIndex("n_keys")) == 2L)
+    assert(v.getLong(v.fieldIndex("n_violating")) == 1L)
+    assert(!v.getBoolean(v.fieldIndex("holds")))
+    assert(v.getDouble(v.fieldIndex("violation_share")) == 0.5)
+  }
+
+  test("Rollups.kendallW: perfect concordance is 1, opposition near 0") {
+    // two blocks ranking three treatments identically → W = 1
+    val agree = Seq(("b1", "x", 1), ("b1", "y", 2), ("b1", "z", 3),
+      ("b2", "x", 1), ("b2", "y", 2), ("b2", "z", 3))
+      .flatMap { case (b, g, n) => Seq.fill(n)((b, g)) }.toDF("b", "g")
+    val a = Rollups.kendallW(agree, col("b"), col("g")).collect().head
+    assert(a.getLong(a.fieldIndex("n_blocks")) == 2L)
+    assert(a.getLong(a.fieldIndex("k")) == 3L)
+    assert(a.getDouble(a.fieldIndex("w")) == 1.0)
+    // two blocks ranking in exact reverse → W = 0 for k odd... for
+    // k=3, m=2 reversed rankings: ΣR² minimal → W = 0
+    val oppose = Seq(("b1", "x", 1), ("b1", "y", 2), ("b1", "z", 3),
+      ("b2", "x", 3), ("b2", "y", 2), ("b2", "z", 1))
+      .flatMap { case (b, g, n) => Seq.fill(n)((b, g)) }.toDF("b", "g")
+    val o = Rollups.kendallW(oppose, col("b"), col("g")).collect().head
+    assert(o.getDouble(o.fieldIndex("w")) == 0.0)
+  }
+
+  test("Rollups.logLoss: nano-unit terms replicate the hand formula") {
+    // p=0.9 on a positive, p=0.2 on a negative → terms -ln(.9), -ln(.8)
+    val df = Seq((0.9, true), (0.2, false)).toDF("conf", "label")
+    val r = Rollups.logLoss(df, "conf", "label").collect().head
+    assert(r.getLong(r.fieldIndex("n")) == 2L)
+    assert(r.getDouble(r.fieldIndex("base_rate")) == 0.5)
+    val t1 = math.floor(-math.log(9000.0 / 10000.0) * 1e9 + 0.5).toLong
+    val t2 = math.floor(-math.log(1.0 - 2000.0 / 10000.0) * 1e9 + 0.5).toLong
+    val ll = math.round((t1 + t2) / 2.0 / 1e9 * 1e6) / 1e6.toDouble
+    assert(r.getDouble(r.fieldIndex("log_loss")) == ll)
+    val ref = math.round(math.log(2.0) * 1e6) / 1e6.toDouble
+    assert(r.getDouble(r.fieldIndex("log_loss_ref")) == ref)
+    // degenerate all-one-label corpus → null ref and skill
+    val deg = Seq((0.9, true), (0.8, true)).toDF("conf", "label")
+    val d = Rollups.logLoss(deg, "conf", "label").collect().head
+    assert(d.isNullAt(d.fieldIndex("log_loss_ref")))
+    assert(d.isNullAt(d.fieldIndex("skill")))
+  }
+
   test("EventWindows.maxConcurrency: half-open overlap count and instant") {
     // [0,10) [5,15) [8,12) overlap 3 at t=8; [15,20) never overlaps
     // ([5,15) ends exactly when [15,20) starts — half-open: no overlap)
