@@ -299,6 +299,58 @@ private[graft] object EventQueries {
               target <= col("__le").cast("double") + eps).as("ok")
           })
     }),
+    "q351_stream_freq" -> ((s, dir) => {
+      // H62 Misra–Gries as streaming state per finalized tumbling
+      // hour over the unbounded user keyspace — the candidate-LISTING
+      // streaming heavy hitter H37's CMS cannot be. Gate = I35's
+      // deterministic bounds per window's top-3 exact user: a listed
+      // candidate must satisfy est ≤ true and (true−est)·(k+1) ≤ n;
+      // an absent one is legitimate ONLY while true·(k+1) ≤ n (below
+      // the survival guarantee); zero guaranteed-survivors missing.
+      val t = Tables(s, dir)
+      val k = 32
+      // the window dim comes from the PRE-explode frame: a window
+      // whose counters all decayed to zero emits an EMPTY summary
+      // (legal MG — nobody beat n/(k+1)), and explode would silently
+      // drop it from the gate
+      val mat = StreamQueries.materialize(
+          EventStream.tumblingFreq(
+            StreamQueries.streamEvents(s, dir), "user_id", k,
+            "1 hour", "2 hours"))
+        .localCheckpoint() // feeds the window dim, the check, and missed
+      val cand = mat
+        .select(col("window_start"), explode(col("st")).as("c"))
+        .select(col("window_start"), col("c.w").as("item"),
+          col("c.c").as("est"))
+      val wins = broadcast(mat.select("window_start", "n"))
+      val exact = t.events
+        .select(date_trunc("hour", col("ts")).as("window_start"),
+          col("user_id").cast("string").as("item"))
+        .groupBy("window_start", "item").agg(count(lit(1)).as("n_true"))
+      val checked = exact
+        .join(wins, "window_start")
+        .join(cand, Seq("window_start", "item"), "left")
+        .localCheckpoint()
+      val missed = checked.groupBy("window_start")
+        .agg(sum(when(col("est").isNull &&
+          col("n_true") * (k + 1) > col("n"), 1L).otherwise(0L))
+          .as("n_missed"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start").orderBy(col("n_true").desc, col("item"))
+      checked
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .join(broadcast(missed), "window_start")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("item"), col("n_true"),
+          when(col("est").isNotNull,
+            col("est") <= col("n_true") &&
+              (col("n_true") - col("est")) * (k + 1) <= col("n"))
+            .otherwise(col("n_true") * (k + 1) <= col("n")).as("est_ok"),
+          col("n_missed"))
+    }),
     "q61_stream_sessions" -> ((s, dir) => {
       // streaming gap sessionization (session_window): finalized
       // sessions only (end = last event + gap ≤ max event time − 2h)
@@ -1353,6 +1405,30 @@ private[graft] object EventQueries {
          |       b.n, round(h.est, 4) AS u_hll
          |FROM b JOIN hw_est h USING (ws), mx
          |WHERE b.ws + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""".stripMargin,
+    // Streaming-MG gate: the bounds are deterministic under any
+    // micro-batch split, so the oracle is the exact top-3 users per
+    // finalized window with all-true checks and zero misses.
+    "q351_stream_freq" ->
+      """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mt FROM events),
+        |cnt AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+        |         CAST(user_id AS VARCHAR) AS item,
+        |         CAST(count(*) AS BIGINT) AS n_true
+        |  FROM events GROUP BY 1, 2
+        |),
+        |fin AS (
+        |  SELECT cnt.* FROM cnt, mx
+        |  WHERE cnt.ws + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR
+        |),
+        |top AS (
+        |  SELECT ws, item, n_true,
+        |         row_number() OVER (PARTITION BY ws
+        |                            ORDER BY n_true DESC, item) AS rk
+        |  FROM fin
+        |)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       item, n_true, true AS est_ok, CAST(0 AS BIGINT) AS n_missed
+        |FROM top WHERE rk <= 3""".stripMargin,
     // Streaming-KLL gate: the engine verifies the sketch contract
     // against its own one-pass exact ranks, so the oracle is the
     // finalized-window grid with exact counts and all-true flags —

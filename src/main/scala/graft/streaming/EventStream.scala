@@ -143,6 +143,32 @@ object EventStream {
         graft.functions.KllSketch.kllState(col(valueCol)).as("st"))
       .select(col("window.start").as("window_start"), col("n"), col("st"))
 
+  /** Misra–Gries frequent-items summary AS STREAMING STATE per
+    * tumbling window (H62) — the candidate-LISTING streaming heavy
+    * hitter, completing the streaming-sketch quartet (H13b HLL, H37
+    * CMS point-estimates, H61 KLL quantiles): ≤k weighted counters
+    * per window state row over an unbounded keyspace, where H37's CMS
+    * can only point-estimate keys it is given. Counter insert ≡ merge
+    * (I35), and the deterministic bounds est ≤ true and
+    * (true−est)·(k+1) ≤ n hold under ANY micro-batch split — the
+    * downstream gate publishes bound checks, never raw estimates.
+    * Append mode: finalized windows only.
+    */
+  def tumblingFreq(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      k: Int = 32,
+      duration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.FreqSketch.freqSketch(col(keyCol).cast("string"),
+          lit(1L), k).as("st"))
+      .select(col("window.start").as("window_start"), col("n"), col("st"))
+
   /** Gap-based session aggregation using the built-in session_window —
     * the streaming twin of graft.operators.Sessionize.
     */

@@ -322,6 +322,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Misra-Gries state keeps the survival bounds across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.tumblingFreq(input.toDF(), "event_type", k = 2,
+        duration = "1 hour")
+      .writeStream.format("memory").queryName("mg_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // one window, two micro-batches: a a b | a c c → exact a:3 c:2
+      // b:1, n=6. With k=2, any item with true·3 > 6 MUST survive (a),
+      // and every listed candidate obeys est ≤ true, (true−est)·3 ≤ 6.
+      input.addData(
+        EventStream.Event(1, ts(5), 1, "a", 1.0),
+        EventStream.Event(2, ts(6), 1, "a", 1.0),
+        EventStream.Event(3, ts(7), 1, "b", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        EventStream.Event(4, ts(8), 1, "a", 1.0),
+        EventStream.Event(5, ts(9), 1, "c", 1.0),
+        EventStream.Event(6, ts(10), 1, "c", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("mg_out")
+        .select($"n", $"st").as[(Long, Seq[(String, Long)])].collect()
+        .maxBy(_._1)
+      assert(last._1 == 6L)
+      val cand = last._2.toMap
+      val exact = Map("a" -> 3L, "b" -> 1L, "c" -> 2L)
+      assert(cand.contains("a"), "a has true*(k+1) > n and must survive")
+      assert(cand.size <= 2, "at most k counters")
+      cand.foreach { case (w, est) =>
+        assert(est <= exact(w), s"$w overestimated: $est > ${exact(w)}")
+        assert((exact(w) - est) * 3 <= 6, s"$w bound violated: est $est")
+      }
+    } finally q.stop()
+  }
+
   test("streaming OHLC state merges across micro-batches like one batch") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
