@@ -141,21 +141,36 @@ private[graft] object RefQueries {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
     }),
     "q12_first_year" -> ((s, dir) => {
+      // E2/E3 rollup in AGGREGATE grain: the ends-in-distinct window
+      // formulation sorted the full corpus inside fixed-width
+      // partitions and went 33x for 10x data at the sf1 bench —
+      // map-side-combined (target, source) / (target) aggregates with
+      // a pair-grain join land on the identical distinct rows and
+      // shuffle collapsed grains only (the window form remains as the
+      // non-collapsing E2/E3 attachment inside q15's chain)
       val t = Tables(s, dir)
-      Rollups.attachWindowAgg(
-          Rollups.attachWindowAgg(t.evidence, Seq("targetId"), min("year"), "first_year"),
-          Seq("targetId", "datasourceId"), max("score"), "max_score")
+      val pairMax = t.evidence.groupBy("targetId", "datasourceId")
+        .agg(round(max("score"), 4).as("max_score"))
+      val firstYear = t.evidence.groupBy("targetId")
+        .agg(min("year").as("first_year"))
+      pairMax.join(firstYear, "targetId")
         .select(col("targetId"), col("datasourceId"), col("first_year"),
-          round(col("max_score"), 4).as("max_score"))
-        .distinct()
+          col("max_score"))
     }),
     "q13_distinct_rollup" -> ((s, dir) => {
+      // E4 distinct rollup as a DEDUP CASCADE: the double
+      // countDistinct EXPANDed every corpus row twice and spilled at
+      // the sf1 bench (52x for 10x data); collapsing to the distinct
+      // 4-tuple first (map-side partial dedup), then to (year, src,
+      // target), makes n_targets a count and n_pairs a sum — zero
+      // expand, every shuffle on an already-collapsed grain
       val t = Tables(s, dir)
       t.evidence
+        .select("year", "datasourceId", "diseaseId", "targetId").distinct()
+        .groupBy("year", "datasourceId", "targetId")
+        .agg(count(lit(1)).as("__np"))
         .groupBy("year", "datasourceId")
-        .agg(
-          countDistinct(col("targetId")).as("n_targets"),
-          countDistinct(concat_ws("|", col("diseaseId"), col("targetId"))).as("n_pairs"))
+        .agg(count(lit(1)).as("n_targets"), sum("__np").as("n_pairs"))
     }),
     "q14_crosstab" -> ((s, dir) => {
       val t = Tables(s, dir)
