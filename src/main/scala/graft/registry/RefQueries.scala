@@ -1202,14 +1202,14 @@ private[graft] object RefQueries {
          |           PARTITION BY diseaseId, targetId, datasourceId ORDER BY year) AS peak
          |  FROM bysource
          |),
-         |fp AS (
+         |fp AS MATERIALIZED (
          |  SELECT diseaseId, targetId, datasourceId,
          |         CAST(min(peakYear) AS INT) AS peakYear,
          |         md5(CAST(diseaseId AS VARCHAR) || '|' || CAST(targetId AS VARCHAR)
          |             || ':perm') AS h
          |  FROM pk WHERE peak > 0 GROUP BY 1, 2, 3
          |),
-         |sh AS (
+         |sh AS MATERIALIZED (
          |  SELECT *, CAST(${HexBucketSql("h")} % 16 AS BIGINT) AS shard FROM fp
          |),
          |kr AS (
@@ -1223,7 +1223,7 @@ private[graft] object RefQueries {
          |           PARTITION BY datasourceId, shard ORDER BY peakYear, h) AS r
          |  FROM sh
          |),
-         |perm AS (
+         |perm AS MATERIALIZED (
          |  SELECT kr.diseaseId, kr.targetId, kr.datasourceId, vr.permYear
          |  FROM kr JOIN vr USING (datasourceId, shard, r)
          |),
