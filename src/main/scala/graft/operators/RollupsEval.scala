@@ -252,6 +252,62 @@ private[operators] trait RollupsEval {
         round(lit(1.0) - col("__ll") / col("__ref"), 4).as("skill"))
   }
 
+  /** Pettitt changepoint test (D32) — WHERE does a keyed series most
+    * likely shift level, and is the shift significant, with NO
+    * distribution assumption: the rank-based Mann–Whitney-flavored
+    * changepoint (Pettitt 1979), the robust companion to D16's
+    * mean-split changepoint (which one outlier day can move). U_t =
+    * 2·Σ_{i≤t} r_i − t(n+1) on midranks; K = max|U_t| (earliest t on
+    * ties), p ≈ 2·exp(−6K²/(n³+n²)).
+    *
+    * Exactness: midranks ride the INTEGER doubled-rank convention
+    * (2r = 2·#{v'<v} + #{v'=v} + 1 via two value-range frames), so
+    * every U_t is an exact long and K/t* are integer decisions; p is
+    * one final double expression over exact integers, 4dp.
+    *
+    * Scale shape: series live at key grain (day-grain bounded — the
+    * D-family series contract); two value-ordered and one time-ordered
+    * window per key partition, no single-partition stage, no joins.
+    *
+    * Output: (keys..., n, k_stat, t_star, p_value) — t_star is the
+    * LAST index of the pre-change segment; null p on n < 2.
+    */
+  def pettitt(
+      df: DataFrame,
+      keys: Seq[String],
+      tCol: String,
+      valCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val byV = wKey.orderBy(col("__v"))
+    val byT = wKey.orderBy(col("__t"))
+    val cum = wKey.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = df
+      .select(keys.map(col) ++ Seq(col(tCol).cast("long").as("__t"),
+        col(valCol).cast("long").as("__v")): _*)
+      .withColumn("__lt", coalesce(
+        count(lit(1)).over(byV.rangeBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__eq",
+        count(lit(1)).over(byV.rangeBetween(Window.currentRow, Window.currentRow)))
+      .withColumn("__r2", lit(2L) * col("__lt") + col("__eq") + 1L)
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__idx", row_number().over(byT))
+      .withColumn("__u",
+        sum(col("__r2")).over(cum) - col("__idx") * (col("__n") + 1L))
+    ranked
+      .withColumn("__pick",
+        row_number().over(wKey.orderBy(abs(col("__u")).desc, col("__t"))))
+      .filter(col("__pick") === 1)
+      .select(keys.map(col) ++ Seq(col("__n").as("n"),
+        abs(col("__u")).as("k_stat"), col("__t").as("t_star"),
+        when(col("__n") > 1, round(least(lit(1.0),
+          lit(2.0) * exp(lit(-6.0) * d(abs(col("__u"))) * d(abs(col("__u"))) /
+            (d(col("__n")) * d(col("__n")) * d(col("__n")) +
+              d(col("__n")) * d(col("__n"))))), 4)).as("p_value")): _*)
+  }
+
   /** Matthews correlation coefficient — the single-number binary-
     * classifier score that stays honest under imbalance (Matthews
     * 1975; Chicco & Jurman 2020's recommended default): the Pearson

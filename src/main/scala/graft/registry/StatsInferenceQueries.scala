@@ -355,6 +355,17 @@ private[graft] object StatsInferenceQueries {
       val t = Tables(s, dir)
       Rollups.brownForsythe(t.events, "event_type", "value")
     }),
+    "q352_pettitt" -> ((s, dir) => {
+      // D32 distribution-free changepoint on the daily event-count
+      // series per type — the rank-based robust companion to q197's
+      // mean-split changepoint; exact integer doubled-rank U_t
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.pettitt(daily, Seq("event_type"), "day", "cnt")
+    }),
     "q349_kendall_w" -> ((s, dir) => {
       // F78 Kendall's W: HOW concordant are the day-wise event-type
       // rankings — the magnitude companion to q295's Friedman χ²,
@@ -1976,6 +1987,47 @@ private[graft] object StatsInferenceQueries {
     // Friedman replay: identical dense day×type zero-fill, integer
     // 2·rank via rank() − 1 + peer count (≡ the RANGE-frame
     // cumulative), exact long rank sums, written-order doubles, 4dp.,
+    // Pettitt replay: identical integer doubled midranks (two value
+    // frames), exact long U_t, the same (|U| desc, t) argmax, one
+    // final double p expression.
+    "q352_pettitt" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS t,
+        |         CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT event_type, t,
+        |    2 * CAST(coalesce(count(*) OVER (PARTITION BY event_type ORDER BY v
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY event_type, v) AS BIGINT)
+        |      + 1 AS r2,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM s
+        |),
+        |u AS (
+        |  SELECT event_type, t, n,
+        |    CAST(sum(r2) OVER (PARTITION BY event_type ORDER BY t
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      - CAST(row_number() OVER (PARTITION BY event_type ORDER BY t)
+        |          AS BIGINT) * (n + 1) AS uu
+        |  FROM r
+        |),
+        |p AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |                               ORDER BY abs(uu) DESC, t) AS pick
+        |  FROM u
+        |)
+        |SELECT event_type, n, CAST(abs(uu) AS BIGINT) AS k_stat, t AS t_star,
+        |       CASE WHEN n > 1 THEN
+        |         round(least(1.0, 2.0 * exp(-6.0 * CAST(abs(uu) AS DOUBLE)
+        |               * CAST(abs(uu) AS DOUBLE)
+        |               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |                    * CAST(n AS DOUBLE)
+        |                  + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 4)
+        |       END AS p_value
+        |FROM p WHERE pick = 1""".stripMargin,
     // Kendall's W replay: q295's rank CTEs through a1/a2, then the W
     // expression mirrored term-for-term (left-associated doubles over
     // exact integers).

@@ -2072,6 +2072,25 @@ class OperatorsSpec extends SparkSpec {
     assert(d.isNullAt(d.fieldIndex("skill")))
   }
 
+  test("Rollups.pettitt: level shift located at the last pre-change index") {
+    // [1,1,1,5,5,5]: doubled midranks 4,4,4,10,10,10 → U = −3,−6,−9,
+    // −6,−3,0 → K = 9 at t = 2 (end of the pre-change segment)
+    val df = Seq(1L, 1L, 1L, 5L, 5L, 5L).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong, v) }.toDF("g", "t", "v")
+    val r = Rollups.pettitt(df, Seq("g"), "t", "v").collect().head
+    assert(r.getLong(r.fieldIndex("n")) == 6L)
+    assert(r.getLong(r.fieldIndex("k_stat")) == 9L)
+    assert(r.getLong(r.fieldIndex("t_star")) == 2L)
+    val p = math.min(1.0, 2.0 * math.exp(-6.0 * 81.0 / (216.0 + 36.0)))
+    assert(r.getDouble(r.fieldIndex("p_value")) == math.round(p * 1e4) / 1e4.toDouble)
+    // constant series: every U_t = 0 → K = 0, earliest t wins, p = 1
+    val const = (0 until 5).map(i => ("c", i.toLong, 7L)).toDF("g", "t", "v")
+    val c = Rollups.pettitt(const, Seq("g"), "t", "v").collect().head
+    assert(c.getLong(c.fieldIndex("k_stat")) == 0L)
+    assert(c.getLong(c.fieldIndex("t_star")) == 0L)
+    assert(c.getDouble(c.fieldIndex("p_value")) == 1.0)
+  }
+
   test("EventWindows.maxConcurrency: half-open overlap count and instant") {
     // [0,10) [5,15) [8,12) overlap 3 at t=8; [15,20) never overlaps
     // ([5,15) ends exactly when [15,20) starts — half-open: no overlap)
