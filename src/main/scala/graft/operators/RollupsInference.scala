@@ -728,6 +728,59 @@ private[operators] trait RollupsInference {
         (col("p_avl") <= alpha).as("signif"))
   }
 
+  /** Two-sample Cramér–von Mises statistic (F80) — the WHOLE-curve
+    * distribution comparison: T = (n1·n2/N²)·Σ_z (F1(z)−F2(z))² over
+    * every pooled observation, completing the trio with F25's KS
+    * (sup-gap: sensitive to one big local split) and F75's W1
+    * (magnitude in value units): CvM accumulates EVERY gap, so many
+    * small persistent differences — the shape drift KS under-weights
+    * — move it first. T ≳ 0.46 rejects at 5% in the classic table.
+    *
+    * Exactness: FULLY integer until one final division — with
+    * value-grain counts, T = Σ_v cnt_v·(F1(v)·n2 − F2(v)·n1)² /
+    * (n1·n2·N²), every term exact in decimal(38,0) (the corpus-moment
+    * contract); no float accumulation on either engine.
+    *
+    * Scale shape: the ksTest contract — one value-grain collapse,
+    * one grain-guarded value-ordered stage, a one-row reduce.
+    *
+    * Output: one row (n1, n2, t_cvm), 4dp.
+    */
+  def cramerVonMises(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(cents.as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = pts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    Rollups.grainGuarded(pts, w, "cramerVonMises")
+      .withColumn("__f1", sum("c1").over(w))
+      .withColumn("__f2", sum("c2").over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("__dv",
+        dec(col("__f1")) * dec(col("n2")) - dec(col("__f2")) * dec(col("n1")))
+      .groupBy("n1", "n2")
+      .agg(sum(dec(col("c1") + col("c2")) * col("__dv") * col("__dv"))
+        .as("__num"))
+      .withColumn("__nn", d(col("n1") + col("n2")))
+      .select(col("n1"), col("n2"),
+        round(d(col("__num")) /
+          (d(col("n1")) * d(col("n2")) * col("__nn") * col("__nn")), 4)
+          .as("t_cvm"))
+  }
+
   /** McNemar's test for PAIRED binary outcomes (F74) — "did the same
     * subjects flip?": the within-subject companion to the independent
     * two-proportion z (F13). Only the discordant cells carry signal:

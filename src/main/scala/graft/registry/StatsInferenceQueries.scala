@@ -355,6 +355,14 @@ private[graft] object StatsInferenceQueries {
       val t = Tables(s, dir)
       Rollups.brownForsythe(t.events, "event_type", "value")
     }),
+    "q353_cvm" -> ((s, dir) => {
+      // F80 whole-curve distribution comparison click vs view —
+      // completes the KS/W1/CvM trio; fully integer until one final
+      // division
+      val t = Tables(s, dir)
+      Rollups.cramerVonMises(t.events, "event_type", "value",
+        "click", "view")
+    }),
     "q352_pettitt" -> ((s, dir) => {
       // D32 distribution-free changepoint on the daily event-count
       // series per type — the rank-based robust companion to q197's
@@ -1987,6 +1995,39 @@ private[graft] object StatsInferenceQueries {
     // Friedman replay: identical dense day×type zero-fill, integer
     // 2·rank via rank() − 1 + peer count (≡ the RANGE-frame
     // cumulative), exact long rank sums, written-order doubles, 4dp.,
+    // CvM replay: the q192 CDF CTE with per-value multiplicities; the
+    // sum is exact HUGEINT (mirrors decimal(38,0)), one final division.
+    "q353_cvm" ->
+      """WITH p AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT v, c1, c2,
+        |         sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+        |         sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
+        |  FROM p
+        |),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM p),
+        |m AS (
+        |  SELECT t.n1, t.n2,
+        |         sum(CAST(c1 + c2 AS HUGEINT)
+        |             * (CAST(f1 AS HUGEINT) * t.n2 - CAST(f2 AS HUGEINT) * t.n1)
+        |             * (CAST(f1 AS HUGEINT) * t.n2 - CAST(f2 AS HUGEINT) * t.n1))
+        |           AS num
+        |  FROM c CROSS JOIN t GROUP BY 1, 2
+        |)
+        |SELECT n1, n2,
+        |       round(CAST(num AS DOUBLE)
+        |             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |                * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)),
+        |             4) AS t_cvm
+        |FROM m""".stripMargin,
     // Pettitt replay: identical integer doubled midranks (two value
     // frames), exact long U_t, the same (|U| desc, t) argmax, one
     // final double p expression.

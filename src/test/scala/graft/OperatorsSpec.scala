@@ -2091,6 +2091,21 @@ class OperatorsSpec extends SparkSpec {
     assert(c.getDouble(c.fieldIndex("p_value")) == 1.0)
   }
 
+  test("Rollups.cramerVonMises: hand-computed pooled-gap sum; identity is 0") {
+    // A={1,2}, B={3,4}: at pooled points (all cnt 1) the D = F1·n2−F2·n1
+    // values are 2,4,2 then 0 at the last — T = (4+16+4)/(2·2·16) = 0.375
+    val df = (Seq(1.0, 2.0).map(("A", _)) ++
+      Seq(3.0, 4.0).map(("B", _))).toDF("g", "v")
+    val r = Rollups.cramerVonMises(df, "g", "v", "A", "B").collect().head
+    assert(r.getLong(r.fieldIndex("n1")) == 2L)
+    assert(r.getLong(r.fieldIndex("n2")) == 2L)
+    assert(r.getDouble(r.fieldIndex("t_cvm")) == 0.375)
+    val same = (Seq(1.0, 5.0).map(("A", _)) ++
+      Seq(1.0, 5.0).map(("B", _))).toDF("g", "v")
+    val z = Rollups.cramerVonMises(same, "g", "v", "A", "B").collect().head
+    assert(z.getDouble(z.fieldIndex("t_cvm")) == 0.0)
+  }
+
   test("EventWindows.maxConcurrency: half-open overlap count and instant") {
     // [0,10) [5,15) [8,12) overlap 3 at t=8; [15,20) never overlaps
     // ([5,15) ends exactly when [15,20) starts — half-open: no overlap)
