@@ -781,6 +781,68 @@ private[operators] trait RollupsInference {
           .as("t_cvm"))
   }
 
+  /** Mood's rank-dispersion test (F81) — do two groups differ in
+    * SPREAD, assumption-free: M = Σ_{i∈A} (r_i − (N+1)/2)² on pooled
+    * midranks (Mood 1954), z against the null moments
+    * E = n1(N²−1)/12, Var = n1·n2·(N+1)(N²−4)/180. Completes the
+    * rank-test family's third axis: F27 asks location, F65 asks
+    * variance homogeneity via level deviations (sensitive to the
+    * center estimate), Mood asks dispersion purely by how far a
+    * group's ranks sit from the middle.
+    *
+    * Exactness: doubled midranks make D = 2r − (N+1) an exact
+    * integer per value, so 4M = Σ c1·D² rides decimal(38,0) exactly
+    * (m publishes as the exact binary quarter 4M/4); z is one double
+    * expression over exact integers, 4dp, with the jonckheere
+    * convention of no-tie null moments (cent quantization keeps real
+    * ties rare; the statistic itself counts them exactly).
+    *
+    * Scale shape: the ksTest contract — one value-grain collapse,
+    * one grain-guarded value-ordered stage, a one-row reduce.
+    *
+    * Output: one row (n1, n2, m, z) — null z on degenerate N ≤ 2.
+    */
+  def moodTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(cents.as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val wAll = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Rollups.grainGuarded(pts, w, "moodTest")
+      .withColumn("__t", col("c1") + col("c2"))
+      .withColumn("__r2",
+        lit(2L) * (sum(col("__t")).over(w) - col("__t")) + col("__t") + 1L)
+      .withColumn("__D", dec(col("__r2")) - dec(sum(col("__t")).over(wAll) + 1L))
+      .agg(
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(dec(col("c1")) * col("__D") * col("__D")).as("__m4"))
+      .withColumn("__nn", d(col("n1") + col("n2")))
+      .withColumn("__e",
+        d(col("n1")) * (col("__nn") * col("__nn") - 1.0) / 12.0)
+      .withColumn("__var",
+        d(col("n1")) * d(col("n2")) * (col("__nn") + 1.0) *
+          (col("__nn") * col("__nn") - 4.0) / 180.0)
+      .select(col("n1"), col("n2"),
+        (d(col("__m4")) / 4.0).as("m"),
+        when(col("__var") > 0,
+          round((d(col("__m4")) / 4.0 - col("__e")) / sqrt(col("__var")), 4))
+          .as("z"))
+  }
+
   /** McNemar's test for PAIRED binary outcomes (F74) — "did the same
     * subjects flip?": the within-subject companion to the independent
     * two-proportion z (F13). Only the discordant cells carry signal:

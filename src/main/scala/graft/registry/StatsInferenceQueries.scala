@@ -355,6 +355,13 @@ private[graft] object StatsInferenceQueries {
       val t = Tables(s, dir)
       Rollups.brownForsythe(t.events, "event_type", "value")
     }),
+    "q354_mood" -> ((s, dir) => {
+      // F81 rank-dispersion click vs view: do the two distributions
+      // differ in SPREAD — the third rank-test axis next to q199's
+      // location and q298's level-deviation variance check
+      val t = Tables(s, dir)
+      Rollups.moodTest(t.events, "event_type", "value", "click", "view")
+    }),
     "q353_cvm" -> ((s, dir) => {
       // F80 whole-curve distribution comparison click vs view —
       // completes the KS/W1/CvM trio; fully integer until one final
@@ -1995,6 +2002,42 @@ private[graft] object StatsInferenceQueries {
     // Friedman replay: identical dense day×type zero-fill, integer
     // 2·rank via rank() − 1 + peer count (≡ the RANGE-frame
     // cumulative), exact long rank sums, written-order doubles, 4dp.,
+    // Mood replay: q199's doubled midranks, D = 2r − (N+1) exact
+    // integers, 4M in HUGEINT, the same null-moment z expression.
+    "q354_mood" ->
+      """WITH p AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT c1, c2,
+        |         2 * (sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |              - (c1 + c2)) + (c1 + c2) + 1 AS r2,
+        |         sum(c1 + c2) OVER () AS nn
+        |  FROM p
+        |),
+        |a AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |         sum(CAST(c1 AS HUGEINT) * (r2 - (nn + 1)) * (r2 - (nn + 1)))
+        |           AS m4
+        |  FROM c
+        |)
+        |SELECT n1, n2, CAST(m4 AS DOUBLE) / 4.0 AS m,
+        |       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2 THEN
+        |         round((CAST(m4 AS DOUBLE) / 4.0
+        |                - CAST(n1 AS DOUBLE)
+        |                  * (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+        |                     - 1.0) / 12.0)
+        |               / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |                      * (CAST(n1 + n2 AS DOUBLE) + 1.0)
+        |                      * (CAST(n1 + n2 AS DOUBLE)
+        |                         * CAST(n1 + n2 AS DOUBLE) - 4.0) / 180.0), 4)
+        |       END AS z
+        |FROM a""".stripMargin,
     // CvM replay: the q192 CDF CTE with per-value multiplicities; the
     // sum is exact HUGEINT (mirrors decimal(38,0)), one final division.
     "q353_cvm" ->

@@ -2106,6 +2106,23 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getDouble(z.fieldIndex("t_cvm")) == 0.0)
   }
 
+  test("Rollups.moodTest: extremes-vs-middle hand example") {
+    // A={1,4} (the extremes), B={2,3}: ranks 1..4, M_A = 2·(1.5)² = 4.5,
+    // E = 2·15/12 = 2.5, Var = 2·2·5·12/180 = 4/3
+    val df = (Seq(1.0, 4.0).map(("A", _)) ++
+      Seq(2.0, 3.0).map(("B", _))).toDF("g", "v")
+    val r = Rollups.moodTest(df, "g", "v", "A", "B").collect().head
+    assert(r.getLong(r.fieldIndex("n1")) == 2L)
+    assert(r.getLong(r.fieldIndex("n2")) == 2L)
+    assert(r.getDouble(r.fieldIndex("m")) == 4.5)
+    val z = (4.5 - 2.5) / math.sqrt(4.0 / 3.0)
+    assert(r.getDouble(r.fieldIndex("z")) == math.round(z * 1e4) / 1e4.toDouble)
+    // N = 2 degenerates the variance → null z
+    val tiny = Seq(("A", 1.0), ("B", 2.0)).toDF("g", "v")
+    val t = Rollups.moodTest(tiny, "g", "v", "A", "B").collect().head
+    assert(t.isNullAt(t.fieldIndex("z")))
+  }
+
   test("EventWindows.maxConcurrency: half-open overlap count and instant") {
     // [0,10) [5,15) [8,12) overlap 3 at t=8; [15,20) never overlaps
     // ([5,15) ends exactly when [15,20) starts — half-open: no overlap)
