@@ -843,6 +843,76 @@ private[operators] trait RollupsInference {
           .as("z"))
   }
 
+  /** Mood's MEDIAN test (F82) — do two groups sit on the same side of
+    * the POOLED median: the bluntest, most assumption-free location
+    * check (Brown–Mood), valuable exactly when heavy tails or
+    * censoring make even ranks suspect; χ² on the 2×2 (group ×
+    * above/≤-median) table. Completes the median family: F19 computes
+    * a weighted median, this one tests with it.
+    *
+    * Exactness: the pooled LOWER median is an integer decision on the
+    * value grain (smallest v with cumulative count ≥ ceil(N/2), both
+    * engines identical); the four cells are exact longs; χ² =
+    * N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) rides decimal(38,0) products
+    * and ends in one double division, 4dp.
+    *
+    * Scale shape: the ksTest contract — one value-grain collapse
+    * (checkpointed: it feeds the median pick AND the cell counts),
+    * one grain-guarded cumulative window, two one-row reduces and a
+    * broadcast of the one-row median.
+    *
+    * Output: one row (n1, n2, median, above_a, above_b, chi2) — null
+    * χ² when a margin is empty (all values on one side).
+    */
+  def moodMedianTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(cents.as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = broadcast(Rollups.grainGuarded(pts, w, "moodMedianTest")
+      .withColumn("__cum", sum(col("c1") + col("c2")).over(w))
+      .withColumn("__n", sum(col("c1") + col("c2")).over(wAll))
+      .filter(col("__cum") * 2L >= col("__n"))
+      .agg(min(col("v")).as("__med")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    pts.crossJoin(med)
+      .agg(
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(when(col("v") > col("__med"), col("c1")).otherwise(0L)).as("above_a"),
+        sum(when(col("v") > col("__med"), col("c2")).otherwise(0L)).as("above_b"),
+        max(col("__med")).as("__m"))
+      .withColumn("__a", dec(col("above_a")))
+      .withColumn("__b", dec(col("n1") - col("above_a")))
+      .withColumn("__c", dec(col("above_b")))
+      .withColumn("__dd", dec(col("n2") - col("above_b")))
+      .withColumn("__num",
+        (col("__a") * col("__dd") - col("__b") * col("__c")) *
+          (col("__a") * col("__dd") - col("__b") * col("__c")) *
+          dec(col("n1") + col("n2")))
+      .withColumn("__den",
+        dec(col("n1")) * dec(col("n2")) *
+          (col("__a") + col("__c")) * (col("__b") + col("__dd")))
+      .select(col("n1"), col("n2"),
+        (col("__m") / 100.0).as("median"),
+        col("above_a"), col("above_b"),
+        when(col("__den") > 0, round(d(col("__num")) / d(col("__den")), 4))
+          .as("chi2"))
+  }
+
   /** McNemar's test for PAIRED binary outcomes (F74) — "did the same
     * subjects flip?": the within-subject companion to the independent
     * two-proportion z (F13). Only the discordant cells carry signal:

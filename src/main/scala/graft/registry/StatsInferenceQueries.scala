@@ -355,6 +355,14 @@ private[graft] object StatsInferenceQueries {
       val t = Tables(s, dir)
       Rollups.brownForsythe(t.events, "event_type", "value")
     }),
+    "q355_median_test" -> ((s, dir) => {
+      // F82 Brown–Mood median test click vs view: the bluntest
+      // assumption-free location check — exact pooled lower median,
+      // exact 2×2 cells, one final χ² division
+      val t = Tables(s, dir)
+      Rollups.moodMedianTest(t.events, "event_type", "value",
+        "click", "view")
+    }),
     "q354_mood" -> ((s, dir) => {
       // F81 rank-dispersion click vs view: do the two distributions
       // differ in SPREAD — the third rank-test axis next to q199's
@@ -2002,6 +2010,48 @@ private[graft] object StatsInferenceQueries {
     // Friedman replay: identical dense day×type zero-fill, integer
     // 2·rank via rank() − 1 + peer count (≡ the RANGE-frame
     // cumulative), exact long rank sums, written-order doubles, 4dp.,
+    // Median-test replay: identical integer lower-median decision on
+    // the value grain, exact cells, HUGEINT χ² products.
+    "q355_median_test" ->
+      """WITH p AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT v,
+        |         sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(c1 + c2) OVER () AS n
+        |  FROM p
+        |),
+        |m AS (SELECT min(v) AS med FROM c WHERE cum * 2 >= n),
+        |a AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN v > m.med THEN c1 ELSE 0 END) AS BIGINT)
+        |      AS above_a,
+        |    CAST(sum(CASE WHEN v > m.med THEN c2 ELSE 0 END) AS BIGINT)
+        |      AS above_b,
+        |    max(m.med) AS med
+        |  FROM p CROSS JOIN m
+        |),
+        |f AS (
+        |  SELECT *,
+        |    (CAST(above_a AS HUGEINT) * (n2 - above_b)
+        |      - CAST(n1 - above_a AS HUGEINT) * above_b) AS det,
+        |    CAST(above_a + above_b AS HUGEINT) AS col1,
+        |    CAST((n1 - above_a) + (n2 - above_b) AS HUGEINT) AS col2
+        |  FROM a
+        |)
+        |SELECT n1, n2, med / 100.0 AS median, above_a, above_b,
+        |       CASE WHEN n1 > 0 AND n2 > 0 AND col1 > 0 AND col2 > 0 THEN
+        |         round(CAST(det * det * (n1 + n2) AS DOUBLE)
+        |               / CAST(CAST(n1 AS HUGEINT) * n2 * col1 * col2
+        |                      AS DOUBLE), 4)
+        |       END AS chi2
+        |FROM f""".stripMargin,
     // Mood replay: q199's doubled midranks, D = 2r − (N+1) exact
     // integers, 4M in HUGEINT, the same null-moment z expression.
     "q354_mood" ->

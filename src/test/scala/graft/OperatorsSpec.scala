@@ -2123,6 +2123,24 @@ class OperatorsSpec extends SparkSpec {
     assert(t.isNullAt(t.fieldIndex("z")))
   }
 
+  test("Rollups.moodMedianTest: exact pooled median split and chi2") {
+    // A={1,2,3}, B={4,5}: pooled lower median 3; above: A 0, B 2 →
+    // χ² = 5·(0·0 − 3·2)²/(3·2·2·3) = 5
+    val df = (Seq(1.0, 2.0, 3.0).map(("A", _)) ++
+      Seq(4.0, 5.0).map(("B", _))).toDF("g", "v")
+    val r = Rollups.moodMedianTest(df, "g", "v", "A", "B").collect().head
+    assert(r.getLong(r.fieldIndex("n1")) == 3L)
+    assert(r.getLong(r.fieldIndex("n2")) == 2L)
+    assert(r.getDouble(r.fieldIndex("median")) == 3.0)
+    assert(r.getLong(r.fieldIndex("above_a")) == 0L)
+    assert(r.getLong(r.fieldIndex("above_b")) == 2L)
+    assert(r.getDouble(r.fieldIndex("chi2")) == 5.0)
+    // all values equal → empty 'above' margin → null chi2
+    val flat = Seq(("A", 2.0), ("A", 2.0), ("B", 2.0)).toDF("g", "v")
+    val f = Rollups.moodMedianTest(flat, "g", "v", "A", "B").collect().head
+    assert(f.isNullAt(f.fieldIndex("chi2")))
+  }
+
   test("EventWindows.maxConcurrency: half-open overlap count and instant") {
     // [0,10) [5,15) [8,12) overlap 3 at t=8; [15,20) never overlaps
     // ([5,15) ends exactly when [15,20) starts — half-open: no overlap)
