@@ -689,6 +689,19 @@ object Dedup {
     * partitioning with the groupBy, adding no exchange) and reported
     * via observe() metrics, never silently. Below the cap the join
     * remains EXACT.
+    *
+    * EXACT-DUP FAMILY COLLAPSE: a corpus with byte-identical
+    * duplicate families (every real crawl) makes verified-pair volume
+    * quadratic in family size — the one term that grew 13× for 10×
+    * data at the sf1 bench. Identical text ⇒ identical shingle set,
+    * so families (md5(text) grain) collapse to ONE representative
+    * before any posting/pairing work; df and posting-bucket mass stay
+    * DOC grain via the family-size weight Σf (the cap is ordering/
+    * mass SEMANTICS, not just cost), and doc-grain pairs are emitted
+    * arithmetically at the very end (family cross-products, plus
+    * intra-family pairs at jaccard 1). Lossless: same pair set as the
+    * doc-grain formulation, pinned by the brute-force equivalence
+    * spec.
     */
   def prefixJaccardJoin(
       df: DataFrame,
@@ -700,44 +713,65 @@ object Dedup {
       postingCap: Int = graft.GraftConf.PrefixPostingCap): DataFrame = {
     require(tNum > 0 && tDen >= tNum, "threshold must be in (0, 1]")
     val cd = tNum + tDen
-    val docs = spread(df)
-      .select(col(idCol).as("id"),
+    val base = spread(df)
+      .select(col(idCol).as("id"), md5(col(textCol)).as("fk"),
         graft.functions.NativeText.wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), col("sh"), size(col("sh")).as("sz"))
-    val inv = docs.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-    val dfc = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    // one rep per exact-dup family; f = family size (doc-grain mass).
+    // first(sh) is deterministic here: identical text ⇒ identical set
+    val reps = base.groupBy("fk")
+      .agg(count(lit(1)).as("f"), first("sh").as("sh"))
+      .select(col("fk"), col("f"), col("sh"), size(col("sh")).as("sz"))
+    val inv = reps.select(col("fk"), col("f"), col("sz"), explode(col("sh")).as("s"))
+    val dfc = inv.groupBy("s").agg(sum("f").as("df"))
     val sorted = inv.join(dfc, Seq("s"))
-      .select(col("id"), col("sz"),
+      .select(col("fk"), col("f"), col("sz"),
         concat(lpad(col("df").cast("string"), 10, "0"), lit(":"), col("s")).as("k"))
-      .groupBy("id", "sz")
+      .groupBy("fk", "f", "sz")
       .agg(array_sort(collect_list(col("k"))).as("ks"))
       .withColumn("p",
         col("sz") - ((col("sz") * tNum + (cd - 1)) / cd).cast("int") + 1)
     val bucketWin = Window.partitionBy("k")
     val cand = sorted
-      .select(col("id"), explode(slice(col("ks"), lit(1), col("p"))).as("k"))
-      .withColumn("bn", count(lit(1)).over(bucketWin))
+      .select(col("fk"), col("f"), explode(slice(col("ks"), lit(1), col("p"))).as("k"))
+      .withColumn("bn", sum(col("f")).over(bucketWin))
       .observe(s"graft_prefix_posting_cap_${obsId.incrementAndGet()}",
-        sum(when(col("bn") > postingCap, 1L).otherwise(0L)).as("dropped_postings"),
+        sum(when(col("bn") > postingCap, col("f")).otherwise(0L)).as("dropped_postings"),
         coalesce(max(col("bn")), lit(0L)).as("max_bucket_size"))
       .filter(col("bn") > 1 && col("bn") <= postingCap)
-      .groupBy("k").agg(collect_list(col("id")).as("ids"))
-      .select(explode(col("ids")).as("idA"), col("ids"))
-      .select(col("idA"), explode(col("ids")).as("idB"))
-      .filter(col("idA") < col("idB"))
+      .groupBy("k").agg(collect_list(struct(col("fk"), col("f"))).as("fs"))
+      .select(explode(col("fs")).as("a"), col("fs"))
+      .select(col("a"), explode(col("fs")).as("b"))
+      // cross-family candidates, plus each multi-doc family once
+      // (its docs pair with each other at jaccard 1)
+      .filter(col("a.fk") < col("b.fk") ||
+        (col("a.fk") === col("b.fk") && col("a.f") >= 2))
+      .select(col("a.fk").as("fkA"), col("b.fk").as("fkB"))
       .distinct()
-    val sets = docs.select(col("id"), col("sh"), col("sz"))
-    cand
-      .join(sets.select(col("id").as("idA"), col("sh").as("shA"),
-        col("sz").as("szA")), Seq("idA"))
-      .join(sets.select(col("id").as("idB"), col("sh").as("shB"),
-        col("sz").as("szB")), Seq("idB"))
-      .withColumn("common", size(array_intersect(col("shA"), col("shB"))))
+    val sets = reps.select(col("fk"), col("sh"), col("sz"))
+    val rpass = cand
+      .join(sets.select(col("fk").as("fkA"), col("sh").as("shA"),
+        col("sz").as("szA")), Seq("fkA"))
+      .join(sets.select(col("fk").as("fkB"), col("sh").as("shB"),
+        col("sz").as("szB")), Seq("fkB"))
+      .withColumn("common",
+        when(col("fkA") === col("fkB"), col("szA"))
+          .otherwise(size(array_intersect(col("shA"), col("shB")))))
       .filter(col("common") * tDen >= (col("szA") + col("szB") - col("common")) * tNum)
-      .select(col("idA"), col("idB"),
+      .select(col("fkA"), col("fkB"),
         round(col("common").cast("double") /
           (col("szA") + col("szB") - col("common")), 4).as("jaccard"))
+    // expand family pairs back to doc grain — output volume only.
+    // No shingle recompute and no size filter here: the inner join
+    // against surviving families implies both (same md5 ⇒ same text
+    // ⇒ same shingle set as the family rep that passed the filter)
+    val ids = spread(df).select(md5(col(textCol)).as("fk"), col(idCol).as("id"))
+    rpass
+      .join(ids.select(col("fk").as("fkA"), col("id").as("ida")), Seq("fkA"))
+      .join(ids.select(col("fk").as("fkB"), col("id").as("idb")), Seq("fkB"))
+      .filter(col("fkA") =!= col("fkB") || col("ida") < col("idb"))
+      .select(least(col("ida"), col("idb")).as("idA"),
+        greatest(col("ida"), col("idb")).as("idB"), col("jaccard"))
   }
 
   /** Fuzzy record linkage at edit distance ≤ 1, EXACT and

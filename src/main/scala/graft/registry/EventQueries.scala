@@ -324,6 +324,9 @@ private[graft] object EventQueries {
           col("c.c").as("est"))
       val wins = broadcast(mat.select("window_start", "n"))
       val exact = t.events
+        // mirrors tumblingFreq's null-key filter (ADVICE r14): neither
+        // side counts a null user group
+        .filter(col("user_id").isNotNull)
         .select(date_trunc("hour", col("ts")).as("window_start"),
           col("user_id").cast("string").as("item"))
         .groupBy("window_start", "item").agg(count(lit(1)).as("n_true"))
@@ -1414,7 +1417,7 @@ private[graft] object EventQueries {
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
         |         CAST(user_id AS VARCHAR) AS item,
         |         CAST(count(*) AS BIGINT) AS n_true
-        |  FROM events GROUP BY 1, 2
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
         |),
         |fin AS (
         |  SELECT cnt.* FROM cnt, mx

@@ -149,11 +149,9 @@ private[graft] object RefQueries {
       // shuffle collapsed grains only (the window form remains as the
       // non-collapsing E2/E3 attachment inside q15's chain)
       val t = Tables(s, dir)
-      val pairMax = t.evidence.groupBy("targetId", "datasourceId")
-        .agg(round(max("score"), 4).as("max_score"))
-      val firstYear = t.evidence.groupBy("targetId")
-        .agg(min("year").as("first_year"))
-      pairMax.join(firstYear, "targetId")
+      Rollups.keyGrainAttach(t.evidence, Seq("targetId", "datasourceId"), Seq(
+          Seq("targetId", "datasourceId") -> Seq(round(max("score"), 4).as("max_score")),
+          Seq("targetId") -> Seq(min("year").as("first_year"))))
         .select(col("targetId"), col("datasourceId"), col("first_year"),
           col("max_score"))
     }),
@@ -165,12 +163,8 @@ private[graft] object RefQueries {
       // target), makes n_targets a count and n_pairs a sum — zero
       // expand, every shuffle on an already-collapsed grain
       val t = Tables(s, dir)
-      t.evidence
-        .select("year", "datasourceId", "diseaseId", "targetId").distinct()
-        .groupBy("year", "datasourceId", "targetId")
-        .agg(count(lit(1)).as("__np"))
-        .groupBy("year", "datasourceId")
-        .agg(count(lit(1)).as("n_targets"), sum("__np").as("n_pairs"))
+      Rollups.distinctCascade(t.evidence, Seq("year", "datasourceId"),
+        Seq("targetId"), Seq("diseaseId"), "n_targets", "n_pairs")
     }),
     "q14_crosstab" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -667,11 +661,18 @@ private[graft] object RefQueries {
          |       round(max(score) OVER (PARTITION BY targetId, datasourceId), 4) AS max_score
          |FROM ev""".stripMargin,
     "q13_distinct_rollup" ->
-      s"""WITH $EvSql
+      // tuple-distinct cascade, mirroring Rollups.distinctCascade
+      // exactly: counts NULL key groups and is collision-free for ids
+      // containing '|' (the old count(DISTINCT ...)/'||'-concat pair
+      // dropped nulls and could conflate — latent mismatch, ADVICE r14)
+      s"""WITH $EvSql,
+         |tup AS (SELECT DISTINCT year, datasourceId, diseaseId, targetId FROM ev),
+         |sub AS (SELECT year, datasourceId, targetId, count(*) AS np
+         |        FROM tup GROUP BY 1, 2, 3)
          |SELECT year, datasourceId,
-         |       CAST(count(DISTINCT targetId) AS BIGINT) AS n_targets,
-         |       CAST(count(DISTINCT CAST(diseaseId AS VARCHAR) || '|' || CAST(targetId AS VARCHAR)) AS BIGINT) AS n_pairs
-         |FROM ev GROUP BY 1, 2""".stripMargin,
+         |       CAST(count(*) AS BIGINT) AS n_targets,
+         |       CAST(sum(np) AS BIGINT) AS n_pairs
+         |FROM sub GROUP BY 1, 2""".stripMargin,
     "q14_crosstab" ->
       s"""WITH $EvSql
          |SELECT year,

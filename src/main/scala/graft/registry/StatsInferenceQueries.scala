@@ -444,7 +444,7 @@ private[graft] object StatsInferenceQueries {
     // the engine-identical floor(x*1e12 + 0.5), one final expression.
     "q343_ljung_box" ->
       """WITH s AS (
-        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
         |         CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1, 2
         |),

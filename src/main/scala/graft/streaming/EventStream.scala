@@ -161,6 +161,10 @@ object EventStream {
       duration: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
     events
+      // null keys carry no frequency information and would reach the
+      // sketch as a null string while the exact gate counts the null
+      // group — filter here and mirror in the q351 exact side/oracle
+      .filter(col(keyCol).isNotNull)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), duration))
       .agg(

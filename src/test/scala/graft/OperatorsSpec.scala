@@ -897,6 +897,28 @@ class OperatorsSpec extends SparkSpec {
       want.contains((4L, 5L)), "planted dups must be present")
   }
 
+  test("Dedup.prefixJaccardJoin family collapse expands dup families losslessly") {
+    import spark.implicits._
+    // one 3-doc exact-dup family, one 2-doc family that near-dups it,
+    // one unrelated doc: intra-family pairs emit at jaccard 1.0 and
+    // every cross-family doc pair carries the family-grain jaccard
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = a + " extra"
+    val docs = Seq(1L -> a, 2L -> a, 3L -> a, 10L -> b, 11L -> b,
+      20L -> "totally unrelated words sharing no three gram with the others"
+    ).toDF("doc_id", "text")
+    val m = Dedup.prefixJaccardJoin(docs).collect()
+      .map(r => (r.getAs[Long]("idA"), r.getAs[Long]("idB")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val intra = Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L))
+    val cross = Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L))
+    assert(m.keySet == intra ++ cross, s"got ${m.keySet}")
+    intra.foreach(p => assert(m(p) == 1.0, s"$p"))
+    // a: 8 shingles, b: 9 containing all of a's → J = 8/9
+    cross.foreach(p => assert(m(p) == 0.8889, s"$p -> ${m(p)}"))
+  }
+
   test("Rollups.ewmaHalf matches the recurrence e_t = (x_t + e_{t-1})/2 exactly") {
     import spark.implicits._
     val xs = Seq(4.0, 8.0, 1.0, 5.0, 2.0)
