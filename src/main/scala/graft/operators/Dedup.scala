@@ -923,9 +923,13 @@ object Dedup {
     index(spread(corpus), "id")
       .join(if (doBroadcast) broadcast(bench) else bench, Seq("s"))
       .groupBy("id")
+      // two countDistincts in one aggregate would Expand every match
+      // row twice (the q13 sf1 class); per-DOC matched sets are
+      // bounded by doc length × benchmark overlap, so set-accumulate
+      // once and take sizes — one aggregate, no Expand
       .agg(
-        countDistinct("s").as("n_shared"),
-        countDistinct("bench_id").as("n_bench_docs"))
+        size(collect_set(col("s"))).cast("long").as("n_shared"),
+        size(collect_set(col("bench_id"))).cast("long").as("n_bench_docs"))
       .filter(col("n_shared") >= minShared)
       .withColumnRenamed("id", "doc_id")
   }

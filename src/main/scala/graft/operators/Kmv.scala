@@ -72,7 +72,7 @@ object Kmv {
     val b = sk.select(col(segCol).as("seg_b"), col("sk").as("skb"),
       col("n_exact").as("n_b"))
     val u = slice(array_sort(array_union(col("ska"), col("skb"))), 1, k)
-    a.join(b, col("seg_a") < col("seg_b"))
+    a.join(broadcast(b), col("seg_a") < col("seg_b"))
       .withColumn("__u", u)
       .withColumn("__inter",
         size(array_intersect(array_intersect(col("__u"), col("ska")), col("skb")))

@@ -537,7 +537,8 @@ private[operators] trait RollupsInference {
       .filter(col("__nn") > col("__k"))
       .select((col("__sswt") / (col("__nn") - col("__k"))).as("__msw"))
     g.select(col("g").as("group_a"), col("n").as("n_a"), col("s").as("__sa"))
-      .join(g.select(col("g").as("group_b"), col("n").as("n_b"), col("s").as("__sb")),
+      .join(broadcast(
+          g.select(col("g").as("group_b"), col("n").as("n_b"), col("s").as("__sb"))),
         col("group_a") < col("group_b"))
       .crossJoin(broadcast(msw))
       .withColumn("__diff",

@@ -415,11 +415,17 @@ private[graft] object InfraQueries {
       // linear-counting branch; thousands of event ids → raw
       // estimator at larger scale factors)
       val t = Tables(s, dir)
-      t.events.groupBy("event_type").agg(
+      // user and event distincts in SEPARATE single-distinct
+      // aggregates joined at type grain: one aggregate with both
+      // would Expand every event row twice (the q13 sf1 class)
+      val u = t.events.groupBy("event_type").agg(
         countDistinct(col("user_id")).as("u_exact"),
-        round(graft.functions.HllSketch.hllDistinct(col("user_id")), 4).as("u_hll"),
+        round(graft.functions.HllSketch.hllDistinct(col("user_id")), 4).as("u_hll"))
+      val e = t.events.groupBy("event_type").agg(
         countDistinct(col("event_id")).as("e_exact"),
         round(graft.functions.HllSketch.hllDistinct(col("event_id")), 4).as("e_hll"))
+      u.join(e, Seq("event_type"))
+        .select("event_type", "u_exact", "u_hll", "e_exact", "e_hll")
     }),
     "q66_sql_surface" -> ((s, dir) => {
       // I5: the injected SQL functions driven through spark.sql — the

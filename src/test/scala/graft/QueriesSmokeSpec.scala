@@ -1,7 +1,12 @@
 package graft
 
 /** Every registered query must run on sf0.001; the flagship must be
-  * non-empty; every query with an oracle must have matching names.
+  * non-empty; every query with an oracle must have matching names;
+  * and every query's OPTIMIZED PLAN must pass the scale lint
+  * (graft.plans.PlanLint — the registry-wide guarantee that the plan
+  * classes the sf1 bench caught as instances, q12's
+  * distinct-over-window and q13's multi-distinct Expand, cannot be
+  * reintroduced silently; fixtures in PlanLintSpec).
   */
 class QueriesSmokeSpec extends SparkSpec {
 
@@ -14,9 +19,52 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  /** Sanctioned (query, rule) lint findings — each carries WHY the
+    * flagged shape is scale-safe where the linter cannot see it
+    * (input cardinality is not statically knowable). Adding a query
+    * here requires the same justification discipline.
+    */
+  private val sanctioned: Map[String, Map[String, String]] = Map(
+    "q15_approval_composite" -> Map("distinct-over-window" ->
+      ("the min-approval window partitions the DRUG DIM join by target " +
+        "(dim grain, ~1e4 rows at any corpus scale); the distinct " +
+        "collapses that dim-grain frame, never evidence data grain")),
+    "q17_phase_union" -> Map("distinct-over-window" ->
+      ("same drug-dim approval windows as q15 (plus the max-novelty " +
+        "window at (target, source) series grain under a broadcast " +
+        "semi-join of the approval key set)")),
+    "q86_shuffled_correlation" -> Map("distinct-over-window" ->
+      ("deterministicPermute's rank windows run in (source, md5-shard) " +
+        "lanes bounded at pairs/(sources*16); the distinct collapses " +
+        "the PAIR-grain peak frame, not raw data grain")),
+    "q127_profile" -> Map("multi-distinct-expand" ->
+      ("one-scan EXACT profiling deliberately trades an Expand whose " +
+        "fan is the PROFILED COLUMN COUNT (a static constant, not a " +
+        "data property) for N separate scans; measured sf1 trend " +
+        "ratio 0.92 (sub-linear)")),
+    "q182_chi_square" -> Map("multi-distinct-expand" ->
+      ("the two level countDistincts run on the contingency CELL " +
+        "grain (post-combine, bounded by r*c category levels), so " +
+        "the Expand doubles a dim-sized frame; measured sf1 trend " +
+        "ratio 0.78")))
+
+  test("sanctioned lint findings are still live (no stale sanctions)") {
+    sanctioned.foreach { case (name, rules) =>
+      val fired = graft.plans.PlanLint
+        .lint(SparkEntry.queries(name)(spark, sfDir)).map(_.rule).toSet
+      val stale = rules.keySet -- fired
+      assert(stale.isEmpty, s"$name sanctions no longer fire: $stale")
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
       val df = fn(spark, sfDir)
+      val allowed = sanctioned.getOrElse(name, Map.empty).keySet
+      val bad = graft.plans.PlanLint.lint(df).filterNot(f => allowed(f.rule))
+      assert(bad.isEmpty,
+        s"scale-lint findings (rewrite or sanction with justification): " +
+          s"${bad.mkString("; ")}")
       assert(df.count() >= 0)
     }
   }

@@ -62,6 +62,34 @@ else
   exit 1
 fi
 
+# Deployable-artifact leg (VERDICT r14 item 7): the engine is a
+# LIBRARY — prove the thin jar runs outside sbt's classpath. sbt
+# package, then spark-submit --class graft.Verify against sf0.001 on
+# three representative queries, oracle-compared. ~40 s.
+echo "[green_gate] jar leg: sbt package + spark-submit smoke..."
+if ! sbt -batch package > /tmp/green_gate_jar.log 2>&1; then
+  echo "[green_gate] *** sbt package FAILED:"; tail -10 /tmp/green_gate_jar.log
+  exit 1
+fi
+JAR=$(ls target/scala-2.13/timeseriesspark_*[!s].jar | grep -v tests | head -1)
+JAR_OUT=$(mktemp -d /tmp/green_gate_jarout.XXXXXX)
+JAR_QS=q20_tpch_q1,q01_assoc_datasource,q31_dedup_minhash
+if ! SPARK_LOCAL_IP=127.0.0.1 /opt/spark/bin/spark-submit --class graft.Verify \
+    --master 'local[8]' --driver-memory 8g "$JAR" \
+    /root/testdata/sf0.001 "$JAR_OUT" "$JAR_QS" \
+    >> /tmp/green_gate_jar.log 2>&1; then
+  echo "[green_gate] *** spark-submit smoke FAILED:"; tail -15 /tmp/green_gate_jar.log
+  exit 1
+fi
+if python3 tools/oracle_check.py /root/testdata/sf0.001 "$JAR_OUT" "$JAR_QS" \
+    > /tmp/green_gate_jar_oracle.log 2>&1 \
+    && [ "$(grep -c ': MATCH' /tmp/green_gate_jar_oracle.log)" = 3 ]; then
+  echo "[green_gate] jar leg GREEN: $JAR runs under spark-submit, 3/3 MATCH."
+else
+  echo "[green_gate] *** JAR SMOKE ORACLE RED:"; cat /tmp/green_gate_jar_oracle.log
+  exit 1
+fi
+
 if [ "$WITH_ORACLE" = 1 ]; then
   OUT=$(mktemp -d /tmp/green_gate_verify.XXXXXX)
   echo "[green_gate] oracle leg: Verify at $SF_DIR -> $OUT ..."
