@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * rollups (novelty_distribution.py:499–562) and crosstabs
   * (novelty_distribution.py:746–798).
   */
-object Rollups extends RollupsInference with RollupsEval {
+object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms {
 
   /** Keep the top-n rows per key under `order` (deterministic — include
     * a unique tie-breaker in `order`).
@@ -52,54 +52,6 @@ object Rollups extends RollupsInference with RollupsEval {
   def distinctRollup(df: DataFrame, groupCols: Seq[String], distinctCol: Column, out: String): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(countDistinct(distinctCol).as(out))
-
-  /** Scale-safe form of the "window-attach chain ending in .distinct()"
-    * shape: each attachment is a map-side-combined aggregate at its own
-    * key grain, joined back at the collapsed output grain. The window
-    * form sorts the FULL data grain inside fixed-width partitions
-    * before collapsing (the q12 sf1 catch: 33x wall for 10x data);
-    * this form only ever shuffles collapsed grains. Attachments whose
-    * keys equal `grain` become the base aggregate (no extra distinct).
-    * Keep `attachWindowAgg` for chains that do NOT collapse afterwards.
-    */
-  def keyGrainAttach(
-      df: DataFrame,
-      grain: Seq[String],
-      attachments: Seq[(Seq[String], Seq[Column])]): DataFrame = {
-    val (atGrain, others) = attachments.partition(_._1.toSet == grain.toSet)
-    val base =
-      if (atGrain.nonEmpty) {
-        val aggs = atGrain.flatMap(_._2)
-        df.groupBy(grain.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      } else df.select(grain.map(col): _*).distinct()
-    others.foldLeft(base) { case (acc, (keys, aggs)) =>
-      acc.join(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*), keys)
-    }
-  }
-
-  /** Two nested distinct-counts per group WITHOUT the Expand: Spark
-    * plans N distinct aggregates in one Aggregate as an N-way row
-    * Expand (the q13 sf1 catch: 52x wall for 10x data). Collapse to
-    * the distinct (group, key, extra) tuple once — map-side partial
-    * dedup — then count at (group, key) grain and roll up, so
-    * `keyOut` = distinct key tuples and `pairOut` = distinct
-    * (key, extra) tuples per group, with every shuffle on an
-    * already-collapsed grain. Null keys count as a group of their own
-    * (tuple semantics, not count(DISTINCT)'s null-dropping — mirror
-    * the same tuple-distinct cascade in any oracle).
-    */
-  def distinctCascade(
-      df: DataFrame,
-      groupCols: Seq[String],
-      keyCols: Seq[String],
-      extraCols: Seq[String],
-      keyOut: String,
-      pairOut: String): DataFrame =
-    df.select((groupCols ++ keyCols ++ extraCols).map(col): _*).distinct()
-      .groupBy((groupCols ++ keyCols).map(col): _*)
-      .agg(count(lit(1)).as("__subn"))
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as(keyOut), sum("__subn").as(pairOut))
 
   /** Conditional-aggregation crosstab: one column per pivot value
     * (static pivot list keeps the plan a single aggregate — no

@@ -63,10 +63,16 @@ object StreamProfile {
           .toDF(),
         mode = "update").count()
 
-    // (a) streaming floor: same source, trivial keyed state —
-    // with the default (HDFS-backed) store and with q318's RocksDB
+    // (a0) stateless replay: pure streaming startup, no state store
     for (i <- 1 to 3)
-      time(s"stream_passthrough_hdfs_$i")(passthrough())
+      time(s"stream_stateless_$i") {
+        StreamQueries.materialize(
+          StreamQueries.streamTable(spark, sfDir, "documents")
+            .select(col("doc_id"))).count()
+      }
+
+    // (a) streaming floor: same source, trivial keyed state on
+    // q318's RocksDB store (transformWithState requires RocksDB)
     for (i <- 1 to 3)
       time(s"stream_passthrough_rocks_$i") {
         graft.streaming.EventStream.withRocksDbStateStore(spark)(passthrough())
