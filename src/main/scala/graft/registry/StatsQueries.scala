@@ -352,6 +352,68 @@ private[graft] object StatsQueries {
           round(col("__mx").cast("double") / col("total"), 6)
             .as("top_key_share"))
     }),
+    "q356_tpch_q21" -> ((s, dir) => {
+      // F83 TPC-H Q21 shape (suppliers who kept orders waiting): the
+      // notorious correlated EXISTS / NOT EXISTS pair DECORRELATED
+      // into one supplier-order-grain dedup plus one order-grain
+      // aggregate — EXISTS(another supplier) ⇔ ns >= 2, NOT
+      // EXISTS(another LATE supplier) ⇔ nl = 1 for a late supplier's
+      // own row. No Expand, no countDistinct, every shuffle on a
+      // collapsed grain (the distinctCascade discipline). The
+      // testdata carries no receipt/commit dates, so late :=
+      // shipped > 60 days after the order date, and numwait counts
+      // qualifying ORDERS (the collapsed grain), not lineitems.
+      val t = Tables(s, dir)
+      val l1 = t.lineitem
+        .join(t.orders.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+      val os = l1.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+          .otherwise(0L)).as("__late"))
+        .localCheckpoint() // feeds the order stats AND the probe side
+      val st = os.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("__ns"), sum("__late").as("__nl"))
+      val dim = broadcast(t.supplier
+        .join(broadcast(t.nation.filter(col("n_name").like("NATION_1%"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name")))
+      os.filter(col("__late") === 1L)
+        .join(st, "l_orderkey")
+        .filter(col("__ns") >= 2 && col("__nl") === 1L)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+        .join(dim, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    }),
+    "q357_tpch_q20" -> ((s, dir) => {
+      // F84 TPC-H Q20 shape (dominant part suppliers): the nested
+      // IN-subquery semi-join chain — suppliers whose shipped share
+      // of some 'red' part exceeds twice the part's average supplier
+      // share (the testdata has no partsupp/availqty, so the
+      // availability predicate becomes a share threshold; same
+      // decorrelated sp-grain-vs-part-grain integer comparison, same
+      // final LEFT SEMI into the supplier dim). sq·ns > 2·tq is pure
+      // long arithmetic — no ratio boundary to ulp-flip.
+      val t = Tables(s, dir)
+      val pp = broadcast(t.part.filter(col("p_name").like("red %"))
+        .select("p_partkey"))
+      val ps = t.lineitem
+        .join(pp, col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("__sq"))
+        .localCheckpoint() // feeds the part totals AND the probe side
+      val pt = ps.groupBy("l_partkey")
+        .agg(sum("__sq").as("__tq"), count(lit(1)).as("__ns"))
+      val qual = ps.join(pt, "l_partkey")
+        .filter(col("__sq") * col("__ns") > col("__tq") * 2)
+        .select("l_suppkey").distinct()
+      t.supplier
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -819,5 +881,61 @@ private[graft] object StatsQueries {
         |FROM s, mx""".stripMargin,
     // Newcombe replay: per-arm Wilson bounds with the same written
     // order as q300, hybrid combination, 4dp.,
+    // Q21 replay: same decorrelation — supplier-order dedup (os,
+    // MATERIALIZED: read by the order stats and the probe), order
+    // stats, qualifying orders counted per supplier, nation-filtered
+    // dim join, deterministic (numwait DESC, s_name) top-100.
+    "q356_tpch_q21" ->
+      """WITH l1 AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |              THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |),
+        |os AS MATERIALIZED (
+        |  SELECT l_orderkey, l_suppkey, max(late) AS late
+        |  FROM l1 GROUP BY 1, 2
+        |),
+        |st AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS ns,
+        |         CAST(sum(late) AS BIGINT) AS nl
+        |  FROM os GROUP BY 1
+        |),
+        |w AS (
+        |  SELECT os.l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |  FROM os JOIN st USING (l_orderkey)
+        |  WHERE os.late = 1 AND st.ns >= 2 AND st.nl = 1
+        |  GROUP BY 1
+        |)
+        |SELECT s.s_name, w.numwait
+        |FROM w
+        |JOIN supplier s ON s.s_suppkey = w.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_name LIKE 'NATION_1%'
+        |ORDER BY w.numwait DESC, s.s_name LIMIT 100""".stripMargin,
+    // Q20 replay: ps MATERIALIZED (read by part totals and probe);
+    // the share test is the same pure-long sq*ns > 2*tq.
+    "q357_tpch_q20" ->
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+        |ps AS MATERIALIZED (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem JOIN pp ON l_partkey = p_partkey
+        |  GROUP BY 1, 2
+        |),
+        |pt AS (
+        |  SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq,
+        |         CAST(count(*) AS BIGINT) AS ns
+        |  FROM ps GROUP BY 1
+        |),
+        |qual AS (
+        |  SELECT DISTINCT ps.l_suppkey
+        |  FROM ps JOIN pt USING (l_partkey)
+        |  WHERE ps.sq * pt.ns > pt.tq * 2
+        |)
+        |SELECT s.s_suppkey, s.s_name
+        |FROM supplier s JOIN qual q ON s.s_suppkey = q.l_suppkey
+        |ORDER BY s.s_suppkey""".stripMargin,
   )
 }
