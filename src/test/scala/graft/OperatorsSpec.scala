@@ -351,6 +351,41 @@ class OperatorsSpec extends SparkSpec {
     assert(out.find(_._1 == 2L).get._3 == 2L)
   }
 
+  test("Rollups.keyGrainAttach equals the window-attach-then-distinct form") {
+    import spark.implicits._
+    val df = Seq(("t1", "a", 2001, 0.5), ("t1", "a", 2003, 0.9),
+      ("t1", "b", 2002, 0.4), ("t2", "a", 2005, 0.7))
+      .toDF("k", "src", "year", "score")
+    val got = Rollups.keyGrainAttach(df, Seq("k", "src"), Seq(
+        Seq("k", "src") -> Seq(max("score").as("mx")),
+        Seq("k") -> Seq(min("year").as("fy"))))
+      .select("k", "src", "fy", "mx")
+      .as[(String, String, Int, Double)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+    val want = df.select(col("k"), col("src"),
+        min("year").over(w.partitionBy("k")).as("fy"),
+        max("score").over(w.partitionBy("k", "src")).as("mx"))
+      .distinct().as[(String, String, Int, Double)].collect().toSet
+    assert(got == want, s"$got vs $want")
+    assert(got == Set(("t1", "a", 2001, 0.9), ("t1", "b", 2001, 0.4),
+      ("t2", "a", 2005, 0.7)))
+  }
+
+  test("Rollups.distinctCascade equals the countDistinct pair; nulls are a group") {
+    import spark.implicits._
+    val df = Seq((2001, "s", "d1", "t1"), (2001, "s", "d1", "t1"),
+      (2001, "s", "d2", "t1"), (2001, "s", "d1", "t2"),
+      (2002, "s", "d1", null))
+      .toDF("year", "src", "dis", "tgt")
+    val got = Rollups.distinctCascade(df, Seq("year", "src"),
+        Seq("tgt"), Seq("dis"), "n_t", "n_p")
+      .as[(Int, String, Long, Long)].collect().toSet
+    // 2001: distinct tgt {t1,t2} = 2; distinct (tgt,dis) = 3.
+    // 2002: the NULL tgt counts as its own group (tuple semantics,
+    // unlike count(DISTINCT) — the documented contract)
+    assert(got == Set((2001, "s", 2L, 3L), (2002, "s", 1L, 1L)), got)
+  }
+
   test("Rollups.mixtureEntropy computes H and effective categories") {
     val docs = Seq(("en", "a"), ("en", "a"), ("en", "b"), ("en", "b"),
       ("fr", "a")).toDF("lang", "source")
