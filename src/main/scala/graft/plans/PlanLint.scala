@@ -35,6 +35,10 @@ import org.apache.spark.sql.catalyst.plans.logical._
   *    collapsed by an upstream Aggregate/Window — a single-partition
   *    sort of the whole input. (The rank-statistic family's global
   *    cumulative windows ride value-grain aggregates and pass.)
+  *  - `single-partition-funnel`: repartition(1)/coalesce(1) over an
+  *    unbounded input inside a query plan — one task processes
+  *    everything downstream (output writers belong in the sink, not
+  *    the plan).
   */
 object PlanLint extends PredicateHelper {
 
@@ -90,6 +94,9 @@ object PlanLint extends PredicateHelper {
         case w: Window
             if w.partitionSpec.isEmpty && !g && !grainCollapsed(w.child) =>
           out += Finding("unbounded-global-window", head(w))
+        case r: Repartition
+            if r.numPartitions == 1 && !bounded(r.child) =>
+          out += Finding("single-partition-funnel", head(r))
         case _ =>
       }
       p.children.foreach(walk(_, g))

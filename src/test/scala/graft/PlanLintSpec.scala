@@ -46,6 +46,13 @@ class PlanLintSpec extends SparkSpec {
     assert(rules(one).isEmpty, rules(one))
   }
 
+  test("single-partition funnel flags; bounded input passes") {
+    val docs = Tables(spark, sfDir).documents
+    assert(rules(docs.coalesce(1)) == Set("single-partition-funnel"))
+    assert(rules(docs.repartition(1)) == Set("single-partition-funnel"))
+    assert(rules(docs.agg(count(lit(1)).as("n")).coalesce(1)).isEmpty)
+  }
+
   test("cartesian flags unless a side is bounded or broadcast-hinted") {
     val docs = Tables(spark, sfDir).documents
     assert(rules(docs.crossJoin(docs.select(col("doc_id").as("b")))) ==
