@@ -414,6 +414,198 @@ private[graft] object StatsQueries {
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     }),
+    "q358_tpch_q4" -> ((s, dir) => {
+      // F85 TPC-H Q4 shape (order-priority checking): the correlated
+      // EXISTS(late lineitem) as ONE LEFT SEMI join carrying the equi
+      // orderkey conjunct plus the cross-side lateness predicate —
+      // hash-partitionable, no decorrelation pass needed. late :=
+      // shipped >60 days after the order date (the q356 convention;
+      // no commit/receipt dates in the testdata).
+      val t = Tables(s, dir)
+      t.orders
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(t.lineitem.select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    "q359_tpch_q7" -> ((s, dir) => {
+      // F86 TPC-H Q7 shape (volume shipping between two nations, both
+      // directions, by ship year): nation prune lands on the DIMS
+      // before any fact join (supplier list broadcast; customer side
+      // semi-pruned by the broadcast two-nation dim), cents-exact
+      // revenue, one (nation-pair, year) combine.
+      val t = Tables(s, dir)
+      val nn = broadcast(t.nation
+        .filter(col("n_name").like("NATION_1%")))
+      val sup = broadcast(t.supplier
+        .join(nn, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val cus = t.customer
+        .join(nn, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(t.orders.select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(cents).as("__c"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          round(col("__c").cast("double") / 100, 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    "q360_tpch_q8" -> ((s, dir) => {
+      // F87 TPC-H Q8 shape (national market share): PROMO-part volume
+      // sold to ASIA customers by order year; share = NATION_2 cents
+      // over all cents — exact-long numerator/denominator, ONE double
+      // division at the final projection. Region membership is a
+      // broadcast semi-join below the fact chain.
+      val t = Tables(s, dir)
+      val pp = broadcast(t.part.filter(col("p_type") === "PROMO")
+        .select("p_partkey"))
+      val asia = broadcast(t.nation
+        .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("__cnk")))
+      val sup = broadcast(t.supplier
+        .join(broadcast(t.nation.select(col("n_nationkey").as("__snk"),
+          col("n_name"))), col("s_nationkey") === col("__snk"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")
+      t.lineitem
+        .join(pp, col("l_partkey") === col("p_partkey"))
+        .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer.select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(asia, col("c_nationkey") === col("__cnk"), "left_semi")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", cents).otherwise(0L))
+            .as("__num"),
+          sum(cents).as("__den"))
+        .select(col("o_year"),
+          round(col("__num").cast("double") / col("__den"), 4).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+    "q361_tpch_q10" -> ((s, dir) => {
+      // F88 TPC-H Q10 shape (returned-item reporting): the fact
+      // collapses to customer grain BEFORE the customer/nation dims
+      // attach (aggregate-then-join, never the reverse); top-20 by
+      // revenue with the custkey tie-break.
+      val t = Tables(s, dir)
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")
+      t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders
+          .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum(cents).as("__c"))
+        .join(t.customer.select("c_custkey", "c_name", "c_acctbal",
+          "c_nationkey"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("__c").cast("double") / 100, 2).as("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    }),
+    "q362_tpch_q13" -> ((s, dir) => {
+      // F89 TPC-H Q13 shape (customer order-count distribution): LEFT
+      // join so zero-order customers survive with c_count 0, then the
+      // two-level count-of-counts; the o_comment NOT LIKE exclusion
+      // becomes an order-priority exclusion (no comment column).
+      val t = Tables(s, dir)
+      t.customer.select("c_custkey")
+        .join(t.orders.filter(!col("o_orderpriority").startsWith("4"))
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_custkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q363_tpch_q14" -> ((s, dir) => {
+      // F90 TPC-H Q14 shape (promo revenue share for one month):
+      // conditional-vs-total cents in ONE aggregate, one double
+      // division; the part type dim broadcasts.
+      val t = Tables(s, dir)
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(t.part.select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", cents).otherwise(0L)).as("__n"),
+          sum(cents).as("__d"))
+        .select(round(col("__n").cast("double") * 100 / col("__d"), 4)
+          .as("promo_revenue"))
+    }),
+    "q364_tpch_q19" -> ((s, dir) => {
+      // F91 TPC-H Q19 shape (three OR'd brand/size/quantity conjunct
+      // groups): the partkey equi key survives as the join key with
+      // the disjunction evaluated post-join — the classic CNF-
+      // extraction test; one-row cents-exact revenue.
+      val t = Tables(s, dir)
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")
+      t.lineitem
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
+        .join(broadcast(t.part.select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(coalesce(sum(cents), lit(0L)).as("__c"))
+        .select(round(col("__c").cast("double") / 100, 2).as("revenue"))
+    }),
+    "q365_tpch_q22" -> ((s, dir) => {
+      // F92 TPC-H Q22 shape (global-average anti-join): positive-
+      // balance customers above the positive average — the scalar
+      // subquery as a one-row broadcast, compared in EXACT integer
+      // cents (c_cents·n > Σcents: no double-average boundary to
+      // ulp-flip) — with NO order since 2000 (LEFT ANTI; the
+      // testdata's order history is dense, so the faithful
+      // "never ordered" set is empty), grouped by nation.
+      val t = Tables(s, dir)
+      val cbal = round(col("c_acctbal") * 100).cast("long")
+      val avgPos = broadcast(t.customer.filter(col("c_acctbal") > 0)
+        .agg(sum(cbal).as("__s"), count(lit(1)).as("__n")))
+      t.customer
+        .crossJoin(avgPos)
+        .filter(cbal * col("__n") > col("__s"))
+        .join(t.orders
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(cbal).cast("double") / 100, 2).as("totacctbal"))
+        .orderBy("n_name")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -937,5 +1129,124 @@ private[graft] object StatsQueries {
         |SELECT s.s_suppkey, s.s_name
         |FROM supplier s JOIN qual q ON s.s_suppkey = q.l_suppkey
         |ORDER BY s.s_suppkey""".stripMargin,
+    // Q4 replay: the same EXISTS, correlated form (DuckDB decorrelates
+    // it itself); identical 60-day lateness convention.
+    "q358_tpch_q4" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q7 replay: plain five-way join, same cents-exact revenue.
+    "q359_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |       round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |         AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND n1.n_name LIKE 'NATION_1%'
+        |  AND n2.n_name LIKE 'NATION_1%'
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Q8 replay: exact-long numerator/denominator, one 4dp division.
+    "q360_tpch_q8" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |       round(CAST(sum(CASE WHEN ns.n_name = 'NATION_2'
+        |               THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+        |               ELSE 0 END) AS BIGINT)
+        |         / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |               AS BIGINT)) AS DOUBLE), 4) AS mkt_share
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q10 replay: customer-grain revenue collapse, dims, top-20 with
+    // the custkey tie-break.
+    "q361_tpch_q10" ->
+      """WITH rev AS (
+        |  SELECT o.o_custkey,
+        |         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |           AS BIGINT)) AS BIGINT) AS c
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+        |    AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        |  GROUP BY 1
+        |)
+        |SELECT c.c_custkey, c.c_name, round(rev.c / 100.0, 2) AS revenue,
+        |       c.c_acctbal, n.n_name
+        |FROM rev
+        |JOIN customer c ON rev.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+    // Q13 replay: LEFT JOIN + count-of-counts; priority exclusion
+    // stands in for the o_comment filter.
+    "q362_tpch_q13" ->
+      """WITH co AS (
+        |  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN (SELECT o_custkey FROM orders
+        |             WHERE o_orderpriority NOT LIKE '4%') o
+        |    ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1
+        |)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q14 replay: conditional-vs-total cents, one 4dp division.
+    "q363_tpch_q14" ->
+      """SELECT round(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |         THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+        |         ELSE 0 END) AS BIGINT) * 100
+        |       / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |         AS BIGINT)) AS DOUBLE), 4) AS promo_revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l.l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    // Q19 replay: the OR'd conjunct groups verbatim.
+    "q364_tpch_q19" ->
+      """SELECT round(coalesce(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |         AS BIGINT)) AS BIGINT), 0) / 100.0, 2) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // Q22 replay: integer-cents above-average test (c·n > Σ), anti
+    // semi-join on recent orders, nation rollup.
+    "q365_tpch_q22" ->
+      """WITH ap AS (
+        |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM customer WHERE c_acctbal > 0
+        |)
+        |SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |       round(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |         / 100.0, 2) AS totacctbal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |CROSS JOIN ap
+        |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * ap.n > ap.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
