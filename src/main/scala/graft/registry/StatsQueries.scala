@@ -414,6 +414,41 @@ private[graft] object StatsQueries {
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     }),
+    "q366_tpch_q6" -> ((s, dir) => {
+      // F93 TPC-H Q6 shape (forecast-revenue scan): the pure
+      // predicate-pushdown query — date range + discount band +
+      // quantity cap must all reach the parquet scan (no join at
+      // all); cents-exact one-row revenue.
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(coalesce(sum(round(col("l_extendedprice") * col("l_discount")
+          * 100).cast("long")), lit(0L)).as("__c"))
+        .select(round(col("__c").cast("double") / 100, 2).as("revenue"))
+    }),
+    "q367_tpch_q15" -> ((s, dir) => {
+      // F94 TPC-H Q15 shape (top supplier view): supplier-grain
+      // quarter revenue, the scalar max as a ONE-ROW broadcast, the
+      // winners picked by EXACT long-cents equality (ties all kept,
+      // as the spec requires), supplier dim broadcast-joined last.
+      val t = Tables(s, dir)
+      val rev = t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("__c"))
+        .localCheckpoint() // feeds the max scalar AND the winner filter
+      rev.crossJoin(broadcast(rev.agg(max("__c").as("__mx"))))
+        .filter(col("__c") === col("__mx"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("__c").cast("double") / 100, 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
     "q358_tpch_q4" -> ((s, dir) => {
       // F85 TPC-H Q4 shape (order-priority checking): the correlated
       // EXISTS(late lineitem) as ONE LEFT SEMI join carrying the equi
@@ -1128,6 +1163,32 @@ private[graft] object StatsQueries {
         |)
         |SELECT s.s_suppkey, s.s_name
         |FROM supplier s JOIN qual q ON s.s_suppkey = q.l_suppkey
+        |ORDER BY s.s_suppkey""".stripMargin,
+    // Q6 replay: the bare predicate scan, cents-exact.
+    "q366_tpch_q6" ->
+      """SELECT round(coalesce(CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+        |         AS BIGINT)) AS BIGINT), 0) / 100.0, 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // Q15 replay: the revenue view (rev, MATERIALIZED: read by the
+    // max scalar and the winner filter), exact-cents max equality.
+    "q367_tpch_q15" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |           AS BIGINT)) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s.s_suppkey, s.s_name, round(rev.c / 100.0, 2) AS total_revenue
+        |FROM rev
+        |JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+        |WHERE rev.c = (SELECT max(c) FROM rev)
         |ORDER BY s.s_suppkey""".stripMargin,
     // Q4 replay: the same EXISTS, correlated form (DuckDB decorrelates
     // it itself); identical 60-day lateness convention.
