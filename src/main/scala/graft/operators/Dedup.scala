@@ -713,8 +713,14 @@ object Dedup {
       postingCap: Int = graft.GraftConf.PrefixPostingCap): DataFrame = {
     require(tNum > 0 && tDen >= tNum, "threshold must be in (0, 1]")
     val cd = tNum + tDen
+    // family key = (md5, xxhash64, length): an md5 collision between
+    // two different texts is CONSTRUCTIBLE — the composite removes
+    // the constructed-collision false-merge case at near-zero cost
+    val famKey = concat_ws(":", md5(col(textCol)),
+      xxhash64(col(textCol)).cast("string"),
+      length(col(textCol)).cast("string"))
     val base = spread(df)
-      .select(col(idCol).as("id"), md5(col(textCol)).as("fk"),
+      .select(col(idCol).as("id"), famKey.as("fk"),
         graft.functions.NativeText.wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
     // one rep per exact-dup family; f = family size (doc-grain mass).
@@ -763,9 +769,9 @@ object Dedup {
           (col("szA") + col("szB") - col("common")), 4).as("jaccard"))
     // expand family pairs back to doc grain — output volume only.
     // No shingle recompute and no size filter here: the inner join
-    // against surviving families implies both (same md5 ⇒ same text
-    // ⇒ same shingle set as the family rep that passed the filter)
-    val ids = spread(df).select(md5(col(textCol)).as("fk"), col(idCol).as("id"))
+    // against surviving families implies both (same family key ⇒
+    // same text ⇒ same shingle set as the rep that passed the filter)
+    val ids = spread(df).select(famKey.as("fk"), col(idCol).as("id"))
     rpass
       .join(ids.select(col("fk").as("fkA"), col("id").as("ida")), Seq("fkA"))
       .join(ids.select(col("fk").as("fkB"), col("id").as("idb")), Seq("fkB"))

@@ -168,6 +168,10 @@ object PlanLint extends PredicateHelper {
   private def grainCollapsed(p: LogicalPlan): Boolean = p match {
     case _ if bounded(p) => true
     case _: Aggregate | _: Window => true
+    // explode() above an aggregate re-expands rows back toward data
+    // grain — a window above it is NOT collapsed (mirrors windowBelow,
+    // which already treats Generate as grain-changing)
+    case _: Generate => false
     case u: Union => u.children.forall(grainCollapsed)
     case u: UnaryNode => grainCollapsed(u.child)
     case j: Join => j.children.forall(grainCollapsed)

@@ -424,8 +424,12 @@ private[graft] object InfraQueries {
       val e = t.events.groupBy("event_type").agg(
         countDistinct(col("event_id")).as("e_exact"),
         round(graft.functions.HllSketch.hllDistinct(col("event_id")), 4).as("e_hll"))
-      u.join(e, Seq("event_type"))
-        .select("event_type", "u_exact", "u_hll", "e_exact", "e_hll")
+      // null-safe equality: a NULL event_type group (a documented
+      // testdata drift risk) must survive the join exactly as the
+      // single-aggregate form and the oracle's GROUP BY would keep it
+      u.join(e, u("event_type") <=> e("event_type"))
+        .select(u("event_type"), col("u_exact"), col("u_hll"),
+          col("e_exact"), col("e_hll"))
     }),
     "q66_sql_surface" -> ((s, dir) => {
       // I5: the injected SQL functions driven through spark.sql — the
@@ -1017,8 +1021,8 @@ private[graft] object InfraQueries {
          |SELECT ex.event_type, ex.u_exact, round(hu.est, 4) AS u_hll,
          |       ex.e_exact, round(he.est, 4) AS e_hll
          |FROM ex
-         |JOIN hu_est hu USING (event_type)
-         |JOIN he_est he USING (event_type)""".stripMargin,
+         |JOIN hu_est hu ON ex.event_type IS NOT DISTINCT FROM hu.event_type
+         |JOIN he_est he ON ex.event_type IS NOT DISTINCT FROM he.event_type""".stripMargin,
     "q66_sql_surface" ->
       s"""WITH $EvSql,
          |ranked AS (
