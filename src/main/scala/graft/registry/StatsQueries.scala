@@ -641,6 +641,143 @@ private[graft] object StatsQueries {
           round(sum(cbal).cast("double") / 100, 2).as("totacctbal"))
         .orderBy("n_name")
     }),
+    "q368_tpch_q2" -> ((s, dir) => {
+      // F95 TPC-H Q2 shape (minimum-cost supplier): the correlated
+      // min-cost subquery DECORRELATED into a part-grain min dim
+      // joined back by EXACT long-cents equality (ties all kept, as
+      // the spec requires). No partsupp in the testdata, so the
+      // supply relation derives from lineitem at (part, supplier)
+      // grain with unit cost := min observed cents price; the region
+      // predicate rides the broadcast supplier→nation→region dim.
+      val t = Tables(s, dir)
+      val cost = round(col("l_extendedprice") / col("l_quantity") * 100)
+        .cast("long")
+      val supply = t.lineitem.filter(col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey").agg(min(cost).as("__c"))
+      val pp = broadcast(t.part
+        .filter(col("p_size") === 15 && col("p_name").like("% bolt"))
+        .select("p_partkey", "p_name"))
+      val sd = broadcast(t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name")))
+      val qual = supply
+        .join(pp, col("l_partkey") === col("p_partkey"))
+        .join(sd, col("l_suppkey") === col("s_suppkey"))
+        .localCheckpoint() // feeds the per-part min AND the winner filter
+      val mn = qual.groupBy("p_partkey").agg(min("__c").as("__mn"))
+      qual.join(mn, Seq("p_partkey"))
+        .filter(col("__c") === col("__mn"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"),
+          round(col("__c").cast("double") / 100, 2).as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+    "q369_tpch_q9" -> ((s, dir) => {
+      // F96 TPC-H Q9 shape (product-type profit): the 5-way
+      // multi-join with the LIKE prune pushed into a broadcast part
+      // dim; profit in EXACT cents (revenue cents − cost cents;
+      // p_retailprice stands in for the absent ps_supplycost as the
+      // unit cost), grouped by supplier nation × order year. One
+      // shuffle join (orders), everything else broadcast.
+      val t = Tables(s, dir)
+      val pp = broadcast(t.part.filter(col("p_name").like("%gear"))
+        .select("p_partkey", "p_retailprice"))
+      val sd = broadcast(t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation")))
+      val rev = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")
+      val cst = round(col("p_retailprice") * col("l_quantity") * 100)
+        .cast("long")
+      t.lineitem
+        .join(pp, col("l_partkey") === col("p_partkey"))
+        .join(sd, col("l_suppkey") === col("s_suppkey"))
+        .join(t.orders.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(rev - cst).as("__p"))
+        .select(col("nation"), col("o_year"),
+          round(col("__p").cast("double") / 100, 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    "q370_tpch_q11" -> ((s, dir) => {
+      // F97 TPC-H Q11 shape (important stock): per-part value held
+      // by one nation's suppliers vs the GLOBAL scalar total — the
+      // HAVING share threshold as pure long arithmetic (value·n >
+      // 2·total ⇔ share > 2× the average share — scale-invariant
+      // where the spec's 0.0001/SF fraction is not), the one-row
+      // total broadcast.
+      val t = Tables(s, dir)
+      val sd = broadcast(t.supplier
+        .join(broadcast(t.nation.filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey"))
+      val pv = t.lineitem
+        .join(sd, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("__v"))
+        .localCheckpoint() // feeds the global total AND the HAVING filter
+      pv.crossJoin(broadcast(pv.agg(sum("__v").as("__t"),
+          count(lit(1)).as("__n"))))
+        .filter(col("__v") * col("__n") > col("__t") * 2)
+        .select(col("l_partkey").as("p_partkey"),
+          round(col("__v").cast("double") / 100, 2).as("stock_value"))
+        .orderBy(col("stock_value").desc, col("p_partkey"))
+    }),
+    "q371_tpch_q12" -> ((s, dir) => {
+      // F98 TPC-H Q12 shape (shipping-priority buckets): the
+      // two-bucket conditional aggregation — per mode (l_returnflag
+      // stands in for the absent l_shipmode), count late-shipped
+      // 1996 lineitems on high- vs low-priority orders; ONE shuffle
+      // join on orderkey carrying the equi conjunct + the cross-side
+      // lateness predicate (the q358 convention), CASE buckets fold
+      // map-side.
+      val t = Tables(s, dir)
+      val hi = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+        .otherwise(0L)
+      t.lineitem
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(sum(hi).as("high_line_count"),
+          sum(lit(1L) - hi).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+    "q372_tpch_q16" -> ((s, dir) => {
+      // F99 TPC-H Q16 shape (parts/supplier relationship): NOT-IN
+      // complaint suppliers as a broadcast ANTI join (negative
+      // acctbal stands in for the absent comment scan), supply pairs
+      // from lineitem (no partsupp), and the supplier count via the
+      // distinctCascade discipline — dedup at (brand, type, size,
+      // supplier) grain, then a plain count. No Expand, no
+      // countDistinct.
+      val t = Tables(s, dir)
+      val pp = broadcast(t.part
+        .filter(col("p_brand") =!= "Brand#1" &&
+          !col("p_name").like("red %") &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23))
+        .select("p_partkey", "p_brand", "p_type", "p_size"))
+      val bad = broadcast(t.supplier.filter(col("s_acctbal") < 0)
+        .select("s_suppkey"))
+      t.lineitem.select("l_partkey", "l_suppkey")
+        .join(pp, col("l_partkey") === col("p_partkey"))
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey").distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(100)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1309,5 +1446,97 @@ private[graft] object StatsQueries {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q2 replay: same derived supply relation (min cents unit price
+    // per part-supplier), qual MATERIALIZED (read by the per-part min
+    // and the winner filter), exact-cents min equality keeps ties.
+    "q368_tpch_q2" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(min(CAST(round(l_extendedprice / l_quantity * 100)
+        |           AS BIGINT)) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+        |),
+        |qual AS MATERIALIZED (
+        |  SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name, sp.c
+        |  FROM supply sp
+        |  JOIN part p ON sp.l_partkey = p.p_partkey
+        |  JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE p.p_size = 15 AND p.p_name LIKE '% bolt'
+        |    AND r.r_name = 'EUROPE'
+        |),
+        |mn AS (SELECT p_partkey, min(c) AS mnc FROM qual GROUP BY 1)
+        |SELECT q.s_acctbal, q.s_name, q.n_name, q.p_partkey, q.p_name,
+        |       round(q.c / 100.0, 2) AS supply_cost
+        |FROM qual q
+        |JOIN mn ON q.p_partkey = mn.p_partkey AND q.c = mn.mnc
+        |ORDER BY q.s_acctbal DESC, q.n_name, q.s_name, q.p_partkey
+        |LIMIT 100""".stripMargin,
+    // Q9 replay: identical cents profit (retailprice unit cost),
+    // nation × year rollup.
+    "q369_tpch_q9" ->
+      """SELECT n.n_name AS nation,
+        |       CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |       round(CAST(sum(
+        |         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+        |         - CAST(round(p.p_retailprice * l.l_quantity * 100) AS BIGINT))
+        |         AS BIGINT) / 100.0, 2) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE p.p_name LIKE '%gear'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2 DESC""".stripMargin,
+    // Q11 replay: pv MATERIALIZED (read by the scalar total and the
+    // HAVING filter); the share test is pure integer v·n > 2·t.
+    "q370_tpch_q11" ->
+      """WITH pv AS MATERIALIZED (
+        |  SELECT l.l_partkey,
+        |         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |           AS BIGINT) AS v
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name = 'NATION_3'
+        |  GROUP BY 1
+        |),
+        |t AS (SELECT CAST(sum(v) AS HUGEINT) AS t,
+        |             CAST(count(*) AS BIGINT) AS n FROM pv)
+        |SELECT pv.l_partkey AS p_partkey,
+        |       round(pv.v / 100.0, 2) AS stock_value
+        |FROM pv, t
+        |WHERE CAST(pv.v AS HUGEINT) * t.n > t.t * 2
+        |ORDER BY stock_value DESC, p_partkey""".stripMargin,
+    // Q12 replay: same two CASE buckets, same 60-day lateness
+    // convention, returnflag as the mode column.
+    "q371_tpch_q12" ->
+      """SELECT l.l_returnflag,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_returnflag IN ('A', 'R')
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q16 replay: NOT IN on negative-balance suppliers, count
+    // DISTINCT suppliers per part-attribute group.
+    "q372_tpch_q16" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_name NOT LIKE 'red %'
+        |  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 100""".stripMargin,
   )
 }
