@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // windowed-top-k de-skew rewrite (spark.graft.rewriteWindowTopK)
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    // scale-form repairs for two PlanLint classes:
+    // distinct-over-window → keyGrainAttach shape (default ON;
+    // spark.graft.rewriteDistinctOverWindow=false to disable) and
+    // multi-distinct Expand → joined single-distinct aggregates
+    // (default OFF; spark.graft.rewriteMultiDistinct=true to enable —
+    // the q127/q182 sanctions prove the Expand sometimes wins)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDistinctOverWindow)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteMultiDistinct)
   }
 }
 
