@@ -120,6 +120,80 @@ object StreamQueries {
     spark.table(name)
   }
 
+  /** What [[crashRecoveryReplay]] returns: the recovered sink as a
+    * batch frame plus the evidence the crash actually happened
+    * mid-replay (phase-1 committed batches, phase-2 input rows — a
+    * recovery gate where phase 2 read nothing tested nothing).
+    */
+  final case class CrashReplay(
+      result: DataFrame,
+      phase1Batches: Int,
+      phase2InputRows: Long)
+
+  /** Crash-recovery replay gate: run `build()` PACED into a
+    * fault-tolerant sink, KILL the query after `stopAtBatchId`
+    * commits (any in-flight batch is abandoned uncommitted — the
+    * crash), then resume with a NEW query object from the SAME
+    * checkpoint directory and run AvailableNow to completion. The
+    * caller compares the final sink against a single-run sink and the
+    * batch oracle — state-store restore, watermark re-read,
+    * source-offset replay, and sink idempotence in one gate.
+    *
+    * Append-mode streams use the parquet FileStreamSink: the manifest
+    * commits atomically per batch, so the crashed batch's orphan data
+    * files stay invisible to the final metadata-log read and the
+    * replayed batch lands exactly once. Update-mode streams
+    * (transformWithState) use the documented idempotent-foreachBatch
+    * pattern instead (streaming file sinks are append-only): each
+    * micro-batch OVERWRITES its batchId-keyed directory, so a batch
+    * replayed after the crash overwrites itself.
+    */
+  def crashRecoveryReplay(
+      spark: SparkSession,
+      build: () => DataFrame,
+      outputMode: String = "append",
+      stopAtBatchId: Long = 1L): CrashReplay = {
+    val name = s"graft_crash_${ctr.incrementAndGet()}"
+    val ckpt = graft.Scratch.dir(s"ckpt-$name")
+    val out = graft.Scratch.dir(s"sink-$name")
+    val useForeachBatch = outputMode != "append"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      graft.GraftConf.StreamStatePartitions.toString)
+    def start(available: Boolean) = try {
+      val w0 = build().writeStream
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckpt)
+      val w1 = if (available) w0.trigger(Trigger.AvailableNow()) else w0
+      if (useForeachBatch) {
+        val fold: (DataFrame, Long) => Unit = (df, id) =>
+          df.write.mode("overwrite").parquet(s"$out/batch=$id")
+        w1.foreachBatch(fold).start()
+      } else w1.format("parquet").option("path", out.toString).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    // phase 1: free-running, killed once `stopAtBatchId` has committed
+    val q1 = start(available = false)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (q1.isActive &&
+        (q1.lastProgress == null || q1.lastProgress.batchId < stopAtBatchId) &&
+        System.nanoTime() < deadline)
+      Thread.sleep(10)
+    q1.stop()
+    q1.awaitTermination()
+    val p1 = q1.recentProgress.map(_.batchId).distinct.length
+
+    // phase 2: a NEW query object resumes from the same checkpoint
+    val q2 = start(available = true)
+    q2.awaitTermination()
+    val p2rows = q2.recentProgress.map(_.numInputRows).sum
+
+    val result =
+      if (useForeachBatch) spark.read.parquet(out.toString).drop("batch")
+      else spark.read.parquet(out.toString)
+    CrashReplay(result, p1, p2rows)
+  }
+
   /** Streaming INCREMENTAL-VIEW-MAINTENANCE sink: each micro-batch
     * collapses to its per-key mergeable state
     * ([[graft.operators.Incremental.aggState]]) and is FOLDED into a

@@ -585,4 +585,174 @@ class StreamingSpec extends SparkSpec {
     assert(a == Set(1L, 3L), s"split A kept $a")
     assert(b == a, s"kept set must not depend on the micro-batch split: $b vs $a")
   }
+
+  // ---- crash-recovery gate (VERDICT r15 item 2): kill a paced
+  // replay mid-stream, resume a NEW query object from the same
+  // checkpoint, and require restarted-sink ≡ single-run-sink ≡ batch
+  // oracle — state-store restore, watermark re-read, source-offset
+  // replay, and sink idempotence, one representative per state
+  // family. ----
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  import graft.streaming.StreamQueries
+
+  /** events (sf0.001, ts-normalized) split into 16 TIME-ORDERED
+    * files with strictly increasing modification times, so
+    * maxFilesPerTrigger=1 paces 16 micro-batches arriving in event-
+    * time order — plenty of room for the kill to land mid-replay. The
+    * ordering matters: FileStreamSource drains files by mod-time, and
+    * a first batch containing the corpus's max event time would push
+    * the watermark past everything else, dropping batches 2..16 as
+    * late (a replay artifact, not an arrival pattern any production
+    * stream has).
+    */
+  private lazy val crashSrcDir: String = {
+    val d = java.nio.file.Paths.get(graft.Scratch.dir("crash-src"))
+    val n = 16
+    val sliced = graft.sources.Tables(spark, sfDir).events
+      .withColumn("__slice", org.apache.spark.sql.functions.ntile(n).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts")))
+    (1 to n).foreach { i =>
+      val tmp = java.nio.file.Paths.get(graft.Scratch.dir(s"crash-src-tmp-$i"))
+      sliced.filter(org.apache.spark.sql.functions.col("__slice") === i)
+        .drop("__slice")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst.get
+      val dst = d.resolve(f"slice-$i%02d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    d.toString
+  }
+
+  private def pacedEvents: DataFrame = spark.readStream
+    .schema(spark.read.parquet(crashSrcDir).schema)
+    .option("maxFilesPerTrigger", "1").parquet(crashSrcDir)
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def crashVsSingle(
+      build: () => DataFrame,
+      finalize: DataFrame => DataFrame = identity,
+      mode: String = "append"): Seq[String] = {
+    val cr = StreamQueries.crashRecoveryReplay(spark, build, outputMode = mode)
+    assert(cr.phase2InputRows > 0,
+      s"phase 2 read nothing — the kill landed after the replay finished " +
+        s"(phase1=${cr.phase1Batches} batches); recovery untested")
+    val crash = sortedRows(finalize(cr.result))
+    val single = sortedRows(finalize(StreamQueries.materialize(build(), mode)))
+    assert(crash == single, s"restarted sink != single-run sink " +
+      s"(${crash.size} vs ${single.size} rows)")
+    crash
+  }
+
+  test("crash-recovery: tumbling windowed agg (q60 family) ≡ single run ≡ batch grid") {
+    def build() = EventStream.tumblingCounts(pacedEvents, "1 hour", "2 hours")
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("sum_value"), 4).as("sum_value"))
+    val crash = crashVsSingle(() => build())
+    // batch oracle: the finalized tumbling grid (window end ≤ max−2h)
+    val ev = spark.read.parquet(crashSrcDir)
+    val mx = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    val cut = new java.sql.Timestamp(mx.getTime - 2 * 3600 * 1000L)
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .filter(col("window.end") <= lit(cut))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    assert(crash == sortedRows(batch))
+  }
+
+  test("crash-recovery: session windows (q61 family) ≡ single run") {
+    def build() = EventStream.sessionCounts(pacedEvents, "30 minutes", "2 hours")
+      .select(col("user_id"), col("n_events"),
+        unix_micros(col("start_ts")).as("start_us"),
+        unix_micros(col("end_ts")).as("end_us"))
+    crashVsSingle(() => build())
+  }
+
+  test("crash-recovery: stream-stream join (q85 family) ≡ single run") {
+    def build() = {
+      val ev = pacedEvents
+      EventStream.streamStreamJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        range = "1 hour", watermark = "3650 days")
+    }
+    crashVsSingle(() => build())
+  }
+
+  test("crash-recovery: windowed HLL sketch state (q109 family) ≡ single run") {
+    def build() = EventStream.tumblingDistinctSketch(pacedEvents, "1 hour", "2 hours")
+      .select(col("window_start"), col("n"), round(col("u_hll"), 4).as("u_hll"))
+    crashVsSingle(() => build())
+  }
+
+  private def crashEventsDs: org.apache.spark.sql.Dataset[EventStream.Event] =
+    pacedEvents
+      .filter(col("value").isNotNull && col("event_id").isNotNull &&
+        col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStream.Event]
+
+  private def crashBatchEvents: DataFrame =
+    spark.read.parquet(crashSrcDir)
+      .filter(col("value").isNotNull && col("event_id").isNotNull &&
+        col("user_id").isNotNull)
+
+  test("crash-recovery: transformWithState VALUE state (q277 family) ≡ batch oracle") {
+    def finalState(df: DataFrame) = df.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("st"))
+      .select(col("user_id"), col("st.n_events").as("n_events"),
+        col("st.total_cents").as("total_cents"))
+    val crash = EventStream.withRocksDbStateStore(spark) {
+      crashVsSingle(() => EventStream.runningTotalsTws(crashEventsDs).toDF(),
+        finalState, mode = "update")
+    }
+    val batch = crashBatchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("total_cents"))
+    assert(crash == sortedRows(batch))
+  }
+
+  test("crash-recovery: transformWithState MAP state (q282 family) ≡ batch oracle") {
+    def finalState(df: DataFrame) = df.groupBy("user_id", "event_type")
+      .agg(max(col("n_events")).as("n_events"))
+    val crash = EventStream.withRocksDbStateStore(spark) {
+      crashVsSingle(() => EventStream.perTypeCountsTws(crashEventsDs),
+        finalState, mode = "update")
+    }
+    val batch = crashBatchEvents.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    assert(crash == sortedRows(batch))
+  }
+
+  test("crash-recovery: transformWithState LIST state (q290 family) ≡ batch oracle") {
+    import org.apache.spark.sql.expressions.Window
+    def finalState(df: DataFrame) = df.groupBy("user_id")
+      .agg(max(struct(col("n_seen"), col("k_kept"), col("sum_kept_cents"))).as("st"))
+      .select(col("user_id"), col("st.n_seen").as("n_seen"),
+        col("st.k_kept").as("k_kept"),
+        col("st.sum_kept_cents").as("sum_kept_cents"))
+    val crash = EventStream.withRocksDbStateStore(spark) {
+      crashVsSingle(() => EventStream.minKLedgerTws(crashEventsDs, k = 3),
+        finalState, mode = "update")
+    }
+    val batch = crashBatchEvents
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("cents"), col("event_id"))))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_seen"),
+        sum(when(col("rn") <= 3, 1L).otherwise(0L)).as("k_kept"),
+        sum(when(col("rn") <= 3, col("cents")).otherwise(0L)).as("sum_kept_cents"))
+    assert(crash == sortedRows(batch))
+  }
 }
