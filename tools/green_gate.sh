@@ -6,14 +6,19 @@
 # failure, so a snapshot on red is a deliberate act, never an
 # accident.
 #
-# Optional legs (VERDICT r11 items 2 and 5):
-#   --with-oracle [sfDir]   run graft.Verify + tools/oracle_check.py at
-#                           sf0.1 (the CLAUDE.md once-per-round rule —
-#                           r9's sf0.1 pass caught three real scale
-#                           bugs the sf0.01 driver gate missed) and
-#                           refuse on any non-MATCH. Leaves the per-
-#                           query report in /tmp/green_gate_oracle.log
-#                           as the round's recorded artifact.
+# Default legs beyond the suite: the jar smoke, the sf0.1 oracle
+# replay (VERDICT r15 item 7: rounds 9/13 caught real defects only
+# because someone remembered to run it — it is now default with a
+# skip flag, not an opt-in), the publishLocal+consumer build
+# (VERDICT r15 item 5), and the generated COUNTS.json artifact
+# (VERDICT r15 item 8).
+#
+# Optional legs:
+#   --skip-oracle           skip the sf0.1 oracle replay (NOT the jar
+#                           smoke) — for a quick suite-only gate run;
+#                           the round's closing run must not pass this.
+#   --with-oracle [sfDir]   override the oracle leg's scale dir
+#                           (default /root/testdata/sf0.1).
 #   --with-baseline         run the min-of-6 BaselineBench head-to-head
 #                           and print the two ratios, so BASELINE.md
 #                           gets a fresh row every round instead of
@@ -30,17 +35,18 @@
 #                           (oracle_check.py --sf1), and auto-append the
 #                           record to BASELINE.md. Long (~1-2 h) — run
 #                           it detached (setsid nohup) when interactive.
-# Usage:  bash tools/green_gate.sh [--with-oracle [sfDir]] [--with-baseline] [--with-stream] [--with-sf1]
+# Usage:  bash tools/green_gate.sh [--skip-oracle] [--with-oracle [sfDir]] [--with-baseline] [--with-stream] [--with-sf1]
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-WITH_ORACLE=0
+WITH_ORACLE=1
 WITH_BASELINE=0
 WITH_STREAM=0
 WITH_SF1=0
 SF_DIR=/root/testdata/sf0.1
 while [ $# -gt 0 ]; do
   case "$1" in
+    --skip-oracle) WITH_ORACLE=0 ;;
     --with-oracle)
       WITH_ORACLE=1
       if [ $# -gt 1 ] && [ -d "$2" ]; then SF_DIR="$2"; shift; fi ;;
@@ -90,6 +96,24 @@ else
   exit 1
 fi
 
+# Consumer leg (VERDICT r15 item 5): the jar smoke proves
+# spark-submit; this proves an EXTERNAL build can DEPEND on graft —
+# publishLocal, then tools/consumer (its own sbt project) resolves the
+# artifact from the local ivy repo, compiles against the API, and
+# drives two operators + PlanLint + an injected SQL function.
+echo "[green_gate] consumer leg: sbt publishLocal + external consumer build..."
+if ! sbt -batch publishLocal > /tmp/green_gate_publish.log 2>&1; then
+  echo "[green_gate] *** sbt publishLocal FAILED:"; tail -10 /tmp/green_gate_publish.log
+  exit 1
+fi
+if (cd tools/consumer && sbt -batch run) > /tmp/green_gate_consumer.log 2>&1 \
+    && grep -q "CONSUMER OK" /tmp/green_gate_consumer.log; then
+  echo "[green_gate] consumer leg GREEN: $(grep 'CONSUMER OK' /tmp/green_gate_consumer.log)"
+else
+  echo "[green_gate] *** CONSUMER BUILD/RUN FAILED:"; tail -20 /tmp/green_gate_consumer.log
+  exit 1
+fi
+
 if [ "$WITH_ORACLE" = 1 ]; then
   OUT=$(mktemp -d /tmp/green_gate_verify.XXXXXX)
   echo "[green_gate] oracle leg: Verify at $SF_DIR -> $OUT ..."
@@ -107,6 +131,14 @@ if [ "$WITH_ORACLE" = 1 ]; then
     echo "[green_gate] *** ORACLE GATE RED at $SF_DIR:"
     grep -v MATCH /tmp/green_gate_oracle.log | tail -30
     exit 1
+  fi
+  # Counts artifact (VERDICT r15 item 8): the registry/survey counts
+  # as ONE generated source of truth (COUNTS.json), derived from the
+  # artifacts this gate just produced — never prose arithmetic.
+  if python3 tools/make_counts.py "$OUT" /tmp/green_gate_oracle.log; then
+    echo "[green_gate] COUNTS.json regenerated: $(cat COUNTS.json)"
+  else
+    echo "[green_gate] *** make_counts FAILED"; exit 1
   fi
 fi
 
