@@ -659,6 +659,86 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.size == exact.size, "IVF must return full top-k per query")
   }
 
+  /** Skewed ANN fixture (VERDICT r15 item 6): the uniform jittered
+    * testdata embeddings hide the IVF failure mode a real corpus has —
+    * an IMBALANCED key space. 80% of the corpus sits in ONE dominant
+    * cluster (with three 40-copy exact-dup families inside it, the
+    * make_sf1 dup-family shape), three minor clusters hold 5% each,
+    * and 5% is isotropic scatter. K-means centroids crowd the dominant
+    * mode, so sparse-region queries need more probes to find their
+    * true neighbors.
+    */
+  private lazy val skewedEmb: org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(4242)
+    val dim = 64
+    def base(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    def jitter(c: Array[Float], eps: Double): Seq[Float] =
+      c.map(v => (v + (rnd.nextDouble() * 2 - 1) * eps).toFloat).toSeq
+    val c0 = base(1); val minors = Seq(base(2), base(3), base(4))
+    val rows = scala.collection.mutable.Buffer.empty[(Long, Seq[Float])]
+    var id = 0L
+    def add(v: Seq[Float]): Unit = { rows += ((id, v)); id += 1 }
+    // dominant cluster: 360 jittered + 3 exact-dup families of 40
+    (1 to 360).foreach(_ => add(jitter(c0, 0.6)))
+    (1 to 3).foreach { f =>
+      val fam = jitter(c0, 0.6); (1 to 40).foreach(_ => add(fam))
+    }
+    // three minor clusters, 30 each
+    minors.foreach(c => (1 to 30).foreach(_ => add(jitter(c, 0.3))))
+    // isotropic scatter
+    (1 to 30).foreach(_ => add(jitter(base(rnd.nextInt()), 0.0)))
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("IVF recall under skew: uniform settings degrade, wider probe recovers (>= 0.9)") {
+    val emb = skewedEmb
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    def recallAt(nCentroids: Int, nProbe: Int): Double = {
+      val ivf = SimilaritySearch.ivfTopK(emb, queries, k = 5,
+          nCentroids = nCentroids, nProbe = nProbe, lloydIters = 2,
+          replication = 4)
+        .select("query_id", "id").as[(Long, Long)].collect().toSet
+      (exact intersect ivf).size.toDouble / exact.size
+    }
+    // the uniform-fixture setting (8 centroids, probe 4): record the
+    // degradation — the pin is only that skew COSTS recall vs the
+    // recovering setting, not an exact figure (k-means seeding on a
+    // skewed mass is the variable under test)
+    // a single-probe search at 16 cells is where the skew bites: the
+    // diffuse dominant blob spans many cells, so a query's true
+    // neighbors straddle cell boundaries (measured 0.883 on this
+    // seeded fixture — deterministic, k-means seeding included)
+    val degraded = recallAt(16, 1)
+    // one extra probe recovers the straddled neighbors...
+    val recovered2 = recallAt(16, 2)
+    // ...and the registry setting (probe 4 at 8 cells) holds the pin
+    val registrySetting = recallAt(8, 4)
+    info(f"skewed-fixture recall@5: (16,p1)=$degraded%.3f (16,p2)=$recovered2%.3f (8,p4)=$registrySetting%.3f")
+    assert(degraded < 0.95,
+      f"fixture no longer skewed enough to degrade single-probe recall: $degraded%.3f")
+    assert(recovered2 >= 0.95,
+      f"one extra probe must recover the straddled neighbors: $recovered2%.3f")
+    assert(registrySetting >= 0.9,
+      f"registry IVF setting must hold >= 0.9 under skew: $registrySetting%.3f")
+  }
+
+  test("PQ ANN keeps recall >= 0.8 on the skewed fixture") {
+    val emb = skewedEmb
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val pq = SimilaritySearch.pqTopK(emb, queries, k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    info(f"skewed-fixture PQ recall@5: $recall%.3f")
+    assert(recall >= 0.8, f"PQ recall@5 under skew too low: $recall%.3f")
+  }
+
   test("PQ ANN (ADC shortlist + exact re-rank) reaches recall >= 0.8") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 50 === 0)
