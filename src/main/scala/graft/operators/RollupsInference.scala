@@ -955,4 +955,314 @@ private[operators] trait RollupsInference {
           .as("chi2"))
   }
 
+  /** Bartlett's test — variance homogeneity across k groups under
+    * normality: T = [(N−k)·ln(Sp²) − Σ(nᵢ−1)·ln(Sᵢ²)] / C with the
+    * Bartlett correction C = 1 + (Σ1/(nᵢ−1) − 1/(N−k))/(3(k−1)).
+    * The classical, more powerful companion to F65's Brown–Forsythe
+    * (which it loses to only under non-normality — run both, trust
+    * BF when they disagree).
+    *
+    * Exactness: per-group (n, Σc, Σc²) in integer cents /
+    * decimal(38,0) from ONE map-side combine; variances, logs, and T
+    * are written-order doubles of exact integers, 4dp. Groups with
+    * n < 2 or zero variance are EXCLUDED (their ln is undefined —
+    * the standard treatment), and k reflects the tested groups.
+    *
+    * Output: one row (k, n, t_stat) — null when k < 2.
+    */
+  def bartlett(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val cents = round(col(valueCol) * 100).cast("long").as("__c")
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), cents)
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum(col("__c").cast(dec)).as("__s"),
+        sum(col("__c").cast(dec) * col("__c")).as("__q"))
+      .filter(col("__n") >= 2)
+      .withColumn("__v",
+        (d(col("__q")) - d(col("__s")) * d(col("__s")) / col("__n")) /
+          (col("__n") - 1L))
+      .filter(col("__v") > 0)
+      .agg(count(lit(1)).as("k"), sum("__n").as("n"),
+        sum(d(col("__n") - 1L) * col("__v")).as("__sw"),
+        sum(d(col("__n") - 1L) * log(col("__v"))).as("__sl"),
+        sum(lit(1.0) / d(col("__n") - 1L)).as("__ih"))
+      .withColumn("__sp", col("__sw") / d(col("n") - col("k")))
+      .select(col("k"), col("n"),
+        round(when(col("k") >= 2 && col("n") > col("k"),
+          (d(col("n") - col("k")) * log(col("__sp")) - col("__sl")) /
+            (lit(1.0) + (col("__ih") - lit(1.0) / d(col("n") - col("k"))) /
+              (lit(3.0) * d(col("k") - 1L)))), 4).as("t_stat"))
+  }
+
+  /** Levene's test — the MEAN-centered member of the variance-
+    * homogeneity family (F65's Brown–Forsythe is the median-centered
+    * robust default; Levene is the textbook original and the more
+    * powerful choice for symmetric, light-tailed data): ANOVA F on
+    * z = |x − x̄_g|.
+    *
+    * Exactness: the mean is not integral, so each deviation is
+    * carried as the exact integer NUMERATOR u = |c·n_g − Σc| (the
+    * multiply-through trick) in decimal(38,0); per-group z-moments
+    * are doubles of exact decimals with the per-group divisions done
+    * once (Σz = Σu/n, Σz² = Σu²/n²); the F fold follows anovaF's
+    * written-order double convention, 4dp.
+    *
+    * Output: one row (k, n, w_stat) — null when the within variance
+    * vanishes.
+    */
+  def levene(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val cents = round(col(valueCol) * 100).cast("long").as("__c")
+    val in = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), cents)
+    val sums = in.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum(col("__c").cast(dec)).as("__s"))
+    in.join(broadcast(sums), "__g")
+      .withColumn("__u", abs(col("__c").cast(dec) * col("__n") - col("__s")))
+      .groupBy("__g")
+      .agg(max(col("__n")).as("__n"), sum(col("__u")).as("__us"),
+        sum(col("__u") * col("__u")).as("__uq"))
+      .select(col("__n"), (d(col("__us")) / col("__n")).as("__zs"),
+        (d(col("__uq")) / (d(col("__n")) * col("__n"))).as("__zq"))
+      .agg(count(lit(1)).as("k"), sum("__n").as("n"),
+        sum(col("__zs") * col("__zs") / col("__n")).as("__sb"),
+        sum(col("__zs")).as("__S"), sum(col("__zq")).as("__Q"))
+      .withColumn("__ssb", col("__sb") - col("__S") * col("__S") / col("n"))
+      .withColumn("__ssw", col("__Q") - col("__sb"))
+      .select(col("k"), col("n"),
+        round((col("__ssb") / (col("k") - 1L)) /
+          when(col("__ssw") <= 0 || col("n") <= col("k"), lit(null))
+            .otherwise(col("__ssw") / (col("n") - col("k"))), 4).as("w_stat"))
+  }
+
+  /** Cochran's Q — did ANY of k paired binary treatments shift the
+    * hit rate, across shared blocks (the k-treatment extension of
+    * F74's McNemar; Friedman's frame with binary cells):
+    * Q = (k−1)·[k·ΣCⱼ² − N²] / (k·ΣRᵤ − ΣRᵤ²) with column totals C,
+    * row totals R, grand total N over the DENSE block×treatment
+    * binary grid (xᵤₜ = does block u hit under treatment t).
+    *
+    * Exactness: everything is integer (squares in decimal(38,0) —
+    * column totals reach corpus scale) until the ONE final division;
+    * all-0 and all-k blocks cancel in the denominator exactly as the
+    * statistic requires — no filtering needed.
+    *
+    * Scale shape: cells from one map-side combine, the dense grid via
+    * a broadcast treatment dim (k rows), both total sets at collapsed
+    * grain. localCheckpoint: cells and the grid each feed two plan
+    * branches.
+    *
+    * Output: one row (k, b, q_stat).
+    */
+  def cochranQ(
+      df: DataFrame,
+      blockCol: Column,
+      treatCol: Column,
+      hit: Column): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val cells = df
+      .groupBy(blockCol.as("b"), treatCol.as("g"))
+      .agg(max(when(hit, 1L).otherwise(0L)).as("x"))
+      .localCheckpoint()
+    val dense = cells.select("b").distinct()
+      .crossJoin(broadcast(cells.select("g").distinct()))
+      .join(cells, Seq("b", "g"), "left")
+      .select(col("b"), col("g"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint() // feeds the column totals AND the row totals
+    val colT = dense.groupBy("g").agg(sum("x").as("__cj"))
+      .agg(count(lit(1)).as("k"), sum(col("__cj").cast(dec) * col("__cj")).as("__cc"),
+        sum("__cj").as("__N"))
+    val rowT = dense.groupBy("b").agg(sum("x").as("__ru"))
+      .agg(count(lit(1)).as("b"), sum("__ru").as("__R"),
+        sum(col("__ru").cast(dec) * col("__ru")).as("__rr"))
+    colT.crossJoin(broadcast(rowT))
+      .withColumn("__den", d(col("k")) * d(col("__R")) - d(col("__rr")))
+      .select(col("k"), col("b"),
+        round(d(col("k") - 1L) *
+          (d(col("k")) * d(col("__cc")) - d(col("__N")) * d(col("__N"))) /
+          when(col("__den") <= 0, lit(null)).otherwise(col("__den")), 4)
+          .as("q_stat"))
+  }
+
+  /** Page's L — the ORDERED-alternative sharpening of F64's Friedman
+    * (as F71's Jonckheere sharpens F63's Kruskal–Wallis): is the
+    * treatment effect MONOTONE in an a-priori treatment order (here:
+    * lexicographic)? L = Σⱼ wⱼRⱼ with wⱼ = the treatment's ordinal
+    * and Rⱼ its within-block rank sum; published DOUBLED (l2 = 2L)
+    * so tied average-ranks stay exact integers, with the z against
+    * the NO-TIE null moments E[L] = b·k(k+1)²/4,
+    * Var[L] = b·k²(k+1)(k²−1)/144 (the q330 convention).
+    *
+    * Scale shape: F64's dense doubled-rank frame (blocks×treatments,
+    * zero-filled, RANGE-frame cumulative ranks inside k-bounded
+    * block partitions), one treatment-grain rollup, a k-row ordinal
+    * window riding that aggregate.
+    *
+    * Output: one row (n_blocks, k, l2, z).
+    */
+  def pageTrend(
+      df: DataFrame,
+      blockCol: Column,
+      treatCol: Column): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val cells = df
+      .groupBy(blockCol.as("b"), treatCol.as("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val dense = cells.select("b").distinct()
+      .crossJoin(broadcast(cells.select("g").distinct()))
+      .join(cells, Seq("b", "g"), "left")
+      .select(col("b"), col("g"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy("b").orderBy("cnt")
+    val ranked = dense
+      .withColumn("__t",
+        count(lit(1)).over(w.rangeBetween(Window.currentRow, Window.currentRow)))
+      .withColumn("__cumb", coalesce(
+        count(lit(1)).over(w.rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__cumb") + col("__t") + 1L)
+      .localCheckpoint() // feeds the treatment rollup AND the block count
+    val perT = ranked.groupBy("g").agg(sum("__r2").as("__s2"))
+      .withColumn("__w",
+        row_number().over(Window.orderBy("g")).cast("long"))
+    val stats = perT.agg(count(lit(1)).as("k"),
+      sum(col("__w") * col("__s2")).as("l2"))
+    val blocks = ranked.agg(countDistinct(col("b")).as("n_blocks"))
+    stats.crossJoin(broadcast(blocks))
+      .withColumn("__e2", // 2·E[L] = b·k(k+1)²/2
+        d(col("n_blocks")) * d(col("k")) * d(col("k") + 1L) *
+          d(col("k") + 1L) / 2.0)
+      .withColumn("__var", // Var[L], no-tie null
+        d(col("n_blocks")) * d(col("k")) * d(col("k")) * d(col("k") + 1L) *
+          (d(col("k")) * d(col("k")) - 1.0) / 144.0)
+      .select(col("n_blocks"), col("k"), col("l2"),
+        round((d(col("l2")) - col("__e2")) /
+          when(col("__var") <= 0, lit(null))
+            .otherwise(lit(2.0) * sqrt(col("__var"))), 4).as("z"))
+  }
+
+  /** Wald–Wolfowitz runs test per keyed series — is the sequence of
+    * above/below-median excursions RANDOM, or does it trend/cluster
+    * (too few runs) or oscillate (too many)? The assumption-free
+    * serial-dependence check next to D17's Durbin–Watson (which
+    * needs a fitted model) and D8's ACF (which assumes stationary
+    * moments).
+    *
+    * Exactness: the dichotomizing cut is the exact per-key
+    * interpolated median in DOUBLED units (integral for any parity);
+    * equal-to-median points are EXCLUDED (the standard treatment);
+    * runs/n₁/n₂ are exact integers from one lag pass; z against the
+    * exact null moments μ = 2n₁n₂/(n₁+n₂)+1 and the textbook σ² is
+    * one written-order double fold, 4dp.
+    *
+    * Scale shape: callers pass a KEYED SERIES (day grain — calendar-
+    * bounded partitions); the lag window rides that grain.
+    *
+    * Output: keys ++ (n_above, n_below, runs, z).
+    */
+  def runsTest(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val v2 = (col(valueCol).cast("long") * 2L).as("__v2")
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(round(percentile(col(valueCol).cast("long") * 2L, lit(0.5)))
+        .cast("long").as("__m2"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+    df.select(keys.map(col) ++ Seq(col(orderCol), v2): _*)
+      .join(med, keys)
+      .filter(col("__v2") =!= col("__m2"))
+      .withColumn("__sgn", col("__v2") > col("__m2"))
+      .withColumn("__prev", lag("__sgn", 1).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(col("__sgn"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(!col("__sgn"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("__prev").isNull || col("__prev") =!= col("__sgn"), 1L)
+          .otherwise(0L)).as("runs"))
+      .withColumn("__nn", col("n_above") + col("n_below"))
+      .withColumn("__p", lit(2.0) * d(col("n_above")) * col("n_below"))
+      .withColumn("__mu", col("__p") / col("__nn") + 1.0)
+      .withColumn("__var",
+        col("__p") * (col("__p") - col("__nn")) /
+          (d(col("__nn")) * col("__nn") * (col("__nn") - 1L)))
+      .select(keys.map(col) ++ Seq(col("n_above"), col("n_below"), col("runs"),
+        round((d(col("runs")) - col("__mu")) /
+          when(col("n_above") === 0 || col("n_below") === 0 ||
+            col("__var") <= 0, lit(null))
+            .otherwise(sqrt(col("__var"))), 4).as("z")): _*)
+  }
+
+  /** Spectral entropy per keyed series — HOW concentrated is the
+    * series' periodic structure across a fixed period bank (D30's
+    * periodogram powers folded to one number): 0 = one pure tone
+    * (strongly seasonal), 1 = flat spectrum (noise-like). The
+    * screening statistic that decides whether D11/D19's seasonal
+    * machinery is worth running on a key at all.
+    *
+    * Exactness: D30's integer phase machinery verbatim (milli-
+    * quantized trig weights, decimal(38,0) A/B sums); per-period
+    * powers are written-order doubles of exact decimals with the
+    * SAME n_phases⁻⁴ normalization as D30's amp²; the entropy fold
+    * is k-bounded (one row per period), 4dp.
+    *
+    * Output: keys ++ (n_periods, peak_share, spectral_entropy) —
+    * null entropy when the total power vanishes.
+    */
+  def spectralEntropy(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      periods: Seq[Int] = Seq(2, 3, 4, 5, 6, 7, 14, 30)): DataFrame = {
+    require(periods.nonEmpty && periods.forall(p => p >= 2 && p < 1024))
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val daily = events
+      .groupBy(keys.map(col) :+
+        expr(s"unix_micros($tsCol) div 86400000000").as("__day"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val phase = daily
+      .select(keys.map(col) ++ Seq(col("__day"), col("__n"),
+        explode(array(periods.map(lit(_)): _*)).as("period")): _*)
+      .withColumn("__r", pmod(col("__day"), col("period")).cast("long"))
+      .groupBy(keys.map(col) ++ Seq(col("period"), col("__r")): _*)
+      .agg(sum("__n").as("__s"), count(lit(1)).as("__c"))
+      .withColumn("__m",
+        floor(col("__s").cast("double") * 1e6 / col("__c")).cast("long"))
+    val w = Window.partitionBy(keys.map(col) :+ col("period"): _*)
+    val power = phase
+      .withColumn("__Ct", sum("__m").over(w))
+      .withColumn("__P", count(lit(1)).over(w))
+      .withColumn("__cr", col("__m") * col("__P") - col("__Ct"))
+      .withColumn("__cw",
+        expr("CAST(round(cos(2 * pi() * __r / period) * 1000) AS BIGINT)"))
+      .withColumn("__sw",
+        expr("CAST(round(sin(2 * pi() * __r / period) * 1000) AS BIGINT)"))
+      .groupBy(keys.map(col) :+ col("period"): _*)
+      .agg(first(col("__P")).as("__np"),
+        sum(col("__cr").cast(dec) * col("__cw")).as("__A"),
+        sum(col("__cr").cast(dec) * col("__sw")).as("__B"))
+      .withColumn("__pw",
+        d(col("__A") * col("__A") + col("__B") * col("__B")) * 4.0 /
+          (d(col("__np")) * col("__np") * col("__np") * col("__np")) / 1e18)
+    power
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_periods"),
+        sum("__pw").as("__tot"), max("__pw").as("__mx"),
+        sum(when(col("__pw") > 0,
+          col("__pw") * log(col("__pw"))).otherwise(lit(0.0))).as("__plp"))
+      .select(keys.map(col) ++ Seq(col("n_periods"),
+        round(when(col("__tot") > 0, col("__mx") / col("__tot")), 4)
+          .as("peak_share"),
+        // H = −Σ p ln p / ln m  with  Σ p ln p = (Σ P lnP)/T − lnT
+        round(when(col("__tot") > 0 && col("n_periods") >= 2,
+          -(col("__plp") / col("__tot") - log(col("__tot"))) /
+            log(d(col("n_periods")))), 4).as("spectral_entropy")): _*)
+  }
+
 }

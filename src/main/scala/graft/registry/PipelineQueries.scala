@@ -746,6 +746,18 @@ private[graft] object PipelineQueries {
       Sampling.capPerStratum(canon, k = 40, stratumCol = "domain",
         idCol = "doc_id", salt = "domcap")
     }),
+    "q379_dup_modularity" -> ((s, dir) => {
+      // G110 modularity of the SOURCE partition over the near-dup
+      // graph: high Q = duplication is intra-source (boilerplate),
+      // low Q = it leaks across sources (syndication) — decides
+      // per-source vs global dedup
+      val t = Tables(s, dir)
+      Graph.modularity(
+        Dedup.minhashLshPairs(t.documents).select("idA", "idB"),
+        t.documents.select(col("doc_id"), col("source")),
+        "idA", "idB", "doc_id", "source")
+        .orderBy("community")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2982,5 +2994,36 @@ private[graft] object PipelineQueries {
          |  FROM c
          |)
          |SELECT domain, doc_id FROM r WHERE rk <= 40""".stripMargin,
+    // Modularity replay: the lshpairs edge set labeled by source on
+    // both endpoints; exact integer e_c/d_c/m, one double per
+    // community in written order.
+    "q379_dup_modularity" ->
+      s"""WITH $MinhashPairsSql,
+         |e AS (SELECT idA AS a, idB AS b FROM lshpairs),
+         |tagged AS (
+         |  SELECT e.a, e.b, da.source AS ca, db.source AS cb
+         |  FROM e
+         |  JOIN documents da ON da.doc_id = e.a
+         |  JOIN documents db ON db.doc_id = e.b
+         |),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM tagged),
+         |w AS (
+         |  SELECT ca AS community, CAST(count(*) AS BIGINT) AS within_edges
+         |  FROM tagged WHERE ca = cb GROUP BY 1
+         |),
+         |dg AS (
+         |  SELECT community, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT ca AS community FROM tagged
+         |    UNION ALL SELECT cb FROM tagged)
+         |  GROUP BY 1
+         |)
+         |SELECT dg.community, coalesce(w.within_edges, 0) AS within_edges,
+         |       dg.degree, m.n_edges,
+         |       round(CAST(coalesce(w.within_edges, 0) AS DOUBLE) / m.n_edges
+         |             - (CAST(dg.degree AS DOUBLE) / (2.0 * m.n_edges))
+         |               * (CAST(dg.degree AS DOUBLE) / (2.0 * m.n_edges)), 4)
+         |         AS q_contrib
+         |FROM dg LEFT JOIN w USING (community), m
+         |ORDER BY community""".stripMargin,
   )
 }

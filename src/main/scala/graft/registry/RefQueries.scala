@@ -514,6 +514,27 @@ private[graft] object RefQueries {
         .agg(count(lit(1)).as("y"))
       Rollups.maseBacktest(series, Seq("event_type"), "day", "y")
     }),
+    "q377_spectral_entropy" -> ((s, dir) => {
+      // D33 spectral entropy per event type over the D30 period bank
+      // — 0 = one pure tone, 1 = flat noise-like spectrum; the
+      // screening number for whether seasonal machinery is worth
+      // running on a key
+      val t = Tables(s, dir)
+      Rollups.spectralEntropy(t.events, Seq("event_type"), "ts")
+        .orderBy("event_type")
+    }),
+    "q378_runs_test" -> ((s, dir) => {
+      // D34 Wald–Wolfowitz runs test on the daily count series per
+      // type: trend/cluster (too few runs) vs oscillation (too many),
+      // the assumption-free serial-dependence check
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.runsTest(daily, Seq("event_type"), "day", "cnt")
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1752,5 +1773,106 @@ private[graft] object RefQueries {
         |SELECT h.event_type, h.n_forecasts, h.mae_model, n2.mae_naive,
         |       round(h.mae_model / n2.mae_naive, 4) AS mase
         |FROM h JOIN n2 USING (event_type)""".stripMargin,
+    // Spectral-entropy replay: the q329 integer phase machinery over
+    // the 8-period bank, amp²-normalized powers, entropy fold via
+    // Σ p·lnp = (Σ P·lnP)/T − lnT, 4dp.
+    "q377_spectral_entropy" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |ph AS (
+        |  SELECT event_type, p.period, day % p.period AS r,
+        |         CAST(sum(n) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+        |  FROM s CROSS JOIN (SELECT unnest([2, 3, 4, 5, 6, 7, 14, 30]) AS period) p
+        |  GROUP BY 1, 2, 3
+        |),
+        |m AS (
+        |  SELECT *, CAST(floor(CAST(s AS DOUBLE) * 1e6 / c) AS BIGINT) AS m
+        |  FROM ph
+        |),
+        |wn AS (
+        |  SELECT *,
+        |    CAST(sum(m) OVER (PARTITION BY event_type, period) AS BIGINT) AS ct,
+        |    CAST(count(*) OVER (PARTITION BY event_type, period) AS BIGINT) AS pp
+        |  FROM m
+        |),
+        |cw AS (
+        |  SELECT *, m * pp - ct AS cr,
+        |    CAST(round(cos(2 * pi() * r / period) * 1000) AS BIGINT) AS cwt,
+        |    CAST(round(sin(2 * pi() * r / period) * 1000) AS BIGINT) AS swt
+        |  FROM wn
+        |),
+        |a AS (
+        |  SELECT event_type, period, any_value(pp) AS np,
+        |         sum(CAST(cr AS HUGEINT) * cwt) AS A,
+        |         sum(CAST(cr AS HUGEINT) * swt) AS B
+        |  FROM cw GROUP BY 1, 2
+        |),
+        |pw AS (
+        |  SELECT event_type,
+        |         CAST(A * A + B * B AS DOUBLE) * 4.0
+        |           / (CAST(np AS DOUBLE) * np * np * np) / 1e18 AS p
+        |  FROM a
+        |),
+        |e AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_periods,
+        |         sum(p) AS tot, max(p) AS mx,
+        |         sum(CASE WHEN p > 0 THEN p * ln(p) ELSE 0.0 END) AS plp
+        |  FROM pw GROUP BY 1
+        |)
+        |SELECT event_type, n_periods,
+        |       round(CASE WHEN tot > 0 THEN mx / tot END, 4) AS peak_share,
+        |       round(CASE WHEN tot > 0 AND n_periods >= 2 THEN
+        |         -(plp / tot - ln(tot)) / ln(CAST(n_periods AS DOUBLE)) END, 4)
+        |         AS spectral_entropy
+        |FROM e ORDER BY event_type""".stripMargin,
+    // Runs-test replay: exact doubled-median cut, equal-to-median
+    // days excluded, lag-pass run count, textbook null moments.
+    "q378_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |),
+        |med AS (
+        |  SELECT event_type,
+        |         CAST(round(quantile_cont(cnt * 2, 0.5)) AS BIGINT) AS m2
+        |  FROM daily GROUP BY 1
+        |),
+        |sgn AS (
+        |  SELECT d.event_type, d.day, (d.cnt * 2 > m.m2) AS sg
+        |  FROM daily d JOIN med m USING (event_type)
+        |  WHERE d.cnt * 2 <> m.m2
+        |),
+        |runs AS (
+        |  SELECT event_type, day, sg,
+        |         lag(sg) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM sgn
+        |),
+        |g AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN sg THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |         CAST(sum(CASE WHEN sg THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+        |         CAST(sum(CASE WHEN prev IS NULL OR prev <> sg THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS runs
+        |  FROM runs GROUP BY 1
+        |)
+        |SELECT event_type, n_above, n_below, runs,
+        |       round((CAST(runs AS DOUBLE)
+        |              - (2.0 * n_above * n_below / (n_above + n_below) + 1.0)) /
+        |             CASE WHEN n_above = 0 OR n_below = 0 OR
+        |               (2.0 * n_above * n_below)
+        |               * (2.0 * n_above * n_below - (n_above + n_below)) /
+        |               (CAST(n_above + n_below AS DOUBLE) * (n_above + n_below)
+        |                * (n_above + n_below - 1)) <= 0 THEN NULL
+        |             ELSE sqrt((2.0 * n_above * n_below)
+        |               * (2.0 * n_above * n_below - (n_above + n_below)) /
+        |               (CAST(n_above + n_below AS DOUBLE) * (n_above + n_below)
+        |                * (n_above + n_below - 1))) END, 4) AS z
+        |FROM g ORDER BY event_type""".stripMargin,
   )
 }

@@ -405,6 +405,37 @@ private[graft] object StatsInferenceQueries {
       Rollups.friedman(t.events,
         expr("unix_micros(ts) div 86400000000"), col("event_type"))
     }),
+    "q373_bartlett" -> ((s, dir) => {
+      // F100 Bartlett: the normal-theory variance-homogeneity test
+      // next to q298's robust Brown–Forsythe — run both, trust BF
+      // when they disagree
+      val t = Tables(s, dir)
+      Rollups.bartlett(t.events, "event_type", "value")
+    }),
+    "q374_levene" -> ((s, dir) => {
+      // F101 Levene (mean-centered): the textbook original of the
+      // variance-homogeneity family; deviations carried as exact
+      // integer numerators via the multiply-through trick
+      val t = Tables(s, dir)
+      Rollups.levene(t.events, "event_type", "value")
+    }),
+    "q375_cochran_q" -> ((s, dir) => {
+      // F102 Cochran's Q: did ANY event type shift users' high-value
+      // hit rate — blocks=users, treatments=types, binary cells,
+      // exact integers until one division
+      val t = Tables(s, dir)
+      Rollups.cochranQ(
+        t.events.filter(col("user_id").isNotNull && col("event_type").isNotNull),
+        col("user_id"), col("event_type"), col("value") > 50)
+    }),
+    "q376_page_trend" -> ((s, dir) => {
+      // F103 Page's L: is the event-type effect MONOTONE in the
+      // lexicographic type order — the ordered sharpening of q295's
+      // Friedman, same dense doubled-rank frame
+      val t = Tables(s, dir)
+      Rollups.pageTrend(t.events,
+        expr("unix_micros(ts) div 86400000000"), col("event_type"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2259,5 +2290,147 @@ private[graft] object StatsInferenceQueries {
         |                               * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))
         |                END), 4) AS chi2_adj
         |FROM a1, a2""".stripMargin,
+    // Bartlett replay: exact cents moments per group, groups with
+    // n < 2 or zero variance excluded on both sides, written-order
+    // doubles with natural logs, 4dp.
+    "q373_bartlett" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |),
+        |gm AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s,
+        |         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+        |  FROM v GROUP BY 1
+        |),
+        |gv AS (
+        |  SELECT n, (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |           / (n - 1) AS var
+        |  FROM gm WHERE n >= 2
+        |),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |         sum((n - 1) * var) AS sw,
+        |         sum((n - 1) * ln(var)) AS sl,
+        |         sum(1.0 / (n - 1)) AS ih
+        |  FROM gv WHERE var > 0
+        |)
+        |SELECT k, n,
+        |       round(CASE WHEN k >= 2 AND n > k THEN
+        |         ((n - k) * ln(sw / (n - k)) - sl) /
+        |         (1 + (ih - 1.0 / (n - k)) / (3 * (k - 1))) END, 4) AS t_stat
+        |FROM a""".stripMargin,
+    // Levene replay: per-row deviation numerators |c·n − Σc| exact in
+    // HUGEINT (≡ decimal(38,0)), per-group z-moments as doubles with
+    // the divisions done once, the anovaF fold, 4dp.
+    "q374_levene" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |),
+        |sums AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s
+        |  FROM v GROUP BY 1
+        |),
+        |u AS (
+        |  SELECT v.g, sums.n, abs(CAST(v.c AS HUGEINT) * sums.n - sums.s) AS u
+        |  FROM v JOIN sums USING (g)
+        |),
+        |gm AS (
+        |  SELECT g, max(n) AS n, CAST(sum(u) AS HUGEINT) AS us,
+        |         CAST(sum(u * u) AS HUGEINT) AS uq
+        |  FROM u GROUP BY 1
+        |),
+        |zz AS (
+        |  SELECT n, CAST(us AS DOUBLE) / n AS zs,
+        |         CAST(uq AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS zq
+        |  FROM gm
+        |),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |         sum(zs * zs / n) AS sb, sum(zs) AS sS, sum(zq) AS qQ
+        |  FROM zz
+        |)
+        |SELECT k, n,
+        |       round(((sb - sS * sS / n) / (k - 1)) /
+        |             CASE WHEN qQ - sb <= 0 OR n <= k THEN NULL
+        |                  ELSE (qQ - sb) / (n - k) END, 4) AS w_stat
+        |FROM a""".stripMargin,
+    // Cochran-Q replay: identical dense user×type binary grid, exact
+    // integer totals (HUGEINT squares), one final division.
+    "q375_cochran_q" ->
+      """WITH cells AS (
+        |  SELECT user_id AS b, event_type AS g,
+        |         CAST(max(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |),
+        |dense AS (
+        |  SELECT bb.b, gg.g, coalesce(c.x, 0) AS x
+        |  FROM (SELECT DISTINCT b FROM cells) bb
+        |  CROSS JOIN (SELECT DISTINCT g FROM cells) gg
+        |  LEFT JOIN cells c ON c.b = bb.b AND c.g = gg.g
+        |),
+        |ct AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS cc,
+        |         CAST(sum(cj) AS BIGINT) AS nn
+        |  FROM (SELECT g, CAST(sum(x) AS BIGINT) AS cj FROM dense GROUP BY 1)
+        |),
+        |rt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS b, CAST(sum(ru) AS BIGINT) AS r,
+        |         CAST(sum(CAST(ru AS HUGEINT) * ru) AS HUGEINT) AS rr
+        |  FROM (SELECT b, CAST(sum(x) AS BIGINT) AS ru FROM dense GROUP BY 1)
+        |)
+        |SELECT ct.k, rt.b,
+        |       round((ct.k - 1) *
+        |             (ct.k * CAST(ct.cc AS DOUBLE)
+        |              - CAST(ct.nn AS DOUBLE) * CAST(ct.nn AS DOUBLE)) /
+        |             CASE WHEN CAST(ct.k AS DOUBLE) * rt.r
+        |                       - CAST(rt.rr AS DOUBLE) <= 0 THEN NULL
+        |                  ELSE CAST(ct.k AS DOUBLE) * rt.r
+        |                       - CAST(rt.rr AS DOUBLE) END, 4) AS q_stat
+        |FROM ct, rt""".stripMargin,
+    // Page-L replay: the q295 dense doubled-rank frame, lexicographic
+    // treatment ordinals, exact doubled L, no-tie null moments.
+    "q376_page_trend" ->
+      """WITH cells AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
+        |         event_type AS g, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |),
+        |dense AS (
+        |  SELECT bb.b, gg.g, coalesce(c.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT b FROM cells) bb
+        |  CROSS JOIN (SELECT DISTINCT g FROM cells) gg
+        |  LEFT JOIN cells c ON c.b = bb.b AND c.g = gg.g
+        |),
+        |r AS (
+        |  SELECT b, g,
+        |         2 * (rank() OVER (PARTITION BY b ORDER BY cnt) - 1)
+        |           + CAST(count(*) OVER (PARTITION BY b, cnt) AS BIGINT) + 1 AS r2
+        |  FROM dense
+        |),
+        |pert AS (
+        |  SELECT g, CAST(sum(r2) AS BIGINT) AS s2,
+        |         CAST(row_number() OVER (ORDER BY g) AS BIGINT) AS w
+        |  FROM r GROUP BY 1
+        |),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(w * s2) AS BIGINT) AS l2
+        |  FROM pert
+        |),
+        |bl AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_blocks FROM r)
+        |SELECT n_blocks, k, l2,
+        |       round((CAST(l2 AS DOUBLE)
+        |              - CAST(n_blocks AS DOUBLE) * k * (k + 1) * (k + 1) / 2.0) /
+        |             CASE WHEN CAST(n_blocks AS DOUBLE) * k * k * (k + 1)
+        |                       * (CAST(k AS DOUBLE) * k - 1.0) / 144.0 <= 0 THEN NULL
+        |                  ELSE 2.0 * sqrt(CAST(n_blocks AS DOUBLE) * k * k * (k + 1)
+        |                       * (CAST(k AS DOUBLE) * k - 1.0) / 144.0) END, 4) AS z
+        |FROM a, bl""".stripMargin,
   )
 }
