@@ -77,7 +77,9 @@ if ! sbt -batch package > /tmp/green_gate_jar.log 2>&1; then
   echo "[green_gate] *** sbt package FAILED:"; tail -10 /tmp/green_gate_jar.log
   exit 1
 fi
-JAR=$(ls target/scala-2.13/timeseriesspark_*[!s].jar | grep -v tests | head -1)
+# publishLocal (the consumer leg) also drops -javadoc/-sources jars
+# into target — exclude every classifier, not just tests
+JAR=$(ls target/scala-2.13/timeseriesspark_*.jar | grep -vE 'javadoc|sources|tests' | head -1)
 JAR_OUT=$(mktemp -d /tmp/green_gate_jarout.XXXXXX)
 JAR_QS=q20_tpch_q1,q01_assoc_datasource,q31_dedup_minhash
 if ! SPARK_LOCAL_IP=127.0.0.1 /opt/spark/bin/spark-submit --class graft.Verify \
