@@ -376,7 +376,7 @@ private[graft] object GraphQueries {
     "q379_dup_modularity" ->
       s"""WITH $MinhashPairsSql,
          |e AS (SELECT idA AS a, idB AS b FROM lshpairs),
-         |tagged AS (
+         |tagged AS MATERIALIZED (
          |  SELECT e.a, e.b, da.source AS ca, db.source AS cb
          |  FROM e
          |  JOIN documents da ON da.doc_id = e.a

@@ -1832,7 +1832,7 @@ private[graft] object RefQueries {
     // Runs-test replay: exact doubled-median cut, equal-to-median
     // days excluded, lag-pass run count, textbook null moments.
     "q378_runs_test" ->
-      """WITH daily AS (
+      """WITH daily AS MATERIALIZED (
         |  SELECT event_type,
         |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
         |         CAST(count(*) AS BIGINT) AS cnt

@@ -2325,7 +2325,7 @@ private[graft] object StatsInferenceQueries {
     // HUGEINT (≡ decimal(38,0)), per-group z-moments as doubles with
     // the divisions done once, the anovaF fold, 4dp.
     "q374_levene" ->
-      """WITH v AS (
+      """WITH v AS MATERIALIZED (
         |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c
         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
         |),
@@ -2361,13 +2361,13 @@ private[graft] object StatsInferenceQueries {
     // Cochran-Q replay: identical dense user×type binary grid, exact
     // integer totals (HUGEINT squares), one final division.
     "q375_cochran_q" ->
-      """WITH cells AS (
+      """WITH cells AS MATERIALIZED (
         |  SELECT user_id AS b, event_type AS g,
         |         CAST(max(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS x
         |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         |  GROUP BY 1, 2
         |),
-        |dense AS (
+        |dense AS MATERIALIZED (
         |  SELECT bb.b, gg.g, coalesce(c.x, 0) AS x
         |  FROM (SELECT DISTINCT b FROM cells) bb
         |  CROSS JOIN (SELECT DISTINCT g FROM cells) gg
@@ -2396,7 +2396,7 @@ private[graft] object StatsInferenceQueries {
     // Page-L replay: the q295 dense doubled-rank frame, lexicographic
     // treatment ordinals, exact doubled L, no-tie null moments.
     "q376_page_trend" ->
-      """WITH cells AS (
+      """WITH cells AS MATERIALIZED (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
         |         event_type AS g, CAST(count(*) AS BIGINT) AS cnt
         |  FROM events GROUP BY 1, 2
@@ -2407,7 +2407,7 @@ private[graft] object StatsInferenceQueries {
         |  CROSS JOIN (SELECT DISTINCT g FROM cells) gg
         |  LEFT JOIN cells c ON c.b = bb.b AND c.g = gg.g
         |),
-        |r AS (
+        |r AS MATERIALIZED (
         |  SELECT b, g,
         |         2 * (rank() OVER (PARTITION BY b ORDER BY cnt) - 1)
         |           + CAST(count(*) OVER (PARTITION BY b, cnt) AS BIGINT) + 1 AS r2
