@@ -419,4 +419,177 @@ object Graph {
             (d(col("degree")) / (lit(2.0) * col("n_edges"))), 4)
           .as("q_contrib"))
   }
+
+  /** Degree assortativity (G111) — do high-degree nodes attach to
+    * other high-degree nodes (r > 0, social-network-like: duplicate
+    * families link to families) or to leaves (r < 0,
+    * hub-and-spoke-like: one template fans out to singletons)?
+    * Pearson correlation of endpoint degrees over the SYMMETRIZED
+    * directed edge list (each undirected edge contributes both
+    * orientations — Newman 2002's convention, which makes Σj = Σk and
+    * collapses r to (M·Σjk − (Σj)²)/(M·Σj² − (Σj)²)).
+    *
+    * The planning signal next to G73's power-law exponent: a negative
+    * r says wedge fan-out concentrates on hub–leaf joins (salting
+    * helps), a positive r says dense near-cliques dominate (family
+    * collapse helps).
+    *
+    * Exactness: degrees and all four moments are exact integers in
+    * decimal(38,0) (degree products reach deg²·M); ONE double
+    * division, 4dp.
+    *
+    * Scale shape: one (node) degree combine, two id-keyed joins to
+    * attach endpoint degrees, one one-row reduce. No windows, no
+    * driver loops.
+    *
+    * Output: one row (n_nodes, n_edges, r) — r null on a
+    * degree-regular graph (zero variance).
+    */
+  def assortativity(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .localCheckpoint() // feeds the degree combine and the moment join
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val dbl = e.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(e.select(col("b").as("s"), col("a").as("t")))
+    dbl
+      .join(deg.select(col("id").as("s"), col("deg").as("__dj")), Seq("s"))
+      .join(deg.select(col("id").as("t"), col("deg").as("__dk")), Seq("t"))
+      .agg(
+        count(lit(1)).as("__m"),
+        sum(col("__dj").cast(dec)).as("__sj"),
+        sum(col("__dj").cast(dec) * col("__dk")).as("__sjk"),
+        sum(col("__dj").cast(dec) * col("__dj")).as("__sjj"))
+      .crossJoin(broadcast(
+        deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_nodes"), expr("__m div 2").as("n_edges"),
+        round(when(col("__m") * col("__sjj") - col("__sj") * col("__sj") > 0,
+          d(col("__m") * col("__sjk") - col("__sj") * col("__sj")) /
+            d(col("__m") * col("__sjj") - col("__sj") * col("__sj"))), 4)
+          .as("r"))
+  }
+
+  /** Rich-club coefficient curve (G112) — do the well-connected nodes
+    * form their own dense core? For each threshold k: take the nodes
+    * with degree > k, and φ(k) = 2·E_k / (n_k(n_k−1)) — the fraction
+    * of possible edges among them that exist. A rising φ(k) on a
+    * dedup graph means the biggest duplicate families interlock (one
+    * shared template corpus); a flat curve means families are
+    * disjoint. The planning companion to G111's one-number r.
+    *
+    * Exactness: n_k, E_k exact longs; φ one division, 4dp.
+    *
+    * Scale shape: degree combine once; the k-sweep is a CONSTANT
+    * explode fan (|ks| rows per node / edge, dim-bounded input
+    * already), one conditional combine per side, one k-grain join.
+    *
+    * Output: one row per k (k, n_nodes, n_edges_within, phi) — phi
+    * null when n_k < 2.
+    */
+  def richClub(
+      edges: DataFrame,
+      ks: Seq[Int] = Seq(1, 2, 4, 8, 16),
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(ks.nonEmpty, "need at least one degree threshold")
+    val d = (c: Column) => c.cast("double")
+    val kArr = array(ks.map(lit(_)): _*)
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .localCheckpoint() // feeds the degree combine and the edge sweep
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // feeds the node sweep and both edge attaches
+    val nodesAtK = deg
+      .select(explode(kArr).as("k"), col("deg"))
+      .filter(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val edgesAtK = e
+      .join(deg.select(col("id").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("__db")), Seq("b"))
+      .select(explode(kArr).as("k"), least(col("__da"), col("__db")).as("__md"))
+      .filter(col("__md") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges_within"))
+    nodesAtK
+      .join(edgesAtK, Seq("k"), "left")
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("n_edges_within"), lit(0L)).as("n_edges_within"))
+      .withColumn("phi",
+        round(when(col("n_nodes") >= 2,
+          lit(2.0) * d(col("n_edges_within")) /
+            (d(col("n_nodes")) * d(col("n_nodes") - 1L))), 4))
+      .orderBy("k")
+  }
+
+  /** Unweighted link-prediction scores (G113) — the three classic
+    * baselines next to G108's Adamic–Adar, for the same "what would a
+    * looser banding have caught" review list: common neighbors
+    * (raw overlap), Jaccard (overlap normalized by the union of
+    * neighborhoods — demotes hubs), preferential attachment
+    * (deg·deg — the null model the other two are judged against).
+    * Reading all three on one pair separates "truly shared context"
+    * from "two hubs were bound to collide".
+    *
+    * Determinism: common counts are exact longs from the SAME
+    * hub-capped wedge enumeration as adamicAdar (centers with deg >
+    * `hubCap` excluded by contract — mirrored in the oracle);
+    * Jaccard's denominator uses FULL degrees; the top-k cut orders by
+    * (common desc, u, v), total.
+    *
+    * Scale shape: capped wedge self-join, one (u,v) combine, two
+    * broadcast-size degree attaches, anti-join against existing
+    * edges, TakeOrdered top-k.
+    *
+    * Output: topK rows (u, v, common, jaccard, pa).
+    */
+  def linkScores(
+      edges: DataFrame,
+      topK: Int = 20,
+      hubCap: Int = 64,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .localCheckpoint() // feeds degrees, wedges, and the anti-join
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // feeds the wedge cap and both score attaches
+    val dbl = e.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+    val capped = dbl
+      .join(deg.filter(col("deg") >= 2 && col("deg") <= hubCap)
+        .select(col("id").as("w")), Seq("w"))
+    val scored = capped.as("x")
+      .join(capped.as("y"),
+        col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("u"), col("y.n").as("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common"))
+    scored
+      .join(e, scored("u") === e("a") && scored("v") === e("b"), "left_anti")
+      .join(deg.select(col("id").as("u"), col("deg").as("__du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("__dv")), Seq("v"))
+      .orderBy(col("common").desc, col("u"), col("v"))
+      .limit(topK)
+      .select(col("u"), col("v"), col("common"),
+        round(d(col("common")) /
+          d(col("__du") + col("__dv") - col("common")), 4).as("jaccard"),
+        (col("__du") * col("__dv")).as("pa"))
+  }
 }

@@ -1265,4 +1265,302 @@ private[operators] trait RollupsInference {
             log(d(col("n_periods")))), 4).as("spectral_entropy")): _*)
   }
 
+  /** G-test (log-likelihood-ratio) of independence between two
+    * categorical columns — F22 χ²'s information-theoretic twin
+    * (G = 2N·MI_nats, the additive statistic that partitions cleanly
+    * across nested tables where Pearson's χ² does not). Run both:
+    * they agree asymptotically and diverge exactly where small
+    * expected cells make the quadratic approximation of χ² break.
+    *
+    * Empty-cell fold: G sums O·ln(O·N/(R·C)) over OBSERVED cells only
+    * — an empty cell contributes exactly 0 (lim x·ln x = 0), so
+    * unlike χ² no empty-cell correction term is even needed; sparse
+    * high-cardinality pairs stay at observed-cell grain for free.
+    *
+    * Determinism: margins are exact longs from RANGE windows over the
+    * cell table; each cell's contribution is ONE pinned double
+    * expression rounded 6dp before the cell-table-sized sum; G is
+    * rounded 4dp (the chiSquare convention).
+    *
+    * Output (one row): n, r_levels, c_levels, dof, g_stat.
+    */
+  def gTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n_ab"))
+    cells
+      .withColumn("_na", sum(col("n_ab")).over(Window.partitionBy(aCol)))
+      .withColumn("_nb", sum(col("n_ab")).over(Window.partitionBy(bCol)))
+      .withColumn("_n", sum(col("n_ab")).over(Window.partitionBy()))
+      .withColumn("contrib",
+        round(d(col("n_ab")) *
+          log((d(col("n_ab")) * d(col("_n"))) /
+            (d(col("_na")) * d(col("_nb")))), 6))
+      .groupBy()
+      .agg(
+        min(col("_n")).as("n"),
+        countDistinct(col(aCol)).as("r_levels"),
+        countDistinct(col(bCol)).as("c_levels"),
+        sum(col("contrib")).as("_sc"))
+      .withColumn("dof", (col("r_levels") - 1) * (col("c_levels") - 1))
+      .select(col("n"), col("r_levels"), col("c_levels"), col("dof"),
+        round(lit(2.0) * col("_sc"), 4).as("g_stat"))
+  }
+
+  /** Cochran–Mantel–Haenszel test + Mantel–Haenszel pooled odds
+    * ratio — is a binary exposure associated with a binary outcome
+    * AFTER conditioning on a stratification that could confound it
+    * (the Simpson's-paradox guard F13's unstratified two-proportion z
+    * walks straight into): per stratum t the 2×2 (a,b,c,d) yields
+    * E_t = r1·c1/n and V_t = r1·r2·c1·c2/(n²(n−1)); CMH =
+    * (|Σ(a−E)| − ½)²/ΣV (continuity-corrected), OR_MH =
+    * Σ(a·d/n) / Σ(b·c/n).
+    *
+    * Determinism: per-stratum counts are exact longs from ONE
+    * conditional map-side combine; E, V and the two OR terms are
+    * pinned double expressions of those longs rounded 6dp before the
+    * strata-dim-sized sums; final stats 4dp. Strata with n < 2 are
+    * excluded (V undefined), mirroring both engines.
+    *
+    * Output (one row): strata, n, cmh_stat, or_mh — or_mh null when
+    * no discordant mass exists (ΣS = 0), cmh null when ΣV = 0.
+    */
+  def cmh(
+      df: DataFrame,
+      strata: Column,
+      exposed: Column,
+      success: Column): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val cellTab = df
+      .groupBy(strata.as("__t"))
+      .agg(
+        sum(when(exposed && success, 1L).otherwise(0L)).as("__a"),
+        sum(when(exposed && !success, 1L).otherwise(0L)).as("__b"),
+        sum(when(!exposed && success, 1L).otherwise(0L)).as("__c"),
+        sum(when(!exposed && !success, 1L).otherwise(0L)).as("__d"))
+      .withColumn("__n", col("__a") + col("__b") + col("__c") + col("__d"))
+      .filter(col("__n") >= 2)
+    cellTab
+      .withColumn("__r1", col("__a") + col("__b"))
+      .withColumn("__r2", col("__c") + col("__d"))
+      .withColumn("__c1", col("__a") + col("__c"))
+      .withColumn("__c2", col("__b") + col("__d"))
+      .withColumn("__num",
+        round(d(col("__a")) - (d(col("__r1")) * d(col("__c1"))) / col("__n"), 6))
+      .withColumn("__var",
+        round((d(col("__r1")) * d(col("__r2")) * d(col("__c1")) * d(col("__c2"))) /
+          (d(col("__n")) * d(col("__n")) * (d(col("__n")) - 1.0)), 6))
+      .withColumn("__R", round((d(col("__a")) * d(col("__d"))) / col("__n"), 6))
+      .withColumn("__S", round((d(col("__b")) * d(col("__c"))) / col("__n"), 6))
+      .agg(
+        count(lit(1)).as("strata"), sum("__n").as("n"),
+        sum("__num").as("__sn"), sum("__var").as("__sv"),
+        sum("__R").as("__sr"), sum("__S").as("__ss"))
+      .select(col("strata"), col("n"),
+        round(when(col("__sv") > 0,
+          (abs(col("__sn")) - 0.5) * (abs(col("__sn")) - 0.5) / col("__sv")), 4)
+          .as("cmh_stat"),
+        round(when(col("__ss") > 0, col("__sr") / col("__ss")), 4).as("or_mh"))
+  }
+
+  /** Dunn's post-hoc test — WHICH group pairs differ, once F63's
+    * omnibus Kruskal–Wallis fires: pairwise z on the POOLED average
+    * ranks (not per-pair re-ranks — that is the Dunn/pairwise-MW
+    * distinction), with the pooled tie correction
+    * σ² = [N(N+1) − Σ(t³−t)/(N−1)]/12 and
+    * z_ab = (R̄_a − R̄_b)/√(σ²(1/n_a + 1/n_b)).
+    *
+    * Exactness: the kruskalWallis frame verbatim — INTEGER 2·rank =
+    * 2·cumBefore + t + 1 on the (value, group) grain, rank sums and
+    * tie cubes in decimal(38,0); the mean-rank difference is carried
+    * as the EXACT decimal numerator S_a·n_b − S_b·n_a (multiply-
+    * through) and divided once inside the final z expression, 4dp.
+    *
+    * Scale shape: one corpus scan to (value, group) grain, the same
+    * single ValueGrainCap-guarded ranking window as kruskalWallis,
+    * then the k-row group table self-joined (broadcast, k² pairs).
+    *
+    * Output: one row per unordered pair (g_a < g_b): g_a, g_b, n_a,
+    * n_b, z — z null when σ² degenerates (all values tied).
+    */
+  def dunn(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(cents.as("v"), col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val ord = Window.orderBy("v")
+    val ranked = Rollups.grainGuarded(pts, ord, "dunn")
+      .withColumn("__t",
+        sum("n").over(ord.rangeBetween(Window.currentRow, Window.currentRow)))
+      .withColumn("__cumb", coalesce(
+        sum("n").over(ord.rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__cumb") + col("__t") + 1L)
+    val perG = ranked.groupBy("g")
+      .agg(sum("n").as("__ng"),
+        sum(col("n").cast(dec) * col("__r2")).as("__s2"))
+      .localCheckpoint()
+    val tot = perG.agg(sum("__ng").as("__N")).crossJoin(
+      pts.groupBy("v").agg(sum("n").as("__t"))
+        .agg(coalesce(
+          sum(col("__t").cast(dec) * col("__t") * col("__t") - col("__t")),
+          lit(0).cast(dec)).as("__tie3")))
+    val a = perG.select(col("g").as("g_a"), col("__ng").as("n_a"),
+      col("__s2").as("__sa"))
+    val b = perG.select(col("g").as("g_b"), col("__ng").as("n_b"),
+      col("__s2").as("__sb"))
+    a.crossJoin(broadcast(b)).filter(col("g_a") < col("g_b"))
+      .crossJoin(broadcast(tot))
+      // σ² from the doubled-rank frame: 2R has variance 4σ², so the
+      // doubled-scale variance is [N(N+1) − tie3/(N−1)]/3
+      .withColumn("__sig2",
+        (d(col("__N")) * d(col("__N") + 1L) -
+          d(col("__tie3")) / (d(col("__N")) - 1.0)) / 3.0)
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        round(when(col("__sig2") > 0 && col("__N") > 1,
+          d(col("__sa") * col("n_b") - col("__sb") * col("n_a")) /
+            (d(col("n_a")) * d(col("n_b")) *
+              sqrt(col("__sig2") *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))), 4)
+          .as("z"))
+  }
+
+  /** Cox–Stuart trend test per keyed series — the assumption-free
+    * "is there ANY monotone drift" sign test (D15's Theil–Sen
+    * estimates the slope, D23's Mann–Kendall ranks all pairs; Cox–
+    * Stuart is the O(n) screen that pairs each point with its
+    * half-series successor): drop the middle point of an odd series,
+    * pair x_i with x_{i+⌈n/2⌉}, S = #(later > earlier) among the m
+    * non-tied pairs, z = sign(2S−m)·(|2S−m|−1)/√m (continuity-
+    * corrected binomial).
+    *
+    * Exactness: the series rides ONE per-key sorted array (the Holt
+    * q272 convention — engine-identical 1-based indexing); pair signs
+    * and S are exact integers; z is one double, 4dp.
+    *
+    * Output: keys ++ (n, n_pos, n_neg, z) — z null when every pair
+    * ties (m = 0).
+    */
+  def coxStuart(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("long").as("x")))).as("__s"))
+      .withColumn("__n", size(col("__s")))
+      .withColumn("__m", (col("__n") / 2).cast("int"))
+      // pair i with i + ceil(n/2): skips the middle point when n is odd
+      .withColumn("__h", col("__n") - col("__m"))
+      .withColumn("__pos", size(filter(sequence(lit(1), col("__m")),
+        i => col("__s")(i + col("__h") - 1)("x") > col("__s")(i - 1)("x"))))
+      .withColumn("__neg", size(filter(sequence(lit(1), col("__m")),
+        i => col("__s")(i + col("__h") - 1)("x") < col("__s")(i - 1)("x"))))
+      .withColumn("__mm", col("__pos") + col("__neg"))
+      .withColumn("__k", lit(2L) * col("__pos") - col("__mm"))
+      .select(keys.map(col) ++ Seq(col("__n").cast("long").as("n"),
+        col("__pos").cast("long").as("n_pos"),
+        col("__neg").cast("long").as("n_neg"),
+        round(when(col("__mm") > 0 && col("__k") =!= 0,
+          signum(d(col("__k"))) * (abs(d(col("__k"))) - 1.0) /
+            sqrt(d(col("__mm")))).when(col("__mm") > 0, lit(0.0)), 4)
+          .as("z")): _*)
+  }
+
+  /** Turning-point + difference-sign randomness tests per keyed
+    * series — the two classical IID screens that catch OPPOSITE
+    * failure modes (too few turning points = trend/momentum, a
+    * skewed difference-sign count = drift) before any model-bound
+    * diagnostic (D17 Durbin–Watson) is trusted: T = #{strict local
+    * extrema}, z_tp = (T − 2(n−2)/3)/√((16n−29)/90); U = #{x_t >
+    * x_{t−1}}, z_ds = (U − (n−1)/2)/√((n+1)/12).
+    *
+    * Ties: a flat step (x_t = x_{t−1}) is neither an ascent nor an
+    * extremum — strict inequalities throughout, the standard
+    * discrete-data treatment, identically mirrored in the oracle.
+    *
+    * Exactness: counts are exact longs off lag/lead windows at
+    * series grain (an aggregate frame, never corpus rows); each z is
+    * one double of exact integers, 4dp.
+    *
+    * Output: keys ++ (n, n_turning, z_tp, n_up, z_ds).
+    */
+  def turningPoints(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+    df.select(keys.map(col) ++ Seq(col(orderCol),
+      col(valueCol).cast("long").as("__x")): _*)
+      .withColumn("__p", lag("__x", 1).over(w))
+      .withColumn("__f", lead("__x", 1).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__p").isNotNull && col("__f").isNotNull &&
+          ((col("__x") > col("__p") && col("__x") > col("__f")) ||
+            (col("__x") < col("__p") && col("__x") < col("__f"))), 1L)
+          .otherwise(0L)).as("n_turning"),
+        sum(when(col("__x") > col("__p"), 1L).otherwise(0L)).as("n_up"))
+      .select(keys.map(col) ++ Seq(col("n"), col("n_turning"),
+        round(when(col("n") >= 3,
+          (d(col("n_turning")) - lit(2.0) * (d(col("n")) - 2.0) / 3.0) /
+            sqrt((lit(16.0) * d(col("n")) - 29.0) / 90.0)), 4).as("z_tp"),
+        col("n_up"),
+        round(when(col("n") >= 2,
+          (d(col("n_up")) - (d(col("n")) - 1.0) / 2.0) /
+            sqrt((d(col("n")) + 1.0) / 12.0)), 4).as("z_ds")): _*)
+  }
+
+  /** KPSS level-stationarity statistic per keyed series (lag-0
+    * short-run variance) — the null-reversed companion to the
+    * changepoint/trend family: D16/D23 hunt for a change, KPSS
+    * scores how UN-stationary the level already is (η ≈ 0.05 for a
+    * level-stationary series; > 0.463 rejects at 5%):
+    * η = Σ S_t² / (n·s̄²·n²) with S_t the partial sums of the
+    * demeaned series and s̄² the plain variance.
+    *
+    * Exactness: multiply-through demeaning — e_t = x_t·n − Σx is an
+    * EXACT integer, its partial sums P_t ride decimal(38,0), and
+    * η = ΣP_t² / (n·Σe_t²) cancels every divisor so the statistic is
+    * exact integers until ONE final division, 4dp.
+    *
+    * Scale shape: series totals at key grain broadcast back; the
+    * partial-sum window runs per key over the aggregate-grain frame.
+    *
+    * Output: keys ++ (n, eta) — null when the series is constant.
+    */
+  def kpss(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val base = df.select(keys.map(col) ++ Seq(col(orderCol),
+      col(valueCol).cast("long").as("__x")): _*)
+    val tot = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum("__x").as("__sx"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(tot), keys)
+      .withColumn("__e", col("__x").cast(dec) * col("__n") - col("__sx"))
+      .withColumn("__P", sum("__e").over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        sum(col("__P") * col("__P")).as("__pp"),
+        sum(col("__e") * col("__e")).as("__ee"))
+      .select(keys.map(col) ++ Seq(col("n"),
+        round(when(col("__ee") > 0,
+          d(col("__pp")) / (d(col("n")) * d(col("__ee")))), 4)
+          .as("eta")): _*)
+  }
+
 }

@@ -125,6 +125,66 @@ object SimilaritySearch {
       .select(col("query_id"), col("id"), col("rank"), round(col("cos8"), 4).as("cos8"))
   }
 
+  /** 1-bit sign-quantization ANN (G114) — the extreme end of the
+    * [[int8TopK]]/[[pqTopK]] compression ladder: each vector keeps
+    * only its per-dimension SIGNS, packed 32 per long (64 dims = 2
+    * longs = 8 bytes — 32× smaller than f32), and stage 1 shortlists
+    * by HAMMING distance, which for sign codes is the random-
+    * hyperplane estimate of angular distance (Charikar 2002:
+    * cos(π·ham/d) ≈ cosine). Stage 2 re-ranks only the shortlist
+    * with the exact integer cosine — the [[pqTopK]] two-stage
+    * layout. At 100 TB the sign index is the one that fits in
+    * memory: 1 bit/dim, and the scan cost per pair is two XOR+popcount
+    * instructions instead of a 64-dim dot.
+    *
+    * Determinism: signs are taken on the ×1000-quantized grid
+    * (q_i > 0 — engine-identical), the packed halves are exact long
+    * sums of distinct powers of two, Hamming is integer; the
+    * shortlist cut orders by (hamming asc, id) and the final rank by
+    * (cos desc, id) — both total.
+    *
+    * Output: (query_id, id, rank, cos, hamming) — the
+    * [[bruteForceTopK]] contract plus the stage-1 distance.
+    */
+  def signTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      shortlist: Int = 50,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    def packed(df: DataFrame) = prepared(df, idCol, embCol)
+      .filter(col("nrm") > 0d)
+      .withColumn("h1", expr(
+        "aggregate(zip_with(slice(qv, 1, 32), sequence(0, 31), " +
+          "(x, i) -> IF(x > 0L, shiftleft(1L, i), 0L)), 0L, " +
+          "(acc, b) -> acc + b)"))
+      .withColumn("h2", expr(
+        "aggregate(zip_with(slice(qv, 33, 32), sequence(0, 31), " +
+          "(x, i) -> IF(x > 0L, shiftleft(1L, i), 0L)), 0L, " +
+          "(acc, b) -> acc + b)"))
+    val c = packed(corpus)
+    val q = packed(queries).select(col("id").as("query_id"),
+      col("qv").as("qqv"), col("nrm").as("qnrm"),
+      col("h1").as("qh1"), col("h2").as("qh2"))
+    val wHam = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("id"))
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("id"))
+    c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(h1 ^ qh1) + bit_count(h2 ^ qh2) AS BIGINT)"))
+      .withColumn("__sr", row_number().over(wHam))
+      .filter(col("__sr") <= shortlist)
+      .withColumn("cos",
+        quantizedDot(col("qv"), col("qqv")).cast("double") /
+          (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("rank"),
+        round(col("cos"), 4).as("cos"), col("hamming"))
+  }
+
   /** Product-quantization ANN (FAISS PQ, asymmetric-distance flavor),
     * two-stage: the 64-dim vector splits into `subspaces` subvectors,
     * each with a `codebookSize`-entry codebook (deterministic

@@ -99,6 +99,37 @@ private[graft] object GraphQueries {
         "idA", "idB", "doc_id", "source")
         .orderBy("community")
     }),
+    "q386_assortativity" -> ((s, dir) => {
+      // G111 degree assortativity of the near-dup graph: r > 0 =
+      // families link to families (collapse them first), r < 0 =
+      // hub-and-spoke templates (salt the hubs) — one number that
+      // prices the wedge-enumeration plan
+      val t = Tables(s, dir)
+      Graph.assortativity(
+        Dedup.minhashLshPairs(t.documents).select("idA", "idB"),
+        "idA", "idB")
+    }),
+    "q387_rich_club" -> ((s, dir) => {
+      // G112 rich-club curve: do the best-connected docs form their
+      // own dense core (one interlocking template corpus) or sit in
+      // disjoint families — q386's one number unrolled over degree
+      // thresholds
+      val t = Tables(s, dir)
+      Graph.richClub(
+        Dedup.minhashLshPairs(t.documents).select("idA", "idB"),
+        Seq(1, 2, 4, 8, 16), "idA", "idB")
+    }),
+    "q388_link_scores" -> ((s, dir) => {
+      // G113 link-prediction baselines over the co-purchase graph:
+      // common neighbors / Jaccard / preferential attachment for the
+      // same not-yet-linked pairs q341's Adamic-Adar ranks — reading
+      // all three separates shared context from hub collisions
+      val t = Tables(s, dir)
+      Graph.linkScores(
+        Baskets.coPairs(t.lineitem, "l_orderkey", "l_partkey",
+          minSupport = 2),
+        topK = 20, hubCap = 64)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -401,5 +432,110 @@ private[graft] object GraphQueries {
          |         AS q_contrib
          |FROM dg LEFT JOIN w USING (community), m
          |ORDER BY community""".stripMargin,
+    // Assortativity replay: symmetrized edge list, endpoint degrees,
+    // exact HUGEINT moments, one double division.
+    "q386_assortativity" ->
+      s"""WITH $MinhashPairsSql,
+         |ed AS MATERIALIZED (SELECT idA, idB FROM lshpairs),
+         |deg AS MATERIALIZED (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT idA AS id FROM ed UNION ALL SELECT idB FROM ed)
+         |  GROUP BY 1
+         |),
+         |dbl AS (
+         |  SELECT idA AS s, idB AS t FROM ed
+         |  UNION ALL SELECT idB, idA FROM ed
+         |),
+         |mo AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |         CAST(sum(CAST(dj.deg AS HUGEINT)) AS HUGEINT) AS sj,
+         |         CAST(sum(CAST(dj.deg AS HUGEINT) * dk.deg) AS HUGEINT) AS sjk,
+         |         CAST(sum(CAST(dj.deg AS HUGEINT) * dj.deg) AS HUGEINT) AS sjj
+         |  FROM dbl
+         |  JOIN deg dj ON dj.id = dbl.s
+         |  JOIN deg dk ON dk.id = dbl.t
+         |),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+         |SELECT n_nodes, m // 2 AS n_edges,
+         |       round(CASE WHEN m * sjj - sj * sj > 0
+         |             THEN CAST(m * sjk - sj * sj AS DOUBLE)
+         |                  / CAST(m * sjj - sj * sj AS DOUBLE) END, 4) AS r
+         |FROM mo, nn""".stripMargin,
+    // Rich-club replay: same degree table, constant k-sweep on both
+    // the node side and the min-endpoint-degree edge side.
+    "q387_rich_club" ->
+      s"""WITH $MinhashPairsSql,
+         |ed AS MATERIALIZED (SELECT idA, idB FROM lshpairs),
+         |deg AS MATERIALIZED (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT idA AS id FROM ed UNION ALL SELECT idB FROM ed)
+         |  GROUP BY 1
+         |),
+         |ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+         |nk AS (
+         |  SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM deg CROSS JOIN ks WHERE deg > k GROUP BY 1
+         |),
+         |ek AS (
+         |  SELECT k, CAST(count(*) AS BIGINT) AS n_edges_within
+         |  FROM ed
+         |  JOIN deg da ON da.id = ed.idA
+         |  JOIN deg db ON db.id = ed.idB
+         |  CROSS JOIN ks
+         |  WHERE least(da.deg, db.deg) > k
+         |  GROUP BY 1
+         |)
+         |SELECT nk.k, nk.n_nodes,
+         |       coalesce(ek.n_edges_within, 0) AS n_edges_within,
+         |       round(CASE WHEN nk.n_nodes >= 2
+         |             THEN 2.0 * CAST(coalesce(ek.n_edges_within, 0) AS DOUBLE)
+         |                  / (CAST(nk.n_nodes AS DOUBLE)
+         |                     * CAST(nk.n_nodes - 1 AS DOUBLE)) END, 4) AS phi
+         |FROM nk LEFT JOIN ek USING (k)
+         |ORDER BY k""".stripMargin,
+    // Link-score replay: the q341 capped wedge frame without the AA
+    // weight; full degrees attach to the surviving pairs only.
+    "q388_link_scores" ->
+      s"""WITH bk AS (
+         |  SELECT l_orderkey AS bsk, l_partkey AS it
+         |  FROM lineitem GROUP BY 1, 2
+         |),
+         |prs AS MATERIALIZED (
+         |  SELECT x.it AS a, y.it AS b
+         |  FROM bk x JOIN bk y ON x.bsk = y.bsk AND x.it < y.it
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |),
+         |deg AS MATERIALIZED (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS id FROM prs UNION ALL SELECT b FROM prs)
+         |  GROUP BY 1
+         |),
+         |dbl AS (
+         |  SELECT a AS w, b AS n FROM prs
+         |  UNION ALL SELECT b AS w, a AS n FROM prs
+         |),
+         |cap AS MATERIALIZED (
+         |  SELECT dbl.w, dbl.n
+         |  FROM dbl JOIN deg ON deg.id = dbl.w
+         |  WHERE deg BETWEEN 2 AND 64
+         |),
+         |sc AS (
+         |  SELECT x.n AS u, y.n AS v, CAST(count(*) AS BIGINT) AS common
+         |  FROM cap x JOIN cap y ON x.w = y.w AND x.n < y.n
+         |  GROUP BY 1, 2
+         |),
+         |ne AS (
+         |  SELECT sc.u, sc.v, sc.common FROM sc
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM prs WHERE prs.a = sc.u AND prs.b = sc.v)
+         |)
+         |SELECT ne.u, ne.v, ne.common,
+         |       round(CAST(ne.common AS DOUBLE)
+         |             / CAST(du.deg + dv.deg - ne.common AS DOUBLE), 4) AS jaccard,
+         |       CAST(du.deg * dv.deg AS BIGINT) AS pa
+         |FROM ne
+         |JOIN deg du ON du.id = ne.u
+         |JOIN deg dv ON dv.id = ne.v
+         |ORDER BY ne.common DESC, ne.u, ne.v LIMIT 20""".stripMargin,
   )
 }

@@ -334,6 +334,14 @@ private[graft] object PipelineQueries {
       SimilaritySearch.int8TopK(
         t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
     }),
+    "q389_sign_ann" -> ((s, dir) => {
+      // G114 1-bit sign ANN: 32x-compressed sign codes, XOR+popcount
+      // Hamming shortlist (the Charikar hyperplane estimate), exact
+      // integer-cosine re-rank of the shortlist only
+      val t = Tables(s, dir)
+      SimilaritySearch.signTopK(
+        t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
+    }),
     "q35_ann_lsh" -> ((s, dir) => {
       val t = Tables(s, dir)
       SimilaritySearch.lshTopK(
@@ -936,6 +944,51 @@ private[graft] object PipelineQueries {
         |  FROM scored
         |)
         |SELECT query_id, id, rank, round(cos8, 4) AS cos8 FROM ranked WHERE rank <= 5""".stripMargin,
+    // Sign-ANN replay: signs on the x1000 grid packed 32/long, XOR
+    // Hamming shortlist (ham asc, id), exact-cosine re-rank.
+    "q389_sign_ann" ->
+      s"""WITH $EmbSql,
+         |sg AS MATERIALIZED (
+         |  SELECT vec_id, q, n,
+         |         list_sum(list_transform(range(1, 33), i ->
+         |           CASE WHEN q[i] > 0
+         |                THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS h1,
+         |         list_sum(list_transform(range(1, 33), i ->
+         |           CASE WHEN q[i + 32] > 0
+         |                THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS h2
+         |  FROM nrm WHERE n > 0
+         |),
+         |qs AS (
+         |  SELECT vec_id AS query_id, q AS qq, n AS qn, h1 AS qh1, h2 AS qh2
+         |  FROM sg WHERE vec_id % 50 = 0
+         |),
+         |pr AS (
+         |  SELECT c.vec_id AS id, q.query_id, c.q, c.n, q.qq, q.qn,
+         |         CAST(bit_count(xor(c.h1, q.qh1))
+         |              + bit_count(xor(c.h2, q.qh2)) AS BIGINT) AS hamming
+         |  FROM sg c CROSS JOIN qs q WHERE c.vec_id != q.query_id
+         |),
+         |sl AS (
+         |  SELECT query_id, id, hamming, q, n, qq, qn,
+         |         row_number() OVER (PARTITION BY query_id
+         |               ORDER BY hamming, id) AS sr
+         |  FROM pr
+         |),
+         |sc AS (
+         |  SELECT query_id, id, hamming,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> q[i] * qq[i]))
+         |              AS DOUBLE) / (n * qn) AS cos
+         |  FROM sl WHERE sr <= 50
+         |),
+         |ranked AS (
+         |  SELECT query_id, id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |               ORDER BY cos DESC, id) AS INT) AS rank,
+         |         cos, hamming
+         |  FROM sc
+         |)
+         |SELECT query_id, id, rank, round(cos, 4) AS cos, hamming
+         |FROM ranked WHERE rank <= 5""".stripMargin,
     "q35_ann_lsh" ->
       s"""WITH $EmbSql,
          |$LshSql,

@@ -436,6 +436,67 @@ private[graft] object StatsInferenceQueries {
       Rollups.pageTrend(t.events,
         expr("unix_micros(ts) div 86400000000"), col("event_type"))
     }),
+    "q380_g_test" -> ((s, dir) => {
+      // F104 G-test lang ⇄ source: q182 χ²'s information-theoretic
+      // twin (G = 2N·MI — the additive statistic), observed cells
+      // only, empty cells contribute exactly zero
+      val t = Tables(s, dir)
+      Rollups.gTest(t.documents, "lang", "source")
+    }),
+    "q381_cmh" -> ((s, dir) => {
+      // F105 Cochran–Mantel–Haenszel: is the odd-cohort success edge
+      // real AFTER conditioning on day — the Simpson's-paradox guard
+      // over q156's unstratified two-proportion z; day-strata 2×2s,
+      // continuity-corrected CMH + Mantel–Haenszel pooled odds ratio
+      val t = Tables(s, dir)
+      Rollups.cmh(
+        t.events.filter(col("user_id").isNotNull && col("value").isNotNull),
+        expr("unix_micros(ts) div 86400000000"),
+        col("user_id") % 2 === 1, col("value") > 0.5)
+    }),
+    "q382_dunn" -> ((s, dir) => {
+      // F106 Dunn post-hoc: WHICH event-type pairs differ once q292's
+      // Kruskal–Wallis omnibus fires — pooled-rank pairwise z with
+      // the pooled tie correction, never per-pair re-ranks
+      val t = Tables(s, dir)
+      Rollups.dunn(t.events, "event_type", "value")
+    }),
+    "q383_cox_stuart" -> ((s, dir) => {
+      // D35 Cox–Stuart: O(n) sign-test drift screen on the daily
+      // event-count series per type — pairs each day with its
+      // half-series successor (q195 estimates the slope, q293 ranks
+      // all pairs; this is the cheap first gate)
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.coxStuart(daily, Seq("event_type"), "day", "cnt")
+    }),
+    "q384_kpss" -> ((s, dir) => {
+      // D36 KPSS level-stationarity per event-type daily series —
+      // the null-reversed companion to q197/q293 (they hunt a change,
+      // η scores how un-stationary the level already is); exact
+      // integers until one division
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.kpss(daily, Seq("event_type"), "day", "cnt")
+    }),
+    "q385_turning_points" -> ((s, dir) => {
+      // D37 turning-point + difference-sign IID screens on the daily
+      // series — too few turning points = momentum, skewed ascent
+      // count = drift; the assumption-free pre-gate before q205's
+      // model-bound Durbin–Watson
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.turningPoints(daily, Seq("event_type"), "day", "cnt")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2432,5 +2493,226 @@ private[graft] object StatsInferenceQueries {
         |                  ELSE 2.0 * sqrt(CAST(n_blocks AS DOUBLE) * k * k * (k + 1)
         |                       * (CAST(k AS DOUBLE) * k - 1.0) / 144.0) END, 4) AS z
         |FROM a, bl""".stripMargin,
+    // G-test: the q182 cell/margin frame; per-cell O·ln(O·N/(R·C))
+    // rounded 6dp (empty cells contribute exactly 0 — no correction
+    // term), G = 2·Σ at 4dp.
+    "q380_g_test" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2
+        |),
+        |e AS (
+        |  SELECT lang, source, n_ab,
+        |         CAST(sum(n_ab) OVER (PARTITION BY lang) AS BIGINT) AS na,
+        |         CAST(sum(n_ab) OVER (PARTITION BY source) AS BIGINT) AS nb,
+        |         CAST(sum(n_ab) OVER () AS BIGINT) AS n
+        |  FROM cells
+        |),
+        |c AS (
+        |  SELECT lang, source, n,
+        |         round(CAST(n_ab AS DOUBLE) *
+        |               ln((CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |                  (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6) AS contrib
+        |  FROM e
+        |),
+        |agg AS (
+        |  SELECT CAST(min(n) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS r_levels,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS c_levels,
+        |         sum(contrib) AS sc
+        |  FROM c
+        |)
+        |SELECT n, r_levels, c_levels,
+        |       (r_levels - 1) * (c_levels - 1) AS dof,
+        |       round(2.0 * sc, 4) AS g_stat
+        |FROM agg""".stripMargin,
+    // CMH: day-strata 2x2 counts from one conditional pass; E, V and
+    // the two Mantel-Haenszel odds terms rounded 6dp per stratum
+    // before the strata-sized sums; continuity-corrected CMH at 4dp.
+    "q381_cmh" ->
+      """WITH s AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS t,
+        |         CAST(count(*) FILTER (user_id % 2 = 1 AND value > 0.5)
+        |              AS BIGINT) AS a,
+        |         CAST(count(*) FILTER (user_id % 2 = 1 AND NOT value > 0.5)
+        |              AS BIGINT) AS b,
+        |         CAST(count(*) FILTER (NOT user_id % 2 = 1 AND value > 0.5)
+        |              AS BIGINT) AS c,
+        |         CAST(count(*) FILTER (NOT user_id % 2 = 1 AND NOT value > 0.5)
+        |              AS BIGINT) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1
+        |),
+        |m AS (
+        |  SELECT a + b + c + d AS n, a, b, c, d,
+        |         a + b AS r1, c + d AS r2, a + c AS c1, b + d AS c2
+        |  FROM s WHERE a + b + c + d >= 2
+        |),
+        |t AS (
+        |  SELECT n,
+        |         round(CAST(a AS DOUBLE)
+        |               - (CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE)) / n, 6) AS num,
+        |         round((CAST(r1 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |                * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) /
+        |               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |                * (CAST(n AS DOUBLE) - 1.0)), 6) AS vv,
+        |         round((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)) / n, 6) AS r,
+        |         round((CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) / n, 6) AS sr
+        |  FROM m
+        |),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS strata, CAST(sum(n) AS BIGINT) AS n,
+        |         sum(num) AS sn, sum(vv) AS sv, sum(r) AS srr, sum(sr) AS sss
+        |  FROM t
+        |)
+        |SELECT strata, n,
+        |       round(CASE WHEN sv > 0
+        |             THEN (abs(sn) - 0.5) * (abs(sn) - 0.5) / sv END, 4)
+        |         AS cmh_stat,
+        |       round(CASE WHEN sss > 0 THEN srr / sss END, 4) AS or_mh
+        |FROM agg""".stripMargin,
+    // Dunn: the q292 pooled doubled-rank frame; pairwise z from the
+    // exact decimal numerator S_a*n_b - S_b*n_a over the pooled
+    // tie-corrected sigma2 (doubled scale: /3 not /12).
+    "q382_dunn" ->
+      """WITH pts AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type AS g,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |),
+        |vg AS (SELECT v, CAST(sum(n) AS BIGINT) AS t FROM pts GROUP BY 1),
+        |vr AS (
+        |  SELECT v, t,
+        |         2 * coalesce(sum(t) OVER (ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + t + 1 AS r2
+        |  FROM vg
+        |),
+        |perg AS MATERIALIZED (
+        |  SELECT g, CAST(sum(n) AS BIGINT) AS ng,
+        |         CAST(sum(CAST(n AS HUGEINT) * r2) AS HUGEINT) AS s2
+        |  FROM pts JOIN vr USING (v) GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT CAST(sum(ng) AS BIGINT) AS nn,
+        |         (SELECT coalesce(CAST(sum(CAST(t AS HUGEINT) * t * t - t)
+        |                               AS HUGEINT), 0) FROM vg) AS tie3
+        |  FROM perg
+        |)
+        |SELECT a.g AS g_a, b.g AS g_b, a.ng AS n_a, b.ng AS n_b,
+        |       round(CASE WHEN (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE)
+        |                        - CAST(tie3 AS DOUBLE)
+        |                          / (CAST(nn AS DOUBLE) - 1.0)) / 3.0 > 0
+        |                   AND nn > 1
+        |             THEN CAST(a.s2 * b.ng - b.s2 * a.ng AS DOUBLE) /
+        |                  (CAST(a.ng AS DOUBLE) * CAST(b.ng AS DOUBLE) *
+        |                   sqrt(((CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE)
+        |                          - CAST(tie3 AS DOUBLE)
+        |                            / (CAST(nn AS DOUBLE) - 1.0)) / 3.0) *
+        |                        (1.0 / a.ng + 1.0 / b.ng))) END, 4) AS z
+        |FROM perg a, perg b, tot
+        |WHERE a.g < b.g""".stripMargin,
+    // Cox-Stuart: per-type day-ordered count list, half-series pairs
+    // via 1-based list indexing (the q272 fold convention), exact
+    // sign counts, continuity-corrected binomial z.
+    "q383_cox_stuart" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |),
+        |a AS (
+        |  SELECT event_type, list(x ORDER BY day) AS arr,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM s GROUP BY 1
+        |),
+        |b AS (
+        |  SELECT event_type, n, n // 2 AS m, n - n // 2 AS h, arr
+        |  FROM a
+        |),
+        |c AS (
+        |  SELECT event_type, n,
+        |         CAST(len(list_filter(range(1, m + 1),
+        |              i -> arr[CAST(i + h AS INT)] > arr[CAST(i AS INT)]))
+        |              AS BIGINT) AS n_pos,
+        |         CAST(len(list_filter(range(1, m + 1),
+        |              i -> arr[CAST(i + h AS INT)] < arr[CAST(i AS INT)]))
+        |              AS BIGINT) AS n_neg
+        |  FROM b
+        |)
+        |SELECT event_type, n, n_pos, n_neg,
+        |       round(CASE
+        |         WHEN n_pos + n_neg > 0 AND 2 * n_pos - (n_pos + n_neg) <> 0
+        |         THEN sign(CAST(2 * n_pos - (n_pos + n_neg) AS DOUBLE)) *
+        |              (abs(CAST(2 * n_pos - (n_pos + n_neg) AS DOUBLE)) - 1.0) /
+        |              sqrt(CAST(n_pos + n_neg AS DOUBLE))
+        |         WHEN n_pos + n_neg > 0 THEN 0.0 END, 4) AS z
+        |FROM c""".stripMargin,
+    // KPSS: multiply-through demeaning e = x*n - S (exact HUGEINT),
+    // partial sums P per key, eta = sum(P^2)/(n*sum(e^2)) — exact
+    // integers until the one division.
+    "q384_kpss" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |),
+        |t AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS HUGEINT) AS sx
+        |  FROM s GROUP BY 1
+        |),
+        |e AS (
+        |  SELECT s.event_type, s.day, t.n,
+        |         CAST(s.x AS HUGEINT) * t.n - t.sx AS e
+        |  FROM s JOIN t USING (event_type)
+        |),
+        |p AS (
+        |  SELECT event_type, n, e,
+        |         sum(e) OVER (PARTITION BY event_type ORDER BY day
+        |               ROWS UNBOUNDED PRECEDING) AS pp
+        |  FROM e
+        |)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |       round(CASE WHEN sum(e * e) > 0
+        |             THEN CAST(sum(pp * pp) AS DOUBLE) /
+        |                  (CAST(max(n) AS DOUBLE) * CAST(sum(e * e) AS DOUBLE))
+        |             END, 4) AS eta
+        |FROM p GROUP BY 1""".stripMargin,
+    // Turning points + difference sign: strict-inequality lag/lead
+    // counts per type series, textbook null moments.
+    "q385_turning_points" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |),
+        |w AS (
+        |  SELECT event_type, x,
+        |         lag(x) OVER (PARTITION BY event_type ORDER BY day) AS p,
+        |         lead(x) OVER (PARTITION BY event_type ORDER BY day) AS f
+        |  FROM s
+        |),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(*) FILTER (p IS NOT NULL AND f IS NOT NULL AND
+        |              ((x > p AND x > f) OR (x < p AND x < f)))
+        |              AS BIGINT) AS n_turning,
+        |         CAST(count(*) FILTER (x > p) AS BIGINT) AS n_up
+        |  FROM w GROUP BY 1
+        |)
+        |SELECT event_type, n, n_turning,
+        |       round(CASE WHEN n >= 3
+        |             THEN (CAST(n_turning AS DOUBLE)
+        |                   - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0) /
+        |                  sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0) END, 4)
+        |         AS z_tp,
+        |       n_up,
+        |       round(CASE WHEN n >= 2
+        |             THEN (CAST(n_up AS DOUBLE) - (CAST(n AS DOUBLE) - 1.0) / 2.0) /
+        |                  sqrt((CAST(n AS DOUBLE) + 1.0) / 12.0) END, 4) AS z_ds
+        |FROM a""".stripMargin,
   )
 }

@@ -46,7 +46,12 @@ class QueriesSmokeSpec extends SparkSpec {
       ("the two level countDistincts run on the contingency CELL " +
         "grain (post-combine, bounded by r*c category levels), so " +
         "the Expand doubles a dim-sized frame; measured sf1 trend " +
-        "ratio 0.78")))
+        "ratio 0.78")),
+    "q380_g_test" -> Map("multi-distinct-expand" ->
+      ("the q182 frame exactly: both level countDistincts run on the " +
+        "contingency CELL grain (post-combine, bounded by r*c " +
+        "category levels), so the Expand doubles a dim-sized frame " +
+        "— same sanction, same justification as q182")))
 
   test("sanctioned lint findings are still live (no stale sanctions)") {
     sanctioned.foreach { case (name, rules) =>
