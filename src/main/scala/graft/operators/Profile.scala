@@ -212,4 +212,72 @@ object Profile {
         round(col("__pr"), 4).as("p_ref"), round(col("__pc"), 4).as("p_cur"),
         col("contrib"), col("psi"))
   }
+
+  /** Mergeable moments state (I39) — the power-sum sketch
+    * [n, Σx, Σx², Σx³, Σx⁴] per fine group, rolled up to coarse grain
+    * by ONE elementwise vector_sum (power sums are the original
+    * mergeable sketch: any rollup path equals the direct computation
+    * EXACTLY, not approximately — the I16/I18/I19 store-and-merge
+    * family's exact member for distribution SHAPE). From the merged
+    * state: mean, sd, skewness g₁ = m₃/m₂^{3/2}, excess kurtosis
+    * g₂ = m₄/m₂² − 3 — the two numbers that say whether a slice's
+    * length/score distribution is long-tailed before any sampling
+    * decision trusts a mean.
+    *
+    * Exactness: x is integer-valued; all five sums are exact longs
+    * (x⁴·n must clear long range — fine for byte/char/count-scale
+    * metrics; quantize wider metrics down first); central-moment
+    * NUMERATORS are exact decimal(38,0) multiply-throughs
+    * (N₂ = nΣx²−(Σx)², N₃ = n²Σx³−3nΣxΣx²+2(Σx)³,
+    * N₄ = n³Σx⁴−4n²Σx³Σx+6n(Σx)²Σx²−3(Σx)⁴ — (Σx)⁴ clears
+    * decimal(38) through ~10⁹ rows of char-scale values); the final
+    * stats are written-order doubles, 4dp.
+    *
+    * Output: rollKeys ++ (n_groups, n, mean, sd, skewness,
+    * kurtosis_ex) — shape stats null when the slice is constant.
+    */
+  def momentsRollup(
+      df: DataFrame,
+      fineKeys: Seq[String],
+      rollKeys: Seq[String],
+      valueCol: Column): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val x = valueCol.cast("long")
+    val vec = array(lit(1L), x, x * x, x * x * x, x * x * x * x)
+    val fine = df.groupBy(fineKeys.map(col): _*)
+      .agg(graft.functions.VectorSum.vectorSum(vec).as("st"))
+    val rolled = fine.groupBy(rollKeys.map(col): _*)
+      .agg(count(lit(1)).as("n_groups"),
+        graft.functions.VectorSum.vectorSum(col("st")).as("st"))
+    val c0 = col("st")(0).cast(dec)
+    val c1 = col("st")(1).cast(dec)
+    val c2 = col("st")(2).cast(dec)
+    val c3 = col("st")(3).cast(dec)
+    val c4 = col("st")(4).cast(dec)
+    rolled
+      .withColumn("__n2", c0 * c2 - c1 * c1)
+      .withColumn("__n3",
+        c0 * c0 * c3 - lit(3) * c0 * c1 * c2 + lit(2) * c1 * c1 * c1)
+      .withColumn("__n4",
+        c0 * c0 * c0 * c4 - lit(4) * c0 * c0 * c3 * c1 +
+          lit(6) * c0 * c1 * c1 * c2 - lit(3) * c1 * c1 * c1 * c1)
+      .withColumn("__dn", d(col("st")(0)))
+      .withColumn("__m2", d(col("__n2")) / (col("__dn") * col("__dn")))
+      .withColumn("__m3",
+        d(col("__n3")) / (col("__dn") * col("__dn") * col("__dn")))
+      .withColumn("__m4",
+        d(col("__n4")) /
+          (col("__dn") * col("__dn") * col("__dn") * col("__dn")))
+      .select(rollKeys.map(col) ++ Seq(
+        col("n_groups"), col("st")(0).as("n"),
+        round(d(col("st")(1)) / col("__dn"), 4).as("mean"),
+        round(when(col("__m2") > 0, sqrt(col("__m2"))).otherwise(lit(0.0)), 4)
+          .as("sd"),
+        round(when(col("__m2") > 0,
+          col("__m3") / (col("__m2") * sqrt(col("__m2")))), 4).as("skewness"),
+        round(when(col("__m2") > 0,
+          col("__m4") / (col("__m2") * col("__m2")) - lit(3.0)), 4)
+          .as("kurtosis_ex")): _*)
+  }
 }

@@ -1450,4 +1450,87 @@ object TextAnalysis {
         round(col("__est"), 4).as("approx_distinct"),
         round(col("__est") / col("total_ngrams"), 6).as("approx_ratio"))
   }
+
+  /** Encoding-anomaly (mojibake) detection per slice (G115) — the
+    * ingest screen for the three classic corruption signatures a web
+    * crawl drags in:
+    *   - U+FFFD replacement characters (a decoder already gave up),
+    *   - CP1252-mangled UTF-8 (é read as Ã©, ' as â€™ — the
+    *     double-encoding artifact: lead bytes C3/E2 surfacing as
+    *     codepoints Ã / â€-prefixed runs),
+    *   - C1 control characters U+0080–U+009F (valid in no sane text;
+    *     the tell of a Latin-1/CP1252 byte stream mislabeled UTF-8).
+    * Feeding mojibake to a tokenizer silently fragments it into rare
+    * tokens — this is the G8/G13-family gate that keeps it out.
+    *
+    * Determinism: all three patterns are RE2-compatible codepoint
+    * classes written with \x{...} escapes — byte-identical pattern
+    * strings on any engine — counted with group-0
+    * regexp_extract_all; counts are exact integers.
+    *
+    * Scale shape: one corpus scan, three in-row regex counts, one
+    * slice-grain combine. Nothing but counters rides the exchange.
+    *
+    * Output: one row per slice (sliceCol, n_docs, n_flagged,
+    * repl_chars, mangled_seqs, c1_chars, flag_rate 4dp).
+    */
+  def encodingAnomalies(
+      df: DataFrame,
+      textCol: String = "text",
+      sliceCol: String = "source"): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    def cnt(pat: String): Column =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    val repl = cnt("\\x{FFFD}")
+    val mangled = cnt("\\x{00C3}[\\x{0080}-\\x{00BF}]|\\x{00E2}\\x{20AC}.")
+    val c1 = cnt("[\\x{0080}-\\x{009F}]")
+    df.select(col(sliceCol), repl.as("__r"), mangled.as("__m"), c1.as("__c"))
+      .groupBy(sliceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__r") + col("__m") + col("__c") > 0, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum("__r").as("repl_chars"),
+        sum("__m").as("mangled_seqs"),
+        sum("__c").as("c1_chars"))
+      .withColumn("flag_rate",
+        round(d(col("n_flagged")) / col("n_docs"), 4))
+  }
+
+  /** Tokenizer fertility per slice (G116) — tokens-per-word and
+    * chars-per-token of a TRAINED tokenizer (G86's BPE), split by a
+    * slice column (language): THE number that decides whether a
+    * tokenizer taxes a language — fertility 2× on one slice means
+    * that slice pays twice the sequence length (and twice the
+    * compute) for the same text, the standard multilingual-tokenizer
+    * audit (Rust et al. 2021).
+    *
+    * Exactness: token counts are G86's exact sequential-replay
+    * encoder counts; word counts are non-empty single-space splits
+    * (empty segments excluded on BOTH engines — Spark drops trailing
+    * empties, DuckDB keeps them; the filter pins the shared
+    * semantics); the two ratios are single divisions of exact longs.
+    *
+    * Output: one row per slice (sliceCol, n_docs, n_words, n_tokens,
+    * n_chars, fertility 4dp, chars_per_token 4dp).
+    */
+  def tokenizerFertility(
+      encoded: DataFrame,
+      docs: DataFrame,
+      sliceCol: String = "lang",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val nWords = size(filter(split(col(textCol), " "), w => w =!= ""))
+      .cast("long")
+    docs.select(col(idCol), col(sliceCol), nWords.as("__w"),
+        length(col(textCol)).cast("long").as("__ch"))
+      .join(encoded.select(col(idCol), col("n_bpe_tokens")), Seq(idCol))
+      .groupBy(sliceCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__w").as("n_words"),
+        sum("n_bpe_tokens").as("n_tokens"), sum("__ch").as("n_chars"))
+      .select(col(sliceCol), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        round(d(col("n_tokens")) / col("n_words"), 4).as("fertility"),
+        round(d(col("n_chars")) / col("n_tokens"), 4).as("chars_per_token"))
+  }
 }

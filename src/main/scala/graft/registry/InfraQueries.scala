@@ -616,6 +616,16 @@ private[graft] object InfraQueries {
           round(sum(when(col("_corrupt_record").isNull, col("value"))
             .otherwise(0d)), 4).as("sum_value_good"))
     }),
+    "q391_moments_rollup" -> ((s, dir) => {
+      // I39 mergeable moments state: per-(source, lang) power sums
+      // [n, Σx..Σx⁴] rolled to source grain by one elementwise
+      // vector_sum — the EXACT member of the store-and-merge sketch
+      // family; skewness/kurtosis decide if a slice's length
+      // distribution is long-tailed before any mean is trusted
+      val t = Tables(s, dir)
+      Profile.momentsRollup(t.documents, Seq("source", "lang"),
+        Seq("source"), col("n_chars")).orderBy("source")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1225,5 +1235,51 @@ private[graft] object InfraQueries {
         |       round(sum(CASE WHEN event_id % 100 = 0 THEN 0 ELSE value END), 4)
         |         AS sum_value_good
         |FROM e""".stripMargin,
+    // Moments replay: direct source-grain power sums in HUGEINT (the
+    // rollup path equals this exactly — that is the operator's
+    // claim), multiply-through central-moment numerators, the same
+    // written-order double expressions.
+    "q391_moments_rollup" ->
+      """WITH f AS (
+        |  SELECT source, lang, CAST(count(*) AS HUGEINT) AS c0,
+        |         CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS c1,
+        |         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS c2,
+        |         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars)
+        |           AS HUGEINT) AS c3,
+        |         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars)
+        |           AS HUGEINT) AS c4
+        |  FROM documents GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_groups,
+        |         CAST(sum(c0) AS HUGEINT) AS c0, CAST(sum(c1) AS HUGEINT) AS c1,
+        |         CAST(sum(c2) AS HUGEINT) AS c2, CAST(sum(c3) AS HUGEINT) AS c3,
+        |         CAST(sum(c4) AS HUGEINT) AS c4
+        |  FROM f GROUP BY 1
+        |),
+        |m AS (
+        |  SELECT source, n_groups, c0, c1,
+        |         c0 * c2 - c1 * c1 AS n2,
+        |         c0 * c0 * c3 - 3 * c0 * c1 * c2 + 2 * c1 * c1 * c1 AS n3,
+        |         c0 * c0 * c0 * c4 - 4 * c0 * c0 * c3 * c1
+        |           + 6 * c0 * c1 * c1 * c2 - 3 * c1 * c1 * c1 * c1 AS n4,
+        |         CAST(c0 AS DOUBLE) AS dn
+        |  FROM r
+        |),
+        |mm AS (
+        |  SELECT source, n_groups, c0, c1, dn,
+        |         CAST(n2 AS DOUBLE) / (dn * dn) AS m2,
+        |         CAST(n3 AS DOUBLE) / (dn * dn * dn) AS m3,
+        |         CAST(n4 AS DOUBLE) / (dn * dn * dn * dn) AS m4
+        |  FROM m
+        |)
+        |SELECT source, n_groups, CAST(c0 AS BIGINT) AS n,
+        |       round(CAST(c1 AS DOUBLE) / dn, 4) AS mean,
+        |       round(CASE WHEN m2 > 0 THEN sqrt(m2) ELSE 0.0 END, 4) AS sd,
+        |       round(CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END, 4)
+        |         AS skewness,
+        |       round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END, 4)
+        |         AS kurtosis_ex
+        |FROM mm ORDER BY source""".stripMargin,
   )
 }

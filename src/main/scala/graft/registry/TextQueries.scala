@@ -340,6 +340,34 @@ private[graft] object TextQueries {
       val t = Tables(s, dir)
       TextAnalysis.ngramDiversityApprox(t.documents)
     }),
+    "q390_mojibake" -> ((s, dir) => {
+      // G115 encoding-anomaly screen. The synthetic corpus is pure
+      // ASCII, so the query deterministically salts the three classic
+      // corruption signatures (CP1252-mangled UTF-8, U+FFFD, C1
+      // controls) on doc_id residues — the q87 salting pattern — and
+      // the generic RE2-portable detectors must count exactly those.
+      val t = Tables(s, dir)
+      val salted = t.documents.select(col("doc_id"), col("source"),
+        concat(
+          substring(col("text"), 1, 30),
+          when(col("doc_id") % 7 === 0,
+            lit(" cafÃ© naÃ¯ve")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" ��broken")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" itâ€™s ok")).otherwise(lit("")),
+          lit(" "), substring(col("text"), 31, 100000)).as("text"))
+      TextAnalysis.encodingAnomalies(salted).orderBy("source")
+    }),
+    "q392_fertility" -> ((s, dir) => {
+      // G116 tokenizer fertility by language: q270's trained BPE
+      // applied corpus-wide, tokens-per-word and chars-per-token per
+      // lang slice — the multilingual-tokenizer tax audit
+      val t = Tables(s, dir)
+      val merges = Bpe.train(t.documents, nMerges = 8)
+      val enc = Bpe.encode(t.documents, merges)
+      TextAnalysis.tokenizerFertility(enc, t.documents).orderBy("lang")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1287,5 +1315,62 @@ private[graft] object TextQueries {
          |       round(h.est, 4) AS approx_distinct,
          |       round(h.est / t.total_ngrams, 6) AS approx_ratio
          |FROM tot t JOIN nd_est h USING (gk)""".stripMargin,
+    // Mojibake replay: identical salting (same literal artifact
+    // strings), identical RE2 \x{...} codepoint-class patterns.
+    "q390_mojibake" ->
+      """WITH salted AS (
+        |  SELECT doc_id, source,
+        |    substring(text, 1, 30) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' cafÃ© naÃ¯ve' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' ��broken' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' itâ€™s ok' ELSE '' END ||
+        |    ' ' || substring(text, 31, 100000) AS text
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS r,
+        |    CAST(len(regexp_extract_all(text,
+        |         '\x{00C3}[\x{0080}-\x{00BF}]|\x{00E2}\x{20AC}.')) AS BIGINT) AS m,
+        |    CAST(len(regexp_extract_all(text, '[\x{0080}-\x{009F}]')) AS BIGINT) AS cc
+        |  FROM salted
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) FILTER (r + m + cc > 0) AS BIGINT) AS n_flagged,
+        |       CAST(sum(r) AS BIGINT) AS repl_chars,
+        |       CAST(sum(m) AS BIGINT) AS mangled_seqs,
+        |       CAST(sum(cc) AS BIGINT) AS c1_chars,
+        |       round(CAST(count(*) FILTER (r + m + cc > 0) AS DOUBLE)
+        |             / count(*), 4) AS flag_rate
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Fertility replay: the q270 BPE chain + token formula, non-empty
+    // single-space word counts (the shared split semantics), two
+    // divisions of exact longs.
+    "q392_fertility" ->
+      s"""WITH ${BpeChainSql(8)},
+         |tok AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN length(text) = 0 THEN 0
+         |              ELSE (length(e) - length(replace(e, ' ', '')))
+         |                 + (length(e) - length(replace(e, chr(4), ''))) + 1 END
+         |           AS BIGINT) AS n_bpe_tokens
+         |  FROM enc8
+         |),
+         |w AS (
+         |  SELECT d.lang,
+         |         CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+         |           AS BIGINT) AS nw,
+         |         CAST(length(d.text) AS BIGINT) AS nc,
+         |         t.n_bpe_tokens
+         |  FROM documents d JOIN tok t USING (doc_id)
+         |)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nw) AS BIGINT) AS n_words,
+         |       CAST(sum(n_bpe_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(sum(nc) AS BIGINT) AS n_chars,
+         |       round(CAST(sum(n_bpe_tokens) AS DOUBLE) / sum(nw), 4) AS fertility,
+         |       round(CAST(sum(nc) AS DOUBLE) / sum(n_bpe_tokens), 4)
+         |         AS chars_per_token
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
