@@ -1429,6 +1429,146 @@ private[operators] trait RollupsInference {
           .as("z"))
   }
 
+  /** Theta-method forecast per keyed series (Assimakopoulos &
+    * Nikolopoulos 2000, θ = 2 — the M3-competition winner and the
+    * standard "hard to beat" classical baseline next to D21's Holt
+    * and D29's Croston): decompose into the θ=0 line (the OLS trend,
+    * long-run direction) and the θ=2 line (curvature doubled,
+    * 2x_t − trend_t) smoothed by α=½ SES (short-run level), and
+    * forecast their average.
+    *
+    * Portability: the D21 fold contract end to end — ordinals and
+    * OLS moments exact integers; trend coefficients fixed to integer
+    * MICRO-units via floor(x+0.5) on identically-rounded doubles;
+    * the θ=2 series is integer micro by construction and its SES
+    * fold is floor-of-double halving with a SELF-ONLY state field;
+    * all micro outputs publish via the integer-grain
+    * round(micro/100)/10⁴ (the q321 halfway-flip contract).
+    *
+    * Output: keys ++ (n, trend_slope, ses_level, forecast_next) —
+    * series with n < 3 are excluded (no trend to fit).
+    */
+  def thetaForecast(
+      series: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+    val base = series
+      .select(keys.map(col) ++ Seq(col(orderCol),
+        col(valueCol).cast("long").as("__y")): _*)
+      .withColumn("__t", row_number().over(w).cast("long"))
+    val mom = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__t").cast(dec)).as("__st"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__t").cast(dec) * col("__y")).as("__sty"),
+        sum(col("__t").cast(dec) * col("__t")).as("__stt"))
+      .filter(col("__n") >= 3)
+      // micro-unit OLS coefficients, floor(x+0.5)-pinned
+      .withColumn("__bu",
+        floor(d((col("__sty") * col("__n") - col("__st") * col("__sy")) *
+          lit(1000000L)) /
+          d(col("__stt") * col("__n") - col("__st") * col("__st")) + 0.5)
+          .cast("long"))
+      .withColumn("__au",
+        floor(d(col("__sy") * lit(1000000L) - col("__st") * col("__bu")) /
+          col("__n") + 0.5).cast("long"))
+    base.join(broadcast(mom), keys)
+      // θ=2 line in exact micro-units: 2·y·1e6 − (a + b·t)
+      .withColumn("__t2u",
+        col("__y") * 2000000L - (col("__au") + col("__bu") * col("__t")))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n"), max(col("__au")).as("__au"),
+        max(col("__bu")).as("__bu"),
+        sort_array(collect_list(struct(col("__t").as("t"),
+          col("__t2u").as("u")))).as("__ps"))
+      .withColumn("__l", expr(
+        """aggregate(
+          |  transform(slice(__ps, 2, size(__ps) - 1), p -> p.u),
+          |  element_at(__ps, 1).u,
+          |  (a, u) -> CAST(floor((u + a) / 2.0) AS BIGINT))""".stripMargin))
+      .select(keys.map(col) ++ Seq(col("n"),
+        (round(d(col("__bu")) / 100.0).cast("long") / 10000.0)
+          .as("trend_slope"),
+        (round(d(col("__l")) / 100.0).cast("long") / 10000.0).as("ses_level"),
+        (round(d(col("__l") + col("__au") + col("__bu") * (col("n") + 1L)) /
+          200.0).cast("long") / 10000.0).as("forecast_next")): _*)
+  }
+
+  /** Hurst exponent via rescaled range per keyed series (Hurst 1951 /
+    * Mandelbrot's R/S analysis) — the long-memory diagnostic the
+    * short-lag family (D8 ACF, D17 DW, D34 runs) cannot see:
+    * H ≈ 0.5 random walk / no memory, H > 0.5 persistent trends,
+    * H < 0.5 mean-reverting. Per block size m ∈ {8,16,32}: split the
+    * ordinal series into complete blocks, R = range of the demeaned
+    * partial sums, S = population sd, average R/S per size, and H =
+    * the ln–ln slope over the three sizes.
+    *
+    * Exactness: multiply-through demeaning per block — e'_t =
+    * m·x_t − Σx is EXACT integer, its partial sums P' exact decimal
+    * (P'_m = 0, so the range includes the origin by construction),
+    * and R/S = (maxP'−minP')·√m/√Σe'² is one double expression per
+    * block rounded 6dp before the block-count-sized mean; the slope
+    * runs on the PUBLISHED 4dp size means.
+    *
+    * Output: keys ++ (n, rs8, rs16, rs32, hurst) — hurst null unless
+    * all three sizes have ≥1 nondegenerate block.
+    */
+  def hurstRS(
+      series: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      sizes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(sizes == Seq(8, 16, 32), "fixed size bank (output schema)")
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+    val base = series
+      .select(keys.map(col) ++ Seq(col(orderCol),
+        col(valueCol).cast("long").as("__y")): _*)
+      .withColumn("__t", (row_number().over(w) - 1L).cast("long"))
+      .withColumn("__m", explode(array(sizes.map(lit(_)): _*)))
+      .withColumn("__b", expr("__t div __m"))
+    val bkeys = keys.map(col) ++ Seq(col("__m"), col("__b"))
+    val btot = base.groupBy(bkeys: _*)
+      .agg(count(lit(1)).as("__c"), sum("__y").as("__s"))
+      .filter(col("__c") === col("__m"))
+    val wb = Window.partitionBy(bkeys: _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = base.join(btot, keys :+ "__m" :+ "__b")
+      .withColumn("__e", col("__y").cast(dec) * col("__m") - col("__s"))
+      .withColumn("__P", sum("__e").over(wb))
+      .groupBy(bkeys: _*)
+      .agg(max(col("__P")).as("__mx"), min(col("__P")).as("__mn"),
+        sum(col("__e") * col("__e")).as("__ee"))
+      .filter(col("__ee") > 0)
+      .withColumn("__rs",
+        round(d(col("__mx") - col("__mn")) * sqrt(d(col("__m"))) /
+          sqrt(d(col("__ee"))), 6))
+    val perSize = blocks.groupBy(keys.map(col) :+ col("__m"): _*)
+      .agg(round(sum("__rs") / count(lit(1)), 4).as("__rsm"))
+    val nTab = series.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    nTab.join(
+      perSize.groupBy(keys.map(col): _*)
+        .agg(
+          max(when(col("__m") === 8, col("__rsm"))).as("rs8"),
+          max(when(col("__m") === 16, col("__rsm"))).as("rs16"),
+          max(when(col("__m") === 32, col("__rsm"))).as("rs32")),
+      keys, "left")
+      // 3-point OLS of ln(rs) on ln(m): slope = Σ(x−x̄)(y−ȳ)/Σ(x−x̄)²
+      // with x = ln 8, ln 16, ln 32 equally spaced in ln 2 — so the
+      // slope collapses to (ln rs32 − ln rs8) / (2 ln 2)
+      .select(keys.map(col) ++ Seq(col("n"), col("rs8"), col("rs16"),
+        col("rs32"),
+        round(when(col("rs8") > 0 && col("rs16").isNotNull && col("rs32") > 0,
+          (log(col("rs32")) - log(col("rs8"))) / (lit(2.0) * log(lit(2.0)))), 4)
+          .as("hurst")): _*)
+  }
+
   /** Cox–Stuart trend test per keyed series — the assumption-free
     * "is there ANY monotone drift" sign test (D15's Theil–Sen
     * estimates the slope, D23's Mann–Kendall ranks all pairs; Cox–

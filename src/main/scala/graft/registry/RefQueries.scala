@@ -535,6 +535,31 @@ private[graft] object RefQueries {
       Rollups.runsTest(daily, Seq("event_type"), "day", "cnt")
         .orderBy("event_type")
     }),
+    "q393_theta_forecast" -> ((s, dir) => {
+      // D38 Theta-method forecast (θ=2, the M3 winner) on the daily
+      // count series per type: OLS trend line + α=½ SES over the
+      // θ=2 line, forecast = their average — the classical baseline
+      // next to q272's Holt and q321's Croston
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.thetaForecast(daily, Seq("event_type"), "day", "cnt")
+        .orderBy("event_type")
+    }),
+    "q394_hurst" -> ((s, dir) => {
+      // D39 Hurst exponent via R/S over dyadic blocks: long-memory
+      // persistence the short-lag family (q140 ACF, q205 DW, q378
+      // runs) cannot see — H>0.5 trending, H<0.5 mean-reverting
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.hurstRS(daily, Seq("event_type"), "day", "cnt")
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1874,5 +1899,121 @@ private[graft] object RefQueries {
         |               (CAST(n_above + n_below AS DOUBLE) * (n_above + n_below)
         |                * (n_above + n_below - 1))) END, 4) AS z
         |FROM g ORDER BY event_type""".stripMargin,
+    // Theta replay: integer-ordinal OLS in HUGEINT, micro-unit
+    // coefficients via floor(x+0.5), the theta-2 micro series folded
+    // by the q272 list_reduce (element 1 seeds), integer-grain
+    // publishes.
+    "q393_theta_forecast" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |),
+        |b AS MATERIALIZED (
+        |  SELECT event_type, y,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |           AS BIGINT) AS t
+        |  FROM s
+        |),
+        |mom AS MATERIALIZED (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
+        |         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty,
+        |         CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt
+        |  FROM b GROUP BY 1 HAVING count(*) >= 3
+        |),
+        |co AS (
+        |  SELECT event_type, n, st, sy,
+        |         CAST(floor(CAST((sty * n - st * sy) * 1000000 AS DOUBLE)
+        |              / CAST(stt * n - st * st AS DOUBLE) + 0.5) AS BIGINT) AS bu
+        |  FROM mom
+        |),
+        |co2 AS MATERIALIZED (
+        |  SELECT event_type, n, bu,
+        |         CAST(floor(CAST(sy * 1000000 - st * bu AS DOUBLE) / n + 0.5)
+        |           AS BIGINT) AS au
+        |  FROM co
+        |),
+        |th AS (
+        |  SELECT b.event_type, c.n, c.au, c.bu,
+        |         list(2000000 * b.y - (c.au + c.bu * b.t) ORDER BY b.t) AS ps
+        |  FROM b JOIN co2 c USING (event_type)
+        |  GROUP BY 1, 2, 3, 4
+        |),
+        |f AS (
+        |  SELECT event_type, n, au, bu,
+        |         list_reduce(ps,
+        |           (a, u) -> CAST(floor((u + a) / 2.0) AS BIGINT)) AS l
+        |  FROM th
+        |)
+        |SELECT event_type, n,
+        |       CAST(round(CAST(bu AS DOUBLE) / 100.0) AS BIGINT) / 10000.0
+        |         AS trend_slope,
+        |       CAST(round(CAST(l AS DOUBLE) / 100.0) AS BIGINT) / 10000.0
+        |         AS ses_level,
+        |       CAST(round(CAST(l + au + bu * (n + 1) AS DOUBLE) / 200.0)
+        |            AS BIGINT) / 10000.0 AS forecast_next
+        |FROM f ORDER BY event_type""".stripMargin,
+    // Hurst replay: 0-based ordinals, complete dyadic blocks,
+    // multiply-through demeaned partial sums in HUGEINT, per-block
+    // R/S at 6dp, size means at 4dp, the collapsed ln-ln slope.
+    "q394_hurst" ->
+      """WITH s AS MATERIALIZED (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |),
+        |b AS (
+        |  SELECT event_type, y,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+        |           AS BIGINT) AS t
+        |  FROM s
+        |),
+        |e AS MATERIALIZED (
+        |  SELECT event_type, y, t, m, t // m AS blk
+        |  FROM b CROSS JOIN (SELECT unnest([8, 16, 32]) AS m)
+        |),
+        |ful AS (
+        |  SELECT event_type, m, blk, CAST(sum(y) AS HUGEINT) AS sb
+        |  FROM e GROUP BY 1, 2, 3 HAVING count(*) = m
+        |),
+        |pp AS (
+        |  SELECT e.event_type, e.m, e.blk,
+        |         CAST(e.y AS HUGEINT) * e.m - f.sb AS ee,
+        |         sum(CAST(e.y AS HUGEINT) * e.m - f.sb)
+        |           OVER (PARTITION BY e.event_type, e.m, e.blk ORDER BY e.t
+        |                 ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM e JOIN ful f USING (event_type, m, blk)
+        |),
+        |ba AS (
+        |  SELECT event_type, m, blk, max(p) AS mx, min(p) AS mn,
+        |         sum(ee * ee) AS se
+        |  FROM pp GROUP BY 1, 2, 3
+        |),
+        |rs AS (
+        |  SELECT event_type, m,
+        |         round(CAST(mx - mn AS DOUBLE) * sqrt(CAST(m AS DOUBLE))
+        |               / sqrt(CAST(se AS DOUBLE)), 6) AS rsv
+        |  FROM ba WHERE se > 0
+        |),
+        |ms AS (
+        |  SELECT event_type, m, round(sum(rsv) / count(*), 4) AS rsm
+        |  FROM rs GROUP BY 1, 2
+        |),
+        |pv AS (
+        |  SELECT event_type,
+        |         max(CASE WHEN m = 8 THEN rsm END) AS rs8,
+        |         max(CASE WHEN m = 16 THEN rsm END) AS rs16,
+        |         max(CASE WHEN m = 32 THEN rsm END) AS rs32
+        |  FROM ms GROUP BY 1
+        |),
+        |nt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1)
+        |SELECT nt.event_type, nt.n, pv.rs8, pv.rs16, pv.rs32,
+        |       round(CASE WHEN pv.rs8 > 0 AND pv.rs16 IS NOT NULL AND pv.rs32 > 0
+        |             THEN (ln(pv.rs32) - ln(pv.rs8)) / (2.0 * ln(2.0)) END, 4)
+        |         AS hurst
+        |FROM nt LEFT JOIN pv USING (event_type)
+        |ORDER BY event_type""".stripMargin,
   )
 }
