@@ -1514,16 +1514,18 @@ private[operators] trait RollupsInference {
     * block rounded 6dp before the block-count-sized mean; the slope
     * runs on the PUBLISHED 4dp size means.
     *
-    * Output: keys ++ (n, rs8, rs16, rs32, hurst) — hurst null unless
-    * all three sizes have ≥1 nondegenerate block.
+    * Output: keys ++ (n, rs4, rs8, rs16, hurst) — hurst null unless
+    * all three sizes have ≥1 nondegenerate block. (The bank starts
+    * at 4 so the exponent exists for month-scale series; R/S on
+    * larger banks needs only a longer calendar, not new code.)
     */
   def hurstRS(
       series: DataFrame,
       keys: Seq[String],
       orderCol: String,
       valueCol: String,
-      sizes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
-    require(sizes == Seq(8, 16, 32), "fixed size bank (output schema)")
+      sizes: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    require(sizes == Seq(4, 8, 16), "fixed size bank (output schema)")
     val d = (c: Column) => c.cast("double")
     val dec = "decimal(38,0)"
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
@@ -1555,17 +1557,17 @@ private[operators] trait RollupsInference {
     nTab.join(
       perSize.groupBy(keys.map(col): _*)
         .agg(
+          max(when(col("__m") === 4, col("__rsm"))).as("rs4"),
           max(when(col("__m") === 8, col("__rsm"))).as("rs8"),
-          max(when(col("__m") === 16, col("__rsm"))).as("rs16"),
-          max(when(col("__m") === 32, col("__rsm"))).as("rs32")),
+          max(when(col("__m") === 16, col("__rsm"))).as("rs16")),
       keys, "left")
       // 3-point OLS of ln(rs) on ln(m): slope = Σ(x−x̄)(y−ȳ)/Σ(x−x̄)²
-      // with x = ln 8, ln 16, ln 32 equally spaced in ln 2 — so the
-      // slope collapses to (ln rs32 − ln rs8) / (2 ln 2)
-      .select(keys.map(col) ++ Seq(col("n"), col("rs8"), col("rs16"),
-        col("rs32"),
-        round(when(col("rs8") > 0 && col("rs16").isNotNull && col("rs32") > 0,
-          (log(col("rs32")) - log(col("rs8"))) / (lit(2.0) * log(lit(2.0)))), 4)
+      // with x = ln 4, ln 8, ln 16 equally spaced in ln 2 — so the
+      // slope collapses to (ln rs16 − ln rs4) / (2 ln 2)
+      .select(keys.map(col) ++ Seq(col("n"), col("rs4"), col("rs8"),
+        col("rs16"),
+        round(when(col("rs4") > 0 && col("rs8").isNotNull && col("rs16") > 0,
+          (log(col("rs16")) - log(col("rs4"))) / (lit(2.0) * log(lit(2.0)))), 4)
           .as("hurst")): _*)
   }
 

@@ -1972,7 +1972,7 @@ private[graft] object RefQueries {
         |),
         |e AS MATERIALIZED (
         |  SELECT event_type, y, t, m, t // m AS blk
-        |  FROM b CROSS JOIN (SELECT unnest([8, 16, 32]) AS m)
+        |  FROM b CROSS JOIN (SELECT unnest([4, 8, 16]) AS m)
         |),
         |ful AS (
         |  SELECT event_type, m, blk, CAST(sum(y) AS HUGEINT) AS sb
@@ -2003,15 +2003,15 @@ private[graft] object RefQueries {
         |),
         |pv AS (
         |  SELECT event_type,
+        |         max(CASE WHEN m = 4 THEN rsm END) AS rs4,
         |         max(CASE WHEN m = 8 THEN rsm END) AS rs8,
-        |         max(CASE WHEN m = 16 THEN rsm END) AS rs16,
-        |         max(CASE WHEN m = 32 THEN rsm END) AS rs32
+        |         max(CASE WHEN m = 16 THEN rsm END) AS rs16
         |  FROM ms GROUP BY 1
         |),
         |nt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1)
-        |SELECT nt.event_type, nt.n, pv.rs8, pv.rs16, pv.rs32,
-        |       round(CASE WHEN pv.rs8 > 0 AND pv.rs16 IS NOT NULL AND pv.rs32 > 0
-        |             THEN (ln(pv.rs32) - ln(pv.rs8)) / (2.0 * ln(2.0)) END, 4)
+        |SELECT nt.event_type, nt.n, pv.rs4, pv.rs8, pv.rs16,
+        |       round(CASE WHEN pv.rs4 > 0 AND pv.rs8 IS NOT NULL AND pv.rs16 > 0
+        |             THEN (ln(pv.rs16) - ln(pv.rs4)) / (2.0 * ln(2.0)) END, 4)
         |         AS hurst
         |FROM nt LEFT JOIN pv USING (event_type)
         |ORDER BY event_type""".stripMargin,
