@@ -439,6 +439,95 @@ object Multimodal {
     }
   }
 
+  final case class AudioQuality(
+      doc_id: Long, n_samples: Long, n_clipped: Long, n_mean_cross: Long)
+
+  /** Audio quality screen per clip (G117) — the two ingestion gates a
+    * speech pipeline runs before wasting ASR/feature compute:
+    * clipping (|s| ≥ `clipLevel` — saturated capture, distortion) and
+    * the MEAN-crossing count (the activity/oscillation measure; the
+    * textbook zero-crossing rate degenerates on any DC-offset signal,
+    * so the crossing reference is the clip's own mean, compared in
+    * EXACT integers via the multiply-through s·n vs Σs — no mean
+    * rounding).
+    *
+    * Scale shape: the [[wavFeatures]] contract — one decoder pass per
+    * partition (two in-memory passes over the decoded samples: sum,
+    * then flips), payload bytes never ride an exchange.
+    */
+  def wavQuality(
+      df: Dataset[Media],
+      clipLevel: Int = 20000): Dataset[AudioQuality] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.mapPartitions { it =>
+      it.map { m =>
+        val wav = decodeWav(m.payload)
+        val n = wav.samples.length
+        var sum = 0L
+        var clipped = 0L
+        var i = 0
+        while (i < n) {
+          val s = wav.samples(i).toLong
+          sum += s
+          if (math.abs(s) >= clipLevel) clipped += 1
+          i += 1
+        }
+        var cross = 0L
+        var i2 = 1
+        while (i2 < n) {
+          val a = wav.samples(i2 - 1).toLong * n >= sum
+          val b = wav.samples(i2).toLong * n >= sum
+          if (a != b) cross += 1
+          i2 += 1
+        }
+        AudioQuality(m.doc_id, n.toLong, clipped, cross)
+      }
+    }
+  }
+
+  final case class ImageHist(
+      doc_id: Long, width: Int, height: Int, channel: String, bin: Int,
+      cnt: Long)
+
+  /** Per-channel luminance histogram over a decoded image (G118) —
+    * the decode side of the image-quality screen: REAL BMP decode,
+    * each channel's bytes binned at `binWidth` levels. Returns the
+    * HISTOGRAM ROWS (doc × channel × occupied bin — ≤ 256/binWidth
+    * rows each) so the analytics (entropy, dominant-bin share,
+    * washed-out/black-frame flags) stay declarative Spark expressions
+    * over an aggregate-grain frame — the "decode in the codec
+    * contract, analyze in the engine" split of G11/G12.
+    */
+  def imageHistogram(
+      df: Dataset[Media],
+      binWidth: Int = 32): Dataset[ImageHist] = {
+    require(binWidth > 0 && 256 % binWidth == 0, "binWidth must divide 256")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBins = 256 / binWidth
+    df.mapPartitions { it =>
+      it.flatMap { m =>
+        val img = decodeBmp(m.payload)
+        val px = img.width * img.height
+        val counts = Array.ofDim[Long](3, nBins)
+        var k = 0
+        while (k < px) {
+          counts(0)((img.rgb(3 * k) & 0xff) / binWidth) += 1
+          counts(1)((img.rgb(3 * k + 1) & 0xff) / binWidth) += 1
+          counts(2)((img.rgb(3 * k + 2) & 0xff) / binWidth) += 1
+          k += 1
+        }
+        for {
+          (ch, ci) <- Seq("r" -> 0, "g" -> 1, "b" -> 2)
+          bin <- 0 until nBins
+          if counts(ci)(bin) > 0
+        } yield ImageHist(m.doc_id, img.width, img.height, ch, bin,
+          counts(ci)(bin))
+      }
+    }
+  }
+
   final case class AudioGain(
       doc_id: Long, n_samples: Long, rms: Double,
       gain_mu: Option[Long], n_clipped: Long)

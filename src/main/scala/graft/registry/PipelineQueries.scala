@@ -186,6 +186,38 @@ private[graft] object PipelineQueries {
         .select(col("doc_id"), col("win_idx"), col("energy"),
           round(col("rms"), 4).as("rms"))
     }),
+    "q395_audio_quality" -> ((s, dir) => {
+      // G117 audio ingestion gates: clipping count + MEAN-crossing
+      // rate (exact multiply-through s·n vs Σs — the textbook ZCR
+      // degenerates on DC-offset signals like these byte-derived
+      // clips) — REAL WAV decode per partition
+      val t = Tables(s, dir)
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      Multimodal.wavQuality(Multimodal.textToWav(t.documents)).toDF()
+        .select(col("doc_id"), col("n_samples"), col("n_clipped"),
+          col("n_mean_cross"),
+          round(d(col("n_clipped")) / col("n_samples"), 4).as("clip_rate"),
+          round(d(col("n_mean_cross")) / (col("n_samples") - 1L), 4)
+            .as("mcr"))
+    }),
+    "q396_image_stats" -> ((s, dir) => {
+      // G118 image-quality screen: per-channel 8-bin histogram
+      // entropy (washed-out/black-frame detector) — REAL BMP decode
+      // emits histogram ROWS, the entropy fold stays declarative
+      val t = Tables(s, dir)
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val h = Multimodal.imageHistogram(Multimodal.textToBmp(t.documents))
+        .toDF()
+      val p = d(col("cnt")) / (d(col("width")) * col("height"))
+      def ent(ch: String) = round(
+        (-sum(when(col("channel") === ch, col("__c")).otherwise(lit(0.0)))) +
+          lit(0.0), 4)
+      h.withColumn("__c", round(p * log(p), 6))
+        .groupBy("doc_id")
+        .agg(max("width").as("width"), max("height").as("height"),
+          ent("r").as("r_entropy"), ent("g").as("g_entropy"),
+          ent("b").as("b_entropy"))
+    }),
     "q151_token_budget" -> ((s, dir) => {
       // greedy token-budget curation: longest documents first until
       // 50k words — bucketed two-phase prefix sum, never a single-task
@@ -1608,6 +1640,87 @@ private[graft] object PipelineQueries {
         |SELECT doc_id, win_idx, energy,
         |       round(sqrt(CAST(energy AS DOUBLE) / 50), 4) AS rms
         |FROM w""".stripMargin,
+    // Audio-quality replay: the q116 sample synthesis; clipping at
+    // |s| >= 20000, mean crossings in exact integers s*n vs sum.
+    "q395_audio_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
+        |    ELSE length(text) END AS INT) AS n FROM documents
+        |),
+        |sm AS (SELECT doc_id, text, n, unnest(range(0, 200)) AS i FROM b),
+        |v AS MATERIALIZED (
+        |  SELECT doc_id, i,
+        |         ascii(substring(text, CAST((2*i) % n AS INT) + 1, 1)) * 256
+        |         + ascii(substring(text, CAST((2*i + 1) % n AS INT) + 1, 1))
+        |         - 32768 AS s
+        |  FROM sm
+        |),
+        |t AS MATERIALIZED (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ns,
+        |         CAST(sum(s) AS BIGINT) AS sms,
+        |         CAST(count(*) FILTER (abs(s) >= 20000) AS BIGINT) AS nc
+        |  FROM v GROUP BY 1
+        |),
+        |l AS (
+        |  SELECT v.doc_id, v.s, t.ns, t.sms, t.nc,
+        |         lag(v.s) OVER (PARTITION BY v.doc_id ORDER BY v.i) AS p
+        |  FROM v JOIN t USING (doc_id)
+        |),
+        |c AS (
+        |  SELECT doc_id, any_value(ns) AS n_samples, any_value(nc) AS n_clipped,
+        |         CAST(count(*) FILTER (p IS NOT NULL AND
+        |              ((s * ns >= sms) <> (p * ns >= sms))) AS BIGINT)
+        |           AS n_mean_cross
+        |  FROM l GROUP BY 1
+        |)
+        |SELECT doc_id, n_samples, n_clipped, n_mean_cross,
+        |       round(CAST(n_clipped AS DOUBLE) / n_samples, 4) AS clip_rate,
+        |       round(CAST(n_mean_cross AS DOUBLE) / (n_samples - 1), 4) AS mcr
+        |FROM c""".stripMargin,
+    // Image-stat replay: the q38 pixel synthesis binned at 32 levels
+    // per channel, 6dp p·ln p contributions, 4dp entropies (the +0.0
+    // normalizes the all-one-bin negative zero on both engines).
+    "q396_image_stats" ->
+      """WITH bb AS (
+        |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
+        |    ELSE length(text) END AS INT) AS n FROM documents
+        |),
+        |dd AS (
+        |  SELECT doc_id, text, n, 8 + (n % 8) AS w, 8 + ((n // 8) % 8) AS h
+        |  FROM bb
+        |),
+        |px AS (SELECT doc_id, text, n, w, h, unnest(range(0, w * h)) AS k FROM dd),
+        |ch AS (
+        |  SELECT doc_id, w, h, 'r' AS channel,
+        |         ascii(substring(text, CAST((3*k + 2) % n AS INT) + 1, 1)) // 32 AS bin
+        |  FROM px
+        |  UNION ALL
+        |  SELECT doc_id, w, h, 'g' AS channel,
+        |         ascii(substring(text, CAST((3*k + 1) % n AS INT) + 1, 1)) // 32 AS bin
+        |  FROM px
+        |  UNION ALL
+        |  SELECT doc_id, w, h, 'b' AS channel,
+        |         ascii(substring(text, CAST((3*k) % n AS INT) + 1, 1)) // 32 AS bin
+        |  FROM px
+        |),
+        |hist AS (
+        |  SELECT doc_id, w, h, channel, bin, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ch GROUP BY 1, 2, 3, 4, 5
+        |),
+        |co AS (
+        |  SELECT doc_id, w, h, channel,
+        |         round((CAST(cnt AS DOUBLE) / (CAST(w AS DOUBLE) * h)) *
+        |               ln(CAST(cnt AS DOUBLE) / (CAST(w AS DOUBLE) * h)), 6) AS c
+        |  FROM hist
+        |)
+        |SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        |       round((-sum(CASE WHEN channel = 'r' THEN c ELSE 0.0 END)) + 0.0, 4)
+        |         AS r_entropy,
+        |       round((-sum(CASE WHEN channel = 'g' THEN c ELSE 0.0 END)) + 0.0, 4)
+        |         AS g_entropy,
+        |       round((-sum(CASE WHEN channel = 'b' THEN c ELSE 0.0 END)) + 0.0, 4)
+        |         AS b_entropy
+        |FROM co GROUP BY 1""".stripMargin,
     "q106_stratum_cap" ->
       s"""WITH r AS (
          |  SELECT source, doc_id,
