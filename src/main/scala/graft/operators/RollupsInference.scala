@@ -1429,6 +1429,132 @@ private[operators] trait RollupsInference {
           .as("z"))
   }
 
+  /** Two-sample Anderson–Darling test (F107) — the tail-sensitive
+    * member of the distribution-comparison family: F25's KS sees only
+    * the single largest CDF gap (center-dominated), F75's Wasserstein
+    * integrates the gap in value units; AD weights the squared gap by
+    * 1/[F(1−F)], so divergence in the TAILS — exactly where quality
+    * filters and score cutoffs live — is what fires. Scholz–Stephens
+    * 1987's tie-aware A²_akN at k = 2, on midrank CDFs.
+    *
+    * Exactness: the F25 value-grain frame; doubled midrank cumulative
+    * counts keep every numerator/denominator EXACT integers in
+    * decimal(38,0) ((N·M2ᵢ − nᵢ·B2)² / (B2(2N−B2) − N·l) — the /4s
+    * cancel); each value's full contribution is ONE pinned double
+    * fixed to integer PICO-units via floor(x·1e12 + 0.5), so the
+    * value-grain sum is order-free on any engine.
+    *
+    * Output: one row (n1, n2, a2 4dp) — A² ≈ 1 under H0, grows with
+    * divergence; > ~2.5 rejects at 5%.
+    */
+  def ad2Test(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(cents.as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint() // feeds the CDF window and the totals
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = pts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    Rollups.grainGuarded(pts, w, "ad2Test")
+      .withColumn("__F1", sum("c1").over(w))
+      .withColumn("__F2", sum("c2").over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("__N", col("n1") + col("n2"))
+      .withColumn("__l", col("c1") + col("c2"))
+      .withColumn("__B2",
+        lit(2L) * (col("__F1") + col("__F2")) - col("__l"))
+      .withColumn("__M21", lit(2L) * col("__F1") - col("c1"))
+      .withColumn("__M22", lit(2L) * col("__F2") - col("c2"))
+      .withColumn("__num1",
+        col("__M21").cast(dec) * col("__N") - col("__B2").cast(dec) * col("n1"))
+      .withColumn("__num2",
+        col("__M22").cast(dec) * col("__N") - col("__B2").cast(dec) * col("n2"))
+      .withColumn("__den",
+        col("__B2").cast(dec) * (lit(2L) * col("__N") - col("__B2")) -
+          col("__N").cast(dec) * col("__l"))
+      .withColumn("__t",
+        when(col("__den") > 0,
+          d(col("__N") - 1L) * col("__l") *
+            (d(col("__num1") * col("__num1")) / d(col("__den")) / col("n1") +
+              d(col("__num2") * col("__num2")) / d(col("__den")) / col("n2")) /
+            (d(col("__N")) * d(col("__N")))).otherwise(lit(0.0)))
+      .withColumn("__tq", floor(col("__t") * 1e12 + 0.5).cast("long"))
+      .groupBy("n1", "n2")
+      .agg(sum("__tq").as("__s"))
+      .select(col("n1"), col("n2"),
+        round(d(col("__s")) / 1e12, 4).as("a2"))
+  }
+
+  /** Squared-ranks dispersion test (F108, Conover's rank test for
+    * equal variances, median-centered) — the RANK member that
+    * completes the variance-homogeneity family: F100 Bartlett
+    * (normal theory), F101 Levene (mean deviations), F65
+    * Brown–Forsythe (median deviations), and this — no moment
+    * assumptions at all: pooled average ranks of u = |x − median_g|,
+    * squared, and the tie-robust statistic
+    * T = (N−1)[Σ S_g²/n_g − N w̄²]/[Σw² − N w̄²].
+    *
+    * Exactness: doubled per-group medians (the D34 convention) make
+    * u exact integers on one pooled grid; the F63 doubled-rank frame
+    * ranks them; squared doubled-ranks keep S and Σw² in QUARTER
+    * units — exact decimal(38,0) — and the /16s cancel in T, which
+    * follows the kruskalWallis written-order double convention, 4dp.
+    *
+    * Output: one row (k, n, t_stat) — null when dispersion of the
+    * squared ranks vanishes.
+    */
+  def squaredRanks(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val c2 = (round(col(valueCol) * 100).cast("long") * 2L).as("__c2")
+    val rows = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), c2)
+    val med = rows.groupBy("g")
+      .agg(round(percentile(col("__c2"), lit(0.5))).cast("long").as("__m2"))
+    val pts = rows.join(broadcast(med), "g")
+      .select(col("g"), abs(col("__c2") - col("__m2")).as("u"))
+      .groupBy("u", "g").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the rank window and the tie grain
+    val ord = Window.orderBy("u")
+    val ranked = Rollups.grainGuarded(pts, ord, "squaredRanks")
+      .withColumn("__t",
+        sum("n").over(ord.rangeBetween(Window.currentRow, Window.currentRow)))
+      .withColumn("__cumb", coalesce(
+        sum("n").over(ord.rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__cumb") + col("__t") + 1L)
+    val perG = ranked.groupBy("g")
+      .agg(sum("n").as("__ng"),
+        sum(col("n").cast(dec) * col("__r2") * col("__r2")).as("__s4"),
+        sum(col("n").cast(dec) * col("__r2") * col("__r2") * col("__r2") *
+          col("__r2")).as("__q16"))
+    perG
+      .agg(count(lit(1)).as("k"), sum("__ng").as("n"),
+        sum(d(col("__s4")) * d(col("__s4")) / col("__ng")).as("__A"),
+        sum(col("__s4")).as("__s4t"), sum(col("__q16")).as("__q16t"))
+      .withColumn("__num",
+        col("__A") - d(col("__s4t")) * d(col("__s4t")) / col("n"))
+      .withColumn("__den",
+        d(col("__q16t")) - d(col("__s4t")) * d(col("__s4t")) / col("n"))
+      .select(col("k"), col("n"),
+        round(when(col("__den") > 0,
+          d(col("n") - 1L) * col("__num") / col("__den")), 4).as("t_stat"))
+  }
+
   /** Theta-method forecast per keyed series (Assimakopoulos &
     * Nikolopoulos 2000, θ = 2 — the M3-competition winner and the
     * standard "hard to beat" classical baseline next to D21's Holt

@@ -485,6 +485,21 @@ private[graft] object StatsInferenceQueries {
         .agg(count(lit(1)).as("cnt"))
       Rollups.kpss(daily, Seq("event_type"), "day", "cnt")
     }),
+    "q397_ad2" -> ((s, dir) => {
+      // F107 Anderson–Darling click vs view: the TAIL-sensitive
+      // member next to q192's center-dominated KS and q342's
+      // magnitude Wasserstein — 1/[F(1−F)]-weighted squared CDF gap,
+      // Scholz–Stephens tie-aware midranks
+      val t = Tables(s, dir)
+      Rollups.ad2Test(t.events, "event_type", "value", "click", "view")
+    }),
+    "q398_squared_ranks" -> ((s, dir) => {
+      // F108 Conover squared-ranks (median-centered): the RANK member
+      // that completes the variance-homogeneity family (q373 normal
+      // theory, q374 mean, q298 median, this — no moments at all)
+      val t = Tables(s, dir)
+      Rollups.squaredRanks(t.events, "event_type", "value")
+    }),
     "q385_turning_points" -> ((s, dir) => {
       // D37 turning-point + difference-sign IID screens on the daily
       // series — too few turning points = momentum, skewed ascent
@@ -2713,6 +2728,99 @@ private[graft] object StatsInferenceQueries {
         |       round(CASE WHEN n >= 2
         |             THEN (CAST(n_up AS DOUBLE) - (CAST(n AS DOUBLE) - 1.0) / 2.0) /
         |                  sqrt((CAST(n AS DOUBLE) + 1.0) / 12.0) END, 4) AS z_ds
+        |FROM a""".stripMargin,
+    // AD2 replay: the q192 value-grain CDF frame; doubled midranks,
+    // exact HUGEINT numerators/denominator, per-value pico-unit
+    // contributions (floor(x*1e12 + 0.5)) summed order-free.
+    "q397_ad2" ->
+      """WITH pts AS MATERIALIZED (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM pts),
+        |c AS (
+        |  SELECT c1, c2,
+        |         sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+        |         sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
+        |  FROM pts
+        |),
+        |e AS (
+        |  SELECT n1, n2, n1 + n2 AS nn, c1 + c2 AS l,
+        |         2 * (f1 + f2) - (c1 + c2) AS b2,
+        |         2 * f1 - c1 AS m21, 2 * f2 - c2 AS m22
+        |  FROM c CROSS JOIN t
+        |),
+        |g AS (
+        |  SELECT n1, n2, nn, l,
+        |         CAST(m21 AS HUGEINT) * nn - CAST(b2 AS HUGEINT) * n1 AS num1,
+        |         CAST(m22 AS HUGEINT) * nn - CAST(b2 AS HUGEINT) * n2 AS num2,
+        |         CAST(b2 AS HUGEINT) * (2 * nn - b2)
+        |           - CAST(nn AS HUGEINT) * l AS den
+        |  FROM e
+        |),
+        |q AS (
+        |  SELECT n1, n2,
+        |         CAST(floor((CASE WHEN den > 0
+        |           THEN CAST(nn - 1 AS DOUBLE) * l *
+        |                (CAST(num1 * num1 AS DOUBLE) / CAST(den AS DOUBLE) / n1
+        |                 + CAST(num2 * num2 AS DOUBLE) / CAST(den AS DOUBLE) / n2)
+        |                / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+        |           ELSE 0.0 END) * 1e12 + 0.5) AS BIGINT) AS tq
+        |  FROM g
+        |)
+        |SELECT n1, n2, round(CAST(sum(tq) AS DOUBLE) / 1e12, 4) AS a2
+        |FROM q GROUP BY 1, 2""".stripMargin,
+    // Squared-ranks replay: doubled group medians (the q378 form),
+    // pooled doubled-rank frame on u, quarter-unit S and fourth
+    // powers in HUGEINT, the kruskalWallis double fold.
+    "q398_squared_ranks" ->
+      """WITH rows0 AS MATERIALIZED (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) * 2 AS c2
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |),
+        |med AS (
+        |  SELECT g, CAST(round(quantile_cont(c2, 0.5)) AS BIGINT) AS m2
+        |  FROM rows0 GROUP BY 1
+        |),
+        |pts AS MATERIALIZED (
+        |  SELECT abs(r.c2 - m.m2) AS u, r.g, CAST(count(*) AS BIGINT) AS n
+        |  FROM rows0 r JOIN med m USING (g) GROUP BY 1, 2
+        |),
+        |vg AS (SELECT u, CAST(sum(n) AS BIGINT) AS t FROM pts GROUP BY 1),
+        |vr AS (
+        |  SELECT u, t,
+        |         2 * coalesce(sum(t) OVER (ORDER BY u
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + t + 1 AS r2
+        |  FROM vg
+        |),
+        |perg AS (
+        |  SELECT g, CAST(sum(n) AS BIGINT) AS ng,
+        |         CAST(sum(CAST(n AS HUGEINT) * r2 * r2) AS HUGEINT) AS s4,
+        |         CAST(sum(CAST(n AS HUGEINT) * r2 * r2 * r2 * r2) AS HUGEINT)
+        |           AS q16
+        |  FROM pts JOIN vr USING (u) GROUP BY 1
+        |),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |         sum(CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / ng) AS aa,
+        |         CAST(sum(s4) AS HUGEINT) AS s4t,
+        |         CAST(sum(q16) AS HUGEINT) AS q16t
+        |  FROM perg
+        |)
+        |SELECT k, n,
+        |       round(CASE WHEN CAST(q16t AS DOUBLE)
+        |                       - CAST(s4t AS DOUBLE) * CAST(s4t AS DOUBLE) / n > 0
+        |             THEN CAST(n - 1 AS DOUBLE) *
+        |                  (aa - CAST(s4t AS DOUBLE) * CAST(s4t AS DOUBLE) / n) /
+        |                  (CAST(q16t AS DOUBLE)
+        |                   - CAST(s4t AS DOUBLE) * CAST(s4t AS DOUBLE) / n)
+        |             END, 4) AS t_stat
         |FROM a""".stripMargin,
   )
 }
