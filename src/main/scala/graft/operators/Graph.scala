@@ -217,6 +217,57 @@ object Graph {
       .select(col("id"), col("deg"))
   }
 
+  /** Synchronous label propagation after `rounds` rounds (G119,
+    * Raghavan 2007's LPA made DETERMINISTIC): every node starts as
+    * its own label; each round, every node adopts its neighborhood's
+    * most frequent label with ties broken by SMALLEST label — the
+    * near-linear community detector that needs no modularity
+    * optimization. On a near-dup graph, communities = duplication
+    * neighborhoods (looser than G2b's connected components, which
+    * merge through single weak edges; LPA requires majority
+    * agreement) — the candidate grouping for family-level keeper
+    * policies that CC over-merges.
+    *
+    * Determinism: the classic async LPA is order-dependent; this is
+    * the SYNCHRONOUS variant with a total (count desc, label asc)
+    * tie order, and a FIXED round count (the G37/G102 bounded-round
+    * contract) — the unrolled oracle replays identical rounds.
+    *
+    * Scale shape: per round, one (node, label) neighbor-count
+    * combine + one per-node arg-max window over the label-grain
+    * frame (each node's frame is its distinct neighbor-label set,
+    * degree-bounded), labels checkpointed per round (each round's
+    * frame feeds the next join).
+    *
+    * Output: (id, community) — plus callers can histogram sizes.
+    */
+  def labelPropagation(
+      pairs: DataFrame,
+      rounds: Int = 4,
+      aCol: String = "idA",
+      bCol: String = "idB"): DataFrame = {
+    require(rounds >= 1)
+    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint() // feeds every round's neighbor-label join
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("community", col("id"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      .orderBy(col("__n").desc, col("community"))
+    for (_ <- 1 to rounds) {
+      labels = e
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("community"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("src").as("id"), col("community"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Per-node local clustering coefficient (G107) — how CLIQUE-LIKE is
     * each node's neighborhood: C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
     * the standard cohesion score on similarity graphs. On a near-dup

@@ -119,6 +119,16 @@ private[graft] object GraphQueries {
         Dedup.minhashLshPairs(t.documents).select("idA", "idB"),
         Seq(1, 2, 4, 8, 16), "idA", "idB")
     }),
+    "q399_label_prop" -> ((s, dir) => {
+      // G119 deterministic synchronous label propagation (4 rounds,
+      // ties to smallest label) over the near-dup graph: majority
+      // communities — the family grouping q47's components over-merge
+      // through single weak edges
+      val t = Tables(s, dir)
+      Graph.labelPropagation(
+        Dedup.minhashLshPairs(t.documents).select("idA", "idB"))
+        .orderBy("id")
+    }),
     "q388_link_scores" -> ((s, dir) => {
       // G113 link-prediction baselines over the co-purchase graph:
       // common neighbors / Jaccard / preferential attachment for the
@@ -432,6 +442,31 @@ private[graft] object GraphQueries {
          |         AS q_contrib
          |FROM dg LEFT JOIN w USING (community), m
          |ORDER BY community""".stripMargin,
+    // LPA replay: 4 unrolled synchronous rounds, per-node argmax by
+    // (neighbor-label count desc, label asc); every round
+    // MATERIALIZED (each feeds the next join).
+    "q399_label_prop" -> {
+      val roundsSql = (1 to 4).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT src AS id, community FROM (
+           |    SELECT e.src, l.community,
+           |           row_number() OVER (PARTITION BY e.src
+           |             ORDER BY count(*) DESC, l.community) AS rk
+           |    FROM e0 e JOIN l${i - 1} l ON l.id = e.dst
+           |    GROUP BY e.src, l.community
+           |  ) WHERE rk = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $MinhashPairsSql,
+         |e0 AS MATERIALIZED (
+         |  SELECT idA AS src, idB AS dst FROM lshpairs
+         |  UNION ALL
+         |  SELECT idB AS src, idA AS dst FROM lshpairs
+         |),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS community FROM e0),
+         |$roundsSql
+         |SELECT id, community FROM l4 ORDER BY id""".stripMargin
+    },
     // Assortativity replay: symmetrized edge list, endpoint degrees,
     // exact HUGEINT moments, one double division.
     "q386_assortativity" ->
