@@ -176,4 +176,83 @@ object Layout {
         round(lit(1.0) - col("files_scanned").cast("double")
           / col("n_files").cast("double"), 4))
   }
+
+  /** Bloom-augmented file-skip report (I40) — what I22's zone maps
+    * CANNOT do: point lookups on a high-cardinality UNCLUSTERED key
+    * (user_id, doc_id) see min..max spans covering everything, so
+    * min-max skips nothing; a tiny per-file Bloom bitmap (here 248
+    * bits, one md5-derived hash — the Parquet bloom_filter /
+    * Delta-stats design point at toy size) answers "definitely not
+    * in this file" and does the skipping. The report MEASURES it:
+    * for a probe sweep over the key domain (every `probeEvery`-th
+    * value), per probe the file counts a scan would touch under
+    * min-max, under min-max+Bloom, and the true containment —
+    * bloom_fp is the measured false-positive scan cost.
+    *
+    * Determinism: the hash is the engine-portable md5-nibble bucket
+    * (the G15 convention) mod 248; the bitmap lives as four 62-bit
+    * words in longs (shift ≤ 61 on both engines — DuckDB raises on
+    * 1<<63, so full-word shifts are out of contract), OR-folded by
+    * bit_or; everything else is exact counts.
+    *
+    * Scale shape: one scan builds all file summaries (one (file)
+    * combine carrying 24 bytes each); the probe sweep is a broadcast
+    * cross against the FILE-grain frame (probes × files, both
+    * dim-bounded by `rowsPerFile` / `probeEvery` budgets); true
+    * containment is one semi-collapsed (key % probeEvery = 0)
+    * distinct.
+    *
+    * Output: one row per probe (probe, files_total, files_minmax,
+    * files_bloom, files_actual, bloom_fp) — bloom_fp = Bloom hits on
+    * files that do NOT contain the key.
+    */
+  def bloomSkipReport(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      rowsPerFile: Int,
+      probeEvery: Int = 97,
+      salt: String = "bloom"): DataFrame = {
+    require(rowsPerFile > 0 && probeEvery > 0)
+    def bitOf(k: Column): Column =
+      conv(substring(md5(concat(k.cast("string"), lit(":" + salt))), 1, 6),
+        16, 10).cast("long") % 248
+    val rows = df.filter(col(keyCol).isNotNull)
+      .select(expr(s"$idCol div $rowsPerFile").as("file"),
+        col(keyCol).as("k"))
+    val wordAggs = (0 to 3).map { w =>
+      expr(s"bit_or(CASE WHEN __b div 62 = $w THEN " +
+        s"shiftleft(1L, CAST(__b % 62 AS INT)) ELSE 0L END)").as(s"bm$w")
+    }
+    val files = rows
+      .withColumn("__b", bitOf(col("k")))
+      .groupBy("file")
+      .agg(min("k").as("mn"),
+        (Seq(max(col("k")).as("mx")) ++ wordAggs): _*)
+    val probes = df.agg(max(col(keyCol)).cast("long").as("__mxk"))
+      .select(explode(sequence(lit(0L), col("__mxk"),
+        lit(probeEvery.toLong))).as("probe"))
+      .withColumn("__pb", bitOf(col("probe")))
+    val actual = rows.filter(col("k") % probeEvery === 0)
+      .select(col("k").as("probe"), col("file")).distinct()
+      .groupBy("probe").agg(count(lit(1)).as("files_actual"))
+    val blTest = (0 to 3).map { w =>
+      s"WHEN __pb div 62 = $w THEN " +
+        s"(bm$w & shiftleft(1L, CAST(__pb % 62 AS INT))) != 0L"
+    }.mkString("CASE ", " ", " END")
+    files.crossJoin(broadcast(probes))
+      .withColumn("__mm", col("probe") >= col("mn") && col("probe") <= col("mx"))
+      .withColumn("__bl", col("__mm") && expr(blTest))
+      .groupBy("probe")
+      .agg(count(lit(1)).as("files_total"),
+        sum(when(col("__mm"), 1L).otherwise(0L)).as("files_minmax"),
+        sum(when(col("__bl"), 1L).otherwise(0L)).as("files_bloom"))
+      .join(actual, Seq("probe"), "left")
+      .select(col("probe"), col("files_total"), col("files_minmax"),
+        col("files_bloom"),
+        coalesce(col("files_actual"), lit(0L)).as("files_actual"),
+        (col("files_bloom") - coalesce(col("files_actual"), lit(0L)))
+          .as("bloom_fp"))
+      .orderBy("probe")
+  }
 }

@@ -616,6 +616,15 @@ private[graft] object InfraQueries {
           round(sum(when(col("_corrupt_record").isNull, col("value"))
             .otherwise(0d)), 4).as("sum_value_good"))
     }),
+    "q400_bloom_skip" -> ((s, dir) => {
+      // I40 bloom-augmented file skipping measured: point lookups on
+      // the unclustered high-cardinality user_id see useless min-max
+      // spans; the 248-bit per-file bloom does the skipping — per
+      // probe, files touched under min-max vs min-max+bloom vs truth
+      val t = Tables(s, dir)
+      Layout.bloomSkipReport(t.events, "event_id", "user_id",
+        rowsPerFile = 50, probeEvery = 7)
+    }),
     "q391_moments_rollup" -> ((s, dir) => {
       // I39 mergeable moments state: per-(source, lang) power sums
       // [n, Σx..Σx⁴] rolled to source grain by one elementwise
@@ -1235,6 +1244,59 @@ private[graft] object InfraQueries {
         |       round(sum(CASE WHEN event_id % 100 = 0 THEN 0 ELSE value END), 4)
         |         AS sum_value_good
         |FROM e""".stripMargin,
+    // Bloom-skip replay: md5-nibble bit mod 248, four 62-bit words
+    // (DuckDB raises on 1<<63), same probe sweep and containment.
+    "q400_bloom_skip" -> {
+      def hx(e: String) = HexValSql(s"md5(CAST($e AS VARCHAR) || ':bloom')", 1, 6)
+      val words = (0 to 3).map { w =>
+        s"""CAST(bit_or(CASE WHEN b // 62 = $w
+           |   THEN (CAST(1 AS BIGINT) << CAST(b % 62 AS INT))
+           |   ELSE 0 END) AS BIGINT) AS bm$w""".stripMargin
+      }.mkString(",\n         ")
+      val blCase = (0 to 3).map { w =>
+        s"WHEN p.pbit // 62 = $w THEN " +
+          s"(f.bm$w & (CAST(1 AS BIGINT) << CAST(p.pbit % 62 AS INT))) != 0"
+      }.mkString("CASE ", " ", " END")
+      s"""WITH r AS MATERIALIZED (
+         |  SELECT event_id // 50 AS file, user_id AS k
+         |  FROM events WHERE user_id IS NOT NULL
+         |),
+         |fb AS (
+         |  SELECT file, k, ${hx("k")} % 248 AS b
+         |  FROM r
+         |),
+         |fl AS MATERIALIZED (
+         |  SELECT file, CAST(min(k) AS BIGINT) AS mn, CAST(max(k) AS BIGINT) AS mx,
+         |         $words
+         |  FROM fb GROUP BY 1
+         |),
+         |mk AS (SELECT CAST(max(user_id) AS BIGINT) AS mxk FROM events),
+         |pr AS (SELECT unnest(range(0, mxk + 1, 7)) AS probe FROM mk),
+         |pb AS MATERIALIZED (
+         |  SELECT probe, ${hx("probe")} % 248 AS pbit FROM pr
+         |),
+         |ac AS (
+         |  SELECT k AS probe, CAST(count(DISTINCT file) AS BIGINT) AS files_actual
+         |  FROM r WHERE k % 7 = 0 GROUP BY 1
+         |),
+         |cx AS (
+         |  SELECT p.probe,
+         |         (p.probe >= f.mn AND p.probe <= f.mx) AS mm,
+         |         ((p.probe >= f.mn AND p.probe <= f.mx) AND ($blCase)) AS bl
+         |  FROM fl f CROSS JOIN pb p
+         |),
+         |ag AS (
+         |  SELECT probe, CAST(count(*) AS BIGINT) AS files_total,
+         |         CAST(count(*) FILTER (mm) AS BIGINT) AS files_minmax,
+         |         CAST(count(*) FILTER (bl) AS BIGINT) AS files_bloom
+         |  FROM cx GROUP BY 1
+         |)
+         |SELECT ag.probe, ag.files_total, ag.files_minmax, ag.files_bloom,
+         |       coalesce(ac.files_actual, 0) AS files_actual,
+         |       ag.files_bloom - coalesce(ac.files_actual, 0) AS bloom_fp
+         |FROM ag LEFT JOIN ac USING (probe)
+         |ORDER BY probe""".stripMargin
+    },
     // Moments replay: direct source-grain power sums in HUGEINT (the
     // rollup path equals this exactly — that is the operator's
     // claim), multiply-through central-moment numerators, the same
