@@ -1787,6 +1787,57 @@ private[operators] trait RollupsInference {
             sqrt((d(col("n")) + 1.0) / 12.0)), 4).as("z_ds")): _*)
   }
 
+  /** Dickey–Fuller unit-root test per keyed series (D40, the lag-0
+    * member — no augmentation terms): regress Δx_t on x_{t−1} with
+    * intercept and read τ = γ̂/se(γ̂). The null is a RANDOM WALK
+    * (γ = 0 — shocks permanent), the alternative mean reversion
+    * (γ < 0); the mirror of D36's KPSS (whose null is stationarity)
+    * — run both: agreeing verdicts settle it, disagreeing ones say
+    * "near-integrated, difference before modeling".
+    *
+    * Exactness: lag pairs ride one per-key window; the five
+    * regression moments are exact decimal(38,0); centered sums are
+    * exact multiply-throughs (S_zz = mΣz²−(Σz)² etc.), and γ̂, RSS,
+    * se, τ are ONE pinned written-order double chain, 4dp.
+    * (τ compares against the Dickey–Fuller table, not normal z —
+    * −2.86 at 5% for the constant-only form.)
+    *
+    * Output: keys ++ (n, gamma, tau) — null when the lagged level
+    * has no variance or m < 3.
+    */
+  def dickeyFuller(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+    df.select(keys.map(col) ++ Seq(col(orderCol),
+      col(valueCol).cast("long").as("__x")): _*)
+      .withColumn("__z", lag("__x", 1).over(w))
+      .filter(col("__z").isNotNull)
+      .withColumn("__y", col("__x") - col("__z"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__m"),
+        sum(col("__z").cast(dec)).as("__sz"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__z").cast(dec) * col("__y")).as("__szy"),
+        sum(col("__z").cast(dec) * col("__z")).as("__szz"),
+        sum(col("__y").cast(dec) * col("__y")).as("__syy"))
+      .withColumn("__Czz", col("__szz") * col("__m") - col("__sz") * col("__sz"))
+      .withColumn("__Czy", col("__szy") * col("__m") - col("__sz") * col("__sy"))
+      .withColumn("__Cyy", col("__syy") * col("__m") - col("__sy") * col("__sy"))
+      .select(keys.map(col) ++ Seq((col("__m") + 1L).as("n"),
+        round(when(col("__Czz") > 0, d(col("__Czy")) / d(col("__Czz"))), 4)
+          .as("gamma"),
+        round(when(col("__Czz") > 0 && col("__m") >= 3,
+          (d(col("__Czy")) / d(col("__Czz"))) /
+            sqrt((d(col("__Cyy")) -
+              d(col("__Czy")) * d(col("__Czy")) / d(col("__Czz"))) /
+              ((d(col("__m")) - 2.0) * d(col("__Czz"))))), 4).as("tau")): _*)
+  }
+
   /** KPSS level-stationarity statistic per keyed series (lag-0
     * short-run variance) — the null-reversed companion to the
     * changepoint/trend family: D16/D23 hunt for a change, KPSS

@@ -826,6 +826,70 @@ object TextAnalysis {
         round(-col("__ll") / col("n_pairs").cast("double"), 4).as("nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring (G120, Kneser & Ney
+    * 1995 / Chen & Goodman 1998's recommended smoothing) — the top
+    * rung of the LM-quality ladder (G20 unigram, G47 Laplace bigram,
+    * G47b stupid backoff): absolute discounting with the CONTINUATION
+    * back-off, P(c|p) = max(n(p,c)−D,0)/n(p) + λ(p)·P_cont(c), where
+    * P_cont(c) = N1+(·c)/T counts how many DISTINCT contexts c
+    * follows — the fix for "Francisco": frequent but only ever after
+    * "San", so its unigram weight is high while its continuation
+    * weight is tiny. The standard scoring model of the CCNet/Wenzek
+    * quality-filter family.
+    *
+    * Determinism: D = 0.75 is exactly representable (3/4) and all
+    * other inputs are exact integer counts (bigram tokens, context
+    * tokens, distinct-continuation and distinct-context type counts,
+    * total bigram types), so each probability is ONE pinned double
+    * expression; per-doc NLL follows the G47 contract (doc-local
+    * sums, 4dp at the final projection). Self-trained on the full
+    * corpus, so every scored bigram is in the model — the discount
+    * mass exercises λ, never an unseen branch.
+    *
+    * Scale shape: four vocabulary-grain count tables off ONE bigram
+    * exchange (map-side combined), shuffle joins on gram keys, a
+    * one-row broadcast type total.
+    *
+    * Output: (idCol, n_pairs, nll).
+    */
+  def knBigramLm(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      discount: Double = 0.75): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val w = words(col(textCol))
+    val tf = df
+      .filter(size(w) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("p"), b.as("c")))).as("bg"))
+      .groupBy(col(idCol), col("bg.p").as("p"), col("bg.c").as("c"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds the model tables AND the scoring join
+    val pc = tf.groupBy("p", "c").agg(sum("tf").as("pc"))
+      .localCheckpoint() // feeds ctx/n1fwd/n1rev/types AND the join
+    val ctx = pc.groupBy("p").agg(sum("pc").as("ctx"),
+      count(lit(1)).as("n1fwd"))
+    val n1rev = pc.groupBy("c").agg(count(lit(1)).as("n1rev"))
+    val types = broadcast(pc.agg(count(lit(1)).as("tt")))
+    tf.join(pc, Seq("p", "c"))
+      .join(ctx, Seq("p"))
+      .join(n1rev, Seq("c"))
+      .join(types)
+      .groupBy(col(idCol))
+      .agg(
+        sum("tf").as("n_pairs"),
+        sum(d(col("tf")) *
+          log(greatest(d(col("pc")) - discount, lit(0.0)) / col("ctx") +
+            (lit(discount) * col("n1fwd") / col("ctx")) *
+              (d(col("n1rev")) / col("tt")))).as("__ll"))
+      .select(
+        col(idCol),
+        col("n_pairs"),
+        round(-col("__ll") / col("n_pairs").cast("double"), 4).as("nll"))
+  }
+
   /** G47b stupid-backoff trigram LM scoring (Brants et al. 2007,
     * "Large Language Models in Machine Translation") — the rung of the
     * quality ladder above [[unigramLm]] (G20) and [[bigramLm]] (G47),

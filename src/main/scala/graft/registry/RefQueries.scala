@@ -548,6 +548,18 @@ private[graft] object RefQueries {
       Rollups.thetaForecast(daily, Seq("event_type"), "day", "cnt")
         .orderBy("event_type")
     }),
+    "q402_dickey_fuller" -> ((s, dir) => {
+      // D40 Dickey-Fuller unit-root tau on the daily count series:
+      // the null-mirror of q384's KPSS — run both, disagreement
+      // means "near-integrated, difference before modeling"
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.dickeyFuller(daily, Seq("event_type"), "day", "cnt")
+        .orderBy("event_type")
+    }),
     "q394_hurst" -> ((s, dir) => {
       // D39 Hurst exponent via R/S over dyadic blocks: long-memory
       // persistence the short-lag family (q140 ACF, q205 DW, q378
@@ -1955,6 +1967,47 @@ private[graft] object RefQueries {
         |       CAST(round(CAST(l + au + bu * (n + 1) AS DOUBLE) / 200.0)
         |            AS BIGINT) / 10000.0 AS forecast_next
         |FROM f ORDER BY event_type""".stripMargin,
+    // DF replay: per-key lag pairs, exact HUGEINT moments, the
+    // multiply-through centered sums, one pinned tau chain.
+    "q402_dickey_fuller" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |),
+        |b AS (
+        |  SELECT event_type, y,
+        |         lag(y) OVER (PARTITION BY event_type ORDER BY day) AS z
+        |  FROM s
+        |),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+        |         CAST(sum(CAST(y - z AS HUGEINT)) AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(z AS HUGEINT) * (y - z)) AS HUGEINT) AS szy,
+        |         CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+        |         CAST(sum(CAST(y - z AS HUGEINT) * (y - z)) AS HUGEINT) AS syy
+        |  FROM b WHERE z IS NOT NULL GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT event_type, m,
+        |         szz * m - sz * sz AS czz,
+        |         szy * m - sz * sy AS czy,
+        |         syy * m - sy * sy AS cyy
+        |  FROM m
+        |)
+        |SELECT event_type, m + 1 AS n,
+        |       round(CASE WHEN czz > 0
+        |             THEN CAST(czy AS DOUBLE) / CAST(czz AS DOUBLE) END, 4)
+        |         AS gamma,
+        |       round(CASE WHEN czz > 0 AND m >= 3 THEN
+        |             (CAST(czy AS DOUBLE) / CAST(czz AS DOUBLE)) /
+        |             sqrt((CAST(cyy AS DOUBLE)
+        |                   - CAST(czy AS DOUBLE) * CAST(czy AS DOUBLE)
+        |                     / CAST(czz AS DOUBLE)) /
+        |                  ((CAST(m AS DOUBLE) - 2.0) * CAST(czz AS DOUBLE)))
+        |             END, 4) AS tau
+        |FROM c ORDER BY event_type""".stripMargin,
     // Hurst replay: 0-based ordinals, complete dyadic blocks,
     // multiply-through demeaned partial sums in HUGEINT, per-block
     // R/S at 6dp, size means at 4dp, the collapsed ln-ln slope.

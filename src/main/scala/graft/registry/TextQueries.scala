@@ -359,6 +359,13 @@ private[graft] object TextQueries {
           lit(" "), substring(col("text"), 31, 100000)).as("text"))
       TextAnalysis.encodingAnomalies(salted).orderBy("source")
     }),
+    "q401_kn_bigram" -> ((s, dir) => {
+      // G120 interpolated Kneser-Ney bigram scoring: absolute
+      // discounting + the continuation back-off (the "Francisco"
+      // fix) — the top rung of the LM ladder over q59/q141/q317
+      val t = Tables(s, dir)
+      TextAnalysis.knBigramLm(t.documents)
+    }),
     "q392_fertility" -> ((s, dir) => {
       // G116 tokenizer fertility by language: q270's trained BPE
       // applied corpus-wide, tokens-per-word and chars-per-token per
@@ -1315,6 +1322,36 @@ private[graft] object TextQueries {
          |       round(h.est, 4) AS approx_distinct,
          |       round(h.est / t.total_ngrams, 6) AS approx_ratio
          |FROM tot t JOIN nd_est h USING (gk)""".stripMargin,
+    // KN replay: the q141 bigram frame + continuation tables; D=0.75
+    // is exact (3/4), one pinned probability expression.
+    "q401_kn_bigram" ->
+      """WITH wd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id, w[i-1] AS p, w[i] AS c
+        |  FROM (SELECT doc_id, w, unnest(range(2, len(w) + 1)) AS i FROM wd)
+        |),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, p, c, count(*) AS tf FROM bg GROUP BY 1, 2, 3
+        |),
+        |pc AS MATERIALIZED (SELECT p, c, sum(tf) AS pc FROM tf GROUP BY 1, 2),
+        |ctx AS (
+        |  SELECT p, sum(pc) AS ctx, CAST(count(*) AS BIGINT) AS n1fwd
+        |  FROM pc GROUP BY 1
+        |),
+        |n1rev AS (SELECT c, CAST(count(*) AS BIGINT) AS n1rev FROM pc GROUP BY 1),
+        |ty AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM pc)
+        |SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_pairs,
+        |       round(-sum(CAST(t.tf AS DOUBLE) *
+        |             ln(greatest(CAST(pc.pc AS DOUBLE) - 0.75, 0.0) / ctx.ctx
+        |                + (0.75 * ctx.n1fwd / ctx.ctx)
+        |                  * (CAST(n1rev.n1rev AS DOUBLE) / ty.tt)))
+        |             / sum(t.tf), 4) AS nll
+        |FROM tf t
+        |JOIN pc USING (p, c) JOIN ctx USING (p) JOIN n1rev USING (c)
+        |CROSS JOIN ty
+        |GROUP BY 1""".stripMargin,
     // Mojibake replay: identical salting (same literal artifact
     // strings), identical RE2 \x{...} codepoint-class patterns.
     "q390_mojibake" ->
