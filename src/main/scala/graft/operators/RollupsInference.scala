@@ -1831,7 +1831,8 @@ private[operators] trait RollupsInference {
       .select(keys.map(col) ++ Seq((col("__m") + 1L).as("n"),
         round(when(col("__Czz") > 0, d(col("__Czy")) / d(col("__Czz"))), 4)
           .as("gamma"),
-        round(when(col("__Czz") > 0 && col("__m") >= 3,
+        round(when(col("__Czz") > 0 && col("__m") >= 3 &&
+          d(col("__Cyy")) - d(col("__Czy")) * d(col("__Czy")) / d(col("__Czz")) > 0,
           (d(col("__Czy")) / d(col("__Czz"))) /
             sqrt((d(col("__Cyy")) -
               d(col("__Czy")) * d(col("__Czy")) / d(col("__Czz"))) /

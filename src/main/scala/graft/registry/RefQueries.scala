@@ -2000,7 +2000,10 @@ private[graft] object RefQueries {
         |       round(CASE WHEN czz > 0
         |             THEN CAST(czy AS DOUBLE) / CAST(czz AS DOUBLE) END, 4)
         |         AS gamma,
-        |       round(CASE WHEN czz > 0 AND m >= 3 THEN
+        |       round(CASE WHEN czz > 0 AND m >= 3
+        |                  AND CAST(cyy AS DOUBLE)
+        |                      - CAST(czy AS DOUBLE) * CAST(czy AS DOUBLE)
+        |                        / CAST(czz AS DOUBLE) > 0 THEN
         |             (CAST(czy AS DOUBLE) / CAST(czz AS DOUBLE)) /
         |             sqrt((CAST(cyy AS DOUBLE)
         |                   - CAST(czy AS DOUBLE) * CAST(czy AS DOUBLE)
