@@ -209,10 +209,13 @@ private[graft] object PipelineQueries {
       val h = Multimodal.imageHistogram(Multimodal.textToBmp(t.documents))
         .toDF()
       val p = d(col("cnt")) / (d(col("width")) * col("height"))
-      def ent(ch: String) = round(
-        (-sum(when(col("channel") === ch, col("__c")).otherwise(lit(0.0)))) +
-          lit(0.0), 4)
-      h.withColumn("__c", round(p * log(p), 6))
+      // integer-grain publish (the q321 halfway-flip contract):
+      // round(micro/1e6, 4) flips engines when micro ends in 50
+      def ent(ch: String) =
+        round(-sum(when(col("channel") === ch, col("__c")).otherwise(lit(0L)))
+          .cast("double") / 100.0).cast("long") / 10000.0
+
+      h.withColumn("__c", floor(p * log(p) * 1e6 + 0.5).cast("long"))
         .groupBy("doc_id")
         .agg(max("width").as("width"), max("height").as("height"),
           ent("r").as("r_entropy"), ent("g").as("g_entropy"),
@@ -1678,8 +1681,10 @@ private[graft] object PipelineQueries {
         |       round(CAST(n_mean_cross AS DOUBLE) / (n_samples - 1), 4) AS mcr
         |FROM c""".stripMargin,
     // Image-stat replay: the q38 pixel synthesis binned at 32 levels
-    // per channel, 6dp p·ln p contributions, 4dp entropies (the +0.0
-    // normalizes the all-one-bin negative zero on both engines).
+    // per channel; p·ln p contributions fixed to exact integer
+    // MICRO-units (floor(x*1e6 + 0.5)) so the per-channel sum is
+    // order-free — 6dp doubles flipped a 4dp boundary at sf0.1 —
+    // 4dp entropies (+0.0 normalizes the all-one-bin negative zero).
     "q396_image_stats" ->
       """WITH bb AS (
         |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
@@ -1709,17 +1714,18 @@ private[graft] object PipelineQueries {
         |),
         |co AS (
         |  SELECT doc_id, w, h, channel,
-        |         round((CAST(cnt AS DOUBLE) / (CAST(w AS DOUBLE) * h)) *
-        |               ln(CAST(cnt AS DOUBLE) / (CAST(w AS DOUBLE) * h)), 6) AS c
+        |         CAST(floor((CAST(cnt AS DOUBLE) / (CAST(w AS DOUBLE) * h)) *
+        |               ln(CAST(cnt AS DOUBLE) / (CAST(w AS DOUBLE) * h))
+        |               * 1e6 + 0.5) AS BIGINT) AS c
         |  FROM hist
         |)
         |SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
-        |       round((-sum(CASE WHEN channel = 'r' THEN c ELSE 0.0 END)) + 0.0, 4)
-        |         AS r_entropy,
-        |       round((-sum(CASE WHEN channel = 'g' THEN c ELSE 0.0 END)) + 0.0, 4)
-        |         AS g_entropy,
-        |       round((-sum(CASE WHEN channel = 'b' THEN c ELSE 0.0 END)) + 0.0, 4)
-        |         AS b_entropy
+        |       CAST(round(CAST(-sum(CASE WHEN channel = 'r' THEN c ELSE 0 END)
+        |                  AS DOUBLE) / 100.0) AS BIGINT) / 10000.0 AS r_entropy,
+        |       CAST(round(CAST(-sum(CASE WHEN channel = 'g' THEN c ELSE 0 END)
+        |                  AS DOUBLE) / 100.0) AS BIGINT) / 10000.0 AS g_entropy,
+        |       CAST(round(CAST(-sum(CASE WHEN channel = 'b' THEN c ELSE 0 END)
+        |                  AS DOUBLE) / 100.0) AS BIGINT) / 10000.0 AS b_entropy
         |FROM co GROUP BY 1""".stripMargin,
     "q106_stratum_cap" ->
       s"""WITH r AS (
