@@ -1787,6 +1787,119 @@ private[operators] trait RollupsInference {
             sqrt((d(col("n")) + 1.0) / 12.0)), 4).as("z_ds")): _*)
   }
 
+  /** Split-conformal calibration report (F110, Vovk's conformal
+    * prediction in its simplest production form — Angelopoulos &
+    * Bates 2021): on a deterministic calibration split, take the
+    * ⌈(n+1)(1−α)⌉-th smallest nonconformity score (|y − ŷ| against
+    * the calibration-split group mean), and MEASURE the held-out
+    * coverage of ŷ ± q̂. The distribution-free interval machinery
+    * every "give me error bars on the model" request actually needs
+    * — finite-sample valid with no normality anywhere.
+    *
+    * Determinism: the split is the G15 md5-uniform; nonconformity is
+    * the EXACT integer multiply-through |c·n_cal − Σc_cal| (no mean
+    * rounding); q̂ is an ORDER STATISTIC over the value-grain score
+    * table (exact integer rank — no interpolation, no percentile
+    * ulps); coverage compares exact integers.
+    *
+    * Scale shape: one conditional combine to group totals; scores
+    * collapse to (group, score) grain before the cumulative rank
+    * window (the F25 value-grain contract); coverage is one more
+    * conditional combine against the broadcast q̂ row.
+    *
+    * Output per group: (n_cal, n_test, q_hat — published in value
+    * units, 4dp — coverage, nominal) — coverage ≥ nominal up to
+    * finite-sample noise is the conformal guarantee.
+    */
+  def conformalCalibration(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      alpha: Double = 0.1,
+      salt: String = "conf"): DataFrame = {
+    require(alpha > 0 && alpha < 1)
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val pctNum = math.round((1 - alpha) * 10).toInt // tenths of (1-α)
+    require(pctNum > 0 && pctNum < 10, "alpha in tenths")
+    val cents = round(col(valueCol) * 100).cast("long")
+    val u = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + salt))), 1, 6), 16, 10).cast("long")
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), cents.as("__c"), (u % 2 === 0).as("__cal"))
+    val tot = base.filter(col("__cal"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("__nc"), sum(col("__c").cast(dec)).as("__sc"))
+    val scored = base.join(broadcast(tot), "g")
+      .withColumn("__s", abs(col("__c").cast(dec) * col("__nc") - col("__sc")))
+    val calGrain = scored.filter(col("__cal"))
+      .groupBy("g", "__s").agg(count(lit(1)).as("__n"))
+    val wCum = Window.partitionBy("g").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = calGrain
+      .withColumn("__cum", sum("__n").over(wCum))
+      .join(broadcast(tot), "g")
+      // r = ceil((1-α)(n+1)) in exact integers
+      .withColumn("__r",
+        expr(s"($pctNum * (__nc + 1) + 9) div 10"))
+      .filter(col("__cum") >= col("__r"))
+      .groupBy("g").agg(min("__s").as("__q"))
+    scored.filter(!col("__cal"))
+      .join(broadcast(qhat), "g")
+      .groupBy("g")
+      .agg(max(col("__nc")).as("n_cal"), count(lit(1)).as("n_test"),
+        max(col("__q")).as("__qm"), max(col("__nc")).as("__ncm"),
+        sum(when(col("__s") <= col("__q"), 1L).otherwise(0L)).as("__cov"))
+      .select(col("g").as(groupCol), col("n_cal"), col("n_test"),
+        round(d(col("__qm")) / (d(col("__ncm")) * 100.0), 4).as("q_hat"),
+        round(d(col("__cov")) / col("n_test"), 4).as("coverage"),
+        lit(1 - alpha).as("nominal"))
+  }
+
+  /** Deming regression (F111, errors-in-variables with δ = 1 —
+    * orthogonal least squares): the method-comparison slope when
+    * BOTH series carry noise, where OLS (F36/D9) is biased toward
+    * zero by design. The clinical-chemistry standard for "do these
+    * two instruments measure the same thing": slope ≈ 1 and
+    * intercept ≈ 0 mean interchangeable methods. β = [S_yy − S_xx +
+    * √((S_yy−S_xx)² + 4S_xy²)]/(2S_xy) on centered moments.
+    *
+    * Exactness: raw moments exact decimal(38,0); centered sums are
+    * exact multiply-throughs (scale n cancels in β); the final chain
+    * is ONE pinned double expression, 4dp. Undefined (null) when
+    * S_xy = 0 — no association to fit through.
+    *
+    * Output: one row (n, slope, intercept).
+    */
+  def deming(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__x")).as("__sxx"),
+        sum(col("__y").cast(dec) * col("__y")).as("__syy"),
+        sum(col("__x").cast(dec) * col("__y")).as("__sxy"))
+      .withColumn("__cxx", d(col("__sxx") * col("n") - col("__sx") * col("__sx")))
+      .withColumn("__cyy", d(col("__syy") * col("n") - col("__sy") * col("__sy")))
+      .withColumn("__cxy", d(col("__sxy") * col("n") - col("__sx") * col("__sy")))
+      .withColumn("__b",
+        when(col("__cxy") =!= 0.0,
+          (col("__cyy") - col("__cxx") +
+            sqrt((col("__cyy") - col("__cxx")) * (col("__cyy") - col("__cxx")) +
+              lit(4.0) * col("__cxy") * col("__cxy"))) /
+            (lit(2.0) * col("__cxy"))))
+      .select(col("n"), round(col("__b"), 4).as("slope"),
+        round((d(col("__sy")) - col("__b") * d(col("__sx"))) / col("n"), 4)
+          .as("intercept"))
+  }
+
   /** Dickey–Fuller unit-root test per keyed series (D40, the lag-0
     * member — no augmentation terms): regress Δx_t on x_{t−1} with
     * intercept and read τ = γ̂/se(γ̂). The null is a RANDOM WALK

@@ -185,6 +185,94 @@ object SimilaritySearch {
         round(col("cos"), 4).as("cos"), col("hamming"))
   }
 
+  /** Maximal-marginal-relevance diversified top-k (G121, Carbonell &
+    * Goldstein 1998) — the de-duplicating retrieval layer every RAG
+    * stack runs over its ANN shortlist: plain top-k returns five
+    * copies of the same near-duplicate passage; MMR greedily picks
+    * argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), trading relevance
+    * against redundancy to what is already selected.
+    *
+    * Determinism: relevance and candidate-pair similarities are the
+    * exact-integer-dot cosines; the greedy rounds are UNROLLED (k
+    * fixed) with every argmax totally ordered by (score desc, id);
+    * scores publish 4dp, comparisons run on raw identical doubles.
+    *
+    * Scale shape: the selection never touches the corpus — a bounded
+    * `pool` shortlist per query (the [[bruteForceTopK]] window) plus
+    * its pool² pairwise sims; all joins ride the query key.
+    *
+    * Output: (query_id, rank, id, rel, mmr) — rank 1..k; the first
+    * pick's mmr is λ·rel (empty-selection penalty 0).
+    */
+  def mmrTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 3,
+      pool: Int = 8,
+      lambdaRel: Double = 0.7,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k == 3, "fixed unroll depth (oracle contract)")
+    val d = (c: Column) => c.cast("double")
+    val c = prepared(corpus, idCol, embCol)
+    val q = prepared(queries, idCol, embCol)
+      .select(col("id").as("query_id"), col("qv").as("qqv"),
+        col("nrm").as("qnrm"))
+    val wRel = Window.partitionBy("query_id").orderBy(col("rel").desc, col("id"))
+    val cand = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("rel",
+        quantizedDot(col("qv"), col("qqv")).cast("double") /
+          (col("nrm") * col("qnrm")))
+      .withColumn("__rk", row_number().over(wRel))
+      .filter(col("__rk") <= pool)
+      .select(col("query_id"), col("id"), col("rel"), col("qv"), col("nrm"))
+      .localCheckpoint() // feeds the sims self-join and every round
+    val sims = cand.as("x").join(cand.as("y"),
+        col("x.query_id") === col("y.query_id") && col("x.id") =!= col("y.id"))
+      .select(col("x.query_id").as("query_id"), col("x.id").as("a"),
+        col("y.id").as("b"),
+        (quantizedDot(col("x.qv"), col("y.qv")).cast("double") /
+          (col("x.nrm") * col("y.nrm"))).as("sim"))
+      .localCheckpoint() // probed by rounds 2 and 3
+    val pool0 = cand.select("query_id", "id", "rel")
+    val s1 = pool0
+      .withColumn("__rk", row_number().over(wRel)).filter(col("__rk") === 1)
+      .select(col("query_id"), col("id").as("s1"), col("rel").as("rel1"))
+    val r2 = pool0.join(s1, "query_id").filter(col("id") =!= col("s1"))
+      .join(sims.select(col("query_id"), col("a").as("id"),
+        col("b").as("s1"), col("sim").as("__p1")), Seq("query_id", "id", "s1"))
+      .withColumn("__sc",
+        lit(lambdaRel) * col("rel") - lit(1.0 - lambdaRel) * col("__p1"))
+    val wSc = Window.partitionBy("query_id")
+      .orderBy(col("__sc").desc, col("id"))
+    val s2 = r2.withColumn("__rk", row_number().over(wSc))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("s1"), col("rel1"),
+        col("id").as("s2"), col("rel").as("rel2"), col("__sc").as("sc2"))
+    val r3 = pool0.join(s2, "query_id")
+      .filter(col("id") =!= col("s1") && col("id") =!= col("s2"))
+      .join(sims.select(col("query_id"), col("a").as("id"),
+        col("b").as("s1"), col("sim").as("__p1")), Seq("query_id", "id", "s1"))
+      .join(sims.select(col("query_id"), col("a").as("id"),
+        col("b").as("s2"), col("sim").as("__p2")), Seq("query_id", "id", "s2"))
+      .withColumn("__sc", lit(lambdaRel) * col("rel") -
+        lit(1.0 - lambdaRel) * greatest(col("__p1"), col("__p2")))
+    val s3 = r3.withColumn("__rk", row_number().over(wSc))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("s1"), col("rel1"), col("s2"), col("rel2"),
+        col("sc2"), col("id").as("s3"), col("rel").as("rel3"),
+        col("__sc").as("sc3"))
+    s3.select(col("query_id"), explode(array(
+        struct(lit(1).as("rank"), col("s1").as("id"), col("rel1").as("rel"),
+          (lit(lambdaRel) * col("rel1")).as("mmr")),
+        struct(lit(2).as("rank"), col("s2").as("id"), col("rel2").as("rel"),
+          col("sc2").as("mmr")),
+        struct(lit(3).as("rank"), col("s3").as("id"), col("rel3").as("rel"),
+          col("sc3").as("mmr")))).as("r"))
+      .select(col("query_id"), col("r.rank").as("rank"), col("r.id").as("id"),
+        round(col("r.rel"), 4).as("rel"), round(col("r.mmr"), 4).as("mmr"))
+  }
+
   /** Product-quantization ANN (FAISS PQ, asymmetric-distance flavor),
     * two-stage: the 64-dim vector splits into `subspaces` subvectors,
     * each with a `codebookSize`-entry codebook (deterministic

@@ -369,6 +369,15 @@ private[graft] object PipelineQueries {
       SimilaritySearch.int8TopK(
         t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
     }),
+    "q403_mmr" -> ((s, dir) => {
+      // G121 MMR diversified retrieval: the de-duplicating layer over
+      // the ANN shortlist (plain top-k returns five copies of the
+      // same passage); 3 unrolled greedy rounds over a bounded pool,
+      // lambda = 0.7
+      val t = Tables(s, dir)
+      SimilaritySearch.mmrTopK(
+        t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
+    }),
     "q389_sign_ann" -> ((s, dir) => {
       // G114 1-bit sign ANN: 32x-compressed sign codes, XOR+popcount
       // Hamming shortlist (the Charikar hyperplane estimate), exact
@@ -979,6 +988,76 @@ private[graft] object PipelineQueries {
         |  FROM scored
         |)
         |SELECT query_id, id, rank, round(cos8, 4) AS cos8 FROM ranked WHERE rank <= 5""".stripMargin,
+    // MMR replay: the same bounded pool (rel rank <= 8), pool-pair
+    // sims, three unrolled greedy argmax rounds with (sc desc, id)
+    // total order; the penalty weight is WRITTEN (1.0 - 0.7) so both
+    // engines fold the identical double.
+    "q403_mmr" ->
+      s"""WITH $EmbSql,
+         |qs AS (SELECT vec_id AS query_id, q AS qq, n AS qn
+         |       FROM nrm WHERE vec_id % 50 = 0),
+         |rel AS MATERIALIZED (
+         |  SELECT c.vec_id AS id, q.query_id,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i]))
+         |              AS DOUBLE) / (c.n * q.qn) AS rel,
+         |         row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |           CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i]))
+         |                AS DOUBLE) / (c.n * q.qn) DESC, c.vec_id) AS rk
+         |  FROM nrm c CROSS JOIN qs q WHERE c.vec_id != q.query_id
+         |),
+         |pool AS MATERIALIZED (SELECT query_id, id, rel FROM rel WHERE rk <= 8),
+         |pv AS MATERIALIZED (
+         |  SELECT p.query_id, p.id, n.q, n.n
+         |  FROM pool p JOIN nrm n ON n.vec_id = p.id
+         |),
+         |sims AS MATERIALIZED (
+         |  SELECT x.query_id, x.id AS a, y.id AS b,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> x.q[i] * y.q[i]))
+         |              AS DOUBLE) / (x.n * y.n) AS sim
+         |  FROM pv x JOIN pv y ON x.query_id = y.query_id AND x.id != y.id
+         |),
+         |s1 AS MATERIALIZED (
+         |  SELECT query_id, id AS s1, rel AS rel1 FROM rel WHERE rk = 1
+         |),
+         |r2 AS (
+         |  SELECT p.query_id, p.id, p.rel, s.s1, s.rel1,
+         |         0.7 * p.rel - (1.0 - 0.7) * sm.sim AS sc
+         |  FROM pool p JOIN s1 s USING (query_id)
+         |  JOIN sims sm ON sm.query_id = p.query_id AND sm.a = p.id
+         |              AND sm.b = s.s1
+         |  WHERE p.id != s.s1
+         |),
+         |s2 AS MATERIALIZED (
+         |  SELECT query_id, s1, rel1, id AS s2, rel AS rel2, sc AS sc2 FROM (
+         |    SELECT r2.*, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sc DESC, id) AS rk FROM r2
+         |  ) WHERE rk = 1
+         |),
+         |r3 AS (
+         |  SELECT p.query_id, p.id, p.rel, s.s1, s.rel1, s.s2, s.rel2, s.sc2,
+         |         0.7 * p.rel - (1.0 - 0.7) * greatest(sa.sim, sb.sim) AS sc
+         |  FROM pool p JOIN s2 s USING (query_id)
+         |  JOIN sims sa ON sa.query_id = p.query_id AND sa.a = p.id
+         |              AND sa.b = s.s1
+         |  JOIN sims sb ON sb.query_id = p.query_id AND sb.a = p.id
+         |              AND sb.b = s.s2
+         |  WHERE p.id != s.s1 AND p.id != s.s2
+         |),
+         |s3 AS MATERIALIZED (
+         |  SELECT query_id, s1, rel1, s2, rel2, sc2,
+         |         id AS s3, rel AS rel3, sc AS sc3 FROM (
+         |    SELECT r3.*, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sc DESC, id) AS rk FROM r3
+         |  ) WHERE rk = 1
+         |),
+         |un AS (
+         |  SELECT query_id, 1 AS rank, s1 AS id, rel1 AS rel,
+         |         0.7 * rel1 AS mmr FROM s3
+         |  UNION ALL SELECT query_id, 2, s2, rel2, sc2 FROM s3
+         |  UNION ALL SELECT query_id, 3, s3, rel3, sc3 FROM s3
+         |)
+         |SELECT query_id, rank, id, round(rel, 4) AS rel, round(mmr, 4) AS mmr
+         |FROM un""".stripMargin,
     // Sign-ANN replay: signs on the x1000 grid packed 32/long, XOR
     // Hamming shortlist (ham asc, id), exact-cosine re-rank.
     "q389_sign_ann" ->

@@ -485,6 +485,28 @@ private[graft] object StatsInferenceQueries {
         .agg(count(lit(1)).as("cnt"))
       Rollups.kpss(daily, Seq("event_type"), "day", "cnt")
     }),
+    "q404_conformal" -> ((s, dir) => {
+      // F110 split-conformal calibration: the ⌈(n+1)(1−α)⌉-th
+      // calibration nonconformity gives distribution-free ±q̂ bands;
+      // the report MEASURES held-out coverage per event type
+      val t = Tables(s, dir)
+      Rollups.conformalCalibration(t.events, "event_type", "value",
+        "event_id")
+    }),
+    "q405_deming" -> ((s, dir) => {
+      // F111 Deming (errors-in-variables) regression of daily view
+      // counts on daily click counts — both instruments are noisy,
+      // OLS is biased toward zero by design; slope≈1, intercept≈0
+      // means the two measure the same activity
+      val t = Tables(s, dir)
+      val daily = t.events
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+      Rollups.deming(daily, "x", "y")
+    }),
     "q397_ad2" -> ((s, dir) => {
       // F107 Anderson–Darling click vs view: the TAIL-sensitive
       // member next to q192's center-dominated KS and q342's
@@ -2729,6 +2751,87 @@ private[graft] object StatsInferenceQueries {
         |             THEN (CAST(n_up AS DOUBLE) - (CAST(n AS DOUBLE) - 1.0) / 2.0) /
         |                  sqrt((CAST(n AS DOUBLE) + 1.0) / 12.0) END, 4) AS z_ds
         |FROM a""".stripMargin,
+    // Conformal replay: the G15 md5 split, exact multiply-through
+    // nonconformity |c*nc - sc|, order-statistic q-hat over the
+    // value-grain score table, integer coverage compare.
+    "q404_conformal" -> {
+      val hx = graft.QueryHelpers.HexValSql(
+        "md5(CAST(event_id AS VARCHAR) || ':conf')", 1, 6)
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c,
+         |         ($hx % 2 = 0) AS cal
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+         |),
+         |tot AS MATERIALIZED (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS nc,
+         |         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS sc
+         |  FROM base WHERE cal GROUP BY 1
+         |),
+         |scv AS MATERIALIZED (
+         |  SELECT b.g, b.cal, abs(CAST(b.c AS HUGEINT) * t.nc - t.sc) AS s
+         |  FROM base b JOIN tot t USING (g)
+         |),
+         |cg AS (
+         |  SELECT g, s, CAST(count(*) AS BIGINT) AS n
+         |  FROM scv WHERE cal GROUP BY 1, 2
+         |),
+         |qh AS MATERIALIZED (
+         |  SELECT g, min(s) AS q FROM (
+         |    SELECT cg.g, cg.s,
+         |           sum(cg.n) OVER (PARTITION BY cg.g ORDER BY cg.s
+         |                 ROWS UNBOUNDED PRECEDING) AS cum,
+         |           (9 * (t.nc + 1) + 9) // 10 AS r
+         |    FROM cg JOIN tot t USING (g)
+         |  ) WHERE cum >= r GROUP BY 1
+         |)
+         |SELECT scv.g AS event_type, CAST(max(t.nc) AS BIGINT) AS n_cal,
+         |       CAST(count(*) AS BIGINT) AS n_test,
+         |       round(CAST(max(qh.q) AS DOUBLE)
+         |             / (CAST(max(t.nc) AS DOUBLE) * 100.0), 4) AS q_hat,
+         |       round(CAST(count(*) FILTER (scv.s <= qh.q) AS DOUBLE)
+         |             / count(*), 4) AS coverage,
+         |       0.9 AS nominal
+         |FROM scv JOIN tot t USING (g) JOIN qh USING (g)
+         |WHERE NOT scv.cal
+         |GROUP BY 1""".stripMargin
+    },
+    // Deming replay: exact HUGEINT moments, multiply-through centered
+    // sums cast to double, one pinned slope/intercept chain.
+    "q405_deming" ->
+      """WITH dly AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS x,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+        |),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM dly
+        |),
+        |c AS (
+        |  SELECT n, sx, sy,
+        |         CAST(sxx * n - sx * sx AS DOUBLE) AS cxx,
+        |         CAST(syy * n - sy * sy AS DOUBLE) AS cyy,
+        |         CAST(sxy * n - sx * sy AS DOUBLE) AS cxy
+        |  FROM m
+        |),
+        |bb AS (
+        |  SELECT n, sx, sy,
+        |         CASE WHEN cxy <> 0.0 THEN
+        |           (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+        |                             + 4.0 * cxy * cxy)) / (2.0 * cxy)
+        |         END AS b
+        |  FROM c
+        |)
+        |SELECT n, round(b, 4) AS slope,
+        |       round((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n, 4)
+        |         AS intercept
+        |FROM bb""".stripMargin,
     // AD2 replay: the q192 value-grain CDF frame; doubled midranks,
     // exact HUGEINT numerators/denominator, per-value pico-unit
     // contributions (floor(x*1e12 + 0.5)) summed order-free.
