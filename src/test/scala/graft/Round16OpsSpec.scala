@@ -198,6 +198,40 @@ class Round16OpsSpec extends SparkSpec {
     assert(out._5 == 0.0 && out._6 == -1.36)
   }
 
+  test("mmrTopK: the exact duplicate is deferred to last") {
+    // query = x; c (id 1) rel .8; a,b (ids 2,3) identical rel-.6
+    // vectors orthogonal to c. MMR: rank1 = c, rank2 = a (tie by id,
+    // penalty 0), rank3 = b with mmr .42 - .3*sim(b,a)=1 -> .12.
+    def v(x: Double, y: Double) = Array.tabulate(64)(j =>
+      if (j == 0) x.toFloat else if (j == 1) y.toFloat else 0f)
+    val corpus = Seq((1L, v(0.8, -0.6)), (2L, v(0.6, 0.8)),
+      (3L, v(0.6, 0.8))).toDF("vec_id", "embedding")
+    val q = Seq((0L, v(1.0, 0.0))).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.mmrTopK(corpus, q)
+      .select("rank", "id", "mmr").as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1) == ((1L, 0.56)))  // .7 * .8
+    assert(out(2) == ((2L, 0.42)))  // .7 * .6 - .3 * 0
+    assert(out(3)._1 == 3L && math.abs(out(3)._2 - 0.12) < 5e-4)
+  }
+
+  test("conformalCalibration: structural guarantees on one group") {
+    val rows = (0 until 40).map(i => ("g", i.toLong, (i % 10) / 10.0 + 1.0))
+    val out = Rollups.conformalCalibration(rows.toDF("g", "id", "v"),
+        "g", "v", "id")
+      .select("n_cal", "n_test", "q_hat", "coverage", "nominal")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(out._1 + out._2 == 40L && out._1 > 0 && out._2 > 0)
+    assert(out._3 >= 0.0 && out._4 >= 0.0 && out._4 <= 1.0 && out._5 == 0.9)
+  }
+
+  test("deming: an exact line recovers slope 2, intercept 0") {
+    val rows = (1 to 10).map(i => (i.toLong, 2L * i))
+    val out = Rollups.deming(rows.toDF("x", "y"), "x", "y")
+      .select("n", "slope", "intercept").as[(Long, Double, Double)].head()
+    assert(out == ((10L, 2.0, 0.0)))
+  }
+
   test("bloomSkipReport invariants: actual <= bloom <= minmax <= total") {
     val rows = (0 until 200).map(i => (i.toLong, (i * 37 % 50).toLong))
     val out = Layout.bloomSkipReport(rows.toDF("id", "k"), "id", "k",
