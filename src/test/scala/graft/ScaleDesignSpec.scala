@@ -2076,4 +2076,81 @@ class ScaleDesignSpec extends SparkSpec {
     assert(helper.collect(hhPlan) { case c: CartesianProductExec => c }.isEmpty,
       "heavy hitters: no cartesian")
   }
+
+  test("round-16: new operator plans honor their scale claims") {
+    import graft.operators.{Layout, Rollups, SimilaritySearch}
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val t = tables
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    // q389 sign ANN: the query side BROADCASTS against one corpus
+    // scan — the corpus itself never reshuffles for the search; both
+    // cuts are windows over the pair frame, no cartesian
+    val sg = SimilaritySearch.signTopK(
+      t.embeddings, t.embeddings.filter(col("vec_id") % 50 === 0))
+    sg.collect()
+    val sgPlan = sg.queryExecution.executedPlan
+    assert(helper.collect(sgPlan) { case c: CartesianProductExec => c }.isEmpty,
+      "sign ANN: the query side must broadcast (nest-loop), never cartesian")
+    assert(helper.collect(sgPlan) { case w: WindowExec => w }.size == 2,
+      "sign ANN: exactly the Hamming shortlist window and the re-rank window")
+    // q397 AD2: the F25 contract — every CDF frame + the grain guard
+    // share ONE value-grain sort; totals attach by broadcast
+    val ad = Rollups.ad2Test(t.events, "event_type", "value", "click", "view")
+    ad.collect()
+    val adPlan = ad.queryExecution.executedPlan
+    assert(helper.collect(adPlan) { case s: SortExec => s }.size == 1,
+      "ad2: one value-grain sort for the CDFs and the guard")
+    assert(helper.collect(adPlan) { case c: CartesianProductExec => c }.isEmpty,
+      "ad2: the one-row totals cross must broadcast")
+    // q398 squared ranks: the (u, g) collapse is checkpointed (it
+    // feeds the rank window and the tie grain), so the FINAL plan is
+    // the F63 shape exactly — one pooled value-grain sort, no
+    // cartesian (the medians broadcast inside the checkpointed stage)
+    val sq = Rollups.squaredRanks(t.events, "event_type", "value")
+    sq.collect()
+    val sqPlan = sq.queryExecution.executedPlan
+    assert(helper.collect(sqPlan) { case s: SortExec => s }.size == 1,
+      "squaredRanks: one pooled value-grain sort for ranks and guard")
+    assert(helper.collect(sqPlan) { case c: CartesianProductExec => c }.isEmpty,
+      "squaredRanks: no cartesian")
+    // q384 KPSS: key totals broadcast back; the partial-sum window
+    // rides the per-key exchange — no cartesian, bounded shuffles
+    val daily = t.events.groupBy(col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val kp = Rollups.kpss(daily, Seq("event_type"), "day", "cnt")
+    kp.collect()
+    val kpPlan = kp.queryExecution.executedPlan
+    assert(helper.collect(kpPlan) { case c: CartesianProductExec => c }.isEmpty,
+      "kpss: no cartesian")
+    assert(helper.collect(kpPlan) { case e: ShuffleExchangeLike => e }.size <= 4,
+      "kpss: daily combine, totals, one (keys) window exchange — no more")
+    // q400 bloom skip: ONE corpus scan builds the file summaries; the
+    // probe sweep is a broadcast nest-loop against the FILE-grain
+    // frame, never a cartesian
+    val bs = Layout.bloomSkipReport(t.events, "event_id", "user_id",
+      rowsPerFile = 50, probeEvery = 7)
+    bs.collect()
+    val bsPlan = bs.queryExecution.executedPlan
+    assert(helper.collect(bsPlan) { case c: CartesianProductExec => c }.isEmpty,
+      "bloom skip: the probe sweep must broadcast")
+    assert(helper.collect(bsPlan) { case w: WindowExec => w }.isEmpty,
+      "bloom skip: aggregates only — no window anywhere")
+    // q404 conformal: calibration totals AND q-hat attach by
+    // broadcast; the order-statistic window consumes the (g, score)
+    // value-grain table, never event rows
+    val cf = Rollups.conformalCalibration(t.events, "event_type", "value",
+      "event_id")
+    cf.collect()
+    val cfPlan = cf.queryExecution.executedPlan
+    assert(helper.collect(cfPlan) { case b: BroadcastHashJoinExec => b }
+      .size >= 2, "conformal: totals and q-hat must broadcast")
+    val cfWins = helper.collect(cfPlan) { case w: WindowExec => w }
+    assert(cfWins.forall(_.child.output.exists(_.name == "__n")),
+      "conformal: the rank window must consume the value-grain score " +
+        s"table, got ${cfWins.map(_.child.output.map(_.name))}")
+  }
 }
