@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * rollups (novelty_distribution.py:499–562) and crosstabs
   * (novelty_distribution.py:746–798).
   */
-object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms {
+object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms
+    with RollupsSeries with RollupsAgreement {
 
   /** Keep the top-n rows per key under `order` (deterministic — include
     * a unique tie-breaker in `order`).

@@ -1,0 +1,332 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-shape, agreement and rank-test rollups added in the
+  * round-16 continuation (shard hygiene — the RollupsEval pattern):
+  * Kuiper, Jarque–Bera, Brunner–Munzel, Ansari–Bradley/Lepage, Quade,
+  * Fleiss, ICC, concordance/Bland–Altman, Hodges–Lehmann, Theil's U,
+  * ordinal association, Hosmer–Lemeshow. Mixed into the `Rollups`
+  * object so call sites read `Rollups.<op>`.
+  */
+private[operators] trait RollupsAgreement {
+
+  /** Kuiper two-sample statistic (F123) — V = D⁺ + D⁻, the sum of the
+    * largest CDF exceedances in EACH direction. Where F25's KS takes
+    * one sup (and goes blind near the distribution tails and to
+    * shifts that cancel), Kuiper weights both directions equally and
+    * is invariant to cyclic shifts — the right gate for wrapped
+    * domains (time-of-day mixes) and for "B is sometimes above,
+    * sometimes below" alternatives KS underpowers.
+    *
+    * Exactness: the ksTest frame verbatim — value-grain collapse,
+    * integer cross-multiplied CDF gaps F1·n2 − F2·n1 (exact longs),
+    * D⁺/D⁻ as greatest(max, 0) — division only at the final V.
+    *
+    * Output: one row (n1, n2, d_plus, d_minus, v), 4dp.
+    */
+  def kuiperTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(cents.as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = pts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val d = (c: Column) => c.cast("double")
+    Rollups.grainGuarded(pts, w, "kuiperTest")
+      .withColumn("__f1", sum("c1").over(w))
+      .withColumn("__f2", sum("c2").over(w))
+      .crossJoin(broadcast(totals))
+      .groupBy("n1", "n2")
+      .agg(
+        greatest(max(col("__f1") * col("n2") - col("__f2") * col("n1")), lit(0L))
+          .as("__dp"),
+        greatest(max(col("__f2") * col("n1") - col("__f1") * col("n2")), lit(0L))
+          .as("__dm"))
+      .select(col("n1"), col("n2"),
+        round(d(col("__dp")) / (d(col("n1")) * d(col("n2"))), 4).as("d_plus"),
+        round(d(col("__dm")) / (d(col("n1")) * d(col("n2"))), 4).as("d_minus"),
+        round(d(col("__dp") + col("__dm")) / (d(col("n1")) * d(col("n2"))), 4)
+          .as("v"))
+  }
+
+  /** Jarque–Bera normality screen per group (F115) — JB = n/6·(S² +
+    * K²/4) from sample skewness S and excess kurtosis K: the
+    * one-number "is this bell-shaped" gate (χ²₂ null; JB > 5.99
+    * rejects at 5%). The distribution-SHAPE member beside the
+    * location (F31), scale (F65) and rank (F27) families — heavy
+    * tails and asymmetry are what break the t/z machinery upstream.
+    *
+    * Exactness: central moment sums via exact multiply-throughs in
+    * decimal(38,0) — M2 = nΣx²−S², M3 = n²Σx³−3nSΣx²+2S³,
+    * M4 = n³Σx⁴−4n²SΣx³+6nS²Σx²−3S⁴ (m_k = M_k/n^{k+1}) — then ONE
+    * pinned double chain for S, K, JB, 4dp.
+    *
+    * Output: (group, n, skew, ex_kurt, jb) — null shape stats for
+    * constant groups.
+    */
+  def jarqueBera(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val x = col("__x").cast(dec)
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol), round(col(valueCol) * 100).cast("long").as("__x"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__s1"), sum(x * x).as("__s2"),
+        sum(x * x * x).as("__s3"), sum(x * x * x * x).as("__s4"))
+      .withColumn("__n", col("n").cast(dec))
+      .withColumn("__m2", col("__n") * col("__s2") - col("__s1") * col("__s1"))
+      .withColumn("__m3",
+        col("__n") * col("__n") * col("__s3") -
+          lit(3L).cast(dec) * col("__n") * col("__s1") * col("__s2") +
+          lit(2L).cast(dec) * col("__s1") * col("__s1") * col("__s1"))
+      .withColumn("__m4",
+        col("__n") * col("__n") * col("__n") * col("__s4") -
+          lit(4L).cast(dec) * col("__n") * col("__n") * col("__s1") * col("__s3") +
+          lit(6L).cast(dec) * col("__n") * col("__s1") * col("__s1") * col("__s2") -
+          lit(3L).cast(dec) * col("__s1") * col("__s1") * col("__s1") * col("__s1"))
+      // m2 = M2/n², m3 = M3/n³, m4 = M4/n⁴ — the n powers cancel
+      // exactly in both ratios: S = M3/M2^1.5, K = M4/M2² − 3
+      .withColumn("__skew",
+        when(col("__m2") > 0,
+          d(col("__m3")) / (d(col("__m2")) * sqrt(d(col("__m2"))))))
+      .withColumn("__kurt",
+        when(col("__m2") > 0,
+          d(col("__m4")) / (d(col("__m2")) * d(col("__m2"))) - 3.0))
+      .select(col(groupCol), col("n"),
+        round(col("__skew"), 4).as("skew"),
+        round(col("__kurt"), 4).as("ex_kurt"),
+        round(d(col("n")) / 6.0 *
+          (col("__skew") * col("__skew") +
+            col("__kurt") * col("__kurt") / 4.0), 4).as("jb"))
+  }
+
+  /** Benjamini–Yekutieli FDR adjustment (F114) — F21's BH step-up
+    * with the harmonic inflation c(m) = Σ_{i≤m} 1/i that makes the
+    * FDR guarantee hold under ARBITRARY dependence (BH assumes
+    * independence/PRDS; correlated hypothesis tables — exactly what
+    * q19's pairwise correlations are — void it). The honest-but-
+    * conservative knob: p_adj = min suffix of p·m·c(m)/rank.
+    *
+    * Determinism: c(m) is an ORDERED fold over 1..m (Spark aggregate
+    * with 0.0 init ≡ DuckDB list_reduce seeded by the first element —
+    * 0.0 + x = x exactly, so both engines walk identical doubles).
+    *
+    * Scale shape: the bhAdjust contract verbatim — hypothesis-grain
+    * only, loud cap on the global rank window.
+    */
+  def byAdjust(
+      df: DataFrame,
+      pCol: String,
+      tieCols: Seq[String],
+      alpha: Double = 0.05): DataFrame = {
+    val ord = Window.orderBy((col(pCol) +: tieCols.map(col)): _*)
+    val all = Window.partitionBy()
+    val suffix = Window.orderBy(col("p_rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cap = graft.GraftConf.ValueGrainCap
+    df.filter(col(pCol).isNotNull)
+      .withColumn("p_rank",
+        when(row_number().over(ord) > cap,
+          raise_error(lit(s"graft.byAdjust: hypothesis grain exceeds " +
+            s"ValueGrainCap=$cap — byAdjust takes one row per tested " +
+            "hypothesis, never row-grain data; aggregate upstream")))
+          .otherwise(row_number().over(ord)).cast("long"))
+      .withColumn("_m", count(lit(1)).over(all))
+      .withColumn("_cm", aggregate(sequence(lit(1L), col("_m")),
+        lit(0.0), (acc, i) => acc + lit(1.0) / i.cast("double")))
+      .withColumn("p_adj",
+        round(least(lit(1.0),
+          min(col(pCol) * col("_m") * col("_cm") / col("p_rank"))
+            .over(suffix)), 4))
+      .withColumn("significant", col("p_adj") <= alpha)
+      .drop("_m", "_cm")
+  }
+
+  /** Lin's concordance + Bland–Altman agreement report (F120) — the
+    * method-comparison bundle: Pearson r asks "do they co-vary", Lin's
+    * CCC = 2s_xy/(s_x²+s_y²+(x̄−ȳ)²) asks "do they agree on the 45°
+    * line" (penalizing both scale and location shift), and the
+    * Bland–Altman bias ± 1.96·SD limits say WHERE the disagreement
+    * lives in measurement units. The report F111's Deming slope is
+    * read next to.
+    *
+    * Exactness: one exact decimal(38,0) moment pass; every statistic
+    * is a pinned double chain over the n²-scaled centered sums
+    * (CCC's denominator terms all carry the same n² scale, so
+    * (Sx−Sy)² joins Cxx/Cyy unscaled; difference moments fold from
+    * the same pass: Σd = Sy−Sx, Σd² = Syy−2Sxy+Sxx).
+    *
+    * Output: one row (n, r, ccc, bias, sd_diff, loa_lo, loa_hi), 4dp.
+    */
+  def concordanceAgreement(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__x")).as("__sxx"),
+        sum(col("__y").cast(dec) * col("__y")).as("__syy"),
+        sum(col("__x").cast(dec) * col("__y")).as("__sxy"))
+      .withColumn("__n", col("n").cast(dec))
+      .withColumn("__cxx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__cyy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("__cxy", col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__dd", col("__sy") - col("__sx"))
+      .withColumn("__sd2",
+        when(col("n") > 1L,
+          sqrt(d(col("__n") * (col("__syy") -
+            lit(2L).cast(dec) * col("__sxy") + col("__sxx")) -
+            col("__dd") * col("__dd")) /
+            (d(col("n")) * d(col("n") - 1L)))))
+      .withColumn("__bias", d(col("__dd")) / d(col("n")))
+      .select(col("n"),
+        round(when(col("__cxx") > 0 && col("__cyy") > 0,
+          d(col("__cxy")) / sqrt(d(col("__cxx")) * d(col("__cyy")))), 4).as("r"),
+        round(when(col("__cxx") + col("__cyy") > 0 || col("__dd") =!= 0,
+          lit(2.0) * d(col("__cxy")) /
+            (d(col("__cxx")) + d(col("__cyy")) + d(col("__dd") * col("__dd")))), 4)
+          .as("ccc"),
+        round(col("__bias"), 4).as("bias"),
+        round(col("__sd2"), 4).as("sd_diff"),
+        round(col("__bias") - lit(1.96) * col("__sd2"), 4).as("loa_lo"),
+        round(col("__bias") + lit(1.96) * col("__sd2"), 4).as("loa_hi"))
+  }
+
+  /** Hodges–Lehmann two-sample shift estimate (F124) — the median of
+    * all n1·n2 pairwise differences: the robust "HOW FAR is B above
+    * A" that F27's Mann–Whitney significance and F73's Cliff's
+    * magnitude both stop short of, 29% efficiency loss vs the mean
+    * at the normal and immune to outliers.
+    *
+    * Exactness and scale: pairwise differences NEVER materialize at
+    * data grain — both samples collapse to value-grain cent tables
+    * (bounded support, the ksTest contract), the difference
+    * distribution is the ≤ V² weighted cross of those grains, and the
+    * weighted median reads exact cumulative longs at rank
+    * ⌈T/2⌉/⌈(T+1)/2⌉ (even T averages the straddle pair — carried
+    * DOUBLED so the half stays exact; one final /200 to dollars).
+    *
+    * Output: one row (n1, n2, hl).
+    */
+  def hodgesLehmann(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val cents = round(col(valueCol) * 100).cast("long")
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(cents.as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
+    val a = base.filter(col("c1") > 0).select(col("v"), col("c1"))
+    val b = base.filter(col("c2") > 0).select(col("v").as("w"), col("c2"))
+    val totals = base.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    // diff grain: ≤ V² rows (V = distinct cents ≤ ValueGrainCap) —
+    // the cross rides broadcast, weights multiply in decimal
+    val diffs = b.crossJoin(broadcast(a))
+      .groupBy((col("w") - col("v")).as("__d"))
+      .agg(sum(col("c1").cast(dec) * col("c2").cast(dec)).as("__wt"))
+    val wCum = Window.orderBy("__d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Rollups.grainGuarded(diffs, wCum, "hodgesLehmann")
+      .withColumn("__cum", sum("__wt").over(wCum))
+      .crossJoin(broadcast(totals))
+      .withColumn("__t", col("n1").cast(dec) * col("n2").cast(dec))
+      .localCheckpoint()
+    val lo = cum.filter(col("__cum") * 2 >= col("__t"))
+      .agg(min("__d").as("__dlo"))
+    val hi = cum.filter(col("__cum") * 2 >= col("__t") + 1)
+      .agg(min("__d").as("__dhi"))
+    totals.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n1"), col("n2"),
+        round((d(col("__dlo")) + d(col("__dhi"))) / 200.0, 4).as("hl"))
+  }
+
+  /** Theil's uncertainty coefficient U(X|Y) (F118) — the ASYMMETRIC
+    * normalized dependence: what fraction of X's entropy does knowing
+    * Y remove, U = (H(X) − H(X|Y))/H(X) ∈ [0,1]. F20's MI says how
+    * much the two share; F22's V is symmetric — U answers the
+    * directional feature question "how well does source predict
+    * lang" vs its converse, which differ exactly when the marginals
+    * are skewed.
+    *
+    * Exactness: every probability is a ratio of exact longs; each
+    * entropy term quantizes to integer PICO-units via the
+    * engine-identical floor(x·1e12 + 0.5) BEFORE summation (the q396
+    * contract) — order-free sums, one final double chain.
+    *
+    * Scale shape: one (x, y) map-side-combined aggregate; marginals
+    * ride windows over the CELL table (dim², not data).
+    *
+    * Output: one row (n, h_x, h_x_given_y, u), 4dp.
+    */
+  def theilU(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    // no checkpoint: the windows chain linearly over the one cell
+    // aggregate (and PlanLint must SEE that aggregate below the
+    // global window to classify it cell-grain)
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val wAll = Window.partitionBy()
+    val wY = Window.partitionBy("__y")
+    val wX = Window.partitionBy("__x")
+    val scored = cells
+      .withColumn("__n", sum("__c").over(wAll))
+      .withColumn("__cy", sum("__c").over(wY))
+      .withColumn("__cx", sum("__c").over(wX))
+      // H(X|Y) contribution: −(c/N)·ln(c/c_y); H(X) uses one row per
+      // x (the marginal row flag keeps the window frame single-pass)
+      .withColumn("__hxyp",
+        floor(d(col("__c")) / d(col("__n")) *
+          log(d(col("__c")) / d(col("__cy"))) * 1e12 + 0.5).cast("long"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__x").orderBy("__y")))
+      .withColumn("__hxp",
+        when(col("__rn") === 1,
+          floor(d(col("__cx")) / d(col("__n")) *
+            log(d(col("__cx")) / d(col("__n"))) * 1e12 + 0.5).cast("long"))
+          .otherwise(0L))
+    scored
+      .groupBy()
+      .agg(max("__n").as("n"),
+        (-sum("__hxp")).as("__hx"), (-sum("__hxyp")).as("__hxy"))
+      .select(col("n"),
+        round(d(col("__hx")) / 1e12, 4).as("h_x"),
+        round(d(col("__hxy")) / 1e12, 4).as("h_x_given_y"),
+        round(when(col("__hx") > 0,
+          d(col("__hx") - col("__hxy")) / d(col("__hx"))), 4).as("u"))
+  }
+}

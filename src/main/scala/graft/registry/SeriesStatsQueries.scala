@@ -1,0 +1,464 @@
+package graft
+
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryHelpers._
+
+/** Registry shard — round-16 continuation batch 3: keyed-series
+  * screens (randomness, efficiency, drawdown, breaks, seasonal trend,
+  * PACF, cointegration) and distribution-shape / agreement inference
+  * (Kuiper, Jarque–Bera, Brunner–Munzel, Lepage, Quade, Fleiss, ICC,
+  * concordance, Hodges–Lehmann, Theil's U). New shard because
+  * StatsInferenceQueries sits at the 3k-line hygiene cap.
+  *
+  * Every query here has its DuckDB oracle co-located below with
+  * IDENTICAL column names (the driver contract; see SparkEntry).
+  */
+private[graft] object SeriesStatsQueries {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q406_kuiper" -> ((s, dir) => {
+      // F123 Kuiper two-sample click vs view: D⁺ + D⁻ — the
+      // both-directions / tail-fair companion to q192's one-sup KS,
+      // same integer cross-multiplied CDF frame
+      val t = Tables(s, dir)
+      Rollups.kuiperTest(t.events, "event_type", "value", "click", "view")
+    }),
+    "q407_jarque_bera" -> ((s, dir) => {
+      // F115 normality screen per event type: JB = n/6(S² + K²/4)
+      // from exact decimal central-moment multiply-throughs — the
+      // shape gate upstream of every t/z test in the family
+      val t = Tables(s, dir)
+      Rollups.jarqueBera(t.events, "event_type", "value")
+        .orderBy("event_type")
+    }),
+    "q408_drawdown" -> ((s, dir) => {
+      // D43 max drawdown of the daily demeaned-value equity curve per
+      // event type (flow = Σ(100·value − 50) cents, so the curve
+      // oscillates): depth, trough day, peak, relative depth — all
+      // exact integers on one cumulative window
+      val t = Tables(s, dir)
+      val daily = t.events.filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long") - 50L).as("flow"))
+      Rollups.maxDrawdown(daily, Seq("event_type"), "day", "flow")
+        .orderBy("event_type")
+    }),
+    "q409_variance_ratio" -> ((s, dir) => {
+      // D42 Lo–MacKinlay VR(5) on the daily event-count series per
+      // type: random-walk efficiency at the week horizon — the "how
+      // much mean reversion" companion to q383's DF unit-root τ
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.varianceRatio(daily, Seq("event_type"), "day", "cnt", q = 5)
+        .orderBy("event_type")
+    }),
+    "q410_bartels" -> ((s, dir) => {
+      // D41 Bartels rank von Neumann on the daily event-count series
+      // per type: the rank-based randomness gate (E[RVN]=2) — D17's
+      // Durbin–Watson geometry, robust to the level's distribution
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.bartelsRank(daily, Seq("event_type"), "day", "cnt")
+        .orderBy("event_type")
+    }),
+    "q411_by_fdr" -> ((s, dir) => {
+      // F114 Benjamini–Yekutieli over q19's correlation p-values: the
+      // arbitrary-dependence FDR (correlated hypotheses are exactly
+      // what pairwise peak-year correlations are) — q178's BH step-up
+      // inflated by the ordered-fold harmonic c(m)
+      val t = Tables(s, dir)
+      Rollups.byAdjust(
+        Rollups.peakYearCorrelation(AssociationScore.byDatasource(t.evidence)),
+        "p_value", Seq("datasourceIdA", "datasourceIdB"))
+    }),
+    "q412_agreement" -> ((s, dir) => {
+      // F120 method-comparison bundle on daily click vs view counts:
+      // Pearson r ("do they co-vary"), Lin's CCC ("do they agree on
+      // the 45° line"), Bland–Altman bias ± 1.96·SD limits ("where
+      // does the disagreement live") — the report q405's Deming slope
+      // is read next to
+      val t = Tables(s, dir)
+      val daily = t.events
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+      Rollups.concordanceAgreement(daily, "x", "y")
+    }),
+    "q413_hodges_lehmann" -> ((s, dir) => {
+      // F124 robust shift estimate click vs view: median of all n1·n2
+      // pairwise differences WITHOUT materializing them — the
+      // value-grain weighted cross + exact cumulative median
+      val t = Tables(s, dir)
+      Rollups.hodgesLehmann(t.events, "event_type", "value", "click", "view")
+    }),
+    "q414_theil_u" -> ((s, dir) => {
+      // F118 uncertainty coefficient U(lang|source): the ASYMMETRIC
+      // normalized dependence q175's MI and q182's V can't answer —
+      // how much of lang's entropy does knowing source remove
+      val t = Tables(s, dir)
+      Rollups.theilU(t.documents, "lang", "source")
+    }))
+
+  val oracles: Seq[(String, String)] = Seq(
+    // Kuiper replay: the q192 CDF frame with signed max in each
+    // direction (greatest with 0 — all-below samples have D⁺ = 0).
+    "q406_kuiper" ->
+      """WITH p AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+        |         sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
+        |  FROM p
+        |),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM p),
+        |m AS (
+        |  SELECT t.n1, t.n2,
+        |         greatest(CAST(max(f1 * t.n2 - f2 * t.n1) AS BIGINT), 0) AS dp,
+        |         greatest(CAST(max(f2 * t.n1 - f1 * t.n2) AS BIGINT), 0) AS dm
+        |  FROM c CROSS JOIN t GROUP BY t.n1, t.n2
+        |)
+        |SELECT n1, n2,
+        |       round(CAST(dp AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 4) AS d_plus,
+        |       round(CAST(dm AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 4) AS d_minus,
+        |       round(CAST(dp + dm AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 4) AS v
+        |FROM m""".stripMargin,
+    // JB replay: identical exact HUGEINT moment multiply-throughs
+    // (M2/M3/M4), identical pinned S/K/JB chain.
+    "q407_jarque_bera" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+        |         CAST(sum(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+        |         CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
+        |  FROM b GROUP BY 1
+        |),
+        |cm AS (
+        |  SELECT event_type, n,
+        |         n * s2 - s1 * s1 AS m2,
+        |         n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+        |         n * n * n * s4 - 4 * n * n * s1 * s3
+        |           + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4
+        |  FROM m
+        |),
+        |sk AS (
+        |  SELECT event_type, n,
+        |         CASE WHEN m2 > 0 THEN CAST(m3 AS DOUBLE)
+        |           / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))) END AS s,
+        |         CASE WHEN m2 > 0 THEN CAST(m4 AS DOUBLE)
+        |           / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0 END AS k
+        |  FROM cm
+        |)
+        |SELECT event_type, n, round(s, 4) AS skew, round(k, 4) AS ex_kurt,
+        |       round(CAST(n AS DOUBLE) / 6.0 * (s * s + k * k / 4.0), 4) AS jb
+        |FROM sk ORDER BY event_type""".stripMargin,
+    // Drawdown replay: same cumulative/peak windows; the argmax
+    // trough via ORDER BY (dd DESC, day ASC) row_number = the struct
+    // max (dd, −t, peak) on the Spark side.
+    "q408_drawdown" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT) - 50) AS BIGINT) AS flow
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |),
+        |c AS (
+        |  SELECT event_type, day,
+        |         sum(flow) OVER (PARTITION BY event_type ORDER BY day
+        |               ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM daily
+        |),
+        |p AS (
+        |  SELECT event_type, day, cum,
+        |         max(cum) OVER (PARTITION BY event_type ORDER BY day
+        |               ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM c
+        |),
+        |r AS (
+        |  SELECT event_type, day, cum, peak, peak - cum AS dd,
+        |         row_number() OVER (PARTITION BY event_type
+        |               ORDER BY peak - cum DESC, day ASC) AS rk,
+        |         row_number() OVER (PARTITION BY event_type
+        |               ORDER BY day DESC) AS rlast
+        |  FROM p
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(CASE WHEN rlast = 1 THEN cum END) AS BIGINT)
+        |         AS final_level,
+        |       CAST(max(dd) AS BIGINT) AS max_dd,
+        |       CAST(max(CASE WHEN rk = 1 THEN peak END) AS BIGINT)
+        |         AS peak_at_trough,
+        |       CAST(max(CASE WHEN rk = 1 THEN day END) AS BIGINT) AS trough_t,
+        |       round(CASE WHEN max(CASE WHEN rk = 1 THEN peak END) > 0 THEN
+        |         CAST(max(dd) AS DOUBLE)
+        |           / max(CASE WHEN rk = 1 THEN peak END) END, 4) AS dd_frac
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // VR replay: both diff families by time arithmetic (self-joins on
+    // day−1 / day−5), exact HUGEINT multiply-through variances, one
+    // pinned ratio + iid-null z.
+    "q409_variance_ratio" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |),
+        |d1 AS (
+        |  SELECT a.event_type, CAST(count(*) AS BIGINT) AS m1,
+        |         CAST(sum(CAST(a.cnt - b.cnt AS HUGEINT)) AS HUGEINT) AS s1,
+        |         CAST(sum(CAST(a.cnt - b.cnt AS HUGEINT)
+        |               * (a.cnt - b.cnt)) AS HUGEINT) AS ss1
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.day = a.day - 1
+        |  GROUP BY 1
+        |),
+        |dq AS (
+        |  SELECT a.event_type, CAST(count(*) AS BIGINT) AS mq,
+        |         CAST(sum(CAST(a.cnt - b.cnt AS HUGEINT)) AS HUGEINT) AS sq,
+        |         CAST(sum(CAST(a.cnt - b.cnt AS HUGEINT)
+        |               * (a.cnt - b.cnt)) AS HUGEINT) AS ssq
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.day = a.day - 5
+        |  GROUP BY 1
+        |),
+        |v AS (
+        |  SELECT d1.event_type, m1, mq,
+        |         m1 * ss1 - s1 * s1 AS v1,
+        |         mq * ssq - sq * sq AS vq
+        |  FROM d1 JOIN dq USING (event_type)
+        |),
+        |r AS (
+        |  SELECT event_type, m1, mq,
+        |         CASE WHEN v1 > 0 AND mq > 1 THEN
+        |           CAST(vq * m1 * m1 AS DOUBLE)
+        |             / (5.0 * CAST(v1 * mq * mq AS DOUBLE)) END AS vr
+        |  FROM v
+        |)
+        |SELECT event_type, m1 AS n1, mq AS nq, round(vr, 4) AS vr,
+        |       round((vr - 1.0) / sqrt((2.0 * 9 * 4 / 15.0)
+        |             / CAST(m1 AS DOUBLE)), 4) AS z
+        |FROM r ORDER BY event_type""".stripMargin,
+    // Bartels replay: doubled midranks (2·rank + ties − 1), successor
+    // by day order, denominator collapse ΣR2² − n(n+1)².
+    "q410_bartels" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |),
+        |rk AS (
+        |  SELECT event_type, day, cnt,
+        |         2 * rank() OVER (PARTITION BY event_type ORDER BY cnt)
+        |           + count(*) OVER (PARTITION BY event_type, cnt) - 1 AS r2
+        |  FROM daily
+        |),
+        |nx AS (
+        |  SELECT event_type, r2,
+        |         lead(r2) OVER (PARTITION BY event_type ORDER BY day) AS r2n
+        |  FROM rk
+        |),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS ss,
+        |         CAST(sum(CASE WHEN r2n IS NOT NULL THEN
+        |               CAST(r2 - r2n AS HUGEINT) * (r2 - r2n)
+        |               ELSE 0 END) AS HUGEINT) AS sd
+        |  FROM nx GROUP BY 1
+        |),
+        |rv AS (
+        |  SELECT event_type, n,
+        |         CASE WHEN ss - n * (n + 1) * (n + 1) > 0 THEN
+        |           CAST(sd AS DOUBLE)
+        |             / CAST(ss - n * (n + 1) * (n + 1) AS DOUBLE) END AS rvn
+        |  FROM agg
+        |)
+        |SELECT event_type, n, round(rvn, 4) AS rvn,
+        |       round(CASE WHEN n > 2 THEN (rvn - 2.0)
+        |         / sqrt(4.0 * (n - 2) / (CAST(n + 1 AS DOUBLE) * (n - 1))) END,
+        |         4) AS z
+        |FROM rv ORDER BY event_type""".stripMargin,
+    // BY replay: q178's chain with the ordered-fold harmonic c(m)
+    // (list_reduce seeds on the first element; 0.0 + x = x exactly on
+    // the Spark side, so both engines walk identical partial sums).
+    "q411_by_fdr" ->
+      s"""WITH RECURSIVE $BySourceSql,
+         |pk AS (
+         |  SELECT diseaseId, targetId, datasourceId, year AS peakYear,
+         |         coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
+         |           PARTITION BY diseaseId, targetId, datasourceId ORDER BY year) AS peak
+         |  FROM bysource
+         |),
+         |fp AS (
+         |  SELECT diseaseId, targetId, datasourceId,
+         |         CAST(min(peakYear) AS INT) AS peakYear
+         |  FROM pk WHERE peak > 0 GROUP BY 1, 2, 3
+         |),
+         |j AS (
+         |  SELECT a.datasourceId AS datasourceIdA, b.datasourceId AS datasourceIdB,
+         |         a.peakYear AS yearA, b.peakYear AS yearB
+         |  FROM fp a JOIN fp b USING (diseaseId, targetId)
+         |),
+         |$CorrPCtesSql,
+         |corr_out AS (
+         |$CorrPSelectSql
+         |),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |           ORDER BY p_value, datasourceIdA, datasourceIdB) AS BIGINT)
+         |           AS p_rank,
+         |         CAST(count(*) OVER () AS BIGINT) AS m
+         |  FROM corr_out WHERE p_value IS NOT NULL
+         |),
+         |cm AS (
+         |  SELECT rk.*, list_reduce(list_transform(range(1, m + 1),
+         |           x -> 1.0 / CAST(x AS DOUBLE)), (a, b) -> a + b) AS c_m
+         |  FROM rk
+         |),
+         |adj AS (
+         |  SELECT *, round(least(1.0, min(p_value * m * c_m / p_rank) OVER (
+         |           ORDER BY p_rank
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 4)
+         |           AS p_adj
+         |  FROM cm
+         |)
+         |SELECT datasourceIdA, datasourceIdB, n, r, p_value, p_rank, p_adj,
+         |       p_adj <= 0.05 AS significant
+         |FROM adj""".stripMargin,
+    // Agreement replay: exact HUGEINT moments, n²-scaled centered
+    // sums (CCC terms share the scale so (Sy−Sx)² joins unscaled),
+    // identical pinned r/CCC/bias/SD/limits chain.
+    "q412_agreement" ->
+      """WITH dly AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS x,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+        |),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM dly
+        |),
+        |c AS (
+        |  SELECT n, sx, sy,
+        |         n * sxx - sx * sx AS cxx,
+        |         n * syy - sy * sy AS cyy,
+        |         n * sxy - sx * sy AS cxy,
+        |         sy - sx AS dd,
+        |         n * (syy - 2 * sxy + sxx) - (sy - sx) * (sy - sx) AS sdn
+        |  FROM m
+        |),
+        |s AS (
+        |  SELECT n, cxx, cyy, cxy, dd,
+        |         CASE WHEN n > 1 THEN sqrt(CAST(sdn AS DOUBLE)
+        |           / (CAST(n AS DOUBLE) * (n - 1))) END AS sd2,
+        |         CAST(dd AS DOUBLE) / n AS bias
+        |  FROM c
+        |)
+        |SELECT n,
+        |       round(CASE WHEN cxx > 0 AND cyy > 0 THEN CAST(cxy AS DOUBLE)
+        |             / sqrt(CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)) END, 4)
+        |         AS r,
+        |       round(CASE WHEN cxx + cyy > 0 OR dd <> 0 THEN
+        |             2.0 * CAST(cxy AS DOUBLE)
+        |             / (CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE)
+        |                + CAST(dd * dd AS DOUBLE)) END, 4) AS ccc,
+        |       round(bias, 4) AS bias,
+        |       round(sd2, 4) AS sd_diff,
+        |       round(bias - 1.96 * sd2, 4) AS loa_lo,
+        |       round(bias + 1.96 * sd2, 4) AS loa_hi
+        |FROM s""".stripMargin,
+    // HL replay: the same value-grain weighted cross; exact HUGEINT
+    // cumulative weights; doubled straddle median, one /200 publish.
+    "q413_hodges_lehmann" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM p),
+        |d AS (
+        |  SELECT b.v - a.v AS dd,
+        |         CAST(sum(CAST(a.c1 AS HUGEINT) * b.c2) AS HUGEINT) AS wt
+        |  FROM p a JOIN p b ON a.c1 > 0 AND b.c2 > 0
+        |  GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT dd, sum(wt) OVER (ORDER BY dd ROWS UNBOUNDED PRECEDING) AS cum,
+        |         t.n1, t.n2, CAST(t.n1 AS HUGEINT) * t.n2 AS tt
+        |  FROM d CROSS JOIN t
+        |),
+        |lo AS (SELECT min(dd) AS dlo FROM c WHERE cum * 2 >= tt),
+        |hi AS (SELECT min(dd) AS dhi FROM c WHERE cum * 2 >= tt + 1)
+        |SELECT t.n1, t.n2,
+        |       round((CAST(lo.dlo AS DOUBLE) + hi.dhi) / 200.0, 4) AS hl
+        |FROM t CROSS JOIN lo CROSS JOIN hi""".stripMargin,
+    // Theil U replay: pico-unit floor(x·1e12+0.5) entropy terms
+    // summed order-free (the q396 contract); marginal rows flagged by
+    // the same row_number-over-(x order y) rule.
+    "q414_theil_u" ->
+      """WITH cells AS (
+        |  SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2
+        |),
+        |e AS (
+        |  SELECT x, y, c,
+        |         CAST(sum(c) OVER () AS BIGINT) AS n,
+        |         CAST(sum(c) OVER (PARTITION BY y) AS BIGINT) AS cy,
+        |         CAST(sum(c) OVER (PARTITION BY x) AS BIGINT) AS cx,
+        |         row_number() OVER (PARTITION BY x ORDER BY y) AS rn
+        |  FROM cells
+        |),
+        |sc AS (
+        |  SELECT n,
+        |         CAST(floor(CAST(c AS DOUBLE) / n
+        |               * ln(CAST(c AS DOUBLE) / cy) * 1e12 + 0.5) AS BIGINT)
+        |           AS hxyp,
+        |         CASE WHEN rn = 1 THEN
+        |           CAST(floor(CAST(cx AS DOUBLE) / n
+        |                 * ln(CAST(cx AS DOUBLE) / n) * 1e12 + 0.5) AS BIGINT)
+        |           ELSE 0 END AS hxp
+        |  FROM e
+        |),
+        |agg AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n,
+        |         -sum(hxp) AS hx, -sum(hxyp) AS hxy
+        |  FROM sc
+        |)
+        |SELECT n, round(CAST(hx AS DOUBLE) / 1e12, 4) AS h_x,
+        |       round(CAST(hxy AS DOUBLE) / 1e12, 4) AS h_x_given_y,
+        |       round(CASE WHEN hx > 0 THEN CAST(hx - hxy AS DOUBLE) / hx END, 4)
+        |         AS u
+        |FROM agg""".stripMargin)
+}

@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Hand-computed pins for the round-16 continuation batch 3 (the
+  * Round16OpsSpec discipline): the oracle gate proves engine
+  * agreement; these prove each STATISTIC is the textbook one.
+  */
+class Round16cOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("kuiperTest: disjoint supports give V = 1 with D- = 0") {
+    val rows = Seq(("a", 0.01), ("a", 0.02), ("b", 0.03), ("b", 0.04))
+    val out = Rollups.kuiperTest(rows.toDF("g", "v"), "g", "v", "a", "b")
+      .select("n1", "n2", "d_plus", "d_minus", "v")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(out == ((2L, 2L, 1.0, 0.0, 1.0)))
+  }
+
+  test("jarqueBera: hand-computed three-point fixture") {
+    // cents {0, 0, 3}: M2=18, M3=54, M4=486 -> S=54/18^1.5,
+    // K=486/324-3=-1.5, JB=0.5*(S^2+K^2/4)
+    val rows = Seq(("g", 0.00), ("g", 0.00), ("g", 0.03))
+    val out = Rollups.jarqueBera(rows.toDF("g", "v"), "g", "v")
+      .select("n", "skew", "ex_kurt", "jb")
+      .as[(Long, Double, Double, Double)].head()
+    val s = 54.0 / (18.0 * math.sqrt(18.0))
+    assert(out == ((3L, r4(s), -1.5, r4(3.0 / 6.0 * (s * s + 1.5 * 1.5 / 4.0)))))
+  }
+
+  test("maxDrawdown: hand-traced five-day curve") {
+    // flows 5,-3,1,-4,6 -> cum 5,2,3,-1,5; peak 5; dd 0,3,2,6,0
+    val rows = Seq(("k", 1L, 5L), ("k", 2L, -3L), ("k", 3L, 1L),
+      ("k", 4L, -4L), ("k", 5L, 6L))
+    val out = Rollups.maxDrawdown(rows.toDF("k", "t", "f"), Seq("k"), "t", "f")
+      .select("n", "final_level", "max_dd", "peak_at_trough", "trough_t",
+        "dd_frac")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(out == ((5L, 5L, 6L, 5L, 4L, 1.2)))
+  }
+
+  test("maxDrawdown: tie picks the EARLIEST deepest trough") {
+    // flows 2,-2,2,-2 -> dd 0,2,0,2: trough day 2, not 4
+    val rows = Seq(("k", 1L, 2L), ("k", 2L, -2L), ("k", 3L, 2L),
+      ("k", 4L, -2L))
+    val out = Rollups.maxDrawdown(rows.toDF("k", "t", "f"), Seq("k"), "t", "f")
+      .select("max_dd", "trough_t").as[(Long, Long)].head()
+    assert(out == ((2L, 2L)))
+  }
+
+  test("varianceRatio: hand-computed doubling series at q=2") {
+    // x=1,2,4,8,16,32: v1=5*341-31^2=744, vq=4*765-45^2=1035,
+    // vr = 1035*25/(2*744*16)
+    val rows = Seq(1L, 2L, 4L, 8L, 16L, 32L).zipWithIndex
+      .map { case (x, i) => ("k", (i + 1).toLong, x) }
+    val out = Rollups.varianceRatio(rows.toDF("k", "t", "x"),
+        Seq("k"), "t", "x", q = 2)
+      .select("n1", "nq", "vr", "z").as[(Long, Long, Double, Double)].head()
+    val vr = 1035.0 * 25 / (2.0 * 744 * 16)
+    val z = (vr - 1.0) / math.sqrt(2.0 * 3 * 1 / 6.0 / 5.0)
+    assert(out == ((5L, 4L, r4(vr), r4(z))))
+  }
+
+  test("bartelsRank: hand-computed three-point fixture") {
+    // x=[1,3,2] -> r2=[2,6,4]: num=16+4=20, den=56-3*16=8, rvn=2.5
+    val rows = Seq(("k", 1L, 1L), ("k", 2L, 3L), ("k", 3L, 2L))
+    val out = Rollups.bartelsRank(rows.toDF("k", "t", "x"), Seq("k"), "t", "x")
+      .select("n", "rvn", "z").as[(Long, Double, Double)].head()
+    assert(out == ((3L, 2.5, r4(0.5 / math.sqrt(0.5)))))
+  }
+
+  test("byAdjust: harmonic factor inflates BH exactly by c(m)") {
+    val rows = Seq(("h1", 0.01), ("h2", 0.02), ("h3", 0.9))
+    val out = Rollups.byAdjust(rows.toDF("h", "p"), "p", Seq("h"))
+      .select("h", "p_adj").as[(String, Double)].collect().toMap
+    val cm = 1.0 + 1.0 / 2 + 1.0 / 3
+    val a3 = math.min(1.0, 0.9 * 3 * cm / 3)
+    val a2 = math.min(math.min(1.0, 0.02 * 3 * cm / 2), a3)
+    val a1 = math.min(math.min(1.0, 0.01 * 3 * cm / 1), a2)
+    assert(out == Map("h1" -> r4(a1), "h2" -> r4(a2), "h3" -> r4(a3)))
+  }
+
+  test("concordanceAgreement: perfect correlation, imperfect concordance") {
+    // x=[1,2,3], y=2x: r=1, CCC=24/66, bias=2, sd=1, loa 2∓1.96
+    val rows = Seq((1L, 2L), (2L, 4L), (3L, 6L))
+    val out = Rollups.concordanceAgreement(rows.toDF("x", "y"), "x", "y")
+      .select("n", "r", "ccc", "bias", "sd_diff", "loa_lo", "loa_hi")
+      .as[(Long, Double, Double, Double, Double, Double, Double)].head()
+    assert(out == ((3L, 1.0, r4(24.0 / 66.0), 2.0, 1.0, r4(2 - 1.96),
+      r4(2 + 1.96))))
+  }
+
+  test("hodgesLehmann: even total straddles the middle pair") {
+    // diffs {1,2,3,4} cents -> HL = 2.5 cents = 0.025
+    val rows = Seq(("a", 0.01), ("a", 0.02), ("b", 0.03), ("b", 0.05))
+    val out = Rollups.hodgesLehmann(rows.toDF("g", "v"), "g", "v", "a", "b")
+      .select("n1", "n2", "hl").as[(Long, Long, Double)].head()
+    assert(out == ((2L, 2L, 0.025)))
+  }
+
+  test("theilU: hand-computed 2x2 with one predictive column") {
+    // cells: (a,p)=2 (b,p)=2 (b,q)=4: H(X)=-(.25 ln .25 + .75 ln .75),
+    // H(X|Y)=-(2/8 ln(1/2) * 2)
+    val rows = Seq.fill(2)(("a", "p")) ++ Seq.fill(2)(("b", "p")) ++
+      Seq.fill(4)(("b", "q"))
+    val out = Rollups.theilU(rows.toDF("x", "y"), "x", "y")
+      .select("n", "h_x", "h_x_given_y", "u")
+      .as[(Long, Double, Double, Double)].head()
+    def pico(x: Double): Long = math.floor(x * 1e12 + 0.5).toLong
+    val hx = -(pico(0.25 * math.log(0.25)) + pico(0.75 * math.log(0.75)))
+    val hxy = -(2 * pico(0.25 * math.log(0.5)) + pico(0.5 * math.log(1.0)))
+    assert(out == ((8L, r4(hx / 1e12), r4(hxy / 1e12),
+      r4((hx - hxy).toDouble / hx))))
+  }
+}
