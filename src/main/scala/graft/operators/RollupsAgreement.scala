@@ -270,6 +270,219 @@ private[operators] trait RollupsAgreement {
         round((d(col("__dlo")) + d(col("__dhi"))) / 200.0, 4).as("hl"))
   }
 
+  /** Brunner–Munzel test (F112) — the rank-based Behrens–Fisher: does
+    * P(A < B) + ½P(A = B) = ½, WITHOUT Mann–Whitney's hidden
+    * equal-variance assumption (F27 is only exact under a pure shift;
+    * under unequal spread its level breaks — BM studentizes with each
+    * group's own placement variance). The default two-sample rank
+    * test when the groups may differ in shape, plus the stochastic-
+    * superiority estimate p̂ itself.
+    *
+    * Exactness: pooled AND within-group doubled midranks (2·rank +
+    * ties − 1); the placement Q = R2 − r2 is an exact integer, and
+    * Σr2 over a group is n(n+1) exactly, so p̂ = ΣQ_B/(2·n_A·n_B) and
+    * each S_i² = (n·ΣQ² − (ΣQ)²)/(4n(n−1)) are ratios of exact
+    * decimals; W is one pinned double chain, 4dp.
+    *
+    * Scale shape: the pooled-rank window and both within-group
+    * windows ride value-sorted (group-)partitions; one group-grain
+    * combine. O(1) window state.
+    *
+    * Output: one row (n1, n2, p_hat, w_bm).
+    */
+  def brunnerMunzel(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val cents = round(col(valueCol) * 100).cast("long")
+    // value-grain collapse (the ksTest contract): the placement of an
+    // A-observation at value v is 2·#{B below} + #{B tied} — one
+    // cumulative window over the grain, never a data-grain rank
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(cents.as("__v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = Rollups.grainGuarded(pts, w, "brunnerMunzel")
+      .withColumn("__f1p", sum("c1").over(w) - col("c1"))
+      .withColumn("__f2p", sum("c2").over(w) - col("c2"))
+      .withColumn("__qa", lit(2L) * col("__f2p") + col("c2"))
+      .withColumn("__qb", lit(2L) * col("__f1p") + col("c1"))
+    val agg = q.groupBy()
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c1").cast(dec) * col("__qa").cast(dec)).as("__sqa"),
+        sum(col("c1").cast(dec) * col("__qa").cast(dec) * col("__qa").cast(dec))
+          .as("__sqqa"),
+        sum(col("c2").cast(dec) * col("__qb").cast(dec)).as("__sqb"),
+        sum(col("c2").cast(dec) * col("__qb").cast(dec) * col("__qb").cast(dec))
+          .as("__sqqb"))
+    def s2(n: Column, sq: Column, sqq: Column): Column =
+      d(n.cast(dec) * sqq - sq * sq) / (lit(4.0) * d(n) * d(n - 1L))
+    agg
+      .withColumn("__s2a", when(col("n1") > 1L, s2(col("n1"), col("__sqa"), col("__sqqa"))))
+      .withColumn("__s2b", when(col("n2") > 1L, s2(col("n2"), col("__sqb"), col("__sqqb"))))
+      .withColumn("__md",
+        d(col("__sqb")) / (lit(2.0) * d(col("n2"))) -
+          d(col("__sqa")) / (lit(2.0) * d(col("n1"))) +
+          d(col("n2") - col("n1")) / 2.0)
+      .withColumn("__den",
+        sqrt(d(col("n1")) * col("__s2a") + d(col("n2")) * col("__s2b")))
+      .select(col("n1"), col("n2"),
+        round(d(col("__sqb")) / (lit(2.0) * d(col("n1")) * d(col("n2"))), 4)
+          .as("p_hat"),
+        round(when(col("__den") > 0,
+          d(col("n1")) * d(col("n2")) * col("__md") /
+            (d(col("n1") + col("n2")) * col("__den"))), 4).as("w_bm"))
+  }
+
+  /** Ansari–Bradley scale test + Lepage location–scale combination
+    * (F113) — AB scores a = min(R, N+1−R) peak at the distribution
+    * center, so a LOW group-A score sum means A hugs the tails
+    * (larger spread): the rank test for "same center, different
+    * width" that completes the variance-homogeneity family's
+    * normal-theory members with a fully distribution-free one.
+    * Lepage L = z_W² + z_AB² (χ²₂ null) screens location AND scale
+    * in one number — the nonparametric Levene+t bundle.
+    *
+    * Exactness: doubled midranks make doubled AB scores exact
+    * integers (a2 = min(R2, 2(N+1) − R2)); both z's use the
+    * CONDITIONAL permutation moments of the realized score vector —
+    * z = (N·T − n_A·Σs)/√(n_A·n_B·(N·Σs² − (Σs)²)/(N−1)) — so ties
+    * need no correction table: the realized scores ARE the
+    * population. Exact decimals, two pinned chains, 4dp.
+    *
+    * Output: one row (n1, n2, z_w, z_ab, lepage).
+    */
+  def ansariLepage(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val cents = round(col(valueCol) * 100).cast("long")
+    // value-grain collapse: every observation at value v carries the
+    // SAME doubled midrank R2(v) = 2·F_prev + c + 1 and AB score, so
+    // score moments are c-weighted sums over the grain — one
+    // cumulative window, never a data-grain rank
+    val pts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(cents.as("__v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = pts.agg((sum("c1") + sum("c2")).as("__N"))
+    val scored = Rollups.grainGuarded(pts, w, "ansariLepage")
+      .withColumn("__c", col("c1") + col("c2"))
+      .withColumn("__fp", sum(col("__c")).over(w) - col("__c"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__R2", lit(2L) * col("__fp") + col("__c") + 1L)
+      .withColumn("__a2",
+        least(col("__R2"), lit(2L) * (col("__N") + 1L) - col("__R2")))
+    val agg = scored.groupBy()
+      .agg(max("__N").as("__N"),
+        sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c1").cast(dec) * col("__R2").cast(dec)).as("__tw"),
+        sum(col("__c").cast(dec) * col("__R2").cast(dec)).as("__sw"),
+        sum(col("__c").cast(dec) * col("__R2").cast(dec) * col("__R2").cast(dec))
+          .as("__sww"),
+        sum(col("c1").cast(dec) * col("__a2").cast(dec)).as("__ta"),
+        sum(col("__c").cast(dec) * col("__a2").cast(dec)).as("__sa"),
+        sum(col("__c").cast(dec) * col("__a2").cast(dec) * col("__a2").cast(dec))
+          .as("__saa"))
+    def z(t: Column, s: Column, ss: Column): Column = {
+      val nn = col("__N").cast(dec)
+      val num = nn * t - col("n1").cast(dec) * s
+      val v = col("n1").cast(dec) * col("n2").cast(dec) * (nn * ss - s * s)
+      when(v > 0,
+        d(num) / sqrt(d(v) / d(col("__N") - 1L)))
+    }
+    agg
+      .withColumn("__zw", z(col("__tw"), col("__sw"), col("__sww")))
+      .withColumn("__za", z(col("__ta"), col("__sa"), col("__saa")))
+      .select(col("n1"), col("n2"),
+        round(col("__zw"), 4).as("z_w"),
+        round(col("__za"), 4).as("z_ab"),
+        round(col("__zw") * col("__zw") + col("__za") * col("__za"), 4)
+          .as("lepage"))
+  }
+
+  /** Quade test (F116) — the block-design rank test that WEIGHTS
+    * blocks by how much is happening in them: within-block ranks are
+    * multiplied by the rank of the block's RANGE, so wide blocks
+    * (where treatments actually separate) dominate and flat blocks
+    * stop diluting — the higher-power alternative to F64's Friedman
+    * at small k. F = (n−1)·B/(A−B) on S_ij = Q_b·(r_ij − (k+1)/2).
+    *
+    * Exactness: doubled midranks for BOTH rank layers make
+    * S4 = Q2·(r2 − (k+1)) = 4·S an exact integer; the 16 cancels in
+    * F = (n−1)·ΣS4_j²/(n·ΣS4² − ΣS4_j²) — exact decimals, one double.
+    * Incomplete blocks (missing treatments) drop, the standard
+    * complete-block requirement.
+    *
+    * Scale shape: within-block windows ride a (block) exchange; the
+    * block-range rank is ONE window over the BLOCK table (aggregate
+    * grain); treatment combine + one-row reduce.
+    *
+    * Output: one row (n_blocks, k, f_quade) — null at perfect
+    * agreement (A = B).
+    */
+  def quade(
+      df: DataFrame,
+      blockCol: String,
+      treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val cell = df.select(col(blockCol).as("__b"), col(treatmentCol).as("__tr"),
+      col(valueCol).cast("long").as("__v"))
+    val k = cell.select(countDistinct("__tr").as("__k"))
+    val full = cell
+      .withColumn("__bk", count(lit(1)).over(Window.partitionBy("__b")))
+      .crossJoin(broadcast(k))
+      .filter(col("__bk") === col("__k"))
+      .localCheckpoint() // feeds the rank frame and the range frame
+    val wIn = Window.partitionBy("__b").orderBy("__v")
+    val wInT = Window.partitionBy("__b", "__v")
+    val ranked = full.withColumn("__r2",
+      lit(2L) * rank().over(wIn) + count(lit(1)).over(wInT) - 1L)
+    val ranges = full.groupBy("__b")
+      .agg(max("__v").as("__hi"), min("__v").as("__lo"), max("__k").as("__kk"))
+      .withColumn("__rng", col("__hi") - col("__lo"))
+      .withColumn("__q2",
+        lit(2L) * rank().over(Window.orderBy("__rng")) +
+          count(lit(1)).over(Window.partitionBy("__rng")) - 1L)
+      .select(col("__b"), col("__q2"), col("__kk"))
+    val s4 = ranked.join(ranges, "__b")
+      .withColumn("__s4", col("__q2") * (col("__r2") - (col("__kk") + 1L)))
+    val perTr = s4.groupBy("__tr")
+      .agg(sum(col("__s4").cast(dec)).as("__sj"),
+        sum(col("__s4").cast(dec) * col("__s4").cast(dec)).as("__sjj"),
+        countDistinct("__b").as("__nb"))
+    perTr.groupBy()
+      .agg(max("__nb").as("n_blocks"), count(lit(1)).as("k"),
+        sum(col("__sj") * col("__sj")).as("__bsum"),
+        sum(col("__sjj")).as("__asum"))
+      .select(col("n_blocks"), col("k"),
+        round(when(
+          col("n_blocks").cast(dec) * col("__asum") - col("__bsum") > 0,
+          d(col("n_blocks") - 1L) * d(col("__bsum")) /
+            d(col("n_blocks").cast(dec) * col("__asum") - col("__bsum"))), 4)
+          .as("f_quade"))
+  }
+
   /** Theil's uncertainty coefficient U(X|Y) (F118) — the ASYMMETRIC
     * normalized dependence: what fraction of X's entropy does knowing
     * Y remove, U = (H(X) − H(X|Y))/H(X) ∈ [0,1]. F20's MI says how

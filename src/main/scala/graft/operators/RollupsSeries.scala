@@ -123,6 +123,69 @@ private[operators] trait RollupsSeries {
           .as("z")): _*)
   }
 
+  /** Seasonal Mann–Kendall trend test per keyed series (D45, Hirsch &
+    * Slack 1984) — D23's S statistic computed WITHIN each season
+    * (t mod `period`) and pooled: S = ΣS_s, Var = ΣVar_s. A weekly
+    * cycle turns plain MK into noise (every Monday→Sunday comparison
+    * votes on the cycle, not the trend); comparing only
+    * like-with-like days removes the cycle without estimating it —
+    * the trend gate to run when D11/D24 say seasonality exists.
+    *
+    * Exactness: the D23 contract per (keys, season) — exact ±1 pair
+    * fold over the sorted per-season array, exact tie-corrected
+    * variance sums, one continuity-corrected z, 4dp.
+    *
+    * Scale shape: series live at key grain; the pair fold is in-row
+    * over per-season arrays (day-grain bounded); one (keys, season)
+    * combine then a key-grain reduce.
+    *
+    * Output: keys ++ (n_points, n_seasons, s_stat, var_s, z).
+    */
+  def seasonalMannKendall(
+      df: DataFrame,
+      keys: Seq[String],
+      tCol: String,
+      valCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 2)
+    val d = (c: Column) => c.cast("double")
+    val s0 = df
+      .select((keys.map(col) :+ col(tCol).cast("long").as("__x") :+
+        col(valCol).cast("long").as("__y")): _*)
+      .withColumn("__season", pmod(col("__x"), lit(period.toLong)))
+      .localCheckpoint() // feeds the pair fold AND the tie rollup
+    val sk = keys :+ "__season"
+    val arr = s0
+      .groupBy(sk.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__x").as("x"), col("__y").as("y"))))
+        .as("__a"), count(lit(1)).as("__np"))
+      .withColumn("__s", aggregate(
+        flatten(transform(col("__a"), (p, i) =>
+          transform(slice(col("__a"), i + lit(2), size(col("__a"))), q =>
+            signum(q.getField("y") - p.getField("y")).cast("long")))),
+        lit(0L), (acc, x) => acc + x))
+    val ties = s0
+      .groupBy((sk :+ "__y").map(col): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(sk.map(col): _*)
+      .agg(sum(col("__t") * (col("__t") - 1L) * (lit(2L) * col("__t") + 5L))
+        .as("__tsum"))
+    arr.join(ties, sk)
+      .groupBy(keys.map(col): _*)
+      .agg(sum("__np").as("n_points"), count(lit(1)).as("n_seasons"),
+        sum("__s").as("s_stat"),
+        sum(col("__np") * (col("__np") - 1L) * (lit(2L) * col("__np") + 5L) -
+          col("__tsum")).as("__vn"))
+      .select(keys.map(col) ++ Seq(col("n_points"), col("n_seasons"),
+        col("s_stat"),
+        round(d(col("__vn")) / 18.0, 4).as("var_s"),
+        round(when(col("__vn") <= 0, lit(null))
+          .otherwise(when(col("s_stat") > 0, d(col("s_stat") - 1L))
+            .when(col("s_stat") < 0, d(col("s_stat") + 1L))
+            .otherwise(lit(0.0)) / sqrt(d(col("__vn")) / 18.0)), 4)
+          .as("z")): _*)
+  }
+
   /** Maximum drawdown per keyed equity curve (D43) — the worst
     * peak-to-trough fall of the cumulative series: depth (exact
     * integer units), the trough date, the peak it fell from, and the

@@ -110,6 +110,46 @@ private[graft] object SeriesStatsQueries {
       // how much of lang's entropy does knowing source remove
       val t = Tables(s, dir)
       Rollups.theilU(t.documents, "lang", "source")
+    }),
+    "q415_brunner_munzel" -> ((s, dir) => {
+      // F112 rank-based Behrens–Fisher click vs view: q199's
+      // Mann–Whitney without its hidden equal-variance assumption,
+      // studentized by each group's own placement variance — plus the
+      // stochastic-superiority estimate p̂ itself
+      val t = Tables(s, dir)
+      Rollups.brunnerMunzel(t.events, "event_type", "value", "click", "view")
+    }),
+    "q416_lepage" -> ((s, dir) => {
+      // F113 Ansari–Bradley scale z + Lepage L = z_W² + z_AB²: the
+      // distribution-free member of the variance-homogeneity family
+      // (q373/q374/q398) and the one-number location+scale screen
+      val t = Tables(s, dir)
+      Rollups.ansariLepage(t.events, "event_type", "value", "click", "view")
+    }),
+    "q417_quade" -> ((s, dir) => {
+      // F116 Quade test: blocks = days, treatments = event types,
+      // y = daily count — within-block ranks weighted by the rank of
+      // the block's RANGE, the higher-power Friedman at small k
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.quade(daily, "day", "event_type", "cnt")
+    }),
+    "q418_seasonal_mk" -> ((s, dir) => {
+      // D45 seasonal Mann–Kendall on the daily event-count series per
+      // type (period 7): like-weekday-only comparisons remove the
+      // weekly cycle without estimating it — the trend gate after
+      // q143's seasonal index says the cycle exists
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.seasonalMannKendall(daily, Seq("event_type"), "day", "cnt",
+        period = 7)
+        .orderBy("event_type")
     }))
 
   val oracles: Seq[(String, String)] = Seq(
@@ -460,5 +500,207 @@ private[graft] object SeriesStatsQueries {
         |       round(CAST(hxy AS DOUBLE) / 1e12, 4) AS h_x_given_y,
         |       round(CASE WHEN hx > 0 THEN CAST(hx - hxy AS DOUBLE) / hx END, 4)
         |         AS u
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+    // BM replay: identical doubled pooled/within midranks, exact
+    // HUGEINT placement moments, the same pinned p̂/S²/W chains.
+    "q415_brunner_munzel" ->
+      """WITH p AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT c1, c2,
+        |         sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c1 AS f1p,
+        |         sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c2 AS f2p
+        |  FROM p
+        |),
+        |q AS (SELECT c1, c2, 2 * f2p + c2 AS qa, 2 * f1p + c1 AS qb FROM c),
+        |ab AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |         CAST(sum(CAST(c1 AS HUGEINT) * qa) AS HUGEINT) AS sqa,
+        |         CAST(sum(CAST(c1 AS HUGEINT) * qa * qa) AS HUGEINT) AS sqqa,
+        |         CAST(sum(CAST(c2 AS HUGEINT) * qb) AS HUGEINT) AS sqb,
+        |         CAST(sum(CAST(c2 AS HUGEINT) * qb * qb) AS HUGEINT) AS sqqb
+        |  FROM q
+        |),
+        |s AS (
+        |  SELECT n1, n2, sqa, sqb,
+        |         CASE WHEN n1 > 1 THEN CAST(n1 * sqqa - sqa * sqa AS DOUBLE)
+        |           / (4.0 * CAST(n1 AS DOUBLE) * (n1 - 1)) END AS s2a,
+        |         CASE WHEN n2 > 1 THEN CAST(n2 * sqqb - sqb * sqb AS DOUBLE)
+        |           / (4.0 * CAST(n2 AS DOUBLE) * (n2 - 1)) END AS s2b
+        |  FROM ab
+        |),
+        |m AS (
+        |  SELECT n1, n2, sqb,
+        |         CAST(sqb AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE))
+        |           - CAST(sqa AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE))
+        |           + CAST(n2 - n1 AS DOUBLE) / 2.0 AS md,
+        |         sqrt(CAST(n1 AS DOUBLE) * s2a + CAST(n2 AS DOUBLE) * s2b)
+        |           AS den
+        |  FROM s
+        |)
+        |SELECT n1, n2,
+        |       round(CAST(sqb AS DOUBLE)
+        |             / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 4)
+        |         AS p_hat,
+        |       round(CASE WHEN den > 0 THEN
+        |             CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * md
+        |             / (CAST(n1 + n2 AS DOUBLE) * den) END, 4) AS w_bm
+        |FROM m""".stripMargin,
+    // Lepage replay: doubled AB scores min(R2, 2(N+1)−R2),
+    // conditional permutation moments of the realized score vectors,
+    // two pinned z chains.
+    "q416_lepage" ->
+      """WITH p AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |),
+        |t AS (SELECT CAST(sum(c1) + sum(c2) AS BIGINT) AS N FROM p),
+        |c AS (
+        |  SELECT c1, c2, c1 + c2 AS cc,
+        |         sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |           - (c1 + c2) AS fp
+        |  FROM p
+        |),
+        |sc AS (
+        |  SELECT c1, c2, cc, t.N, 2 * fp + cc + 1 AS R2,
+        |         least(2 * fp + cc + 1, 2 * (t.N + 1) - (2 * fp + cc + 1)) AS a2
+        |  FROM c CROSS JOIN t
+        |),
+        |agg AS (
+        |  SELECT CAST(max(N) AS BIGINT) AS N,
+        |         CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c2) AS BIGINT) AS n2,
+        |         CAST(sum(CAST(c1 AS HUGEINT) * R2) AS HUGEINT) AS tw,
+        |         CAST(sum(CAST(cc AS HUGEINT) * R2) AS HUGEINT) AS sw,
+        |         CAST(sum(CAST(cc AS HUGEINT) * R2 * R2) AS HUGEINT) AS sww,
+        |         CAST(sum(CAST(c1 AS HUGEINT) * a2) AS HUGEINT) AS ta,
+        |         CAST(sum(CAST(cc AS HUGEINT) * a2) AS HUGEINT) AS sa,
+        |         CAST(sum(CAST(cc AS HUGEINT) * a2 * a2) AS HUGEINT) AS saa
+        |  FROM sc
+        |),
+        |z AS (
+        |  SELECT n1, n2,
+        |         CASE WHEN n1 * n2 * (N * sww - sw * sw) > 0 THEN
+        |           CAST(N * tw - n1 * sw AS DOUBLE)
+        |             / sqrt(CAST(n1 * n2 * (N * sww - sw * sw) AS DOUBLE)
+        |                    / CAST(N - 1 AS DOUBLE)) END AS zw,
+        |         CASE WHEN n1 * n2 * (N * saa - sa * sa) > 0 THEN
+        |           CAST(N * ta - n1 * sa AS DOUBLE)
+        |             / sqrt(CAST(n1 * n2 * (N * saa - sa * sa) AS DOUBLE)
+        |                    / CAST(N - 1 AS DOUBLE)) END AS za
+        |  FROM agg
+        |)
+        |SELECT n1, n2, round(zw, 4) AS z_w, round(za, 4) AS z_ab,
+        |       round(zw * zw + za * za, 4) AS lepage
+        |FROM z""".stripMargin,
+    // Quade replay: same two doubled-midrank layers (within-block
+    // values, cross-block ranges), S4 = Q2·(r2−(k+1)), the 16-cancel
+    // F — `full` feeds both layers so it must MATERIALIZE.
+    "q417_quade" ->
+      """WITH cell AS MATERIALIZED (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
+        |         event_type AS tr, CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2
+        |),
+        |k AS (SELECT CAST(count(DISTINCT tr) AS BIGINT) AS k FROM cell),
+        |fb AS (SELECT *, count(*) OVER (PARTITION BY b) AS bk FROM cell),
+        |f AS MATERIALIZED (
+        |  SELECT fb.b, fb.tr, fb.v, k.k FROM fb CROSS JOIN k WHERE fb.bk = k.k
+        |),
+        |ranked AS (
+        |  SELECT b, tr,
+        |         2 * rank() OVER (PARTITION BY b ORDER BY v)
+        |           + count(*) OVER (PARTITION BY b, v) - 1 AS r2
+        |  FROM f
+        |),
+        |ranges AS (
+        |  SELECT b, kk, 2 * rank() OVER (ORDER BY rng)
+        |           + count(*) OVER (PARTITION BY rng) - 1 AS q2
+        |  FROM (SELECT b, max(v) - min(v) AS rng, max(k) AS kk
+        |        FROM f GROUP BY 1)
+        |),
+        |s4 AS (
+        |  SELECT r.tr, g.q2 * (r.r2 - (g.kk + 1)) AS s4
+        |  FROM ranked r JOIN ranges g USING (b)
+        |),
+        |pt AS (
+        |  SELECT tr, CAST(sum(CAST(s4 AS HUGEINT)) AS HUGEINT) AS sj,
+        |         CAST(sum(CAST(s4 AS HUGEINT) * s4) AS HUGEINT) AS sjj,
+        |         CAST(count(*) AS BIGINT) AS nb
+        |  FROM s4 GROUP BY 1
+        |),
+        |fin AS (
+        |  SELECT CAST(max(nb) AS BIGINT) AS n_blocks,
+        |         CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(sj * sj) AS HUGEINT) AS bsum,
+        |         CAST(sum(sjj) AS HUGEINT) AS asum
+        |  FROM pt
+        |)
+        |SELECT n_blocks, k,
+        |       round(CASE WHEN n_blocks * asum - bsum > 0 THEN
+        |             CAST(n_blocks - 1 AS DOUBLE) * CAST(bsum AS DOUBLE)
+        |             / CAST(n_blocks * asum - bsum AS DOUBLE) END, 4)
+        |         AS f_quade
+        |FROM fin""".stripMargin,
+    // Seasonal MK replay: the q293 per-group pair fold run per
+    // (type, weekday), S and tie-corrected variance pooled across
+    // seasons, one continuity-corrected z.
+    "q418_seasonal_mk" ->
+      """WITH s AS MATERIALIZED (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |),
+        |ss AS MATERIALIZED (SELECT event_type, x % 7 AS season, x, y FROM s),
+        |arr AS (
+        |  SELECT event_type, season,
+        |         list(struct_pack(x := x, y := y) ORDER BY x) AS a,
+        |         CAST(count(*) AS BIGINT) AS np
+        |  FROM ss GROUP BY 1, 2
+        |),
+        |st AS (
+        |  SELECT event_type, season, np,
+        |         CAST(coalesce(list_sum(flatten(
+        |           list_transform(range(1, CAST(np AS INT) + 1), i ->
+        |             list_transform(range(i + 1, CAST(np AS INT) + 1), j ->
+        |               CAST(sign(a[j].y - a[i].y) AS BIGINT))))), 0) AS BIGINT)
+        |           AS s_stat
+        |  FROM arr
+        |),
+        |t AS (
+        |  SELECT event_type, season,
+        |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |  FROM (SELECT event_type, season, y, CAST(count(*) AS BIGINT) AS t
+        |        FROM ss GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2
+        |),
+        |pooled AS (
+        |  SELECT st.event_type,
+        |         CAST(sum(st.np) AS BIGINT) AS n_points,
+        |         CAST(count(*) AS BIGINT) AS n_seasons,
+        |         CAST(sum(st.s_stat) AS BIGINT) AS s_stat,
+        |         CAST(sum(st.np * (st.np - 1) * (2 * st.np + 5) - t.tsum)
+        |              AS BIGINT) AS vn
+        |  FROM st JOIN t USING (event_type, season)
+        |  GROUP BY 1
+        |)
+        |SELECT event_type, n_points, n_seasons, s_stat,
+        |       round(CAST(vn AS DOUBLE) / 18.0, 4) AS var_s,
+        |       round(CASE WHEN vn <= 0 THEN NULL
+        |                  ELSE (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |                             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |                             ELSE 0.0 END)
+        |                       / sqrt(CAST(vn AS DOUBLE) / 18.0) END, 4) AS z
+        |FROM pooled ORDER BY event_type""".stripMargin)
 }

@@ -102,6 +102,56 @@ class Round16cOpsSpec extends SparkSpec {
     assert(out == ((2L, 2L, 0.025)))
   }
 
+  test("brunnerMunzel: hand-computed five-point fixture") {
+    // A={1,1,2}, B={2,3} cents: Q_A={0,0,1}, Q_B={5,6} ->
+    // p̂=11/12, S²_A=1/12, S²_B=1/8, W = 12.5/(5·√0.5)
+    val rows = Seq(("a", 0.01), ("a", 0.01), ("a", 0.02),
+      ("b", 0.02), ("b", 0.03))
+    val out = Rollups.brunnerMunzel(rows.toDF("g", "v"), "g", "v", "a", "b")
+      .select("n1", "n2", "p_hat", "w_bm")
+      .as[(Long, Long, Double, Double)].head()
+    val md = 11.0 / (2.0 * 2) - 1.0 / (2.0 * 3) + (2.0 - 3.0) / 2.0
+    val w = 3.0 * 2 * md / (5.0 * math.sqrt(3.0 / 12 + 2.0 / 8))
+    assert(out == ((3L, 2L, r4(11.0 / 12), r4(w))))
+  }
+
+  test("ansariLepage: centered-B fixture gives z_w = 0, z_ab² = 3") {
+    // A={1,4}, B={2,3}: AB doubled scores 2,4,4,2 -> z_a = -8/√(64/3)
+    val rows = Seq(("a", 0.01), ("a", 0.04), ("b", 0.02), ("b", 0.03))
+    val out = Rollups.ansariLepage(rows.toDF("g", "v"), "g", "v", "a", "b")
+      .select("n1", "n2", "z_w", "z_ab", "lepage")
+      .as[(Long, Long, Double, Double, Double)].head()
+    val za = -8.0 / math.sqrt(64.0 / 3)
+    assert(out == ((2L, 2L, 0.0, r4(za), r4(0.0 + za * za))))
+  }
+
+  test("quade: hand-traced three-block fixture") {
+    // b1(x=1,y=3) b2(x=2,y=4) b3(x=1,y=5): ranges 2,2,4 -> Q2 3,3,6;
+    // S4_x=-12, S4_y=12 -> F = 2·288/(3·108-288) = 16
+    val rows = Seq((1L, "x", 1L), (1L, "y", 3L), (2L, "x", 2L),
+      (2L, "y", 4L), (3L, "x", 1L), (3L, "y", 5L))
+    val out = Rollups.quade(rows.toDF("b", "tr", "v"), "b", "tr", "v")
+      .select("n_blocks", "k", "f_quade").as[(Long, Long, Double)].head()
+    assert(out == ((3L, 2L, 16.0)))
+  }
+
+  test("quade: perfect agreement yields null F") {
+    val rows = Seq((1L, "x", 1L), (1L, "y", 3L), (2L, "x", 2L), (2L, "y", 4L))
+    val out = Rollups.quade(rows.toDF("b", "tr", "v"), "b", "tr", "v")
+      .select("f_quade").as[Option[Double]].head()
+    assert(out.isEmpty)
+  }
+
+  test("seasonalMannKendall: monotone series pools per-season folds") {
+    // period 2 over x=t, t=1..6: S = 3+3, vn = 2·66, z = 5/√(132/18)
+    val rows = (1 to 6).map(i => ("k", i.toLong, i.toLong))
+    val out = Rollups.seasonalMannKendall(rows.toDF("k", "t", "x"),
+        Seq("k"), "t", "x", period = 2)
+      .select("n_points", "n_seasons", "s_stat", "var_s", "z")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out == ((6L, 2L, 6L, r4(132.0 / 18), r4(5.0 / math.sqrt(132.0 / 18)))))
+  }
+
   test("theilU: hand-computed 2x2 with one predictive column") {
     // cells: (a,p)=2 (b,p)=2 (b,q)=4: H(X)=-(.25 ln .25 + .75 ln .75),
     // H(X|Y)=-(2/8 ln(1/2) * 2)
