@@ -483,6 +483,53 @@ private[operators] trait RollupsAgreement {
           .as("f_quade"))
   }
 
+  /** Hosmer–Lemeshow calibration χ² (F119) — the goodness-of-fit
+    * companion to F39's ECE: ECE reports HOW FAR predicted
+    * probabilities sit from observed rates; HL asks whether the gaps
+    * are LARGER THAN CHANCE, χ² = Σ_g (O_g−E_g)²/(E_g(1−E_g/n_g))
+    * over probability deciles (χ²_{g−2} null). The significance gate
+    * on a reliability diagram.
+    *
+    * Exactness: predictions arrive as exact basis-point integers
+    * (round(p·10⁴), the q183 convention), so each bin term is the
+    * EXACT integer ratio (O·10⁴ − Sq)²·n / (Sq·(n·10⁴ − Sq)) — one
+    * double per bin, NANO-floored (1e9 — pico would overflow a long
+    * on a pathologically miscalibrated big bin) before the ≤`bins`
+    * sum (order-free, the q396 contract). Bins with E = 0 or E = n
+    * (no information) drop, the standard practice.
+    *
+    * Output: one row (n, g, dof, hl_chi2), 4dp.
+    */
+  def hosmerLemeshow(
+      df: DataFrame,
+      pCol: String,
+      yCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 3)
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val perBin = df
+      .withColumn("__bin",
+        least(floor(col(pCol) * bins).cast("int"), lit(bins - 1)))
+      .groupBy("__bin")
+      .agg(count(lit(1)).as("__ng"),
+        sum(when(col(yCol), 1L).otherwise(0L)).as("__og"),
+        sum(round(col(pCol) * 10000).cast("long")).as("__sq"))
+      .filter(col("__sq") > 0 && col("__sq") < col("__ng") * 10000L)
+    val diff = col("__og").cast(dec) * 10000L - col("__sq").cast(dec)
+    perBin
+      .withColumn("__term",
+        floor(d(diff * diff * col("__ng").cast(dec)) /
+          d(col("__sq").cast(dec) *
+            (col("__ng").cast(dec) * 10000L - col("__sq").cast(dec))) *
+          1e9 + 0.5).cast("long"))
+      .groupBy()
+      .agg(sum("__ng").as("n"), count(lit(1)).as("g"),
+        sum("__term").as("__ts"))
+      .select(col("n"), col("g"), (col("g") - 2L).as("dof"),
+        round(d(col("__ts")) / 1e9, 4).as("hl_chi2"))
+  }
+
   /** Theil's uncertainty coefficient U(X|Y) (F118) — the ASYMMETRIC
     * normalized dependence: what fraction of X's entropy does knowing
     * Y remove, U = (H(X) − H(X|Y))/H(X) ∈ [0,1]. F20's MI says how

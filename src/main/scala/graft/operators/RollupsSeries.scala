@@ -123,6 +123,228 @@ private[operators] trait RollupsSeries {
           .as("z")): _*)
   }
 
+  /** Chow structural-break test per keyed series (D44) — did the
+    * linear trend CHANGE at the series midpoint: fit OLS x-on-t to
+    * each half and pooled, F = ((RSS_p − RSS₁ − RSS₂)/2) /
+    * ((RSS₁+RSS₂)/(n−4)). The "did the regime shift" companion to
+    * D16's single-changepoint LOCATION search — Chow TESTS a known
+    * break (here the midpoint, the standard default) with a real
+    * F-geometry instead of a scan.
+    *
+    * Exactness: t recenters to the per-key min (small integers);
+    * every segment RSS is the exact-integer ratio
+    * (C_yy·C_xx − C_xy²)/(m·C_xx) — products stay in decimal(38,0),
+    * ONE double division each; F is one pinned chain, 4dp.
+    *
+    * Scale shape: one key-grain extent combine broadcast back, one
+    * (key, segment) moment combine, one key-grain reduce.
+    *
+    * Output: keys ++ (n, break_t, rss_pooled, rss_split, f_chow) —
+    * null F when a segment degenerates (m < 3 or constant t).
+    */
+  def chowTest(
+      df: DataFrame,
+      keys: Seq[String],
+      tCol: String,
+      valCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val base = df.select(keys.map(col) ++ Seq(
+      col(tCol).cast("long").as("__t"), col(valCol).cast("long").as("__y")): _*)
+      .localCheckpoint() // feeds the extent probe and the moment pass
+    val ext = base.groupBy(keys.map(col): _*)
+      .agg(min("__t").as("__tmin"), max("__t").as("__tmax"))
+      .withColumn("__tbrk", (col("__tmin") + col("__tmax")).divide(2)
+        .cast("long"))
+    val seg = base.join(broadcast(ext), keys)
+      .withColumn("__tr", col("__t") - col("__tmin"))
+      .withColumn("__s", when(col("__t") <= col("__tbrk"), 1).otherwise(2))
+    def moments(g: DataFrame, gk: Seq[String]): DataFrame = g
+      .groupBy(gk.map(col): _*)
+      .agg(count(lit(1)).as("__m"),
+        sum(col("__tr").cast(dec)).as("__st"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__tr").cast(dec) * col("__tr")).as("__stt"),
+        sum(col("__tr").cast(dec) * col("__y")).as("__sty"),
+        sum(col("__y").cast(dec) * col("__y")).as("__syy"))
+    // RSS numerator/denominator as exact decimals; null when C_tt = 0
+    def rss(pre: String): Column = {
+      val m = col(s"${pre}m").cast(dec)
+      val ctt = m * col(s"${pre}stt") - col(s"${pre}st") * col(s"${pre}st")
+      val cty = m * col(s"${pre}sty") - col(s"${pre}st") * col(s"${pre}sy")
+      val cyy = m * col(s"${pre}syy") - col(s"${pre}sy") * col(s"${pre}sy")
+      when(ctt > 0 && col(s"${pre}m") >= 3L,
+        d(cyy * ctt - cty * cty) / d(m * ctt))
+    }
+    val perSeg = moments(seg, keys :+ "__s")
+    val wide = perSeg.groupBy(keys.map(col): _*).agg(
+      sum("__m").as("__pm"),
+      sum("__st").as("__pst"), sum("__sy").as("__psy"),
+      sum("__stt").as("__pstt"), sum("__sty").as("__psty"),
+      sum("__syy").as("__psyy"),
+      max(when(col("__s") === 1, col("__m"))).as("__am"),
+      max(when(col("__s") === 1, col("__st"))).as("__ast"),
+      max(when(col("__s") === 1, col("__sy"))).as("__asy"),
+      max(when(col("__s") === 1, col("__stt"))).as("__astt"),
+      max(when(col("__s") === 1, col("__sty"))).as("__asty"),
+      max(when(col("__s") === 1, col("__syy"))).as("__asyy"),
+      max(when(col("__s") === 2, col("__m"))).as("__bm"),
+      max(when(col("__s") === 2, col("__st"))).as("__bst"),
+      max(when(col("__s") === 2, col("__sy"))).as("__bsy"),
+      max(when(col("__s") === 2, col("__stt"))).as("__bstt"),
+      max(when(col("__s") === 2, col("__sty"))).as("__bsty"),
+      max(when(col("__s") === 2, col("__syy"))).as("__bsyy"))
+    wide
+      .withColumn("__rssp", rss("__p"))
+      .withColumn("__rssa", rss("__a"))
+      .withColumn("__rssb", rss("__b"))
+      .join(broadcast(ext.select(keys.map(col) :+ col("__tbrk"): _*)), keys)
+      .select(keys.map(col) ++ Seq(
+        col("__pm").cast("long").as("n"), col("__tbrk").as("break_t"),
+        round(col("__rssp"), 4).as("rss_pooled"),
+        round(col("__rssa") + col("__rssb"), 4).as("rss_split"),
+        round(when(col("__rssa") + col("__rssb") > 0 && col("__pm") > 4L,
+          ((col("__rssp") - col("__rssa") - col("__rssb")) / 2.0) /
+            ((col("__rssa") + col("__rssb")) / d(col("__pm") - 4L))), 4)
+          .as("f_chow")): _*)
+  }
+
+  /** Partial autocorrelation φ₁₁..φ₃₃ per keyed series (D46) — the
+    * AR-order fingerprint: ACF says "correlated at lag k", PACF says
+    * "correlated at lag k AFTER regressing out lags 1..k−1" — an
+    * AR(p) process cuts off after φ_pp, which is how the Box–Jenkins
+    * order choice is read. Closed-form Durbin–Levinson on the first
+    * three ACF values: φ₂₂ = (r₂−r₁²)/(1−r₁²), φ₂₁ = r₁(1−φ₂₂),
+    * φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁)/(1 − φ₂₁r₁ − φ₂₂r₂).
+    *
+    * Exactness: each r_k is the ljungBox one-mean multiply-through —
+    * ONE double ratio of exact decimal sums with gap-proof
+    * time-arithmetic lag pairing; the recursion is a pinned double
+    * chain on those identical inputs. 4dp only at the projection.
+    *
+    * Output: keys ++ (n, phi1, phi2, phi3) — nulls cascade from
+    * degenerate denominators.
+    */
+  def pacf(
+      df: DataFrame,
+      keys: Seq[String],
+      tCol: String,
+      valCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val maxLag = 3
+    val base = df
+      .select(keys.map(col) ++ Seq(col(tCol).cast("long").as("__t"),
+        col(valCol).cast("long").as("__x")): _*)
+      .localCheckpoint()
+    val tot = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"))
+    val part = base.select(
+      (keys.map(col) :+ col("__t").as("__tp") :+ col("__x").as("__xp")): _*)
+    val perLag = base
+      .select(keys.map(col) ++ Seq(col("__t"), col("__x").cast(dec).as("__xc"),
+        explode(array((1 to maxLag).map(k => lit(k.toLong)): _*)).as("__k")): _*)
+      .withColumn("__tp", col("__t") - col("__k"))
+      .join(part, (keys :+ "__tp").toSeq)
+      .groupBy(keys.map(col) :+ col("__k"): _*)
+      .agg(count(lit(1)).cast(dec).as("__m"),
+        sum(col("__xc") * col("__xp").cast(dec)).as("__sxy"),
+        sum(col("__xc")).as("__sxt"),
+        sum(col("__xp").cast(dec)).as("__sxp"))
+    val n = col("__n").cast(dec)
+    val num = n * n * col("__sxy") -
+      n * col("__sx") * (col("__sxt") + col("__sxp")) +
+      col("__m") * col("__sx") * col("__sx")
+    val den = n * (n * col("__sxx") - col("__sx") * col("__sx"))
+    val rhos = perLag
+      .join(tot, keys)
+      .withColumn("__rho", when(den > 0, d(num) / d(den)))
+      .groupBy(keys.map(col): _*)
+      .agg(max("__n").as("n"),
+        max(when(col("__k") === 1L, col("__rho"))).as("__r1"),
+        max(when(col("__k") === 2L, col("__rho"))).as("__r2"),
+        max(when(col("__k") === 3L, col("__rho"))).as("__r3"))
+    rhos
+      .withColumn("__p22",
+        when(abs(lit(1.0) - col("__r1") * col("__r1")) > 0,
+          (col("__r2") - col("__r1") * col("__r1")) /
+            (lit(1.0) - col("__r1") * col("__r1"))))
+      .withColumn("__p21", col("__r1") * (lit(1.0) - col("__p22")))
+      .withColumn("__d3",
+        lit(1.0) - col("__p21") * col("__r1") - col("__p22") * col("__r2"))
+      .select(keys.map(col) ++ Seq(col("n"),
+        round(col("__r1"), 4).as("phi1"),
+        round(col("__p22"), 4).as("phi2"),
+        round(when(abs(col("__d3")) > 0,
+          (col("__r3") - col("__p21") * col("__r2") -
+            col("__p22") * col("__r1")) / col("__d3")), 4).as("phi3")): _*)
+  }
+
+  /** Engle–Granger cointegration screen for one series pair (D47) —
+    * do two trending series share ONE stochastic trend: OLS y-on-x,
+    * then the D40 Dickey–Fuller τ on the residual. Stationary
+    * residual (τ below the EG critical values, ≈ −3.37 at 5%) means
+    * the spread mean-reverts — the pairs-trading / shared-driver
+    * test that correlation (which integrated series fake) cannot be.
+    *
+    * Exactness: β = C_xy/C_xx from exact decimals; the residual is
+    * carried SCALED-EXACT — E_t = C_xx(n·y_t − S_y) − C_xy(n·x_t −
+    * S_x) = n·C_xx·e_t in decimal(38,0) — then quantized once to
+    * integer micro-units via the engine-identical floor(E/(n·C_xx)
+    * ·1e6 + 0.5) (decimal→double casts are IEEE-deterministic), and
+    * the DF regression runs on those exact integers via
+    * [[RollupsInference.dickeyFuller]].
+    *
+    * Output: one row (n, beta, alpha, gamma, tau).
+    */
+  def engleGranger(
+      df: DataFrame,
+      tCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    // no checkpoint: the caller's series IS an aggregate (day grain),
+    // and PlanLint must SEE that aggregate below the DF lag window to
+    // classify the residual frame grain-collapsed; the dual read
+    // (moments + residuals) recomputes a key-grain combine — cheap
+    val base = df.select(col(tCol).cast("long").as("__t"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val m = base.agg(count(lit(1)).as("__n"),
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum(col("__y").cast(dec)).as("__sy"),
+      sum(col("__x").cast(dec) * col("__x")).as("__sxx"),
+      sum(col("__x").cast(dec) * col("__y")).as("__sxy"))
+      .withColumn("__cxx",
+        col("__n").cast(dec) * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__cxy",
+        col("__n").cast(dec) * col("__sxy") - col("__sx") * col("__sy"))
+    val res = base.crossJoin(broadcast(m))
+      .filter(col("__cxx") > 0)
+      .withColumn("__e",
+        col("__cxx") * (col("__n").cast(dec) * col("__y") - col("__sy")) -
+          col("__cxy") * (col("__n").cast(dec) * col("__x") - col("__sx")))
+      .withColumn("__ru",
+        floor(d(col("__e")) / d(col("__n").cast(dec) * col("__cxx")) * 1e6 +
+          0.5).cast("long"))
+      .withColumn("__k", lit(1))
+    val df0 = Rollups.dickeyFuller(res, Seq("__k"), "__t", "__ru")
+      .select(col("n").as("__dfn"), col("gamma"), col("tau"))
+    // left on true: a degenerate pair (C_xx = 0) still reports its one
+    // row, with null gamma/tau
+    m.join(broadcast(df0), lit(true), "left")
+      .select(col("__n").as("n"),
+        round(when(col("__cxx") > 0, d(col("__cxy")) / d(col("__cxx"))), 4)
+          .as("beta"),
+        round(when(col("__cxx") > 0,
+          (d(col("__sy")) - (d(col("__cxy")) / d(col("__cxx"))) *
+            d(col("__sx"))) / d(col("__n"))), 4).as("alpha"),
+        col("gamma"), col("tau"))
+  }
+
   /** Seasonal Mann–Kendall trend test per keyed series (D45, Hirsch &
     * Slack 1984) — D23's S statistic computed WITHIN each season
     * (t mod `period`) and pooled: S = ΣS_s, Var = ΣVar_s. A weekly

@@ -150,6 +150,51 @@ private[graft] object SeriesStatsQueries {
       Rollups.seasonalMannKendall(daily, Seq("event_type"), "day", "cnt",
         period = 7)
         .orderBy("event_type")
+    }),
+    "q419_chow" -> ((s, dir) => {
+      // D44 Chow structural break at the series midpoint on the daily
+      // event-count trend per type: did the regime shift — the known-
+      // break F companion to q196's changepoint SCAN
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.chowTest(daily, Seq("event_type"), "day", "cnt")
+        .orderBy("event_type")
+    }),
+    "q420_pacf" -> ((s, dir) => {
+      // D46 PACF φ₁₁..φ₃₃ per daily event-count series: the AR-order
+      // fingerprint via closed-form Durbin–Levinson on q228's exact
+      // one-mean ACF ratios — where does the direct correlation cut
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Rollups.pacf(daily, Seq("event_type"), "day", "cnt")
+        .orderBy("event_type")
+    }),
+    "q421_coint" -> ((s, dir) => {
+      // D47 Engle–Granger screen on daily click vs view counts: OLS
+      // spread + q402's DF τ on the SCALED-EXACT residual — do the
+      // two series share one stochastic trend (correlation can't say)
+      val t = Tables(s, dir)
+      val daily = t.events
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+      Rollups.engleGranger(daily, "day", "x", "y")
+    }),
+    "q422_hosmer_lemeshow" -> ((s, dir) => {
+      // F119 HL calibration χ² on q183's reliability frame (quality
+      // deciles × Gopher pass): are the calibration gaps larger than
+      // chance — the significance gate q262's ECE stops short of
+      val t = Tables(s, dir)
+      val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
+      Rollups.hosmerLemeshow(scored, "quality", "gopher_pass")
     }))
 
   val oracles: Seq[(String, String)] = Seq(
@@ -702,5 +747,264 @@ private[graft] object SeriesStatsQueries {
         |                             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
         |                             ELSE 0.0 END)
         |                       / sqrt(CAST(vn AS DOUBLE) / 18.0) END, 4) AS z
-        |FROM pooled ORDER BY event_type""".stripMargin)
+        |FROM pooled ORDER BY event_type""".stripMargin,
+    // Chow replay: same midpoint break, recentered t, exact HUGEINT
+    // segment moments, RSS = (Cyy·Cxx − Cxy²)/(m·Cxx) exact-integer
+    // ratios, one pinned F chain.
+    "q419_chow" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |),
+        |ext AS MATERIALIZED (
+        |  SELECT event_type, min(day) AS tmin, max(day) AS tmax,
+        |         (min(day) + max(day)) // 2 AS tbrk
+        |  FROM daily GROUP BY 1
+        |),
+        |seg AS (
+        |  SELECT d.event_type, d.day - e.tmin AS tr, d.cnt AS y,
+        |         CASE WHEN d.day <= e.tbrk THEN 1 ELSE 2 END AS s
+        |  FROM daily d JOIN ext e USING (event_type)
+        |),
+        |ms AS (
+        |  SELECT event_type, s, CAST(count(*) AS HUGEINT) AS m,
+        |         CAST(sum(CAST(tr AS HUGEINT)) AS HUGEINT) AS st,
+        |         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(tr AS HUGEINT) * tr) AS HUGEINT) AS stt,
+        |         CAST(sum(CAST(tr AS HUGEINT) * y) AS HUGEINT) AS sty,
+        |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM seg GROUP BY 1, 2
+        |),
+        |wide AS (
+        |  SELECT event_type,
+        |         sum(m) AS pm, sum(st) AS pst, sum(sy) AS psy,
+        |         sum(stt) AS pstt, sum(sty) AS psty, sum(syy) AS psyy,
+        |         max(CASE WHEN s = 1 THEN m END) AS am,
+        |         max(CASE WHEN s = 1 THEN st END) AS ast,
+        |         max(CASE WHEN s = 1 THEN sy END) AS asy,
+        |         max(CASE WHEN s = 1 THEN stt END) AS astt,
+        |         max(CASE WHEN s = 1 THEN sty END) AS asty,
+        |         max(CASE WHEN s = 1 THEN syy END) AS asyy,
+        |         max(CASE WHEN s = 2 THEN m END) AS bm,
+        |         max(CASE WHEN s = 2 THEN st END) AS bst,
+        |         max(CASE WHEN s = 2 THEN sy END) AS bsy,
+        |         max(CASE WHEN s = 2 THEN stt END) AS bstt,
+        |         max(CASE WHEN s = 2 THEN sty END) AS bsty,
+        |         max(CASE WHEN s = 2 THEN syy END) AS bsyy
+        |  FROM ms GROUP BY 1
+        |),
+        |r AS (
+        |  SELECT event_type, pm,
+        |         CASE WHEN pm * pstt - pst * pst > 0 AND pm >= 3 THEN
+        |           CAST((pm * psyy - psy * psy) * (pm * pstt - pst * pst)
+        |                - (pm * psty - pst * psy) * (pm * psty - pst * psy)
+        |                AS DOUBLE)
+        |           / CAST(pm * (pm * pstt - pst * pst) AS DOUBLE) END AS rssp,
+        |         CASE WHEN am * astt - ast * ast > 0 AND am >= 3 THEN
+        |           CAST((am * asyy - asy * asy) * (am * astt - ast * ast)
+        |                - (am * asty - ast * asy) * (am * asty - ast * asy)
+        |                AS DOUBLE)
+        |           / CAST(am * (am * astt - ast * ast) AS DOUBLE) END AS rssa,
+        |         CASE WHEN bm * bstt - bst * bst > 0 AND bm >= 3 THEN
+        |           CAST((bm * bsyy - bsy * bsy) * (bm * bstt - bst * bst)
+        |                - (bm * bsty - bst * bsy) * (bm * bsty - bst * bsy)
+        |                AS DOUBLE)
+        |           / CAST(bm * (bm * bstt - bst * bst) AS DOUBLE) END AS rssb
+        |  FROM wide
+        |)
+        |SELECT r.event_type, CAST(r.pm AS BIGINT) AS n, e.tbrk AS break_t,
+        |       round(rssp, 4) AS rss_pooled,
+        |       round(rssa + rssb, 4) AS rss_split,
+        |       round(CASE WHEN rssa + rssb > 0 AND pm > 4 THEN
+        |             ((rssp - rssa - rssb) / 2.0)
+        |             / ((rssa + rssb) / CAST(pm - 4 AS DOUBLE)) END, 4)
+        |         AS f_chow
+        |FROM r JOIN ext e USING (event_type) ORDER BY event_type""".stripMargin,
+    // PACF replay: the q343 one-mean multiply-through ACF at lags
+    // 1..3 (time-arithmetic pairing), then the identical pinned
+    // Durbin-Levinson chain on the unrounded rho doubles.
+    "q420_pacf" ->
+      """WITH s AS MATERIALIZED (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |),
+        |tot AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(x) AS HUGEINT) AS sx,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM s GROUP BY 1
+        |),
+        |pr AS (
+        |  SELECT a.event_type, ks.k,
+        |         CAST(count(*) AS HUGEINT) AS m,
+        |         CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy,
+        |         CAST(sum(a.x) AS HUGEINT) AS sxt,
+        |         CAST(sum(b.x) AS HUGEINT) AS sxp
+        |  FROM s a
+        |  CROSS JOIN (SELECT unnest(range(1, 4)) AS k) ks
+        |  JOIN s b ON b.event_type = a.event_type
+        |          AND b.day = a.day - ks.k
+        |  GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT pr.event_type, pr.k, t.n,
+        |         CASE WHEN t.n * (t.n * t.sxx - t.sx * t.sx) > 0 THEN
+        |           CAST(t.n * t.n * pr.sxy - t.n * t.sx * (pr.sxt + pr.sxp)
+        |                + pr.m * t.sx * t.sx AS DOUBLE)
+        |           / CAST(t.n * (t.n * t.sxx - t.sx * t.sx) AS DOUBLE) END
+        |           AS rho
+        |  FROM pr JOIN tot t USING (event_type)
+        |),
+        |wide AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |         max(CASE WHEN k = 1 THEN rho END) AS r1,
+        |         max(CASE WHEN k = 2 THEN rho END) AS r2,
+        |         max(CASE WHEN k = 3 THEN rho END) AS r3
+        |  FROM r GROUP BY 1
+        |),
+        |dl AS (
+        |  SELECT event_type, n, r1, r2, r3,
+        |         CASE WHEN abs(1.0 - r1 * r1) > 0 THEN
+        |           (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p22
+        |  FROM wide
+        |),
+        |dl2 AS (
+        |  SELECT event_type, n, r1, r2, r3, p22,
+        |         r1 * (1.0 - p22) AS p21
+        |  FROM dl
+        |),
+        |dl3 AS (
+        |  SELECT event_type, n, r1, r2, r3, p22, p21,
+        |         1.0 - p21 * r1 - p22 * r2 AS d3
+        |  FROM dl2
+        |)
+        |SELECT event_type, n, round(r1, 4) AS phi1, round(p22, 4) AS phi2,
+        |       round(CASE WHEN abs(d3) > 0 THEN
+        |             (r3 - p21 * r2 - p22 * r1) / d3 END, 4) AS phi3
+        |FROM dl3 ORDER BY event_type""".stripMargin,
+    // Engle-Granger replay: exact HUGEINT OLS moments, the
+    // scaled-exact residual E = Cxx(ny-Sy) - Cxy(nx-Sx) floored once
+    // to integer micro-units, then the q402 DF chain on the
+    // position-lagged residual series.
+    "q421_coint" ->
+      """WITH dly AS MATERIALIZED (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS x,
+        |         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+        |),
+        |mm AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM dly
+        |),
+        |c AS (
+        |  SELECT n, sx, sy, n * sxx - sx * sx AS cxx, n * sxy - sx * sy AS cxy
+        |  FROM mm
+        |),
+        |res AS MATERIALIZED (
+        |  SELECT d.day,
+        |         CAST(floor(CAST(c.cxx * (c.n * d.y - c.sy)
+        |                         - c.cxy * (c.n * d.x - c.sx) AS DOUBLE)
+        |                    / CAST(c.n * c.cxx AS DOUBLE) * 1e6 + 0.5)
+        |              AS BIGINT) AS ru
+        |  FROM dly d CROSS JOIN c WHERE c.cxx > 0
+        |),
+        |b AS (SELECT ru, lag(ru) OVER (ORDER BY day) AS z FROM res),
+        |m2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+        |         CAST(sum(CAST(ru - z AS HUGEINT)) AS HUGEINT) AS sdy,
+        |         CAST(sum(CAST(z AS HUGEINT) * (ru - z)) AS HUGEINT) AS szy,
+        |         CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+        |         CAST(sum(CAST(ru - z AS HUGEINT) * (ru - z)) AS HUGEINT) AS syy
+        |  FROM b WHERE z IS NOT NULL
+        |),
+        |c2 AS (
+        |  SELECT m, szz * m - sz * sz AS czz, szy * m - sz * sdy AS czy,
+        |         syy * m - sdy * sdy AS cyy
+        |  FROM m2
+        |),
+        |df AS (
+        |  SELECT round(CASE WHEN czz > 0
+        |               THEN CAST(czy AS DOUBLE) / CAST(czz AS DOUBLE) END, 4)
+        |           AS gamma,
+        |         round(CASE WHEN czz > 0 AND m >= 3
+        |                    AND CAST(cyy AS DOUBLE)
+        |                        - CAST(czy AS DOUBLE) * CAST(czy AS DOUBLE)
+        |                          / CAST(czz AS DOUBLE) > 0 THEN
+        |               (CAST(czy AS DOUBLE) / CAST(czz AS DOUBLE)) /
+        |               sqrt((CAST(cyy AS DOUBLE)
+        |                     - CAST(czy AS DOUBLE) * CAST(czy AS DOUBLE)
+        |                       / CAST(czz AS DOUBLE)) /
+        |                    ((CAST(m AS DOUBLE) - 2.0) * CAST(czz AS DOUBLE)))
+        |               END, 4) AS tau
+        |  FROM c2
+        |)
+        |SELECT CAST(c.n AS BIGINT) AS n,
+        |       round(CASE WHEN c.cxx > 0
+        |             THEN CAST(c.cxy AS DOUBLE) / CAST(c.cxx AS DOUBLE) END, 4)
+        |         AS beta,
+        |       round(CASE WHEN c.cxx > 0 THEN
+        |             (CAST(c.sy AS DOUBLE)
+        |              - (CAST(c.cxy AS DOUBLE) / CAST(c.cxx AS DOUBLE))
+        |                * CAST(c.sx AS DOUBLE)) / CAST(c.n AS DOUBLE) END, 4)
+        |         AS alpha,
+        |       df.gamma, df.tau
+        |FROM c LEFT JOIN df ON true""".stripMargin,
+    // HL replay: the q183 quality/gopher scaffold; exact basis-point
+    // bin moments, the exact-integer term ratio, nano-floor
+    // contributions summed order-free.
+    "q422_hosmer_lemeshow" ->
+      s"""WITH $GopherDocSql,
+         |base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST((CAST(4 * least(n_tokens, 100) * n_tokens
+         |                    + 300 * len(list_distinct(w))
+         |                    + 300 * (n_tokens - len(list_filter(w, x -> x = 'the'))
+         |                                      - len(list_filter(w, x -> x = 'a')))
+         |               AS BIGINT)
+         |               * 20000 + 1000 * n_tokens) // (2000 * n_tokens) AS DOUBLE)
+         |           / 10000.0 AS quality
+         |  FROM base
+         |),
+         |g AS (SELECT doc_id, (${gopherPassPred(2)}) AS gopher_pass FROM d),
+         |sc AS (
+         |  SELECT least(CAST(floor(quality * 10) AS INT), 9) AS bin,
+         |         quality, gopher_pass
+         |  FROM q JOIN g USING (doc_id)
+         |),
+         |pb AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS ng,
+         |         CAST(count(CASE WHEN gopher_pass THEN 1 END) AS BIGINT) AS og,
+         |         CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS BIGINT)
+         |           AS sq
+         |  FROM sc GROUP BY 1
+         |),
+         |v AS (SELECT * FROM pb WHERE sq > 0 AND sq < ng * 10000),
+         |tm AS (
+         |  SELECT ng,
+         |         CAST(floor(
+         |           CAST((CAST(og AS HUGEINT) * 10000 - sq)
+         |                * (CAST(og AS HUGEINT) * 10000 - sq) * ng AS DOUBLE)
+         |           / CAST(CAST(sq AS HUGEINT)
+         |                  * (CAST(ng AS HUGEINT) * 10000 - sq) AS DOUBLE)
+         |           * 1e9 + 0.5) AS BIGINT) AS term
+         |  FROM v
+         |)
+         |SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS g,
+         |       CAST(count(*) - 2 AS BIGINT) AS dof,
+         |       round(CAST(sum(term) AS DOUBLE) / 1e9, 4) AS hl_chi2
+         |FROM tm""".stripMargin)
 }

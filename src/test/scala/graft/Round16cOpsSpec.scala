@@ -152,6 +152,55 @@ class Round16cOpsSpec extends SparkSpec {
     assert(out == ((6L, 2L, 6L, r4(132.0 / 18), r4(5.0 / math.sqrt(132.0 / 18)))))
   }
 
+  test("chowTest: hand-computed six-day fixture with midpoint break") {
+    // days 10..15, y=[1,2,4,10,11,13]: both halves RSS=1/6,
+    // pooled RSS=4584/630 -> F=((RSSp-1/3)/2)/((1/3)/2)
+    val ys = Seq(1L, 2L, 4L, 10L, 11L, 13L)
+    val rows = ys.zipWithIndex.map { case (y, i) => ("k", (10 + i).toLong, y) }
+    val out = Rollups.chowTest(rows.toDF("k", "t", "y"), Seq("k"), "t", "y")
+      .select("n", "break_t", "rss_pooled", "rss_split", "f_chow")
+      .as[(Long, Long, Double, Double, Double)].head()
+    val rssp = 4584.0 / 630
+    val split = 1.0 / 6 + 1.0 / 6
+    val f = ((rssp - 1.0 / 6 - 1.0 / 6) / 2.0) / (split / 2.0)
+    assert(out == ((6L, 12L, r4(rssp), r4(split), r4(f))))
+  }
+
+  test("pacf: alternating series hand-computed Durbin-Levinson") {
+    // x=[1,2,1,2,1,2]: r1=-45/54, r2=36/54, r3=-27/54 -> phi3=0.1
+    val rows = Seq(1L, 2L, 1L, 2L, 1L, 2L).zipWithIndex
+      .map { case (x, i) => ("k", (i + 1).toLong, x) }
+    val out = Rollups.pacf(rows.toDF("k", "t", "x"), Seq("k"), "t", "x")
+      .select("n", "phi1", "phi2", "phi3")
+      .as[(Long, Double, Double, Double)].head()
+    val r1 = -45.0 / 54; val r2 = 36.0 / 54; val r3 = -27.0 / 54
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 * (1.0 - p22)
+    val phi3 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    assert(out == ((6L, r4(r1), r4(p22), r4(phi3))))
+  }
+
+  test("engleGranger: hand-computed three-point pair") {
+    // x=[1,2,3], y=[2,4,7]: beta=2.5, alpha=-2/3; residual micros
+    // {166667,-333333,166667} -> DF gamma=-2 exactly, tau null (m=2)
+    val rows = Seq((1L, 1L, 2L), (2L, 2L, 4L), (3L, 3L, 7L))
+    val out = Rollups.engleGranger(rows.toDF("t", "x", "y"), "t", "x", "y")
+      .select("n", "beta", "alpha", "gamma", "tau")
+      .as[(Long, Double, Double, Double, Option[Double])].head()
+    assert(out == ((3L, 2.5, r4(-2.0 / 3), -2.0, None)))
+  }
+
+  test("hosmerLemeshow: symmetric two-bin fixture") {
+    // bin0: p=.05 x4 O=1; bin9: p=.95 x4 O=3 -> term 2.56e8/7.6e7 each
+    val rows = Seq.fill(3)((0.05, false)) ++ Seq((0.05, true)) ++
+      Seq.fill(3)((0.95, true)) ++ Seq((0.95, false))
+    val out = Rollups.hosmerLemeshow(rows.toDF("p", "y"), "p", "y")
+      .select("n", "g", "dof", "hl_chi2")
+      .as[(Long, Long, Long, Double)].head()
+    val term = math.floor(2.56e8 / 7.6e7 * 1e9 + 0.5) / 1e9
+    assert(out == ((8L, 2L, 0L, r4(2 * term))))
+  }
+
   test("theilU: hand-computed 2x2 with one predictive column") {
     // cells: (a,p)=2 (b,p)=2 (b,q)=4: H(X)=-(.25 ln .25 + .75 ln .75),
     // H(X|Y)=-(2/8 ln(1/2) * 2)
