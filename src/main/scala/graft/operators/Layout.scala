@@ -255,4 +255,64 @@ object Layout {
           .as("bloom_fp"))
       .orderBy("probe")
   }
+
+  /** Partition-layout advisor (I41) — scores candidate partition
+    * columns for a write layout BEFORE the data is laid down: for
+    * each candidate, the partition count (file/task fan-out), the
+    * hottest partition's row share (skew — one giant partition
+    * single-tasks every downstream read), total/max payload bytes,
+    * and how many partitions fall under `smallBytes` (the small-file
+    * problem I21 compacts after the fact — this advisor avoids
+    * creating it). The verdict is the HIVE-partitioning go/no-go:
+    * too many partitions → metadata explosion, skewed → stragglers,
+    * mostly-small → merge candidates.
+    *
+    * Exactness: rows/bytes are exact longs; skew publishes as the
+    * exact integer milli-ratio rows_max·1000·n_parts div rows_total
+    * (never a double compare — the q198 threshold contract); the
+    * verdict reads only those integers.
+    *
+    * Scale shape: ONE corpus scan to the finest (all candidate
+    * columns) cell grain; every candidate's partition table derives
+    * from that cell table by re-aggregation — adding a candidate
+    * costs a cell-grain combine, not a scan.
+    *
+    * Output: (candidate, n_parts, rows_total, rows_max, skew_milli,
+    * bytes_total, bytes_max, small_parts, verdict).
+    */
+  def partitionAdvisor(
+      df: DataFrame,
+      candidates: Seq[Seq[String]],
+      bytesCol: Column,
+      smallBytes: Long = 1L << 16,
+      maxParts: Long = 256L,
+      maxSkewMilli: Long = 8000L): DataFrame = {
+    require(candidates.nonEmpty)
+    val allCols = candidates.flatten.distinct
+    val cells = df
+      .groupBy(allCols.map(col): _*)
+      .agg(count(lit(1)).as("__rows"), sum(bytesCol).as("__bytes"))
+      .localCheckpoint() // one corpus scan feeds every candidate
+    val perCandidate = candidates.map { cand =>
+      val name = cand.mkString("/")
+      cells
+        .groupBy(cand.map(col): _*)
+        .agg(sum("__rows").as("__r"), sum("__bytes").as("__b"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum("__r").as("rows_total"), max("__r").as("rows_max"),
+          sum("__b").as("bytes_total"), max("__b").as("bytes_max"),
+          sum(when(col("__b") < smallBytes, 1L).otherwise(0L))
+            .as("small_parts"))
+        .select(lit(name).as("candidate"), col("n_parts"), col("rows_total"),
+          col("rows_max"),
+          expr("rows_max * 1000 * n_parts div rows_total").as("skew_milli"),
+          col("bytes_total"), col("bytes_max"), col("small_parts"))
+    }
+    perCandidate.reduce(_ unionByName _)
+      .withColumn("verdict",
+        when(col("n_parts") > maxParts, lit("high-cardinality"))
+          .when(col("skew_milli") > maxSkewMilli, lit("skewed"))
+          .when(col("small_parts") * 2L > col("n_parts"), lit("mostly-small"))
+          .otherwise(lit("ok")))
+  }
 }

@@ -483,6 +483,176 @@ private[operators] trait RollupsAgreement {
           .as("f_quade"))
   }
 
+  /** Fleiss' kappa (F121) — chance-corrected agreement for r RATERS
+    * per unit over k categories: the multi-annotator generalization
+    * F54's two-rater kappa can't cover, on the category-count matrix
+    * n_uj (how many of unit u's r raters chose category j). The
+    * labeling-project QA number when every document gets the same
+    * r annotators.
+    *
+    * Exactness: κ = (A·(nr)² − B·D)/(D·((nr)² − B)) with A = Σn²−nr,
+    * B = ΣC_j², D = n·r(r−1) — every term an exact decimal(38,0)
+    * product of counts; P̄ and P_e publish as pinned double ratios.
+    * Units not carrying exactly r ratings drop (the constant-panel
+    * requirement).
+    *
+    * Scale shape: one (unit, category) combine, one unit-grain
+    * combine, a category-grain marginal combine, a one-row reduce.
+    *
+    * Output: one row (n_units, n_raters, p_bar, p_e, kappa), 4dp.
+    */
+  def fleissKappa(
+      df: DataFrame,
+      unitCol: String,
+      catCol: String,
+      raters: Int): DataFrame = {
+    require(raters >= 2)
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val cells = df.groupBy(col(unitCol).as("__u"), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // feeds the unit rollup AND the marginals
+    val units = cells.groupBy("__u")
+      .agg(sum("__n").as("__r"), sum(col("__n") * col("__n")).as("__sq"))
+      .filter(col("__r") === raters.toLong)
+    val perUnit = units.agg(count(lit(1)).as("__nu"),
+      sum(col("__sq").cast(dec)).as("__a0"))
+    val marg = cells.join(units.select("__u"), "__u")
+      .groupBy("__c").agg(sum("__n").as("__cj"))
+      .agg(sum(col("__cj").cast(dec) * col("__cj").cast(dec)).as("__b"))
+    perUnit.crossJoin(broadcast(marg))
+      .withColumn("__n", col("__nu").cast(dec))
+      .withColumn("__r", lit(raters.toLong).cast(dec))
+      .withColumn("__nr", col("__n") * col("__r"))
+      .withColumn("__a", col("__a0") - col("__nr"))
+      .withColumn("__d", col("__n") * col("__r") * (col("__r") - lit(1L).cast(dec)))
+      .select(col("__nu").as("n_units"), lit(raters.toLong).as("n_raters"),
+        round(d(col("__a")) / d(col("__d")), 4).as("p_bar"),
+        round(d(col("__b")) / d(col("__nr") * col("__nr")), 4).as("p_e"),
+        round(when(col("__nr") * col("__nr") - col("__b") > 0,
+          d(col("__a") * col("__nr") * col("__nr") - col("__b") * col("__d")) /
+            d(col("__d") * (col("__nr") * col("__nr") - col("__b")))), 4)
+          .as("kappa"))
+  }
+
+  /** Intraclass correlation ICC(1,1) (F122) — one-way random-effects
+    * reliability of a NUMERIC rating: what share of total variance is
+    * between-unit (real signal) vs within-unit (rater noise), from
+    * the ANOVA mean squares: ICC = (MSB−MSW)/(MSB+(k−1)MSW). The
+    * continuous companion to [[fleissKappa]]'s categorical agreement
+    * — run both when ratings are ordinal scores.
+    *
+    * Exactness: with U = ΣT_u², V = Σy², G the grand total, the
+    * common scale nk(n−1)(k−1) gives ICC = (a−b)/(a+(k−1)b) with
+    * a = (nU−G²)(k−1), b = (kV−U)(n−1) — exact decimal products;
+    * MSB/MSW publish as pinned double ratios. Units without exactly
+    * k ratings drop.
+    *
+    * Output: one row (n_units, k, msb, msw, icc), 4dp.
+    */
+  def iccOneWay(
+      df: DataFrame,
+      unitCol: String,
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2)
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val units = df
+      .select(col(unitCol).as("__u"), col(valueCol).cast("long").as("__y"))
+      .groupBy("__u")
+      .agg(count(lit(1)).as("__r"), sum("__y").as("__t"),
+        sum(col("__y").cast(dec) * col("__y")).as("__v"))
+      .filter(col("__r") === k.toLong)
+    units
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__t").cast(dec)).as("__g"),
+        sum(col("__t").cast(dec) * col("__t")).as("__uu"),
+        sum(col("__v")).as("__vv"))
+      .withColumn("__nn", col("__n").cast(dec))
+      .withColumn("__kk", lit(k.toLong).cast(dec))
+      .withColumn("__a",
+        (col("__nn") * col("__uu") - col("__g") * col("__g")) *
+          (col("__kk") - lit(1L).cast(dec)))
+      .withColumn("__b",
+        (col("__kk") * col("__vv") - col("__uu")) *
+          (col("__nn") - lit(1L).cast(dec)))
+      .select(col("__n").as("n_units"), lit(k.toLong).as("k"),
+        round(when(col("__n") > 1L,
+          d(col("__nn") * col("__uu") - col("__g") * col("__g")) /
+            d(col("__nn") * col("__kk") * (col("__nn") - lit(1L).cast(dec)))), 4)
+          .as("msb"),
+        round(d(col("__kk") * col("__vv") - col("__uu")) /
+          d(col("__kk") * col("__nn") * (col("__kk") - lit(1L).cast(dec))), 4)
+          .as("msw"),
+        round(when(col("__a") + (col("__kk") - lit(1L).cast(dec)) * col("__b") > 0,
+          d(col("__a") - col("__b")) /
+            d(col("__a") + (col("__kk") - lit(1L).cast(dec)) * col("__b"))), 4)
+          .as("icc"))
+  }
+
+  /** Ordinal association: Goodman–Kruskal gamma + Somers' D (F117) —
+    * concordance-based dependence for two ORDERED factors, where
+    * F22's V sees only nominal association and F62's τ-b symmetrizes
+    * away the direction: gamma ignores all ties (the optimist), and
+    * the two Somers' D's keep the DEPENDENT variable's ties in the
+    * denominator — d_yx ≠ d_xy exactly when tie structure is
+    * asymmetric, which is the directional-prediction question.
+    *
+    * Exactness and scale: pair counts NEVER materialize — the data
+    * collapses to the (x, y) cell table and C/D/T come from the
+    * ≤cells² strict-ordered cell cross with c_i·c_j weights in
+    * decimal(38,0) (each unordered pair counted once via strict
+    * inequalities). Exact integers; two pinned double ratios.
+    *
+    * Output: one row (n, c_pairs, d_pairs, t_x, t_y, gamma,
+    * somers_d_yx, somers_d_xy), 4dp.
+    */
+  def ordinalAssoc(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // feeds both sides of the cell cross
+    val a = cells.select(col("__x").as("x1"), col("__y").as("y1"),
+      col("__c").as("c1"))
+    val b = cells.select(col("__x").as("x2"), col("__y").as("y2"),
+      col("__c").as("c2"))
+    val w = col("c1").cast(dec) * col("c2").cast(dec)
+    val pairs = a.crossJoin(broadcast(b))
+      .agg(
+        sum(when(col("x2") > col("x1") && col("y2") > col("y1"), w)
+          .otherwise(lit(0L).cast(dec))).as("__cc"),
+        sum(when(col("x2") > col("x1") && col("y2") < col("y1"), w)
+          .otherwise(lit(0L).cast(dec))).as("__dd"),
+        sum(when(col("x2") === col("x1") && col("y2") > col("y1"), w)
+          .otherwise(lit(0L).cast(dec))).as("__tx"),
+        sum(when(col("y2") === col("y1") && col("x2") > col("x1"), w)
+          .otherwise(lit(0L).cast(dec))).as("__ty"))
+    val tot = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(count(lit(1)).as("n"))
+    tot.crossJoin(broadcast(pairs))
+      .select(col("n"),
+        col("__cc").cast("long").as("c_pairs"),
+        col("__dd").cast("long").as("d_pairs"),
+        col("__tx").cast("long").as("t_x"),
+        col("__ty").cast("long").as("t_y"),
+        round(when(col("__cc") + col("__dd") > 0,
+          d(col("__cc") - col("__dd")) / d(col("__cc") + col("__dd"))), 4)
+          .as("gamma"),
+        round(when(col("__cc") + col("__dd") + col("__ty") > 0,
+          d(col("__cc") - col("__dd")) /
+            d(col("__cc") + col("__dd") + col("__ty"))), 4).as("somers_d_yx"),
+        round(when(col("__cc") + col("__dd") + col("__tx") > 0,
+          d(col("__cc") - col("__dd")) /
+            d(col("__cc") + col("__dd") + col("__tx"))), 4).as("somers_d_xy"))
+  }
+
   /** Hosmer–Lemeshow calibration χ² (F119) — the goodness-of-fit
     * companion to F39's ECE: ECE reports HOW FAR predicted
     * probabilities sit from observed rates; HL asks whether the gaps

@@ -195,7 +195,59 @@ private[graft] object SeriesStatsQueries {
       val t = Tables(s, dir)
       val scored = TextAnalysis.gopherRules(TextAnalysis.quality(t.documents))
       Rollups.hosmerLemeshow(scored, "quality", "gopher_pass")
+    }),
+    "q423_fleiss_kappa" -> ((s, dir) => {
+      // F121 Fleiss' kappa over a deterministic 3-annotator panel
+      // (length-bucket base ± md5 jitter per rater): the
+      // multi-annotator QA number q256's two-rater kappa can't cover
+      val t = Tables(s, dir)
+      Rollups.fleissKappa(raterFrame(t.documents), "doc_id", "cat",
+        raters = 3)
+    }),
+    "q424_icc" -> ((s, dir) => {
+      // F122 ICC(1,1) on the same 3-rater ordinal scores: what share
+      // of rating variance is real document signal vs rater noise —
+      // the continuous companion to q423's categorical agreement
+      val t = Tables(s, dir)
+      Rollups.iccOneWay(raterFrame(t.documents), "doc_id", "cat", k = 3)
+    }),
+    "q425_ordinal_assoc" -> ((s, dir) => {
+      // F117 gamma + both Somers' D over (length bucket, token
+      // bucket): DIRECTIONAL ordinal dependence — d_yx ≠ d_xy exactly
+      // when tie structure is asymmetric, which q182's V and q291's
+      // τ-b both erase
+      val t = Tables(s, dir)
+      val buckets = t.documents.select(
+        least(expr("n_chars div 1000"), lit(5L)).as("xb"),
+        least(expr("(length(text) - length(replace(text, ' ', '')) + 1) div 150"),
+          lit(5L)).as("yb"))
+      Rollups.ordinalAssoc(buckets, "xb", "yb")
+    }),
+    "q426_partition_advisor" -> ((s, dir) => {
+      // I41 partition-layout advisor over documents: lang / source /
+      // lang+source as hive-partition candidates — fan-out, exact
+      // milli-skew, payload byte spread, small-partition count, and
+      // the go/no-go verdict, all off ONE corpus scan
+      val t = Tables(s, dir)
+      Layout.partitionAdvisor(t.documents,
+        Seq(Seq("lang"), Seq("source"), Seq("lang", "source")),
+        col("n_chars"))
+        .orderBy("candidate")
     }))
+
+  /** Deterministic 3-annotator panel over documents: category =
+    * clamp(length-bucket ± md5 jitter, 0..3) per rater — the q423/
+    * q424 shared frame (mirrored verbatim in both oracles).
+    */
+  private def raterFrame(documents: DataFrame): DataFrame = documents
+    .select(col("doc_id"), col("n_chars"))
+    .withColumn("r", explode(array(lit(1), lit(2), lit(3))))
+    .withColumn("__h",
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":fk:"),
+        col("r").cast("string"))), 1, 6), 16, 10).cast("long") % 3)
+    .withColumn("cat",
+      greatest(lit(0L), least(lit(3L),
+        least(expr("n_chars div 800"), lit(3L)) + (col("__h") - 1L))))
 
   val oracles: Seq[(String, String)] = Seq(
     // Kuiper replay: the q192 CDF frame with signed max in each
@@ -1006,5 +1058,170 @@ private[graft] object SeriesStatsQueries {
          |SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS g,
          |       CAST(count(*) - 2 AS BIGINT) AS dof,
          |       round(CAST(sum(term) AS DOUBLE) / 1e9, 4) AS hl_chi2
-         |FROM tm""".stripMargin)
+         |FROM tm""".stripMargin,
+    // Fleiss replay: the identical 3-rater panel (length-bucket base
+    // +/- md5 jitter), exact HUGEINT A/B/D terms.
+    "q423_fleiss_kappa" ->
+      s"""WITH $RaterSql,
+         |cells AS MATERIALIZED (
+         |  SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS n FROM rt
+         |  GROUP BY 1, 2
+         |),
+         |units AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS r,
+         |         CAST(sum(n * n) AS BIGINT) AS sq
+         |  FROM cells GROUP BY 1 HAVING sum(n) = 3
+         |),
+         |pu AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS nu,
+         |         CAST(sum(CAST(sq AS HUGEINT)) AS HUGEINT) AS a0
+         |  FROM units
+         |),
+         |marg AS (
+         |  SELECT CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS b
+         |  FROM (SELECT c.cat, CAST(sum(c.n) AS BIGINT) AS cj
+         |        FROM cells c JOIN units u USING (doc_id) GROUP BY 1)
+         |)
+         |SELECT CAST(pu.nu AS BIGINT) AS n_units, CAST(3 AS BIGINT) AS n_raters,
+         |       round(CAST(pu.a0 - pu.nu * 3 AS DOUBLE)
+         |             / CAST(pu.nu * 3 * 2 AS DOUBLE), 4) AS p_bar,
+         |       round(CAST(marg.b AS DOUBLE)
+         |             / CAST((pu.nu * 3) * (pu.nu * 3) AS DOUBLE), 4) AS p_e,
+         |       round(CASE WHEN (pu.nu * 3) * (pu.nu * 3) - marg.b > 0 THEN
+         |             CAST((pu.a0 - pu.nu * 3) * (pu.nu * 3) * (pu.nu * 3)
+         |                  - marg.b * (pu.nu * 3 * 2) AS DOUBLE)
+         |             / CAST((pu.nu * 3 * 2)
+         |                    * ((pu.nu * 3) * (pu.nu * 3) - marg.b) AS DOUBLE)
+         |             END, 4) AS kappa
+         |FROM pu CROSS JOIN marg""".stripMargin,
+    // ICC replay: same panel as numeric scores; exact HUGEINT
+    // U/V/G sums, the (a-b)/(a+(k-1)b) common-scale chain.
+    "q424_icc" ->
+      s"""WITH $RaterSql,
+         |units AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS r,
+         |         CAST(sum(cat) AS BIGINT) AS t,
+         |         CAST(sum(CAST(cat AS HUGEINT) * cat) AS HUGEINT) AS v
+         |  FROM rt GROUP BY 1 HAVING count(*) = 3
+         |),
+         |agg AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |         CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS g,
+         |         CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS uu,
+         |         CAST(sum(v) AS HUGEINT) AS vv
+         |  FROM units
+         |),
+         |ab AS (
+         |  SELECT n, g, uu, vv,
+         |         (n * uu - g * g) * 2 AS a,
+         |         (3 * vv - uu) * (n - 1) AS b
+         |  FROM agg
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_units, CAST(3 AS BIGINT) AS k,
+         |       round(CASE WHEN n > 1 THEN CAST(n * uu - g * g AS DOUBLE)
+         |             / CAST(n * 3 * (n - 1) AS DOUBLE) END, 4) AS msb,
+         |       round(CAST(3 * vv - uu AS DOUBLE)
+         |             / CAST(3 * n * 2 AS DOUBLE), 4) AS msw,
+         |       round(CASE WHEN a + 2 * b > 0 THEN
+         |             CAST(a - b AS DOUBLE) / CAST(a + 2 * b AS DOUBLE) END, 4)
+         |         AS icc
+         |FROM ab""".stripMargin,
+    // Ordinal-association replay: identical (x,y) cell cross with
+    // strict-inequality orientation, HUGEINT weights.
+    "q425_ordinal_assoc" ->
+      """WITH b AS (
+        |  SELECT least(n_chars // 1000, 5) AS xb,
+        |         least((length(text) - length(replace(text, ' ', '')) + 1)
+        |               // 150, 5) AS yb
+        |  FROM documents
+        |),
+        |cells AS MATERIALIZED (
+        |  SELECT xb AS x, yb AS y, CAST(count(*) AS BIGINT) AS c FROM b
+        |  WHERE xb IS NOT NULL AND yb IS NOT NULL GROUP BY 1, 2
+        |),
+        |pr AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN b2.x > b1.x AND b2.y > b1.y
+        |             THEN CAST(b1.c AS HUGEINT) * b2.c ELSE 0 END) AS HUGEINT)
+        |      AS cc,
+        |    CAST(sum(CASE WHEN b2.x > b1.x AND b2.y < b1.y
+        |             THEN CAST(b1.c AS HUGEINT) * b2.c ELSE 0 END) AS HUGEINT)
+        |      AS dd,
+        |    CAST(sum(CASE WHEN b2.x = b1.x AND b2.y > b1.y
+        |             THEN CAST(b1.c AS HUGEINT) * b2.c ELSE 0 END) AS HUGEINT)
+        |      AS tx,
+        |    CAST(sum(CASE WHEN b2.y = b1.y AND b2.x > b1.x
+        |             THEN CAST(b1.c AS HUGEINT) * b2.c ELSE 0 END) AS HUGEINT)
+        |      AS ty
+        |  FROM cells b1 CROSS JOIN cells b2
+        |),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b
+        |        WHERE xb IS NOT NULL AND yb IS NOT NULL)
+        |SELECT tot.n, CAST(cc AS BIGINT) AS c_pairs, CAST(dd AS BIGINT) AS d_pairs,
+        |       CAST(tx AS BIGINT) AS t_x, CAST(ty AS BIGINT) AS t_y,
+        |       round(CASE WHEN cc + dd > 0 THEN
+        |             CAST(cc - dd AS DOUBLE) / CAST(cc + dd AS DOUBLE) END, 4)
+        |         AS gamma,
+        |       round(CASE WHEN cc + dd + ty > 0 THEN
+        |             CAST(cc - dd AS DOUBLE) / CAST(cc + dd + ty AS DOUBLE) END,
+        |             4) AS somers_d_yx,
+        |       round(CASE WHEN cc + dd + tx > 0 THEN
+        |             CAST(cc - dd AS DOUBLE) / CAST(cc + dd + tx AS DOUBLE) END,
+        |             4) AS somers_d_xy
+        |FROM tot CROSS JOIN pr""".stripMargin,
+    // Advisor replay: one cell scan, per-candidate re-aggregation,
+    // exact integer milli-skew, the same verdict CASE chain.
+    "q426_partition_advisor" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS rws,
+        |         CAST(sum(n_chars) AS BIGINT) AS byt
+        |  FROM documents GROUP BY 1, 2
+        |),
+        |per AS (
+        |  SELECT 'lang' AS candidate, CAST(count(*) AS BIGINT) AS n_parts,
+        |         CAST(sum(r) AS BIGINT) AS rows_total,
+        |         CAST(max(r) AS BIGINT) AS rows_max,
+        |         CAST(sum(bb) AS BIGINT) AS bytes_total,
+        |         CAST(max(bb) AS BIGINT) AS bytes_max,
+        |         CAST(count(CASE WHEN bb < 65536 THEN 1 END) AS BIGINT)
+        |           AS small_parts
+        |  FROM (SELECT lang, sum(rws) AS r, sum(byt) AS bb FROM cells GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'source', CAST(count(*) AS BIGINT), CAST(sum(r) AS BIGINT),
+        |         CAST(max(r) AS BIGINT), CAST(sum(bb) AS BIGINT),
+        |         CAST(max(bb) AS BIGINT),
+        |         CAST(count(CASE WHEN bb < 65536 THEN 1 END) AS BIGINT)
+        |  FROM (SELECT source, sum(rws) AS r, sum(byt) AS bb FROM cells
+        |        GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'lang/source', CAST(count(*) AS BIGINT), CAST(sum(r) AS BIGINT),
+        |         CAST(max(r) AS BIGINT), CAST(sum(bb) AS BIGINT),
+        |         CAST(max(bb) AS BIGINT),
+        |         CAST(count(CASE WHEN bb < 65536 THEN 1 END) AS BIGINT)
+        |  FROM (SELECT lang, source, sum(rws) AS r, sum(byt) AS bb FROM cells
+        |        GROUP BY 1, 2)
+        |),
+        |sk AS (
+        |  SELECT *, rows_max * 1000 * n_parts // rows_total AS skew_milli
+        |  FROM per
+        |)
+        |SELECT candidate, n_parts, rows_total, rows_max, skew_milli,
+        |       bytes_total, bytes_max, small_parts,
+        |       CASE WHEN n_parts > 256 THEN 'high-cardinality'
+        |            WHEN skew_milli > 8000 THEN 'skewed'
+        |            WHEN small_parts * 2 > n_parts THEN 'mostly-small'
+        |            ELSE 'ok' END AS verdict
+        |FROM sk ORDER BY candidate""".stripMargin)
+
+  /** The q423/q424 shared 3-rater panel in SQL — mirrors
+    * [[raterFrame]] verbatim.
+    */
+  private def RaterSql: String =
+    s"""r3 AS (SELECT doc_id, n_chars, unnest([1, 2, 3]) AS r FROM documents),
+       |rt AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         greatest(0, least(3, least(n_chars // 800, 3)
+       |           + (${HexValSql("md5(CAST(doc_id AS VARCHAR) || ':fk:' || CAST(r AS VARCHAR))", 1, 6)} % 3) - 1)) AS cat
+       |  FROM r3
+       |)""".stripMargin
 }

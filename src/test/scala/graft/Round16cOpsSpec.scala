@@ -201,6 +201,46 @@ class Round16cOpsSpec extends SparkSpec {
     assert(out == ((8L, 2L, 0L, r4(2 * term))))
   }
 
+  test("fleissKappa: textbook two-rater three-unit fixture") {
+    // units (A,A),(A,B),(B,B): P-bar=2/3, Pe=1/2, kappa=1/3
+    val rows = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B"),
+      (3L, "B"), (3L, "B"))
+    val out = Rollups.fleissKappa(rows.toDF("u", "c"), "u", "c", raters = 2)
+      .select("n_units", "n_raters", "p_bar", "p_e", "kappa")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(out == ((3L, 2L, r4(2.0 / 3), 0.5, r4(1.0 / 3))))
+  }
+
+  test("iccOneWay: hand-computed three-unit two-rating fixture") {
+    // (1,2),(3,4),(5,6): MSB=8, MSW=0.5, ICC=7.5/8.5
+    val rows = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L), (3L, 6L))
+    val out = Rollups.iccOneWay(rows.toDF("u", "y"), "u", "y", k = 2)
+      .select("n_units", "k", "msb", "msw", "icc")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(out == ((3L, 2L, 8.0, 0.5, r4(7.5 / 8.5))))
+  }
+
+  test("ordinalAssoc: asymmetric tie structure splits the two D's") {
+    // cells (1,1):2 (2,2):1 (2,1):1 -> C=2 D=0 t_x=1 t_y=2
+    val rows = Seq((1L, 1L), (1L, 1L), (2L, 2L), (2L, 1L))
+    val out = Rollups.ordinalAssoc(rows.toDF("x", "y"), "x", "y")
+      .select("n", "c_pairs", "d_pairs", "t_x", "t_y", "gamma",
+        "somers_d_yx", "somers_d_xy")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(out == ((4L, 2L, 0L, 1L, 2L, 1.0, 0.5, r4(2.0 / 3))))
+  }
+
+  test("partitionAdvisor: skew and small-part accounting") {
+    // lang a x3 (100B each), b x1 (70000B): skew_milli = 3*1000*2/4
+    val rows = Seq(("a", 100L), ("a", 100L), ("a", 100L), ("b", 70000L))
+    val out = Layout.partitionAdvisor(rows.toDF("lang", "b"),
+        Seq(Seq("lang")), col("b"))
+      .select("candidate", "n_parts", "rows_total", "rows_max", "skew_milli",
+        "bytes_total", "bytes_max", "small_parts", "verdict")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, String)].head()
+    assert(out == (("lang", 2L, 4L, 3L, 1500L, 70300L, 70000L, 1L, "ok")))
+  }
+
   test("theilU: hand-computed 2x2 with one predictive column") {
     // cells: (a,p)=2 (b,p)=2 (b,q)=4: H(X)=-(.25 ln .25 + .75 ln .75),
     // H(X|Y)=-(2/8 ln(1/2) * 2)
