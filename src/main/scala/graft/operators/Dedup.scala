@@ -1415,4 +1415,83 @@ object Dedup {
       .filter(col("lev") <= maxDist)
       .select(col("x.__t").as("name_a"), col("y.__t").as("name_b"), col("lev"))
   }
+
+  /** Content-defined chunking dedup report per source (G122) — the
+    * storage-system dedup measure applied to corpus text: chunk
+    * boundaries come from a rolling CONTENT hash (cut after any
+    * 8-char window whose polynomial hash ≡ 0 mod `mask`, average
+    * chunk ≈ mask chars), so a one-character insertion shifts ONE
+    * chunk instead of re-phasing every fixed-width block — the
+    * boundary-shift immunity fixed-size shingles (G27) lack. The
+    * report says how much of each source is chunk-level redundant:
+    * the byte-savings ceiling a dedup store (or a near-dup pass)
+    * could reclaim.
+    *
+    * Determinism: code points via a linear char split (never a
+    * per-position substring scan); the window hash is an exact-long
+    * 31-polynomial (code point ≤ 0x10FFFF × 31⁷ × 8 < 2⁶³); chunk
+    * identity is md5 of the exact substring — every step integer or
+    * byte-exact on both engines. Empty documents drop (the one
+    * split-semantics divergence) — they carry no chunkable content.
+    *
+    * Scale shape: boundary discovery is per-row array math (no
+    * exchange); the only shuffles are the (source, chunk-hash)
+    * combine and the source-grain rollup. `maxChars` bounds the
+    * per-row fan-out.
+    *
+    * Output: (source, n_chunks, n_distinct_chunks, chars_total,
+    * chars_distinct, dup_ratio, savings), 4dp ratios.
+    */
+  def cdcChunks(
+      documents: DataFrame,
+      maxChars: Int = 512,
+      mask: Int = 64,
+      window: Int = 8): DataFrame = {
+    require(window >= 2 && mask >= 2 && maxChars >= window)
+    val d = (c: Column) => c.cast("double")
+    val pows = Array.iterate(1L, window)(_ * 31L).reverse // 31^(w-1) .. 1
+    val txt = substring(col("text"), 1, maxChars)
+    val base = documents
+      .filter(length(col("text")) > 0)
+      .select(col("source"), txt.as("__txt"))
+      .withColumn("__cps", transform(split(col("__txt"), ""), c => ascii(c)))
+      .withColumn("__L", size(col("__cps")))
+    def poly(i: Column): Column = pows.zipWithIndex.map { case (pw, j) =>
+      element_at(col("__cps"), i + j) * lit(pw)
+    }.reduce(_ + _)
+    val cut = base
+      .withColumn("__cuts",
+        when(col("__L") >= window,
+          transform(
+            filter(sequence(lit(1), col("__L") - (window - 1)),
+              i => poly(i) % mask === 0),
+            i => i + (window - 1)))
+          .otherwise(array().cast("array<integer>")))
+      .withColumn("__b",
+        concat(array(lit(0)), col("__cuts"), array(col("__L"))))
+    val chunks = cut
+      .withColumn("__k", explode(sequence(lit(1), size(col("__b")) - 1)))
+      .withColumn("__len",
+        element_at(col("__b"), col("__k") + 1) -
+          element_at(col("__b"), col("__k")))
+      .filter(col("__len") > 0)
+      .select(col("source"),
+        md5(col("__txt").substr(element_at(col("__b"), col("__k")) + 1,
+          col("__len"))).as("__h"),
+        col("__len").cast("long").as("__clen"))
+    chunks
+      .groupBy("source", "__h")
+      .agg(count(lit(1)).as("__cnt"), max("__clen").as("__len1"))
+      .groupBy("source")
+      .agg(sum("__cnt").as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("__cnt") * col("__len1")).as("chars_total"),
+        sum("__len1").as("chars_distinct"))
+      .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+        col("chars_total"), col("chars_distinct"),
+        round(lit(1.0) - d(col("n_distinct_chunks")) / d(col("n_chunks")), 4)
+          .as("dup_ratio"),
+        round(lit(1.0) - d(col("chars_distinct")) / d(col("chars_total")), 4)
+          .as("savings"))
+  }
 }

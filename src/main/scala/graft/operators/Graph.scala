@@ -643,4 +643,61 @@ object Graph {
           d(col("__du") + col("__dv") - col("common")), 4).as("jaccard"),
         (col("__du") * col("__dv")).as("pa"))
   }
+
+  /** HITS hubs and authorities (Kleinberg 1999) over a DIRECTED edge
+    * set, `iters` synchronous rounds: authority = pointed-to by good
+    * hubs, hub = points at good authorities. On the id-oriented
+    * near-dup graph (low id → high id) hubs are the early/canonical
+    * documents whose content fans out and authorities the heavily-
+    * duplicated derivatives — the directional complement to G37's
+    * PageRank (which mixes both roles into one score).
+    *
+    * Determinism: scores live as INTEGER parts-per-million mass —
+    * each half-round sums exact longs over in/out neighbors and
+    * renormalizes by the engine-identical floor division
+    * score·10⁶ div total (L1 normalization; the textbook L2 needs a
+    * square root that no integer contract survives, and scale
+    * doesn't affect the ranking HITS is read for). No float ever
+    * folds across rows, so the unrolled oracle lands exactly.
+    *
+    * Scale shape: per half-round one edge-side equi-join + one
+    * node-grain combine + a one-row total broadcast — the G37
+    * synchronous-round contract, checkpointed lineage.
+    *
+    * Output: (id, hub_ppm, auth_ppm) — exact longs.
+    */
+  def hits(
+      edges: DataFrame,
+      iters: Int = 8,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    def normalize(raw: DataFrame, rawCol: String, outCol: String): DataFrame = {
+      val filled = nodes.join(raw, Seq("id"), "left")
+        .select(col("id"), coalesce(col(rawCol), lit(0L)).as("__raw"))
+        .localCheckpoint() // feeds the total AND the normalize
+      val tot = filled.agg(sum("__raw").as("__t"))
+      filled.crossJoin(broadcast(tot))
+        .select(col("id"),
+          when(col("__t") > 0, expr("__raw * 1000000 div __t"))
+            .otherwise(lit(0L)).as(outCol))
+    }
+    var hub = nodes.withColumn("h", lit(1000000L)).localCheckpoint()
+    var auth = nodes.withColumn("a", lit(1000000L)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val araw = e.join(hub.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum("h").as("__ar"))
+      auth = normalize(araw, "__ar", "a").localCheckpoint()
+      val hraw = e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum("a").as("__hr"))
+      hub = normalize(hraw, "__hr", "h").localCheckpoint()
+    }
+    hub.join(auth, "id")
+      .select(col("id"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
+  }
 }

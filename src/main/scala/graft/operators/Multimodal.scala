@@ -719,4 +719,70 @@ object Multimodal {
         round(col("r_mean"), 4).as("r_mean"),
         round(col("g_mean"), 4).as("g_mean"),
         round(col("b_mean"), 4).as("b_mean"))
+
+  final case class ImageGrayHist(
+      doc_id: Long, width: Int, height: Int, gray: Int, cnt: Long)
+
+  /** Per-image GRAY histogram (full 256 levels) over a decoded image —
+    * the luminance frame for threshold analytics (Otsu, exposure):
+    * gray = (299r + 587g + 114b) div 1000, the integer ITU-R 601
+    * luma. Emits occupied-level rows (≤ min(256, pixels) per image)
+    * so the threshold search stays declarative over an
+    * aggregate-grain frame — the G118 decode/analyze split.
+    */
+  def imageGrayHistogram(df: Dataset[Media]): Dataset[ImageGrayHist] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.mapPartitions { it =>
+      it.flatMap { m =>
+        val img = decodeBmp(m.payload)
+        val px = img.width * img.height
+        val counts = Array.ofDim[Long](256)
+        var k = 0
+        while (k < px) {
+          val r = img.rgb(3 * k) & 0xff
+          val g = img.rgb(3 * k + 1) & 0xff
+          val b = img.rgb(3 * k + 2) & 0xff
+          counts((299 * r + 587 * g + 114 * b) / 1000) += 1
+          k += 1
+        }
+        for (gy <- 0 until 256 if counts(gy) > 0)
+          yield ImageGrayHist(m.doc_id, img.width, img.height, gy, counts(gy))
+      }
+    }
+  }
+
+  final case class ImageColorMoments(
+      doc_id: Long, n_px: Long, s_rg: Long, s_rg2: Long, s_yb2: Long,
+      s_yb22: Long)
+
+  /** Per-image opponent-channel moment sums for the Hasler–Süsstrunk
+    * colorfulness metric: rg = R − G and DOUBLED yb2 = R + G − 2B
+    * (so the half stays exact), with Σ and Σ² accumulated in exact
+    * longs inside the decoder — one row per image, the analytics
+    * chain stays declarative. The G11 per-partition codec contract:
+    * payload bytes never ride an exchange.
+    */
+  def imageColorMoments(df: Dataset[Media]): Dataset[ImageColorMoments] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.mapPartitions { it =>
+      it.map { m =>
+        val img = decodeBmp(m.payload)
+        val px = img.width * img.height
+        var sRg = 0L; var sRg2 = 0L; var sYb = 0L; var sYb2 = 0L
+        var k = 0
+        while (k < px) {
+          val r = img.rgb(3 * k) & 0xff
+          val g = img.rgb(3 * k + 1) & 0xff
+          val b = img.rgb(3 * k + 2) & 0xff
+          val rg = (r - g).toLong
+          val yb = (r + g - 2 * b).toLong
+          sRg += rg; sRg2 += rg * rg; sYb += yb; sYb2 += yb * yb
+          k += 1
+        }
+        ImageColorMoments(m.doc_id, px.toLong, sRg, sRg2, sYb, sYb2)
+      }
+    }
+  }
 }

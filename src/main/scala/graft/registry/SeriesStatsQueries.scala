@@ -3,6 +3,7 @@ package graft
 import graft.operators._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import QueryHelpers._
@@ -233,6 +234,78 @@ private[graft] object SeriesStatsQueries {
         Seq(Seq("lang"), Seq("source"), Seq("lang", "source")),
         col("n_chars"))
         .orderBy("candidate")
+    }),
+    "q427_hits" -> ((s, dir) => {
+      // G123 HITS over the id-oriented MinHash near-dup graph: hubs =
+      // canonical early documents fanning out, authorities = heavily
+      // duplicated derivatives — the directional complement q108's
+      // PageRank mixes into one score; integer ppm mass, 8 rounds
+      val t = Tables(s, dir)
+      val pairs = Dedup.minhashLshPairs(t.documents)
+      Graph.hits(pairs.select(col("idA").as("src"), col("idB").as("dst")))
+        .orderBy("id")
+    }),
+    "q428_otsu" -> ((s, dir) => {
+      // G124 Otsu threshold per image (REAL BMP decode → gray
+      // histogram rows): maximize between-class variance via the
+      // exact-integer scaled score (S·w0 − s0·W)²·1024 div
+      // (w0(W−w0)), earliest-gray tie-break — the foreground/
+      // document-vs-photo screen beside q396's entropy
+      val t = Tables(s, dir)
+      val h = Multimodal.imageGrayHistogram(Multimodal.textToBmp(t.documents))
+        .toDF()
+      val wCum = Window.partitionBy("doc_id").orderBy("gray")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("doc_id")
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      h.withColumn("__w0", sum("cnt").over(wCum))
+        .withColumn("__s0", sum(col("gray") * col("cnt")).over(wCum))
+        .withColumn("__sg", sum(col("gray") * col("cnt")).over(wAll))
+        .withColumn("__wp", (col("width") * col("height")).cast("long"))
+        .filter(col("__w0") < col("__wp"))
+        .withColumn("__num",
+          col("__sg") * col("__w0") - col("__s0") * col("__wp"))
+        .withColumn("__score",
+          expr("(__num * __num * 1024) div (__w0 * (__wp - __w0))"))
+        .groupBy("doc_id")
+        .agg(max("width").as("width"), max("height").as("height"),
+          max("__wp").as("__w"),
+          max(struct(col("__score"), (-col("gray")).as("__ng"),
+            col("__w0"))).as("__am"))
+        .select(col("doc_id"), col("width"), col("height"),
+          (-col("__am.__ng")).cast("int").as("threshold"),
+          (col("__w") - col("__am.__w0")).as("fg_px"),
+          round(d(col("__w") - col("__am.__w0")) / d(col("__w")), 4)
+            .as("fg_ratio"))
+    }),
+    "q429_colorfulness" -> ((s, dir) => {
+      // G125 Hasler–Süsstrunk colorfulness per image: σ and μ of the
+      // opponent channels rg = R−G, yb = (R+G)/2 − B (carried
+      // DOUBLED), C = √(σ²_rg+σ²_yb) + 0.3·√(μ²_rg+μ²_yb) — the
+      // screenshot/graphic vs natural-photo triage; exact long
+      // moments inside the decoder, one pinned chain
+      val t = Tables(s, dir)
+      val m = Multimodal.imageColorMoments(Multimodal.textToBmp(t.documents))
+        .toDF()
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val vrg = d(col("n_px") * col("s_rg2") - col("s_rg") * col("s_rg")) /
+        (d(col("n_px")) * d(col("n_px")))
+      val vyb = d(col("n_px") * col("s_yb22") - col("s_yb2") * col("s_yb2")) /
+        (lit(4.0) * d(col("n_px")) * d(col("n_px")))
+      val mrg = d(col("s_rg")) / d(col("n_px"))
+      val myb = d(col("s_yb2")) / (lit(2.0) * d(col("n_px")))
+      m.select(col("doc_id"), col("n_px"),
+        round(sqrt(vrg + vyb) + lit(0.3) * sqrt(mrg * mrg + myb * myb), 4)
+          .as("colorfulness"))
+    }),
+    "q430_cdc_chunks" -> ((s, dir) => {
+      // G122 content-defined chunking dedup per source: rolling
+      // 31-polynomial boundaries (cut ≡ 0 mod 64), chunk identity =
+      // md5 of the exact substring — the byte-savings ceiling a
+      // dedup store could reclaim, immune to the boundary shift that
+      // re-phases fixed-width blocks
+      val t = Tables(s, dir)
+      Dedup.cdcChunks(t.documents).orderBy("source")
     }))
 
   /** Deterministic 3-annotator panel over documents: category =
@@ -1211,7 +1284,200 @@ private[graft] object SeriesStatsQueries {
         |            WHEN skew_milli > 8000 THEN 'skewed'
         |            WHEN small_parts * 2 > n_parts THEN 'mostly-small'
         |            ELSE 'ok' END AS verdict
-        |FROM sk ORDER BY candidate""".stripMargin)
+        |FROM sk ORDER BY candidate""".stripMargin,
+    // HITS replay: 8 unrolled synchronous rounds over the q31 pair
+    // set (every CTE MATERIALIZED - each feeds two successors);
+    // integer ppm mass with the same floor-division renormalize.
+    "q427_hits" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""ar$i AS MATERIALIZED (
+           |  SELECT n.id, coalesce(sr.r, 0) AS raw
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(sum(p.h) AS BIGINT) AS r
+           |    FROM edges e JOIN h${i - 1} p ON e.src = p.id GROUP BY 1) sr
+           |    USING (id)
+           |),
+           |a$i AS MATERIALIZED (
+           |  SELECT id, CASE WHEN t.t > 0 THEN raw * 1000000 // t.t
+           |             ELSE 0 END AS a
+           |  FROM ar$i CROSS JOIN
+           |    (SELECT CAST(sum(raw) AS BIGINT) AS t FROM ar$i) t
+           |),
+           |hr$i AS MATERIALIZED (
+           |  SELECT n.id, coalesce(sr.r, 0) AS raw
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.src AS id, CAST(sum(p.a) AS BIGINT) AS r
+           |    FROM edges e JOIN a$i p ON e.dst = p.id GROUP BY 1) sr
+           |    USING (id)
+           |),
+           |h$i AS MATERIALIZED (
+           |  SELECT id, CASE WHEN t.t > 0 THEN raw * 1000000 // t.t
+           |             ELSE 0 END AS h
+           |  FROM hr$i CROSS JOIN
+           |    (SELECT CAST(sum(raw) AS BIGINT) AS t FROM hr$i) t
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $MinhashPairsSql,
+         |edges AS MATERIALIZED (SELECT idA AS src, idB AS dst FROM lshpairs),
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT id FROM
+         |    (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+         |),
+         |h0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+         |$rounds
+         |SELECT h8.id, h8.h AS hub_ppm, a8.a AS auth_ppm
+         |FROM h8 JOIN a8 USING (id) ORDER BY id""".stripMargin
+    },
+    // Otsu replay: the q396 pixel synthesis with JOINT channels ->
+    // integer ITU-R 601 gray, cumulative class moments, the
+    // 1024-scaled exact-integer score, earliest-gray argmax.
+    "q428_otsu" ->
+      """WITH bb AS (
+        |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
+        |    ELSE length(text) END AS INT) AS n FROM documents
+        |),
+        |dd AS (
+        |  SELECT doc_id, text, n, 8 + (n % 8) AS w, 8 + ((n // 8) % 8) AS h
+        |  FROM bb
+        |),
+        |px AS (SELECT doc_id, text, n, w, h, unnest(range(0, w * h)) AS k FROM dd),
+        |ch AS (
+        |  SELECT doc_id, w, h,
+        |         ascii(substring(text, CAST((3*k + 2) % n AS INT) + 1, 1)) AS r,
+        |         ascii(substring(text, CAST((3*k + 1) % n AS INT) + 1, 1)) AS g,
+        |         ascii(substring(text, CAST((3*k) % n AS INT) + 1, 1)) AS b
+        |  FROM px
+        |),
+        |gr AS (
+        |  SELECT doc_id, w, h, (299 * r + 587 * g + 114 * b) // 1000 AS gray,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ch GROUP BY 1, 2, 3, 4
+        |),
+        |cm AS (
+        |  SELECT doc_id, w, h, gray, cnt,
+        |         sum(cnt) OVER (PARTITION BY doc_id ORDER BY gray
+        |               ROWS UNBOUNDED PRECEDING) AS w0,
+        |         sum(gray * cnt) OVER (PARTITION BY doc_id ORDER BY gray
+        |               ROWS UNBOUNDED PRECEDING) AS s0,
+        |         sum(gray * cnt) OVER (PARTITION BY doc_id) AS sg,
+        |         CAST(w AS BIGINT) * h AS wp
+        |  FROM gr
+        |),
+        |sc AS (
+        |  SELECT doc_id, w, h, gray, w0, wp,
+        |         ((sg * w0 - s0 * wp) * (sg * w0 - s0 * wp) * 1024)
+        |           // (w0 * (wp - w0)) AS score
+        |  FROM cm WHERE w0 < wp
+        |),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY score DESC, gray ASC) AS rn
+        |  FROM sc
+        |)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(gray AS INT) AS threshold,
+        |       CAST(wp - w0 AS BIGINT) AS fg_px,
+        |       round(CAST(wp - w0 AS DOUBLE) / CAST(wp AS DOUBLE), 4)
+        |         AS fg_ratio
+        |FROM rk WHERE rn = 1""".stripMargin,
+    // Colorfulness replay: same pixel synthesis, exact opponent sums
+    // (doubled yb), the identical pinned sigma/mu chain.
+    "q429_colorfulness" ->
+      """WITH bb AS (
+        |  SELECT doc_id, text, CAST(CASE WHEN length(text) = 0 THEN 1
+        |    ELSE length(text) END AS INT) AS n FROM documents
+        |),
+        |dd AS (
+        |  SELECT doc_id, text, n, 8 + (n % 8) AS w, 8 + ((n // 8) % 8) AS h
+        |  FROM bb
+        |),
+        |px AS (SELECT doc_id, text, n, w, h, unnest(range(0, w * h)) AS k FROM dd),
+        |ch AS (
+        |  SELECT doc_id, CAST(w AS BIGINT) * h AS np,
+        |         ascii(substring(text, CAST((3*k + 2) % n AS INT) + 1, 1)) AS r,
+        |         ascii(substring(text, CAST((3*k + 1) % n AS INT) + 1, 1)) AS g,
+        |         ascii(substring(text, CAST((3*k) % n AS INT) + 1, 1)) AS b
+        |  FROM px
+        |),
+        |m AS (
+        |  SELECT doc_id, CAST(max(np) AS BIGINT) AS n_px,
+        |         CAST(sum(r - g) AS BIGINT) AS srg,
+        |         CAST(sum((r - g) * (r - g)) AS BIGINT) AS srg2,
+        |         CAST(sum(r + g - 2 * b) AS BIGINT) AS syb,
+        |         CAST(sum((r + g - 2 * b) * (r + g - 2 * b)) AS BIGINT) AS syb2
+        |  FROM ch GROUP BY 1
+        |)
+        |SELECT doc_id, n_px,
+        |       round(sqrt(CAST(n_px * srg2 - srg * srg AS DOUBLE)
+        |                  / (CAST(n_px AS DOUBLE) * CAST(n_px AS DOUBLE))
+        |                  + CAST(n_px * syb2 - syb * syb AS DOUBLE)
+        |                    / (4.0 * CAST(n_px AS DOUBLE) * CAST(n_px AS DOUBLE)))
+        |             + 0.3 * sqrt((CAST(srg AS DOUBLE) / CAST(n_px AS DOUBLE))
+        |                          * (CAST(srg AS DOUBLE) / CAST(n_px AS DOUBLE))
+        |                          + (CAST(syb AS DOUBLE)
+        |                             / (2.0 * CAST(n_px AS DOUBLE)))
+        |                            * (CAST(syb AS DOUBLE)
+        |                               / (2.0 * CAST(n_px AS DOUBLE)))), 4)
+        |         AS colorfulness
+        |FROM m""".stripMargin,
+    // CDC replay: linear char split (regexp_extract_all with (?s)),
+    // the same 31-polynomial window hash, identical bounds/chunk
+    // construction, md5 chunk identity.
+    "q430_cdc_chunks" ->
+      """WITH dd AS (
+        |  SELECT doc_id, source, substring(text, 1, 512) AS txt
+        |  FROM documents WHERE length(text) > 0
+        |),
+        |arr AS (
+        |  SELECT doc_id, source, txt,
+        |         list_transform(regexp_extract_all(txt, '(?s).', 0),
+        |           c -> CAST(ascii(c) AS BIGINT)) AS cps
+        |  FROM dd
+        |),
+        |cut AS (
+        |  SELECT doc_id, source, txt, len(cps) AS L,
+        |         list_transform(list_filter(range(1, len(cps) - 6), i ->
+        |           (cps[CAST(i AS INT)] * 27512614111
+        |            + cps[CAST(i + 1 AS INT)] * 887503681
+        |            + cps[CAST(i + 2 AS INT)] * 28629151
+        |            + cps[CAST(i + 3 AS INT)] * 923521
+        |            + cps[CAST(i + 4 AS INT)] * 29791
+        |            + cps[CAST(i + 5 AS INT)] * 961
+        |            + cps[CAST(i + 6 AS INT)] * 31
+        |            + cps[CAST(i + 7 AS INT)]) % 64 = 0), i -> i + 7) AS cuts
+        |  FROM arr
+        |),
+        |bnd AS (
+        |  SELECT source, txt,
+        |         list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+        |           [CAST(L AS BIGINT)]) AS b
+        |  FROM cut
+        |),
+        |chx AS (
+        |  SELECT source, b, txt, unnest(range(1, len(b))) AS k FROM bnd
+        |),
+        |ch AS (
+        |  SELECT source,
+        |         md5(substring(txt, CAST(b[CAST(k AS INT)] + 1 AS INT),
+        |               CAST(b[CAST(k + 1 AS INT)] - b[CAST(k AS INT)] AS INT)))
+        |           AS hh,
+        |         b[CAST(k + 1 AS INT)] - b[CAST(k AS INT)] AS clen
+        |  FROM chx WHERE b[CAST(k + 1 AS INT)] - b[CAST(k AS INT)] > 0
+        |),
+        |gg AS (
+        |  SELECT source, hh, CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(max(clen) AS BIGINT) AS len1
+        |  FROM ch GROUP BY 1, 2
+        |)
+        |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+        |       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+        |       CAST(sum(cnt * len1) AS BIGINT) AS chars_total,
+        |       CAST(sum(len1) AS BIGINT) AS chars_distinct,
+        |       round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE),
+        |             4) AS dup_ratio,
+        |       round(1.0 - CAST(sum(len1) AS DOUBLE)
+        |             / CAST(sum(cnt * len1) AS DOUBLE), 4) AS savings
+        |FROM gg GROUP BY 1 ORDER BY source""".stripMargin)
 
   /** The q423/q424 shared 3-rater panel in SQL — mirrors
     * [[raterFrame]] verbatim.

@@ -241,6 +241,60 @@ class Round16cOpsSpec extends SparkSpec {
     assert(out == (("lang", 2L, 4L, 3L, 1500L, 70300L, 70000L, 1L, "ok")))
   }
 
+  test("hits: one hand-traced round on a three-node chain") {
+    // edges 1->2, 1->3, 2->3: after round 1 auth=(0,333333,666666),
+    // hub raw=(999999,666666,0), tot=1666665 -> (600000,400000,0)
+    // (both divisions land exactly: 1666665*600000 = 999999*10^6)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.hits(edges, iters = 1)
+      .select("id", "hub_ppm", "auth_ppm")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 600000L, 0L), (2L, 400000L, 333333L),
+      (3L, 0L, 666666L)))
+  }
+
+  test("imageGrayHistogram: 'abcd' synthesizes three gray levels") {
+    // n=4 -> 12x8 (h = 8 + (4 div 8) mod 8 = 8); pixel cycle
+    // (c,b,a)(b,a,d)(a,d,c)(d,c,b): grays 98,97,98,99 -> 24/48/24
+    val docs = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val out = Multimodal.imageGrayHistogram(Multimodal.textToBmp(docs))
+      .collect().map(r => (r.gray, r.cnt)).sortBy(_._1).toSeq
+    assert(out == Seq((97, 24L), (98, 48L), (99, 24L)))
+    val wh = Multimodal.imageGrayHistogram(Multimodal.textToBmp(docs))
+      .collect().head
+    assert(wh.width == 12 && wh.height == 8)
+  }
+
+  test("imageColorMoments: 'abcd' exact opponent sums") {
+    // rg per cycle {1,1,-3,1}, yb2 {3,-5,-1,3}, 24 of each
+    val docs = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val m = Multimodal.imageColorMoments(Multimodal.textToBmp(docs))
+      .collect().head
+    assert((m.n_px, m.s_rg, m.s_rg2, m.s_yb2, m.s_yb22) ==
+      ((96L, 0L, 288L, 0L, 1056L)))
+  }
+
+  test("cdcChunks: exact duplicate doc halves the distinct mass") {
+    val text = (0 until 300).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val docs = Seq((1L, text, "s"), (2L, text, "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.cdcChunks(docs)
+      .select("n_chunks", "n_distinct_chunks", "chars_total",
+        "chars_distinct", "dup_ratio", "savings")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(out._1 == 2 * out._2)       // every chunk appears twice
+    assert(out._3 == 600L && out._4 == 300L)
+    assert(out._5 == 0.5 && out._6 == 0.5)
+  }
+
+  test("cdcChunks: chunks reconstruct the capped text exactly") {
+    val text = (0 until 1000).map(i => ('a' + (i * 11) % 26).toChar).mkString
+    val docs = Seq((1L, text, "s")).toDF("doc_id", "text", "source")
+    val out = Dedup.cdcChunks(docs, maxChars = 512)
+      .select("chars_total").as[Long].head()
+    assert(out == 512L)                // bounds partition [0, L] exactly
+  }
+
   test("theilU: hand-computed 2x2 with one predictive column") {
     // cells: (a,p)=2 (b,p)=2 (b,q)=4: H(X)=-(.25 ln .25 + .75 ln .75),
     // H(X|Y)=-(2/8 ln(1/2) * 2)
