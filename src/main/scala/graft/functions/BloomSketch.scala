@@ -103,13 +103,28 @@ object BloomSketch {
   private def shiftRightC(a: Column, b: Column): Column =
     columnOf(ShiftRight(expressionOf(a), expressionOf(b)))
 
-  /** Probe positions of `value`: position j = first 8 hex nibbles of
-    * md5(j ":" value) mod m — codegen'd built-ins, engine-portable.
+  /** Probe positions of `value`: Kirsch–Mitzenmacher double hashing,
+    * position j = (h1 + j·h2) mod m with h1/h2 two seeded xxhash64
+    * draws — 2 integer hashes per value instead of k md5-over-string
+    * digests (the r16 hot-path fix: the probe runs per FACT row, and
+    * md5 paid string-render + digest + hex-parse k times per row).
+    * Pure codegen'd built-ins. The hash family is NOT part of any
+    * oracle contract: the bloom is a pre-filter with no false
+    * negatives for ANY hash choice, and the exact semi-join behind it
+    * makes the result hash-independent (q92's oracle is the plain
+    * semi-join). The SQL-surface bloom (`bloom_sketch` /
+    * `bloom_might_contain`, engine-portable md5 buckets via
+    * SketchExprs) is a separate, unchanged path.
     */
-  def bloomPositions(value: Column, k: Int, m: Int): Column =
+  def bloomPositions(value: Column, k: Int, m: Int): Column = {
+    val h1 = pmod(xxhash64(lit(41), value), lit(m.toLong))
+    // force h2 odd so the k probe positions never collapse onto one
+    // position (m is a power of two: even h2 would halve the stride
+    // space; odd h2 is coprime with m)
+    val h2 = pmod(xxhash64(lit(97), value), lit(m.toLong)).bitwiseOR(lit(1L))
     transform(sequence(lit(0), lit(k - 1)), j =>
-      conv(substring(md5(concat(j.cast("string"), lit(":"), value.cast("string"))), 1, 8), 16, 10)
-        .cast("long") % m)
+      pmod(h1 + j.cast("long") * h2, lit(m.toLong)))
+  }
 
   /** The bloom bitset of `value` as an m/64-entry long array. */
   def bloomAgg(value: Column, k: Int = 5, m: Int = 1 << 17): Column =

@@ -41,6 +41,10 @@ private[graft] object NativeText {
   def minhashSig(shingles: Column, k: Int): Column =
     columnOf(MinHashSignature(expressionOf(shingles), k))
 
+  /** Content-defined chunk bounds; see [[CdcChunkBounds]]. */
+  def cdcChunkBounds(text: Column, w: Int, mask: Int): Column =
+    columnOf(CdcChunkBounds(expressionOf(text), w, mask))
+
   /** Native harmonic-sum score; see [[HarmonicScore]]. */
   def harmonic(scores: Column, k: Int, maxScore: Double): Column =
     columnOf(HarmonicScore(expressionOf(scores), k, maxScore))
@@ -811,5 +815,85 @@ object WordShinglesAll {
       i += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** `cdc_chunk_bounds(text, w, mask)`: content-defined chunk (start, len)
+  * pairs over the CODE POINTS of `text` — boundaries cut after every
+  * w-codepoint window whose 31-polynomial hash ≡ 0 mod `mask`, chunk
+  * offsets/lengths counted in code points (1-based `substr`-ready
+  * starts are `s + 1`). Replicates bit-for-bit the HOF formulation
+  * `transform(filter(sequence(1, L-w+1), i -> poly(i) % mask = 0), ...)`
+  * over `transform(split(text, ''), ascii)` — poly in Horner form on
+  * exact longs (codepoint ≤ 0x10FFFF, × 31⁷ × w < 2⁶³) — but in one
+  * compiled pass per row instead of ~L interpreted lambda evaluations
+  * per reference to the boundary array (the q430 hot path: predicate
+  * pushdown re-evaluated the interpreted chain inside a one-task
+  * Filter; this expression is cheap enough that inferred pushed
+  * filters cost nothing). Zero-length chunks (a cut at the text end)
+  * are dropped here, so callers explode the result directly.
+  */
+case class CdcChunkBounds(child: Expression, w: Int, mask: Int)
+    extends UnaryExpression {
+
+  require(w >= 2 && mask >= 2, s"window/mask must be >= 2, got $w/$mask")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("s", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("l", org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunk_bounds"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunkBounds.evalStatic(input.asInstanceOf[UTF8String], w, mask)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcChunkBounds.evalStatic($c, $w, $mask)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkBounds =
+    copy(child = newChild)
+}
+
+object CdcChunkBounds {
+  def evalStatic(text: UTF8String, w: Int, mask: Int): ArrayData = {
+    val s = text.toString
+    // code points, one linear pass (split('')+ascii semantics)
+    var ci = 0
+    var n = 0
+    val cps = new Array[Int](s.length)
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      cps(n) = cp
+      n += 1
+      ci += Character.charCount(cp)
+    }
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // boundary positions: [0] ++ cuts ++ [n]; cut after window i..i+w-1
+    val bounds = new java.util.ArrayList[Int](n / mask + 2)
+    bounds.add(0)
+    if (n >= w) {
+      var i = 0
+      while (i <= n - w) {
+        var h = 0L
+        var j = 0
+        while (j < w) { h = h * 31L + cps(i + j); j += 1 }
+        if (h % mask == 0) bounds.add(i + w)
+        i += 1
+      }
+    }
+    if (bounds.get(bounds.size - 1) != n) bounds.add(n)
+    val out = new java.util.ArrayList[Any](bounds.size)
+    var b = 0
+    while (b < bounds.size - 1) {
+      val st = bounds.get(b)
+      val ln = bounds.get(b + 1) - st
+      if (ln > 0)
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](st, ln)))
+      b += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 }

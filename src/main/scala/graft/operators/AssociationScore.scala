@@ -97,9 +97,23 @@ object AssociationScore {
     // contribute to any cumulative top-K downstream (top-K of a union
     // = top-K of the union of per-year top-Ks), so collect_list's
     // O(evidence-per-year) buffers are never materialized.
+    //
+    // The combined active-grain rows are then repartitioned ONCE by the
+    // PAIR keys (guide §2.4: operations keyed the same way share one
+    // exchange): HashPartitioning(pair) satisfies ClusteredDistribution
+    // for every downstream stage of the scoring chain — this window
+    // (pair, source[, …]), the densify lead/lag, overall's
+    // (pair, year) aggregate, novelty/peaks/timeline/anomaly windows
+    // (pair[, source]) — so the dense (post-explode) rows, which
+    // outnumber the active rows at every scale, never ride an exchange
+    // again. Without it each stage re-exchanges at its own grain
+    // (4 exchanges across byDatasource→overall→novelty; now 2, and the
+    // two that remain carry only compacted active-grain rows). No
+    // numPartitions is pinned, so AQE still coalesces adaptively.
     val perYear = dated
       .groupBy((keyCols(keys) :+ col("year")): _*)
       .agg(graft.functions.TopKCollect.topKCollect(col("score"), topK).as("yrScores"))
+      .repartition(keyCols(PairKeys): _*)
 
     // Cumulative harmonic score per active year via the O(K)-state
     // top-K window aggregate: the growing frame feeds each year's

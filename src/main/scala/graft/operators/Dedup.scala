@@ -1449,36 +1449,32 @@ object Dedup {
       window: Int = 8): DataFrame = {
     require(window >= 2 && mask >= 2 && maxChars >= window)
     val d = (c: Column) => c.cast("double")
-    val pows = Array.iterate(1L, window)(_ * 31L).reverse // 31^(w-1) .. 1
     val txt = substring(col("text"), 1, maxChars)
-    val base = documents
+    // r16 hot-path rewrite (same boundaries, same chunks, same md5s —
+    // oracle-identical): the original HOF formulation exploded a
+    // position index and FILTERED on a chunk length derived from the
+    // boundary array — predicate pushdown alias-substituted that
+    // filter, so the ENTIRE per-document boundary discovery (an
+    // interpreted transform/filter lambda chain, ~L·w boxed evals per
+    // reference) re-ran per exploded chunk row inside a one-task
+    // Filter: 669 s at sf0.1. Boundary discovery is now ONE compiled
+    // pass per document ([[graft.functions.CdcChunkBounds]], the
+    // NativeText house pattern) emitting (start, len) chunk structs
+    // directly — identical cuts (Horner form of the same 31-polynomial
+    // on the same code points), zero-length chunks dropped inside the
+    // expression — and the scan is spread() like every other text
+    // operator so the per-document work parallelizes.
+    val base = spread(documents)
       .filter(length(col("text")) > 0)
       .select(col("source"), txt.as("__txt"))
-      .withColumn("__cps", transform(split(col("__txt"), ""), c => ascii(c)))
-      .withColumn("__L", size(col("__cps")))
-    def poly(i: Column): Column = pows.zipWithIndex.map { case (pw, j) =>
-      element_at(col("__cps"), i + j) * lit(pw)
-    }.reduce(_ + _)
-    val cut = base
-      .withColumn("__cuts",
-        when(col("__L") >= window,
-          transform(
-            filter(sequence(lit(1), col("__L") - (window - 1)),
-              i => poly(i) % mask === 0),
-            i => i + (window - 1)))
-          .otherwise(array().cast("array<integer>")))
-      .withColumn("__b",
-        concat(array(lit(0)), col("__cuts"), array(col("__L"))))
-    val chunks = cut
-      .withColumn("__k", explode(sequence(lit(1), size(col("__b")) - 1)))
-      .withColumn("__len",
-        element_at(col("__b"), col("__k") + 1) -
-          element_at(col("__b"), col("__k")))
-      .filter(col("__len") > 0)
+    val chunks = base
+      .select(col("source"), col("__txt"),
+        explode(graft.functions.NativeText.cdcChunkBounds(
+          col("__txt"), window, mask)).as("__ck"))
       .select(col("source"),
-        md5(col("__txt").substr(element_at(col("__b"), col("__k")) + 1,
-          col("__len"))).as("__h"),
-        col("__len").cast("long").as("__clen"))
+        md5(col("__txt").substr(col("__ck").getField("s") + 1,
+          col("__ck").getField("l"))).as("__h"),
+        col("__ck").getField("l").cast("long").as("__clen"))
     chunks
       .groupBy("source", "__h")
       .agg(count(lit(1)).as("__cnt"), max("__clen").as("__len1"))

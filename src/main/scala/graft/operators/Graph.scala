@@ -96,7 +96,14 @@ object Graph {
       checkpointEvery: Int = 3,
       tol: Double = 0.0): DataFrame = {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    // Materialize the edge list ONCE (the kCore/labelPropagation rule):
+    // `e` feeds the degree fold, the node-set union AND one join per
+    // round — left lazy, every checkpoint action re-derives the whole
+    // upstream lineage (for q108 that is the embedding near-dup pair
+    // expansion) several times over. localCheckpoint truncates it to a
+    // materialized relation; unpersisted before return.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
@@ -138,8 +145,10 @@ object Graph {
       i += 1
     }
     // the returned frame is checkpointed (every exit path ends on a
-    // checkpoint boundary), so the degree table can release its cache
+    // checkpoint boundary), so the degree and edge tables can release
+    // their caches
     nodeDeg.unpersist()
+    e.unpersist()
     ranks.select("id", "rank")
   }
   /** Component size distribution — the shape report over G2b's

@@ -247,13 +247,22 @@ private[operators] trait RollupsAgreement {
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
       .localCheckpoint()
     val a = base.filter(col("c1") > 0).select(col("v"), col("c1"))
-    val b = base.filter(col("c2") > 0).select(col("v").as("w"), col("c2"))
+    // the broadcast-nested-loop cross expands V1·V2 rows out of the
+    // STREAM side's partitions — post-checkpoint the value-grain table
+    // sits in one or two partitions, so without spread() the whole
+    // expansion ran on one core (42.8 s at sf0.1, V ≈ 10k per side);
+    // spread() repartitions the ~V2 stream rows to defaultParallelism
+    // first (r16). Weights multiply/aggregate in LONG on the V²-row hot
+    // path — c1·c2 ≤ n1·n2 < 2⁶³ for any n1, n2 < 2³¹ (group sizes are
+    // 32-bit-bounded long counts; the sum per diff group is ≤ n1·n2) —
+    // and only the ≤(value-span)-row aggregated diff table widens to
+    // decimal for the cumulative/threshold math.
+    val b = spread(base.filter(col("c2") > 0).select(col("v").as("w"), col("c2")))
     val totals = base.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-    // diff grain: ≤ V² rows (V = distinct cents ≤ ValueGrainCap) —
-    // the cross rides broadcast, weights multiply in decimal
     val diffs = b.crossJoin(broadcast(a))
       .groupBy((col("w") - col("v")).as("__d"))
-      .agg(sum(col("c1").cast(dec) * col("c2").cast(dec)).as("__wt"))
+      .agg(sum(col("c1") * col("c2")).as("__wl"))
+      .select(col("__d"), col("__wl").cast(dec).as("__wt"))
     val wCum = Window.orderBy("__d")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = Rollups.grainGuarded(diffs, wCum, "hodgesLehmann")
