@@ -45,6 +45,10 @@ private[graft] object NativeText {
   def cdcChunkBounds(text: Column, w: Int, mask: Int): Column =
     columnOf(CdcChunkBounds(expressionOf(text), w, mask))
 
+  /** Overlapping 3-code-point slices; see [[CharTrigrams]]. */
+  def charTrigrams(text: Column): Column =
+    columnOf(CharTrigrams(expressionOf(text)))
+
   /** Native harmonic-sum score; see [[HarmonicScore]]. */
   def harmonic(scores: Column, k: Int, maxScore: Double): Column =
     columnOf(HarmonicScore(expressionOf(scores), k, maxScore))
@@ -895,5 +899,54 @@ object CdcChunkBounds {
       b += 1
     }
     new GenericArrayData(out.toArray)
+  }
+}
+
+/** `char_trigrams(text)`: every overlapping 3-CODE-POINT slice of
+  * `text`, in order — identical to
+  * `transform(sequence(1, length(text)-2), i -> substring(text, i, 3))`
+  * but one byte pass per row instead of an interpreted lambda whose
+  * each `substring(i, 3)` re-walks i code points (O(len²) per doc —
+  * the q335 training hot path). Fewer than 3 code points → empty
+  * array (callers filter `length >= 3` anyway).
+  */
+case class CharTrigrams(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_trigrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharTrigrams.evalStatic(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharTrigrams.evalStatic($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharTrigrams =
+    copy(child = newChild)
+}
+
+object CharTrigrams {
+  def evalStatic(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    // byte offsets of each code-point boundary (one pass)
+    val starts = new Array[Int](text.numChars() + 1)
+    var i = 0
+    var n = 0
+    while (i < bytes.length) {
+      starts(n) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      n += 1
+    }
+    starts(n) = bytes.length
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 2)
+    var k = 0
+    while (k < n - 2) {
+      val from = starts(k)
+      val to = starts(k + 3)
+      out(k) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, from, to))
+      k += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -686,27 +686,42 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
-    def normalize(raw: DataFrame, rawCol: String, outCol: String): DataFrame = {
-      val filled = nodes.join(raw, Seq("id"), "left")
-        .select(col("id"), coalesce(col(rawCol), lit(0L)).as("__raw"))
-        .localCheckpoint() // feeds the total AND the normalize
-      val tot = filled.agg(sum("__raw").as("__t"))
-      filled.crossJoin(broadcast(tot))
+    // r16: zero-score rows are mathematically INERT inside the loop —
+    // a zero hub/auth contributes nothing to any neighbor sum and
+    // nothing to the L1 total — so the per-half-round node-grain
+    // zero-fill join moves to the very end (one join each for hub and
+    // auth) and the loop carries only nodes with non-zero raw mass.
+    // The checkpoint also moves from the post-normalize frame to the
+    // PRE-normalize aggregate: the ppm projection over a checkpointed
+    // frame is depth-1 lineage (no exponential growth) and folds
+    // lazily into the next half-round's join action, cutting the
+    // loop from 6 driver actions per round to 4 lighter ones.
+    // Values are unchanged (the unrolled oracle and Round16cOpsSpec
+    // pin the exact ppm integers).
+    def normalize(rawCkpt: DataFrame, rawCol: String, outCol: String): DataFrame = {
+      val tot = rawCkpt.agg(sum(rawCol).as("__t"))
+      rawCkpt.crossJoin(broadcast(tot))
         .select(col("id"),
-          when(col("__t") > 0, expr("__raw * 1000000 div __t"))
+          when(col("__t") > 0, expr(s"$rawCol * 1000000 div __t"))
             .otherwise(lit(0L)).as(outCol))
     }
     var hub = nodes.withColumn("h", lit(1000000L)).localCheckpoint()
-    var auth = nodes.withColumn("a", lit(1000000L)).localCheckpoint()
+    var auth = hub.select(col("id"), col("h").as("a"))
     for (_ <- 1 to iters) {
       val araw = e.join(hub.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum("h").as("__ar"))
-      auth = normalize(araw, "__ar", "a").localCheckpoint()
+        .localCheckpoint()
+      auth = normalize(araw, "__ar", "a")
       val hraw = e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum("a").as("__hr"))
-      hub = normalize(hraw, "__hr", "h").localCheckpoint()
+        .localCheckpoint()
+      hub = normalize(hraw, "__hr", "h")
     }
-    hub.join(auth, "id")
+    val hubF = nodes.join(hub, Seq("id"), "left")
+      .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
+    val authF = nodes.join(auth, Seq("id"), "left")
+      .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
+    hubF.join(authF, "id")
       .select(col("id"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
   }
 }

@@ -923,10 +923,14 @@ object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms
       alphaPct: Int = 5): DataFrame = {
     require(reps > 0 && alphaPct > 0 && alphaPct < 100)
     val cents = round(col(valueCol) * 100).cast("long")
-    val rows = df
+    // spread(): the ×reps explosion below multiplies every input row —
+    // on an under-parallel scan (the driver tables are single small
+    // parquet files → 1-2 splits) the entire reps·N md5 fan ran on one
+    // or two cores (r16 measurement: q173 single-task at 6.8 s min-6).
+    val rows = spread(df
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
       .select((keys.map(col) :+ cents.as("_cents")
-        :+ col(idCol).cast("string").as("_id")): _*)
+        :+ col(idCol).cast("string").as("_id")): _*))
 
     val bucket = conv(substring(
         md5(concat(col("_id"), lit(":" + salt + ":"), col("rep").cast("string"))),
@@ -1838,11 +1842,15 @@ object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms
       alphaPct: Int = 5): DataFrame = {
     require(reps > 0 && alphaPct > 0 && alphaPct < 100)
     val cents = round(col(valueCol) * 100).cast("long")
-    val rows = df
+    // spread() before the checkpoint: localCheckpoint preserves the
+    // scan's partitioning, and the ×reps explosion below would
+    // otherwise fan out on the driver tables' 1-2 parquet splits
+    // (the q173 single-task measurement, r16).
+    val rows = spread(df
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull &&
         col(groupCol).isin(groupA, groupB))
       .select(col(groupCol).as("__g"), cents.as("__c"),
-        col(idCol).cast("string").as("__id"))
+        col(idCol).cast("string").as("__id")))
       .localCheckpoint()
     val bucket = conv(substring(
         md5(concat(col("__id"), lit(":" + salt + ":"), col("rep").cast("string"))),

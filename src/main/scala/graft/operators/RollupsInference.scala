@@ -164,11 +164,14 @@ private[operators] trait RollupsInference {
     require(reps > 0)
     val cents = round(col(valueCol) * 100).cast("long")
     val d = (c: Column) => c.cast("double")
-    val rows = df
+    // spread() before the checkpoint — the ×reps explode below must
+    // not fan out on the driver tables' 1-2 parquet splits (the q173
+    // single-task measurement, r16).
+    val rows = graft.operators.spread(df
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull &&
         col(groupCol).isin(armA, armB))
       .select((col(groupCol) === armB).as("__b"), cents.as("__c"),
-        col(idCol).cast("string").as("__id"))
+        col(idCol).cast("string").as("__id")))
       .localCheckpoint()
     val obs = rows.agg(
       sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),

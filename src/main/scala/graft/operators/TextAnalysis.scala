@@ -109,19 +109,31 @@ object TextAnalysis {
     val micro = (x: Column) => round(log(x) * 1e6, 0).cast("long")
     val nib = conv(substring(md5(concat(col(idCol).cast("string"),
       lit(":lid"))), 1, 1), 16, 10).cast("long")
-    val tris = transform(
-      sequence(lit(1), length(col(textCol)) - 2),
-      i => substring(col(textCol), i.cast("int"), lit(3)))
-    val base = df.filter(length(col(textCol)) >= 3)
+    // r16: native one-pass trigram slicing — the HOF form
+    // (transform(sequence…, i → substring(text, i, 3))) was interpreted
+    // AND O(len²) per doc (each substring(i,3) re-walks i code points);
+    // CharTrigrams emits the identical slices in one byte pass.
+    val tris = graft.functions.NativeText.charTrigrams(col(textCol))
+    // spread(): the trigram explode below fans ~len(text) rows per doc
+    // out of the scan partitions — 1-2 splits for the driver tables
+    // (the q173/q430 single-task measurement class, r16)
+    val base = spread(df).filter(length(col(textCol)) >= 3)
       .select(col(idCol), col(langCol), tris.as("__tris"), nib.as("__nib"))
     val train = base.filter(col("__nib") >= 4)
     val test = base.filter(col("__nib") < 4)
 
     val trainTris = train.select(col(langCol),
       explode(col("__tris")).as("tri"))
+    // localCheckpoint: the count table feeds tot/vRow/dimRow AND the
+    // broadcast model build — each broadcast materialization is its own
+    // job, and without the cut every one re-ran the full trigram
+    // explode+combine (r16: the dominant repeated subtree). V (distinct
+    // trigrams) is derived from c rather than re-scanning the explode —
+    // same value, count_distinct over the (tri, lang) grain.
     val c = trainTris.groupBy("tri", langCol).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tot = c.groupBy(langCol).agg(sum("c").as("tot"))
-    val vRow = trainTris.agg(count_distinct(col("tri")).as("v"))
+    val vRow = c.agg(count_distinct(col("tri")).as("v"))
     val prior = train.groupBy(langCol).agg(count(lit(1)).as("nd"))
     val ndAll = train.agg(count(lit(1)).as("nd_all"))
     // one-row language dim: sorted langs + per-lang Laplace floor and
