@@ -423,20 +423,33 @@ object Dedup {
       // Path halving: follow comp → label(comp) once per round. Safe —
       // any label reachable via labels stays inside the component, and
       // labels only decrease toward the component minimum.
+      //
+      // r16: the convergence probe rides the SAME action as the
+      // checkpoint via observe() — the old labels join in (one extra
+      // equi-join in this plan replaces the probe's own separate
+      // join + isEmpty action, so each round costs 2 driver actions
+      // instead of 3; ~8 registered queries compose this loop).
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft_cc_changed_${obsId.incrementAndGet()}")
       val prop = neighborMin.as("l")
         .join(
           neighborMin.select(col("id").as("pid"), col("comp").as("pcomp")),
         col("l.comp") === col("pid"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.comp"), coalesce(col("pcomp"), col("l.comp"))).as("comp"))
+        .join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
+        .select(col("id"),
+          least(col("l.comp"), coalesce(col("pcomp"), col("l.comp"))).as("comp"),
+          col("__old"))
+        .observe(obs,
+          coalesce(sum(when(col("comp") =!= col("__old"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"))
+        .select(col("id"), col("comp"))
         .localCheckpoint()
       // localCheckpoint is eager, so `prop` is already materialized —
       // release the round's neighbor-min copy now instead of leaking
       // one cached label table per iteration (up to maxIters copies).
       neighborMin.unpersist()
-      val anyChanged = !prop
-        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .filter(col("comp") =!= col("old")).isEmpty
+      val anyChanged =
+        obs.get.apply("changed").asInstanceOf[Long] > 0L
       labels.unpersist()
       labels = prop
       converged = !anyChanged

@@ -861,7 +861,16 @@ object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms
       .agg(min("peakYear").as("peakYear"))
 
   private def correlate(
-      fp: DataFrame, pairKeys: Seq[String], srcCol: String, yearCol: String): DataFrame = {
+      fp0: DataFrame, pairKeys: Seq[String], srcCol: String, yearCol: String): DataFrame = {
+    // r16: the source-pair self-join below reads `fp` TWICE, and with
+    // no materialization each side re-derived the ENTIRE upstream
+    // scoring chain (q19/q178/q411: dense chain + peaks; q86: that
+    // plus the permute machinery) — 8 parquet scans in q86's plan,
+    // zero exchange reuse (the two sides prune different columns, so
+    // their exchanges never canonicalize equal). One eager cut on the
+    // compact (pair, source, year) first-peak frame halves the chain
+    // work; values unchanged.
+    val fp = fp0.localCheckpoint()
     val a = fp.select(
       (pairKeys.map(col) :+ col(srcCol).as("datasourceIdA")
         :+ col(yearCol).as("yearA")): _*)

@@ -33,10 +33,14 @@ class QueriesSmokeSpec extends SparkSpec {
       ("same drug-dim approval windows as q15 (plus the max-novelty " +
         "window at (target, source) series grain under a broadcast " +
         "semi-join of the approval key set)")),
-    "q86_shuffled_correlation" -> Map("distinct-over-window" ->
-      ("deterministicPermute's rank windows run in (source, md5-shard) " +
-        "lanes bounded at pairs/(sources*16); the distinct collapses " +
-        "the PAIR-grain peak frame, not raw data grain")),
+    // q86's distinct-over-window sanction retired r16: the permute's
+    // shard frame is now localCheckpoint()ed (it fed both rank
+    // branches, which re-derived the whole scoring chain each), so the
+    // lint no longer sees the upstream shape. The shape itself is
+    // unchanged and remains justified — the rank windows run in
+    // (source, md5-shard) lanes bounded at pairs/(sources*16) — but a
+    // sanction that can no longer fire must not linger (stale-sanction
+    // rule below).
     "q127_profile" -> Map("multi-distinct-expand" ->
       ("one-scan EXACT profiling deliberately trades an Expand whose " +
         "fan is the PROFILED COLUMN COUNT (a static constant, not a " +
