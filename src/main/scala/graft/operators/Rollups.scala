@@ -862,14 +862,11 @@ object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms
 
   private def correlate(
       fp0: DataFrame, pairKeys: Seq[String], srcCol: String, yearCol: String): DataFrame = {
-    // r16: the source-pair self-join below reads `fp` TWICE, and with
-    // no materialization each side re-derived the ENTIRE upstream
-    // scoring chain (q19/q178/q411: dense chain + peaks; q86: that
-    // plus the permute machinery) — 8 parquet scans in q86's plan,
-    // zero exchange reuse (the two sides prune different columns, so
-    // their exchanges never canonicalize equal). One eager cut on the
-    // compact (pair, source, year) first-peak frame halves the chain
-    // work; values unchanged.
+    // r16: the source-pair self-join reads `fp` TWICE and each side
+    // re-derived the ENTIRE upstream chain (8 parquet scans in q86's
+    // plan — the sides prune different columns, so their exchanges
+    // never canonicalize equal and ReusedExchange cannot fire). One
+    // eager cut on the compact first-peak frame; values unchanged.
     val fp = fp0.localCheckpoint()
     val a = fp.select(
       (pairKeys.map(col) :+ col(srcCol).as("datasourceIdA")
@@ -932,10 +929,8 @@ object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms
       alphaPct: Int = 5): DataFrame = {
     require(reps > 0 && alphaPct > 0 && alphaPct < 100)
     val cents = round(col(valueCol) * 100).cast("long")
-    // spread(): the ×reps explosion below multiplies every input row —
-    // on an under-parallel scan (the driver tables are single small
-    // parquet files → 1-2 splits) the entire reps·N md5 fan ran on one
-    // or two cores (r16 measurement: q173 single-task at 6.8 s min-6).
+    // spread(): the ×reps explosion must not fan out on the driver
+    // tables' 1-2 parquet splits (r16: q173 single-task at 6.8 s min-6)
     val rows = spread(df
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
       .select((keys.map(col) :+ cents.as("_cents")
