@@ -2685,7 +2685,7 @@ private[graft] object StatsInferenceQueries {
         |         THEN sign(CAST(2 * n_pos - (n_pos + n_neg) AS DOUBLE)) *
         |              (abs(CAST(2 * n_pos - (n_pos + n_neg) AS DOUBLE)) - 1.0) /
         |              sqrt(CAST(n_pos + n_neg AS DOUBLE))
-        |         WHEN n_pos + n_neg > 0 THEN 0.0 END, 4) AS z
+        |         WHEN n_pos + n_neg > 0 THEN 0.0 END, 4) + 0.0 AS z
         |FROM c""".stripMargin,
     // KPSS: multiply-through demeaning e = x*n - S (exact HUGEINT),
     // partial sums P per key, eta = sum(P^2)/(n*sum(e^2)) — exact
