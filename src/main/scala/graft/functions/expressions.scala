@@ -950,3 +950,106 @@ object CharTrigrams {
     new GenericArrayData(out)
   }
 }
+
+/** Per-row resampling weight vector — the fused primitive behind the
+  * Poisson bootstrap (q173/q214) and the permutation test (q256).
+  *
+  * Element r (0-based) of the output is `w_r · cents`, element
+  * `reps + r` is `w_r`, where `w_r = #{t ∈ thresholds : bucket_r ≥ t}`
+  * and `bucket_r` is EXACTLY
+  * `conv(substring(md5(concat(id, prefix, r)), 1, 6), 16, 10)` — the
+  * integer value of the digest's first three bytes over the UTF-8
+  * bytes of id ++ prefix ++ decimal(r). With the ascending
+  * [[graft.operators.Rollups.PoissonThresholds]] this reproduces the
+  * `when(bucket < t0, 0).when(bucket < t1, 1)…otherwise(8)` chain
+  * bit-for-bit; with the single threshold 2²³ it is the permutation
+  * coin's complement (w = 1 iff NOT heads).
+  *
+  * Why native: the previous formulation exploded every row ×reps and
+  * re-ran the md5/substring/conv/when chain per (row, rep) — reps
+  * string digests, hex renders and big-int parses per input row, plus
+  * a reps× row fan through the hash aggregate. One eval here reuses a
+  * single MessageDigest, renders no hex, and feeds [[VectorSum]] at
+  * input-row grain (RepWeightVecSpec pins the equivalence).
+  */
+case class RepWeightVec(
+    left: Expression,
+    right: Expression,
+    prefix: String,
+    reps: Int,
+    thresholds: Seq[Long])
+    extends BinaryExpression {
+
+  require(reps >= 1, s"reps must be >= 1, got $reps")
+  require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+    s"thresholds must be ascending, got $thresholds")
+
+  private val prefixBytes: Array[Byte] =
+    prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val thArr: Array[Long] = thresholds.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rep_weight_vec"
+
+  override protected def nullSafeEval(id: Any, cents: Any): Any =
+    RepWeightVec.evalStatic(id.asInstanceOf[UTF8String],
+      cents.asInstanceOf[Long], prefixBytes, reps, thArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pref = ctx.addReferenceObj("prefix", prefixBytes, "byte[]")
+    val th = ctx.addReferenceObj("thresholds", thArr, "long[]")
+    defineCodeGen(ctx, ev, (id, cents) =>
+      s"graft.functions.RepWeightVec.evalStatic($id, $cents, $pref, $reps, $th)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RepWeightVec =
+    copy(left = newLeft, right = newRight)
+}
+
+object RepWeightVec {
+  /** ASCII bytes of "0".."127" — covers every realistic reps value
+    * without a per-(row, rep) allocation.
+    */
+  private val DigitCache: Array[Array[Byte]] =
+    Array.tabulate(128)(i => String.valueOf(i).getBytes)
+
+  def evalStatic(
+      id: UTF8String,
+      cents: Long,
+      prefix: Array[Byte],
+      reps: Int,
+      thresholds: Array[Long]): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val idBytes = id.getBytes
+    val out = new Array[Long](2 * reps)
+    var r = 0
+    while (r < reps) {
+      md.reset()
+      md.update(idBytes)
+      md.update(prefix)
+      md.update(
+        if (r < DigitCache.length) DigitCache(r)
+        else String.valueOf(r).getBytes)
+      val d = md.digest()
+      val bucket = ((d(0) & 0xffL) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+      var w = 0L
+      while (w < thresholds.length && bucket >= thresholds(w.toInt)) w += 1
+      out(r) = w * cents
+      out(reps + r) = w
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `array<long>` of length 2·reps: [w_r·cents ...][w_r ...]. */
+  def repWeightVec(
+      id: Column,
+      cents: Column,
+      prefix: String,
+      reps: Int,
+      thresholds: Seq[Long]): Column =
+    columnOf(RepWeightVec(expressionOf(id), expressionOf(cents),
+      prefix, reps, thresholds))
+}

@@ -894,7 +894,7 @@ object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms
     * md5 bucket below `t(k)` means weight k; ≥ all of them means the
     * capped tail weight 8 (P ≈ 1e-5, bias far below the 4dp grain).
     */
-  private val PoissonThresholds: Seq[Long] =
+  private[graft] val PoissonThresholds: Seq[Long] =
     Seq(6171992L, 12343985L, 15429982L, 16458647L,
       16715813L, 16767247L, 16775819L, 16777044L)
 
@@ -913,11 +913,13 @@ object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms
     * only in that final division and the 4dp round (house
     * determinism contract; q173's oracle replays the same chain).
     *
-    * Scale shape: the rep explosion happens map-side and is absorbed
-    * by the (keys, rep) map-side combine, so the shuffle carries
-    * |keys|·reps rows of O(1) state — never reps copies of the data —
-    * and the quantile over rep-means runs on a |keys|-sized frame.
-    * reps multiplies scan-side compute linearly; nothing else grows.
+    * Scale shape: no rep explosion at all — each row emits ONE
+    * 2·reps long vector ([[graft.functions.RepWeightVec]]) folded by
+    * the key-grain [[graft.functions.VectorSum]] combine, so the
+    * shuffle carries one vector per key — never reps copies of
+    * anything — and the quantile over rep-means runs on a
+    * |keys|-sized frame. reps multiplies scan-side compute linearly;
+    * nothing else grows.
     */
   def bootstrapMeanCI(
       df: DataFrame,
@@ -929,29 +931,38 @@ object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms
       alphaPct: Int = 5): DataFrame = {
     require(reps > 0 && alphaPct > 0 && alphaPct < 100)
     val cents = round(col(valueCol) * 100).cast("long")
-    // spread(): the ×reps explosion must not fan out on the driver
-    // tables' 1-2 parquet splits (r16: q173 single-task at 6.8 s min-6)
+    // spread(): the md5-heavy scan must not run on the driver tables'
+    // 1-2 parquet splits (r16: q173 single-task at 6.8 s min-6)
     val rows = spread(df
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
       .select((keys.map(col) :+ cents.as("_cents")
         :+ col(idCol).cast("string").as("_id")): _*))
-
-    val bucket = conv(substring(
-        md5(concat(col("_id"), lit(":" + salt + ":"), col("rep").cast("string"))),
-        1, 6), 16, 10).cast("long")
-    val weight = PoissonThresholds.zipWithIndex
-      .foldLeft(Option.empty[Column]) { case (acc, (t, k)) =>
-        Some(acc.fold(when(bucket < t, k))(_.when(bucket < t, k)))
-      }.get.otherwise(8).cast("long")
-
-    val repMeans = rows
-      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("_w", weight)
-      .groupBy((keys.map(col) :+ col("rep")): _*)
-      .agg(sum(col("_w") * col("_cents")).as("_ws"), sum(col("_w")).as("_wn"))
-      .filter(col("_wn") > 0)
+    // r17 (guide §2.3/§4): the ×reps row explode is gone — one native
+    // RepWeightVec eval per row computes every rep's Poisson weight
+    // (bit-identical md5 chain, one reused digest, no hex/conv churn)
+    // and VectorSum folds the per-rep [w·cents, w] sums at KEY grain:
+    // the aggregate sees n rows instead of n·reps, the shuffle carries
+    // one 2·reps-long vector per key, and the per-rep expansion below
+    // runs on the |keys|-sized frame. Base mean and CI derive from
+    // the SAME aggregate; the checkpoint pins the single data pass
+    // (the two branches prune different aggregate columns, so without
+    // it each would re-scan and re-aggregate — the md5 pass twice).
+    val agg0 = rows
+      .withColumn("_v", graft.functions.RepWeightVec.repWeightVec(
+        col("_id"), col("_cents"), ":" + salt + ":", reps, PoissonThresholds))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("_cents")).as("_sc"),
+        graft.functions.VectorSum.vectorSum(col("_v")).as("_st"))
+      .localCheckpoint()
+    val repMeans = agg0
+      .select((keys.map(col) :+ explode(transform(
+        sequence(lit(0), lit(reps - 1)),
+        r => struct(
+          element_at(col("_st"), r + 1).as("_ws"),
+          element_at(col("_st"), r + reps + 1).as("_wn")))).as("_r")): _*)
+      .filter(col("_r._wn") > 0)
       .withColumn("_mean",
-        col("_ws").cast("double") / col("_wn").cast("double") / 100.0)
+        col("_r._ws").cast("double") / col("_r._wn").cast("double") / 100.0)
 
     val lo = alphaPct / 200.0
     val hi = 1.0 - lo
@@ -960,9 +971,7 @@ object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms
         count(lit(1)).as("n_reps"),
         round(expr(s"percentile(_mean, $lo)"), 4).as("ci_lo"),
         round(expr(s"percentile(_mean, $hi)"), 4).as("ci_hi"))
-    rows.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n"), sum(col("_cents")).as("_sc"))
-      .join(ci, keys)
+    agg0.join(ci, keys)
       .select((keys.map(col) :+ col("n")
         :+ round(col("_sc").cast("double") / col("n").cast("double") / 100.0, 4)
           .as("mean")
@@ -1827,10 +1836,11 @@ object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms
     * percentile interval over replicates. A CI excluding 0 ⇒ the
     * effect survives resampling noise.
     *
-    * Scale shape: the rep fan-out is absorbed by the (rep) map-side
-    * combine carrying FOUR exact-long states (both groups' weighted
-    * sums/counts) — reps × O(1) rows shuffle, never data copies; the
-    * base estimate is one more aggregate of the same exact cents.
+    * Scale shape: no rep fan-out — each row emits one 2·reps vector
+    * per arm ([[graft.functions.RepWeightVec]]) folded by a single
+    * global [[graft.functions.VectorSum]] combine that also carries
+    * the base counts, so ONE pass over the data produces everything
+    * and the per-rep work runs on a one-row frame.
     *
     * Output: one row (n1, n2, diff, n_reps, ci_lo, ci_hi).
     */
@@ -1846,52 +1856,55 @@ object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms
       alphaPct: Int = 5): DataFrame = {
     require(reps > 0 && alphaPct > 0 && alphaPct < 100)
     val cents = round(col(valueCol) * 100).cast("long")
-    // spread() before the checkpoint: localCheckpoint preserves the
-    // scan's partitioning, and the ×reps explosion below would
-    // otherwise fan out on the driver tables' 1-2 parquet splits
-    // (the q173 single-task measurement, r16).
+    // spread(): the md5-heavy scan must not run on the driver tables'
+    // 1-2 parquet splits (the q173 single-task measurement, r16).
     val rows = spread(df
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull &&
         col(groupCol).isin(groupA, groupB))
       .select(col(groupCol).as("__g"), cents.as("__c"),
         col(idCol).cast("string").as("__id")))
-      .localCheckpoint()
-    val bucket = conv(substring(
-        md5(concat(col("__id"), lit(":" + salt + ":"), col("rep").cast("string"))),
-        1, 6), 16, 10).cast("long")
-    val weight = PoissonThresholds.zipWithIndex
-      .foldLeft(Option.empty[Column]) { case (acc, (t, k)) =>
-        Some(acc.fold(when(bucket < t, k))(_.when(bucket < t, k)))
-      }.get.otherwise(8).cast("long")
     val d = (c: Column) => c.cast("double")
     val isA = col("__g") === groupA
-    val repDiffs = rows
-      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("__w", weight)
-      .groupBy("rep")
+    // r17 (guide §2.3/§4): ONE aggregate pass replaces the ×reps
+    // explode + separate base pass — RepWeightVec emits every rep's
+    // [w·cents, w] per row (bit-identical md5 chain), VectorSum folds
+    // it per arm, and the base counts ride the same aggregate. The
+    // per-rep expansion and percentile then run on the one-row frame.
+    // The checkpoint moves from edge-grain rows (r16) to the ONE-ROW
+    // aggregate: the CI and base branches prune it differently, so
+    // without the cut each would re-run the whole md5 pass.
+    val st = rows
+      .withColumn("_v", graft.functions.RepWeightVec.repWeightVec(
+        col("__id"), col("__c"), ":" + salt + ":", reps, PoissonThresholds))
       .agg(
-        sum(when(isA, col("__w") * col("__c")).otherwise(0L)).as("__wsA"),
-        sum(when(isA, col("__w")).otherwise(0L)).as("__wnA"),
-        sum(when(!isA, col("__w") * col("__c")).otherwise(0L)).as("__wsB"),
-        sum(when(!isA, col("__w")).otherwise(0L)).as("__wnB"))
-      .filter(col("__wnA") > 0 && col("__wnB") > 0)
+        graft.functions.VectorSum.vectorSum(when(isA, col("_v"))).as("_stA"),
+        graft.functions.VectorSum.vectorSum(when(!isA, col("_v"))).as("_stB"),
+        sum(when(isA, 1L).otherwise(0L)).as("n1"),
+        sum(when(isA, col("__c")).otherwise(0L)).as("__sA"),
+        sum(when(!isA, 1L).otherwise(0L)).as("n2"),
+        sum(when(!isA, col("__c")).otherwise(0L)).as("__sB"))
+      .localCheckpoint()
+    val repDiffs = st
+      .select(explode(transform(
+        sequence(lit(0), lit(reps - 1)),
+        r => struct(
+          element_at(col("_stA"), r + 1).as("__wsA"),
+          element_at(col("_stA"), r + reps + 1).as("__wnA"),
+          element_at(col("_stB"), r + 1).as("__wsB"),
+          element_at(col("_stB"), r + reps + 1).as("__wnB")))).as("_r"))
+      .filter(col("_r.__wnA") > 0 && col("_r.__wnB") > 0)
       .withColumn("__diff",
-        d(col("__wsB")) / d(col("__wnB")) / 100.0 -
-          d(col("__wsA")) / d(col("__wnA")) / 100.0)
+        d(col("_r.__wsB")) / d(col("_r.__wnB")) / 100.0 -
+          d(col("_r.__wsA")) / d(col("_r.__wnA")) / 100.0)
     val lo = alphaPct / 200.0
     val hi = 1.0 - lo
     val ci = repDiffs.agg(
       count(lit(1)).as("n_reps"),
       round(expr(s"percentile(__diff, $lo)"), 4).as("ci_lo"),
       round(expr(s"percentile(__diff, $hi)"), 4).as("ci_hi"))
-    val base = rows.agg(
-      sum(when(isA, 1L).otherwise(0L)).as("n1"),
-      sum(when(isA, col("__c")).otherwise(0L)).as("__sA"),
-      sum(when(!isA, 1L).otherwise(0L)).as("n2"),
-      sum(when(!isA, col("__c")).otherwise(0L)).as("__sB"))
-      .select(col("n1"), col("n2"),
-        round(d(col("__sB")) / col("n2") / 100.0 -
-          d(col("__sA")) / col("n1") / 100.0, 4).as("diff"))
+    val base = st.select(col("n1"), col("n2"),
+      round(d(col("__sB")) / col("n2") / 100.0 -
+        d(col("__sA")) / col("n1") / 100.0, 4).as("diff"))
     base.crossJoin(broadcast(ci))
   }
 

@@ -164,40 +164,53 @@ private[operators] trait RollupsInference {
     require(reps > 0)
     val cents = round(col(valueCol) * 100).cast("long")
     val d = (c: Column) => c.cast("double")
-    // spread() before the checkpoint — the ×reps explode below must
-    // not fan out on the driver tables' 1-2 parquet splits (the q173
-    // single-task measurement, r16).
+    // spread(): the md5-heavy scan must not run on the driver tables'
+    // 1-2 parquet splits (the q173 single-task measurement, r16).
     val rows = graft.operators.spread(df
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull &&
         col(groupCol).isin(armA, armB))
       .select((col(groupCol) === armB).as("__b"), cents.as("__c"),
         col(idCol).cast("string").as("__id")))
+    // r17 (guide §2.3/§4): ONE aggregate pass replaces the ×reps
+    // explode + separate observed-diff pass. RepWeightVec with the
+    // single threshold 2²³ emits per rep [w·cents, w] where w = 1 iff
+    // the md5 coin is NOT heads (bucket ≥ 2²³) — exactly the rows the
+    // old chain assigned to permuted arm B — so per rep
+    // nb = Σw, psb = Σw·c and the arm-A figures are the totals minus
+    // them. The checkpoint moves from edge-grain rows (r16) to the
+    // ONE-ROW aggregate: the observed and permuted branches prune it
+    // differently, so without the cut each would re-run the md5 pass.
+    val st = rows
+      .withColumn("_v", graft.functions.RepWeightVec.repWeightVec(
+        col("__id"), col("__c"), ":" + salt + ":", reps, Seq(8388608L)))
+      .agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__b"), col("__c")).otherwise(0L)).as("__sa"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__b"), col("__c")).otherwise(0L)).as("__sb"),
+        graft.functions.VectorSum.vectorSum(col("_v")).as("_st"))
       .localCheckpoint()
-    val obs = rows.agg(
-      sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
-      sum(when(!col("__b"), col("__c")).otherwise(0L)).as("__sa"),
-      sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
-      sum(when(col("__b"), col("__c")).otherwise(0L)).as("__sb"))
-      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val obs = st.filter(col("n_a") > 0 && col("n_b") > 0)
       .withColumn("__obs", round(
         d(col("__sb")) / col("n_b") - d(col("__sa")) / col("n_a"), 6))
-    val coin = conv(substring(
-        md5(concat(col("__id"), lit(":" + salt + ":"), col("rep").cast("string"))),
-        1, 6), 16, 10).cast("long") < lit(8388608L)
-    val perms = rows
-      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("__pa", coin)
-      .groupBy("rep")
-      .agg(
-        sum(when(col("__pa"), 1L).otherwise(0L)).as("__na"),
-        sum(when(col("__pa"), col("__c")).otherwise(0L)).as("__psa"),
-        sum(when(!col("__pa"), 1L).otherwise(0L)).as("__nb"),
-        sum(when(!col("__pa"), col("__c")).otherwise(0L)).as("__psb"))
+    val perms = obs
+      .select(col("__obs"),
+        (col("n_a") + col("n_b")).as("__n"),
+        (col("__sa") + col("__sb")).as("__s"),
+        explode(transform(
+          sequence(lit(0), lit(reps - 1)),
+          r => struct(
+            element_at(col("_st"), r + 1).as("__psb"),
+            element_at(col("_st"), r + reps + 1).as("__nb")))).as("_r"))
+      .select(col("__obs"),
+        (col("__n") - col("_r.__nb")).as("__na"),
+        (col("__s") - col("_r.__psb")).as("__psa"),
+        col("_r.__nb").as("__nb"), col("_r.__psb").as("__psb"))
       .filter(col("__na") > 0 && col("__nb") > 0)
-      .select(round(
+      .select(col("__obs"), round(
         d(col("__psb")) / col("__nb") - d(col("__psa")) / col("__na"), 6)
         .as("__pd"))
-    val tail = perms.crossJoin(broadcast(obs.select(col("__obs"))))
+    val tail = perms
       .agg(count(lit(1)).as("n_reps"),
         sum(when(abs(col("__pd")) >= abs(col("__obs")), 1L).otherwise(0L))
           .as("__ge"))

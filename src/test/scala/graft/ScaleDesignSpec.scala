@@ -992,11 +992,11 @@ class ScaleDesignSpec extends SparkSpec {
     val q173 = exec("q173_bootstrap_ci")
     noLoopJoins("q173_bootstrap_ci", q173)
     assert(windows(q173).isEmpty, "q173 must stay window-free")
-    // r16: +1 exchange — the deliberate spread() round-robin of the
-    // COMPACT pre-explode rows (the ×64 rep fan ran single-task on the
-    // driver tables' 1-split scans; the spread carries keys+cents+id
-    // only, never the fan)
-    assert(shuffles(q173).size <= 5,
+    // r17: the ×64 rep explode is gone (RepWeightVec + VectorSum at
+    // key grain), so the budget is back down: spread() round-robin of
+    // the compact rows, ONE keys-grain aggregate exchange (shared by
+    // the CI and base branches via reuse), and the CI join's sorts
+    assert(shuffles(q173).size <= 3,
       s"q173: keys-grain exchanges only, got ${shuffles(q173).size}")
 
     // q174 (round-10 value-grain reshape): the corpus collapses to the
@@ -1309,12 +1309,14 @@ class ScaleDesignSpec extends SparkSpec {
       "q213: exactly the label-partitioned rank window")
     noCartesian("q213_centroid_outliers", q213)
 
-    // q214: rows eager-cut (feed reps AND base — zero file re-scan);
-    // window-free (reps are a combine, the CI a percentile aggregate);
-    // the only loop join is the one-row CI attach
+    // q214 (r17 single-pass): RepWeightVec + VectorSum fold every rep
+    // AND the base counts into ONE aggregate over ONE scan — the r16
+    // checkpoint (which existed to share rows between the rep fan and
+    // the base pass) is gone because there is only one pass left;
+    // window-free; the only loop join is the one-row CI attach
     val q214 = exec("q214_bootstrap_diff")
-    assert(scans(q214).isEmpty,
-      s"q214: rows must be cut at the checkpoint, got ${scans(q214).size} scans")
+    assert(scans(q214).size <= 1,
+      s"q214: one single-pass scan, got ${scans(q214).size} scans")
     assert(windows(q214).isEmpty, "q214 must stay window-free")
     assert(helper.collect(q214.executedPlan) {
       case j: BroadcastNestedLoopJoinExec => j
@@ -1393,11 +1395,13 @@ class ScaleDesignSpec extends SparkSpec {
     assert(scans(q259).size == 1, s"q259: one scan, got ${scans(q259).size}")
     noCartesian("q259_label_balance", q259)
 
-    // q256: rows eager-cut (observed AND rep fans); the rep fan is
-    // absorbed by the (rep) combine; 1-row report attaches only
+    // q256 (r17 single-pass): RepWeightVec + VectorSum fold the rep
+    // coin sums AND the observed-diff counts into ONE aggregate over
+    // ONE scan — the r16 checkpoint is gone with the second pass;
+    // 1-row report attaches only
     val q256 = exec("q256_permutation")
-    assert(scans(q256).isEmpty,
-      s"q256: rows must be cut at the checkpoint, got ${scans(q256).size}")
+    assert(scans(q256).size <= 1,
+      s"q256: one single-pass scan, got ${scans(q256).size}")
     assert(windows(q256).isEmpty, "q256 must stay window-free")
     assert(helper.collect(q256.executedPlan) {
       case j: BroadcastNestedLoopJoinExec => j
