@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
   /** Per-node triangle participation counts over an undirected edge
     * list, via DEGREE ORIENTATION: canonicalize edges (a<b, distinct),
     * then orient every edge from its lower-degree endpoint to its
@@ -691,30 +693,36 @@ object Graph {
     // nothing to the L1 total — so the per-half-round node-grain
     // zero-fill join moves to the very end (one join each for hub and
     // auth) and the loop carries only nodes with non-zero raw mass.
-    // The checkpoint also moves from the post-normalize frame to the
-    // PRE-normalize aggregate: the ppm projection over a checkpointed
-    // frame is depth-1 lineage (no exponential growth) and folds
-    // lazily into the next half-round's join action, cutting the
-    // loop from 6 driver actions per round to 4 lighter ones.
-    // Values are unchanged (the unrolled oracle and Round16cOpsSpec
-    // pin the exact ppm integers).
-    def normalize(rawCkpt: DataFrame, rawCol: String, outCol: String): DataFrame = {
-      val tot = rawCkpt.agg(sum(rawCol).as("__t"))
-      rawCkpt.crossJoin(broadcast(tot))
-        .select(col("id"),
-          when(col("__t") > 0, expr(s"$rawCol * 1000000 div __t"))
-            .otherwise(lit(0L)).as(outCol))
+    // r17: the L1 total rides the checkpoint action via observe()
+    // (the Dedup.clusters convergence-probe pattern — an exact
+    // aggregate read once on the driver, the sanctioned iterative-
+    // control scalar) and is injected as a LITERAL into the ppm
+    // projection, so the per-half-round total aggregate, crossJoin
+    // and one-row broadcast disappear from every downstream job.
+    // (A fused one-checkpoint-per-round variant re-executed the auth
+    // aggregate inside the hub job and measured SLOWER — 5.0-5.3 vs
+    // 4.2 s min-6 — so the stage count per job, not the action count,
+    // is the binding floor here.) Values are unchanged (the unrolled
+    // oracle and Round16cOpsSpec pin the exact ppm integers).
+    def normalize(raw: DataFrame, rawCol: String, outCol: String): DataFrame = {
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft_hits_l1_${obsId.incrementAndGet()}")
+      val ckpt = raw
+        .observe(obs, coalesce(sum(col(rawCol)), lit(0L)).as("tot"))
+        .localCheckpoint()
+      val t = obs.get.apply("tot").asInstanceOf[Long]
+      ckpt.select(col("id"),
+        (if (t > 0) expr(s"$rawCol * 1000000 div ${t}L")
+         else lit(0L)).as(outCol))
     }
     var hub = nodes.withColumn("h", lit(1000000L)).localCheckpoint()
     var auth = hub.select(col("id"), col("h").as("a"))
     for (_ <- 1 to iters) {
       val araw = e.join(hub.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum("h").as("__ar"))
-        .localCheckpoint()
       auth = normalize(araw, "__ar", "a")
       val hraw = e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum("a").as("__hr"))
-        .localCheckpoint()
       hub = normalize(hraw, "__hr", "h")
     }
     val hubF = nodes.join(hub, Seq("id"), "left")
