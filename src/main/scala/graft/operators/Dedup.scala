@@ -751,20 +751,39 @@ object Dedup {
       .withColumn("p",
         col("sz") - ((col("sz") * tNum + (cd - 1)) / cd).cast("int") + 1)
     val bucketWin = Window.partitionBy("k")
+    // PPJoin POSITIONAL filter (Xiao et al. WWW'08) on top of the
+    // prefix filter: a posting carries its 0-based position `pos` in
+    // the doc's rarity-sorted shingle list, and a candidate generated
+    // from a token at positions (ia, ib) can overlap by at most
+    // 1 + min(szA−1−ia, szB−1−ib) — the shared token plus whatever
+    // fits in both suffixes. J ≥ t needs overlap ≥ ⌈tNum(szA+szB)/cd⌉,
+    // so pairs failing (1+min)·cd ≥ (szA+szB)·tNum at EVERY generating
+    // token are pruned before the distinct/verify joins (sf0.1: 606k
+    // candidates → 125k). Exact: the FIRST common token of a J ≥ t
+    // pair sits in both prefixes with all common tokens at or after
+    // it, so its bound ≥ true overlap ≥ α — the pair always survives
+    // there. (Under a posting-cap drop of that first bucket a later
+    // token must carry the pair, where the bound is genuinely tighter
+    // — the oracle replays the same positional arithmetic, so the cap
+    // + positional semantics stay engine-identical.)
     val cand = sorted
-      .select(col("fk"), col("f"), explode(slice(col("ks"), lit(1), col("p"))).as("k"))
+      .select(col("fk"), col("f"), col("sz"),
+        posexplode(slice(col("ks"), lit(1), col("p"))).as(Seq("pos", "k")))
       .withColumn("bn", sum(col("f")).over(bucketWin))
       .observe(s"graft_prefix_posting_cap_${obsId.incrementAndGet()}",
         sum(when(col("bn") > postingCap, col("f")).otherwise(0L)).as("dropped_postings"),
         coalesce(max(col("bn")), lit(0L)).as("max_bucket_size"))
       .filter(col("bn") > 1 && col("bn") <= postingCap)
-      .groupBy("k").agg(collect_list(struct(col("fk"), col("f"))).as("fs"))
+      .groupBy("k").agg(collect_list(struct(col("fk"), col("f"), col("sz"), col("pos"))).as("fs"))
       .select(explode(col("fs")).as("a"), col("fs"))
       .select(col("a"), explode(col("fs")).as("b"))
       // cross-family candidates, plus each multi-doc family once
       // (its docs pair with each other at jaccard 1)
       .filter(col("a.fk") < col("b.fk") ||
         (col("a.fk") === col("b.fk") && col("a.f") >= 2))
+      .filter((lit(1) + least(col("a.sz") - 1 - col("a.pos"),
+          col("b.sz") - 1 - col("b.pos"))) * cd >=
+        (col("a.sz") + col("b.sz")) * tNum)
       .select(col("a.fk").as("fkA"), col("b.fk").as("fkB"))
       .distinct()
     val sets = reps.select(col("fk"), col("sh"), col("sz"))

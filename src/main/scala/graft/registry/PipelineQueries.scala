@@ -1579,21 +1579,26 @@ private[graft] object PipelineQueries {
          |  GROUP BY d.fk, d.f, d.sz
          |),
          |pre AS (
-         |  SELECT fk, f, u.df AS df, u.h AS hs
-         |  FROM (SELECT fk, f,
-         |               unnest(ks[1 : sz - ((sz * 1 + 2) // 3) + 1]) AS u
-         |        FROM pl)
+         |  SELECT fk, f, sz, i, ks[i].df AS df, ks[i].h AS hs
+         |  FROM pl, LATERAL (SELECT unnest(generate_series(
+         |    1, CAST(sz - ((sz * 1 + 2) // 3) + 1 AS BIGINT))) AS i)
          |),
          |post AS (SELECT df, hs, CAST(sum(f) AS BIGINT) AS bn
          |         FROM pre GROUP BY 1, 2),
          |kept AS (
-         |  SELECT p.fk, p.f, p.df, p.hs FROM pre p JOIN post USING (df, hs)
+         |  SELECT p.fk, p.f, p.sz, p.i, p.df, p.hs
+         |  FROM pre p JOIN post USING (df, hs)
          |  WHERE bn > 1 AND bn <= ${graft.GraftConf.PrefixPostingCap}
          |),
          |rcand AS (
+         |  -- PPJoin positional filter mirrored from the Spark side:
+         |  -- 1-based i, bound 1 + least(sz - i) == Spark's 0-based
+         |  -- 1 + least(sz - 1 - pos); threshold t = 1/2 (cd = 3)
          |  SELECT DISTINCT a.fk AS fkA, b.fk AS fkB
          |  FROM kept a JOIN kept b ON b.df = a.df AND b.hs = a.hs
-         |  WHERE a.fk < b.fk OR (a.fk = b.fk AND a.f >= 2)
+         |  WHERE (a.fk < b.fk OR (a.fk = b.fk AND a.f >= 2))
+         |    AND (1 + least(a.sz - a.i, b.sz - b.i)) * 3
+         |        >= (a.sz + b.sz) * 1
          |),
          |rpass AS (
          |  SELECT fkA, fkB,
