@@ -65,18 +65,23 @@ object Novelty {
       window: Int = GraftConf.NoveltyWindow): DataFrame = {
     val surrogate = lastYear + 1
     val w = Window.partitionBy(keys.map(col): _*).orderBy("__y")
-    val peaked = dense
-      .withColumn("__y", coalesce(col("year"), lit(surrogate)))
-      .withColumn("__s0", coalesce(col("score"), lit(0.0)))
-      .withColumn("__peak", {
-        val p = col("__s0") - lag("__s0", 1).over(w)
-        when(p > 0, p) // null at the first row and at non-peaks
-      })
+    // The densified years are CONSECUTIVE per key, so the peak d years
+    // back is lag(__s0, d) − lag(__s0, d+1) directly on the base score
+    // — the same doubles the lag-of-lag(__peak) formulation subtracts
+    // (identical fp arithmetic), but every candidate now reads only
+    // pre-window columns, so all window+2 lags collapse into ONE
+    // Window node (r17: the two-pass lag(peak-of-lag) shape cost a
+    // second WindowExec sweep over the dense frame; guide §4 —
+    // fewer passes over the same sorted partition).
     // greatest() skips nulls (missing/out-of-range peaks) and is null
     // only when every candidate is — the 0.0 default of the reference
-    val candidates = (0 to window).map(d =>
-      logisticNovelty(lag(col("__peak"), d).over(w), lit(d), scale, shift))
-    peaked
+    val candidates = (0 to window).map { d =>
+      val p = lag(col("__s0"), d).over(w) - lag(col("__s0"), d + 1).over(w)
+      logisticNovelty(when(p > 0, p), lit(d), scale, shift)
+    }
+    dense
+      .withColumn("__y", coalesce(col("year"), lit(surrogate)))
+      .withColumn("__s0", coalesce(col("score"), lit(0.0)))
       .withColumn("novelty", coalesce(round(greatest(candidates: _*), 3), lit(0.0)))
       .select(keys.map(col) :+ col("year") :+
         round(col("score"), 4).as("score") :+ col("novelty"): _*)
@@ -156,9 +161,15 @@ object Novelty {
     dense
       .withColumn("__y", coalesce(col("year"), lit(surrogate)))
       .withColumn("__s0", coalesce(col("score"), lit(0.0)))
+      // precompute the square so all three trailing aggregates read
+      // only pre-window columns and CollapseWindow fuses them into a
+      // single WindowExec pass (r17: sum(__s0*__s0) written inline
+      // forced a projection between two Window nodes — two sweeps
+      // over the dense frame)
+      .withColumn("__s0sq", col("__s0") * col("__s0"))
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__sum", sum("__s0").over(w))
-      .withColumn("__sumsq", sum(col("__s0") * col("__s0")).over(w))
+      .withColumn("__sumsq", sum("__s0sq").over(w))
       .filter(col("__n") >= minPrior && variance > 1e-12 &&
         round(z, 4) >= threshold)
       .select(keys.map(col) :+ col("__y").as("year") :+
