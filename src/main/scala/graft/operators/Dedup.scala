@@ -408,6 +408,7 @@ object Dedup {
       .withColumn("comp", col("id"))
       .localCheckpoint()
     var converged = false
+    var prevSum: java.math.BigDecimal = null
     var i = 0
     while (!converged && i < maxIters) {
       // localCheckpoint truncates the lineage each round: the
@@ -416,43 +417,57 @@ object Dedup {
       // round (exponential analysis time by round ~8). Eager + small
       // (one row per distinct id) — the standard driver-loop pattern
       // for iterative graph algorithms.
+      // r16: the convergence probe rode the checkpoint action via
+      // observe(); r17: the probe is Σcomp (exact decimal) instead of
+      // a changed-count join against the old labels — per-id labels
+      // are MONOTONE non-increasing (neighbor-min includes the own
+      // label via self-loops, path halving only follows to smaller
+      // labels), so Σ is strictly decreasing until the fixpoint and
+      // Σ-equality with the previous round ⟺ no id changed. Checked
+      // at the NEIGHBOR-MIN action: a neighbor-min fixpoint is the CC
+      // fixpoint (the min-label set S is closed under adjacency at a
+      // fixpoint, so S is the whole component, and labels only take
+      // node-id values ≥ the component min), so the final round skips
+      // the path-halving self-join + second action entirely, and no
+      // round joins the old labels (2 joins → 1 self-join;
+      // ~8 registered queries compose this loop).
+      val nmObs = new org.apache.spark.sql.Observation(
+        s"graft_cc_nmsum_${obsId.incrementAndGet()}")
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("comp"))
         .groupBy("id").agg(min("comp").as("comp"))
+        .observe(nmObs,
+          coalesce(sum(col("comp").cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("labelsum"))
         .localCheckpoint()
-      // Path halving: follow comp → label(comp) once per round. Safe —
-      // any label reachable via labels stays inside the component, and
-      // labels only decrease toward the component minimum.
-      //
-      // r16: the convergence probe rides the SAME action as the
-      // checkpoint via observe() — the old labels join in (one extra
-      // equi-join in this plan replaces the probe's own separate
-      // join + isEmpty action, so each round costs 2 driver actions
-      // instead of 3; ~8 registered queries compose this loop).
-      val obs = new org.apache.spark.sql.Observation(
-        s"graft_cc_changed_${obsId.incrementAndGet()}")
-      val prop = neighborMin.as("l")
-        .join(
-          neighborMin.select(col("id").as("pid"), col("comp").as("pcomp")),
-        col("l.comp") === col("pid"), "left")
-        .join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
-        .select(col("id"),
-          least(col("l.comp"), coalesce(col("pcomp"), col("l.comp"))).as("comp"),
-          col("__old"))
-        .observe(obs,
-          coalesce(sum(when(col("comp") =!= col("__old"), 1L).otherwise(0L)),
-            lit(0L)).as("changed"))
-        .select(col("id"), col("comp"))
-        .localCheckpoint()
-      // localCheckpoint is eager, so `prop` is already materialized —
-      // release the round's neighbor-min copy now instead of leaking
-      // one cached label table per iteration (up to maxIters copies).
-      neighborMin.unpersist()
-      val anyChanged =
-        obs.get.apply("changed").asInstanceOf[Long] > 0L
-      labels.unpersist()
-      labels = prop
-      converged = !anyChanged
+      val nmSum = nmObs.get.apply("labelsum").asInstanceOf[java.math.BigDecimal]
+      if (prevSum != null && prevSum.compareTo(nmSum) == 0) {
+        neighborMin.unpersist()
+        converged = true
+      } else {
+        // Path halving: follow comp → label(comp) once per round.
+        // Safe — any label reachable via labels stays inside the
+        // component, and labels only decrease toward the minimum.
+        val obs = new org.apache.spark.sql.Observation(
+          s"graft_cc_sum_${obsId.incrementAndGet()}")
+        val prop = neighborMin.as("l")
+          .join(
+            neighborMin.select(col("id").as("pid"), col("comp").as("pcomp")),
+          col("l.comp") === col("pid"), "left")
+          .select(col("id"),
+            least(col("l.comp"), coalesce(col("pcomp"), col("l.comp"))).as("comp"))
+          .observe(obs,
+            coalesce(sum(col("comp").cast("decimal(38,0)")),
+              lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("labelsum"))
+          .localCheckpoint()
+        // localCheckpoint is eager, so `prop` is already materialized —
+        // release the round's neighbor-min copy now instead of leaking
+        // one cached label table per iteration (up to maxIters copies).
+        neighborMin.unpersist()
+        prevSum = obs.get.apply("labelsum").asInstanceOf[java.math.BigDecimal]
+        labels.unpersist()
+        labels = prop
+      }
       i += 1
     }
     edges.unpersist()

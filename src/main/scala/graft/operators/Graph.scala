@@ -266,6 +266,12 @@ object Graph {
       .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
       .orderBy(col("__n").desc, col("community"))
+    // r17: no per-round checkpoint — each round's labels feed exactly
+    // ONE branch of the next round (the neighbor join), so lineage
+    // grows linearly, not exponentially, and the whole fixed-round
+    // chain runs as ONE job at the consumer's action (4 driver
+    // actions → 0; the checkpointed edge list still feeds every
+    // round without rescanning).
     for (_ <- 1 to rounds) {
       labels = e
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
@@ -274,7 +280,6 @@ object Graph {
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") === 1)
         .select(col("src").as("id"), col("community"))
-        .localCheckpoint()
     }
     labels
   }
