@@ -865,9 +865,12 @@ object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms
     // r16: the source-pair self-join reads `fp` TWICE and each side
     // re-derived the ENTIRE upstream chain (8 parquet scans in q86's
     // plan — the sides prune different columns, so their exchanges
-    // never canonicalize equal and ReusedExchange cannot fire). One
-    // eager cut on the compact first-peak frame; values unchanged.
-    val fp = fp0.localCheckpoint()
+    // never canonicalize equal and ReusedExchange cannot fire). r17:
+    // lazy persist() instead of the eager checkpoint — the cache
+    // fills inside the consumer's own job (no extra action, no
+    // up-front materialization job) and both self-join sides read it;
+    // values unchanged.
+    val fp = fp0.persist()
     val a = fp.select(
       (pairKeys.map(col) :+ col(srcCol).as("datasourceIdA")
         :+ col(yearCol).as("yearA")): _*)

@@ -757,12 +757,18 @@ object TextAnalysis {
     // native one-pass construction (the interpreted transform/
     // concat_ws chain was this query's wall)
     val w = words(col(textCol))
+    // localCheckpoint the map-side-collapsed (doc, shingle, tf) grain:
+    // it feeds THREE consumers (norms, df counts, posting lists) that
+    // prune different columns, so ReusedExchange never fires and the
+    // shingle explode + combine ran three times (r17, the
+    // Rollups.correlate pattern — guide §5 repeated subtrees)
     val tf = df
       .filter(size(w) >= 3)
       .select(col(idCol).as("id"),
         explode(graft.functions.NativeText.wordShinglesAll(col(textCol), 3))
           .as("word"))
       .groupBy("id", "word").agg(count(lit(1)).as("tf"))
+      .persist()
     val nrm = tf.groupBy("id").agg(sum(col("tf") * col("tf")).as("n2"))
     val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val pairs = tf
@@ -811,6 +817,12 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val w = words(col(textCol))
+    // (doc, bigram) grain feeds the scoring join AND both model
+    // tables; the model pair-count table feeds the context rollup AND
+    // the join — different column pruning per consumer defeated
+    // ReuseExchange, so the corpus was exploded three times (8 scans
+    // in the r17 before-plan). Checkpoint each shared grain once
+    // (guide §5 repeated subtrees).
     val tf = df
       .filter(size(w) >= 2)
       .select(col(idCol), explode(zip_with(
@@ -818,7 +830,8 @@ object TextAnalysis {
         (a, b) => struct(a.as("p"), b.as("c")))).as("bg"))
       .groupBy(col(idCol), col("bg.p").as("p"), col("bg.c").as("c"))
       .agg(count(lit(1)).as("tf"))
-    val pc = tf.groupBy("p", "c").agg(sum("tf").as("pc"))
+      .persist()
+    val pc = tf.groupBy("p", "c").agg(sum("tf").as("pc")).persist()
     val ctx = pc.groupBy("p").agg(sum("pc").as("ctx"))
     val vocab = broadcast(
       df.select(explode(words(col(textCol))).as("word"))
@@ -1121,8 +1134,12 @@ object TextAnalysis {
         (a, b) => struct(a.as("p"), b.as("c")))).as("bg"))
       .groupBy(col("bg.p").as("p"), col("bg.c").as("c"))
       .agg(count(lit(1)).as("n_ab"))
+    // the unigram table joins in twice (left and right word of each
+    // surviving pair) with different pruning — checkpoint so the
+    // corpus word explode runs once (guide §5 repeated subtrees)
     val uni = df.select(explode(words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n_w"))
+      .persist()
     val totals = broadcast(df.agg(
       sum(size(w)).cast("long").as("tw"),
       sum(greatest(size(w) - 1, lit(0))).cast("long").as("tp")))
