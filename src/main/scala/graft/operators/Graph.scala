@@ -37,6 +37,10 @@ object Graph {
     val deg = e.select(col("a").as("id"))
       .unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+    // localCheckpoint (r17): the oriented DAG feeds all three legs of
+    // the wedge/closing self-joins, whose sides alias differently —
+    // without the eager cut each leg re-derives the full upstream
+    // pair expansion (for q111 that is the MinHash banding)
     val oriented = e
       .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
@@ -47,6 +51,7 @@ object Graph {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("v"))
+      .localCheckpoint()
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))

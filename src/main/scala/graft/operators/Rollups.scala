@@ -865,12 +865,15 @@ object Rollups extends RollupsInference with RollupsEval with RollupsScaleForms
     // r16: the source-pair self-join reads `fp` TWICE and each side
     // re-derived the ENTIRE upstream chain (8 parquet scans in q86's
     // plan — the sides prune different columns, so their exchanges
-    // never canonicalize equal and ReusedExchange cannot fire). r17:
-    // lazy persist() instead of the eager checkpoint — the cache
-    // fills inside the consumer's own job (no extra action, no
-    // up-front materialization job) and both self-join sides read it;
-    // values unchanged.
-    val fp = fp0.persist()
+    // never canonicalize equal and ReusedExchange cannot fire). One
+    // eager cut on the compact first-peak frame; values unchanged.
+    // (r17 measured the alternatives at sf0.1 min-of-6: persist() is
+    // DISALLOWED on query paths — the SQL CacheManager matches later
+    // identical logical plans, so bench rep N+1 silently reads rep
+    // N's cache (cross-run result caching); lazy localCheckpoint
+    // loses to eager here because concurrent consumer stages race
+    // the uncached subtree and compute it twice.)
+    val fp = fp0.localCheckpoint()
     val a = fp.select(
       (pairKeys.map(col) :+ col(srcCol).as("datasourceIdA")
         :+ col(yearCol).as("yearA")): _*)

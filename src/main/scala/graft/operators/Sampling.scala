@@ -184,7 +184,7 @@ object Sampling {
       salt: String = "perm"): DataFrame = {
     val lane = groupCols.map(col) :+ col("__shard")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(lane: _*)
-    // persist (r17; eager checkpoint in r16): `sharded` feeds BOTH rank branches below, whose
+    // localCheckpoint: `sharded` feeds BOTH rank branches below, whose
     // windows prune different columns — the two exchanges never
     // canonicalize equal, so without the cut each branch re-derived
     // the whole upstream lineage (for q86 that is the full scoring
@@ -192,7 +192,7 @@ object Sampling {
     val sharded = df
       .withColumn("__shard", hashBucket(col(idCol), salt) % shards)
       .withColumn("__h", md5(concat(col(idCol).cast("string"), lit(":" + salt))))
-      .persist()
+      .localCheckpoint()
     val keyRanked = sharded
       .withColumn("__r", row_number().over(w.orderBy(col("__h"))))
     val valueRanked = sharded

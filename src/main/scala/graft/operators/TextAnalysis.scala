@@ -768,7 +768,7 @@ object TextAnalysis {
         explode(graft.functions.NativeText.wordShinglesAll(col(textCol), 3))
           .as("word"))
       .groupBy("id", "word").agg(count(lit(1)).as("tf"))
-      .persist()
+      .localCheckpoint()
     val nrm = tf.groupBy("id").agg(sum(col("tf") * col("tf")).as("n2"))
     val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val pairs = tf
@@ -818,11 +818,13 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val w = words(col(textCol))
     // (doc, bigram) grain feeds the scoring join AND both model
-    // tables; the model pair-count table feeds the context rollup AND
-    // the join — different column pruning per consumer defeated
-    // ReuseExchange, so the corpus was exploded three times (8 scans
-    // in the r17 before-plan). Checkpoint each shared grain once
-    // (guide §5 repeated subtrees).
+    // tables, so the corpus is exploded three times (8 scans in the
+    // r17 before-plan) — MEASURED and left alone: at sf0.1 min-of-6
+    // every reuse device loses to the recompute (no cut 0.865 s,
+    // eager localCheckpoint 1.305, lazy 1.617; persist() is
+    // disallowed — CacheManager plan-matching leaks one bench rep's
+    // cache into the next). The model tables are vocab-small and the
+    // corpus explode is cheap relative to a materialization barrier.
     val tf = df
       .filter(size(w) >= 2)
       .select(col(idCol), explode(zip_with(
@@ -830,8 +832,7 @@ object TextAnalysis {
         (a, b) => struct(a.as("p"), b.as("c")))).as("bg"))
       .groupBy(col(idCol), col("bg.p").as("p"), col("bg.c").as("c"))
       .agg(count(lit(1)).as("tf"))
-      .persist()
-    val pc = tf.groupBy("p", "c").agg(sum("tf").as("pc")).persist()
+    val pc = tf.groupBy("p", "c").agg(sum("tf").as("pc"))
     val ctx = pc.groupBy("p").agg(sum("pc").as("ctx"))
     val vocab = broadcast(
       df.select(explode(words(col(textCol))).as("word"))
@@ -1135,11 +1136,12 @@ object TextAnalysis {
       .groupBy(col("bg.p").as("p"), col("bg.c").as("c"))
       .agg(count(lit(1)).as("n_ab"))
     // the unigram table joins in twice (left and right word of each
-    // surviving pair) with different pruning — checkpoint so the
-    // corpus word explode runs once (guide §5 repeated subtrees)
+    // surviving pair) — measured and left alone (r17): the word
+    // explode recompute beats any materialization at sf0.1 (no cut
+    // 0.515 s vs eager cut 0.830/lazy 0.789), and persist() is
+    // disallowed on query paths (CacheManager cross-rep reuse).
     val uni = df.select(explode(words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n_w"))
-      .persist()
     val totals = broadcast(df.agg(
       sum(size(w)).cast("long").as("tw"),
       sum(greatest(size(w) - 1, lit(0))).cast("long").as("tp")))
